@@ -1,0 +1,86 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+For a query name: run the Spark DataFrame and the oracle SQL via DuckDB on
+the same parquet tables, then compare row count, sorted column names, and an
+order-insensitive multiset of normalized row values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style tolerance: values are pre-rounded by the queries;
+        # normalize -0.0 and float repr noise
+        if v == 0:
+            return 0.0
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    return str(v)
+
+
+def rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.execute(oracle_sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}")
+    sm = rows_multiset(s_cols, s_rows)
+    om = rows_multiset(o_cols, o_rows)
+    if sm != om:
+        only_s = list((sm - om).items())[:5]
+        only_o = list((om - sm).items())[:5]
+        problems.append(
+            f"value mismatch: only-in-spark={only_s} only-in-oracle={only_o}"
+        )
+    return problems

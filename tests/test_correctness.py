@@ -1,0 +1,30 @@
+"""Gate replica: every registry query must match its DuckDB oracle at the
+test scale factor — the same check the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.registry import ORACLES, QUERIES
+
+from .oracle_harness import compare
+
+
+def test_every_query_has_oracle():
+    missing = [n for n in QUERIES if n not in ORACLES]
+    assert not missing, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    problems = compare(df, ORACLES[name], sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert df.columns

@@ -1,0 +1,34 @@
+"""xcube_server_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ``xcube-dev/xcube-server`` (reference studied at
+/root/reference), re-expressed Spark-first.
+
+The reference serves xarray data cubes (time x lat x lon grids) over HTTP:
+tile rendering, time-series statistics over points/geometries, catalogue
+metadata, GeoJSON place filtering and computed (derived) cubes. Every one of
+those capabilities decomposes into relational/dataflow operators (scan,
+filter, nearest-select, mask semi-join, group-by aggregate, window resample,
+decimating aggregation, scalar map functions). This package implements those
+operators as Spark DataFrame/SQL plans over *tall* cube tables — one row per
+(time, lat_idx, lon_idx) cell — plus the large-scale training-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal plumbing) that
+a 100 TB deployment needs.
+
+Layout
+------
+- ``session``    SparkSession factory (UTC, Arrow, AQE) — one place for conf.
+- ``sources``    readers/writers: parquet star schema, synthetic cube
+                 ingestion, GeoJSON features, pure-python PNG sink.
+- ``operators``  cube query operators: time-series aggregation, nearest
+                 select, bbox/geometry filters, weekly resample, LOD pyramid.
+- ``functions``  scalar column functions: ISO time, clip/normalize, masking,
+                 colormap LUT application.
+- ``pipeline``   training-data ops: exact/minhash/simhash dedup, n-gram
+                 jaccard, embedding similarity (brute force + LSH), text
+                 quality/language/token analysis, multimodal column plumbing.
+- ``streaming``  Structured Streaming forms of the batch operators (shared
+                 logical plans; readStream/writeStream wiring + watermarks).
+- ``cube``       the cube data model: grid metadata, tile grid math, catalog.
+- ``plans``      plan-inspection helpers (assert pushdown/broadcast/codegen).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,3 @@
+from .scalars import clip, iso_ts, mask_invalid, normalize_to_unit, rnd, weekly_sunday_label
+
+__all__ = ["clip", "iso_ts", "mask_invalid", "normalize_to_unit", "rnd", "weekly_sunday_label"]

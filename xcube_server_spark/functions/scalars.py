@@ -1,0 +1,85 @@
+"""Scalar column functions (SURVEY.md §2.8).
+
+All of these are pure Catalyst column expressions — they stay inside
+WholeStageCodegen, never touch Python at row level. The reference implements
+each as a numpy array op; the Spark-first form is an expression tree the
+optimizer can fold, push down and fuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def iso_ts(col: Column) -> Column:
+    """F1 — ISO-8601 UTC second-resolution string with ``Z`` suffix.
+
+    Reference: ``timestamp_to_iso_string`` rounds datetime64 to seconds and
+    appends ``Z`` (``xcube_server/utils.py:86-97``). Session TZ is UTC so
+    ``date_format`` emits wall-clock UTC.
+    """
+    return F.date_format(F.date_trunc("second", col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def clip(col: Column, vmin: float, vmax: float) -> Column:
+    """F4 — ``array.clip(vmin, vmax)`` (``xcube_server/im/tiledimage.py:464-474``)."""
+    return F.least(F.greatest(col, F.lit(vmin)), F.lit(vmax))
+
+
+def normalize_to_unit(col: Column, vmin: float, vmax: float) -> Column:
+    """F3 — ``(v - vmin) / (vmax - vmin)`` (``xcube_server/im/tiledimage.py:488-490``)."""
+    return (col - F.lit(vmin)) / F.lit(vmax - vmin)
+
+
+def mask_invalid(
+    col: Column,
+    fill_value: float | None = None,
+    valid_min: float | None = None,
+    valid_max: float | None = None,
+) -> Column:
+    """F5 — mask fill-value / out-of-range / non-finite values to NULL.
+
+    Reference masks to NaN via ``masked_equal`` / ``masked_less`` /
+    ``masked_greater`` / ``masked_invalid``
+    (``xcube_server/im/tiledimage.py:398-413``). Our core semantic decision
+    (SURVEY.md §7.3-1): invalid == SQL NULL, so every built-in aggregate
+    (avg/min/max/count) skips it for free.
+    """
+    out = col
+    masked = F.when(F.isnan(out), F.lit(None))
+    if fill_value is not None:
+        masked = masked.when(out == F.lit(fill_value), F.lit(None))
+    if valid_min is not None:
+        masked = masked.when(out < F.lit(valid_min), F.lit(None))
+    if valid_max is not None:
+        masked = masked.when(out > F.lit(valid_max), F.lit(None))
+    return masked.otherwise(out)
+
+
+def weekly_sunday_label(ts: Column) -> Column:
+    """A4 label — pandas ``resample('1W')`` bin label for a timestamp.
+
+    pandas ``1W`` is weekly, right-closed/right-labeled, anchored on Sunday:
+    every timestamp maps to the next Sunday date (same day if already Sunday).
+    Golden labels ``2017-01-22, 2017-01-29, 2017-02-05``
+    (``test/controllers/test_time_series.py:138``). Spark ``dayofweek`` is
+    1=Sunday..7=Saturday, so the shift is ``(8 - dayofweek) % 7`` days.
+    """
+    d = F.to_date(ts)
+    return F.date_add(d, (F.lit(8) - F.dayofweek(d)) % 7)
+
+
+def rnd(col, n: int):
+    """Deterministic half-up rounding identical across engines.
+
+    Spark's ``round`` HALF_UPs the shortest decimal repr of the double while
+    DuckDB rounds the raw binary value — they disagree exactly at half-way
+    points (e.g. avg = 50.19125). ``floor(x * 10^n + 0.5) / 10^n`` is pure
+    IEEE double arithmetic, so Spark and the DuckDB oracle (which uses the
+    same formula) agree bit-for-bit.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    p = float(10**n)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)

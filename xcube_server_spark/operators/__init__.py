@@ -1,0 +1,15 @@
+from .nearest import asof_join, nearest_select
+from .pyramid import decimate
+from .resample import resample_weekly_mean
+from .spatial import antimeridian_pred, bbox_filter
+from .timeseries import masked_mean_per_step
+
+__all__ = [
+    "asof_join",
+    "nearest_select",
+    "decimate",
+    "resample_weekly_mean",
+    "antimeridian_pred",
+    "bbox_filter",
+    "masked_mean_per_step",
+]

@@ -1,0 +1,62 @@
+"""Decimating aggregation / LOD pyramid materialization (SURVEY.md §2.4 A5,
+§2.9 T6/T7).
+
+The reference builds multi-level pyramids two ways:
+- dataset levels: stride decimation ``var[..., ::2, ::2]`` with level size
+  ``(s+1)//2`` (``xcube_server/mldataset.py:296-304``);
+- image pyramids: 2x2 child aggregation with pluggable aggregator
+  first/min/max/sum/mean (``xcube_server/im/utils.py:27-62``).
+
+Spark-first: both are one ``groupBy(idx // 2)`` (aggregate) or one
+``filter(idx % 2 == 0)`` (stride) over the tall cube table. Each level is
+materialized once as its own table — the 16x load-then-stride lesson from the
+reference (``xcube_server/im/tiledimage.py:859-874``) generalized: never pay
+read-time decimation per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+}
+
+
+def decimate(
+    df: DataFrame,
+    idx_cols: list[str],
+    value_cols: list[str],
+    agg: str = "mean",
+    extra_keys: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Aggregate 2x2 (or 2^k along each idx) child cells into parents.
+
+    ``agg='first'`` reproduces stride-``::2`` decimation exactly: the "first"
+    child of each 2x2 block is the one at even indices, selected
+    deterministically via ``min_by(value, order)`` after filtering — not a
+    nondeterministic Spark ``first()``.
+    """
+    parents = [(F.col(c) / 2).cast("long").alias(c) for c in idx_cols]
+    keys = parents + [F.col(k) for k in (extra_keys or [])]
+    if agg == "first":
+        # Stride semantics: keep only even-index children, re-index. This is
+        # a pure filter+project — no shuffle at all.
+        cond = None
+        for c in idx_cols:
+            this = F.col(c) % 2 == 0
+            cond = this if cond is None else (cond & this)
+        out = df.filter(cond)
+        for c in idx_cols:
+            out = out.withColumn(c, (F.col(c) / 2).cast("long"))
+        return out
+    if agg not in _AGGS:
+        raise ValueError(f"unknown aggregator {agg!r}")
+    fn = _AGGS[agg]
+    aggs = [fn(c).alias(f"{agg}_{c}") for c in value_cols]
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,32 @@
+"""Temporal resampling (SURVEY.md §2.4 A4).
+
+Reference: ``ds.resample(time='1W').mean(dim='time')`` — weekly mean of every
+variable (``xcube_server/res/demo/resample_in_time.py:2-3``). In Spark this is
+a tumbling-window group-by; we keep pandas' ``1W`` Sunday-anchored,
+right-labeled convention via :func:`weekly_sunday_label` so golden labels
+match (``test/controllers/test_time_series.py:138``).
+
+Scale: the groupBy shuffles once on (label, *keys); partial aggregation
+(map-side combine) means each task emits one row per (week, key) — at 100 TB
+the shuffle volume is |weeks|·|cells|, not |rows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import weekly_sunday_label
+
+
+def resample_weekly_mean(
+    df: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    extra_keys: list[str] | None = None,
+    label_col: str = "week",
+) -> DataFrame:
+    """Weekly (pandas-``1W``-labeled) mean of ``value_cols``."""
+    label = weekly_sunday_label(F.col(time_col)).alias(label_col)
+    aggs = [F.avg(c).alias(f"avg_{c}") for c in value_cols]
+    return df.groupBy(label, *(extra_keys or [])).agg(*aggs)

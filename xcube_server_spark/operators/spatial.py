@@ -1,0 +1,58 @@
+"""Spatial predicates and the mask semi-join (SURVEY.md §2.2 P4/P8/P10, §2.3 J1).
+
+The reference clips a query geometry to a bbox index window
+(``xcube_server/controllers/time_series.py:166-175``), rasterizes the polygon
+to a boolean grid mask (``xcube_server/utils.py:73-83``) and applies it with
+``variable.where(mask)``. Spark-first: bbox = pure column predicate (pushed to
+parquet row-group pruning); polygon mask = a small broadcast index set
+semi-joined to the cube.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def bbox_filter(
+    df: DataFrame, lon_col: str, lat_col: str, bbox: tuple[float, float, float, float]
+) -> DataFrame:
+    """P4 — bounding-box filter ``(west, south, east, north)``.
+
+    Plain ``BETWEEN`` predicates: Catalyst pushes them into the parquet scan
+    where min/max row-group stats prune I/O — the distributed equivalent of
+    the reference's ``isel`` index-window slicing. Handles antimeridian
+    crossing (west > east) by splitting into a disjunction (P10,
+    ``xcube_server/utils.py:56-70``).
+    """
+    west, south, east, north = bbox
+    lat_pred = F.col(lat_col).between(south, north)
+    if west <= east:
+        lon_pred = F.col(lon_col).between(west, east)
+    else:
+        lon_pred = antimeridian_pred(F.col(lon_col), west, east)
+    return df.filter(lon_pred & lat_pred)
+
+
+def antimeridian_pred(lon: Column, west: float, east: float) -> Column:
+    """P10 — bbox crossing the antimeridian becomes a disjunction
+    ``lon >= west OR lon <= east`` (``xcube_server/utils.py:56-70``)."""
+    return (lon >= F.lit(west)) | (lon <= F.lit(east))
+
+
+def mask_semi_join(
+    cube: DataFrame, mask: DataFrame, keys: list[str], broadcast_mask: bool = True
+) -> DataFrame:
+    """J1 — keep cube cells under a (small) rasterized geometry mask.
+
+    The mask is the set of (lat_idx, lon_idx) covered by the polygon —
+    thousands to millions of rows, dwarfed by the cube. ``broadcast`` +
+    ``left_semi`` means no shuffle of the cube side at all: each task streams
+    its cube partition against the in-memory hash set. At 100 TB this is the
+    only viable plan; a shuffle join on cell ids would move the whole cube.
+    """
+    m = mask.select(*keys).dropDuplicates(keys)
+    if broadcast_mask:
+        m = broadcast(m)
+    return cube.join(m, on=keys, how="left_semi")

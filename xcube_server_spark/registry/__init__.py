@@ -1,0 +1,22 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) as a named query over the driver test
+tables, each paired with a DuckDB oracle SQL string.
+
+Contract (see ``__spark_entry__.py``): ``QUERIES[name](spark, sf_dir) ->
+DataFrame`` and ``ORACLES[name]`` is ANSI SQL DuckDB runs over the same
+parquet views. Column names/aliases match exactly; float aggregates are
+rounded identically on both sides so the driver's order-insensitive
+value-hash agrees.
+"""
+
+from __future__ import annotations
+
+from . import cube_analog, pipeline_queries, relational, streaming_queries
+
+QUERIES = {}
+ORACLES = {}
+for _m in (relational, cube_analog, pipeline_queries, streaming_queries):
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)
+
+__all__ = ["QUERIES", "ORACLES"]

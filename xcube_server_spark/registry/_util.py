@@ -1,0 +1,34 @@
+"""Shared table loader for registry queries.
+
+``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We flip the session to
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild the column as a
+microsecond timestamp with *integer* division (``ts div 1000`` — a double
+division would lose precision at 1.7e18 ns epochs). DuckDB keeps full ns; all
+query outputs are at second granularity or coarser, so results agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import rnd as _rnd
+
+_NANOS_TABLES = {"events"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANOS_TABLES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+rnd = _rnd

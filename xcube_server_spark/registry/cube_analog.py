@@ -1,0 +1,423 @@
+"""Cube-operator queries instantiated on the driver test tables
+(SURVEY.md §2.2 filters, §2.4 aggregations, §2.7 set ops, §2.8 scalars).
+
+The driver's correctness corpus has no cube table, so each cube operator is
+exercised on the star schema with identical semantics: ``events`` plays the
+cube (ts = time axis, user_id = space axis, value = variable), ``lineitem``
+supplies numeric ranges for bbox-style predicates. The same generic operator
+functions run on real cube tables in ``xcube_server_spark.cube``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import clip, iso_ts, mask_invalid, normalize_to_unit
+from ..operators.pyramid import decimate
+from ..operators.resample import resample_weekly_mean
+from ..operators.spatial import antimeridian_pred, bbox_filter
+from ..operators.timeseries import masked_mean_per_step
+
+
+from ._util import load_table as _t
+from ._util import rnd
+
+
+def ts_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + A1/A2 — time-range filter then per-step masked statistics.
+
+    ``value < 50 → NULL`` plays the reference's fill-value mask (F5); Spark's
+    NULL-skipping avg/count reproduce the numpy NaN semantics
+    (``xcube_server/controllers/time_series.py:188-203``) including
+    ``validCount: 0, average: NULL`` for all-masked steps.
+    """
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").between(
+            F.to_timestamp(F.lit("2024-01-05")), F.to_timestamp(F.lit("2024-01-20"))
+        )
+    )
+    masked = ev.withColumn(
+        "mvalue", mask_invalid(F.col("value"), valid_min=50.0)
+    ).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    out = masked_mean_per_step(masked, "day", "mvalue")
+    return out.select(
+        "day", "total_count", "valid_count", rnd("average", 4).alias("average")
+    )
+
+
+ORACLE_TS_RANGE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*)                 AS total_count,
+       count(CASE WHEN value >= 50 THEN 1 END) AS valid_count,
+       floor((avg(CASE WHEN value >= 50 THEN value END)) * 10000.0 + 0.5) / 10000.0 AS average
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-20'
+GROUP BY 1
+"""
+
+
+def ts_weekly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — weekly resample mean with pandas-``1W`` Sunday-anchored right
+    labels (``xcube_server/res/demo/resample_in_time.py:2-3``)."""
+    ev = _t(spark, sf_dir, "events")
+    out = resample_weekly_mean(ev, "ts", ["value"], extra_keys=["event_type"])
+    return out.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "event_type",
+        rnd("avg_value", 4).alias("avg_value"),
+    )
+
+
+ORACLE_WEEKLY = """
+SELECT strftime(CAST(ts AS DATE) + (7 - dayofweek(CAST(ts AS DATE))) % 7 * INTERVAL '1 day',
+                '%Y-%m-%d') AS week,
+       event_type,
+       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def cube_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — 2×2 decimating aggregation (pyramid downsampling,
+    ``xcube_server/im/utils.py:27-62``): halve the user axis, keep the day
+    axis, emit min/max/sum/mean of the 4-neighborhood."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    ).withColumn("user_blk", F.floor(F.col("user_id") / 2))
+    return (
+        ev.groupBy("user_blk", "day")
+        .agg(
+            rnd(F.min("value"), 2).alias("min_value"),
+            rnd(F.max("value"), 2).alias("max_value"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+            rnd(F.avg("value"), 4).alias("mean_value"),
+        )
+    )
+
+
+ORACLE_DECIMATE = """
+SELECT user_id // 2 AS user_blk, strftime(ts, '%Y-%m-%d') AS day,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS min_value,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS max_value,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value,
+       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def cube_decimate_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 'first' variant — stride-``::2`` decimation as pure filter+reindex
+    (``xcube_server/mldataset.py:296-304``): no shuffle at all."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = decimate(ev, idx_cols=["user_id"], value_cols=["value"], agg="first")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_DECIMATE_STRIDE = """
+SELECT user_id // 2 AS user_id, count(*) AS n_events, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+WHERE user_id % 2 = 0
+GROUP BY 1
+"""
+
+
+def bbox_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — bounding-box filter as two BETWEEN predicates (pushed to the
+    parquet scan), lineitem (quantity × price) as the coordinate plane."""
+    li = _t(spark, sf_dir, "lineitem")
+    boxed = bbox_filter(li, "l_quantity", "l_extendedprice", (10.0, 20000.0, 40.0, 80000.0))
+    return boxed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+ORACLE_BBOX = """
+SELECT l_returnflag, count(*) AS n_rows, floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty
+FROM lineitem
+WHERE l_quantity BETWEEN 10.0 AND 40.0
+  AND l_extendedprice BETWEEN 20000.0 AND 80000.0
+GROUP BY 1
+"""
+
+
+def antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — antimeridian-crossing bbox becomes a disjunction
+    (``xcube_server/utils.py:56-70``); value axis wraps at 400/100."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.filter(antimeridian_pred(F.col("value"), 400.0, 100.0))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+ORACLE_ANTIMERIDIAN = """
+SELECT event_type, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+WHERE value >= 400.0 OR value <= 100.0
+GROUP BY 1
+"""
+
+
+def minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — NULL-skipping global min/max for auto color range
+    (``xcube_server/controllers/tiles.py:83-84``), with an F5 validity mask."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "mqty", mask_invalid(F.col("l_quantity"), valid_min=5.0, valid_max=45.0)
+    )
+    return li.agg(
+        rnd(F.min("mqty"), 2).alias("vmin"),
+        rnd(F.max("mqty"), 2).alias("vmax"),
+        F.count("mqty").alias("valid_count"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+ORACLE_MINMAX = """
+SELECT floor((min(m)) * 100.0 + 0.5) / 100.0 AS vmin, floor((max(m)) * 100.0 + 0.5) / 100.0 AS vmax,
+       count(m) AS valid_count, count(*) AS total_count
+FROM (SELECT CASE WHEN l_quantity BETWEEN 5.0 AND 45.0 THEN l_quantity END AS m
+      FROM lineitem)
+"""
+
+
+def iso_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — ISO-8601 ``...Z`` second-resolution serialization
+    (``xcube_server/utils.py:86-97``) of per-type time extents."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        iso_ts(F.min("ts")).alias("first_ts"),
+        iso_ts(F.max("ts")).alias("last_ts"),
+    )
+
+
+ORACLE_ISO = """
+SELECT event_type,
+       strftime(date_trunc('second', min(ts)), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
+       strftime(date_trunc('second', max(ts)), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+FROM events
+GROUP BY 1
+"""
+
+
+def clip_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + F4 — clip to a style value-range then normalize to [0,1]
+    (``xcube_server/im/tiledimage.py:464-490``) — the color-mapping prologue
+    as pure column arithmetic (whole-stage-codegen'd)."""
+    ev = _t(spark, sf_dir, "events")
+    unit = normalize_to_unit(clip(F.col("value"), 50.0, 450.0), 50.0, 450.0)
+    return ev.groupBy("event_type").agg(
+        rnd(F.avg(unit), 6).alias("avg_unit"),
+        rnd(F.min(unit), 6).alias("min_unit"),
+        rnd(F.max(unit), 6).alias("max_unit"),
+    )
+
+
+ORACLE_CLIP = """
+SELECT event_type,
+       floor((avg((least(greatest(value, 50.0), 450.0) - 50.0) / 400.0)) * 1000000.0 + 0.5) / 1000000.0 AS avg_unit,
+       floor((min((least(greatest(value, 50.0), 450.0) - 50.0) / 400.0)) * 1000000.0 + 0.5) / 1000000.0 AS min_unit,
+       floor((max((least(greatest(value, 50.0), 450.0) - 50.0) / 400.0)) * 1000000.0 + 0.5) / 1000000.0 AS max_unit
+FROM events
+GROUP BY 1
+"""
+
+
+def union_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — place-group union: UNION ALL of tagged sub-collections
+    (``xcube_server/context.py:326-341``)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").withColumn(
+        "collection", F.lit("clicks")
+    )
+    b = ev.filter(F.col("value") > 400.0).withColumn(
+        "collection", F.lit("high_value")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("collection")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_UNION = """
+SELECT collection, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT 'clicks' AS collection, user_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'high_value' AS collection, user_id FROM events WHERE value > 400.0
+)
+GROUP BY 1
+"""
+
+
+def fanout_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — geometry-collection fan-out as a single job: broadcast the
+    (tiny) geometry list and range-join it to the fact table, then group by
+    geometry id (``xcube_server/controllers/time_series.py:208-219`` done
+    without N sequential jobs)."""
+    ev = _t(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [("g0", 0.0, 100.0), ("g1", 100.0, 250.0), ("g2", 250.0, 500.0)],
+        "geom_id string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(ranges),
+            (ev.value >= ranges.lo) & (ev.value < ranges.hi),
+        )
+        .groupBy("geom_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+ORACLE_FANOUT = """
+SELECT geom_id, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+JOIN (VALUES ('g0', 0.0, 100.0), ('g1', 100.0, 250.0), ('g2', 250.0, 500.0))
+     AS ranges(geom_id, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY 1
+"""
+
+
+def interval_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — bounds computation: per-group coordinate extent widened by half
+    a resolution step (``xcube_server/utils.py:19-53``)."""
+    cust = _t(spark, sf_dir, "customer")
+    res = 0.5
+    return cust.groupBy("c_nationkey").agg(
+        rnd(F.min("c_acctbal") - res / 2, 4).alias("lo"),
+        rnd(F.max("c_acctbal") + res / 2, 4).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_BOUNDS = """
+SELECT c_nationkey,
+       floor((min(c_acctbal) - 0.25) * 10000.0 + 0.5) / 10000.0 AS lo,
+       floor((max(c_acctbal) + 0.25) * 10000.0 + 0.5) / 10000.0 AS hi,
+       count(*) AS n
+FROM customer
+GROUP BY 1
+"""
+
+
+def nearest_dim_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — ``'current'`` extra-dim indexer = latest slice per group
+    (``xcube_server/context.py:437-438``): deterministic last event per
+    type via ranking window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "event_id",
+            iso_ts(F.col("ts")).alias("ts_iso"),
+            rnd("value", 2).alias("value"),
+        )
+    )
+
+
+ORACLE_NEAREST_DIM = """
+SELECT event_type, event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+       floor((value) * 100.0 + 0.5) / 100.0 AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def nearest_point_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — nearest-neighbor select: per event_type, the event closest in
+    time to a probe timestamp (xarray ``sel(method='nearest')``,
+    ``xcube_server/controllers/time_series.py:130``)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = "2024-01-15 12:00:00"
+    delta = F.abs(
+        F.unix_timestamp("ts") - F.unix_timestamp(F.to_timestamp(F.lit(probe)))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        delta.asc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "event_id",
+            iso_ts(F.col("ts")).alias("ts_iso"),
+        )
+    )
+
+
+ORACLE_NEAREST_POINT = """
+SELECT event_type, event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY abs(date_diff('second', TIMESTAMP '2024-01-15 12:00:00', date_trunc('second', ts))) ASC,
+               ts ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "ts_range_agg": ts_range_agg,
+    "ts_weekly_resample": ts_weekly_resample,
+    "cube_decimate": cube_decimate,
+    "cube_decimate_stride": cube_decimate_stride,
+    "bbox_prune": bbox_prune,
+    "antimeridian": antimeridian,
+    "minmax_range": minmax_range,
+    "iso_time_format": iso_time_format,
+    "clip_normalize": clip_normalize,
+    "union_groups": union_groups,
+    "fanout_ranges": fanout_ranges,
+    "interval_bounds": interval_bounds,
+    "nearest_dim_select": nearest_dim_select,
+    "nearest_point_select": nearest_point_select,
+}
+
+ORACLES = {
+    "ts_range_agg": ORACLE_TS_RANGE,
+    "ts_weekly_resample": ORACLE_WEEKLY,
+    "cube_decimate": ORACLE_DECIMATE,
+    "cube_decimate_stride": ORACLE_DECIMATE_STRIDE,
+    "bbox_prune": ORACLE_BBOX,
+    "antimeridian": ORACLE_ANTIMERIDIAN,
+    "minmax_range": ORACLE_MINMAX,
+    "iso_time_format": ORACLE_ISO,
+    "clip_normalize": ORACLE_CLIP,
+    "union_groups": ORACLE_UNION,
+    "fanout_ranges": ORACLE_FANOUT,
+    "interval_bounds": ORACLE_BOUNDS,
+    "nearest_dim_select": ORACLE_NEAREST_DIM,
+    "nearest_point_select": ORACLE_NEAREST_POINT,
+}

@@ -1,0 +1,668 @@
+"""Training-data-pipeline operators (BASELINE.json north-star extensions):
+deduplication, similarity search, text analysis, multimodal plumbing.
+
+These are first-class engine operators for 100 TB corpus curation. Each has a
+DuckDB oracle; deterministic hashing uses md5 (identical lowercase-hex output
+in Spark and DuckDB) so signatures agree bit-for-bit across engines.
+
+Scale notes per family:
+- exact/simhash dedup: one groupBy on the fingerprint — a single shuffle of
+  (hash, id) pairs, never of document bodies.
+- minhash-LSH: shingle explode is map-side only; the LSH band join shuffles
+  (band, id) pairs — candidate pairs are verified afterwards, so the
+  quadratic all-pairs comparison never materializes.
+- similarity search: probe broadcast against the corpus (no shuffle); the
+  LSH-bucketed variant prunes the scan to one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+from ._util import load_table as _t
+from ._util import rnd
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint → group → representative = min(doc_id).
+
+    At 100 TB the shuffle carries only (16-byte hash, id) pairs; bodies stay
+    columnar in place. Duplicate groups (n_docs > 1) would be dropped by a
+    later anti-join against non-representatives.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5("text"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS rep_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: lowercase + whitespace-collapse before
+    fingerprinting (catches trivial near-dups ahead of MinHash)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    return docs.withColumn("fp", norm).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
+ORACLE_DEDUP_NORM = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS rep_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: 5-char shingles → 4 md5 minhashes
+    → 2 bands of 2 → docs sharing a band bucket become candidate pairs.
+
+    The Spark plan: shingle explode (map-side), per-doc min-agg (one shuffle
+    of (doc, shingle-hash)), band self-join on the *band value* (shuffle of
+    (band, id) only). Candidates are a tiny fraction of n²; a downstream
+    verifier (``dedup_ngram_jaccard``) confirms them.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-4, 1)),"
+                    " i -> substring(text, i, 5))"
+                )
+            )
+        ).alias("sh"),
+    )
+    mh = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"m{j}")
+            for j in range(4)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.md5(F.concat("m0", "m1")).alias("b0"),
+        F.md5(F.concat("m2", "m3")).alias("b1"),
+    ).selectExpr("doc_id", "stack(2, 'b0', b0, 'b1', b1) AS (band_id, band)")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+ORACLE_MINHASH = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text)-4, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 5)))) AS sh
+  FROM documents
+),
+mh AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+         min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+_HEX = "0123456789abcdef"
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: 8-bit signature from token md5s — per bit, sum ±1 votes
+    over tokens, sign → bit. Docs sharing a signature are near-dup buckets.
+
+    One token explode (map-side) + one groupBy(doc) + one groupBy(simhash):
+    shuffles carry only ids and 8 small integers.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vote = [
+        F.sum(
+            (
+                (
+                    F.expr(
+                        f"instr('{_HEX}', substring(md5(tok), {i + 1}, 1)) - 1"
+                    )
+                    % 2
+                )
+                * 2
+                - 1
+            )
+        ).alias(f"s{i}")
+        for i in range(8)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*vote)
+    simhash = None
+    for i in range(8):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return (
+        per_doc.withColumn("simhash", simhash)
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+    )
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) % 2) * 2 - 1) AS s0,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) % 2) * 2 - 1) AS s1,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) % 2) * 2 - 1) AS s2,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) % 2) * 2 - 1) AS s3,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) % 2) * 2 - 1) AS s4,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) % 2) * 2 - 1) AS s5,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) % 2) * 2 - 1) AS s6,
+         sum(((instr('0123456789abcdef', substring(md5(tok), 8, 1)) - 1) % 2) * 2 - 1) AS s7
+  FROM toks WHERE tok <> '' GROUP BY doc_id
+)
+SELECT (CASE WHEN s0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN s1 >= 0 THEN 2 ELSE 0 END)
+     + (CASE WHEN s2 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN s3 >= 0 THEN 8 ELSE 0 END)
+     + (CASE WHEN s4 >= 0 THEN 16 ELSE 0 END) + (CASE WHEN s5 >= 0 THEN 32 ELSE 0 END)
+     + (CASE WHEN s6 >= 0 THEN 64 ELSE 0 END) + (CASE WHEN s7 >= 0 THEN 128 ELSE 0 END)
+       AS simhash,
+       count(*) AS n_docs, min(doc_id) AS rep_doc
+FROM votes
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verifier on a blocked subset (source = 'src0'):
+    distinct 3-gram sets, pairwise |∩| / |∪| ≥ 0.3.
+
+    Production path: LSH candidates (``dedup_minhash_lsh``) feed this exact
+    verifier — the all-pairs join here is deliberately restricted to one
+    blocking key so it stays linear-ish in corpus size.
+    """
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", "text")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(broadcast(sa), "doc_a")
+        .join(broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.3).select("doc_a", "doc_b", "jaccard")
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text)-2, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 3)))) AS g
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with(embedding, p_embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+)
+_NORM = (
+    "aggregate({col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+)
+
+
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: probe vector broadcast against the corpus.
+
+    No shuffle: each task computes dot products for its slice; TakeOrdered
+    merges per-partition heaps. This is the exact baseline an IVF/LSH path
+    (``embed_ann_lsh``) approximates.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p_embedding")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("na", F.expr(_NORM.format(col="embedding")))
+        .withColumn("nb", F.expr(_NORM.format(col="p_embedding")))
+        .withColumn(
+            "cos", rnd(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 5)
+        )
+        .select("vec_id", "label", "cos")
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, e.label,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) AS dot,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) AS nb
+  FROM embeddings e
+  CROSS JOIN p
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+  WHERE e.vec_id <> 0
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, floor((dot / sqrt(na * nb)) * 100000.0 + 0.5) / 100000.0 AS cos
+FROM d
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN: 4-bit sign signature on fixed dimensions
+    partitions the corpus; the probe searches only its own bucket.
+
+    At scale the bucket id becomes the table's partition key, so a probe
+    reads one partition instead of the full corpus (IVF-style pruning).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def bucket(col: str):
+        bits = []
+        for k, dim in enumerate((1, 17, 33, 49)):
+            bits.append(
+                F.when(F.element_at(F.col(col), dim) >= 0, F.lit(2**k)).otherwise(
+                    F.lit(0)
+                )
+            )
+        out = bits[0]
+        for bb in bits[1:]:
+            out = out + bb
+        return out
+
+    with_bucket = emb.withColumn("bucket", bucket("embedding"))
+    probe = with_bucket.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p_embedding"), F.col("bucket").alias("p_bucket")
+    )
+    return (
+        with_bucket.filter(F.col("vec_id") != 0)
+        .join(broadcast(probe), F.col("bucket") == F.col("p_bucket"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("na", F.expr(_NORM.format(col="embedding")))
+        .withColumn("nb", F.expr(_NORM.format(col="p_embedding")))
+        .withColumn(
+            "cos", rnd(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 5)
+        )
+        .select("vec_id", "bucket", "cos")
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+ORACLE_ANN_LSH = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[17] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[33] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[49] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+p AS (SELECT embedding AS pe, bucket AS p_bucket FROM b WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, e.bucket,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) AS dot,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) AS nb
+  FROM b e
+  JOIN p ON e.bucket = p.p_bucket
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+  WHERE e.vec_id <> 0
+  GROUP BY 1, 2
+)
+SELECT vec_id, bucket, floor((dot / sqrt(na * nb)) * 100000.0 + 0.5) / 100000.0 AS cos
+FROM d
+ORDER BY cos DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: label-blocked pairwise cosine ≥ 0.3.
+
+    Blocking bounds the pair count to Σ per-label n² — with a real clustering
+    key this is the standard semantic-dedup sweep; the threshold flags pairs
+    for removal.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("p_embedding"),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b_label"))
+            & (F.col("a.vec_id") < F.col("b_vec_id")),
+        )
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("na", F.expr(_NORM.format(col="embedding")))
+        .withColumn("nb", F.expr(_NORM.format(col="p_embedding")))
+        .withColumn(
+            "cos", rnd(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 5)
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            F.col("label"),
+            "cos",
+        )
+    )
+
+
+ORACLE_NEARDUP_COSINE = """
+WITH d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY 1, 2, 3
+)
+SELECT vec_a, vec_b, label, floor((dot / sqrt(na * nb)) * 100000.0 + 0.5) / 100000.0 AS cos
+FROM d
+WHERE floor((dot / sqrt(na * nb)) * 100000.0 + 0.5) / 100000.0 >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / word-count / stopword-ratio / mean word
+    length per source — the standard cheap pre-filters of a corpus pipeline,
+    all whole-stage-codegen column expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim("text"), " "))
+    stop = F.regexp_count(
+        F.col("text"), F.lit(r"\b(the|a|of|and|to)\b")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        rnd(F.avg(words), 4).alias("avg_words"),
+        rnd(F.avg(stop / words), 6).alias("avg_stop_ratio"),
+        rnd(F.avg(F.col("n_chars") / words), 4).alias("avg_word_len"),
+    )
+
+
+ORACLE_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT source, n_chars,
+         len(string_split(trim(text), ' ')) AS words,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS stop
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0          AS avg_chars,
+       floor((avg(words)) * 10000.0 + 0.5) / 10000.0            AS avg_words,
+       floor((avg(stop / words)) * 1000000.0 + 0.5) / 1000000.0     AS avg_stop_ratio,
+       floor((avg(n_chars / words)) * 10000.0 + 0.5) / 10000.0  AS avg_word_len
+FROM f
+GROUP BY 1
+"""
+
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of)\b",
+    "es": r"\b(la|el|de)\b",
+    "de": r"\b(der|die|und)\b",
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token frequency vote with deterministic
+    alphabetical tiebreak, evaluated as a confusion matrix against the
+    labeled ``lang`` column."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs
+    for code, pat in _LANG_MARKERS.items():
+        scored = scored.withColumn(
+            f"s_{code}", F.regexp_count(F.col("text"), F.lit(pat))
+        )
+    best = F.greatest(*[F.col(f"s_{c}") for c in _LANG_MARKERS])
+    pred = F.when(F.col("s_de") == best, F.lit("de"))
+    pred = pred.when(F.col("s_en") == best, F.lit("en"))
+    pred = pred.otherwise(F.lit("es"))
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_LANGID = r"""
+WITH s AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\b(the|and|of)\b'))  AS s_en,
+         len(regexp_extract_all(text, '\b(la|el|de)\b'))    AS s_es,
+         len(regexp_extract_all(text, '\b(der|die|und)\b')) AS s_de
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+            WHEN s_en >= s_es THEN 'en'
+            ELSE 'es' END AS predicted,
+       count(*) AS n_docs
+FROM s
+GROUP BY 1, 2
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens
+    (letter runs / digit runs / single punctuation) per language."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), " "))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        rnd(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+    )
+
+
+ORACLE_TOKENS = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(trim(text), ' ')))  AS ws_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+       floor((avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))) * 10000.0 + 0.5) / 10000.0 AS avg_bpe_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: word-sorted md5 ("bag of words" canonical
+    form — robust to word order) per source, with distinct-fingerprint
+    counts: the shuffle-light signal for near-dup rates per origin."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.array_join(F.array_sort(F.split(F.trim("text"), " ")), " ")
+    )
+    return docs.withColumn("fp", canon).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')))
+         AS n_unique
+FROM documents
+GROUP BY 1
+"""
+
+
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: materialize an opaque binary payload
+    column (here: utf-8 encoded text standing in for image/audio bytes) with
+    typed metadata, and aggregate byte sizes per source.
+
+    The decode/feature-extract stage for real media runs as mapInPandas over
+    this same (binary, metadata) schema — see
+    ``xcube_server_spark.pipeline.multimodal``.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.withColumn("payload", payload).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT source, count(*) AS n_assets,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_normalized": dedup_normalized,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "embed_cosine_topk": embed_cosine_topk,
+    "embed_ann_lsh": embed_ann_lsh,
+    "embed_neardup_cosine": embed_neardup_cosine,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_bytes": multimodal_bytes,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_normalized": ORACLE_DEDUP_NORM,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "embed_cosine_topk": ORACLE_COSINE_TOPK,
+    "embed_ann_lsh": ORACLE_ANN_LSH,
+    "embed_neardup_cosine": ORACLE_NEARDUP_COSINE,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_langid": ORACLE_LANGID,
+    "text_tokens": ORACLE_TOKENS,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "multimodal_bytes": ORACLE_MULTIMODAL,
+}

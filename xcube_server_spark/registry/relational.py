@@ -1,0 +1,420 @@
+"""Relational query surface (SURVEY.md §2.3 joins / §2.4 aggregations /
+§2.5 windows / §2.6 top-k / §2.7 set ops).
+
+The reference has no general join/sort/window operators — Spark SQL provides
+them natively (SURVEY §2.3 note). These queries prove that surface on the
+driver's TPC-H-ish star schema, each with an explicit scale rationale.
+
+Conventions: money sums rounded to 2 decimals, averages to 4, so the Spark
+and DuckDB float results hash identically; date outputs formatted as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.nearest import asof_join
+
+
+from ._util import load_table as _t
+from ._util import rnd
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy multi-aggregate.
+
+    Scale: map-side partial aggregation collapses each scan task to ≤|groups|
+    rows before the single tiny shuffle; the shipdate filter is pushed into
+    the parquet scan (row-group pruning on min/max stats).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            rnd(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                        AS sum_qty,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                   AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0                AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0  AS sum_charge,
+       floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                        AS avg_qty,
+       floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                                   AS avg_price,
+       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-10.
+
+    Scale: customer (filtered) is the small side — broadcast to both joins so
+    only lineitem↔orders shuffles on orderkey; top-k is a TakeOrdered, no
+    global sort.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1996-01-01"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                        AS orderdate,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0        AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (region→nation→{customer,supplier}).
+
+    Scale: region/nation/supplier/customer are dims → broadcast chain; only
+    the orders↔lineitem edge shuffles. Catalyst reorders the join tree; AQE
+    re-plans if a filtered dim turns out tiny.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having a high-quantity lineitem.
+
+    The general form of the reference's mask semi-join J1
+    (``xcube_server/utils.py:73-83`` applied at
+    ``controllers/time_series.py:182``): filter one relation by key-existence
+    in another without duplicating rows.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    hot = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_SEMI = """
+SELECT o_orderstatus, count(*) AS n_orders, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderstatus
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers, floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — as-of join: for each 'error' event, the most recent prior
+    'signup' event of the same user; per-user error counts + mean gap.
+
+    Spark side uses the scalable union+window implementation
+    (:func:`xcube_server_spark.operators.nearest.asof_join` — ONE shuffle on
+    user_id); the oracle uses the O(N·M) correlated-subquery form DuckDB can
+    afford at sf0.01. Same semantics, different physical plan — exactly the
+    point.
+    """
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    joined = asof_join(
+        errors, signups, on="user_id", left_time="ts", right_time="s_ts",
+        value_cols=["s_ts"],
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("asof_s_ts")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count("asof_s_ts").alias("n_matched"),
+        rnd(F.avg(gap), 4).alias("avg_gap_sec"),
+    )
+
+
+ORACLE_ASOF = """
+WITH e AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+m AS (
+  SELECT e.user_id, e.event_id, e.ts,
+         (SELECT max(s.ts) FROM events s
+          WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts) AS s_ts
+  FROM e
+)
+SELECT user_id,
+       count(*)                                    AS n_errors,
+       count(s_ts)                                 AS n_matched,
+       floor((avg(date_diff('second', s_ts, ts))) * 10000.0 + 0.5) / 10000.0 AS avg_gap_sec
+FROM m
+GROUP BY user_id
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct active users and event kinds per day."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)   AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       count(*)                  AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate: (year, status) → (year) → ()."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       count(*) AS n_orders, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM orders
+GROUP BY ROLLUP (order_year, o_orderstatus)
+"""
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer by price (deterministic
+    tiebreak on orderkey). §2.5 note: the reference has no analytic windows —
+    Spark provides them; partitionBy(custkey) bounds state per key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "rk",
+            "o_orderkey",
+            rnd("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, rk, o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window: cumulative spend per user over the event stream.
+
+    Identical accumulation order on both sides (ts, event_id) keeps floats
+    bit-comparable after rounding.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        rnd(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+         AS running_value
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-20 (ORDER BY + LIMIT → TakeOrdered: per-
+    partition heaps, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            rnd("o_totalprice", 2).alias("price"),
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS price
+FROM orders
+ORDER BY price DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_asof": join_asof,
+    "agg_distinct": agg_distinct,
+    "agg_rollup": agg_rollup,
+    "window_rank": window_rank,
+    "window_running": window_running,
+    "topk_global": topk_global,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier": ORACLE_Q5,
+    "join_semi": ORACLE_SEMI,
+    "join_anti": ORACLE_ANTI,
+    "join_asof": ORACLE_ASOF,
+    "agg_distinct": ORACLE_DISTINCT,
+    "agg_rollup": ORACLE_ROLLUP,
+    "window_rank": ORACLE_WINDOW_RANK,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "topk_global": ORACLE_TOPK,
+}

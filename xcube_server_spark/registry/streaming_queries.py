@@ -1,0 +1,76 @@
+"""Gate queries for the streaming operators (batch form of the shared
+logical plans in ``xcube_server_spark.streaming.events``; the streaming form
+is exercised in ``tests/test_streaming.py`` with availableNow triggers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.events import sessionize, tumbling_counts
+
+
+from ._util import load_table, rnd
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h window counts — same plan runs on readStream with a
+    watermark (``tumbling_counts_stream``)."""
+    return tumbling_counts(_events(spark, sf_dir), hours=6)
+
+
+ORACLE_TUMBLING = """
+SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS win_id,
+       event_type, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle gap) — per-user session stats."""
+    return sessionize(_events(spark, sf_dir), gap_min=30)
+
+
+ORACLE_SESSIONIZE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM tagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         date_diff('second', date_trunc('second', min(ts)),
+                   date_trunc('second', max(ts))) AS duration_sec
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       floor((avg(n_events)) * 10000.0 + 0.5) / 10000.0     AS avg_events_per_session,
+       floor((avg(duration_sec)) * 10000.0 + 0.5) / 10000.0 AS avg_duration_sec
+FROM per_session
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sessionize": stream_sessionize,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": ORACLE_TUMBLING,
+    "stream_sessionize": ORACLE_SESSIONIZE,
+}

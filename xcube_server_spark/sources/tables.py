@@ -1,0 +1,58 @@
+"""Parquet star-schema source (driver test data).
+
+The reference's dataset registry lazily opens each configured store once and
+memoizes it behind a lock (``xcube_server/context.py:201-287``). Our analog is
+a parquet catalog: each table is registered as a temp view exactly once per
+(session, sf_dir); Catalyst then handles column pruning and filter pushdown
+into the parquet scan for every downstream query.
+
+100 TB note: these are plain ``spark.read.parquet`` scans — on a cluster the
+same code reads ``s3a://`` paths with partition discovery; nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that are always broadcast-join candidates.
+DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every star-schema table under ``sf_dir`` as a DataFrame."""
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TABLES
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views (idempotent per session+dir).
+
+    Uses a session-local marker so repeated query calls against the same
+    ``sf_dir`` don't re-plan the reads — mirroring the reference's memoized
+    dataset opens (``xcube_server/context.py:201-205``).
+    """
+    marker = f"xss.registered.{sf_dir}"
+    dfs = load_tables(spark, sf_dir)
+    if spark.conf.get(marker, None) != "1":
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+        spark.conf.set(marker, "1")
+    return dfs

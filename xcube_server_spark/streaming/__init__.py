@@ -1,0 +1,3 @@
+from .events import sessionize, tumbling_counts
+
+__all__ = ["sessionize", "tumbling_counts"]

@@ -1,0 +1,106 @@
+"""Streaming operators (SURVEY.md §2.10).
+
+The reference has no streaming — its only dynamic behaviors are config
+hot-reload and "'current' = newest slice". Our engine adds the Structured
+Streaming surface the 100 TB north star needs: cube/event append streams,
+tumbling-window aggregation with watermarks, and gap-based sessionization.
+
+Design rule: every transform here is a *logical plan function* that works on
+both a batch DataFrame (``spark.read``) and a streaming one
+(``spark.readStream``) — the batch form is what the DuckDB oracle checks, the
+streaming form is covered by tests with ``trigger(availableNow=True)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import rnd
+from pyspark.sql.window import Window
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_counts(events: DataFrame, hours: int = 6) -> DataFrame:
+    """Tumbling-window counts per event type.
+
+    Streaming-safe: uses ``F.window`` (group-window), which with a watermark
+    emits finalized windows; on a batch frame it is a plain groupBy. The
+    window id is also emitted as a plain integer so results are comparable
+    across engines.
+    """
+    win = F.window("ts", f"{hours} hours")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("window.start")) / (hours * 3600))
+            .cast("long")
+            .alias("win_id"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def tumbling_counts_stream(events_stream: DataFrame, hours: int = 6) -> DataFrame:
+    """Streaming form: watermark bounds state; late rows beyond 1h dropped."""
+    return tumbling_counts(events_stream.withWatermark("ts", "1 hour"), hours)
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_min`` minutes. Returns per-user session stats.
+
+    Batch form: lag + cumulative-sum session ids — the classic two-window
+    plan (single shuffle on user_id; both windows share the partitioning so
+    Spark plans ONE exchange + sort).
+
+    Streaming form: ``F.session_window`` (see :func:`sessionize_stream`)
+    gives the same grouping with state cleanup by watermark.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    tagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_min * 60), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = tagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        rnd(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        rnd(F.avg("duration_sec"), 4).alias("avg_duration_sec"),
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — native stateful
+    session windows with watermark-driven cleanup (no custom state UDF)."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
