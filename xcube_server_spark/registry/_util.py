@@ -21,6 +21,11 @@ _NANOS_TABLES = {"events"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own SparkSession; timestamp rendering
+    # (date_format/unix_timestamp on TIMESTAMP_LTZ) follows the session TZ,
+    # while the DuckDB oracle is TZ-naive. Pin UTC here — the reference
+    # serializes strictly UTC too (xcube_server/utils.py:86-97).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name in _NANOS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
