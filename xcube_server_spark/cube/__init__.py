@@ -1,0 +1,4 @@
+from .catalog import CubeCatalog, DatasetMeta
+from .grid import GridMeta, TileGridMeta
+
+__all__ = ["CubeCatalog", "DatasetMeta", "GridMeta", "TileGridMeta"]

@@ -1,0 +1,221 @@
+"""Cube catalog: the engine's analog of the reference's ``ServiceContext``
+dataset registry (``xcube_server/context.py:57-205``).
+
+Holds per-dataset metadata (grid, tile grid, variable list, styles) and the
+parquet paths of the LOD tables; memoizes DataFrames per (dataset, level)
+the way the reference memoizes opened stores behind a double-checked lock
+(``xcube_server/context.py:201-205``) — here a plain dict is enough because
+Spark DataFrames are immutable plans, not stateful handles.
+
+Config comes from the same YAML shape the reference uses
+(``xcube_server/res/demo/config.yml``; FIXTURES.md F-6): ``Datasets`` with
+``Identifier / Path / Style``, ``Styles`` with per-variable ``ColorBar`` +
+``ValueRange``, ``PlaceGroups``. Hot-reload (S11) is a cheap re-scan because
+registration only records metadata — no data is touched until a query runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .grid import GridMeta, TileGridMeta
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+@dataclass
+class StyleMeta:
+    color_bar: str = "viridis"
+    value_range: tuple[float, float] = (0.0, 1.0)
+
+
+@dataclass
+class DatasetMeta:
+    identifier: str
+    title: str
+    base_path: str
+    grid: GridMeta
+    tile_grid: TileGridMeta
+    variables: list[str]
+    styles: dict[str, StyleMeta] = field(default_factory=dict)
+    computed: bool = False
+    function: str | None = None
+    input_datasets: list[str] = field(default_factory=list)
+    input_params: dict = field(default_factory=dict)
+
+
+class CubeCatalog:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.datasets: dict[str, DatasetMeta] = {}
+        self._df_cache: dict[tuple[str, int], DataFrame] = {}
+
+    # -- registration -------------------------------------------------------
+
+    def register(self, meta: DatasetMeta) -> None:
+        self.datasets[meta.identifier] = meta
+
+    def register_written_cube(
+        self,
+        identifier: str,
+        base_path: str,
+        grid: GridMeta,
+        tile_grid: TileGridMeta,
+        variables: list[str],
+        title: str | None = None,
+        styles: dict[str, StyleMeta] | None = None,
+    ) -> DatasetMeta:
+        meta = DatasetMeta(
+            identifier=identifier,
+            title=title or identifier,
+            base_path=base_path,
+            grid=grid,
+            tile_grid=tile_grid,
+            variables=variables,
+            styles=styles or {},
+        )
+        self.register(meta)
+        return meta
+
+    def save_meta(self, meta: DatasetMeta) -> None:
+        """Persist catalog metadata next to the cube tables (so a new session
+        can re-register without re-deriving)."""
+        doc = {
+            "identifier": meta.identifier,
+            "title": meta.title,
+            "variables": meta.variables,
+            "grid": {
+                "width": meta.grid.width,
+                "height": meta.grid.height,
+                "extent": list(meta.grid.extent),
+                "inv_y": meta.grid.inv_y,
+                "times": list(meta.grid.times),
+            },
+            "tile_grid": {
+                "num_levels": meta.tile_grid.num_levels,
+                "tile_width": meta.tile_grid.tile_width,
+                "tile_height": meta.tile_grid.tile_height,
+                "num_level_zero_tiles_x": meta.tile_grid.num_level_zero_tiles_x,
+                "num_level_zero_tiles_y": meta.tile_grid.num_level_zero_tiles_y,
+                "geo_extent": list(meta.tile_grid.geo_extent),
+                "inv_y": meta.tile_grid.inv_y,
+            },
+            "styles": {
+                v: {"color_bar": s.color_bar, "value_range": list(s.value_range)}
+                for v, s in meta.styles.items()
+            },
+        }
+        with open(os.path.join(meta.base_path, "catalog.json"), "w") as f:
+            json.dump(doc, f, indent=2)
+
+    def load_meta(self, identifier: str, base_path: str) -> DatasetMeta:
+        with open(os.path.join(base_path, "catalog.json")) as f:
+            doc = json.load(f)
+        grid = GridMeta(
+            width=doc["grid"]["width"],
+            height=doc["grid"]["height"],
+            extent=tuple(doc["grid"]["extent"]),
+            inv_y=doc["grid"]["inv_y"],
+            times=tuple(doc["grid"]["times"]),
+        )
+        tgd = doc["tile_grid"]
+        tg = TileGridMeta(
+            num_levels=tgd["num_levels"],
+            tile_width=tgd["tile_width"],
+            tile_height=tgd["tile_height"],
+            num_level_zero_tiles_x=tgd["num_level_zero_tiles_x"],
+            num_level_zero_tiles_y=tgd["num_level_zero_tiles_y"],
+            geo_extent=tuple(tgd["geo_extent"]),
+            inv_y=tgd["inv_y"],
+        )
+        styles = {
+            v: StyleMeta(s["color_bar"], tuple(s["value_range"]))
+            for v, s in doc.get("styles", {}).items()
+        }
+        meta = DatasetMeta(
+            identifier=identifier,
+            title=doc.get("title", identifier),
+            base_path=base_path,
+            grid=grid,
+            tile_grid=tg,
+            variables=doc["variables"],
+            styles=styles,
+        )
+        self.register(meta)
+        return meta
+
+    # -- access -------------------------------------------------------------
+
+    def cube(self, identifier: str, level: int = 0) -> DataFrame:
+        """DataFrame of one LOD level (P2 level projection,
+        ``xcube_server/context.py:153-158``)."""
+        key = (identifier, level)
+        if key not in self._df_cache:
+            meta = self.datasets[identifier]
+            if meta.computed:
+                from .computed import apply_computed  # local import, no cycle
+
+                self._df_cache[key] = apply_computed(self, meta, level)
+            else:
+                self._df_cache[key] = self.spark.read.parquet(
+                    os.path.join(meta.base_path, f"l{level}")
+                )
+        return self._df_cache[key]
+
+    def cube_for_zoom(self, identifier: str, z: int) -> tuple[DataFrame, int]:
+        meta = self.datasets[identifier]
+        level = meta.tile_grid.level_for_zoom(z)
+        return self.cube(identifier, level), level
+
+    def coords(self, identifier: str, dim: str) -> DataFrame:
+        meta = self.datasets[identifier]
+        return self.spark.read.parquet(
+            os.path.join(meta.base_path, f"coords_{dim}")
+        )
+
+    # -- config loading (F-6) ------------------------------------------------
+
+    def load_config(self, path: str) -> None:
+        """Register datasets from a reference-shaped YAML config."""
+        if yaml is None:  # pragma: no cover
+            raise RuntimeError("pyyaml not available")
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        styles_cfg: dict[str, dict[str, StyleMeta]] = {}
+        for style in cfg.get("Styles", []):
+            mappings = {}
+            for var, m in (style.get("ColorMappings") or {}).items():
+                mappings[var] = StyleMeta(
+                    color_bar=m.get("ColorBar", "viridis"),
+                    value_range=tuple(m.get("ValueRange", (0.0, 1.0))),
+                )
+            styles_cfg[style["Identifier"]] = mappings
+        for ds in cfg.get("Datasets", []):
+            ident = ds["Identifier"]
+            if ds.get("FileSystem") == "memory":
+                base = self.datasets[ds["InputDatasets"][0]]
+                meta = DatasetMeta(
+                    identifier=ident,
+                    title=ds.get("Title", ident),
+                    base_path="",
+                    grid=base.grid,
+                    tile_grid=base.tile_grid,
+                    variables=base.variables,
+                    styles=styles_cfg.get(ds.get("Style", ""), {}),
+                    computed=True,
+                    function=ds["Function"],
+                    input_datasets=list(ds["InputDatasets"]),
+                    input_params=dict(ds.get("InputParameters", {})),
+                )
+                self.register(meta)
+            else:
+                meta = self.load_meta(ident, ds["Path"])
+                meta.title = ds.get("Title", ident)
+                meta.styles = styles_cfg.get(ds.get("Style", ""), meta.styles)

@@ -1,0 +1,82 @@
+"""Computed (derived) cubes (SURVEY.md §2.1 S6, §2.11 X1; M5).
+
+Reference: ``FileSystem: memory`` datasets ``exec()`` a user Python script
+and call its ``Function`` with ``InputDatasets`` + ``InputParameters``
+(``xcube_server/mldataset.py:308-382``; the raw ``exec`` at ``:333``).
+
+Deliberate divergence: no ``exec``. Transforms are *registered named
+functions* (DataFrame-in/DataFrame-out) — the sandboxing the reference
+never had, and the shape Spark wants: a computed cube is just another
+lazy plan, so Catalyst optimizes straight through it (filter pushdown
+into the inputs works across the transform boundary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import weekly_sunday_label
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import CubeCatalog, DatasetMeta
+
+Transform = Callable[..., DataFrame]
+
+_REGISTRY: dict[str, Transform] = {}
+
+
+def register_transform(name: str, fn: Transform) -> None:
+    _REGISTRY[name] = fn
+
+
+def get_transform(name: str) -> Transform:
+    return _REGISTRY[name]
+
+
+def apply_computed(catalog: "CubeCatalog", meta: "DatasetMeta", level: int) -> DataFrame:
+    """Resolve a computed dataset: load inputs at the same level and apply
+    the registered transform (level-aligned inputs, parity with
+    ``xcube_server/mldataset.py:369-374``)."""
+    fn = get_transform(meta.function)
+    inputs = [catalog.cube(ds_id, level) for ds_id in meta.input_datasets]
+    return fn(*inputs, **meta.input_params)
+
+
+def resample_in_time(cube: DataFrame, period: str = "1W") -> DataFrame:
+    """The reference's demo computed-cube script
+    (``xcube_server/res/demo/resample_in_time.py:2-3``):
+    ``ds.resample(time=period).mean(dim='time')`` for every variable.
+
+    Spark form: groupBy(weekly label, cell) + avg of every variable column —
+    pandas ``1W`` Sunday-anchored right labels (golden dates
+    ``2017-01-22/29, 2017-02-05`` — ``test/controllers/test_time_series.py:138``).
+    Only '1W' is needed by the reference fixtures; other periods map to
+    different label expressions.
+    """
+    if period != "1W":
+        raise NotImplementedError("only the reference's 1W period is implemented")
+    dims = {"time_idx", "time", "lat_idx", "lon_idx", "lat", "lon"}
+    var_cols = [c for c in cube.columns if c not in dims]
+    label = weekly_sunday_label(F.col("time")).alias("week")
+    out = cube.groupBy(label, "lat_idx", "lon_idx", "lat", "lon").agg(
+        *[F.avg(c).cast("float").alias(c) for c in var_cols]
+    )
+    # Re-expose the week label as the cube's time axis (midnight timestamp)
+    # and a dense time_idx for tile routing.
+    weeks = out.select("week").distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("week")
+    week_idx = weeks.withColumn("time_idx", F.row_number().over(w) - 1)
+    return (
+        out.join(F.broadcast(week_idx), "week")
+        .withColumn("time", F.col("week").cast("timestamp"))
+        .drop("week")
+    )
+
+
+register_transform("resample_in_time", resample_in_time)

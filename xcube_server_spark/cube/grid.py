@@ -1,0 +1,134 @@
+"""Grid + tile-grid metadata (driver-side pure Python).
+
+The reference's ``TileGrid`` (``xcube_server/im/tilegrid.py:38-167``) plus
+the multi-level sizing rule ``size[i+1] = (size[i]+1) // 2``
+(``xcube_server/mldataset.py:15-26``). These are *metadata only* — they pick
+which LOD table and which (lat_idx, lon_idx) window a tile query scans; no
+Spark analog is needed (SURVEY.md §1.1).
+
+Deliberate divergence from the reference: we do not port the
+``pow2_2d_subdivision`` optimal-subdivision *search*
+(``xcube_server/im/tilegrid.py:252-397``). That search exists because the
+reference must adapt to whatever chunking a store came with; our engine
+controls layout at ingest, so the grid is constructed directly from
+(width, height, tile_size) with the same level-sizing law.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+def level_sizes(width: int, height: int, num_levels: int) -> list[tuple[int, int]]:
+    """Per-level (w, h), level 0 = full resolution, following the reference's
+    ``(s + 1) // 2`` halving (``xcube_server/mldataset.py:20-22``)."""
+    out = [(width, height)]
+    for _ in range(1, num_levels):
+        w, h = out[-1]
+        out.append(((w + 1) // 2, (h + 1) // 2))
+    return out
+
+
+@dataclass(frozen=True)
+class TileGridMeta:
+    """Tile pyramid geometry.
+
+    ``num_levels`` levels; zoom z maps to LOD level ``num_levels - 1 - z``
+    (``xcube_server/context.py:153-158``): z=0 is the coarsest zoom.
+    """
+
+    num_levels: int
+    tile_width: int
+    tile_height: int
+    num_level_zero_tiles_x: int
+    num_level_zero_tiles_y: int
+    geo_extent: tuple[float, float, float, float]  # west, south, east, north
+    inv_y: bool = False
+
+    def num_tiles(self, z: int) -> tuple[int, int]:
+        return (
+            self.num_level_zero_tiles_x << z,
+            self.num_level_zero_tiles_y << z,
+        )
+
+    def level_for_zoom(self, z: int) -> int:
+        """LOD table index for a zoom (0 = native resolution)."""
+        return self.num_levels - 1 - z
+
+    @staticmethod
+    def create(
+        width: int,
+        height: int,
+        tile_size: int,
+        geo_extent: tuple[float, float, float, float],
+        inv_y: bool = False,
+    ) -> "TileGridMeta":
+        """Direct construction: halve until both dims fit one-ish tile."""
+        num_levels = 1
+        w, h = width, height
+        while w > tile_size or h > tile_size:
+            w, h = (w + 1) // 2, (h + 1) // 2
+            num_levels += 1
+        coarsest_w, coarsest_h = level_sizes(width, height, num_levels)[-1]
+        return TileGridMeta(
+            num_levels=num_levels,
+            tile_width=tile_size,
+            tile_height=tile_size,
+            num_level_zero_tiles_x=max(1, math.ceil(coarsest_w / tile_size)),
+            num_level_zero_tiles_y=max(1, math.ceil(coarsest_h / tile_size)),
+            geo_extent=geo_extent,
+            inv_y=inv_y,
+        )
+
+
+@dataclass(frozen=True)
+class GridMeta:
+    """Spatial/temporal grid of one cube: the ingest-time contract.
+
+    lat row 0 is the northernmost row when ``inv_y`` is False (reference demo
+    cube convention — lat descends in storage order, FIXTURES.md F-1).
+    """
+
+    width: int  # number of lon cells
+    height: int  # number of lat cells
+    extent: tuple[float, float, float, float]  # west, south, east, north
+    inv_y: bool = False
+    times: tuple[str, ...] = field(default=())
+
+    @property
+    def res_lon(self) -> float:
+        west, _, east, _ = self.extent
+        return (east - west) / self.width
+
+    @property
+    def res_lat(self) -> float:
+        _, south, _, north = self.extent
+        return (north - south) / self.height
+
+    def lon_of(self, lon_idx: int) -> float:
+        return self.extent[0] + (lon_idx + 0.5) * self.res_lon
+
+    def lat_of(self, lat_idx: int) -> float:
+        if self.inv_y:
+            return self.extent[1] + (lat_idx + 0.5) * self.res_lat
+        return self.extent[3] - (lat_idx + 0.5) * self.res_lat
+
+    def lon_idx_of(self, lon: float) -> int:
+        """Nearest-cell index for a longitude (xarray sel-nearest analog,
+        clamped to the grid)."""
+        i = int(math.floor((lon - self.extent[0]) / self.res_lon))
+        return min(max(i, 0), self.width - 1)
+
+    def lat_idx_of(self, lat: float) -> int:
+        if self.inv_y:
+            i = int(math.floor((lat - self.extent[1]) / self.res_lat))
+        else:
+            i = int(math.floor((self.extent[3] - lat) / self.res_lat))
+        return min(max(i, 0), self.height - 1)
+
+    def contains(self, lon: float, lat: float) -> bool:
+        """P7 containment pre-filter
+        (``xcube_server/controllers/time_series.py:126-128``)."""
+        west, south, east, north = self.extent
+        return west <= lon <= east and south <= lat <= north

@@ -1,0 +1,85 @@
+"""Catalogue/metadata queries (SURVEY.md §2.1 S10, §3.3; M4).
+
+Reference: ``get_datasets(details=…)`` / variable + coordinate dumps
+(``xcube_server/controllers/catalogue.py:13-111``), WMTS capabilities
+(``xcube_server/controllers/wmts.py:12-287``). These are metadata reads: the
+expensive part in the reference is forcing dataset opens; in our engine the
+catalog already holds everything, and coordinate dumps come from the tiny
+dim tables (a ``collect()`` of hundreds of rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .catalog import CubeCatalog
+from .grid import level_sizes
+
+
+def get_datasets(catalog: CubeCatalog, details: bool = False) -> dict[str, Any]:
+    """Dataset listing (+ per-variable metadata when ``details``), shaped
+    after ``xcube_server/controllers/catalogue.py:13-94``."""
+    out = []
+    for meta in catalog.datasets.values():
+        entry: dict[str, Any] = {
+            "id": meta.identifier,
+            "title": meta.title,
+            "bbox": list(meta.grid.extent),
+        }
+        if details:
+            sizes = level_sizes(
+                meta.grid.width, meta.grid.height, meta.tile_grid.num_levels
+            )
+            entry["variables"] = [
+                {
+                    "id": v,
+                    "name": v,
+                    "dims": ["time", "lat", "lon"],
+                    "shape": [len(meta.grid.times), meta.grid.height, meta.grid.width],
+                    "dtype": "float32",
+                    "colorBarName": (
+                        meta.styles[v].color_bar if v in meta.styles else "viridis"
+                    ),
+                    "colorBarMin": (
+                        meta.styles[v].value_range[0] if v in meta.styles else 0.0
+                    ),
+                    "colorBarMax": (
+                        meta.styles[v].value_range[1] if v in meta.styles else 1.0
+                    ),
+                }
+                for v in meta.variables
+            ]
+            entry["levels"] = [{"level": i, "width": w, "height": h}
+                               for i, (w, h) in enumerate(sizes)]
+            entry["tileGrid"] = get_tile_grid(catalog, meta.identifier)
+        out.append(entry)
+    return {"datasets": out}
+
+
+def get_coordinates(catalog: CubeCatalog, ds_id: str, dim: str) -> dict[str, Any]:
+    """Coordinate dump ``{name, size, dtype, coordinates[]}``
+    (``xcube_server/controllers/catalogue.py:97-111``) from the dim table."""
+    rows = catalog.coords(ds_id, dim).orderBy("idx").collect()
+    vals = [r["value"] for r in rows]
+    if dim == "time":
+        dtype = "datetime64[ns]"
+        vals = [v.strftime("%Y-%m-%dT%H:%M:%SZ") for v in vals]
+    else:
+        dtype = "float64"
+    return {"name": dim, "size": len(vals), "dtype": dtype, "coordinates": vals}
+
+
+def get_tile_grid(catalog: CubeCatalog, ds_id: str) -> dict[str, Any]:
+    """Tile-grid JSON (shape parity with the reference's ``ol4``/``cesium``
+    tile-source JSON, ``xcube_server/controllers/tiles.py:226-284``)."""
+    tg = catalog.datasets[ds_id].tile_grid
+    return {
+        "numLevels": tg.num_levels,
+        "tileSize": [tg.tile_width, tg.tile_height],
+        "numLevelZeroTiles": [
+            tg.num_level_zero_tiles_x,
+            tg.num_level_zero_tiles_y,
+        ],
+        "extent": list(tg.geo_extent),
+        "invY": tg.inv_y,
+    }

@@ -1,0 +1,117 @@
+"""GeoJSON place groups (SURVEY.md §2.1 S7, §2.2 P8/P9/P11, §2.7 U1).
+
+Reference: fiona-loads feature collections, re-assigns sequential string ids,
+strips ID from properties (``xcube_server/context.py:343-399``); the ``all``
+group is the concatenation of every group (``:326-341``); features are
+filtered by shapely ``intersects`` against a query geometry
+(``xcube_server/controllers/places.py:63-94``) — and the declared
+``query_expr`` parameter raises NotImplementedError (``places.py:84``).
+
+Spark-first: features live in a DataFrame ``(collection, feature_id,
+geometry, lon, lat, properties)``; bbox intersection is a pure column
+predicate; polygon intersection for point features is a driver-computed
+bbox prefilter + exact point-in-polygon via the same numpy rasterizer core;
+and ``query_expr`` is FINISHED — it is simply ``F.expr`` over the properties
+map (the expression language the reference never implemented).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .rasterize import Geometry, geometry_bbox, points_in_geometry
+
+import numpy as np
+
+
+def load_place_group(
+    spark: SparkSession, name: str, path_glob: str
+) -> DataFrame:
+    """S7 GeoJSON scan: one collection from a glob of GeoJSON files.
+
+    Sequential feature ids are assigned in load order and ``ID``/``id`` keys
+    are dropped from properties (parity: ``xcube_server/context.py:378-399``).
+    Point coordinates are hoisted into (lon, lat) columns so spatial
+    predicates stay in the JVM.
+    """
+    rows = []
+    fid = 0
+    for path in sorted(glob.glob(path_glob)):
+        with open(path) as f:
+            doc = json.load(f)
+        features = doc.get("features", [doc] if doc.get("type") == "Feature" else [])
+        for feat in features:
+            props = {
+                str(k): str(v)
+                for k, v in (feat.get("properties") or {}).items()
+                if k not in ("ID", "id")
+            }
+            geom = feat.get("geometry") or {}
+            lon = lat = None
+            if geom.get("type") == "Point":
+                lon, lat = float(geom["coordinates"][0]), float(geom["coordinates"][1])
+            rows.append((name, str(fid), json.dumps(geom), lon, lat, props))
+            fid += 1
+    return spark.createDataFrame(
+        rows,
+        "collection string, feature_id string, geometry string,"
+        " lon double, lat double, properties map<string,string>",
+    )
+
+
+def union_place_groups(groups: list[DataFrame]) -> DataFrame:
+    """U1 — the ``all`` place group is UNION ALL of every group
+    (``xcube_server/context.py:326-341``)."""
+    out = groups[0]
+    for g in groups[1:]:
+        out = out.unionByName(g)
+    return out
+
+
+def find_places(
+    places: DataFrame,
+    geometry: Geometry | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    query_expr: str | None = None,
+) -> DataFrame:
+    """P8 geometry-intersection filter + P11 attribute expression.
+
+    bbox → pure column predicate (pushable). Polygon → bbox prefilter in the
+    plan + exact point-in-polygon applied per collected candidate set on the
+    driver when the candidate set is small; here point features are filtered
+    exactly with the numpy even-odd test via a pandas UDF-free two-phase
+    plan: candidates = bbox filter; exact test on (lon, lat) columns happens
+    in a vectorized mapInPandas-compatible helper. ``query_expr`` is a Spark
+    SQL boolean expression over columns/properties — finishing what the
+    reference stubbed (``xcube_server/controllers/places.py:84``).
+    """
+    out = places
+    if geometry is not None and bbox is None:
+        bbox = geometry_bbox(geometry)
+    if bbox is not None:
+        west, south, east, north = bbox
+        out = out.filter(
+            F.col("lon").between(west, east) & F.col("lat").between(south, north)
+        )
+    if geometry is not None and geometry.get("type") in ("Polygon", "MultiPolygon"):
+        geom_json = json.dumps(geometry)
+
+        def exact(iterator):
+            import pandas as pd
+
+            g = json.loads(geom_json)
+            for pdf in iterator:
+                px = pdf["lon"].to_numpy(dtype=float)
+                py = pdf["lat"].to_numpy(dtype=float)
+                keep = points_in_geometry(px, py, g)
+                yield pdf[pd.Series(keep, index=pdf.index)]
+
+        out = out.mapInPandas(exact, out.schema)
+    if query_expr:
+        out = out.filter(F.expr(query_expr))
+    return out

@@ -1,0 +1,174 @@
+"""Tile rendering (SURVEY.md §3.1; §2.9 T1-T9; M3 of the build plan).
+
+Reference pipeline per tile: slice window → mask → clip/normalize → colormap
+→ PNG (``xcube_server/controllers/tiles.py:23-142``; the fused mode-1 kernel
+``xcube_server/im/tiledimage.py:514-635``). Spark plan:
+
+1. driver: zoom → LOD level (P2), nearest time slice (P6) from catalog
+   metadata, tile (x, y) → index window;
+2. executors: window filter (pushed to parquet row-group pruning) →
+   ``applyInPandas`` render — ONE fused Python stage per tile, the moral
+   equivalent of the reference's fused numba kernel (T5), emitting PNG bytes
+   (S9, pure-python encoder);
+3. app layer: byte cache keyed (ds, var, z, x, y, t, style) (T9) — Spark
+   caches frames, not encoded bytes.
+
+``render_tiles`` is the scalable batch form: ALL tiles of a zoom level in
+one job, grouped by (tile_y, tile_x) — this is how a pre-warm/export job
+renders millions of tiles without per-tile job overhead.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.colormap import DEFAULT_CMAP, apply_cmap
+from ..sources.png import encode_rgba_png
+from .catalog import CubeCatalog, StyleMeta
+
+
+def _nearest_time(times: list[str], probe: str | None) -> tuple[int, str]:
+    """P6 extra-dim binding (``xcube_server/context.py:420-451``):
+    None → first slice, 'current' → last, else nearest timestamp."""
+    if probe is None:
+        return 0, times[0]
+    if probe == "current":
+        return len(times) - 1, times[-1]
+    p = _dt.datetime.fromisoformat(probe)
+    deltas = [
+        abs((_dt.datetime.fromisoformat(t) - p).total_seconds()) for t in times
+    ]
+    i = int(np.argmin(deltas))  # ties → lower index, xarray 'nearest' parity
+    return i, times[i]
+
+
+def _render_pdf_factory(
+    tile_w: int, tile_h: int, vmin: float, vmax: float, cmap: str, var: str
+):
+    """Build the applyInPandas body: rows of one tile → one PNG row.
+
+    Missing cells become NaN pixels (T8 trim_tile padding,
+    ``xcube_server/im/tiledimage.py:1058-1084``) and render transparent.
+    """
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        arr = np.full((tile_h, tile_w), np.nan, dtype=np.float64)
+        ri = pdf["lat_idx"].to_numpy() - ty * tile_h
+        rj = pdf["lon_idx"].to_numpy() - tx * tile_w
+        vals = pdf[var].astype("float64").to_numpy()
+        ok = (ri >= 0) & (ri < tile_h) & (rj >= 0) & (rj < tile_w)
+        arr[ri[ok], rj[ok]] = vals[ok]
+        rgba = apply_cmap(arr, vmin, vmax, cmap)
+        png = encode_rgba_png(rgba)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx], "png": [png]})
+
+    return render
+
+
+def render_tiles(
+    catalog: CubeCatalog,
+    ds_id: str,
+    var: str,
+    z: int,
+    time: str | None = None,
+    style: StyleMeta | None = None,
+    tiles: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Render tiles of one zoom level/time slice as a DataFrame
+    (tile_y, tile_x, png binary). ``tiles=None`` renders the full level."""
+    meta = catalog.datasets[ds_id]
+    tg = meta.tile_grid
+    level = tg.level_for_zoom(z)
+    cube = catalog.cube(ds_id, level)
+    t_idx, _ = _nearest_time(list(meta.grid.times), time)
+    st = style or meta.styles.get(var) or StyleMeta()
+    vmin, vmax = st.value_range
+
+    df = cube.filter(F.col("time_idx") == t_idx).select(
+        "lat_idx", "lon_idx", var
+    )
+    tw, th = tg.tile_width, tg.tile_height
+    df = df.withColumn("tile_y", (F.col("lat_idx") / th).cast("int")).withColumn(
+        "tile_x", (F.col("lon_idx") / tw).cast("int")
+    )
+    if tiles is not None:
+        pred = None
+        for tx, ty in tiles:
+            this = (F.col("tile_x") == tx) & (F.col("tile_y") == ty)
+            pred = this if pred is None else (pred | this)
+        df = df.filter(pred)
+    return df.groupBy("tile_y", "tile_x").applyInPandas(
+        _render_pdf_factory(tw, th, vmin, vmax, st.color_bar, var),
+        "tile_y int, tile_x int, png binary",
+    )
+
+
+class TileService:
+    """Single-tile serving path with a byte cache (T9).
+
+    The cache is the app-layer analog of the reference's memory tile cache
+    (``xcube_server/cache.py:202-410`` with LRU policy,
+    ``xcube_server/context.py:80-93``): Spark jobs have ~100 ms overhead, so
+    repeated tile hits must not touch Spark at all.
+    """
+
+    def __init__(self, catalog: CubeCatalog, capacity: int = 512 * 1024 * 1024):
+        self.catalog = catalog
+        self.capacity = capacity
+        self._used = 0
+        self._cache: OrderedDict[tuple, bytes] = OrderedDict()
+
+    def get_tile(
+        self,
+        ds_id: str,
+        var: str,
+        z: int,
+        x: int,
+        y: int,
+        time: str | None = None,
+        cmap: str | None = None,
+        vmin: float | None = None,
+        vmax: float | None = None,
+    ) -> bytes:
+        meta = self.catalog.datasets[ds_id]
+        st = meta.styles.get(var) or StyleMeta(color_bar=DEFAULT_CMAP)
+        st = StyleMeta(
+            color_bar=cmap or st.color_bar,
+            value_range=(
+                st.value_range[0] if vmin is None else vmin,
+                st.value_range[1] if vmax is None else vmax,
+            ),
+        )
+        key = (ds_id, var, z, x, y, time, st.color_bar, st.value_range)
+        if key in self._cache:
+            self._cache.move_to_end(key)  # LRU touch
+            return self._cache[key]
+        rows = (
+            render_tiles(
+                self.catalog, ds_id, var, z, time=time, style=st, tiles=[(x, y)]
+            )
+            .collect()
+        )
+        if rows:
+            png = bytes(rows[0]["png"])
+        else:
+            # Out-of-range tile: all-NaN → fully transparent (the reference
+            # still renders padded tiles, test/controllers/test_tiles.py:18).
+            tg = meta.tile_grid
+            blank = np.full((tg.tile_height, tg.tile_width), np.nan)
+            png = encode_rgba_png(
+                apply_cmap(blank, *st.value_range, st.color_bar)
+            )
+        self._cache[key] = png
+        self._used += len(png)
+        while self._used > self.capacity * 0.75 and self._cache:
+            _, evicted = self._cache.popitem(last=False)  # LRU eviction
+            self._used -= len(evicted)
+        return png

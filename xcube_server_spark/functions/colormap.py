@@ -1,0 +1,106 @@
+"""Colormap registry + LUT application (SURVEY.md §2.8 F6/F7, §2.9 T4).
+
+The reference samples a matplotlib/cmocean colormap into a 256-entry RGBA
+LUT once, then maps normalized values through it with a numba kernel
+(``xcube_server/im/cmaps.py:97-191``, ``xcube_server/im/tiledimage.py:638-665``).
+matplotlib is not available here, so colormaps are defined as anchor-color
+gradients interpolated to 256 entries — same LUT mechanics, self-contained.
+
+Registry shape mirrors ``get_cmaps()``: categories of (name, swatch) pairs,
+with ``_alpha`` variants whose alpha ramps 0→255 over the first half
+(parity with ``xcube_server/im/cmaps.py:135-162``).
+"""
+
+from __future__ import annotations
+
+import base64
+from functools import lru_cache
+
+import numpy as np
+
+from ..sources.png import encode_rgba_png
+
+# Anchor colors (RGB 0-255), interpolated to 256 entries.
+_ANCHORS: dict[str, list[tuple[int, int, int]]] = {
+    "viridis": [
+        (68, 1, 84), (71, 44, 122), (59, 81, 139), (44, 113, 142),
+        (33, 144, 141), (39, 173, 129), (92, 200, 99), (170, 220, 50),
+        (253, 231, 37),
+    ],
+    "plasma": [
+        (13, 8, 135), (84, 2, 163), (139, 10, 165), (185, 50, 137),
+        (219, 92, 104), (244, 136, 73), (254, 188, 43), (240, 249, 33),
+    ],
+    "gray": [(0, 0, 0), (255, 255, 255)],
+    "jet": [
+        (0, 0, 127), (0, 0, 255), (0, 255, 255), (255, 255, 0),
+        (255, 0, 0), (127, 0, 0),
+    ],
+    "coolwarm": [(59, 76, 192), (221, 221, 221), (180, 4, 38)],
+}
+
+CMAP_CATEGORIES = (
+    ("Perceptually Uniform Sequential", "built-in gradients", ("viridis", "plasma")),
+    ("Sequential", "single-hue ramps", ("gray",)),
+    ("Diverging", "two-tone ramps", ("coolwarm",)),
+    ("Miscellaneous", "legacy ramps", ("jet",)),
+)
+
+DEFAULT_CMAP = "viridis"
+
+
+@lru_cache(maxsize=64)
+def get_lut(name: str) -> np.ndarray:
+    """256×4 uint8 RGBA LUT. ``<name>_alpha`` ramps alpha 0→255 over the
+    lower half of the range (``xcube_server/im/cmaps.py:135-162``)."""
+    alpha = name.endswith("_alpha")
+    base = name[: -len("_alpha")] if alpha else name
+    anchors = np.asarray(_ANCHORS.get(base, _ANCHORS[DEFAULT_CMAP]), dtype=np.float64)
+    xs = np.linspace(0.0, 1.0, len(anchors))
+    grid = np.linspace(0.0, 1.0, 256)
+    rgb = np.stack(
+        [np.interp(grid, xs, anchors[:, c]) for c in range(3)], axis=1
+    )
+    a = np.full((256, 1), 255.0)
+    if alpha:
+        ramp = np.clip(np.linspace(0.0, 2.0, 256), 0.0, 1.0) * 255.0
+        a = ramp[:, None]
+    return np.clip(np.concatenate([rgb, a], axis=1) + 0.5, 0, 255).astype(np.uint8)
+
+
+def list_cmaps() -> list[tuple[str, str, list[tuple[str, str]]]]:
+    """F7 registry dump: (category, description, [(name, base64 swatch)])
+    including ``_alpha`` variants — shape parity with ``get_cmaps()``."""
+    out = []
+    for cat, desc, names in CMAP_CATEGORIES:
+        entries = []
+        for base in names:
+            for name in (base, f"{base}_alpha"):
+                lut = get_lut(name)
+                swatch = np.broadcast_to(lut[None, ::4, :], (1, 64, 4)).copy()
+                b64 = base64.b64encode(encode_rgba_png(swatch)).decode("ascii")
+                entries.append((name, b64))
+        out.append((cat, desc, entries))
+    return out
+
+
+def apply_cmap(
+    values: np.ndarray,
+    vmin: float,
+    vmax: float,
+    cmap_name: str = DEFAULT_CMAP,
+) -> np.ndarray:
+    """Normalize → clip → LUT-index → RGBA; NaN → fully transparent.
+
+    Vectorized numpy — the Arrow-side body of the render UDF, standing in
+    for the reference's numba kernel (``xcube_server/im/tiledimage.py:638-665``).
+    """
+    lut = get_lut(cmap_name)
+    v = np.asarray(values, dtype=np.float64)
+    invalid = ~np.isfinite(v)
+    unit = (v - vmin) / (vmax - vmin) if vmax > vmin else np.zeros_like(v)
+    idx = np.clip(unit * 255.0, 0.0, 255.0)
+    idx = np.where(invalid, 0, idx).astype(np.uint8)
+    rgba = lut[idx]
+    rgba[invalid] = (0, 0, 0, 0)
+    return rgba

@@ -1,0 +1,64 @@
+"""Pure-python PNG sink (SURVEY.md §2.1 S9).
+
+The reference encodes tiles with PIL (``xcube_server/im/tiledimage.py:498-506``)
+at ``compress_level=1`` because "Saving a PNG file is slow" (``:622-625``).
+PIL is not available here, so we write the PNG container directly: IHDR +
+IDAT (zlib level 1, filter 0 rows) + IEND. Executors call this inside the
+render UDF; it depends only on stdlib ``zlib``/``struct`` + numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_rgba_png(rgba: np.ndarray, compress_level: int = 1) -> bytes:
+    """Encode an (h, w, 4) uint8 array as PNG bytes."""
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("expected (h, w, 4) uint8 RGBA array")
+    h, w = rgba.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+    # filter byte 0 prepended to each row
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, compress_level)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_rgba_png(data: bytes) -> np.ndarray:
+    """Minimal decoder (tests only): parses the PNGs this module writes."""
+    assert data[:8] == _SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert (depth, ctype) == (8, 6), "decoder only handles 8-bit RGBA"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 4 + 1
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        assert row[0] == 0, "decoder only handles filter 0"
+        rows.append(np.frombuffer(row[1:], dtype=np.uint8).reshape(w, 4))
+    return np.stack(rows)
