@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.pipeline.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+from xcube_server_spark.registry._util import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_payload(docs, "doc_id", "text")
+
+
+def test_schema_and_payloads(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.orderBy("asset_id").first()
+    assert isinstance(bytes(row["payload"]), bytes) and len(bytes(row["payload"])) > 0
+    assert row["meta"]["width"] == 8
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", 8, 8, fake=False)
+
+
+def test_feature_extraction_deterministic(media, spark, sf_dir):
+    feats = extract_features(media)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(rows) == set(docs)
+    probe = min(docs)
+    data = docs[probe].encode()
+    assert rows[probe]["content_sha"] == hashlib.sha256(data).hexdigest()
+    assert rows[probe]["byte_len"] == len(data)
+    img = decode_image(data, 8, 8, fake=True)
+    assert rows[probe]["mean_luma"] == pytest.approx(float(img.mean()))
+    # run twice -> identical (deterministic fake decoder)
+    again = {r["asset_id"]: r["mean_luma"] for r in extract_features(media).collect()}
+    assert again[probe] == rows[probe]["mean_luma"]
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(media, every_n=1)
+    assert frames.count() == media.count()  # n_frames=1 per asset
+    assert frames.filter(F.col("frame_idx") != 0).count() == 0

@@ -1,0 +1,57 @@
+"""Structured Streaming tests: the streaming forms must produce the same
+results as their batch twins (batch/stream parity contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.registry._util import load_table
+from xcube_server_spark.streaming.events import (
+    sessionize,
+    sessionize_stream,
+    tumbling_counts,
+    tumbling_counts_stream,
+)
+from xcube_server_spark.streaming.run import run_stream_to_batch
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, sf_dir, tmp_path_factory):
+    """Streaming parquet source can't read TIMESTAMP(NANOS) either — stage a
+    micro-precision copy the way any ingest job would."""
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_path):
+    batch = tumbling_counts(spark.read.parquet(events_path))
+    streamed = run_stream_to_batch(
+        spark, events_path, tumbling_counts_stream, output_mode="complete"
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_sessionize_stream_produces_sessions(spark, events_path):
+    """session_window semantics: same number of sessions per user as the
+    batch lag/cumsum plan (gap 30 min), given no late data."""
+    streamed = run_stream_to_batch(
+        spark, events_path, sessionize_stream, output_mode="complete"
+    )
+    per_user_stream = (
+        streamed.groupBy("user_id").count().withColumnRenamed("count", "n")
+    )
+    batch = sessionize(spark.read.parquet(events_path)).select(
+        "user_id", F.col("n_sessions").alias("n")
+    )
+    diff = per_user_stream.join(batch, "user_id", "full").filter(
+        per_user_stream["n"] != batch["n"]
+    )
+    assert diff.count() == 0
+    assert streamed.count() > 0
+    assert streamed.filter(F.col("session_end") < F.col("session_start")).count() == 0

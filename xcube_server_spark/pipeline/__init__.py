@@ -1,0 +1,15 @@
+"""Training-data-pipeline operators as reusable DataFrame transforms.
+
+The gate-facing instantiations live in
+``xcube_server_spark.registry.pipeline_queries``; this package holds the
+generic forms plus the multimodal column plumbing.
+"""
+
+from .multimodal import (
+    MEDIA_SCHEMA,
+    attach_payload,
+    extract_features,
+    sample_frames,
+)
+
+__all__ = ["MEDIA_SCHEMA", "attach_payload", "extract_features", "sample_frames"]

@@ -1,0 +1,114 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (BASELINE.json north star): media assets ride the cube/corpus tables
+as ``binary`` payload columns with a metadata struct — Spark shuffles and
+stores them like any other column (parquet keeps binaries columnar, and
+``spark.sql.parquet.columnarReaderBatchSize`` governs batch shape). All
+compute over payloads is Arrow-batched ``mapInPandas``: the Python worker
+sees a pandas Series of ``bytes`` per batch — the right boundary for
+PIL/ffmpeg-style decoders.
+
+The actual decoders are STUBBED here (the image/audio libraries are not in
+this container): ``decode_image`` raises ``NotImplementedError`` unless the
+deterministic fake is requested. The Spark-side plumbing — schema, batch
+shape, partition sizing, UDF signatures — is real and tested.
+
+Scale notes: payload columns make rows wide — ``maxPartitionBytes`` should
+shrink (or assets should live in a separate table keyed by asset_id, joined
+on demand) so a task's Arrow batch fits executor memory. ``sample_frames``
+shows the fan-out pattern (one row per frame) that keeps downstream ops
+row-sized again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "asset_id long, media_type string, payload binary,"
+    " meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from a text corpus (deterministic fake payloads):
+    each doc's utf-8 bytes stand in for an encoded image."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+    """Decode an encoded image payload to an (h, w, 3) uint8 array.
+
+    STUB: real decoding needs PIL/turbojpeg (not in this container). The
+    deterministic fake derives pixels from sha256(payload) so the full
+    pipeline is testable end-to-end with stable outputs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libjpeg — not available in this "
+            "environment; pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.sha256(payload).digest()
+    rng = np.frombuffer((digest * ((width * height * 3) // 32 + 1))[: width * height * 3],
+                        dtype=np.uint8)
+    return rng.reshape(height, width, 3)
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: payload → (asset_id, mean_luma,
+    byte_len, content_sha). One Arrow batch in, one out; executors never
+    materialize more than a batch of payloads at a time."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lumas, shas, lens = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                data = bytes(payload)
+                img = decode_image(data, meta["width"], meta["height"], fake=fake_decode)
+                lumas.append(float(img.mean()))
+                shas.append(hashlib.sha256(data).hexdigest())
+                lens.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mean_luma": lumas,
+                    "byte_len": lens,
+                    "content_sha": shas,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "asset_id long, mean_luma double, byte_len long, content_sha string"
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video-style frame fan-out: one output row per sampled frame index —
+    the pattern that turns wide assets back into row-sized work items."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for asset_id, meta in zip(pdf["asset_id"], pdf["meta"]):
+                for k in range(0, int(meta["n_frames"]), every_n):
+                    ids.append(asset_id)
+                    frames.append(k)
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": frames})
+
+    return media.mapInPandas(run, "asset_id long, frame_idx int")

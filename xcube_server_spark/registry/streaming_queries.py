@@ -65,12 +65,41 @@ GROUP BY 1
 """
 
 
+def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window plan executed as a real Structured Streaming
+    job: readStream(parquet) -> watermark -> window agg -> memory sink with
+    an availableNow trigger, verified against the SAME DuckDB oracle as the
+    batch twin — the engine's batch/stream parity contract, checked live.
+
+    The ns-timestamp events table is staged once per session as a
+    micro-precision parquet copy (what any streaming ingest would pin).
+    """
+    import os
+    import tempfile
+
+    from ..streaming.events import tumbling_counts_stream
+    from ..streaming.run import run_stream_to_batch
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_events_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = f"xss.staged.{staged}"
+    if spark.conf.get(marker, None) != "1":
+        _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+        spark.conf.set(marker, "1")
+    return run_stream_to_batch(
+        spark, staged, tumbling_counts_stream, output_mode="complete"
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_tumbling_counts_live": stream_tumbling_counts_live,
     "stream_sessionize": stream_sessionize,
 }
 
 ORACLES = {
     "stream_tumbling_counts": ORACLE_TUMBLING,
+    "stream_tumbling_counts_live": ORACLE_TUMBLING,
     "stream_sessionize": ORACLE_SESSIONIZE,
 }

@@ -1,0 +1,53 @@
+"""Streaming execution helpers: run a shared logical plan as a real
+Structured Streaming job over the parquet source and return the finished
+result as a batch DataFrame.
+
+``availableNow`` processes the whole backlog then stops — the standard way
+to verify a streaming pipeline produces the same answer as its batch twin
+(the engine's batch/stream parity contract, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    source_path: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+    prepare: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """readStream(parquet) → transform → memory sink, availableNow.
+
+    The parquet streaming source needs an explicit schema — taken from a
+    batch read of the same path (exactly what a production job would pin in
+    its catalog). Returns the memory-sink table as a DataFrame.
+    """
+    batch = spark.read.parquet(source_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+    )
+    if prepare is not None:
+        stream = prepare(stream)
+    out = transform(stream)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
