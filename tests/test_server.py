@@ -1,0 +1,144 @@
+"""HTTP service-layer tests: drive the reference's REST surface end-to-end
+against a live server (route parity with ``xcube_server/app.py:38-104``)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from xcube_server_spark.cube.catalog import CubeCatalog, StyleMeta
+from xcube_server_spark.cube.places import load_place_group
+from xcube_server_spark.server.app import CubeServer
+from xcube_server_spark.sources.cube_ingest import synth_demo_cube, write_cube
+from xcube_server_spark.sources.png import decode_rgba_png
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("srv") / "demo")
+    cube, grid = synth_demo_cube(spark, width=64, height=32)
+    _, tg = write_cube(cube, grid, base, tile_size=32)
+    cat = CubeCatalog(spark)
+    cat.register_written_cube(
+        "demo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"],
+        styles={"conc_tsm": StyleMeta("plasma", (0.0, 100.0))},
+    )
+    d = tmp_path_factory.mktemp("geo")
+    (d / "pts.geojson").write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"Name": "inside"},
+             "geometry": {"type": "Point", "coordinates": [2.0, 51.5]}},
+            {"type": "Feature", "properties": {"Name": "outside"},
+             "geometry": {"type": "Point", "coordinates": [-150.0, -30.0]}},
+        ],
+    }))
+    places = load_place_group(spark, "pts", str(d / "pts.geojson"))
+    srv = CubeServer(cat, places=places)
+    srv.start()
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.stop()
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=60) as r:
+            return r.status, r.headers.get("Content-Type"), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def _get_json(url: str):
+    status, _, body = _get(url)
+    return status, json.loads(body)
+
+
+def test_datasets_endpoint(server):
+    status, doc = _get_json(f"{server}/datasets?details=1")
+    assert status == 200
+    ds = doc["datasets"][0]
+    assert ds["id"] == "demo" and len(ds["variables"]) == 3
+
+
+def test_coords_endpoint(server):
+    status, doc = _get_json(f"{server}/datasets/demo/coords/time")
+    assert status == 200 and doc["size"] == 5
+    assert doc["coordinates"][0] == "2017-01-16T10:09:22Z"
+
+
+def test_tile_endpoint_and_style_override(server):
+    status, ctype, body = _get(
+        f"{server}/datasets/demo/vars/conc_tsm/tiles/0/0/0.png?time=current"
+    )
+    assert status == 200 and ctype == "image/png"
+    rgba = decode_rgba_png(body)
+    assert rgba.shape[2] == 4
+    # style override via cbar/vmin/vmax (controllers/tiles.py:28-55)
+    s2, _, body2 = _get(
+        f"{server}/datasets/demo/vars/conc_tsm/tiles/0/0/0.png"
+        "?time=current&cbar=gray&vmin=0&vmax=50"
+    )
+    assert s2 == 200 and body2 != body
+
+
+def test_legend_and_colorbars(server):
+    status, ctype, body = _get(f"{server}/datasets/demo/vars/conc_tsm/legend.png")
+    assert status == 200 and ctype == "image/png"
+    status, doc = _get_json(f"{server}/colorbars")
+    names = [n for _, _, entries in doc for n, _ in entries]
+    assert "viridis" in names and "viridis_alpha" in names
+
+
+def test_point_timeseries_endpoint(server):
+    status, doc = _get_json(
+        f"{server}/ts/demo/conc_tsm/point?lon=2.1&lat=51.4"
+        "&startDate=2017-01-15&endDate=2017-01-29"
+    )
+    assert status == 200
+    rows = doc["results"]
+    assert len(rows) == 4
+    assert rows[0]["result"]["totalCount"] == 1
+    # all-NaN steps inside range -> validCount 0, average None
+    assert rows[2]["result"]["validCount"] == 0
+    assert rows[2]["result"]["average"] is None
+
+
+def test_point_outside_returns_empty(server):
+    status, doc = _get_json(f"{server}/ts/demo/conc_tsm/point?lon=-150&lat=-30")
+    assert status == 200 and doc == {"results": []}
+
+
+def test_geometry_timeseries_endpoint(server):
+    body = json.dumps({
+        "type": "Polygon",
+        "coordinates": [[[1.0, 51.0], [2.0, 51.0], [2.0, 52.0], [1.0, 52.0], [1.0, 51.0]]],
+    }).encode()
+    req = urllib.request.Request(
+        f"{server}/ts/demo/conc_tsm/geometry", data=body, method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        doc = json.loads(r.read())
+    assert len(doc["results"]) == 5
+    assert doc["results"][0]["result"]["totalCount"] > 0
+
+
+def test_places_endpoint_with_bbox_and_expr(server):
+    status, doc = _get_json(f"{server}/places/pts?bbox=0,50,5,52.5")
+    assert status == 200
+    names = [f["properties"]["Name"] for f in doc["features"]]
+    assert names == ["inside"]
+    status, doc = _get_json(
+        f"{server}/places/all?expr=properties%5B%27Name%27%5D%20%3D%20%27outside%27"
+    )
+    assert [f["properties"]["Name"] for f in doc["features"]] == ["outside"]
+
+
+def test_errors(server):
+    status, doc = _get_json(f"{server}/nope")
+    assert status == 404
+    status, _, body = _get(f"{server}/datasets/demo/vars/conc_tsm/tiles/0/0/zzz.png")
+    assert status == 400
+    assert b"must be an integer" in body

@@ -1,0 +1,145 @@
+"""Parity utilities: WKT (F9), GeoJSON checks (F8), param coercion (F2),
+query-geometry parsing (P9/P10), url_pattern (F11), mem size (F12),
+legend (T10), config hot-reload (S11), gated xarray ingest (S1/S2)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from xcube_server_spark.cube.legend import render_legend
+from xcube_server_spark.cube.reqparams import (
+    bbox_to_geometry,
+    coerce_dim_value,
+    parse_mem_size,
+    parse_query_geometry,
+    to_datetime,
+    to_float,
+    to_int,
+    url_pattern,
+)
+from xcube_server_spark.functions.geo import (
+    is_feature_collection,
+    is_geometry,
+    parse_wkt,
+)
+from xcube_server_spark.sources.png import decode_rgba_png
+
+
+def test_wkt_point_polygon_multipolygon():
+    assert parse_wkt("POINT (2.1 51.4)") == {
+        "type": "Point",
+        "coordinates": [2.1, 51.4],
+    }
+    poly = parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert poly["type"] == "Polygon" and len(poly["coordinates"][0]) == 5
+    holes = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert len(holes["coordinates"]) == 2
+    mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    assert mp["type"] == "MultiPolygon" and len(mp["coordinates"]) == 2
+    with pytest.raises(ValueError):
+        parse_wkt("CIRCLE (0 0, 5)")
+
+
+def test_geojson_validators():
+    assert is_geometry({"type": "Point", "coordinates": [0, 0]})
+    assert not is_geometry({"type": "Pointy", "coordinates": [0, 0]})
+    assert not is_geometry({"type": "Point"})
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1, 2]},
+             "properties": {}}
+        ],
+    }
+    assert is_feature_collection(fc)
+
+
+def test_param_coercion():
+    assert to_int("z", "7") == 7
+    assert to_float("lon", "2.5") == 2.5
+    assert to_datetime("d", "2017-01-16T10:09:22Z").hour == 10
+    with pytest.raises(ValueError, match="'z' must be an integer"):
+        to_int("z", "abc")
+    assert coerce_dim_value("current", "datetime64[ns]") == "current"
+    assert coerce_dim_value("3.5", "float64") == 3.5
+    assert coerce_dim_value("2017-01-16", "datetime64[ns]").year == 2017
+
+
+def test_query_geometry_and_antimeridian():
+    g = parse_query_geometry(bbox="0,50,5,52.5")
+    assert g["type"] == "Polygon"
+    # P10: west > east -> MultiPolygon of two boxes (xcube_server/utils.py:56-70)
+    g2 = bbox_to_geometry(170.0, -10.0, -170.0, 10.0)
+    assert g2["type"] == "MultiPolygon" and len(g2["coordinates"]) == 2
+    g3 = parse_query_geometry(geom="POINT (1 2)")
+    assert g3["coordinates"] == [1.0, 2.0]
+    g4 = parse_query_geometry(body={"type": "Point", "coordinates": [1, 2]})
+    assert g4["type"] == "Point"
+    with pytest.raises(ValueError):
+        parse_query_geometry(body={"type": "Nope"})
+
+
+def test_url_pattern():
+    # F11 (xcube_server/service.py:313-350)
+    pat = url_pattern("/datasets/{{ds}}/vars/{{var}}/tiles")
+    m = re.match(pat, "/datasets/demo/vars/chl/tiles")
+    assert m and m.group("ds") == "demo" and m.group("var") == "chl"
+
+
+def test_parse_mem_size():
+    # F12 (xcube_server/service.py:353-369); reference default '512M'
+    assert parse_mem_size("512M") == 512 * 1024 * 1024
+    assert parse_mem_size("2G") == 2 * 1024**3
+    assert parse_mem_size("100") == 100
+    with pytest.raises(ValueError):
+        parse_mem_size("12X")
+
+
+def test_legend_render():
+    png, meta = render_legend("viridis", 0.0, 24.0)
+    rgba = decode_rgba_png(png)
+    assert rgba.shape == (24, 256, 4)
+    assert meta["ticks"][0] == 0.0 and meta["ticks"][-1] == 24.0
+    # gradient: left edge differs from right edge
+    assert not (rgba[0, 0] == rgba[0, -1]).all()
+
+
+def test_xarray_ingest_gated():
+    from xcube_server_spark.sources.xarray_ingest import ingest_xarray
+
+    with pytest.raises(NotImplementedError, match="xarray is not installed"):
+        ingest_xarray(None, "/tmp/nope.zarr")
+
+
+def test_config_hot_reload(spark, tmp_path):
+    import json as _json
+
+    from xcube_server_spark.cube.catalog import ConfigWatcher, CubeCatalog
+    from xcube_server_spark.cube.grid import GridMeta, TileGridMeta
+    from xcube_server_spark.sources.cube_ingest import synth_demo_cube, write_cube
+
+    base = str(tmp_path / "cube")
+    cube, grid = synth_demo_cube(spark, width=20, height=10)
+    _, tg = write_cube(cube, grid, base, tile_size=8)
+    cat = CubeCatalog(spark)
+    meta = cat.register_written_cube("demo", base, grid, tg, ["conc_chl"])
+    cat.save_meta(meta)
+
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        f"Datasets:\n  - Identifier: demo\n    Title: Demo One\n    Path: {base}\n"
+    )
+    watcher = ConfigWatcher(CubeCatalog(spark), str(cfg))
+    assert watcher.catalog.datasets["demo"].title == "Demo One"
+    assert not watcher.maybe_reload()  # unchanged
+    import os
+    import time
+
+    cfg.write_text(
+        f"Datasets:\n  - Identifier: demo\n    Title: Demo Two\n    Path: {base}\n"
+    )
+    os.utime(cfg, (time.time() + 2, time.time() + 2))
+    assert watcher.maybe_reload()
+    assert watcher.catalog.datasets["demo"].title == "Demo Two"

@@ -219,3 +219,26 @@ class CubeCatalog:
                 meta = self.load_meta(ident, ds["Path"])
                 meta.title = ds.get("Title", ident)
                 meta.styles = styles_cfg.get(ds.get("Style", ""), meta.styles)
+
+
+class ConfigWatcher:
+    """S11 — config hot-reload on mtime change, checked on access
+    (``xcube_server/service.py:170-201``: the reference polls every 2 s of
+    idleness; we check lazily before each catalog use, which at engine level
+    is equivalent and cheaper)."""
+
+    def __init__(self, catalog: CubeCatalog, config_path: str):
+        self.catalog = catalog
+        self.config_path = config_path
+        self._mtime: float | None = None
+        self.maybe_reload()
+
+    def maybe_reload(self) -> bool:
+        mtime = os.path.getmtime(self.config_path)
+        if mtime != self._mtime:
+            self._mtime = mtime
+            self.catalog.datasets.clear()
+            self.catalog._df_cache.clear()
+            self.catalog.load_config(self.config_path)
+            return True
+        return False

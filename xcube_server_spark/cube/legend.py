@@ -1,0 +1,41 @@
+"""Legend rendering (SURVEY.md §2.9 T10).
+
+The reference renders a matplotlib colorbar PNG
+(``xcube_server/controllers/tiles.py:145-184``). matplotlib is unavailable,
+so the legend is composed directly from the colormap LUT: a gradient bar
+with tick marks, plus a JSON sidecar carrying the tick values/labels (the
+text a client overlays — font rasterization has no place in the engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.colormap import get_lut
+from ..sources.png import encode_rgba_png
+
+
+def render_legend(
+    cmap_name: str,
+    vmin: float,
+    vmax: float,
+    width: int = 256,
+    height: int = 24,
+    n_ticks: int = 5,
+) -> tuple[bytes, dict]:
+    """Horizontal gradient bar PNG + tick metadata."""
+    lut = get_lut(cmap_name)
+    idx = np.linspace(0, 255, width).astype(np.uint8)
+    bar = np.broadcast_to(lut[idx][None, :, :], (height, width, 4)).copy()
+    ticks = np.linspace(vmin, vmax, n_ticks)
+    # tick marks: darken a 1-px column at each tick position
+    for t in np.linspace(0, width - 1, n_ticks).astype(int):
+        bar[height - 6 :, t, :3] = 0
+        bar[height - 6 :, t, 3] = 255
+    meta = {
+        "colorBar": cmap_name,
+        "valueRange": [vmin, vmax],
+        "ticks": [float(t) for t in ticks],
+        "labels": [f"{t:g}" for t in ticks],
+    }
+    return encode_rgba_png(bar), meta

@@ -1,0 +1,100 @@
+"""Geometry text formats: WKT parsing and GeoJSON validation
+(SURVEY.md §2.8 F8/F9, §2.2 P9).
+
+The reference parses WKT with shapely (``xcube_server/controllers/places.py:46-49``)
+and validates GeoJSON with hand-rolled type checks
+(``xcube_server/utils.py:100-168``). shapely is not available here, so WKT is
+parsed directly into GeoJSON geometry dicts — the subset the reference's API
+accepts (POINT, LINESTRING, POLYGON, MULTIPOLYGON, with nested ring lists).
+"""
+
+from __future__ import annotations
+
+import re
+
+GEOMETRY_TYPES = (
+    "Point",
+    "MultiPoint",
+    "LineString",
+    "MultiLineString",
+    "Polygon",
+    "MultiPolygon",
+    "GeometryCollection",
+)
+
+
+def is_geometry(obj) -> bool:
+    """F8 — GeoJSON geometry check (``xcube_server/utils.py:100-125``)."""
+    if not isinstance(obj, dict) or obj.get("type") not in GEOMETRY_TYPES:
+        return False
+    if obj["type"] == "GeometryCollection":
+        geoms = obj.get("geometries")
+        return isinstance(geoms, list) and all(is_geometry(g) for g in geoms)
+    return "coordinates" in obj and isinstance(obj["coordinates"], (list, tuple))
+
+
+def is_feature(obj) -> bool:
+    return (
+        isinstance(obj, dict)
+        and obj.get("type") == "Feature"
+        and is_geometry(obj.get("geometry"))
+    )
+
+
+def is_feature_collection(obj) -> bool:
+    return (
+        isinstance(obj, dict)
+        and obj.get("type") == "FeatureCollection"
+        and isinstance(obj.get("features"), list)
+        and all(is_feature(f) for f in obj["features"])
+    )
+
+
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+
+
+def _parse_coord_seq(text: str) -> list[list[float]]:
+    pts = []
+    for pt in text.split(","):
+        nums = re.findall(_NUM, pt)
+        pts.append([float(n) for n in nums[:2]])
+    return pts
+
+
+def _split_rings(body: str) -> list[str]:
+    """Split '(...),(...)' at depth 0 commas."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(body):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts]
+
+
+def parse_wkt(wkt: str) -> dict:
+    """F9 — WKT → GeoJSON geometry dict (shapely.wkt.loads stand-in)."""
+    m = re.match(r"\s*([A-Za-z]+)\s*\((.*)\)\s*$", wkt, re.S)
+    if not m:
+        raise ValueError(f"invalid WKT: {wkt[:60]!r}")
+    kind, body = m.group(1).upper(), m.group(2)
+    if kind == "POINT":
+        return {"type": "Point", "coordinates": _parse_coord_seq(body)[0]}
+    if kind == "LINESTRING":
+        return {"type": "LineString", "coordinates": _parse_coord_seq(body)}
+    if kind == "POLYGON":
+        rings = [_parse_coord_seq(r.strip("() ")) for r in _split_rings(body)]
+        return {"type": "Polygon", "coordinates": rings}
+    if kind == "MULTIPOLYGON":
+        polys = []
+        for poly in _split_rings(body):
+            inner = poly.strip()
+            inner = inner[1:-1] if inner.startswith("(") else inner
+            rings = [_parse_coord_seq(r.strip("() ")) for r in _split_rings(inner)]
+            polys.append(rings)
+        return {"type": "MultiPolygon", "coordinates": polys}
+    raise ValueError(f"unsupported WKT type {kind!r}")

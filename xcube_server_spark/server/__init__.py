@@ -1,0 +1,3 @@
+from .app import CubeServer
+
+__all__ = ["CubeServer"]

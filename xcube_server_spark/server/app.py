@@ -1,0 +1,226 @@
+"""HTTP service layer: the reference's REST surface over the Spark engine
+(SURVEY.md §3; route table parity with ``xcube_server/app.py:38-104``).
+
+Routes (reference handler in parens):
+
+- ``GET /datasets[?details=1]``                       (GetDatasetsHandler)
+- ``GET /datasets/{ds}/coords/{dim}``                 (GetDatasetCoordsHandler)
+- ``GET /datasets/{ds}/vars/{var}/tiles/{z}/{x}/{y}.png``  (GetDatasetVarTileHandler)
+- ``GET /datasets/{ds}/vars/{var}/tilegrid``          (tile-grid JSON)
+- ``GET /datasets/{ds}/vars/{var}/legend.png``        (GetDatasetVarLegendHandler)
+- ``GET /colorbars``                                  (GetColorBarsHandler)
+- ``GET /ts/{ds}/{var}/point?lon=&lat=[&startDate=&endDate=]``
+- ``POST /ts/{ds}/{var}/geometry`` (GeoJSON body)
+- ``GET /places/{collection}[?bbox=w,s,e,n][&expr=...]``
+
+Threading model: the reference moves work off the event loop into executor
+threads (``xcube_server/handlers.py:165`` etc.); here ``ThreadingHTTPServer``
+gives one thread per request and Spark's scheduler multiplexes jobs — set
+``spark.scheduler.mode=FAIR`` for a production deployment so tile latency
+isn't starved by long analytics queries.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame
+
+from ..cube.catalog import CubeCatalog
+from ..cube.legend import render_legend
+from ..cube.metadata import get_coordinates, get_datasets, get_tile_grid
+from ..cube.places import find_places
+from ..cube.reqparams import parse_query_geometry, to_float, to_int
+from ..cube.tiles import TileService
+from ..cube.timeseries import time_series_for_geometry, time_series_for_point
+from ..functions.colormap import list_cmaps
+
+
+def _ts_rows(df: DataFrame | None) -> dict:
+    """Reference TS response shape (``controllers/time_series.py:135-145``)."""
+    if df is None:
+        return {"results": []}
+    return {
+        "results": [
+            {
+                "date": r["date"],
+                "result": {
+                    "totalCount": r["total_count"],
+                    "validCount": r["valid_count"],
+                    "average": r["average"],
+                },
+            }
+            for r in df.collect()
+        ]
+    }
+
+
+class CubeServer:
+    """Wraps a catalog + tile service in a threading HTTP server."""
+
+    def __init__(self, catalog: CubeCatalog, places=None, host="127.0.0.1", port=0):
+        self.catalog = catalog
+        self.places = places
+        self.tiles = TileService(catalog)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code: int = 200) -> None:
+                self._send(code, json.dumps(obj).encode(), "application/json")
+
+            def _error(self, code: int, msg: str) -> None:
+                self._json({"error": {"status": code, "message": msg}}, code)
+
+            def do_GET(self):
+                try:
+                    outer._route(self, "GET")
+                except KeyError as e:
+                    self._error(404, f"not found: {e}")
+                except ValueError as e:
+                    self._error(400, str(e))
+                except Exception as e:  # pragma: no cover
+                    self._error(500, f"{type(e).__name__}: {e}")
+
+            def do_POST(self):
+                try:
+                    outer._route(self, "POST")
+                except KeyError as e:
+                    self._error(404, f"not found: {e}")
+                except ValueError as e:
+                    self._error(400, str(e))
+                except Exception as e:  # pragma: no cover
+                    self._error(500, f"{type(e).__name__}: {e}")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- routing -------------------------------------------------------------
+
+    def _route(self, h, method: str) -> None:
+        url = urlparse(h.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        parts = [p for p in url.path.split("/") if p]
+
+        if method == "GET" and parts == ["datasets"]:
+            h._json(get_datasets(self.catalog, details=q.get("details") == "1"))
+        elif method == "GET" and len(parts) == 4 and parts[0] == "datasets" and parts[2] == "coords":
+            h._json(get_coordinates(self.catalog, parts[1], parts[3]))
+        elif (
+            method == "GET"
+            and len(parts) == 8
+            and parts[0] == "datasets"
+            and parts[2] == "vars"
+            and parts[4] == "tiles"
+        ):
+            ds, var = parts[1], parts[3]
+            z = to_int("z", parts[5])
+            x = to_int("x", parts[6])
+            y = to_int("y", parts[7].removesuffix(".png"))
+            png = self.tiles.get_tile(
+                ds,
+                var,
+                z,
+                x,
+                y,
+                time=q.get("time"),
+                cmap=q.get("cbar"),
+                vmin=to_float("vmin", q["vmin"]) if "vmin" in q else None,
+                vmax=to_float("vmax", q["vmax"]) if "vmax" in q else None,
+            )
+            h._send(200, png, "image/png")
+        elif (
+            method == "GET"
+            and len(parts) == 5
+            and parts[0] == "datasets"
+            and parts[2] == "vars"
+            and parts[4] == "tilegrid"
+        ):
+            h._json(get_tile_grid(self.catalog, parts[1]))
+        elif (
+            method == "GET"
+            and len(parts) == 5
+            and parts[0] == "datasets"
+            and parts[2] == "vars"
+            and parts[4] == "legend.png"
+        ):
+            ds, var = parts[1], parts[3]
+            st = self.catalog.datasets[ds].styles.get(var)
+            cmap = q.get("cbar") or (st.color_bar if st else "viridis")
+            vmin = to_float("vmin", q["vmin"]) if "vmin" in q else (st.value_range[0] if st else 0.0)
+            vmax = to_float("vmax", q["vmax"]) if "vmax" in q else (st.value_range[1] if st else 1.0)
+            png, _ = render_legend(cmap, vmin, vmax)
+            h._send(200, png, "image/png")
+        elif method == "GET" and parts == ["colorbars"]:
+            h._json(list_cmaps())
+        elif method == "GET" and len(parts) == 4 and parts[0] == "ts" and parts[3] == "point":
+            df = time_series_for_point(
+                self.catalog,
+                parts[1],
+                parts[2],
+                lon=to_float("lon", q["lon"]),
+                lat=to_float("lat", q["lat"]),
+                start=q.get("startDate"),
+                end=q.get("endDate"),
+            )
+            h._json(_ts_rows(df))
+        elif method == "POST" and len(parts) == 4 and parts[0] == "ts" and parts[3] == "geometry":
+            length = int(h.headers.get("Content-Length", 0))
+            body = json.loads(h.rfile.read(length) or b"{}")
+            geom = parse_query_geometry(body=body)
+            df = time_series_for_geometry(
+                self.catalog,
+                parts[1],
+                parts[2],
+                geometry=geom,
+                start=q.get("startDate"),
+                end=q.get("endDate"),
+            )
+            h._json(_ts_rows(df))
+        elif method == "GET" and len(parts) == 2 and parts[0] == "places":
+            if self.places is None:
+                raise KeyError("no place groups configured")
+            pl = self.places
+            if parts[1] != "all":
+                from pyspark.sql import functions as F
+
+                pl = pl.filter(F.col("collection") == parts[1])
+            geom = parse_query_geometry(bbox=q.get("bbox"), geom=q.get("geom"))
+            out = find_places(pl, geometry=geom, query_expr=q.get("expr"))
+            feats = [
+                {
+                    "type": "Feature",
+                    "id": r["feature_id"],
+                    "geometry": json.loads(r["geometry"]),
+                    "properties": dict(r["properties"]),
+                }
+                for r in out.collect()
+            ]
+            h._json({"type": "FeatureCollection", "features": feats})
+        else:
+            raise KeyError(url.path)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> int:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
