@@ -1,0 +1,87 @@
+"""Scale-contract tests: assert the physical plans have the properties each
+operator's design claims (pushdown, pruning, broadcast, shuffle counts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from xcube_server_spark.registry import QUERIES
+from xcube_server_spark.registry._util import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q1's shipdate filter must appear in PushedFilters (row-group pruning)."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column aggregate over 16-column lineitem must scan few columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    cols = scan_columns(df)
+    assert cols and all(len(c) <= 3 for c in cols), cols
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    """q5's dimension chain must use broadcast joins — no shuffle of the
+    fact side for dimension lookups."""
+    df = QUERIES["q5_local_supplier"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_mask_semi_join_is_broadcast(spark, sf_dir):
+    """J1: the mask side of the semi-join must broadcast (the cube side must
+    never shuffle for a geometry query)."""
+    from xcube_server_spark.operators.spatial import mask_semi_join
+
+    cube = load_table(spark, sf_dir, "lineitem")
+    mask = spark.createDataFrame([(1, 1)], "l_orderkey long, l_linenumber int")
+    out = mask_semi_join(cube, mask, ["l_orderkey", "l_linenumber"])
+    assert has_broadcast_join(out)
+    assert count_exchanges(out) == 0
+
+
+def test_stride_decimation_no_shuffle(spark, sf_dir):
+    """A5 'first'/stride decimation is filter+project only — zero exchanges."""
+    from xcube_server_spark.operators.pyramid import decimate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = decimate(ev, idx_cols=["user_id"], value_cols=["value"], agg="first")
+    assert count_exchanges(out) == 0
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """J3: the union+window as-of join must cost exactly ONE shuffle on the
+    key (plus none for the final projection)."""
+    from xcube_server_spark.operators.nearest import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    out = asof_join(left, right, "user_id", "ts", "s_ts", ["s_ts"])
+    assert count_exchanges(out) == 1
+
+
+def test_timeseries_groupby_partial_agg(spark, sf_dir):
+    """A1: per-step stats shuffle only aggregated partials (HashAggregate
+    appears before and after the single exchange)."""
+    from xcube_server_spark.operators.timeseries import masked_mean_per_step
+
+    ev = load_table(spark, sf_dir, "events")
+    out = masked_mean_per_step(ev, "ts", "value")
+    from xcube_server_spark.plans.explain import executed_plan
+
+    plan = executed_plan(out)
+    assert count_exchanges(out) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final

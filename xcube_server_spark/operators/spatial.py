@@ -42,7 +42,11 @@ def antimeridian_pred(lon: Column, west: float, east: float) -> Column:
 
 
 def mask_semi_join(
-    cube: DataFrame, mask: DataFrame, keys: list[str], broadcast_mask: bool = True
+    cube: DataFrame,
+    mask: DataFrame,
+    keys: list[str],
+    broadcast_mask: bool = True,
+    dedup_mask: bool = False,
 ) -> DataFrame:
     """J1 — keep cube cells under a (small) rasterized geometry mask.
 
@@ -51,8 +55,14 @@ def mask_semi_join(
     ``left_semi`` means no shuffle of the cube side at all: each task streams
     its cube partition against the in-memory hash set. At 100 TB this is the
     only viable plan; a shuffle join on cell ids would move the whole cube.
+
+    ``dedup_mask`` stays off by default: the rasterizer emits unique cells
+    already, and the dropDuplicates would add the plan's only exchange
+    (mask-side, tiny, but needless).
     """
-    m = mask.select(*keys).dropDuplicates(keys)
+    m = mask.select(*keys)
+    if dedup_mask:
+        m = m.dropDuplicates(keys)
     if broadcast_mask:
         m = broadcast(m)
     return cube.join(m, on=keys, how="left_semi")

@@ -1,0 +1,15 @@
+from .explain import (
+    count_exchanges,
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+
+__all__ = [
+    "count_exchanges",
+    "executed_plan",
+    "has_broadcast_join",
+    "pushed_filters",
+    "scan_columns",
+]

@@ -1,0 +1,64 @@
+"""Physical-plan inspection helpers.
+
+The scale contract of every operator in this engine ("would this plan
+survive 100 TB?") is checkable: filters reach the parquet scan, projections
+prune columns, small sides broadcast, and shuffle counts match the
+operator's design. These helpers parse ``explain`` output so tests can
+assert those properties instead of hoping.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE-planning) physical plan text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters pushed into the parquet scan (``PushedFilters: [...]``)."""
+    text = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Column sets read by each parquet scan (``ReadSchema``) — the column-
+    pruning check: a 2-column projection must not read 16 columns."""
+    text = formatted_plan(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excluding broadcast exchanges) — THE
+    scale metric: every unplanned exchange is a full-data shuffle at 100 TB."""
+    plan = executed_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen regions — wider is better (fused JVM
+    pipelines, SURVEY.md §4 'operator fusion')."""
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))

@@ -11,11 +11,11 @@ value-hash agrees.
 
 from __future__ import annotations
 
-from . import cube_analog, pipeline_queries, relational, streaming_queries
+from . import cube_analog, cube_queries, pipeline_queries, relational, streaming_queries
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, cube_analog, pipeline_queries, streaming_queries):
+for _m in (relational, cube_analog, cube_queries, pipeline_queries, streaming_queries):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

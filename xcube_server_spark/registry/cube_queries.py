@@ -1,0 +1,89 @@
+"""Cube-native gate queries (rows-only checks — no SQL oracle).
+
+These run the REAL cube subsystem (synthetic demo cube → parquet → catalog →
+operators) inside the driver's correctness harness. DuckDB can't see the
+cube tables (its views cover only the star schema), so these entries take
+the weaker rows-only check; their semantics are golden-tested in
+``tests/test_cube.py``.
+
+The cube is materialized once per (session, tmp location) and reused across
+the three queries — mirroring how a server ingests once and serves many.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cube.catalog import CubeCatalog, StyleMeta
+from ..cube.timeseries import time_series_for_geometry, time_series_for_point
+
+_W, _H = 100, 50
+
+
+def _demo_catalog(spark: SparkSession) -> CubeCatalog:
+    from ..sources.cube_ingest import synth_demo_cube, write_cube
+
+    base = os.path.join(tempfile.gettempdir(), f"xss_gate_cube_{_W}x{_H}")
+    marker = f"xss.cube.{base}"
+    cat = CubeCatalog(spark)
+    if spark.conf.get(marker, None) != "1":
+        cube, grid = synth_demo_cube(spark, width=_W, height=_H)
+        _, tg = write_cube(cube, grid, base, tile_size=32)
+        meta = cat.register_written_cube(
+            "demo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"],
+            styles={"conc_tsm": StyleMeta("plasma", (0.0, 100.0))},
+        )
+        cat.save_meta(meta)
+        spark.conf.set(marker, "1")
+    else:
+        cat.load_meta("demo", base)
+    return cat
+
+
+def cube_point_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 spine: P5 nearest-index + P3 slice + A2 masked stats on a real
+    cube table (sf_dir unused — the cube is the engine's own fixture)."""
+    cat = _demo_catalog(spark)
+    return time_series_for_point(
+        cat, "demo", "conc_tsm", 2.1, 51.4, start="2017-01-15", end="2017-01-31"
+    )
+
+
+def cube_geometry_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: rasterized all_touched mask → broadcast semi-join → per-step
+    stats (J1 + A1 + A6)."""
+    cat = _demo_catalog(spark)
+    poly = {
+        "type": "Polygon",
+        "coordinates": [
+            [[1.0, 51.0], [2.0, 51.0], [2.0, 52.0], [1.0, 52.0], [1.0, 51.0]]
+        ],
+    }
+    return time_series_for_geometry(cat, "demo", "conc_tsm", poly)
+
+
+def cube_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: full-level batch tile render — per-tile applyInPandas fused
+    mask/clip/normalize/colormap stage emitting PNG bytes (T1-T8 + S9).
+    Output: one row per tile with the PNG size (binary itself stays out of
+    the hash check)."""
+    from ..cube.tiles import render_tiles
+
+    cat = _demo_catalog(spark)
+    tiles = render_tiles(cat, "demo", "conc_tsm", z=cat.datasets["demo"].tile_grid.num_levels - 1, time="current")
+    return tiles.select(
+        "tile_y", "tile_x", F.octet_length("png").alias("png_bytes")
+    )
+
+
+QUERIES = {
+    "cube_point_timeseries": cube_point_timeseries,
+    "cube_geometry_timeseries": cube_geometry_timeseries,
+    "cube_tile_render": cube_tile_render,
+}
+
+ORACLES: dict[str, str] = {}  # rows-only checks by design
