@@ -142,3 +142,22 @@ def test_errors(server):
     status, _, body = _get(f"{server}/datasets/demo/vars/conc_tsm/tiles/0/0/zzz.png")
     assert status == 400
     assert b"must be an integer" in body
+
+
+def test_wmts_capabilities_and_kvp_tile(server):
+    status, ctype, body = _get(f"{server}/wmts/1.0.0/WMTSCapabilities.xml")
+    assert status == 200 and "xml" in ctype
+    text = body.decode()
+    assert "demo.conc_tsm" in text and "TileMatrixSet" in text
+    assert "2017-01-16T10:09:22Z" in text  # time dimension values
+    # KVP, case-insensitive keys (xcube_server/handlers.py:108-117)
+    status, _, _ = _get(
+        f"{server}/wmts/kvp?SERVICE=WMTS&ReQuEsT=GetCapabilities"
+    )
+    assert status == 200
+    status, ctype, png = _get(
+        f"{server}/wmts/kvp?Service=WMTS&Request=GetTile&Layer=demo.conc_tsm"
+        "&TileMatrix=0&TileCol=0&TileRow=0&Time=current"
+    )
+    assert status == 200 and ctype == "image/png"
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"

@@ -37,6 +37,7 @@ from ..cube.reqparams import parse_query_geometry, to_float, to_int
 from ..cube.tiles import TileService
 from ..cube.timeseries import time_series_for_geometry, time_series_for_point
 from ..functions.colormap import list_cmaps
+from .wmts import get_wmts_capabilities_xml, parse_kvp
 
 
 def _ts_rows(df: DataFrame | None) -> dict:
@@ -115,7 +116,35 @@ class CubeServer:
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
 
-        if method == "GET" and parts == ["datasets"]:
+        if method == "GET" and parts[:1] == ["wmts"]:
+            # /wmts/1.0.0/WMTSCapabilities.xml REST or /wmts/kvp?... KVP
+            # (case-insensitive keys, xcube_server/handlers.py:57-117)
+            base = f"http://{h.headers.get('Host', 'localhost')}"
+            if parts == ["wmts", "kvp"]:
+                kvp = parse_kvp(q)
+                if kvp.get("service", "WMTS").upper() != "WMTS":
+                    raise ValueError("Service must be WMTS")
+                req = kvp.get("request", "").lower()
+                if req == "getcapabilities":
+                    xml = get_wmts_capabilities_xml(self.catalog, base)
+                    h._send(200, xml.encode(), "application/xml")
+                elif req == "gettile":
+                    layer = kvp["layer"]
+                    ds, var = layer.split(".", 1)
+                    png = self.tiles.get_tile(
+                        ds, var,
+                        to_int("tilematrix", kvp["tilematrix"]),
+                        to_int("tilecol", kvp["tilecol"]),
+                        to_int("tilerow", kvp["tilerow"]),
+                        time=kvp.get("time"),
+                    )
+                    h._send(200, png, "image/png")
+                else:
+                    raise ValueError(f"unsupported WMTS request {req!r}")
+            else:
+                xml = get_wmts_capabilities_xml(self.catalog, base)
+                h._send(200, xml.encode(), "application/xml")
+        elif method == "GET" and parts == ["datasets"]:
             h._json(get_datasets(self.catalog, details=q.get("details") == "1"))
         elif method == "GET" and len(parts) == 4 and parts[0] == "datasets" and parts[2] == "coords":
             h._json(get_coordinates(self.catalog, parts[1], parts[3]))

@@ -1,0 +1,105 @@
+"""WMTS capabilities + KVP handling (SURVEY.md §3.3; reference:
+``xcube_server/controllers/wmts.py:12-287``, KVP handler
+``xcube_server/handlers.py:57-117`` with case-insensitive keys).
+
+Emits OGC WMTS 1.0.0 GetCapabilities XML from catalog metadata alone (no
+data reads — the reference must force-open every dataset here; our catalog
+already knows shapes). TileMatrix geometry follows the engine's tile grid:
+zoom z has 2^z × level-zero tiles, matching ``TileGridMeta.num_tiles``.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from ..cube.catalog import CubeCatalog
+from ..cube.grid import level_sizes
+
+_NS = {
+    "": "http://www.opengis.net/wmts/1.0",
+    "ows": "http://www.opengis.net/ows/1.1",
+    "xlink": "http://www.w3.org/1999/xlink",
+}
+for prefix, uri in _NS.items():
+    ET.register_namespace(prefix, uri)
+
+
+def _e(parent, tag, text=None, **attrs):
+    ns, _, name = tag.rpartition(":")
+    full = f"{{{_NS[ns]}}}{name}" if ns else f"{{{_NS['']}}}{name}"
+    el = ET.SubElement(parent, full, attrs)
+    if text is not None:
+        el.text = str(text)
+    return el
+
+
+def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
+    root = ET.Element(f"{{{_NS['']}}}Capabilities", {"version": "1.0.0"})
+    ident = _e(root, "ows:ServiceIdentification")
+    _e(ident, "ows:Title", "spark-cube-server WMTS")
+    _e(ident, "ows:ServiceType", "OGC WMTS")
+    _e(ident, "ows:ServiceTypeVersion", "1.0.0")
+    contents = _e(root, "Contents")
+
+    for meta in catalog.datasets.values():
+        tg = meta.tile_grid
+        matrix_set_id = (
+            f"TileGrid_{meta.grid.width}_{meta.grid.height}"
+        )
+        for var in meta.variables:
+            layer = _e(contents, "Layer")
+            _e(layer, "ows:Identifier", f"{meta.identifier}.{var}")
+            _e(layer, "ows:Title", f"{meta.title} / {var}")
+            bbox = _e(layer, "ows:WGS84BoundingBox")
+            w, s, e, n = meta.grid.extent
+            _e(bbox, "ows:LowerCorner", f"{w} {s}")
+            _e(bbox, "ows:UpperCorner", f"{e} {n}")
+            style = _e(layer, "Style", isDefault="true")
+            _e(style, "ows:Identifier", "Default")
+            _e(layer, "Format", "image/png")
+            # time dimension (reference: per-layer <Dimension>,
+            # wmts.py:195-239)
+            dim = _e(layer, "Dimension")
+            _e(dim, "ows:Identifier", "time")
+            _e(dim, "Default", "current")
+            for t in meta.grid.times:
+                _e(dim, "Value", t.replace(" ", "T") + "Z")
+            link = _e(layer, "TileMatrixSetLink")
+            _e(link, "TileMatrixSet", matrix_set_id)
+            tmpl = (
+                f"{base_url}/datasets/{meta.identifier}/vars/{var}"
+                "/tiles/{TileMatrix}/{TileCol}/{TileRow}.png?time={time}"
+            )
+            _e(
+                layer,
+                "ResourceURL",
+                format="image/png",
+                resourceType="tile",
+                template=tmpl,
+            )
+
+        tms = _e(contents, "TileMatrixSet")
+        _e(tms, "ows:Identifier", matrix_set_id)
+        _e(tms, "ows:SupportedCRS", "urn:ogc:def:crs:OGC:2:84")
+        sizes = level_sizes(meta.grid.width, meta.grid.height, tg.num_levels)
+        for z in range(tg.num_levels):
+            level = tg.num_levels - 1 - z
+            w_px, h_px = sizes[level]
+            ntx, nty = tg.num_tiles(z)
+            tm = _e(tms, "TileMatrix")
+            _e(tm, "ows:Identifier", str(z))
+            res_deg = (meta.grid.extent[2] - meta.grid.extent[0]) / w_px
+            # OGC scale denominator: deg -> m (~111319.49 m/deg) / 0.28 mm px
+            _e(tm, "ScaleDenominator", res_deg * 111319.49079327358 / 0.00028)
+            _e(tm, "TopLeftCorner", f"{meta.grid.extent[0]} {meta.grid.extent[3]}")
+            _e(tm, "TileWidth", tg.tile_width)
+            _e(tm, "TileHeight", tg.tile_height)
+            _e(tm, "MatrixWidth", ntx)
+            _e(tm, "MatrixHeight", nty)
+
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+def parse_kvp(query: dict[str, str]) -> dict[str, str]:
+    """Case-insensitive KVP keys (``xcube_server/handlers.py:108-117``)."""
+    return {k.lower(): v for k, v in query.items()}
