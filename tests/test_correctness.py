@@ -10,7 +10,12 @@ from xcube_server_spark.registry import ORACLES, QUERIES
 from .oracle_harness import compare
 
 
-ROWS_ONLY = {"cube_point_timeseries", "cube_geometry_timeseries", "cube_tile_render"}
+ROWS_ONLY = {
+    "cube_point_timeseries",
+    "cube_geometry_timeseries",
+    "cube_tile_render",
+    "embed_ann_ivf",
+}
 
 
 def test_every_query_has_oracle():

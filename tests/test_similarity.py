@@ -1,0 +1,47 @@
+"""IVF index: build/search correctness vs the brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.pipeline.similarity import ivf_build, ivf_search
+from xcube_server_spark.registry._util import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_build_partitions_corpus(corpus):
+    assigned, centroids = ivf_build(corpus, k=8)
+    assert centroids.shape == (8, 64)
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 1 < n_lists <= 8
+    assert assigned.count() == corpus.count()
+
+
+def test_ivf_search_recall_vs_bruteforce(spark, corpus):
+    assigned, centroids = ivf_build(corpus, k=8)
+    probe = np.array(
+        corpus.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    got = ivf_search(assigned, centroids, probe, top_k=10, nprobe=8)
+    rows = got.collect()
+    assert len(rows) == 10
+    # nprobe = k searches everything -> must contain the query itself at cos 1
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos"] == 1.0
+    # brute force baseline (numpy, driver-side at test scale)
+    all_rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in all_rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    qn = probe / np.linalg.norm(probe)
+    cos = m @ qn
+    top = ids[np.argsort(-cos)[:10]]
+    assert {r["vec_id"] for r in rows} == set(top.tolist())
+    # partial probe: recall of top-10 with nprobe=2 should still be decent
+    got2 = {r["vec_id"] for r in ivf_search(assigned, centroids, probe, 10, nprobe=2).collect()}
+    assert len(got2 & set(top.tolist())) >= 3

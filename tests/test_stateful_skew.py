@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator + skew-salted aggregation tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.operators.skew import salted_agg
+from xcube_server_spark.registry._util import load_table, rnd
+from xcube_server_spark.streaming.run import run_stream_to_batch
+from xcube_server_spark.streaming.stateful import (
+    running_user_stats_batch,
+    running_user_stats_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stateful") / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stateful_stream_converges_to_batch(spark, events_path):
+    """applyInPandasWithState: after draining the backlog, each user's last
+    state row equals the batch lifetime aggregate."""
+    streamed = run_stream_to_batch(
+        spark, events_path, running_user_stats_stream, output_mode="update"
+    )
+    # memory sink in update mode appends one row per (trigger, user);
+    # the converged state is each user's max-count row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("count").desc())
+    final = (
+        streamed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "count", rnd("value_sum", 4).alias("value_sum"), "max_value")
+    )
+    batch = running_user_stats_batch(spark.read.parquet(events_path)).select(
+        "user_id", "count", rnd("value_sum", 4).alias("value_sum"), "max_value"
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
+    # multiple triggers actually happened (maxFilesPerTrigger=1 over >1 file,
+    # or at minimum one state row per user)
+    assert streamed.count() >= batch.count()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "value"),
+            "total": ("sum", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt_buckets=8,
+    ).select("event_type", "n", rnd("total", 2).alias("total"), "vmax")
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("value"), 2).alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_agg_two_phase_plan(spark, sf_dir):
+    """The salted plan must have exactly 2 exchanges (phase-1 on salted key,
+    phase-2 on the real key)."""
+    from xcube_server_spark.plans.explain import count_exchanges
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], {"n": ("count", "value")})
+    assert count_exchanges(out) == 2

@@ -1,0 +1,57 @@
+"""Skew-aware aggregation (the 100 TB contract for hot keys).
+
+A groupBy on a skewed key (one user generating 30% of events, one geohash
+holding a megacity) funnels that key's entire volume through one reducer.
+Salting splits each hot key into N subkeys for the first (parallel) partial
+aggregation, then re-combines in a second, tiny aggregation.
+
+AQE's skew-join handling covers *joins*; aggregation skew is still the
+query author's job — this operator packages the standard two-phase plan.
+Cost: 2 shuffles instead of 1, but the first distributes evenly; for
+algebraic aggregates (sum/count/min/max) the result is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partials
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: output_name -> (fn, column) with fn in sum/count/min/max.
+    Phase 1 groups by (keys..., salt) where salt = hash(whole row) % N —
+    uniform within every key; phase 2 merges the ≤N partials per key.
+    """
+    salt = (F.abs(F.hash(*df.columns)) % salt_buckets).alias("__salt")
+    partials = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[
+            _PARTIAL[fn](col).alias(f"__p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partials.groupBy(*keys).agg(
+        *[
+            _MERGE[fn](f"__p_{name}").alias(name)
+            for name, (fn, col) in aggs.items()
+        ]
+    )

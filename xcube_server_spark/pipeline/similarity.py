@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns.
+
+Three tiers, each a stepping stone to the next scale:
+
+1. brute-force cosine (registry ``embed_cosine_topk``): broadcast probe,
+   exact, full scan — the correctness baseline;
+2. LSH sign-buckets (registry ``embed_ann_lsh``): static pruning, no
+   training, oracle-checkable;
+3. IVF (here): trained coarse quantizer — KMeans centroids partition the
+   corpus; a probe searches only the ``nprobe`` nearest inverted lists.
+   At 100 TB the list id becomes the table's partition key, so a query
+   reads ``nprobe/k`` of the data. This is the standard FAISS-style layout
+   expressed relationally.
+
+The dot/cosine math runs in numpy inside Arrow batches (mapInPandas) —
+vectorized, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ivf_build(
+    emb: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Train the coarse quantizer and assign every vector to its list.
+
+    Returns (assigned DataFrame with ``list_id`` column, centroids array).
+    Uses pyspark.ml KMeans (distributed Lloyd's) — the train step is itself
+    a Spark job, so building an index over 10^9 vectors is the same code.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__features",
+        predictionCol="list_id",
+    ).fit(with_vec)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(with_vec).drop("__features")
+    _ = vector_to_array  # imported for symmetry; assignment keeps arrays
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    top_k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest lists and rank by cosine similarity.
+
+    The list filter is a pushable IN-predicate on ``list_id`` — with the
+    table partitioned by list_id this is partition pruning, the IVF win.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    # driver-side: distance of the query to each centroid (k values)
+    d = np.linalg.norm(centroids - q[None, :], axis=1)
+    probe_lists = [int(i) for i in np.argsort(d)[:nprobe]]
+    candidates = assigned.filter(F.col("list_id").isin(probe_lists))
+
+    qn_list = qn.tolist()
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = np.asarray(qn_list)
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ qv
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "list_id": pdf["list_id"],
+                    "cos": np.floor(cos * 1e5 + 0.5) / 1e5,
+                }
+            )
+
+    scored = candidates.mapInPandas(score, "vec_id long, list_id int, cos double")
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(top_k)

@@ -695,3 +695,23 @@ ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "multimodal_bytes": ORACLE_MULTIMODAL,
 }
+
+
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (rows-only check — KMeans training is not
+    SQL-expressible; exactness vs brute force is covered by
+    tests/test_similarity.py). nprobe=k here, so the search is exhaustive
+    and the top hit is the query itself at cos 1.0."""
+    import numpy as np
+
+    from ..pipeline.similarity import ivf_build, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, k=8)
+    probe = np.array(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    return ivf_search(assigned, centroids, probe, top_k=10, nprobe=8)
+
+
+QUERIES["embed_ann_ivf"] = embed_ann_ivf

