@@ -1,0 +1,68 @@
+"""M6 — the SQL passthrough surface: every table registered as a view, the
+engine's scalar functions usable from spark.sql, cube tables queryable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.sources.tables import register_views
+
+
+def test_sql_over_registered_views(spark, sf_dir):
+    register_views(spark, sf_dir)
+    # TPC-H Q6 shape straight through spark.sql
+    row = spark.sql(
+        """
+        SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100
+                 AS revenue
+        FROM lineitem
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+        """
+    ).first()
+    assert row["revenue"] is not None
+    # join across views
+    n = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).first()["n"]
+    assert n > 0
+
+
+def test_engine_functions_registered_in_sql(spark, sf_dir):
+    """The engine's scalar semantics are expressible in plain SQL (the
+    functions are Catalyst expressions, so spark.sql sees the same forms)."""
+    register_views(spark, sf_dir)
+    from xcube_server_spark.functions.scalars import iso_ts, mask_invalid
+
+    df = spark.table("lineitem").select(
+        iso_ts(F.col("l_shipdate")).alias("iso"),
+        mask_invalid(F.col("l_quantity"), valid_min=5.0).alias("masked"),
+    )
+    sql_df = spark.sql(
+        """
+        SELECT date_format(date_trunc('second', l_shipdate),
+                           "yyyy-MM-dd'T'HH:mm:ss'Z'") AS iso,
+               CASE WHEN isnan(l_quantity) THEN NULL
+                    WHEN l_quantity < 5.0 THEN NULL
+                    ELSE l_quantity END AS masked
+        FROM lineitem
+        """
+    )
+    assert df.exceptAll(sql_df).count() == 0
+
+
+def test_cube_table_in_sql(spark, tmp_path):
+    from xcube_server_spark.sources.cube_ingest import synth_demo_cube, write_cube
+
+    base = str(tmp_path / "cube")
+    cube, grid = synth_demo_cube(spark, width=20, height=10)
+    write_cube(cube, grid, base, tile_size=8)
+    spark.read.parquet(f"{base}/l0").createOrReplaceTempView("cube_demo")
+    rows = spark.sql(
+        """
+        SELECT time, count(conc_tsm) AS valid_count, avg(conc_tsm) AS average
+        FROM cube_demo GROUP BY time ORDER BY time
+        """
+    ).collect()
+    assert len(rows) == 5
+    assert rows[2]["valid_count"] == 0 and rows[2]["average"] is None

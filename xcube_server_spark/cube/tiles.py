@@ -57,7 +57,7 @@ def _render_pdf_factory(
     ``xcube_server/im/tiledimage.py:1058-1084``) and render transparent.
     """
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ty, tx = int(key[0]), int(key[1])
         arr = np.full((tile_h, tile_w), np.nan, dtype=np.float64)
         ri = pdf["lat_idx"].to_numpy() - ty * tile_h

@@ -27,6 +27,10 @@ _W, _H = 100, 50
 def _demo_catalog(spark: SparkSession) -> CubeCatalog:
     from ..sources.cube_ingest import synth_demo_cube, write_cube
 
+    # driver-supplied sessions may carry a host timezone; cube timestamps
+    # are UTC by contract (xcube_server/utils.py:86-97)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     base = os.path.join(tempfile.gettempdir(), f"xss_gate_cube_{_W}x{_H}")
     marker = f"xss.cube.{base}"
     cat = CubeCatalog(spark)

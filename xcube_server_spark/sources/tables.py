@@ -35,11 +35,15 @@ DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every star-schema table under ``sf_dir`` as a DataFrame."""
-    return {
-        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for name in TABLES
-    }
+    """Load every star-schema table under ``sf_dir`` as a DataFrame.
+
+    Delegates to the ns-timestamp-aware loader (events is written with
+    parquet TIMESTAMP(NANOS), which the vectorized reader rejects) and pins
+    the UTC session timezone.
+    """
+    from ..registry._util import load_table
+
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
