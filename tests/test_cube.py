@@ -366,3 +366,23 @@ def test_catalog_roundtrip(spark, demo_catalog):
     assert meta.grid.extent == DEMO_EXTENT
     assert meta.styles["conc_chl"].value_range == (0.0, 24.0)
     assert cat2.cube("demo", 0).count() == len(DEMO_TIMES) * W * H
+
+
+def test_tile_fast_path_matches_spark_path(demo_catalog):
+    """Driver-side pyarrow fast path must produce byte-identical PNGs to the
+    distributed render plan (same pruning, same fused render fn)."""
+    import time as _time
+
+    fast = TileService(demo_catalog, fast_path=True)
+    slow = TileService(demo_catalog, fast_path=False)
+    for (z, x, y) in [(2, 0, 0), (2, 1, 1), (2, 3, 1), (1, 0, 0)]:
+        assert fast.get_tile("demo", "kd489", z, x, y, time="current") == \
+            slow.get_tile("demo", "kd489", z, x, y, time="current")
+    # out-of-range tile: fully transparent via the fast path too
+    png = fast.get_tile("demo", "kd489", 2, 50, 50)
+    assert decode_rgba_png(png)[..., 3].max() == 0
+    # latency: an uncached fast-path tile must be far below Spark-job cost
+    t0 = _time.perf_counter()
+    fast.get_tile("demo", "conc_chl", 2, 1, 0, time="current")
+    dt = _time.perf_counter() - t0
+    assert dt < 1.0, f"fast path took {dt:.3f}s"

@@ -143,3 +143,12 @@ def test_config_hot_reload(spark, tmp_path):
     os.utime(cfg, (time.time() + 2, time.time() + 2))
     assert watcher.maybe_reload()
     assert watcher.catalog.datasets["demo"].title == "Demo Two"
+
+
+def test_cli_parser():
+    from xcube_server_spark.cli import make_parser
+
+    p = make_parser()
+    args = p.parse_args(["serve", "-c", "cfg.yml", "-p", "9090", "--tilecache", "1G"])
+    assert args.config == "cfg.yml" and args.port == 9090
+    assert args.tilecache == "1G" and args.update == 2.0

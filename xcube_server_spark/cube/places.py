@@ -55,12 +55,21 @@ def load_place_group(
             lon = lat = None
             if geom.get("type") == "Point":
                 lon, lat = float(geom["coordinates"][0]), float(geom["coordinates"][1])
-            rows.append((name, str(fid), json.dumps(geom), lon, lat, props))
+            try:
+                minx, miny, maxx, maxy = geometry_bbox(geom)
+            except ValueError:
+                minx = miny = maxx = maxy = None
+            rows.append(
+                (name, str(fid), json.dumps(geom), lon, lat,
+                 minx, miny, maxx, maxy, props)
+            )
             fid += 1
     return spark.createDataFrame(
         rows,
         "collection string, feature_id string, geometry string,"
-        " lon double, lat double, properties map<string,string>",
+        " lon double, lat double,"
+        " minx double, miny double, maxx double, maxy double,"
+        " properties map<string,string>",
     )
 
 
@@ -95,8 +104,13 @@ def find_places(
         bbox = geometry_bbox(geometry)
     if bbox is not None:
         west, south, east, north = bbox
+        # bbox-overlap works for ANY feature geometry (the loader hoists
+        # per-feature bboxes); point features degenerate to containment.
         out = out.filter(
-            F.col("lon").between(west, east) & F.col("lat").between(south, north)
+            (F.col("maxx") >= west)
+            & (F.col("minx") <= east)
+            & (F.col("maxy") >= south)
+            & (F.col("miny") <= north)
         )
     if geometry is not None and geometry.get("type") in ("Polygon", "MultiPolygon"):
         geom_json = json.dumps(geometry)
@@ -106,9 +120,13 @@ def find_places(
 
             g = json.loads(geom_json)
             for pdf in iterator:
-                px = pdf["lon"].to_numpy(dtype=float)
-                py = pdf["lat"].to_numpy(dtype=float)
-                keep = points_in_geometry(px, py, g)
+                # exact point-in-polygon for point features; non-point
+                # features keep the bbox-overlap verdict (documented
+                # approximation — full polygon∩polygon needs a geometry lib)
+                is_point = pdf["lon"].notna().to_numpy()
+                px = pdf["lon"].fillna(0.0).to_numpy(dtype=float)
+                py = pdf["lat"].fillna(0.0).to_numpy(dtype=float)
+                keep = points_in_geometry(px, py, g) | ~is_point
                 yield pdf[pd.Series(keep, index=pdf.index)]
 
         out = out.mapInPandas(exact, out.schema)

@@ -49,12 +49,16 @@ def _nearest_time(times: list[str], probe: str | None) -> tuple[int, str]:
 
 
 def _render_pdf_factory(
-    tile_w: int, tile_h: int, vmin: float, vmax: float, cmap: str, var: str
+    tile_w: int, tile_h: int, vmin: float, vmax: float, cmap: str, var: str,
+    flip_y: bool = False,
 ):
     """Build the applyInPandas body: rows of one tile → one PNG row.
 
     Missing cells become NaN pixels (T8 trim_tile padding,
     ``xcube_server/im/tiledimage.py:1058-1084``) and render transparent.
+    ``flip_y`` handles inv_y grids (lat ascending in storage) so north is
+    always the top of the PNG (T3 flip,
+    ``xcube_server/im/tiledimage.py:329-415``).
     """
 
     def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -65,6 +69,8 @@ def _render_pdf_factory(
         vals = pdf[var].astype("float64").to_numpy()
         ok = (ri >= 0) & (ri < tile_h) & (rj >= 0) & (rj < tile_w)
         arr[ri[ok], rj[ok]] = vals[ok]
+        if flip_y:
+            arr = arr[::-1, :]
         rgba = apply_cmap(arr, vmin, vmax, cmap)
         png = encode_rgba_png(rgba)
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx], "png": [png]})
@@ -105,25 +111,71 @@ def render_tiles(
             pred = this if pred is None else (pred | this)
         df = df.filter(pred)
     return df.groupBy("tile_y", "tile_x").applyInPandas(
-        _render_pdf_factory(tw, th, vmin, vmax, st.color_bar, var),
+        _render_pdf_factory(
+            tw, th, vmin, vmax, st.color_bar, var, flip_y=meta.grid.inv_y
+        ),
         "tile_y int, tile_x int, png binary",
     )
 
 
 class TileService:
-    """Single-tile serving path with a byte cache (T9).
+    """Single-tile serving path with a byte cache (T9) and a driver-side
+    fast path (SURVEY.md §7.3-7).
 
     The cache is the app-layer analog of the reference's memory tile cache
     (``xcube_server/cache.py:202-410`` with LRU policy,
     ``xcube_server/context.py:80-93``): Spark jobs have ~100 ms overhead, so
     repeated tile hits must not touch Spark at all.
+
+    Fast path: a single tile touches one time_idx partition and a handful of
+    row groups; reading them with pyarrow on the driver (same pruning
+    predicates) costs milliseconds — the latency class of the reference's
+    in-process dask reads — while batch/export rendering still goes through
+    the distributed ``render_tiles`` plan. Falls back to Spark automatically
+    for computed datasets (no parquet path to read).
     """
 
-    def __init__(self, catalog: CubeCatalog, capacity: int = 512 * 1024 * 1024):
+    def __init__(
+        self,
+        catalog: CubeCatalog,
+        capacity: int = 512 * 1024 * 1024,
+        fast_path: bool = True,
+    ):
         self.catalog = catalog
         self.capacity = capacity
+        self.fast_path = fast_path
         self._used = 0
         self._cache: OrderedDict[tuple, bytes] = OrderedDict()
+
+    def _read_tile_fast(
+        self, ds_id: str, var: str, z: int, x: int, y: int, t_idx: int
+    ) -> "pd.DataFrame | None":
+        """pyarrow read of one tile window: partition-dir pruning on
+        time_idx + row-group predicate pruning on (lat_idx, lon_idx)."""
+        import glob as _glob
+
+        import pyarrow.dataset as pads
+
+        meta = self.catalog.datasets[ds_id]
+        if meta.computed or not meta.base_path:
+            return None
+        tg = meta.tile_grid
+        level = tg.level_for_zoom(z)
+        part_dir = f"{meta.base_path}/l{level}/time_idx={t_idx}"
+        if not _glob.glob(part_dir):
+            return None
+        dataset = pads.dataset(part_dir, format="parquet")
+        f = pads.field
+        filt = (
+            (f("lat_idx") >= y * tg.tile_height)
+            & (f("lat_idx") < (y + 1) * tg.tile_height)
+            & (f("lon_idx") >= x * tg.tile_width)
+            & (f("lon_idx") < (x + 1) * tg.tile_width)
+        )
+        table = dataset.to_table(
+            columns=["lat_idx", "lon_idx", var], filter=filt
+        )
+        return table.to_pandas()
 
     def get_tile(
         self,
@@ -150,22 +202,36 @@ class TileService:
         if key in self._cache:
             self._cache.move_to_end(key)  # LRU touch
             return self._cache[key]
-        rows = (
-            render_tiles(
-                self.catalog, ds_id, var, z, time=time, style=st, tiles=[(x, y)]
+        png = None
+        if self.fast_path:
+            t_idx, _ = _nearest_time(list(meta.grid.times), time)
+            pdf = self._read_tile_fast(ds_id, var, z, x, y, t_idx)
+            if pdf is not None:
+                tg = meta.tile_grid
+                render = _render_pdf_factory(
+                    tg.tile_width, tg.tile_height, *st.value_range,
+                    st.color_bar, var, flip_y=meta.grid.inv_y,
+                )
+                png = bytes(render((y, x), pdf)["png"][0])
+        if png is None:
+            rows = (
+                render_tiles(
+                    self.catalog, ds_id, var, z, time=time, style=st,
+                    tiles=[(x, y)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        if rows:
-            png = bytes(rows[0]["png"])
-        else:
-            # Out-of-range tile: all-NaN → fully transparent (the reference
-            # still renders padded tiles, test/controllers/test_tiles.py:18).
-            tg = meta.tile_grid
-            blank = np.full((tg.tile_height, tg.tile_width), np.nan)
-            png = encode_rgba_png(
-                apply_cmap(blank, *st.value_range, st.color_bar)
-            )
+            if rows:
+                png = bytes(rows[0]["png"])
+            else:
+                # Out-of-range tile: all-NaN → fully transparent (the
+                # reference still renders padded tiles,
+                # test/controllers/test_tiles.py:18).
+                tg = meta.tile_grid
+                blank = np.full((tg.tile_height, tg.tile_width), np.nan)
+                png = encode_rgba_png(
+                    apply_cmap(blank, *st.value_range, st.color_bar)
+                )
         self._cache[key] = png
         self._used += len(png)
         while self._used > self.capacity * 0.75 and self._cache:
