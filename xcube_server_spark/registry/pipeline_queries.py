@@ -76,38 +76,35 @@ GROUP BY 1
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: 5-char shingles → 4 md5 minhashes
-    → 2 bands of 2 → docs sharing a band bucket become candidate pairs.
+    """MinHash + LSH near-dup candidates: 5-char shingles → 4 minhashes
+    (disjoint md5 slices) → 2 bands of 2 → docs sharing a band bucket
+    become candidate pairs.
 
-    The Spark plan: shingle explode (map-side), per-doc min-agg (one shuffle
-    of (doc, shingle-hash)), band self-join on the *band value* (shuffle of
-    (band, id) only). Candidates are a tiny fraction of n²; a downstream
-    verifier (``dedup_ngram_jaccard``) confirms them.
+    Plan shape: the ENTIRE signature computation is a per-row projection of
+    higher-order array functions (transform/array_min) — no explode, no
+    shuffle; the only exchange is the band self-join, which carries one
+    (band, doc_id) pair per doc per band. At 100 TB that is the difference
+    between shuffling shingles (|corpus| × |doc length|) and shuffling two
+    small ids per document.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text)-4, 1)),"
-                    " i -> substring(text, i, 5))"
-                )
-            )
-        ).alias("sh"),
+    # the signature projection is CPU-heavy per row (|shingles| md5s); the
+    # source is a single parquet file, so spread rows across cores first —
+    # a RoundRobin exchange of raw docs, amortized by the per-row work
+    docs = docs.repartition(64)
+    sig = docs.withColumn(
+        "hashes",
+        F.expr(
+            "transform(array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),"
+            " i -> substring(text, i, 5))), s -> md5(s))"
+        ),
     )
-    # One md5 per shingle; the 4 "independent" hash functions are the 4
-    # disjoint 8-hex-char slices of the digest (4x fewer md5 evaluations —
-    # the dominant cost at scale; slices of a cryptographic hash are
-    # independent enough for LSH banding).
-    hashed = shingles.select("doc_id", F.md5("sh").alias("h"))
-    mh = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h", 8 * j + 1, 8)).alias(f"m{j}")
-            for j in range(4)
-        ]
-    )
-    bands = mh.select(
+    for j in range(4):
+        sig = sig.withColumn(
+            f"m{j}",
+            F.expr(f"array_min(transform(hashes, h -> substring(h, {8 * j + 1}, 8)))"),
+        )
+    bands = sig.select(
         "doc_id",
         F.md5(F.concat("m0", "m1")).alias("b0"),
         F.md5(F.concat("m2", "m3")).alias("b1"),
@@ -156,38 +153,34 @@ _HEX = "0123456789abcdef"
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup: 8-bit signature from token md5s — per bit, sum ±1 votes
-    over tokens, sign → bit. Docs sharing a signature are near-dup buckets.
+    """SimHash dedup: 8-bit signature from token md5s — per bit, sum ±1
+    votes over tokens (with multiplicity), sign → bit.
 
-    One token explode (map-side) + one groupBy(doc) + one groupBy(simhash):
-    shuffles carry only ids and 8 small integers.
+    Plan shape: votes accumulate inside ONE higher-order ``aggregate`` over
+    the token array (zip_with of an 8-int accumulator) — a pure projection;
+    the only shuffle groups the 8-bit signatures (one small row per doc).
+    The DuckDB oracle computes the same votes via unnest — different plan,
+    identical integers.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    vote = [
-        F.sum(
-            (
-                (
-                    F.expr(
-                        f"instr('{_HEX}', substring(md5(tok), {i + 1}, 1)) - 1"
-                    )
-                    % 2
-                )
-                * 2
-                - 1
-            )
-        ).alias(f"s{i}")
-        for i in range(8)
-    ]
-    per_doc = toks.groupBy("doc_id").agg(*vote)
+    votes_expr = (
+        "aggregate("
+        " filter(split(text, ' '), t -> t <> ''),"
+        " array_repeat(0, 8),"
+        " (acc, tok) -> zip_with(acc,"
+        "   transform(sequence(1, 8),"
+        f"    i -> ((instr('{_HEX}', substring(md5(tok), i, 1)) - 1) % 2) * 2 - 1),"
+        "   (a, v) -> a + v))"
+    )
+    sig = docs.withColumn("votes", F.expr(votes_expr))
     simhash = None
     for i in range(8):
-        bit = F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(F.element_at("votes", i + 1) >= 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
         simhash = bit if simhash is None else simhash + bit
     return (
-        per_doc.withColumn("simhash", simhash)
+        sig.withColumn("simhash", simhash)
         .groupBy("simhash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
