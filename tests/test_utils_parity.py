@@ -152,3 +152,61 @@ def test_cli_parser():
     args = p.parse_args(["serve", "-c", "cfg.yml", "-p", "9090", "--tilecache", "1G"])
     assert args.config == "cfg.yml" and args.port == 9090
     assert args.tilecache == "1G" and args.update == 2.0
+
+
+def test_byte_cache_policies():
+    from xcube_server_spark.cube.cache import ByteCache
+
+    for policy in ("LRU", "MRU", "LFU", "RR"):
+        c = ByteCache(capacity=100, policy=policy)
+        c.put("a", b"x" * 30)
+        c.put("b", b"x" * 30)
+        c.put("c", b"x" * 30)  # 90 > 75 -> evict down
+        assert len(c) >= 1
+    # LRU semantics: oldest unaccessed key evicted first
+    c = ByteCache(capacity=100, policy="LRU")
+    c.put("a", b"x" * 30)
+    c.put("b", b"x" * 30)
+    _ = c.get("a")  # refresh a
+    c.put("c", b"x" * 30)
+    assert "b" not in c and "a" in c
+    # LFU: least-frequently-used goes
+    c = ByteCache(capacity=100, policy="LFU")
+    c.put("a", b"x" * 30)
+    c.put("b", b"x" * 30)
+    for _ in range(3):
+        c.get("a")
+    c.put("c", b"x" * 30)
+    assert "b" not in c and "a" in c
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ByteCache(10, policy="FIFO")
+
+
+def test_measure_time():
+    import io
+
+    from xcube_server_spark.perf import measure_time
+
+    buf = io.StringIO()
+    with measure_time("step", trace=True, stream=buf) as m:
+        pass
+    assert m.duration is not None and m.duration >= 0
+    assert "step:" in buf.getvalue()
+
+
+def test_static_tile_source(tmp_path):
+    from xcube_server_spark.sources.png import decode_rgba_png
+    from xcube_server_spark.sources.static_tiles import StaticTileSource
+
+    d = tmp_path / "tiles" / "0" / "0"
+    d.mkdir(parents=True)
+    (d / "0.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    src = StaticTileSource(str(tmp_path / "tiles"))
+    data, ctype = src.get_tile(0, 0, 0)
+    assert data.startswith(b"\xff\xd8") and ctype == "image/jpeg"
+    # missing tile -> transparent PNG fallback
+    data2, ctype2 = src.get_tile(3, 9, 9)
+    assert ctype2 == "image/png"
+    assert decode_rgba_png(data2)[..., 3].max() == 0

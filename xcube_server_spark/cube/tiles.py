@@ -21,8 +21,6 @@ renders millions of tiles without per-tile job overhead.
 from __future__ import annotations
 
 import datetime as _dt
-from collections import OrderedDict
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.colormap import DEFAULT_CMAP, apply_cmap
 from ..sources.png import encode_rgba_png
+from .cache import ByteCache
 from .catalog import CubeCatalog, StyleMeta
 
 
@@ -140,12 +139,14 @@ class TileService:
         catalog: CubeCatalog,
         capacity: int = 512 * 1024 * 1024,
         fast_path: bool = True,
+        policy: str = "LRU",
     ):
         self.catalog = catalog
         self.capacity = capacity
         self.fast_path = fast_path
-        self._used = 0
-        self._cache: OrderedDict[tuple, bytes] = OrderedDict()
+        # pluggable eviction policy (LRU/MRU/LFU/RR) — parity with the
+        # reference's cache policies (xcube_server/cache.py:174-197)
+        self._cache = ByteCache(capacity, policy=policy)
 
     def _read_tile_fast(
         self, ds_id: str, var: str, z: int, x: int, y: int, t_idx: int
@@ -199,9 +200,9 @@ class TileService:
             ),
         )
         key = (ds_id, var, z, x, y, time, st.color_bar, st.value_range)
-        if key in self._cache:
-            self._cache.move_to_end(key)  # LRU touch
-            return self._cache[key]
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
         png = None
         if self.fast_path:
             t_idx, _ = _nearest_time(list(meta.grid.times), time)
@@ -232,9 +233,5 @@ class TileService:
                 png = encode_rgba_png(
                     apply_cmap(blank, *st.value_range, st.color_bar)
                 )
-        self._cache[key] = png
-        self._used += len(png)
-        while self._used > self.capacity * 0.75 and self._cache:
-            _, evicted = self._cache.popitem(last=False)  # LRU eviction
-            self._used -= len(evicted)
+        self._cache.put(key, png)
         return png

@@ -1,0 +1,32 @@
+"""Per-stage timing instrumentation (reference ``xcube_server/perf.py:33-52``:
+``measure_time`` context manager, ``--traceperf`` CLI flag, ``?debug=1``
+per-tile timings).
+
+Usage::
+
+    with measure_time("render tile", trace=True) as m:
+        ...
+    m.duration  # seconds
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+class measure_time:
+    def __init__(self, label: str = "", trace: bool = False, stream=None):
+        self.label = label
+        self.trace = trace
+        self.stream = stream or sys.stderr
+        self.duration: float | None = None
+
+    def __enter__(self) -> "measure_time":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.duration = time.perf_counter() - self._t0
+        if self.trace:
+            print(f"{self.label}: {self.duration * 1000:.1f} ms", file=self.stream)

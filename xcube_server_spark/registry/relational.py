@@ -418,3 +418,65 @@ ORACLES = {
     "window_running": ORACLE_WINDOW_RUNNING,
     "topk_global": ORACLE_TOPK,
 }
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single scalar aggregate — the minimal
+    scan-dominated query; every predicate reaches the parquet row-group
+    stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregate over two dimensions (all 4 combinations),
+    with grouping_id to disambiguate NULL group labels from NULL data."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       grouping(year(o_orderdate)) * 2 + grouping(o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       floor(avg(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS avg_price
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+QUERIES["agg_cube_grouping"] = agg_cube_grouping
+ORACLES["q6_forecast_revenue"] = ORACLE_Q6
+ORACLES["agg_cube_grouping"] = ORACLE_CUBE

@@ -1,0 +1,39 @@
+"""Static background tile source (SURVEY.md §2.1 S8).
+
+Reference: Natural Earth 2 background JPEG tiles read from a local pyramid
+directory (``xcube_server/ne2.py:74-78``: ``get_tile(x, y)`` opens
+``{dir}/{z}/{y}/{x}.jpg``). Pure app-layer file serving — no Spark. We keep
+the same directory convention and add graceful fallback to a transparent
+PNG when a tile file is missing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..functions.colormap import apply_cmap
+from .png import encode_rgba_png
+
+
+class StaticTileSource:
+    def __init__(self, base_dir: str, tile_w: int = 256, tile_h: int = 256,
+                 ext: str = "jpg"):
+        self.base_dir = base_dir
+        self.tile_w = tile_w
+        self.tile_h = tile_h
+        self.ext = ext
+
+    def tile_path(self, z: int, x: int, y: int) -> str:
+        return os.path.join(self.base_dir, str(z), str(y), f"{x}.{self.ext}")
+
+    def get_tile(self, z: int, x: int, y: int) -> tuple[bytes, str]:
+        """Returns (bytes, content_type); missing tiles render transparent."""
+        path = self.tile_path(z, x, y)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                ctype = "image/jpeg" if self.ext in ("jpg", "jpeg") else f"image/{self.ext}"
+                return f.read(), ctype
+        blank = np.full((self.tile_h, self.tile_w), np.nan)
+        return encode_rgba_png(apply_cmap(blank, 0.0, 1.0)), "image/png"
