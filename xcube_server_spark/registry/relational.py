@@ -480,3 +480,59 @@ QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
 QUERIES["agg_cube_grouping"] = agg_cube_grouping
 ORACLES["q6_forecast_revenue"] = ORACLE_Q6
 ORACLES["agg_cube_grouping"] = ORACLE_CUBE
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per group — Spark's ``percentile``
+    (interpolated, exact) matches DuckDB ``quantile_cont``. The approximate
+    production form is ``percentile_approx`` (not oracle-able: different
+    sketch algorithms)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_price,
+       floor(quantile_cont(l_extendedprice, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per year × status as columns (fixed pivot values
+    keep the schema static — required for a deterministic oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT year(o_orderdate) AS order_year,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["agg_percentiles"] = agg_percentiles
+QUERIES["pivot_status_by_year"] = pivot_status_by_year
+ORACLES["agg_percentiles"] = ORACLE_PERCENTILES
+ORACLES["pivot_status_by_year"] = ORACLE_PIVOT
