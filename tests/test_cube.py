@@ -386,3 +386,25 @@ def test_tile_fast_path_matches_spark_path(demo_catalog):
     fast.get_tile("demo", "conc_chl", 2, 1, 0, time="current")
     dt = _time.perf_counter() - t0
     assert dt < 1.0, f"fast path took {dt:.3f}s"
+
+
+def test_batched_point_timeseries_matches_single(demo_catalog):
+    """N probes in ONE broadcast-join job must equal N single-point queries."""
+    from xcube_server_spark.cube.timeseries import time_series_for_points
+
+    pts = [(2.1, 51.4), (1.2, 50.6), (-150.0, -30.0)]  # last one outside
+    batched = time_series_for_points(demo_catalog, "demo", "conc_tsm", pts)
+    rows = batched.collect()
+    assert {r["point_id"] for r in rows} == {0, 1}  # outside point dropped
+    for pid, (lon, lat) in [(0, pts[0]), (1, pts[1])]:
+        single = time_series_for_point(
+            demo_catalog, "demo", "conc_tsm", lon, lat
+        ).collect()
+        mine = [r for r in rows if r["point_id"] == pid]
+        assert [
+            (r["date"], r["total_count"], r["valid_count"], r["average"])
+            for r in mine
+        ] == [
+            (r["date"], r["total_count"], r["valid_count"], r["average"])
+            for r in single
+        ]

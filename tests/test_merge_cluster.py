@@ -1,0 +1,103 @@
+"""MERGE/upsert emulation + connected-components dedup clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.operators.merge import merge_scd2, merge_upsert
+from xcube_server_spark.pipeline.dedup_cluster import (
+    connected_components,
+    dedup_components,
+)
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "id long, v string"
+    )
+    out = {r["id"]: r["v"] for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_scd2_keeps_history(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    updates = spark.createDataFrame([(2, "B")], "id long, v string")
+    out = merge_scd2(target, updates, ["id"]).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0]["is_current"]
+    versions = sorted((r["version"], r["v"], r["is_current"]) for r in by_id[2])
+    assert versions == [(1, "b", False), (2, "B", True)]
+
+
+def test_connected_components_known_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {4,5}, {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_matches_duckdb_recursive(spark):
+    """Oracle: DuckDB recursive CTE computing min reachable id."""
+    import duckdb
+
+    edges = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 0)]
+    n = 8
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nodes AS SELECT unnest(range(8)) AS id")
+    con.execute(
+        "CREATE TABLE edges (a BIGINT, b BIGINT);"
+        + "".join(f"INSERT INTO edges VALUES ({a}, {b});" for a, b in edges)
+    )
+    oracle = dict(
+        con.execute(
+            """
+            WITH RECURSIVE sym AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+            )
+            SELECT id, min(r) FROM reach GROUP BY id
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+
+
+def test_dedup_components_on_band_buckets(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "x1", "y1"),
+            (11, "x1", "y2"),  # shares band1 with 10
+            (12, "x2", "y2"),  # shares band2 with 11 -> transitive with 10
+            (13, "x3", "y3"),  # isolated
+        ],
+        "doc_id long, b0 string, b1 string",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup_components(docs, ["b0", "b1"]).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 13}

@@ -168,3 +168,52 @@ def time_series_for_geometry_collection(
             "average",
         )
     )
+
+
+def time_series_for_points(
+    catalog: CubeCatalog,
+    ds_id: str,
+    var: str,
+    points: list[tuple[float, float]],
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Batched point probes — J3's "many points × cube" generalization
+    (SURVEY.md §2.3): N nearest-cell lookups become ONE broadcast equi-join
+    on rounded indices instead of N sequential jobs. Out-of-grid points are
+    dropped (P7 per probe).
+
+    Output: one row per (point_id, time) with the A2 stats shape.
+    """
+    meta = catalog.datasets[ds_id]
+    probes = [
+        (pid, meta.grid.lat_idx_of(lat), meta.grid.lon_idx_of(lon))
+        for pid, (lon, lat) in enumerate(points)
+        if meta.grid.contains(lon, lat)
+    ]
+    probe_df = catalog.spark.createDataFrame(
+        probes, "point_id int, lat_idx int, lon_idx int"
+    )
+    df = catalog.cube(ds_id).join(
+        broadcast(probe_df), ["lat_idx", "lon_idx"], "inner"
+    )
+    if start is not None:
+        df = df.filter(F.col("time") >= F.to_timestamp(F.lit(start)))
+    if end is not None:
+        df = df.filter(F.col("time") <= F.to_timestamp(F.lit(end)))
+    return (
+        df.groupBy("point_id", "time")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.count(var).alias("valid_count"),
+            F.avg(var).alias("average"),
+        )
+        .orderBy("point_id", "time")
+        .select(
+            "point_id",
+            iso_ts(F.col("time")).alias("date"),
+            "total_count",
+            "valid_count",
+            "average",
+        )
+    )

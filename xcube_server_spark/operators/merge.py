@@ -1,0 +1,66 @@
+"""MERGE / upsert emulation (incremental corpus + cube maintenance).
+
+Spark without a table format (Delta/Iceberg) has no MERGE INTO; the
+equivalent relational plan is anti-join + union — updates win on key
+conflicts. This is the maintenance primitive for a continuously-ingested
+100 TB corpus (new crawl shards upserting into the documents table) and for
+cube re-ingestion of corrected time slices.
+
+SCD2 variant keeps history: the superseded target row is retained with an
+``is_current = false`` flag instead of being replaced.
+
+Scale: one shuffle on the key for the anti-join (updates side is usually
+small → broadcast). On a real deployment the same call writes back with
+``partitionOverwriteMode=dynamic`` so only touched partitions rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Rows of ``target`` not matched by ``updates`` + all update rows."""
+    upd = broadcast(updates) if broadcast_updates else updates
+    kept = target.join(upd.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def merge_scd2(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: superseded rows stay, flagged
+    not-current; updates enter as the new current version."""
+    if current_col not in target.columns:
+        target = target.withColumn(current_col, F.lit(True))
+    if version_col not in target.columns:
+        target = target.withColumn(version_col, F.lit(1))
+    upd_keys = updates.select(*keys)
+    demoted = (
+        target.join(broadcast(upd_keys), on=keys, how="left_semi")
+        .withColumn(current_col, F.lit(False))
+    )
+    untouched = target.join(broadcast(upd_keys), on=keys, how="left_anti")
+    max_ver = (
+        target.groupBy(*keys).agg(F.max(version_col).alias("__mv"))
+    )
+    fresh = (
+        updates.join(broadcast(max_ver), on=keys, how="left")
+        .withColumn(version_col, F.coalesce(F.col("__mv") + 1, F.lit(1)))
+        .drop("__mv")
+        .withColumn(current_col, F.lit(True))
+    )
+    return untouched.unionByName(demoted).unionByName(
+        fresh.select(untouched.columns)
+    )

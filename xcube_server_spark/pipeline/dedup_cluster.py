@@ -1,0 +1,85 @@
+"""Dedup clustering: connected components over the near-dup candidate graph.
+
+The last stage of a production dedup pipeline: candidate pairs (from
+MinHash-LSH bands, SimHash buckets, or verified Jaccard) form a graph; each
+connected component is one duplicate cluster, and everything but the
+component representative (min id) is dropped.
+
+Iterative min-label propagation (a simplified large-star operation): every
+node's label becomes the min of its own and its neighbors' labels until a
+fixpoint. Convergence ≤ graph diameter iterations; each iteration is one
+broadcast-friendly join + groupBy. This is the SURVEY.md "iterative
+algorithm" class — not expressible as one SQL statement in Spark, but
+checkable against a DuckDB recursive CTE at test scale.
+
+Scale: labels/edges are (long, long) pairs — at 10^10 documents the state
+is two slim columns; for power-law graphs use the alternating
+large-star/small-star variant to bound iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """``nodes(id)``, ``edges(a, b)`` undirected → ``(id, component)`` where
+    component = min node id reachable."""
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        # localCheckpoint truncates the exponentially-growing lineage that
+        # iterative self-joins otherwise build up
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(docs: DataFrame, band_cols: list[str]) -> DataFrame:
+    """Cluster docs sharing ANY of the given band/bucket columns.
+
+    Edges: within each (band_col, value) bucket, link every doc to the
+    bucket's min doc (star edges — |bucket| edges instead of |bucket|²).
+    """
+    edges = None
+    for c in band_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(c)
+        e = (
+            docs.select(F.col("doc_id"), F.col(c))
+            .withColumn("hub", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    nodes = docs.select(F.col("doc_id").alias("id")).distinct()
+    return connected_components(nodes, edges)

@@ -708,3 +708,106 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embed_ann_ivf"] = embed_ann_ivf
+
+
+def merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation (anti-join + union): a simulated re-crawl of
+    doc_id < 50 upserts into the corpus; per-source stats of the merged
+    table prove key semantics (updates win, no duplicates)."""
+    from ..operators.merge import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    updates = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("source", F.lit("recrawl"))
+        .withColumn("n_chars", F.col("n_chars") + 1)
+    )
+    merged = merge_upsert(docs, updates, ["doc_id"])
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_MERGE = """
+WITH updates AS (
+  SELECT doc_id, text, lang, 'recrawl' AS source, n_chars + 1 AS n_chars
+  FROM documents WHERE doc_id < 50
+),
+merged AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM merged
+GROUP BY 1
+"""
+
+
+def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the MinHash-LSH band graph
+    (iterative min-label propagation in Spark; the DuckDB oracle computes
+    the same closure with a recursive CTE). Output: docs per component —
+    the cluster inventory a dedup sweep would keep/drop from."""
+    from ..pipeline.dedup_cluster import dedup_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    sig = docs.withColumn(
+        "hashes",
+        F.expr(
+            "transform(array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),"
+            " i -> substring(text, i, 5))), s -> md5(s))"
+        ),
+    )
+    for j in range(4):
+        sig = sig.withColumn(
+            f"m{j}",
+            F.expr(f"array_min(transform(hashes, h -> substring(h, {8 * j + 1}, 8)))"),
+        )
+    with_bands = sig.select(
+        "doc_id",
+        F.md5(F.concat("m0", "m1")).alias("b0"),
+        F.md5(F.concat("m2", "m3")).alias("b1"),
+    )
+    comp = dedup_components(with_bands, ["b0", "b1"])
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_COMPONENTS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text)-4, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 5)))) AS sh
+  FROM documents
+),
+mh AS (
+  SELECT doc_id,
+         min(substring(md5(sh), 1, 8))  AS m0, min(substring(md5(sh), 9, 8))  AS m1,
+         min(substring(md5(sh), 17, 8)) AS m2, min(substring(md5(sh), 25, 8)) AS m3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1 FROM mh
+),
+edges AS (
+  SELECT min(doc_id) OVER (PARTITION BY b0) AS a, doc_id AS b FROM bands
+  UNION ALL
+  SELECT min(doc_id) OVER (PARTITION BY b1) AS a, doc_id AS b FROM bands
+),
+e AS (SELECT a, b FROM edges WHERE a <> b),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM bands
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_docs FROM comp GROUP BY 1
+"""
+
+QUERIES["merge_upsert_docs"] = merge_upsert_docs
+QUERIES["dedup_components_minhash"] = dedup_components_minhash
+ORACLES["merge_upsert_docs"] = ORACLE_MERGE
+ORACLES["dedup_components_minhash"] = ORACLE_COMPONENTS
