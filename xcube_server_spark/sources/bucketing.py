@@ -1,0 +1,42 @@
+"""Bucketed table layout: co-located, shuffle-free joins (SURVEY.md §4
+"partitioning & shuffle"; the 100 TB contract for repeated fact-fact joins).
+
+Writing both sides of a hot join bucketed + sorted on the join key means
+every future join of those tables is a zero-exchange sort-merge join: bucket
+i of table A only ever joins bucket i of table B, and the buckets are
+already sorted. For the engine this is the layout choice for
+orders⋈lineitem-class pairs and for (doc_id-keyed) corpus tables that join
+against per-doc feature tables every pipeline run.
+
+Cost model: one extra shuffle at WRITE time buys zero shuffles on every
+subsequent join — worth it when a pair is joined more than ~once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed+sorted managed table (parquet)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key — planner
+    produces a sort-merge join with NO exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
