@@ -408,3 +408,37 @@ def test_batched_point_timeseries_matches_single(demo_catalog):
             (r["date"], r["total_count"], r["valid_count"], r["average"])
             for r in single
         ]
+
+
+def test_morton_zorder_expression(spark):
+    """SQL Morton expression must match the driver-side reference impl, and
+    Z-ordering must cluster 2-D neighbors better than row-major order."""
+    from xcube_server_spark.cube.grid import morton_code, morton_interleave_expr
+
+    df = spark.createDataFrame(
+        [(i, j) for i in range(16) for j in range(16)], "lat_idx int, lon_idx int"
+    ).withColumn("z", F.expr(morton_interleave_expr()))
+    rows = {(r["lat_idx"], r["lon_idx"]): r["z"] for r in df.collect()}
+    for (i, j), z in rows.items():
+        assert z == morton_code(i, j), (i, j)
+    # locality: a 4x4 query box spans a bounded z-range in z-order, but the
+    # full row-major span in row-major order
+    box = [rows[(i, j)] for i in range(4, 8) for j in range(4, 8)]
+    z_span = max(box) - min(box)
+    rowmajor_span = (7 * 16 + 7) - (4 * 16 + 4)  # same box, row-major keys
+    assert z_span < 2 * rowmajor_span  # tight, interleaved range
+    assert sorted(box) == list(range(min(box), max(box) + 1)) or z_span < 256
+
+
+def test_zorder_layout_roundtrip(spark, tmp_path):
+    """Z-order layout must not change any query result — only the file
+    clustering."""
+    base = str(tmp_path / "zcube")
+    cube, grid = synth_demo_cube(spark, width=40, height=20)
+    _, tg = write_cube(cube, grid, base, tile_size=16, layout="zorder")
+    cat = CubeCatalog(spark)
+    cat.register_written_cube("zdemo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"])
+    df = time_series_for_point(cat, "zdemo", "conc_tsm", 2.1, 51.4)
+    rows = df.collect()
+    assert len(rows) == 5 and rows[0]["total_count"] == 1
+    assert cat.cube("zdemo", 0).count() == 5 * 40 * 20

@@ -132,3 +132,35 @@ class GridMeta:
         (``xcube_server/controllers/time_series.py:126-128``)."""
         west, south, east, north = self.extent
         return west <= lon <= east and south <= lat <= north
+
+
+def morton_interleave_expr(lat_col: str = "lat_idx", lon_col: str = "lon_idx",
+                           bits: int = 16) -> str:
+    """Z-order (Morton) curve expression for spatial clustering (SURVEY.md §4
+    "spatial layout — Hilbert/space-filling or lat-band blocks").
+
+    Interleaves the bits of (lat_idx, lon_idx) into one long: sorting or
+    range-partitioning by this key keeps 2-D-adjacent cells adjacent in the
+    file, so parquet row-group min/max stats prune BOTH dimensions of a bbox
+    query — lat-band sorting alone only prunes latitude. Pure Catalyst
+    expression (shift/or aggregate over bit positions), no UDF.
+    """
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"(shiftleft(shiftright(CAST({lat_col} AS BIGINT), {b}) & 1, {2 * b + 1}))"
+        )
+        terms.append(
+            f"(shiftleft(shiftright(CAST({lon_col} AS BIGINT), {b}) & 1, {2 * b}))"
+        )
+    return " | ".join(terms)
+
+
+def morton_code(lat_idx: int, lon_idx: int, bits: int = 16) -> int:
+    """Driver-side reference implementation (tests pin the SQL expression
+    against this)."""
+    out = 0
+    for b in range(bits):
+        out |= ((lat_idx >> b) & 1) << (2 * b + 1)
+        out |= ((lon_idx >> b) & 1) << (2 * b)
+    return out

@@ -121,6 +121,7 @@ def write_cube(
     base_path: str,
     tile_size: int = 64,
     spatial_bands: int = 4,
+    layout: str = "latband",
 ) -> tuple[CubeTables, TileGridMeta]:
     """Materialize the cube: level-0 table, LOD pyramid, dim tables.
 
@@ -129,14 +130,29 @@ def write_cube(
     reference's chunk-aligned tiles (``xcube_server/mldataset.py:417-458``):
     a tile query touches only row-groups whose (lat_idx, lon_idx) min/max
     intersect the tile window.
+
+    ``layout="zorder"`` sorts each slice by the Morton code instead
+    (``cube.grid.morton_interleave_expr``): row groups then carry tight
+    min/max on BOTH spatial axes, the right choice when bbox queries dominate
+    over full-width tile rows.
     """
+    from ..cube.grid import morton_interleave_expr
+
     tg = TileGridMeta.create(grid.width, grid.height, tile_size, grid.extent)
     level = cube
     for k in range(tg.num_levels):
-        out = (
-            level.repartitionByRange(spatial_bands, "time_idx", "lat_idx")
-            .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
-        )
+        if layout == "zorder":
+            z = level.withColumn("__z", F.expr(morton_interleave_expr()))
+            out = (
+                z.repartitionByRange(spatial_bands, "time_idx", "__z")
+                .sortWithinPartitions("time_idx", "__z")
+                .drop("__z")
+            )
+        else:
+            out = (
+                level.repartitionByRange(spatial_bands, "time_idx", "lat_idx")
+                .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
+            )
         out.write.mode("overwrite").partitionBy("time_idx").parquet(
             os.path.join(base_path, f"l{k}")
         )
