@@ -55,3 +55,38 @@ def test_sessionize_stream_produces_sessions(spark, events_path):
     assert diff.count() == 0
     assert streamed.count() > 0
     assert streamed.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stream_static_join(spark, events_path):
+    """Stream-static join: a streaming fact joined to a broadcast dimension
+    — the enrichment pattern (no watermark needed on the static side)."""
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.streaming.run import run_stream_to_batch
+
+    tiers = spark.createDataFrame(
+        [(i, "vip" if i % 10 == 0 else "std") for i in range(150)],
+        "user_id long, tier string",
+    )
+
+    def enrich_and_count(stream):
+        return (
+            stream.join(F.broadcast(tiers), "user_id")
+            .withWatermark("ts", "1 hour")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    streamed = run_stream_to_batch(
+        spark, events_path, enrich_and_count, output_mode="complete"
+    )
+    got = {r["tier"]: r["n"] for r in streamed.collect()}
+    batch = {
+        r["tier"]: r["n"]
+        for r in spark.read.parquet(events_path)
+        .join(tiers, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch and set(got) == {"vip", "std"}
