@@ -41,6 +41,14 @@ BENCH_QUERIES = [
     "text_tokens",
     "stream_sessionize",
     "stream_tumbling_counts",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "agg_percentiles",
+    "pivot_status_by_year",
+    "embed_ann_lsh",
+    "text_fingerprint",
+    "merge_upsert_docs",
 ]
 
 

@@ -139,6 +139,9 @@ def test_places_endpoint_with_bbox_and_expr(server):
 def test_errors(server):
     status, doc = _get_json(f"{server}/nope")
     assert status == 404
+    # out-of-range zoom -> clean 400, not a scan of a nonexistent level
+    status, _, body = _get(f"{server}/datasets/demo/vars/kd489/tiles/9/0/0.png")
+    assert status == 400 and b"out of range" in body
     status, _, body = _get(f"{server}/datasets/demo/vars/conc_tsm/tiles/0/0/zzz.png")
     assert status == 400
     assert b"must be an integer" in body
@@ -161,3 +164,23 @@ def test_wmts_capabilities_and_kvp_tile(server):
     )
     assert status == 200 and ctype == "image/png"
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_concurrent_tile_requests(server):
+    """8 parallel tile fetches through the threading server: all succeed,
+    byte-identical per coordinate (cache + Spark scheduler under concurrent
+    load)."""
+    import concurrent.futures
+
+    coords = [(1, x, y) for x in range(2) for y in range(1)] * 4
+    urls = [
+        f"{server}/datasets/demo/vars/kd489/tiles/{z}/{x}/{y}.png?time=current"
+        for z, x, y in coords
+    ]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(_get, urls))
+    assert all(s == 200 for s, _, _ in results)
+    by_url = {}
+    for url, (_, _, body) in zip(urls, results):
+        by_url.setdefault(url, set()).add(body)
+    assert all(len(v) == 1 for v in by_url.values())  # deterministic bytes

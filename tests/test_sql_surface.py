@@ -66,3 +66,22 @@ def test_cube_table_in_sql(spark, tmp_path):
     ).collect()
     assert len(rows) == 5
     assert rows[2]["valid_count"] == 0 and rows[2]["average"] is None
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """Approximate aggregates (HLL distinct, quantile sketch): not
+    oracle-able across engines, so pinned against exact values with the
+    documented error bounds instead."""
+    from xcube_server_spark.registry._util import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(
+        F.countDistinct("user_id").alias("d"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+    ).first()
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("d"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+    ).first()
+    assert abs(approx["d"] - exact["d"]) <= max(3, 0.05 * exact["d"])
+    assert abs(approx["p50"] - exact["p50"]) <= 0.05 * max(1.0, abs(exact["p50"]))

@@ -191,6 +191,10 @@ class TileService:
         vmax: float | None = None,
     ) -> bytes:
         meta = self.catalog.datasets[ds_id]
+        if not 0 <= z < meta.tile_grid.num_levels:
+            raise ValueError(
+                f"zoom {z} out of range [0, {meta.tile_grid.num_levels - 1}]"
+            )
         st = meta.styles.get(var) or StyleMeta(color_bar=DEFAULT_CMAP)
         st = StyleMeta(
             color_bar=cmap or st.color_bar,

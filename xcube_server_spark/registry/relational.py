@@ -536,3 +536,82 @@ QUERIES["agg_percentiles"] = agg_percentiles
 QUERIES["pivot_status_by_year"] = pivot_status_by_year
 ORACLES["agg_percentiles"] = ORACLE_PERCENTILES
 ORACLES["pivot_status_by_year"] = ORACLE_PIVOT
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery — suppliers offering a
+    part at that part's minimum retail-weighted account balance. Catalyst
+    rewrites the correlation into an aggregate + join; no per-row
+    re-execution."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    # per (part, supplier) offer price = min extendedprice
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer")
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("offer").alias("best_offer"))
+    return (
+        offers.join(best, "l_partkey")
+        .filter(F.col("offer") == F.col("best_offer"))
+        .join(broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_best_offers"),
+            rnd(F.avg("offer"), 4).alias("avg_best_price"),
+        )
+    )
+
+
+ORACLE_Q2 = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_nationkey, count(*) AS n_best_offers,
+       floor(avg(offer) * 10000.0 + 0.5) / 10000.0 AS avg_best_price
+FROM offers o
+JOIN supplier ON o.l_suppkey = s_suppkey
+WHERE offer = (SELECT min(offer) FROM offers i WHERE i.l_partkey = o.l_partkey)
+GROUP BY 1
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum + IN-subquery semi-join
+    back to the fact tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            rnd("o_totalprice", 2).alias("price"),
+            rnd("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price,
+       floor(t.total_qty * 100.0 + 0.5) / 100.0 AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) t
+  ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+QUERIES["q18_large_orders"] = q18_large_orders
+ORACLES["q2_min_cost_supplier"] = ORACLE_Q2
+ORACLES["q18_large_orders"] = ORACLE_Q18
