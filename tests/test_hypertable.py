@@ -1,0 +1,66 @@
+"""Hypertable rollup cascade: materialization, routing, correctness vs raw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.operators.hypertable import (
+    materialize_rollups,
+    route_rollup,
+    rollup_once,
+)
+from xcube_server_spark.registry._util import load_table
+
+
+@pytest.fixture(scope="module")
+def rollups(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ht"))
+    ev = load_table(spark, sf_dir, "events")
+    paths = materialize_rollups(ev, "ts", "value", base, ["1m", "1h", "1d"])
+    return ev, paths
+
+
+def test_cascade_equals_direct(spark, rollups):
+    """1d rollup built from 1h partials must equal aggregating raw rows."""
+    ev, paths = rollups
+    daily_from_cascade = spark.read.parquet(paths["1d"])
+    daily_direct = rollup_once(ev, "ts", "value", 86400)
+    a = daily_from_cascade.select(
+        "bucket", "n", F.round("sum_v", 6).alias("s"), "min_v", "max_v"
+    )
+    b = daily_direct.select(
+        "bucket", "n", F.round("sum_v", 6).alias("s"), "min_v", "max_v"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_route_picks_coarsest_divisor(spark, rollups):
+    _, paths = rollups
+    _, chosen = route_rollup(spark, paths, 86400)  # daily -> 1d table
+    assert chosen == "1d"
+    _, chosen = route_rollup(spark, paths, 6 * 3600)  # 6h -> 1h table
+    assert chosen == "1h"
+    _, chosen = route_rollup(spark, paths, 120)  # 2m -> 1m table
+    assert chosen == "1m"
+    with pytest.raises(ValueError):
+        route_rollup(spark, paths, 61)
+
+
+def test_routed_result_equals_raw(spark, rollups):
+    """6h stats served from the 1h rollup must equal raw-scan aggregation."""
+    ev, paths = rollups
+    routed, _ = route_rollup(spark, paths, 6 * 3600)
+    raw = (
+        ev.withColumn("bucket", (F.unix_timestamp("ts") / (6 * 3600)).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    a = routed.select("bucket", "n", F.round("sum_v", 6).alias("s"), "min_v", "max_v")
+    b = raw.select("bucket", "n", F.round("sum_v", 6).alias("s"), "min_v", "max_v")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

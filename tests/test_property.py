@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the cross-engine invariants the
+whole correctness story leans on — going beyond the reference's test
+strategy (SURVEY.md §5.1: the reference has no property testing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_server_spark.cube.grid import GridMeta, morton_code
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_rnd_formula_matches_duckdb(x, n):
+    """floor(x*10^n + 0.5)/10^n must agree bit-for-bit between Python (IEEE
+    double) and DuckDB — the invariant every oracle comparison rests on."""
+    p = float(10**n)
+    py = math.floor(x * p + 0.5) / p
+    db = duckdb.sql(
+        f"SELECT floor(CAST({x!r} AS DOUBLE) * {p} + 0.5) / {p}"
+    ).fetchone()[0]
+    assert py == db
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(1990, 1, 1), max_value=dt.datetime(2035, 12, 31)
+    )
+)
+def test_weekly_label_matches_pandas_resample(ts):
+    """Our Sunday-anchored weekly label must equal pandas resample('1W')'s
+    bin label for any timestamp (the golden-label convention,
+    FIXTURES.md F-7)."""
+    label = pd.Series([1.0], index=pd.DatetimeIndex([ts])).resample("1W").mean()
+    pandas_label = label.index[0].date()
+    d = ts.date()
+    ours = d + dt.timedelta(days=(8 - ((d.weekday() + 1) % 7 + 1)) % 7)
+    assert ours == pandas_label
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_morton_roundtrip(i, j):
+    """Morton code must be a bijection on (lat_idx, lon_idx)."""
+    z = morton_code(i, j)
+    ri = rj = 0
+    for b in range(16):
+        rj |= ((z >> (2 * b)) & 1) << b
+        ri |= ((z >> (2 * b + 1)) & 1) << b
+    assert (ri, rj) == (i, j)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+)
+def test_grid_index_inverse(lon, lat):
+    """lat/lon → idx → center must stay within half a cell (nearest-select
+    correctness, P5)."""
+    g = GridMeta(width=360, height=180, extent=(-180.0, -90.0, 180.0, 90.0))
+    i, j = g.lat_idx_of(lat), g.lon_idx_of(lon)
+    assert abs(g.lat_of(i) - lat) <= g.res_lat / 2 + 1e-9
+    assert abs(g.lon_of(j) - lon) <= g.res_lon / 2 + 1e-9

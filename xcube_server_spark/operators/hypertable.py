@@ -1,0 +1,114 @@
+"""Hypertable-style time rollups: materialized continuous aggregates with
+granularity routing — the time-axis analog of the spatial LOD pyramid
+(SURVEY.md §2.4 A4/A5 generalized; the "hypertable rollup" custom operator
+class the reference lacks).
+
+``materialize_rollups`` writes one aggregate table per interval
+(e.g. 1 minute → 1 hour → 1 day); ``route_rollup`` picks the coarsest
+materialized interval that divides a requested granularity, so a dashboard
+asking for daily stats scans |days| rows instead of the raw stream — the
+exact trick behind the reference's pyramid levels, applied to time.
+
+Scale: each rollup is a single groupBy over the next-finer level (not the
+raw table!), so the cascade costs O(raw) once; incremental refresh appends
+only closed buckets (watermark-complete in the streaming form).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INTERVALS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def _bucket(col, seconds: int):
+    return (F.unix_timestamp(col) / seconds).cast("long").alias("bucket")
+
+
+def rollup_once(
+    df: DataFrame, time_col: str, value_col: str, seconds: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Base aggregation level over raw rows; coarser levels re-aggregate the
+    previous level via :func:`_cascade` (algebraic merge of partials)."""
+    return (
+        df.groupBy(_bucket(F.col(time_col), seconds), *(keys or []))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+
+def _cascade(rollup: DataFrame, fine_sec: int, coarse_sec: int,
+             keys: list[str] | None = None) -> DataFrame:
+    """Re-aggregate a finer rollup into a coarser one (algebraic merge)."""
+    factor = coarse_sec // fine_sec
+    return (
+        rollup.withColumn("bucket", (F.col("bucket") / factor).cast("long"))
+        .groupBy("bucket", *(keys or []))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def materialize_rollups(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    base_path: str,
+    intervals: list[str] = ("1m", "1h", "1d"),
+    keys: list[str] | None = None,
+) -> dict[str, str]:
+    """Write the rollup cascade; returns {interval: path}."""
+    ordered = sorted(intervals, key=lambda i: INTERVALS[i])
+    paths: dict[str, str] = {}
+    prev_df, prev_sec = None, None
+    for name in ordered:
+        sec = INTERVALS[name]
+        if prev_df is None:
+            level = rollup_once(df, time_col, value_col, sec, keys)
+        else:
+            level = _cascade(prev_df, prev_sec, sec, keys)
+        path = os.path.join(base_path, f"rollup_{name}")
+        level.write.mode("overwrite").parquet(path)
+        paths[name] = path
+        prev_df = level.sparkSession.read.parquet(path)
+        prev_sec = sec
+    return paths
+
+
+def route_rollup(
+    spark: SparkSession, paths: dict[str, str], granularity_sec: int
+) -> tuple[DataFrame, str]:
+    """Pick the coarsest materialized rollup whose interval divides the
+    requested granularity (P2-style level routing for the time axis)."""
+    best = None
+    for name, path in paths.items():
+        sec = INTERVALS[name]
+        if granularity_sec % sec == 0 and (best is None or sec > INTERVALS[best]):
+            best = name
+    if best is None:
+        raise ValueError(f"no rollup divides granularity {granularity_sec}s")
+    df = spark.read.parquet(paths[best])
+    factor = granularity_sec // INTERVALS[best]
+    out = (
+        df.withColumn("bucket", (F.col("bucket") / factor).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    return out, best
