@@ -155,3 +155,51 @@ GROUP BY 1
 
 QUERIES["stream_user_stats_stateful"] = stream_user_stats_stateful
 ORACLES["stream_user_stats_stateful"] = ORACLE_USER_STATS
+
+
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate served through granularity routing:
+    daily stats answered from the materialized 1m→1h→1d rollup cascade —
+    the oracle aggregates the raw table, so the gate proves the cascade
+    (sums of sums, min of mins) loses nothing."""
+    import os
+    import tempfile
+
+    from ..functions.scalars import rnd
+    from ..operators.hypertable import materialize_rollups, route_rollup
+
+    base = os.path.join(
+        tempfile.gettempdir(), "xss_ht_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = f"xss.ht.{base}"
+    ev = _events(spark, sf_dir)
+    if spark.conf.get(marker, None) != "1":
+        materialize_rollups(ev, "ts", "value", base, ["1m", "1h", "1d"])
+        spark.conf.set(marker, "1")
+    paths = {
+        name: os.path.join(base, f"rollup_{name}") for name in ("1m", "1h", "1d")
+    }
+    routed, _ = route_rollup(spark, paths, 86400)
+    from pyspark.sql import functions as F
+
+    return routed.select(
+        "bucket",
+        "n",
+        rnd("sum_v", 4).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+ORACLE_HYPERTABLE = """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+       count(*) AS n,
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["hypertable_rollup_daily"] = hypertable_rollup_daily
+ORACLES["hypertable_rollup_daily"] = ORACLE_HYPERTABLE
