@@ -1,0 +1,55 @@
+"""Exact distributed percentiles (sort-based).
+
+Spark's built-in ``percentile`` aggregate buffers every value of a group in
+an in-memory map on one reducer — unbounded memory at 100 TB group sizes.
+This sort-based plan computes the same exact interpolated percentiles
+(quantile_cont semantics: ``v = v_lo + frac · (v_hi − v_lo)`` at rank
+``(n−1)·p``) from a ranking window instead: each group's values still meet
+in one task (window semantics), but through Spark's external sort — 
+disk-spillable, memory-bounded — and one pass serves any number of
+percentiles. For group counts ≫ cores the per-group sorts parallelize
+across the cluster; for truly huge single groups the approximate sketch
+(``percentile_approx``) is the intended path.
+
+The approximate path for interactive use remains ``percentile_approx``
+(error-bound-tested in tests/test_sql_surface.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[float],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-group exact interpolated percentiles.
+
+    Output: keys + ``p<percent>`` columns (e.g. ``p50``, ``p90``).
+    """
+    keys = keys or []
+    projected = df.select(*keys, F.col(value_col).cast("double").alias("__v"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    ranked = projected.withColumn("__rn", F.row_number().over(w) - 1)
+    counts = ranked.groupBy(*keys).agg(F.max("__rn").alias("__maxrn"))
+    joined = ranked.join(F.broadcast(counts), on=keys) if keys else (
+        ranked.crossJoin(F.broadcast(counts))
+    )
+    aggs = []
+    for p in percentiles:
+        name = f"p{int(round(p * 100))}"
+        target = F.col("__maxrn") * F.lit(p)
+        lo, hi = F.floor(target), F.ceil(target)
+        frac = target - lo
+        # value contributes when its rank is the lo or hi boundary row
+        contrib = F.when(
+            F.col("__rn") == lo, F.col("__v") * (F.lit(1.0) - frac)
+        ).when(F.col("__rn") == hi, F.col("__v") * frac)
+        # lo == hi (integer target): the two whens overlap — row matches the
+        # first branch with weight 1-0=1, correct.
+        aggs.append(F.sum(contrib).alias(name))
+    return joined.groupBy(*keys).agg(*aggs)

@@ -483,15 +483,24 @@ ORACLES["agg_cube_grouping"] = ORACLE_CUBE
 
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (median/p90) per group — Spark's ``percentile``
-    (interpolated, exact) matches DuckDB ``quantile_cont``. The approximate
+    """Exact percentiles (median/p90) per group via the sort-based
+    distributed plan (``operators.percentile.exact_percentiles`` —
+    quantile_cont interpolation; parallel, bounded memory, unlike the
+    built-in buffer-everything ``percentile`` aggregate). The approximate
     production form is ``percentile_approx`` (not oracle-able: different
     sketch algorithms)."""
+    from ..operators.percentile import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_rows"),
+    pct = exact_percentiles(
+        li, "l_extendedprice", [0.5, 0.9], keys=["l_returnflag"]
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return pct.join(counts, "l_returnflag").select(
+        "l_returnflag",
+        rnd("p50", 4).alias("median_price"),
+        rnd("p90", 4).alias("p90_price"),
+        "n_rows",
     )
 
 
