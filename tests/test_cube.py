@@ -442,3 +442,33 @@ def test_zorder_layout_roundtrip(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 5 and rows[0]["total_count"] == 1
     assert cat.cube("zdemo", 0).count() == 5 * 40 * 20
+
+
+def test_inv_y_cube_orientation(spark, tmp_path):
+    """F-3-style ascending-lat cube: index math must invert, and the
+    rendered PNG must still put NORTH at the top (flip_y path)."""
+    from xcube_server_spark.sources.cube_ingest import synth_noise_cube
+
+    base = str(tmp_path / "noise")
+    cube, grid = synth_noise_cube(spark, width=32, height=16)
+    assert grid.inv_y
+    # index math: higher lat -> higher lat_idx when inv_y
+    assert grid.lat_idx_of(80.0) > grid.lat_idx_of(-80.0)
+    assert grid.lat_of(0) < grid.lat_of(15)
+    _, tg = write_cube(cube, grid, base, tile_size=32)
+    cat = CubeCatalog(spark)
+    cat.register_written_cube(
+        "noise", base, grid, tg, ["noise"],
+        styles={"noise": StyleMeta("gray", (0.0, 1.0))},
+    )
+    svc = TileService(cat, fast_path=False)
+    png = svc.get_tile("noise", "noise", tg.num_levels - 1, 0, 0)
+    rgba = decode_rgba_png(png)
+    # gray cmap: pixel brightness ~ value; north (top row) has value ~1,
+    # south (bottom row) ~0 -> top must be brighter
+    top = rgba[0, :, 0].astype(int).mean()
+    bottom = rgba[15, :, 0].astype(int).mean()
+    assert top > bottom + 100, (top, bottom)
+    # fast path agrees with the Spark path on flipped grids too
+    fast = TileService(cat, fast_path=True)
+    assert fast.get_tile("noise", "noise", tg.num_levels - 1, 0, 0) == png

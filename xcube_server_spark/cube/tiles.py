@@ -49,27 +49,25 @@ def _nearest_time(times: list[str], probe: str | None) -> tuple[int, str]:
 
 def _render_pdf_factory(
     tile_w: int, tile_h: int, vmin: float, vmax: float, cmap: str, var: str,
-    flip_y: bool = False,
 ):
     """Build the applyInPandas body: rows of one tile → one PNG row.
 
-    Missing cells become NaN pixels (T8 trim_tile padding,
+    Rows arrive with a ``disp_row`` column already in DISPLAY space (row 0 =
+    north; for inv_y grids that is ``H_level - 1 - lat_idx`` — the T3 flip,
+    ``xcube_server/im/tiledimage.py:329-415``, applied as index arithmetic
+    so tile assignment and in-tile placement agree even on partially-filled
+    edge tiles). Missing cells become NaN pixels (T8 trim_tile padding,
     ``xcube_server/im/tiledimage.py:1058-1084``) and render transparent.
-    ``flip_y`` handles inv_y grids (lat ascending in storage) so north is
-    always the top of the PNG (T3 flip,
-    ``xcube_server/im/tiledimage.py:329-415``).
     """
 
     def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ty, tx = int(key[0]), int(key[1])
         arr = np.full((tile_h, tile_w), np.nan, dtype=np.float64)
-        ri = pdf["lat_idx"].to_numpy() - ty * tile_h
+        ri = pdf["disp_row"].to_numpy() - ty * tile_h
         rj = pdf["lon_idx"].to_numpy() - tx * tile_w
         vals = pdf[var].astype("float64").to_numpy()
         ok = (ri >= 0) & (ri < tile_h) & (rj >= 0) & (rj < tile_w)
         arr[ri[ok], rj[ok]] = vals[ok]
-        if flip_y:
-            arr = arr[::-1, :]
         rgba = apply_cmap(arr, vmin, vmax, cmap)
         png = encode_rgba_png(rgba)
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx], "png": [png]})
@@ -100,7 +98,16 @@ def render_tiles(
         "lat_idx", "lon_idx", var
     )
     tw, th = tg.tile_width, tg.tile_height
-    df = df.withColumn("tile_y", (F.col("lat_idx") / th).cast("int")).withColumn(
+    from .grid import level_sizes
+
+    h_level = level_sizes(meta.grid.width, meta.grid.height, tg.num_levels)[level][1]
+    disp = (
+        (F.lit(h_level - 1) - F.col("lat_idx"))
+        if meta.grid.inv_y
+        else F.col("lat_idx")
+    )
+    df = df.withColumn("disp_row", disp)
+    df = df.withColumn("tile_y", (F.col("disp_row") / th).cast("int")).withColumn(
         "tile_x", (F.col("lon_idx") / tw).cast("int")
     )
     if tiles is not None:
@@ -110,9 +117,7 @@ def render_tiles(
             pred = this if pred is None else (pred | this)
         df = df.filter(pred)
     return df.groupBy("tile_y", "tile_x").applyInPandas(
-        _render_pdf_factory(
-            tw, th, vmin, vmax, st.color_bar, var, flip_y=meta.grid.inv_y
-        ),
+        _render_pdf_factory(tw, th, vmin, vmax, st.color_bar, var),
         "tile_y int, tile_x int, png binary",
     )
 
@@ -157,6 +162,8 @@ class TileService:
 
         import pyarrow.dataset as pads
 
+        from .grid import level_sizes
+
         meta = self.catalog.datasets[ds_id]
         if meta.computed or not meta.base_path:
             return None
@@ -165,18 +172,32 @@ class TileService:
         part_dir = f"{meta.base_path}/l{level}/time_idx={t_idx}"
         if not _glob.glob(part_dir):
             return None
+        h_level = level_sizes(meta.grid.width, meta.grid.height, tg.num_levels)[level][1]
+        # display rows [y*th, (y+1)*th) -> storage lat_idx range (flipped
+        # for inv_y grids)
+        if meta.grid.inv_y:
+            lat_lo = h_level - (y + 1) * tg.tile_height
+            lat_hi = h_level - y * tg.tile_height  # exclusive
+        else:
+            lat_lo = y * tg.tile_height
+            lat_hi = (y + 1) * tg.tile_height
         dataset = pads.dataset(part_dir, format="parquet")
         f = pads.field
         filt = (
-            (f("lat_idx") >= y * tg.tile_height)
-            & (f("lat_idx") < (y + 1) * tg.tile_height)
+            (f("lat_idx") >= lat_lo)
+            & (f("lat_idx") < lat_hi)
             & (f("lon_idx") >= x * tg.tile_width)
             & (f("lon_idx") < (x + 1) * tg.tile_width)
         )
         table = dataset.to_table(
             columns=["lat_idx", "lon_idx", var], filter=filt
         )
-        return table.to_pandas()
+        pdf = table.to_pandas()
+        if meta.grid.inv_y:
+            pdf["disp_row"] = (h_level - 1) - pdf["lat_idx"]
+        else:
+            pdf["disp_row"] = pdf["lat_idx"]
+        return pdf
 
     def get_tile(
         self,
@@ -215,7 +236,7 @@ class TileService:
                 tg = meta.tile_grid
                 render = _render_pdf_factory(
                     tg.tile_width, tg.tile_height, *st.value_range,
-                    st.color_bar, var, flip_y=meta.grid.inv_y,
+                    st.color_bar, var,
                 )
                 png = bytes(render((y, x), pdf)["png"][0])
         if png is None:

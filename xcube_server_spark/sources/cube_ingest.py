@@ -193,3 +193,48 @@ def write_cube(
         .parquet(os.path.join(base_path, "coords_time"))
     )
     return CubeTables(base_path=base_path, levels=tg.num_levels), tg
+
+
+def synth_noise_cube(
+    spark: SparkSession,
+    width: int = 72,
+    height: int = 36,
+    days: int = 3,
+) -> tuple["DataFrame", GridMeta]:
+    """FIXTURES.md F-3 analog: global-extent cube with ASCENDING latitude
+    (``inv_y=True`` — ``test/test_mldataset.py:69-97`` builds lat ascending
+    with bounds), one variable ``noise`` = a deterministic lat/lon field.
+
+    Exercises the inv_y code paths (index math + render flip) that the demo
+    cube (descending lat) cannot.
+    """
+    times = tuple(
+        f"2019-01-{d + 1:02d} 12:00:00" for d in range(days)
+    )
+    extent = (-180.0, -90.0, 180.0, 90.0)
+    grid = GridMeta(
+        width=width, height=height, extent=extent, inv_y=True, times=times
+    )
+    n = days * height * width
+    df = (
+        spark.range(n)
+        .withColumn("time_idx", (F.col("id") / (height * width)).cast("int"))
+        .withColumn("rem", F.col("id") % (height * width))
+        .withColumn("lat_idx", (F.col("rem") / width).cast("int"))
+        .withColumn("lon_idx", (F.col("rem") % width).cast("int"))
+        .drop("id", "rem")
+    )
+    time_expr = F.array(*[F.to_timestamp(F.lit(t)) for t in times])
+    df = df.withColumn("time", F.element_at(time_expr, F.col("time_idx") + 1))
+    # inv_y: lat ascends with lat_idx
+    df = df.withColumn(
+        "lat", F.lit(extent[1]) + (F.col("lat_idx") + 0.5) * F.lit(grid.res_lat)
+    ).withColumn(
+        "lon", F.lit(extent[0]) + (F.col("lon_idx") + 0.5) * F.lit(grid.res_lon)
+    )
+    # monotone-in-lat field: render orientation is directly checkable
+    df = df.withColumn(
+        "noise",
+        ((F.col("lat") + 90.0) / 180.0 + F.col("time_idx") * 0.0).cast("float"),
+    )
+    return df, grid
