@@ -184,3 +184,53 @@ def test_concurrent_tile_requests(server):
     for url, (_, _, body) in zip(urls, results):
         by_url.setdefault(url, set()).add(body)
     assert all(len(v) == 1 for v in by_url.values())  # deterministic bytes
+
+
+def test_cli_serve_end_to_end(spark, tmp_path):
+    """The real user entrypoint: `python -m xcube_server_spark.cli serve -c
+    config.yml` in a subprocess — config load, server up, endpoints answer."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from xcube_server_spark.cube.catalog import CubeCatalog
+    from xcube_server_spark.sources.cube_ingest import synth_demo_cube, write_cube
+
+    base = str(tmp_path / "cube")
+    cube, grid = synth_demo_cube(spark, width=32, height=16)
+    _, tg = write_cube(cube, grid, base, tile_size=16)
+    cat = CubeCatalog(spark)
+    meta = cat.register_written_cube("demo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"])
+    cat.save_meta(meta)
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(f"Datasets:\n  - Identifier: demo\n    Title: CLI Demo\n    Path: {base}\n")
+
+    port = 18765
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "xcube_server_spark.cli", "serve",
+         "-c", str(cfg), "-p", str(port)],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 120
+        doc = None
+        while time.time() < deadline:
+            try:
+                status, doc = _get_json(f"http://127.0.0.1:{port}/datasets")
+                break
+            except OSError:
+                time.sleep(2)
+                if proc.poll() is not None:
+                    raise AssertionError("server process exited early")
+        assert doc is not None, "server did not come up in 120s"
+        assert doc["datasets"][0]["title"] == "CLI Demo"
+        s2, ctype, png = _get(
+            f"http://127.0.0.1:{port}/datasets/demo/vars/kd489/tiles/0/0/0.png"
+        )
+        assert s2 == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
