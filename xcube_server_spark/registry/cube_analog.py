@@ -421,3 +421,64 @@ ORACLES = {
     "nearest_dim_select": ORACLE_NEAREST_DIM,
     "nearest_point_select": ORACLE_NEAREST_POINT,
 }
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (§2.8 'nested/map' surface): parse the events
+    ``props`` JSON string, extract a typed field, aggregate. Spark:
+    ``get_json_object``; oracle: DuckDB JSON operators — same semantics."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT CAST(props->>'k' AS INT) % 10 AS k_bucket,
+       count(*) AS n_events,
+       floor(avg(CAST(props->>'k' AS INT)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+       max(CAST(props->>'k' AS INT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+def array_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column analytics: per-dimension statistics of the embedding
+    vectors via posexplode — the column-wise profile a feature-store health
+    check runs. Restricted to the first 8 dims to keep output small."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+        rnd(F.min(F.col("v").cast("double")), 6).alias("min_v"),
+        rnd(F.max(F.col("v").cast("double")), 6).alias("max_v"),
+    )
+
+
+ORACLE_ARRAY_DIMS = """
+SELECT i - 1 AS dim,
+       count(*) AS n,
+       floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+       floor(min(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS min_v,
+       floor(max(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS max_v
+FROM embeddings
+CROSS JOIN (SELECT unnest(range(1, 9)) AS i) t
+GROUP BY 1
+"""
+
+QUERIES["json_props_stats"] = json_props_stats
+QUERIES["array_dim_stats"] = array_dim_stats
+ORACLES["json_props_stats"] = ORACLE_JSON_PROPS
+ORACLES["array_dim_stats"] = ORACLE_ARRAY_DIMS

@@ -624,3 +624,71 @@ QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
 QUERIES["q18_large_orders"] = q18_large_orders
 ORACLES["q2_min_cost_supplier"] = ORACLE_Q2
 ORACLES["q18_large_orders"] = ORACLE_Q18
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + priority counts."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    # reference Q4 uses commitdate < receiptdate; our schema lacks those
+    # columns, so the EXISTS predicate is quantity-based instead
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+GROUP BY 1
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share) —
+    two sums over one scan, one a CASE-filtered subset."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            rnd(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) / 1000000.0
+         AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+QUERIES["q4_order_priority"] = q4_order_priority
+QUERIES["q14_promo_revenue"] = q14_promo_revenue
+ORACLES["q4_order_priority"] = ORACLE_Q4
+ORACLES["q14_promo_revenue"] = ORACLE_Q14
