@@ -32,19 +32,21 @@ def _demo_catalog(spark: SparkSession) -> CubeCatalog:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     base = os.path.join(tempfile.gettempdir(), f"xss_gate_cube_{_W}x{_H}")
-    marker = f"xss.cube.{base}"
     cat = CubeCatalog(spark)
-    if spark.conf.get(marker, None) != "1":
-        cube, grid = synth_demo_cube(spark, width=_W, height=_H)
-        _, tg = write_cube(cube, grid, base, tile_size=32)
-        meta = cat.register_written_cube(
-            "demo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"],
-            styles={"conc_tsm": StyleMeta("plasma", (0.0, 100.0))},
-        )
-        cat.save_meta(meta)
-        spark.conf.set(marker, "1")
-    else:
+    # Reuse an already-materialized fixture ON DISK (catalog.json is written
+    # last, so its presence means the tables are complete) — avoids both
+    # repeated writes within a session and two processes clobbering each
+    # other's fixture mid-read.
+    if os.path.exists(os.path.join(base, "catalog.json")):
         cat.load_meta("demo", base)
+        return cat
+    cube, grid = synth_demo_cube(spark, width=_W, height=_H)
+    _, tg = write_cube(cube, grid, base, tile_size=32)
+    meta = cat.register_written_cube(
+        "demo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"],
+        styles={"conc_tsm": StyleMeta("plasma", (0.0, 100.0))},
+    )
+    cat.save_meta(meta)
     return cat
 
 

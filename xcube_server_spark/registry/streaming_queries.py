@@ -83,10 +83,8 @@ def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = os.path.join(
         tempfile.gettempdir(), "xss_stream_events_" + sf_dir.strip("/").replace("/", "_")
     )
-    marker = f"xss.staged.{staged}"
-    if spark.conf.get(marker, None) != "1":
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
-        spark.conf.set(marker, "1")
     return run_stream_to_batch(
         spark, staged, tumbling_counts_stream, output_mode="complete"
     )
@@ -125,10 +123,8 @@ def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = os.path.join(
         tempfile.gettempdir(), "xss_stream_events_" + sf_dir.strip("/").replace("/", "_")
     )
-    marker = f"xss.staged.{staged}"
-    if spark.conf.get(marker, None) != "1":
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
-        spark.conf.set(marker, "1")
     streamed = run_stream_to_batch(
         spark, staged, running_user_stats_stream, output_mode="update"
     )
@@ -171,11 +167,9 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         tempfile.gettempdir(), "xss_ht_" + sf_dir.strip("/").replace("/", "_")
     )
-    marker = f"xss.ht.{base}"
     ev = _events(spark, sf_dir)
-    if spark.conf.get(marker, None) != "1":
+    if not os.path.exists(os.path.join(base, "rollup_1d", "_SUCCESS")):
         materialize_rollups(ev, "ts", "value", base, ["1m", "1h", "1d"])
-        spark.conf.set(marker, "1")
     paths = {
         name: os.path.join(base, f"rollup_{name}") for name in ("1m", "1h", "1d")
     }
