@@ -234,3 +234,17 @@ def test_cli_serve_end_to_end(spark, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_root_and_client_tilegrids(server):
+    status, doc = _get_json(f"{server}/")
+    assert status == 200 and doc["name"] == "xcube-server-spark"
+    status, ol4 = _get_json(f"{server}/datasets/demo/vars/conc_tsm/tilegrid?client=ol4")
+    assert status == 200
+    assert ol4["projection"] == "EPSG:4326"
+    assert len(ol4["tileGrid"]["resolutions"]) == 2
+    assert ol4["tileGrid"]["origin"][1] == 52.5  # north
+    assert "{z}" in ol4["url"] and "conc_tsm" in ol4["url"]
+    status, ces = _get_json(f"{server}/datasets/demo/vars/conc_tsm/tilegrid?client=cesium")
+    assert ces["tilingScheme"]["numberOfLevelZeroTilesX"] >= 1
+    assert ces["rectangle"]["north"] == 52.5

@@ -69,10 +69,47 @@ def get_coordinates(catalog: CubeCatalog, ds_id: str, dim: str) -> dict[str, Any
     return {"name": dim, "size": len(vals), "dtype": dtype, "coordinates": vals}
 
 
-def get_tile_grid(catalog: CubeCatalog, ds_id: str) -> dict[str, Any]:
-    """Tile-grid JSON (shape parity with the reference's ``ol4``/``cesium``
-    tile-source JSON, ``xcube_server/controllers/tiles.py:226-284``)."""
-    tg = catalog.datasets[ds_id].tile_grid
+def get_tile_grid(
+    catalog: CubeCatalog, ds_id: str, client: str | None = None,
+    base_url: str = "", var: str = "",
+) -> dict[str, Any]:
+    """Tile-grid JSON; ``client='ol4'``/``'cesium'`` emit the client-specific
+    tile-source shapes of the reference (X4,
+    ``xcube_server/controllers/tiles.py:226-284``)."""
+    meta = catalog.datasets[ds_id]
+    tg = meta.tile_grid
+    west, south, east, north = tg.geo_extent
+    url = (
+        f"{base_url}/datasets/{ds_id}/vars/{var or '{var}'}"
+        "/tiles/{z}/{x}/{y}.png"
+    )
+    if client == "ol4":
+        res0 = (east - west) / (tg.num_level_zero_tiles_x * tg.tile_width)
+        return {
+            "url": url,
+            "projection": "EPSG:4326",
+            "minZoom": 0,
+            "maxZoom": tg.num_levels - 1,
+            "tileGrid": {
+                "extent": [west, south, east, north],
+                "origin": [west, north],
+                "resolutions": [res0 / (1 << z) for z in range(tg.num_levels)],
+                "tileSize": [tg.tile_width, tg.tile_height],
+            },
+        }
+    if client == "cesium":
+        return {
+            "url": url,
+            "rectangle": {"west": west, "south": south, "east": east, "north": north},
+            "minimumLevel": 0,
+            "maximumLevel": tg.num_levels - 1,
+            "tileWidth": tg.tile_width,
+            "tileHeight": tg.tile_height,
+            "tilingScheme": {
+                "numberOfLevelZeroTilesX": tg.num_level_zero_tiles_x,
+                "numberOfLevelZeroTilesY": tg.num_level_zero_tiles_y,
+            },
+        }
     return {
         "numLevels": tg.num_levels,
         "tileSize": [tg.tile_width, tg.tile_height],

@@ -116,7 +116,17 @@ class CubeServer:
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
 
-        if method == "GET" and parts[:1] == ["wmts"]:
+        if method == "GET" and not parts:
+            from .. import __version__
+
+            h._json(
+                {
+                    "name": "xcube-server-spark",
+                    "version": __version__,
+                    "datasets": len(self.catalog.datasets),
+                }
+            )
+        elif method == "GET" and parts[:1] == ["wmts"]:
             # /wmts/1.0.0/WMTSCapabilities.xml REST or /wmts/kvp?... KVP
             # (case-insensitive keys, xcube_server/handlers.py:57-117)
             base = f"http://{h.headers.get('Host', 'localhost')}"
@@ -178,7 +188,15 @@ class CubeServer:
             and parts[2] == "vars"
             and parts[4] == "tilegrid"
         ):
-            h._json(get_tile_grid(self.catalog, parts[1]))
+            h._json(
+                get_tile_grid(
+                    self.catalog,
+                    parts[1],
+                    client=q.get("client"),
+                    base_url=f"http://{h.headers.get('Host', 'localhost')}",
+                    var=parts[3],
+                )
+            )
         elif (
             method == "GET"
             and len(parts) == 5
