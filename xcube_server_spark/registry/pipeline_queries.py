@@ -811,3 +811,41 @@ QUERIES["merge_upsert_docs"] = merge_upsert_docs
 QUERIES["dedup_components_minhash"] = dedup_components_minhash
 ORACLES["merge_upsert_docs"] = ORACLE_MERGE
 ORACLES["dedup_components_minhash"] = ORACLE_COMPONENTS
+
+
+def data_split_train_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid split (~90/10): the reproducible
+    splitting primitive of a corpus pipeline — membership depends only on
+    the document id, never on row order, partitioning, or sampling state.
+
+    Mechanism: first 8 hex chars of md5(doc_id) compared lexicographically
+    against the hex threshold 'e6666666' (= 0.9 · 2^32) — identical string
+    semantics in Spark and DuckDB, no integer conversion needed.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    frac = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = F.when(frac < F.lit("e6666666"), F.lit("train")).otherwise(
+        F.lit("valid")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SPLIT = """
+SELECT lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+            THEN 'train' ELSE 'valid' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["data_split_train_valid"] = data_split_train_valid
+ORACLES["data_split_train_valid"] = ORACLE_SPLIT
