@@ -49,6 +49,18 @@ BENCH_QUERIES = [
     "embed_ann_lsh",
     "text_fingerprint",
     "merge_upsert_docs",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q19_or_predicates",
+    "q21_sole_supplier",
+    "text_repetition",
+    "pack_sequences",
+    "contamination_screen",
+    "vocab_top_tokens",
+    "event_funnel",
+    "user_retention",
 ]
 
 

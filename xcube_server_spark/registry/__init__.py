@@ -11,11 +11,27 @@ value-hash agrees.
 
 from __future__ import annotations
 
-from . import cube_analog, cube_queries, pipeline_queries, relational, streaming_queries
+from . import (
+    cube_analog,
+    cube_queries,
+    pipeline_ext,
+    pipeline_queries,
+    relational,
+    relational_ext,
+    streaming_queries,
+)
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, cube_analog, cube_queries, pipeline_queries, streaming_queries):
+for _m in (
+    relational,
+    relational_ext,
+    cube_analog,
+    cube_queries,
+    pipeline_queries,
+    pipeline_ext,
+    streaming_queries,
+):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

@@ -1,0 +1,373 @@
+"""Second wave of training-data-pipeline operators: repetition-based quality
+signals, sequence packing, benchmark-contamination screening, vocabulary
+statistics, and event-behavior analytics (funnel / retention).
+
+Like ``pipeline_queries``, every operator is a first-class engine query with
+a DuckDB oracle. Scale notes:
+
+- repetition / vocab: token explode shuffles (doc_id, token) or (lang, token)
+  count pairs — partial aggregation collapses each map task to its distinct
+  tokens before the exchange, so the shuffle is vocabulary-sized, not
+  corpus-sized.
+- packing: one window sort per language partition; at 100 TB the ordering
+  key (doc_id) is the ingest order, so the sort is within already-sorted
+  parquet and the window is a single pass.
+- contamination: the eval-set gram dictionary is tiny by construction — it
+  broadcasts, making the screen a map-side semi-join over the corpus (no
+  shuffle of the corpus at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ._util import load_table as _t
+from ._util import rnd
+
+_TOKS = "filter(split(text, ' '), t -> t <> '')"
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style rules adapted to
+    single-line docs): per-doc distinct-token ratio and top-token share,
+    aggregated per language with a flagged-fraction for docs whose most
+    frequent token exceeds 10% of all tokens.
+
+    Plan: explode → (doc_id, token) count → per-doc max/sum → per-lang
+    averages. Two shuffles, both of count rows, never of text.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKS)).alias("tok")
+    )
+    per_tok = tok.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg(F.col("n_distinct") / F.col("n_tokens")), 6).alias(
+            "avg_distinct_ratio"
+        ),
+        rnd(F.avg(F.col("top_cnt") / F.col("n_tokens")), 6).alias(
+            "avg_top_share"
+        ),
+        F.sum(
+            F.when(F.col("top_cnt") / F.col("n_tokens") > 0.1, 1).otherwise(0)
+        ).alias("n_flagged"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+per_tok AS (
+  SELECT doc_id, lang, tok, count(*) AS cnt
+  FROM tok WHERE tok <> '' GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+         max(cnt) AS top_cnt
+  FROM per_tok GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       floor(avg(n_distinct / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_distinct_ratio,
+       floor(avg(top_cnt / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_top_share,
+       sum(CASE WHEN top_cnt / CAST(n_tokens AS DOUBLE) > 0.1 THEN 1 ELSE 0 END)
+         AS n_flagged
+FROM per_doc
+GROUP BY 1
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (per language, in doc_id
+    order) into fixed token-budget training sequences (budget 512); emit
+    per-sequence document counts and token fill.
+
+    The pack id is the token-cumsum prefix divided by the budget — the
+    standard "chunked concatenation" packing of LLM pretraining, expressed
+    as a single running-sum window (deterministic, order-based; no UDF).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.expr(_TOKS)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_PACK = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS prior
+  FROM t
+)
+SELECT lang, CAST(floor(prior / 512.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, sum(n_tok) AS seq_tokens, min(doc_id) AS first_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing any
+    13-char shingle with the held-out eval set (doc_id % 97 == 0 stands in
+    for the benchmark). Per source: docs screened and docs contaminated.
+
+    Plan: the eval gram dictionary (distinct grams of a tiny doc set) is
+    broadcast; the corpus side explodes its grams map-side and semi-joins —
+    the full corpus never shuffles. At 100 TB the dictionary stays the size
+    of the benchmark suite (MBs), so the broadcast holds.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams_expr = (
+        "array_distinct(transform(sequence(1, greatest(length(text)-12, 1)),"
+        " i -> substring(text, i, 13)))"
+    )
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.expr(grams_expr)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.select("doc_id", "source", F.explode(F.expr(grams_expr)).alias("g"))
+        .join(broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    total = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    hits = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        total.join(hits, "source", "left_outer")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION = """
+WITH eval_grams AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, greatest(length(text)-12, 1) + 1),
+           i -> substr(text, CAST(i AS INT), 13)))) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+tg AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(text)-12, 1) + 1),
+           i -> substr(text, CAST(i AS INT), 13)))) AS g
+  FROM train
+),
+contaminated AS (
+  SELECT DISTINCT doc_id, source FROM tg WHERE g IN (SELECT g FROM eval_grams)
+)
+SELECT t.source, count(*) AS n_train,
+       coalesce(max(h.n_contaminated), 0) AS n_contaminated
+FROM train t
+LEFT JOIN (SELECT source, count(*) AS n_contaminated
+           FROM contaminated GROUP BY 1) h
+  ON t.source = h.source
+GROUP BY 1
+"""
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: the 5 most frequent tokens per language
+    (count desc, token asc tiebreak) — explode → count → ranking window.
+
+    Partial aggregation bounds the shuffle at |vocab| per task; the ranking
+    window partitions by language (25 partitions at most — at real scale a
+    two-level top-k (per-partition heads, then global) keeps the window
+    input small; here the count table is already tiny).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.expr(_TOKS)).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "tok", "cnt")
+    )
+
+
+ORACLE_VOCAB = """
+WITH counts AS (
+  SELECT lang, tok, count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, tok, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rank
+  FROM counts
+)
+SELECT lang, CAST(rank AS INT) AS rank, tok, cnt
+FROM ranked WHERE rank <= 5
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel over the events stream table: per user, first
+    view → first click after it → first purchase after that; count users
+    reaching each stage. One shuffle (user pivot); the stage logic is a
+    conditional min-timestamp pivot, not a self-join chain.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    first_click = (
+        per_user.join(clicks, (F.col("user_id") == F.col("c_user")))
+        .filter(F.col("c_ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    first_purchase = (
+        first_click.join(purchases, (F.col("user_id") == F.col("p_user")))
+        .filter(F.col("p_ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(per_user.filter(F.col("t_view").isNotNull()), "view")
+        .unionByName(stage(first_click, "view>click"))
+        .unionByName(stage(first_purchase, "view>click>purchase"))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT v.user_id, v.t_view, min(e.ts) AS t_click
+  FROM v JOIN events e ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT c.user_id, min(e.ts) AS t_purchase
+  FROM c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT 'view>click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 'view>click>purchase', (SELECT count(*) FROM p)
+"""
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; how many
+    return exactly 1 and exactly 7 days later. The cohort map and the
+    activity set are both hash-partitioned on user_id by their own
+    aggregations, so the join adds no extra exchange.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = ev.distinct()
+    joined = activity.join(cohort, "user_id").withColumn(
+        "age", F.datediff("d", "cohort_day")
+    )
+    return joined.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("age") == 1, F.col("user_id"))).alias(
+            "retained_d1"
+        ),
+        F.countDistinct(F.when(F.col("age") == 7, F.col("user_id"))).alias(
+            "retained_d7"
+        ),
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+j AS (
+  SELECT ev.user_id, cohort.cohort_day,
+         date_diff('day', cohort.cohort_day, ev.d) AS age
+  FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+)
+SELECT cohort_day, count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CASE WHEN age = 1 THEN user_id END) AS retained_d1,
+       count(DISTINCT CASE WHEN age = 7 THEN user_id END) AS retained_d7
+FROM j
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_repetition": text_repetition,
+    "pack_sequences": pack_sequences,
+    "contamination_screen": contamination_screen,
+    "vocab_top_tokens": vocab_top_tokens,
+    "event_funnel": event_funnel,
+    "user_retention": user_retention,
+}
+
+ORACLES = {
+    "text_repetition": ORACLE_REPETITION,
+    "pack_sequences": ORACLE_PACK,
+    "contamination_screen": ORACLE_CONTAMINATION,
+    "vocab_top_tokens": ORACLE_VOCAB,
+    "event_funnel": ORACLE_FUNNEL,
+    "user_retention": ORACLE_RETENTION,
+}
