@@ -145,37 +145,33 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the benchmark). Per source: docs screened and docs contaminated.
 
     Plan: the eval gram dictionary (distinct grams of a tiny doc set) is
-    broadcast; the corpus side explodes its grams map-side and semi-joins —
-    the full corpus never shuffles. At 100 TB the dictionary stays the size
-    of the benchmark suite (MBs), so the broadcast holds.
+    collected into ONE broadcast array row; the corpus side tests
+    ``arrays_overlap`` per document in a single map-side pass — no explode
+    of the corpus, no per-gram shuffle, no distinct. The only exchange is
+    the final per-source count. At 100 TB the dictionary stays the size of
+    the benchmark suite (MBs), so the broadcast holds.
     """
     docs = _t(spark, sf_dir, "documents")
     grams_expr = (
         "array_distinct(transform(sequence(1, greatest(length(text)-12, 1)),"
         " i -> substring(text, i, 13)))"
     )
-    eval_grams = (
+    eval_dict = (
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode(F.expr(grams_expr)).alias("g"))
-        .distinct()
+        .agg(F.collect_set("g").alias("eval_grams"))
     )
-    train = docs.filter(F.col("doc_id") % 97 != 0)
-    contaminated = (
-        train.select("doc_id", "source", F.explode(F.expr(grams_expr)).alias("g"))
-        .join(broadcast(eval_grams), "g", "left_semi")
-        .select("doc_id", "source")
-        .distinct()
-    )
-    total = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
-    hits = contaminated.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
+    # the gram projection is CPU-heavy per row and the source is one parquet
+    # file — spread rows across cores first (RoundRobin exchange of raw docs,
+    # amortized by the per-row work; same move as dedup_minhash_lsh)
+    train = docs.filter(F.col("doc_id") % 97 != 0).repartition(64)
+    hit = F.arrays_overlap(F.expr(grams_expr), F.col("eval_grams"))
     return (
-        total.join(hits, "source", "left_outer")
-        .select(
-            "source",
-            "n_train",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        train.crossJoin(broadcast(eval_dict))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_contaminated"),
         )
     )
 
