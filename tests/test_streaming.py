@@ -90,3 +90,38 @@ def test_stream_static_join(spark, events_path):
         .collect()
     }
     assert got == batch and set(got) == {"vip", "std"}
+
+
+def test_sliding_avg_stream_matches_batch(spark, events_path):
+    from xcube_server_spark.streaming.events import sliding_avg, sliding_avg_stream
+
+    batch = sliding_avg(spark.read.parquet(events_path))
+    streamed = run_stream_to_batch(
+        spark, events_path, sliding_avg_stream, output_mode="complete"
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, events_path):
+    """Stream-stream interval join (self-join of one watermarked stream split
+    by event type): append-mode inner join must emit exactly the batch pairs."""
+    from xcube_server_spark.streaming.events import interval_join_stream, interval_pairs
+
+    def split_and_join(stream):
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        return interval_join_stream(clicks, purchases)
+
+    streamed = run_stream_to_batch(
+        spark, events_path, split_and_join, output_mode="append"
+    )
+    ev = spark.read.parquet(events_path)
+    batch = interval_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s and len(b) > 0

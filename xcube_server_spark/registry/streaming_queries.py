@@ -197,3 +197,60 @@ GROUP BY 1
 
 QUERIES["hypertable_rollup_daily"] = hypertable_rollup_daily
 ORACLES["hypertable_rollup_daily"] = ORACLE_HYPERTABLE
+
+
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6h/2h window aggregate — each event lands in 3 overlapping
+    windows (``sliding_avg_stream`` is the watermarked streaming twin,
+    exercised in tests/test_streaming.py)."""
+    from ..streaming.events import sliding_avg
+
+    return sliding_avg(_events(spark, sf_dir), hours=6, slide_hours=2)
+
+
+# Each event at epoch t belongs to the 3 windows starting at
+# (floor(t/7200) - k) * 7200, k = 0..2 (window 21600s, slide 7200s): the
+# offsets k never push t outside [start, start+21600), so no extra predicate.
+ORACLE_SLIDING = """
+SELECT (CAST(floor(epoch(ts) / 7200) AS BIGINT) - k.k) * 7200 AS win_start,
+       event_type, count(*) AS n_events,
+       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+GROUP BY 1, 2
+"""
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (click→purchase attribution within 30 min):
+    batch twin of the stream-stream watermarked join
+    (``interval_join_stream``; live parity in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import interval_join
+
+    ev = _events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_delay_min=30,
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT c.user_id, count(*) AS n_attributed,
+       floor((avg(date_diff('second', date_trunc('second', c.ts),
+                            date_trunc('second', p.ts)))) * 10000.0 + 0.5) / 10000.0
+         AS avg_delay_sec
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1
+"""
+
+QUERIES["stream_sliding_avg"] = stream_sliding_avg
+QUERIES["stream_interval_join"] = stream_interval_join
+ORACLES["stream_sliding_avg"] = ORACLE_SLIDING
+ORACLES["stream_interval_join"] = ORACLE_INTERVAL_JOIN

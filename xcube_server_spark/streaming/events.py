@@ -104,3 +104,89 @@ def sessionize_stream(events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN) 
             "n_events",
         )
     )
+
+
+def sliding_avg(events: DataFrame, hours: int = 6, slide_hours: int = 2) -> DataFrame:
+    """Sliding-window aggregate: each event contributes to ``hours/slide``
+    overlapping windows (6h window sliding every 2h → 3 windows/event).
+
+    Streaming-safe: ``F.window(ts, w, s)`` replicates rows into their
+    windows map-side; with a watermark the state store finalizes windows as
+    the watermark passes their end. On batch it is a plain expand+groupBy —
+    the expansion factor (w/s) is the cost knob at 100 TB, not the shuffle:
+    partial aggregation collapses each task to |windows×types| rows first.
+    """
+    win = F.window("ts", f"{hours} hours", f"{slide_hours} hours")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sliding_avg_stream(events_stream: DataFrame, hours: int = 6, slide_hours: int = 2) -> DataFrame:
+    """Streaming form: watermark bounds the open-window state."""
+    return sliding_avg(events_stream.withWatermark("ts", "1 hour"), hours, slide_hours)
+
+
+def interval_pairs(
+    clicks: DataFrame, purchases: DataFrame, max_delay_min: int = 30
+) -> DataFrame:
+    """Raw (click, purchase) pairs of the interval join — append-mode safe
+    on streams (no aggregation), the form the live stream-stream test
+    consumes."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {max_delay_min} MINUTES")),
+    )
+
+
+def interval_join(
+    clicks: DataFrame, purchases: DataFrame, max_delay_min: int = 30
+) -> DataFrame:
+    """Event-time interval join (click → purchase attribution): pair each
+    click with the same user's purchases landing within ``max_delay_min``
+    after it; per-user pair counts and mean delay.
+
+    Batch: sort-merge join on user_id with the time-range residual.
+    Streaming: the SAME plan with watermarks on both sides is Spark's
+    stream-stream interval join — the time bound lets the state store
+    evict rows once the watermark passes ``ts + max_delay``; without it the
+    join state would grow forever (the 100 TB failure mode).
+    """
+    pairs = interval_pairs(clicks, purchases, max_delay_min)
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        rnd(
+            F.avg(F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")), 4
+        ).alias("avg_delay_sec"),
+    )
+
+
+def interval_join_stream(
+    clicks_stream: DataFrame, purchases_stream: DataFrame, max_delay_min: int = 30
+) -> DataFrame:
+    """Streaming form: watermarks on BOTH sides (required for state cleanup
+    in a stream-stream inner join); emits raw pairs in append mode — the
+    downstream aggregation belongs to a second stage (or the batch twin)."""
+    return interval_pairs(
+        clicks_stream.withWatermark("ts", "1 hour"),
+        purchases_stream.withWatermark("ts", "2 hours"),
+        max_delay_min,
+    )
