@@ -115,3 +115,56 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_q7_single_fact_fact_shuffle(spark, sf_dir):
+    """q7: lineitem⋈orders is the only shuffle pair; supplier/customer/nation
+    all broadcast. Exchanges: 2 shuffle inputs (one per fact side) + the
+    final aggregation — anything more means a dimension failed to broadcast."""
+    df = QUERIES["q7_nation_trade"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 4
+
+
+def test_q19_or_predicate_partial_pushdown(spark, sf_dir):
+    """q19: the OR-of-AND predicate references join-side columns so it can't
+    fully push, but the part-side brand/size conjunctions must reach the
+    part scan via in-filter derivation, and part must broadcast."""
+    df = QUERIES["q19_or_predicates"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert has_broadcast_join(df)
+    cols = scan_columns(df)
+    # lineitem scan must not read all 11 columns for this 4-column query
+    li_scans = [c for c in cols if any(x.startswith("l_") for x in c)]
+    assert li_scans and all(len(c) <= 5 for c in li_scans)
+
+
+def test_contamination_screen_no_corpus_shuffle(spark, sf_dir):
+    """contamination_screen: the corpus side must see only the deliberate
+    RoundRobin spread + the final per-source agg — never a per-gram
+    explode shuffle. The eval dictionary arrives via broadcast."""
+    df = QUERIES["contamination_screen"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert has_broadcast_join(df)
+    # repartition(64) + final groupBy + eval-dict single-partition agg
+    assert count_exchanges(df) <= 3
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """pack_sequences: one hash exchange for the per-lang window sort, one
+    for the final (lang, seq_id) agg — the window and the groupBy must not
+    introduce extra repartitions."""
+    df = QUERIES["pack_sequences"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 2
+
+
+def test_user_retention_reuses_user_partitioning(spark, sf_dir):
+    """user_retention: activity distinct + cohort agg + the Expand-based
+    multi-countDistinct (Spark's standard 2-exchange strategy for several
+    DISTINCT aggregates) — 4 exchanges total, all of id-sized rows; any
+    more means the user_id join stopped reusing its partitioning."""
+    df = QUERIES["user_retention"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 4
