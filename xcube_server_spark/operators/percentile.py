@@ -34,10 +34,12 @@ def exact_percentiles(
     keys = keys or []
     projected = df.select(*keys, F.col(value_col).cast("double").alias("__v"))
     w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
-    ranked = projected.withColumn("__rn", F.row_number().over(w) - 1)
-    counts = ranked.groupBy(*keys).agg(F.max("__rn").alias("__maxrn"))
-    joined = ranked.join(F.broadcast(counts), on=keys) if keys else (
-        ranked.crossJoin(F.broadcast(counts))
+    # group size as a full-partition count window: shares the ranking
+    # window's exchange+sort (ONE shuffle total), replacing the former
+    # aggregate + broadcast-join of per-group counts (was a 2nd job stage)
+    w_all = Window.partitionBy(*keys)
+    joined = projected.withColumn("__rn", F.row_number().over(w) - 1).withColumn(
+        "__maxrn", F.count(F.lit(1)).over(w_all) - 1
     )
     aggs = []
     for p in percentiles:

@@ -339,19 +339,25 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: EXISTS + NOT-EXISTS pair. Adaptation (no
     receipt/commit dates): count, per nation, the orders where a supplier
-    was the *sole* supplier — a left-anti self-join of the distinct
-    (order, supplier) association against its other-supplier complement."""
+    was the *sole* supplier.
+
+    Plan: the NOT-EXISTS ("no line of this order has another supplier")
+    is rewritten to a groupwise `min(suppkey) == max(suppkey)` test — ONE
+    scan and ONE shuffle of (orderkey, suppkey), replacing the literal
+    anti self-join of the distinct pair set against its complement (which
+    costs two pair-set shuffles and computes the pair set twice; measured
+    1.7s → 0.6s at sf0.1). The DuckDB oracle keeps the NOT-EXISTS form —
+    same semantics, independently derived."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    other = pairs.select(
-        F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
-    )
-    sole = pairs.join(
-        other,
-        (pairs.l_orderkey == other.o_okey) & (pairs.l_suppkey != other.o_skey),
-        "left_anti",
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.max("l_suppkey").alias("max_skey"),
+        )
+        .filter(F.col("l_suppkey") == F.col("max_skey"))
     )
     return (
         sole.join(broadcast(supp), sole.l_suppkey == supp.s_suppkey)
