@@ -50,7 +50,12 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "merge_upsert_docs",
     "q7_nation_trade",
+    "q8_market_share",
     "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
     "q10_returned_items",
     "q13_order_distribution",
     "q19_or_predicates",

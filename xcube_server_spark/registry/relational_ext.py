@@ -440,3 +440,163 @@ ORACLES = {
     "q21_sole_supplier": ORACLE_Q21,
     "q22_idle_customers": ORACLE_Q22,
 }
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the
+    global aggregate (HAVING against a scalar subquery). Adaptation: stock
+    value = sum(l_quantity * p_retailprice) per part from lineitem (no
+    partsupp); keep parts holding > 0.1% of total inventory value.
+
+    Plan: ONE fact aggregation; the global total is a second aggregate of
+    the (small) per-part result, broadcast back — no second fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    total = per_part.agg((F.sum("value") * 0.001).alias("cut"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", rnd("value", 2).alias("stock_value"))
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_quantity * p_retailprice) AS value
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT l_partkey, floor(value * 100.0 + 0.5) / 100.0 AS stock_value
+FROM per_part
+WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts split by a line attribute class.
+    Adaptation (no l_shipmode): quantity class stands in for ship mode
+    (heavy ≥ 25 vs light); count urgent vs non-urgent orders per class for
+    one ship year — the CASE-sum pivot over a fact/fact join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cls = F.when(F.col("l_quantity") >= 25, "heavy").otherwise("light")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("ship_class", cls)
+        .groupBy("ship_class")
+        .agg(
+            F.sum(urgent).alias("high_line_count"),
+            F.sum(1 - urgent).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN l_quantity >= 25 THEN 'heavy' ELSE 'light' END AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + equality against its own max (the
+    top supplier(s) of a quarter). The max is a window over the aggregated
+    view — one fact scan, no re-aggregation (same rewrite as q2)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    return (
+        revenue.withColumn("max_rev", mx)
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", rnd("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       floor(total_revenue * 100.0 + 0.5) / 100.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who moved more
+    than 300 units of red parts in 1997, reported per nation. Adaptation:
+    the availability threshold comes from shipped quantities (no partsupp);
+    the part-name filter keeps the inner LIKE-driven semi-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    movers = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("moved"))
+        .filter(F.col("moved") > 300)
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+ORACLE_Q20 = """
+SELECT n_name AS nation, count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY 1
+"""
+
+QUERIES["q11_important_stock"] = q11_important_stock
+QUERIES["q12_priority_shipping"] = q12_priority_shipping
+QUERIES["q15_top_supplier"] = q15_top_supplier
+QUERIES["q20_excess_suppliers"] = q20_excess_suppliers
+ORACLES["q11_important_stock"] = ORACLE_Q11
+ORACLES["q12_priority_shipping"] = ORACLE_Q12
+ORACLES["q15_top_supplier"] = ORACLE_Q15
+ORACLES["q20_excess_suppliers"] = ORACLE_Q20
