@@ -248,3 +248,98 @@ def test_root_and_client_tilegrids(server):
     status, ces = _get_json(f"{server}/datasets/demo/vars/conc_tsm/tilegrid?client=cesium")
     assert ces["tilingScheme"]["numberOfLevelZeroTilesX"] >= 1
     assert ces["rectangle"]["north"] == 52.5
+
+
+def _post_json(url: str, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_single_dataset_endpoint(server):
+    status, doc = _get_json(f"{server}/datasets/demo")
+    assert status == 200 and doc["id"] == "demo"
+    assert {v["name"] for v in doc["variables"]} == {"conc_chl", "conc_tsm", "kd489"}
+    assert all(v["dims"] == ["time", "lat", "lon"] for v in doc["variables"])
+    status, doc = _get_json(f"{server}/datasets/demo?tiles=ol4")
+    assert status == 200
+    assert all("tileSourceOptions" in v for v in doc["variables"])
+    assert "{z}" in doc["variables"][0]["tileSourceOptions"]["url"]
+
+
+def test_colorbars_html(server):
+    status, ctype, body = _get(f"{server}/colorbars.html")
+    assert status == 200 and ctype.startswith("text/html")
+    assert b"data:image/png;base64" in body
+
+
+def test_ne2_static_tiles(server):
+    status, doc = _get_json(f"{server}/ne2/tilegrid")
+    assert status == 200 and doc["extent"] == [-180.0, -90.0, 180.0, 90.0]
+    status, ctype, body = _get(f"{server}/ne2/tiles/0/0/0.jpg")
+    # no pyramid configured -> transparent PNG fallback, never a 404
+    assert status == 200 and ctype == "image/png"
+
+
+def test_ts_info_endpoint(server):
+    status, doc = _get_json(f"{server}/ts")
+    names = {l["name"] for l in doc["layers"]}
+    assert status == 200 and "demo.conc_chl" in names
+    layer = next(l for l in doc["layers"] if l["name"] == "demo.conc_chl")
+    assert layer["dates"] and layer["bounds"]["xmax"] > layer["bounds"]["xmin"]
+
+
+def test_ts_geometries_fanout_endpoint(server):
+    body = {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [2.0, 51.5]},
+            {"type": "Polygon", "coordinates": [[
+                [1.0, 51.0], [3.0, 51.0], [3.0, 52.0], [1.0, 52.0], [1.0, 51.0],
+            ]]},
+        ],
+    }
+    status, doc = _post_json(f"{server}/ts/demo/conc_chl/geometries", body)
+    assert status == 200 and len(doc["results"]) == 2
+    point_res, poly_res = doc["results"]
+    assert all(r["result"]["totalCount"] == 1 for r in point_res["results"])
+    assert all(r["result"]["totalCount"] > 1 for r in poly_res["results"])
+
+
+def test_ts_places_fanout_endpoint(server):
+    body = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [2.0, 51.5]}},
+        ],
+    }
+    status, doc = _post_json(f"{server}/ts/demo/conc_chl/places", body)
+    assert status == 200 and len(doc["results"]) == 1
+    assert doc["results"][0]["results"]
+
+
+def test_place_groups_endpoint(server):
+    status, doc = _get_json(f"{server}/places")
+    assert status == 200
+    groups = {g["id"]: g["featureCount"] for g in doc["placeGroups"]}
+    assert groups == {"pts": 2}
+
+
+def test_dataset_places_endpoint(server):
+    status, doc = _get_json(f"{server}/places/pts/demo")
+    assert status == 200
+    names = {f["properties"]["Name"] for f in doc["features"]}
+    assert names == {"inside"}
+
+
+def test_wmts_rest_tile(server):
+    status, ctype, body = _get(
+        f"{server}/wmts/1.0.0/tile/demo/conc_chl/0/0/0.png"
+    )
+    assert status == 200 and ctype == "image/png"
+    rgba = decode_rgba_png(body)
+    assert rgba.shape[:2] == (32, 32)

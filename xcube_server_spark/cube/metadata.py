@@ -120,3 +120,79 @@ def get_tile_grid(
         "extent": list(tg.geo_extent),
         "invY": tg.inv_y,
     }
+
+
+def get_dataset(
+    catalog: CubeCatalog, ds_id: str, client: str | None = None, base_url: str = ""
+) -> dict[str, Any]:
+    """Single-dataset detail (``xcube_server/controllers/catalogue.py:45-94``):
+    id/title/bbox + per-variable dims/shape/dtype, and with ``client`` the
+    per-variable tile-source options (X4)."""
+    if ds_id not in catalog.datasets:
+        raise KeyError(ds_id)
+    meta = catalog.datasets[ds_id]
+    out: dict[str, Any] = {
+        "id": meta.identifier,
+        "title": meta.title,
+        "bbox": list(meta.grid.extent),
+    }
+    variables = []
+    for v in meta.variables:
+        var_dict: dict[str, Any] = {
+            "id": f"{meta.identifier}.{v}",
+            "name": v,
+            "dims": ["time", "lat", "lon"],
+            "shape": [len(meta.grid.times), meta.grid.height, meta.grid.width],
+            "dtype": "float32",
+            "units": "",
+            "title": v,
+        }
+        if client is not None:
+            var_dict["tileSourceOptions"] = get_tile_grid(
+                catalog, ds_id, client=client, base_url=base_url, var=v
+            )
+        variables.append(var_dict)
+    out["variables"] = variables
+    return out
+
+
+def get_time_series_info(catalog: CubeCatalog) -> dict[str, Any]:
+    """TS layer inventory (``controllers/time_series.py:35-53``): one layer
+    per (dataset, variable) with ISO dates and the dataset bounds."""
+    layers = []
+    for meta in catalog.datasets.values():
+        dates = [
+            t if isinstance(t, str) else t.strftime("%Y-%m-%dT%H:%M:%SZ")
+            for t in meta.grid.times
+        ]
+        xmin, ymin, xmax, ymax = meta.grid.extent
+        bounds = {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}
+        for v in meta.variables:
+            layers.append(
+                {
+                    "name": f"{meta.identifier}.{v}",
+                    "dates": dates,
+                    "bounds": bounds,
+                }
+            )
+    return {"layers": layers}
+
+
+def colorbars_html() -> str:
+    """HTML color-bar listing (``GetColorBarsHtmlHandler``,
+    ``xcube_server/im/cmaps.py`` emits base64 PNG swatches in a table)."""
+    from ..functions.colormap import list_cmaps
+
+    rows = []
+    for group, desc, entries in list_cmaps():
+        rows.append(f"<tr><th colspan='2'>{group} — {desc}</th></tr>")
+        for name, swatch in entries:
+            rows.append(
+                f"<tr><td>{name}</td>"
+                f"<td><img src='data:image/png;base64,{swatch}' "
+                "width='200' height='12'/></td></tr>"
+            )
+    return (
+        "<!DOCTYPE html><html><head><title>Color Bars</title></head>"
+        "<body><table>" + "".join(rows) + "</table></body></html>"
+    )

@@ -3,15 +3,25 @@
 
 Routes (reference handler in parens):
 
+- ``GET /``                                           (InfoHandler)
+- ``GET /wmts/1.0.0/WMTSCapabilities.xml`` · ``GET /wmts/kvp?...``
+- ``GET /wmts/1.0.0/tile/{ds}/{var}/{z}/{y}/{x}.png`` (REST GetTile, z/y/x order)
 - ``GET /datasets[?details=1]``                       (GetDatasetsHandler)
+- ``GET /datasets/{ds}[?tiles=client]``               (GetDatasetHandler)
 - ``GET /datasets/{ds}/coords/{dim}``                 (GetDatasetCoordsHandler)
 - ``GET /datasets/{ds}/vars/{var}/tiles/{z}/{x}/{y}.png``  (GetDatasetVarTileHandler)
 - ``GET /datasets/{ds}/vars/{var}/tilegrid``          (tile-grid JSON)
 - ``GET /datasets/{ds}/vars/{var}/legend.png``        (GetDatasetVarLegendHandler)
-- ``GET /colorbars``                                  (GetColorBarsHandler)
+- ``GET /ne2/tilegrid`` · ``GET /ne2/tiles/{z}/{x}/{y}.jpg``  (S8 static tiles)
+- ``GET /colorbars`` · ``GET /colorbars.html``
+- ``GET /ts``                                         (GetTimeSeriesInfoHandler)
 - ``GET /ts/{ds}/{var}/point?lon=&lat=[&startDate=&endDate=]``
-- ``POST /ts/{ds}/{var}/geometry`` (GeoJSON body)
+- ``POST /ts/{ds}/{var}/geometry`` (GeoJSON geometry body)
+- ``POST /ts/{ds}/{var}/geometries`` (GeometryCollection body, one-job fan-out)
+- ``POST /ts/{ds}/{var}/places`` (FeatureCollection body, same fan-out)
+- ``GET /places``                                     (place-group inventory)
 - ``GET /places/{collection}[?bbox=w,s,e,n][&expr=...]``
+- ``GET /places/{collection}/{ds}``                   (dataset-bounds filter)
 
 Threading model: the reference moves work off the event loop into executor
 threads (``xcube_server/handlers.py:165`` etc.); here ``ThreadingHTTPServer``
@@ -31,12 +41,24 @@ from pyspark.sql import DataFrame
 
 from ..cube.catalog import CubeCatalog
 from ..cube.legend import render_legend
-from ..cube.metadata import get_coordinates, get_datasets, get_tile_grid
+from ..cube.metadata import (
+    colorbars_html,
+    get_coordinates,
+    get_dataset,
+    get_datasets,
+    get_tile_grid,
+    get_time_series_info,
+)
 from ..cube.places import find_places
 from ..cube.reqparams import parse_query_geometry, to_float, to_int
 from ..cube.tiles import TileService
-from ..cube.timeseries import time_series_for_geometry, time_series_for_point
+from ..cube.timeseries import (
+    time_series_for_geometry,
+    time_series_for_geometry_collection,
+    time_series_for_point,
+)
 from ..functions.colormap import list_cmaps
+from ..sources.static_tiles import StaticTileSource
 from .wmts import get_wmts_capabilities_xml, parse_kvp
 
 
@@ -62,10 +84,19 @@ def _ts_rows(df: DataFrame | None) -> dict:
 class CubeServer:
     """Wraps a catalog + tile service in a threading HTTP server."""
 
-    def __init__(self, catalog: CubeCatalog, places=None, host="127.0.0.1", port=0):
+    def __init__(
+        self,
+        catalog: CubeCatalog,
+        places=None,
+        host="127.0.0.1",
+        port=0,
+        static_tiles_dir: str | None = None,
+    ):
         self.catalog = catalog
         self.places = places
         self.tiles = TileService(catalog)
+        # NE2-style background pyramid (S8); missing tiles render transparent
+        self.static_tiles = StaticTileSource(static_tiles_dir or "")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -151,11 +182,57 @@ class CubeServer:
                     h._send(200, png, "image/png")
                 else:
                     raise ValueError(f"unsupported WMTS request {req!r}")
+            elif (
+                len(parts) == 8
+                and parts[1] == "1.0.0"
+                and parts[2] == "tile"
+            ):
+                # /wmts/1.0.0/tile/{ds}/{var}/{z}/{y}/{x}.png — note the
+                # REST order z/y/x (xcube_server/app.py:48)
+                ds, var = parts[3], parts[4]
+                z = to_int("z", parts[5])
+                y = to_int("y", parts[6])
+                x = to_int("x", parts[7].removesuffix(".png"))
+                png = self.tiles.get_tile(ds, var, z, x, y, time=q.get("time"))
+                h._send(200, png, "image/png")
             else:
                 xml = get_wmts_capabilities_xml(self.catalog, base)
                 h._send(200, xml.encode(), "application/xml")
         elif method == "GET" and parts == ["datasets"]:
             h._json(get_datasets(self.catalog, details=q.get("details") == "1"))
+        elif method == "GET" and len(parts) == 2 and parts[0] == "datasets":
+            h._json(
+                get_dataset(
+                    self.catalog,
+                    parts[1],
+                    client=q.get("tiles"),
+                    base_url=f"http://{h.headers.get('Host', 'localhost')}",
+                )
+            )
+        elif method == "GET" and parts == ["colorbars.html"]:
+            h._send(200, colorbars_html().encode(), "text/html")
+        elif method == "GET" and parts == ["ne2", "tilegrid"]:
+            st = self.static_tiles
+            h._json(
+                {
+                    "url": f"http://{h.headers.get('Host', 'localhost')}"
+                    "/ne2/tiles/{z}/{x}/{y}.jpg",
+                    "projection": "EPSG:4326",
+                    "tileSize": [st.tile_w, st.tile_h],
+                    "extent": [-180.0, -90.0, 180.0, 90.0],
+                }
+            )
+        elif (
+            method == "GET"
+            and len(parts) == 5
+            and parts[0] == "ne2"
+            and parts[1] == "tiles"
+        ):
+            z = to_int("z", parts[2])
+            x = to_int("x", parts[3])
+            y = to_int("y", parts[4].split(".")[0])
+            body, ctype = self.static_tiles.get_tile(z, x, y)
+            h._send(200, body, ctype)
         elif method == "GET" and len(parts) == 4 and parts[0] == "datasets" and parts[2] == "coords":
             h._json(get_coordinates(self.catalog, parts[1], parts[3]))
         elif (
@@ -213,6 +290,46 @@ class CubeServer:
             h._send(200, png, "image/png")
         elif method == "GET" and parts == ["colorbars"]:
             h._json(list_cmaps())
+        elif method == "GET" and parts == ["ts"]:
+            h._json(get_time_series_info(self.catalog))
+        elif method == "POST" and len(parts) == 4 and parts[0] == "ts" and parts[3] in ("geometries", "places"):
+            # geometry-collection / feature-collection fan-out (U2): one job
+            length = int(h.headers.get("Content-Length", 0))
+            body = json.loads(h.rfile.read(length) or b"{}")
+            if parts[3] == "geometries":
+                geoms = body.get("geometries", [])
+            else:
+                geoms = [
+                    f["geometry"] for f in body.get("features", []) if f.get("geometry")
+                ]
+            df = time_series_for_geometry_collection(
+                self.catalog,
+                parts[1],
+                parts[2],
+                geometries=geoms,
+                start=q.get("startDate"),
+                end=q.get("endDate"),
+            )
+            rows = df.collect()
+            results = []
+            for gi in range(len(geoms)):
+                sub = [r for r in rows if r["geometry_id"] == gi]
+                results.append(
+                    {
+                        "results": [
+                            {
+                                "date": r["date"],
+                                "result": {
+                                    "totalCount": r["total_count"],
+                                    "validCount": r["valid_count"],
+                                    "average": r["average"],
+                                },
+                            }
+                            for r in sub
+                        ]
+                    }
+                )
+            h._json({"results": results})
         elif method == "GET" and len(parts) == 4 and parts[0] == "ts" and parts[3] == "point":
             df = time_series_for_point(
                 self.catalog,
@@ -237,7 +354,22 @@ class CubeServer:
                 end=q.get("endDate"),
             )
             h._json(_ts_rows(df))
-        elif method == "GET" and len(parts) == 2 and parts[0] == "places":
+        elif method == "GET" and parts == ["places"]:
+            # place-group inventory (xcube_server/context.py:297-303)
+            if self.places is None:
+                h._json({"placeGroups": []})
+                return
+            from pyspark.sql import functions as F
+
+            groups = [
+                {"id": r["collection"], "title": r["collection"], "featureCount": r["n"]}
+                for r in self.places.groupBy("collection")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("collection")
+                .collect()
+            ]
+            h._json({"placeGroups": groups})
+        elif method == "GET" and len(parts) in (2, 3) and parts[0] == "places":
             if self.places is None:
                 raise KeyError("no place groups configured")
             pl = self.places
@@ -245,7 +377,20 @@ class CubeServer:
                 from pyspark.sql import functions as F
 
                 pl = pl.filter(F.col("collection") == parts[1])
-            geom = parse_query_geometry(bbox=q.get("bbox"), geom=q.get("geom"))
+            if len(parts) == 3:
+                # /places/{collection}/{ds_id}: restrict to the dataset's
+                # bounds (FindDatasetPlacesHandler)
+                meta = self.catalog.datasets[parts[2]]
+                west, south, east, north = meta.grid.extent
+                geom = {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [west, south], [east, south], [east, north],
+                        [west, north], [west, south],
+                    ]],
+                }
+            else:
+                geom = parse_query_geometry(bbox=q.get("bbox"), geom=q.get("geom"))
             out = find_places(pl, geometry=geom, query_expr=q.get("expr"))
             feats = [
                 {
