@@ -15,8 +15,13 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    """Final (post-AQE-planning) physical plan text."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Final (post-AQE-planning) physical plan text.
+
+    For an already-executed AQE plan the string appends an ``== Initial
+    Plan ==`` section — strip it so operator counts aren't double-counted.
+    """
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return text.split("== Initial Plan ==")[0]
 
 
 def formatted_plan(df: DataFrame) -> str:

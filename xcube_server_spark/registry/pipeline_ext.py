@@ -246,41 +246,37 @@ FROM ranked WHERE rank <= 5
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral funnel over the events stream table: per user, first
-    view → first click after it → first purchase after that; count users
-    reaching each stage. One shuffle (user pivot); the stage logic is a
-    conditional min-timestamp pivot, not a self-join chain.
+    view -> first click after it -> first purchase after that; count users
+    reaching each stage.
+
+    Plan: ONE scan, ONE shuffle -- each user's events are collected into a
+    sorted array and the sequential stage logic (min ts of type B *after*
+    the stage-A timestamp) runs as pure array expressions, replacing the
+    naive 3-stage self-join chain (6 scans / 6 exchanges of the same
+    table). Sound while per-user event counts are bounded (the usual
+    funnel reality); a pathological user would be capped with slice().
     """
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    first_click = (
-        per_user.join(clicks, (F.col("user_id") == F.col("c_user")))
-        .filter(F.col("c_ts") > F.col("t_view"))
-        .groupBy("user_id", "t_view")
-        .agg(F.min("c_ts").alias("t_click"))
-    )
-    first_purchase = (
-        first_click.join(purchases, (F.col("user_id") == F.col("p_user")))
-        .filter(F.col("p_ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("p_ts").alias("t_purchase"))
-    )
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
 
-    return (
-        stage(per_user.filter(F.col("t_view").isNotNull()), "view")
-        .unionByName(stage(first_click, "view>click"))
-        .unionByName(stage(first_purchase, "view>click>purchase"))
+    def first_after(kind: str, after: str | None):
+        cond = f"e.event_type = '{kind}'" + (f" AND e.ts > {after}" if after else "")
+        return F.expr(f"array_min(transform(filter(evs, e -> {cond}), e -> e.ts))")
+
+    flags = (
+        per_user.withColumn("t_view", first_after("view", None))
+        .withColumn("t_click", first_after("click", "t_view"))
+        .withColumn("t_purchase", first_after("purchase", "t_click"))
+    )
+    return flags.agg(
+        F.count("t_view").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
+    ).selectExpr(
+        "stack(3, 'view', n1, 'view>click', n2, 'view>click>purchase', n3)"
+        " AS (stage, n_users)"
     )
 
 
