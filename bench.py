@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "vocab_top_tokens",
     "event_funnel",
     "user_retention",
+    "ts_gap_fill",
+    "set_ops_customers",
 ]
 
 

@@ -363,3 +363,134 @@ ORACLES = {
     "event_funnel": ORACLE_FUNNEL,
     "user_retention": ORACLE_RETENTION,
 }
+
+
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: linear interpolation of missing measurements
+    between a cell's neighboring valid readings — the cube operator a
+    geophysical pipeline runs before analysis (the reference leaves NaN
+    gaps in place; this engine closes them declaratively).
+
+    Here 'error' events stand in for masked readings: their value is
+    NULLed, then rebuilt as prev + (next-prev)·(t-t0)/(t1-t0) using
+    ignore-nulls last/first windows. ONE shuffle on the series key; both
+    direction passes share the same exchange+sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    from pyspark.sql import Window as W
+
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    back = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    fwd = W.partitionBy("user_id").orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    sec = F.unix_timestamp("ts")
+    filled = (
+        ev.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(F.when(F.col("v").isNotNull(), sec), ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(F.when(F.col("v").isNotNull(), sec), ignorenulls=True).over(fwd))
+        .filter(F.col("v").isNull())
+        .withColumn(
+            "interp",
+            F.when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (sec - F.col("pt"))
+                / (F.col("nt") - F.col("pt")),
+            ).otherwise(F.coalesce("pv", "nv")),
+        )
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.count("interp").alias("n_filled"),
+        rnd(F.avg("interp"), 4).alias("avg_filled"),
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, ts, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN v IS NOT NULL
+                         THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL
+                          THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM base
+),
+g AS (
+  SELECT user_id,
+         CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+              THEN pv + (nv - pv) * (CAST(floor(epoch(ts)) AS BIGINT) - pt)
+                                   / (nt - pt)
+              ELSE coalesce(pv, nv) END AS interp
+  FROM w WHERE v IS NULL
+)
+SELECT user_id, count(*) AS n_gaps, count(interp) AS n_filled,
+       floor((avg(interp)) * 10000.0 + 0.5) / 10000.0 AS avg_filled
+FROM g
+GROUP BY 1
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations the reference lacks entirely (SURVEY §2.7): customers
+    active in BOTH 1996 and 1997 (INTERSECT) vs only-1996 (EXCEPT),
+    labeled and counted per market segment. Spark plans both as hash
+    joins (semi/anti) over the distinct key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    both = active(1996).intersect(active(1997)).withColumn(
+        "cohort", F.lit("both_years")
+    )
+    only_96 = active(1996).exceptAll(active(1997)).withColumn(
+        "cohort", F.lit("only_1996")
+    )
+    labeled = both.unionByName(only_96)
+    return (
+        labeled.join(cust, labeled.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_SET_OPS = """
+WITH a96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+a97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+labeled AS (
+  SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM a96 INTERSECT SELECT * FROM a97)
+  UNION ALL
+  SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a97)
+)
+SELECT c_mktsegment, cohort, count(*) AS n_customers
+FROM labeled JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+QUERIES["ts_gap_fill"] = ts_gap_fill
+QUERIES["set_ops_customers"] = set_ops_customers
+ORACLES["ts_gap_fill"] = ORACLE_GAP_FILL
+ORACLES["set_ops_customers"] = ORACLE_SET_OPS
