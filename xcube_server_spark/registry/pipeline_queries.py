@@ -172,7 +172,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same votes via unnest — different plan,
     identical integers.
     """
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-row vote aggregation is CPU-heavy and the source is one parquet
+    # file: spread raw docs across cores first (same move as minhash)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(64)
     votes_expr = (
         "aggregate("
         " filter(split(text, ' '), t -> t <> ''),"
