@@ -241,41 +241,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source") == "src0")
         .select("doc_id", "text")
     )
+    # ONE scan: each exploded gram row carries its doc's set size, so the
+    # per-gram buckets hold (doc_id, sz) structs and pair expansion emits
+    # both sizes with the pair — no self-join (which scans the table twice)
+    # and no sizes re-scan + two broadcast joins (the former 4-scan plan).
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text)-2, 1)),"
-                    " i -> substring(text, i, 3))"
-                )
-            )
-        ).alias("g"),
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+            " i -> substring(text, i, 3)))"
+        ).alias("gs"),
+    ).select(
+        "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = grams.alias("a"), grams.alias("b")
+    buckets = (
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, greatest(size(ds) - i - 1, 0)),"
+        " y -> struct(x.doc_id AS doc_a, x.sz AS sz_a,"
+        "             y.doc_id AS doc_b, y.sz AS sz_b))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.sz_a", "p.doc_b", "p.sz_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(broadcast(sa), "doc_a")
-        .join(broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            rnd(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                4,
-            ),
-        )
+    jac = inter.withColumn(
+        "jaccard",
+        rnd(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            4,
+        ),
     )
     return jac.filter(F.col("jaccard") >= 0.3).select("doc_a", "doc_b", "jaccard")
 
