@@ -448,8 +448,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = sum(l_quantity * p_retailprice) per part from lineitem (no
     partsupp); keep parts holding > 0.1% of total inventory value.
 
-    Plan: ONE fact aggregation; the global total is a second aggregate of
-    the (small) per-part result, broadcast back — no second fact scan."""
+    Plan: ONE fact scan + aggregation; the global total is an unbounded
+    window-sum over the per-part result (a separate `.agg` subtree would
+    re-scan and re-aggregate the fact table — Spark materializes no CTEs).
+    The window funnels the per-part rows through one partition: fine while
+    |parts| ≪ |lineitem| (TPC-H reality); at pathological part counts the
+    two-pass form with an explicit checkpoint is the alternative."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     per_part = (
@@ -457,9 +461,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
     )
-    total = per_part.agg((F.sum("value") * 0.001).alias("cut"))
+    cut = F.sum("value").over(Window.partitionBy()) * 0.001
     return (
-        per_part.crossJoin(broadcast(total))
+        per_part.withColumn("cut", cut)
         .filter(F.col("value") > F.col("cut"))
         .select("l_partkey", rnd("value", 2).alias("stock_value"))
     )
