@@ -125,3 +125,78 @@ def test_interval_join_stream_matches_batch(spark, events_path):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_watermark_drops_late_rows_after_eviction(spark, tmp_path):
+    """Watermark guarantees, as Spark actually defines them: once a window
+    has been finalized and EMITTED (watermark passed its end), a late row
+    for it is dropped (`numRowsDroppedByWatermark`) and the window is never
+    re-emitted — append mode emits each window exactly once. (A late row
+    arriving while the window state is still live MAY legally be merged:
+    the watermark is a state bound, not a hard input filter — verified
+    empirically, so this test stages the late file strictly after the
+    eviction batch.)"""
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from xcube_server_spark.streaming.events import tumbling_counts_stream
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    def stage(rows: dict, name: str) -> None:
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(tmp + "/part-*.parquet")[0], str(src / f"{name}.parquet")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    def ev(ids, times, users):
+        return {
+            "event_id": ids,
+            "ts": pd.to_datetime(times),
+            "user_id": users,
+            "event_type": ["view"] * len(ids),
+            "value": [1.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        }
+
+    # win A = Jan 1 00:00-06:00
+    stage(ev([1, 2], ["2024-01-01 00:10:00", "2024-01-01 00:20:00"], [1, 1]), "a1")
+    stage(ev([3], ["2024-01-02 12:00:00"], [2]), "b2")  # advances watermark
+    stage(ev([4], ["2024-01-02 13:00:00"], [2]), "c3")  # finalizes+emits win A
+    stage(ev([5], ["2024-01-01 00:30:00"], [3]), "e4")  # late for win A: dropped
+    stage(ev([6], ["2024-01-03 12:00:00"], [2]), "f5")  # flush
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        tumbling_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = spark.table("late_drop_test").collect()
+    wins = [r["win_id"] for r in rows]
+    counts = {r["win_id"]: r["n_events"] for r in rows}
+    assert dropped >= 1, "late row was never dropped by the watermark"
+    assert len(wins) == len(set(wins)), "a window was emitted twice"
+    assert counts[min(wins)] == 2, "late row leaked into the finalized window"
