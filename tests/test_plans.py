@@ -168,3 +168,50 @@ def test_user_retention_reuses_user_partitioning(spark, sf_dir):
     df = QUERIES["user_retention"](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     assert count_exchanges(df) <= 4
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew handling engages for real: a hot join key (half of one
+    side) makes sort-merge partitions lopsided; with skew thresholds
+    scaled to test data, the executed plan must mark the join skew=true
+    (at 100 TB this is what replaces manual salting for joins)."""
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.plans.explain import executed_plan
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    # a downstream aggregation imposes a required distribution that vetoes
+    # the split unless forced — production would leave the veto logic on;
+    # here we force so the split machinery itself is exercised
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        left = spark.range(0, 40_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id"), F.lit("x" * 64)).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.col("id").alias("attr")
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()
+        # hot key 7: 20k evens + id=7; plus odd ids 1..1999 except 7
+        assert len(rows) == 21_000
+        plan = executed_plan(joined)
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        for k, v in saved.items():
+            conf.set(k, v)
