@@ -203,8 +203,20 @@ def test_cli_serve_end_to_end(spark, tmp_path):
     cat = CubeCatalog(spark)
     meta = cat.register_written_cube("demo", base, grid, tg, ["conc_chl", "conc_tsm", "kd489"])
     cat.save_meta(meta)
+    (tmp_path / "places").mkdir()
+    (tmp_path / "places" / "towns.geojson").write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"Name": "t1"},
+             "geometry": {"type": "Point", "coordinates": [1.0, 51.0]}},
+        ],
+    }))
     cfg = tmp_path / "config.yml"
-    cfg.write_text(f"Datasets:\n  - Identifier: demo\n    Title: CLI Demo\n    Path: {base}\n")
+    cfg.write_text(
+        f"Datasets:\n  - Identifier: demo\n    Title: CLI Demo\n    Path: {base}\n"
+        "PlaceGroups:\n  - Identifier: towns\n    Title: Towns\n"
+        "    Path: places/towns.geojson\n"
+    )
 
     port = 18765
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
@@ -231,6 +243,13 @@ def test_cli_serve_end_to_end(spark, tmp_path):
             f"http://127.0.0.1:{port}/datasets/demo/vars/kd489/tiles/0/0/0.png"
         )
         assert s2 == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+        # config-loaded PlaceGroups are served (xcube_server/context.py:343-399)
+        s3, groups = _get_json(f"http://127.0.0.1:{port}/places")
+        assert s3 == 200 and groups["placeGroups"] == [
+            {"id": "towns", "title": "towns", "featureCount": 1}
+        ]
+        s4, fc = _get_json(f"http://127.0.0.1:{port}/places/towns")
+        assert s4 == 200 and fc["features"][0]["properties"]["Name"] == "t1"
     finally:
         proc.terminate()
         proc.wait(timeout=15)

@@ -46,7 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="xcube-server-spark")
     catalog = CubeCatalog(spark)
     watcher = ConfigWatcher(catalog, args.config)
-    server = CubeServer(catalog, host=args.address, port=args.port)
+    server = CubeServer(
+        catalog, places=catalog.places, host=args.address, port=args.port
+    )
     server.tiles = TileService(catalog, capacity=parse_mem_size(args.tilecache))
     port = server.start()
     print(f"serving on http://{args.address}:{port}", file=sys.stderr)

@@ -56,6 +56,9 @@ class CubeCatalog:
         self.spark = spark
         self.datasets: dict[str, DatasetMeta] = {}
         self._df_cache: dict[tuple[str, int], DataFrame] = {}
+        # union of all configured PlaceGroups (None until a config sets them)
+        self.places: DataFrame | None = None
+        self.place_titles: dict[str, str] = {}
 
     # -- registration -------------------------------------------------------
 
@@ -219,6 +222,22 @@ class CubeCatalog:
                 meta = self.load_meta(ident, ds["Path"])
                 meta.title = ds.get("Title", ident)
                 meta.styles = styles_cfg.get(ds.get("Style", ""), meta.styles)
+        # top-level PlaceGroups (reference config.yml:52-58): Identifier,
+        # Title, Path (GeoJSON glob relative to the config file)
+        groups = cfg.get("PlaceGroups", [])
+        if groups:
+            from .places import load_place_group, union_place_groups
+
+            base_dir = os.path.dirname(os.path.abspath(path))
+            dfs = []
+            self.place_titles = {}
+            for g in groups:
+                gpath = g["Path"]
+                if not os.path.isabs(gpath):
+                    gpath = os.path.join(base_dir, gpath)
+                dfs.append(load_place_group(self.spark, g["Identifier"], gpath))
+                self.place_titles[g["Identifier"]] = g.get("Title", g["Identifier"])
+            self.places = union_place_groups(dfs)
 
 
 class ConfigWatcher:
@@ -239,6 +258,7 @@ class ConfigWatcher:
             self._mtime = mtime
             self.catalog.datasets.clear()
             self.catalog._df_cache.clear()
+            self.catalog.places = None
             self.catalog.load_config(self.config_path)
             return True
         return False

@@ -140,6 +140,13 @@ class CubeServer:
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
+    def _live_places(self):
+        """Places passed at construction, else the catalog's config-loaded
+        (hot-reloadable) PlaceGroups union."""
+        if self.places is not None:
+            return self.places
+        return getattr(self.catalog, "places", None)
+
     # -- routing -------------------------------------------------------------
 
     def _route(self, h, method: str) -> None:
@@ -356,23 +363,23 @@ class CubeServer:
             h._json(_ts_rows(df))
         elif method == "GET" and parts == ["places"]:
             # place-group inventory (xcube_server/context.py:297-303)
-            if self.places is None:
+            if self._live_places() is None:
                 h._json({"placeGroups": []})
                 return
             from pyspark.sql import functions as F
 
             groups = [
                 {"id": r["collection"], "title": r["collection"], "featureCount": r["n"]}
-                for r in self.places.groupBy("collection")
+                for r in self._live_places().groupBy("collection")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy("collection")
                 .collect()
             ]
             h._json({"placeGroups": groups})
         elif method == "GET" and len(parts) in (2, 3) and parts[0] == "places":
-            if self.places is None:
+            if self._live_places() is None:
                 raise KeyError("no place groups configured")
-            pl = self.places
+            pl = self._live_places()
             if parts[1] != "all":
                 from pyspark.sql import functions as F
 
