@@ -472,3 +472,38 @@ def test_inv_y_cube_orientation(spark, tmp_path):
     # fast path agrees with the Spark path on flipped grids too
     fast = TileService(cat, fast_path=True)
     assert fast.get_tile("noise", "noise", tg.num_levels - 1, 0, 0) == png
+
+
+def test_computed_cube_time_axis_and_tiles(spark, demo_catalog):
+    """A computed cube's time axis must be the COMPUTED frame's axis (weekly
+    labels), not the input's timestamps — and tile queries must resolve
+    `time=` against it (nearest + 'current')."""
+    from xcube_server_spark.cube.catalog import DatasetMeta
+
+    if "demo-1w-axis" not in demo_catalog.datasets:
+        base = demo_catalog.datasets["demo"]
+        demo_catalog.register(
+            DatasetMeta(
+                identifier="demo-1w-axis",
+                title="weekly",
+                base_path="",
+                grid=base.grid,
+                tile_grid=base.tile_grid,
+                variables=base.variables,
+                computed=True,
+                function="resample_in_time",
+                input_datasets=["demo"],
+                input_params={"period": "1W"},
+            )
+        )
+    times = demo_catalog.times("demo-1w-axis")
+    assert times == [
+        "2017-01-22 00:00:00", "2017-01-29 00:00:00", "2017-02-05 00:00:00",
+    ]
+    # base axis unchanged
+    assert demo_catalog.times("demo")[0].startswith("2017-01-16")
+    # tile render against the weekly axis: 'current' = last week
+    rows = render_tiles(
+        demo_catalog, "demo-1w-axis", "kd489", z=0, time="current"
+    ).collect()
+    assert rows and all(r["png"][:8] == b"\x89PNG\r\n\x1a\n" for r in rows)

@@ -56,6 +56,7 @@ class CubeCatalog:
         self.spark = spark
         self.datasets: dict[str, DatasetMeta] = {}
         self._df_cache: dict[tuple[str, int], DataFrame] = {}
+        self._times_cache: dict[str, list[str]] = {}
         # union of all configured PlaceGroups (None until a config sets them)
         self.places: DataFrame | None = None
         self.place_titles: dict[str, str] = {}
@@ -172,6 +173,28 @@ class CubeCatalog:
                 )
         return self._df_cache[key]
 
+    def times(self, identifier: str) -> list[str]:
+        """Time axis of a dataset, in the grid's ``YYYY-MM-DD HH:MM:SS``
+        string form. A computed cube's axis comes from the computed frame
+        (e.g. weekly labels after ``resample_in_time`` — NOT the input's
+        timestamps, ``xcube_server/mldataset.py:369-382``) and is cached
+        after one tiny distinct-collect."""
+        meta = self.datasets[identifier]
+        if not meta.computed:
+            return list(meta.grid.times)
+        if identifier not in self._times_cache:
+            rows = (
+                self.cube(identifier)
+                .select("time_idx", "time")
+                .distinct()
+                .orderBy("time_idx")
+                .collect()
+            )
+            self._times_cache[identifier] = [
+                r["time"].strftime("%Y-%m-%d %H:%M:%S") for r in rows
+            ]
+        return self._times_cache[identifier]
+
     def cube_for_zoom(self, identifier: str, z: int) -> tuple[DataFrame, int]:
         meta = self.datasets[identifier]
         level = meta.tile_grid.level_for_zoom(z)
@@ -258,6 +281,7 @@ class ConfigWatcher:
             self._mtime = mtime
             self.catalog.datasets.clear()
             self.catalog._df_cache.clear()
+            self.catalog._times_cache.clear()
             self.catalog.places = None
             self.catalog.load_config(self.config_path)
             return True

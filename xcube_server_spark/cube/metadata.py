@@ -35,7 +35,7 @@ def get_datasets(catalog: CubeCatalog, details: bool = False) -> dict[str, Any]:
                     "id": v,
                     "name": v,
                     "dims": ["time", "lat", "lon"],
-                    "shape": [len(meta.grid.times), meta.grid.height, meta.grid.width],
+                    "shape": [len(catalog.times(meta.identifier)), meta.grid.height, meta.grid.width],
                     "dtype": "float32",
                     "colorBarName": (
                         meta.styles[v].color_bar if v in meta.styles else "viridis"
@@ -142,7 +142,7 @@ def get_dataset(
             "id": f"{meta.identifier}.{v}",
             "name": v,
             "dims": ["time", "lat", "lon"],
-            "shape": [len(meta.grid.times), meta.grid.height, meta.grid.width],
+            "shape": [len(catalog.times(meta.identifier)), meta.grid.height, meta.grid.width],
             "dtype": "float32",
             "units": "",
             "title": v,
@@ -162,8 +162,7 @@ def get_time_series_info(catalog: CubeCatalog) -> dict[str, Any]:
     layers = []
     for meta in catalog.datasets.values():
         dates = [
-            t if isinstance(t, str) else t.strftime("%Y-%m-%dT%H:%M:%SZ")
-            for t in meta.grid.times
+            t.replace(" ", "T") + "Z" for t in catalog.times(meta.identifier)
         ]
         xmin, ymin, xmax, ymax = meta.grid.extent
         bounds = {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}

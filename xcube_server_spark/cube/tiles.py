@@ -90,7 +90,7 @@ def render_tiles(
     tg = meta.tile_grid
     level = tg.level_for_zoom(z)
     cube = catalog.cube(ds_id, level)
-    t_idx, _ = _nearest_time(list(meta.grid.times), time)
+    t_idx, _ = _nearest_time(catalog.times(ds_id), time)
     st = style or meta.styles.get(var) or StyleMeta()
     vmin, vmax = st.value_range
 
@@ -230,7 +230,7 @@ class TileService:
             return cached
         png = None
         if self.fast_path:
-            t_idx, _ = _nearest_time(list(meta.grid.times), time)
+            t_idx, _ = _nearest_time(self.catalog.times(ds_id), time)
             pdf = self._read_tile_fast(ds_id, var, z, x, y, t_idx)
             if pdf is not None:
                 tg = meta.tile_grid

@@ -62,7 +62,7 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
             dim = _e(layer, "Dimension")
             _e(dim, "ows:Identifier", "time")
             _e(dim, "Default", "current")
-            for t in meta.grid.times:
+            for t in catalog.times(meta.identifier):
                 _e(dim, "Value", t.replace(" ", "T") + "Z")
             link = _e(layer, "TileMatrixSetLink")
             _e(link, "TileMatrixSet", matrix_set_id)
