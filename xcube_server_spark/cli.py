@@ -28,6 +28,10 @@ def make_parser() -> argparse.ArgumentParser:
         "--tilecache", default="512M",
         help="tile byte-cache size (e.g. 512M, 1G); reference default 512M",
     )
+    serve.add_argument(
+        "--traceperf", action="store_true",
+        help="log per-tile timings (reference --traceperf)",
+    )
     serve.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -49,7 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     server = CubeServer(
         catalog, places=catalog.places, host=args.address, port=args.port
     )
-    server.tiles = TileService(catalog, capacity=parse_mem_size(args.tilecache))
+    server.tiles = TileService(
+        catalog,
+        capacity=parse_mem_size(args.tilecache),
+        trace_perf=args.traceperf,
+    )
     port = server.start()
     print(f"serving on http://{args.address}:{port}", file=sys.stderr)
     try:

@@ -145,10 +145,13 @@ class TileService:
         capacity: int = 512 * 1024 * 1024,
         fast_path: bool = True,
         policy: str = "LRU",
+        trace_perf: bool = False,
     ):
         self.catalog = catalog
         self.capacity = capacity
         self.fast_path = fast_path
+        # --traceperf parity (xcube_server/cli.py:58-59, perf.py:33-52)
+        self.trace_perf = trace_perf
         # pluggable eviction policy (LRU/MRU/LFU/RR) — parity with the
         # reference's cache policies (xcube_server/cache.py:174-197)
         self._cache = ByteCache(capacity, policy=policy)
@@ -200,6 +203,27 @@ class TileService:
         return pdf
 
     def get_tile(
+        self,
+        ds_id: str,
+        var: str,
+        z: int,
+        x: int,
+        y: int,
+        time: str | None = None,
+        cmap: str | None = None,
+        vmin: float | None = None,
+        vmax: float | None = None,
+    ) -> bytes:
+        from ..perf import measure_time
+
+        with measure_time(
+            f"tile {ds_id}/{var}/{z}/{x}/{y}", trace=self.trace_perf
+        ):
+            return self._get_tile(
+                ds_id, var, z, x, y, time=time, cmap=cmap, vmin=vmin, vmax=vmax
+            )
+
+    def _get_tile(
         self,
         ds_id: str,
         var: str,
