@@ -452,7 +452,12 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations the reference lacks entirely (SURVEY §2.7): customers
     active in BOTH 1996 and 1997 (INTERSECT) vs only-1996 (EXCEPT),
     labeled and counted per market segment. Spark plans both as hash
-    joins (semi/anti) over the distinct key sets."""
+    joins (semi/anti) over the distinct key sets.
+
+    This form deliberately exercises the INTERSECT/EXCEPT operators (4
+    scans of orders). The scale rewrite — one scan, per-key year flags via
+    `max(when(year=...))`, cohort from the flag pair — is what a 100 TB
+    job would run; the operators themselves are the thing under test here."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
 
