@@ -200,3 +200,39 @@ def test_watermark_drops_late_rows_after_eviction(spark, tmp_path):
     assert dropped >= 1, "late row was never dropped by the watermark"
     assert len(wins) == len(set(wins)), "a window was emitted twice"
     assert counts[min(wins)] == 2, "late row leaked into the finalized window"
+
+
+def test_stream_dedupe_within_watermark(spark, events_path, tmp_path):
+    """dropDuplicatesWithinWatermark on a live stream (replayed file fed
+    again in a later trigger) must converge to the batch distinct counts —
+    the state-bounded exactly-once ingest primitive."""
+    import glob
+    import shutil
+    import time as _time
+
+    src = tmp_path / "replay"
+    src.mkdir()
+    parts = sorted(glob.glob(events_path + "/part-*.parquet"))
+    shutil.copy(parts[0], str(src / "a_original.parquet"))
+    _time.sleep(1.1)
+    shutil.copy(parts[0], str(src / "b_replayed.parquet"))
+
+    batch = spark.read.parquet(str(src / "a_original.parquet"))
+
+    def dedupe_and_count(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    streamed = run_stream_to_batch(
+        spark, str(src), dedupe_and_count, output_mode="complete"
+    )
+    got = {r["event_type"]: r["n"] for r in streamed.collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in batch.groupBy("event_type").count().collect()
+    }
+    assert got == want and sum(got.values()) == batch.count()

@@ -604,3 +604,78 @@ ORACLES["q11_important_stock"] = ORACLE_Q11
 ORACLES["q12_priority_shipping"] = ORACLE_Q12
 ORACLES["q15_top_supplier"] = ORACLE_Q15
 ORACLES["q20_excess_suppliers"] = ORACLE_Q20
+
+
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation and covariance of
+    quantity vs extended price per return flag, computed from explicit
+    moment sums (sum x, x², y², xy) so Spark and DuckDB agree bit-for-bit
+    after rounding — built-in corr()/covar_samp() use different update
+    algorithms per engine, so the moments ARE the cross-engine contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return m.select(
+        "l_returnflag",
+        n.alias("n"),
+        rnd(cov, 4).alias("covar"),
+        rnd(cov / F.sqrt(var_x * var_y), 6).alias("corr"),
+    )
+
+
+ORACLE_STATS_CORR = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       floor(((sxy - sx * sy / n) / (n - 1)) * 10000.0 + 0.5) / 10000.0 AS covar,
+       floor(((sxy - sx * sy / n) / (n - 1))
+             / sqrt(((sxx - sx * sx / n) / (n - 1))
+                  * ((syy - sy * sy / n) / (n - 1))) * 1000000.0 + 0.5) / 1000000.0
+         AS corr
+FROM m
+"""
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 buckets of 5000) — the
+    profiling primitive behind every data-quality dashboard; pure map-side
+    bucketing + one tiny count shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 5000).cast("long"), F.lit(19)
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT least(CAST(floor(o_totalprice / 5000) AS BIGINT), 19) AS bucket,
+       count(*) AS n_orders,
+       floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["stats_correlation"] = stats_correlation
+QUERIES["histogram_prices"] = histogram_prices
+ORACLES["stats_correlation"] = ORACLE_STATS_CORR
+ORACLES["histogram_prices"] = ORACLE_HISTOGRAM

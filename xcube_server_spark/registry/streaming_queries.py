@@ -254,3 +254,43 @@ QUERIES["stream_sliding_avg"] = stream_sliding_avg
 QUERIES["stream_interval_join"] = stream_interval_join
 ORACLES["stream_sliding_avg"] = ORACLE_SLIDING
 ORACLES["stream_interval_join"] = ORACLE_INTERVAL_JOIN
+
+
+def stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup: drop replayed event_ids, then count per
+    type. Batch form is dropDuplicates; the live form
+    (``tests/test_streaming.py::test_stream_dedupe_within_watermark``) is
+    ``dropDuplicatesWithinWatermark`` — the state-bounded streaming twin
+    every at-least-once ingest pipeline needs. The replay is simulated by
+    unioning a slice of the table onto itself."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        replayed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_STREAM_DEDUPE = """
+WITH replayed AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 10 = 0
+),
+dedup AS (
+  SELECT DISTINCT ON (event_id) * FROM replayed
+)
+SELECT event_type, count(*) AS n_events,
+       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM dedup
+GROUP BY 1
+"""
+
+QUERIES["stream_dedupe_events"] = stream_dedupe_events
+ORACLES["stream_dedupe_events"] = ORACLE_STREAM_DEDUPE
