@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "user_retention",
     "ts_gap_fill",
     "set_ops_customers",
+    "stats_correlation",
+    "histogram_prices",
+    "stream_dedupe_events",
 ]
 
 
