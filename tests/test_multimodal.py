@@ -52,3 +52,28 @@ def test_frame_sampling(media):
     frames = sample_frames(media, every_n=1)
     assert frames.count() == media.count()  # n_frames=1 per asset
     assert frames.filter(F.col("frame_idx") != 0).count() == 0
+
+
+def test_resize_assets_fixed_shape(spark, media):
+    from xcube_server_spark.pipeline.multimodal import (
+        decode_image,
+        resize_assets,
+        resize_image,
+    )
+
+    out = resize_assets(media, out_w=4, out_h=2).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert r["media_type"] == "image/raw-rgb"
+        assert len(bytes(r["payload"])) == 4 * 2 * 3
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 2
+    # deterministic: resizing the decoded fake directly gives the same bytes
+    src = media.orderBy("asset_id").first()
+    img = decode_image(
+        bytes(src["payload"]), src["meta"]["width"], src["meta"]["height"], fake=True
+    )
+    want = resize_image(img, 4, 2).tobytes()
+    got = bytes(
+        next(r for r in out if r["asset_id"] == src["asset_id"])["payload"]
+    )
+    assert got == want

@@ -112,3 +112,50 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "frame_idx": frames})
 
     return media.mapInPandas(run, "asset_id long, frame_idx int")
+
+
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — pure numpy index sampling (no PIL needed),
+    the same O(out_pixels) gather a GPU preprocessing kernel does."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * (h / out_h)).astype(int)
+    cols = (np.arange(out_w) * (w / out_w)).astype(int)
+    return img[rows][:, cols]
+
+
+def resize_assets(
+    media: DataFrame, out_w: int, out_h: int, fake_decode: bool = True
+) -> DataFrame:
+    """mapInPandas resize stage: decode → nearest-neighbor resize → re-emit
+    as raw RGB bytes with updated metadata. Output rows carry
+    ``out_w*out_h*3``-byte payloads — the fixed-shape tensors a training
+    loader consumes; unlike the stubbed decoders the resize math itself is
+    real and byte-for-byte deterministic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                img = decode_image(
+                    bytes(payload), meta["width"], meta["height"], fake=fake_decode
+                )
+                small = resize_image(img, out_w, out_h)
+                payloads.append(small.tobytes())
+                metas.append(
+                    {
+                        "width": out_w,
+                        "height": out_h,
+                        "n_frames": int(meta["n_frames"]),
+                        "sample_rate": int(meta["sample_rate"]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image/raw-rgb",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
