@@ -77,3 +77,34 @@ def test_resize_assets_fixed_shape(spark, media):
         next(r for r in out if r["asset_id"] == src["asset_id"])["payload"]
     )
     assert got == want
+
+
+def test_audio_features_deterministic(spark, media):
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.pipeline.multimodal import extract_audio_features
+
+    audio = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.col("meta.n_frames"),
+            F.lit(64).cast("int").alias("sample_rate"),
+        ),
+    )
+    feats1 = {r["asset_id"]: tuple(r)[1:] for r in extract_audio_features(audio).collect()}
+    feats2 = {r["asset_id"]: tuple(r)[1:] for r in extract_audio_features(audio).collect()}
+    assert feats1 == feats2 and len(feats1) == media.count()
+    for rms, peak, dur, zc in feats1.values():
+        assert 0.0 < rms <= 1.0 and 0.0 < peak <= 1.0
+        assert dur == 1.0 and zc >= 0
+
+
+def test_audio_decode_stub_raises(spark):
+    import pytest as _pytest
+
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"xx", 16, fake=False)

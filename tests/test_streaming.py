@@ -236,3 +236,62 @@ def test_stream_dedupe_within_watermark(spark, events_path, tmp_path):
         for r in batch.groupBy("event_type").count().collect()
     }
     assert got == want and sum(got.values()) == batch.count()
+
+
+def test_cube_append_stream_current_semantics(spark, tmp_path):
+    """SURVEY §2.10 forward mapping: new time slices landing in storage are
+    a file stream over the cube table; 'current' (= newest slice,
+    xcube_server/context.py:437-438) is the max event-time the stream has
+    seen. Feed two slices in two triggers; the per-slice stats and the
+    advancing 'current' timestamp must match the batch view."""
+    import glob
+    import shutil
+    import time as _time
+
+    from xcube_server_spark.sources.cube_ingest import synth_demo_cube
+
+    cube, grid = synth_demo_cube(spark, width=16, height=8)
+    src = tmp_path / "cube_stream"
+    src.mkdir()
+
+    def stage_slice(t_idx: int, name: str) -> None:
+        tmp = str(tmp_path / f"tmp_{name}")
+        cube.filter(F.col("time_idx") == t_idx).coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(tmp + "/part-*.parquet")[0], str(src / f"{name}.parquet")
+        )
+        _time.sleep(1.1)
+
+    stage_slice(0, "a_slice0")
+    stage_slice(1, "b_slice1")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    per_slice = (
+        stream.withWatermark("time", "1 hour")
+        .groupBy("time_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("time").alias("slice_time"),
+        )
+    )
+    q = (
+        per_slice.writeStream.format("memory")
+        .queryName("cube_append")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["time_idx"]: (r["n_cells"], r["slice_time"]) for r in spark.table("cube_append").collect()}
+    assert set(got) == {0, 1}
+    assert all(n == 16 * 8 for n, _ in got.values())
+    # 'current' = newest slice the stream has absorbed
+    current = max(t for _, t in got.values())
+    batch_max = spark.read.parquet(str(src)).agg(F.max("time")).first()[0]
+    assert current == batch_max

@@ -159,3 +159,52 @@ def resize_assets(
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to a float32 mono waveform.
+
+    STUB: real decoding needs ffmpeg/soundfile (not in this container). The
+    deterministic fake derives a waveform from sha256(payload) — stable
+    across runs and engines, like the image fake."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires ffmpeg/soundfile — not available here; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    n = max(int(sample_rate) or 16, 16)
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * (n // 32 + 1))[:n], dtype=np.uint8)
+    return (raw.astype(np.float32) - 127.5) / 127.5
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas audio featurization: payload → (asset_id, rms, peak,
+    duration_sec, zero_crossings) — the standard cheap filters before an
+    expensive audio model; one Arrow batch at a time, like the image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, peak, dur, zc = [], [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                sr = int(meta["sample_rate"]) or 16
+                wave = decode_audio(bytes(payload), sr, fake=fake_decode)
+                rms.append(float(np.sqrt(np.mean(wave**2))))
+                peak.append(float(np.abs(wave).max()))
+                dur.append(len(wave) / sr)
+                zc.append(int(np.count_nonzero(np.diff(np.sign(wave)))))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "rms": rms,
+                    "peak": peak,
+                    "duration_sec": dur,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, rms double, peak double, duration_sec double,"
+        " zero_crossings long",
+    )
