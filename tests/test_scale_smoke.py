@@ -1,0 +1,79 @@
+"""Mid-scale ingest smoke (FIXTURES.md F-3 geometry at reduced size):
+~1.8M-cell noise cube through the full write_cube path — LOD pyramid sizing,
+partition layout, tile render, and a point time series, with values checked
+against the deterministic generator. The same code paths the 100 TB layout
+claims rest on, exercised beyond toy row counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.cube.catalog import CubeCatalog
+from xcube_server_spark.cube.grid import level_sizes
+from xcube_server_spark.cube.tiles import render_tiles
+from xcube_server_spark.cube.timeseries import time_series_for_point
+from xcube_server_spark.sources.cube_ingest import synth_noise_cube, write_cube
+
+
+@pytest.fixture(scope="module")
+def big_catalog(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("scale") / "noise")
+    cube, grid = synth_noise_cube(spark, width=720, height=360, days=7)
+    _, tg = write_cube(cube, grid, base, tile_size=180)
+    cat = CubeCatalog(spark)
+    cat.register_written_cube("noise", base, grid, tg, ["noise"])
+    return cat
+
+
+def test_lod_sizes_follow_reference_law(big_catalog):
+    """(s+1)//2 sizing (xcube_server/mldataset.py:20-22) at 720×360."""
+    meta = big_catalog.datasets["noise"]
+    sizes = level_sizes(720, 360, meta.tile_grid.num_levels)
+    assert sizes[0] == (720, 360)
+    for (w0, h0), (w1, h1) in zip(sizes, sizes[1:]):
+        assert (w1, h1) == ((w0 + 1) // 2, (h0 + 1) // 2)
+    # every LOD table actually holds rows for every time step
+    for lvl, (w, h) in enumerate(sizes):
+        df = big_catalog.cube("noise", lvl)
+        assert df.count() == 7 * w * h
+
+
+def test_full_level_counts_and_layout(big_catalog):
+    """l0 = 7 × 360 × 720 = 1.81M rows, hive-partitioned by time_idx."""
+    import os
+
+    meta = big_catalog.datasets["noise"]
+    l0 = big_catalog.cube("noise", 0)
+    assert l0.count() == 7 * 360 * 720
+    parts = sorted(
+        p for p in os.listdir(os.path.join(meta.base_path, "l0"))
+        if p.startswith("time_idx=")
+    )
+    assert len(parts) == 7
+
+
+def test_point_timeseries_matches_generator(spark, big_catalog):
+    """Value parity at scale: the generator field is analytic, so a point
+    probe must reproduce it exactly (float32)."""
+    df = time_series_for_point(big_catalog, "noise", "noise", lon=10.25, lat=-45.25)
+    rows = df.collect()
+    assert len(rows) == 7
+    meta = big_catalog.datasets["noise"]
+    g = meta.grid
+    lat_c = g.lat_of(g.lat_idx_of(-45.25))
+    want = (lat_c + 90.0) / 180.0  # generator field, constant over time
+    for r in rows:
+        assert r["average"] == pytest.approx(want, abs=1e-5)
+        assert r["valid_count"] == 1 and r["total_count"] == 1
+
+
+def test_tile_render_deep_zoom(big_catalog):
+    """Deepest zoom renders a 180×180 tile from the 720×360 level."""
+    meta = big_catalog.datasets["noise"]
+    z = meta.tile_grid.num_levels - 1
+    rows = render_tiles(
+        big_catalog, "noise", "noise", z=z, time="current",
+        tiles=[(1, 0)],
+    ).collect()
+    assert len(rows) == 1 and bytes(rows[0]["png"])[:8] == b"\x89PNG\r\n\x1a\n"
