@@ -58,6 +58,61 @@ def rows_multiset(cols, rows):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _arrow_family(t: str) -> str:
+    for fam, prefixes in (
+        ("int", ("int", "uint")),
+        ("float", ("float", "double", "halffloat")),
+        ("decimal", ("decimal",)),
+        ("str", ("string", "large_string", "utf8")),
+        ("bool", ("bool",)),
+        ("date", ("date",)),
+        ("ts", ("timestamp",)),
+        ("list", ("list", "large_list", "fixed_size_list")),
+        ("bin", ("binary", "large_binary", "fixed_size_binary")),
+    ):
+        if t.startswith(prefixes):
+            return fam
+    return t
+
+
+def _spark_family(t: str) -> str:
+    for fam, prefixes in (
+        ("int", ("tinyint", "smallint", "int", "bigint", "long")),
+        ("float", ("float", "double")),
+        ("decimal", ("decimal",)),
+        ("str", ("string", "varchar", "char")),
+        ("bool", ("boolean",)),
+        ("date", ("date",)),
+        ("ts", ("timestamp",)),
+        ("list", ("array",)),
+        ("bin", ("binary",)),
+    ):
+        if t.startswith(prefixes):
+            return fam
+    return t
+
+
+def typed_schema_problems(spark_df, oracle_arrow) -> list[str]:
+    """Driver-parity check: the driver fetches the oracle via Arrow and hashes
+    typed values, so a DuckDB HUGEINT/decimal column against a Spark bigint
+    hash-mismatches even when the values are numerically identical (round-1
+    q12 failure). Flag any column whose Arrow type family differs from the
+    Spark type family."""
+    spark_types = dict(spark_df.dtypes)
+    problems = []
+    for field in oracle_arrow.schema:
+        st = spark_types.get(field.name)
+        if st is None:
+            continue  # column-name mismatch is reported separately
+        sf, af = _spark_family(st), _arrow_family(str(field.type))
+        if sf != af:
+            problems.append(
+                f"typed-hash risk on {field.name!r}: spark={st} ({sf}) "
+                f"vs oracle-arrow={field.type} ({af}) — CAST the oracle column"
+            )
+    return problems
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -68,8 +123,10 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
         res = con.execute(oracle_sql)
         o_cols = [d[0] for d in res.description]
         o_rows = res.fetchall()
+        o_arrow = con.execute(oracle_sql).arrow()
     finally:
         con.close()
+    problems.extend(typed_schema_problems(spark_df, o_arrow))
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return problems

@@ -21,8 +21,8 @@ from . import (
     streaming_queries,
 )
 
-QUERIES = {}
-ORACLES = {}
+_ALL_QUERIES = {}
+_ALL_ORACLES = {}
 for _m in (
     relational,
     relational_ext,
@@ -32,7 +32,48 @@ for _m in (
     pipeline_ext,
     streaming_queries,
 ):
-    QUERIES.update(_m.QUERIES)
-    ORACLES.update(_m.ORACLES)
+    _ALL_QUERIES.update(_m.QUERIES)
+    _ALL_ORACLES.update(_m.ORACLES)
+
+# Explicit registry order. The driver's correctness gate checks the FIRST 50
+# entries of queries() against the DuckDB oracle, so the window must cover
+# every operator family — pipeline, streaming, and cube-native first (they
+# had no driver row in round 1), then one representative per relational /
+# cube-analog family. The TPC-H bulk (all green in CORRECTNESS_r01) absorbs
+# the overflow past position 50.
+_PRIORITY = [
+    # LLM-data-pipeline family (17)
+    *pipeline_queries.QUERIES,
+    # pipeline extensions (8)
+    *pipeline_ext.QUERIES,
+    # streaming (8)
+    *streaming_queries.QUERIES,
+    # cube-native end-to-end (3)
+    *cube_queries.QUERIES,
+    # cube-analog entry that sat just past the round-1 window
+    "array_dim_stats",
+    # round-1's only red row — proves the BIGINT-cast oracle fix
+    "q12_priority_shipping",
+    # one representative per already-green family
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "join_asof",
+    "window_rank",
+    "agg_rollup",
+    "pivot_status_by_year",
+    "ts_range_agg",
+    "cube_decimate",
+    "bbox_prune",
+    "minmax_range",
+]
+
+QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}
+QUERIES.update(_ALL_QUERIES)  # remaining queries keep their module order
+ORACLES = {name: _ALL_ORACLES[name] for name in _PRIORITY if name in _ALL_ORACLES}
+ORACLES.update(_ALL_ORACLES)
+
+assert len(QUERIES) == len(_ALL_QUERIES)
 
 __all__ = ["QUERIES", "ORACLES"]

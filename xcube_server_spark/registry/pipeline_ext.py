@@ -82,8 +82,8 @@ SELECT lang, count(*) AS n_docs,
          AS avg_distinct_ratio,
        floor(avg(top_cnt / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS avg_top_share,
-       sum(CASE WHEN top_cnt / CAST(n_tokens AS DOUBLE) > 0.1 THEN 1 ELSE 0 END)
-         AS n_flagged
+       CAST(sum(CASE WHEN top_cnt / CAST(n_tokens AS DOUBLE) > 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
 FROM per_doc
 GROUP BY 1
 """
@@ -133,7 +133,7 @@ c AS (
   FROM t
 )
 SELECT lang, CAST(floor(prior / 512.0) AS BIGINT) AS seq_id,
-       count(*) AS n_docs, sum(n_tok) AS seq_tokens, min(doc_id) AS first_doc
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
 FROM c
 GROUP BY 1, 2
 """

@@ -612,8 +612,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKENS = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(trim(text), ' ')))  AS ws_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)  AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
        floor((avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))) * 10000.0 + 0.5) / 10000.0 AS avg_bpe_tokens
 FROM documents
 GROUP BY 1
@@ -663,7 +663,7 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MULTIMODAL = """
 SELECT source, count(*) AS n_assets,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes
 FROM documents
 GROUP BY 1
@@ -752,7 +752,7 @@ merged AS (
   UNION ALL
   SELECT * FROM updates
 )
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM merged
 GROUP BY 1
 """
@@ -855,7 +855,7 @@ SELECT lang,
        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
             THEN 'train' ELSE 'valid' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """
