@@ -1,0 +1,149 @@
+"""Scale-safety tests for the quadratic-risk dedup operators.
+
+Round-2 hardening (VERDICT r01 items 3-4): LSH band/gram buckets are capped
+before in-bucket pair expansion, and embed_neardup_cosine salts its blocking
+key (triangle partitioning) so one hot label cannot OOM a task. Both knobs
+are env-controlled and read at call time, so these tests exercise tightened
+settings against adversarial data without touching the oracle-checked
+defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.registry.pipeline_queries import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    embed_neardup_cosine,
+)
+
+
+@pytest.fixture()
+def adversarial_docs_dir(spark, tmp_path):
+    """A corpus where 1000 documents are bit-identical (one degenerate LSH
+    bucket) plus two small genuine near-dup groups."""
+    boiler = "the same boilerplate paragraph repeated across the entire crawl " * 4
+    rows = [(i, boiler, "en", "src0", len(boiler)) for i in range(1000)]
+    rows += [
+        (2000, "a unique little document about spark shuffles", "en", "src0", 46),
+        (2001, "a unique little document about spark shuffled", "en", "src0", 46),
+        (3000, "completely different text with nothing shared", "en", "src1", 45),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "adv"
+    df.coalesce(2).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_minhash_lsh_caps_degenerate_bucket(spark, adversarial_docs_dir, monkeypatch):
+    """With the cap below the degenerate bucket's width, the all-identical
+    group is dropped (no quadratic 1000^2/2 pair expansion) while the small
+    near-dup pair in an ordinary bucket survives."""
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", "32")
+    pairs = dedup_minhash_lsh(spark, adversarial_docs_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # 1000 identical docs would produce 499500 pairs; the cap drops them all
+    assert len(got) < 100
+    assert all(a >= 2000 and b >= 2000 for a, b in got)
+    # the genuine near-dup pair (shares 3 of 4 minhashes -> same band) is kept
+    assert (2000, 2001) in got
+
+
+def test_minhash_lsh_default_cap_keeps_test_data_exact(spark, sf_dir):
+    """Default cap (1024) sits above every real test-data bucket width, so
+    the capped plan returns exactly the uncapped result."""
+    capped = {tuple(r) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    os.environ["SPARK_GRAFT_LSH_MAX_BUCKET"] = str(1 << 30)
+    try:
+        uncapped = {tuple(r) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    finally:
+        os.environ.pop("SPARK_GRAFT_LSH_MAX_BUCKET")
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_ngram_jaccard_caps_stop_gram(spark, adversarial_docs_dir, monkeypatch):
+    """Grams shared by the 1000-doc boilerplate group exceed the cap and are
+    dropped; the run completes without expanding ~500k struct pairs per gram
+    and still scores the genuine near-dup pair from its rare grams."""
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", "32")
+    rows = dedup_ngram_jaccard(spark, adversarial_docs_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert (2000, 2001) in got
+    assert got[(2000, 2001)] >= 0.3
+    assert all(a >= 2000 for a, _ in got)
+
+
+@pytest.fixture()
+def skewed_embeddings_dir(spark, tmp_path):
+    """90% of vectors in one hot label — the straggler shape the salting
+    exists for. Vectors are clustered so some pairs pass the 0.3 cosine
+    threshold."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for vid in range(300):
+        label = 7 if vid < 270 else vid % 3
+        base = rng.standard_normal(64) * 0.2
+        base[label % 64] += 3.0  # cluster direction per label
+        rows.append((vid, [float(x) for x in base], int(label)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "skew"
+    df.coalesce(2).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def _neardup_set(spark, path, salts):
+    os.environ["SPARK_GRAFT_NEARDUP_SALTS"] = str(salts)
+    try:
+        rows = embed_neardup_cosine(spark, path).collect()
+    finally:
+        os.environ.pop("SPARK_GRAFT_NEARDUP_SALTS")
+    return {(r.vec_a, r.vec_b, r.label, r.cos) for r in rows}
+
+
+def test_neardup_salting_is_exact(spark, skewed_embeddings_dir):
+    """Triangle partitioning covers every pair exactly once: S=4 and S=1
+    (salting disabled) produce identical pair sets on skewed data."""
+    salted = _neardup_set(spark, skewed_embeddings_dir, 4)
+    plain = _neardup_set(spark, skewed_embeddings_dir, 1)
+    assert salted == plain
+    assert len(salted) > 0
+
+
+def test_neardup_salting_matches_on_test_data(spark, sf_dir):
+    salted = _neardup_set(spark, sf_dir, 4)
+    plain = _neardup_set(spark, sf_dir, 1)
+    assert salted == plain
+
+
+def test_neardup_salting_bounds_block_width(spark, skewed_embeddings_dir):
+    """The hot label's 270 vectors split across salt-pair blocks: with S=4
+    no single task sees more than ~2/S of the label (vs all 270 unsalted)."""
+    n_salts = 4
+    emb = spark.read.parquet(
+        os.path.join(skewed_embeddings_dir, "embeddings.parquet")
+    )
+    widths = (
+        emb.withColumn("s", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int"))
+        .withColumn(
+            "blk",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_salts - 1}),"
+                    " j -> struct(least(s, j) AS si, greatest(s, j) AS sj))"
+                )
+            ),
+        )
+        .groupBy("label", "blk.si", "blk.sj")
+        .count()
+    )
+    max_block = widths.agg(F.max("count")).collect()[0][0]
+    # 2/S of the hot label plus slack for hash imbalance
+    assert max_block < 270 * 2 / n_salts * 1.5

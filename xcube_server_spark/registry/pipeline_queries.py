@@ -17,6 +17,8 @@ Scale notes per family:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -24,6 +26,37 @@ from pyspark.sql.functions import broadcast
 
 from ._util import load_table as _t
 from ._util import rnd
+
+
+def _max_bucket_width() -> int:
+    """Cap on LSH/gram bucket width before pair expansion.
+
+    A degenerate bucket (boilerplate, empty, or all-identical documents) makes
+    in-bucket pair expansion quadratic — at 100 TB a single 10M-doc bucket
+    would OOM its task. Buckets wider than the cap are dropped (the standard
+    production contract: a band shared by thousands of documents carries no
+    ranking information — those documents are caught by exact/normalized
+    dedup upstream, and for gram buckets a stop-gram this common carries no
+    Jaccard signal). The drop count is published as an observed metric so the
+    approximation is visible, never silent. Read at call time so tests can
+    tighten it; default 1024 is far above every test-data width (max 240 at
+    sf0.1) while bounding any bucket to ~500k pairs.
+    """
+    return int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "1024"))
+
+
+def _cap_buckets(buckets: DataFrame, ids_col: str, metric_name: str) -> DataFrame:
+    """Drop over-wide buckets, publishing (dropped_wide_buckets,
+    max_bucket_width) via ``DataFrame.observe`` — map-side bookkeeping, no
+    extra job or shuffle."""
+    cap = _max_bucket_width()
+    w = F.size(ids_col)
+    observed = buckets.observe(
+        metric_name,
+        F.sum(F.when(w > cap, 1).otherwise(0)).alias("dropped_wide_buckets"),
+        F.max(w).alias("max_bucket_width"),
+    )
+    return observed.filter(w <= cap)
 
 
 # ---------------------------------------------------------------------------
@@ -115,13 +148,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and shuffles the band table two ways; this is one signature pass + one
     # bucket shuffle (measured 1.75s → 1.6s at sf0.1 where the signature
     # dominates; the join saving grows with corpus size). Pathological hot
-    # buckets (everything identical) are quadratic in EITHER form — that is
-    # the LSH contract; production sweeps cap bucket width upstream.
+    # buckets (everything identical) are quadratic in EITHER form, so bucket
+    # width is capped (see _max_bucket_width) with observed drop metrics.
     buckets = (
         bands.groupBy("band_id", "band")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    buckets = _cap_buckets(buckets, "ids", "dedup_minhash_lsh_buckets")
     pair_expr = (
         "flatten(transform(ids, (x, i) ->"
         " transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)),"
@@ -254,11 +288,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
     )
+    # stop-gram cap: a 3-gram shared by more than _max_bucket_width() docs is
+    # dropped before pair expansion (df-capped grams — the standard Jaccard
+    # blocking trick); drops are observed, never silent
     buckets = (
         grams.groupBy("g")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    buckets = _cap_buckets(buckets, "ds", "dedup_ngram_jaccard_buckets")
     pair_expr = (
         "flatten(transform(ds, (x, i) ->"
         " transform(slice(ds, i + 2, greatest(size(ds) - i - 1, 0)),"
@@ -434,43 +472,68 @@ LIMIT 5
 
 
 def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: label-blocked pairwise cosine >= 0.3.
+    """Embedding near-dup: label-blocked pairwise cosine >= 0.3, with salted
+    blocks (triangle partitioning) so a hot label cannot OOM or straggle a
+    task.
 
-    Spark plan: ONE shuffle on the blocking key, then a vectorized
-    applyInPandas per block — numpy/BLAS computes the normalized Gram matrix
-    M @ M.T, ~100x the per-pair SQL aggregate (measured 11.4s -> sub-second
-    at sf0.1). The rounding matches ``rnd`` (floor(x*1e5+0.5)/1e5) so the
-    DuckDB oracle (normalize-then-dot in SQL) agrees at 5 decimals.
-
-    Scale: with a real clustering key the block size is bounded; for skewed
-    blocks the key would be salted and the triangular pair condition kept on
-    (block, salt_a <= salt_b) — same plan shape.
+    Spark plan: each vector gets a salt s = hash(vec_id) mod S and is
+    replicated to the S blocks (label, si, sj) where one salt coordinate
+    equals s. A diagonal block (si == sj) computes triangular pairs among its
+    members; an off-diagonal block computes bipartite pairs between its two
+    salt sides — every pair lands in exactly ONE block, so the result is
+    EXACT for any S (the oracle is salt-free). One shuffle on
+    (label, si, sj), then vectorized numpy/BLAS Gram products per block
+    (~100x the per-pair SQL aggregate; measured 11.4s -> sub-second at
+    sf0.1). Max task work drops from |label|^2 to (2|label|/S)^2 at an S-fold
+    replication cost — the classic quadratic-vs-linear trade. S is
+    SPARK_GRAFT_NEARDUP_SALTS (default 4; set 1 to disable). The rounding
+    matches ``rnd`` (floor(x*1e5+0.5)/1e5) so the DuckDB oracle agrees at 5
+    decimals.
     """
     import numpy as np
     import pandas as pd
 
+    n_salts = int(os.environ.get("SPARK_GRAFT_NEARDUP_SALTS", "4"))
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    salted = emb.withColumn(
+        "s", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+    ).withColumn(
+        "blk",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_salts - 1}),"
+                " j -> struct(least(s, j) AS si, greatest(s, j) AS sj))"
+            )
+        ),
+    )
 
     def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
+        label, si, sj = int(key[0]), int(key[1]), int(key[2])
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
         m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        s = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = np.floor(s[iu, ju] * 1e5 + 0.5) / 1e5
-        keep = cos >= 0.3
+        if si == sj:
+            cos_m = np.floor((m @ m.T) * 1e5 + 0.5) / 1e5
+            ii, jj = np.nonzero(np.triu(cos_m >= 0.3, k=1))
+            ida, idb = ids[ii], ids[jj]
+        else:
+            side = pdf["s"].to_numpy()[order]
+            a_mask, b_mask = side == si, side == sj
+            cos_m = np.floor((m[a_mask] @ m[b_mask].T) * 1e5 + 0.5) / 1e5
+            ii, jj = np.nonzero(cos_m >= 0.3)
+            left, right = ids[a_mask][ii], ids[b_mask][jj]
+            ida, idb = np.minimum(left, right), np.maximum(left, right)
         return pd.DataFrame(
             {
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "label": int(key[0]),
-                "cos": cos[keep],
+                "vec_a": ida,
+                "vec_b": idb,
+                "label": label,
+                "cos": cos_m[ii, jj],
             }
         )
 
-    return emb.groupBy("label").applyInPandas(
+    return salted.groupBy("label", "blk.si", "blk.sj").applyInPandas(
         pairs, "vec_a long, vec_b long, label int, cos double"
     )
 
