@@ -1,0 +1,122 @@
+"""Distributed store-ingest plumbing, tested without xarray.
+
+The chunk planner is pure metadata; the executor-side reader takes an
+injectable ``opener``, so an in-memory fake store exercises the real
+manifest → mapInPandas → window-slice → wide-rows path end-to-end. Only the
+final ``xr.open_*`` call is environment-gated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.xarray_ingest import (
+    chunk_manifest,
+    ingest_xarray,
+    ingest_xarray_distributed,
+    plan_chunks,
+)
+
+
+class FakeVar:
+    def __init__(self, data, dims):
+        self.data = data
+        self.dims = dims
+        self.chunks = None
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+    @property
+    def values(self):
+        return self.data
+
+
+class FakeStore:
+    """Duck-typed stand-in for an xarray Dataset: data_vars + coord access."""
+
+    def __init__(self, arrays: dict, lat, lon, times):
+        self.data_vars = {
+            n: FakeVar(a, ("time", "lat", "lon")) for n, a in arrays.items()
+        }
+        self._coords = {
+            "lat": FakeVar(np.asarray(lat), ("lat",)),
+            "lon": FakeVar(np.asarray(lon), ("lon",)),
+            "time": FakeVar(np.asarray(times, dtype=object), ("time",)),
+        }
+
+    def __getitem__(self, name):
+        return self.data_vars.get(name) or self._coords[name]
+
+
+T, H, W = 3, 10, 12
+_TIMES = ["2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00"]
+
+
+def _make_store():
+    rng = np.random.default_rng(7)
+    return FakeStore(
+        arrays={
+            "sst": rng.standard_normal((T, H, W)),
+            "chl": rng.standard_normal((T, H, W)),
+        },
+        lat=np.linspace(54.55, 53.65, H),  # descending: northernmost row first
+        lon=np.linspace(0.05, 1.15, W),
+        times=_TIMES,
+    )
+
+
+def test_plan_chunks_tiles_index_space_exactly():
+    wins = plan_chunks(T, H, W, chunks=(2, 4, 5))
+    # every (t, y, x) cell covered exactly once
+    seen = np.zeros((T, H, W), dtype=int)
+    for w in wins:
+        seen[w["t0"] : w["t1"], w["y0"] : w["y1"], w["x0"] : w["x1"]] += 1
+    assert seen.min() == 1 and seen.max() == 1
+    # aligned interior windows, clamped edges
+    assert len(wins) == 2 * 3 * 3
+
+
+def test_chunk_manifest_reports_layout():
+    m = chunk_manifest("ignored", opener=_make_store)
+    assert {r["var"] for r in m} == {"sst", "chl"}
+    assert all(r["dims"] == ["time", "lat", "lon"] for r in m)
+
+
+def test_distributed_ingest_matches_driver_path(spark):
+    dist, grid_d = ingest_xarray_distributed(
+        spark, "fake://store", opener=_make_store, chunks=(2, 4, 5)
+    )
+    drv, grid_l = ingest_xarray(spark, "fake://store", opener=_make_store)
+    assert grid_d == grid_l
+    assert grid_d.width == W and grid_d.height == H and not grid_d.inv_y
+    cols = ["time_idx", "lat_idx", "lon_idx", "sst", "chl", "time", "lat", "lon"]
+    a = {tuple(r) for r in dist.select(cols).collect()}
+    b = {tuple(r) for r in drv.select(cols).collect()}
+    assert a == b
+    assert len(a) == T * H * W
+
+
+def test_distributed_ingest_values_and_coords(spark):
+    store = _make_store()
+    df, grid = ingest_xarray_distributed(
+        spark, "fake://store", opener=lambda: store, chunks=(1, 512, 512)
+    )
+    rows = {
+        (r.time_idx, r.lat_idx, r.lon_idx): r
+        for r in df.filter("lat_idx < 2 AND lon_idx < 2").collect()
+    }
+    assert len(rows) == T * 2 * 2
+    for (t, y, x), r in rows.items():
+        assert r.sst == pytest.approx(float(store["sst"].data[t, y, x]))
+        assert r.chl == pytest.approx(float(store["chl"].data[t, y, x]))
+        # lat row 0 = northernmost center; centers match the coord array
+        assert r.lat == pytest.approx(float(store["lat"].data[y]), abs=1e-9)
+        assert r.lon == pytest.approx(float(store["lon"].data[x]), abs=1e-9)
+        assert str(r.time) == _TIMES[t]
+
+
+def test_driver_gate_without_xarray():
+    with pytest.raises(NotImplementedError, match="xarray"):
+        ingest_xarray(None, "/tmp/nope.zarr")
