@@ -1,0 +1,73 @@
+"""Colormap registry unit tests (F6/F7) — pure numpy, no Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xcube_server_spark.functions.colormap import (
+    CMAP_CATEGORIES,
+    DEFAULT_CMAP,
+    apply_cmap,
+    get_lut,
+    list_cmaps,
+)
+
+
+def test_registry_covers_reference_families():
+    names = {n for _, _, ns in CMAP_CATEGORIES for n in ns}
+    # the verdict's call-outs plus one per reference category
+    for wanted in ("magma", "inferno", "cividis", "RdBu", "Spectral",
+                   "thermal", "haline", "balance", "Set1", "Paired",
+                   "Blues", "YlGnBu", "hot", "terrain", "cubehelix"):
+        assert wanted in names, wanted
+    assert len(names) >= 80
+
+
+def test_luts_are_distinct_per_map():
+    luts = {n: get_lut(n).tobytes() for _, _, ns in CMAP_CATEGORIES for n in ns}
+    assert len(set(luts.values())) == len(luts)  # no two maps share a LUT
+
+
+def test_unknown_name_falls_back_to_default():
+    assert np.array_equal(get_lut("definitely_not_a_cmap"), get_lut(DEFAULT_CMAP))
+    # and the _alpha variant of an unknown name still ramps alpha
+    lut = get_lut("definitely_not_a_cmap_alpha")
+    assert lut[0, 3] == 0 and lut[255, 3] == 255
+
+
+def test_gradient_alpha_ramps_over_lower_half():
+    lut = get_lut("magma_alpha")
+    assert lut[0, 3] == 0
+    assert lut[255, 3] == 255
+    assert np.array_equal(lut[140:, 3], np.full(116, 255))  # saturated past midpoint
+    assert np.array_equal(lut[:, :3], get_lut("magma")[:, :3])  # rgb unchanged
+
+
+def test_discrete_map_has_flat_steps():
+    lut = get_lut("Set1")
+    colors = {tuple(c) for c in lut[:, :3]}
+    assert len(colors) == 9  # ColorBrewer Set1 has exactly 9 classes
+    # first block is uniformly the first class color
+    assert np.array_equal(lut[0, :3], lut[255 // 9 - 1, :3])
+    # discrete alpha ramp: min(1, 2i/N) per class index
+    alut = get_lut("Set1_alpha")
+    assert alut[0, 3] == 0 and alut[255, 3] == 255
+    assert np.array_equal(alut[:, :3], lut[:, :3])
+
+
+def test_list_cmaps_emits_swatches_for_all():
+    doc = list_cmaps()
+    names = [n for _, _, entries in doc for n, _ in entries]
+    assert len(names) == len(set(names))
+    for _, _, entries in doc:
+        for name, swatch in entries:
+            assert isinstance(swatch, str) and len(swatch) > 0, name
+
+
+def test_apply_cmap_uses_named_lut():
+    vals = np.array([[0.0, 0.5, 1.0, np.nan]])
+    out = apply_cmap(vals, 0.0, 1.0, "RdBu")
+    lut = get_lut("RdBu")
+    assert tuple(out[0, 0]) == tuple(lut[0])
+    assert tuple(out[0, 2]) == tuple(lut[255])
+    assert tuple(out[0, 3]) == (0, 0, 0, 0)  # NaN transparent

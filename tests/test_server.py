@@ -89,6 +89,14 @@ def test_legend_and_colorbars(server):
     status, doc = _get_json(f"{server}/colorbars")
     names = [n for _, _, entries in doc for n, _ in entries]
     assert "viridis" in names and "viridis_alpha" in names
+    # round-2 broadened registry: matplotlib + ColorBrewer + cmocean names
+    # the reference exposes (im/cmaps.py:46-92), each with an _alpha variant
+    for wanted in ("magma", "inferno", "RdBu", "Spectral", "thermal",
+                   "haline", "Set1", "Blues"):
+        assert wanted in names, wanted
+        assert f"{wanted}_alpha" in names, wanted
+    cats = [c for c, _, _ in doc]
+    assert "Ocean" in cats and "Qualitative" in cats
 
 
 def test_point_timeseries_endpoint(server):

@@ -180,14 +180,18 @@ def get_time_series_info(catalog: CubeCatalog) -> dict[str, Any]:
 def colorbars_html() -> str:
     """HTML color-bar listing (``GetColorBarsHtmlHandler``,
     ``xcube_server/im/cmaps.py`` emits base64 PNG swatches in a table)."""
+    import html
+
     from ..functions.colormap import list_cmaps
 
     rows = []
     for group, desc, entries in list_cmaps():
-        rows.append(f"<tr><th colspan='2'>{group} — {desc}</th></tr>")
+        rows.append(
+            f"<tr><th colspan='2'>{html.escape(group)} — {html.escape(desc)}</th></tr>"
+        )
         for name, swatch in entries:
             rows.append(
-                f"<tr><td>{name}</td>"
+                f"<tr><td>{html.escape(name)}</td>"
                 f"<td><img src='data:image/png;base64,{swatch}' "
                 "width='200' height='12'/></td></tr>"
             )

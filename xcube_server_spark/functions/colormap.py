@@ -20,8 +20,13 @@ import numpy as np
 
 from ..sources.png import encode_rgba_png
 
-# Anchor colors (RGB 0-255), interpolated to 256 entries.
+# Anchor colors (RGB 0-255), interpolated to 256 entries. Anchors are
+# approximations of the published matplotlib / ColorBrewer / cmocean
+# palettes (the reference samples the real libraries,
+# ``xcube_server/im/cmaps.py:76-92``; this engine is matplotlib-free by
+# design, so each map is its anchor-gradient approximation).
 _ANCHORS: dict[str, list[tuple[int, int, int]]] = {
+    # --- Perceptually Uniform Sequential -------------------------------
     "viridis": [
         (68, 1, 84), (71, 44, 122), (59, 81, 139), (44, 113, 142),
         (33, 144, 141), (39, 173, 129), (92, 200, 99), (170, 220, 50),
@@ -31,30 +36,419 @@ _ANCHORS: dict[str, list[tuple[int, int, int]]] = {
         (13, 8, 135), (84, 2, 163), (139, 10, 165), (185, 50, 137),
         (219, 92, 104), (244, 136, 73), (254, 188, 43), (240, 249, 33),
     ],
+    "inferno": [
+        (0, 0, 4), (40, 11, 84), (101, 21, 110), (159, 42, 99),
+        (212, 72, 66), (245, 125, 21), (250, 193, 39), (252, 255, 164),
+    ],
+    "magma": [
+        (0, 0, 4), (28, 16, 68), (79, 18, 123), (129, 37, 129),
+        (181, 54, 122), (229, 80, 100), (251, 135, 97), (254, 194, 135),
+        (252, 253, 191),
+    ],
+    "cividis": [
+        (0, 32, 76), (0, 42, 102), (51, 62, 110), (87, 83, 109),
+        (118, 104, 110), (151, 126, 104), (187, 150, 91), (223, 177, 58),
+        (255, 234, 70),
+    ],
+    # --- Sequential 1 (ColorBrewer multi-hue) --------------------------
+    "Blues": [
+        (247, 251, 255), (222, 235, 247), (198, 219, 239), (158, 202, 225),
+        (107, 174, 214), (66, 146, 198), (33, 113, 181), (8, 81, 156),
+        (8, 48, 107),
+    ],
+    "BuGn": [
+        (247, 252, 253), (229, 245, 249), (204, 236, 230), (153, 216, 201),
+        (102, 194, 164), (65, 174, 118), (35, 139, 69), (0, 109, 44),
+        (0, 68, 27),
+    ],
+    "BuPu": [
+        (247, 252, 253), (224, 236, 244), (191, 211, 230), (158, 188, 218),
+        (140, 150, 198), (140, 107, 177), (136, 65, 157), (129, 15, 124),
+        (77, 0, 75),
+    ],
+    "GnBu": [
+        (247, 252, 240), (224, 243, 219), (204, 235, 197), (168, 221, 181),
+        (123, 204, 196), (78, 179, 211), (43, 140, 190), (8, 104, 172),
+        (8, 64, 129),
+    ],
+    "Greens": [
+        (247, 252, 245), (229, 245, 224), (199, 233, 192), (161, 217, 155),
+        (116, 196, 118), (65, 171, 93), (35, 139, 69), (0, 109, 44),
+        (0, 68, 27),
+    ],
+    "Greys": [
+        (255, 255, 255), (240, 240, 240), (217, 217, 217), (189, 189, 189),
+        (150, 150, 150), (115, 115, 115), (82, 82, 82), (37, 37, 37),
+        (0, 0, 0),
+    ],
+    "Oranges": [
+        (255, 245, 235), (254, 230, 206), (253, 208, 162), (253, 174, 107),
+        (253, 141, 60), (241, 105, 19), (217, 72, 1), (166, 54, 3),
+        (127, 39, 4),
+    ],
+    "OrRd": [
+        (255, 247, 236), (254, 232, 200), (253, 212, 158), (253, 187, 132),
+        (252, 141, 89), (239, 101, 72), (215, 48, 31), (179, 0, 0),
+        (127, 0, 0),
+    ],
+    "PuBu": [
+        (255, 247, 251), (236, 231, 242), (208, 209, 230), (166, 189, 219),
+        (116, 169, 207), (54, 144, 192), (5, 112, 176), (4, 90, 141),
+        (2, 56, 88),
+    ],
+    "PuBuGn": [
+        (255, 247, 251), (236, 226, 240), (208, 209, 230), (166, 189, 219),
+        (103, 169, 207), (54, 144, 192), (2, 129, 138), (1, 108, 89),
+        (1, 70, 54),
+    ],
+    "PuRd": [
+        (247, 244, 249), (231, 225, 239), (212, 185, 218), (201, 148, 199),
+        (223, 101, 176), (231, 41, 138), (206, 18, 86), (152, 0, 67),
+        (103, 0, 31),
+    ],
+    "Purples": [
+        (252, 251, 253), (239, 237, 245), (218, 218, 235), (188, 189, 220),
+        (158, 154, 200), (128, 125, 186), (106, 81, 163), (84, 39, 143),
+        (63, 0, 125),
+    ],
+    "RdPu": [
+        (255, 247, 243), (253, 224, 221), (252, 197, 192), (250, 159, 181),
+        (247, 104, 161), (221, 52, 151), (174, 1, 126), (122, 1, 119),
+        (73, 0, 106),
+    ],
+    "Reds": [
+        (255, 245, 240), (254, 224, 210), (252, 187, 161), (252, 146, 114),
+        (251, 106, 74), (239, 59, 44), (203, 24, 29), (165, 15, 21),
+        (103, 0, 13),
+    ],
+    "YlGn": [
+        (255, 255, 229), (247, 252, 185), (217, 240, 163), (173, 221, 142),
+        (120, 198, 121), (65, 171, 93), (35, 132, 67), (0, 104, 55),
+        (0, 69, 41),
+    ],
+    "YlGnBu": [
+        (255, 255, 217), (237, 248, 177), (199, 233, 180), (127, 205, 187),
+        (65, 182, 196), (29, 145, 192), (34, 94, 168), (37, 52, 148),
+        (8, 29, 88),
+    ],
+    "YlOrBr": [
+        (255, 255, 229), (255, 247, 188), (254, 227, 145), (254, 196, 79),
+        (254, 153, 41), (236, 112, 20), (204, 76, 2), (153, 52, 4),
+        (102, 37, 6),
+    ],
+    "YlOrRd": [
+        (255, 255, 204), (255, 237, 160), (254, 217, 118), (254, 178, 76),
+        (253, 141, 60), (252, 78, 42), (227, 26, 28), (189, 0, 38),
+        (128, 0, 38),
+    ],
+    # --- Sequential 2 (monotone ramps) ---------------------------------
     "gray": [(0, 0, 0), (255, 255, 255)],
+    "hot": [(10, 0, 0), (230, 0, 0), (255, 210, 0), (255, 255, 255)],
+    "afmhot": [
+        (0, 0, 0), (128, 0, 0), (255, 128, 0), (255, 255, 128),
+        (255, 255, 255),
+    ],
+    "gist_heat": [(0, 0, 0), (178, 0, 0), (255, 104, 0), (255, 255, 255)],
+    "cool": [(0, 255, 255), (255, 0, 255)],
+    "autumn": [(255, 0, 0), (255, 255, 0)],
+    "spring": [(255, 0, 255), (255, 255, 0)],
+    "summer": [(0, 128, 102), (255, 255, 102)],
+    "winter": [(0, 0, 255), (0, 255, 128)],
+    "bone": [(0, 0, 0), (81, 81, 113), (166, 198, 198), (255, 255, 255)],
+    "copper": [(0, 0, 0), (255, 199, 127)],
+    "pink": [(30, 0, 0), (220, 163, 163), (255, 255, 255)],
+    # --- Diverging -----------------------------------------------------
+    "coolwarm": [(59, 76, 192), (221, 221, 221), (180, 4, 38)],
+    "bwr": [(0, 0, 255), (255, 255, 255), (255, 0, 0)],
+    "seismic": [
+        (0, 0, 76), (0, 0, 255), (255, 255, 255), (255, 0, 0), (127, 0, 0),
+    ],
+    "RdBu": [
+        (103, 0, 31), (178, 24, 43), (214, 96, 77), (244, 165, 130),
+        (253, 219, 199), (247, 247, 247), (209, 229, 240), (146, 197, 222),
+        (67, 147, 195), (33, 102, 172), (5, 48, 97),
+    ],
+    "RdGy": [
+        (103, 0, 31), (178, 24, 43), (214, 96, 77), (244, 165, 130),
+        (253, 219, 199), (255, 255, 255), (224, 224, 224), (186, 186, 186),
+        (135, 135, 135), (77, 77, 77), (26, 26, 26),
+    ],
+    "RdYlBu": [
+        (165, 0, 38), (215, 48, 39), (244, 109, 67), (253, 174, 97),
+        (254, 224, 144), (255, 255, 191), (224, 243, 248), (171, 217, 233),
+        (116, 173, 209), (69, 117, 180), (49, 54, 149),
+    ],
+    "RdYlGn": [
+        (165, 0, 38), (215, 48, 39), (244, 109, 67), (253, 174, 97),
+        (254, 224, 139), (255, 255, 191), (217, 239, 139), (166, 217, 106),
+        (102, 189, 99), (26, 152, 80), (0, 104, 55),
+    ],
+    "Spectral": [
+        (158, 1, 66), (213, 62, 79), (244, 109, 67), (253, 174, 97),
+        (254, 224, 139), (255, 255, 191), (230, 245, 152), (171, 221, 164),
+        (102, 194, 165), (50, 136, 189), (94, 79, 162),
+    ],
+    "PiYG": [
+        (142, 1, 82), (197, 27, 125), (222, 119, 174), (241, 182, 218),
+        (253, 224, 239), (247, 247, 247), (230, 245, 208), (184, 225, 134),
+        (127, 188, 65), (77, 146, 33), (39, 100, 25),
+    ],
+    "PRGn": [
+        (64, 0, 75), (118, 42, 131), (153, 112, 171), (194, 165, 207),
+        (231, 212, 232), (247, 247, 247), (217, 240, 211), (166, 219, 160),
+        (90, 174, 97), (27, 120, 55), (0, 68, 27),
+    ],
+    "BrBG": [
+        (84, 48, 5), (140, 81, 10), (191, 129, 45), (223, 194, 125),
+        (246, 232, 195), (245, 245, 245), (199, 234, 229), (128, 205, 193),
+        (53, 151, 143), (1, 102, 94), (0, 60, 48),
+    ],
+    "PuOr": [
+        (127, 59, 8), (179, 88, 6), (224, 130, 20), (253, 184, 99),
+        (254, 224, 182), (247, 247, 247), (216, 218, 235), (178, 171, 210),
+        (128, 115, 172), (84, 39, 136), (45, 0, 75),
+    ],
+    # --- Ocean (cmocean) -----------------------------------------------
+    "thermal": [
+        (4, 35, 51), (44, 58, 129), (109, 69, 133), (172, 82, 119),
+        (225, 106, 85), (252, 152, 58), (248, 212, 66), (232, 250, 91),
+    ],
+    "haline": [
+        (41, 24, 107), (22, 72, 126), (21, 113, 121), (48, 152, 108),
+        (103, 188, 84), (181, 216, 78), (253, 239, 110),
+    ],
+    "solar": [
+        (51, 19, 23), (126, 51, 25), (192, 92, 23), (238, 143, 42),
+        (247, 201, 92), (230, 255, 145),
+    ],
+    "ice": [
+        (3, 5, 18), (45, 48, 94), (80, 95, 152), (116, 143, 183),
+        (161, 190, 210), (216, 233, 235), (234, 252, 252),
+    ],
+    "oxy": [
+        (64, 5, 5), (128, 8, 8), (118, 118, 118), (220, 220, 220),
+        (255, 236, 86), (221, 175, 5),
+    ],
+    "deep": [
+        (253, 253, 204), (152, 214, 180), (85, 170, 170), (51, 119, 152),
+        (48, 66, 126), (39, 26, 69),
+    ],
+    "dense": [
+        (230, 240, 240), (160, 203, 216), (106, 159, 205), (85, 111, 188),
+        (87, 65, 157), (73, 28, 106), (46, 10, 66),
+    ],
+    "algae": [
+        (215, 249, 208), (152, 214, 150), (90, 176, 107), (35, 137, 80),
+        (14, 95, 64), (17, 54, 38),
+    ],
+    "matter": [
+        (253, 237, 176), (244, 183, 112), (232, 128, 76), (207, 77, 79),
+        (160, 42, 98), (102, 26, 92), (47, 15, 61),
+    ],
+    "turbid": [
+        (232, 245, 171), (212, 199, 118), (186, 156, 84), (154, 118, 67),
+        (114, 87, 60), (72, 60, 50),
+    ],
+    "speed": [
+        (254, 252, 205), (190, 222, 130), (108, 192, 98), (35, 152, 85),
+        (15, 104, 73), (23, 55, 54),
+    ],
+    "amp": [
+        (241, 237, 236), (225, 188, 172), (211, 139, 116), (194, 88, 74),
+        (160, 39, 59), (100, 17, 52), (60, 9, 18),
+    ],
+    "tempo": [
+        (255, 246, 244), (196, 226, 203), (123, 203, 176), (57, 171, 170),
+        (41, 131, 161), (48, 88, 145), (20, 50, 103),
+    ],
+    "phase": [
+        (167, 119, 12), (200, 69, 70), (190, 40, 149), (130, 53, 208),
+        (53, 91, 200), (14, 132, 149), (70, 148, 66), (141, 133, 16),
+        (167, 119, 12),
+    ],
+    "balance": [
+        (24, 28, 66), (54, 92, 141), (102, 164, 186), (200, 221, 224),
+        (241, 241, 241), (228, 204, 192), (195, 128, 102), (146, 54, 55),
+        (60, 9, 17),
+    ],
+    "delta": [
+        (17, 32, 64), (44, 101, 154), (120, 183, 197), (240, 240, 210),
+        (160, 193, 80), (60, 129, 42), (23, 53, 29),
+    ],
+    "curl": [
+        (21, 47, 61), (26, 121, 122), (128, 192, 165), (240, 240, 230),
+        (222, 159, 154), (180, 78, 101), (80, 22, 61),
+    ],
+    # --- Miscellaneous -------------------------------------------------
     "jet": [
         (0, 0, 127), (0, 0, 255), (0, 255, 255), (255, 255, 0),
         (255, 0, 0), (127, 0, 0),
     ],
-    "coolwarm": [(59, 76, 192), (221, 221, 221), (180, 4, 38)],
+    "terrain": [
+        (51, 51, 153), (0, 153, 153), (0, 204, 102), (255, 255, 102),
+        (153, 102, 51), (255, 255, 255),
+    ],
+    "ocean": [(0, 128, 0), (0, 0, 255), (255, 255, 255)],
+    "gist_earth": [
+        (0, 0, 0), (24, 48, 108), (30, 105, 111), (70, 151, 86),
+        (146, 181, 105), (220, 208, 160), (253, 250, 250),
+    ],
+    "cubehelix": [
+        (0, 0, 0), (26, 60, 58), (106, 86, 154), (202, 139, 131),
+        (213, 211, 161), (255, 255, 255),
+    ],
+    "rainbow": [
+        (127, 0, 255), (0, 180, 235), (80, 255, 115), (255, 200, 0),
+        (255, 0, 0),
+    ],
+    "hsv": [
+        (255, 0, 0), (255, 255, 0), (0, 255, 0), (0, 255, 255),
+        (0, 0, 255), (255, 0, 255), (255, 0, 0),
+    ],
+    "brg": [(0, 0, 255), (255, 0, 0), (0, 255, 0)],
+    "gnuplot": [
+        (0, 0, 0), (127, 4, 255), (180, 32, 0), (221, 107, 0),
+        (255, 255, 0),
+    ],
+    "nipy_spectral": [
+        (0, 0, 0), (120, 0, 140), (0, 0, 221), (0, 170, 221), (0, 160, 0),
+        (0, 255, 0), (255, 255, 0), (255, 100, 0), (221, 0, 0),
+        (204, 204, 204),
+    ],
 }
 
+# Qualitative maps are discrete (ListedColormap analog): N flat color steps,
+# no interpolation (``xcube_server/im/cmaps.py:144-162``).
+_DISCRETE: dict[str, list[tuple[int, int, int]]] = {
+    "Set1": [
+        (228, 26, 28), (55, 126, 184), (77, 175, 74), (152, 78, 163),
+        (255, 127, 0), (255, 255, 51), (166, 86, 40), (247, 129, 191),
+        (153, 153, 153),
+    ],
+    "Set2": [
+        (102, 194, 165), (252, 141, 98), (141, 160, 203), (231, 138, 195),
+        (166, 216, 84), (255, 217, 47), (229, 196, 148), (179, 179, 179),
+    ],
+    "Set3": [
+        (141, 211, 199), (255, 255, 179), (190, 186, 218), (251, 128, 114),
+        (128, 177, 211), (253, 180, 98), (179, 222, 105), (252, 205, 229),
+        (217, 217, 217), (188, 128, 189), (204, 235, 197), (255, 237, 111),
+    ],
+    "Paired": [
+        (166, 206, 227), (31, 120, 180), (178, 223, 138), (51, 160, 44),
+        (251, 154, 153), (227, 26, 28), (253, 191, 111), (255, 127, 0),
+        (202, 178, 214), (106, 61, 154), (255, 255, 153), (177, 89, 40),
+    ],
+    "Accent": [
+        (127, 201, 127), (190, 174, 212), (253, 192, 134), (255, 255, 153),
+        (56, 108, 176), (240, 2, 127), (191, 91, 23), (102, 102, 102),
+    ],
+    "Dark2": [
+        (27, 158, 119), (217, 95, 2), (117, 112, 179), (231, 41, 138),
+        (102, 166, 30), (230, 171, 2), (166, 118, 29), (102, 102, 102),
+    ],
+    "Pastel1": [
+        (251, 180, 174), (179, 205, 227), (204, 235, 197), (222, 203, 228),
+        (254, 217, 166), (255, 255, 204), (229, 216, 189), (253, 218, 236),
+        (242, 242, 242),
+    ],
+    "Pastel2": [
+        (179, 226, 205), (253, 205, 172), (203, 213, 232), (244, 202, 228),
+        (230, 245, 201), (255, 242, 174), (241, 226, 204), (204, 204, 204),
+    ],
+}
+
+# Category layout mirrors the reference registry
+# (``xcube_server/im/cmaps.py:46-92``); names absent there were not ported
+# (high-frequency repeating maps like flag/prism have no anchor-gradient
+# form).
 CMAP_CATEGORIES = (
-    ("Perceptually Uniform Sequential", "built-in gradients", ("viridis", "plasma")),
-    ("Sequential", "single-hue ramps", ("gray",)),
-    ("Diverging", "two-tone ramps", ("coolwarm",)),
-    ("Miscellaneous", "legacy ramps", ("jet",)),
+    (
+        "Perceptually Uniform Sequential",
+        "For many applications, a perceptually uniform colormap is the best "
+        "choice - one in which equal steps in data are perceived as equal "
+        "steps in the color space",
+        ("viridis", "inferno", "plasma", "magma", "cividis"),
+    ),
+    (
+        "Sequential 1",
+        "Approximately monochromatic colormaps varying smoothly from low to "
+        "high saturation; ideal for most scientific data",
+        (
+            "Blues", "BuGn", "BuPu", "GnBu", "Greens", "Greys", "Oranges",
+            "OrRd", "PuBu", "PuBuGn", "PuRd", "Purples", "RdPu", "Reds",
+            "YlGn", "YlGnBu", "YlOrBr", "YlOrRd",
+        ),
+    ),
+    (
+        "Sequential 2",
+        "Monotonically increasing ramps",
+        (
+            "afmhot", "autumn", "bone", "cool", "copper", "gist_heat",
+            "gray", "hot", "pink", "spring", "summer", "winter",
+        ),
+    ),
+    (
+        "Diverging",
+        "Colormaps with a significant median value (usually light) varying "
+        "smoothly to two different color tones at the extremes",
+        (
+            "BrBG", "bwr", "coolwarm", "PiYG", "PRGn", "PuOr", "RdBu",
+            "RdGy", "RdYlBu", "RdYlGn", "Spectral", "seismic",
+        ),
+    ),
+    (
+        "Qualitative",
+        "Rapidly varying discrete colors for categorical data",
+        (
+            "Accent", "Dark2", "Paired", "Pastel1", "Pastel2", "Set1",
+            "Set2", "Set3",
+        ),
+    ),
+    (
+        "Ocean",
+        "Colormaps for commonly-used oceanographic variables",
+        (
+            "thermal", "haline", "solar", "ice", "oxy", "deep", "dense",
+            "algae", "matter", "turbid", "speed", "amp", "tempo", "phase",
+            "balance", "delta", "curl",
+        ),
+    ),
+    (
+        "Miscellaneous",
+        "Colormaps that don't fit the categories above",
+        (
+            "brg", "cubehelix", "gist_earth", "gnuplot", "hsv", "jet",
+            "nipy_spectral", "ocean", "rainbow", "terrain",
+        ),
+    ),
 )
 
 DEFAULT_CMAP = "viridis"
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=256)
 def get_lut(name: str) -> np.ndarray:
     """256×4 uint8 RGBA LUT. ``<name>_alpha`` ramps alpha 0→255 over the
-    lower half of the range (``xcube_server/im/cmaps.py:135-162``)."""
+    lower half of the range (``xcube_server/im/cmaps.py:135-162``); unknown
+    names fall back to the default colormap (reference behavior: invalid
+    cmaps are skipped with a warning and the tile renderer uses its
+    default)."""
     alpha = name.endswith("_alpha")
     base = name[: -len("_alpha")] if alpha else name
+    if base in _DISCRETE:
+        colors = np.asarray(_DISCRETE[base], dtype=np.float64)
+        n = len(colors)
+        steps = np.minimum((np.arange(256) * n) // 256, n - 1)
+        rgb = colors[steps]
+        a = np.full((256, 1), 255.0)
+        if alpha:
+            # ListedColormap ramp: color i gets alpha min(1, 2i/N)
+            # (``xcube_server/im/cmaps.py:148-160``)
+            a = (np.clip(steps * 2.0 / n, 0.0, 1.0) * 255.0)[:, None]
+        return np.clip(np.concatenate([rgb, a], axis=1) + 0.5, 0, 255).astype(
+            np.uint8
+        )
     anchors = np.asarray(_ANCHORS.get(base, _ANCHORS[DEFAULT_CMAP]), dtype=np.float64)
     xs = np.linspace(0.0, 1.0, len(anchors))
     grid = np.linspace(0.0, 1.0, 256)
