@@ -228,6 +228,49 @@ def test_tile_service_cache_and_transparency(demo_catalog):
     assert rgba_nan[..., 3].max() == 0
 
 
+def test_file_cache_spill_and_reload(demo_catalog, tmp_path, monkeypatch):
+    """Disk tier: tiles rendered by one TileService instance are served from
+    the file cache by a fresh instance (process-restart analog) without
+    touching the render path at all."""
+    from xcube_server_spark.cube import tiles as tiles_mod
+
+    cache_dir = str(tmp_path / "image-cache")
+    svc_a = TileService(demo_catalog, file_cache_path=cache_dir)
+    png = svc_a.get_tile("demo", "conc_tsm", 0, 0, 0, time="current")
+    assert len(svc_a._file_cache) == 1
+
+    svc_b = TileService(demo_catalog, file_cache_path=cache_dir)
+
+    def boom(*a, **k):
+        raise AssertionError("render path must not run on a file-cache hit")
+
+    monkeypatch.setattr(svc_b, "_read_tile_fast", boom)
+    monkeypatch.setattr(tiles_mod, "render_tiles", boom)
+    again = svc_b.get_tile("demo", "conc_tsm", 0, 0, 0, time="current")
+    assert again == png
+    # promoted to the memory tier on hit
+    assert len(svc_b._cache) == 1
+    # default-off parity (xcube_server/defaults.py:43): no path → no tier
+    assert TileService(demo_catalog)._file_cache is None
+
+
+def test_file_cache_eviction_oldest_first(tmp_path):
+    import time
+
+    from xcube_server_spark.cube.cache import FileByteCache
+
+    fc = FileByteCache(str(tmp_path / "fc"), capacity=1000)
+    fc.put("a", b"x" * 300)
+    time.sleep(0.02)
+    fc.put("b", b"y" * 300)
+    time.sleep(0.02)
+    assert fc.get("a") == b"x" * 300  # refresh a's mtime: b becomes oldest
+    time.sleep(0.02)
+    fc.put("c", b"z" * 300)  # 900 bytes > 0.75*1000 → evict oldest (b)
+    assert fc.get("b") is None
+    assert fc.get("a") is not None and fc.get("c") is not None
+
+
 def test_tile_window_filter_prunes(demo_catalog):
     """The per-tile scan must filter on the tile window (index range), so
     parquet row-group stats can prune — assert the filter reaches the scan."""

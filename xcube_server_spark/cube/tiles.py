@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.colormap import DEFAULT_CMAP, apply_cmap
 from ..sources.png import encode_rgba_png
-from .cache import ByteCache
+from .cache import ByteCache, FileByteCache
 from .catalog import CubeCatalog, StyleMeta
 
 
@@ -146,6 +146,8 @@ class TileService:
         fast_path: bool = True,
         policy: str = "LRU",
         trace_perf: bool = False,
+        file_cache_path: str | None = None,
+        file_cache_capacity: int = 20 * 1000**3,
     ):
         self.catalog = catalog
         self.capacity = capacity
@@ -155,6 +157,13 @@ class TileService:
         # pluggable eviction policy (LRU/MRU/LFU/RR) — parity with the
         # reference's cache policies (xcube_server/cache.py:174-197)
         self._cache = ByteCache(capacity, policy=policy)
+        # optional second-level disk tier, default OFF with a 20 GB cap —
+        # parity with xcube_server/defaults.py:42-46
+        self._file_cache = (
+            FileByteCache(file_cache_path, file_cache_capacity)
+            if file_cache_path
+            else None
+        )
 
     def _read_tile_fast(
         self, ds_id: str, var: str, z: int, x: int, y: int, t_idx: int
@@ -252,6 +261,11 @@ class TileService:
         cached = self._cache.get(key)
         if cached is not None:
             return cached
+        if self._file_cache is not None:
+            spilled = self._file_cache.get(key)
+            if spilled is not None:
+                self._cache.put(key, spilled)  # promote to memory tier
+                return spilled
         png = None
         if self.fast_path:
             t_idx, _ = _nearest_time(self.catalog.times(ds_id), time)
@@ -283,4 +297,6 @@ class TileService:
                     apply_cmap(blank, *st.value_range, st.color_bar)
                 )
         self._cache.put(key, png)
+        if self._file_cache is not None:
+            self._file_cache.put(key, png)
         return png
