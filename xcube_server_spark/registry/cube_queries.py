@@ -1,13 +1,20 @@
-"""Cube-native gate queries (rows-only checks — no SQL oracle).
+"""Cube-native gate queries.
 
 These run the REAL cube subsystem (synthetic demo cube → parquet → catalog →
-operators) inside the driver's correctness harness. DuckDB can't see the
-cube tables (its views cover only the star schema), so these entries take
-the weaker rows-only check; their semantics are golden-tested in
+operators) inside the driver's correctness harness. The time-series queries
+carry full DuckDB oracles: the oracle SQL reads the SAME materialized l0
+parquet the engine serves from, with the driver-side pure-Python pieces
+(nearest-cell index arithmetic, rasterized all_touched mask) inlined as
+literals/VALUES — so the semi-join + masked-stats semantics are checked
+value-for-value, not just row counts. ``cube_tile_render`` stays rows-only
+(PNG bytes are not SQL-expressible); its pixels are golden-tested in
 ``tests/test_cube.py``.
 
 The cube is materialized once per (session, tmp location) and reused across
 the three queries — mirroring how a server ingests once and serves many.
+NOTE: the oracle assumes the Spark query ran first in the same process
+sweep (it materializes the fixture); both the driver and the local replica
+run spark-then-oracle per query.
 """
 
 from __future__ import annotations
@@ -20,8 +27,31 @@ from pyspark.sql import functions as F
 
 from ..cube.catalog import CubeCatalog, StyleMeta
 from ..cube.timeseries import time_series_for_geometry, time_series_for_point
+from ._util import rnd
 
 _W, _H = 100, 50
+
+_POINT = (2.1, 51.4)
+_POINT_RANGE = ("2017-01-15", "2017-01-31")
+_POLY = {
+    "type": "Polygon",
+    "coordinates": [
+        [[1.0, 51.0], [2.0, 51.0], [2.0, 52.0], [1.0, 52.0], [1.0, 51.0]]
+    ],
+}
+
+
+def _fixture_base() -> str:
+    return os.path.join(tempfile.gettempdir(), f"xss_gate_cube_{_W}x{_H}")
+
+
+def _fixture_grid():
+    """The fixture's GridMeta, rebuilt driver-side without Spark — the
+    oracle builder uses it for index arithmetic and mask rasterization."""
+    from ..cube.grid import GridMeta
+    from ..sources.cube_ingest import DEMO_EXTENT, DEMO_TIMES
+
+    return GridMeta(width=_W, height=_H, extent=DEMO_EXTENT, times=DEMO_TIMES)
 
 
 def _demo_catalog(spark: SparkSession) -> CubeCatalog:
@@ -31,7 +61,7 @@ def _demo_catalog(spark: SparkSession) -> CubeCatalog:
     # are UTC by contract (xcube_server/utils.py:86-97)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    base = os.path.join(tempfile.gettempdir(), f"xss_gate_cube_{_W}x{_H}")
+    base = _fixture_base()
     cat = CubeCatalog(spark)
     # Reuse an already-materialized fixture ON DISK (catalog.json is written
     # last, so its presence means the tables are complete) — avoids both
@@ -52,10 +82,16 @@ def _demo_catalog(spark: SparkSession) -> CubeCatalog:
 
 def cube_point_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 spine: P5 nearest-index + P3 slice + A2 masked stats on a real
-    cube table (sf_dir unused — the cube is the engine's own fixture)."""
+    cube table (sf_dir unused — the cube is the engine's own fixture).
+    ``average`` is rounded via ``rnd`` so the DuckDB oracle (same parquet,
+    same arithmetic) hashes identically."""
     cat = _demo_catalog(spark)
-    return time_series_for_point(
-        cat, "demo", "conc_tsm", 2.1, 51.4, start="2017-01-15", end="2017-01-31"
+    ts = time_series_for_point(
+        cat, "demo", "conc_tsm", *_POINT,
+        start=_POINT_RANGE[0], end=_POINT_RANGE[1],
+    )
+    return ts.select(
+        "date", "total_count", "valid_count", rnd(F.col("average"), 6).alias("average")
     )
 
 
@@ -63,13 +99,10 @@ def cube_geometry_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: rasterized all_touched mask → broadcast semi-join → per-step
     stats (J1 + A1 + A6)."""
     cat = _demo_catalog(spark)
-    poly = {
-        "type": "Polygon",
-        "coordinates": [
-            [[1.0, 51.0], [2.0, 51.0], [2.0, 52.0], [1.0, 52.0], [1.0, 51.0]]
-        ],
-    }
-    return time_series_for_geometry(cat, "demo", "conc_tsm", poly)
+    ts = time_series_for_geometry(cat, "demo", "conc_tsm", _POLY)
+    return ts.select(
+        "date", "total_count", "valid_count", rnd(F.col("average"), 6).alias("average")
+    )
 
 
 def cube_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,4 +125,49 @@ QUERIES = {
     "cube_tile_render": cube_tile_render,
 }
 
-ORACLES: dict[str, str] = {}  # rows-only checks by design
+
+def _build_oracles() -> dict[str, str]:
+    """DuckDB oracles over the materialized l0 parquet. The driver-side
+    pure-Python pieces are inlined: the point's nearest-cell indices as
+    literals, the polygon's rasterized all_touched mask as a VALUES table
+    (VERDICT r01 item 8)."""
+    grid = _fixture_grid()
+    l0 = os.path.join(_fixture_base(), "l0", "*", "*.parquet")
+    scan = f"read_parquet('{l0}', hive_partitioning=1)"
+    date = "strftime(date_trunc('second', time), '%Y-%m-%dT%H:%M:%S') || 'Z'"
+
+    i, j = grid.lat_idx_of(_POINT[1]), grid.lon_idx_of(_POINT[0])
+    point_sql = f"""
+SELECT {date} AS date,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(count(conc_tsm) AS BIGINT) AS valid_count,
+       floor(avg(conc_tsm) * 1000000.0 + 0.5) / 1000000.0 AS average
+FROM {scan}
+WHERE lat_idx = {i} AND lon_idx = {j}
+  AND time >= TIMESTAMP '{_POINT_RANGE[0]}' AND time <= TIMESTAMP '{_POINT_RANGE[1]}'
+GROUP BY time
+ORDER BY 1
+"""
+
+    from ..cube.rasterize import rasterize_mask
+
+    cells = rasterize_mask(_POLY, grid)
+    values = ", ".join(f"({int(a)}, {int(b)})" for a, b in cells)
+    geom_sql = f"""
+WITH mask(lat_idx, lon_idx) AS (VALUES {values})
+SELECT {date} AS date,
+       CAST({len(cells)} AS BIGINT) AS total_count,
+       CAST(count(conc_tsm) AS BIGINT) AS valid_count,
+       floor(avg(conc_tsm) * 1000000.0 + 0.5) / 1000000.0 AS average
+FROM {scan} JOIN mask USING (lat_idx, lon_idx)
+GROUP BY time
+ORDER BY 1
+"""
+    return {
+        "cube_point_timeseries": point_sql,
+        "cube_geometry_timeseries": geom_sql,
+    }
+
+
+# cube_tile_render stays rows-only: PNG bytes are not SQL-expressible
+ORACLES: dict[str, str] = _build_oracles()
