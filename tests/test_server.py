@@ -254,7 +254,8 @@ def test_cli_serve_end_to_end(spark, tmp_path):
         # config-loaded PlaceGroups are served (xcube_server/context.py:343-399)
         s3, groups = _get_json(f"http://127.0.0.1:{port}/places")
         assert s3 == 200 and groups["placeGroups"] == [
-            {"id": "towns", "title": "towns", "featureCount": 1}
+            # title = configured Title, not the id echo (ADVICE r01)
+            {"id": "towns", "title": "Towns", "featureCount": 1}
         ]
         s4, fc = _get_json(f"http://127.0.0.1:{port}/places/towns")
         assert s4 == 200 and fc["features"][0]["properties"]["Name"] == "t1"

@@ -50,9 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="xcube-server-spark")
     catalog = CubeCatalog(spark)
     watcher = ConfigWatcher(catalog, args.config)
-    server = CubeServer(
-        catalog, places=catalog.places, host=args.address, port=args.port
-    )
+    # no places= snapshot: _live_places() reads the catalog each request, so
+    # a ConfigWatcher reload serves the fresh PlaceGroups union
+    server = CubeServer(catalog, host=args.address, port=args.port)
     server.tiles = TileService(
         catalog,
         capacity=parse_mem_size(args.tilecache),

@@ -248,6 +248,11 @@ class CubeCatalog:
         # top-level PlaceGroups (reference config.yml:52-58): Identifier,
         # Title, Path (GeoJSON glob relative to the config file)
         groups = cfg.get("PlaceGroups", [])
+        if not groups:
+            # a reload that drops PlaceGroups must not keep serving the old
+            # union (or its titles)
+            self.places = None
+            self.place_titles = {}
         if groups:
             from .places import load_place_group, union_place_groups
 

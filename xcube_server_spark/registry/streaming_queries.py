@@ -16,6 +16,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def _stage_key(sf_dir: str) -> str:
+    """Staging-dir suffix keyed on the SOURCE table's identity (path +
+    mtime + size), not just its path — regenerated test data at the same
+    path must never silently reuse a stale staged copy while the oracle
+    reads the fresh table."""
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "na"
+    return sf_dir.strip("/").replace("/", "_") + "_" + fp
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6h window counts — same plan runs on readStream with a
     watermark (``tumbling_counts_stream``)."""
@@ -81,7 +97,7 @@ def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.run import run_stream_to_batch
 
     staged = os.path.join(
-        tempfile.gettempdir(), "xss_stream_events_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "xss_stream_events_" + _stage_key(sf_dir)
     )
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
@@ -121,7 +137,7 @@ def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_stats_stream
 
     staged = os.path.join(
-        tempfile.gettempdir(), "xss_stream_events_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "xss_stream_events_" + _stage_key(sf_dir)
     )
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
@@ -165,7 +181,7 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hypertable import materialize_rollups, route_rollup
 
     base = os.path.join(
-        tempfile.gettempdir(), "xss_ht_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "xss_ht_" + _stage_key(sf_dir)
     )
     ev = _events(spark, sf_dir)
     if not os.path.exists(os.path.join(base, "rollup_1d", "_SUCCESS")):

@@ -149,10 +149,31 @@ class CubeServer:
 
     # -- routing -------------------------------------------------------------
 
+    @staticmethod
+    def _pool_for(parts: list[str]) -> str:
+        """Scheduler pool per route: the latency-critical tile/legend paths
+        share the 'tiles' pool; Spark-heavy endpoints go to 'analytics'.
+        With spark.scheduler.mode=FAIR the two pools get equal task-slot
+        shares, so a long analytics query cannot starve tile serving."""
+        if not parts:
+            return "tiles"
+        if (
+            parts[0] in ("wmts", "colorbars", "colorbars.html")
+            or "tiles" in parts
+            or parts[-1] == "legend.png"
+        ):
+            return "tiles"
+        return "analytics"
+
     def _route(self, h, method: str) -> None:
         url = urlparse(h.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
+        # request threads are per-request, so the thread-local pool property
+        # never leaks across requests
+        self.catalog.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", self._pool_for(parts)
+        )
 
         if method == "GET" and not parts:
             from .. import __version__
@@ -368,8 +389,13 @@ class CubeServer:
                 return
             from pyspark.sql import functions as F
 
+            titles = getattr(self.catalog, "place_titles", {})
             groups = [
-                {"id": r["collection"], "title": r["collection"], "featureCount": r["n"]}
+                {
+                    "id": r["collection"],
+                    "title": titles.get(r["collection"], r["collection"]),
+                    "featureCount": r["n"],
+                }
                 for r in self._live_places().groupBy("collection")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy("collection")

@@ -54,6 +54,18 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.ansi.enabled", "false")
+        # FAIR scheduling so the ms-class tile path is never starved by a
+        # long analytics query: the server assigns each request thread to a
+        # 'tiles' or 'analytics' pool (server/app.py). The allocation file
+        # gives tiles a minShare — pools below minShare are offered slots
+        # before any other pool, so tile tasks never queue behind a wide
+        # analytics backlog (on-demand pools without minShare lose ties to
+        # it and wait out the whole backlog).
+        .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fair_pools.xml"),
+        )
         # 100 TB note: autoBroadcastJoinThreshold stays default (10 MB); dim
         # tables (region/nation/coords) are far below it, and we add explicit
         # broadcast() hints where the optimizer cannot see sizes (masks).
