@@ -87,11 +87,15 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     # Steady-state timing: run each query cold once (untimed beyond the cold
-    # total) to pay one-time codegen/JIT, then time the warm run. The
+    # total) to pay one-time codegen/JIT, then time N warm runs and report
+    # the per-query p50 — single warm runs are noisy at the 0.2-1s range, so
+    # round-over-round comparisons need the median plus spread. The
     # reference is a long-running server whose caches absorb first-request
     # cost the same way; the cold total is reported alongside for
     # transparency.
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     cold_total = 0.0
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
@@ -101,10 +105,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         cold = time.perf_counter() - t0
         cold_total += cold
-        t1 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t1, 4)
-        print(f"# {name}: warm {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr)
+        runs = []
+        for _ in range(repeats):
+            t1 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t1)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)  # p50
+        spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
+        print(
+            f"# {name}: p50 {timings[name]:.3f}s "
+            f"[{runs[0]:.3f}, {runs[-1]:.3f}] x{repeats} (cold {cold:.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -116,6 +129,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cold_total_sec": round(cold_total, 4),
+                "repeats": repeats,
+                "spread_min_max": spread,
             }
         )
     )
