@@ -1,0 +1,126 @@
+"""O3 adaptive tile-grid search: behavioral parity with the reference's
+``pow2_2d_subdivision`` (``xcube_server/im/tilegrid.py:252-397``), pinned
+against the reference's own expected values
+(``test/im/test_tilegrid.py:118-219``), plus the Spark declarative form.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.cube.subdivision import (
+    MODE_GE,
+    MODE_LE,
+    pow2_2d_subdivision,
+    subdivision_candidates,
+)
+from xcube_server_spark.registry.cube_analog import (
+    _SUBDIV_SIZES,
+    tile_grid_subdivision,
+)
+
+# ((w, h), kwargs, expected) — the reference's CCI-product test matrix.
+REFERENCE_2D_CASES = [
+    ((360, 180), {}, ((360, 180), (360, 180), (1, 1), 1)),
+    ((720, 360), {}, ((720, 360), (360, 360), (2, 1), 1)),
+    ((7200, 3600), {}, ((7200, 3600), (225, 225), (2, 1), 5)),
+    ((8640, 4320), {}, ((8640, 4320), (270, 270), (2, 1), 5)),
+    (
+        (8640, 4320),
+        dict(tw_opt=1440, th_opt=1440),
+        ((8640, 4320), (1080, 1080), (2, 1), 3),
+    ),
+    ((129600, 64800), {}, ((129600, 64800), (675, 675), (6, 3), 6)),
+    ((4823, 5221), {}, ((4823, 5221), (4823, 5221), (1, 1), 1)),
+    (
+        (4823, 5221),
+        dict(w_mode=MODE_GE, h_mode=MODE_LE),
+        ((4824, 4180), (603, 1045), (2, 1), 3),
+    ),
+    (
+        (4823, 5221),
+        dict(w_mode=MODE_LE, h_mode=MODE_GE),
+        ((3860, 5222), (965, 373), (2, 7), 2),
+    ),
+    (
+        (4823, 5221),
+        dict(w_mode=MODE_LE, h_mode=MODE_LE),
+        ((3860, 4180), (965, 1045), (1, 1), 3),
+    ),
+    (
+        (4823, 5221),
+        dict(w_mode=MODE_GE, h_mode=MODE_GE),
+        ((4824, 5222), (603, 373), (4, 7), 2),
+    ),
+    (
+        (4823, 5221),
+        dict(w_mode=MODE_GE, h_mode=MODE_GE, tw_opt=500, th_opt=500),
+        ((4824, 5222), (603, 373), (4, 7), 2),
+    ),
+    (
+        (934327, 38294),
+        dict(w_mode=MODE_GE, h_mode=MODE_GE, tw_opt=500, th_opt=500),
+        ((934400, 38304), (365, 399), (80, 3), 6),
+    ),
+]
+
+
+@pytest.mark.parametrize("wh,kw,expected", REFERENCE_2D_CASES)
+def test_pow2_2d_matches_reference(wh, kw, expected):
+    assert pow2_2d_subdivision(*wh, **kw) == expected
+
+
+def test_candidate_ranking_matches_reference_lists():
+    # SST CCI daily L4 width — full ranked list (test_tilegrid.py:163-179)
+    assert subdivision_candidates(7200) == [
+        (7200, 225, 1, 6), (7200, 450, 1, 5), (7200, 900, 1, 4),
+        (7200, 225, 2, 5), (7200, 450, 2, 4), (7200, 900, 2, 3),
+        (7200, 300, 3, 4), (7200, 600, 3, 3), (7200, 1200, 3, 2),
+        (7200, 225, 4, 4), (7200, 450, 4, 3), (7200, 900, 4, 2),
+        (7200, 360, 5, 3), (7200, 720, 5, 2),
+        (7200, 300, 6, 3), (7200, 600, 6, 2),
+    ]
+    # Land Cover CCI width (test_tilegrid.py:194-198)
+    assert subdivision_candidates(129600) == [
+        (129600, 675, 3, 7), (129600, 405, 5, 7),
+        (129600, 810, 5, 6), (129600, 675, 6, 6),
+    ]
+
+
+def test_fallback_and_shortcut():
+    # no multi-level EQ cover inside the default tile window -> single tile
+    assert subdivision_candidates(360) == [(360, 360, 1, 1)]
+    # s == ts_opt shortcut
+    assert subdivision_candidates(512, ts_opt=512) == [(512, 512, 1, 1)]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(s=-100),
+        dict(s=100, ts_min=-100),
+        dict(s=100, ts_opt=0),
+        dict(s=100, nt0_max=-1),
+        dict(s=100, nl_max=-1),
+    ],
+)
+def test_illegal_args(kw):
+    s = kw.pop("s")
+    with pytest.raises(ValueError):
+        subdivision_candidates(s, **kw)
+
+
+def test_spark_query_top1_matches_pure_search(spark, sf_dir):
+    """The declarative (explode + window-rank) form and the pure-python
+    search must pick the same optimum for every (size, mode, ts_opt)."""
+    rows = tile_grid_subdivision(spark, sf_dir).collect()
+    best = {
+        (r["s"], r["mode"]): (r["s_act"], r["ts"], r["nt0"], r["nl"])
+        for r in rows
+        if r["rk"] == 1
+    }
+    for s, mode, ts_opt in _SUBDIV_SIZES:
+        expected = subdivision_candidates(s, s_mode=mode, ts_opt=ts_opt)[0]
+        assert best[(s, mode)] == expected, (s, mode, ts_opt)
+    # every size appears (fallback rows included)
+    assert len(best) == len(_SUBDIV_SIZES)

@@ -6,12 +6,12 @@ the multi-level sizing rule ``size[i+1] = (size[i]+1) // 2``
 which LOD table and which (lat_idx, lon_idx) window a tile query scans; no
 Spark analog is needed (SURVEY.md §1.1).
 
-Deliberate divergence from the reference: we do not port the
-``pow2_2d_subdivision`` optimal-subdivision *search*
-(``xcube_server/im/tilegrid.py:252-397``). That search exists because the
-reference must adapt to whatever chunking a store came with; our engine
-controls layout at ingest, so the grid is constructed directly from
-(width, height, tile_size) with the same level-sizing law.
+Cubes we ingest ourselves construct the grid directly from
+(width, height, tile_size) with the same level-sizing law. For stores that
+arrive with arbitrary chunking (external NetCDF/zarr ingest), the
+reference's ``pow2_2d_subdivision`` optimal-subdivision search
+(``xcube_server/im/tilegrid.py:252-397``) lives in
+``cube/subdivision.py``; ``TileGridMeta.create_adaptive`` below uses it.
 """
 
 from __future__ import annotations
@@ -80,6 +80,36 @@ class TileGridMeta:
             geo_extent=geo_extent,
             inv_y=inv_y,
         )
+
+
+def create_adaptive_tile_grid(
+    width: int,
+    height: int,
+    geo_extent: tuple[float, float, float, float],
+    tile_opt: int | None = None,
+    inv_y: bool = False,
+) -> TileGridMeta:
+    """Tile grid for an externally-chunked store (O3): pick tile size and
+    level count with the ``pow2_2d_subdivision`` search (GE mode — the grid
+    covers the image, partial edge tiles trimmed at render) instead of
+    assuming we chose the layout. Mirrors ``TileGrid.create``
+    (``xcube_server/im/tilegrid.py:169-201``) feeding the search result
+    into grid metadata."""
+    from .subdivision import MODE_GE, pow2_2d_subdivision
+
+    (_, _), (tw, th), (nt0_x, nt0_y), nl = pow2_2d_subdivision(
+        width, height, w_mode=MODE_GE, h_mode=MODE_GE,
+        tw_opt=tile_opt, th_opt=tile_opt,
+    )
+    return TileGridMeta(
+        num_levels=nl,
+        tile_width=tw,
+        tile_height=th,
+        num_level_zero_tiles_x=nt0_x,
+        num_level_zero_tiles_y=nt0_y,
+        geo_extent=geo_extent,
+        inv_y=inv_y,
+    )
 
 
 @dataclass(frozen=True)

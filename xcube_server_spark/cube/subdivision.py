@@ -1,0 +1,156 @@
+"""Adaptive tile-grid search — O3 ``pow2_2d_subdivision``.
+
+Behavioral parity with the reference's optimal-subdivision search
+(``xcube_server/im/tilegrid.py:252-397``): given an image size, find all
+pyramidal quad-tree subdivisions (tile size ``ts``, level-zero tile count
+``nt0``, level count ``nl``) and rank them by the reference's preference
+order. The reference implements the ranking as four successive stable
+sorts; we re-express it as ONE composite sort key, which is also directly
+usable as a SQL ``ORDER BY`` (see ``registry/cube_analog.py``
+``tile_grid_subdivision``) — the equivalence is:
+
+    stable sorts  [nl DESC] then [|ts-opt|] then [nt0] then [s_act-s]
+ == one key       (s_act - s, nt0, |ts - ts_opt|, -nl, ts)
+
+with the trailing ``ts`` capturing the enumeration order that stable
+sorting preserves (candidates are generated ts-major ascending).
+
+This search matters when a store arrives with arbitrary chunking
+(external NetCDF/zarr ingest, ``sources/xarray_ingest.py``); cubes we
+ingest ourselves pick the layout directly (``cube/grid.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+MODE_LE = -1
+MODE_EQ = 0
+MODE_GE = 1
+
+_DEFAULT_NT0_MAX = 8
+_DEFAULT_NL_MAX = 16
+
+
+def _resolve_ts_bounds(
+    s: int, ts_opt: Optional[int], ts_min: Optional[int], ts_max: Optional[int]
+) -> tuple[int, int]:
+    """Default tile-size window: [opt/2, opt*2] around an optimum, else
+    [200, 1200], both clamped to the image size
+    (``im/tilegrid.py:339-340``)."""
+    lo = ts_min or min(s, (ts_opt // 2 if ts_opt else 200))
+    hi = ts_max or min(s, (ts_opt * 2 if ts_opt else 1200))
+    return lo, hi
+
+
+def subdivision_candidates(
+    s: int,
+    s_mode: int = MODE_EQ,
+    ts_opt: Optional[int] = None,
+    ts_min: Optional[int] = None,
+    ts_max: Optional[int] = None,
+    nt0_max: Optional[int] = None,
+    nl_max: Optional[int] = None,
+) -> list[tuple[int, int, int, int]]:
+    """All valid 1-D subdivisions ``(s_act, ts, nt0, nl)`` ranked best-first.
+
+    A candidate covers ``s_act = nt0 * ts * 2**(nl-1)`` pixels at the
+    finest level; validity by mode (``im/tilegrid.py:357-379``):
+
+    - ``MODE_EQ``: s_act == s (exact cover)
+    - ``MODE_GE``: s <= s_act <= s + ts - 1 (cover, at most one partial tile)
+    - ``MODE_LE``: s - ts + 1 <= s_act <= s (crop, at most one tile's worth)
+
+    Enumeration bounds reproduce the reference's loop ranges exactly:
+    ``1 <= nt0 < nt0_max`` and ``2 <= nl < nl_max`` (both EXCLUSIVE upper
+    bounds, ``im/tilegrid.py:359-363``); single-level grids only arise via
+    the fallback / shortcut paths.
+    """
+    if s is None or s < 1:
+        raise ValueError("invalid s")
+    if s == ts_opt:
+        return [(s, s, 1, 1)]
+    lo, hi = _resolve_ts_bounds(s, ts_opt, ts_min, ts_max)
+    nt0_cap = nt0_max or _DEFAULT_NT0_MAX
+    nl_cap = nl_max or _DEFAULT_NL_MAX
+    if lo < 1 or hi < 1:
+        raise ValueError("invalid ts_min/ts_max")
+    if ts_opt is not None and ts_opt < 1:
+        raise ValueError("invalid ts_opt")
+    if nt0_cap < 1:
+        raise ValueError("invalid nt0_max")
+    if nl_cap < 1:
+        raise ValueError("invalid nl_max")
+
+    cands: list[tuple[int, int, int, int]] = []
+    for ts in range(lo, hi + 1):
+        for nt0 in range(1, nt0_cap):
+            for nl in range(2, nl_cap):
+                s_act = nt0 * ts * (1 << (nl - 1))
+                if s_mode == MODE_GE:
+                    ok = s <= s_act <= s + ts - 1
+                elif s_mode == MODE_LE:
+                    ok = s - ts + 1 <= s_act <= s
+                else:
+                    ok = s_act == s
+                if ok:
+                    cands.append((s_act, ts, nt0, nl))
+                if s_act > s + (ts - 1 if s_mode != MODE_LE else 0):
+                    break  # s_act grows with nl; nothing further can fit
+    if not cands:
+        return [(s, s, 1, 1)]
+    cands.sort(
+        key=lambda c: (
+            c[0] - s,
+            c[2],
+            abs(c[1] - ts_opt) if ts_opt else 0,
+            -c[3],
+            c[1],
+        )
+    )
+    return cands
+
+
+def pow2_1d_subdivision(s: int, **kw) -> tuple[int, int, int, int]:
+    """Best 1-D subdivision (head of the ranked candidate list)."""
+    return subdivision_candidates(s, **kw)[0]
+
+
+def pow2_2d_subdivision(
+    w: int,
+    h: int,
+    w_mode: int = MODE_EQ,
+    h_mode: int = MODE_EQ,
+    tw_opt: Optional[int] = None,
+    th_opt: Optional[int] = None,
+    tw_min: Optional[int] = None,
+    th_min: Optional[int] = None,
+    tw_max: Optional[int] = None,
+    th_max: Optional[int] = None,
+    nt0_max: Optional[int] = None,
+    nl_max: Optional[int] = None,
+) -> tuple[tuple[int, int], tuple[int, int], tuple[int, int], int]:
+    """Optimal 2-D pyramid: best subdivision per axis, then reconcile the
+    level counts (``im/tilegrid.py:252-309``).
+
+    Both axes must share one level count, so the deeper axis is truncated
+    to the shallower one's ``nl`` and its level-zero tile count recomputed
+    to still cover its finest-level size. Returns
+    ``((w_act, h_act), (tw, th), (nt0_x, nt0_y), nl)``.
+    """
+    w_act, tw, nt0_x, nl_x = pow2_1d_subdivision(
+        w, s_mode=w_mode, ts_opt=tw_opt, ts_min=tw_min, ts_max=tw_max,
+        nt0_max=nt0_max, nl_max=nl_max,
+    )
+    h_act, th, nt0_y, nl_y = pow2_1d_subdivision(
+        h, s_mode=h_mode, ts_opt=th_opt, ts_min=th_min, ts_max=th_max,
+        nt0_max=nt0_max, nl_max=nl_max,
+    )
+    nl = min(nl_x, nl_y)
+    if nl_y > nl:
+        f = 1 << (nl - 1)
+        nt0_y = (-(-h_act // f) + th - 1) // th
+    elif nl_x > nl:
+        f = 1 << (nl - 1)
+        nt0_x = (-(-w_act // f) + tw - 1) // tw
+    return (w_act, h_act), (tw, th), (nt0_x, nt0_y), nl

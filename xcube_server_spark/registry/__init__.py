@@ -52,6 +52,8 @@ _PRIORITY = [
     *cube_queries.QUERIES,
     # cube-analog entry that sat just past the round-1 window
     "array_dim_stats",
+    # O3 adaptive tile-grid search, new in round 2 — needs a driver row
+    "tile_grid_subdivision",
     # round-1's only red row — proves the BIGINT-cast oracle fix
     "q12_priority_shipping",
     # one representative per already-green family

@@ -478,7 +478,135 @@ CROSS JOIN (SELECT unnest(range(1, 9)) AS i) t
 GROUP BY 1
 """
 
+_SUBDIV_SIZES = [
+    # (s, mode, ts_opt) — the reference's own test sizes (CCI products,
+    # test/im/test_tilegrid.py:118-147): EQ-mode exact covers, GE/LE
+    # adaptive covers, a ts_opt-steered case, and one fallback (360 has no
+    # multi-level EQ cover within the default tile window).
+    (360, 0, None),
+    (720, 0, None),
+    (3600, 0, None),
+    (7200, 0, None),
+    (64800, 0, None),
+    (129600, 0, None),
+    (4823, 1, None),
+    (5221, -1, None),
+    (8640, 0, 1440),
+    (38294, 1, 500),
+    (934327, 1, 500),
+]
+
+
+def tile_grid_subdivision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — adaptive tile-grid search (``pow2_2d_subdivision`` core).
+
+    The reference finds the optimal pyramid subdivision by enumerating
+    (tile size, level-0 tile count, level count) and applying four stable
+    sorts (``xcube_server/im/tilegrid.py:252-397``). Declarative form: the
+    candidate space is ``explode(sequence(...))`` (no driver loop — the
+    search runs distributed, one image size per task group), validity is a
+    mode predicate, and the preference order is ONE composite ``ORDER BY``
+    — ``(s_act - s, nt0, |ts - ts_opt|, nl DESC, ts)`` — equivalent to the
+    reference's stacked stable sorts (see ``cube/subdivision.py``). Top-3
+    per size plus the single-tile fallback for sizes with no valid cover.
+    """
+    sizes = spark.createDataFrame(
+        _SUBDIV_SIZES, schema="s INT, mode INT, ts_opt INT"
+    )
+    lo = F.least("s", F.coalesce(F.expr("ts_opt div 2"), F.lit(200)))
+    hi = F.least("s", F.coalesce(F.col("ts_opt") * 2, F.lit(1200)))
+    cand = (
+        sizes.withColumn("ts", F.explode(F.sequence(lo, hi)))
+        # reference loop bounds are EXCLUSIVE: nt0 in [1, 8), nl in [2, 16)
+        .withColumn("nt0", F.explode(F.sequence(F.lit(1), F.lit(7))))
+        .withColumn("nl", F.explode(F.sequence(F.lit(2), F.lit(15))))
+        .withColumn(
+            "s_act", F.expr("CAST(nt0 AS BIGINT) * ts * shiftleft(1L, nl - 1)")
+        )
+        .filter(
+            ((F.col("mode") == 0) & (F.col("s_act") == F.col("s")))
+            | (
+                (F.col("mode") == 1)
+                & F.col("s_act").between(
+                    F.col("s"), F.col("s") + F.col("ts") - 1
+                )
+            )
+            | (
+                (F.col("mode") == -1)
+                & F.col("s_act").between(
+                    F.col("s") - F.col("ts") + 1, F.col("s")
+                )
+            )
+        )
+    )
+    w = Window.partitionBy("s", "mode").orderBy(
+        (F.col("s_act") - F.col("s")).asc(),
+        F.col("nt0").asc(),
+        F.coalesce(F.abs(F.col("ts") - F.col("ts_opt")), F.lit(0)).asc(),
+        F.col("nl").desc(),
+        F.col("ts").asc(),
+    )
+    ranked = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("s", "mode", "ts_opt", "rk", "s_act", "ts", "nt0", "nl")
+    )
+    fallback = (
+        sizes.join(cand.select("s", "mode").distinct(), ["s", "mode"], "left_anti")
+        .select(
+            "s",
+            "mode",
+            "ts_opt",
+            F.lit(1).alias("rk"),
+            F.col("s").cast("bigint").alias("s_act"),
+            F.col("s").alias("ts"),
+            F.lit(1).alias("nt0"),
+            F.lit(1).alias("nl"),
+        )
+    )
+    return ranked.unionByName(fallback)
+
+
+ORACLE_SUBDIVISION = """
+WITH sizes(s, mode, ts_opt) AS (VALUES
+  (360, 0, NULL), (720, 0, NULL), (3600, 0, NULL), (7200, 0, NULL),
+  (64800, 0, NULL), (129600, 0, NULL), (4823, 1, NULL), (5221, -1, NULL),
+  (8640, 0, 1440), (38294, 1, 500), (934327, 1, 500)),
+c1 AS (
+  SELECT s, mode, ts_opt,
+         unnest(range(CAST(least(s, coalesce(ts_opt // 2, 200)) AS BIGINT),
+                      CAST(least(s, coalesce(ts_opt * 2, 1200)) AS BIGINT) + 1)) AS ts
+  FROM sizes),
+c2 AS (SELECT *, unnest(range(1, 8)) AS nt0 FROM c1),
+c3 AS (SELECT *, unnest(range(2, 16)) AS nl FROM c2),
+cand AS (
+  SELECT s, mode, ts_opt, ts, nt0, nl,
+         nt0 * ts * (CAST(1 AS BIGINT) << (nl - 1)) AS s_act
+  FROM c3
+  WHERE (mode = 0 AND nt0 * ts * (CAST(1 AS BIGINT) << (nl - 1)) = s)
+     OR (mode = 1 AND nt0 * ts * (CAST(1 AS BIGINT) << (nl - 1))
+           BETWEEN s AND s + ts - 1)
+     OR (mode = -1 AND nt0 * ts * (CAST(1 AS BIGINT) << (nl - 1))
+           BETWEEN s - ts + 1 AND s)),
+ranked AS (
+  SELECT s, mode, ts_opt, ts, nt0, nl, s_act,
+         row_number() OVER (PARTITION BY s, mode
+           ORDER BY s_act - s, nt0, coalesce(abs(ts - ts_opt), 0), nl DESC, ts
+         ) AS rk
+  FROM cand)
+SELECT s, mode, ts_opt, CAST(rk AS INT) AS rk, s_act,
+       CAST(ts AS INT) AS ts, CAST(nt0 AS INT) AS nt0, CAST(nl AS INT) AS nl
+FROM ranked WHERE rk <= 3
+UNION ALL
+SELECT s, mode, ts_opt, 1 AS rk, CAST(s AS BIGINT) AS s_act,
+       s AS ts, 1 AS nt0, 1 AS nl
+FROM sizes z
+WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.s = z.s AND c.mode = z.mode)
+"""
+
 QUERIES["json_props_stats"] = json_props_stats
 QUERIES["array_dim_stats"] = array_dim_stats
+QUERIES["tile_grid_subdivision"] = tile_grid_subdivision
 ORACLES["json_props_stats"] = ORACLE_JSON_PROPS
 ORACLES["array_dim_stats"] = ORACLE_ARRAY_DIMS
+ORACLES["tile_grid_subdivision"] = ORACLE_SUBDIVISION
