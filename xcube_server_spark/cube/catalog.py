@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources.paths import join_store_path, open_store_text
 from .grid import GridMeta, TileGridMeta
 
 try:
@@ -116,11 +117,11 @@ class CubeCatalog:
                 for v, s in meta.styles.items()
             },
         }
-        with open(os.path.join(meta.base_path, "catalog.json"), "w") as f:
+        with open_store_text(join_store_path(meta.base_path, "catalog.json"), "w") as f:
             json.dump(doc, f, indent=2)
 
     def load_meta(self, identifier: str, base_path: str) -> DatasetMeta:
-        with open(os.path.join(base_path, "catalog.json")) as f:
+        with open_store_text(join_store_path(base_path, "catalog.json")) as f:
             doc = json.load(f)
         grid = GridMeta(
             width=doc["grid"]["width"],
@@ -169,7 +170,7 @@ class CubeCatalog:
                 self._df_cache[key] = apply_computed(self, meta, level)
             else:
                 self._df_cache[key] = self.spark.read.parquet(
-                    os.path.join(meta.base_path, f"l{level}")
+                    join_store_path(meta.base_path, f"l{level}")
                 )
         return self._df_cache[key]
 
@@ -203,7 +204,7 @@ class CubeCatalog:
     def coords(self, identifier: str, dim: str) -> DataFrame:
         meta = self.datasets[identifier]
         return self.spark.read.parquet(
-            os.path.join(meta.base_path, f"coords_{dim}")
+            join_store_path(meta.base_path, f"coords_{dim}")
         )
 
     # -- config loading (F-6) ------------------------------------------------

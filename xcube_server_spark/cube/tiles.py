@@ -170,10 +170,9 @@ class TileService:
     ) -> "pd.DataFrame | None":
         """pyarrow read of one tile window: partition-dir pruning on
         time_idx + row-group predicate pruning on (lat_idx, lon_idx)."""
-        import glob as _glob
-
         import pyarrow.dataset as pads
 
+        from ..sources.paths import local_part_glob
         from .grid import level_sizes
 
         meta = self.catalog.datasets[ds_id]
@@ -181,8 +180,11 @@ class TileService:
             return None
         tg = meta.tile_grid
         level = tg.level_for_zoom(z)
+        # Driver-side pyarrow is a LOCAL-store fast path; object-store tiles
+        # (s3a://...) return None here and take the scheme-agnostic Spark read.
         part_dir = f"{meta.base_path}/l{level}/time_idx={t_idx}"
-        if not _glob.glob(part_dir):
+        parts = local_part_glob(part_dir)
+        if not parts:
             return None
         h_level = level_sizes(meta.grid.width, meta.grid.height, tg.num_levels)[level][1]
         # display rows [y*th, (y+1)*th) -> storage lat_idx range (flipped

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cube.grid import GridMeta, TileGridMeta
+from .paths import join_store_path
 
 DEMO_TIMES = (
     "2017-01-16 10:09:22",
@@ -109,10 +110,10 @@ class CubeTables:
     levels: int
 
     def level_path(self, level: int) -> str:
-        return os.path.join(self.base_path, f"l{level}")
+        return join_store_path(self.base_path, f"l{level}")
 
     def coords_path(self, name: str) -> str:
-        return os.path.join(self.base_path, f"coords_{name}")
+        return join_store_path(self.base_path, f"coords_{name}")
 
 
 def write_cube(
@@ -154,7 +155,7 @@ def write_cube(
                 .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
             )
         out.write.mode("overwrite").partitionBy("time_idx").parquet(
-            os.path.join(base_path, f"l{k}")
+            join_store_path(base_path, f"l{k}")
         )
         if k + 1 < tg.num_levels:
             # Stride decimation — parity with the reference's dataset levels
@@ -180,17 +181,17 @@ def write_cube(
     ]
     spark.createDataFrame(
         lat_rows, "idx int, value double, lo double, hi double"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base_path, "coords_lat"))
+    ).coalesce(1).write.mode("overwrite").parquet(join_store_path(base_path, "coords_lat"))
     spark.createDataFrame(
         lon_rows, "idx int, value double, lo double, hi double"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base_path, "coords_lon"))
+    ).coalesce(1).write.mode("overwrite").parquet(join_store_path(base_path, "coords_lon"))
     time_rows = [(i, t) for i, t in enumerate(grid.times)]
     (
         spark.createDataFrame(time_rows, "idx int, value string")
         .withColumn("value", F.to_timestamp("value"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(os.path.join(base_path, "coords_time"))
+        .parquet(join_store_path(base_path, "coords_time"))
     )
     return CubeTables(base_path=base_path, levels=tg.num_levels), tg
 

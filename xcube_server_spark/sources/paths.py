@@ -1,0 +1,69 @@
+"""Scheme-aware store paths (S3/S5 — cube layouts on object storage).
+
+The reference opens local stores and S3 zarr/levels stores through fsspec
+(``xcube_server/context.py:217-250``, ``mldataset.py:201-269``). On the
+Spark side, every cube read/write goes through the Hadoop FileSystem API,
+so the SAME layout works on ``file://``, ``s3a://``, ``gs://``, ``abfss://``
+— provided we never force a store path through ``os.path`` local-FS
+helpers. This module is that seam:
+
+- ``join_store_path`` joins with ``/`` for any scheme-qualified URI and
+  falls back to ``os.path.join`` for plain local paths;
+- ``open_store_text`` opens small metadata sidecars (``catalog.json``):
+  local paths and ``file://`` URIs directly; other schemes would need a
+  cloud filesystem client (fsspec/boto are not in this container), so the
+  gate raises with a clear message rather than failing obscurely;
+- ``local_part_glob`` resolves a parquet part glob ONLY for stores that
+  are really local (used by the driver-side pyarrow single-tile fast path;
+  object-store tiles take the Spark path, which is scheme-agnostic).
+
+Tested end-to-end with ``file://`` URIs (write_cube -> catalog -> tile
+render), the closest offline analog of an object store: Spark routes
+``file://`` through the same Hadoop FS resolution as ``s3a://``.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from urllib.parse import urlparse
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def join_store_path(base: str, *parts: str) -> str:
+    if is_uri(base):
+        return "/".join([base.rstrip("/"), *[p.strip("/") for p in parts]])
+    return os.path.join(base, *parts)
+
+
+def as_local_path(path: str) -> str | None:
+    """Local filesystem path for ``path``, or None if it lives on a remote
+    scheme (s3a/gs/...)."""
+    if not is_uri(path):
+        return path
+    parsed = urlparse(path)
+    if parsed.scheme == "file":
+        return parsed.path
+    return None
+
+
+def open_store_text(path: str, mode: str = "r"):
+    local = as_local_path(path)
+    if local is None:
+        raise NotImplementedError(
+            f"metadata sidecar on scheme {path.split('://')[0]}:// needs a "
+            "cloud fs client (fsspec) — not available in this environment; "
+            "the parquet tables themselves are scheme-agnostic via Spark"
+        )
+    return open(local, mode)
+
+
+def local_part_glob(part_dir_pattern: str) -> list[str]:
+    """Glob parquet part files if (and only if) the store is local."""
+    local = as_local_path(part_dir_pattern)
+    if local is None:
+        return []
+    return _glob.glob(local)
