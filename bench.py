@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "q19_or_predicates",
     "q21_sole_supplier",
     "text_repetition",
+    "doc_chunking",
+    "sample_mixture",
+    "pii_scrub",
+    "cross_source_overlap",
+    "tile_grid_subdivision",
     "pack_sequences",
     "contamination_screen",
     "vocab_top_tokens",

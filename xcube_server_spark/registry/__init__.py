@@ -16,6 +16,7 @@ from . import (
     cube_queries,
     pipeline_ext,
     pipeline_queries,
+    pipeline_round2,
     relational,
     relational_ext,
     streaming_queries,
@@ -30,6 +31,7 @@ for _m in (
     cube_queries,
     pipeline_queries,
     pipeline_ext,
+    pipeline_round2,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -46,6 +48,8 @@ _PRIORITY = [
     *pipeline_queries.QUERIES,
     # pipeline extensions (8)
     *pipeline_ext.QUERIES,
+    # round-2 pipeline operators (4) — need driver rows
+    *pipeline_round2.QUERIES,
     # streaming (8)
     *streaming_queries.QUERIES,
     # cube-native end-to-end (3)

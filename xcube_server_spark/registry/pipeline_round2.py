@@ -1,0 +1,329 @@
+"""Training-data pipeline operators, round 2: chunking, mixture sampling,
+PII scrubbing, cross-source contamination matrix.
+
+Same contract as ``pipeline_queries``: every operator is a pure projection
+/ single-shuffle DataFrame plan over the ``documents`` table, paired with a
+DuckDB oracle. The 100 TB shape notes live on each docstring — none of
+these operators materializes per-pair or per-chunk state wider than one
+document, and every aggregation is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+from ._util import rnd
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# ---------------------------------------------------------------------------
+# doc_chunking — fixed-size token windows with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-size token chunks — the
+    standard context-window preparation step (long doc -> N training rows).
+    Complements ``pack_sequences`` (which merges SHORT docs); this is the
+    long-doc half.
+
+    Plan shape: tokenize once, ``explode(sequence(1, n_tokens, stride))``
+    for chunk starts, ``slice`` per start — a pure per-row projection with
+    no shuffle until the final partial aggregation. Chunk content is
+    checked via md5 of the re-joined token window (count distinct),
+    so the oracle validates the actual chunk text, not just counts.
+    """
+    # single-file inputs give one scan partition; spread the CPU-heavy
+    # chunk/hash projection (on a real multi-file corpus the scan itself
+    # provides the parallelism and this is a no-op to remove)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .repartition(64)
+    )
+    chunks = (
+        docs.withColumn("n_toks", F.size("toks"))
+        .withColumn(
+            "start",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_toks"), F.lit(_CHUNK_STRIDE))
+            ),
+        )
+        .withColumn("chunk", F.slice("toks", F.col("start"), F.lit(_CHUNK_LEN)))
+        .withColumn("chunk_hash", F.md5(F.concat_ws(" ", "chunk")))
+        .withColumn("chunk_toks", F.size("chunk"))
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_toks").cast("bigint").alias("sum_chunk_tokens"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+    )
+
+
+ORACLE_CHUNKING = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t
+  FROM documents),
+starts AS (
+  SELECT doc_id, source, t,
+         unnest(range(1, len(t) + 1, {_CHUNK_STRIDE})) AS start
+  FROM toks),
+chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(t[start : start + {_CHUNK_LEN - 1}], ' ')) AS chunk_hash,
+         len(t[start : start + {_CHUNK_LEN - 1}]) AS chunk_toks
+  FROM starts)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_tokens,
+       count(DISTINCT chunk_hash) AS n_distinct_chunks
+FROM chunks
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# sample_mixture — deterministic per-source sampling to a target mixture
+# ---------------------------------------------------------------------------
+
+# keep-rates per source bucket: the "data mixture" a training run requests.
+_MIXTURE_THRESHOLDS = [
+    ("src0", None),  # rate 1.0 — keep all
+    ("src1", "80000000"),  # 0.5
+    ("src2", "40000000"),  # 0.25
+]
+_MIXTURE_DEFAULT = "19999999"  # 0.1 for every other source
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample each source to a configured rate with an order- and
+    partitioning-independent membership test: md5('mix:'||doc_id) hex
+    prefix under a per-source threshold (same mechanism as
+    ``data_split_train_valid``; the 'mix:' salt decorrelates the two
+    decisions). At 100 TB this is a scan-side filter — no shuffle, no
+    sampling state, reproducible across reruns and cluster sizes.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    frac = F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8)
+    cond = None
+    for src, thr in _MIXTURE_THRESHOLDS:
+        this = (F.col("source") == src) & (
+            F.lit(True) if thr is None else (frac < F.lit(thr))
+        )
+        cond = this if cond is None else cond | this
+    cond = cond | (
+        ~F.col("source").isin([s for s, _ in _MIXTURE_THRESHOLDS])
+        & (frac < F.lit(_MIXTURE_DEFAULT))
+    )
+    kept = docs.filter(cond)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+ORACLE_MIXTURE = f"""
+WITH hashed AS (
+  SELECT source, n_chars,
+         substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS frac
+  FROM documents)
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM hashed
+WHERE (source = 'src0')
+   OR (source = 'src1' AND frac < '80000000')
+   OR (source = 'src2' AND frac < '40000000')
+   OR (source NOT IN ('src0', 'src1', 'src2') AND frac < '{_MIXTURE_DEFAULT}')
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# pii_scrub — regex redaction with audited counts
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone numbers) with per-source audit counts.
+
+    The synthetic corpus contains no PII, so the operator first plants
+    deterministic markers (an email derived from doc_id on every 7th doc, a
+    phone number on every 11th) and then scrubs them — the oracle plants
+    identically and must agree on match counts AND on the md5 of every
+    scrubbed text (count distinct), proving the replacement semantics, not
+    just the counting. Plan shape: pure per-row regex projection (Spark
+    ``regexp_replace``/``regexp_count`` are codegen'd JVM ops), one partial
+    aggregation; nothing shuffles wider than the per-source rollup.
+    """
+    docs = _t(spark, sf_dir, "documents").repartition(64)
+    planted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = planted.select(
+        "source",
+        F.regexp_count("text2", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text2", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("scrub_hash"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.countDistinct("scrub_hash").alias("n_distinct_scrubbed"),
+    )
+
+
+ORACLE_PII = f"""
+WITH planted AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text2
+  FROM documents),
+scrubbed AS (
+  SELECT source,
+         len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text2, '{_PHONE_RE}')) AS n_phones,
+         md5(regexp_replace(regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+  FROM planted)
+SELECT source,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       count(DISTINCT scrub_hash) AS n_distinct_scrubbed
+FROM scrubbed
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# cross_source_overlap — pairwise n-gram contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-3-gram Jaccard between sources — the leakage matrix a
+    curation run checks before declaring subsets independent (e.g. train
+    sources vs a held-out source).
+
+    Plan shape: one tokenize + gram projection, ONE distinct shuffle on
+    (source, gram), then a gram-keyed self-join where each key appears at
+    most |sources| times — the join fan-out is bounded by the number of
+    sources (a handful), never by corpus size, so no pair expansion can
+    blow up at 100 TB. Per-source distinct-gram counts broadcast back onto
+    the pair counts (tiny dimension join).
+    """
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("toks"))
+        .repartition(64)
+    )
+    grams = (
+        docs.withColumn(
+            "gram",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ),
+        )
+        .select("source", "gram")
+        .distinct()
+    )
+    per_source = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(per_source.withColumnRenamed("source", "src_a").withColumnRenamed("n_grams", "grams_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per_source.withColumnRenamed("source", "src_b").withColumnRenamed("n_grams", "grams_b")),
+            "src_b",
+        )
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("n_common")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return out.select("src_a", "src_b", "n_common", "grams_a", "grams_b", "jaccard")
+
+
+ORACLE_OVERLAP = """
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents),
+starts AS (
+  SELECT source, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+  FROM toks),
+grams AS (
+  SELECT DISTINCT source, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM starts),
+per_source AS (
+  SELECT source, count(*) AS n_grams FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_common,
+       pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+       floor((n_common / (pa.n_grams + pb.n_grams - n_common)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM inter
+JOIN per_source pa ON pa.source = inter.src_a
+JOIN per_source pb ON pb.source = inter.src_b
+"""
+
+QUERIES["doc_chunking"] = doc_chunking
+QUERIES["sample_mixture"] = sample_mixture
+QUERIES["pii_scrub"] = pii_scrub
+QUERIES["cross_source_overlap"] = cross_source_overlap
+ORACLES["doc_chunking"] = ORACLE_CHUNKING
+ORACLES["sample_mixture"] = ORACLE_MIXTURE
+ORACLES["pii_scrub"] = ORACLE_PII
+ORACLES["cross_source_overlap"] = ORACLE_OVERLAP
