@@ -37,3 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 rnd = _rnd
+
+
+def spread(df: DataFrame, per_core: int = 2) -> DataFrame:
+    """Repartition a narrow input before a CPU-heavy projection, sized from
+    the cluster rather than a constant.
+
+    Single-file parquet inputs arrive as ONE scan partition, so md5 /
+    shingle / regex projections would run on one core. Target
+    ``defaultParallelism * per_core`` — on local[32] that is 64 (matching
+    the hand-tuned constant this replaces), on a 1000-executor cluster it
+    scales with the cluster instead of capping at 64. When the scan already
+    provides at least that many partitions (any real multi-file corpus),
+    this is a no-op: no shuffle is inserted.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * per_core
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

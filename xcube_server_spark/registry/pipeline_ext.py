@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ._util import load_table as _t
-from ._util import rnd
+from ._util import rnd, spread
 
 _TOKS = "filter(split(text, ' '), t -> t <> '')"
 
@@ -164,7 +164,7 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gram projection is CPU-heavy per row and the source is one parquet
     # file — spread rows across cores first (RoundRobin exchange of raw docs,
     # amortized by the per-row work; same move as dedup_minhash_lsh)
-    train = docs.filter(F.col("doc_id") % 97 != 0).repartition(64)
+    train = spread(docs.filter(F.col("doc_id") % 97 != 0))
     hit = F.arrays_overlap(F.expr(grams_expr), F.col("eval_grams"))
     return (
         train.crossJoin(broadcast(eval_dict))

@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 
 from ._util import load_table as _t
-from ._util import rnd
+from ._util import rnd, spread
 
 
 def _max_bucket_width() -> int:
@@ -124,7 +124,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature projection is CPU-heavy per row (|shingles| md5s); the
     # source is a single parquet file, so spread rows across cores first —
     # a RoundRobin exchange of raw docs, amortized by the per-row work
-    docs = docs.repartition(64)
+    docs = spread(docs)
     sig = docs.withColumn(
         "hashes",
         F.expr(
@@ -208,7 +208,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # per-row vote aggregation is CPU-heavy and the source is one parquet
     # file: spread raw docs across cores first (same move as minhash)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(64)
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     votes_expr = (
         "aggregate("
         " filter(split(text, ' '), t -> t <> ''),"
@@ -828,7 +828,7 @@ def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster inventory a dedup sweep would keep/drop from."""
     from ..pipeline.dedup_cluster import dedup_components
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), per_core=1)
     sig = docs.withColumn(
         "hashes",
         F.expr(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import load_table as _t
-from ._util import rnd
+from ._util import rnd, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -42,10 +42,9 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file inputs give one scan partition; spread the CPU-heavy
     # chunk/hash projection (on a real multi-file corpus the scan itself
     # provides the parallelism and this is a no-op to remove)
-    docs = (
+    docs = spread(
         _t(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split("text", " ").alias("toks"))
-        .repartition(64)
     )
     chunks = (
         docs.withColumn("n_toks", F.size("toks"))
@@ -163,7 +162,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regexp_replace``/``regexp_count`` are codegen'd JVM ops), one partial
     aggregation; nothing shuffles wider than the per-source rollup.
     """
-    docs = _t(spark, sf_dir, "documents").repartition(64)
+    docs = spread(_t(spark, sf_dir, "documents"))
     planted = docs.withColumn(
         "text2",
         F.concat(
@@ -247,10 +246,9 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow up at 100 TB. Per-source distinct-gram counts broadcast back onto
     the pair counts (tiny dimension join).
     """
-    docs = (
+    docs = spread(
         _t(spark, sf_dir, "documents")
         .select("source", F.split("text", " ").alias("toks"))
-        .repartition(64)
     )
     grams = (
         docs.withColumn(
