@@ -325,3 +325,105 @@ ORACLES["doc_chunking"] = ORACLE_CHUNKING
 ORACLES["sample_mixture"] = ORACLE_MIXTURE
 ORACLES["pii_scrub"] = ORACLE_PII
 ORACLES["cross_source_overlap"] = ORACLE_OVERLAP
+
+# ---------------------------------------------------------------------------
+# quality_filter_chain — C4/Gopher-style cascade with audited drop reasons
+# ---------------------------------------------------------------------------
+
+
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality filter: the first failing rule labels the document
+    (length bounds -> target language -> stopword floor), 'kept' otherwise —
+    the auditable form of a C4-style cleaning cascade, where per-reason drop
+    counts are the pipeline's health dashboard.
+
+    Plan shape: one tokenizer/regex projection then a CASE cascade — all
+    whole-stage-codegen expressions — and a single partial aggregation.
+    Scan-side at 100 TB; no shuffle besides the (source, reason) rollup.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), " ")).alias("words"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|to)\b")).alias(
+            "stop"
+        ),
+    )
+    reason = (
+        F.when(F.col("n_chars") < 100, F.lit("too_short"))
+        .when(F.col("n_chars") > 480, F.lit("too_long"))
+        .when(F.col("lang") != "en", F.lit("non_target_lang"))
+        .when(F.col("stop") / F.col("words") < 0.05, F.lit("low_stopword"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        feats.withColumn("reason", reason)
+        .groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_FILTER_CHAIN = r"""
+WITH f AS (
+  SELECT source, lang, n_chars,
+         len(string_split(trim(text), ' ')) AS words,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS stop
+  FROM documents),
+labeled AS (
+  SELECT source, n_chars,
+         CASE WHEN n_chars < 100 THEN 'too_short'
+              WHEN n_chars > 480 THEN 'too_long'
+              WHEN lang <> 'en' THEN 'non_target_lang'
+              WHEN stop * 1.0 / words < 0.05 THEN 'low_stopword'
+              ELSE 'kept' END AS reason
+  FROM f)
+SELECT source, reason, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM labeled
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# embed_label_centroids — class centroids of the embedding space
+# ---------------------------------------------------------------------------
+
+
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (first 8 dims reported)
+    — the primitive behind IVF coarse quantizers and class-prototype
+    evaluation.
+
+    Declarative form: posexplode + groupBy(label, dim), which shuffles
+    rows x D — exact and fine up to moderate D. For very large D the
+    engine's vectorized path (``pipeline/similarity.py``) computes block
+    sums in numpy via applyInPandas instead; this query pins the exact
+    semantics the fast path must reproduce.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        rnd(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+    )
+
+
+ORACLE_CENTROIDS = """
+SELECT label, i - 1 AS dim, count(*) AS n_vectors,
+       floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS centroid_v
+FROM embeddings
+CROSS JOIN (SELECT unnest(range(1, 9)) AS i) t
+GROUP BY 1, 2
+"""
+
+QUERIES["quality_filter_chain"] = quality_filter_chain
+QUERIES["embed_label_centroids"] = embed_label_centroids
+ORACLES["quality_filter_chain"] = ORACLE_FILTER_CHAIN
+ORACLES["embed_label_centroids"] = ORACLE_CENTROIDS

@@ -310,3 +310,55 @@ GROUP BY 1
 
 QUERIES["stream_dedupe_events"] = stream_dedupe_events
 ORACLES["stream_dedupe_events"] = ORACLE_STREAM_DEDUPE
+
+
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per tumbling 6h window (count DESC,
+    deterministic type tiebreak) — the batch twin of the live variant."""
+    from ..streaming.events import windowed_topk
+
+    return windowed_topk(_events(spark, sf_dir), hours=6, k=3)
+
+
+def stream_topk_windowed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-k, with the aggregation half run as a REAL streaming
+    job (readStream -> watermark -> tumbling agg -> memory sink,
+    availableNow) and the rank applied over the sink's finalized windows —
+    rank-at-read, the standard pattern since per-window ranking is not
+    expressible inside an update-mode stream."""
+    import os
+    import tempfile
+
+    from ..streaming.events import rank_topk, tumbling_counts_stream
+    from ..streaming.run import run_stream_to_batch
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_events_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    counts = run_stream_to_batch(
+        spark, staged, tumbling_counts_stream, output_mode="complete"
+    )
+    return rank_topk(counts, k=3)
+
+
+ORACLE_STREAM_TOPK = """
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS win_id,
+         event_type, count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT win_id, event_type, n_events,
+         row_number() OVER (PARTITION BY win_id
+                            ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM counts)
+SELECT win_id, event_type, n_events, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+QUERIES["stream_topk_windowed"] = stream_topk_windowed
+QUERIES["stream_topk_windowed_live"] = stream_topk_windowed_live
+ORACLES["stream_topk_windowed"] = ORACLE_STREAM_TOPK
+ORACLES["stream_topk_windowed_live"] = ORACLE_STREAM_TOPK

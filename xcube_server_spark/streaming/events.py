@@ -190,3 +190,27 @@ def interval_join_stream(
         purchases_stream.withWatermark("ts", "2 hours"),
         max_delay_min,
     )
+
+
+def windowed_topk(events: DataFrame, hours: int = 6, k: int = 3) -> DataFrame:
+    """Top-k trending event types per tumbling window.
+
+    The aggregation half is the streaming-safe ``tumbling_counts`` plan;
+    the ranking half is a per-window row_number with a deterministic
+    tiebreak (count DESC, type ASC). In a live pipeline the rank runs over
+    the sink's finalized windows (ranking inside an update-mode stream is
+    not expressible — the standard pattern is rank-at-read); see
+    ``rank_topk`` which the live registry query applies post-sink.
+    """
+    return rank_topk(tumbling_counts(events, hours), k=k)
+
+
+def rank_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    w = Window.partitionBy("win_id").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("win_id", "event_type", "n_events", "rk")
+    )
