@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "stats_correlation",
     "histogram_prices",
     "stream_dedupe_events",
+    "dedup_paragraphs",
+    "kmv_distinct_sketch",
+    "tfidf_top_terms",
+    "unigram_logprob",
+    "time_weighted_avg",
 ]
 
 

@@ -215,3 +215,49 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
         conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_dedup_paragraphs_fingerprint_only_shuffles(spark, sf_dir):
+    """Segment dedup shuffles only (doc_id, seg_idx, md5) triples: one
+    CPU-spreading repartition, one window exchange on the segment hash, one
+    groupBy doc_id — document text never leaves the scan stage."""
+    df = QUERIES["dedup_paragraphs"](spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    assert set(df.columns) == {"doc_id", "n_segments", "n_dup_segments"}
+
+
+def test_kmv_sketch_takeordered_no_global_sort(spark, sf_dir):
+    """KMV finds the k smallest hashes via TakeOrdered (per-partition top-k,
+    driver merge) — a global Sort exchange would be wrong at scale."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["kmv_distinct_sketch"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert has_broadcast_join(df)
+
+
+def test_tfidf_vocab_sides_broadcast(spark, sf_dir):
+    """tf·idf joins the vocabulary-sized df/n_sources aggregates back to tf
+    via broadcast — token rows shuffle once into the tf aggregate only."""
+    df = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_unigram_logprob_lm_broadcast(spark, sf_dir):
+    """The unigram LM (vocab-sized) broadcasts to the scoring join, so the
+    exploded token stream is never shuffled by term for scoring."""
+    df = QUERIES["unigram_logprob"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    """lead() window and the final groupBy share the user_id partitioning —
+    Catalyst plans ONE exchange for both."""
+    df = QUERIES["time_weighted_avg"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_sample_stratified_single_exchange(spark, sf_dir):
+    df = QUERIES["sample_stratified"](spark, sf_dir)
+    assert count_exchanges(df) == 1

@@ -1,0 +1,382 @@
+"""Corpus-curation operators, round 2: segment-level dedup, cardinality
+sketching, corpus statistics, stratified sampling, and time-weighted
+aggregation.
+
+These extend the training-data-pipeline family (``pipeline_queries.py``)
+with the remaining operations a 100 TB curation run needs:
+
+- ``dedup_paragraphs`` — Dolma/CCNet-style paragraph dedup. Documents are
+  cut into fixed 16-token segments; a segment occurrence is a duplicate iff
+  an earlier occurrence (lower ``(doc_id, seg_idx)``) exists anywhere in the
+  corpus. Only md5 segment fingerprints ever shuffle — document bodies stay
+  in the scan.
+- ``kmv_distinct_sketch`` — K-minimum-values distinct-count sketch. Unlike
+  HLL (whose estimate differs across engines), KMV with a shared arithmetic
+  hash is bit-identical in Spark and DuckDB, so the sketch itself is
+  oracle-verifiable — the property that matters when a sketch feeds a
+  downstream join-strategy decision.
+- ``tfidf_top_terms`` — per-source distinctive terms (tf·idf, top 5).
+- ``unigram_logprob`` — per-document mean unigram log-probability against
+  the corpus unigram LM: the classic cheap perplexity proxy used for
+  quality filtering ahead of expensive model-based scoring.
+- ``sample_stratified`` — deterministic per-stratum top-n sampling by md5
+  order: reproducible across runs, partitioning, and engines (contrast
+  ``sample_mixture`` which takes a hash-threshold fraction).
+- ``time_weighted_avg`` — TimescaleDB-style time-weighted average per user
+  over an irregular event series.
+
+Scale notes: every shuffle in this module carries fingerprints, term
+tokens, or (key, id) pairs — never document bodies. The two windowed
+operators partition by high-cardinality keys (segment hash, user_id); the
+per-source window in ``sample_stratified`` is the one low-cardinality sort
+and is documented inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ._util import load_table as _t
+from ._util import rnd, spread
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Paragraph (segment) dedup
+# ---------------------------------------------------------------------------
+
+_SEG = 16  # tokens per segment
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup stats: per document, how many 16-token segments
+    are duplicates of a segment seen earlier in the corpus.
+
+    Plan shape: the whole segmentation (tokenize → fixed windows → md5) is
+    ONE per-row projection via higher-order functions; posexplode emits
+    (doc_id, seg_idx, 32-hex hash) rows. The only data that shuffles is that
+    triple — at 100 TB the exchange carries ~50 bytes/segment regardless of
+    document size. First-occurrence detection is an unordered window min
+    over the segment hash (high cardinality → even partitions), then one
+    groupBy doc_id. A production retention pass would additionally
+    reconstruct text from surviving segments; the stats form here is the
+    decision input.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    segs = spread(docs.select("doc_id", F.col("text"))).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split(text, ' '))/{_SEG}.0)) - 1),"
+                f" i -> md5(array_join(slice(split(text, ' '), i*{_SEG}+1, {_SEG}), ' ')))"
+            )
+        ).alias("seg_idx", "h"),
+    )
+    # total order over occurrences: doc_id * 1e5 + seg_idx (seg_idx < 1e5
+    # at any plausible document length; 553-char test docs have <= 3 segs)
+    key = (F.col("doc_id") * 100000 + F.col("seg_idx")).alias("key")
+    w = Window.partitionBy("h")
+    marked = segs.select("doc_id", "seg_idx", "h", key).withColumn(
+        "first_key", F.min("key").over(w)
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("key") != F.col("first_key"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_segments"),
+    )
+
+
+ORACLE_DEDUP_PARAGRAPHS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+         md5(array_to_string(t[(u.i*{_SEG}+1):(u.i*{_SEG}+{_SEG})], ' ')) AS h
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/{_SEG}.0) AS BIGINT))) AS u(i)
+),
+firsts AS (
+  SELECT *, min(doc_id*100000 + seg_idx) OVER (PARTITION BY h) AS first_key
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN doc_id*100000 + seg_idx <> first_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+FROM firsts GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_MOD = 2147483648  # 2^31
+_KNUTH = 2654435761  # Knuth multiplicative constant
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch over ``events.user_id``, reported
+    next to the exact count so the estimate's error is visible.
+
+    The hash is pure 63-bit integer arithmetic (Knuth multiplicative mod
+    2^31) so Spark and the DuckDB oracle compute identical sketches —
+    HLL-style sketches cannot be cross-checked this way. Plan shape:
+    ``distinct`` shuffles only 8-byte hash values; the k smallest are found
+    by TakeOrdered (per-partition top-k, merged on the driver — no global
+    sort). Estimator: D ≈ (k-1) · M / h_k. At 100 TB the sketch costs one
+    hash-only shuffle; the exact side (shown for calibration) is the
+    expensive path a production run would drop.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        ((F.col("user_id") * F.lit(_KNUTH)) % F.lit(_KMV_MOD)).alias("hv")
+    ).distinct()
+    topk = h.orderBy("hv").limit(_KMV_K)
+    sketch = topk.agg(
+        F.count(F.lit(1)).alias("k"), F.max("hv").alias("kth_hash")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return sketch.crossJoin(broadcast(exact)).select(
+        "k",
+        "kth_hash",
+        rnd(
+            (F.col("k") - 1).cast("double") * float(_KMV_MOD) / F.col("kth_hash"),
+            2,
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+ORACLE_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT (user_id * {_KNUTH}) % {_KMV_MOD} AS hv FROM events
+),
+topk AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+agg AS (SELECT count(*) AS k, max(hv) AS kth_hash FROM topk)
+SELECT k, kth_hash,
+       floor((CAST(k - 1 AS DOUBLE) * {_KMV_MOD}.0 / kth_hash) * 100 + 0.5)/100
+         AS est_distinct,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by tf·idf (idf over sources).
+
+    Plan shape: one explode → one (source, term) partial-agg shuffle; the
+    document-frequency side is derived FROM the tf aggregate (no second
+    corpus scan) and is vocabulary-sized, so it broadcasts. The final
+    row_number window partitions by source — at 100 TB the windowed input is
+    |sources| × |vocab|, already aggregate-sized, not corpus-sized.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = spread(docs.select("source", "text")).select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf.cache()  # reused for df + n_sources; aggregate-sized (vocab × sources)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ns = tf.agg(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(ns))
+        .select(
+            "source",
+            "term",
+            "tf",
+            rnd(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tf", "tfidf", "rk")
+    )
+
+
+ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n FROM tf),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         floor(tf.tf * ln(CAST(ns.n AS DOUBLE)/df.df) * 10000 + 0.5)/10000
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN ns
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT source, term, tf, tfidf, rk FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus unigram
+    LM — the cheap perplexity proxy for quality filtering.
+
+    Plan shape: the corpus LM (term → count) is an aggregate over one
+    explode; it is vocabulary-sized so it broadcasts to the scoring join —
+    token rows never shuffle. The LM total rides along as a broadcast
+    scalar. Two scans of ``documents`` (one to build the LM, one to score);
+    a production run shares the LM across many scoring passes.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tokf = spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tokf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("total"))
+    return (
+        tokf.join(broadcast(freq), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rnd(F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+freq AS (SELECT term, count(*) AS c FROM tokf GROUP BY 1),
+tot AS (SELECT sum(c) AS total FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(avg(ln(CAST(c AS DOUBLE)/total)) * 10000 + 0.5)/10000
+         AS avg_logprob
+FROM tokf JOIN freq USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-3-per-source sample: rank documents inside each
+    source stratum by md5 of the id and keep the first three.
+
+    Reproducible across runs, engines, and partitioning (the md5 order is a
+    property of the data, not the execution). Scale note: the window
+    partitions by ``source`` — low cardinality, so one stratum's rows sort
+    in one task. For top-n ≪ stratum size Spark's window already keeps only
+    the sort buffer; if strata are huge AND skewed, the two-phase
+    per-partition pre-rank from ``operators/skew.py`` applies. Bounded here
+    (≤ |sources| × 3 output rows).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` over the irregular event
+    series (TimescaleDB ``time_weight('Linear', ...)`` analog, left-closed):
+    each value holds until the next event; weights are the inter-event
+    micros.
+
+    Plan shape: one shuffle on user_id (high cardinality), lead() inside the
+    per-user sort, then the aggregate reuses the same partitioning — Catalyst
+    collapses window + groupBy into one exchange. Ordering ties broken by
+    event_id so the result is execution-independent.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = ev.select(
+        "user_id", "value", "event_id", F.unix_micros("ts").alias("t")
+    ).withColumn("t_next", F.lead("t").over(w))
+    dt = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa"),
+        )
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       floor(sum(value * (t_next - t)) / sum(t_next - t) * 10000 + 0.5)/10000
+         AS twa
+FROM seq WHERE t_next IS NOT NULL
+GROUP BY user_id
+"""
+
+
+QUERIES["dedup_paragraphs"] = dedup_paragraphs
+QUERIES["kmv_distinct_sketch"] = kmv_distinct_sketch
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+QUERIES["unigram_logprob"] = unigram_logprob
+QUERIES["sample_stratified"] = sample_stratified
+QUERIES["time_weighted_avg"] = time_weighted_avg
+
+ORACLES["dedup_paragraphs"] = ORACLE_DEDUP_PARAGRAPHS
+ORACLES["kmv_distinct_sketch"] = ORACLE_KMV
+ORACLES["tfidf_top_terms"] = ORACLE_TFIDF
+ORACLES["unigram_logprob"] = ORACLE_UNIGRAM_LOGPROB
+ORACLES["sample_stratified"] = ORACLE_SAMPLE_STRATIFIED
+ORACLES["time_weighted_avg"] = ORACLE_TIME_WEIGHTED_AVG
