@@ -81,6 +81,15 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "unigram_logprob",
     "time_weighted_avg",
+    # round-4 analytics/curation family
+    "event_attribution",
+    "rfm_segments",
+    "anomaly_zscore_daily",
+    "session_paths_topk",
+    "doc_length_percentiles",
+    "bigram_top",
+    "dedup_lsh_verify",
+    "morton_zorder_cells",
 ]
 
 

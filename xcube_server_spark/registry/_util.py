@@ -32,6 +32,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # µs-precision test data reads as TIMESTAMP_NTZ (Spark infers NTZ
+            # for parquet timestamps without the UTC-adjusted flag). Functions
+            # like unix_micros and streaming watermarks require TIMESTAMP;
+            # with the session pinned to UTC above, this cast is value-exact
+            # and restores the same LTZ column the ns-ingest path produces.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

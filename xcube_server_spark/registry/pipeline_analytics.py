@@ -1,0 +1,605 @@
+"""Analytics + curation operators, round 4: behavioral analytics over the
+event stream (attribution, RFM, anomaly detection, session paths), exact
+percentile thresholds, n-gram statistics, LSH-verified near-dup pairs, and
+Z-order (Morton) spatial clustering.
+
+These close the remaining gaps a production training-data / analytics
+deployment hits after the round-1..3 families:
+
+- ``event_attribution`` — last-touch marketing attribution: each purchase is
+  credited to the most recent preceding non-purchase touch of the same user
+  within a 7-day lookback, else 'direct'.
+- ``rfm_segments`` — recency/frequency/monetary customer segmentation with
+  exact-median cuts computed as distributed scalar aggregates (no
+  single-partition window, no driver round-trip).
+- ``anomaly_zscore_daily`` — trailing-window z-score anomaly detection over
+  the daily per-type event value series (the ops-dashboard primitive).
+- ``session_paths_topk`` — top event-type journeys: gap-sessionize, order
+  events inside each session, count path strings.
+- ``doc_length_percentiles`` — exact p50/p90/p99 of document length per
+  source: the thresholds a quality-filter cascade is configured from.
+- ``bigram_top`` — corpus-wide top bigrams: the 2-gram LM building block
+  (vocab_top_tokens covers unigrams).
+- ``dedup_lsh_verify`` — the classic two-stage near-dup pipeline: MinHash-LSH
+  candidate pairs (stage 1, reused verbatim from ``dedup_minhash_lsh``) are
+  verified with EXACT token-set Jaccard (stage 2) — only candidate pairs ever
+  pay the exact comparison.
+- ``morton_zorder_cells`` — Z-order (Morton) curve clustering of 2-D grid
+  cells: bit-interleaved codes computed with pure integer arithmetic, then
+  per-Z-block ranges. This is the ingest-side layout trick that makes bbox
+  queries prune at the parquet row-group level: sorting a spatial table by
+  Morton code gives every 4×4 cell block a contiguous code range (the same
+  locality goal as the reference's tile-grid subdivision,
+  ``xcube_server/im/tilegrid.py:252-397``, expressed as a sort key instead
+  of a directory layout).
+
+Scale notes: no operator here shuffles document bodies or event payloads —
+exchanges carry (key, id) pairs, daily aggregates, token counts, or
+customer-level triples. Global scalars (corpus max date, median cuts,
+Jaccard thresholds) ride as broadcast cross joins of 1-row aggregates, never
+as unbounded windows. The two windowed operators partition by
+high-cardinality keys (user_id) or by post-aggregation keys (event_type over
+daily rows — input is |days|x|types|, aggregate-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ._util import load_table as _t
+from ._util import rnd, spread
+from .pipeline_queries import dedup_minhash_lsh
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_DAYS = 7
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the most recent
+    preceding non-purchase event of the same user within a 7-day lookback,
+    'direct' when there is none. Returns conversions + revenue per channel.
+
+    Plan shape: ONE shuffle on user_id; both IGNORE-NULLS window lookups
+    (touch type and touch time) share the same user-partitioned sort, and
+    the final channel aggregation is a tiny (|channels|-row) partial agg.
+    Ordering ties break on event_id so results are execution-independent.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    attributed = (
+        ev.select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("last_touch_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_LOOKBACK_DAYS} DAYS"),
+                F.col("last_touch"),
+            ).otherwise(F.lit("direct")),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        rnd(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_ts
+  FROM events
+)
+SELECT CASE WHEN last_touch_ts >= ts - INTERVAL {_LOOKBACK_DAYS} DAY
+            THEN last_touch ELSE 'direct' END AS channel,
+       count(*) AS conversions,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS revenue
+FROM marked
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer compute Recency (days since
+    last order, against the corpus max order date), Frequency (order count),
+    Monetary (total spend); split each at its exact median into eight
+    segments labelled like 'RfM' (upper = above-median, recency inverted:
+    'R' = recent).
+
+    Plan shape: one shuffle on o_custkey builds the customer triple; the
+    corpus max date and the three median cuts are DISTRIBUTED scalar
+    aggregates over the cached customer table, broadcast back as 1-row cross
+    joins — no single-partition window, no driver collect. The exact medians
+    use ``percentile`` (linear interpolation, matching DuckDB's
+    ``quantile_cont``); Monetary is rounded to cents BEFORE the cut so both
+    engines interpolate identical inputs.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            rnd(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    per_cust.cache()  # reused by the scalar subtrees below (customer-sized)
+    glob = per_cust.agg(F.max("last_order").alias("corpus_max"))
+    rfm = per_cust.crossJoin(broadcast(glob)).withColumn(
+        "recency_days", F.datediff("corpus_max", "last_order")
+    )
+    cuts = rfm.agg(
+        F.percentile("recency_days", 0.5).alias("r_cut"),
+        F.percentile("frequency", 0.5).alias("f_cut"),
+        F.percentile("monetary", 0.5).alias("m_cut"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= F.col("r_cut"), "R").otherwise("r"),
+        F.when(F.col("frequency") > F.col("f_cut"), "F").otherwise("f"),
+        F.when(F.col("monetary") > F.col("m_cut"), "M").otherwise("m"),
+    )
+    return (
+        rfm.crossJoin(broadcast(cuts))
+        .withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS monetary
+  FROM orders GROUP BY 1
+),
+rfm AS (
+  SELECT o_custkey, frequency, monetary,
+         date_diff('day', last_order, (SELECT max(last_order) FROM per_cust))
+           AS recency_days
+  FROM per_cust
+),
+cuts AS (
+  SELECT quantile_cont(recency_days, 0.5) AS r_cut,
+         quantile_cont(frequency, 0.5) AS f_cut,
+         quantile_cont(monetary, 0.5) AS m_cut
+  FROM rfm
+)
+SELECT (CASE WHEN recency_days <= r_cut THEN 'R' ELSE 'r' END
+        || CASE WHEN frequency > f_cut THEN 'F' ELSE 'f' END
+        || CASE WHEN monetary > m_cut THEN 'M' ELSE 'm' END) AS segment,
+       count(*) AS n_customers,
+       floor(avg(monetary) * 100.0 + 0.5) / 100.0 AS avg_monetary
+FROM rfm CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 1.5
+
+
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily anomaly flags: per event type, compare each day's total value
+    against the trailing 7-day mean/stddev; emit days where |z| exceeds the
+    threshold.
+
+    Plan shape: the corpus collapses to a |days|x|types| daily aggregate in
+    ONE partial-agg shuffle; the trailing window then partitions by
+    event_type over that aggregate-sized input (at 100 TB the windowed data
+    is still only days x types rows). Daily sums are rounded to cents BEFORE
+    the window so Spark and DuckDB feed identical doubles into the identical
+    Welford stddev recurrence.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        rnd(F.sum("value"), 2).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = (
+        daily.withColumn("mean7", F.avg("day_value").over(w))
+        .withColumn("sd7", F.stddev_samp("day_value").over(w))
+        .filter(F.col("sd7").isNotNull() & (F.col("sd7") > 0))
+        .withColumn("z", (F.col("day_value") - F.col("mean7")) / F.col("sd7"))
+        .filter(F.abs("z") > _Z_THRESHOLD)
+    )
+    return scored.select(
+        "event_type", "day", "day_value", rnd("z", 4).alias("zscore")
+    )
+
+
+ORACLE_ANOMALY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         floor(sum(value) * 100.0 + 0.5) / 100.0 AS day_value
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, day_value,
+         avg(day_value) OVER w AS mean7,
+         stddev_samp(day_value) OVER w AS sd7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, day_value,
+       floor((day_value - mean7) / sd7 * 10000 + 0.5) / 10000 AS zscore
+FROM scored
+WHERE sd7 IS NOT NULL AND sd7 > 0
+  AND abs((day_value - mean7) / sd7) > {_Z_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session path mining
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 120  # minutes
+
+
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 user journeys: sessionize events per user on a 120-minute
+    inactivity gap, render each session's ordered event types as a path
+    string ('view>click>purchase'), count paths corpus-wide.
+
+    Plan shape: one shuffle on user_id covers BOTH the gap detection (lag)
+    and the running session counter — Catalyst keeps the two windows in one
+    sort. Session rows then collapse via sort_array(collect_list(struct)) —
+    the per-session event list is bounded by session length, never by user
+    history. Final path counting is a tiny aggregate; top-10 is
+    TakeOrdered (per-partition top-k, no global sort).
+    """
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    new_sess = F.when(
+        gap_sec.isNull() | (gap_sec > _SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-source length percentiles
+# ---------------------------------------------------------------------------
+
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of document length per source — the thresholds a
+    quality-filter cascade (min/max length cuts) is configured from.
+
+    Plan shape: ``percentile`` is a partial-merge aggregate (per-partition
+    digest, merged on the reducer) — one shuffle keyed by source, no global
+    sort. Linear interpolation matches DuckDB ``quantile_cont`` exactly on
+    integer inputs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.percentile("n_chars", 0.5), 2).alias("p50"),
+        rnd(F.percentile("n_chars", 0.9), 2).alias("p90"),
+        rnd(F.percentile("n_chars", 0.99), 2).alias("p99"),
+    )
+
+
+ORACLE_DOC_LENGTH_PCT = """
+SELECT source, count(*) AS n_docs,
+       floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) / 100 AS p50,
+       floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) / 100 AS p90,
+       floor(quantile_cont(n_chars, 0.99) * 100 + 0.5) / 100 AS p99
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top bigrams
+# ---------------------------------------------------------------------------
+
+
+def bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: the 2-gram LM / collocation building
+    block (``vocab_top_tokens`` covers unigrams).
+
+    Plan shape: bigram construction is a pure per-row projection (filter +
+    transform over the token array — no token explode before pairing); the
+    explode emits one row per bigram into a partial-agg count, and the
+    top-20 is TakeOrdered. The exchange carries (bigram, partial count)
+    pairs — vocabulary-squared bounded, not corpus bounded.
+    """
+    docs = spread(_t(spark, sf_dir, "documents").select("text"))
+    # tokenize ONCE per row; the bigram pairing then indexes the materialized
+    # array (element_at is 1-based, matching DuckDB's 1-based list subscript)
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    )
+    bigrams_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        " transform(sequence(1, size(t) - 1),"
+        "  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        " ELSE array() END"
+    )
+    return (
+        toks.select(F.explode(F.expr(bigrams_expr)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+ORACLE_BIGRAM_TOP = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH candidates + exact Jaccard verification
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.5
+
+
+def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection: MinHash-LSH candidate pairs (stage 1,
+    the exact plan of ``dedup_minhash_lsh``) verified with EXACT token-set
+    Jaccard (stage 2); only pairs with Jaccard >= 0.5 survive.
+
+    This is the production shape: the exact O(|A|+|B|) set comparison runs
+    ONLY on LSH candidates (|candidates| << |corpus|^2), so total cost is
+    corpus-linear signature work + candidate-linear verification. Plan
+    shape: candidates join the token-set table twice on doc_id (id-keyed
+    hash joins carrying token arrays only for candidate docs — the join
+    output is candidate-sized); the Jaccard itself is a per-row
+    array_intersect/array_union projection.
+    """
+    cands = dedup_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("array_distinct(filter(split(text, ' '), t -> t <> ''))").alias(
+            "toks"
+        ),
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", rnd(jac, 4))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_LSH_VERIFY = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text)-4, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 5)))) AS sh
+  FROM documents
+),
+mh AS (
+  SELECT doc_id,
+         min(substring(md5(sh), 1, 8))  AS m0, min(substring(md5(sh), 9, 8))  AS m1,
+         min(substring(md5(sh), 17, 8)) AS m2, min(substring(md5(sh), 25, 8)) AS m3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+              AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS toks
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         floor(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.toks, tb.toks)))
+               * 10000 + 0.5) / 10000 AS jaccard
+  FROM cands c
+  JOIN toks ta ON c.doc_a = ta.doc_id
+  JOIN toks tb ON c.doc_b = tb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) spatial clustering
+# ---------------------------------------------------------------------------
+
+_GRID = 64  # cells per axis (6 bits)
+_ZBLOCK = 16  # cells per Z-block (4x4)
+
+
+def morton_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering over a 64x64 spatial grid: map each part
+    row to a grid cell, bit-interleave (x, y) into a Morton code with pure
+    integer arithmetic, and report per-4x4-Z-block occupancy + code ranges.
+
+    Why it matters at 100 TB: writing a spatial table SORTED by this code
+    makes every 4x4 spatial block a CONTIGUOUS code range (max_code -
+    min_code = 15 for full blocks, verifiable in the output), so a bbox
+    filter prunes parquet row groups by the code's min/max stats instead of
+    scanning — the sort-key analog of the reference's spatial tile layout
+    (``xcube_server/im/tilegrid.py:252-397``). The interleave is a
+    higher-order ``aggregate`` over bit positions — whole-stage-codegen
+    arithmetic, no UDF; the only shuffle is the |blocks|-sized final agg.
+    """
+    part = _t(spark, sf_dir, "part")
+    cells = part.select(
+        (F.col("p_partkey") % _GRID).alias("x"),
+        ((F.col("p_partkey") / _GRID).cast("long") % _GRID).alias("y"),
+    )
+    morton = (
+        "aggregate(sequence(0, 5), 0L, (acc, i) -> acc"
+        " + shiftleft(shiftright(x, i) & 1, 2 * i)"
+        " + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"
+    )
+    coded = cells.withColumn("code", F.expr(morton))
+    return (
+        coded.groupBy((F.col("code") / _ZBLOCK).cast("long").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+        )
+    )
+
+
+ORACLE_MORTON = f"""
+WITH cells AS (
+  SELECT p_partkey % {_GRID} AS x,
+         (p_partkey // {_GRID}) % {_GRID} AS y
+  FROM part
+),
+coded AS (
+  SELECT CAST(list_sum(list_transform(range(0, 6),
+           i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+         AS BIGINT) AS code
+  FROM cells
+)
+SELECT code // {_ZBLOCK} AS zblock,
+       count(*) AS n_cells,
+       min(code) AS min_code,
+       max(code) AS max_code
+FROM coded GROUP BY 1
+"""
+
+
+QUERIES["event_attribution"] = event_attribution
+QUERIES["rfm_segments"] = rfm_segments
+QUERIES["anomaly_zscore_daily"] = anomaly_zscore_daily
+QUERIES["session_paths_topk"] = session_paths_topk
+QUERIES["doc_length_percentiles"] = doc_length_percentiles
+QUERIES["bigram_top"] = bigram_top
+QUERIES["dedup_lsh_verify"] = dedup_lsh_verify
+QUERIES["morton_zorder_cells"] = morton_zorder_cells
+
+ORACLES["event_attribution"] = ORACLE_ATTRIBUTION
+ORACLES["rfm_segments"] = ORACLE_RFM
+ORACLES["anomaly_zscore_daily"] = ORACLE_ANOMALY
+ORACLES["session_paths_topk"] = ORACLE_SESSION_PATHS
+ORACLES["doc_length_percentiles"] = ORACLE_DOC_LENGTH_PCT
+ORACLES["bigram_top"] = ORACLE_BIGRAM_TOP
+ORACLES["dedup_lsh_verify"] = ORACLE_LSH_VERIFY
+ORACLES["morton_zorder_cells"] = ORACLE_MORTON

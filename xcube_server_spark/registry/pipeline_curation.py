@@ -339,7 +339,13 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     seq = ev.select(
-        "user_id", "value", "event_id", F.unix_micros("ts").alias("t")
+        "user_id",
+        "value",
+        "event_id",
+        # events.ts is TIMESTAMP_NTZ in the parquet; session tz is pinned to
+        # UTC (registry/_util.py), so the cast to TIMESTAMP is exact and
+        # unix_micros matches DuckDB's epoch_us.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
     ).withColumn("t_next", F.lead("t").over(w))
     dt = F.col("t_next") - F.col("t")
     return (

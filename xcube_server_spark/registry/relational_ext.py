@@ -15,7 +15,7 @@ broadcasts, filters sit against the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -448,12 +448,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = sum(l_quantity * p_retailprice) per part from lineitem (no
     partsupp); keep parts holding > 0.1% of total inventory value.
 
-    Plan: ONE fact scan + aggregation; the global total is an unbounded
-    window-sum over the per-part result (a separate `.agg` subtree would
-    re-scan and re-aggregate the fact table — Spark materializes no CTEs).
-    The window funnels the per-part rows through one partition: fine while
-    |parts| ≪ |lineitem| (TPC-H reality); at pathological part counts the
-    two-pass form with an explicit checkpoint is the alternative."""
+    Plan: ONE fact scan + aggregation; the per-part result is cached so the
+    global total (a distributed partial-agg to ONE scalar row) and the
+    HAVING filter both read it without re-scanning the fact table — Spark
+    materializes no CTEs. The scalar rides back as a broadcast cross join.
+    No single-partition window anywhere: at pathological part counts the
+    old unbounded-window form funnels |parts| rows through one sort task,
+    while this shape stays fully parallel (the cache is |parts|-sized,
+    i.e. aggregate-sized, never fact-sized)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     per_part = (
@@ -461,9 +463,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
     )
-    cut = F.sum("value").over(Window.partitionBy()) * 0.001
+    per_part.cache()  # shared by the scalar-total subtree and the filter
+    cut = per_part.agg((F.sum("value") * 0.001).alias("cut"))
     return (
-        per_part.withColumn("cut", cut)
+        per_part.crossJoin(broadcast(cut))
         .filter(F.col("value") > F.col("cut"))
         .select("l_partkey", rnd("value", 2).alias("stock_value"))
     )
@@ -521,17 +524,20 @@ GROUP BY 1
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + equality against its own max (the
-    top supplier(s) of a quarter). The max is a window over the aggregated
-    view — one fact scan, no re-aggregation (same rewrite as q2)."""
+    top supplier(s) of a quarter). The revenue view is cached; its max is a
+    distributed scalar aggregate broadcast back — one fact scan, no
+    re-aggregation, and no single-partition window (the old unbounded-window
+    form sorted every supplier in one task)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    revenue.cache()  # shared by the scalar-max subtree and the equality filter
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        revenue.withColumn("max_rev", mx)
+        revenue.crossJoin(broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(

@@ -29,7 +29,9 @@ def _stage_key(sf_dir: str) -> str:
         fp = f"{int(st.st_mtime)}_{st.st_size}"
     except OSError:
         fp = "na"
-    return sf_dir.strip("/").replace("/", "_") + "_" + fp
+    # v2: staged copies now carry ts as TIMESTAMP (LTZ) — never reuse a
+    # stale v1 staging dir whose ts column was written as TIMESTAMP_NTZ.
+    return sf_dir.strip("/").replace("/", "_") + "_" + fp + "_v2"
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
