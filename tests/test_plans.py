@@ -261,3 +261,98 @@ def test_time_weighted_avg_single_exchange(spark, sf_dir):
 def test_sample_stratified_single_exchange(spark, sf_dir):
     df = QUERIES["sample_stratified"](spark, sf_dir)
     assert count_exchanges(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-4 analytics contracts
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_windows_share_one_user_exchange(spark, sf_dir):
+    """Both IGNORE-NULLS window lookups (touch type + touch time) and the
+    purchase filter run inside ONE user_id exchange; only the tiny channel
+    aggregation adds a second."""
+    df = QUERIES["event_attribution"](spark, sf_dir)
+    assert count_exchanges(df) == 2
+    from xcube_server_spark.plans.explain import executed_plan
+
+    # two Window operators over one Sort — no second sort/exchange pair
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 2 and plan.count("Sort ") == 1, plan[:1500]
+
+
+def test_rfm_no_single_partition_window(spark, sf_dir):
+    """All global scalars (corpus max date, median cuts) are broadcast
+    one-row aggregates — the plan must contain NO window operator at all
+    (the naive form computes cuts via Window.partitionBy())."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["rfm_segments"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_q11_q15_no_single_partition_window(spark, sf_dir):
+    """The round-4 rewrite replaced unbounded windows with cached aggregate
+    + broadcast scalar: no Window operator may reappear in either plan."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        plan = executed_plan(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, (name, plan[:1500])
+
+
+def test_anomaly_window_partitions_by_type(spark, sf_dir):
+    """The trailing-window z-score runs over the daily aggregate partitioned
+    by event_type — never an unpartitioned (single-task) window."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["anomaly_zscore_daily"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "windowspecdefinition(event_type" in plan, plan[:1500]
+
+
+def test_bigram_topk_takeordered(spark, sf_dir):
+    """Top-20 bigrams via TakeOrdered (per-partition top-k, driver merge) —
+    a global Sort exchange over the bigram counts would be wrong at scale.
+    Exchanges: the deliberate CPU spread + one count aggregation."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["bigram_top"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_session_paths_topk_takeordered(spark, sf_dir):
+    """Sessionize (shared user_id sort for lag + running sum) → per-session
+    collapse → path count → TakeOrdered: bounded exchanges, no global sort."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["session_paths_topk"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) <= 4
+
+
+def test_morton_stays_in_codegen(spark, sf_dir):
+    """The bit-interleave is higher-order-function arithmetic: no Python
+    eval operator anywhere, and only the final per-Z-block aggregation
+    shuffles."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["morton_zorder_cells"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan, plan[:1500]
+    assert count_exchanges(df) == 1
+
+
+def test_doc_length_percentiles_partial_merge(spark, sf_dir):
+    """Exact percentiles aggregate partial-then-final across ONE source-keyed
+    exchange — no global sort, no collect."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["doc_length_percentiles"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 1
+    assert plan.count("ObjectHashAggregate") >= 2, plan[:1500]

@@ -541,21 +541,21 @@ def morton_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_code = 15 for full blocks, verifiable in the output), so a bbox
     filter prunes parquet row groups by the code's min/max stats instead of
     scanning — the sort-key analog of the reference's spatial tile layout
-    (``xcube_server/im/tilegrid.py:252-397``). The interleave is a
-    higher-order ``aggregate`` over bit positions — whole-stage-codegen
-    arithmetic, no UDF; the only shuffle is the |blocks|-sized final agg.
+    (``xcube_server/im/tilegrid.py:252-397``). The interleave REUSES the
+    engine's ``cube/grid.morton_interleave_expr`` — the exact expression
+    ``write_cube(layout="zorder")`` sorts by at ingest — whole-stage-codegen
+    bit arithmetic, no UDF; the only shuffle is the |blocks|-sized final agg.
     """
+    from ..cube.grid import morton_interleave_expr
+
     part = _t(spark, sf_dir, "part")
     cells = part.select(
         (F.col("p_partkey") % _GRID).alias("x"),
         ((F.col("p_partkey") / _GRID).cast("long") % _GRID).alias("y"),
     )
-    morton = (
-        "aggregate(sequence(0, 5), 0L, (acc, i) -> acc"
-        " + shiftleft(shiftright(x, i) & 1, 2 * i)"
-        " + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"
+    coded = cells.withColumn(
+        "code", F.expr(morton_interleave_expr(lat_col="y", lon_col="x", bits=6))
     )
-    coded = cells.withColumn("code", F.expr(morton))
     return (
         coded.groupBy((F.col("code") / _ZBLOCK).cast("long").alias("zblock"))
         .agg(
