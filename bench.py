@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "bigram_top",
     "dedup_lsh_verify",
     "morton_zorder_cells",
+    "pmi_collocations",
+    "stream_sliding_avg_live",
 ]
 
 

@@ -347,6 +347,18 @@ def test_morton_stays_in_codegen(spark, sf_dir):
     assert count_exchanges(df) == 1
 
 
+def test_pmi_vocab_sides_broadcast(spark, sf_dir):
+    """PMI scoring joins the vocabulary-sized unigram counts and the two
+    corpus totals onto the bigram table via broadcast — token rows shuffle
+    only into the two count aggregates; top-15 is TakeOrdered."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["pmi_collocations"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_doc_length_percentiles_partial_merge(spark, sf_dir):
     """Exact percentiles aggregate partial-then-final across ONE source-keyed
     exchange — no global sort, no collect."""

@@ -55,9 +55,10 @@ for _m in (
 _PRIORITY = [
     # (a) round-4 analytics/curation operators — need first driver rows
     *pipeline_analytics.QUERIES,
-    # (b) never driver-checked before round 4
+    # (b) never driver-checked before round 4 (+ the new live sliding window)
     "stream_tumbling_counts_live",
     "stream_topk_windowed_live",
+    "stream_sliding_avg_live",
     "dedup_normalized",
     "embed_ann_ivf",  # rows-only (KMeans not SQL-expressible)
     "cube_tile_render",  # rows-only (PNG bytes)
@@ -98,9 +99,7 @@ _PRIORITY = [
     "embed_label_centroids",
     "text_quality",
     "contamination_screen",
-    "pack_sequences",
     "merge_upsert_docs",
-    "data_split_train_valid",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -438,6 +438,100 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 collocations by pointwise mutual information:
+    PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over corpus bigram/unigram counts,
+    with a min-support cut (count >= 5) to kill noise pairs — the standard
+    phrase-detection signal (word2vec-style phrase merging, quality
+    filtering of OCR garbage).
+
+    Plan shape: unigram and bigram counts are both vocabulary-sized
+    aggregates; the unigram table broadcasts onto the bigram table TWICE
+    (left word, right word) and the two corpus totals ride along as
+    broadcast scalars — token rows shuffle only into the two count
+    aggregates, never for scoring. Top-15 is TakeOrdered.
+    """
+    docs = spread(_t(spark, sf_dir, "documents").select("text"))
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    )
+    toks.cache()  # shared by the unigram and bigram count subtrees
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        " transform(sequence(1, size(t) - 1),"
+        "  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        " ELSE array() END"
+    )
+    bi = (
+        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    tot_uni = uni.agg(F.sum("c").alias("n_uni"))
+    tot_bi = bi.agg(F.sum("c_ab").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        bi.join(broadcast(u1), "w1")
+        .join(broadcast(u2), "w2")
+        .crossJoin(broadcast(tot_uni))
+        .crossJoin(broadcast(tot_bi))
+        .select("w1", "w2", "c_ab", rnd(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(15)
+    )
+
+
+ORACLE_PMI = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+bi AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c_ab
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+               i -> {{'w1': t[CAST(i AS INT)], 'w2': t[CAST(i AS INT)+1]}})) AS p
+        FROM toks)
+  GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni, (SELECT sum(c_ab) FROM bi) AS n_bi
+)
+SELECT bi.w1, bi.w2, bi.c_ab,
+       floor(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * ua.c * ub.c)) * 10000 + 0.5) / 10000
+         AS pmi
+FROM bi
+JOIN uni ua ON bi.w1 = ua.w
+JOIN uni ub ON bi.w2 = ub.w
+CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH candidates + exact Jaccard verification
 # ---------------------------------------------------------------------------
 
@@ -592,6 +686,7 @@ QUERIES["anomaly_zscore_daily"] = anomaly_zscore_daily
 QUERIES["session_paths_topk"] = session_paths_topk
 QUERIES["doc_length_percentiles"] = doc_length_percentiles
 QUERIES["bigram_top"] = bigram_top
+QUERIES["pmi_collocations"] = pmi_collocations
 QUERIES["dedup_lsh_verify"] = dedup_lsh_verify
 QUERIES["morton_zorder_cells"] = morton_zorder_cells
 
@@ -601,5 +696,6 @@ ORACLES["anomaly_zscore_daily"] = ORACLE_ANOMALY
 ORACLES["session_paths_topk"] = ORACLE_SESSION_PATHS
 ORACLES["doc_length_percentiles"] = ORACLE_DOC_LENGTH_PCT
 ORACLES["bigram_top"] = ORACLE_BIGRAM_TOP
+ORACLES["pmi_collocations"] = ORACLE_PMI
 ORACLES["dedup_lsh_verify"] = ORACLE_LSH_VERIFY
 ORACLES["morton_zorder_cells"] = ORACLE_MORTON

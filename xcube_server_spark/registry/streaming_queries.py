@@ -268,9 +268,40 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 GROUP BY 1
 """
 
+def stream_sliding_avg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregate executed as a REAL Structured Streaming
+    job (readStream -> watermark -> 6h/2h sliding window agg -> memory
+    sink, availableNow), verified against the SAME DuckDB oracle as the
+    batch twin. Overlapping windows are the state-store stress case the
+    tumbling live query doesn't cover: every event holds 3 windows open
+    until the watermark passes each window's end."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import sliding_avg_stream
+    from ..streaming.run import run_stream_to_batch
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_events_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    out = run_stream_to_batch(
+        spark, staged, sliding_avg_stream, output_mode="complete"
+    )
+    # complete-mode sink may carry duplicate rows across triggers only via
+    # table replacement (memory sink stores the last trigger's table), so
+    # the result is final-window state — identical to the batch twin.
+    return out
+
+
 QUERIES["stream_sliding_avg"] = stream_sliding_avg
+QUERIES["stream_sliding_avg_live"] = stream_sliding_avg_live
 QUERIES["stream_interval_join"] = stream_interval_join
 ORACLES["stream_sliding_avg"] = ORACLE_SLIDING
+ORACLES["stream_sliding_avg_live"] = ORACLE_SLIDING
 ORACLES["stream_interval_join"] = ORACLE_INTERVAL_JOIN
 
 
