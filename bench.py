@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "morton_zorder_cells",
     "pmi_collocations",
     "stream_sliding_avg_live",
+    "embed_quantize_int8",
+    "vocab_coverage",
+    "dedup_retention_summary",
 ]
 
 

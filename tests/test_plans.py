@@ -368,3 +368,30 @@ def test_doc_length_percentiles_partial_merge(spark, sf_dir):
     plan = executed_plan(df)
     assert count_exchanges(df) == 1
     assert plan.count("ObjectHashAggregate") >= 2, plan[:1500]
+
+
+def test_quantize_stays_in_codegen_single_exchange(spark, sf_dir):
+    """Int8 quantize + reconstruct + MSE is one array-function projection:
+    no Python eval operator, and only the |labels|-sized final aggregate
+    shuffles."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["embed_quantize_int8"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan, plan[:1500]
+    assert count_exchanges(df) == 1
+
+
+def test_vocab_coverage_membership_broadcast(spark, sf_dir):
+    """The top-k vocabulary broadcasts onto the token stream — the
+    membership test must never shuffle tokens by term."""
+    df = QUERIES["vocab_coverage"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_retention_shuffles_fingerprints_only(spark, sf_dir):
+    """Both retention flags are window mins over fingerprint partitions:
+    exchanges carry (fp, doc_id, source) triples — 2 fingerprint windows +
+    the final source aggregate."""
+    df = QUERIES["dedup_retention_summary"](spark, sf_dir)
+    assert count_exchanges(df) <= 4

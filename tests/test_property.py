@@ -9,7 +9,7 @@ import math
 
 import duckdb
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from xcube_server_spark.cube.grid import GridMeta, morton_code
@@ -22,13 +22,23 @@ from xcube_server_spark.cube.grid import GridMeta, morton_code
     ),
     st.integers(min_value=0, max_value=6),
 )
+@example(x=900719925.6953125, n=6)  # exact half-way product; see docstring
 def test_rnd_formula_matches_duckdb(x, n):
     """floor(x*10^n + 0.5)/10^n must agree bit-for-bit between Python (IEEE
-    double) and DuckDB — the invariant every oracle comparison rests on."""
+    double) and DuckDB — the invariant every oracle comparison rests on.
+
+    x is passed as a BOUND PARAMETER, which is how every real oracle input
+    arrives (parquet doubles — identical bits in both engines). Feeding x
+    as a SQL decimal literal instead would test DuckDB's literal parser,
+    whose DECIMAL(>15 digits)→DOUBLE cast can land 1 ulp off the correctly
+    rounded value (hypothesis found x=900719925.6953125 where
+    CAST(900719925.6953125 AS DOUBLE) != the IEEE double): oracle SQL must
+    therefore avoid float constants needing >15 significant digits — ours
+    are all short (0.5, thresholds, 10^n scale factors)."""
     p = float(10**n)
     py = math.floor(x * p + 0.5) / p
-    db = duckdb.sql(
-        f"SELECT floor(CAST({x!r} AS DOUBLE) * {p} + 0.5) / {p}"
+    db = duckdb.execute(
+        "SELECT floor(? * ? + 0.5) / ?", [x, p, p]
     ).fetchone()[0]
     assert py == db
 

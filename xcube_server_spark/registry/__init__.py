@@ -96,9 +96,6 @@ _PRIORITY = [
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_neardup_cosine",
-    "embed_label_centroids",
-    "text_quality",
-    "contamination_screen",
     "merge_upsert_docs",
 ]
 

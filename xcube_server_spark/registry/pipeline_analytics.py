@@ -680,6 +680,198 @@ FROM coded GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (compression QA)
+# ---------------------------------------------------------------------------
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column with
+    reconstruction-error accounting per label — the compression step an
+    embedding store runs before ANN indexing (4× smaller than float32), with
+    the error stats that decide whether int8 recall is acceptable.
+
+    Plan shape: quantize + reconstruct + MSE is ONE per-row projection of
+    higher-order array functions (transform/zip_with/aggregate) — pure
+    whole-stage codegen, no UDF, nothing shuffles but the |labels|-sized
+    final aggregate. The quantizer (scale = max|x|, q = floor(x/scale·127 +
+    0.5)) uses the same arithmetic in the DuckDB oracle, so the sketch is
+    bit-verifiable cross-engine.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "scale", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).filter(F.col("scale") > 0)
+    q = v.withColumn(
+        "q", F.expr("transform(v, x -> floor(x / scale * 127 + 0.5))")
+    )
+    mse = q.withColumn(
+        "mse",
+        F.expr(
+            "aggregate(zip_with(v, q, (a, b) -> pow(a - b * scale / 127.0, 2)),"
+            " 0D, (acc, x) -> acc + x) / size(v)"
+        ),
+    )
+    return mse.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg("scale"), 6).alias("avg_scale"),
+        rnd(F.avg(F.col("mse") * 1e6), 4).alias("avg_mse_e6"),
+    )
+
+
+ORACLE_QUANTIZE = """
+WITH prep AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT label, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM prep
+),
+quant AS (
+  SELECT label, v, scale,
+         list_transform(v, x -> floor(x / scale * 127 + 0.5)) AS q
+  FROM scaled WHERE scale > 0
+),
+err AS (
+  SELECT label, scale,
+         list_sum(list_transform(range(1, len(v) + 1),
+                  i -> pow(v[i] - q[i] * scale / 127.0, 2))) / len(v) AS mse
+  FROM quant
+)
+SELECT label, count(*) AS n_vecs,
+       floor(avg(scale) * 1e6 + 0.5) / 1e6 AS avg_scale,
+       floor(avg(mse * 1e6) * 10000 + 0.5) / 10000 AS avg_mse_e6
+FROM err GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fraction of token OCCURRENCES covered by the corpus-wide
+    top-100 vocabulary — the number that sizes a tokenizer's vocab before
+    training (what OOV rate would each source see?).
+
+    Plan shape: the vocabulary is a tiny TakeOrdered over the term-count
+    aggregate and broadcasts back onto the token stream as a left join +
+    flag — token rows shuffle once into the per-source coverage aggregate,
+    never by term for the membership test.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = spread(docs.select("source", "text")).select(
+        "source", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias("covered"),
+            rnd(
+                F.sum(F.coalesce("in_vocab", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM tok GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT {_VOCAB_K}
+)
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END)
+            AS BIGINT) AS covered,
+       floor(sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
+FROM tok GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup retention summary
+# ---------------------------------------------------------------------------
+
+
+def dedup_retention_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention report for the two cheap dedup tiers: how many
+    documents survive exact dedup (md5 of raw text, corpus-wide first-owner
+    wins by min doc_id) and normalized dedup (lowercase + whitespace
+    collapse) — the go/no-go numbers a curation run reads before paying for
+    MinHash.
+
+    Plan shape: both fingerprints are per-row projections; each retention
+    flag is a window min over its fingerprint (high-cardinality partitions),
+    then one |sources|-sized aggregate. Shuffles carry (fp, doc_id, source)
+    triples only — document bodies never leave the scan.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fp_e = F.md5("text")
+    fp_n = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    marked = docs.select(
+        "source", "doc_id", fp_e.alias("fp_e"), fp_n.alias("fp_n")
+    )
+    we = Window.partitionBy("fp_e")
+    wn = Window.partitionBy("fp_n")
+    flags = marked.withColumn(
+        "keep_e", (F.col("doc_id") == F.min("doc_id").over(we)).cast("int")
+    ).withColumn(
+        "keep_n", (F.col("doc_id") == F.min("doc_id").over(wn)).cast("int")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep_e").cast("bigint").alias("kept_exact"),
+        F.sum("keep_n").cast("bigint").alias("kept_normalized"),
+    )
+
+
+ORACLE_RETENTION = r"""
+WITH marked AS (
+  SELECT source, doc_id,
+         md5(text) AS fp_e,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_n
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp_e)
+              THEN 1 ELSE 0 END AS keep_e,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp_n)
+              THEN 1 ELSE 0 END AS keep_n
+  FROM marked
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(keep_e) AS BIGINT) AS kept_exact,
+       CAST(sum(keep_n) AS BIGINT) AS kept_normalized
+FROM flags GROUP BY 1
+"""
+
+
 QUERIES["event_attribution"] = event_attribution
 QUERIES["rfm_segments"] = rfm_segments
 QUERIES["anomaly_zscore_daily"] = anomaly_zscore_daily
@@ -689,6 +881,9 @@ QUERIES["bigram_top"] = bigram_top
 QUERIES["pmi_collocations"] = pmi_collocations
 QUERIES["dedup_lsh_verify"] = dedup_lsh_verify
 QUERIES["morton_zorder_cells"] = morton_zorder_cells
+QUERIES["embed_quantize_int8"] = embed_quantize_int8
+QUERIES["vocab_coverage"] = vocab_coverage
+QUERIES["dedup_retention_summary"] = dedup_retention_summary
 
 ORACLES["event_attribution"] = ORACLE_ATTRIBUTION
 ORACLES["rfm_segments"] = ORACLE_RFM
@@ -699,3 +894,6 @@ ORACLES["bigram_top"] = ORACLE_BIGRAM_TOP
 ORACLES["pmi_collocations"] = ORACLE_PMI
 ORACLES["dedup_lsh_verify"] = ORACLE_LSH_VERIFY
 ORACLES["morton_zorder_cells"] = ORACLE_MORTON
+ORACLES["embed_quantize_int8"] = ORACLE_QUANTIZE
+ORACLES["vocab_coverage"] = ORACLE_VOCAB_COVERAGE
+ORACLES["dedup_retention_summary"] = ORACLE_RETENTION

@@ -1,0 +1,106 @@
+"""Small-file compaction: the maintenance job that keeps append-heavy
+tables scannable.
+
+Streaming appends (``cube append 'current'``, micro-batch sinks) and
+per-trigger writes accumulate many small parquet files; at scan time each
+file costs a task plus footer/open overhead, and at 100 TB a
+million-small-file table turns planning itself into the bottleneck. The
+standard fix is a periodic rewrite that bin-packs data back to
+target-sized files — what Delta's OPTIMIZE / Iceberg's rewrite_data_files
+do — expressed here engine-native over plain parquet directories.
+
+Design notes:
+
+- ``repartition(n)`` (round-robin shuffle) rather than ``coalesce(n)``:
+  coalesce merges whole input partitions without a shuffle, which is
+  cheaper but inherits input skew — a compaction pass exists precisely to
+  fix layout, so it pays the one shuffle for even output files.
+  ``sort_within_partitions`` columns may be supplied to restore a
+  clustering key (e.g. the Z-order code from ``cube/grid``) during the
+  same rewrite, so compaction and re-clustering are one job, not two.
+- The rewrite is atomic-by-rename: data lands in a sibling temp dir,
+  row-count parity is verified against the source, and only then do the
+  directories swap. A crash before the swap leaves the original intact; a
+  crash between the two renames leaves the original recoverable under
+  ``<path>.pre_compact``.
+- No driver-side data movement: listing and sizing use the filesystem;
+  rows move executor-to-executor through the one repartition exchange.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 << 20  # 128 MiB — parquet row-group sweet spot
+
+
+def parquet_files(path: str) -> list[tuple[str, int]]:
+    """(file, size) for every data file under a parquet directory."""
+    out: list[tuple[str, int]] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                fp = os.path.join(root, f)
+                out.append((fp, os.path.getsize(fp)))
+    return out
+
+
+def plan_compaction(
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 8,
+) -> int:
+    """Number of output files a compaction pass should produce, or 0 for
+    no-op (already few/large files). Pure planning — safe to call cheaply
+    from a scheduler to decide whether the rewrite job is worth launching.
+    """
+    files = parquet_files(path)
+    if len(files) < min_files:
+        return 0
+    total = sum(s for _f, s in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    # compacting N files into >= N files is pointless churn
+    return n_out if n_out < len(files) else 0
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 8,
+    sort_within_partitions: list[str] | None = None,
+) -> int:
+    """Rewrite a small-file parquet directory into ``ceil(total/target)``
+    evenly-sized files. Returns the output file count (0 = no-op).
+
+    Verified-then-swapped: the rewrite lands in ``<path>.compact_tmp``,
+    row counts must match the source, then the directories exchange via
+    two renames (original preserved at ``<path>.pre_compact`` until the
+    swap completes, then removed).
+    """
+    n_out = plan_compaction(path, target_file_bytes, min_files)
+    if n_out == 0:
+        return 0
+    src = spark.read.parquet(path)
+    out = src.repartition(n_out)
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    backup = path.rstrip("/") + ".pre_compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    n_src = src.count()
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_src != n_tmp:  # never swap in a bad rewrite
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch: {n_src} source vs {n_tmp} rewritten"
+        )
+    os.rename(path.rstrip("/"), backup)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(backup)
+    return len(parquet_files(path))
