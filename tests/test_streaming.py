@@ -295,3 +295,49 @@ def test_cube_append_stream_current_semantics(spark, tmp_path):
     current = max(t for _, t in got.values())
     batch_max = spark.read.parquet(str(src)).agg(F.max("time")).first()[0]
     assert current == batch_max
+
+
+def test_exactly_once_sink_idempotent(spark, events_path, tmp_path):
+    """ExactlyOnceParquetSink: a real foreachBatch stream lands every source
+    row exactly once; replayed batch ids skip via the ledger, and a
+    partially-committed replay overwrites itself instead of duplicating."""
+    from xcube_server_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink_dir = str(tmp_path / "sink")
+    sink = ExactlyOnceParquetSink(sink_dir)
+    batch = spark.read.parquet(events_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    committed = sink.committed()
+    assert committed, "stream produced no batches"
+    total = batch.count()
+    assert sink.read(spark).count() == total
+
+    # replay a committed batch with DIFFERENT data: ledger fast path skips it
+    sink(batch.limit(5), batch_id=min(committed))
+    assert sink.read(spark).count() == total
+
+    # partial-commit replay: ledger entry missing, directory present —
+    # the rewrite must REPLACE the batch directory, not append to it
+    victim = min(committed)
+    with open(os.path.join(sink_dir, "_committed_batches"), "w") as f:
+        f.writelines(f"{b}\n" for b in sorted(committed - {victim}))
+    src = spark.read.parquet(os.path.join(sink_dir, f"batch_id={victim}"))
+    # materialize before the overwrite — a lazy plan would scan the very
+    # directory the sink is rewriting
+    victim_rows = spark.createDataFrame(src.collect(), src.schema)
+    sink(victim_rows, batch_id=victim)  # replay same content
+    assert sink.read(spark).count() == total
+    assert victim in sink.committed()
