@@ -147,3 +147,22 @@ def test_neardup_salting_bounds_block_width(spark, skewed_embeddings_dir):
     max_block = widths.agg(F.max("count")).collect()[0][0]
     # 2/S of the hot label plus slack for hash imbalance
     assert max_block < 270 * 2 / n_salts * 1.5
+
+
+def test_lsh_verify_inherits_cap_and_filters(spark, adversarial_docs_dir, monkeypatch):
+    """dedup_lsh_verify composes the capped candidate stage with exact
+    Jaccard: under an adversarial all-identical corpus the cap keeps the
+    candidate set bounded, and the verifier then (a) confirms the genuine
+    word-level near-dup pair and (b) rejects LSH false positives below the
+    Jaccard threshold."""
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", "32")
+    from xcube_server_spark.registry.pipeline_analytics import dedup_lsh_verify
+
+    rows = dedup_lsh_verify(spark, adversarial_docs_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    # bounded output (no quadratic blowup from the degenerate bucket)
+    assert len(got) < 100
+    # the genuine near-dup pair survives verification with high similarity
+    assert (2000, 2001) in got and got[(2000, 2001)] >= 0.5
+    # every surviving pair clears the threshold
+    assert all(j >= 0.5 for j in got.values())
