@@ -389,6 +389,32 @@ def test_vocab_coverage_membership_broadcast(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (events by day) + a day filter must prune at
+    PLANNING time: PartitionFilters carries the predicate and the scan
+    reads only the matching day directories — at 100 TB this is the
+    difference between listing 30 directories and scanning the table."""
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.plans.explain import formatted_plan
+    from xcube_server_spark.registry._util import load_table
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").parquet(path)
+
+    target = ev.select(F.min("day").alias("d")).first()["d"]
+    df = spark.read.parquet(path).filter(F.col("day") == F.lit(target))
+    plan = formatted_plan(df)
+    # the day predicate must land in PartitionFilters (planning-time dir
+    # pruning), NOT in PushedFilters/post-scan Filter (file-content work).
+    # (df.inputFiles() can't check this — it lists the pre-pruning index.)
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "PartitionFilters" in plan and "day" in pf, plan[:2000]
+    # and the pruned read returns exactly that day's rows
+    assert df.count() == ev.filter(F.col("day") == F.lit(target)).count()
+
+
 def test_retention_shuffles_fingerprints_only(spark, sf_dir):
     """Both retention flags are window mins over fingerprint partitions:
     exchanges carry (fp, doc_id, source) triples — 2 fingerprint windows +
