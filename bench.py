@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "embed_quantize_int8",
     "vocab_coverage",
     "dedup_retention_summary",
+    "snapshot_diff",
 ]
 
 

@@ -89,7 +89,6 @@ _PRIORITY = [
     "q3_shipping_priority",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components_minhash",
     "dedup_paragraphs",

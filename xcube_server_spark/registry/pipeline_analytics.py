@@ -872,6 +872,93 @@ FROM flags GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC report)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture report between two corpus snapshots: per source,
+    how many documents were added, removed, changed, or unchanged — the
+    audit a nightly re-crawl lands before the merge job runs. The v2
+    snapshot is derived deterministically from the base (drop doc_id%97=0,
+    rewrite text of doc_id%31=0, add a new doc per doc_id%89=0) so both
+    engines diff identical inputs.
+
+    Plan shape: a FULL OUTER join on doc_id carrying (doc_id, source, md5)
+    triples only — document bodies reduce to fingerprints before the
+    shuffle, so the exchange is id-sized at any corpus scale; change
+    classification is a projection over the join's null pattern.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("fp"))
+    v2 = (
+        v1.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "fp",
+            F.when(
+                F.col("doc_id") % 31 == 0, F.md5(F.concat(F.col("fp"), F.lit("v2")))
+            ).otherwise(F.col("fp")),
+        )
+        .unionByName(
+            v1.filter(F.col("doc_id") % 89 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.col("fp"), F.lit("new"))).alias("fp"),
+            )
+        )
+    )
+    j = v1.select(
+        "doc_id", F.col("source").alias("src1"), F.col("fp").alias("fp1")
+    ).join(
+        v2.select(
+            "doc_id", F.col("source").alias("src2"), F.col("fp").alias("fp2")
+        ),
+        "doc_id",
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("change", change)
+        .withColumn("source", F.coalesce("src1", "src2"))
+        .groupBy("source", "change")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 31 = 0 THEN md5(fp || 'v2') ELSE fp END AS fp
+  FROM v1 WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, md5(fp || 'new') AS fp
+  FROM v1 WHERE doc_id % 89 = 0
+),
+j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         coalesce(v1.source, v2.source) AS source,
+         v1.fp AS fp1, v2.fp AS fp2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source,
+       CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+
 QUERIES["event_attribution"] = event_attribution
 QUERIES["rfm_segments"] = rfm_segments
 QUERIES["anomaly_zscore_daily"] = anomaly_zscore_daily
@@ -884,6 +971,7 @@ QUERIES["morton_zorder_cells"] = morton_zorder_cells
 QUERIES["embed_quantize_int8"] = embed_quantize_int8
 QUERIES["vocab_coverage"] = vocab_coverage
 QUERIES["dedup_retention_summary"] = dedup_retention_summary
+QUERIES["snapshot_diff"] = snapshot_diff
 
 ORACLES["event_attribution"] = ORACLE_ATTRIBUTION
 ORACLES["rfm_segments"] = ORACLE_RFM
@@ -897,3 +985,4 @@ ORACLES["morton_zorder_cells"] = ORACLE_MORTON
 ORACLES["embed_quantize_int8"] = ORACLE_QUANTIZE
 ORACLES["vocab_coverage"] = ORACLE_VOCAB_COVERAGE
 ORACLES["dedup_retention_summary"] = ORACLE_RETENTION
+ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
