@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "dedup_retention_summary",
     "snapshot_diff",
+    "sample_temperature",
 ]
 
 

@@ -880,6 +880,81 @@ FROM flags GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.5
+_TEMP_TOTAL = 100
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling: per-source sampling targets
+    proportional to n_s^α (α=0.5), the standard up-weighting of
+    low-resource sources in multilingual/multi-source training mixes
+    (contrast ``sample_mixture``, whose per-source rates are fixed
+    configuration). Targets are derived FROM the corpus counts, then that
+    many documents per source are taken deterministically by md5 order.
+
+    Plan shape: source counts are an aggregate-sized table; the α-weights
+    and their normalizer are computed over it and broadcast back onto the
+    document stream, so selection is one per-source window over md5 order —
+    the same deterministic-rank machinery as ``sample_stratified``, with the
+    rank bound now computed, not configured. Nothing but (source, doc_id,
+    rank) shuffles.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    weighted = counts.withColumn(
+        "w", F.pow(F.col("n_source").cast("double"), _TEMP_ALPHA)
+    )
+    tot = weighted.agg(F.sum("w").alias("w_sum"))
+    targets = (
+        weighted.crossJoin(broadcast(tot))
+        .withColumn(
+            "target_n",
+            F.floor(F.lit(float(_TEMP_TOTAL)) * F.col("w") / F.col("w_sum") + 0.5)
+            .cast("bigint"),
+        )
+        .select("source", "n_source", "target_n")
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.join(broadcast(targets), "source")
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select("source", "doc_id", "rk", "target_n")
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_source FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_source, pow(CAST(n_source AS DOUBLE), {_TEMP_ALPHA}) AS w
+  FROM counts
+),
+targets AS (
+  SELECT source, n_source,
+         CAST(floor({_TEMP_TOTAL}.0 * w / (SELECT sum(w) FROM weighted) + 0.5)
+              AS BIGINT) AS target_n
+  FROM weighted
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.rk, t.target_n
+FROM ranked r JOIN targets t USING (source)
+WHERE r.rk <= t.target_n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff (CDC report)
 # ---------------------------------------------------------------------------
 
@@ -979,6 +1054,7 @@ QUERIES["embed_quantize_int8"] = embed_quantize_int8
 QUERIES["vocab_coverage"] = vocab_coverage
 QUERIES["dedup_retention_summary"] = dedup_retention_summary
 QUERIES["snapshot_diff"] = snapshot_diff
+QUERIES["sample_temperature"] = sample_temperature
 
 ORACLES["event_attribution"] = ORACLE_ATTRIBUTION
 ORACLES["rfm_segments"] = ORACLE_RFM
@@ -993,3 +1069,4 @@ ORACLES["embed_quantize_int8"] = ORACLE_QUANTIZE
 ORACLES["vocab_coverage"] = ORACLE_VOCAB_COVERAGE
 ORACLES["dedup_retention_summary"] = ORACLE_RETENTION
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+ORACLES["sample_temperature"] = ORACLE_SAMPLE_TEMPERATURE
