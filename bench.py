@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "dedup_retention_summary",
     "snapshot_diff",
     "sample_temperature",
+    "rolling_median_daily",
 ]
 
 

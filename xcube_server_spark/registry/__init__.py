@@ -88,7 +88,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_components_minhash",
     "dedup_paragraphs",
     "embed_cosine_topk",

@@ -278,6 +278,62 @@ WHERE sd7 IS NOT NULL AND sd7 > 0
 
 
 # ---------------------------------------------------------------------------
+# Rolling median (robust baseline)
+# ---------------------------------------------------------------------------
+
+
+def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily event value per type, with
+    each day's deviation from it — the robust companion to
+    ``anomaly_zscore_daily`` (a median baseline shrugs off the outliers
+    that inflate a mean/stddev baseline).
+
+    Plan shape: same as the z-score operator — one partial-agg shuffle to
+    the |days|x|types| daily table, then an exact ``percentile`` evaluated
+    over the trailing window frame, partitioned by event_type. Exact window
+    percentiles over a 7-row frame are cheap at any corpus scale because
+    the windowed input is aggregate-sized.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        rnd(F.sum("value"), 2).alias("day_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    return (
+        daily.withColumn("med7", F.percentile("day_value", 0.5).over(w))
+        .filter(F.col("med7").isNotNull() & (F.col("med7") != 0))
+        .select(
+            "event_type",
+            "day",
+            "day_value",
+            rnd("med7", 4).alias("med7"),
+            rnd(F.col("day_value") / F.col("med7"), 4).alias("ratio_to_median"),
+        )
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         floor(sum(value) * 100.0 + 0.5) / 100.0 AS day_value
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, day_value,
+         quantile_cont(day_value, 0.5)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS med7
+  FROM daily
+)
+SELECT event_type, day, day_value,
+       floor(med7 * 10000 + 0.5) / 10000 AS med7,
+       floor(day_value / med7 * 10000 + 0.5) / 10000 AS ratio_to_median
+FROM scored
+WHERE med7 IS NOT NULL AND med7 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Session path mining
 # ---------------------------------------------------------------------------
 
@@ -1055,6 +1111,7 @@ QUERIES["vocab_coverage"] = vocab_coverage
 QUERIES["dedup_retention_summary"] = dedup_retention_summary
 QUERIES["snapshot_diff"] = snapshot_diff
 QUERIES["sample_temperature"] = sample_temperature
+QUERIES["rolling_median_daily"] = rolling_median_daily
 
 ORACLES["event_attribution"] = ORACLE_ATTRIBUTION
 ORACLES["rfm_segments"] = ORACLE_RFM
@@ -1070,3 +1127,4 @@ ORACLES["vocab_coverage"] = ORACLE_VOCAB_COVERAGE
 ORACLES["dedup_retention_summary"] = ORACLE_RETENTION
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
 ORACLES["sample_temperature"] = ORACLE_SAMPLE_TEMPERATURE
+ORACLES["rolling_median_daily"] = ORACLE_ROLLING_MEDIAN
