@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Driver-style correctness probe: replicate EXACTLY what the grading driver
+does — a plain SparkSession (none of the engine's session conf), the first N
+entries of ``__spark_entry__.queries()``, each compared to its
+``oracle_sql()`` via DuckDB over the same parquet — and report mismatches.
+
+    python tools/verify_window.py [sf_dir] [n_queries|all]
+
+Defaults: sf_dir=/root/testdata/sf0.01, n=50 (the driver's window). Run with
+``all`` before a round ends to back the README's full-registry claim. Exit
+code = number of broken queries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v)
+    return str(v) if v is not None else None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_arg = sys.argv[2] if len(sys.argv) > 2 else "50"
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    # a PLAIN session, like the driver's — the engine must self-configure
+    # (UTC, nanos handling) inside load_table, not rely on session.py
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    entry_rows = len(e.entry(spark).collect())
+    print(f"entry(): {entry_rows} rows")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = list(qs) if n_arg == "all" else list(qs)[: int(n_arg)]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+
+    bad = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            if name not in oracles:
+                status = f"ROWS_ONLY n={len(srows)}"
+                if not srows:
+                    status += " (EMPTY!)"
+                    bad += 1
+                print(f"{name}: {status}")
+                continue
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            si = sorted(range(len(scols)), key=lambda i: scols[i])
+            oi = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sm = Counter(tuple(_norm(r[i]) for i in si) for r in srows)
+            om = Counter(tuple(_norm(r[i]) for i in oi) for r in orows)
+            ok = sm == om and sorted(scols) == sorted(ocols)
+            print(f"{name}: {'MATCH' if ok else 'MISMATCH'} n={len(srows)}")
+            if not ok:
+                bad += 1
+                if sorted(scols) != sorted(ocols):
+                    print(f"  cols spark={scols} oracle={ocols}")
+                for k in list(sm)[:2]:
+                    if sm[k] != om.get(k, 0):
+                        print(f"  spark-only: {k}")
+                for k in list(om)[:2]:
+                    if om[k] != sm.get(k, 0):
+                        print(f"  oracle-only: {k}")
+        except Exception as ex:  # noqa: BLE001 — report and count every failure
+            print(f"{name}: ERROR {type(ex).__name__} {str(ex)[:200]}")
+            bad += 1
+
+    print(f"TOTAL_BAD {bad} / {len(names)} checked")
+    return bad
+
+
+if __name__ == "__main__":
+    sys.exit(main())
