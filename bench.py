@@ -147,6 +147,18 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
+    # Detail (spread, cold) goes to stderr; the FINAL stdout line must stay
+    # compact — the driver records only the last ~2.4 KB of stdout and parses
+    # the last line as JSON, so a bloated line starts outside the captured
+    # tail and "parsed" comes back null (that is exactly what happened to
+    # BENCH_r04: spread_min_max pushed the line to ~5.5 KB).
+    print(
+        json.dumps(
+            {"spread_min_max": spread, "cold_total_sec": round(cold_total, 4)},
+            separators=(",", ":"),
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -155,10 +167,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "cold_total_sec": round(cold_total, 4),
                 "repeats": repeats,
-                "spread_min_max": spread,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

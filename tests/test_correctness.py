@@ -10,10 +10,7 @@ from xcube_server_spark.registry import ORACLES, QUERIES
 from .oracle_harness import compare
 
 
-ROWS_ONLY = {
-    "cube_tile_render",  # PNG bytes are not SQL-expressible
-    "embed_ann_ivf",  # KMeans is not SQL-expressible (recall pinned in tests)
-}
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle():

@@ -28,10 +28,14 @@ TABLES = [
 
 
 def _norm(v):
+    if isinstance(v, bool):
+        return v
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, int):
-        return float(v)
+        # ints stay exact above 2^52 — float coercion would false-MATCH
+        # distinct int64s that collide on the same double (ADVICE r04)
+        return float(v) if abs(v) < 2**52 else v
     return str(v) if v is not None else None
 
 
@@ -85,12 +89,11 @@ def main() -> int:
                 bad += 1
                 if sorted(scols) != sorted(ocols):
                     print(f"  cols spark={scols} oracle={ocols}")
-                for k in list(sm)[:2]:
-                    if sm[k] != om.get(k, 0):
-                        print(f"  spark-only: {k}")
-                for k in list(om)[:2]:
-                    if om[k] != sm.get(k, 0):
-                        print(f"  oracle-only: {k}")
+                # sample the symmetric difference — rows that actually differ
+                for k, c in list((sm - om).items())[:3]:
+                    print(f"  spark-only x{c}: {k}")
+                for k, c in list((om - sm).items())[:3]:
+                    print(f"  oracle-only x{c}: {k}")
         except Exception as ex:  # noqa: BLE001 — report and count every failure
             print(f"{name}: ERROR {type(ex).__name__} {str(ex)[:200]}")
             bad += 1

@@ -70,7 +70,21 @@ def _render_pdf_factory(
         arr[ri[ok], rj[ok]] = vals[ok]
         rgba = apply_cmap(arr, vmin, vmax, cmap)
         png = encode_rgba_png(rgba)
-        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx], "png": [png]})
+        # Pre-encode RGBA checksum: sum of packed r<<24|g<<16|b<<8|a over the
+        # tile. NaN/missing pixels are (0,0,0,0) and contribute 0, so the sum
+        # equals a SQL aggregate over only the valid cells — this is what lets
+        # the driver value-check the whole T1-T5 render chain (clip, normalize,
+        # LUT index, flip, tile assignment) without PNG bytes being
+        # SQL-expressible (VERDICT r04 item 1).
+        p = rgba.astype(np.int64)
+        rgba_sum = int(
+            (
+                (p[..., 0] << 24) + (p[..., 1] << 16) + (p[..., 2] << 8) + p[..., 3]
+            ).sum()
+        )
+        return pd.DataFrame(
+            {"tile_y": [ty], "tile_x": [tx], "png": [png], "rgba_sum": [rgba_sum]}
+        )
 
     return render
 
@@ -118,7 +132,7 @@ def render_tiles(
         df = df.filter(pred)
     return df.groupBy("tile_y", "tile_x").applyInPandas(
         _render_pdf_factory(tw, th, vmin, vmax, st.color_bar, var),
-        "tile_y int, tile_x int, png binary",
+        "tile_y int, tile_x int, png binary, rgba_sum long",
     )
 
 

@@ -18,12 +18,61 @@ vectorized, no per-row Python.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Rounded-distance quantum shared by assignment + probe-list selection: both
+# sides of the correctness gate (numpy here, DuckDB in the oracle) floor
+# d2 * 1e6 + 0.5 to an integer before taking argmins, so summation-order ulp
+# noise (numpy pairwise vs SQL sequential) can never flip a nearest-centroid
+# decision. Ties break toward the lowest list_id on both sides.
+_D2_SCALE = 1e6
+
+
+def _rounded_d2(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Integer-rounded squared L2 of each row of ``m`` to each centroid."""
+    d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return np.floor(d2 * _D2_SCALE + 0.5).astype(np.int64)
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmin rounded-L2).
+
+    Explicit Arrow-batched numpy instead of ``KMeansModel.transform`` so the
+    assignment is a deterministic, SQL-expressible function of the PINNED
+    centroids — the DuckDB oracle recomputes it from the persisted centroid
+    table and must agree exactly (VERDICT r04 item 2).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    c_list = centroids.tolist()
+    # fresh StructType — StructType.add would MUTATE the DataFrame's cached
+    # schema object, desyncing the Python-side column list from the JVM plan
+    schema = StructType(
+        list(emb.schema.fields) + [StructField("list_id", IntegerType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = np.asarray(c_list, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2r = _rounded_d2(m, cents)
+            out = pdf.copy()
+            out["list_id"] = d2r.argmin(axis=1).astype("int32")  # ties -> lowest
+            yield out
+
+    return emb.mapInPandas(assign, schema)
 
 
 def ivf_build(
@@ -38,9 +87,12 @@ def ivf_build(
     Returns (assigned DataFrame with ``list_id`` column, centroids array).
     Uses pyspark.ml KMeans (distributed Lloyd's) — the train step is itself
     a Spark job, so building an index over 10^9 vectors is the same code.
+    Assignment goes through :func:`ivf_assign` (rounded argmin-L2 on the
+    trained centroids) so search results are checkable against the pinned
+    centroid table.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
     model = KMeans(
@@ -48,9 +100,41 @@ def ivf_build(
         predictionCol="list_id",
     ).fit(with_vec)
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    assigned = model.transform(with_vec).drop("__features")
-    _ = vector_to_array  # imported for symmetry; assignment keeps arrays
-    return assigned, centroids
+    return ivf_assign(emb, centroids, vec_col=vec_col), centroids
+
+
+def ivf_centroids_base() -> str:
+    """Fixture dir for pinned centroid tables, hive-partitioned by the
+    corpus row count ``n=<count>`` so scale factors don't clobber each other
+    and the (static) oracle SQL can select the right partition by comparing
+    against ``count(*)`` of its ``embeddings`` view."""
+    return os.path.join(tempfile.gettempdir(), "xss_gate_ivf")
+
+
+def write_ivf_centroids(centroids: np.ndarray, n_rows: int) -> str:
+    """Persist trained centroids for the correctness oracle (driver-side
+    pyarrow write — k rows, not a Spark job). Temp-file + rename so a
+    concurrent run at the same scale factor can't observe a half-written
+    file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part_dir = os.path.join(ivf_centroids_base(), f"n={int(n_rows)}")
+    os.makedirs(part_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "list_id": pa.array(range(len(centroids)), type=pa.int32()),
+            "centroid": pa.array(
+                [row.tolist() for row in np.asarray(centroids, dtype=np.float64)],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    tmp = os.path.join(part_dir, f".tmp_{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    final = os.path.join(part_dir, "centroids.parquet")
+    os.replace(tmp, final)
+    return final
 
 
 def ivf_search(
@@ -68,20 +152,26 @@ def ivf_search(
     table partitioned by list_id this is partition pruning, the IVF win.
     """
     q = np.asarray(query, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    # driver-side: distance of the query to each centroid (k values)
-    d = np.linalg.norm(centroids - q[None, :], axis=1)
-    probe_lists = [int(i) for i in np.argsort(d)[:nprobe]]
+    # driver-side: rounded distance of the query to each centroid (k values),
+    # ties toward the lower list_id — the same deterministic selection the
+    # DuckDB oracle makes with ORDER BY d2r, list_id LIMIT nprobe.
+    d2r = _rounded_d2(q[None, :], np.asarray(centroids, dtype=np.float64))[0]
+    order = sorted(range(len(d2r)), key=lambda i: (int(d2r[i]), i))
+    probe_lists = [int(i) for i in order[:nprobe]]
     candidates = assigned.filter(F.col("list_id").isin(probe_lists))
 
-    qn_list = qn.tolist()
+    q_list = q.tolist()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qv = np.asarray(qn_list)
+        qv = np.asarray(q_list, dtype=np.float64)
+        nb = (qv * qv).sum()
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            cos = m @ qv
+            # cos = dot / sqrt(na * nb): the oracle-mirroring form (rounded
+            # to 1e-5 on both sides, absorbing summation-order ulp noise)
+            cos = (m @ qv) / np.sqrt((m * m).sum(axis=1) * nb)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col],

@@ -108,15 +108,18 @@ def cube_geometry_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: full-level batch tile render — per-tile applyInPandas fused
     mask/clip/normalize/colormap stage emitting PNG bytes (T1-T8 + S9).
-    Output: one row per tile with the PNG size (binary itself stays out of
-    the hash check)."""
+
+    Output: one row per tile with the pre-encode RGBA checksum (sum of
+    packed ``r<<24|g<<16|b<<8|a`` over the tile; NaN cells contribute 0).
+    The PNG bytes themselves are not SQL-expressible (zlib), but the
+    checksum is a pure function of the clip/normalize/LUT-index math, so
+    the DuckDB oracle value-checks the whole T1-T5 chain (VERDICT r04 #1).
+    """
     from ..cube.tiles import render_tiles
 
     cat = _demo_catalog(spark)
     tiles = render_tiles(cat, "demo", "conc_tsm", z=cat.datasets["demo"].tile_grid.num_levels - 1, time="current")
-    return tiles.select(
-        "tile_y", "tile_x", F.octet_length("png").alias("png_bytes")
-    )
+    return tiles.select("tile_y", "tile_x", "rgba_sum")
 
 
 QUERIES = {
@@ -163,11 +166,50 @@ FROM {scan} JOIN mask USING (lat_idx, lon_idx)
 GROUP BY time
 ORDER BY 1
 """
+    # --- cube_tile_render: RGBA-checksum oracle over the l0 parquet ------
+    # Mirrors the render UDF bit-for-bit: idx = trunc(clip((v - vmin) /
+    # (vmax - vmin) * 255, 0, 255)) with the SAME double arithmetic order
+    # (``functions/colormap.py:apply_cmap``), LUT inlined as VALUES from the
+    # deterministic anchor-interpolated table, NULL cells contribute 0 (the
+    # render maps them to transparent (0,0,0,0)). Fixture facts pinned here:
+    # z = num_levels-1 -> level 0 (native res), time='current' -> last
+    # time_idx, style conc_tsm = plasma over (0, 100), 32x32 tiles,
+    # inv_y=False so disp_row == lat_idx.
+    from ..functions.colormap import get_lut
+
+    lut = get_lut("plasma")
+    lut_values = ", ".join(
+        f"({i}, {int(r)}, {int(g)}, {int(b)}, {int(a)})"
+        for i, (r, g, b, a) in enumerate(lut)
+    )
+    t_last = len(grid.times) - 1
+    tile_sql = f"""
+WITH lut(idx, r, g, b, a) AS (VALUES {lut_values}),
+cells AS (
+  SELECT CAST(lat_idx // 32 AS INT) AS tile_y,
+         CAST(lon_idx // 32 AS INT) AS tile_x,
+         CASE WHEN conc_tsm IS NULL THEN NULL
+              ELSE CAST(floor(least(greatest(
+                     (CAST(conc_tsm AS DOUBLE) - 0.0) / (100.0 - 0.0) * 255.0,
+                     0.0), 255.0)) AS INT)
+         END AS idx
+  FROM {scan}
+  WHERE time_idx = {t_last}
+)
+SELECT tile_y, tile_x,
+       CAST(coalesce(sum(
+         CAST(r AS BIGINT) * 16777216 + CAST(g AS BIGINT) * 65536
+         + CAST(b AS BIGINT) * 256 + CAST(a AS BIGINT)), 0) AS BIGINT)
+         AS rgba_sum
+FROM cells LEFT JOIN lut USING (idx)
+GROUP BY tile_y, tile_x
+ORDER BY tile_y, tile_x
+"""
     return {
         "cube_point_timeseries": point_sql,
         "cube_geometry_timeseries": geom_sql,
+        "cube_tile_render": tile_sql,
     }
 
 
-# cube_tile_render stays rows-only: PNG bytes are not SQL-expressible
 ORACLES: dict[str, str] = _build_oracles()

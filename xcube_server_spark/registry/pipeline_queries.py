@@ -767,23 +767,89 @@ ORACLES = {
 
 
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (rows-only check — KMeans training is not
-    SQL-expressible; exactness vs brute force is covered by
-    tests/test_similarity.py). nprobe=k here, so the search is exhaustive
-    and the top hit is the query itself at cos 1.0."""
+    """IVF approximate NN with a full value-checked oracle (VERDICT r04 #2).
+
+    KMeans *training* is not SQL-expressible, but the *search* given fixed
+    centroids is: the trained centroids (deterministic seed) are persisted
+    to a fixture table keyed by the corpus row count, and the DuckDB oracle
+    recomputes assignment (argmin rounded-L2), the nprobe list filter, and
+    the cosine top-k from that SAME pinned table. nprobe=3 < k=8, so the
+    inverted-list pruning is real (recall vs brute force is pinned in
+    tests/test_similarity.py)."""
     import numpy as np
 
-    from ..pipeline.similarity import ivf_build, ivf_search
+    from ..pipeline.similarity import ivf_build, ivf_search, write_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(emb, k=8)
+    write_ivf_centroids(centroids, emb.count())  # pin for the oracle
     probe = np.array(
         emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
     )
-    return ivf_search(assigned, centroids, probe, top_k=10, nprobe=8)
+    return ivf_search(assigned, centroids, probe, top_k=10, nprobe=3)
 
 
 QUERIES["embed_ann_ivf"] = embed_ann_ivf
+
+
+def _build_ivf_oracle() -> str:
+    """Static DuckDB twin of ``embed_ann_ivf``: reads the pinned centroid
+    fixture (written by the Spark query earlier in the same sweep — the
+    cube-fixture pattern), recomputes assignment with the SAME integer-
+    rounded squared-L2 (ulp-proof), prunes to the nprobe=3 nearest lists,
+    and ranks by the same 1e-5-rounded cosine."""
+    from ..pipeline.similarity import ivf_centroids_base
+
+    glob = os.path.join(ivf_centroids_base(), "n=*", "*.parquet")
+    return f"""
+WITH cent AS (
+  SELECT CAST(c.list_id AS INT) AS list_id, c.centroid AS centroid
+  FROM read_parquet('{glob}', hive_partitioning=1) c
+  WHERE CAST(c.n AS BIGINT) = (SELECT count(*) FROM embeddings)
+),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+dist AS (
+  SELECT e.vec_id, c.list_id,
+         CAST(floor(sum(
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+         ) * 1000000.0 + 0.5) AS BIGINT) AS d2r
+  FROM embeddings e CROSS JOIN cent c CROSS JOIN idx
+  GROUP BY e.vec_id, c.list_id
+),
+assigned AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2r, list_id) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+probe_lists AS (
+  SELECT list_id FROM dist WHERE vec_id = 0 ORDER BY d2r, list_id LIMIT 3
+),
+p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, a.list_id, e.embedding
+  FROM embeddings e JOIN assigned a USING (vec_id)
+  WHERE a.list_id IN (SELECT list_id FROM probe_lists)
+),
+d AS (
+  SELECT c.vec_id, c.list_id,
+         sum(CAST(c.embedding[i] AS DOUBLE) * p.pe[i]) AS dot,
+         sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)) AS nb
+  FROM cand c CROSS JOIN p CROSS JOIN idx
+  GROUP BY 1, 2
+)
+SELECT vec_id, list_id,
+       floor((dot / sqrt(na * nb)) * 100000.0 + 0.5) / 100000.0 AS cos
+FROM d
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+ORACLES["embed_ann_ivf"] = _build_ivf_oracle()
 
 
 def merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
