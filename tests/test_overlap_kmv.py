@@ -1,0 +1,35 @@
+"""cross_source_overlap_kmv: the sketch estimate must track the exact
+leakage matrix (the exact form is the small-scale oracle of the estimator's
+error bound — VERDICT r04 item 3)."""
+
+from __future__ import annotations
+
+from xcube_server_spark.registry import QUERIES
+
+
+def test_kmv_estimate_tracks_exact_jaccard(spark, sf_dir):
+    exact = {
+        (r["src_a"], r["src_b"]): r["jaccard"]
+        for r in QUERIES["cross_source_overlap"](spark, sf_dir).collect()
+    }
+    est = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in QUERIES["cross_source_overlap_kmv"](spark, sf_dir).collect()
+    }
+    # same pair universe (every source pair appears in both)
+    assert set(est) == set(exact)
+    errs = [abs(est[p] - exact[p]) for p in exact]
+    # K=64 -> stderr ~ sqrt(J(1-J)/64) <= 0.0625; 3-sigma + 1/K granularity
+    assert max(errs) <= 0.2, max(errs)
+    assert sum(errs) / len(errs) <= 0.05, sum(errs) / len(errs)
+
+
+def test_kmv_sketch_bounded(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round2 import (
+        _OVK_K,
+        _kmv_gram_sketch,
+    )
+
+    sk = _kmv_gram_sketch(spark, sf_dir)
+    widths = {r["source"]: r["n"] for r in sk.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert widths and all(n <= _OVK_K for n in widths.values())

@@ -421,3 +421,21 @@ def test_retention_shuffles_fingerprints_only(spark, sf_dir):
     the final source aggregate."""
     df = QUERIES["dedup_retention_summary"](spark, sf_dir)
     assert count_exchanges(df) <= 4
+
+
+def test_kmv_overlap_single_corpus_exchange(spark, sf_dir):
+    """cross_source_overlap_kmv scale contract: the gram-derived data
+    crosses at most ONE corpus-scale exchange — the distinct on the
+    1/16-threshold-filtered (source, hash) pairs. The sketch sub-plan's
+    exchanges are: [optional spread of the raw doc rows — a no-op on any
+    multi-split real corpus], the filtered distinct, and the per-source
+    bottom-K window over the 1/16-filtered set. Everything downstream of
+    the localCheckpoint consumes a |sources|*K-row table and broadcasts."""
+    from xcube_server_spark.registry.pipeline_round2 import _kmv_gram_sketch
+
+    sk = _kmv_gram_sketch(spark, sf_dir)
+    assert count_exchanges(sk) <= 3
+    df = QUERIES["cross_source_overlap_kmv"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # post-checkpoint plan never rescans documents
+    assert count_exchanges(df) <= 4

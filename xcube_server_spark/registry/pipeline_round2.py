@@ -317,14 +317,172 @@ JOIN per_source pa ON pa.source = inter.src_a
 JOIN per_source pb ON pb.source = inter.src_b
 """
 
+# ---------------------------------------------------------------------------
+# cross_source_overlap_kmv — sketch twin of the exact leakage matrix
+# ---------------------------------------------------------------------------
+
+_OVK_K = 64  # sketch size per source
+_OVK_CUT = "1"  # keep md5 hex < '1' (leading nibble 0): 1/16 of hash space
+
+
+def _kmv_gram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source K-minimum-values sketch of word-3-gram md5 hashes.
+
+    The threshold filter is a pure projection (runs in the scan stage);
+    the DISTINCT on the 1/16-filtered (source, hash) pairs is the single
+    corpus-scale exchange of the whole estimator — pinned by
+    tests/test_plans.py::test_kmv_overlap_single_corpus_exchange.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(
+        _t(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("toks"))
+    )
+    filtered = (
+        docs.withColumn(
+            "gram",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ),
+        )
+        .select("source", F.md5(F.col("gram")).alias("hv"))
+        .filter(F.col("hv") < _OVK_CUT)  # map-side: prunes 15/16 pre-shuffle
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OVK_K)
+        .select("source", "hv")
+    )
+
+
+def cross_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch estimate of the pairwise source leakage matrix — the
+    100 TB form of ``cross_source_overlap`` (VERDICT r04 item 3).
+
+    The exact matrix needs a DISTINCT over every (source, gram) pair — a
+    full-corpus exchange. Here each source is summarized by a K-minimum-
+    values sketch of its gram hashes, and pairwise Jaccard is estimated
+    from the union sketch: for X = the K smallest distinct hashes of
+    S_a ∪ S_b, J ≈ |{x ∈ X : x ∈ S_a ∧ x ∈ S_b}| / |X| (Bar-Yossef et al.,
+    the standard KMV set-operation estimator). Deterministic — the hash is
+    md5 hex (identical in Spark and DuckDB, compared lexicographically,
+    which on fixed-length hex equals numeric order) — so the estimate
+    itself is oracle-checkable, and its error vs the exact matrix is
+    pinned in tests/test_pipeline_round2.py.
+
+    Plan shape: the hash-threshold filter (``hv < '1'``, a 1/16 tail cut)
+    runs MAP-SIDE before any exchange, so the only corpus-scale shuffle
+    carries the filtered distinct (source, hash) pairs — 16x less than the
+    exact form, and the production knob: set the cut to ~K·16/n_grams of
+    the hash space and the exchange is sketch-sized (plan-pinned in
+    tests/test_plans.py). The materialized sketch is |sources|·K rows —
+    ``localCheckpoint`` truncates the lineage so the pair expansion (which
+    consumes it twice) never rescans the corpus, then broadcasts.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    sketch = _kmv_gram_sketch(spark, sf_dir).localCheckpoint()
+    srcs = sketch.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    exp = (
+        pairs.join(broadcast(sketch), F.col("source") == F.col("src_a"))
+        .select(
+            "src_a", "src_b", "hv",
+            F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+        )
+        .unionAll(
+            pairs.join(broadcast(sketch), F.col("source") == F.col("src_b"))
+            .select(
+                "src_a", "src_b", "hv",
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+            )
+        )
+    )
+    per_hv = exp.groupBy("src_a", "src_b", "hv").agg(
+        F.max("in_a").alias("ia"), F.max("in_b").alias("ib")
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    ranked = per_hv.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _OVK_K
+    )
+    return (
+        ranked.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_union"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_both"),
+        )
+        .withColumn("est_jaccard", rnd(F.col("n_both") / F.col("k_union"), 6))
+        .select("src_a", "src_b", "k_union", "n_both", "est_jaccard")
+    )
+
+
+ORACLE_OVERLAP_KMV = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents),
+starts AS (
+  SELECT source, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+  FROM toks),
+filt AS (
+  SELECT DISTINCT source, md5(array_to_string(t[i : i + 2], ' ')) AS hv
+  FROM starts
+  WHERE md5(array_to_string(t[i : i + 2], ' ')) < '{_OVK_CUT}'),
+sketch AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM filt)
+  WHERE rn <= {_OVK_K}),
+srcs AS (SELECT DISTINCT source FROM sketch),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source),
+exp AS (
+  SELECT p.src_a, p.src_b, s.hv, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sketch s ON s.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, s.hv, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sketch s ON s.source = p.src_b),
+per_hv AS (
+  SELECT src_a, src_b, hv, max(in_a) AS ia, max(in_b) AS ib
+  FROM exp GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
+    FROM per_hv)
+  WHERE rn <= {_OVK_K})
+SELECT src_a, src_b,
+       count(*) AS k_union,
+       CAST(sum(ia * ib) AS BIGINT) AS n_both,
+       floor((CAST(sum(ia * ib) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+         / 1000000.0 AS est_jaccard
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
 QUERIES["doc_chunking"] = doc_chunking
 QUERIES["sample_mixture"] = sample_mixture
 QUERIES["pii_scrub"] = pii_scrub
 QUERIES["cross_source_overlap"] = cross_source_overlap
+QUERIES["cross_source_overlap_kmv"] = cross_source_overlap_kmv
 ORACLES["doc_chunking"] = ORACLE_CHUNKING
 ORACLES["sample_mixture"] = ORACLE_MIXTURE
 ORACLES["pii_scrub"] = ORACLE_PII
 ORACLES["cross_source_overlap"] = ORACLE_OVERLAP
+ORACLES["cross_source_overlap_kmv"] = ORACLE_OVERLAP_KMV
 
 # ---------------------------------------------------------------------------
 # quality_filter_chain — C4/Gopher-style cascade with audited drop reasons
