@@ -55,6 +55,29 @@ def test_discrete_map_has_flat_steps():
     assert np.array_equal(alut[:, :3], lut[:, :3])
 
 
+def test_round5_reference_names_present():
+    """The 7 reference Miscellaneous names added in round 5
+    (``xcube_server/im/cmaps.py:97-135``) resolve to real anchor LUTs, not
+    the unknown-name fallback."""
+    names = {n for _, _, ns in CMAP_CATEGORIES for n in ns}
+    default = get_lut(DEFAULT_CMAP).tobytes()
+    for wanted in ("CMRmap", "flag", "gist_ncar", "gist_rainbow",
+                   "gist_stern", "gnuplot2", "prism"):
+        assert wanted in names, wanted
+        assert get_lut(wanted).tobytes() != default, wanted
+    # the repeating maps keep their rapid alternation through interpolation:
+    # flag returns to (near-)red after passing white and blue
+    flag = get_lut("flag")
+    assert tuple(flag[0, :3]) == (255, 0, 0)
+    reds = flag[:, 0].astype(int)
+    # at least 3 local maxima of the red channel (cycles survive the LUT)
+    peaks = sum(
+        1 for i in range(1, 255)
+        if reds[i] >= 250 and reds[i] >= reds[i - 1] and reds[i] > reds[i + 1]
+    )
+    assert peaks >= 3, peaks
+
+
 def test_list_cmaps_emits_swatches_for_all():
     doc = list_cmaps()
     names = [n for _, _, entries in doc for n, _ in entries]

@@ -94,3 +94,27 @@ def test_compaction_can_restore_clustering(spark, fragmented):
         ts = [r.ts for r in rows]
         assert ts == sorted(ts), f
     assert glob_span > 0
+
+
+def test_recover_compaction_restores_interrupted_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves only <path>.pre_compact;
+    recover_compaction restores the table and is idempotent."""
+    import os
+    import shutil
+
+    from xcube_server_spark.sources.compaction import recover_compaction
+
+    path = str(tmp_path / "table")
+    spark.range(100).write.parquet(path)
+    # simulate the crash window: table renamed away, tmp leftover present
+    os.rename(path, path + ".pre_compact")
+    os.makedirs(path + ".compact_tmp")
+    assert recover_compaction(path) is True
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".pre_compact")
+    assert not os.path.exists(path + ".compact_tmp")
+    # completed swap + stale backup: backup is dropped, no restore
+    shutil.copytree(path, path + ".pre_compact")
+    assert recover_compaction(path) is False
+    assert not os.path.exists(path + ".pre_compact")
+    assert spark.read.parquet(path).count() == 100

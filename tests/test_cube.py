@@ -550,3 +550,43 @@ def test_computed_cube_time_axis_and_tiles(spark, demo_catalog):
         demo_catalog, "demo-1w-axis", "kd489", z=0, time="current"
     ).collect()
     assert rows and all(r["png"][:8] == b"\x89PNG\r\n\x1a\n" for r in rows)
+
+
+def test_linked_level_indirection(spark, demo_catalog, tmp_path):
+    """`l{i}.link` pointer files graft an externally-stored level into the
+    pyramid (parity: FileStorageMultiLevelDataset's `{i}.link`,
+    xcube_server/mldataset.py:136-198): the catalog resolves the link for
+    both the Spark read and the driver tile fast path, and a relative
+    target resolves against the dataset dir."""
+    import shutil
+
+    src_meta = demo_catalog.datasets["demo"]
+    top = src_meta.tile_grid.num_levels - 1
+    base = str(tmp_path / "linked_demo")
+    shutil.copytree(src_meta.base_path, base)
+    # move the coarsest level out of the dataset dir, leave a pointer
+    external = str(tmp_path / "external_store" / "coarse")
+    shutil.move(f"{base}/l{top}", external)
+    with open(f"{base}/l{top}.link", "w") as f:
+        f.write(external + "\n")
+
+    cat = CubeCatalog(spark)
+    meta = cat.load_meta("linked", base)
+    meta.styles = dict(src_meta.styles)
+    assert cat.level_path("linked", top) == external
+    assert cat.level_path("linked", 0).endswith("/l0")  # no link -> direct
+    # the linked level serves identically to the original
+    orig = demo_catalog.cube("demo", top).count()
+    assert cat.cube("linked", top).count() == orig > 0
+    # tile service renders from the linked level (zoom 0 = coarsest)
+    png = TileService(cat).get_tile("linked", "conc_tsm", 0, 0, 0, time="current")
+    ref = TileService(demo_catalog).get_tile(
+        "demo", "conc_tsm", 0, 0, 0, time="current"
+    )
+    assert png == ref
+    # relative link target also resolves
+    with open(f"{base}/l{top}.link", "w") as f:
+        f.write("l0\n")
+    cat2 = CubeCatalog(spark)
+    cat2.load_meta("linked2", base)
+    assert cat2.level_path("linked2", top).endswith("/l0")

@@ -341,3 +341,20 @@ def test_exactly_once_sink_idempotent(spark, events_path, tmp_path):
     sink(victim_rows, batch_id=victim)  # replay same content
     assert sink.read(spark).count() == total
     assert victim in sink.committed()
+
+
+def test_sink_read_excludes_uncommitted_batch(spark, tmp_path):
+    """A crashed, partially-written batch dir (present on disk, absent from
+    the ledger) is invisible to read() until its replay commits (ADVICE
+    r04: readers must see only the docstring's 'committed batches')."""
+    from xcube_server_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
+    sink(spark.range(10).selectExpr("id AS v"), batch_id=0)
+    # simulate a crash AFTER the data write but BEFORE the ledger append
+    spark.range(7).selectExpr("id AS v").write.mode("overwrite").parquet(
+        os.path.join(sink.path, "batch_id=1")
+    )
+    assert sink.read(spark).count() == 10  # uncommitted dir excluded
+    sink(spark.range(7).selectExpr("id AS v"), batch_id=1)  # replay commits
+    assert sink.read(spark).count() == 17

@@ -158,6 +158,31 @@ class CubeCatalog:
 
     # -- access -------------------------------------------------------------
 
+    def level_path(self, identifier: str, level: int) -> str:
+        """Table path of one LOD level, following a ``l{level}.link``
+        pointer file if present — parity with the reference's
+        ``FileStorageMultiLevelDataset`` ``{i}.link`` indirection
+        (``xcube_server/mldataset.py:136-198``): the link file's text is an
+        external table path (absolute / URI), or a path relative to the
+        dataset directory. Hand-assembled pyramids use this to graft a
+        level stored elsewhere without copying it."""
+        meta = self.datasets[identifier]
+        direct = join_store_path(meta.base_path, f"l{level}")
+        try:
+            with open_store_text(
+                join_store_path(meta.base_path, f"l{level}.link")
+            ) as f:
+                target = f.read().strip()
+        except (OSError, NotImplementedError):
+            # no link file, or a non-local store whose sidecars we can't
+            # read driver-side — serve the direct level table
+            return direct
+        if not target:
+            return direct
+        if "://" not in target and not os.path.isabs(target):
+            target = join_store_path(meta.base_path, target)
+        return target
+
     def cube(self, identifier: str, level: int = 0) -> DataFrame:
         """DataFrame of one LOD level (P2 level projection,
         ``xcube_server/context.py:153-158``)."""
@@ -170,7 +195,7 @@ class CubeCatalog:
                 self._df_cache[key] = apply_computed(self, meta, level)
             else:
                 self._df_cache[key] = self.spark.read.parquet(
-                    join_store_path(meta.base_path, f"l{level}")
+                    self.level_path(identifier, level)
                 )
         return self._df_cache[key]
 

@@ -196,7 +196,9 @@ class TileService:
         level = tg.level_for_zoom(z)
         # Driver-side pyarrow is a LOCAL-store fast path; object-store tiles
         # (s3a://...) return None here and take the scheme-agnostic Spark read.
-        part_dir = f"{meta.base_path}/l{level}/time_idx={t_idx}"
+        # level_path follows a `.link` pointer, so grafted levels keep the
+        # fast path as long as the target is a local table.
+        part_dir = f"{self.catalog.level_path(ds_id, level)}/time_idx={t_idx}"
         parts = local_part_glob(part_dir)
         if not parts:
             return None

@@ -155,11 +155,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    # cached: three consumers (corpus max, median cuts, final agg) read the
-    # customer-sized aggregate without re-scanning the orders fact table —
-    # AQE exchange reuse would usually dedupe these shuffles, but it's a
-    # race-dependent optimization; the cache makes one fact scan certain
-    per_cust.cache()
+    # checkpointed: three consumers (corpus max, median cuts, final agg)
+    # read the customer-sized aggregate without re-scanning the orders fact
+    # table — AQE exchange reuse would usually dedupe these shuffles, but
+    # it's a race-dependent optimization. localCheckpoint over cache(): the
+    # blocks die with the plan instead of leaking in the CacheManager
+    # across invocations (ADVICE r04).
+    per_cust = per_cust.localCheckpoint()
     glob = per_cust.agg(F.max("last_order").alias("corpus_max"))
     rfm = per_cust.crossJoin(broadcast(glob)).withColumn(
         "recency_days", F.datediff("corpus_max", "last_order")
@@ -630,6 +632,11 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
+        # degenerate pair guard (ADVICE r04): two empty token sets give 0/0,
+        # which Spark nulls (row dropped) but IEEE engines NaN (DuckDB's
+        # total order puts NaN above the threshold) — drop them explicitly
+        # and identically on both sides
+        .filter(F.size(F.array_union("toks_a", "toks_b")) > 0)
         .withColumn("jaccard", rnd(jac, 4))
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
@@ -675,6 +682,8 @@ verified AS (
   FROM cands c
   JOIN toks ta ON c.doc_a = ta.doc_id
   JOIN toks tb ON c.doc_b = tb.doc_id
+  -- degenerate-pair guard: both sides drop 0/0 pairs identically
+  WHERE len(list_distinct(list_concat(ta.toks, tb.toks))) > 0
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_MIN}
 """

@@ -187,7 +187,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf.cache()  # reused for df + n_sources; aggregate-sized (vocab × sources)
+    # reused for df + n_sources; aggregate-sized (vocab × sources).
+    # localCheckpoint over cache(): no session-lifetime storage entry.
+    tf = tf.localCheckpoint()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ns = tf.agg(F.countDistinct("source").alias("n"))
     scored = (

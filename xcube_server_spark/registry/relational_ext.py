@@ -466,7 +466,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
     )
-    per_part.cache()  # shared by the scalar-total subtree and the filter
+    # localCheckpoint, not cache(): same single-fact-scan guarantee, but the
+    # materialized blocks are freed when the plan is GC'd — cache() entries
+    # live in the session CacheManager until explicit unpersist and leak
+    # storage across repeated invocations (ADVICE r04)
+    per_part = per_part.localCheckpoint()
     cut = per_part.agg((F.sum("value") * 0.001).alias("cut"))
     return (
         per_part.crossJoin(broadcast(cut))
@@ -539,7 +543,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
-    revenue.cache()  # shared by the scalar-max subtree and the equality filter
+    # localCheckpoint over cache(): one guaranteed fact scan without a
+    # session-lifetime CacheManager entry (ADVICE r04)
+    revenue = revenue.localCheckpoint()
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.crossJoin(broadcast(mx))

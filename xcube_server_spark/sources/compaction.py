@@ -22,7 +22,17 @@ Design notes:
   row-count parity is verified against the source, and only then do the
   directories swap. A crash before the swap leaves the original intact; a
   crash between the two renames leaves the original recoverable under
-  ``<path>.pre_compact``.
+  ``<path>.pre_compact`` — run :func:`recover_compaction` at startup to
+  restore it (the same discipline Delta/Iceberg get from their commit
+  logs, expressed over plain directories).
+- CONCURRENCY CONTRACT (single-writer, no concurrent readers during the
+  swap): the two-rename swap has a window where ``path`` does not exist —
+  a reader that lists the directory in that window fails its scan, and a
+  second concurrent compactor could double-rename. Run compaction from
+  one maintenance job, scheduled when the table has no readers (or behind
+  the serving layer's catalog lock). This is the documented trade for
+  staying on plain parquet directories; a transactional table format is
+  the alternative at the price of a manifest layer.
 - No driver-side data movement: listing and sizing use the filesystem;
   rows move executor-to-executor through the one repartition exchange.
 """
@@ -104,3 +114,26 @@ def compact_parquet_dir(
     os.rename(tmp, path.rstrip("/"))
     shutil.rmtree(backup)
     return len(parquet_files(path))
+
+
+def recover_compaction(path: str) -> bool:
+    """Crash recovery for the two-rename swap (ADVICE r04): if a compactor
+    died between the renames, the table exists only as ``<path>.pre_compact``
+    — restore it. Returns True if a recovery was performed.
+
+    Idempotent and safe to call unconditionally at startup:
+    - table present + stale backup -> drop the backup (swap completed, the
+      cleanup rename was the only casualty);
+    - table missing + backup present -> restore the backup;
+    - leftover ``.compact_tmp`` is always discarded (never verified-swapped).
+    """
+    p = path.rstrip("/")
+    backup, tmp = p + ".pre_compact", p + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(p):
+        shutil.rmtree(backup, ignore_errors=True)
+        return False
+    if os.path.exists(backup):
+        os.rename(backup, p)
+        return True
+    return False

@@ -69,12 +69,15 @@ class ExactlyOnceParquetSink:
             f.write(f"{batch_id}\n")
 
     def read(self, spark) -> DataFrame:
-        """All committed batches as one DataFrame (batch dirs are plain
-        parquet partitions)."""
+        """All COMMITTED batches as one DataFrame (batch dirs are plain
+        parquet partitions). Filtered against the ledger: a crashed,
+        partially-written batch directory whose id never made it into the
+        ledger is invisible to readers — it will be overwritten whole when
+        the batch replays (ADVICE r04)."""
+        committed = self.committed()
         dirs = [
-            os.path.join(self.path, d)
-            for d in sorted(os.listdir(self.path))
-            if d.startswith("batch_id=")
+            os.path.join(self.path, f"batch_id={b}") for b in sorted(committed)
+            if os.path.isdir(os.path.join(self.path, f"batch_id={b}"))
         ]
         if not dirs:
             raise FileNotFoundError(f"no committed batches under {self.path}")
