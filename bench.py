@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "sample_temperature",
     "rolling_median_daily",
+    # round-5 additions
+    "cross_source_overlap_kmv",
+    "stream_sessionize_live",
+    "stream_interval_join_live",
 ]
 
 

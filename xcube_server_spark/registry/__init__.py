@@ -43,57 +43,89 @@ for _m in (
 
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
-# each round to maximize hard signal: (a) queries NEW this round, (b) the
-# rotation debt — queries that have never had a driver row (r1-r3 union
-# covered 97/102; the five left out land here), (c) queries whose CODE or
-# shared plumbing changed this round (the events.ts NTZ normalization in
-# registry/_util.py touches every events-based query; q11/q15 were rewritten
-# from single-partition windows to broadcast scalar aggregates;
-# time_weighted_avg was r3's only red row), then (d) one representative per
-# already-multiply-green family. The TPC-H bulk (green in r1-r3) absorbs the
-# overflow past position 50.
+# each round to maximize hard signal. Round 5 (rotation debt is zero — every
+# registered query has had >= 1 driver-green row across r1-r4, and all 121
+# queries now carry full oracles): (a) queries NEW this round (first-ever
+# driver rows), (b) queries whose oracle was UPGRADED this round from
+# rows-only to full value-hash (the r4 verdict's top ask), (c) queries whose
+# code changed this round (LSH degenerate-pair guard; cache()->
+# localCheckpoint in q11/q15/rfm/tfidf), then (d) 40 rotation slots drawn
+# from the 68 queries that were NOT in r4's window — maximizing fresh
+# signal while every family keeps a representative. The r4-window bulk
+# (just re-proven green) absorbs the overflow past position 50.
 _PRIORITY = [
-    # (a) round-4 analytics/curation operators — need first driver rows
-    *pipeline_analytics.QUERIES,
-    # (b) never driver-checked before round 4 (+ the new live sliding window)
-    "stream_tumbling_counts_live",
-    "stream_topk_windowed_live",
-    "stream_sliding_avg_live",
-    "dedup_normalized",
-    "embed_ann_ivf",  # rows-only (KMeans not SQL-expressible)
-    "cube_tile_render",  # rows-only (PNG bytes)
-    # (c) fixed/rewritten this round
-    "time_weighted_avg",  # r3 red row: unix_micros on TIMESTAMP_NTZ
-    "q11_important_stock",  # single-partition window -> broadcast scalar
-    "q15_top_supplier",  # same rewrite
-    # (c') every events-based query re-proves the ts normalization
-    "stream_tumbling_counts",
-    "stream_sessionize",
-    "stream_user_stats_stateful",
-    "stream_sliding_avg",
-    "stream_interval_join",
-    "stream_dedupe_events",
-    "stream_topk_windowed",
-    "hypertable_rollup_daily",
-    "event_funnel",
-    "user_retention",
-    "ts_gap_fill",
-    "kmv_distinct_sketch",
-    # (d) family representatives (all multiply-green in r1-r3)
-    "cube_point_timeseries",
-    "cube_geometry_timeseries",
-    "array_dim_stats",
-    "tile_grid_subdivision",
-    "q12_priority_shipping",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_exact",
-    "dedup_components_minhash",
-    "dedup_paragraphs",
-    "embed_cosine_topk",
-    "embed_ann_lsh",
-    "embed_neardup_cosine",
-    "merge_upsert_docs",
+    # (a) new this round
+    "cross_source_overlap_kmv",
+    "stream_sessionize_live",
+    "stream_interval_join_live",
+    # (b) oracle upgraded rows-only -> hash-verified
+    "embed_ann_ivf",
+    "cube_tile_render",
+    # (c) code changed this round
+    "dedup_lsh_verify",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "rfm_segments",
+    "tfidf_top_terms",
+    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 40
+    # slots -> window position 50 lands on the last pipeline entry below;
+    # everything after is overflow (multiply-green, re-proven locally).
+    # -- TPC-H (4 structurally-distinct representatives; the family shares
+    #    one plan shape, so breadth goes to the other operator families)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    # -- relational operators
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "agg_rollup",
+    "agg_cube_grouping",
+    "agg_percentiles",
+    "window_rank",
+    "window_running",
+    "topk_global",
+    "pivot_status_by_year",
+    "set_ops_customers",
+    "stats_correlation",
+    "histogram_prices",
+    # -- cube analog operators
+    "ts_range_agg",
+    "ts_weekly_resample",
+    "cube_decimate",
+    "cube_decimate_stride",
+    "bbox_prune",
+    "antimeridian",
+    "minmax_range",
+    "iso_time_format",
+    "clip_normalize",
+    "union_groups",
+    "fanout_ranges",
+    "nearest_point_select",
+    # -- pipeline operators
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_langid",
+    "text_tokens",
+    "text_fingerprint",
+    "multimodal_bytes",
+    "pack_sequences",
+    "contamination_screen",
+    "quality_filter_chain",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
+    "sample_stratified",
+    "text_repetition",
+    "vocab_top_tokens",
+    "pii_scrub",
+    "q5_local_supplier",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -23,12 +23,22 @@ def run_stream_to_batch(
     transform: Callable[[DataFrame], DataFrame],
     output_mode: str = "complete",
     prepare: Callable[[DataFrame], DataFrame] | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """readStream(parquet) → transform → memory sink, availableNow.
 
     The parquet streaming source needs an explicit schema — taken from a
     batch read of the same path (exactly what a production job would pin in
     its catalog). Returns the memory-sink table as a DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored afterwards): a stateful query commits every
+    state-store partition on EVERY trigger, so the partition count must be
+    sized to state volume, not inherited from the batch shuffle default —
+    32 partitions × 4 join state stores at gate scale was ~3 s of pure
+    commit overhead per micro-batch, 4× what the data itself needed. (The
+    count is baked into the checkpoint at first start; production picks it
+    once per expected state size / executor count.)
     """
     batch = spark.read.parquet(source_path)
     stream = (
@@ -41,13 +51,20 @@ def run_stream_to_batch(
     out = transform(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
