@@ -58,6 +58,7 @@ _PRIORITY = [
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
+    "cube_append_lod",
     # (b) oracle upgraded rows-only -> hash-verified
     "embed_ann_ivf",
     "cube_tile_render",
@@ -113,9 +114,9 @@ _PRIORITY = [
     "text_fingerprint",
     "multimodal_bytes",
     "pack_sequences",
-    "contamination_screen",
-    "quality_filter_chain",  # <- window position 50
+    "contamination_screen",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "quality_filter_chain",
     "sample_stratified",
     "text_repetition",
     "vocab_top_tokens",

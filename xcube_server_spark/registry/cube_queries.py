@@ -122,10 +122,84 @@ def cube_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("tile_y", "tile_x", "rgba_sum")
 
 
+_APPEND_W, _APPEND_H = 64, 32  # 3 levels at tile 16
+
+
+def _append_fixture_base() -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"xss_gate_cube_append_{_APPEND_W}x{_APPEND_H}"
+    )
+
+
+def cube_append_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LOD maintenance, driver-checked end to end: a cube is
+    materialized with the FIRST THREE time slices, the remaining two are
+    appended through :class:`~xcube_server_spark.streaming.cube_append.
+    CubeLevelAppendSink` (merge + slice-local stride decimation, exactly
+    once), and the query reports per-(level, slice) stats over the WHOLE
+    pyramid. The DuckDB oracle derives every level from the l0 parquet with
+    the same ``(lat%2^k, lon%2^k)`` stride — so the gate hash-proves that
+    appended slices land in every level exactly as a full rebuild would
+    (reference levels law: ``xcube_server/mldataset.py:296-304``).
+    """
+    from ..sources.cube_ingest import synth_demo_cube, write_cube
+    from ..streaming.cube_append import CubeLevelAppendSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _append_fixture_base()
+    marker = os.path.join(base, "_append_done")
+    cube, grid = synth_demo_cube(spark, width=_APPEND_W, height=_APPEND_H)
+    if not os.path.exists(marker):
+        import dataclasses
+
+        head = cube.filter(F.col("time_idx") < 3)
+        grid_head = dataclasses.replace(grid, times=tuple(grid.times[:3]))
+        _, tg = write_cube(head, grid_head, base, tile_size=16)
+        sink = CubeLevelAppendSink(base, tg.num_levels)
+        sink(cube.filter(F.col("time_idx") == 3), batch_id=0)
+        sink(cube.filter(F.col("time_idx") == 4), batch_id=1)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    frames = []
+    for k in range(3):
+        lv = spark.read.parquet(os.path.join(base, f"l{k}"))
+        frames.append(
+            lv.groupBy("time_idx").agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.count("conc_tsm").alias("valid_cells"),
+                rnd(F.sum("conc_tsm"), 2).alias("sum_tsm"),
+            ).select(F.lit(k).alias("level"), "time_idx", "n_cells",
+                     "valid_cells", "sum_tsm")
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("level", "time_idx")
+
+
+ORACLE_APPEND_LOD = f"""
+WITH l0 AS (
+  SELECT * FROM read_parquet(
+    '{os.path.join(_append_fixture_base(), "l0", "*", "*.parquet")}',
+    hive_partitioning=1)
+),
+ks AS (SELECT unnest(range(0, 3)) AS level)
+SELECT CAST(ks.level AS INT) AS level, l0.time_idx,
+       count(*) AS n_cells,
+       CAST(count(conc_tsm) AS BIGINT) AS valid_cells,
+       floor(sum(CAST(conc_tsm AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_tsm
+FROM l0 CROSS JOIN ks
+WHERE lat_idx % (1 << ks.level) = 0 AND lon_idx % (1 << ks.level) = 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "cube_point_timeseries": cube_point_timeseries,
     "cube_geometry_timeseries": cube_geometry_timeseries,
     "cube_tile_render": cube_tile_render,
+    "cube_append_lod": cube_append_lod,
 }
 
 
@@ -213,3 +287,4 @@ ORDER BY tile_y, tile_x
 
 
 ORACLES: dict[str, str] = _build_oracles()
+ORACLES["cube_append_lod"] = ORACLE_APPEND_LOD
