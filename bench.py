@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
+    "perplexity_buckets",
+    "text_entropy",
+    "embed_pq_ann",
+    "decayed_engagement",
+    "cube_focal_mean",
+    "cube_time_interp",
 ]
 
 

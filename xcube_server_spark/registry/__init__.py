@@ -19,6 +19,7 @@ from . import (
     pipeline_ext,
     pipeline_queries,
     pipeline_round2,
+    pipeline_round5,
     relational,
     relational_ext,
     streaming_queries,
@@ -36,6 +37,7 @@ for _m in (
     pipeline_round2,
     pipeline_curation,
     pipeline_analytics,
+    pipeline_round5,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -44,21 +46,27 @@ for _m in (
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
 # each round to maximize hard signal. Round 5 (rotation debt is zero — every
-# registered query has had >= 1 driver-green row across r1-r4, and all 121
+# registered query has had >= 1 driver-green row across r1-r4, and all 128
 # queries now carry full oracles): (a) queries NEW this round (first-ever
-# driver rows), (b) queries whose oracle was UPGRADED this round from
-# rows-only to full value-hash (the r4 verdict's top ask), (c) queries whose
-# code changed this round (LSH degenerate-pair guard; cache()->
-# localCheckpoint in q11/q15/rfm/tfidf), then (d) 40 rotation slots drawn
-# from the 68 queries that were NOT in r4's window — maximizing fresh
-# signal while every family keeps a representative. The r4-window bulk
-# (just re-proven green) absorbs the overflow past position 50.
+# driver rows — 10 of them), (b) queries whose oracle was UPGRADED this
+# round from rows-only to full value-hash (the r4 verdict's top ask),
+# (c) queries whose code changed this round (LSH degenerate-pair guard;
+# cache()->localCheckpoint in q11/q15/rfm/tfidf), then (d) 33 rotation
+# slots drawn from the queries that were NOT in r4's window — maximizing
+# fresh signal while every family keeps a representative. The r4-window
+# bulk (just re-proven green) absorbs the overflow past position 50.
 _PRIORITY = [
     # (a) new this round
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
     "cube_append_lod",
+    "perplexity_buckets",
+    "text_entropy",
+    "embed_pq_ann",
+    "decayed_engagement",
+    "cube_focal_mean",
+    "cube_time_interp",
     # (b) oracle upgraded rows-only -> hash-verified
     "embed_ann_ivf",
     "cube_tile_render",
@@ -68,9 +76,9 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 40
-    # slots -> window position 50 lands on the last pipeline entry below;
-    # everything after is overflow (multiply-green, re-proven locally).
+    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 33
+    # slots -> window position 50 lands on text_quality below; everything
+    # after is overflow (multiply-green, re-proven locally).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
     "q2_min_cost_supplier",
@@ -108,14 +116,14 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "text_quality",
+    "text_quality",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
     "text_langid",
     "text_tokens",
     "text_fingerprint",
     "multimodal_bytes",
     "pack_sequences",
-    "contamination_screen",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
+    "contamination_screen",
     "quality_filter_chain",
     "sample_stratified",
     "text_repetition",

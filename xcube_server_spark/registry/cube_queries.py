@@ -122,6 +122,110 @@ def cube_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("tile_y", "tile_x", "rgba_sum")
 
 
+def cube_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal (neighborhood) mean of ``conc_chl`` on the newest time
+    slice — the standard raster smoothing/convolution primitive the
+    reference's xarray users reach for with ``DataArray.rolling`` (engine
+    addition; the reference serves rasters but has no focal ops).
+
+    NULL-aware: the mean is over the VALID neighbors only (edge cells see
+    5/3-cell neighborhoods, interior NULL blobs shrink the divisor), which
+    is ``rolling(...).mean(skipna=True)`` semantics.
+
+    Plan shape: each source cell fans out to its 9 target cells via one
+    in-row array explode (no join), then ONE slice-local exchange groups
+    contributions by target cell — map-side partial aggregation compresses
+    the 9x fan-out before it shuffles. At 100 TB the slice is
+    block-partitioned and the same plan holds per block; a halo-exchange
+    ``mapInPandas`` would avoid the shuffle but gives up AQE and is only
+    worth it when the kernel is much larger than 3x3.
+    """
+    cat = _demo_catalog(spark)
+    meta = cat.datasets["demo"]
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    t_last = len(meta.grid.times) - 1
+    src = lv0.filter(F.col("time_idx") == t_last).select(
+        "lat_idx", "lon_idx", F.col("conc_chl").cast("double").alias("v")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    fan = src.select(
+        "v", F.explode(offs).alias("o"),
+        (F.col("lat_idx") + F.col("o.di")).alias("t_lat"),
+        (F.col("lon_idx") + F.col("o.dj")).alias("t_lon"),
+    )
+    h, w = meta.grid.height, meta.grid.width
+    return (
+        fan.filter(
+            (F.col("t_lat") >= 0) & (F.col("t_lat") < h)
+            & (F.col("t_lon") >= 0) & (F.col("t_lon") < w)
+        )
+        .groupBy(
+            F.col("t_lat").alias("lat_idx"), F.col("t_lon").alias("lon_idx")
+        )
+        .agg(
+            F.count("v").alias("n_valid"),
+            rnd(F.avg("v"), 4).alias("focal_mean"),
+        )
+    )
+
+
+# Linear time interpolation between the first two slices at a fixed query
+# instant (driver-side weight from the catalog's time axis, identical
+# literal on both sides).
+_INTERP_AT = "2017-01-20 00:00:00"
+
+
+def _interp_weight(grid) -> float:
+    from datetime import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    t0 = datetime.strptime(grid.times[0], fmt)
+    t1 = datetime.strptime(grid.times[1], fmt)
+    tq = datetime.strptime(_INTERP_AT, fmt)
+    return (tq - t0).total_seconds() / (t1 - t0).total_seconds()
+
+
+def cube_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell linear interpolation of ``conc_chl`` at a timestamp between
+    two slices — the reference selects the NEAREST slice only
+    (``xcube_server/context.py:443-447`` via ``sel(method='nearest')``);
+    linear interpolation in time (xarray ``Dataset.interp``) is the engine
+    addition users ask for when animating between sparse acquisitions.
+
+    NULL contract: a cell interpolates only if BOTH bracketing slices are
+    valid (conc_chl's NULL blob differs between t0 and t1, so all four
+    valid/NULL combinations occur); otherwise NULL — no fill invention.
+
+    Plan shape: one scan pruned to the two bracketing ``time_idx``
+    partitions (planning-time partition pruning — the slices are hive
+    partitions), pivoted into (v0, v1) by ONE cell-keyed aggregate, then
+    pure codegen arithmetic. The interpolation weight is a driver-side
+    literal from the catalog's time axis — no time-table join.
+    """
+    cat = _demo_catalog(spark)
+    meta = cat.datasets["demo"]
+    w = _interp_weight(meta.grid)
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    both = lv0.filter(F.col("time_idx").isin(0, 1)).select(
+        "lat_idx", "lon_idx", "time_idx",
+        F.col("conc_chl").cast("double").alias("v"),
+    )
+    pivoted = both.groupBy("lat_idx", "lon_idx").agg(
+        F.max(F.when(F.col("time_idx") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("time_idx") == 1, F.col("v"))).alias("v1"),
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * F.lit(w)
+    return pivoted.select(
+        "lat_idx", "lon_idx", rnd(interp, 4).alias("interp")
+    )
+
+
 _APPEND_W, _APPEND_H = 64, 32  # 3 levels at tile 16
 
 
@@ -200,6 +304,8 @@ QUERIES = {
     "cube_geometry_timeseries": cube_geometry_timeseries,
     "cube_tile_render": cube_tile_render,
     "cube_append_lod": cube_append_lod,
+    "cube_focal_mean": cube_focal_mean,
+    "cube_time_interp": cube_time_interp,
 }
 
 
@@ -279,10 +385,45 @@ FROM cells LEFT JOIN lut USING (idx)
 GROUP BY tile_y, tile_x
 ORDER BY tile_y, tile_x
 """
+    # --- cube_focal_mean: 3x3 neighborhood mean over the newest slice ----
+    focal_sql = f"""
+WITH offs(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                             (1,-1),(1,0),(1,1)),
+src AS (
+  SELECT lat_idx, lon_idx, CAST(conc_chl AS DOUBLE) AS v
+  FROM {scan} WHERE time_idx = {t_last}
+)
+SELECT src.lat_idx + offs.di AS lat_idx, src.lon_idx + offs.dj AS lon_idx,
+       CAST(count(v) AS BIGINT) AS n_valid,
+       floor(avg(v) * 10000 + 0.5)/10000 AS focal_mean
+FROM src CROSS JOIN offs
+WHERE src.lat_idx + offs.di BETWEEN 0 AND {grid.height - 1}
+  AND src.lon_idx + offs.dj BETWEEN 0 AND {grid.width - 1}
+GROUP BY 1, 2
+"""
+
+    # --- cube_time_interp: linear interp between slices 0 and 1 ----------
+    w_interp = _interp_weight(grid)
+    interp_sql = f"""
+WITH pair2 AS (
+  SELECT lat_idx, lon_idx, time_idx, CAST(conc_chl AS DOUBLE) AS v
+  FROM {scan} WHERE time_idx IN (0, 1)
+)
+SELECT lat_idx, lon_idx,
+       floor((max(CASE WHEN time_idx = 0 THEN v END)
+              + (max(CASE WHEN time_idx = 1 THEN v END)
+                 - max(CASE WHEN time_idx = 0 THEN v END)) * {w_interp!r})
+             * 10000 + 0.5)/10000 AS interp
+FROM pair2
+GROUP BY 1, 2
+"""
+
     return {
         "cube_point_timeseries": point_sql,
         "cube_geometry_timeseries": geom_sql,
         "cube_tile_render": tile_sql,
+        "cube_focal_mean": focal_sql,
+        "cube_time_interp": interp_sql,
     }
 
 

@@ -1,0 +1,404 @@
+"""Round-5 pipeline additions: quality signals and a third ANN tier.
+
+- ``perplexity_buckets`` — CCNet-style head/middle/tail corpus split by
+  unigram-LM log-probability (Wenzek et al., "CCNet: Extracting High
+  Quality Monolingual Datasets from Web Crawl Data"): score every document
+  under the corpus unigram LM, cut the score distribution at the exact
+  33rd/67th percentiles, and report per (source, bucket) counts — the
+  standard curriculum/quality split a pretraining mixture is built from.
+- ``text_entropy`` — per-document Shannon word entropy and type-token
+  ratio: the two repetition-robust quality features ``text_quality``
+  (length/punct/stopword ratios) does not cover. Low entropy at normal
+  length flags templated/spammy documents.
+- ``embed_pq_ann`` — product-quantization ANN (FAISS ``PQ8x4``-style,
+  Jégou et al., "Product Quantization for Nearest Neighbor Search"): the
+  64-dim space splits into 8 subspaces; each subvector is encoded to its
+  nearest of 16 codewords; a probe query ranks the corpus by asymmetric
+  (ADC) distance — sum over subspaces of the probe-to-codeword distance.
+  Completes the similarity ladder: exact (``embed_cosine_topk``) → static
+  buckets (``embed_ann_lsh``) → trained coarse quantizer (``embed_ann_ivf``)
+  → compressed-domain search (here). At 100 TB the corpus is stored as
+  M=8 one-byte codes per vector (64x compression vs float32); search
+  never touches the raw vectors.
+- ``decayed_engagement`` — per-user exponentially time-decayed value sum
+  (half-life style recency weighting, the standard feature for "current
+  engagement" ranking). The anchor time and the per-event age quantize to
+  whole seconds before ``exp`` so both engines evaluate the same closed
+  set of exponent arguments.
+
+All four carry full DuckDB oracles. Reference has no counterpart (these
+are engine additions for the training-data pipeline, like the rest of the
+pipeline_* families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ._util import load_table as _t
+from ._util import rnd, spread
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail split of the corpus by unigram log-probability.
+
+    Plan shape: the unigram LM (term → count) is vocabulary-sized and
+    broadcasts into the scoring join, so token rows never shuffle; per-doc
+    scores aggregate in one doc-keyed exchange; the two percentile cuts are
+    a doc-count-sized aggregate that rides into the bucketing as ONE
+    broadcast scalar row (no window, no second pass over tokens). Final
+    per-(source, bucket) rollup is a tiny aggregate. Scores round to 4
+    decimals BEFORE the cuts are taken so the cut arithmetic sees the same
+    multiset in both engines (the proven ``unigram_logprob`` discipline).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tokf = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    freq = tokf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("total"))
+    scored = (
+        tokf.join(broadcast(freq), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            rnd(F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 4).alias(
+                "lp"
+            )
+        )
+        # Consumed twice below (cut computation + bucketing): materialize the
+        # doc-count-sized score table once instead of re-running the token
+        # explode + LM join per consumer (localCheckpoint, not cache — no
+        # storage-entry leak in long-lived sessions, lineage truncated).
+        .localCheckpoint(eager=False)
+    )
+    cuts = scored.agg(
+        F.percentile("lp", 1.0 / 3.0).alias("c_lo"),
+        F.percentile("lp", 2.0 / 3.0).alias("c_hi"),
+    )
+    bucketed = (
+        scored.crossJoin(broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(F.col("lp") >= F.col("c_hi"), F.lit("head"))
+            .when(F.col("lp") >= F.col("c_lo"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    # Report sum_lp, not avg_lp: per-doc lp is exact at 4 decimals, so the
+    # bucket sum is a 4-decimal decimal that lands mid-interval under the
+    # floor(x*1e4 + 0.5) quantum — summation-order ulp noise cannot move it
+    # across a boundary. An avg of n such values has log10(n) extra decimal
+    # digits and sits exactly ON the boundary, where the two engines'
+    # summation orders flip the last digit (observed at sf0.01).
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.sum("lp"), 4).alias("sum_lp"),
+    )
+
+
+ORACLE_PERPLEXITY_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+freq AS (SELECT term, count(*) AS c FROM tokf GROUP BY 1),
+tot AS (SELECT sum(c) AS total FROM freq),
+scored AS (
+  SELECT doc_id,
+         floor(avg(ln(CAST(c AS DOUBLE)/total)) * 10000 + 0.5)/10000 AS lp
+  FROM tokf JOIN freq USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(lp, 1.0/3.0) AS c_lo,
+         quantile_cont(lp, 2.0/3.0) AS c_hi
+  FROM scored
+),
+bucketed AS (
+  SELECT s.doc_id, s.lp,
+         CASE WHEN s.lp >= cuts.c_hi THEN 'head'
+              WHEN s.lp >= cuts.c_lo THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s CROSS JOIN cuts
+)
+SELECT d.source, b.bucket, count(*) AS n_docs,
+       floor(sum(b.lp) * 10000 + 0.5)/10000 AS sum_lp
+FROM bucketed b JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document word entropy + type-token ratio
+# ---------------------------------------------------------------------------
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the word distribution and type-token ratio per
+    document.
+
+    Plan shape: one explode into a (doc_id, term) count aggregate —
+    map-side partial aggregation compresses repeated terms before the
+    exchange, so it carries per-doc term counts (bounded by per-doc
+    vocabulary, not token count); a second doc-keyed aggregate folds
+    counts into the entropy sum. Two bounded exchanges, everything codegen
+    arithmetic — no UDFs, and O(tokens) per doc (an array-lambda
+    formulation would be shuffle-free but O(tokens^2) on long documents).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tokf = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    per_term = tokf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = F.sum("c")
+    p = F.col("c").cast("double") / n_tok
+    return per_term.groupBy("doc_id").agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        rnd(F.count(F.lit(1)).cast("double") / n_tok, 4).alias("ttr"),
+        rnd(
+            -F.sum(
+                F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+            )
+            / n_tok
+            + F.log(n_tok.cast("double")),
+            4,
+        ).alias("entropy"),
+    )
+
+
+# Entropy is folded as  H = log(N) - sum(c*log c)/N  — one aggregate pass,
+# and the identical expression shape on both sides keeps the float path
+# bit-compatible before rounding.
+ORACLE_TEXT_ENTROPY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+per_term AS (
+  SELECT doc_id, term, count(*) AS c FROM tokf GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       floor(CAST(count(*) AS DOUBLE) / sum(c) * 10000 + 0.5)/10000 AS ttr,
+       floor((
+         -sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)
+         + ln(CAST(sum(c) AS DOUBLE))
+       ) * 10000 + 0.5)/10000 AS entropy
+FROM per_term
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC search)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace (8 * 8 = 64)
+_PQ_K = 16  # codewords per subspace
+# Shared distance quantum with the IVF tier (pipeline/similarity.py):
+# rounded-integer squared distances make argmin/ranking decisions identical
+# across numpy and DuckDB float summation orders.
+_PQ_D2_SCALE = 1e6
+
+
+def embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: encode the corpus to 8x4-bit codes against a
+    deterministic codebook, rank by asymmetric distance to the probe.
+
+    The codebook needs no training step: codeword j of every subspace is
+    the j-th anchor vector's subvector, anchors being the 16 corpus vectors
+    ranked by ``md5(vec_id)`` — a pure, seedless function of the data that
+    both engines recompute identically (the ``sample_stratified``
+    determinism trick applied to codebook construction). Real systems train
+    per-subspace k-means; the encode/search dataflow — the part that runs
+    over the 100 TB corpus — is identical, and swapping in trained
+    codewords is a driver-side change.
+
+    Plan shape: anchors and the probe are a 17-row driver-side lookup
+    (driver-sized, like the IVF centroid pin); encoding + ADC scoring is
+    ONE Arrow-batched ``mapInPandas`` stage over the corpus scan — each
+    vector reduces to M=8 codes and an integer ADC score in-flight, so
+    nothing vector-sized ever shuffles; top-10 is TakeOrdered. At scale the
+    codes column is materialized once and reused per query with a 16x8
+    lookup table — search cost is M integer adds per vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_PQ_K)
+        .collect()
+    )
+    codebook = np.array(
+        [r["embedding"] for r in anchors_rows], dtype=np.float64
+    ).reshape(_PQ_K, _PQ_M, _PQ_DSUB)
+    probe = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"],
+        dtype=np.float64,
+    ).reshape(_PQ_M, _PQ_DSUB)
+
+    # probe-to-codeword table: qd2r[s, j] — integer-rounded squared L2
+    qd2 = ((probe[None, :, :] - codebook) ** 2).sum(axis=2)  # (K, M)
+    qd2r = np.floor(qd2 * _PQ_D2_SCALE + 0.5).astype(np.int64).T  # (M, K)
+    cb_list = codebook.tolist()
+    qd2r_list = qd2r.tolist()
+
+    def score(batches):
+        cb = np.asarray(cb_list, dtype=np.float64)  # (K, M, DSUB)
+        qt = np.asarray(qd2r_list, dtype=np.int64)  # (M, K)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sub = m.reshape(len(pdf), _PQ_M, _PQ_DSUB)
+            # d2[n, j, s]: vector n's subspace s to codeword j
+            d2 = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            d2r = np.floor(d2 * _PQ_D2_SCALE + 0.5).astype(np.int64)
+            codes = d2r.argmin(axis=1)  # (n, M); ties -> lowest j
+            adc = qt[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "adc": adc,
+                }
+            )
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .mapInPandas(score, "vec_id long, label int, adc long")
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_PQ_ANN = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rk
+  FROM embeddings
+),
+anchors AS (SELECT rk - 1 AS j, embedding AS a FROM ranked WHERE rk <= {_PQ_K}),
+probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+dims AS (SELECT unnest(range(1, {_PQ_DSUB + 1})) AS d),
+-- corpus-subvector -> codeword distances (integer-rounded)
+celld AS (
+  SELECT e.vec_id, subs.s, anchors.j,
+         CAST(floor(sum(
+           power(CAST(e.embedding[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE)
+               - CAST(anchors.a[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE), 2)
+         ) * {_PQ_D2_SCALE:.0f} + 0.5) AS BIGINT) AS d2r
+  FROM embeddings e CROSS JOIN subs CROSS JOIN anchors CROSS JOIN dims
+  WHERE e.vec_id <> 0
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, j
+  FROM (SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2r, j) AS pick
+        FROM celld)
+  WHERE pick = 1
+),
+-- probe-subvector -> codeword distances
+pcd AS (
+  SELECT subs.s, anchors.j,
+         CAST(floor(sum(
+           power(CAST(probe.pe[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE)
+               - CAST(anchors.a[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE), 2)
+         ) * {_PQ_D2_SCALE:.0f} + 0.5) AS BIGINT) AS qd2r
+  FROM probe CROSS JOIN subs CROSS JOIN anchors CROSS JOIN dims
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT codes.vec_id, sum(pcd.qd2r) AS adc
+  FROM codes JOIN pcd USING (s, j)
+  GROUP BY 1
+)
+SELECT e.vec_id, e.label, CAST(adc.adc AS BIGINT) AS adc
+FROM adc JOIN embeddings e USING (vec_id)
+ORDER BY adc.adc ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed engagement
+# ---------------------------------------------------------------------------
+
+_DECAY_TAU_S = 86400.0  # 1-day time constant
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted value sum: ``sum(value * exp(-age/tau))``
+    with age measured back from the corpus max timestamp.
+
+    Plan shape: the anchor (global max ts) is a scalar aggregate riding in
+    as ONE broadcast row; the decayed sum is a plain partial-merge
+    aggregate keyed by user_id — one corpus exchange total, all codegen.
+    Ages quantize to whole integer seconds (micros div 1e6, identical
+    truncation on both engines) before ``exp`` so both engines evaluate
+    identical double arguments (libm parity discipline).
+    """
+    ev = _t(spark, sf_dir, "events")
+    t_s = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    anchor = ev.agg(F.max(t_s).alias("t_max"))
+    age_s = F.col("t_max") - t_s
+    return (
+        ev.crossJoin(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(
+                F.sum(F.col("value") * F.exp(-age_s.cast("double") / _DECAY_TAU_S)),
+                4,
+            ).alias("decayed_value"),
+        )
+    )
+
+
+ORACLE_DECAYED_ENGAGEMENT = f"""
+WITH anchor AS (SELECT max(epoch_us(ts) // 1000000) AS t_max FROM events)
+SELECT user_id, count(*) AS n_events,
+       floor(sum(value * exp(-CAST(t_max - epoch_us(ts) // 1000000 AS DOUBLE)
+                             / {_DECAY_TAU_S})) * 10000 + 0.5)/10000
+         AS decayed_value
+FROM events CROSS JOIN anchor
+GROUP BY user_id
+"""
+
+
+QUERIES["perplexity_buckets"] = perplexity_buckets
+QUERIES["text_entropy"] = text_entropy
+QUERIES["embed_pq_ann"] = embed_pq_ann
+QUERIES["decayed_engagement"] = decayed_engagement
+
+ORACLES["perplexity_buckets"] = ORACLE_PERPLEXITY_BUCKETS
+ORACLES["text_entropy"] = ORACLE_TEXT_ENTROPY
+ORACLES["embed_pq_ann"] = ORACLE_PQ_ANN
+ORACLES["decayed_engagement"] = ORACLE_DECAYED_ENGAGEMENT
