@@ -439,3 +439,72 @@ def test_kmv_overlap_single_corpus_exchange(spark, sf_dir):
     assert has_broadcast_join(df)
     # post-checkpoint plan never rescans documents
     assert count_exchanges(df) <= 4
+
+
+def test_cube_time_interp_prunes_to_two_partitions(spark, sf_dir):
+    """The interp scan must plan-time prune to the two bracketing time_idx
+    partitions, pivot in ONE cell-keyed exchange, and never join a time
+    table (the weight is a driver-side literal)."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cube_time_interp"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [time_idx" in plan, plan[:2000]
+    assert count_exchanges(df) == 1
+
+
+def test_cube_focal_mean_single_slice_exchange(spark, sf_dir):
+    """Focal mean: partition-pruned single-slice scan, in-row offset
+    explode (no join), one exchange grouping contributions by target
+    cell."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cube_focal_mean"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "time_idx" in plan, plan[:2000]
+    assert count_exchanges(df) == 1
+    assert "Join" not in plan
+
+
+def test_perplexity_buckets_lm_broadcasts(spark, sf_dir):
+    """The unigram LM and the percentile cuts must both ride as broadcasts
+    into the scoring/bucketing joins — token rows never shuffle into a
+    join; post-checkpoint the token pipeline runs exactly once (the
+    checkpointed score table absorbs the cut + bucket consumers)."""
+    df = QUERIES["perplexity_buckets"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_decayed_engagement_one_corpus_exchange(spark, sf_dir):
+    """The anchor timestamp is a broadcast scalar; the decayed sum is one
+    user-keyed partial-merge aggregate — a single corpus-scale exchange
+    (the anchor's own single-row exchange is size-constant)."""
+    df = QUERIES["decayed_engagement"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_text_entropy_stays_in_codegen(spark, sf_dir):
+    """Entropy/TTR are pure codegen aggregates — no Python stage in the
+    plan; exchanges are the CPU-spreading repartition plus two bounded
+    aggregates."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["text_entropy"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert count_exchanges(df) <= 3
+
+
+def test_embed_pq_ann_takeordered_single_python_stage(spark, sf_dir):
+    """PQ search: exactly one Arrow-batched Python stage (encode+ADC fused),
+    top-10 via TakeOrdered — no global sort, nothing vector-sized
+    shuffles."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["embed_pq_ann"](spark, sf_dir)
+    executed = executed_plan(df)
+    assert executed.count("MapInPandas") == 1, executed[:2000]
+    assert "TakeOrderedAndProject" in executed
+    assert count_exchanges(df) == 0
