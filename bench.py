@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "decayed_engagement",
     "cube_focal_mean",
     "cube_time_interp",
+    "cube_cell_anomaly",
+    "winsorized_mean",
 ]
 
 

@@ -508,3 +508,24 @@ def test_embed_pq_ann_takeordered_single_python_stage(spark, sf_dir):
     assert executed.count("MapInPandas") == 1, executed[:2000]
     assert "TakeOrderedAndProject" in executed
     assert count_exchanges(df) == 0
+
+
+def test_cube_cell_anomaly_single_pass(spark, sf_dir):
+    """History stats and the newest value fold in ONE cell-keyed aggregate
+    over one scan — no self-join, no second scan of the cube."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["cube_cell_anomaly"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_winsorized_mean_cuts_broadcast(spark, sf_dir):
+    """The per-type percentile cut table must broadcast back onto the event
+    scan; the winsorized aggregate is one type-keyed exchange plus the
+    cut aggregate itself."""
+    df = QUERIES["winsorized_mean"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2

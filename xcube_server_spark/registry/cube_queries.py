@@ -226,6 +226,51 @@ def cube_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell temporal anomaly: z-score of the NEWEST slice against each
+    cell's own history (climatology) — the cube-native counterpart of the
+    events-table ``anomaly_zscore_daily``. The reference exposes per-step
+    spatial stats (``xcube_server/controllers/time_series.py``); per-cell
+    temporal stats are the transpose, and the standard "is this
+    acquisition anomalous here?" product query.
+
+    Variance comes from explicit moments (``sum``, ``sum_sq``, ``n``) with
+    the identical expression on both engines — the ``stats_correlation``
+    discipline — instead of ``stddev``'s engine-specific streaming
+    algorithm. Cells with fewer than 2 valid historical slices, zero
+    variance, or a NULL newest value yield NULL.
+
+    Plan shape: ONE cell-keyed aggregate over the full (5-slice) scan —
+    history and newest value fold in the same pass (``max(CASE WHEN
+    t=last)``), so no self-join and no second scan. At 100 TB with
+    spatial-block layout the aggregate is partition-local per block.
+    """
+    cat = _demo_catalog(spark)
+    meta = cat.datasets["demo"]
+    t_last = len(meta.grid.times) - 1
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    cells = lv0.select(
+        "lat_idx", "lon_idx", "time_idx",
+        F.col("conc_chl").cast("double").alias("v"),
+    )
+    hist = F.when(F.col("time_idx") != t_last, F.col("v"))
+    agged = cells.groupBy("lat_idx", "lon_idx").agg(
+        F.count(hist).alias("n_hist"),
+        F.sum(hist).alias("s"),
+        F.sum(hist * hist).alias("s2"),
+        F.max(F.when(F.col("time_idx") == t_last, F.col("v"))).alias("v_now"),
+    )
+    mean = F.col("s") / F.col("n_hist")
+    var = F.col("s2") / F.col("n_hist") - mean * mean
+    z = F.when(
+        (F.col("n_hist") >= 2) & (var > 0),
+        (F.col("v_now") - mean) / F.sqrt(var),
+    )
+    return agged.select(
+        "lat_idx", "lon_idx", "n_hist", rnd(z, 4).alias("z")
+    )
+
+
 _APPEND_W, _APPEND_H = 64, 32  # 3 levels at tile 16
 
 
@@ -306,6 +351,7 @@ QUERIES = {
     "cube_append_lod": cube_append_lod,
     "cube_focal_mean": cube_focal_mean,
     "cube_time_interp": cube_time_interp,
+    "cube_cell_anomaly": cube_cell_anomaly,
 }
 
 
@@ -418,12 +464,36 @@ FROM pair2
 GROUP BY 1, 2
 """
 
+    # --- cube_cell_anomaly: z of newest slice vs per-cell history --------
+    anomaly_sql = f"""
+WITH cells AS (
+  SELECT lat_idx, lon_idx, time_idx, CAST(conc_chl AS DOUBLE) AS v
+  FROM {scan}
+),
+agged AS (
+  SELECT lat_idx, lon_idx,
+         count(CASE WHEN time_idx <> {t_last} THEN v END) AS n_hist,
+         sum(CASE WHEN time_idx <> {t_last} THEN v END) AS s,
+         sum(CASE WHEN time_idx <> {t_last} THEN v * v END) AS s2,
+         max(CASE WHEN time_idx = {t_last} THEN v END) AS v_now
+  FROM cells
+  GROUP BY 1, 2
+)
+SELECT lat_idx, lon_idx, CAST(n_hist AS BIGINT) AS n_hist,
+       floor(CASE WHEN n_hist >= 2 AND (s2 / n_hist - (s / n_hist) * (s / n_hist)) > 0
+                  THEN (v_now - s / n_hist)
+                       / sqrt(s2 / n_hist - (s / n_hist) * (s / n_hist))
+             END * 10000 + 0.5)/10000 AS z
+FROM agged
+"""
+
     return {
         "cube_point_timeseries": point_sql,
         "cube_geometry_timeseries": geom_sql,
         "cube_tile_render": tile_sql,
         "cube_focal_mean": focal_sql,
         "cube_time_interp": interp_sql,
+        "cube_cell_anomaly": anomaly_sql,
     }
 
 

@@ -393,7 +393,66 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Winsorized (robust) mean per event type
+# ---------------------------------------------------------------------------
+
+
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type value statistics: clamp ``value`` into its
+    type's exact [p05, p95] band, then average — the standard robust-mean
+    treatment for heavy-tailed engagement metrics, complementing
+    ``anomaly_zscore_daily`` (which flags outliers, this neutralizes
+    them).
+
+    Plan shape: the per-type cut table is a partial-merge percentile
+    aggregate (|event_types| rows) that broadcasts back onto the event
+    scan; the winsorized aggregate is one corpus exchange keyed by type.
+    Exact percentiles are intentional: at 100 TB the per-type digest-merge
+    still beats a global sort, and the cut table stays dimension-sized.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+            rnd(F.avg(clamped), 4).alias("win_mean"),
+        )
+    )
+
+
+ORACLE_WINSORIZED_MEAN = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       floor(avg(least(greatest(e.value, c.lo), c.hi)) * 10000 + 0.5)/10000
+         AS win_mean
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES["perplexity_buckets"] = perplexity_buckets
+QUERIES["winsorized_mean"] = winsorized_mean
+ORACLES["winsorized_mean"] = ORACLE_WINSORIZED_MEAN
 QUERIES["text_entropy"] = text_entropy
 QUERIES["embed_pq_ann"] = embed_pq_ann
 QUERIES["decayed_engagement"] = decayed_engagement
