@@ -371,3 +371,35 @@ def test_wmts_rest_tile(server):
     assert status == 200 and ctype == "image/png"
     rgba = decode_rgba_png(body)
     assert rgba.shape[:2] == (32, 32)
+
+
+def test_wmts_get_feature_info(server):
+    """GetFeatureInfo — implemented where the reference raises 'not yet
+    implemented' (xcube_server/handlers.py:103-104). Pixel (i, j) of a
+    tile resolves to the cell value via index arithmetic + one-cell
+    pyarrow read; masked steps report value: null."""
+    import math
+
+    status, ctype, body = _get(
+        f"{server}/wmts/kvp?Service=WMTS&Request=GetFeatureInfo"
+        "&Layer=demo.conc_tsm&TileMatrix=1&TileCol=0&TileRow=0"
+        "&I=5&J=7&Time=current"
+    )
+    assert status == 200 and "json" in ctype
+    info = json.loads(body)
+    # fixture grid: 64x32 over (0, 50, 5, 52.5); z=1 is native res
+    lon = 0.0 + 5.5 * (5.0 / 64)
+    lat = 52.5 - 7.5 * (2.5 / 32)
+    assert abs(info["lon"] - lon) < 1e-9 and abs(info["lat"] - lat) < 1e-9
+    expected = 30.0 * (math.sin(lon * 2.0) + math.cos(lat * 3.0)) + 4 * 5.0 + 40.0
+    # float32 storage: compare at float32 precision
+    assert abs(info["value"] - expected) < 1e-4
+    assert info["time"].startswith("2017-01-30")
+    # masked time step (conc_tsm all-NULL at time_idx 2) -> value null
+    status, _, body = _get(
+        f"{server}/wmts/kvp?Service=WMTS&Request=GetFeatureInfo"
+        "&Layer=demo.conc_tsm&TileMatrix=1&TileCol=0&TileRow=0"
+        "&I=5&J=7&Time=2017-01-26"
+    )
+    assert status == 200
+    assert json.loads(body)["value"] is None

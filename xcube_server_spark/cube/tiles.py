@@ -318,3 +318,111 @@ class TileService:
         if self._file_cache is not None:
             self._file_cache.put(key, png)
         return png
+
+    def get_feature_info(
+        self,
+        ds_id: str,
+        var: str,
+        z: int,
+        x: int,
+        y: int,
+        i: int,
+        j: int,
+        time: str | None = None,
+    ) -> dict:
+        """WMTS ``GetFeatureInfo``: the variable value under pixel (i, j)
+        of tile (z, x, y) — IMPLEMENTED where the reference raises
+        ``'Request type "GetFeatureInfo" not yet implemented'``
+        (``xcube_server/handlers.py:103-104``), the same finish-the-stub
+        policy as ``query_expr`` (P11).
+
+        Pixel → cell is pure index arithmetic on the level grid (display
+        row flips for ``inv_y`` grids exactly as the tile render does);
+        the value read is the tile fast path narrowed to ONE cell
+        (partition-dir pruning on ``time_idx``, row-group predicate on the
+        cell indices), with the same Spark fallback for computed or
+        object-store datasets. NaN/absent cells report ``value: None``
+        (the reference's masked-pixel contract).
+        """
+        import math
+
+        from .grid import level_sizes
+
+        meta = self.catalog.datasets[ds_id]
+        tg = meta.tile_grid
+        if not 0 <= z < tg.num_levels:
+            raise ValueError(
+                f"zoom {z} out of range [0, {tg.num_levels - 1}]"
+            )
+        if not (0 <= i < tg.tile_width and 0 <= j < tg.tile_height):
+            raise ValueError(f"pixel ({i}, {j}) outside the tile")
+        level = tg.level_for_zoom(z)
+        w_level, h_level = level_sizes(
+            meta.grid.width, meta.grid.height, tg.num_levels
+        )[level]
+        col = x * tg.tile_width + i
+        disp_row = y * tg.tile_height + j
+        lat_idx = (h_level - 1) - disp_row if meta.grid.inv_y else disp_row
+        t_idx, t_label = _nearest_time(self.catalog.times(ds_id), time)
+        value = None
+        in_grid = 0 <= col < w_level and 0 <= lat_idx < h_level
+        if in_grid:
+            value = self._read_cell(ds_id, var, level, lat_idx, col, t_idx)
+        west, south, east, north = meta.grid.extent
+        res_lon = (east - west) / w_level
+        res_lat = (north - south) / h_level
+        lon = west + (col + 0.5) * res_lon
+        lat = (
+            south + (lat_idx + 0.5) * res_lat
+            if meta.grid.inv_y
+            else north - (lat_idx + 0.5) * res_lat
+        )
+        if value is not None and isinstance(value, float) and math.isnan(value):
+            value = None
+        return {
+            "layer": f"{ds_id}.{var}",
+            "time": t_label,
+            "lon": lon,
+            "lat": lat,
+            "value": value,
+        }
+
+    def _read_cell(
+        self, ds_id: str, var: str, level: int, lat_idx: int, col: int,
+        t_idx: int,
+    ) -> float | None:
+        """One-cell read: pyarrow fast path, Spark fallback."""
+        meta = self.catalog.datasets[ds_id]
+        if self.fast_path and not meta.computed and meta.base_path:
+            import pyarrow.dataset as pads
+
+            from ..sources.paths import local_part_glob
+
+            part_dir = (
+                f"{self.catalog.level_path(ds_id, level)}/time_idx={t_idx}"
+            )
+            if local_part_glob(part_dir):
+                f = pads.field
+                table = pads.dataset(part_dir, format="parquet").to_table(
+                    columns=[var],
+                    filter=(f("lat_idx") == lat_idx) & (f("lon_idx") == col),
+                )
+                if table.num_rows == 0:
+                    return None
+                v = table.column(var)[0].as_py()
+                return float(v) if v is not None else None
+        df = self.catalog.spark.read.parquet(
+            self.catalog.level_path(ds_id, level)
+        )
+        rows = (
+            df.filter(
+                (F.col("time_idx") == t_idx)
+                & (F.col("lat_idx") == lat_idx)
+                & (F.col("lon_idx") == col)
+            )
+            .select(var)
+            .collect()
+        )
+        if not rows or rows[0][0] is None:
+            return None
+        return float(rows[0][0])

@@ -208,6 +208,21 @@ class CubeServer:
                         time=kvp.get("time"),
                     )
                     h._send(200, png, "image/png")
+                elif req == "getfeatureinfo":
+                    # IMPLEMENTED where the reference raises 'not yet
+                    # implemented' (xcube_server/handlers.py:103-104)
+                    layer = kvp["layer"]
+                    ds, var = layer.split(".", 1)
+                    info = self.tiles.get_feature_info(
+                        ds, var,
+                        to_int("tilematrix", kvp["tilematrix"]),
+                        to_int("tilecol", kvp["tilecol"]),
+                        to_int("tilerow", kvp["tilerow"]),
+                        to_int("i", kvp["i"]),
+                        to_int("j", kvp["j"]),
+                        time=kvp.get("time"),
+                    )
+                    h._json(info)
                 else:
                     raise ValueError(f"unsupported WMTS request {req!r}")
             elif (
