@@ -69,14 +69,25 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tokf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").alias("total"))
+    # Scores live on an INTEGER grid (1e-4 quanta, kept as bigint — no
+    # division back to double): the percentile cut then lies strictly
+    # between two adjacent integers (or exactly ON one under order-stat
+    # ties, where both engines' interpolations degenerate to that same
+    # integer), so ``ilp >= cut`` can never flip on engine-specific
+    # interpolation noise. Comparing double scores against a double cut DID
+    # flip membership at sf0.1 when the cut position landed within float
+    # noise of a data value.
     scored = (
         tokf.join(broadcast(freq), "term")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            rnd(F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 4).alias(
-                "lp"
+            F.floor(
+                F.avg(F.log(F.col("c").cast("double") / F.col("total"))) * 10000
+                + F.lit(0.5)
             )
+            .cast("bigint")
+            .alias("ilp")
         )
         # Consumed twice below (cut computation + bucketing): materialize the
         # doc-count-sized score table once instead of re-running the token
@@ -85,28 +96,28 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cuts = scored.agg(
-        F.percentile("lp", 1.0 / 3.0).alias("c_lo"),
-        F.percentile("lp", 2.0 / 3.0).alias("c_hi"),
+        F.percentile("ilp", 1.0 / 3.0).alias("c_lo"),
+        F.percentile("ilp", 2.0 / 3.0).alias("c_hi"),
     )
     bucketed = (
         scored.crossJoin(broadcast(cuts))
         .withColumn(
             "bucket",
-            F.when(F.col("lp") >= F.col("c_hi"), F.lit("head"))
-            .when(F.col("lp") >= F.col("c_lo"), F.lit("middle"))
+            F.when(F.col("ilp") >= F.col("c_hi"), F.lit("head"))
+            .when(F.col("ilp") >= F.col("c_lo"), F.lit("middle"))
             .otherwise(F.lit("tail")),
         )
         .join(docs.select("doc_id", "source"), "doc_id")
     )
-    # Report sum_lp, not avg_lp: per-doc lp is exact at 4 decimals, so the
-    # bucket sum is a 4-decimal decimal that lands mid-interval under the
+    # Report sum_lp, not avg_lp: the integer score sum divides back to an
+    # exact 1e-4-grid decimal that lands mid-interval under the
     # floor(x*1e4 + 0.5) quantum — summation-order ulp noise cannot move it
     # across a boundary. An avg of n such values has log10(n) extra decimal
     # digits and sits exactly ON the boundary, where the two engines'
     # summation orders flip the last digit (observed at sf0.01).
     return bucketed.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        rnd(F.sum("lp"), 4).alias("sum_lp"),
+        rnd(F.sum("ilp").cast("double") / 10000, 4).alias("sum_lp"),
     )
 
 
@@ -119,24 +130,25 @@ freq AS (SELECT term, count(*) AS c FROM tokf GROUP BY 1),
 tot AS (SELECT sum(c) AS total FROM freq),
 scored AS (
   SELECT doc_id,
-         floor(avg(ln(CAST(c AS DOUBLE)/total)) * 10000 + 0.5)/10000 AS lp
+         CAST(floor(avg(ln(CAST(c AS DOUBLE)/total)) * 10000 + 0.5) AS BIGINT)
+           AS ilp
   FROM tokf JOIN freq USING (term) CROSS JOIN tot
   GROUP BY doc_id
 ),
 cuts AS (
-  SELECT quantile_cont(lp, 1.0/3.0) AS c_lo,
-         quantile_cont(lp, 2.0/3.0) AS c_hi
+  SELECT quantile_cont(ilp, 1.0/3.0) AS c_lo,
+         quantile_cont(ilp, 2.0/3.0) AS c_hi
   FROM scored
 ),
 bucketed AS (
-  SELECT s.doc_id, s.lp,
-         CASE WHEN s.lp >= cuts.c_hi THEN 'head'
-              WHEN s.lp >= cuts.c_lo THEN 'middle'
+  SELECT s.doc_id, s.ilp,
+         CASE WHEN s.ilp >= cuts.c_hi THEN 'head'
+              WHEN s.ilp >= cuts.c_lo THEN 'middle'
               ELSE 'tail' END AS bucket
   FROM scored s CROSS JOIN cuts
 )
 SELECT d.source, b.bucket, count(*) AS n_docs,
-       floor(sum(b.lp) * 10000 + 0.5)/10000 AS sum_lp
+       floor(CAST(sum(b.ilp) AS DOUBLE) / 10000 * 10000 + 0.5)/10000 AS sum_lp
 FROM bucketed b JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
