@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "cube_time_interp",
     "cube_cell_anomaly",
     "winsorized_mean",
+    "ngram_novelty",
+    "embed_ivfpq_ann",
+    "cube_hovmoller",
 ]
 
 

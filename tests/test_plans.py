@@ -529,3 +529,41 @@ def test_winsorized_mean_cuts_broadcast(spark, sf_dir):
     df = QUERIES["winsorized_mean"](spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 2
+
+
+def test_embed_ivfpq_fused_stage_no_exchange(spark, sf_dir):
+    """IVF+PQ: coarse-assign + list filter + encode + ADC fuse into ONE
+    Arrow stage; top-10 via TakeOrdered; zero exchanges."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["embed_ivfpq_ann"](spark, sf_dir)
+    executed = executed_plan(df)
+    assert executed.count("MapInPandas") == 1
+    assert "TakeOrderedAndProject" in executed
+    assert count_exchanges(df) == 0
+
+
+def test_ngram_novelty_fingerprints_only(spark, sf_dir):
+    """Novelty shuffles only (doc_id, source, hash) triples: the spread,
+    the hash-partition count window, and two rollups — text never
+    crosses an exchange."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["ngram_novelty"](spark, sf_dir)
+    assert count_exchanges(df) <= 4
+    # no HASH exchange carries the text column — the only text-bearing
+    # exchange is the RoundRobin scan spread, which a real multi-file
+    # corpus skips entirely (spread() is a no-op past the parallelism
+    # target)
+    plan = formatted_plan(df)
+    ex_sections = [s for s in plan.split("\n\n") if s.startswith("(")
+                   and "Exchange" in s.split("\n")[0]]
+    hash_ex = [s for s in ex_sections if "hashpartitioning" in s]
+    assert hash_ex and all("text" not in s for s in hash_ex), hash_ex[:1]
+
+
+def test_cube_hovmoller_single_aggregate(spark, sf_dir):
+    """Hovmöller is one partial-merge aggregate: a single exchange of
+    (time, lat) aggregate rows."""
+    df = QUERIES["cube_hovmoller"](spark, sf_dir)
+    assert count_exchanges(df) == 1

@@ -271,6 +271,34 @@ def cube_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_hovmoller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hovmöller diagram: the time × latitude matrix of zonal (over-
+    longitude) means — the classic propagation-analysis product of a
+    time/lat/lon cube, and the natural next query after per-step spatial
+    stats (A1 transposed to a 2-D reduction).
+
+    NULL-aware like every cube stat: masked cells shrink the divisor;
+    all-NULL (time, lat) rows report NULL mean with valid = 0.
+
+    Plan shape: ONE partial-merge aggregate keyed by (time_idx, lat_idx)
+    over the full scan — the exchange carries |times|·|lats| aggregate
+    rows, never cells. With the time-partitioned layout each partition
+    reduces its own slice map-side before the merge.
+    """
+    cat = _demo_catalog(spark)
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    return (
+        lv0.select(
+            "time_idx", "lat_idx", F.col("conc_tsm").cast("double").alias("v")
+        )
+        .groupBy("time_idx", "lat_idx")
+        .agg(
+            F.count("v").alias("n_valid"),
+            rnd(F.avg("v"), 4).alias("zonal_mean"),
+        )
+    )
+
+
 _APPEND_W, _APPEND_H = 64, 32  # 3 levels at tile 16
 
 
@@ -352,6 +380,7 @@ QUERIES = {
     "cube_focal_mean": cube_focal_mean,
     "cube_time_interp": cube_time_interp,
     "cube_cell_anomaly": cube_cell_anomaly,
+    "cube_hovmoller": cube_hovmoller,
 }
 
 
@@ -487,6 +516,15 @@ SELECT lat_idx, lon_idx, CAST(n_hist AS BIGINT) AS n_hist,
 FROM agged
 """
 
+    # --- cube_hovmoller: time x lat zonal means --------------------------
+    hovmoller_sql = f"""
+SELECT time_idx, lat_idx,
+       CAST(count(conc_tsm) AS BIGINT) AS n_valid,
+       floor(avg(CAST(conc_tsm AS DOUBLE)) * 10000 + 0.5)/10000 AS zonal_mean
+FROM {scan}
+GROUP BY 1, 2
+"""
+
     return {
         "cube_point_timeseries": point_sql,
         "cube_geometry_timeseries": geom_sql,
@@ -494,6 +532,7 @@ FROM agged
         "cube_focal_mean": focal_sql,
         "cube_time_interp": interp_sql,
         "cube_cell_anomaly": anomaly_sql,
+        "cube_hovmoller": hovmoller_sql,
     }
 
 

@@ -462,9 +462,258 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty (templated-content detector)
+# ---------------------------------------------------------------------------
+
+_NOV_N = 8  # tokens per shingle
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty: the fraction of sliding 8-token shingles that
+    occur in exactly ONE document corpus-wide. Low novelty at normal
+    length flags boilerplate/templated sources — the aggregate sibling of
+    segment dedup (``dedup_paragraphs`` counts dups per doc; this scores
+    sources by how much of their text is globally unique).
+
+    Plan shape: shingling is one per-row higher-order-function projection
+    (tokenize → sliding windows → md5 → array_distinct) — only (doc_id,
+    source, 32-hex hash) triples explode and shuffle, never text. Global
+    document-frequency is an unordered count window over the hash
+    partition (one exchange, high-cardinality key), then two tiny rollups.
+    Integer counts are the report; the ratio is one exact-integer division
+    at the end.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shingles = spread(docs.select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                f" sequence(1, greatest(size(split(text, ' ')) - {_NOV_N - 1}, 1)),"
+                f" i -> md5(array_join(slice(split(text, ' '), i, {_NOV_N}), ' '))))"
+            )
+        ).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("h")
+    marked = shingles.withColumn("df", F.count(F.lit(1)).over(df_w))
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("k"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("m").cast("bigint").alias("n_shingles"),
+        F.sum("k").cast("bigint").alias("n_unique"),
+        rnd(F.sum("k").cast("double") / F.sum("m"), 4).alias("novelty"),
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(t[u.i:(u.i + {_NOV_N - 1})], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(len(t) - {_NOV_N - 2}, 2))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, source, count(*) OVER (PARTITION BY h) AS df
+  FROM shingles
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS m,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS k
+  FROM marked GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(m) AS BIGINT) AS n_shingles,
+       CAST(sum(k) AS BIGINT) AS n_unique,
+       floor(CAST(sum(k) AS DOUBLE) / sum(m) * 10000 + 0.5)/10000 AS novelty
+FROM per_doc GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ ANN (coarse-pruned compressed-domain search)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_COARSE = 4  # coarse lists (anchors ranked 1..4)
+_IVFPQ_K = 16  # PQ codewords (anchors ranked 5..20)
+
+
+def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF+PQ composition: a coarse quantizer prunes the corpus
+    to the probe's inverted list, then PQ asymmetric distance ranks the
+    survivors — the fifth and final tier of the similarity ladder (exact →
+    LSH buckets → trained IVF → PQ → IVF+PQ).
+
+    Determinism: both quantizers derive from the md5-ranked anchor list
+    (``embed_pq_ann``'s trick) — ranks 1..4 are the coarse centroids
+    (full 64-dim), ranks 5..20 the PQ codebook — so the DuckDB oracle
+    recomputes the whole index from the data. Swapping in k-means-trained
+    centroids changes only the driver-side anchor fetch.
+
+    Plan shape: coarse-assign + list filter + PQ-encode + ADC fuse into
+    ONE Arrow-batched ``mapInPandas`` over the scan (non-candidates are
+    dropped inside the stage, so only the probe's list emerges); top-10 is
+    TakeOrdered; zero exchanges. At 100 TB the coarse list id is the
+    table's partition key and the stage reads ``1/n_lists`` of the data —
+    the same pruning contract ``embed_ann_ivf`` pins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.similarity import _rounded_d2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_IVFPQ_COARSE + _IVFPQ_K)
+        .collect()
+    )
+    all_anchors = np.array(
+        [r["embedding"] for r in anchors_rows], dtype=np.float64
+    )
+    coarse = all_anchors[:_IVFPQ_COARSE]  # (4, 64)
+    codebook = all_anchors[_IVFPQ_COARSE:].reshape(
+        _IVFPQ_K, _PQ_M, _PQ_DSUB
+    )
+    probe = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"],
+        dtype=np.float64,
+    )
+    probe_list = int(_rounded_d2(probe[None, :], coarse).argmin(axis=1)[0])
+    qsub = probe.reshape(_PQ_M, _PQ_DSUB)
+    qd2 = ((qsub[None, :, :] - codebook) ** 2).sum(axis=2)  # (K, M)
+    qd2r = np.floor(qd2 * _PQ_D2_SCALE + 0.5).astype(np.int64).T  # (M, K)
+    coarse_list = coarse.tolist()
+    cb_list = codebook.tolist()
+    qd2r_list = qd2r.tolist()
+
+    def search(batches):
+        cents = np.asarray(coarse_list, dtype=np.float64)
+        cb = np.asarray(cb_list, dtype=np.float64)
+        qt = np.asarray(qd2r_list, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            lists = _rounded_d2(m, cents).argmin(axis=1)
+            keep = lists == probe_list
+            if not keep.any():
+                continue
+            pdf = pdf[keep]
+            sub = (
+                np.stack(pdf["embedding"].to_numpy())
+                .astype(np.float64)
+                .reshape(len(pdf), _PQ_M, _PQ_DSUB)
+            )
+            d2 = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            d2r = np.floor(d2 * _PQ_D2_SCALE + 0.5).astype(np.int64)
+            codes = d2r.argmin(axis=1)
+            adc = qt[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "label": pdf["label"], "adc": adc}
+            )
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .mapInPandas(search, "vec_id long, label int, adc long")
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_IVFPQ_ANN = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rk
+  FROM embeddings
+),
+coarse AS (SELECT rk - 1 AS cl, embedding AS c FROM ranked
+           WHERE rk <= {_IVFPQ_COARSE}),
+anchors AS (SELECT rk - {_IVFPQ_COARSE + 1} AS j, embedding AS a FROM ranked
+            WHERE rk > {_IVFPQ_COARSE} AND rk <= {_IVFPQ_COARSE + _IVFPQ_K}),
+probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+dims64 AS (SELECT unnest(range(1, 65)) AS d),
+-- coarse assignment of every vector (probe included via vec_id = 0)
+coarse_d AS (
+  SELECT e.vec_id, coarse.cl,
+         CAST(floor(sum(
+           power(CAST(e.embedding[dims64.d] AS DOUBLE)
+               - CAST(coarse.c[dims64.d] AS DOUBLE), 2)
+         ) * {_PQ_D2_SCALE:.0f} + 0.5) AS BIGINT) AS d2r
+  FROM embeddings e CROSS JOIN coarse CROSS JOIN dims64
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cl
+  FROM (SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2r, cl) AS pick
+        FROM coarse_d)
+  WHERE pick = 1
+),
+cands AS (
+  SELECT a.vec_id FROM assign a
+  WHERE a.vec_id <> 0
+    AND a.cl = (SELECT cl FROM assign WHERE vec_id = 0)
+),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+dims AS (SELECT unnest(range(1, {_PQ_DSUB + 1})) AS d),
+celld AS (
+  SELECT e.vec_id, subs.s, anchors.j,
+         CAST(floor(sum(
+           power(CAST(e.embedding[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE)
+               - CAST(anchors.a[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE), 2)
+         ) * {_PQ_D2_SCALE:.0f} + 0.5) AS BIGINT) AS d2r
+  FROM embeddings e JOIN cands USING (vec_id)
+  CROSS JOIN subs CROSS JOIN anchors CROSS JOIN dims
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, j
+  FROM (SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2r, j) AS pick
+        FROM celld)
+  WHERE pick = 1
+),
+pcd AS (
+  SELECT subs.s, anchors.j,
+         CAST(floor(sum(
+           power(CAST(probe.pe[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE)
+               - CAST(anchors.a[subs.s * {_PQ_DSUB} + dims.d] AS DOUBLE), 2)
+         ) * {_PQ_D2_SCALE:.0f} + 0.5) AS BIGINT) AS qd2r
+  FROM probe CROSS JOIN subs CROSS JOIN anchors CROSS JOIN dims
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT codes.vec_id, sum(pcd.qd2r) AS adc
+  FROM codes JOIN pcd USING (s, j)
+  GROUP BY 1
+)
+SELECT e.vec_id, e.label, CAST(adc.adc AS BIGINT) AS adc
+FROM adc JOIN embeddings e USING (vec_id)
+ORDER BY adc.adc ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
 QUERIES["perplexity_buckets"] = perplexity_buckets
 QUERIES["winsorized_mean"] = winsorized_mean
+QUERIES["ngram_novelty"] = ngram_novelty
+QUERIES["embed_ivfpq_ann"] = embed_ivfpq_ann
 ORACLES["winsorized_mean"] = ORACLE_WINSORIZED_MEAN
+ORACLES["ngram_novelty"] = ORACLE_NGRAM_NOVELTY
+ORACLES["embed_ivfpq_ann"] = ORACLE_IVFPQ_ANN
 QUERIES["text_entropy"] = text_entropy
 QUERIES["embed_pq_ann"] = embed_pq_ann
 QUERIES["decayed_engagement"] = decayed_engagement
