@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "embed_ivfpq_ann",
     "cube_hovmoller",
+    "stream_hypertable_rollup_live",
 ]
 
 

@@ -502,3 +502,75 @@ QUERIES["stream_topk_windowed"] = stream_topk_windowed
 QUERIES["stream_topk_windowed_live"] = stream_topk_windowed_live
 ORACLES["stream_topk_windowed"] = ORACLE_STREAM_TOPK
 ORACLES["stream_topk_windowed_live"] = ORACLE_STREAM_TOPK
+
+
+def stream_hypertable_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-AGGREGATE MAINTENANCE as a real streaming job: the 1-minute
+    rollup of ``hypertable_rollup_daily`` is kept incrementally by a
+    ``foreachBatch`` sink while the event history replays as 4 time-ordered
+    micro-batches; the 1h/1d cascade then derives from the maintained store
+    and the SAME raw-scan oracle must hash-match — proving the streamed
+    partials compose to exactly the batch answer (TimescaleDB continuous
+    aggregates, expressed Spark-first).
+
+    Exactly-once without transactional storage: each micro-batch writes its
+    OWN 1-minute partial into a ``batch_id=`` partition of the
+    :class:`~xcube_server_spark.streaming.sink.ExactlyOnceParquetSink`
+    (replays overwrite their own partition — additive merges double-count
+    under replay, per-batch partials never do). Reading the rollup
+    aggregates the committed partials by bucket: rollup-sized work, and a
+    background compaction can fold old partitions without changing
+    semantics. At 100 TB the stream is Kafka and the store is a bucketed
+    table; the plan shape is identical.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.hypertable import _cascade, rollup_once
+    from ..streaming.sink import ExactlyOnceParquetSink
+
+    staged = _staged_events(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "xss_ht_live_" + _stage_key(sf_dir)
+    )
+    sink = ExactlyOnceParquetSink(base)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        sink(rollup_once(batch_df, "ts", "value", 60), batch_id)
+
+    if len(sink.committed()) < 4:  # replay-safe: committed batches skip
+        import uuid
+
+        batch = spark.read.parquet(staged)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), f"ckpt_ht_live_{uuid.uuid4().hex[:8]}"
+        )
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    partials = sink.read(spark)
+    m1 = partials.groupBy("bucket").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    d1 = _cascade(_cascade(m1, 60, 3600), 3600, 86400)
+    return d1.select(
+        "bucket", "n", rnd("sum_v", 4).alias("sum_v"), "min_v", "max_v"
+    )
+
+
+QUERIES["stream_hypertable_rollup_live"] = stream_hypertable_rollup_live
+ORACLES["stream_hypertable_rollup_live"] = ORACLE_HYPERTABLE
