@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "embed_ivfpq_ann",
     "cube_hovmoller",
     "stream_hypertable_rollup_live",
+    "cube_var_correlation",
+    "mixture_schedule",
 ]
 
 

@@ -48,10 +48,10 @@ for _m in (
 # each round to maximize hard signal. Round 5 (rotation debt is zero — every
 # registered query has had >= 1 driver-green row across r1-r4, and all 128
 # queries now carry full oracles): (a) queries NEW this round (first-ever
-# driver rows — 16 of them), (b) queries whose oracle was UPGRADED this
+# driver rows — 18 of them), (b) queries whose oracle was UPGRADED this
 # round from rows-only to full value-hash (the r4 verdict's top ask),
 # (c) queries whose code changed this round (LSH degenerate-pair guard;
-# cache()->localCheckpoint in q11/q15/rfm/tfidf), then (d) 27 rotation
+# cache()->localCheckpoint in q11/q15/rfm/tfidf), then (d) 25 rotation
 # slots drawn from the queries that were NOT in r4's window — maximizing
 # fresh signal while every family keeps a representative. The r4-window
 # bulk (just re-proven green) absorbs the overflow past position 50.
@@ -73,6 +73,8 @@ _PRIORITY = [
     "embed_ivfpq_ann",
     "cube_hovmoller",
     "stream_hypertable_rollup_live",
+    "cube_var_correlation",
+    "mixture_schedule",
     # (b) oracle upgraded rows-only -> hash-verified
     "embed_ann_ivf",
     "cube_tile_render",
@@ -82,8 +84,8 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 27
-    # slots -> window position 50 lands on union_groups below; everything
+    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 25
+    # slots -> window position 50 lands on iso_time_format below; everything
     # after is overflow (multiply-green, re-proven locally).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
@@ -113,10 +115,10 @@ _PRIORITY = [
     "bbox_prune",
     "antimeridian",
     "minmax_range",
-    "iso_time_format",
-    "clip_normalize",
-    "union_groups",  # <- window position 50
+    "iso_time_format",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "clip_normalize",
+    "union_groups",
     "fanout_ranges",
     "nearest_point_select",
     # -- pipeline operators

@@ -271,6 +271,47 @@ def cube_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_var_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-time-step Pearson correlation between two cube variables
+    (conc_chl vs kd489) over cells where BOTH are valid — the
+    multi-variable analysis the reference's per-variable endpoints stop
+    short of (its computed datasets combine variables per cell,
+    ``xcube_server/mldataset.py:308-382``, but nothing correlates them).
+
+    Explicit moment sums (the ``stats_correlation`` discipline — built-in
+    corr() uses engine-specific update algorithms); pairwise-complete
+    filter mirrors how a scientist correlates two satellite products.
+
+    Plan shape: one scan, one partial-merge aggregate keyed by time_idx —
+    the exchange carries six moments per slice.
+    """
+    cat = _demo_catalog(spark)
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    x = F.col("conc_chl").cast("double")
+    y = F.col("kd489").cast("double")
+    m = (
+        lv0.filter(F.col("conc_chl").isNotNull() & F.col("kd489").isNotNull())
+        .groupBy("time_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return m.select(
+        "time_idx",
+        n.alias("n"),
+        rnd(cov / F.sqrt(var_x * var_y), 6).alias("corr"),
+    )
+
+
 def cube_hovmoller(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hovmöller diagram: the time × latitude matrix of zonal (over-
     longitude) means — the classic propagation-analysis product of a
@@ -381,6 +422,7 @@ QUERIES = {
     "cube_time_interp": cube_time_interp,
     "cube_cell_anomaly": cube_cell_anomaly,
     "cube_hovmoller": cube_hovmoller,
+    "cube_var_correlation": cube_var_correlation,
 }
 
 
@@ -525,6 +567,27 @@ FROM {scan}
 GROUP BY 1, 2
 """
 
+    # --- cube_var_correlation: per-slice Pearson from explicit moments --
+    corr_sql = f"""
+WITH m AS (
+  SELECT time_idx, count(*) AS n,
+         sum(CAST(conc_chl AS DOUBLE)) AS sx,
+         sum(CAST(kd489 AS DOUBLE)) AS sy,
+         sum(CAST(conc_chl AS DOUBLE) * CAST(conc_chl AS DOUBLE)) AS sxx,
+         sum(CAST(kd489 AS DOUBLE) * CAST(kd489 AS DOUBLE)) AS syy,
+         sum(CAST(conc_chl AS DOUBLE) * CAST(kd489 AS DOUBLE)) AS sxy
+  FROM {scan}
+  WHERE conc_chl IS NOT NULL AND kd489 IS NOT NULL
+  GROUP BY 1
+)
+SELECT time_idx, n,
+       floor(((sxy - sx * sy / n) / (n - 1))
+             / sqrt(((sxx - sx * sx / n) / (n - 1))
+                    * ((syy - sy * sy / n) / (n - 1)))
+             * 1000000 + 0.5)/1000000 AS corr
+FROM m
+"""
+
     return {
         "cube_point_timeseries": point_sql,
         "cube_geometry_timeseries": geom_sql,
@@ -533,6 +596,7 @@ GROUP BY 1, 2
         "cube_time_interp": interp_sql,
         "cube_cell_anomaly": anomaly_sql,
         "cube_hovmoller": hovmoller_sql,
+        "cube_var_correlation": corr_sql,
     }
 
 

@@ -707,10 +707,88 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic mixture schedule (weighted interleave)
+# ---------------------------------------------------------------------------
+
+_SCHED_WEIGHTS = {"src0": 3.0, "src1": 2.0}  # others weight 1.0
+_SCHED_K = 50
+
+
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDER a training run should consume the mixture in: stride
+    scheduling (weighted fair queueing) over sources. Each document gets a
+    virtual time ``rank_within_source / weight``; consuming by ascending
+    virtual time interleaves sources proportionally to their weights at
+    every prefix — ``sample_mixture``/``sample_temperature`` decide HOW
+    MUCH of each source to take, this decides WHEN, deterministically
+    (md5 rank within source), so a resumed run replays the identical
+    stream.
+
+    Plan shape: one exchange for the per-source rank window (md5 order
+    within source), then the first K of the schedule via TakeOrdered on
+    (virtual_time, source, doc_id) — no global sort; the final position
+    numbering is a window over K rows (bounded by the requested prefix,
+    not the corpus).
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    weight = F.lit(1.0)
+    for src, wt in _SCHED_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)).otherwise(weight)
+    vt = (F.col("pos").cast("double") / F.col("weight")).alias("vt")
+    sched = (
+        docs.select("doc_id", "source")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("weight", weight)
+        .select("doc_id", "source", "pos", vt)
+        .orderBy("vt", "source", "doc_id")
+        .limit(_SCHED_K)
+    )
+    w_global = Window.orderBy("vt", "source", "doc_id")
+    return sched.withColumn(
+        "sched_pos", F.row_number().over(w_global)
+    ).select("sched_pos", "source", "doc_id", "pos", rnd(F.col("vt"), 4).alias("vt"))
+
+
+_SCHED_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in _SCHED_WEIGHTS.items()
+)
+
+ORACLE_MIXTURE_SCHEDULE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pos,
+         CASE {_SCHED_CASE} ELSE 1.0 END AS weight
+  FROM documents
+),
+sched AS (
+  SELECT doc_id, source, pos,
+         CAST(pos AS DOUBLE) / weight AS vt
+  FROM ranked
+  ORDER BY vt, source, doc_id
+  LIMIT {_SCHED_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS INT)
+         AS sched_pos,
+       source, doc_id, CAST(pos AS INT) AS pos,
+       floor(vt * 10000 + 0.5)/10000 AS vt
+FROM sched
+"""
+
+
 QUERIES["perplexity_buckets"] = perplexity_buckets
 QUERIES["winsorized_mean"] = winsorized_mean
 QUERIES["ngram_novelty"] = ngram_novelty
 QUERIES["embed_ivfpq_ann"] = embed_ivfpq_ann
+QUERIES["mixture_schedule"] = mixture_schedule
+ORACLES["mixture_schedule"] = ORACLE_MIXTURE_SCHEDULE
 ORACLES["winsorized_mean"] = ORACLE_WINSORIZED_MEAN
 ORACLES["ngram_novelty"] = ORACLE_NGRAM_NOVELTY
 ORACLES["embed_ivfpq_ann"] = ORACLE_IVFPQ_ANN
