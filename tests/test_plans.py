@@ -567,3 +567,25 @@ def test_cube_hovmoller_single_aggregate(spark, sf_dir):
     (time, lat) aggregate rows."""
     df = QUERIES["cube_hovmoller"](spark, sf_dir)
     assert count_exchanges(df) == 1
+
+
+def test_cube_var_correlation_single_aggregate(spark, sf_dir):
+    """Six moment sums per slice in one partial-merge aggregate — a single
+    exchange of slice-keyed moment rows, no second scan."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["cube_var_correlation"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert executed_plan(df).count("Scan parquet") == 1
+
+
+def test_mixture_schedule_takeordered_prefix(spark, sf_dir):
+    """The schedule prefix comes from TakeOrdered on virtual time (no
+    global sort of the corpus); the only single-partition window numbers
+    the K-row prefix, never corpus rows."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["mixture_schedule"](spark, sf_dir)
+    executed = executed_plan(df)
+    assert "TakeOrderedAndProject" in executed
+    assert count_exchanges(df) <= 3
