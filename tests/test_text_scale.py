@@ -1,0 +1,73 @@
+"""Scale-safety tests for the round-5 text quality operators: a pathological
+corpus (one 200k-token document + a boilerplate clone army) must neither
+blow up the per-doc work (the operators are O(tokens), never O(tokens^2))
+nor distort the aggregate semantics."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.registry.pipeline_round5 import (
+    ngram_novelty,
+    perplexity_buckets,
+    text_entropy,
+)
+
+
+@pytest.fixture(scope="module")
+def pathological_docs_dir(spark, tmp_path_factory):
+    """One giant document (200k tokens), 200 boilerplate clones, and a few
+    ordinary docs."""
+    giant = " ".join(f"tok{i % 5000}" for i in range(200_000))
+    boiler = "identical boilerplate text repeated across the crawl " * 3
+    rows = [(0, giant, "en", "src_giant", len(giant))]
+    rows += [(i, boiler, "en", "src_boiler", len(boiler)) for i in range(1, 201)]
+    rows += [
+        (900 + j, f"ordinary little document number {j} with words", "en",
+         "src_ok", 40)
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path_factory.mktemp("textscale")
+    df.coalesce(2).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_text_entropy_handles_giant_doc(spark, pathological_docs_dir):
+    t0 = time.perf_counter()
+    rows = {r["doc_id"]: r for r in text_entropy(spark, pathological_docs_dir).collect()}
+    elapsed = time.perf_counter() - t0
+    giant = rows[0]
+    assert giant["n_tokens"] == 200_000 and giant["n_types"] == 5000
+    # uniform 5000-type distribution -> entropy == ln(5000)
+    import math
+
+    assert abs(giant["entropy"] - round(math.log(5000), 4)) < 1e-9
+    # O(tokens): the giant doc is 200x the rest of the corpus combined and
+    # must not dominate wall time quadratically
+    assert elapsed < 60, elapsed
+
+
+def test_ngram_novelty_giant_and_boilerplate(spark, pathological_docs_dir):
+    out = {r["source"]: r for r in ngram_novelty(spark, pathological_docs_dir).collect()}
+    # the giant doc's shingles repeat every 5000 tokens -> all shingles are
+    # duplicated WITHIN the doc but the per-doc distinct keeps them; they
+    # appear in exactly one doc -> novelty 1.0
+    assert out["src_giant"]["novelty"] == 1.0
+    # 200 identical clones: every shingle appears in 200 docs -> novelty 0
+    assert out["src_boiler"]["novelty"] == 0.0
+    assert out["src_ok"]["n_docs"] == 5
+
+
+def test_perplexity_buckets_total_partition(spark, pathological_docs_dir):
+    rows = perplexity_buckets(spark, pathological_docs_dir).collect()
+    # every doc lands in exactly one bucket; totals = corpus size
+    assert sum(r["n_docs"] for r in rows) == 206
+    # the boilerplate clones all share one score -> one bucket holds >= 200
+    boiler = [r for r in rows if r["source"] == "src_boiler"]
+    assert max(r["n_docs"] for r in boiler) >= 200

@@ -67,12 +67,17 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision input.
     """
     docs = _t(spark, sf_dir, "documents")
-    segs = spread(docs.select("doc_id", F.col("text"))).select(
+    # tokenize ONCE into a bound column — a split() inside the transform
+    # lambda re-tokenizes per segment, O(tokens^2/SEG) on long documents
+    toks = spread(docs.select("doc_id", F.col("text"))).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    segs = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, int(ceil(size(split(text, ' '))/{_SEG}.0)) - 1),"
-                f" i -> md5(array_join(slice(split(text, ' '), i*{_SEG}+1, {_SEG}), ' ')))"
+                f"transform(sequence(0, int(ceil(size(toks)/{_SEG}.0)) - 1),"
+                f" i -> md5(array_join(slice(toks, i*{_SEG}+1, {_SEG}), ' ')))"
             )
         ).alias("seg_idx", "h"),
     )

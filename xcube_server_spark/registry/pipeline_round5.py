@@ -485,14 +485,21 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end.
     """
     docs = _t(spark, sf_dir, "documents")
-    shingles = spread(docs.select("doc_id", "source", "text")).select(
+    # tokenize ONCE into a bound column BEFORE the lambda: a split() inside
+    # the transform body re-tokenizes the document per shingle — O(tokens^2)
+    # on long documents (observed: a 200k-token doc hung the operator; with
+    # the hoist it's sub-second)
+    toks = spread(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    shingles = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
                 "array_distinct(transform("
-                f" sequence(1, greatest(size(split(text, ' ')) - {_NOV_N - 1}, 1)),"
-                f" i -> md5(array_join(slice(split(text, ' '), i, {_NOV_N}), ' '))))"
+                f" sequence(1, greatest(size(toks) - {_NOV_N - 1}, 1)),"
+                f" i -> md5(array_join(slice(toks, i, {_NOV_N}), ' '))))"
             )
         ).alias("h"),
     )
