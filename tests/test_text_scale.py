@@ -71,3 +71,18 @@ def test_perplexity_buckets_total_partition(spark, pathological_docs_dir):
     # the boilerplate clones all share one score -> one bucket holds >= 200
     boiler = [r for r in rows if r["source"] == "src_boiler"]
     assert max(r["n_docs"] for r in boiler) >= 200
+
+
+def test_char_shingle_signature_linear_on_giant_doc(spark, pathological_docs_dir):
+    """The minhash signature (5-char shingles) must be linear in document
+    length: in-lambda substring was O(chars^2) (a 300k-char doc cost 4+
+    minutes; the hoisted char-array form runs in seconds)."""
+    from xcube_server_spark.registry.pipeline_queries import dedup_minhash_lsh
+
+    t0 = time.perf_counter()
+    pairs = dedup_minhash_lsh(spark, pathological_docs_dir).collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, elapsed
+    # the 200 boilerplate clones form candidate pairs; the giant doc joins none
+    docs_in_pairs = {d for r in pairs for d in (r["doc_a"], r["doc_b"])}
+    assert 0 not in docs_in_pairs

@@ -152,19 +152,24 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark suite (MBs), so the broadcast holds.
     """
     docs = _t(spark, sf_dir, "documents")
+    # grams over a hoisted char array ("cs") — in-lambda substring re-scans
+    # the string per gram, O(chars^2) on long documents
     grams_expr = (
-        "array_distinct(transform(sequence(1, greatest(length(text)-12, 1)),"
-        " i -> substring(text, i, 13)))"
+        "array_distinct(transform(sequence(1, greatest(size(cs)-12, 1)),"
+        " i -> array_join(slice(cs, i, 13), '')))"
     )
     eval_dict = (
         docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("cs", F.split("text", ""))
         .select(F.explode(F.expr(grams_expr)).alias("g"))
         .agg(F.collect_set("g").alias("eval_grams"))
     )
     # the gram projection is CPU-heavy per row and the source is one parquet
     # file — spread rows across cores first (RoundRobin exchange of raw docs,
     # amortized by the per-row work; same move as dedup_minhash_lsh)
-    train = spread(docs.filter(F.col("doc_id") % 97 != 0))
+    train = spread(docs.filter(F.col("doc_id") % 97 != 0)).withColumn(
+        "cs", F.split("text", "")
+    )
     hit = F.arrays_overlap(F.expr(grams_expr), F.col("eval_grams"))
     return (
         train.crossJoin(broadcast(eval_dict))

@@ -125,13 +125,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source is a single parquet file, so spread rows across cores first —
     # a RoundRobin exchange of raw docs, amortized by the per-row work
     docs = spread(docs)
-    sig = docs.withColumn(
+    # char array hoisted BEFORE the lambda: substring(text, i, 5) inside a
+    # transform scans the string from the start per element (UTF8String has
+    # no char index), O(chars^2) on long documents; slice on the bound char
+    # array is O(k) per shingle (test_text_scale.py pins the linear form)
+    sig = docs.withColumn("cs", F.split("text", "")).withColumn(
         "hashes",
         F.expr(
-            "transform(array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),"
-            " i -> substring(text, i, 5))), s -> md5(s))"
+            "transform(array_distinct(transform(sequence(1, greatest(size(cs)-4, 1)),"
+            " i -> array_join(slice(cs, i, 5), ''))), s -> md5(s))"
         ),
-    )
+    ).drop("cs")
     for j in range(4):
         sig = sig.withColumn(
             f"m{j}",
@@ -279,11 +283,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-gram buckets hold (doc_id, sz) structs and pair expansion emits
     # both sizes with the pair — no self-join (which scans the table twice)
     # and no sizes re-scan + two broadcast joins (the former 4-scan plan).
-    grams = docs.select(
+    grams = docs.withColumn("cs", F.split("text", "")).select(
         "doc_id",
+        # bound char array, not in-lambda substring — O(chars), not O(chars^2)
         F.expr(
-            "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
-            " i -> substring(text, i, 3)))"
+            "array_distinct(transform(sequence(1, greatest(size(cs)-2, 1)),"
+            " i -> array_join(slice(cs, i, 3), '')))"
         ).alias("gs"),
     ).select(
         "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
@@ -895,13 +900,15 @@ def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup_cluster import dedup_components
 
     docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), per_core=1)
-    sig = docs.withColumn(
+    # char array hoisted before the lambda (see dedup_minhash_lsh): the
+    # in-lambda substring form is O(chars^2) on long documents
+    sig = docs.withColumn("cs", F.split("text", "")).withColumn(
         "hashes",
         F.expr(
-            "transform(array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),"
-            " i -> substring(text, i, 5))), s -> md5(s))"
+            "transform(array_distinct(transform(sequence(1, greatest(size(cs)-4, 1)),"
+            " i -> array_join(slice(cs, i, 5), ''))), s -> md5(s))"
         ),
-    )
+    ).drop("cs")
     for j in range(4):
         sig = sig.withColumn(
             f"m{j}",
