@@ -51,7 +51,8 @@ for _m in (
 # driver rows — 18 of them), (b) queries whose oracle was UPGRADED this
 # round from rows-only to full value-hash (the r4 verdict's top ask),
 # (c) queries whose code changed this round (LSH degenerate-pair guard;
-# cache()->localCheckpoint in q11/q15/rfm/tfidf), then (d) 25 rotation
+# cache()->localCheckpoint in q11/q15/rfm/tfidf; char-shingle/segment
+# linearization in the dedup + contamination family), then (d) 20 rotation
 # slots drawn from the queries that were NOT in r4's window — maximizing
 # fresh signal while every family keeps a representative. The r4-window
 # bulk (just re-proven green) absorbs the overflow past position 50.
@@ -80,12 +81,17 @@ _PRIORITY = [
     "cube_tile_render",
     # (c) code changed this round
     "dedup_lsh_verify",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_components_minhash",
+    "contamination_screen",
     "q11_important_stock",
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 25
-    # slots -> window position 50 lands on iso_time_format below; everything
+    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 20
+    # slots -> window position 50 lands on cube_decimate below; everything
     # after is overflow (multiply-green, re-proven locally).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
@@ -110,28 +116,25 @@ _PRIORITY = [
     # -- cube analog operators
     "ts_range_agg",
     "ts_weekly_resample",
-    "cube_decimate",
+    "cube_decimate",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
     "cube_decimate_stride",
     "bbox_prune",
     "antimeridian",
     "minmax_range",
-    "iso_time_format",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
+    "iso_time_format",
     "clip_normalize",
     "union_groups",
     "fanout_ranges",
     "nearest_point_select",
     # -- pipeline operators
-    "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "text_quality",
     "text_langid",
     "text_tokens",
     "text_fingerprint",
     "multimodal_bytes",
     "pack_sequences",
-    "contamination_screen",
     "quality_filter_chain",
     "sample_stratified",
     "text_repetition",
