@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "stream_hypertable_rollup_live",
     "cube_var_correlation",
     "mixture_schedule",
+    "semdedup_prune",
+    "dedup_substring_windows",
+    "cube_regrid_nearest",
 ]
 
 

@@ -589,3 +589,34 @@ def test_mixture_schedule_takeordered_prefix(spark, sf_dir):
     executed = executed_plan(df)
     assert "TakeOrderedAndProject" in executed
     assert count_exchanges(df) <= 3
+
+
+def test_cube_regrid_broadcasts_target_map(spark, sf_dir):
+    """Regrid joins the cube scan against a BROADCAST target-cell map —
+    the cube side moves through zero hash exchanges."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cube_regrid_nearest"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "hashpartitioning" not in plan, plan[:400]
+
+
+def test_substring_windows_fingerprints_only(spark, sf_dir):
+    """The window aggregate shuffles only (md5 fp, doc id) — window text
+    never crosses a hash exchange (bounded shuffle row width at 100 TB)."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["dedup_substring_windows"](spark, sf_dir)
+    plan = formatted_plan(df)
+    ex_sections = [s for s in plan.split("\n\n") if s.startswith("(")
+                   and "Exchange" in s.split("\n")[0]]
+    hash_ex = [s for s in ex_sections if "hashpartitioning" in s]
+    assert hash_ex and all("text" not in s for s in hash_ex), hash_ex[:1]
+
+
+def test_semdedup_single_cluster_exchange(spark, sf_dir):
+    """SemDeDup is one shuffle on the cluster key feeding one Arrow-batched
+    python stage (the per-cluster Gram products)."""
+    df = QUERIES["semdedup_prune"](spark, sf_dir)
+    assert count_exchanges(df) == 1

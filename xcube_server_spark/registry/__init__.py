@@ -20,6 +20,7 @@ from . import (
     pipeline_queries,
     pipeline_round2,
     pipeline_round5,
+    pipeline_round5b,
     relational,
     relational_ext,
     streaming_queries,
@@ -38,6 +39,7 @@ for _m in (
     pipeline_curation,
     pipeline_analytics,
     pipeline_round5,
+    pipeline_round5b,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -58,6 +60,9 @@ for _m in (
 # bulk (just re-proven green) absorbs the overflow past position 50.
 _PRIORITY = [
     # (a) new this round
+    "semdedup_prune",
+    "dedup_substring_windows",
+    "cube_regrid_nearest",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -90,9 +95,10 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). Exactly 20
-    # slots -> window position 50 lands on cube_decimate below; everything
-    # after is overflow (multiply-green, re-proven locally).
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 21
+    # first-time queries above, window position 50 lands on histogram_prices
+    # below; everything after is overflow (multiply-green, re-proven
+    # locally by tests/test_correctness.py every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
     "q2_min_cost_supplier",

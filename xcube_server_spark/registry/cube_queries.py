@@ -602,3 +602,76 @@ FROM m
 
 ORACLES: dict[str, str] = _build_oracles()
 ORACLES["cube_append_lod"] = ORACLE_APPEND_LOD
+
+
+# ---------------------------------------------------------------------------
+# cube_regrid_nearest: spatial resampling onto a different target grid
+# ---------------------------------------------------------------------------
+
+_RG_TH, _RG_TW = 20, 40  # target grid (same extent, 2.5x coarser each axis)
+
+
+def cube_regrid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial regrid of every time slice onto a 40x20
+    target grid sharing the cube extent — the relational re-expression of
+    xcube's ``resample_in_space`` nearest mode (the reference serves
+    resampled pyramids via ``xcube_server/mldataset.py``; regridding onto
+    an arbitrary client grid is the general form).
+
+    Source index per target cell is pure INTEGER arithmetic — the target
+    cell center mapped into source index space,
+    ``sy = ((2*ty+1)*H) div (2*TH)`` — so both engines pick identical
+    source cells with no float-boundary risk.
+
+    Plan shape: the (TH*TW)-row target map is generated driver-free from
+    ``spark.range`` and BROADCAST; the cube scan side never shuffles. At
+    100 TB the same join regrids petabyte cubes with zero data movement —
+    each source partition emits its own target cells (a target cell's
+    sources live in one spatial block by construction).
+    """
+    _demo_catalog(spark)
+    grid = _fixture_grid()
+    h, w = grid.height, grid.width
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    tgt = spark.range(_RG_TH * _RG_TW).select(
+        F.expr(f"CAST(id DIV {_RG_TW} AS INT) AS ty"),
+        F.expr(f"CAST(id % {_RG_TW} AS INT) AS tx"),
+    ).select(
+        "ty",
+        "tx",
+        F.expr(f"CAST(((2 * ty + 1) * {h}) DIV (2 * {_RG_TH}) AS INT) AS sy"),
+        F.expr(f"CAST(((2 * tx + 1) * {w}) DIV (2 * {_RG_TW}) AS INT) AS sx"),
+    )
+    joined = lv0.join(
+        F.broadcast(tgt),
+        (F.col("lat_idx") == F.col("sy")) & (F.col("lon_idx") == F.col("sx")),
+    )
+    return joined.select(
+        "time_idx",
+        "ty",
+        "tx",
+        rnd(F.col("conc_chl").cast("double"), 6).alias("v"),
+    )
+
+
+def _build_regrid_oracle() -> str:
+    grid = _fixture_grid()
+    h, w = grid.height, grid.width
+    l0 = os.path.join(_fixture_base(), "l0", "*", "*.parquet")
+    return f"""
+WITH tgt AS (
+  SELECT CAST(i // {_RG_TW} AS INT) AS ty,
+         CAST(i % {_RG_TW} AS INT) AS tx,
+         CAST(((2 * (i // {_RG_TW}) + 1) * {h}) // (2 * {_RG_TH}) AS INT) AS sy,
+         CAST(((2 * (i % {_RG_TW}) + 1) * {w}) // (2 * {_RG_TW}) AS INT) AS sx
+  FROM (SELECT unnest(range(0, {_RG_TH * _RG_TW})) AS i)
+)
+SELECT time_idx, ty, tx,
+       floor(CAST(conc_chl AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS v
+FROM read_parquet('{l0}', hive_partitioning=1)
+JOIN tgt ON lat_idx = sy AND lon_idx = sx
+"""
+
+
+QUERIES["cube_regrid_nearest"] = cube_regrid_nearest
+ORACLES["cube_regrid_nearest"] = _build_regrid_oracle()

@@ -1,0 +1,203 @@
+"""Round-5 continuation: semantic dedup and substring-level dedup.
+
+- ``semdedup_prune`` — SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+  learning at web-scale through semantic deduplication"): within each
+  cluster, a document is pruned when its embedding's cosine similarity to
+  ANY lower-id document in the same cluster reaches the threshold — the
+  paper's upper-triangular max formulation, which (unlike iterative greedy
+  set cover) is order-free and therefore both shuffle-parallel and
+  SQL-expressible. Clusters here are the embeddings table's ``label``
+  column (the same blocking ``embed_neardup_cosine`` uses); at 100 TB the
+  cluster id comes from the trained IVF coarse quantizer
+  (``pipeline/similarity.ivf_assign``) with k scaled ~N/1e4 so per-cluster
+  pair work stays bounded — the paper's own recipe. One shuffle (on the
+  cluster key), then vectorized BLAS Gram products per cluster.
+- ``dedup_substring_windows`` — repeated token-window detection (Lee et
+  al., "Deduplicating Training Data Makes Language Models Better"): every
+  8-token sliding window is fingerprinted (md5) and windows occurring more
+  than once in the corpus are reported with occurrence/document counts.
+  The suffix-array ExactSubstr construction is inherently sequential; the
+  sliding-fingerprint formulation is its shuffle-parallel equivalent for a
+  fixed window length. The aggregate shuffles ONLY the 32-char
+  fingerprint + doc id — never window text — so the shuffle row width is
+  bounded regardless of document length (the ``dedup_exact``
+  fingerprint-only discipline, which is what survives 100 TB).
+
+Both carry full DuckDB oracles. Reference has no counterpart (engine
+additions for the training-data pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+from ._util import spread
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_SEM_TAU = 0.3  # prune threshold on rounded cosine (matches embed_neardup)
+_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: within-cluster greedy semantic prune
+# ---------------------------------------------------------------------------
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup decision: ``max_prior_cos`` = max cosine to any
+    lower-id vector in the same cluster (-1.0 when none), ``dropped`` = 1
+    when that max reaches the threshold.
+
+    Cosines round to 1e-5 (floor(x*1e5+0.5)) BEFORE the max on both
+    engines, so BLAS-vs-SQL summation-order ulp noise cannot flip a
+    keep/drop decision at the threshold boundary.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    out_schema = StructType(
+        [
+            StructField("vec_id", emb.schema["vec_id"].dataType),
+            StructField("label", emb.schema["label"].dataType),
+            StructField("max_prior_cos", DoubleType()),
+            StructField("dropped", IntegerType()),
+        ]
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        mn = m / nrm[:, None]
+        g = np.floor(mn @ mn.T * 1e5 + 0.5) / 1e5
+        n = len(ids)
+        # strict upper triangle read column-wise: prior rows i < j
+        tri = np.where(np.tri(n, n, -1, dtype=bool), g.T, -np.inf)
+        mx = tri.max(axis=1)
+        mx[0] = -1.0
+        mx = np.where(np.isfinite(mx), mx, -1.0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].to_numpy()[order],
+                "max_prior_cos": mx,
+                "dropped": (mx >= _SEM_TAU).astype("int32"),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        lambda _key, pdf: per_cluster(pdf), out_schema
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+d AS (
+  SELECT b.vec_id AS vec_id, b.label AS label,
+         floor(sum((CAST(a.embedding[i] AS DOUBLE) / a.nrm)
+                 * (CAST(b.embedding[i] AS DOUBLE) / b.nrm))
+               * 100000.0 + 0.5) / 100000.0 AS cos
+  FROM n a
+  JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) t
+  GROUP BY b.vec_id, b.label, a.vec_id
+),
+mx AS (
+  SELECT vec_id, label, max(cos) AS m FROM d GROUP BY 1, 2
+)
+SELECT e.vec_id, e.label,
+       coalesce(mx.m, -1.0) AS max_prior_cos,
+       CAST(CASE WHEN coalesce(mx.m, -1.0) >= {_SEM_TAU} THEN 1 ELSE 0 END
+            AS INT) AS dropped
+FROM embeddings e
+LEFT JOIN mx ON e.vec_id = mx.vec_id AND e.label = mx.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repeated token-window detection (ExactSubstr-style, fixed window)
+# ---------------------------------------------------------------------------
+
+_WIN = 8
+
+
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint every 8-token sliding window; report windows seen >= 2
+    times with occurrence count, distinct-doc count, and the lowest doc id.
+
+    Plan shape: one CPU-heavy codegen projection (tokenize once per doc,
+    then O(tokens) slice+md5 lambdas over the hoisted token array), ONE
+    aggregate exchange keyed on the md5 fingerprint. Window text never
+    enters the shuffle.
+    """
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.withColumn(
+        "tk", F.expr("filter(split(trim(text), ' '), t -> t <> '')")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {_WIN} THEN"
+                f" transform(sequence(1, size(tk) - {_WIN - 1}),"
+                f" i -> md5(array_join(slice(tk, i, {_WIN}), ' ')))"
+                " ELSE array() END"
+            )
+        ).alias("fp"),
+    )
+    return (
+        wins.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+ORACLE_SUBSTR_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tk, i, i + {_WIN - 1}), ' ')) AS fp
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(tk) - {_WIN - 2}, 1)))
+                AS i) s
+)
+SELECT fp,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS rep_doc
+FROM w
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+QUERIES["semdedup_prune"] = semdedup_prune
+QUERIES["dedup_substring_windows"] = dedup_substring_windows
+ORACLES["semdedup_prune"] = ORACLE_SEMDEDUP
+ORACLES["dedup_substring_windows"] = ORACLE_SUBSTR_WINDOWS
