@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "dedup_substring_windows",
     "cube_regrid_nearest",
+    "cube_regrid_bilinear",
+    "embed_outlier_centroid",
 ]
 
 

@@ -620,3 +620,32 @@ def test_semdedup_single_cluster_exchange(spark, sf_dir):
     python stage (the per-cluster Gram products)."""
     df = QUERIES["semdedup_prune"](spark, sf_dir)
     assert count_exchanges(df) == 1
+
+
+def test_regrid_mean_single_partial_agg_exchange(spark, sf_dir):
+    """Box-mean regrid is a pure scan-side expression + ONE partial-agg
+    exchange — no join, no target map."""
+    df = QUERIES["cube_regrid_mean"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    assert "Join" not in formatted_plan(df)
+
+
+def test_regrid_bilinear_broadcast_corners(spark, sf_dir):
+    """Bilinear regrid broadcasts the 4-corner weight map; the cube side
+    reaches the weighted aggregate through exactly one hash exchange."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cube_regrid_bilinear"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning") <= 2, plan[:400]
+
+
+def test_embed_outlier_centroid_broadcast_back(spark, sf_dir):
+    """The per-label centroid table is BROADCAST back onto embeddings; the
+    embeddings side adds zero shuffles beyond the centroid build."""
+    df = QUERIES["embed_outlier_centroid"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3

@@ -4,11 +4,12 @@ does — a plain SparkSession (none of the engine's session conf), the first N
 entries of ``__spark_entry__.queries()``, each compared to its
 ``oracle_sql()`` via DuckDB over the same parquet — and report mismatches.
 
-    python tools/verify_window.py [sf_dir] [n_queries|all]
+    python tools/verify_window.py [sf_dir] [n_queries|all|name ...]
 
 Defaults: sf_dir=/root/testdata/sf0.01, n=50 (the driver's window). Run with
-``all`` before a round ends to back the README's full-registry claim. Exit
-code = number of broken queries.
+``all`` before a round ends to back the README's full-registry claim; pass
+explicit query names to spot-check just those. Exit code = number of broken
+queries.
 """
 
 from __future__ import annotations
@@ -54,7 +55,16 @@ def main() -> int:
     print(f"entry(): {entry_rows} rows")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    names = list(qs) if n_arg == "all" else list(qs)[: int(n_arg)]
+    if n_arg == "all":
+        names = list(qs)
+    elif n_arg.isdigit():
+        names = list(qs)[: int(n_arg)]
+    else:
+        names = sys.argv[2:]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return len(unknown)
 
     con = duckdb.connect()
     for t in TABLES:

@@ -63,6 +63,9 @@ _PRIORITY = [
     "semdedup_prune",
     "dedup_substring_windows",
     "cube_regrid_nearest",
+    "cube_regrid_mean",
+    "cube_regrid_bilinear",
+    "embed_outlier_centroid",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -95,10 +98,11 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 21
-    # first-time queries above, window position 50 lands on histogram_prices
-    # below; everything after is overflow (multiply-green, re-proven
-    # locally by tests/test_correctness.py every pytest run).
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 24
+    # first-time queries above, window position 50 lands on
+    # pivot_status_by_year below; everything after is overflow
+    # (multiply-green, re-proven locally by tests/test_correctness.py
+    # every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
     "q2_min_cost_supplier",
@@ -115,15 +119,15 @@ _PRIORITY = [
     "window_rank",
     "window_running",
     "topk_global",
-    "pivot_status_by_year",
+    "pivot_status_by_year",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
     "set_ops_customers",
     "stats_correlation",
     "histogram_prices",
     # -- cube analog operators
     "ts_range_agg",
     "ts_weekly_resample",
-    "cube_decimate",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
+    "cube_decimate",
     "cube_decimate_stride",
     "bbox_prune",
     "antimeridian",

@@ -675,3 +675,189 @@ JOIN tgt ON lat_idx = sy AND lon_idx = sx
 
 QUERIES["cube_regrid_nearest"] = cube_regrid_nearest
 ORACLES["cube_regrid_nearest"] = _build_regrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cube_regrid_mean: box-mean (area) regrid onto a coarser target grid
+# ---------------------------------------------------------------------------
+
+
+def cube_regrid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-mean regrid: every source cell is assigned to the target cell
+    containing its center (``ty = ((2*sy+1)*TH) div (2*H)``, pure integer
+    arithmetic) and target cells average their members — xcube's
+    ``resample_in_space`` mean/aggregating mode for downscale factors
+    that are NOT powers of two (the LOD pyramid covers the 2x case;
+    this covers arbitrary client grids).
+
+    Plan shape: the target index is a codegen expression on the scan —
+    no join, no target map, ONE partial-aggregated exchange keyed on
+    (time_idx, ty, tx). At 100 TB this is scan + combiner; the shuffle
+    carries one partial sum per target cell per source partition.
+    """
+    _demo_catalog(spark)
+    grid = _fixture_grid()
+    h, w = grid.height, grid.width
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    return (
+        lv0.select(
+            "time_idx",
+            F.expr(
+                f"CAST(((2 * lat_idx + 1) * {_RG_TH}) DIV (2 * {h}) AS INT)"
+            ).alias("ty"),
+            F.expr(
+                f"CAST(((2 * lon_idx + 1) * {_RG_TW}) DIV (2 * {w}) AS INT)"
+            ).alias("tx"),
+            F.col("conc_chl").cast("double").alias("v"),
+        )
+        .groupBy("time_idx", "ty", "tx")
+        .agg(
+            F.count("v").alias("n_cells"),
+            rnd(F.avg("v"), 6).alias("v_mean"),
+        )
+    )
+
+
+def _build_regrid_mean_oracle() -> str:
+    grid = _fixture_grid()
+    h, w = grid.height, grid.width
+    l0 = os.path.join(_fixture_base(), "l0", "*", "*.parquet")
+    return f"""
+SELECT time_idx,
+       CAST(((2 * lat_idx + 1) * {_RG_TH}) // (2 * {h}) AS INT) AS ty,
+       CAST(((2 * lon_idx + 1) * {_RG_TW}) // (2 * {w}) AS INT) AS tx,
+       CAST(count(CAST(conc_chl AS DOUBLE)) AS BIGINT) AS n_cells,
+       floor(avg(CAST(conc_chl AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS v_mean
+FROM read_parquet('{l0}', hive_partitioning=1)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# cube_regrid_bilinear: 4-neighbor weighted regrid (exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+
+def cube_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid of every time slice onto the 40x20 target grid —
+    xcube's ``resample_in_space`` linear mode. Each target cell blends
+    its 4 surrounding source cells with separable weights.
+
+    Determinism: the fractional position
+    ``fy = (2*ty+1)*H / (2*TH) - 0.5`` is a DYADIC rational for this
+    geometry (H/TH and W/TW reduce to /4 denominators), so ``fy``,
+    ``wy = fy - y0`` and every corner weight product are EXACT IEEE
+    doubles — both engines compute bit-identical weights from the same
+    literal expression; only the final 4-term sum rounds (to 1e-6,
+    like every cube aggregate here).
+
+    Plan shape: the 4*(TH*TW)-row corner map (struct-array inline
+    explode of ``spark.range``) is BROADCAST; the cube side reaches the
+    weighted aggregate through ZERO pre-join shuffles and ONE exchange
+    keyed on (time_idx, ty, tx).
+    """
+    _demo_catalog(spark)
+    grid = _fixture_grid()
+    h, w = grid.height, grid.width
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    base = spark.range(_RG_TH * _RG_TW).select(
+        F.expr(f"CAST(id DIV {_RG_TW} AS INT) AS ty"),
+        F.expr(f"CAST(id % {_RG_TW} AS INT) AS tx"),
+    ).select(
+        "ty",
+        "tx",
+        F.expr(
+            f"CAST((2 * ty + 1) * {h} AS DOUBLE) / CAST(2 * {_RG_TH} AS DOUBLE)"
+            " - 0.5"
+        ).alias("fy"),
+        F.expr(
+            f"CAST((2 * tx + 1) * {w} AS DOUBLE) / CAST(2 * {_RG_TW} AS DOUBLE)"
+            " - 0.5"
+        ).alias("fx"),
+    ).select(
+        "ty",
+        "tx",
+        F.expr(f"least(greatest(CAST(floor(fy) AS INT), 0), {h} - 2)").alias("y0"),
+        F.expr(f"least(greatest(CAST(floor(fx) AS INT), 0), {w} - 2)").alias("x0"),
+        "fy",
+        "fx",
+    ).select(
+        "ty",
+        "tx",
+        "y0",
+        "x0",
+        F.expr("fy - CAST(y0 AS DOUBLE)").alias("wy"),
+        F.expr("fx - CAST(x0 AS DOUBLE)").alias("wx"),
+    )
+    corners = base.select(
+        "ty",
+        "tx",
+        F.explode(
+            F.expr(
+                "array("
+                "struct(y0 AS sy, x0 AS sx, (1.0 - wy) * (1.0 - wx) AS wt),"
+                "struct(y0 AS sy, x0 + 1 AS sx, (1.0 - wy) * wx AS wt),"
+                "struct(y0 + 1 AS sy, x0 AS sx, wy * (1.0 - wx) AS wt),"
+                "struct(y0 + 1 AS sy, x0 + 1 AS sx, wy * wx AS wt))"
+            )
+        ).alias("c"),
+    ).select("ty", "tx", "c.sy", "c.sx", "c.wt")
+    joined = lv0.join(
+        F.broadcast(corners),
+        (F.col("lat_idx") == F.col("sy")) & (F.col("lon_idx") == F.col("sx")),
+    )
+    return (
+        joined.groupBy("time_idx", "ty", "tx")
+        .agg(
+            rnd(
+                F.sum(F.col("wt") * F.col("conc_chl").cast("double")), 6
+            ).alias("v")
+        )
+    )
+
+
+def _build_regrid_bilinear_oracle() -> str:
+    grid = _fixture_grid()
+    h, w = grid.height, grid.width
+    l0 = os.path.join(_fixture_base(), "l0", "*", "*.parquet")
+    return f"""
+WITH base AS (
+  SELECT CAST(i // {_RG_TW} AS INT) AS ty,
+         CAST(i % {_RG_TW} AS INT) AS tx,
+         CAST((2 * (i // {_RG_TW}) + 1) * {h} AS DOUBLE)
+           / CAST(2 * {_RG_TH} AS DOUBLE) - 0.5 AS fy,
+         CAST((2 * (i % {_RG_TW}) + 1) * {w} AS DOUBLE)
+           / CAST(2 * {_RG_TW} AS DOUBLE) - 0.5 AS fx
+  FROM (SELECT unnest(range(0, {_RG_TH * _RG_TW})) AS i)
+),
+wgt AS (
+  SELECT ty, tx,
+         least(greatest(CAST(floor(fy) AS INT), 0), {h} - 2) AS y0,
+         least(greatest(CAST(floor(fx) AS INT), 0), {w} - 2) AS x0,
+         fy - least(greatest(CAST(floor(fy) AS INT), 0), {h} - 2) AS wy,
+         fx - least(greatest(CAST(floor(fx) AS INT), 0), {w} - 2) AS wx
+  FROM base
+),
+corners AS (
+  SELECT ty, tx, y0 AS sy, x0 AS sx, (1.0 - wy) * (1.0 - wx) AS wt FROM wgt
+  UNION ALL
+  SELECT ty, tx, y0, x0 + 1, (1.0 - wy) * wx FROM wgt
+  UNION ALL
+  SELECT ty, tx, y0 + 1, x0, wy * (1.0 - wx) FROM wgt
+  UNION ALL
+  SELECT ty, tx, y0 + 1, x0 + 1, wy * wx FROM wgt
+)
+SELECT time_idx, ty, tx,
+       floor(sum(wt * CAST(conc_chl AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS v
+FROM read_parquet('{l0}', hive_partitioning=1)
+JOIN corners ON lat_idx = sy AND lon_idx = sx
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["cube_regrid_mean"] = cube_regrid_mean
+QUERIES["cube_regrid_bilinear"] = cube_regrid_bilinear
+ORACLES["cube_regrid_mean"] = _build_regrid_mean_oracle()
+ORACLES["cube_regrid_bilinear"] = _build_regrid_bilinear_oracle()

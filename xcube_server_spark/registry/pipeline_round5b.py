@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import load_table as _t
-from ._util import spread
+from ._util import rnd, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -201,3 +201,104 @@ QUERIES["semdedup_prune"] = semdedup_prune
 QUERIES["dedup_substring_windows"] = dedup_substring_windows
 ORACLES["semdedup_prune"] = ORACLE_SEMDEDUP
 ORACLES["dedup_substring_windows"] = ORACLE_SUBSTR_WINDOWS
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier prune: cosine-to-own-centroid (SemDeDup's companion)
+# ---------------------------------------------------------------------------
+
+_OUT_TAU = -0.05  # below this cosine-to-centroid a vector is an outlier
+
+
+def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine similarity to its own cluster centroid, with an
+    outlier flag below a fixed threshold — the prune SemDeDup's authors
+    pair with semantic dedup (drop both near-duplicates AND points far
+    from every prototype; D4/SSL-curation style data curation).
+
+    Determinism: centroid components round to 1e-6 BEFORE the cosine
+    (both engines), and the cosine itself rounds to 1e-5, so
+    partial-aggregation summation order cannot flip the flag.
+
+    Plan shape: the centroid build shuffles (label, dim) partial sums —
+    map-side combined, so the exchange carries |labels| x D rows per
+    partition, not N x D. The per-label centroid table (|labels| rows)
+    is BROADCAST back; the dot/norm fold is a sequential codegen
+    ``aggregate`` over the 64-dim array — the embeddings side reaches
+    its output with zero additional shuffles.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "ev"))
+        .groupBy("label", "dim")
+        .agg(rnd(F.avg(F.col("ev").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))),"
+                " s -> s.cv)"
+            ).alias("cent")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    dot = F.expr(
+        "aggregate(zip_with(embedding, cent,"
+        " (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    nv2 = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, a) -> acc + CAST(a AS DOUBLE) * CAST(a AS DOUBLE))"
+    )
+    nc2 = F.expr(
+        "aggregate(cent, CAST(0.0 AS DOUBLE), (acc, b) -> acc + b * b)"
+    )
+    cos = rnd(F.col("dot") / (F.sqrt("nv2") * F.sqrt("nc2")), 5)
+    return (
+        joined.withColumn("dot", dot)
+        .withColumn("nv2", nv2)
+        .withColumn("nc2", nc2)
+        .filter((F.col("nv2") > 0) & (F.col("nc2") > 0))
+        .withColumn("cos_centroid", cos)
+        .select(
+            "vec_id",
+            "label",
+            "cos_centroid",
+            F.expr(
+                f"CAST(CASE WHEN cos_centroid < {_OUT_TAU} THEN 1 ELSE 0 END"
+                " AS INT)"
+            ).alias("is_outlier"),
+        )
+    )
+
+
+ORACLE_OUTLIER = f"""
+WITH c AS (
+  SELECT label, i,
+         floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS cv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) t
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         sum(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS dot,
+         sum(CAST(e.embedding[c.i] AS DOUBLE)
+             * CAST(e.embedding[c.i] AS DOUBLE)) AS nv2,
+         sum(c.cv * c.cv) AS nc2
+  FROM embeddings e JOIN c ON e.label = c.label
+  GROUP BY 1, 2
+)
+SELECT vec_id, label,
+       floor(dot / (sqrt(nv2) * sqrt(nc2)) * 100000.0 + 0.5) / 100000.0
+         AS cos_centroid,
+       CAST(CASE WHEN floor(dot / (sqrt(nv2) * sqrt(nc2)) * 100000.0 + 0.5)
+                      / 100000.0 < {_OUT_TAU} THEN 1 ELSE 0 END AS INT)
+         AS is_outlier
+FROM d
+WHERE nv2 > 0 AND nc2 > 0
+"""
+
+
+QUERIES["embed_outlier_centroid"] = embed_outlier_centroid
+ORACLES["embed_outlier_centroid"] = ORACLE_OUTLIER
