@@ -62,3 +62,40 @@ def spread(df: DataFrame, per_core: int = 2) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+_SHINGLE_CUTOFF = 4096
+
+
+def char_cs_expr(cutoff: int = _SHINGLE_CUTOFF) -> str:
+    """Companion column for :func:`char_shingle_expr`: the hoisted char
+    array, built ONLY for documents past the cutoff (empty array otherwise,
+    so short rows never pay the per-char allocation)."""
+    return f"CASE WHEN length(text) > {cutoff} THEN split(text, '') ELSE array() END"
+
+
+def char_shingle_expr(k: int, cutoff: int = _SHINGLE_CUTOFF) -> str:
+    """Distinct k-char shingles of ``text``, adaptive to document length.
+
+    Two semantically identical forms (unicode parity pinned in
+    tests/test_text_scale.py):
+
+    - short docs (<= cutoff chars): ``substring(text, i, k)`` per shingle.
+      O(i) per call — quadratic in theory, but with a tiny constant; for
+      gate-sized documents it beats the array form ~1.9x (measured at
+      sf0.1: 0.35s vs 0.65s for the 5-char signature pass).
+    - long docs: slice+join over a bound char array ``cs`` (built by
+      :func:`char_cs_expr`). Linear in document length — a 320k-char
+      document is seconds instead of minutes (the in-lambda substring
+      form measured O(chars^2): 20k chars 3.3s, 320k 252s).
+
+    Requires BOTH ``text`` and a ``cs`` column bound via
+    ``withColumn("cs", F.expr(char_cs_expr()))``.
+    """
+    return (
+        "array_distinct(CASE WHEN length(text) <= "
+        f"{cutoff} THEN transform(sequence(1, greatest(length(text)-{k - 1}, 1)),"
+        f" i -> substring(text, i, {k}))"
+        f" ELSE transform(sequence(1, greatest(size(cs)-{k - 1}, 1)),"
+        f" i -> array_join(slice(cs, i, {k}), '')) END)"
+    )

@@ -611,10 +611,14 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the production shape: the exact O(|A|+|B|) set comparison runs
     ONLY on LSH candidates (|candidates| << |corpus|^2), so total cost is
     corpus-linear signature work + candidate-linear verification. Plan
-    shape: candidates join the token-set table twice on doc_id (id-keyed
-    hash joins carrying token arrays only for candidate docs — the join
-    output is candidate-sized); the Jaccard itself is a per-row
-    array_intersect/array_union projection.
+    shape: the candidate-pair set (bucket-width-capped) is BROADCAST onto a
+    streamed tokenized corpus scan for the A side (no corpus movement);
+    the B side is a SHUFFLE-HASH join — one corpus-linear token shuffle,
+    never a corpus broadcast. Left alone, the optimizer broadcasts the
+    full tokenized corpus on the B join, which both dies at 100 TB and
+    measured 1.8x slower at sf0.1 (8.5s vs 4.7s p50: the pair side is
+    ~25x the doc count here, so hashing the corpus and streaming the
+    pairs is the cheap direction).
     """
     cands = dedup_minhash_lsh(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
@@ -626,18 +630,22 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    half = a.join(F.broadcast(cands), "doc_a")
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        half.join(b.hint("shuffle_hash"), "doc_b")
+        # union size computed ONCE per candidate (array_union is the
+        # expensive half of the Jaccard; evaluating it separately in the
+        # guard and the ratio measured ~10% on the whole query)
+        .withColumn("u_sz", F.size(F.array_union("toks_a", "toks_b")))
         # degenerate pair guard (ADVICE r04): two empty token sets give 0/0,
         # which Spark nulls (row dropped) but IEEE engines NaN (DuckDB's
         # total order puts NaN above the threshold) — drop them explicitly
         # and identically on both sides
-        .filter(F.size(F.array_union("toks_a", "toks_b")) > 0)
-        .withColumn("jaccard", rnd(jac, 4))
+        .filter(F.col("u_sz") > 0)
+        .withColumn(
+            "jaccard",
+            rnd(F.size(F.array_intersect("toks_a", "toks_b")) / F.col("u_sz"), 4),
+        )
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ._util import char_cs_expr, char_shingle_expr
 from ._util import load_table as _t
 from ._util import rnd, spread
 
@@ -152,15 +153,12 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark suite (MBs), so the broadcast holds.
     """
     docs = _t(spark, sf_dir, "documents")
-    # grams over a hoisted char array ("cs") — in-lambda substring re-scans
-    # the string per gram, O(chars^2) on long documents
-    grams_expr = (
-        "array_distinct(transform(sequence(1, greatest(size(cs)-12, 1)),"
-        " i -> array_join(slice(cs, i, 13), '')))"
-    )
+    # adaptive 13-gram form (char_shingle_expr): substring for short docs,
+    # hoisted char-array slice for long ones — linear in document length
+    grams_expr = char_shingle_expr(13)
     eval_dict = (
         docs.filter(F.col("doc_id") % 97 == 0)
-        .withColumn("cs", F.split("text", ""))
+        .withColumn("cs", F.expr(char_cs_expr()))
         .select(F.explode(F.expr(grams_expr)).alias("g"))
         .agg(F.collect_set("g").alias("eval_grams"))
     )
@@ -168,7 +166,7 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file — spread rows across cores first (RoundRobin exchange of raw docs,
     # amortized by the per-row work; same move as dedup_minhash_lsh)
     train = spread(docs.filter(F.col("doc_id") % 97 != 0)).withColumn(
-        "cs", F.split("text", "")
+        "cs", F.expr(char_cs_expr())
     )
     hit = F.arrays_overlap(F.expr(grams_expr), F.col("eval_grams"))
     return (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+from ._util import char_cs_expr, char_shingle_expr
 from ._util import load_table as _t
 from ._util import rnd, spread
 
@@ -125,16 +126,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source is a single parquet file, so spread rows across cores first —
     # a RoundRobin exchange of raw docs, amortized by the per-row work
     docs = spread(docs)
-    # char array hoisted BEFORE the lambda: substring(text, i, 5) inside a
-    # transform scans the string from the start per element (UTF8String has
-    # no char index), O(chars^2) on long documents; slice on the bound char
-    # array is O(k) per shingle (test_text_scale.py pins the linear form)
-    sig = docs.withColumn("cs", F.split("text", "")).withColumn(
+    # adaptive shingle form (char_shingle_expr): substring per shingle for
+    # short docs (small constant), hoisted char-array slice for long docs
+    # (linear — in-lambda substring is O(chars^2); test_text_scale.py pins
+    # the bound). Short rows never pay the per-char array allocation.
+    sig = docs.withColumn("cs", F.expr(char_cs_expr())).withColumn(
         "hashes",
-        F.expr(
-            "transform(array_distinct(transform(sequence(1, greatest(size(cs)-4, 1)),"
-            " i -> array_join(slice(cs, i, 5), ''))), s -> md5(s))"
-        ),
+        F.expr(f"transform({char_shingle_expr(5)}, s -> md5(s))"),
     ).drop("cs")
     for j in range(4):
         sig = sig.withColumn(
@@ -283,13 +281,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-gram buckets hold (doc_id, sz) structs and pair expansion emits
     # both sizes with the pair — no self-join (which scans the table twice)
     # and no sizes re-scan + two broadcast joins (the former 4-scan plan).
-    grams = docs.withColumn("cs", F.split("text", "")).select(
+    grams = docs.withColumn("cs", F.expr(char_cs_expr())).select(
         "doc_id",
-        # bound char array, not in-lambda substring — O(chars), not O(chars^2)
-        F.expr(
-            "array_distinct(transform(sequence(1, greatest(size(cs)-2, 1)),"
-            " i -> array_join(slice(cs, i, 3), '')))"
-        ).alias("gs"),
+        # adaptive shingles: substring for short docs, char-array slice for
+        # long ones (see char_shingle_expr) — linear either way in practice
+        F.expr(char_shingle_expr(3)).alias("gs"),
     ).select(
         "doc_id", F.size("gs").alias("sz"), F.explode("gs").alias("g")
     )
@@ -900,14 +896,10 @@ def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup_cluster import dedup_components
 
     docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), per_core=1)
-    # char array hoisted before the lambda (see dedup_minhash_lsh): the
-    # in-lambda substring form is O(chars^2) on long documents
-    sig = docs.withColumn("cs", F.split("text", "")).withColumn(
+    # adaptive shingle form (see dedup_minhash_lsh / char_shingle_expr)
+    sig = docs.withColumn("cs", F.expr(char_cs_expr())).withColumn(
         "hashes",
-        F.expr(
-            "transform(array_distinct(transform(sequence(1, greatest(size(cs)-4, 1)),"
-            " i -> array_join(slice(cs, i, 5), ''))), s -> md5(s))"
-        ),
+        F.expr(f"transform({char_shingle_expr(5)}, s -> md5(s))"),
     ).drop("cs")
     for j in range(4):
         sig = sig.withColumn(
