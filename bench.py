@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "cube_regrid_nearest",
     "cube_regrid_bilinear",
     "embed_outlier_centroid",
+    "stream_dedupe_events_live",
+    "quality_gopher_rules",
+    "dedup_containment",
 ]
 
 

@@ -649,3 +649,36 @@ def test_embed_outlier_centroid_broadcast_back(spark, sf_dir):
     df = QUERIES["embed_outlier_centroid"](spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3
+
+
+def test_gopher_rules_single_exchange(spark, sf_dir):
+    """All five Gopher rules read one bound word-array projection; the only
+    exchange is the per-source partial aggregate."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["quality_gopher_rules"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "Join" not in formatted_plan(df)
+
+
+def test_containment_no_corpus_broadcast(spark, sf_dir):
+    """Containment verify inherits the lsh_verify join shape: candidates
+    broadcast, corpus-side B join is shuffle-hash — the corpus token table
+    itself is never broadcast."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["dedup_containment"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:300]
+
+
+def test_lsh_verify_no_corpus_broadcast(spark, sf_dir):
+    """lsh_verify's B-side join must be shuffle-hash (corpus-linear token
+    shuffle), never a broadcast of the full tokenized corpus — the
+    optimizer picks the broadcast on its own, which dies at 100 TB and
+    measured 1.8x slower at sf0.1."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["dedup_lsh_verify"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:300]

@@ -66,6 +66,9 @@ _PRIORITY = [
     "cube_regrid_mean",
     "cube_regrid_bilinear",
     "embed_outlier_centroid",
+    "stream_dedupe_events_live",
+    "quality_gopher_rules",
+    "dedup_containment",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -98,11 +101,10 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 24
-    # first-time queries above, window position 50 lands on
-    # pivot_status_by_year below; everything after is overflow
-    # (multiply-green, re-proven locally by tests/test_correctness.py
-    # every pytest run).
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 27
+    # first-time queries above, window position 50 lands on window_rank
+    # below; everything after is overflow (multiply-green, re-proven
+    # locally by tests/test_correctness.py every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
     "q2_min_cost_supplier",
@@ -116,11 +118,11 @@ _PRIORITY = [
     "agg_rollup",
     "agg_cube_grouping",
     "agg_percentiles",
-    "window_rank",
+    "window_rank",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
     "window_running",
     "topk_global",
-    "pivot_status_by_year",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
+    "pivot_status_by_year",
     "set_ops_customers",
     "stats_correlation",
     "histogram_prices",

@@ -302,3 +302,232 @@ WHERE nv2 > 0 AND nc2 > 0
 
 QUERIES["embed_outlier_centroid"] = embed_outlier_centroid
 ORACLES["embed_outlier_centroid"] = ORACLE_OUTLIER
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al., "Scaling Language Models: ... Gopher")
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = "'the','be','to','of','and','that','have','with'"
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of the Gopher repetition-free quality rules: word
+    count bounds, mean word length in [3, 10], >= 80% of words containing
+    an alphabetic character, symbol-to-word ratio (# and ellipsis) <= 0.1,
+    and the >= 2 distinct stop words rule. Every rule is counted
+    independently (a doc can fail several) plus the pass-all count — the
+    per-rule drop profile is how a curation run is audited.
+
+    Plan shape: one scan-side projection building the word array once per
+    document (all five rules read the same bound column), then a single
+    partial-aggregated exchange keyed on source. Scan-dominant at 100 TB.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        F.expr("filter(split(trim(text), ' '), w -> w <> '')").alias("ws"),
+        "text",
+    ).select(
+        "source",
+        F.expr("size(ws)").alias("wc"),
+        F.expr(
+            "CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) AS DOUBLE)"
+        ).alias("chars"),
+        F.expr(
+            "size(filter(ws, w -> w rlike '[A-Za-z]'))"
+        ).alias("alpha_words"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)"
+            " + CAST((length(text) - length(replace(text, '...', ''))) DIV 3"
+            "   AS DOUBLE)"
+        ).alias("symbols"),
+        F.expr(
+            f"size(array_intersect(transform(ws, w -> lower(w)),"
+            f" array({_GOPHER_STOPS})))"
+        ).alias("stop_hits"),
+    )
+    rules = feats.select(
+        "source",
+        F.expr("CASE WHEN wc < 5 OR wc > 1000 THEN 1 ELSE 0 END").alias(
+            "f_word_count"
+        ),
+        F.expr(
+            "CASE WHEN wc = 0 OR chars / wc < 3.0 OR chars / wc > 10.0"
+            " THEN 1 ELSE 0 END"
+        ).alias("f_mean_word_len"),
+        F.expr(
+            "CASE WHEN wc = 0 OR CAST(alpha_words AS DOUBLE) / wc < 0.8"
+            " THEN 1 ELSE 0 END"
+        ).alias("f_alpha_ratio"),
+        F.expr(
+            "CASE WHEN wc = 0 OR symbols / wc > 0.1 THEN 1 ELSE 0 END"
+        ).alias("f_symbol_ratio"),
+        F.expr("CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END").alias(
+            "f_stopword"
+        ),
+    )
+    agg = [
+        F.sum(c).cast("bigint").alias("n_" + c)
+        for c in (
+            "f_word_count",
+            "f_mean_word_len",
+            "f_alpha_ratio",
+            "f_symbol_ratio",
+            "f_stopword",
+        )
+    ]
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *agg,
+        F.sum(
+            F.expr(
+                "CASE WHEN f_word_count + f_mean_word_len + f_alpha_ratio"
+                " + f_symbol_ratio + f_stopword = 0 THEN 1 ELSE 0 END"
+            )
+        ).cast("bigint").alias("n_pass"),
+    )
+
+
+ORACLE_GOPHER = f"""
+WITH feats AS (
+  SELECT source,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws,
+         text
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(ws) AS wc,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) AS chars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+           AS alpha_words,
+         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+             AS DOUBLE) AS symbols,
+         len(list_intersect(list_transform(ws, w -> lower(w)),
+             [{_GOPHER_STOPS}])) AS stop_hits
+  FROM feats
+),
+r AS (
+  SELECT source,
+         CASE WHEN wc < 5 OR wc > 1000 THEN 1 ELSE 0 END AS f_word_count,
+         CASE WHEN wc = 0 OR chars / wc < 3.0 OR chars / wc > 10.0
+              THEN 1 ELSE 0 END AS f_mean_word_len,
+         CASE WHEN wc = 0 OR CAST(alpha_words AS DOUBLE) / wc < 0.8
+              THEN 1 ELSE 0 END AS f_alpha_ratio,
+         CASE WHEN wc = 0 OR symbols / wc > 0.1 THEN 1 ELSE 0 END
+           AS f_symbol_ratio,
+         CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stopword
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_word_count) AS BIGINT) AS n_f_word_count,
+       CAST(sum(f_mean_word_len) AS BIGINT) AS n_f_mean_word_len,
+       CAST(sum(f_alpha_ratio) AS BIGINT) AS n_f_alpha_ratio,
+       CAST(sum(f_symbol_ratio) AS BIGINT) AS n_f_symbol_ratio,
+       CAST(sum(f_stopword) AS BIGINT) AS n_f_stopword,
+       CAST(sum(CASE WHEN f_word_count + f_mean_word_len + f_alpha_ratio
+                          + f_symbol_ratio + f_stopword = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM r
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Containment-verified near-dup pairs (partial-overlap / subset duplication)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with CONTAINMENT
+    ``|A∩B| / min(|A|,|B|)`` instead of Jaccard — the measure that catches
+    a document embedded inside a larger one (quote farms, boilerplate
+    wrappers), which symmetric Jaccard dilutes below threshold.
+
+    Same scale-correct join shape as ``dedup_lsh_verify``: candidate pairs
+    broadcast onto a streamed corpus scan (A side), shuffle-hash join for
+    the B side — no corpus broadcast anywhere.
+    """
+    from .pipeline_queries import dedup_minhash_lsh
+
+    cands = dedup_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("array_distinct(filter(split(text, ' '), t -> t <> ''))").alias(
+            "toks"
+        ),
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    half = a.join(F.broadcast(cands), "doc_a")
+    return (
+        half.join(b.hint("shuffle_hash"), "doc_b")
+        .withColumn(
+            "m_sz", F.least(F.size("toks_a"), F.size("toks_b"))
+        )
+        .filter(F.col("m_sz") > 0)
+        .withColumn(
+            "containment",
+            rnd(F.size(F.array_intersect("toks_a", "toks_b")) / F.col("m_sz"), 4),
+        )
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text)-4, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 5)))) AS sh
+  FROM documents
+),
+mh AS (
+  SELECT doc_id,
+         min(substring(md5(sh), 1, 8))  AS m0, min(substring(md5(sh), 9, 8))  AS m1,
+         min(substring(md5(sh), 17, 8)) AS m2, min(substring(md5(sh), 25, 8)) AS m3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+              AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS toks
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         floor(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / least(len(ta.toks), len(tb.toks))
+               * 10000 + 0.5) / 10000 AS containment
+  FROM cands c
+  JOIN toks ta ON c.doc_a = ta.doc_id
+  JOIN toks tb ON c.doc_b = tb.doc_id
+  WHERE least(len(ta.toks), len(tb.toks)) > 0
+)
+SELECT doc_a, doc_b, containment
+FROM verified WHERE containment >= {_CONTAIN_MIN}
+"""
+
+
+QUERIES["quality_gopher_rules"] = quality_gopher_rules
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["quality_gopher_rules"] = ORACLE_GOPHER
+ORACLES["dedup_containment"] = ORACLE_CONTAINMENT

@@ -458,8 +458,91 @@ FROM dedup
 GROUP BY 1
 """
 
+def _staged_events_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as the 4 ts-ranged files of ``_staged_events`` PLUS a
+    fifth file redelivering the ``event_id % 10 == 0`` slice, mtime-stamped
+    last — an at-least-once ingest where part of history arrives again in a
+    later batch (the exact failure mode ``dropDuplicatesWithinWatermark``
+    exists for). A separate ``_STAGED_OK`` marker gates completeness since
+    the replay copy happens after the main write's ``_SUCCESS``."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_events_replay_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        ev = _events(spark, sf_dir)
+        (
+            ev.repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        replay_tmp = staged + "_replaytmp"
+        (
+            ev.filter(F.col("event_id") % 10 == 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(replay_tmp)
+        )
+        src = glob.glob(os.path.join(replay_tmp, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(staged, "part-9999-replayed.parquet"))
+        shutil.rmtree(replay_tmp)
+        # ascending mtimes in path order; the replay file sorts (and is
+        # stamped) last, so it arrives as the final micro-batch
+        parts = sorted(f for f in os.listdir(staged) if f.startswith("part-"))
+        base_t = os.path.getmtime(os.path.join(staged, parts[0]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(staged, f), (base_t + i, base_t + i))
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def stream_dedupe_events_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once ingest dedup run LIVE: a readStream over a staged
+    source whose final micro-batch redelivers 10% of history;
+    ``dropDuplicatesWithinWatermark`` keeps first arrivals only, so the
+    per-type totals converge to the batch-distinct oracle (the SAME oracle
+    as ``stream_dedupe_events``).
+
+    The watermark delay is set to the full redelivery horizon so dedup
+    state still covers the oldest replayed event — production sets this to
+    its redelivery SLA (e.g. the kafka retention window), which is exactly
+    what bounds the state store at 100 TB: state size follows the SLA, not
+    the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.run import run_stream_to_batch
+
+    staged = _staged_events_replay(spark, sf_dir)
+
+    def dedupe_and_count(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                rnd(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    return run_stream_to_batch(
+        spark, staged, dedupe_and_count, output_mode="complete"
+    )
+
+
 QUERIES["stream_dedupe_events"] = stream_dedupe_events
+QUERIES["stream_dedupe_events_live"] = stream_dedupe_events_live
 ORACLES["stream_dedupe_events"] = ORACLE_STREAM_DEDUPE
+ORACLES["stream_dedupe_events_live"] = ORACLE_STREAM_DEDUPE
 
 
 def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
