@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "stream_dedupe_events_live",
     "quality_gopher_rules",
     "dedup_containment",
+    "dsir_importance",
+    "cube_threshold_area",
 ]
 
 

@@ -682,3 +682,28 @@ def test_lsh_verify_no_corpus_broadcast(spark, sf_dir):
     df = QUERIES["dedup_lsh_verify"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan[:300]
+
+
+def test_dsir_scan_side_scoring(spark, sf_dir):
+    """DSIR scoring is a scan-side fold against a broadcast log-ratio map —
+    the corpus side reaches its output without shuffling documents; the
+    only hash exchanges carry bucket counts (<= 256 rows after partials)."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["dsir_importance"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    ex_sections = [s for s in plan.split("\n\n") if s.startswith("(")
+                   and "Exchange" in s.split("\n")[0]]
+    hash_ex = [s for s in ex_sections if "hashpartitioning" in s]
+    assert hash_ex and all("text" not in s and "doc_id" not in s
+                           for s in hash_ex), hash_ex[:1]
+
+
+def test_threshold_area_single_exchange(spark, sf_dir):
+    """Exceedance stats are one partial-agg exchange keyed on time_idx."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cube_threshold_area"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "Join" not in formatted_plan(df)

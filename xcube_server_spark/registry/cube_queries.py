@@ -861,3 +861,77 @@ QUERIES["cube_regrid_mean"] = cube_regrid_mean
 QUERIES["cube_regrid_bilinear"] = cube_regrid_bilinear
 ORACLES["cube_regrid_mean"] = _build_regrid_mean_oracle()
 ORACLES["cube_regrid_bilinear"] = _build_regrid_bilinear_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cube_threshold_area: exceedance area / centroid per time slice
+# ---------------------------------------------------------------------------
+
+_THRESH_CHL = 16.0
+
+
+def cube_threshold_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-time-step exceedance statistics for ``conc_chl > 16``: cell
+    count, valid-cell fraction, exceedance-region centroid (mean lat/lon
+    index) and the slice maximum — the algal-bloom-detection analytic an
+    operational cube server derives from the same masked-aggregate
+    machinery as the A1/A3 statistics (NaN→NULL ingest makes every
+    aggregate NULL-correct for free).
+
+    Plan shape: scan-side CASE projections + ONE partial-aggregated
+    exchange keyed on time_idx (|timesteps| output rows). Scan-dominant
+    at 100 TB.
+    """
+    _demo_catalog(spark)
+    lv0 = spark.read.parquet(os.path.join(_fixture_base(), "l0"))
+    v = F.col("conc_chl").cast("double")
+    exceed = F.when(v > _THRESH_CHL, 1).otherwise(0)
+    return (
+        lv0.select(
+            "time_idx",
+            v.alias("v"),
+            exceed.alias("ex"),
+            "lat_idx",
+            "lon_idx",
+        )
+        .groupBy("time_idx")
+        .agg(
+            F.sum("ex").cast("bigint").alias("n_exceed"),
+            F.count("v").cast("bigint").alias("n_valid"),
+            rnd(F.sum("ex") / F.count("v"), 6).alias("exceed_frac"),
+            rnd(
+                F.avg(F.when(F.col("ex") == 1, F.col("lat_idx"))), 4
+            ).alias("centroid_lat_idx"),
+            rnd(
+                F.avg(F.when(F.col("ex") == 1, F.col("lon_idx"))), 4
+            ).alias("centroid_lon_idx"),
+            rnd(F.max("v"), 6).alias("max_chl"),
+        )
+    )
+
+
+def _build_threshold_area_oracle() -> str:
+    l0 = os.path.join(_fixture_base(), "l0", "*", "*.parquet")
+    return f"""
+SELECT time_idx,
+       CAST(sum(CASE WHEN CAST(conc_chl AS DOUBLE) > {_THRESH_CHL}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(CAST(sum(CASE WHEN CAST(conc_chl AS DOUBLE) > {_THRESH_CHL}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS exceed_frac,
+       floor(avg(CASE WHEN CAST(conc_chl AS DOUBLE) > {_THRESH_CHL}
+                      THEN lat_idx END) * 10000.0 + 0.5) / 10000.0
+         AS centroid_lat_idx,
+       floor(avg(CASE WHEN CAST(conc_chl AS DOUBLE) > {_THRESH_CHL}
+                      THEN lon_idx END) * 10000.0 + 0.5) / 10000.0
+         AS centroid_lon_idx,
+       floor(max(CAST(conc_chl AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS max_chl
+FROM read_parquet('{l0}', hive_partitioning=1)
+GROUP BY 1
+"""
+
+
+QUERIES["cube_threshold_area"] = cube_threshold_area
+ORACLES["cube_threshold_area"] = _build_threshold_area_oracle()

@@ -531,3 +531,139 @@ QUERIES["quality_gopher_rules"] = quality_gopher_rules
 QUERIES["dedup_containment"] = dedup_containment
 ORACLES["quality_gopher_rules"] = ORACLE_GOPHER
 ORACLES["dedup_containment"] = ORACLE_CONTAINMENT
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (Xie et al., "Data Selection for Language Models
+# via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+_DSIR_V = 16384.0  # smoothing denominator (hashed-bigram space size)
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: the log-likelihood ratio of the
+    document's hashed bigrams under a TARGET unigram-of-bigrams LM (here
+    the ``lang = 'en'`` slice — the paper uses the downstream-domain
+    corpus) vs the RAW-corpus LM, add-one smoothed. Documents with
+    ``log_ratio >= 0`` look more target-like than raw-like and are the
+    resampling pool.
+
+    The bigram hash must be engine-portable (Spark ``hash`` and DuckDB
+    ``hash`` disagree), so buckets derive from md5 hex:
+    ``ascii(h[0]) * 128 + ascii(h[1])``.
+
+    Plan shape: two bucket-count aggregates (each ≤ 256 distinct rows
+    after map-side partials) build a log-ratio MAP carried as ONE
+    broadcast row; scoring is then a scan-side sequential fold per
+    document — the corpus is never shuffled, so at 100 TB this is one
+    pass + two tiny aggregates (the paper's own streaming formulation).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ws = "filter(split(trim(text), ' '), w -> w <> '')"
+    bgs = (
+        f"CASE WHEN size({ws}) >= 2 THEN"
+        f" transform(sequence(1, size({ws}) - 1),"
+        f" i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
+        " ELSE array() END"
+    )
+    bucket = (
+        "ascii(substring(md5(b), 1, 1)) * 128 + ascii(substring(md5(b), 2, 1))"
+    )
+    with_b = docs.withColumn("bg", F.expr(bgs))
+    buckets = with_b.select(
+        "lang", F.explode("bg").alias("b")
+    ).select("lang", F.expr(bucket).alias("bucket"))
+    raw = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        buckets.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw.agg(
+        F.sum("cr").cast("double").alias("tr")
+    ).crossJoin(
+        F.broadcast(tgt.agg(F.sum("ct").cast("double").alias("tt")))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"ln((coalesce(ct, 0) + 1) / (tt + {_DSIR_V}))"
+                f" - ln((cr + 1) / (tr + {_DSIR_V}))"
+            ).alias("lr"),
+        )
+    )
+    lr_map = lr.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "lr")))
+        ).alias("m")
+    )
+    scored = with_b.crossJoin(F.broadcast(lr_map)).select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        rnd(
+            F.expr(
+                "aggregate(bg, CAST(0.0 AS DOUBLE),"
+                f" (acc, b) -> acc + element_at(m, {bucket}))"
+            ),
+            4,
+        ).alias("dsir_score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "dsir_score",
+        F.expr(
+            "CAST(CASE WHEN dsir_score >= 0.0 THEN 1 ELSE 0 END AS INT)"
+        ).alias("selected"),
+    )
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         ascii(substring(md5(b), 1, 1)) * 128
+           + ascii(substring(md5(b), 2, 1)) AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS b
+    FROM toks
+  )
+),
+rc AS (SELECT bucket, count(*) AS cr FROM bg GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS tr,
+         (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tt
+),
+lr AS (
+  SELECT rc.bucket,
+         ln((coalesce(tc.ct, 0) + 1) / (tt + {_DSIR_V}))
+           - ln((rc.cr + 1) / (tr + {_DSIR_V})) AS lr
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+),
+s AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams, sum(lr.lr) AS score
+  FROM bg JOIN lr USING (bucket)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS INT) AS n_bigrams,
+       floor(coalesce(s.score, 0.0) * 10000.0 + 0.5) / 10000.0 AS dsir_score,
+       CAST(CASE WHEN floor(coalesce(s.score, 0.0) * 10000.0 + 0.5) / 10000.0
+                      >= 0.0 THEN 1 ELSE 0 END AS INT) AS selected
+FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
+QUERIES["dsir_importance"] = dsir_importance
+ORACLES["dsir_importance"] = ORACLE_DSIR
