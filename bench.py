@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dsir_importance",
     "cube_threshold_area",
+    "zarr_ingest_stats",
 ]
 
 

@@ -1,0 +1,113 @@
+"""End-to-end LOCAL ZARR ingestion — no zarr/xarray package involved.
+
+Writes a real zarr v2 group with the pure-Python writer, then runs BOTH
+ingest paths against the store path itself (no injected opener): the
+driver-side ``ingest_xarray`` and the executor-side
+``ingest_xarray_distributed`` (manifest → mapInPandas window reads). This
+is the proof that S2 (local zarr scan) executes in this container rather
+than being import-gated."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_server_spark.sources.xarray_ingest import (
+    chunk_manifest,
+    ingest_xarray,
+    ingest_xarray_distributed,
+)
+from xcube_server_spark.sources.zarr_store import (
+    open_zarr_group,
+    write_zarr_group,
+)
+
+TIMES = ["2017-01-16 10:09:22", "2017-01-25 09:35:51", "2017-01-26 10:50:17"]
+H, W = 10, 20
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zarr") / "demo.zarr")
+    rng = np.random.default_rng(7)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[0, 0, 0] = math.nan  # masked cell survives the round trip
+    tsm = rng.uniform(0, 100, size=(len(TIMES), H, W))
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)  # descending (inv_y F)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_zarr_group(
+        path, TIMES, lat, lon, {"conc_chl": chl, "conc_tsm": tsm},
+        chunk_shape=(1, 4, 8),
+    )
+    return path, chl, tsm
+
+
+def test_pure_reader_roundtrip(store):
+    path, chl, _ = store
+    ds = open_zarr_group(path)
+    assert sorted(ds.data_vars) == ["conc_chl", "conc_tsm"]
+    assert ds["conc_chl"].dims == ("time", "lat", "lon")
+    got = ds["conc_chl"][0:3, 0:H, 0:W]
+    assert got.shape == chl.shape
+    assert np.allclose(got, chl, equal_nan=True)
+    # window crossing chunk boundaries (chunks are (1,4,8))
+    win = ds["conc_chl"][1:3, 2:7, 5:19]
+    assert np.allclose(win, chl[1:3, 2:7, 5:19], equal_nan=True)
+    # CF time decode
+    assert list(ds["time"].values) == TIMES
+
+
+def test_chunk_manifest_reports_store_layout(store):
+    path, _, _ = store
+    man = chunk_manifest(path, fmt="zarr")
+    by_var = {m["var"]: m for m in man}
+    assert by_var["conc_chl"]["dims"] == ["time", "lat", "lon"]
+    assert by_var["conc_chl"]["chunks"][0] == [1, 1, 1]
+    assert by_var["conc_chl"]["chunks"][1] == [4, 4, 2]
+    assert by_var["conc_chl"]["chunks"][2] == [8, 8, 4]
+
+
+def _check_cells(df, chl, tsm):
+    rows = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): (
+            r["conc_chl"], r["conc_tsm"],
+        )
+        for r in df.collect()
+    }
+    assert len(rows) == len(TIMES) * H * W
+    for (t, y, x) in [(0, 0, 0), (1, 3, 9), (2, 9, 19), (0, 4, 8)]:
+        got_chl, got_tsm = rows[(t, y, x)]
+        want = chl[t, y, x]
+        if math.isnan(want):
+            assert got_chl is None or math.isnan(got_chl)
+        else:
+            assert got_chl == pytest.approx(want)
+        assert got_tsm == pytest.approx(tsm[t, y, x])
+
+
+def test_driver_side_ingest_executes(spark, store):
+    path, chl, tsm = store
+    df, grid = ingest_xarray(spark, path, fmt="zarr")
+    assert (grid.width, grid.height) == (W, H)
+    assert grid.times == tuple(TIMES)
+    _check_cells(df, chl, tsm)
+
+
+def test_distributed_ingest_executes(spark, store):
+    """The 100 TB path: manifest rows → mapInPandas window reads on
+    executors, chunk-aligned to the store layout."""
+    path, chl, tsm = store
+    df, grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    assert (grid.width, grid.height) == (W, H)
+    _check_cells(df, chl, tsm)
+    # coordinate columns attach (same arithmetic as GridMeta)
+    one = df.filter(
+        (F.col("time_idx") == 0)
+        & (F.col("lat_idx") == 0)
+        & (F.col("lon_idx") == 0)
+    ).collect()[0]
+    assert one["lon"] == pytest.approx(0.125)
+    assert abs(one["lat"]) <= 90.0

@@ -71,6 +71,7 @@ _PRIORITY = [
     "dedup_containment",
     "dsir_importance",
     "cube_threshold_area",
+    "zarr_ingest_stats",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -103,10 +104,9 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 29
-    # first-time queries above, window position 50 lands on
-    # agg_cube_grouping below; everything after is overflow (multiply-green,
-    # re-proven
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 30
+    # first-time queries above, window position 50 lands on agg_rollup
+    # below; everything after is overflow (multiply-green, re-proven
     # locally by tests/test_correctness.py every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
     #    one plan shape, so breadth goes to the other operator families)
@@ -118,9 +118,9 @@ _PRIORITY = [
     "join_semi",
     "join_anti",
     "join_asof",
-    "agg_rollup",
-    "agg_cube_grouping",  # <- window position 50
+    "agg_rollup",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "agg_cube_grouping",
     "agg_percentiles",
     "window_rank",
     "window_running",

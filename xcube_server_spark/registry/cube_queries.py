@@ -935,3 +935,92 @@ GROUP BY 1
 
 QUERIES["cube_threshold_area"] = cube_threshold_area
 ORACLES["cube_threshold_area"] = _build_threshold_area_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zarr_ingest_stats: REAL zarr-store ingestion inside the correctness gate
+# ---------------------------------------------------------------------------
+
+_ZG_T, _ZG_H, _ZG_W = 3, 10, 20
+
+
+def _zarr_gate_store() -> str:
+    """Materialize (once) a deterministic zarr v2 store whose cell values
+    come from integer arithmetic — ``((t*31 + y*7 + x*13) % 97) / 10`` with
+    NULL holes where ``(y*W + x + t) % 11 == 0`` — so a SQL oracle can
+    regenerate the exact same cube without reading zarr."""
+    import numpy as np
+
+    from ..sources.zarr_store import write_zarr_group
+
+    path = os.path.join(tempfile.gettempdir(), "xss_zarr_gate_v1")
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 31 + y * 7 + x * 13) % 97) / 10.0
+        chl[(y * _ZG_W + x + t) % 11 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_zarr_group(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+        )
+    return path
+
+
+def zarr_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-time-slice statistics computed from a REAL zarr v2 store read by
+    the pure-Python chunk reader through the DISTRIBUTED ingest path
+    (driver plans chunk windows; executors decompress and slice chunks
+    inside ``mapInPandas`` — ``sources/xarray_ingest.py:plan_chunks``,
+    ``sources/zarr_store.py``). The oracle regenerates the store's
+    deterministic cell formula in SQL, so this row hash-verifies the whole
+    zarr read path: chunk decode, fill_value holes, window assembly,
+    NaN→NULL, and the tall-cube mapping.
+
+    Reference parity: ``xcube_server/context.py:238-255`` (open zarr
+    store), ``mldataset.py:201-269`` (chunked store walk).
+    """
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _zarr_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_ZARR_INGEST = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + t.i) % 11 = 0 THEN NULL
+              ELSE ((t.i * 31 + y.i * 7 + x.i * 13) % 97) / 10.0 END
+           AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["zarr_ingest_stats"] = zarr_ingest_stats
+ORACLES["zarr_ingest_stats"] = ORACLE_ZARR_INGEST

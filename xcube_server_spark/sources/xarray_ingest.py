@@ -47,12 +47,20 @@ def _require_xarray() -> None:
 
 def _open_store(path: str, fmt: str, opener: Callable | None):
     """Open a dataset handle. ``opener`` (tests / custom stores) takes
-    precedence; otherwise xarray opens the path lazily (zarr and netCDF both
-    read only metadata at open time)."""
+    precedence; zarr falls back to the built-in pure-Python v2 reader
+    (``sources/zarr_store.py`` — no zarr/xarray dependency) when xarray is
+    absent, so LOCAL ZARR INGESTION EXECUTES in this container; netCDF
+    still needs xarray/netCDF4 (binary format, import-gated)."""
     if opener is not None:
         return opener()
+    if fmt == "zarr":
+        if xr is not None:
+            return xr.open_zarr(path)
+        from .zarr_store import open_zarr_group
+
+        return open_zarr_group(path)
     _require_xarray()
-    return xr.open_zarr(path) if fmt == "zarr" else xr.open_dataset(path)
+    return xr.open_dataset(path)
 
 
 def _grid_from_coords(lat, lon, time_values) -> GridMeta:

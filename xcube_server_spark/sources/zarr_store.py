@@ -1,0 +1,325 @@
+"""Pure-Python zarr v2 store reader/writer (no zarr/xarray dependency).
+
+Upgrades S2 (local zarr scan) from import-gated to EXECUTABLE in this
+container: the zarr v2 on-disk format is JSON metadata (``.zgroup`` /
+``.zarray`` / ``.zattrs``) plus one binary file per chunk, and the common
+compressors are zlib (stdlib) or none — so a complete reader needs only the
+standard library and numpy. The reference opens zarr through xarray
+(``xcube_server/context.py:238-255``); this module provides the same
+minimal dataset surface the ingest path consumes
+(``sources/xarray_ingest._open_store``):
+
+- ``ds["lat"].values`` / 1-D coordinate access
+- ``ds.data_vars`` → name → variable with ``.dims`` (from the xarray
+  ``_ARRAY_DIMENSIONS`` attr convention) and ``.chunks``
+- ``ds[name][t0:t1, y0:y1, x0:x1]`` window slicing (the executor-side read)
+
+Scope (asserted, not silently wrong): zarr v2, C order, no filters,
+compressor ``null`` or ``zlib``; blosc needs numcodecs and raises a clear
+error. Time coordinates decode CF-style integer ``units`` ("seconds/
+hours/days since ...") to ISO strings, which ``_grid_from_coords``
+consumes directly.
+
+The writer exists so tests can build a real store without any zarr
+package — the reader is exercised against it end-to-end (write → open →
+distributed ingest → tall cube), proving the executor read path with zero
+external dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from datetime import datetime, timedelta
+
+import numpy as np
+
+_UNIT_SECONDS = {"seconds": 1, "hours": 3600, "days": 86400}
+
+
+def _decode_times(values: np.ndarray, units: str | None) -> list[str]:
+    """CF-style integer time decode → ISO 'YYYY-MM-DD HH:MM:SS' strings."""
+    if units is None:
+        return [str(v)[:19].replace("T", " ") for v in values]
+    unit, _, rest = units.partition(" since ")
+    if unit not in _UNIT_SECONDS:
+        raise NotImplementedError(f"unsupported time units: {units!r}")
+    base = rest.strip()[:19]
+    fmt = "%Y-%m-%d %H:%M:%S" if len(base) > 10 else "%Y-%m-%d"
+    epoch = datetime.strptime(base.replace("T", " "), fmt)
+    sec = _UNIT_SECONDS[unit]
+    return [
+        (epoch + timedelta(seconds=sec * float(v))).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        for v in values
+    ]
+
+
+class ZarrArray:
+    """One zarr v2 array: lazy chunk loads, fill_value for missing chunks."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, ".zarray")) as f:
+            meta = json.load(f)
+        if meta.get("zarr_format") != 2:
+            raise NotImplementedError("only zarr v2 stores are supported")
+        if meta.get("order", "C") != "C":
+            raise NotImplementedError("only C-order zarr arrays supported")
+        if meta.get("filters"):
+            raise NotImplementedError("zarr filters are not supported")
+        comp = meta.get("compressor")
+        self._comp_id = comp["id"] if comp else None
+        if self._comp_id not in (None, "zlib"):
+            raise NotImplementedError(
+                f"compressor {self._comp_id!r} needs numcodecs, which is "
+                "not installed; re-write the store with zlib or no "
+                "compression"
+            )
+        self.shape = tuple(meta["shape"])
+        self.chunk_shape = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        fv = meta.get("fill_value")
+        if fv == "NaN":
+            fv = math.nan
+        self.fill_value = fv
+        self._sep = meta.get("dimension_separator", ".")
+        self.attrs = {}
+        zattrs = os.path.join(path, ".zattrs")
+        if os.path.exists(zattrs):
+            with open(zattrs) as f:
+                self.attrs = json.load(f)
+
+    @property
+    def dims(self) -> tuple[str, ...]:
+        return tuple(self.attrs.get("_ARRAY_DIMENSIONS", ()))
+
+    @property
+    def chunks(self) -> tuple[tuple[int, ...], ...]:
+        """xarray/dask-style per-dimension chunk-length tuples."""
+        out = []
+        for s, c in zip(self.shape, self.chunk_shape):
+            lens = [c] * (s // c)
+            if s % c:
+                lens.append(s % c)
+            out.append(tuple(lens))
+        return tuple(out)
+
+    def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
+        fname = os.path.join(self.path, self._sep.join(str(i) for i in idx))
+        if not os.path.exists(fname):
+            arr = np.empty(self.chunk_shape, dtype=self.dtype)
+            arr[...] = (
+                self.fill_value if self.fill_value is not None else 0
+            )
+            return arr
+        with open(fname, "rb") as f:
+            raw = f.read()
+        if self._comp_id == "zlib":
+            raw = zlib.decompress(raw)
+        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+
+    def __getitem__(self, key) -> np.ndarray:
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + tuple(
+            slice(None) for _ in range(len(self.shape) - len(key))
+        )
+        bounds = []
+        for k, s in zip(key, self.shape):
+            if isinstance(k, int):
+                bounds.append((k, k + 1))
+            else:
+                bounds.append((k.start or 0, s if k.stop is None else k.stop))
+        out_shape = tuple(b1 - b0 for b0, b1 in bounds)
+        out = np.empty(out_shape, dtype=self.dtype)
+        ranges = [
+            range(b0 // c, (b1 - 1) // c + 1) if b1 > b0 else range(0)
+            for (b0, b1), c in zip(bounds, self.chunk_shape)
+        ]
+
+        def walk(dim, idx):
+            if dim == len(ranges):
+                chunk = self._chunk(tuple(idx))
+                src, dst = [], []
+                for (b0, b1), c, ci in zip(bounds, self.chunk_shape, idx):
+                    c0 = ci * c
+                    lo, hi = max(b0, c0), min(b1, c0 + c)
+                    src.append(slice(lo - c0, hi - c0))
+                    dst.append(slice(lo - b0, hi - b0))
+                out[tuple(dst)] = chunk[tuple(src)]
+                return
+            for ci in ranges[dim]:
+                walk(dim + 1, idx + [ci])
+
+        if all(len(r) for r in ranges):
+            walk(0, [])
+        # collapse int-indexed axes like numpy would
+        squeeze = tuple(
+            i for i, k in enumerate(key) if isinstance(k, int)
+        )
+        return out.reshape(
+            tuple(
+                n for i, n in enumerate(out_shape) if i not in squeeze
+            )
+        ) if squeeze else out
+
+    @property
+    def values(self) -> np.ndarray:
+        arr = self[tuple(slice(0, s) for s in self.shape)]
+        if self.dims == ("time",) and "units" in self.attrs:
+            return np.array(_decode_times(arr, self.attrs["units"]))
+        return arr
+
+
+class ZarrGroup:
+    """A zarr v2 group presenting the minimal xarray-Dataset surface the
+    ingest path uses (``data_vars``, coordinate ``.values``, slicing)."""
+
+    def __init__(self, path: str):
+        if not os.path.exists(os.path.join(path, ".zgroup")):
+            raise FileNotFoundError(f"not a zarr v2 group: {path}")
+        self.path = path
+        self._arrays: dict[str, ZarrArray] = {}
+        for name in sorted(os.listdir(path)):
+            sub = os.path.join(path, name)
+            if os.path.isdir(sub) and os.path.exists(
+                os.path.join(sub, ".zarray")
+            ):
+                self._arrays[name] = ZarrArray(sub)
+
+    def __getitem__(self, name: str) -> ZarrArray:
+        return self._arrays[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._arrays
+
+    @property
+    def data_vars(self) -> dict[str, ZarrArray]:
+        return {
+            n: a
+            for n, a in self._arrays.items()
+            if len(a.shape) >= 2 and n not in ("lat", "lon", "time")
+        }
+
+
+def open_zarr_group(path: str) -> ZarrGroup:
+    return ZarrGroup(path)
+
+
+# ---------------------------------------------------------------------------
+# Writer (test fixture / conversion utility)
+# ---------------------------------------------------------------------------
+
+
+def _write_array(
+    path: str,
+    arr: np.ndarray,
+    chunk_shape: tuple[int, ...],
+    dims: tuple[str, ...],
+    attrs: dict | None = None,
+    compress: bool = True,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    fill: object = None
+    if arr.dtype.kind == "f":
+        fill = "NaN"
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunk_shape),
+        "dtype": arr.dtype.str,
+        "compressor": {"id": "zlib", "level": 5} if compress else None,
+        "fill_value": fill,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    all_attrs = {"_ARRAY_DIMENSIONS": list(dims), **(attrs or {})}
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(all_attrs, f)
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunk_shape)]
+
+    def walk(dim, origin):
+        if dim == len(grid):
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(origin, chunk_shape, arr.shape)
+            )
+            chunk = np.empty(chunk_shape, dtype=arr.dtype)
+            if arr.dtype.kind == "f":
+                chunk[...] = math.nan
+            else:
+                chunk[...] = 0
+            block = arr[sel]
+            chunk[tuple(slice(0, b) for b in block.shape)] = block
+            raw = chunk.tobytes(order="C")
+            if compress:
+                raw = zlib.compress(raw, 5)
+            name = ".".join(
+                str(o // c) for o, c in zip(origin, chunk_shape)
+            )
+            with open(os.path.join(path, name), "wb") as f:
+                f.write(raw)
+            return
+        for o in grid[dim]:
+            walk(dim + 1, origin + [o])
+
+    walk(0, [])
+
+
+def write_zarr_group(
+    path: str,
+    times: list[str],
+    lat: np.ndarray,
+    lon: np.ndarray,
+    variables: dict[str, np.ndarray],
+    chunk_shape: tuple[int, int, int] = (1, 256, 256),
+    compress: bool = True,
+) -> None:
+    """Write a (time, lat, lon) cube as a zarr v2 group readable by both
+    this module and any standards-compliant zarr implementation."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    epoch = datetime(1970, 1, 1)
+    tvals = np.array(
+        [
+            (
+                datetime.strptime(t[:19], "%Y-%m-%d %H:%M:%S") - epoch
+            ).total_seconds()
+            for t in times
+        ],
+        dtype="<i8",
+    )
+    _write_array(
+        os.path.join(path, "time"),
+        tvals,
+        (len(tvals),),
+        ("time",),
+        {"units": "seconds since 1970-01-01 00:00:00", "calendar": "proleptic_gregorian"},
+        compress,
+    )
+    _write_array(
+        os.path.join(path, "lat"), np.asarray(lat, "<f8"), (len(lat),),
+        ("lat",), None, compress,
+    )
+    _write_array(
+        os.path.join(path, "lon"), np.asarray(lon, "<f8"), (len(lon),),
+        ("lon",), None, compress,
+    )
+    for name, arr in variables.items():
+        ch = tuple(min(c, s) for c, s in zip(chunk_shape, arr.shape))
+        _write_array(
+            os.path.join(path, name),
+            np.asarray(arr, "<f8"),
+            ch,
+            ("time", "lat", "lon"),
+            None,
+            compress,
+        )
