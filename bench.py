@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "dsir_importance",
     "cube_threshold_area",
     "zarr_ingest_stats",
+    "netcdf_ingest_stats",
 ]
 
 

@@ -1,0 +1,93 @@
+"""End-to-end NetCDF3-classic ingestion — no netCDF4/xarray package.
+
+Writes real CDF-1 files with the pure-Python writer (both the
+time-as-record layout real producers emit and the all-fixed layout), then
+runs both ingest paths against the file path itself — proving S1 executes
+for the classic format in this container."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.netcdf3 import open_netcdf3, write_netcdf3
+from xcube_server_spark.sources.xarray_ingest import (
+    ingest_xarray,
+    ingest_xarray_distributed,
+)
+
+TIMES = ["2017-01-16 10:09:22", "2017-01-25 09:35:51", "2017-01-26 10:50:17"]
+H, W = 6, 11
+
+
+@pytest.fixture(scope="module", params=[True, False], ids=["record", "fixed"])
+def ncfile(tmp_path_factory, request):
+    path = str(
+        tmp_path_factory.mktemp("nc") / f"demo_{request.param}.nc"
+    )
+    rng = np.random.default_rng(11)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[1, 2, 3] = math.nan
+    tsm = rng.uniform(0, 100, size=(len(TIMES), H, W))
+    lat = np.linspace(52.5, 50.0, H)
+    lon = np.linspace(0.0, 5.0, W)
+    write_netcdf3(
+        path, TIMES, lat, lon, {"conc_chl": chl, "conc_tsm": tsm},
+        time_as_record=request.param,
+    )
+    return path, chl, tsm
+
+
+def test_reader_roundtrip(ncfile):
+    path, chl, tsm = ncfile
+    ds = open_netcdf3(path)
+    assert sorted(ds.data_vars) == ["conc_chl", "conc_tsm"]
+    assert ds["conc_chl"].dims == ("time", "lat", "lon")
+    assert np.allclose(
+        ds["conc_chl"][0:3, 0:H, 0:W], chl, equal_nan=True
+    )
+    assert np.allclose(ds["conc_tsm"][1:3, 2:5, 4:9], tsm[1:3, 2:5, 4:9])
+    assert list(ds["time"].values) == TIMES
+
+
+def test_hdf5_rejected_clearly(tmp_path):
+    p = str(tmp_path / "modern.nc")
+    with open(p, "wb") as f:
+        f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="classic"):
+        open_netcdf3(p)
+
+
+def test_driver_side_ingest_executes(spark, ncfile):
+    path, chl, tsm = ncfile
+    df, grid = ingest_xarray(spark, path, fmt="nc")
+    assert (grid.width, grid.height) == (W, H)
+    assert grid.times == tuple(TIMES)
+    rows = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+        for r in df.collect()
+    }
+    assert len(rows) == len(TIMES) * H * W
+    assert rows[(0, 0, 0)] == pytest.approx(chl[0, 0, 0])
+    got = rows[(1, 2, 3)]
+    assert got is None or math.isnan(got)
+
+
+def test_distributed_ingest_executes(spark, ncfile):
+    path, chl, _ = ncfile
+    df, grid = ingest_xarray_distributed(
+        spark, path, fmt="nc", chunks=(1, 4, 6)
+    )
+    rows = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+        for r in df.collect()
+    }
+    assert len(rows) == len(TIMES) * H * W
+    for key in [(0, 0, 0), (2, 5, 10), (1, 3, 7)]:
+        want = chl[key]
+        if math.isnan(want):
+            assert rows[key] is None or math.isnan(rows[key])
+        else:
+            assert rows[key] == pytest.approx(want)

@@ -107,10 +107,22 @@ def test_legend_render():
 
 
 def test_xarray_ingest_gated():
+    """zarr and NetCDF3-classic now EXECUTE via the built-in pure-Python
+    readers (test_zarr_ingest.py / test_netcdf3.py); only NetCDF4/HDF5
+    containers remain gated — a clear error, not a silent wrong read."""
+    import struct
+
     from xcube_server_spark.sources.xarray_ingest import ingest_xarray
 
-    with pytest.raises(NotImplementedError, match="xarray is not installed"):
+    # a missing zarr store is a store error now, not an import gate
+    with pytest.raises(FileNotFoundError):
         ingest_xarray(None, "/tmp/nope.zarr")
+    # an HDF5 (NetCDF4) container hits the documented gate
+    h5 = "/tmp/xss_fake_h5.nc"
+    with open(h5, "wb") as f:
+        f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="classic"):
+        ingest_xarray(None, h5, fmt="nc")
 
 
 def test_config_hot_reload(spark, tmp_path):

@@ -72,6 +72,7 @@ _PRIORITY = [
     "dsir_importance",
     "cube_threshold_area",
     "zarr_ingest_stats",
+    "netcdf_ingest_stats",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -104,8 +105,8 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 30
-    # first-time queries above, window position 50 lands on agg_rollup
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 31
+    # first-time queries above, window position 50 lands on join_asof
     # below; everything after is overflow (multiply-green, re-proven
     # locally by tests/test_correctness.py every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
@@ -117,9 +118,9 @@ _PRIORITY = [
     # -- relational operators
     "join_semi",
     "join_anti",
-    "join_asof",
-    "agg_rollup",  # <- window position 50
+    "join_asof",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "agg_rollup",
     "agg_cube_grouping",
     "agg_percentiles",
     "window_rank",

@@ -1024,3 +1024,64 @@ GROUP BY 1
 
 QUERIES["zarr_ingest_stats"] = zarr_ingest_stats
 ORACLES["zarr_ingest_stats"] = ORACLE_ZARR_INGEST
+
+
+# ---------------------------------------------------------------------------
+# netcdf_ingest_stats: REAL NetCDF3-classic ingestion inside the gate
+# ---------------------------------------------------------------------------
+
+
+def _netcdf_gate_store() -> str:
+    """CDF-1 twin of ``_zarr_gate_store`` — same deterministic cell
+    formula, time as the record (unlimited) dimension."""
+    import numpy as np
+
+    from ..sources.netcdf3 import write_netcdf3
+
+    path = os.path.join(tempfile.gettempdir(), "xss_nc3_gate_v1.nc")
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 31 + y * 7 + x * 13) % 97) / 10.0
+        chl[(y * _ZG_W + x + t) % 11 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_netcdf3(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, time_as_record=True,
+        )
+    return path
+
+
+def netcdf_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same statistics as ``zarr_ingest_stats`` but ingested from a REAL
+    NetCDF3-classic file through the pure-Python CDF-1 reader
+    (``sources/netcdf3.py``) and the distributed manifest→``mapInPandas``
+    path — hash-verifying the record-variable read chain (big-endian
+    decode, per-record interleave, NaN→NULL) against the same SQL formula
+    oracle. Reference parity: ``xcube_server/context.py:238-255`` opens
+    ``.nc`` stores."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _netcdf_gate_store()
+    df, _grid = ingest_xarray_distributed(
+        spark, path, fmt="nc", chunks=(1, _ZG_H, _ZG_W)
+    )
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+QUERIES["netcdf_ingest_stats"] = netcdf_ingest_stats
+ORACLES["netcdf_ingest_stats"] = ORACLE_ZARR_INGEST

@@ -1,0 +1,348 @@
+"""Pure-Python NetCDF3 classic (CDF-1/CDF-2) reader/writer.
+
+Upgrades S1 (NetCDF scan) from fully import-gated to EXECUTABLE for the
+classic format in this container: CDF-1 is a self-describing binary layout
+(header: dims / global attrs / var metadata; body: big-endian arrays, 4-byte
+aligned, record variables interleaved per record) that needs only the
+standard library and numpy. NetCDF4/HDF5 remains import-gated — HDF5 is not
+reasonably hand-parseable; ``xarray_ingest`` raises its documented gate for
+it.
+
+Exposes the same minimal dataset surface as ``sources/zarr_store`` (what
+``xarray_ingest._open_store`` consumes): ``ds.data_vars`` with ``.dims``,
+coordinate ``.values`` (CF time decode), and window slicing. Variables are
+materialized lazily on first access and cached per handle — the classic
+format has no chunking, so a window read seeks per record but whole rows
+within a record; cubes large enough for that to matter live in zarr, which
+has the true chunked path.
+
+Reference parity: ``xcube_server/context.py:238-255`` opens ``.nc`` paths
+via xarray; this reader serves the same stores for the classic format.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from .zarr_store import _decode_times
+
+_ABSENT = 0
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+_TYPES = {
+    1: ("b", 1),  # NC_BYTE
+    2: ("S1", 1),  # NC_CHAR
+    3: (">i2", 2),  # NC_SHORT
+    4: (">i4", 4),  # NC_INT
+    5: (">f4", 4),  # NC_FLOAT
+    6: (">f8", 8),  # NC_DOUBLE
+}
+_TYPE_OF_DTYPE = {"i1": 1, "S1": 2, "i2": 3, "i4": 4, "f4": 5, "f8": 6}
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.buf[self.pos : self.pos + n].decode()
+        self.pos += n + (-n % 4)
+        return s
+
+    def values(self, nc_type: int, nelems: int):
+        dt, sz = _TYPES[nc_type]
+        raw = self.buf[self.pos : self.pos + sz * nelems]
+        self.pos += sz * nelems + (-(sz * nelems) % 4)
+        if nc_type == 2:
+            return raw.decode()
+        return np.frombuffer(raw, dtype=dt, count=nelems)
+
+
+def _read_attrs(r: _Reader) -> dict:
+    tag, n = r.i4(), r.i4()
+    assert tag in (_NC_ATTRIBUTE, _ABSENT)
+    out = {}
+    for _ in range(n):
+        name = r.name()
+        nc_type = r.i4()
+        nelems = r.i4()
+        v = r.values(nc_type, nelems)
+        out[name] = v if isinstance(v, str) else (
+            v[0].item() if len(v) == 1 else v
+        )
+    return out
+
+
+class NetCDF3Variable:
+    def __init__(self, ds: "NetCDF3Dataset", name: str, dims, nc_type,
+                 vsize: int, begin: int, attrs: dict):
+        self._ds = ds
+        self.name = name
+        self.dims = tuple(d[0] for d in dims)
+        self._dimsizes = tuple(d[1] for d in dims)
+        self.nc_type = nc_type
+        self.vsize = vsize
+        self.begin = begin
+        self.attrs = attrs
+        self._cache: np.ndarray | None = None
+
+    @property
+    def is_record(self) -> bool:
+        return bool(self._dimsizes) and self._dimsizes[0] == 0
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        if self.is_record:
+            return (self._ds.numrecs,) + self._dimsizes[1:]
+        return self._dimsizes
+
+    @property
+    def chunks(self):  # classic format is unchunked
+        return None
+
+    def _load(self) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache
+        dt, sz = _TYPES[self.nc_type]
+        buf = self._ds.buf
+        if not self.is_record:
+            n = int(np.prod(self.shape)) if self.shape else 1
+            arr = np.frombuffer(
+                buf, dtype=dt, count=n, offset=self.begin
+            ).reshape(self.shape)
+        else:
+            per_rec = int(np.prod(self.shape[1:])) if self.shape[1:] else 1
+            recs = []
+            for r in range(self._ds.numrecs):
+                off = self.begin + r * self._ds.recsize
+                recs.append(
+                    np.frombuffer(buf, dtype=dt, count=per_rec, offset=off)
+                )
+            arr = np.stack(recs).reshape(self.shape)
+        if self.nc_type in (5, 6):
+            arr = arr.astype("float64")
+        self._cache = arr
+        return arr
+
+    def __getitem__(self, key) -> np.ndarray:
+        return self._load()[key]
+
+    @property
+    def values(self) -> np.ndarray:
+        arr = self._load()
+        if self.dims == ("time",) and "units" in self.attrs:
+            return np.array(_decode_times(arr, self.attrs["units"]))
+        return arr
+
+
+class NetCDF3Dataset:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self.buf = f.read()
+        if self.buf[:3] != b"CDF" or self.buf[3] not in (1, 2):
+            raise NotImplementedError(
+                "not a NetCDF3 classic file (NetCDF4/HDF5 needs the "
+                "xarray/netCDF4 gate)"
+            )
+        version = self.buf[3]
+        r = _Reader(self.buf)
+        r.pos = 4
+        self.numrecs = r.i4()
+        tag, ndims = r.i4(), r.i4()
+        assert tag in (_NC_DIMENSION, _ABSENT)
+        dims = []
+        for _ in range(ndims):
+            dims.append((r.name(), r.i4()))
+        self.attrs = _read_attrs(r)
+        tag, nvars = r.i4(), r.i4()
+        assert tag in (_NC_VARIABLE, _ABSENT)
+        self._vars: dict[str, NetCDF3Variable] = {}
+        rec_sizes = []
+        for _ in range(nvars):
+            name = r.name()
+            nd = r.i4()
+            vdims = [dims[r.i4()] for _ in range(nd)]
+            vattrs = _read_attrs(r)
+            nc_type = r.i4()
+            vsize = r.i4()
+            begin = r.i8() if version == 2 else r.i4()
+            v = NetCDF3Variable(self, name, vdims, nc_type, vsize, begin, vattrs)
+            self._vars[name] = v
+            if v.is_record:
+                rec_sizes.append(vsize)
+        # recsize: sum of record-var vsizes; the single-record-var special
+        # case uses the unpadded size, which vsize already reflects
+        self.recsize = sum(rec_sizes)
+
+    def __getitem__(self, name: str) -> NetCDF3Variable:
+        return self._vars[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._vars
+
+    @property
+    def data_vars(self) -> dict[str, NetCDF3Variable]:
+        return {
+            n: v
+            for n, v in self._vars.items()
+            if len(v.shape) >= 2 and n not in ("lat", "lon", "time")
+        }
+
+
+def open_netcdf3(path: str) -> NetCDF3Dataset:
+    return NetCDF3Dataset(path)
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixture / conversion utility)
+# ---------------------------------------------------------------------------
+
+
+def _pad(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _w_name(s: str) -> bytes:
+    e = s.encode()
+    return struct.pack(">i", len(e)) + _pad(e)
+
+
+def _w_attrs(attrs: dict) -> bytes:
+    if not attrs:
+        return struct.pack(">ii", _ABSENT, 0)
+    out = [struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))]
+    for k, v in attrs.items():
+        out.append(_w_name(k))
+        if isinstance(v, str):
+            e = v.encode()
+            out.append(struct.pack(">ii", 2, len(e)) + _pad(e))
+        else:
+            arr = np.atleast_1d(np.asarray(v))
+            code = _TYPE_OF_DTYPE[arr.dtype.str.lstrip("<>|=")]
+            be = arr.astype(_TYPES[code][0])
+            out.append(
+                struct.pack(">ii", code, len(be)) + _pad(be.tobytes())
+            )
+    return b"".join(out)
+
+
+def write_netcdf3(
+    path: str,
+    times: list[str],
+    lat: np.ndarray,
+    lon: np.ndarray,
+    variables: dict[str, np.ndarray],
+    time_as_record: bool = True,
+) -> None:
+    """Write a (time, lat, lon) cube as CDF-1 classic — time as the record
+    (unlimited) dimension by default, the layout real producers emit."""
+    from datetime import datetime
+
+    nt, ny, nx = len(times), len(lat), len(lon)
+    epoch = datetime(1970, 1, 1)
+    tvals = np.array(
+        [
+            (datetime.strptime(t[:19], "%Y-%m-%d %H:%M:%S") - epoch
+             ).total_seconds()
+            for t in times
+        ],
+        dtype=">i4",
+    )
+    dims = [("time", 0 if time_as_record else nt), ("lat", ny), ("lon", nx)]
+    time_attrs = {"units": "seconds since 1970-01-01 00:00:00"}
+
+    specs = []  # (name, dimids, nc_type, attrs, array, is_record)
+    specs.append(("time", [0], 4, time_attrs, tvals, time_as_record))
+    specs.append(("lat", [1], 6, {}, np.asarray(lat, ">f8"), False))
+    specs.append(("lon", [2], 6, {}, np.asarray(lon, ">f8"), False))
+    for name, arr in variables.items():
+        specs.append(
+            (name, [0, 1, 2], 6, {}, np.asarray(arr, ">f8"), time_as_record)
+        )
+
+    def vsize_of(name, arr, is_rec):
+        n = int(np.prod(arr.shape[1:])) if is_rec else int(np.prod(arr.shape))
+        sz = n * arr.dtype.itemsize
+        return sz + (-sz % 4)
+
+    # layout: header, fixed vars, then the record block
+    header = [b"CDF\x01", struct.pack(">i", nt if time_as_record else 0)]
+    header.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
+    for dname, dsize in dims:
+        header.append(_w_name(dname) + struct.pack(">i", dsize))
+    header.append(_w_attrs({}))
+    header.append(struct.pack(">ii", _NC_VARIABLE, len(specs)))
+
+    var_heads = []
+    for name, dimids, nc_type, attrs, arr, is_rec in specs:
+        head = (
+            _w_name(name)
+            + struct.pack(">i", len(dimids))
+            + b"".join(struct.pack(">i", d) for d in dimids)
+            + _w_attrs(attrs)
+            + struct.pack(">ii", nc_type, vsize_of(name, arr, is_rec))
+        )
+        var_heads.append(head)
+    header_len = sum(len(h) for h in header) + sum(
+        len(h) + 4 for h in var_heads
+    )
+
+    begins, off = [], header_len
+    for name, dimids, nc_type, attrs, arr, is_rec in specs:
+        if is_rec:
+            begins.append(None)  # assigned in the record block below
+        else:
+            begins.append(off)
+            off += vsize_of(name, arr, False)
+    rec_start = off
+    for i, (name, dimids, nc_type, attrs, arr, is_rec) in enumerate(specs):
+        if begins[i] is None:
+            begins[i] = off
+            off += vsize_of(name, arr, True)
+    recsize = off - rec_start
+
+    out = b"".join(header)
+    for head, begin in zip(var_heads, begins):
+        out += head + struct.pack(">i", begin)
+    body = bytearray(b"\x00" * (rec_start - len(out)))
+    for (name, dimids, nc_type, attrs, arr, is_rec), begin in zip(
+        specs, begins
+    ):
+        if not is_rec:
+            raw = _pad(arr.tobytes())
+            body[begin - len(out) : begin - len(out) + len(raw)] = raw
+    rec_block = bytearray(
+        b"\x00" * (recsize * (nt if time_as_record else 0))
+    )
+    if time_as_record:
+        for r in range(nt):
+            for (name, dimids, nc_type, attrs, arr, is_rec), begin in zip(
+                specs, begins
+            ):
+                if not is_rec:
+                    continue
+                # slice (not scalar-index): a numpy scalar is NATIVE-endian
+                # and would silently byte-swap big-endian record values
+                rec = arr[r : r + 1] if arr.ndim == 1 else arr[r]
+                raw = _pad(np.ascontiguousarray(rec).tobytes())
+                o = begin - rec_start + r * recsize
+                rec_block[o : o + len(raw)] = raw
+    with open(path, "wb") as f:
+        f.write(out + bytes(body) + bytes(rec_block))

@@ -59,8 +59,13 @@ def _open_store(path: str, fmt: str, opener: Callable | None):
         from .zarr_store import open_zarr_group
 
         return open_zarr_group(path)
-    _require_xarray()
-    return xr.open_dataset(path)
+    if xr is not None:
+        return xr.open_dataset(path)
+    # classic-format fallback (sources/netcdf3.py); raises the documented
+    # NotImplementedError for NetCDF4/HDF5 containers
+    from .netcdf3 import open_netcdf3
+
+    return open_netcdf3(path)
 
 
 def _grid_from_coords(lat, lon, time_values) -> GridMeta:
