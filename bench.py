@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "cube_threshold_area",
     "zarr_ingest_stats",
     "netcdf_ingest_stats",
+    "merge_upsert_docs_live",
 ]
 
 

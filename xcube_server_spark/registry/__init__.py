@@ -73,6 +73,7 @@ _PRIORITY = [
     "cube_threshold_area",
     "zarr_ingest_stats",
     "netcdf_ingest_stats",
+    "merge_upsert_docs_live",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -105,8 +106,8 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 31
-    # first-time queries above, window position 50 lands on join_asof
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 32
+    # first-time queries above, window position 50 lands on join_anti
     # below; everything after is overflow (multiply-green, re-proven
     # locally by tests/test_correctness.py every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
@@ -117,9 +118,9 @@ _PRIORITY = [
     "q22_idle_customers",
     # -- relational operators
     "join_semi",
-    "join_anti",
-    "join_asof",  # <- window position 50
+    "join_anti",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "join_asof",
     "agg_rollup",
     "agg_cube_grouping",
     "agg_percentiles",

@@ -539,8 +539,116 @@ def stream_dedupe_events_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_docs_recrawl(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as 3 doc_id-ranged files plus a final
+    'recrawl' file carrying the ``doc_id < 50`` updates (source='recrawl',
+    n_chars+1) — a CDC feed whose last batch upserts earlier keys."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_docs_recrawl_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        docs = load_table(spark, sf_dir, "documents").select(*cols)
+        (
+            docs.repartitionByRange(3, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        upd_tmp = staged + "_updtmp"
+        (
+            docs.filter(F.col("doc_id") < 50)
+            .withColumn("source", F.lit("recrawl"))
+            .withColumn("n_chars", F.col("n_chars") + 1)
+            .select(*cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(upd_tmp)
+        )
+        src = glob.glob(os.path.join(upd_tmp, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(staged, "part-9999-recrawl.parquet"))
+        shutil.rmtree(upd_tmp)
+        parts = sorted(f for f in os.listdir(staged) if f.startswith("part-"))
+        base_t = os.path.getmtime(os.path.join(staged, parts[0]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(staged, f), (base_t + i, base_t + i))
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def merge_upsert_docs_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE/upsert run as a LIVE CDC stream: a readStream over the
+    staged recrawl feed lands each micro-batch through the idempotent
+    ``ExactlyOnceParquetSink`` (``foreachBatch`` stamped with the batch
+    sequence), and the read side applies LAST-WRITE-WINS per ``doc_id``
+    (``max_by`` on batch_seq) — the apply-changes-on-read form every
+    log-structured CDC table uses. Same oracle as the batch
+    ``merge_upsert_docs``.
+
+    At 100 TB: per-batch writes are plain distributed appends (no
+    rewrite-on-merge); the one shuffle in the read view is keyed on
+    doc_id, and ``sources/compaction.py`` is the maintenance story that
+    collapses the batch log back to one generation.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.sink import ExactlyOnceParquetSink
+
+    staged = _staged_docs_recrawl(spark, sf_dir)
+    sink_path = os.path.join(
+        tempfile.gettempdir(), "xss_upsert_sink_" + _stage_key(sf_dir)
+    )
+    sink = ExactlyOnceParquetSink(sink_path)
+    batch = spark.read.parquet(staged)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ckpt_upsert_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: sink(
+                df.withColumn("batch_seq", F.lit(bid).cast("long")), bid
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = sink.read(spark)
+    latest = (
+        log.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "max_by(struct(source, n_chars), batch_seq)"
+            ).alias("s")
+        )
+        .select("doc_id", "s.source", "s.n_chars")
+    )
+    return latest.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 QUERIES["stream_dedupe_events"] = stream_dedupe_events
 QUERIES["stream_dedupe_events_live"] = stream_dedupe_events_live
+QUERIES["merge_upsert_docs_live"] = merge_upsert_docs_live
 ORACLES["stream_dedupe_events"] = ORACLE_STREAM_DEDUPE
 ORACLES["stream_dedupe_events_live"] = ORACLE_STREAM_DEDUPE
 
@@ -663,3 +771,7 @@ def stream_hypertable_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["stream_hypertable_rollup_live"] = stream_hypertable_rollup_live
 ORACLES["stream_hypertable_rollup_live"] = ORACLE_HYPERTABLE
+
+from .pipeline_queries import ORACLE_MERGE as _ORACLE_MERGE  # noqa: E402
+
+ORACLES["merge_upsert_docs_live"] = _ORACLE_MERGE
