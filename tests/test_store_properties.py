@@ -1,0 +1,88 @@
+"""Property-based invariants for the pure-Python store readers: any
+(shape, chunking, compression, NaN pattern, window) must roundtrip
+bit-exactly through write → read. Pure numpy — no Spark session."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_server_spark.sources.netcdf3 import open_netcdf3, write_netcdf3
+from xcube_server_spark.sources.zarr_store import (
+    open_zarr_group,
+    write_zarr_group,
+)
+
+TIMES4 = [
+    "2017-01-16 10:09:22", "2017-01-25 09:35:51",
+    "2017-01-26 10:50:17", "2017-01-28 09:58:11",
+]
+
+
+def _cube(nt, h, w, seed, nan_every):
+    rng = np.random.default_rng(seed)
+    arr = rng.uniform(-5, 25, size=(nt, h, w))
+    if nan_every:
+        flat = arr.reshape(-1)
+        flat[::nan_every] = np.nan
+    return arr
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    nt=st.integers(1, 4),
+    h=st.integers(1, 13),
+    w=st.integers(1, 17),
+    cy=st.integers(1, 13),
+    cx=st.integers(1, 17),
+    seed=st.integers(0, 10_000),
+    nan_every=st.sampled_from([0, 3, 7]),
+    compress=st.booleans(),
+)
+def test_zarr_roundtrip_any_chunking(
+    tmp_path_factory, nt, h, w, cy, cx, seed, nan_every, compress
+):
+    path = str(tmp_path_factory.mktemp("zp") / "s.zarr")
+    arr = _cube(nt, h, w, seed, nan_every)
+    lat = np.linspace(52, 50, h)
+    lon = np.linspace(0, 5, w)
+    write_zarr_group(
+        path, TIMES4[:nt], lat, lon, {"v": arr},
+        chunk_shape=(1, cy, cx), compress=compress,
+    )
+    ds = open_zarr_group(path)
+    got = ds["v"][0:nt, 0:h, 0:w]
+    assert np.array_equal(got, arr, equal_nan=True)
+    # a window that straddles chunk boundaries (clamped to the shape)
+    y0, y1 = min(cy // 2, h - 1), h
+    x0, x1 = min(cx // 2, w - 1), w
+    win = ds["v"][0:nt, y0:y1, x0:x1]
+    assert np.array_equal(win, arr[0:nt, y0:y1, x0:x1], equal_nan=True)
+    assert list(ds["time"].values) == TIMES4[:nt]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    nt=st.integers(1, 4),
+    h=st.integers(1, 9),
+    w=st.integers(1, 11),
+    seed=st.integers(0, 10_000),
+    nan_every=st.sampled_from([0, 5]),
+    record=st.booleans(),
+)
+def test_netcdf3_roundtrip_any_shape(
+    tmp_path_factory, nt, h, w, seed, nan_every, record
+):
+    path = str(tmp_path_factory.mktemp("np") / "s.nc")
+    arr = _cube(nt, h, w, seed, nan_every)
+    lat = np.linspace(52, 50, h)
+    lon = np.linspace(0, 5, w)
+    write_netcdf3(
+        path, TIMES4[:nt], lat, lon, {"v": arr}, time_as_record=record
+    )
+    ds = open_netcdf3(path)
+    got = ds["v"][0:nt, 0:h, 0:w]
+    assert np.array_equal(got, arr, equal_nan=True)
+    assert np.array_equal(ds["lat"].values, lat)
+    assert list(ds["time"].values) == TIMES4[:nt]

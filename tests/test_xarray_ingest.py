@@ -118,5 +118,8 @@ def test_distributed_ingest_values_and_coords(spark):
 
 
 def test_driver_gate_without_xarray():
-    with pytest.raises(NotImplementedError, match="xarray"):
+    """zarr no longer import-gates (built-in pure-Python reader) — a
+    missing store is a store error; only NetCDF4/HDF5 still gates (see
+    test_utils_parity.py::test_xarray_ingest_gated)."""
+    with pytest.raises(FileNotFoundError):
         ingest_xarray(None, "/tmp/nope.zarr")

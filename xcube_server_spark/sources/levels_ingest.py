@@ -1,0 +1,143 @@
+"""Ingest the reference's ``.levels`` multi-level pyramid directory.
+
+``FileStorageMultiLevelDataset`` (``xcube_server/mldataset.py:136-269``)
+serves a directory whose entries are ``{i}.zarr`` level stores or
+``{i}.link`` pointer files (text path to an external store, absolute or
+relative to the directory). This module converts such a pyramid into the
+engine's LOD parquet layout HONORING the pre-built levels — a hand-built
+pyramid may be mean-aggregated or otherwise differ from stride decimation,
+so re-deriving levels from l0 (what ``write_cube`` does) would silently
+change its content. Runs with no zarr/xarray dependency via the pure
+readers in ``sources/zarr_store`` / ``sources/netcdf3``.
+
+Plan shape: each level is a distributed manifest→``mapInPandas`` ingest
+(``ingest_xarray_distributed``) written with the same latband layout as
+``write_cube`` — partitioned by ``time_idx``, lat-band ranged, sorted by
+``(lat_idx, lon_idx)`` for row-group pruning. No driver data path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cube.grid import GridMeta, TileGridMeta
+from .cube_ingest import CubeTables
+from .paths import join_store_path
+
+
+def discover_levels(levels_path: str) -> list[tuple[int, str]]:
+    """(level, resolved zarr path) for every ``{i}.zarr`` / ``{i}.link``
+    entry, sorted and validated to be a gapless 0..N-1 ladder."""
+    out: dict[int, str] = {}
+    for name in os.listdir(levels_path):
+        m = re.fullmatch(r"(\d+)\.zarr", name)
+        if m and int(m.group(1)) not in out:
+            out[int(m.group(1))] = os.path.join(levels_path, name)
+        m = re.fullmatch(r"(\d+)\.link", name)
+        if m:
+            with open(os.path.join(levels_path, name)) as f:
+                target = f.read().strip()
+            if "://" not in target and not os.path.isabs(target):
+                target = os.path.join(levels_path, target)
+            out[int(m.group(1))] = target  # .link wins over a same-level .zarr
+    levels = sorted(out)
+    if levels != list(range(len(levels))):
+        raise ValueError(
+            f"levels directory {levels_path} has gaps: {levels}"
+        )
+    return [(i, out[i]) for i in levels]
+
+
+def _write_level(df: DataFrame, base_path: str, level: int,
+                 spatial_bands: int = 4) -> None:
+    (
+        df.repartitionByRange(spatial_bands, "time_idx", "lat_idx")
+        .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
+        .write.mode("overwrite")
+        .partitionBy("time_idx")
+        .parquet(join_store_path(base_path, f"l{level}"))
+    )
+
+
+def ingest_levels_dir(
+    spark: SparkSession,
+    levels_path: str,
+    out_base: str,
+    tile_size: int = 64,
+) -> tuple[CubeTables, TileGridMeta, GridMeta, list[str]]:
+    """Convert a ``.levels`` pyramid to LOD parquet tables + dim tables.
+
+    Returns (tables, tile_grid, level-0 grid, variable names) — feed them
+    to ``CubeCatalog.register_written_cube`` to serve the pyramid.
+    """
+    from .xarray_ingest import ingest_xarray_distributed
+
+    levels = discover_levels(levels_path)
+    if not levels:
+        raise FileNotFoundError(f"no level stores under {levels_path}")
+    grid0: GridMeta | None = None
+    var_names: list[str] = []
+    for i, store in levels:
+        df, g = ingest_xarray_distributed(spark, store, fmt="zarr")
+        if i == 0:
+            grid0 = g
+            var_names = [
+                c for c in df.columns
+                if c not in ("time_idx", "lat_idx", "lon_idx",
+                             "time", "lat", "lon")
+            ]
+        _write_level(df, out_base, i)
+    assert grid0 is not None
+    tg = TileGridMeta.create(
+        grid0.width, grid0.height, tile_size, grid0.extent, grid0.inv_y
+    )
+    if tg.num_levels != len(levels):
+        # honor the directory: serve exactly the levels that exist
+        tg = TileGridMeta(
+            num_levels=len(levels),
+            tile_width=tg.tile_width,
+            tile_height=tg.tile_height,
+            num_level_zero_tiles_x=tg.num_level_zero_tiles_x,
+            num_level_zero_tiles_y=tg.num_level_zero_tiles_y,
+            geo_extent=tg.geo_extent,
+            inv_y=tg.inv_y,
+        )
+    # dim tables (same layout write_cube emits)
+    lat_rows = [
+        (i, grid0.lat_of(i), grid0.lat_of(i) - grid0.res_lat / 2,
+         grid0.lat_of(i) + grid0.res_lat / 2)
+        for i in range(grid0.height)
+    ]
+    lon_rows = [
+        (i, grid0.lon_of(i), grid0.lon_of(i) - grid0.res_lon / 2,
+         grid0.lon_of(i) + grid0.res_lon / 2)
+        for i in range(grid0.width)
+    ]
+    spark.createDataFrame(
+        lat_rows, "idx int, value double, lo double, hi double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        join_store_path(out_base, "coords_lat")
+    )
+    spark.createDataFrame(
+        lon_rows, "idx int, value double, lo double, hi double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        join_store_path(out_base, "coords_lon")
+    )
+    time_rows = [(i, t) for i, t in enumerate(grid0.times)]
+    (
+        spark.createDataFrame(time_rows, "idx int, value string")
+        .withColumn("value", F.to_timestamp("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(join_store_path(out_base, "coords_time"))
+    )
+    return (
+        CubeTables(base_path=out_base, levels=len(levels)),
+        tg,
+        grid0,
+        var_names,
+    )
