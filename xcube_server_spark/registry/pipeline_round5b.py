@@ -574,27 +574,25 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = with_b.select(
         "lang", F.explode("bg").alias("b")
     ).select("lang", F.expr(bucket).alias("bucket"))
-    raw = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        buckets.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE conditional aggregate builds both LMs (raw + target counts per
+    # bucket) — a separate target aggregate + join would add an exchange
+    # and a second pass over the exploded bigrams
+    counts = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("ct"),
     )
-    totals = raw.agg(
-        F.sum("cr").cast("double").alias("tr")
-    ).crossJoin(
-        F.broadcast(tgt.agg(F.sum("ct").cast("double").alias("tt")))
+    totals = counts.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
     )
-    lr = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.expr(
-                f"ln((coalesce(ct, 0) + 1) / (tt + {_DSIR_V}))"
-                f" - ln((cr + 1) / (tr + {_DSIR_V}))"
-            ).alias("lr"),
-        )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"ln((ct + 1) / (tt + {_DSIR_V}))"
+            f" - ln((cr + 1) / (tr + {_DSIR_V}))"
+        ).alias("lr"),
     )
     lr_map = lr.agg(
         F.map_from_entries(
