@@ -111,3 +111,70 @@ def test_distributed_ingest_executes(spark, store):
     ).collect()[0]
     assert one["lon"] == pytest.approx(0.125)
     assert abs(one["lat"]) <= 90.0
+
+
+def test_blosc_store_rejected_clearly(tmp_path):
+    """A store compressed with blosc (needs numcodecs, absent here) must
+    raise a clear gate error — never a silent wrong read."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from xcube_server_spark.sources.zarr_store import ZarrArray
+
+    p = tmp_path / "blosc_arr"
+    p.mkdir()
+    (p / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5},
+        "fill_value": "NaN", "order": "C", "filters": None,
+    }))
+    with _pytest.raises(NotImplementedError, match="numcodecs"):
+        ZarrArray(str(p))
+
+
+def test_zarr_cube_served_over_http(spark, store, tmp_path):
+    """Full stack from a real store format: zarr -> distributed ingest ->
+    write_cube LOD tables -> HTTP tile + point-timeseries endpoints."""
+    import json as _json
+    import urllib.request
+
+    from xcube_server_spark.cube.catalog import CubeCatalog
+    from xcube_server_spark.server.app import CubeServer
+    from xcube_server_spark.sources.cube_ingest import write_cube
+    from xcube_server_spark.sources.png import decode_rgba_png
+
+    path, chl, _ = store
+    df, grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    cube = df.select(
+        "time_idx", "lat_idx", "lon_idx", "time", "lat", "lon",
+        F.col("conc_chl").cast("float").alias("conc_chl"),
+        F.col("conc_tsm").cast("float").alias("conc_tsm"),
+    )
+    base = str(tmp_path / "zcube")
+    _, tg = write_cube(cube, grid, base, tile_size=16)
+    cat = CubeCatalog(spark)
+    cat.register_written_cube(
+        "zdemo", base, grid, tg, ["conc_chl", "conc_tsm"]
+    )
+    srv = CubeServer(cat)
+    srv.start()
+    try:
+        root = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(
+            f"{root}/datasets/zdemo/vars/conc_chl/tiles/0/0/0.png",
+            timeout=120,
+        ) as r:
+            assert r.status == 200
+            rgba = decode_rgba_png(r.read())
+            assert rgba.shape[2] == 4 and rgba[..., 3].max() > 0
+        with urllib.request.urlopen(
+            f"{root}/ts/zdemo/conc_chl/point?lon=2.6&lat=51.2",
+            timeout=120,
+        ) as r:
+            doc = _json.loads(r.read())
+            results = doc["results"] if "results" in doc else doc
+            assert len(results) == len(TIMES)
+    finally:
+        srv.stop()
