@@ -475,7 +475,11 @@ def bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END"
     )
     return (
-        toks.select(F.explode(F.expr(bigrams_expr)).alias("bigram"))
+        # explode_outer: plain explode makes Catalyst infer `size(expr)>0`
+        # and push the WHOLE bigram construction into the scan filter —
+        # the array is built twice per row (see dsir_importance)
+        toks.select(F.explode_outer(F.expr(bigrams_expr)).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -539,7 +543,10 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END"
     )
     bi = (
-        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        # explode_outer + null-drop: avoid the inferred size() scan filter
+        # that rebuilds the pair array per row (see dsir_importance)
+        toks.select(F.explode_outer(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
@@ -850,7 +857,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     tok = spread(docs.select("source", "text")).select(
-        "source", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("term")
+        # explode_outer + null-drop (see dsir_importance)
+        "source",
+        F.explode_outer(
+            F.expr("filter(split(text, ' '), x -> x <> '')")
+        ).alias("term")
     )
     vocab = (
         tok.groupBy("term")

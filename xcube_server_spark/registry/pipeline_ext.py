@@ -40,9 +40,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     averages. Two shuffles, both of count rows, never of text.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # explode_outer + null-drop: plain explode infers a size() filter that
+    # re-tokenizes every row in the scan (see dsir_importance)
     tok = docs.select(
-        "doc_id", "lang", F.explode(F.expr(_TOKS)).alias("tok")
-    )
+        "doc_id", "lang", F.explode_outer(F.expr(_TOKS)).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     per_tok = tok.groupBy("doc_id", "lang", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -218,7 +220,9 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     counts = (
-        docs.select("lang", F.explode(F.expr(_TOKS)).alias("tok"))
+        # explode_outer + null-drop (see dsir_importance)
+        docs.select("lang", F.explode_outer(F.expr(_TOKS)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
