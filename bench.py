@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "zarr_ingest_stats",
     "netcdf_ingest_stats",
     "merge_upsert_docs_live",
+    "quality_c4_rules",
 ]
 
 

@@ -74,6 +74,7 @@ _PRIORITY = [
     "zarr_ingest_stats",
     "netcdf_ingest_stats",
     "merge_upsert_docs_live",
+    "quality_c4_rules",
     "cross_source_overlap_kmv",
     "stream_sessionize_live",
     "stream_interval_join_live",
@@ -106,8 +107,8 @@ _PRIORITY = [
     "q15_top_supplier",
     "rfm_segments",
     "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 32
-    # first-time queries above, window position 50 lands on join_anti
+    # (d) rotation: not in the r4 window (all green in r1-r3). With the 33
+    # first-time queries above, window position 50 lands on join_semi
     # below; everything after is overflow (multiply-green, re-proven
     # locally by tests/test_correctness.py every pytest run).
     # -- TPC-H (4 structurally-distinct representatives; the family shares
@@ -117,9 +118,9 @@ _PRIORITY = [
     "q18_large_orders",
     "q22_idle_customers",
     # -- relational operators
-    "join_semi",
-    "join_anti",  # <- window position 50
+    "join_semi",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "join_anti",
     "join_asof",
     "agg_rollup",
     "agg_cube_grouping",

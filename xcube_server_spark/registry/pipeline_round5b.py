@@ -683,3 +683,92 @@ FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
 
 QUERIES["dsir_importance"] = dsir_importance
 ORACLES["dsir_importance"] = ORACLE_DSIR
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al., "Exploring the Limits of Transfer
+# Learning..." — the C4 corpus heuristics)
+# ---------------------------------------------------------------------------
+
+
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of the C4 cleaning heuristics, adapted to
+    single-line documents: >= 3 sentences, no curly brace (code page
+    signal), no 'lorem ipsum', no 'javascript' warning text, and terminal
+    punctuation at document end. Counted independently plus the pass-all
+    count — completing the canonical ruleset trilogy next to
+    ``quality_filter_chain`` (C4-style cascade) and
+    ``quality_gopher_rules``.
+
+    Plan shape: scan-side string predicates + ONE partial-aggregated
+    exchange keyed on source.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    rules = docs.select(
+        "source",
+        F.expr(
+            r"CASE WHEN size(filter(split(text, '\\. '), s -> s <> ''))"
+            " < 3 THEN 1 ELSE 0 END"
+        ).alias("f_few_sentences"),
+        F.expr(
+            "CASE WHEN instr(text, '{') > 0 THEN 1 ELSE 0 END"
+        ).alias("f_brace"),
+        F.expr(
+            "CASE WHEN instr(lower(text), 'lorem ipsum') > 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("f_lorem"),
+        F.expr(
+            "CASE WHEN instr(lower(text), 'javascript') > 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("f_javascript"),
+        F.expr(
+            "CASE WHEN trim(text) rlike '[.!?\"]$' THEN 0 ELSE 1 END"
+        ).alias("f_no_terminal_punct"),
+    )
+    flags = [
+        "f_few_sentences",
+        "f_brace",
+        "f_lorem",
+        "f_javascript",
+        "f_no_terminal_punct",
+    ]
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(c).cast("bigint").alias("n_" + c) for c in flags],
+        F.sum(
+            F.expr(f"CASE WHEN {' + '.join(flags)} = 0 THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_pass"),
+    )
+
+
+ORACLE_C4 = """
+WITH r AS (
+  SELECT source,
+         CASE WHEN len(list_filter(string_split(text, '. '), s -> s <> ''))
+              < 3 THEN 1 ELSE 0 END AS f_few_sentences,
+         CASE WHEN instr(text, '{') > 0 THEN 1 ELSE 0 END AS f_brace,
+         CASE WHEN instr(lower(text), 'lorem ipsum') > 0
+              THEN 1 ELSE 0 END AS f_lorem,
+         CASE WHEN instr(lower(text), 'javascript') > 0
+              THEN 1 ELSE 0 END AS f_javascript,
+         CASE WHEN regexp_matches(trim(text), '[.!?"]$')
+              THEN 0 ELSE 1 END AS f_no_terminal_punct
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_few_sentences) AS BIGINT) AS n_f_few_sentences,
+       CAST(sum(f_brace) AS BIGINT) AS n_f_brace,
+       CAST(sum(f_lorem) AS BIGINT) AS n_f_lorem,
+       CAST(sum(f_javascript) AS BIGINT) AS n_f_javascript,
+       CAST(sum(f_no_terminal_punct) AS BIGINT) AS n_f_no_terminal_punct,
+       CAST(sum(CASE WHEN f_few_sentences + f_brace + f_lorem
+                          + f_javascript + f_no_terminal_punct = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM r
+GROUP BY 1
+"""
+
+
+QUERIES["quality_c4_rules"] = quality_c4_rules
+ORACLES["quality_c4_rules"] = ORACLE_C4
