@@ -20,116 +20,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xcube_server_spark.registry import QUERIES  # noqa: E402
 from xcube_server_spark.session import get_spark  # noqa: E402
 
-# Headline set: every operator family, weighted toward the heavy ones.
 BENCH_QUERIES = [
+    # Headline set: the heavy queries plus one representative per operator
+    # family. SIZE CONSTRAINT: the driver records only the LAST 2000 chars
+    # of stdout and parses the final line as JSON — the per-query dict for
+    # this list must keep that line under ~1900 bytes (currently ~1600 at
+    # 55 queries; ~28 bytes per added entry). The FULL registry is
+    # correctness-checked elsewhere (tools/verify_window.py all); this
+    # list exists for timing signal, not coverage.
+    # TPC-H representatives
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier",
-    "join_semi",
+    "q9_product_profit",
+    "q18_large_orders",
+    # relational operators
     "join_asof",
     "agg_rollup",
     "window_rank",
     "topk_global",
-    "ts_weekly_resample",
-    "cube_decimate",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embed_cosine_topk",
-    "embed_neardup_cosine",
-    "text_quality",
-    "text_tokens",
-    "stream_sessionize",
-    "stream_tumbling_counts",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q18_large_orders",
     "agg_percentiles",
-    "pivot_status_by_year",
-    "embed_ann_lsh",
-    "text_fingerprint",
-    "merge_upsert_docs",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q19_or_predicates",
-    "q21_sole_supplier",
-    "text_repetition",
-    "doc_chunking",
-    "sample_mixture",
-    "pii_scrub",
-    "cross_source_overlap",
-    "tile_grid_subdivision",
-    "pack_sequences",
-    "contamination_screen",
-    "vocab_top_tokens",
-    "event_funnel",
-    "user_retention",
-    "ts_gap_fill",
-    "set_ops_customers",
-    "stats_correlation",
-    "histogram_prices",
-    "stream_dedupe_events",
-    "dedup_paragraphs",
-    "kmv_distinct_sketch",
-    "tfidf_top_terms",
-    "unigram_logprob",
-    "time_weighted_avg",
-    # round-4 analytics/curation family
-    "event_attribution",
-    "rfm_segments",
-    "anomaly_zscore_daily",
-    "session_paths_topk",
-    "doc_length_percentiles",
-    "bigram_top",
-    "dedup_lsh_verify",
-    "morton_zorder_cells",
-    "pmi_collocations",
-    "stream_sliding_avg_live",
-    "embed_quantize_int8",
-    "vocab_coverage",
-    "dedup_retention_summary",
-    "snapshot_diff",
-    "sample_temperature",
-    "rolling_median_daily",
-    # round-5 additions
-    "cross_source_overlap_kmv",
-    "stream_sessionize_live",
-    "stream_interval_join_live",
-    "perplexity_buckets",
-    "text_entropy",
-    "embed_pq_ann",
-    "decayed_engagement",
+    # cube-native
+    "cube_decimate",
     "cube_focal_mean",
-    "cube_time_interp",
-    "cube_cell_anomaly",
-    "winsorized_mean",
-    "ngram_novelty",
-    "embed_ivfpq_ann",
-    "cube_hovmoller",
-    "stream_hypertable_rollup_live",
-    "cube_var_correlation",
-    "mixture_schedule",
-    "semdedup_prune",
-    "dedup_substring_windows",
-    "cube_regrid_nearest",
+    "cube_append_lod",
     "cube_regrid_bilinear",
-    "embed_outlier_centroid",
-    "stream_dedupe_events_live",
-    "quality_gopher_rules",
-    "dedup_containment",
-    "dsir_importance",
     "cube_threshold_area",
+    "cube_var_correlation",
     "zarr_ingest_stats",
     "netcdf_ingest_stats",
-    "merge_upsert_docs_live",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verify",
+    "dedup_containment",
+    "dedup_substring_windows",
+    "dedup_components_minhash",
+    "semdedup_prune",
+    # similarity ladder
+    "embed_cosine_topk",
+    "embed_ann_lsh",
+    "embed_ivfpq_ann",
+    "embed_neardup_cosine",
+    "embed_outlier_centroid",
+    # text / quality
+    "text_quality",
+    "text_tokens",
+    "quality_gopher_rules",
     "quality_c4_rules",
+    "perplexity_buckets",
+    "unigram_logprob",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "ngram_novelty",
+    # pipeline mechanics
+    "doc_chunking",
+    "contamination_screen",
+    "cross_source_overlap_kmv",
+    "dsir_importance",
+    "sample_temperature",
+    "mixture_schedule",
+    # behavioral analytics
+    "event_attribution",
+    "rfm_segments",
+    "rolling_median_daily",
+    # streaming (real readStream runs)
+    "stream_sliding_avg_live",
+    "stream_sessionize_live",
+    "stream_interval_join_live",
+    "stream_dedupe_events_live",
+    "stream_hypertable_rollup_live",
+    "stream_user_stats_stateful",
+    "merge_upsert_docs_live",
 ]
 
 
@@ -179,6 +141,19 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
+    # Machine-state calibration: a fixed pure-JVM workload, independent of
+    # the engine and the data. Round-over-round comparisons should ratio
+    # per-query p50s against this — absolute wall times on this box drift
+    # 10-35% between rounds (co-tenancy), which otherwise reads as
+    # phantom regressions on untouched queries.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000_000).selectExpr(
+            "sum(id * 2654435761)"
+        ).collect()
+        cal_runs.append(time.perf_counter() - t0)
+    cal = round(sorted(cal_runs)[1], 4)
     # Detail (spread, cold) goes to stderr; the FINAL stdout line must stay
     # compact — the driver records only the last ~2.4 KB of stdout and parses
     # the last line as JSON, so a bloated line starts outside the captured
@@ -200,6 +175,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "repeats": repeats,
+                # NOTE: the driver tails 2000 chars of stdout; this line is
+                # ~1.6 KB at 55 queries — see the BENCH_QUERIES size note
+                "calibration_sec": cal,
             },
             separators=(",", ":"),
         )

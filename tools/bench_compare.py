@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Round-over-round bench diff.
+
+    python tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Inputs are either raw ``bench.py`` output (one JSON line with a
+``queries`` p50 dict) or a driver ``BENCH_r{N}.json`` record — for the
+latter, the per-query dict is taken from ``parsed.queries`` when the
+driver parsed the output, else recovered from the ``tail`` string
+(p50 ``"name": 1.23`` pairs, falling back to spread arrays
+``"name": [lo, hi]`` using lo).
+
+Prints regressions above the threshold (default 1.3x), improvements
+below 1/threshold, and the added/removed query sets. Exit code = number
+of regressions, so CI can gate on it.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc and isinstance(doc["queries"], dict):
+        return {k: float(v) for k, v in doc["queries"].items()}
+    parsed = doc.get("parsed") or {}
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return {k: float(v) for k, v in parsed["queries"].items()}
+    tail = doc.get("tail", "")
+    out: dict[str, float] = {}
+    for m in re.finditer(r'"(\w+)": ([\d.]+)[,}]', tail):
+        out.setdefault(m.group(1), float(m.group(2)))
+    if not out:
+        for m in re.finditer(r'"(\w+)": \[([\d.]+), ([\d.]+)\]', tail):
+            out.setdefault(m.group(1), float(m.group(2)))
+    if not out:
+        raise SystemExit(f"{path}: no per-query timings found")
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old = load_queries(sys.argv[1])
+    new = load_queries(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+
+    def _cal(path):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            return doc.get("calibration_sec") or (
+                doc.get("parsed") or {}
+            ).get("calibration_sec")
+        except Exception:
+            return None
+
+    co, cn = _cal(sys.argv[1]), _cal(sys.argv[2])
+    if co and cn:
+        drift = cn / co
+        print(
+            f"machine calibration: {co:.2f}s -> {cn:.2f}s (x{drift:.2f}) — "
+            f"per-query ratios are shown RAW; divide by x{drift:.2f} for "
+            "machine-normalized deltas"
+        )
+    common = sorted(set(old) & set(new))
+    regs, wins = [], []
+    for k in common:
+        if old[k] < 0.05:  # sub-noise
+            continue
+        r = new[k] / old[k]
+        if r > thresh:
+            regs.append((r, k))
+        elif r < 1.0 / thresh:
+            wins.append((r, k))
+    for r, k in sorted(regs, reverse=True):
+        print(f"REGRESSION {k}: {old[k]:.2f}s -> {new[k]:.2f}s (x{r:.2f})")
+    for r, k in sorted(wins):
+        print(f"improved   {k}: {old[k]:.2f}s -> {new[k]:.2f}s (x{r:.2f})")
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    print(
+        f"TOTAL old={sum(old.values()):.1f}s ({len(old)}q) "
+        f"new={sum(new.values()):.1f}s ({len(new)}q) "
+        f"common={len(common)} regressions={len(regs)}"
+    )
+    return len(regs)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
