@@ -653,12 +653,14 @@ def test_embed_outlier_centroid_broadcast_back(spark, sf_dir):
 
 def test_gopher_rules_single_exchange(spark, sf_dir):
     """All five Gopher rules read one bound word-array projection; the only
-    exchange is the per-source partial aggregate."""
+    HASH exchange is the per-source partial aggregate (plus the spread
+    RoundRobin that parallelizes the single-file scan)."""
     from xcube_server_spark.plans.explain import formatted_plan
 
     df = QUERIES["quality_gopher_rules"](spark, sf_dir)
-    assert count_exchanges(df) == 1
-    assert "Join" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning") == 1, plan[:400]
+    assert "Join" not in plan
 
 
 def test_containment_no_corpus_broadcast(spark, sf_dir):

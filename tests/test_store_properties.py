@@ -86,3 +86,53 @@ def test_netcdf3_roundtrip_any_shape(
     assert np.array_equal(got, arr, equal_nan=True)
     assert np.array_equal(ds["lat"].values, lat)
     assert list(ds["time"].values) == TIMES4[:nt]
+
+
+def test_zarr_slicing_contract(tmp_path_factory):
+    """Steps and negative slice bounds raise (never silently wrong);
+    out-of-range stops clamp like numpy; negative int indices wrap."""
+    import pytest
+
+    path = str(tmp_path_factory.mktemp("zc") / "s.zarr")
+    arr = _cube(2, 6, 8, 1, 0)
+    write_zarr_group(
+        path, TIMES4[:2], np.linspace(52, 50, 6), np.linspace(0, 5, 8),
+        {"v": arr}, chunk_shape=(1, 4, 4),
+    )
+    ds = open_zarr_group(path)
+    with pytest.raises(NotImplementedError, match="strided"):
+        ds["v"][::2, ::2, ::2]
+    with pytest.raises(NotImplementedError, match="negative"):
+        ds["v"][0:2, -3:, 0:8]
+    clamped = ds["v"][0:2, 0:600, 0:600]
+    assert clamped.shape == (2, 6, 8)
+    assert np.array_equal(clamped, arr)
+    assert np.array_equal(ds["v"][-1], arr[-1])
+    with pytest.raises(IndexError):
+        ds["v"][5]
+
+
+def test_netcdf3_streaming_sentinel_and_zero_records(tmp_path_factory):
+    """numrecs = 0xFFFFFFFF (STREAMING) derives the record count from the
+    file size; a zero-record unlimited dim yields empty arrays, not a
+    crash."""
+    import struct
+
+    path = str(tmp_path_factory.mktemp("ns") / "s.nc")
+    arr = _cube(3, 4, 5, 2, 0)
+    write_netcdf3(
+        path, TIMES4[:3], np.linspace(52, 50, 4), np.linspace(0, 5, 5),
+        {"v": arr}, time_as_record=True,
+    )
+    raw = bytearray(open(path, "rb").read())
+    raw[4:8] = struct.pack(">i", -1)  # 0xFFFFFFFF sentinel
+    open(path, "wb").write(bytes(raw))
+    ds = open_netcdf3(path)
+    assert ds.numrecs == 3
+    assert np.array_equal(ds["v"][0:3, 0:4, 0:5], arr)
+
+    raw[4:8] = struct.pack(">i", 0)
+    p2 = path + "0"
+    open(p2, "wb").write(bytes(raw))
+    ds0 = open_netcdf3(p2)
+    assert ds0["v"][:].shape == (0, 4, 5)

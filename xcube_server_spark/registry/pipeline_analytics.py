@@ -50,7 +50,7 @@ from pyspark.sql.functions import broadcast
 
 from ._util import load_table as _t
 from ._util import rnd, spread
-from .pipeline_queries import dedup_minhash_lsh
+from .pipeline_queries import ORACLE_LSH_CANDIDATES_CTE, dedup_minhash_lsh
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -607,6 +607,39 @@ LIMIT 15
 # LSH candidates + exact Jaccard verification
 # ---------------------------------------------------------------------------
 
+def candidate_pairs_with_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs joined with BOTH docs' distinct token
+    sets — the shared scaffold of the exact-verification family
+    (``dedup_lsh_verify`` here, ``dedup_containment`` in
+    pipeline_round5b): candidate pairs BROADCAST onto a streamed
+    tokenized corpus scan (A side), SHUFFLE-HASH join for the B side —
+    one corpus-linear token shuffle, never a corpus broadcast (the
+    optimizer's own choice broadcasts the tokenized corpus, which dies
+    at 100 TB and measured 1.8x slower at sf0.1)."""
+    cands = dedup_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("array_distinct(filter(split(text, ' '), t -> t <> ''))").alias(
+            "toks"
+        ),
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    half = a.join(F.broadcast(cands), "doc_a")
+    return half.join(b.hint("shuffle_hash"), "doc_b")
+
+
+# Shared oracle continuation: candidate pairs + both docs' token sets.
+ORACLE_CANDS_TOKS_CTE = ORACLE_LSH_CANDIDATES_CTE + """,
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS toks
+  FROM documents
+)"""
+
+
 _JACCARD_MIN = 0.5
 
 
@@ -627,19 +660,8 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~25x the doc count here, so hashing the corpus and streaming the
     pairs is the cheap direction).
     """
-    cands = dedup_minhash_lsh(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.expr("array_distinct(filter(split(text, ' '), t -> t <> ''))").alias(
-            "toks"
-        ),
-    )
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    half = a.join(F.broadcast(cands), "doc_a")
     return (
-        half.join(b.hint("shuffle_hash"), "doc_b")
+        candidate_pairs_with_toks(spark, sf_dir)
         # union size computed ONCE per candidate (array_union is the
         # expensive half of the Jaccard; evaluating it separately in the
         # guard and the ratio measured ~10% on the whole query)
@@ -658,37 +680,7 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LSH_VERIFY = f"""
-WITH sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-             range(1, greatest(length(text)-4, 1) + 1),
-             i -> substr(text, CAST(i AS INT), 5)))) AS sh
-  FROM documents
-),
-mh AS (
-  SELECT doc_id,
-         min(substring(md5(sh), 1, 8))  AS m0, min(substring(md5(sh), 9, 8))  AS m1,
-         min(substring(md5(sh), 17, 8)) AS m2, min(substring(md5(sh), 25, 8)) AS m3
-  FROM sh GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
-  UNION ALL
-  SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
-),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
-              AND a.doc_id < b.doc_id
-),
-toks AS (
-  SELECT doc_id,
-         list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
-           AS toks
-  FROM documents
-),
+ORACLE_LSH_VERIFY = ORACLE_CANDS_TOKS_CTE + f""",
 verified AS (
   SELECT c.doc_a, c.doc_b,
          floor(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)

@@ -170,7 +170,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MINHASH = """
+# Shared oracle prefix for every LSH-derived check: 5-char shingles → 4
+# minhash slices → 2 bands → DISTINCT candidate pairs. ONE text — a band
+# count / shingle width / bucket tweak now has a single divergence point
+# across ORACLE_MINHASH and the verify-family oracles in
+# pipeline_analytics / pipeline_round5b.
+ORACLE_LSH_CANDIDATES_CTE = """
 WITH sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -188,10 +193,16 @@ bands AS (
   SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
   UNION ALL
   SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+              AND a.doc_id < b.doc_id
+)"""
+
+ORACLE_MINHASH = ORACLE_LSH_CANDIDATES_CTE + """
+SELECT doc_a, doc_b FROM cands
 """
 
 

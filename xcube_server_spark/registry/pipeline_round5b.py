@@ -106,8 +106,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SEMDEDUP = f"""
 WITH n AS (
   SELECT vec_id, label, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         -- zero-norm guard, mirroring the Spark side's nrm[nrm==0]=1.0:
+         -- without it an all-zero vector divides 0/0 and the engines
+         -- diverge (NULL vs NaN vs 0.0)
+         CASE WHEN sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+              THEN 1.0
+              ELSE sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nrm
   FROM embeddings
 ),
 d AS (
@@ -327,7 +333,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (all five rules read the same bound column), then a single
     partial-aggregated exchange keyed on source. Scan-dominant at 100 TB.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     feats = docs.select(
         "source",
         F.expr("filter(split(trim(text), ' '), w -> w <> '')").alias("ws"),
@@ -457,21 +463,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast onto a streamed corpus scan (A side), shuffle-hash join for
     the B side — no corpus broadcast anywhere.
     """
-    from .pipeline_queries import dedup_minhash_lsh
+    from .pipeline_analytics import candidate_pairs_with_toks
 
-    cands = dedup_minhash_lsh(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.expr("array_distinct(filter(split(text, ' '), t -> t <> ''))").alias(
-            "toks"
-        ),
-    )
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    half = a.join(F.broadcast(cands), "doc_a")
     return (
-        half.join(b.hint("shuffle_hash"), "doc_b")
+        candidate_pairs_with_toks(spark, sf_dir)
         .withColumn(
             "m_sz", F.least(F.size("toks_a"), F.size("toks_b"))
         )
@@ -485,37 +480,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CONTAINMENT = f"""
-WITH sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-             range(1, greatest(length(text)-4, 1) + 1),
-             i -> substr(text, CAST(i AS INT), 5)))) AS sh
-  FROM documents
-),
-mh AS (
-  SELECT doc_id,
-         min(substring(md5(sh), 1, 8))  AS m0, min(substring(md5(sh), 9, 8))  AS m1,
-         min(substring(md5(sh), 17, 8)) AS m2, min(substring(md5(sh), 25, 8)) AS m3
-  FROM sh GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
-  UNION ALL
-  SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
-),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
-              AND a.doc_id < b.doc_id
-),
-toks AS (
-  SELECT doc_id,
-         list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
-           AS toks
-  FROM documents
-),
+def _build_containment_oracle() -> str:
+    from .pipeline_analytics import ORACLE_CANDS_TOKS_CTE
+
+    return ORACLE_CANDS_TOKS_CTE + f""",
 verified AS (
   SELECT c.doc_a, c.doc_b,
          floor(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
@@ -534,7 +502,7 @@ FROM verified WHERE containment >= {_CONTAIN_MIN}
 QUERIES["quality_gopher_rules"] = quality_gopher_rules
 QUERIES["dedup_containment"] = dedup_containment
 ORACLES["quality_gopher_rules"] = ORACLE_GOPHER
-ORACLES["dedup_containment"] = ORACLE_CONTAINMENT
+ORACLES["dedup_containment"] = _build_containment_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +671,7 @@ def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: scan-side string predicates + ONE partial-aggregated
     exchange keyed on source.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     rules = docs.select(
         "source",
         F.expr(

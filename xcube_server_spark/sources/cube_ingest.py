@@ -137,26 +137,10 @@ def write_cube(
     min/max on BOTH spatial axes, the right choice when bbox queries dominate
     over full-width tile rows.
     """
-    from ..cube.grid import morton_interleave_expr
-
     tg = TileGridMeta.create(grid.width, grid.height, tile_size, grid.extent)
     level = cube
     for k in range(tg.num_levels):
-        if layout == "zorder":
-            z = level.withColumn("__z", F.expr(morton_interleave_expr()))
-            out = (
-                z.repartitionByRange(spatial_bands, "time_idx", "__z")
-                .sortWithinPartitions("time_idx", "__z")
-                .drop("__z")
-            )
-        else:
-            out = (
-                level.repartitionByRange(spatial_bands, "time_idx", "lat_idx")
-                .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
-            )
-        out.write.mode("overwrite").partitionBy("time_idx").parquet(
-            join_store_path(base_path, f"l{k}")
-        )
+        write_level_table(level, base_path, k, layout, spatial_bands)
         if k + 1 < tg.num_levels:
             # Stride decimation — parity with the reference's dataset levels
             # (var[..., ::2, ::2], xcube_server/mldataset.py:296-304); pure
@@ -169,8 +153,41 @@ def write_cube(
                 .withColumn("lon_idx", (F.col("lon_idx") / 2).cast("int"))
             )
 
-    spark = cube.sparkSession
-    # Dim tables (FIXTURES.md F-2): tiny, driver-built.
+    write_dim_tables(cube.sparkSession, grid, base_path)
+    return CubeTables(base_path=base_path, levels=tg.num_levels), tg
+
+
+def write_level_table(
+    level: DataFrame,
+    base_path: str,
+    k: int,
+    layout: str = "latband",
+    spatial_bands: int = 4,
+) -> None:
+    """Write one LOD level with the cube storage layout (shared by
+    ``write_cube`` and the pre-built-pyramid path ``levels_ingest``)."""
+    from ..cube.grid import morton_interleave_expr
+
+    if layout == "zorder":
+        z = level.withColumn("__z", F.expr(morton_interleave_expr()))
+        out = (
+            z.repartitionByRange(spatial_bands, "time_idx", "__z")
+            .sortWithinPartitions("time_idx", "__z")
+            .drop("__z")
+        )
+    else:
+        out = (
+            level.repartitionByRange(spatial_bands, "time_idx", "lat_idx")
+            .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
+        )
+    out.write.mode("overwrite").partitionBy("time_idx").parquet(
+        join_store_path(base_path, f"l{k}")
+    )
+
+
+def write_dim_tables(spark: SparkSession, grid: GridMeta, base_path: str) -> None:
+    """Dim tables (FIXTURES.md F-2): tiny, driver-built — one writer shared
+    by every cube-materialization path."""
     lat_rows = [
         (i, grid.lat_of(i), grid.lat_of(i) - grid.res_lat / 2, grid.lat_of(i) + grid.res_lat / 2)
         for i in range(grid.height)
@@ -193,7 +210,6 @@ def write_cube(
         .write.mode("overwrite")
         .parquet(join_store_path(base_path, "coords_time"))
     )
-    return CubeTables(base_path=base_path, levels=tg.num_levels), tg
 
 
 def synth_noise_cube(

@@ -21,12 +21,10 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 
 from ..cube.grid import GridMeta, TileGridMeta
-from .cube_ingest import CubeTables
-from .paths import join_store_path
+from .cube_ingest import CubeTables, write_dim_tables, write_level_table
 
 
 def discover_levels(levels_path: str) -> list[tuple[int, str]]:
@@ -50,17 +48,6 @@ def discover_levels(levels_path: str) -> list[tuple[int, str]]:
             f"levels directory {levels_path} has gaps: {levels}"
         )
     return [(i, out[i]) for i in levels]
-
-
-def _write_level(df: DataFrame, base_path: str, level: int,
-                 spatial_bands: int = 4) -> None:
-    (
-        df.repartitionByRange(spatial_bands, "time_idx", "lat_idx")
-        .sortWithinPartitions("time_idx", "lat_idx", "lon_idx")
-        .write.mode("overwrite")
-        .partitionBy("time_idx")
-        .parquet(join_store_path(base_path, f"l{level}"))
-    )
 
 
 def ingest_levels_dir(
@@ -90,7 +77,7 @@ def ingest_levels_dir(
                 if c not in ("time_idx", "lat_idx", "lon_idx",
                              "time", "lat", "lon")
             ]
-        _write_level(df, out_base, i)
+        write_level_table(df, out_base, i)
     assert grid0 is not None
     tg = TileGridMeta.create(
         grid0.width, grid0.height, tile_size, grid0.extent, grid0.inv_y
@@ -106,35 +93,7 @@ def ingest_levels_dir(
             geo_extent=tg.geo_extent,
             inv_y=tg.inv_y,
         )
-    # dim tables (same layout write_cube emits)
-    lat_rows = [
-        (i, grid0.lat_of(i), grid0.lat_of(i) - grid0.res_lat / 2,
-         grid0.lat_of(i) + grid0.res_lat / 2)
-        for i in range(grid0.height)
-    ]
-    lon_rows = [
-        (i, grid0.lon_of(i), grid0.lon_of(i) - grid0.res_lon / 2,
-         grid0.lon_of(i) + grid0.res_lon / 2)
-        for i in range(grid0.width)
-    ]
-    spark.createDataFrame(
-        lat_rows, "idx int, value double, lo double, hi double"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        join_store_path(out_base, "coords_lat")
-    )
-    spark.createDataFrame(
-        lon_rows, "idx int, value double, lo double, hi double"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        join_store_path(out_base, "coords_lon")
-    )
-    time_rows = [(i, t) for i, t in enumerate(grid0.times)]
-    (
-        spark.createDataFrame(time_rows, "idx int, value string")
-        .withColumn("value", F.to_timestamp("value"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(join_store_path(out_base, "coords_time"))
-    )
+    write_dim_tables(spark, grid0, out_base)
     return (
         CubeTables(base_path=out_base, levels=len(levels)),
         tg,

@@ -127,6 +127,8 @@ class NetCDF3Variable:
             arr = np.frombuffer(
                 buf, dtype=dt, count=n, offset=self.begin
             ).reshape(self.shape)
+        elif self._ds.numrecs == 0:
+            arr = np.empty(self.shape, dtype=dt)
         else:
             per_rec = int(np.prod(self.shape[1:])) if self.shape[1:] else 1
             recs = []
@@ -190,6 +192,16 @@ class NetCDF3Dataset:
         # recsize: sum of record-var vsizes; the single-record-var special
         # case uses the unpadded size, which vsize already reflects
         self.recsize = sum(rec_sizes)
+        if self.numrecs == -1:
+            # STREAMING sentinel (numrecs = 0xFFFFFFFF): the spec directs
+            # readers to derive the record count from the file size
+            if self.recsize <= 0:
+                self.numrecs = 0
+            else:
+                rec_start = min(
+                    v.begin for v in self._vars.values() if v.is_record
+                )
+                self.numrecs = (len(self.buf) - rec_start) // self.recsize
 
     def __getitem__(self, name: str) -> NetCDF3Variable:
         return self._vars[name]

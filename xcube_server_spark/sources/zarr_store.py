@@ -131,9 +131,28 @@ class ZarrArray:
         bounds = []
         for k, s in zip(key, self.shape):
             if isinstance(k, int):
+                if k < 0:
+                    k += s
+                if not 0 <= k < s:
+                    raise IndexError(f"index {k} out of range for axis of {s}")
                 bounds.append((k, k + 1))
             else:
-                bounds.append((k.start or 0, s if k.stop is None else k.stop))
+                # scope contract ("asserted, not silently wrong"): steps and
+                # negative slice bounds would need full fancy-indexing —
+                # raise instead of returning unstrided/garbage data
+                if k.step not in (None, 1):
+                    raise NotImplementedError(
+                        "strided zarr reads are not supported; slice with "
+                        "step 1 and decimate downstream"
+                    )
+                start, stop = k.start or 0, s if k.stop is None else k.stop
+                if start < 0 or stop < 0:
+                    raise NotImplementedError(
+                        "negative slice bounds are not supported"
+                    )
+                # clamp to the array shape (numpy/zarr semantics) — an
+                # unclamped stop would silently emit fill_value padding
+                bounds.append((min(start, s), min(stop, s)))
         out_shape = tuple(b1 - b0 for b0, b1 in bounds)
         out = np.empty(out_shape, dtype=self.dtype)
         ranges = [
