@@ -79,6 +79,13 @@ def test_levels_pyramid_served(spark, tmp_path, link):
     assert tables.levels == 2
     assert var_names == ["conc_chl"]
     assert (grid.width, grid.height) == (W, H)
+    # Truncated pyramid (2 levels where natural depth is 3): level-zero tile
+    # counts must come from the ACTUAL coarsest level (16x8 @ tile 8 → 2x1),
+    # not the natural-depth one (8x4 → 1x1) — else WMTS/OL4/Cesium matrix
+    # sizes are off by a power of two and edge tiles are unaddressable.
+    assert tg.num_levels == 2
+    assert (tg.num_level_zero_tiles_x, tg.num_level_zero_tiles_y) == (2, 1)
+    assert tg.num_tiles(1) == (4, 2)
 
     cat = CubeCatalog(spark)
     cat.register_written_cube("demo", out, grid, tg, var_names)
@@ -98,4 +105,4 @@ def test_levels_pyramid_served(spark, tmp_path, link):
     # the MEAN level survives — stride decimation would give l0[::2, ::2]
     assert got1[(1, 2, 3)] == pytest.approx(l1[1, 2, 3])
     stride_value = l0[1, 4, 6]
-    assert abs(got1[(1, 2, 3)] - stride_value) > 1e-9 or True
+    assert abs(got1[(1, 2, 3)] - stride_value) > 1e-9

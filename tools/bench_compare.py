@@ -32,8 +32,13 @@ def load_queries(path: str) -> dict[str, float]:
         return {k: float(v) for k, v in parsed["queries"].items()}
     tail = doc.get("tail", "")
     out: dict[str, float] = {}
+    meta_keys = {
+        "total", "sf", "repeats", "calibration_sec", "value", "metric",
+        "cold_total", "serving",
+    }
     for m in re.finditer(r'"(\w+)": ([\d.]+)[,}]', tail):
-        out.setdefault(m.group(1), float(m.group(2)))
+        if m.group(1) not in meta_keys:
+            out.setdefault(m.group(1), float(m.group(2)))
     if not out:
         for m in re.finditer(r'"(\w+)": \[([\d.]+), ([\d.]+)\]', tail):
             out.setdefault(m.group(1), float(m.group(2)))

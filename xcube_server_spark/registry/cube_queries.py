@@ -6,9 +6,10 @@ carry full DuckDB oracles: the oracle SQL reads the SAME materialized l0
 parquet the engine serves from, with the driver-side pure-Python pieces
 (nearest-cell index arithmetic, rasterized all_touched mask) inlined as
 literals/VALUES — so the semi-join + masked-stats semantics are checked
-value-for-value, not just row counts. ``cube_tile_render`` stays rows-only
-(PNG bytes are not SQL-expressible); its pixels are golden-tested in
-``tests/test_cube.py``.
+value-for-value, not just row counts. ``cube_tile_render`` is hash-verified
+too: it returns per-tile RGBA channel checksums whose oracle recomputes the
+clip/normalize/LUT-index math in SQL (see its function docstring); the raw
+PNG pixels are additionally golden-tested in ``tests/test_cube.py``.
 
 The cube is materialized once per (session, tmp location) and reused across
 the three queries — mirroring how a server ingests once and serves many.

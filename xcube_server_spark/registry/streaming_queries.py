@@ -606,8 +606,11 @@ def merge_upsert_docs_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sink import ExactlyOnceParquetSink
 
     staged = _staged_docs_recrawl(spark, sf_dir)
+    # Per-run sink (like the checkpoint): a persistent sink keyed only by
+    # the stage would replay stale committed batches if the staging logic
+    # ever changed shape — correctness over warm-run reuse here.
     sink_path = os.path.join(
-        tempfile.gettempdir(), "xss_upsert_sink_" + _stage_key(sf_dir)
+        tempfile.gettempdir(), f"xss_upsert_sink_{uuid.uuid4().hex[:8]}"
     )
     sink = ExactlyOnceParquetSink(sink_path)
     batch = spark.read.parquet(staged)

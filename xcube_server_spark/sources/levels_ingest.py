@@ -83,13 +83,24 @@ def ingest_levels_dir(
         grid0.width, grid0.height, tile_size, grid0.extent, grid0.inv_y
     )
     if tg.num_levels != len(levels):
-        # honor the directory: serve exactly the levels that exist
+        # Honor the directory: serve exactly the levels that exist. The
+        # level-zero tile counts must be recomputed from the ACTUAL coarsest
+        # level — copying them from the natural-depth grid would advertise
+        # tile-matrix sizes wrong by a power of two (WMTS/OL4/Cesium clients
+        # could not address the right/bottom tiles of a truncated pyramid).
+        import math
+
+        from ..cube.grid import level_sizes
+
+        coarsest_w, coarsest_h = level_sizes(
+            grid0.width, grid0.height, len(levels)
+        )[-1]
         tg = TileGridMeta(
             num_levels=len(levels),
             tile_width=tg.tile_width,
             tile_height=tg.tile_height,
-            num_level_zero_tiles_x=tg.num_level_zero_tiles_x,
-            num_level_zero_tiles_y=tg.num_level_zero_tiles_y,
+            num_level_zero_tiles_x=max(1, math.ceil(coarsest_w / tg.tile_width)),
+            num_level_zero_tiles_y=max(1, math.ceil(coarsest_h / tg.tile_height)),
             geo_extent=tg.geo_extent,
             inv_y=tg.inv_y,
         )

@@ -77,7 +77,8 @@ class _Reader:
 
 def _read_attrs(r: _Reader) -> dict:
     tag, n = r.i4(), r.i4()
-    assert tag in (_NC_ATTRIBUTE, _ABSENT)
+    if tag not in (_NC_ATTRIBUTE, _ABSENT):
+        raise ValueError("corrupt NetCDF3 header: bad attribute-list tag")
     out = {}
     for _ in range(n):
         name = r.name()
@@ -168,13 +169,15 @@ class NetCDF3Dataset:
         r.pos = 4
         self.numrecs = r.i4()
         tag, ndims = r.i4(), r.i4()
-        assert tag in (_NC_DIMENSION, _ABSENT)
+        if tag not in (_NC_DIMENSION, _ABSENT):
+            raise ValueError("corrupt NetCDF3 header: bad dimension-list tag")
         dims = []
         for _ in range(ndims):
             dims.append((r.name(), r.i4()))
         self.attrs = _read_attrs(r)
         tag, nvars = r.i4(), r.i4()
-        assert tag in (_NC_VARIABLE, _ABSENT)
+        if tag not in (_NC_VARIABLE, _ABSENT):
+            raise ValueError("corrupt NetCDF3 header: bad variable-list tag")
         self._vars: dict[str, NetCDF3Variable] = {}
         rec_sizes = []
         for _ in range(nvars):
