@@ -166,3 +166,85 @@ def test_lsh_verify_inherits_cap_and_filters(spark, adversarial_docs_dir, monkey
     assert (2000, 2001) in got and got[(2000, 2001)] >= 0.5
     # every surviving pair clears the threshold
     assert all(j >= 0.5 for j in got.values())
+
+
+def _semdedup_rows(spark, path, panel):
+    from xcube_server_spark.registry.pipeline_round5b import semdedup_prune
+
+    os.environ["SPARK_GRAFT_SEMDEDUP_PANEL"] = str(panel)
+    try:
+        rows = semdedup_prune(spark, path).collect()
+    finally:
+        os.environ.pop("SPARK_GRAFT_SEMDEDUP_PANEL")
+    return {(r.vec_id, r.label): (r.max_prior_cos, r.dropped) for r in rows}
+
+
+@pytest.fixture()
+def giant_cluster_dir(spark, tmp_path):
+    """EVERY vector in one label — the adversarial shape for SemDeDup's
+    per-cluster Gram. 400 vectors, a mix of near-duplicate pairs (above the
+    0.3 cosine threshold) and isolated directions."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(400):
+        if vid % 2 == 1 and vid < 200:
+            # near-dup of the previous even vector
+            base = np.array(rows[vid - 1][1]) + rng.standard_normal(64) * 0.01
+        else:
+            base = rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in base], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path / "giant"
+    df.coalesce(2).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_semdedup_paneling_is_exact_on_giant_cluster(spark, giant_cluster_dir):
+    """PANEL=50 forces ceil(400/50)=8 salts on the single-label corpus; the
+    triangle partitioning must reproduce the single-task (PANEL=10^9)
+    decision exactly, and the near-dup construction must actually drop the
+    odd twins."""
+    paneled = _semdedup_rows(spark, giant_cluster_dir, 50)
+    single = _semdedup_rows(spark, giant_cluster_dir, 1 << 30)
+    assert paneled == single
+    assert len(paneled) == 400
+    dropped = {vid for (vid, _), (_, d) in paneled.items() if d == 1}
+    # every odd twin (vid 1..199) is a near-dup of its even predecessor
+    assert {v for v in range(1, 200, 2)} <= dropped
+
+
+def test_semdedup_panel_bounds_block_width(spark, giant_cluster_dir):
+    """With PANEL=50 on a 400-vector single label, no block task holds more
+    than ~2*(n/S) vectors — the Gram a task builds is panel-bounded, not
+    cluster-bounded."""
+    panel, n, label_n = 50, 400, 400
+    n_salts = -(-label_n // panel)  # ceil
+    emb = spark.read.parquet(
+        os.path.join(giant_cluster_dir, "embeddings.parquet")
+    )
+    widths = (
+        emb.withColumn(
+            "s", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+        )
+        .withColumn(
+            "blk",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_salts - 1}),"
+                    " j -> struct(least(s, j) AS si, greatest(s, j) AS sj))"
+                )
+            ),
+        )
+        .groupBy("label", "blk.si", "blk.sj")
+        .count()
+    )
+    max_block = widths.agg(F.max("count")).collect()[0][0]
+    assert max_block < (2 * label_n / n_salts) * 1.5
+
+
+def test_semdedup_paneling_matches_on_test_data(spark, sf_dir):
+    paneled = _semdedup_rows(spark, sf_dir, 32)
+    single = _semdedup_rows(spark, sf_dir, 1 << 30)
+    assert paneled == single

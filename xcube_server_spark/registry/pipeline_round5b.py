@@ -29,6 +29,8 @@ additions for the training-data pipeline).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,51 +57,114 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosines round to 1e-5 (floor(x*1e5+0.5)) BEFORE the max on both
     engines, so BLAS-vs-SQL summation-order ulp noise cannot flip a
     keep/drop decision at the threshold boundary.
+
+    Scale shape (bounded per-task memory): a plain ``groupBy(label)``
+    would materialize an n x n Gram for the whole cluster in ONE task —
+    an executor OOM the moment a cluster is skewed. Instead each label
+    picks S = ceil(n_label / PANEL) salts (per-label counts are a
+    map-side-combined aggregate, broadcast back), each vector gets salt
+    s = hash(vec_id) mod S and is replicated to the S blocks
+    (label, si, sj) with one salt coordinate equal to s — the triangle
+    partitioning ``embed_neardup_cosine`` uses, so every (prior, later)
+    pair lands in exactly ONE block and the result is EXACT for any S.
+    A block emits each member's partial max over the priors it saw;
+    a fingerprint-width ``max`` aggregate on vec_id merges blocks. Task
+    memory is <= (2*PANEL)^2 doubles regardless of cluster size; the
+    replication cost is the classic S-fold linear trade for quadratic
+    work. PANEL is SPARK_GRAFT_SEMDEDUP_PANEL (default 4096).
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    panel = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PANEL", "4096"))
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    out_schema = StructType(
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    salted = (
+        emb.join(F.broadcast(counts), "label")
+        .withColumn(
+            "n_salts",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_label") / F.lit(panel))
+            ).cast("int"),
+        )
+        .withColumn(
+            "s", F.pmod(F.xxhash64("vec_id"), F.col("n_salts")).cast("int")
+        )
+        .withColumn(
+            "blk",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, n_salts - 1),"
+                    " j -> struct(least(s, j) AS si, greatest(s, j) AS sj))"
+                )
+            ),
+        )
+        .select("vec_id", "label", "embedding", "s", "blk.si", "blk.sj")
+    )
+    part_schema = StructType(
         [
             StructField("vec_id", emb.schema["vec_id"].dataType),
             StructField("label", emb.schema["label"].dataType),
-            StructField("max_prior_cos", DoubleType()),
-            StructField("dropped", IntegerType()),
+            StructField("pm", DoubleType()),
         ]
     )
 
-    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        si, sj = int(key[1]), int(key[2])
         order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
         ids = pdf["vec_id"].to_numpy()[order]
         m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         nrm = np.sqrt((m * m).sum(axis=1))
         nrm[nrm == 0.0] = 1.0
         mn = m / nrm[:, None]
-        g = np.floor(mn @ mn.T * 1e5 + 0.5) / 1e5
-        n = len(ids)
-        # strict upper triangle read column-wise: prior rows i < j
-        tri = np.where(np.tri(n, n, -1, dtype=bool), g.T, -np.inf)
-        mx = tri.max(axis=1)
-        mx[0] = -1.0
-        mx = np.where(np.isfinite(mx), mx, -1.0)
+        if si == sj:
+            g = np.floor(mn @ mn.T * 1e5 + 0.5) / 1e5
+            n = len(ids)
+            # strict upper triangle read column-wise: prior rows i < j
+            tri = np.where(np.tri(n, n, -1, dtype=bool), g.T, -np.inf)
+            mx = tri.max(axis=1)
+            if n:
+                mx[0] = -1.0
+            mx = np.where(np.isfinite(mx), mx, -1.0)
+            out_ids, out_lab, out_mx = ids, pdf["label"].to_numpy()[order], mx
+        else:
+            side = pdf["s"].to_numpy()[order]
+            a_mask, b_mask = side == si, side == sj
+            ida, idb = ids[a_mask], ids[b_mask]
+            g = np.floor(mn[a_mask] @ mn[b_mask].T * 1e5 + 0.5) / 1e5
+            prior_a = ida[:, None] < idb[None, :]  # a is the prior of b
+            mx_b = np.where(prior_a, g, -np.inf).max(
+                axis=0, initial=-np.inf
+            )
+            mx_a = np.where(~prior_a, g, -np.inf).max(
+                axis=1, initial=-np.inf
+            )
+            mx = np.concatenate([mx_a, mx_b])
+            mx = np.where(np.isfinite(mx), mx, -1.0)
+            out_ids = np.concatenate([ida, idb])
+            lab = pdf["label"].to_numpy()[order]
+            out_lab = np.concatenate([lab[a_mask], lab[b_mask]])
+            out_mx = mx
         return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "label": pdf["label"].to_numpy()[order],
-                "max_prior_cos": mx,
-                "dropped": (mx >= _SEM_TAU).astype("int32"),
-            }
+            {"vec_id": out_ids, "label": out_lab, "pm": out_mx}
         )
 
-    return emb.groupBy("label").applyInPandas(
-        lambda _key, pdf: per_cluster(pdf), out_schema
+    partial = salted.groupBy("label", "si", "sj").applyInPandas(
+        block_partial, part_schema
+    )
+    return (
+        partial.groupBy("vec_id", "label")
+        .agg(F.max("pm").alias("max_prior_cos"))
+        .select(
+            "vec_id",
+            "label",
+            "max_prior_cos",
+            F.expr(
+                f"CAST(CASE WHEN max_prior_cos >= {_SEM_TAU} THEN 1 ELSE 0"
+                " END AS INT)"
+            ).alias("dropped"),
+        )
     )
 
 
