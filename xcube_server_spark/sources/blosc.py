@@ -1,0 +1,328 @@
+"""Pure-Python blosc v1 chunk codec (lz4 / zlib / memcpy, byte-shuffle).
+
+The zarr ecosystem's DEFAULT compressor is ``blosc(cname='lz4', shuffle=1)``
+(numcodecs' ``Blosc``), so a zarr reader that only handles zlib/raw chunks
+rejects most real-world stores at the door. This module implements enough
+of the c-blosc 1.x chunk format — from the published format description
+(c-blosc ``README_CHUNK_FORMAT.rst``) and the LZ4 block-format spec — to
+decompress those chunks with only the standard library + numpy:
+
+- 16-byte header: ``version | versionlz | flags | typesize | nbytes(i4le)
+  | blocksize(i4le) | cbytes(i4le)``. ``flags`` bit 0 = byte-shuffle,
+  bit 1 = pure memcpy, bit 2 = bit-shuffle (unsupported → clear error);
+  bits 5-7 = codec id (0 blosclz — unsupported, 1 lz4/lz4hc, 3 zlib,
+  5 zstd — unsupported).
+- blocks section: ``nblocks = ceil(nbytes / blocksize)`` little-endian
+  int32 block-start offsets (absolute within the chunk), then the blocks.
+- each block holds ``nstreams`` streams, each ``int32 csize`` + payload;
+  ``csize == stream_size`` marks a stored-raw stream and ``csize == 0`` an
+  all-zeros stream. Blocks are SPLIT into one stream per byte-plane
+  (``nstreams = typesize``) exactly when c-blosc's forward-compat rule
+  fires: codec in (blosclz, lz4), ``typesize <= 16``,
+  ``blocksize/typesize >= 128`` — and never for the leftover block.
+- byte-shuffle is per BLOCK: the block is the concatenation of its
+  ``typesize`` byte-planes; numpy transpose undoes it (trailing
+  ``len % typesize`` bytes ride along unshuffled).
+
+The LZ4 *block* codec (not the frame format) is implemented in Python:
+the decoder is the spec's token/literals/offset/match loop; the encoder is
+a greedy hash-table matcher — valid output, modest ratio — so tests and
+the correctness gate can round-trip REAL blosc-lz4 frames without
+numcodecs. The compressor writes a stream raw when compression does not
+shrink it, mirroring c-blosc.
+
+Scope (asserted, not silently wrong): blosclz/zstd payloads and
+bit-shuffle raise ``NotImplementedError`` naming the missing piece.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SHUFFLE = 0x1
+_MEMCPY = 0x2
+_BITSHUFFLE = 0x4
+_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 5: "zstd"}
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block format
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one raw LZ4 block (token / literals / offset / match loop)."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # final literal run carries no match
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block: zero match offset")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(dst) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block: offset before start")
+        if offset >= mlen:
+            dst += dst[start : start + mlen]
+        else:  # overlapping match: byte-at-a-time semantics
+            for k in range(mlen):
+                dst.append(dst[start + k])
+    if len(dst) != dst_size:
+        raise ValueError(
+            f"corrupt LZ4 block: expected {dst_size} bytes, got {len(dst)}"
+        )
+    return bytes(dst)
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """Greedy single-pass LZ4 block encoder (hash-table 4-byte matches).
+
+    Always emits a VALID block; callers store raw when it does not shrink.
+    Honors the spec's end-of-block rules: the last 5 bytes are literals
+    and no match starts within the last 12 bytes.
+    """
+    n = len(src)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    i = anchor = 0
+
+    def emit(lit_start: int, lit_end: int, offset: int, mlen: int) -> None:
+        lit = lit_end - lit_start
+        ml = mlen - 4 if mlen else 0
+        token = (min(lit, 15) << 4) | (min(ml, 15) if mlen else 0)
+        out.append(token)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(src[lit_start:lit_end])
+        if mlen:
+            out.extend(struct.pack("<H", offset))
+            if ml >= 15:
+                rem = ml - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    while i + 13 <= n:  # a match may not start in the last 12 bytes
+        seq = src[i : i + 4]
+        j = table.get(seq)
+        table[seq] = i
+        if j is not None and i - j <= 0xFFFF and src[j : j + 4] == seq:
+            mlen = 4
+            limit = n - 5 - i  # last 5 bytes must stay literals
+            while (
+                mlen < limit
+                and src[j + mlen] == src[i + mlen]
+            ):
+                mlen += 1
+            emit(anchor, i, i - j, mlen)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit(anchor, n, 0, 0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# byte-shuffle (per block)
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_bytes(data: bytes, typesize: int) -> bytes:
+    n = len(data) // typesize * typesize
+    planes = (
+        np.frombuffer(data[:n], np.uint8)
+        .reshape(n // typesize, typesize)
+        .T.tobytes()
+    )
+    return planes + data[n:]
+
+
+def _unshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    n = len(data) // typesize * typesize
+    rows = (
+        np.frombuffer(data[:n], np.uint8)
+        .reshape(typesize, n // typesize)
+        .T.tobytes()
+    )
+    return rows + data[n:]
+
+
+# ---------------------------------------------------------------------------
+# blosc chunk
+# ---------------------------------------------------------------------------
+
+
+def _split(codec: int, typesize: int, blocksize: int) -> bool:
+    """c-blosc forward-compat split rule: byte-plane streams for
+    blosclz/lz4 when the planes stay usefully sized."""
+    return (
+        codec in (0, 1)
+        and typesize <= _MAX_SPLITS
+        and blocksize // typesize >= _MIN_BUFFERSIZE
+    )
+
+
+def decompress(frame: bytes) -> bytes:
+    """Decompress one blosc v1 chunk to its raw bytes."""
+    if len(frame) < 16:
+        raise ValueError("blosc chunk shorter than its 16-byte header")
+    flags, typesize = frame[2], frame[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", frame, 4)
+    if cbytes != len(frame):
+        raise ValueError(
+            f"corrupt blosc chunk: header cbytes {cbytes} != {len(frame)}"
+        )
+    if nbytes == 0:
+        return b""
+    if flags & _BITSHUFFLE:
+        raise NotImplementedError(
+            "blosc bit-shuffle filter is not supported (byte-shuffle and "
+            "unshuffled chunks are)"
+        )
+    if flags & _MEMCPY:
+        return bytes(frame[16 : 16 + nbytes])
+    codec = (flags >> 5) & 0x7
+    if codec not in (1, 3):
+        raise NotImplementedError(
+            f"blosc codec {_CODEC_NAMES.get(codec, codec)!r} is not "
+            "supported (lz4 and zlib payloads are)"
+        )
+    nblocks = -(-nbytes // blocksize)
+    bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
+    out = bytearray()
+    for j in range(nblocks):
+        leftover = nbytes % blocksize if j == nblocks - 1 else 0
+        bsize = leftover or blocksize
+        nstreams = (
+            typesize
+            if _split(codec, typesize, blocksize) and not leftover
+            else 1
+        )
+        stream_size = bsize // nstreams
+        pos = bstarts[j]
+        block = bytearray()
+        for _ in range(nstreams):
+            (csize,) = struct.unpack_from("<i", frame, pos)
+            pos += 4
+            if csize == 0:
+                block += bytes(stream_size)
+            elif csize == stream_size:
+                block += frame[pos : pos + csize]
+                pos += csize
+            else:
+                payload = frame[pos : pos + csize]
+                pos += csize
+                if codec == 1:
+                    block += lz4_block_decompress(payload, stream_size)
+                else:
+                    block += zlib.decompress(payload)
+        if flags & _SHUFFLE and typesize > 1:
+            block = bytearray(_unshuffle_bytes(bytes(block), typesize))
+        out += block
+    if len(out) != nbytes:
+        raise ValueError(
+            f"corrupt blosc chunk: decoded {len(out)} of {nbytes} bytes"
+        )
+    return bytes(out)
+
+
+def compress(
+    data: bytes,
+    typesize: int,
+    cname: str = "lz4",
+    shuffle: bool = True,
+    blocksize: int = 0,
+) -> bytes:
+    """Compress raw bytes into a blosc v1 chunk (writer/test-fixture side).
+
+    Produces frames any standards-compliant blosc implementation reads:
+    correct header, per-block byte-shuffle, forward-compat stream split,
+    raw-stream fallback when a stream does not shrink, and whole-chunk
+    memcpy fallback when compression does not pay at all.
+    """
+    codec = {"lz4": 1, "zlib": 3}.get(cname)
+    if codec is None:
+        raise NotImplementedError(f"blosc writer supports lz4/zlib, not {cname!r}")
+    nbytes = len(data)
+    typesize = max(1, typesize)
+    if nbytes % typesize:
+        raise ValueError("data length must be a multiple of typesize")
+    if not blocksize:
+        blocksize = min(nbytes, 1 << 16)
+    blocksize = max(typesize, blocksize // typesize * typesize)
+    blocksize = min(blocksize, nbytes) or typesize
+    flags = (codec << 5) | (_SHUFFLE if shuffle and typesize > 1 else 0)
+    nblocks = -(-nbytes // blocksize)
+    body = bytearray()
+    bstarts: list[int] = []
+    base = 16 + 4 * nblocks
+    for j in range(nblocks):
+        bstarts.append(base + len(body))
+        leftover = nbytes % blocksize if j == nblocks - 1 else 0
+        bsize = leftover or blocksize
+        block = data[j * blocksize : j * blocksize + bsize]
+        if flags & _SHUFFLE:
+            block = _shuffle_bytes(block, typesize)
+        nstreams = (
+            typesize
+            if _split(codec, typesize, blocksize) and not leftover
+            else 1
+        )
+        stream_size = bsize // nstreams
+        for s in range(nstreams):
+            stream = block[s * stream_size : (s + 1) * stream_size]
+            comp = (
+                lz4_block_compress(stream)
+                if codec == 1
+                else zlib.compress(stream, 5)
+            )
+            if len(comp) < stream_size:
+                body += struct.pack("<i", len(comp)) + comp
+            else:
+                body += struct.pack("<i", stream_size) + stream
+    frame = bytearray(16)
+    frame[0], frame[1], frame[3] = 2, 1, typesize & 0xFF
+    if len(body) + 4 * nblocks >= nbytes:
+        # compression does not pay: whole-chunk memcpy fallback
+        frame[2] = _MEMCPY
+        struct.pack_into("<iii", frame, 4, nbytes, blocksize, 16 + nbytes)
+        return bytes(frame) + data
+    frame[2] = flags
+    struct.pack_into(
+        "<iii", frame, 4, nbytes, blocksize, base + len(body)
+    )
+    return bytes(frame) + struct.pack(f"<{nblocks}i", *bstarts) + bytes(body)

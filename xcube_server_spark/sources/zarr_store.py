@@ -73,11 +73,11 @@ class ZarrArray:
             raise NotImplementedError("zarr filters are not supported")
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
-        if self._comp_id not in (None, "zlib"):
+        if self._comp_id not in (None, "zlib", "blosc"):
             raise NotImplementedError(
                 f"compressor {self._comp_id!r} needs numcodecs, which is "
-                "not installed; re-write the store with zlib or no "
-                "compression"
+                "not installed; zlib, blosc(lz4/zlib) and uncompressed "
+                "stores are readable"
             )
         self.shape = tuple(meta["shape"])
         self.chunk_shape = tuple(meta["chunks"])
@@ -120,6 +120,10 @@ class ZarrArray:
             raw = f.read()
         if self._comp_id == "zlib":
             raw = zlib.decompress(raw)
+        elif self._comp_id == "blosc":
+            from .blosc import decompress as _blosc_decompress
+
+            raw = _blosc_decompress(raw)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
 
     def __getitem__(self, key) -> np.ndarray:
@@ -241,17 +245,32 @@ def _write_array(
     dims: tuple[str, ...],
     attrs: dict | None = None,
     compress: bool = True,
+    compressor: str | None = None,
 ) -> None:
     os.makedirs(path, exist_ok=True)
     fill: object = None
     if arr.dtype.kind == "f":
         fill = "NaN"
+    comp = compressor if compressor is not None else (
+        "zlib" if compress else None
+    )
+    if comp == "blosc":
+        comp_meta: dict | None = {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": 1, "blocksize": 0,
+        }
+    elif comp == "zlib":
+        comp_meta = {"id": "zlib", "level": 5}
+    elif comp is None:
+        comp_meta = None
+    else:
+        raise NotImplementedError(f"writer compressor {comp!r}")
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
         "chunks": list(chunk_shape),
         "dtype": arr.dtype.str,
-        "compressor": {"id": "zlib", "level": 5} if compress else None,
+        "compressor": comp_meta,
         "fill_value": fill,
         "order": "C",
         "filters": None,
@@ -278,7 +297,11 @@ def _write_array(
             block = arr[sel]
             chunk[tuple(slice(0, b) for b in block.shape)] = block
             raw = chunk.tobytes(order="C")
-            if compress:
+            if comp == "blosc":
+                from .blosc import compress as _blosc_compress
+
+                raw = _blosc_compress(raw, arr.dtype.itemsize)
+            elif comp == "zlib":
                 raw = zlib.compress(raw, 5)
             name = ".".join(
                 str(o // c) for o, c in zip(origin, chunk_shape)
@@ -300,6 +323,7 @@ def write_zarr_group(
     variables: dict[str, np.ndarray],
     chunk_shape: tuple[int, int, int] = (1, 256, 256),
     compress: bool = True,
+    compressor: str | None = None,
 ) -> None:
     """Write a (time, lat, lon) cube as a zarr v2 group readable by both
     this module and any standards-compliant zarr implementation."""
@@ -323,14 +347,15 @@ def write_zarr_group(
         ("time",),
         {"units": "seconds since 1970-01-01 00:00:00", "calendar": "proleptic_gregorian"},
         compress,
+        compressor,
     )
     _write_array(
         os.path.join(path, "lat"), np.asarray(lat, "<f8"), (len(lat),),
-        ("lat",), None, compress,
+        ("lat",), None, compress, compressor,
     )
     _write_array(
         os.path.join(path, "lon"), np.asarray(lon, "<f8"), (len(lon),),
-        ("lon",), None, compress,
+        ("lon",), None, compress, compressor,
     )
     for name, arr in variables.items():
         ch = tuple(min(c, s) for c, s in zip(chunk_shape, arr.shape))
@@ -341,4 +366,5 @@ def write_zarr_group(
             ("time", "lat", "lon"),
             None,
             compress,
+            compressor,
         )
