@@ -1,0 +1,227 @@
+"""Unit tests for the pure-Python blosc v1 codec (``sources/blosc.py``).
+
+Covers what a decoder facing REAL files needs: round-trips across
+dtypes/sizes/codecs/shuffle, split-stream and leftover-block boundaries,
+the memcpy fallback, and — critically — malformed input (truncated
+payloads, lying headers, zero typesize/blocksize, offset-0 LZ4 matches)
+erroring loudly instead of corrupting data.
+
+A true c-blosc golden frame cannot be generated in this container
+(numcodecs is absent), so the cross-implementation pin is a frame
+HAND-CONSTRUCTED byte-by-byte from the published chunk-format spec
+(c-blosc README_CHUNK_FORMAT.rst) — independent of this module's own
+compressor, so decoder and encoder cannot share a bug and still pass.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.blosc import (
+    compress,
+    decompress,
+    lz4_block_compress,
+    lz4_block_decompress,
+)
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["<f8", "<f4", "<i4", "<i8", "<u1"])
+@pytest.mark.parametrize("cname", ["lz4", "zlib"])
+@pytest.mark.parametrize("shuffle", [True, False])
+def test_roundtrip_dtypes(dtype, cname, shuffle):
+    rng = np.random.default_rng(42)
+    arr = (rng.integers(0, 50, size=3001) / 7.0).astype(dtype)
+    raw = arr.tobytes()
+    frame = compress(raw, arr.dtype.itemsize, cname=cname, shuffle=shuffle)
+    assert decompress(frame) == raw
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 7, 8, 127, 128, 1024, 65536, 65537, 200_000]
+)
+def test_roundtrip_sizes(n):
+    """Sizes straddling the split threshold (blocksize/typesize >= 128),
+    the default 64 KiB blocksize (leftover blocks), and empty input."""
+    rng = np.random.default_rng(n)
+    raw = rng.integers(0, 10, size=n, dtype=np.uint8).tobytes()
+    for ts in (1, 4, 8):
+        if n % ts:
+            continue
+        frame = compress(raw, ts)
+        assert decompress(frame) == raw
+
+
+def test_roundtrip_multiblock_leftover():
+    """Explicit blocksize forcing several full blocks + a leftover block
+    (the leftover is never split — both sides must agree)."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 4, size=5000, dtype=np.int32)  # 20000 bytes
+    raw = arr.tobytes()
+    frame = compress(raw, 4, blocksize=8192)  # 2 full blocks + 3616 left
+    assert decompress(frame) == raw
+
+
+def test_memcpy_fallback_roundtrip():
+    """Incompressible bytes: the whole-chunk memcpy fallback fires and
+    still round-trips."""
+    rng = np.random.default_rng(9)
+    raw = rng.bytes(4096)
+    frame = compress(raw, 8)
+    assert frame[2] & 0x2  # memcpy flag
+    assert decompress(frame) == raw
+
+
+def test_all_zero_streams():
+    """Runs of zeros exercise the csize==0 'all-zeros stream' encoding on
+    decode (and must survive shuffle)."""
+    raw = bytes(65536 * 2)
+    frame = compress(raw, 8)
+    assert decompress(frame) == raw
+
+
+def test_typesize_over_255_falls_back():
+    """Header stores typesize in ONE byte: wide types fall back to
+    typesize=1 / no shuffle (c-blosc behavior) instead of writing a
+    wrapped header that silently decodes without unshuffling."""
+    arr = np.array(["a" * 100, "b" * 100, "c" * 100], dtype="<U100")
+    raw = arr.tobytes()  # itemsize 400
+    frame = compress(raw, arr.dtype.itemsize)
+    assert frame[3] == 1  # not 400 & 0xFF == 144
+    assert not (frame[2] & 0x1)  # shuffle off
+    assert decompress(frame) == raw
+
+
+# ---------------------------------------------------------------------------
+# hand-constructed frame (decoder pinned against the spec, not our encoder)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_handbuilt_zlib_frame():
+    """Frame assembled field-by-field from the chunk-format spec: zlib
+    codec (id 3 in flag bits 5-7), byte-shuffle, one block."""
+    vals = np.arange(32, dtype="<i4")  # 128 bytes, typesize 4
+    raw = vals.tobytes()
+    shuffled = (
+        np.frombuffer(raw, np.uint8).reshape(32, 4).T.tobytes()
+    )
+    payload = zlib.compress(shuffled, 5)
+    # blocksize 128 / typesize 4 = 32 < 128 -> no split, 1 stream
+    body = struct.pack("<i", len(payload)) + payload
+    header = struct.pack(
+        "<BBBBiii",
+        2, 1,               # version, versionlz
+        (3 << 5) | 0x1,     # codec=zlib, shuffle
+        4,                  # typesize
+        128, 128,           # nbytes, blocksize
+        16 + 4 + len(body), # cbytes
+    )
+    frame = header + struct.pack("<i", 16 + 4 + len(body) - len(body)) + body
+    assert decompress(frame) == raw
+
+
+def test_decode_handbuilt_lz4_split_frame():
+    """Split-stream frame built by hand: lz4, typesize 2, blocksize 512
+    (512/2=256 >= 128 so the block splits into 2 byte-plane streams),
+    each stream stored RAW (csize == stream_size is the stored marker)."""
+    vals = np.arange(256, dtype="<u2")  # 512 bytes
+    raw = vals.tobytes()
+    planes = np.frombuffer(raw, np.uint8).reshape(256, 2).T
+    s0, s1 = planes[0].tobytes(), planes[1].tobytes()
+    body = (
+        struct.pack("<i", 256) + s0 + struct.pack("<i", 256) + s1
+    )
+    bstart = 16 + 4
+    header = struct.pack(
+        "<BBBBiii", 2, 1, (1 << 5) | 0x1, 2, 512, 512, bstart + len(body)
+    )
+    frame = header + struct.pack("<i", bstart) + body
+    assert decompress(frame) == raw
+
+
+# ---------------------------------------------------------------------------
+# malformed input: error, never corrupt
+# ---------------------------------------------------------------------------
+
+
+def _good_frame() -> bytes:
+    arr = np.arange(1000, dtype="<f8")
+    return compress(arr.tobytes(), 8)
+
+
+def test_truncated_header_rejected():
+    with pytest.raises(ValueError, match="16-byte header"):
+        decompress(b"\x02\x01\x00\x08")
+
+
+def test_lying_cbytes_rejected():
+    frame = bytearray(_good_frame())
+    struct.pack_into("<i", frame, 12, len(frame) + 100)
+    with pytest.raises(ValueError, match="cbytes"):
+        decompress(bytes(frame))
+
+
+def test_truncated_payload_rejected():
+    """Frame cut mid-payload: cbytes then disagrees with the actual
+    length — must error, not return short/garbage data."""
+    frame = _good_frame()
+    with pytest.raises(ValueError):
+        decompress(frame[: len(frame) // 2])
+
+
+def test_zero_typesize_rejected():
+    frame = bytearray(_good_frame())
+    frame[3] = 0
+    with pytest.raises(ValueError, match="typesize"):
+        decompress(bytes(frame))
+
+
+def test_zero_blocksize_rejected():
+    frame = bytearray(_good_frame())
+    struct.pack_into("<i", frame, 8, 0)
+    with pytest.raises(ValueError, match="blocksize"):
+        decompress(bytes(frame))
+
+
+def test_nbytes_mismatch_rejected():
+    """Header nbytes larger than what the blocks decode to."""
+    frame = bytearray(_good_frame())
+    (nbytes,) = struct.unpack_from("<i", frame, 4)
+    struct.pack_into("<i", frame, 4, nbytes + 8)
+    with pytest.raises(ValueError):
+        decompress(bytes(frame))
+
+
+def test_lz4_zero_offset_match_rejected():
+    """token promises a match at offset 0 — spec-invalid, must raise."""
+    blk = bytes([0x14]) + b"X" + struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="zero match offset"):
+        lz4_block_decompress(blk, 9)
+
+
+def test_lz4_offset_before_start_rejected():
+    blk = bytes([0x14]) + b"X" + struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="before start"):
+        lz4_block_decompress(blk, 9)
+
+
+def test_lz4_wrong_decoded_size_rejected():
+    blk = lz4_block_compress(b"hello world, hello world, hello world")
+    with pytest.raises(ValueError, match="expected"):
+        lz4_block_decompress(blk, 999)
+
+
+def test_lz4_overlapping_match_semantics():
+    """offset < matchlen copies byte-at-a-time (RLE-style): the classic
+    implementation trap — pin it directly."""
+    src = b"ab" + b"ab" * 20
+    blk = lz4_block_compress(src)
+    assert lz4_block_decompress(blk, len(src)) == src

@@ -248,3 +248,23 @@ def test_semdedup_paneling_matches_on_test_data(spark, sf_dir):
     paneled = _semdedup_rows(spark, sf_dir, 32)
     single = _semdedup_rows(spark, sf_dir, 1 << 30)
     assert paneled == single
+
+
+def test_semdedup_replication_factor_observed(spark):
+    """The paneling's S-fold replication trade is measurable: with
+    per-label counts (400, 100) and PANEL=100, S is (4, 1), so the
+    row-weighted avg is (4*400 + 1*100)/500 = 3.4 and the max is 4."""
+    from xcube_server_spark.registry.pipeline_round5b import (
+        semdedup_replication_factor,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 400), ("b", 100)], "label string, n_label long"
+    )
+    stats = semdedup_replication_factor(counts, panel=100)
+    assert stats["avg_salts"] == pytest.approx(3.4)
+    assert stats["max_salts"] == 4.0
+    # empty corpus: coalesce keeps the observation well-defined
+    empty = counts.filter(F.col("n_label") < 0)
+    stats = semdedup_replication_factor(empty, panel=100)
+    assert stats == {"avg_salts": 1.0, "max_salts": 1.0}

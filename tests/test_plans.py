@@ -615,11 +615,24 @@ def test_substring_windows_fingerprints_only(spark, sf_dir):
     assert hash_ex and all("text" not in s for s in hash_ex), hash_ex[:1]
 
 
-def test_semdedup_single_cluster_exchange(spark, sf_dir):
-    """SemDeDup is one shuffle on the cluster key feeding one Arrow-batched
-    python stage (the per-cluster Gram products)."""
+def test_semdedup_paneled_plan_contract(spark, sf_dir):
+    """Paneled SemDeDup (bounded per-task memory): a BROADCAST of the
+    label-count aggregate feeds the salt assignment, the salted corpus
+    moves through ONE hash exchange into the Arrow-batched block stage,
+    and a fingerprint-width max-merge adds the rest — <= 3 exchanges
+    total, and the merge exchange never carries the embedding vectors."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
     df = QUERIES["semdedup_prune"](spark, sf_dir)
-    assert count_exchanges(df) == 1
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3
+    plan = formatted_plan(df)
+    # the final merge aggregate shuffles (vec_id,label,pm) only — the
+    # exchange feeding it must not mention the embedding column
+    ex_sections = [s for s in plan.split("\n\n") if s.startswith("(")
+                   and "Exchange" in s.split("\n")[0]]
+    merge_ex = [s for s in ex_sections if "hashpartitioning(vec_id" in s]
+    assert merge_ex and all("embedding" not in s for s in merge_ex)
 
 
 def test_regrid_mean_single_partial_agg_exchange(spark, sf_dir):

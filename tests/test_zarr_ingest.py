@@ -113,25 +113,64 @@ def test_distributed_ingest_executes(spark, store):
     assert abs(one["lat"]) <= 90.0
 
 
-def test_blosc_store_rejected_clearly(tmp_path):
-    """A store compressed with blosc (needs numcodecs, absent here) must
-    raise a clear gate error — never a silent wrong read."""
+def test_blosc_store_roundtrips_through_distributed_ingest(spark, tmp_path):
+    """Zarr's DEFAULT compressor is blosc(lz4, byte-shuffle); the
+    pure-Python codec in ``sources/blosc.py`` must make such a store fully
+    readable: write with compressor='blosc', ingest through the EXECUTOR
+    path (mapInPandas chunk reads), and match every cell."""
+    path = str(tmp_path / "blosc.zarr")
+    rng = np.random.default_rng(13)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[0, 0, 0] = math.nan
+    tsm = rng.uniform(0, 100, size=(len(TIMES), H, W))
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_zarr_group(
+        path, TIMES, lat, lon, {"conc_chl": chl, "conc_tsm": tsm},
+        chunk_shape=(1, 4, 8), compressor="blosc",
+    )
+    # the .zarray actually says blosc (not silently downgraded to zlib)
+    import json
+
+    meta = json.loads(open(path + "/conc_chl/.zarray").read())
+    assert meta["compressor"]["id"] == "blosc"
+    assert meta["compressor"]["cname"] == "lz4"
+    df, grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    assert (grid.width, grid.height) == (W, H)
+    assert grid.times == tuple(TIMES)
+    _check_cells(df, chl, tsm)
+
+
+def test_unsupported_codecs_rejected_clearly(tmp_path):
+    """Codecs the pure-Python path genuinely cannot decode (zstd, blosclz
+    payloads, bit-shuffle) must raise a clear gate error — never a silent
+    wrong read. blosc(lz4/zlib) itself is accepted (see round-trip above)."""
     import json
     import os
 
     import pytest as _pytest
 
+    from xcube_server_spark.sources.blosc import compress, decompress
     from xcube_server_spark.sources.zarr_store import ZarrArray
 
-    p = tmp_path / "blosc_arr"
+    p = tmp_path / "zstd_arr"
     p.mkdir()
     (p / ".zarray").write_text(json.dumps({
         "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
-        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5},
+        "compressor": {"id": "zstd", "level": 1},
         "fill_value": "NaN", "order": "C", "filters": None,
     }))
-    with _pytest.raises(NotImplementedError, match="numcodecs"):
+    with _pytest.raises(NotImplementedError):
         ZarrArray(str(p))
+    # blosc container carrying an unsupported inner codec / filter
+    frame = bytearray(compress(bytes(range(32)) * 8, 4))
+    zstd_flags = (5 << 5)  # codec id 5 = zstd
+    frame[2] = zstd_flags
+    with _pytest.raises(NotImplementedError, match="zstd"):
+        decompress(bytes(frame))
+    frame[2] = 0x4  # bit-shuffle filter bit
+    with _pytest.raises(NotImplementedError, match="bit-shuffle"):
+        decompress(bytes(frame))
 
 
 def test_zarr_cube_served_over_http(spark, store, tmp_path):

@@ -47,123 +47,93 @@ for _m in (
 
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
-# each round to maximize hard signal. Round 5 (rotation debt is zero — every
-# registered query has had >= 1 driver-green row across r1-r4, and all 128
-# queries now carry full oracles): (a) queries NEW this round (first-ever
-# driver rows — 18 of them), (b) queries whose oracle was UPGRADED this
-# round from rows-only to full value-hash (the r4 verdict's top ask),
-# (c) queries whose code changed this round (LSH degenerate-pair guard;
-# cache()->localCheckpoint in q11/q15/rfm/tfidf; char-shingle/segment
-# linearization in the dedup + contamination family), then (d) 20 rotation
-# slots drawn from the queries that were NOT in r4's window — maximizing
-# fresh signal while every family keeps a representative. The r4-window
-# bulk (just re-proven green) absorbs the overflow past position 50.
+# each round to maximize hard signal. Round 7 rotation (the r6 verdict's
+# ask #4 — r6 reused the r5 window, so rotation freshness had lapsed):
+# (a) queries NEW or code-CHANGED this round, first-ever / re-proving
+# driver rows (blosc-compressed zarr ingest through the pure-Python codec;
+# NetCDF4/HDF5 ingest through the pure-Python HDF5 reader; SemDeDup's
+# replication-factor observation hook; the upsert sink's per-run cleanup),
+# then (b) the 47 STALEST driver-green queries — every query whose last
+# driver row dates to r1 (40 of them) plus the oldest r3 rows — so the
+# stalest green after r7 is r3-vintage instead of r1. Everything past
+# position 50 is overflow: multiply-green in prior rounds AND re-proven
+# by the local DuckDB-oracle replica (tests/test_correctness.py) on every
+# pytest run.
 _PRIORITY = [
-    # (a) new this round
+    # (a) new or changed in round 7
+    "zarr_ingest_stats_blosc",
     "semdedup_prune",
-    "dedup_substring_windows",
-    "cube_regrid_nearest",
-    "cube_regrid_mean",
-    "cube_regrid_bilinear",
-    "embed_outlier_centroid",
-    "stream_dedupe_events_live",
-    "quality_gopher_rules",
-    "dedup_containment",
-    "dsir_importance",
-    "cube_threshold_area",
-    "zarr_ingest_stats",
-    "netcdf_ingest_stats",
     "merge_upsert_docs_live",
-    "quality_c4_rules",
-    "cross_source_overlap_kmv",
-    "stream_sessionize_live",
-    "stream_interval_join_live",
-    "cube_append_lod",
-    "perplexity_buckets",
-    "text_entropy",
-    "embed_pq_ann",
-    "decayed_engagement",
-    "cube_focal_mean",
-    "cube_time_interp",
-    "cube_cell_anomaly",
-    "winsorized_mean",
-    "ngram_novelty",
-    "embed_ivfpq_ann",
-    "cube_hovmoller",
-    "stream_hypertable_rollup_live",
-    "cube_var_correlation",
-    "mixture_schedule",
-    # (b) oracle upgraded rows-only -> hash-verified
-    "embed_ann_ivf",
-    "cube_tile_render",
-    # (c) code changed this round
-    "dedup_lsh_verify",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_components_minhash",
-    "contamination_screen",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "rfm_segments",
-    "tfidf_top_terms",
-    # (d) rotation: not in the r4 window (all green in r1-r3). With the 33
-    # first-time queries above, window position 50 lands on join_semi
-    # below; everything after is overflow (multiply-green, re-proven
-    # locally by tests/test_correctness.py every pytest run).
-    # -- TPC-H (4 structurally-distinct representatives; the family shares
-    #    one plan shape, so breadth goes to the other operator families)
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    # -- relational operators
-    "join_semi",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
-    "join_anti",
-    "join_asof",
-    "agg_rollup",
+    # (b) stalest driver-green rows: all 40 r1-vintage ...
     "agg_cube_grouping",
+    "agg_distinct",
     "agg_percentiles",
-    "window_rank",
-    "window_running",
-    "topk_global",
-    "pivot_status_by_year",
-    "set_ops_customers",
-    "stats_correlation",
-    "histogram_prices",
-    # -- cube analog operators
-    "ts_range_agg",
-    "ts_weekly_resample",
+    "agg_rollup",
+    "antimeridian",
+    "bbox_prune",
+    "clip_normalize",
     "cube_decimate",
     "cube_decimate_stride",
-    "bbox_prune",
-    "antimeridian",
-    "minmax_range",
-    "iso_time_format",
-    "clip_normalize",
-    "union_groups",
     "fanout_ranges",
+    "histogram_prices",
+    "interval_bounds",
+    "iso_time_format",
+    "join_anti",
+    "join_asof",
+    "json_props_stats",
+    "minmax_range",
+    "nearest_dim_select",
     "nearest_point_select",
-    # -- pipeline operators
-    "dedup_simhash",
-    "text_quality",
-    "text_langid",
-    "text_tokens",
-    "text_fingerprint",
-    "multimodal_bytes",
-    "pack_sequences",
-    "quality_filter_chain",
-    "sample_stratified",
-    "text_repetition",
-    "vocab_top_tokens",
-    "pii_scrub",
+    "pivot_status_by_year",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_or_predicates",
+    "q20_excess_suppliers",
+    "q21_sole_supplier",
+    "q4_order_priority",
     "q5_local_supplier",
     "q7_nation_trade",
+    "q8_market_share",
     "q9_product_profit",
-    "q13_order_distribution",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
+    "stats_correlation",
+    "topk_global",
+    "ts_range_agg",
+    "ts_weekly_resample",
+    "union_groups",
+    "window_rank",
+    "window_running",
+    # ... and the oldest r3-vintage rows up to window position 50
+    "cross_source_overlap",
+    "data_split_train_valid",
+    "dedup_simhash",
+    "doc_chunking",
+    "embed_label_centroids",
+    "multimodal_bytes",
+    "pack_sequences",  # <- window position 50 (r3-vintage)
+    # ---- overflow (past the 50-query window) ----
+    # remaining r3-vintage (next rotation's head)
+    "pii_scrub",
+    "quality_filter_chain",
+    "sample_mixture",
+    "sample_stratified",
+    "set_ops_customers",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "text_tokens",
+    "unigram_logprob",
+    "vocab_top_tokens",
+    # r6-green cube/format/streaming representatives
+    "zarr_ingest_stats",
+    "netcdf_ingest_stats",
+    "cube_tile_render",
+    "cube_append_lod",
+    "stream_dedupe_events_live",
+    "stream_sessionize_live",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -1086,3 +1086,88 @@ def netcdf_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["netcdf_ingest_stats"] = netcdf_ingest_stats
 ORACLES["netcdf_ingest_stats"] = ORACLE_ZARR_INGEST
+
+
+# ---------------------------------------------------------------------------
+# zarr_ingest_stats_blosc: blosc-lz4 compressed store through the gate
+# ---------------------------------------------------------------------------
+
+
+def _zarr_blosc_gate_store() -> str:
+    """Blosc twin of ``_zarr_gate_store`` with a DIFFERENT deterministic
+    formula — ``((t*37 + y*11 + x*17) % 89) / 8`` with NULL holes where
+    ``(y*W + x + 2*t) % 13 == 0`` — so a silent fallback to the zlib
+    store could never produce a matching hash. Chunks are written
+    blosc(lz4, byte-shuffle), zarr's DEFAULT compressor."""
+    import numpy as np
+
+    from ..sources.zarr_store import write_zarr_group
+
+    path = os.path.join(tempfile.gettempdir(), "xss_zarr_gate_blosc_v1")
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 37 + y * 11 + x * 17) % 89) / 8.0
+        chl[(y * _ZG_W + x + 2 * t) % 13 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_zarr_group(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+            compressor="blosc",
+        )
+    return path
+
+
+def zarr_ingest_stats_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zarr_ingest_stats`` over a store whose every chunk is a REAL
+    blosc v1 frame (lz4 payloads, byte-shuffle, split streams) decoded by
+    the pure-Python codec in ``sources/blosc.py`` on the EXECUTORS —
+    hash-verifying the codec (LZ4 block decode, per-block unshuffle,
+    stream reassembly) against a SQL formula oracle end-to-end. This is
+    the path real-world zarr takes: numcodecs' default compressor is
+    blosc(cname='lz4', shuffle=1). Reference parity:
+    ``xcube_server/context.py:247-250`` (zarr store open via xarray)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _zarr_blosc_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_ZARR_INGEST_BLOSC = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 2 * t.i) % 13 = 0 THEN NULL
+              ELSE ((t.i * 37 + y.i * 11 + x.i * 17) % 89) / 8.0 END
+           AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["zarr_ingest_stats_blosc"] = zarr_ingest_stats_blosc
+ORACLES["zarr_ingest_stats_blosc"] = ORACLE_ZARR_INGEST_BLOSC

@@ -49,6 +49,50 @@ _DIM = 64
 # ---------------------------------------------------------------------------
 
 
+def semdedup_replication_factor(
+    counts: DataFrame, panel: int
+) -> dict[str, float]:
+    """Observe the paneling's S-fold replication trade: each vector in a
+    label of n rows is replicated to S = ceil(n/panel) blocks, so the
+    row-weighted avg/max of S IS the extra linear cost paid for bounded
+    quadratic work. Logged (one line) when SPARK_GRAFT_SEMDEDUP_LOG_REPL
+    is set, so PANEL tuning at scale has a measured signal, and returned
+    for tests to pin. Runs one tiny job over the per-label count
+    aggregate — label-cardinality rows, never the corpus."""
+    import logging
+
+    row = counts.select(
+        F.coalesce(
+            (
+                F.sum(
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("n_label") / F.lit(panel))
+                    )
+                    * F.col("n_label")
+                )
+                / F.sum("n_label")
+            ),
+            F.lit(1.0),
+        ).alias("avg_salts"),
+        F.coalesce(
+            F.max(
+                F.greatest(F.lit(1), F.ceil(F.col("n_label") / F.lit(panel)))
+            ),
+            F.lit(1),
+        ).alias("max_salts"),
+    ).collect()[0]
+    stats = {
+        "avg_salts": float(row["avg_salts"]),
+        "max_salts": float(row["max_salts"]),
+    }
+    logging.getLogger(__name__).info(
+        "semdedup paneling: panel=%d avg_salts=%.3f max_salts=%d "
+        "(replication factor of the salted-triangle blocks)",
+        panel, stats["avg_salts"], int(stats["max_salts"]),
+    )
+    return stats
+
+
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector SemDeDup decision: ``max_prior_cos`` = max cosine to any
     lower-id vector in the same cluster (-1.0 when none), ``dropped`` = 1
@@ -80,6 +124,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PANEL", "4096"))
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    if os.environ.get("SPARK_GRAFT_SEMDEDUP_LOG_REPL"):
+        semdedup_replication_factor(counts, panel)
     salted = (
         emb.join(F.broadcast(counts), "label")
         .withColumn(

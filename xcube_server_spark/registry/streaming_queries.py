@@ -622,18 +622,27 @@ def merge_upsert_docs_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"ckpt_upsert_{uuid.uuid4().hex[:8]}"
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: sink(
-                df.withColumn("batch_seq", F.lit(bid).cast("long")), bid
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: sink(
+                    df.withColumn("batch_seq", F.lit(bid).cast("long")), bid
+                )
             )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    log = sink.read(spark)
+        q.awaitTermination()
+        # localCheckpoint cuts lineage back to the sink files so the
+        # per-run dirs can be removed NOW instead of leaking one
+        # sink+checkpoint pair into /tmp per gate/bench run
+        log = sink.read(spark).localCheckpoint(eager=True)
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(sink_path, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
     latest = (
         log.groupBy("doc_id")
         .agg(

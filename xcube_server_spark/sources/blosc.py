@@ -208,6 +208,14 @@ def decompress(frame: bytes) -> bytes:
         )
     if nbytes == 0:
         return b""
+    if typesize == 0:
+        # typesize feeds _split's and the stream loop's divisions — a zero
+        # here is a corrupt header, not a decodable frame
+        raise ValueError("corrupt blosc chunk: header typesize is 0")
+    if blocksize <= 0 or nbytes < 0:
+        raise ValueError(
+            f"corrupt blosc chunk: nbytes={nbytes} blocksize={blocksize}"
+        )
     if flags & _BITSHUFFLE:
         raise NotImplementedError(
             "blosc bit-shuffle filter is not supported (byte-shuffle and "
@@ -279,6 +287,10 @@ def compress(
         raise NotImplementedError(f"blosc writer supports lz4/zlib, not {cname!r}")
     nbytes = len(data)
     typesize = max(1, typesize)
+    if typesize > 255:
+        # the header stores typesize in ONE byte; c-blosc falls back to
+        # typesize=1 (shuffle is pointless at that width anyway)
+        typesize, shuffle = 1, False
     if nbytes % typesize:
         raise ValueError("data length must be a multiple of typesize")
     if not blocksize:

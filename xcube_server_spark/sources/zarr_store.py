@@ -15,8 +15,10 @@ minimal dataset surface the ingest path consumes
 - ``ds[name][t0:t1, y0:y1, x0:x1]`` window slicing (the executor-side read)
 
 Scope (asserted, not silently wrong): zarr v2, C order, no filters,
-compressor ``null`` or ``zlib``; blosc needs numcodecs and raises a clear
-error. Time coordinates decode CF-style integer ``units`` ("seconds/
+compressor ``null``, ``zlib`` or ``blosc`` with lz4/zlib payloads (the
+pure-Python codec in ``sources/blosc.py`` — zarr's default compressor);
+blosc-zstd/blosclz payloads and bit-shuffle raise a clear error.
+Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
 consumes directly.
 
