@@ -1,0 +1,336 @@
+"""End-to-end NetCDF4/HDF5 ingestion — no h5py/netCDF4 package involved.
+
+Writes a real NetCDF4-shaped HDF5 file with the pure-Python writer
+(superblock v0, symbol-table root group, chunked+shuffle+deflate
+variables, DIMENSION_LIST dimension scales through the global heap), then
+reads it back through both ingest paths. Plus hand-built superblock-v2 /
+OHDR structures so the reader's v2 paths are pinned independently of the
+writer, and malformed-input tests (a decoder facing real provider files
+must error, never corrupt).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.hdf5 import (
+    _fletcher32,
+    _fletcher32_simple,
+    is_hdf5,
+    open_hdf5,
+    write_hdf5,
+)
+from xcube_server_spark.sources.xarray_ingest import (
+    chunk_manifest,
+    ingest_xarray,
+    ingest_xarray_distributed,
+)
+
+TIMES = ["2017-01-16 10:09:22", "2017-01-25 09:35:51", "2017-01-26 10:50:17"]
+H, W = 10, 20
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("h5") / "demo.nc")
+    rng = np.random.default_rng(11)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[0, 0, 0] = math.nan
+    tsm = rng.uniform(0, 100, size=(len(TIMES), H, W))
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_hdf5(
+        path, TIMES, lat, lon, {"conc_chl": chl, "conc_tsm": tsm},
+        chunk_shape=(1, 4, 8),
+    )
+    return path, chl, tsm
+
+
+def test_pure_reader_roundtrip(store):
+    path, chl, _ = store
+    assert is_hdf5(path)
+    ds = open_hdf5(path)
+    assert sorted(ds.data_vars) == ["conc_chl", "conc_tsm"]
+    v = ds["conc_chl"]
+    assert v.dims == ("time", "lat", "lon")  # via DIMENSION_LIST refs
+    assert v.chunk_shape == (1, 4, 8)
+    got = v[0:3, 0:H, 0:W]
+    assert np.allclose(got, chl, equal_nan=True)
+    # window crossing chunk boundaries (incl. the 10%4 / 20%8 edge chunks)
+    win = v[1:3, 2:9, 5:19]
+    assert np.allclose(win, chl[1:3, 2:9, 5:19], equal_nan=True)
+    # integer index squeezes like numpy/xarray
+    assert v[1].shape == (H, W)
+    # CF time decode through the dimension-scale units attr
+    assert list(ds["time"].values) == TIMES
+    assert ds["lat"].values[0] == pytest.approx(52.375)
+
+
+def test_uncompressed_write_roundtrip(tmp_path):
+    path = str(tmp_path / "raw.nc")
+    rng = np.random.default_rng(5)
+    chl = rng.uniform(0, 1, size=(len(TIMES), H, W))
+    write_hdf5(
+        path, TIMES,
+        np.linspace(52, 50, H), np.linspace(0, 5, W),
+        {"conc_chl": chl}, chunk_shape=(1, 4, 8), compress=False,
+    )
+    ds = open_hdf5(path)
+    assert np.allclose(ds["conc_chl"][0:3, 0:H, 0:W], chl)
+
+
+def test_chunk_manifest_reports_store_layout(store):
+    path, _, _ = store
+    man = chunk_manifest(path, fmt="nc")
+    by_var = {m["var"]: m for m in man}
+    assert by_var["conc_chl"]["dims"] == ["time", "lat", "lon"]
+    assert by_var["conc_chl"]["chunks"][1] == [4, 4, 2]
+    assert by_var["conc_chl"]["chunks"][2] == [8, 8, 4]
+
+
+def _check_cells(df, chl, tsm):
+    rows = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): (
+            r["conc_chl"], r["conc_tsm"],
+        )
+        for r in df.collect()
+    }
+    assert len(rows) == len(TIMES) * H * W
+    for (t, y, x) in [(0, 0, 0), (1, 3, 9), (2, 9, 19), (0, 4, 8)]:
+        got_chl, got_tsm = rows[(t, y, x)]
+        want = chl[t, y, x]
+        if math.isnan(want):
+            assert got_chl is None or math.isnan(got_chl)
+        else:
+            assert got_chl == pytest.approx(want)
+        assert got_tsm == pytest.approx(tsm[t, y, x])
+
+
+def test_driver_side_ingest_executes(spark, store):
+    path, chl, tsm = store
+    df, grid = ingest_xarray(spark, path, fmt="nc")
+    assert (grid.width, grid.height) == (W, H)
+    assert grid.times == tuple(TIMES)
+    _check_cells(df, chl, tsm)
+
+
+def test_distributed_ingest_executes(spark, store):
+    """The 100 TB path: chunk-aligned manifest windows decoded on the
+    executors (B-tree walk + deflate + unshuffle inside mapInPandas)."""
+    path, chl, tsm = store
+    df, grid = ingest_xarray_distributed(spark, path, fmt="nc")
+    assert (grid.width, grid.height) == (W, H)
+    _check_cells(df, chl, tsm)
+
+
+# ---------------------------------------------------------------------------
+# hand-built v2 structures (reader pinned against the spec, not our writer)
+# ---------------------------------------------------------------------------
+
+
+def test_superblock_v2_and_link_messages(tmp_path):
+    """Superblock v2 + OHDR root group with compact Link messages + a
+    contiguous little dataset — the h5py libver='latest' shape, assembled
+    byte-by-byte from the File Format Specification."""
+    vals = np.arange(12, dtype="<f8").reshape(3, 4)
+    parts: list[bytes] = []
+    pos = [0]
+
+    def add(b: bytes) -> int:
+        a = pos[0]
+        parts.append(b)
+        pos[0] += len(b)
+        return a
+
+    add(b"\x00" * 48)  # superblock v2 placeholder
+    data_addr = add(vals.tobytes())
+    # dataset: v1 object header (mixing v1 headers under a v2 superblock
+    # is legal and common)
+    from xcube_server_spark.sources.hdf5 import (
+        _dataspace_v1,
+        _encode_datatype,
+        _msg,
+        _object_header_v1,
+        _M_DATASPACE,
+        _M_DATATYPE,
+        _M_LAYOUT,
+    )
+
+    ds_oh = add(_object_header_v1([
+        _msg(_M_DATASPACE, _dataspace_v1((3, 4))),
+        _msg(_M_DATATYPE, _encode_datatype(np.dtype("<f8"))),
+        _msg(_M_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, vals.nbytes)),
+    ]))
+    # root group: OHDR v2 with one hard Link message
+    name = b"grid"
+    link_body = struct.pack("<BBB", 1, 0, len(name)) + name
+    link_body += struct.pack("<Q", ds_oh)
+    msgs = struct.pack("<BHB", 0x06, len(link_body), 0) + link_body
+    chunk0 = len(msgs) + 4  # + checksum
+    ohdr = b"OHDR" + struct.pack("<BBB", 2, 0, chunk0) + msgs
+    ohdr += struct.pack("<I", 0)  # checksum (reader does not verify)
+    root = add(ohdr)
+    sb = b"\x89HDF\r\n\x1a\n" + struct.pack(
+        "<BBBBQQQQI", 2, 8, 8, 0, 0, 0xFFFFFFFFFFFFFFFF, pos[0], root, 0
+    )
+    parts[0] = sb + b"\x00" * (48 - len(sb)) if len(sb) < 48 else sb
+    path = str(tmp_path / "v2.h5")
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+    ds = open_hdf5(path)
+    assert np.array_equal(ds["grid"][0:3, 0:4], vals)
+
+
+def test_signature_search_at_512(tmp_path):
+    """The spec's superblock search: signature at byte 512 (user block)."""
+    src = str(tmp_path / "plain.nc")
+    write_hdf5(
+        src, TIMES, np.linspace(52, 50, H), np.linspace(0, 5, W),
+        {"conc_chl": np.zeros((len(TIMES), H, W))}, chunk_shape=(1, H, W),
+    )
+    shifted = str(tmp_path / "userblock.nc")
+    with open(src, "rb") as f:
+        body = f.read()
+    with open(shifted, "wb") as f:
+        f.write(b"\x00" * 512 + body)
+    # addresses inside the file are relative to the superblock base
+    ds = open_hdf5(shifted)
+    assert ds["conc_chl"].shape == (len(TIMES), H, W)
+    assert float(ds["conc_chl"][0, 0, 0]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# filters and malformed input
+# ---------------------------------------------------------------------------
+
+
+def test_fletcher32_vectorized_matches_reference():
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 3, 719, 720, 721, 10_000):
+        data = rng.bytes(n)
+        assert _fletcher32(data) == _fletcher32_simple(data), n
+
+
+def test_fletcher32_mismatch_rejected(store):
+    path, _, _ = store
+    v = open_hdf5(path)["conc_chl"]
+    v._filters = [(3, ())]
+    raw = bytes(256) + struct.pack("<I", 0xDEADBEEF)
+    with pytest.raises(ValueError, match="fletcher32"):
+        v._decode_chunk(raw, 0)
+
+
+def test_unknown_filter_rejected(store):
+    path, _, _ = store
+    v = open_hdf5(path)["conc_chl"]
+    v._filters = [(32000, ())]
+    with pytest.raises(NotImplementedError, match="filter id 32000"):
+        v._decode_chunk(bytes(256), 0)
+
+
+def test_filter_mask_skips_filter(store):
+    """A chunk's filter mask marks filters NOT applied to that chunk —
+    bit set means decode must skip it (libhdf5 writes such chunks when a
+    filter declines)."""
+    path, _, _ = store
+    v = open_hdf5(path)["conc_chl"]
+    want = np.arange(32, dtype="<f8")
+    v._filters = [(2, (8,)), (1, (5,))]  # shuffle then deflate
+    # mask skips BOTH -> raw passthrough
+    got = v._decode_chunk(want.tobytes(), 0b11)
+    assert np.array_equal(got.reshape(-1), want)
+
+
+def test_not_hdf5_rejected(tmp_path):
+    p = tmp_path / "junk.nc"
+    p.write_bytes(b"\x00" * 2048)
+    with pytest.raises(ValueError, match="superblock"):
+        open_hdf5(str(p))
+    assert not is_hdf5(str(p))
+
+
+def test_truncated_file_rejected(store, tmp_path):
+    path, _, _ = store
+    with open(path, "rb") as f:
+        head = f.read(200)
+    p = tmp_path / "trunc.nc"
+    p.write_bytes(head)
+    with pytest.raises(Exception):
+        open_hdf5(str(p))["conc_chl"][0:1, 0:1, 0:1]
+
+
+def test_missing_chunk_reads_fill(store):
+    """Chunks absent from the B-tree index (never written) read as the
+    fill value — NaN for floats, matching netCDF4 semantics."""
+    path, _, _ = store
+    v = open_hdf5(path)["conc_chl"]
+    v._cache["map"] = {}  # simulate a dataset with no chunks written
+    got = v[0:1, 0:4, 0:8]
+    assert np.isnan(got).all()
+
+
+def test_cf_packed_int16_roundtrip(tmp_path):
+    """CF mask-and-scale: int16-packed variable with scale_factor /
+    add_offset / _FillValue unpacks to float64 with NaN holes — the
+    xr.open_dataset(decode_cf=True) default the reference relies on."""
+    path = str(tmp_path / "packed.nc")
+    rng = np.random.default_rng(2)
+    packed = rng.integers(0, 100, size=(len(TIMES), H, W)).astype("<i2")
+    packed[0, 0, 0] = -32768
+    write_hdf5(
+        path, TIMES, np.linspace(52, 50, H), np.linspace(0, 5, W),
+        {"chl": (packed, {
+            "scale_factor": 0.03125, "add_offset": 2.5,
+            "_FillValue": np.int16(-32768),
+        })},
+        chunk_shape=(1, 4, 8),
+    )
+    v = open_hdf5(path)["chl"]
+    assert v.attrs["scale_factor"] == 0.03125
+    got = v[0 : len(TIMES), 0:H, 0:W]
+    assert got.dtype == np.float64
+    assert math.isnan(got[0, 0, 0])
+    want = packed.astype("f8") * 0.03125 + 2.5
+    mask = packed != -32768
+    assert np.allclose(got[mask.nonzero()], want[mask.nonzero()])
+
+
+def test_cf_decode_semantics():
+    from xcube_server_spark.sources.zarr_store import cf_decode
+
+    arr = np.array([0, 10, -5], dtype="i2")
+    # no CF attrs: value AND dtype pass through untouched
+    out = cf_decode(arr, {"units": "m"})
+    assert out.dtype == np.int16 and np.array_equal(out, arr)
+    # fill only: float64 with NaN at fill cells, others unscaled
+    out = cf_decode(arr, {"_FillValue": -5})
+    assert out.dtype == np.float64
+    assert np.isnan(out[2]) and out[1] == 10.0
+    # missing_value honored when _FillValue is absent
+    out = cf_decode(arr, {"missing_value": 10})
+    assert np.isnan(out[1]) and out[2] == -5.0
+    # scale + offset without fill
+    out = cf_decode(arr, {"scale_factor": 0.5, "add_offset": 1.0})
+    assert np.allclose(out, [1.0, 6.0, -1.5])
+
+
+def test_fill_value_message_versions(store):
+    """Fill-value message layouts differ per version — v1 has NO 'defined'
+    byte (size directly follows the time fields); v2 gates size on it; v3
+    gates on a flags bit. Pin all three against hand-packed bodies."""
+    v = open_hdf5(store[0])["conc_chl"]
+    val = np.float64(7.5).tobytes()
+    v._fill = struct.pack("<BBB", 1, 2, 0) + struct.pack("<I", 8) + val
+    assert v._fill_scalar() == 7.5
+    v._fill = struct.pack("<BBBB", 2, 2, 0, 1) + struct.pack("<I", 8) + val
+    assert v._fill_scalar() == 7.5
+    v._fill = struct.pack("<BBBB", 2, 2, 0, 0)  # v2, undefined -> default
+    assert np.isnan(v._fill_scalar())
+    v._fill = struct.pack("<BB", 3, 0x20) + struct.pack("<I", 8) + val
+    assert v._fill_scalar() == 7.5
+    v._fill = struct.pack("<BB", 3, 0)  # v3, no fill bit -> default
+    assert np.isnan(v._fill_scalar())

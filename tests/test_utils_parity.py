@@ -107,22 +107,28 @@ def test_legend_render():
 
 
 def test_xarray_ingest_gated():
-    """zarr and NetCDF3-classic now EXECUTE via the built-in pure-Python
-    readers (test_zarr_ingest.py / test_netcdf3.py); only NetCDF4/HDF5
-    containers remain gated — a clear error, not a silent wrong read."""
-    import struct
-
+    """zarr, NetCDF3-classic AND NetCDF4/HDF5 all EXECUTE via built-in
+    pure-Python readers (test_zarr_ingest.py / test_netcdf3.py /
+    test_hdf5_ingest.py). Broken stores still error clearly — never a
+    silent wrong read."""
     from xcube_server_spark.sources.xarray_ingest import ingest_xarray
 
     # a missing zarr store is a store error now, not an import gate
     with pytest.raises(FileNotFoundError):
         ingest_xarray(None, "/tmp/nope.zarr")
-    # an HDF5 (NetCDF4) container hits the documented gate
+    # an HDF5 signature with a mangled superblock routes to the HDF5
+    # reader (magic dispatch) and errors on the corrupt superblock
     h5 = "/tmp/xss_fake_h5.nc"
     with open(h5, "wb") as f:
         f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="classic"):
+    with pytest.raises((NotImplementedError, ValueError)):
         ingest_xarray(None, h5, fmt="nc")
+    # a non-HDF5 non-classic blob still hits the classic-format gate
+    junk = "/tmp/xss_fake_junk.nc"
+    with open(junk, "wb") as f:
+        f.write(b"JUNKJUNK" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="classic"):
+        ingest_xarray(None, junk, fmt="nc")
 
 
 def test_config_hot_reload(spark, tmp_path):

@@ -1171,3 +1171,243 @@ GROUP BY 1
 
 QUERIES["zarr_ingest_stats_blosc"] = zarr_ingest_stats_blosc
 ORACLES["zarr_ingest_stats_blosc"] = ORACLE_ZARR_INGEST_BLOSC
+
+
+# ---------------------------------------------------------------------------
+# netcdf4_ingest_stats: NetCDF4/HDF5 container through the gate
+# ---------------------------------------------------------------------------
+
+
+def _netcdf4_gate_store() -> str:
+    """HDF5 twin with ANOTHER distinct formula —
+    ``((t*41 + y*13 + x*19) % 83) / 16`` with NULL holes where
+    ``(y*W + x + 3*t) % 7 == 0`` — written as a NetCDF4-shaped HDF5 file
+    (superblock v0, symbol-table root group, chunked+shuffle+deflate
+    variables, DIMENSION_LIST dimension scales) by the repo's own
+    minimal writer."""
+    import numpy as np
+
+    from ..sources.hdf5 import write_hdf5
+
+    path = os.path.join(tempfile.gettempdir(), "xss_nc4_gate_v1.nc")
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 41 + y * 13 + x * 19) % 83) / 16.0
+        chl[(y * _ZG_W + x + 3 * t) % 7 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_hdf5(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+        )
+    return path
+
+
+def netcdf4_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same statistics over a REAL NetCDF4 (HDF5 container) file read by
+    the pure-Python HDF5 reader (``sources/hdf5.py``) on the executors —
+    hash-verifying the full chain against a SQL formula oracle: superblock
+    and symbol-table walk, chunk B-tree index, deflate+shuffle filter
+    pipeline, DIMENSION_LIST dimension-scale resolution through the
+    global heap, fill-value holes, window assembly, NaN→NULL. This is the
+    reference's ``Format: nc`` path for the files providers actually ship
+    (``xcube_server/context.py:243-246`` via ``xr.open_dataset``)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _netcdf4_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="nc")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_NETCDF4_INGEST = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 3 * t.i) % 7 = 0 THEN NULL
+              ELSE ((t.i * 41 + y.i * 13 + x.i * 19) % 83) / 16.0 END
+           AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["netcdf4_ingest_stats"] = netcdf4_ingest_stats
+ORACLES["netcdf4_ingest_stats"] = ORACLE_NETCDF4_INGEST
+
+
+# ---------------------------------------------------------------------------
+# netcdf4_packed_ingest_stats: CF int16 mask-and-scale through the gate
+# ---------------------------------------------------------------------------
+
+
+def _netcdf4_packed_gate_store() -> str:
+    """CF-PACKED twin: the variable is stored as int16
+    ``packed = (t*43 + y*17 + x*23) % 101`` (fill −32768 where
+    ``(y*W + x + 5*t) % 9 == 0``) with ``scale_factor=1/32`` and
+    ``add_offset=2.5`` — both exactly representable, so the unpacked
+    ``packed/32 + 2.5`` doubles are bit-identical on Spark and DuckDB.
+    Real providers ship exactly this shape; a reader that ignored
+    mask-and-scale would return raw integers and hash-mismatch."""
+    import numpy as np
+
+    from ..sources.hdf5 import write_hdf5
+
+    path = os.path.join(tempfile.gettempdir(), "xss_nc4_packed_gate_v1.nc")
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        packed = ((t * 43 + y * 17 + x * 23) % 101).astype("<i2")
+        packed[(y * _ZG_W + x + 5 * t) % 9 == 0] = -32768
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_hdf5(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon,
+            {"conc_chl": (packed, {
+                "scale_factor": 1.0 / 32.0, "add_offset": 2.5,
+                "_FillValue": np.int16(-32768),
+            })},
+            chunk_shape=(1, 4, 8),
+        )
+    return path
+
+
+def netcdf4_packed_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``netcdf4_ingest_stats`` over a CF-PACKED int16 variable: the
+    executors decode chunks AND apply mask-and-scale
+    (``zarr_store.cf_decode`` — ``_FillValue``→NaN→NULL, ×scale_factor,
+    +add_offset), hash-verified against a SQL oracle that regenerates the
+    unpacked doubles. Reference parity: ``xr.open_dataset`` applies CF
+    decoding by default on the reference's open path
+    (``xcube_server/context.py:243-246``)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _netcdf4_packed_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="nc")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_NETCDF4_PACKED = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 5 * t.i) % 9 = 0 THEN NULL
+              ELSE ((t.i * 43 + y.i * 17 + x.i * 23) % 101) / 32.0 + 2.5
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["netcdf4_packed_ingest_stats"] = netcdf4_packed_ingest_stats
+ORACLES["netcdf4_packed_ingest_stats"] = ORACLE_NETCDF4_PACKED
+
+
+# ---------------------------------------------------------------------------
+# zarr_ingest_stats_http: object-store protocol (HTTP GETs) through the gate
+# ---------------------------------------------------------------------------
+
+_HTTP_STORE_SERVER: dict[str, str] = {}
+
+
+def _http_gate_store_url() -> str:
+    """Serve the blosc gate store over loopback HTTP (one daemon server
+    per process) — the sandbox analog of the reference's S3 path: object
+    store reads ARE HTTP GETs (``s3fs.S3Map``,
+    ``xcube_server/context.py:225-229``), so every executor fetching its
+    chunks by URL exercises the real remote-store discipline (consolidated
+    metadata, per-chunk GETs, 404→fill, LRU chunk cache)."""
+    import functools
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    path = _zarr_blosc_gate_store()
+    from ..sources.zarr_store import consolidate_metadata
+
+    if not os.path.exists(os.path.join(path, ".zmetadata")):
+        consolidate_metadata(path)
+    if path not in _HTTP_STORE_SERVER:
+        class _Quiet(SimpleHTTPRequestHandler):
+            def log_message(self, *a):  # gate output stays parseable
+                pass
+
+        handler = functools.partial(_Quiet, directory=path)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _HTTP_STORE_SERVER[path] = (
+            f"http://127.0.0.1:{srv.server_address[1]}"
+        )
+    return _HTTP_STORE_SERVER[path]
+
+
+def zarr_ingest_stats_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zarr_ingest_stats_blosc`` read over the OBJECT-STORE protocol:
+    the store is served over HTTP and every executor task fetches exactly
+    its window's chunks by URL (consolidated ``.zmetadata`` for layout —
+    no listing — then per-chunk GETs through the byte-bounded LRU cache).
+    Same oracle as the blosc gate, so a hash match proves the remote read
+    path end-to-end. Reference: ``xcube_server/context.py:217-235``
+    (obs/S3 datasets), ``mldataset.py:201-269``."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    url = _http_gate_store_url()
+    df, _grid = ingest_xarray_distributed(spark, url, fmt="zarr")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+QUERIES["zarr_ingest_stats_http"] = zarr_ingest_stats_http
+ORACLES["zarr_ingest_stats_http"] = ORACLE_ZARR_INGEST_BLOSC

@@ -1,0 +1,1136 @@
+"""Pure-Python HDF5 / NetCDF4 reader + writer (no h5py/netCDF4 dependency).
+
+Closes the reference's ``Format: nc`` path for the files providers
+actually ship: the reference opens NetCDF4 — an HDF5 container — through
+``xr.open_dataset`` (``xcube_server/context.py:243-246``); this module
+implements enough of the published HDF5 File Format Specification to read
+those datasets with only the standard library + numpy, the same way
+``zarr_store.py``/``blosc.py`` made S2 executable.
+
+Reader scope (asserted, not silently wrong — everything outside raises a
+clear ``NotImplementedError``/``ValueError``):
+
+- superblock v0/v1 (the libhdf5/h5py/netCDF4 default) and v2/v3, at
+  offset 0 or any power-of-two byte offset per the spec's search rule
+- v1 object headers (with continuation blocks) and v2 ``OHDR`` headers
+- groups as v1 symbol tables (B-tree v1 + local heap + SNOD — the
+  netCDF4 default) and as compact Link messages (h5py libver='latest');
+  dense (fractal-heap) links raise
+- dataspace v1/v2; datatypes: fixed-point and IEEE float (either byte
+  order), fixed strings, object references, vlen sequences (for
+  ``DIMENSION_LIST``); compound/enum/array raise
+- data layout v3: compact, contiguous, chunked (B-tree v1 chunk index,
+  any nesting level); layout v4 raises
+- filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
+  verified); other filters raise by name
+- attributes v1/v2/v3 including vlen-of-object-reference — the netCDF4
+  dimension-scale convention (``DIMENSION_LIST`` through the global
+  heap) is how variable dimensions are resolved, exactly as netCDF4/
+  xarray do it
+
+The writer emits a REAL NetCDF4-shaped HDF5 file — superblock v0,
+v1 object headers, symbol-table root group, contiguous coordinate
+datasets carrying ``CLASS=DIMENSION_SCALE``/``NAME``, and chunked +
+shuffle + deflate data variables carrying ``DIMENSION_LIST`` vlen object
+references through a global heap — so the reader's REAL-file code paths
+(symbol tables, chunk B-trees, filter pipelines, global-heap vlens) are
+exercised end-to-end by the correctness gate without h5py in the
+container.
+
+Dataset surface matches ``netcdf3.NetCDF3Dataset`` /
+``zarr_store.ZarrGroup`` (what ``sources/xarray_ingest`` consumes):
+``ds["lat"].values``, ``ds.data_vars``, window ``__getitem__``, per-dim
+``chunks``, CF time decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .zarr_store import _decode_times, cf_decode as _cf_decode
+
+_SIGNATURE = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message types
+_M_DATASPACE = 0x0001
+_M_LINK_INFO = 0x0002
+_M_DATATYPE = 0x0003
+_M_FILL_OLD = 0x0004
+_M_FILL = 0x0005
+_M_LINK = 0x0006
+_M_LAYOUT = 0x0008
+_M_GROUP_INFO = 0x000A
+_M_FILTERS = 0x000B
+_M_ATTRIBUTE = 0x000C
+_M_CONTINUATION = 0x0010
+_M_SYMBOL_TABLE = 0x0011
+_M_ATTR_INFO = 0x0015
+
+
+def _fletcher32(data: bytes) -> int:
+    """libhdf5's fletcher32: BIG-endian 16-bit word assembly, sums mod
+    65535 (odd trailing byte contributes ``byte << 8``). Vectorized with
+    per-block folds: after a block of k words with running prefix sums
+    P_i, s2 grows by k*s1 + sum(P_i) and s1 by P_k."""
+    if len(data) % 2:
+        data = data + b"\x00"
+    words = np.frombuffer(data, ">u2").astype(np.uint64)
+    s1 = s2 = 0
+    # 360 words per fold keeps the uint64 prefix sums far from overflow
+    for i in range(0, len(words), 360):
+        blk = words[i : i + 360]
+        prefix = np.cumsum(blk)
+        s2 = (s2 + len(blk) * s1 + int(prefix.sum())) % 65535
+        s1 = (s1 + int(prefix[-1])) % 65535
+    return (s2 << 16) | s1
+
+
+def _fletcher32_simple(data: bytes) -> int:
+    """Word-at-a-time reference implementation (tests pin the vectorized
+    fold against it)."""
+    if len(data) % 2:
+        data = data + b"\x00"
+    words = np.frombuffer(data, ">u2")
+    s1 = s2 = 0
+    for w in words.tolist():
+        s1 = (s1 + w) % 65535
+        s2 = (s2 + s1) % 65535
+    return (s2 << 16) | s1
+
+
+# ---------------------------------------------------------------------------
+# datatype encode/decode
+# ---------------------------------------------------------------------------
+
+
+class _DType:
+    """Decoded HDF5 datatype: a numpy dtype plus the class info needed for
+    references/vlens (which have no numpy equivalent)."""
+
+    def __init__(self, cls: int, size: int, np_dtype=None, base=None,
+                 is_vlen_string: bool = False):
+        self.cls = cls
+        self.size = size
+        self.np = np_dtype
+        self.base = base  # for vlen
+        self.is_vlen_string = is_vlen_string
+
+
+def _parse_datatype(buf: bytes, pos: int) -> tuple[_DType, int]:
+    cls_ver = buf[pos]
+    cls, ver = cls_ver & 0xF, cls_ver >> 4
+    if ver not in (1, 2, 3):
+        raise NotImplementedError(f"HDF5 datatype version {ver}")
+    bits = buf[pos + 1] | (buf[pos + 2] << 8) | (buf[pos + 3] << 16)
+    (size,) = struct.unpack_from("<I", buf, pos + 4)
+    p = pos + 8
+    order = ">" if bits & 1 else "<"
+    if cls == 0:  # fixed-point
+        signed = bool(bits & 0x8)
+        if size not in (1, 2, 4, 8):
+            raise NotImplementedError(f"fixed-point size {size}")
+        kind = "i" if signed else "u"
+        return _DType(cls, size, np.dtype(f"{order}{kind}{size}")), p + 4
+    if cls == 1:  # float
+        if size not in (2, 4, 8):
+            raise NotImplementedError(f"float size {size}")
+        return _DType(cls, size, np.dtype(f"{order}f{size}")), p + 12
+    if cls == 3:  # fixed string
+        return _DType(cls, size, np.dtype(f"S{size}")), p
+    if cls == 6:  # compound
+        raise NotImplementedError(
+            "HDF5 compound datatypes are not supported (scalar grids only)"
+        )
+    if cls == 7:  # reference
+        if bits & 0xF != 0:
+            raise NotImplementedError("only object references are supported")
+        return _DType(cls, size), p
+    if cls == 9:  # variable-length
+        vtype = bits & 0xF
+        base, _ = _parse_datatype(buf, p)
+        return _DType(cls, size, base=base, is_vlen_string=(vtype == 1)), p
+    raise NotImplementedError(f"HDF5 datatype class {cls} is not supported")
+
+
+def _encode_datatype(np_dtype: np.dtype) -> bytes:
+    dt = np.dtype(np_dtype)
+    if dt.kind == "f":
+        if dt.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        elif dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            raise NotImplementedError(f"writer float size {dt.itemsize}")
+        # bits: LE, mantissa normalization = 2 (implied msb), sign location
+        bits = 0x20 | ((dt.itemsize * 8 - 1) << 8)
+        head = struct.pack(
+            "<BBBBI", 0x11, bits & 0xFF, (bits >> 8) & 0xFF,
+            (bits >> 16) & 0xFF, dt.itemsize,
+        )
+        return head + props
+    if dt.kind in "iu":
+        bits = 0x8 if dt.kind == "i" else 0
+        head = struct.pack("<BBBBI", 0x10, bits, 0, 0, dt.itemsize)
+        return head + struct.pack("<HH", 0, dt.itemsize * 8)
+    if dt.kind == "S":
+        return struct.pack("<BBBBI", 0x13, 0, 0, 0, dt.itemsize)
+    raise NotImplementedError(f"writer dtype {dt}")
+
+
+_DT_OBJREF = struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)
+_DT_VLEN_OBJREF = struct.pack("<BBBBI", 0x19, 0, 0, 0, 16) + _DT_OBJREF
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+class _File:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        off = 0
+        while True:
+            if buf[off : off + 8] == _SIGNATURE:
+                break
+            off = 512 if off == 0 else off * 2
+            if off + 8 > len(buf):
+                raise ValueError("not an HDF5 file (no superblock signature)")
+        self.base = off
+        p = off + 8
+        ver = buf[p]
+        if ver in (0, 1):
+            self.size_offsets = buf[p + 5]
+            self.size_lengths = buf[p + 6]
+            skip = 16 if ver == 0 else 16 + 4  # v1 adds indexed-storage K
+            entry = p + skip + 4 * self.size_offsets
+            # root symbol table entry: link name offset, OH address
+            self.root_addr = self._read_offset_at(entry + self.size_offsets)
+        elif ver in (2, 3):
+            self.size_offsets = buf[p + 1]
+            self.size_lengths = buf[p + 2]
+            self.root_addr = self._read_offset_at(p + 4 + 3 * self.size_offsets)
+        else:
+            raise NotImplementedError(f"HDF5 superblock version {ver}")
+        if self.size_offsets != 8 or self.size_lengths != 8:
+            raise NotImplementedError(
+                f"offset/length sizes {self.size_offsets}/{self.size_lengths}"
+                " (only 8/8 supported)"
+            )
+
+    def _read_offset_at(self, pos: int) -> int:
+        return int.from_bytes(
+            self.buf[pos : pos + self.size_offsets], "little"
+        )
+
+    # -- object headers -----------------------------------------------------
+
+    def messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (type, body) messages of the object header at ``addr``
+        (v1 and v2, following continuation blocks)."""
+        buf = self.buf
+        addr += self.base
+        if buf[addr : addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
+        if buf[addr] != 1:
+            raise NotImplementedError(
+                f"object header version {buf[addr]} at {addr}"
+            )
+        nmsg = struct.unpack_from("<H", buf, addr + 2)[0]
+        out: list[tuple[int, bytes]] = []
+        blocks = [(addr + 16, struct.unpack_from("<I", buf, addr + 8)[0])]
+        while blocks and len(out) < nmsg:
+            pos, remaining = blocks.pop(0)
+            while remaining >= 8 and len(out) < nmsg:
+                mtype, msize, _flags = struct.unpack_from("<HHB", buf, pos)
+                body = buf[pos + 8 : pos + 8 + msize]
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == _M_CONTINUATION:
+                    o, ln = struct.unpack_from("<QQ", body)
+                    blocks.append((self.base + o, ln))
+                else:
+                    out.append((mtype, body))
+        return out
+
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        buf = self.buf
+        flags = buf[addr + 5]
+        p = addr + 6
+        if flags & 0x20:
+            p += 8  # times
+        if flags & 0x10:
+            p += 4  # compact/dense bounds
+        size_bytes = 1 << (flags & 0x3)
+        chunk0 = int.from_bytes(buf[p : p + size_bytes], "little")
+        p += size_bytes
+        track_order = bool(flags & 0x4)
+        out: list[tuple[int, bytes]] = []
+        blocks = [(p, chunk0)]
+        while blocks:
+            pos, length = blocks.pop(0)
+            end = pos + length - 4  # gap+checksum trail
+            while pos + 4 <= end:
+                mtype = buf[pos]
+                msize = struct.unpack_from("<H", buf, pos + 1)[0]
+                pos += 4
+                if track_order:
+                    pos += 2
+                body = buf[pos : pos + msize]
+                pos += msize
+                if mtype == _M_CONTINUATION:
+                    o, ln = struct.unpack_from("<QQ", body)
+                    # OCHK block: signature then messages then checksum
+                    blocks.append((self.base + o + 4, ln - 8))
+                elif mtype != 0:
+                    out.append((mtype, body))
+        return out
+
+    # -- groups -------------------------------------------------------------
+
+    def group_links(self, addr: int) -> dict[str, int]:
+        """name -> object header address for the group at ``addr``."""
+        links: dict[str, int] = {}
+        for mtype, body in self.messages(addr):
+            if mtype == _M_SYMBOL_TABLE:
+                btree, heap = struct.unpack_from("<QQ", body)
+                self._walk_group_btree(btree, heap, links)
+            elif mtype == _M_LINK:
+                name, target = self._parse_link(body)
+                links[name] = target
+            elif mtype == _M_LINK_INFO:
+                flags = body[1]
+                p = 2 + (8 if flags & 1 else 0)
+                fheap = struct.unpack_from("<Q", body, p)[0]
+                if fheap != _UNDEF:
+                    raise NotImplementedError(
+                        "dense (fractal-heap) group links are not supported"
+                    )
+        return links
+
+    def _parse_link(self, body: bytes) -> tuple[str, int]:
+        flags = body[1]
+        p = 2
+        ltype = 0
+        if flags & 0x8:
+            ltype = body[p]
+            p += 1
+        if flags & 0x4:
+            p += 8  # creation order
+        if flags & 0x10:
+            p += 1  # charset
+        nlen_size = 1 << (flags & 0x3)
+        nlen = int.from_bytes(body[p : p + nlen_size], "little")
+        p += nlen_size
+        name = body[p : p + nlen].decode()
+        p += nlen
+        if ltype != 0:
+            raise NotImplementedError(f"link type {ltype} (hard links only)")
+        (target,) = struct.unpack_from("<Q", body, p)
+        return name, target
+
+    def _walk_group_btree(self, btree: int, heap: int, links: dict) -> None:
+        buf = self.buf
+        hp = self.base + heap
+        if buf[hp : hp + 4] != b"HEAP":
+            raise ValueError("corrupt HDF5 group: bad local heap signature")
+        heap_data = struct.unpack_from("<Q", buf, hp + 24)[0]
+
+        def heap_name(off: int) -> str:
+            s = self.base + heap_data + off
+            e = buf.find(b"\x00", s)
+            if e < 0:
+                raise ValueError("corrupt HDF5 local heap: unterminated name")
+            return bytes(buf[s:e]).decode()
+
+        def walk(node_addr: int) -> None:
+            p = self.base + node_addr
+            if buf[p : p + 4] != b"TREE":
+                raise ValueError("corrupt HDF5 group: bad B-tree signature")
+            level, used = buf[p + 5], struct.unpack_from("<H", buf, p + 6)[0]
+            q = p + 24  # past signature/type/level/used/left/right
+            children = []
+            q += 8  # key 0
+            for _ in range(used):
+                children.append(struct.unpack_from("<Q", buf, q)[0])
+                q += 16  # child + next key
+            for child in children:
+                if level > 0:
+                    walk(child)
+                else:
+                    s = self.base + child
+                    if buf[s : s + 4] != b"SNOD":
+                        raise ValueError("corrupt HDF5 group: bad SNOD")
+                    nsym = struct.unpack_from("<H", buf, s + 6)[0]
+                    e = s + 8
+                    for _ in range(nsym):
+                        noff, oaddr = struct.unpack_from("<QQ", buf, e)
+                        links[heap_name(noff)] = oaddr
+                        e += 40
+
+        walk(btree)
+
+    # -- attributes / global heap -------------------------------------------
+
+    def _parse_attr(self, body: bytes) -> tuple[str, object]:
+        ver = body[0]
+        nsize, dtsize, dssize = struct.unpack_from("<HHH", body, 2)
+        if ver == 1:
+            p = 8
+            name = body[p : p + nsize].split(b"\x00")[0].decode()
+            p += (nsize + 7) // 8 * 8
+            dt, _ = _parse_datatype(body, p)
+            p += (dtsize + 7) // 8 * 8
+            ds = body[p : p + dssize]
+            p += (dssize + 7) // 8 * 8
+        elif ver in (2, 3):
+            if ver == 2 and body[1] & 0x3:
+                raise NotImplementedError("shared attribute datatypes")
+            p = 8 + (1 if ver == 3 else 0)
+            name = body[p : p + nsize].split(b"\x00")[0].decode()
+            p += nsize
+            dt, _ = _parse_datatype(body, p)
+            p += dtsize
+            ds = body[p : p + dssize]
+            p += dssize
+        else:
+            raise NotImplementedError(f"attribute message version {ver}")
+        shape = _parse_dataspace(ds)
+        n = int(np.prod(shape)) if shape else 1
+        return name, self._attr_value(dt, body[p:], n)
+
+    def _attr_value(self, dt: _DType, data: bytes, n: int):
+        if dt.cls in (0, 1):
+            vals = np.frombuffer(data, dt.np, count=n)
+            return vals if n > 1 else vals[0].item()
+        if dt.cls == 3:
+            s = data[: dt.size].split(b"\x00")[0].decode()
+            return s
+        if dt.cls == 9 and dt.is_vlen_string:
+            out = []
+            for i in range(n):
+                ln, addr, idx = struct.unpack_from("<IQI", data, i * 16)
+                raw = self._gheap_object(addr, idx)
+                out.append(raw[:ln].decode())
+            return out if n > 1 else out[0]
+        if dt.cls == 9 and dt.base is not None and dt.base.cls == 7:
+            refs: list[list[int]] = []
+            for i in range(n):
+                ln, addr, idx = struct.unpack_from("<IQI", data, i * 16)
+                raw = self._gheap_object(addr, idx)
+                refs.append(list(np.frombuffer(raw, "<u8", count=ln)))
+            return refs
+        raise NotImplementedError(
+            f"attribute datatype class {dt.cls} is not supported"
+        )
+
+    def _gheap_object(self, collection_addr: int, index: int) -> bytes:
+        buf = self.buf
+        p = self.base + collection_addr
+        if buf[p : p + 4] != b"GCOL":
+            raise ValueError("corrupt HDF5 global heap: bad signature")
+        (csize,) = struct.unpack_from("<Q", buf, p + 8)
+        end = p + csize
+        q = p + 16
+        while q + 16 <= end:
+            idx, _refc = struct.unpack_from("<HH", buf, q)
+            (osize,) = struct.unpack_from("<Q", buf, q + 8)
+            if idx == 0:
+                break
+            if idx == index:
+                return buf[q + 16 : q + 16 + osize]
+            q += 16 + (osize + 7) // 8 * 8
+        raise ValueError(f"global heap object {index} not found")
+
+
+def _parse_dataspace(body: bytes) -> tuple[int, ...]:
+    ver, rank, flags = body[0], body[1], body[2]
+    if ver == 1:
+        p = 8
+    elif ver == 2:
+        p = 4
+    else:
+        raise NotImplementedError(f"dataspace version {ver}")
+    dims = struct.unpack_from(f"<{rank}Q", body, p)
+    return tuple(int(d) for d in dims)
+
+
+class HDF5Variable:
+    """One HDF5 dataset: metadata parsed once, chunks decoded lazily."""
+
+    def __init__(self, file: _File, name: str, addr: int):
+        self._f = file
+        self.name = name
+        self.addr = addr
+        self.attrs: dict = {}
+        self._dim_refs: list[list[int]] | None = None
+        self._filters: list[tuple[int, tuple]] = []
+        self._layout = None
+        self._fill = None
+        shape = None
+        dt = None
+        for mtype, body in file.messages(addr):
+            if mtype == _M_DATASPACE:
+                shape = _parse_dataspace(body)
+            elif mtype == _M_DATATYPE:
+                dt, _ = _parse_datatype(body, 0)
+            elif mtype == _M_LAYOUT:
+                self._layout = self._parse_layout(body)
+            elif mtype == _M_FILTERS:
+                self._filters = _parse_filters(body)
+            elif mtype == _M_FILL:
+                self._fill = body
+            elif mtype == _M_ATTRIBUTE:
+                aname, aval = file._parse_attr(body)
+                if aname == "DIMENSION_LIST":
+                    self._dim_refs = aval
+                else:
+                    self.attrs[aname] = aval
+            elif mtype == _M_ATTR_INFO:
+                flags = body[1]
+                p = 2 + (2 if flags & 1 else 0)
+                fheap = struct.unpack_from("<Q", body, p)[0]
+                if fheap != _UNDEF:
+                    raise NotImplementedError(
+                        "dense attribute storage is not supported"
+                    )
+        if shape is None or dt is None or self._layout is None:
+            raise ValueError(f"dataset {name!r}: incomplete object header")
+        if dt.cls not in (0, 1):
+            raise NotImplementedError(
+                f"dataset {name!r}: only numeric datasets are readable"
+            )
+        self.shape = shape
+        self.dtype = dt.np
+        self.dims: tuple[str, ...] = ()
+        self._cache: dict = {}
+
+    # layout: ("contiguous", addr, size) | ("chunked", btree, chunk_shape)
+    #       | ("compact", bytes)
+    def _parse_layout(self, body: bytes):
+        ver = body[0]
+        if ver != 3:
+            raise NotImplementedError(
+                f"data layout message version {ver} (only v3 is supported; "
+                "v4 means the file needs h5py)"
+            )
+        cls = body[1]
+        if cls == 0:
+            (sz,) = struct.unpack_from("<H", body, 2)
+            return ("compact", body[4 : 4 + sz])
+        if cls == 1:
+            addr, size = struct.unpack_from("<QQ", body, 2)
+            return ("contiguous", addr, size)
+        if cls == 2:
+            rank_p1 = body[2]
+            (btree,) = struct.unpack_from("<Q", body, 3)
+            dims = struct.unpack_from(f"<{rank_p1}I", body, 11)
+            return ("chunked", btree, tuple(int(d) for d in dims[:-1]))
+        raise NotImplementedError(f"data layout class {cls}")
+
+    @property
+    def chunk_shape(self) -> tuple[int, ...] | None:
+        return self._layout[2] if self._layout[0] == "chunked" else None
+
+    @property
+    def chunks(self):
+        """xarray/dask-style per-dimension chunk-length tuples (None for
+        contiguous/compact storage, like netcdf3)."""
+        ch = self.chunk_shape
+        if ch is None:
+            return None
+        out = []
+        for s, c in zip(self.shape, ch):
+            lens = [c] * (s // c)
+            if s % c:
+                lens.append(s % c)
+            out.append(tuple(lens))
+        return tuple(out)
+
+    # -- chunk index --------------------------------------------------------
+
+    def _chunk_map(self) -> dict[tuple[int, ...], tuple[int, int, int]]:
+        """chunk origin -> (file address, stored size, filter mask)."""
+        if "map" in self._cache:
+            return self._cache["map"]
+        f, buf = self._f, self._f.buf
+        _, btree, chunk_shape = self._layout
+        rank = len(self.shape)
+        out: dict[tuple[int, ...], tuple[int, int, int]] = {}
+
+        def walk(node_addr: int) -> None:
+            p = f.base + node_addr
+            if buf[p : p + 4] != b"TREE":
+                raise ValueError("corrupt HDF5 chunk index: bad signature")
+            ntype, level = buf[p + 4], buf[p + 5]
+            if ntype != 1:
+                raise ValueError("corrupt HDF5 chunk index: not a raw-data tree")
+            used = struct.unpack_from("<H", buf, p + 6)[0]
+            key_size = 8 + 8 * (rank + 1)
+            q = p + 24
+            for _ in range(used):
+                size, mask = struct.unpack_from("<II", buf, q)
+                offs = struct.unpack_from(f"<{rank}q", buf, q + 8)
+                (child,) = struct.unpack_from("<Q", buf, q + key_size)
+                if level > 0:
+                    walk(child)
+                else:
+                    out[tuple(int(o) for o in offs)] = (child, size, mask)
+                q += key_size + 8
+
+        if btree != _UNDEF:
+            walk(btree)
+        self._cache["map"] = out
+        return out
+
+    def _decode_chunk(self, raw: bytes, mask: int) -> np.ndarray:
+        data = raw
+        for pos in range(len(self._filters) - 1, -1, -1):
+            fid, cvals = self._filters[pos]
+            if mask & (1 << pos):
+                continue  # filter skipped for this chunk
+            if fid == 1:
+                data = zlib.decompress(data)
+            elif fid == 2:
+                ts = cvals[0] if cvals else self.dtype.itemsize
+                n = len(data) // ts * ts
+                data = (
+                    np.frombuffer(data[:n], np.uint8)
+                    .reshape(ts, n // ts).T.tobytes() + data[n:]
+                )
+            elif fid == 3:
+                stored = struct.unpack_from("<I", data, len(data) - 4)[0]
+                body = data[:-4]
+                if _fletcher32(body) != stored:
+                    raise ValueError(
+                        f"dataset {self.name!r}: fletcher32 checksum mismatch"
+                    )
+                data = body
+            else:
+                raise NotImplementedError(
+                    f"HDF5 filter id {fid} is not supported "
+                    "(deflate/shuffle/fletcher32 are)"
+                )
+        return np.frombuffer(data, self.dtype).reshape(self.chunk_shape)
+
+    # -- reads --------------------------------------------------------------
+
+    def _fill_scalar(self):
+        if self._fill is not None:
+            body = self._fill
+            ver = body[0]
+            if ver == 1:
+                # v1 has no 'defined' flag: size follows the three 1-byte
+                # time fields directly
+                (sz,) = struct.unpack_from("<I", body, 3)
+                if sz:
+                    return np.frombuffer(
+                        body[7 : 7 + sz], self.dtype, count=1
+                    )[0]
+            elif ver == 2:
+                if body[3]:  # fill value defined
+                    (sz,) = struct.unpack_from("<I", body, 4)
+                    if sz:
+                        return np.frombuffer(
+                            body[8 : 8 + sz], self.dtype, count=1
+                        )[0]
+            elif ver == 3 and body[1] & 0x20:
+                (sz,) = struct.unpack_from("<I", body, 2)
+                if sz:
+                    return np.frombuffer(
+                        body[6 : 6 + sz], self.dtype, count=1
+                    )[0]
+        return np.nan if self.dtype.kind == "f" else 0
+
+    def __getitem__(self, key) -> np.ndarray:
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + tuple(
+            slice(None) for _ in range(len(self.shape) - len(key))
+        )
+        bounds, squeeze = [], []
+        for axis, (k, s) in enumerate(zip(key, self.shape)):
+            if isinstance(k, (int, np.integer)):
+                k = int(k)
+                if k < 0:
+                    k += s
+                if not 0 <= k < s:
+                    raise IndexError(f"index {k} out of range for axis of {s}")
+                bounds.append((k, k + 1))
+                squeeze.append(axis)
+            else:
+                if k.step not in (None, 1):
+                    raise NotImplementedError(
+                        "strided HDF5 reads are not supported; slice with "
+                        "step 1 and decimate downstream"
+                    )
+                lo = 0 if k.start is None else max(0, int(k.start))
+                hi = s if k.stop is None else min(s, int(k.stop))
+                bounds.append((lo, max(lo, hi)))
+        out_shape = tuple(hi - lo for lo, hi in bounds)
+        kind = self._layout[0]
+        if kind == "compact":
+            arr = np.frombuffer(self._layout[1], self.dtype).reshape(self.shape)
+            win = arr[tuple(slice(lo, hi) for lo, hi in bounds)]
+        elif kind == "contiguous":
+            _, addr, size = self._layout
+            if addr == _UNDEF:
+                win = np.full(out_shape, self._fill_scalar(), self.dtype)
+            else:
+                s = self._f.base + addr
+                arr = np.frombuffer(
+                    self._f.buf, self.dtype,
+                    count=int(np.prod(self.shape)) if self.shape else 1,
+                    offset=s,
+                ).reshape(self.shape)
+                win = arr[tuple(slice(lo, hi) for lo, hi in bounds)]
+        else:
+            win = self._read_chunked_window(bounds, out_shape)
+        win = np.squeeze(win, axis=tuple(squeeze)) if squeeze else win
+        return _cf_decode(win, self.attrs)
+
+    def _read_chunked_window(self, bounds, out_shape) -> np.ndarray:
+        cmap = self._chunk_map()
+        ch = self.chunk_shape
+        out = np.full(out_shape, self._fill_scalar(), self.dtype)
+        ranges = [
+            range(lo // c * c, hi, c)
+            for (lo, hi), c in zip(bounds, ch)
+            if hi > lo
+        ]
+        if len(ranges) < len(bounds):
+            return out
+        import itertools
+
+        buf = self._f.buf
+        for origin in itertools.product(*ranges):
+            entry = cmap.get(tuple(origin))
+            if entry is None:
+                continue  # unwritten chunk keeps fill value
+            addr, size, mask = entry
+            key = tuple(origin)
+            if key in self._cache:
+                chunk = self._cache[key]
+            else:
+                s = self._f.base + addr
+                chunk = self._decode_chunk(buf[s : s + size], mask)
+                if len(self._cache) < 64:
+                    self._cache[key] = chunk
+            src, dst = [], []
+            for (lo, hi), o, c in zip(bounds, origin, ch):
+                s0, s1 = max(lo, o), min(hi, o + c)
+                src.append(slice(s0 - o, s1 - o))
+                dst.append(slice(s0 - lo, s1 - lo))
+            out[tuple(dst)] = chunk[tuple(src)]
+        return out
+
+    @property
+    def values(self) -> np.ndarray:
+        arr = self[tuple(slice(0, s) for s in self.shape)]
+        if self.dims == ("time",) and "units" in self.attrs:
+            return np.array(_decode_times(arr, self.attrs["units"]))
+        return arr
+
+
+def _parse_filters(body: bytes) -> list[tuple[int, tuple]]:
+    ver, nf = body[0], body[1]
+    out: list[tuple[int, tuple]] = []
+    if ver == 1:
+        p = 8
+        for _ in range(nf):
+            fid, nlen, _flags, ncv = struct.unpack_from("<HHHH", body, p)
+            p += 8 + (nlen + 7) // 8 * 8
+            cvals = struct.unpack_from(f"<{ncv}I", body, p)
+            p += 4 * ncv + (4 if ncv % 2 else 0)
+            out.append((fid, tuple(int(c) for c in cvals)))
+    elif ver == 2:
+        p = 2
+        for _ in range(nf):
+            (fid,) = struct.unpack_from("<H", body, p)
+            p += 2
+            nlen = 0
+            if fid >= 256:
+                (nlen,) = struct.unpack_from("<H", body, p)
+                p += 2
+            _flags, ncv = struct.unpack_from("<HH", body, p)
+            p += 4 + nlen
+            cvals = struct.unpack_from(f"<{ncv}I", body, p)
+            p += 4 * ncv
+            out.append((fid, tuple(int(c) for c in cvals)))
+    else:
+        raise NotImplementedError(f"filter pipeline version {ver}")
+    return out
+
+
+class HDF5Dataset:
+    """NetCDF4/HDF5 container with the ingest-facing dataset surface."""
+
+    def __init__(self, path: str):
+        import mmap
+
+        f = open(path, "rb")
+        try:
+            # executor tasks touch only their windows' chunk ranges: mmap
+            # pages those in on demand, so per-task memory is bounded by
+            # the window, not the container size (the 100 TB read path)
+            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            self._fh = f
+        except (ValueError, OSError):
+            buf = f.read()
+            f.close()
+            self._fh = None
+        self._file = _File(buf)
+        links = self._file.group_links(self._file.root_addr)
+        self._vars: dict[str, HDF5Variable] = {}
+        by_addr: dict[int, str] = {}
+        for name, addr in links.items():
+            var = HDF5Variable(self._file, name, addr)
+            self._vars[name] = var
+            by_addr[addr] = name
+        # resolve netCDF4 dimension scales: DIMENSION_LIST object refs
+        # point at the dimension datasets' object headers
+        for var in self._vars.values():
+            if var._dim_refs is not None:
+                dims = []
+                for refs in var._dim_refs:
+                    if not refs:
+                        raise ValueError(
+                            f"dataset {var.name!r}: empty DIMENSION_LIST"
+                        )
+                    dims.append(by_addr[refs[0]])
+                var.dims = tuple(dims)
+            elif len(var.shape) == 1:
+                var.dims = (var.name,)  # a dimension scale names itself
+        self.attrs = {}
+
+    def __getitem__(self, name: str) -> HDF5Variable:
+        return self._vars[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._vars
+
+    @property
+    def data_vars(self) -> dict[str, HDF5Variable]:
+        return {
+            n: v
+            for n, v in self._vars.items()
+            if len(v.shape) >= 2 and n not in ("lat", "lon", "time")
+        }
+
+
+def open_hdf5(path: str) -> HDF5Dataset:
+    return HDF5Dataset(path)
+
+
+def is_hdf5(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(8) == _SIGNATURE
+
+
+# ---------------------------------------------------------------------------
+# writer: NetCDF4-shaped HDF5 (fixture / conversion utility)
+# ---------------------------------------------------------------------------
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+        self.pos = 0
+
+    def add(self, data: bytes) -> int:
+        addr = self.pos
+        self.parts.append(data)
+        self.pos += len(data)
+        return addr
+
+    def reserve(self, size: int) -> int:
+        return self.add(b"\x00" * size)
+
+    def patch(self, addr: int, data: bytes) -> None:
+        # find the part containing addr (all patches target whole parts here)
+        off = 0
+        for i, p in enumerate(self.parts):
+            if off == addr:
+                assert len(data) == len(p)
+                self.parts[i] = data
+                return
+            off += len(p)
+        raise AssertionError(f"no part at {addr}")
+
+    def tobytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    if len(body) % 8:
+        body += b"\x00" * (8 - len(body) % 8)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _object_header_v1(messages: list[bytes]) -> bytes:
+    blob = b"".join(messages)
+    return (
+        struct.pack("<BBHII", 1, 0, len(messages), 1, len(blob))
+        + b"\x00" * 4
+        + blob
+    )
+
+
+def _dataspace_v1(shape: tuple[int, ...]) -> bytes:
+    return struct.pack("<BBB5x", 1, len(shape), 0) + b"".join(
+        struct.pack("<Q", s) for s in shape
+    )
+
+
+def _attr_v1(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % 8)
+
+    head = struct.pack("<BBHHH", 1, 0, len(nb), len(dt), len(ds))
+    return _msg(
+        _M_ATTRIBUTE, head + pad8(nb) + pad8(dt) + pad8(ds) + data
+    )
+
+
+def _str_attr(name: str, value: str) -> bytes:
+    vb = value.encode() + b"\x00"
+    dt = _encode_datatype(np.dtype(f"S{len(vb)}"))
+    ds = _dataspace_v1(())
+    return _attr_v1(name, dt, ds, vb)
+
+
+def _num_attr(name: str, value, np_dtype) -> bytes:
+    v = np.array(value, dtype=np.dtype(np_dtype).newbyteorder("<"))
+    dt = _encode_datatype(v.dtype)
+    ds = _dataspace_v1(())
+    return _attr_v1(name, dt, ds, v.tobytes())
+
+
+def _any_attr(name: str, value) -> bytes:
+    if isinstance(value, str):
+        return _str_attr(name, value)
+    v = np.asarray(value)
+    return _num_attr(name, value, v.dtype)
+
+
+def write_hdf5(
+    path: str,
+    times: list[str],
+    lat: np.ndarray,
+    lon: np.ndarray,
+    variables: dict,
+    chunk_shape: tuple[int, int, int] = (1, 256, 256),
+    compress: bool = True,
+) -> None:
+    """Write a (time, lat, lon) cube as a NetCDF4-shaped HDF5 file:
+    each ``variables`` value is an array (stored float64) or an
+    ``(array, attrs)`` tuple — the array keeps its dtype (e.g. int16 CF
+    packing) and the attrs (``scale_factor``/``add_offset``/``_FillValue``
+    /...) are written as typed HDF5 attributes.
+
+    Layout:
+    superblock v0, symbol-table root group, contiguous coordinate datasets
+    tagged ``CLASS=DIMENSION_SCALE``, and chunked+shuffle+deflate data
+    variables carrying ``DIMENSION_LIST`` object references — the layout
+    netCDF4/h5py produce, so the reader's real-file paths are the ones the
+    round trip proves."""
+    from datetime import datetime
+
+    w = _Writer()
+    w.reserve(96)  # superblock v0 (written last: needs root OH address)
+
+    epoch = datetime(1970, 1, 1)
+    tvals = np.array(
+        [
+            (
+                datetime.strptime(t[:19], "%Y-%m-%d %H:%M:%S") - epoch
+            ).total_seconds()
+            for t in times
+        ],
+        dtype="<f8",
+    )
+    coords = {
+        "time": (tvals, {"units": "seconds since 1970-01-01 00:00:00"}),
+        "lat": (np.asarray(lat, "<f8"), {}),
+        "lon": (np.asarray(lon, "<f8"), {}),
+    }
+    dim_sizes = {"time": len(tvals), "lat": len(lat), "lon": len(lon)}
+
+    # ---- coordinate datasets: contiguous, DIMENSION_SCALE-tagged ----
+    oh_addr: dict[str, int] = {}
+    for name, (vals, extra) in coords.items():
+        data_addr = w.add(vals.tobytes())
+        msgs = [
+            _msg(_M_DATASPACE, _dataspace_v1(vals.shape)),
+            _msg(_M_DATATYPE, _encode_datatype(vals.dtype)),
+            _msg(_M_FILL, struct.pack("<BBBB", 2, 1, 0, 0)),
+            _msg(
+                _M_LAYOUT,
+                struct.pack("<BBQQ", 3, 1, data_addr, vals.nbytes),
+            ),
+            _str_attr("CLASS", "DIMENSION_SCALE"),
+            _str_attr("NAME", name),
+        ]
+        for k, v in extra.items():
+            msgs.append(_str_attr(k, v))
+        oh_addr[name] = w.add(_object_header_v1(msgs))
+
+    # ---- global heap: one object per (variable, dim) reference ----
+    dims3 = ("time", "lat", "lon")
+    gheap_entries: list[bytes] = []  # 8-byte object refs
+    var_names = list(variables)
+    for _ in var_names:
+        for d in dims3:
+            gheap_entries.append(struct.pack("<Q", oh_addr[d]))
+    gheap_body = b""
+    for i, ref in enumerate(gheap_entries, start=1):
+        gheap_body += struct.pack("<HH4xQ", i, 1, len(ref)) + ref
+    free = 16  # terminating free-space pseudo-object header
+    gheap_size = 16 + len(gheap_body) + free
+    gheap_size = (gheap_size + 7) // 8 * 8
+    gheap = struct.pack("<4sB3xQ", b"GCOL", 1, gheap_size) + gheap_body
+    gheap += struct.pack(
+        "<HH4xQ", 0, 0, gheap_size - 16 - len(gheap_body)
+    )
+    gheap += b"\x00" * (gheap_size - 16 - len(gheap_body) - 16)
+    gheap_addr = w.add(gheap)
+
+    # ---- data variables: chunked (+shuffle+deflate), DIMENSION_LIST ----
+    for vi, name in enumerate(var_names):
+        spec = variables[name]
+        var_attrs: dict = {}
+        if isinstance(spec, tuple):
+            spec, var_attrs = spec
+        arr = np.asarray(spec)
+        if arr.dtype.kind == "f":
+            arr = arr.astype("<f8")
+        else:
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        ch = tuple(min(c, s) for c, s in zip(chunk_shape, arr.shape))
+        rank = arr.ndim
+        itemsize = arr.dtype.itemsize
+        pad_fill = var_attrs.get(
+            "_FillValue", np.nan if arr.dtype.kind == "f" else 0
+        )
+        # write chunks, collect (origin, addr, stored size)
+        entries = []
+        grid = [range(0, s, c) for s, c in zip(arr.shape, ch)]
+        import itertools
+
+        for origin in itertools.product(*grid):
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(origin, ch, arr.shape)
+            )
+            chunk = np.full(ch, pad_fill, arr.dtype)
+            block = arr[sel]
+            chunk[tuple(slice(0, b) for b in block.shape)] = block
+            raw = chunk.tobytes()
+            if compress:
+                n = len(raw) // itemsize * itemsize
+                shuf = (
+                    np.frombuffer(raw[:n], np.uint8)
+                    .reshape(n // itemsize, itemsize).T.tobytes()
+                    + raw[n:]
+                )
+                raw = zlib.compress(shuf, 5)
+            addr = w.add(raw)
+            entries.append((origin, addr, len(raw)))
+        # chunk B-tree: one level-0 node holding every entry
+        key_size = 8 + 8 * (rank + 1)
+        node = bytearray()
+        node += struct.pack("<4sBBH", b"TREE", 1, 0, len(entries))
+        node += struct.pack("<QQ", _UNDEF, _UNDEF)
+        for origin, addr, size in entries:
+            node += struct.pack("<II", size, 0)
+            node += b"".join(struct.pack("<q", o) for o in origin)
+            node += struct.pack("<q", 0)
+            node += struct.pack("<Q", addr)
+        # final key: one past the last chunk in every dimension
+        node += struct.pack("<II", 0, 0)
+        node += b"".join(struct.pack("<q", s) for s in arr.shape)
+        node += struct.pack("<q", itemsize)
+        btree_addr = w.add(bytes(node))
+
+        msgs = [
+            _msg(_M_DATASPACE, _dataspace_v1(arr.shape)),
+            _msg(_M_DATATYPE, _encode_datatype(arr.dtype)),
+            _msg(_M_FILL, struct.pack("<BBBB", 2, 2, 0, 0)),
+        ]
+        if compress:
+            filt = struct.pack("<BB2x4x", 1, 2)
+            filt += struct.pack("<HHHH", 2, 0, 0, 1)  # shuffle
+            filt += struct.pack("<I4x", itemsize)
+            filt += struct.pack("<HHHH", 1, 0, 0, 1)  # deflate
+            filt += struct.pack("<I4x", 5)
+            msgs.append(_msg(_M_FILTERS, filt))
+        layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr)
+        layout += b"".join(struct.pack("<I", c) for c in ch)
+        layout += struct.pack("<I", itemsize)
+        msgs.append(_msg(_M_LAYOUT, layout))
+        # DIMENSION_LIST: vlen(object ref), one element per dimension
+        ds = _dataspace_v1((rank,))
+        data = b""
+        for di in range(rank):
+            data += struct.pack(
+                "<IQI", 1, gheap_addr, vi * len(dims3) + di + 1
+            )
+        msgs.append(_attr_v1("DIMENSION_LIST", _DT_VLEN_OBJREF, ds, data))
+        for k, v in var_attrs.items():
+            msgs.append(
+                _num_attr(k, v, arr.dtype) if k == "_FillValue"
+                else _any_attr(k, v)
+            )
+        oh_addr[name] = w.add(_object_header_v1(msgs))
+
+    # ---- root group: local heap + SNOD + B-tree + object header ----
+    names = sorted(oh_addr)
+    heap_data = bytearray(b"\x00" * 8)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        nb = n.encode() + b"\x00"
+        heap_data += nb + b"\x00" * (-len(nb) % 8)
+    heap_data_addr = w.add(bytes(heap_data))
+    heap_addr = w.add(
+        struct.pack(
+            "<4sB3xQQQ", b"HEAP", 0, len(heap_data), 1, heap_data_addr
+        )
+    )
+    snod = bytearray(struct.pack("<4sBBH", b"SNOD", 1, 0, len(names)))
+    for n in names:
+        snod += struct.pack("<QQII16x", name_off[n], oh_addr[n], 0, 0)
+    snod_addr = w.add(bytes(snod))
+    btree = struct.pack(
+        "<4sBBHQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF
+    )
+    btree += struct.pack("<Q", 0)  # key 0: empty name
+    btree += struct.pack("<Q", snod_addr)
+    btree += struct.pack("<Q", name_off[names[-1]])  # key 1: greatest name
+    group_btree_addr = w.add(btree)
+    root_msgs = [
+        _msg(_M_SYMBOL_TABLE, struct.pack("<QQ", group_btree_addr, heap_addr))
+    ]
+    root_oh = w.add(_object_header_v1(root_msgs))
+
+    # ---- superblock v0 ----
+    sb = bytearray()
+    sb += _SIGNATURE
+    sb += struct.pack("<BBBBB", 0, 0, 0, 0, 0)
+    sb += struct.pack("<BBB", 8, 8, 0)
+    sb += struct.pack("<HH", 4, 16)  # group leaf / internal K
+    sb += struct.pack("<I", 0)
+    sb += struct.pack("<QQQQ", 0, _UNDEF, w.pos, _UNDEF)
+    # root symbol table entry
+    sb += struct.pack("<QQII16x", 0, root_oh, 0, 0)
+    assert len(sb) == 96
+    w.patch(0, bytes(sb))
+
+    with open(path, "wb") as f:
+        f.write(w.tobytes())

@@ -4,9 +4,9 @@ Upgrades S1 (NetCDF scan) from fully import-gated to EXECUTABLE for the
 classic format in this container: CDF-1 is a self-describing binary layout
 (header: dims / global attrs / var metadata; body: big-endian arrays, 4-byte
 aligned, record variables interleaved per record) that needs only the
-standard library and numpy. NetCDF4/HDF5 remains import-gated — HDF5 is not
-reasonably hand-parseable; ``xarray_ingest`` raises its documented gate for
-it.
+standard library and numpy. NetCDF4/HDF5 containers are handled by the
+sibling pure-Python reader ``sources/hdf5.py``; ``xarray_ingest``
+dispatches on the file magic number.
 
 Exposes the same minimal dataset surface as ``sources/zarr_store`` (what
 ``xarray_ingest._open_store`` consumes): ``ds.data_vars`` with ``.dims``,
@@ -27,7 +27,7 @@ import struct
 
 import numpy as np
 
-from .zarr_store import _decode_times
+from .zarr_store import _decode_times, cf_decode
 
 _ABSENT = 0
 _NC_DIMENSION = 0x0A
@@ -141,6 +141,7 @@ class NetCDF3Variable:
             arr = np.stack(recs).reshape(self.shape)
         if self.nc_type in (5, 6):
             arr = arr.astype("float64")
+        arr = cf_decode(arr, self.attrs)
         self._cache = arr
         return arr
 
@@ -157,12 +158,22 @@ class NetCDF3Variable:
 
 class NetCDF3Dataset:
     def __init__(self, path: str):
-        with open(path, "rb") as f:
+        import mmap
+
+        f = open(path, "rb")
+        try:
+            # demand-paged: executor tasks touch only their record ranges
+            self.buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            self._fh = f
+        except (ValueError, OSError):
             self.buf = f.read()
+            f.close()
+            self._fh = None
         if self.buf[:3] != b"CDF" or self.buf[3] not in (1, 2):
             raise NotImplementedError(
-                "not a NetCDF3 classic file (NetCDF4/HDF5 needs the "
-                "xarray/netCDF4 gate)"
+                "not a NetCDF3 classic file (NetCDF4/HDF5 containers are "
+                "read by sources/hdf5.py — xarray_ingest dispatches on the "
+                "magic number)"
             )
         version = self.buf[3]
         r = _Reader(self.buf)

@@ -61,8 +61,12 @@ def _open_store(path: str, fmt: str, opener: Callable | None):
         return open_zarr_group(path)
     if xr is not None:
         return xr.open_dataset(path)
-    # classic-format fallback (sources/netcdf3.py); raises the documented
-    # NotImplementedError for NetCDF4/HDF5 containers
+    # pure-Python fallbacks: NetCDF4/HDF5 containers (sources/hdf5.py)
+    # by magic number, classic CDF-1/CDF-2 otherwise (sources/netcdf3.py)
+    from .hdf5 import is_hdf5, open_hdf5
+
+    if is_hdf5(path):
+        return open_hdf5(path)
     from .netcdf3 import open_netcdf3
 
     return open_netcdf3(path)

@@ -60,13 +60,118 @@ def _decode_times(values: np.ndarray, units: str | None) -> list[str]:
     ]
 
 
-class ZarrArray:
-    """One zarr v2 array: lazy chunk loads, fill_value for missing chunks."""
+def cf_decode(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF mask-and-scale: ``unpacked = packed * scale_factor + add_offset``
+    with ``_FillValue``/``missing_value`` cells becoming NaN — what
+    ``xr.open_dataset(decode_cf=True)`` (the reference's open path,
+    ``xcube_server/context.py:243-246``) applies by default. Providers
+    routinely ship int16-packed NetCDF/zarr; without this the raw packed
+    integers would flow into every query. No-op (and dtype-preserving)
+    when none of the three attributes are present."""
+    fill = attrs.get("_FillValue", attrs.get("missing_value"))
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    if fill is None and scale is None and offset is None:
+        return arr
+    out = np.asarray(arr, dtype="float64")
+    if fill is not None:
+        out = np.where(np.asarray(arr) == fill, np.nan, out)
+    if scale is not None:
+        out = out * float(scale)
+    if offset is not None:
+        out = out + float(offset)
+    return out
 
-    def __init__(self, path: str):
+
+class LocalStore:
+    """Key→bytes view of a local zarr directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def get(self, key: str) -> bytes | None:
+        p = os.path.join(self.root, *key.split("/"))
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
+
+class HttpStore:
+    """Key→bytes view of a zarr store served over HTTP(S) — the sandbox
+    analog of the reference's ``s3fs.S3Map`` (object-store GETs ARE HTTP
+    GETs; ``xcube_server/context.py:227-229``). Missing keys (404/403,
+    how S3 surfaces absent chunks) read as None → fill_value, exactly
+    like a sparse local store."""
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def get(self, key: str) -> bytes | None:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(f"{self.base}/{key}") as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code in (403, 404):
+                return None
+            raise
+
+
+class LRUStoreCache:
+    """Byte-bounded LRU over a store — the reference wraps remote stores
+    in ``zarr.LRUStoreCache(max_size=2**28)`` (``context.py:228``); this
+    is the same discipline so repeated window reads on one executor hit
+    the network once per chunk. Missing-key results are cached too (S3
+    absence probes are as slow as hits)."""
+
+    def __init__(self, store, max_bytes: int = 2**28):
+        from collections import OrderedDict
+
+        self._store = store
+        self._max = max_bytes
+        self._data: "OrderedDict[str, bytes | None]" = OrderedDict()
+        self._size = 0
+
+    def get(self, key: str) -> bytes | None:
+        if key in self._data:
+            self._data.move_to_end(key)
+            return self._data[key]
+        val = self._store.get(key)
+        self._data[key] = val
+        self._size += len(val) if val is not None else 0
+        while self._size > self._max and len(self._data) > 1:
+            _, old = self._data.popitem(last=False)
+            self._size -= len(old) if old is not None else 0
+        return val
+
+
+def _store_for(path: str):
+    if path.startswith(("http://", "https://")):
+        return LRUStoreCache(HttpStore(path))
+    return LocalStore(path)
+
+
+class ZarrArray:
+    """One zarr v2 array: lazy chunk loads, fill_value for missing chunks.
+
+    Reads through a key→bytes store (local dir, HTTP/S3, cached) —
+    construct with a path for the local case, or pass ``store`` +
+    ``prefix`` (plus pre-fetched ``meta``/``attrs`` from consolidated
+    metadata, which is how object stores avoid per-array round trips)."""
+
+    def __init__(self, path: str, store=None, prefix: str = "",
+                 meta: dict | None = None, attrs: dict | None = None):
         self.path = path
-        with open(os.path.join(path, ".zarray")) as f:
-            meta = json.load(f)
+        self._store = store if store is not None else _store_for(path)
+        self._prefix = f"{prefix}/" if prefix else ""
+        if meta is None:
+            raw = self._store.get(self._prefix + ".zarray")
+            if raw is None:
+                raise FileNotFoundError(f"no .zarray under {path}")
+            meta = json.loads(raw)
         if meta.get("zarr_format") != 2:
             raise NotImplementedError("only zarr v2 stores are supported")
         if meta.get("order", "C") != "C":
@@ -89,11 +194,10 @@ class ZarrArray:
             fv = math.nan
         self.fill_value = fv
         self._sep = meta.get("dimension_separator", ".")
-        self.attrs = {}
-        zattrs = os.path.join(path, ".zattrs")
-        if os.path.exists(zattrs):
-            with open(zattrs) as f:
-                self.attrs = json.load(f)
+        if attrs is None:
+            raw = self._store.get(self._prefix + ".zattrs")
+            attrs = json.loads(raw) if raw is not None else {}
+        self.attrs = attrs
 
     @property
     def dims(self) -> tuple[str, ...]:
@@ -111,15 +215,14 @@ class ZarrArray:
         return tuple(out)
 
     def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
-        fname = os.path.join(self.path, self._sep.join(str(i) for i in idx))
-        if not os.path.exists(fname):
+        key = self._prefix + self._sep.join(str(i) for i in idx)
+        raw = self._store.get(key)
+        if raw is None:
             arr = np.empty(self.chunk_shape, dtype=self.dtype)
             arr[...] = (
                 self.fill_value if self.fill_value is not None else 0
             )
             return arr
-        with open(fname, "rb") as f:
-            raw = f.read()
         if self._comp_id == "zlib":
             raw = zlib.decompress(raw)
         elif self._comp_id == "blosc":
@@ -186,11 +289,13 @@ class ZarrArray:
         squeeze = tuple(
             i for i, k in enumerate(key) if isinstance(k, int)
         )
-        return out.reshape(
-            tuple(
-                n for i, n in enumerate(out_shape) if i not in squeeze
+        if squeeze:
+            out = out.reshape(
+                tuple(
+                    n for i, n in enumerate(out_shape) if i not in squeeze
+                )
             )
-        ) if squeeze else out
+        return cf_decode(out, self.attrs)
 
     @property
     def values(self) -> np.ndarray:
@@ -202,13 +307,39 @@ class ZarrArray:
 
 class ZarrGroup:
     """A zarr v2 group presenting the minimal xarray-Dataset surface the
-    ingest path uses (``data_vars``, coordinate ``.values``, slicing)."""
+    ingest path uses (``data_vars``, coordinate ``.values``, slicing).
+
+    Local groups are discovered by directory listing; ``http(s)://``
+    groups (the object-store path — S3 GETs are HTTP GETs) REQUIRE zarr
+    consolidated metadata (``.zmetadata``), because object stores have no
+    cheap listing — the same convention xarray's
+    ``open_zarr(consolidated=True)`` relies on. One GET then serves every
+    array's ``.zarray``/``.zattrs``."""
 
     def __init__(self, path: str):
-        if not os.path.exists(os.path.join(path, ".zgroup")):
-            raise FileNotFoundError(f"not a zarr v2 group: {path}")
         self.path = path
         self._arrays: dict[str, ZarrArray] = {}
+        if path.startswith(("http://", "https://")):
+            store = _store_for(path)
+            raw = store.get(".zmetadata")
+            if raw is None:
+                raise NotImplementedError(
+                    f"zarr group over HTTP needs consolidated metadata "
+                    f"(.zmetadata) — object stores cannot be listed: {path}"
+                )
+            meta = json.loads(raw)["metadata"]
+            names = sorted(
+                k.split("/")[0] for k in meta if k.endswith("/.zarray")
+            )
+            for name in names:
+                self._arrays[name] = ZarrArray(
+                    f"{path}/{name}", store=store, prefix=name,
+                    meta=meta[f"{name}/.zarray"],
+                    attrs=meta.get(f"{name}/.zattrs", {}),
+                )
+            return
+        if not os.path.exists(os.path.join(path, ".zgroup")):
+            raise FileNotFoundError(f"not a zarr v2 group: {path}")
         for name in sorted(os.listdir(path)):
             sub = os.path.join(path, name)
             if os.path.isdir(sub) and os.path.exists(
@@ -369,4 +500,26 @@ def write_zarr_group(
             None,
             compress,
             compressor,
+        )
+    consolidate_metadata(path)
+
+
+def consolidate_metadata(path: str) -> None:
+    """Write zarr consolidated metadata (``.zmetadata``): every
+    ``.zgroup``/``.zarray``/``.zattrs`` under one key, the convention
+    object-store zarr needs because listing is expensive/impossible
+    (xarray: ``open_zarr(consolidated=True)``)."""
+    meta: dict[str, dict] = {}
+    with open(os.path.join(path, ".zgroup")) as f:
+        meta[".zgroup"] = json.load(f)
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        for side in (".zarray", ".zattrs"):
+            p = os.path.join(sub, side)
+            if os.path.isdir(sub) and os.path.exists(p):
+                with open(p) as f:
+                    meta[f"{name}/{side}"] = json.load(f)
+    with open(os.path.join(path, ".zmetadata"), "w") as f:
+        json.dump(
+            {"zarr_consolidated_format": 1, "metadata": meta}, f
         )
