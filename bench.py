@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "cube_var_correlation",
     "zarr_ingest_stats",
     "netcdf_ingest_stats",
+    "zarr_ingest_stats_blosc",
+    "zarr_ingest_stats_http",
+    "netcdf4_ingest_stats",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -334,3 +334,52 @@ def test_fill_value_message_versions(store):
     assert v._fill_scalar() == 7.5
     v._fill = struct.pack("<BB", 3, 0)  # v3, no fill bit -> default
     assert np.isnan(v._fill_scalar())
+
+
+def test_netcdf4_cube_served_over_http(spark, store, tmp_path):
+    """Full stack from the NetCDF4/HDF5 container: hdf5.py distributed
+    ingest -> write_cube LOD tables -> HTTP tile + point-timeseries —
+    the reference's `Format: nc` dataset served end-to-end."""
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.cube.catalog import CubeCatalog
+    from xcube_server_spark.server.app import CubeServer
+    from xcube_server_spark.sources.cube_ingest import write_cube
+    from xcube_server_spark.sources.png import decode_rgba_png
+
+    path, chl, _ = store
+    df, grid = ingest_xarray_distributed(spark, path, fmt="nc")
+    cube = df.select(
+        "time_idx", "lat_idx", "lon_idx", "time", "lat", "lon",
+        F.col("conc_chl").cast("float").alias("conc_chl"),
+        F.col("conc_tsm").cast("float").alias("conc_tsm"),
+    )
+    base = str(tmp_path / "nccube")
+    _, tg = write_cube(cube, grid, base, tile_size=16)
+    cat = CubeCatalog(spark)
+    cat.register_written_cube(
+        "ncdemo", base, grid, tg, ["conc_chl", "conc_tsm"]
+    )
+    srv = CubeServer(cat)
+    srv.start()
+    try:
+        root = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(
+            f"{root}/datasets/ncdemo/vars/conc_chl/tiles/0/0/0.png",
+            timeout=120,
+        ) as r:
+            assert r.status == 200
+            rgba = decode_rgba_png(r.read())
+            assert rgba.shape[2] == 4 and rgba[..., 3].max() > 0
+        with urllib.request.urlopen(
+            f"{root}/ts/ncdemo/conc_chl/point?lon=2.6&lat=51.2",
+            timeout=120,
+        ) as r:
+            doc = _json.loads(r.read())
+            results = doc["results"] if "results" in doc else doc
+            assert len(results) == len(TIMES)
+    finally:
+        srv.stop()

@@ -106,3 +106,46 @@ def test_levels_pyramid_served(spark, tmp_path, link):
     assert got1[(1, 2, 3)] == pytest.approx(l1[1, 2, 3])
     stride_value = l0[1, 4, 6]
     assert abs(got1[(1, 2, 3)] - stride_value) > 1e-9
+
+
+def test_levels_pyramid_over_http(spark, tmp_path):
+    """S5: a `.levels` pyramid on OBJECT STORAGE (HTTP GETs) — levels are
+    probed (no listing), `.link` indirection resolves against the URL,
+    and every level ingests through the HTTP chunk store with values
+    identical to the local read."""
+    import functools
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    root = str(tmp_path / "demo.levels")
+    out = str(tmp_path / "cube_http")
+    l0, l1 = _write_pyramid(root, link_level_1=True)
+
+    class _Quiet(SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    handler = functools.partial(_Quiet, directory=root)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        found = discover_levels(url)
+        assert [i for i, _ in found] == [0, 1]
+        assert found[0][1] == f"{url}/0.zarr"
+        assert found[1][1] == f"{url}/external_l1.zarr"  # .link resolved
+
+        tables, tg, grid, var_names = ingest_levels_dir(
+            spark, url, out, tile_size=8
+        )
+        assert tables.levels == 2
+        assert (grid.width, grid.height) == (W, H)
+        cat = CubeCatalog(spark)
+        cat.register_written_cube("demoh", out, grid, tg, var_names)
+        got1 = {
+            (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+            for r in cat.cube("demoh", level=1).collect()
+        }
+        assert got1[(1, 2, 3)] == pytest.approx(l1[1, 2, 3])
+    finally:
+        srv.shutdown()

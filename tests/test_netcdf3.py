@@ -91,3 +91,32 @@ def test_distributed_ingest_executes(spark, ncfile):
             assert rows[key] is None or math.isnan(rows[key])
         else:
             assert rows[key] == pytest.approx(want)
+
+
+def test_netcdf3_cf_packed_decode(tmp_path):
+    """CF mask-and-scale applies to classic files too: int16 variable
+    with scale_factor/add_offset/_FillValue attrs unpacks on read."""
+    import numpy as np
+
+    from xcube_server_spark.sources.netcdf3 import (
+        open_netcdf3,
+        write_netcdf3,
+    )
+
+    times = ["2017-01-16 10:09:22", "2017-01-25 09:35:51"]
+    h, w = 4, 6
+    packed = np.arange(2 * h * w, dtype=">i2").reshape(2, h, w)
+    packed[0, 0, 0] = -999
+    lat = np.linspace(52, 50, h)
+    lon = np.linspace(0, 5, w)
+    write_netcdf3(
+        str(tmp_path / "p.nc"), times, lat, lon, {"chl": packed},
+        var_attrs={"chl": {
+            "scale_factor": 0.25, "add_offset": 1.0, "_FillValue": -999,
+        }},
+    )
+    ds = open_netcdf3(str(tmp_path / "p.nc"))
+    got = ds["chl"][0:2, 0:h, 0:w]
+    assert got.dtype == np.float64
+    assert np.isnan(got[0, 0, 0])
+    assert got[1, 2, 3] == packed[1, 2, 3] * 0.25 + 1.0

@@ -29,7 +29,33 @@ from .cube_ingest import CubeTables, write_dim_tables, write_level_table
 
 def discover_levels(levels_path: str) -> list[tuple[int, str]]:
     """(level, resolved zarr path) for every ``{i}.zarr`` / ``{i}.link``
-    entry, sorted and validated to be a gapless 0..N-1 ladder."""
+    entry, sorted and validated to be a gapless 0..N-1 ladder.
+
+    ``http(s)://`` pyramids (object storage — the reference's
+    ``ObjectStorageMultiLevelDataset``, ``mldataset.py:201-269``) cannot
+    be listed, so levels are PROBED from 0 upward: ``{i}.link`` first
+    (text pointer, resolved against the URL), else ``{i}.zarr`` detected
+    by its consolidated ``.zmetadata`` — the same key every HTTP group
+    open needs anyway."""
+    if levels_path.startswith(("http://", "https://")):
+        from .zarr_store import HttpStore
+
+        store = HttpStore(levels_path)
+        found: list[tuple[int, str]] = []
+        i = 0
+        while True:
+            link = store.get(f"{i}.link")
+            if link is not None:
+                target = link.decode().strip()
+                if "://" not in target:
+                    target = f"{levels_path.rstrip('/')}/{target.lstrip('/')}"
+                found.append((i, target))
+            elif store.get(f"{i}.zarr/.zmetadata") is not None:
+                found.append((i, f"{levels_path.rstrip('/')}/{i}.zarr"))
+            else:
+                break
+            i += 1
+        return found
     out: dict[int, str] = {}
     for name in os.listdir(levels_path):
         m = re.fullmatch(r"(\d+)\.zarr", name)

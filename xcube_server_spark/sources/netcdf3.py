@@ -261,6 +261,9 @@ def _w_attrs(attrs: dict) -> bytes:
             out.append(struct.pack(">ii", 2, len(e)) + _pad(e))
         else:
             arr = np.atleast_1d(np.asarray(v))
+            if arr.dtype.str.lstrip("<>|=") == "i8":
+                # classic has no 64-bit int attrs; python ints land here
+                arr = arr.astype("i4")
             code = _TYPE_OF_DTYPE[arr.dtype.str.lstrip("<>|=")]
             be = arr.astype(_TYPES[code][0])
             out.append(
@@ -276,9 +279,13 @@ def write_netcdf3(
     lon: np.ndarray,
     variables: dict[str, np.ndarray],
     time_as_record: bool = True,
+    var_attrs: dict[str, dict] | None = None,
 ) -> None:
     """Write a (time, lat, lon) cube as CDF-1 classic — time as the record
-    (unlimited) dimension by default, the layout real producers emit."""
+    (unlimited) dimension by default, the layout real producers emit.
+    Integer variable arrays keep their width (NC_BYTE/SHORT/INT — CF
+    packing); ``var_attrs[name]`` attaches per-variable attributes
+    (``scale_factor``/``add_offset``/``_FillValue``/...)."""
     from datetime import datetime
 
     nt, ny, nx = len(times), len(lat), len(lon)
@@ -299,8 +306,16 @@ def write_netcdf3(
     specs.append(("lat", [1], 6, {}, np.asarray(lat, ">f8"), False))
     specs.append(("lon", [2], 6, {}, np.asarray(lon, ">f8"), False))
     for name, arr in variables.items():
+        a = np.asarray(arr)
+        kind = a.dtype.str.lstrip("<>|=")
+        if a.dtype.kind in "iu" and kind in _TYPE_OF_DTYPE:
+            nc_type = _TYPE_OF_DTYPE[kind]
+            a = a.astype(_TYPES[nc_type][0])
+        else:
+            nc_type, a = 6, np.asarray(a, ">f8")
         specs.append(
-            (name, [0, 1, 2], 6, {}, np.asarray(arr, ">f8"), time_as_record)
+            (name, [0, 1, 2], nc_type,
+             (var_attrs or {}).get(name, {}), a, time_as_record)
         )
 
     def vsize_of(name, arr, is_rec):
