@@ -722,3 +722,23 @@ def test_threshold_area_single_exchange(spark, sf_dir):
     df = QUERIES["cube_threshold_area"](spark, sf_dir)
     assert count_exchanges(df) == 1
     assert "Join" not in formatted_plan(df)
+
+
+def test_bm25_single_corpus_exchange(spark, sf_dir):
+    """BM25: doc length is scan-side, the explode is filtered to the 3
+    query terms, df/stats broadcast back — the only corpus-width hash
+    exchange is the (doc_id, term) tf aggregate; ranking is a global
+    top-k (TakeOrdered), never a full sort."""
+    from xcube_server_spark.plans.explain import formatted_plan
+
+    df = QUERIES["bm25_search"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the corpus explode ran ONCE into the tf checkpoint: the ranking
+    # plan re-reads aggregate-sized rows, never re-generating tokens
+    assert "Generate" not in plan
+    ex_sections = [s for s in plan.split("\n\n") if s.startswith("(")
+                   and "Exchange" in s.split("\n")[0]
+                   and "hashpartitioning" in s]
+    assert len(ex_sections) <= 4  # df distinct+agg, final doc agg

@@ -358,3 +358,22 @@ def test_sink_read_excludes_uncommitted_batch(spark, tmp_path):
     assert sink.read(spark).count() == 10  # uncommitted dir excluded
     sink(spark.range(7).selectExpr("id AS v"), batch_id=1)  # replay commits
     assert sink.read(spark).count() == 17
+
+
+def test_stream_neardup_minhash_matches_batch(spark, sf_dir):
+    """Batch/stream parity for the LSH dedup index: the live streaming
+    bucket state expands to exactly the batch operator's candidate
+    pairs."""
+    from xcube_server_spark.registry import QUERIES
+
+    live = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["stream_neardup_minhash_live"](
+            spark, sf_dir
+        ).collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert live == batch and live

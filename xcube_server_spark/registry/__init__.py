@@ -53,7 +53,7 @@ for _m in (
 # driver rows (blosc-compressed zarr ingest through the pure-Python codec;
 # NetCDF4/HDF5 ingest through the pure-Python HDF5 reader; SemDeDup's
 # replication-factor observation hook; the upsert sink's per-run cleanup),
-# then (b) the 44 STALEST driver-green queries — every query whose last
+# then (b) the 42 STALEST driver-green queries — every query whose last
 # driver row dates to r1 (40 of them) plus the oldest r3 rows — so the
 # stalest green after r7 is r3-vintage instead of r1. Everything past
 # position 50 is overflow: multiply-green in prior rounds AND re-proven
@@ -65,6 +65,8 @@ _PRIORITY = [
     "netcdf4_ingest_stats",
     "netcdf4_packed_ingest_stats",
     "zarr_ingest_stats_http",
+    "bm25_search",
+    "stream_neardup_minhash_live",
     "semdedup_prune",
     "merge_upsert_docs_live",
     # (b) stalest driver-green rows: all 40 r1-vintage ...
@@ -110,11 +112,11 @@ _PRIORITY = [
     "window_running",
     # ... and the oldest r3-vintage rows up to window position 50
     "cross_source_overlap",
-    "data_split_train_valid",
-    "dedup_simhash",
-    "doc_chunking",  # <- window position 50 (r3-vintage)
+    "data_split_train_valid",  # <- window position 50 (r3-vintage)
     # ---- overflow (past the 50-query window) ----
+    "dedup_simhash",
     # remaining r3-vintage (next rotation's head)
+    "doc_chunking",
     "embed_label_centroids",
     "multimodal_bytes",
     "pack_sequences",

@@ -393,3 +393,132 @@ ORACLES["tfidf_top_terms"] = ORACLE_TFIDF
 ORACLES["unigram_logprob"] = ORACLE_UNIGRAM_LOGPROB
 ORACLES["sample_stratified"] = ORACLE_SAMPLE_STRATIFIED
 ORACLES["time_weighted_avg"] = ORACLE_TIME_WEIGHTED_AVG
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (training-data pipeline: query-based selection)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed 3-term query under BM25
+    (k1=1.2, b=0.75, the Lucene ``ln(1+(N-df+0.5)/(df+0.5))`` idf) —
+    query-based document selection, the retrieval half of
+    retrieve-then-filter training-data curation.
+
+    Plan shape (100 TB): doc length is a scan-side ``size(split(...))``
+    expression — no explode needed for it; the explode is immediately
+    filtered to the 3 query terms, so the ONLY corpus-width shuffle is
+    the (doc_id, term) tf aggregate over matching tokens (dl rides
+    through as ``max``). df is derived FROM that aggregate
+    (vocabulary<=3 rows) and broadcasts; N and avgdl are one scalar
+    aggregate broadcast back. Final ranking is a global top-10
+    (TakeOrdered — no full sort).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("dl"),
+        F.split("text", " ").alias("toks"),
+    )
+    tok = base.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    # df is derived FROM tf: localCheckpoint stops Catalyst re-running the
+    # corpus explode for the (tiny) document-frequency branch
+    tf = tf.localCheckpoint()
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf") * (k1 + F.lit(1.0))
+            / (
+                F.col("tf")
+                + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            rnd(F.sum("contrib"), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_terms_matched", "bm25")
+    )
+
+
+ORACLE_BM25 = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * tf.dl / stats.avgdl))
+         ) AS raw,
+         count(*) AS n_terms_matched
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       floor(raw * 10000 + 0.5) / 10000 AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+QUERIES["bm25_search"] = bm25_search
+ORACLES["bm25_search"] = ORACLE_BM25

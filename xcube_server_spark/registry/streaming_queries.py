@@ -787,3 +787,108 @@ ORACLES["stream_hypertable_rollup_live"] = ORACLE_HYPERTABLE
 from .pipeline_queries import ORACLE_MERGE as _ORACLE_MERGE  # noqa: E402
 
 ORACLES["merge_upsert_docs_live"] = _ORACLE_MERGE
+
+
+# ---------------------------------------------------------------------------
+# Live MinHash-LSH near-dup: the dedup index maintained as a stream
+# ---------------------------------------------------------------------------
+
+
+def _staged_docs_plain(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table unmodified as 3 doc_id-ranged files — a
+    document feed whose micro-batches partition the corpus."""
+    import os
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_docs_plain_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        (
+            docs.repartitionByRange(3, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def stream_neardup_minhash_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with the band index maintained as a
+    LIVE stream: each micro-batch of arriving documents computes its band
+    signatures scan-side (the same no-explode projection as
+    ``dedup_minhash_lsh``) and folds them into a stateful
+    ``collect_list`` per (band_id, band) bucket — the streaming form of
+    the LSH index every ingest pipeline keeps warm. After the backlog
+    drains, bucket lists expand to ordered candidate pairs exactly like
+    the batch operator, so the batch oracle (``ORACLE_MINHASH``) verifies
+    the whole chain: batch/stream parity for the dedup index.
+
+    100 TB: per-batch state delta is two (band_id, band, doc_id) rows per
+    document — fingerprint-width, never shingles; bucket state is the
+    index itself (what production stores in its dedup KV store), and the
+    same bucket-width cap bounds the pathological hot bucket.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.run import run_stream_to_batch
+    from ._util import char_cs_expr, char_shingle_expr
+    from .pipeline_queries import _cap_buckets
+
+    staged = _staged_docs_plain(spark, sf_dir)
+
+    def index_buckets(stream: DataFrame) -> DataFrame:
+        sig = stream.withColumn("cs", F.expr(char_cs_expr())).withColumn(
+            "hashes",
+            F.expr(f"transform({char_shingle_expr(5)}, s -> md5(s))"),
+        ).drop("cs")
+        for j in range(4):
+            sig = sig.withColumn(
+                f"m{j}",
+                F.expr(
+                    "array_min(transform(hashes,"
+                    f" h -> substring(h, {8 * j + 1}, 8)))"
+                ),
+            )
+        bands = sig.select(
+            "doc_id",
+            F.md5(F.concat("m0", "m1")).alias("b0"),
+            F.md5(F.concat("m2", "m3")).alias("b1"),
+        ).selectExpr(
+            "doc_id", "stack(2, 'b0', b0, 'b1', b1) AS (band_id, band)"
+        )
+        return bands.groupBy("band_id", "band").agg(
+            F.collect_list("doc_id").alias("ids")
+        )
+    out = run_stream_to_batch(
+        spark, staged, index_buckets, output_mode="complete"
+    )
+    buckets = (
+        out.select("band_id", "band", F.sort_array("ids").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    buckets = _cap_buckets(
+        buckets, "ids", "stream_neardup_minhash_live_buckets"
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+from .pipeline_queries import ORACLE_MINHASH as _ORACLE_MINHASH
+
+QUERIES["stream_neardup_minhash_live"] = stream_neardup_minhash_live
+ORACLES["stream_neardup_minhash_live"] = _ORACLE_MINHASH

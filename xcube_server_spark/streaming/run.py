@@ -67,4 +67,10 @@ def run_stream_to_batch(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the memory-sink table is independent of the checkpoint once the
+        # availableNow run has terminated — remove it, or every gate/bench
+        # run leaks one ckpt_* directory into /tmp
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
