@@ -225,3 +225,79 @@ def test_lz4_overlapping_match_semantics():
     src = b"ab" + b"ab" * 20
     blk = lz4_block_compress(src)
     assert lz4_block_decompress(blk, len(src)) == src
+
+
+# ---------------------------------------------------------------------------
+# bit-shuffle (shuffle=2)
+# ---------------------------------------------------------------------------
+
+
+def test_bitshuffle_hand_vector():
+    """Pin the transform to the bitshuffle scalar reference
+    ``out[b][i/8] |= ((in[i] >> b) & 1) << (i % 8)`` with a hand-computed
+    8-element typesize-1 case."""
+    from xcube_server_spark.sources.blosc import (
+        _bitshuffle_bytes,
+        _bitunshuffle_bytes,
+    )
+
+    src = bytes([0x01, 0x03, 0x00, 0xFF, 0x80, 0x00, 0x00, 0x00])
+    # plane b: element i contributes bit i of the packed byte
+    # b0: e0,e1,e3 -> 0b00001011 ; b1: e1,e3 -> 0b00001010
+    # b2..b6: e3 -> 0b00001000 ; b7: e3,e4 -> 0b00011000
+    want = bytes([0x0B, 0x0A, 0x08, 0x08, 0x08, 0x08, 0x08, 0x18])
+    assert _bitshuffle_bytes(src, 1) == want
+    assert _bitunshuffle_bytes(want, 1) == src
+
+
+def test_bitshuffle_typesize2_layout():
+    """typesize>1: byte-transpose FIRST, then per-byte-plane bit planes —
+    plane order is (byte_in_element, bit)."""
+    from xcube_server_spark.sources.blosc import (
+        _bitshuffle_bytes,
+        _bitunshuffle_bytes,
+    )
+
+    # 8 uint16 LE elements: low bytes 1,2,...,8 ; high bytes all 0x01
+    elems = bytes(b for i in range(8) for b in (i + 1, 0x01))
+    out = _bitshuffle_bytes(elems, 2)
+    # first 8 bytes: bit planes of the LOW-byte plane
+    lows = [i + 1 for i in range(8)]
+    for b in range(8):
+        want = 0
+        for i, v in enumerate(lows):
+            want |= ((v >> b) & 1) << i
+        assert out[b] == want, (b, out[b], want)
+    # next 8: high-byte plane — bit 0 set for every element
+    assert out[8] == 0xFF and all(out[8 + b] == 0 for b in range(1, 8))
+    assert _bitunshuffle_bytes(out, 2) == elems
+
+
+def test_bitshuffle_leftover_tail_rides_raw():
+    from xcube_server_spark.sources.blosc import (
+        _bitshuffle_bytes,
+        _bitunshuffle_bytes,
+    )
+
+    src = bytes(range(8 * 4)) + b"tail7"  # 4 elements x 8 + 5 raw bytes
+    out = _bitshuffle_bytes(src, 4)
+    assert out.endswith(b"tail7")
+    assert _bitunshuffle_bytes(out, 4) == src
+
+
+@pytest.mark.parametrize("dtype", ["<f8", "<f4", "<i2", "<u1"])
+@pytest.mark.parametrize("cname", ["lz4", "zlib"])
+def test_bitshuffle_frame_roundtrip(dtype, cname):
+    rng = np.random.default_rng(17)
+    arr = (rng.integers(0, 7, size=4096) * 3).astype(dtype)
+    raw = arr.tobytes()
+    frame = compress(raw, arr.dtype.itemsize, cname=cname, shuffle="bit")
+    assert frame[2] & 0x4  # bit-shuffle flag set
+    assert decompress(frame) == raw
+
+
+def test_bitshuffle_multiblock_roundtrip():
+    rng = np.random.default_rng(19)
+    raw = rng.integers(0, 3, size=200_000, dtype=np.uint8).tobytes()
+    frame = compress(raw, 8, shuffle="bit", blocksize=65536)
+    assert decompress(frame) == raw

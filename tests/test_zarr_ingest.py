@@ -142,9 +142,10 @@ def test_blosc_store_roundtrips_through_distributed_ingest(spark, tmp_path):
 
 
 def test_unsupported_codecs_rejected_clearly(tmp_path):
-    """Codecs the pure-Python path genuinely cannot decode (zstd, blosclz
-    payloads, bit-shuffle) must raise a clear gate error — never a silent
-    wrong read. blosc(lz4/zlib) itself is accepted (see round-trip above)."""
+    """Codecs the pure-Python path genuinely cannot decode (zstd and
+    blosclz payloads) must raise a clear gate error — never a silent
+    wrong read. blosc(lz4/zlib, byte- or bit-shuffle) is accepted (see
+    round-trips above)."""
     import json
     import os
 
@@ -162,14 +163,14 @@ def test_unsupported_codecs_rejected_clearly(tmp_path):
     }))
     with _pytest.raises(NotImplementedError):
         ZarrArray(str(p))
-    # blosc container carrying an unsupported inner codec / filter
+    # blosc container carrying an unsupported inner codec
     frame = bytearray(compress(bytes(range(32)) * 8, 4))
     zstd_flags = (5 << 5)  # codec id 5 = zstd
     frame[2] = zstd_flags
     with _pytest.raises(NotImplementedError, match="zstd"):
         decompress(bytes(frame))
-    frame[2] = 0x4  # bit-shuffle filter bit
-    with _pytest.raises(NotImplementedError, match="bit-shuffle"):
+    frame[2] = 0  # codec id 0 = blosclz
+    with _pytest.raises(NotImplementedError, match="blosclz"):
         decompress(bytes(frame))
 
 
@@ -324,3 +325,114 @@ def test_lru_store_cache_bounds_and_hits():
     c.get("b"); c.get("c")  # 300 bytes > 250 -> evicts oldest ("a")
     c.get("a")
     assert calls.count("a") == 2
+
+
+def test_bitshuffle_store_roundtrips(tmp_path):
+    """blosc shuffle=2 (bit-shuffle) stores decode — the other shuffle
+    real-world zarr ships."""
+    path = str(tmp_path / "bit.zarr")
+    rng = np.random.default_rng(29)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[0, 0, 0] = math.nan
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_zarr_group(
+        path, TIMES, lat, lon, {"conc_chl": chl},
+        chunk_shape=(1, 4, 8), compressor="blosc-bit",
+    )
+    import json
+
+    meta = json.loads(open(path + "/conc_chl/.zarray").read())
+    assert meta["compressor"]["shuffle"] == 2
+    ds = open_zarr_group(path)
+    got = ds["conc_chl"][0 : len(TIMES), 0:H, 0:W]
+    assert np.allclose(got, chl, equal_nan=True)
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 (zarr.json nodes, codecs chain, c/-tree chunk keys)
+# ---------------------------------------------------------------------------
+
+
+def test_zarr_v3_distributed_ingest(spark, tmp_path):
+    """Zarr V3 store (the format the ecosystem ships today): zarr.json
+    metadata, dimension_names, bytes->gzip codecs chain, c/-tree keys —
+    same executor ingest path, same values."""
+    from xcube_server_spark.sources.zarr_store import write_zarr_group_v3
+
+    path = str(tmp_path / "v3.zarr")
+    rng = np.random.default_rng(31)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[0, 0, 0] = math.nan
+    tsm = rng.uniform(0, 100, size=(len(TIMES), H, W))
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_zarr_group_v3(
+        path, TIMES, lat, lon, {"conc_chl": chl, "conc_tsm": tsm},
+        chunk_shape=(1, 4, 8),
+    )
+    import json as _json
+
+    meta = _json.loads(open(path + "/conc_chl/zarr.json").read())
+    assert meta["zarr_format"] == 3
+    assert meta["dimension_names"] == ["time", "lat", "lon"]
+    ds = open_zarr_group(path)
+    assert ds["conc_chl"].dims == ("time", "lat", "lon")
+    df, grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    assert (grid.width, grid.height) == (W, H)
+    assert grid.times == tuple(TIMES)
+    _check_cells(df, chl, tsm)
+
+
+def test_zarr_v3_over_http_consolidated(tmp_path):
+    """V3 over the object-store protocol: the root zarr.json carries
+    consolidated_metadata (zarr-python convention), so one GET resolves
+    the whole group; chunks stream from the c/ tree."""
+    from xcube_server_spark.sources.zarr_store import write_zarr_group_v3
+
+    path = str(tmp_path / "v3h.zarr")
+    chl = np.arange(2 * 4 * 6, dtype="f8").reshape(2, 4, 6)
+    write_zarr_group_v3(
+        path, TIMES[:2], np.linspace(52, 50, 4), np.linspace(0, 5, 6),
+        {"chl": chl}, chunk_shape=(1, 2, 3), compressor="blosc",
+    )
+    srv, url = _serve(path)
+    try:
+        ds = open_zarr_group(url)
+        assert np.allclose(ds["chl"][0:2, 0:4, 0:6], chl)
+    finally:
+        srv.shutdown()
+
+
+def test_zarr_v3_unsupported_codecs_rejected(tmp_path):
+    """v3 sharding/zstd/crc32c codecs and exotic grids raise clearly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from xcube_server_spark.sources.zarr_store import ZarrArrayV3
+
+    p = tmp_path / "a"
+    p.mkdir()
+    base = {
+        "zarr_format": 3, "node_type": "array", "shape": [4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [4]}},
+        "fill_value": 0.0,
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}},
+                   {"name": "zstd", "configuration": {"level": 1}}],
+    }
+    (p / "zarr.json").write_text(_json.dumps(base))
+    (p / "c.0").write_bytes(b"")
+    arr = ZarrArrayV3(str(p))
+    # key encoding default: chunk at c/0 — write it so decode is reached
+    (p / "c").mkdir()
+    (p / "c" / "0").write_bytes(bytes(32))
+    with _pytest.raises(NotImplementedError, match="zstd"):
+        arr[0:4]
+    base["chunk_grid"] = {"name": "rectilinear", "configuration": {}}
+    (p / "zarr.json").write_text(_json.dumps(base))
+    with _pytest.raises(NotImplementedError, match="chunk grid"):
+        ZarrArrayV3(str(p))

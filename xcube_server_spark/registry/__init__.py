@@ -53,7 +53,7 @@ for _m in (
 # driver rows (blosc-compressed zarr ingest through the pure-Python codec;
 # NetCDF4/HDF5 ingest through the pure-Python HDF5 reader; SemDeDup's
 # replication-factor observation hook; the upsert sink's per-run cleanup),
-# then (b) the 42 STALEST driver-green queries — every query whose last
+# then (b) the 41 STALEST driver-green queries — every query whose last
 # driver row dates to r1 (40 of them) plus the oldest r3 rows — so the
 # stalest green after r7 is r3-vintage instead of r1. Everything past
 # position 50 is overflow: multiply-green in prior rounds AND re-proven
@@ -65,6 +65,7 @@ _PRIORITY = [
     "netcdf4_ingest_stats",
     "netcdf4_packed_ingest_stats",
     "zarr_ingest_stats_http",
+    "zarr_v3_ingest_stats",
     "bm25_search",
     "stream_neardup_minhash_live",
     "semdedup_prune",
@@ -111,9 +112,9 @@ _PRIORITY = [
     "window_rank",
     "window_running",
     # ... and the oldest r3-vintage rows up to window position 50
-    "cross_source_overlap",
-    "data_split_train_valid",  # <- window position 50 (r3-vintage)
+    "cross_source_overlap",  # <- window position 50 (r3-vintage)
     # ---- overflow (past the 50-query window) ----
+    "data_split_train_valid",
     "dedup_simhash",
     # remaining r3-vintage (next rotation's head)
     "doc_chunking",

@@ -1411,3 +1411,87 @@ def zarr_ingest_stats_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["zarr_ingest_stats_http"] = zarr_ingest_stats_http
 ORACLES["zarr_ingest_stats_http"] = ORACLE_ZARR_INGEST_BLOSC
+
+
+# ---------------------------------------------------------------------------
+# zarr_v3_ingest_stats: zarr v3 (zarr.json nodes, codecs chain) through gate
+# ---------------------------------------------------------------------------
+
+
+def _zarr_v3_gate_store() -> str:
+    """Zarr V3 twin with its own formula —
+    ``((t*47 + y*19 + x*29) % 79) / 4`` with NULL holes where
+    ``(y*W + x + 7*t) % 17 == 0`` — written as zarr.json nodes with a
+    bytes+blosc(bit-shuffle) codecs chain and ``c/``-tree chunk keys."""
+    import numpy as np
+
+    from ..sources.zarr_store import write_zarr_group_v3
+
+    path = os.path.join(tempfile.gettempdir(), "xss_zarr_v3_gate_v1")
+    if not os.path.exists(os.path.join(path, "zarr.json")):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 47 + y * 19 + x * 29) % 79) / 4.0
+        chl[(y * _ZG_W + x + 7 * t) % 17 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_zarr_group_v3(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+            compressor="blosc-bit",
+        )
+    return path
+
+
+def zarr_v3_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zarr_ingest_stats`` over a zarr V3 store — the format the zarr
+    ecosystem ships today: ``zarr.json`` metadata nodes, regular chunk
+    grid, ``c/``-prefixed chunk tree, a codecs CHAIN (bytes endian →
+    blosc with BIT-shuffle), ``dimension_names`` instead of the v2 attr
+    convention. Executors decode v3 chunks through the same pure-Python
+    codec; the SQL formula oracle hash-verifies every cell. Reference
+    opens zarr via xarray (``xcube_server/context.py:238-255``), which
+    reads both versions."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _zarr_v3_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_ZARR_V3 = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 7 * t.i) % 17 = 0 THEN NULL
+              ELSE ((t.i * 47 + y.i * 19 + x.i * 29) % 79) / 4.0 END
+           AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["zarr_v3_ingest_stats"] = zarr_v3_ingest_stats
+ORACLES["zarr_v3_ingest_stats"] = ORACLE_ZARR_V3

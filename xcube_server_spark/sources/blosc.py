@@ -9,7 +9,8 @@ decompress those chunks with only the standard library + numpy:
 
 - 16-byte header: ``version | versionlz | flags | typesize | nbytes(i4le)
   | blocksize(i4le) | cbytes(i4le)``. ``flags`` bit 0 = byte-shuffle,
-  bit 1 = pure memcpy, bit 2 = bit-shuffle (unsupported → clear error);
+  bit 1 = pure memcpy, bit 2 = bit-shuffle (the bitshuffle-library
+  transform — see ``_bitshuffle_bytes``);
   bits 5-7 = codec id (0 blosclz — unsupported, 1 lz4/lz4hc, 3 zlib,
   5 zstd — unsupported).
 - blocks section: ``nblocks = ceil(nbytes / blocksize)`` little-endian
@@ -31,8 +32,9 @@ the correctness gate can round-trip REAL blosc-lz4 frames without
 numcodecs. The compressor writes a stream raw when compression does not
 shrink it, mirroring c-blosc.
 
-Scope (asserted, not silently wrong): blosclz/zstd payloads and
-bit-shuffle raise ``NotImplementedError`` naming the missing piece.
+Scope (asserted, not silently wrong): blosclz/zstd payloads raise
+``NotImplementedError`` naming the missing piece; byte-shuffle AND
+bit-shuffle both decode.
 """
 
 from __future__ import annotations
@@ -182,6 +184,49 @@ def _unshuffle_bytes(data: bytes, typesize: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# bit-shuffle (per block) — the bitshuffle-library transform c-blosc uses
+# for shuffle=2: byte-transpose to typesize byte-planes, then each plane
+# bit-transposes into 8 bit-planes; element i lands in bit (i % 8) of
+# packed byte i//8, LSB-first (the scalar reference loop
+# ``out[b][i/8] |= ((in[i] >> b) & 1) << (i % 8)``). Only the prefix
+# divisible by typesize*8 transforms; the tail rides along raw, matching
+# c-blosc's leftover handling.
+# ---------------------------------------------------------------------------
+
+
+def _bitshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    m = len(data) - len(data) % (typesize * 8)
+    if m == 0:
+        return data
+    nelem = m // typesize
+    a = np.frombuffer(data[:m], np.uint8).reshape(nelem, typesize)
+    bits = np.unpackbits(
+        a.T.reshape(typesize, nelem, 1), axis=2, bitorder="little"
+    )  # (T, nelem, 8): bit b of element e's byte t
+    planes = np.packbits(
+        np.moveaxis(bits, 2, 1), axis=2, bitorder="little"
+    )  # (T, 8, nelem/8): plane (t, b), element e -> bit e%8 of byte e//8
+    return planes.tobytes() + data[m:]
+
+
+def _bitunshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    m = len(data) - len(data) % (typesize * 8)
+    if m == 0:
+        return data
+    nelem = m // typesize
+    planes = np.frombuffer(data[:m], np.uint8).reshape(
+        typesize, 8, nelem // 8
+    )
+    bits = np.unpackbits(planes, axis=2, bitorder="little").reshape(
+        typesize, 8, nelem
+    )
+    elems = np.packbits(
+        np.moveaxis(bits, 1, 2), axis=2, bitorder="little"
+    )  # (T, nelem, 1): byte = sum(bit_b << b)
+    return elems[:, :, 0].T.tobytes() + data[m:]
+
+
+# ---------------------------------------------------------------------------
 # blosc chunk
 # ---------------------------------------------------------------------------
 
@@ -215,11 +260,6 @@ def decompress(frame: bytes) -> bytes:
     if blocksize <= 0 or nbytes < 0:
         raise ValueError(
             f"corrupt blosc chunk: nbytes={nbytes} blocksize={blocksize}"
-        )
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle filter is not supported (byte-shuffle and "
-            "unshuffled chunks are)"
         )
     if flags & _MEMCPY:
         return bytes(frame[16 : 16 + nbytes])
@@ -258,7 +298,9 @@ def decompress(frame: bytes) -> bytes:
                     block += lz4_block_decompress(payload, stream_size)
                 else:
                     block += zlib.decompress(payload)
-        if flags & _SHUFFLE and typesize > 1:
+        if flags & _BITSHUFFLE:
+            block = bytearray(_bitunshuffle_bytes(bytes(block), typesize))
+        elif flags & _SHUFFLE and typesize > 1:
             block = bytearray(_unshuffle_bytes(bytes(block), typesize))
         out += block
     if len(out) != nbytes:
@@ -272,7 +314,7 @@ def compress(
     data: bytes,
     typesize: int,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle: bool | str = True,
     blocksize: int = 0,
 ) -> bytes:
     """Compress raw bytes into a blosc v1 chunk (writer/test-fixture side).
@@ -297,7 +339,12 @@ def compress(
         blocksize = min(nbytes, 1 << 16)
     blocksize = max(typesize, blocksize // typesize * typesize)
     blocksize = min(blocksize, nbytes) or typesize
-    flags = (codec << 5) | (_SHUFFLE if shuffle and typesize > 1 else 0)
+    if shuffle == "bit":
+        flags = (codec << 5) | _BITSHUFFLE
+    else:
+        flags = (codec << 5) | (
+            _SHUFFLE if shuffle and typesize > 1 else 0
+        )
     nblocks = -(-nbytes // blocksize)
     body = bytearray()
     bstarts: list[int] = []
@@ -307,7 +354,9 @@ def compress(
         leftover = nbytes % blocksize if j == nblocks - 1 else 0
         bsize = leftover or blocksize
         block = data[j * blocksize : j * blocksize + bsize]
-        if flags & _SHUFFLE:
+        if flags & _BITSHUFFLE:
+            block = _bitshuffle_bytes(block, typesize)
+        elif flags & _SHUFFLE:
             block = _shuffle_bytes(block, typesize)
         nstreams = (
             typesize

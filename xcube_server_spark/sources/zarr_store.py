@@ -1,4 +1,4 @@
-"""Pure-Python zarr v2 store reader/writer (no zarr/xarray dependency).
+"""Pure-Python zarr v2 + v3 store reader/writer (no zarr/xarray dependency).
 
 Upgrades S2 (local zarr scan) from import-gated to EXECUTABLE in this
 container: the zarr v2 on-disk format is JSON metadata (``.zgroup`` /
@@ -14,10 +14,14 @@ minimal dataset surface the ingest path consumes
   ``_ARRAY_DIMENSIONS`` attr convention) and ``.chunks``
 - ``ds[name][t0:t1, y0:y1, x0:x1]`` window slicing (the executor-side read)
 
-Scope (asserted, not silently wrong): zarr v2, C order, no filters,
-compressor ``null``, ``zlib`` or ``blosc`` with lz4/zlib payloads (the
+Scope (asserted, not silently wrong): zarr v2 (``.zgroup``/``.zarray``
+JSON, C order, no filters) AND zarr v3 (``zarr.json`` nodes, regular
+chunk grid, default/v2 chunk-key encodings, ``dimension_names``,
+consolidated_metadata); compressors: ``null``, ``zlib``/``gzip`` or
+``blosc`` with lz4/zlib payloads and byte- or bit-shuffle (the
 pure-Python codec in ``sources/blosc.py`` — zarr's default compressor);
-blosc-zstd/blosclz payloads and bit-shuffle raise a clear error.
+blosc-zstd/blosclz payloads, v3 sharding/crc32c and non-identity
+transpose raise a clear error.
 Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
 consumes directly.
@@ -305,6 +309,114 @@ class ZarrArray:
         return arr
 
 
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float32": "f4", "float64": "f8",
+}
+
+
+class ZarrArrayV3(ZarrArray):
+    """Zarr v3 array: ``zarr.json`` metadata, ``c/``-prefixed chunk keys,
+    a codecs CHAIN (``bytes`` endian + ``gzip``/``blosc`` compressors) and
+    first-class ``dimension_names``. Translates onto the v2 machinery
+    (same store abstraction, window reads, CF decode); codecs outside
+    scope (zstd, crc32c, sharding_indexed, non-identity transpose) raise
+    a clear error."""
+
+    def __init__(self, path: str, store=None, prefix: str = "",
+                 meta: dict | None = None):
+        self.path = path
+        self._store = store if store is not None else _store_for(path)
+        self._prefix = f"{prefix}/" if prefix else ""
+        if meta is None:
+            raw = self._store.get(self._prefix + "zarr.json")
+            if raw is None:
+                raise FileNotFoundError(f"no zarr.json under {path}")
+            meta = json.loads(raw)
+        if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+            raise NotImplementedError(
+                f"not a zarr v3 array node: {path}"
+            )
+        self.shape = tuple(meta["shape"])
+        cg = meta.get("chunk_grid", {})
+        if cg.get("name") != "regular":
+            raise NotImplementedError(
+                f"zarr v3 chunk grid {cg.get('name')!r} (regular only)"
+            )
+        self.chunk_shape = tuple(cg["configuration"]["chunk_shape"])
+        dt = meta.get("data_type")
+        if dt not in _V3_DTYPES:
+            raise NotImplementedError(f"zarr v3 data_type {dt!r}")
+        endian = "<"
+        self._codecs = list(meta.get("codecs", []))
+        for c in self._codecs:
+            if c.get("name") == "bytes":
+                endian = (
+                    ">" if c.get("configuration", {}).get("endian")
+                    == "big" else "<"
+                )
+        self.dtype = np.dtype(
+            endian + _V3_DTYPES[dt]
+        ) if _V3_DTYPES[dt] not in ("b1",) else np.dtype(_V3_DTYPES[dt])
+        fv = meta.get("fill_value")
+        if fv == "NaN":
+            fv = math.nan
+        self.fill_value = fv
+        cke = meta.get("chunk_key_encoding", {"name": "default"})
+        self._key_name = cke.get("name", "default")
+        self._sep = cke.get("configuration", {}).get(
+            "separator", "/" if self._key_name == "default" else "."
+        )
+        self.attrs = dict(meta.get("attributes", {}))
+        self._dimension_names = meta.get("dimension_names")
+
+    @property
+    def dims(self) -> tuple[str, ...]:
+        if self._dimension_names:
+            return tuple(self._dimension_names)
+        return tuple(self.attrs.get("_ARRAY_DIMENSIONS", ()))
+
+    def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
+        if self._key_name == "default":
+            key = self._prefix + "c" + "".join(
+                f"{self._sep}{i}" for i in idx
+            )
+        else:  # "v2" encoding
+            key = self._prefix + self._sep.join(str(i) for i in idx)
+        raw = self._store.get(key)
+        if raw is None:
+            arr = np.empty(self.chunk_shape, dtype=self.dtype)
+            arr[...] = (
+                self.fill_value if self.fill_value is not None else 0
+            )
+            return arr
+        # bytes->bytes codecs invert last-to-first; 'bytes' ends the chain
+        for c in reversed(self._codecs):
+            name = c.get("name")
+            if name == "bytes":
+                break
+            if name == "gzip":
+                raw = zlib.decompress(raw, 32 + 15)  # gzip OR zlib header
+            elif name == "blosc":
+                from .blosc import decompress as _blosc_decompress
+
+                raw = _blosc_decompress(raw)
+            elif name == "transpose":
+                order = c.get("configuration", {}).get("order")
+                if order != list(range(len(self.shape))):
+                    raise NotImplementedError(
+                        "zarr v3 non-identity transpose codec"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"zarr v3 codec {name!r} is not supported "
+                    "(bytes/gzip/blosc/identity-transpose are)"
+                )
+        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+
+
 class ZarrGroup:
     """A zarr v2 group presenting the minimal xarray-Dataset surface the
     ingest path uses (``data_vars``, coordinate ``.values``, slicing).
@@ -321,6 +433,25 @@ class ZarrGroup:
         self._arrays: dict[str, ZarrArray] = {}
         if path.startswith(("http://", "https://")):
             store = _store_for(path)
+            raw3 = store.get("zarr.json")
+            if raw3 is not None:  # zarr v3 root node
+                root = json.loads(raw3)
+                cm = (root.get("consolidated_metadata") or {}).get(
+                    "metadata"
+                )
+                if cm is None:
+                    raise NotImplementedError(
+                        "zarr v3 group over HTTP needs "
+                        f"consolidated_metadata in zarr.json: {path}"
+                    )
+                for name in sorted(cm):
+                    m = cm[name]
+                    if m.get("node_type") == "array":
+                        self._arrays[name] = ZarrArrayV3(
+                            f"{path}/{name}", store=store, prefix=name,
+                            meta=m,
+                        )
+                return
             raw = store.get(".zmetadata")
             if raw is None:
                 raise NotImplementedError(
@@ -338,8 +469,23 @@ class ZarrGroup:
                     attrs=meta.get(f"{name}/.zattrs", {}),
                 )
             return
+        v3root = os.path.join(path, "zarr.json")
+        if os.path.exists(v3root):
+            with open(v3root) as f:
+                root = json.load(f)
+            if root.get("node_type") != "group":
+                raise NotImplementedError(
+                    f"zarr v3 root node_type {root.get('node_type')!r}"
+                )
+            for name in sorted(os.listdir(path)):
+                sub = os.path.join(path, name)
+                if os.path.isdir(sub) and os.path.exists(
+                    os.path.join(sub, "zarr.json")
+                ):
+                    self._arrays[name] = ZarrArrayV3(sub)
+            return
         if not os.path.exists(os.path.join(path, ".zgroup")):
-            raise FileNotFoundError(f"not a zarr v2 group: {path}")
+            raise FileNotFoundError(f"not a zarr v2/v3 group: {path}")
         for name in sorted(os.listdir(path)):
             sub = os.path.join(path, name)
             if os.path.isdir(sub) and os.path.exists(
@@ -387,10 +533,10 @@ def _write_array(
     comp = compressor if compressor is not None else (
         "zlib" if compress else None
     )
-    if comp == "blosc":
+    if comp in ("blosc", "blosc-bit"):
         comp_meta: dict | None = {
             "id": "blosc", "cname": "lz4", "clevel": 5,
-            "shuffle": 1, "blocksize": 0,
+            "shuffle": 2 if comp == "blosc-bit" else 1, "blocksize": 0,
         }
     elif comp == "zlib":
         comp_meta = {"id": "zlib", "level": 5}
@@ -430,10 +576,13 @@ def _write_array(
             block = arr[sel]
             chunk[tuple(slice(0, b) for b in block.shape)] = block
             raw = chunk.tobytes(order="C")
-            if comp == "blosc":
+            if comp in ("blosc", "blosc-bit"):
                 from .blosc import compress as _blosc_compress
 
-                raw = _blosc_compress(raw, arr.dtype.itemsize)
+                raw = _blosc_compress(
+                    raw, arr.dtype.itemsize,
+                    shuffle="bit" if comp == "blosc-bit" else True,
+                )
             elif comp == "zlib":
                 raw = zlib.compress(raw, 5)
             name = ".".join(
@@ -523,3 +672,145 @@ def consolidate_metadata(path: str) -> None:
         json.dump(
             {"zarr_consolidated_format": 1, "metadata": meta}, f
         )
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 writer (test fixture / conversion utility)
+# ---------------------------------------------------------------------------
+
+
+def _write_array_v3(
+    path: str,
+    arr: np.ndarray,
+    chunk_shape: tuple[int, ...],
+    dims: tuple[str, ...],
+    attrs: dict | None = None,
+    compressor: str | None = "gzip",
+) -> dict:
+    """Write one zarr v3 array (``zarr.json`` + ``c/...`` chunk tree) and
+    return its metadata document (for root consolidated_metadata)."""
+    os.makedirs(path, exist_ok=True)
+    codecs: list[dict] = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    if compressor == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 5}})
+    elif compressor in ("blosc", "blosc-bit"):
+        codecs.append({
+            "name": "blosc",
+            "configuration": {
+                "cname": "lz4", "clevel": 5,
+                "shuffle": (
+                    "bitshuffle" if compressor == "blosc-bit" else "shuffle"
+                ),
+                "typesize": arr.dtype.itemsize, "blocksize": 0,
+            },
+        })
+    elif compressor is not None:
+        raise NotImplementedError(f"v3 writer compressor {compressor!r}")
+    dt_name = {v: k for k, v in _V3_DTYPES.items()}[arr.dtype.str[1:]]
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": dt_name,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunk_shape)},
+        },
+        "chunk_key_encoding": {
+            "name": "default", "configuration": {"separator": "/"}
+        },
+        "fill_value": "NaN" if arr.dtype.kind == "f" else 0,
+        "codecs": codecs,
+        "dimension_names": list(dims),
+        "attributes": attrs or {},
+    }
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunk_shape)]
+    import itertools
+
+    for origin in itertools.product(*grid):
+        idx = tuple(o // c for o, c in zip(origin, chunk_shape))
+        sel = tuple(
+            slice(o, min(o + c, s))
+            for o, c, s in zip(origin, chunk_shape, arr.shape)
+        )
+        chunk = np.empty(chunk_shape, dtype=arr.dtype)
+        chunk[...] = math.nan if arr.dtype.kind == "f" else 0
+        block = arr[sel]
+        chunk[tuple(slice(0, b) for b in block.shape)] = block
+        raw = chunk.tobytes(order="C")
+        if compressor == "gzip":
+            import gzip as _gzip
+
+            raw = _gzip.compress(raw, 5)
+        elif compressor in ("blosc", "blosc-bit"):
+            from .blosc import compress as _blosc_compress
+
+            raw = _blosc_compress(
+                raw, arr.dtype.itemsize,
+                shuffle="bit" if compressor == "blosc-bit" else True,
+            )
+        key_dir = os.path.join(path, "c", *[str(i) for i in idx[:-1]])
+        os.makedirs(key_dir, exist_ok=True)
+        with open(os.path.join(key_dir, str(idx[-1])), "wb") as f:
+            f.write(raw)
+    return meta
+
+
+def write_zarr_group_v3(
+    path: str,
+    times: list[str],
+    lat: np.ndarray,
+    lon: np.ndarray,
+    variables: dict[str, np.ndarray],
+    chunk_shape: tuple[int, int, int] = (1, 256, 256),
+    compressor: str | None = "gzip",
+) -> None:
+    """Write a (time, lat, lon) cube as a zarr V3 group (``zarr.json``
+    nodes, ``c/``-tree chunk keys, codecs chain, ``dimension_names``,
+    consolidated_metadata in the root for object-store opens)."""
+    os.makedirs(path, exist_ok=True)
+    epoch = datetime(1970, 1, 1)
+    tvals = np.array(
+        [
+            (
+                datetime.strptime(t[:19], "%Y-%m-%d %H:%M:%S") - epoch
+            ).total_seconds()
+            for t in times
+        ],
+        dtype="<i8",
+    )
+    consolidated: dict[str, dict] = {}
+    consolidated["time"] = _write_array_v3(
+        os.path.join(path, "time"), tvals, (len(tvals),), ("time",),
+        {"units": "seconds since 1970-01-01 00:00:00"}, compressor,
+    )
+    consolidated["lat"] = _write_array_v3(
+        os.path.join(path, "lat"), np.asarray(lat, "<f8"),
+        (len(lat),), ("lat",), None, compressor,
+    )
+    consolidated["lon"] = _write_array_v3(
+        os.path.join(path, "lon"), np.asarray(lon, "<f8"),
+        (len(lon),), ("lon",), None, compressor,
+    )
+    for name, arr in variables.items():
+        a = np.asarray(arr, "<f8")
+        ch = tuple(min(c, s) for c, s in zip(chunk_shape, a.shape))
+        consolidated[name] = _write_array_v3(
+            os.path.join(path, name), a, ch, ("time", "lat", "lon"),
+            None, compressor,
+        )
+    root = {
+        "zarr_format": 3,
+        "node_type": "group",
+        "attributes": {},
+        "consolidated_metadata": {
+            "kind": "inline", "must_understand": False,
+            "metadata": consolidated,
+        },
+    }
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(root, f)
