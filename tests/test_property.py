@@ -84,3 +84,93 @@ def test_grid_index_inverse(lon, lat):
     i, j = g.lat_idx_of(lat), g.lon_idx_of(lon)
     assert abs(g.lat_of(i) - lat) <= g.res_lat / 2 + 1e-9
     assert abs(g.lon_of(j) - lon) <= g.res_lon / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# codec properties: blosc frames and zarr window reads
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4096),
+    ts=st.sampled_from([1, 2, 4, 8, 16]),
+    cname=st.sampled_from(["lz4", "zlib"]),
+    shuffle=st.sampled_from([True, False, "bit"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_blosc_roundtrip_property(data, ts, cname, shuffle):
+    """compress->decompress is identity for ANY byte string whose length
+    is a typesize multiple, across codecs and both shuffles."""
+    from xcube_server_spark.sources.blosc import compress, decompress
+
+    data = data[: len(data) // ts * ts]
+    frame = compress(data, ts, cname=cname, shuffle=shuffle)
+    assert decompress(frame) == data
+
+
+@given(
+    shape=st.tuples(
+        st.integers(1, 5), st.integers(1, 9), st.integers(1, 9)
+    ),
+    chunks=st.tuples(
+        st.integers(1, 3), st.integers(1, 4), st.integers(1, 4)
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_zarr_window_read_matches_numpy(tmp_path_factory, shape, chunks, seed):
+    """Any window of any chunking equals the numpy slice — v2 AND v3."""
+    import numpy as np
+
+    from xcube_server_spark.sources.zarr_store import (
+        ZarrArray,
+        ZarrArrayV3,
+        _write_array,
+        _write_array_v3,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.uniform(-5, 5, size=shape)
+    ch = tuple(min(c, s) for c, s in zip(chunks, shape))
+    t0 = int(rng.integers(0, shape[0]))
+    t1 = int(rng.integers(t0 + 1, shape[0] + 1))
+    y0 = int(rng.integers(0, shape[1]))
+    y1 = int(rng.integers(y0 + 1, shape[1] + 1))
+    x0 = int(rng.integers(0, shape[2]))
+    x1 = int(rng.integers(x0 + 1, shape[2] + 1))
+    base = tmp_path_factory.mktemp("zprop")
+    p2 = str(base / "v2")
+    _write_array(p2, arr, ch, ("t", "y", "x"), compressor="blosc")
+    got2 = ZarrArray(p2)[t0:t1, y0:y1, x0:x1]
+    assert np.allclose(got2, arr[t0:t1, y0:y1, x0:x1])
+    p3 = str(base / "v3")
+    _write_array_v3(p3, arr, ch, ("t", "y", "x"), compressor="blosc-bit")
+    got3 = ZarrArrayV3(p3)[t0:t1, y0:y1, x0:x1]
+    assert np.allclose(got3, arr[t0:t1, y0:y1, x0:x1])
+
+
+@given(
+    data=st.binary(min_size=0, max_size=2000),
+)
+@settings(max_examples=50, deadline=None)
+def test_fletcher32_property(data):
+    from xcube_server_spark.sources.hdf5 import (
+        _fletcher32,
+        _fletcher32_simple,
+    )
+
+    assert _fletcher32(data) == _fletcher32_simple(data)
+
+
+@given(
+    data=st.binary(min_size=8, max_size=1024),
+    ts=st.sampled_from([1, 2, 4, 8]),
+)
+@settings(max_examples=50, deadline=None)
+def test_bitshuffle_inverse_property(data, ts):
+    from xcube_server_spark.sources.blosc import (
+        _bitshuffle_bytes,
+        _bitunshuffle_bytes,
+    )
+
+    assert _bitunshuffle_bytes(_bitshuffle_bytes(data, ts), ts) == data

@@ -1,0 +1,182 @@
+"""Drop-in proof: the REFERENCE's demo ``config.yml`` shape — raw-store
+Paths (NetCDF4 ``cube.nc``, an obs/Endpoint zarr), a ``memory`` dataset
+computed by ``resample_in_time.py:compute_dataset``, PlaceGroups and
+Styles — loads into the engine's catalog and serves, with no manual
+pre-ingestion (``xcube_server/res/demo/config.yml`` semantics;
+``context.py:217-255``).
+
+Raw stores auto-ingest through the pure-Python readers into the LOD
+parquet layout, once per store (cached by ``catalog.json`` marker).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import threading
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+TIMES = ["2017-01-16 10:09:22", "2017-01-25 09:35:51", "2017-01-26 10:50:17"]
+H, W = 10, 20
+
+
+def _geojson(path, lon, lat, name):
+    path.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [lon, lat]},
+            "properties": {"Name": name, "ID": "1"},
+        }],
+    }))
+
+
+@pytest.fixture(scope="module")
+def demo_dir(tmp_path_factory):
+    """A reference-shaped demo directory: cube.nc (NetCDF4/HDF5),
+    remote.zarr served over HTTP (the obs analog), places/, config.yml."""
+    from xcube_server_spark.sources.hdf5 import write_hdf5
+    from xcube_server_spark.sources.zarr_store import write_zarr_group
+
+    root = tmp_path_factory.mktemp("demo")
+    rng = np.random.default_rng(41)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[0, 0, 0] = math.nan
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_hdf5(
+        str(root / "cube.nc"), TIMES, lat, lon, {"conc_chl": chl},
+        chunk_shape=(1, 4, 8),
+    )
+    write_zarr_group(
+        str(root / "remote.zarr"), TIMES, lat, lon,
+        {"conc_chl": chl * 0.5}, chunk_shape=(1, 4, 8),
+        compressor="blosc",
+    )
+    (root / "places").mkdir()
+    _geojson(root / "places" / "inside-cube.geojson", 1.5, 52.1, "Station 1")
+    _geojson(root / "places" / "outside-cube.geojson", -10.0, 40.0, "Far")
+
+    class _Quiet(SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    handler = functools.partial(_Quiet, directory=str(root))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    (root / "config.yml").write_text(f"""\
+Datasets:
+  - Identifier: local
+    Title: "Local OLCI L2C cube for region SNS"
+    BoundingBox: [0.0, 50, 5.0, 52.5]
+    FileSystem: local
+    Path: "cube.nc"
+    Style: default
+  - Identifier: remote
+    Title: Remote OLCI L2C cube for region SNS
+    BoundingBox: [0.0, 50, 5.0, 52.5]
+    FileSystem: obs
+    Endpoint: "{endpoint}"
+    Path: "remote.zarr"
+    Style: default
+  - Identifier: local_1w
+    Title: OLCI weekly L3 cube computed from local L2C cube
+    FileSystem: memory
+    Path: "resample_in_time.py"
+    Function: "compute_dataset"
+    InputDatasets: ["local"]
+    InputParameters:
+      period: "1W"
+    Style: default
+PlaceGroups:
+  - Identifier: inside-cube
+    Title: Points inside the cube
+    Path: "places/inside-cube.geojson"
+  - Identifier: outside-cube
+    Title: Points outside the cube
+    Path: "places/outside-cube.geojson"
+Styles:
+  - Identifier: default
+    ColorMappings:
+      conc_chl:
+        ColorBar: "plasma"
+        ValueRange: [0., 24.]
+""")
+    yield str(root), chl
+    srv.shutdown()
+
+
+def test_reference_config_loads_and_serves(spark, demo_dir):
+    import urllib.request
+
+    from xcube_server_spark.cube.catalog import CubeCatalog
+    from xcube_server_spark.server.app import CubeServer
+    from xcube_server_spark.sources.png import decode_rgba_png
+
+    root, chl = demo_dir
+    cat = CubeCatalog(spark)
+    cat.load_config(f"{root}/config.yml")
+    assert set(cat.datasets) == {"local", "remote", "local_1w"}
+    # the NetCDF4 container auto-ingested with values intact
+    cells = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+        for r in cat.cube("local", level=0).collect()
+    }
+    assert len(cells) == len(TIMES) * H * W
+    assert cells[(1, 3, 9)] == pytest.approx(chl[1, 3, 9], rel=1e-6)
+    # the obs (HTTP zarr) dataset too — scaled values prove it is not
+    # accidentally the local store
+    rcells = {
+        (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+        for r in cat.cube("remote", level=0).collect()
+    }
+    assert rcells[(1, 3, 9)] == pytest.approx(chl[1, 3, 9] * 0.5, rel=1e-6)
+    # the memory dataset resolved 'compute_dataset' -> resample_in_time
+    assert cat.datasets["local_1w"].computed
+    assert cat.datasets["local_1w"].function == "resample_in_time"
+    weekly = cat.cube("local_1w", level=0)
+    assert weekly.count() > 0
+    # styles applied from the Styles block
+    assert cat.datasets["local"].styles["conc_chl"].color_bar == "plasma"
+    # place groups unioned
+    assert set(cat.place_titles) == {"inside-cube", "outside-cube"}
+
+    srv = CubeServer(cat)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(
+            f"{base}/datasets/local/vars/conc_chl/tiles/0/0/0.png",
+            timeout=120,
+        ) as r:
+            rgba = decode_rgba_png(r.read())
+            assert rgba[..., 3].max() > 0
+        with urllib.request.urlopen(f"{base}/places", timeout=60) as r:
+            doc = json.loads(r.read())
+            assert doc
+    finally:
+        srv.stop()
+
+
+def test_raw_store_ingest_is_cached(spark, demo_dir):
+    """Second load_config reuses the materialized LOD tables (the
+    catalog.json marker) instead of re-ingesting."""
+    import os
+    import time
+
+    from xcube_server_spark.cube.catalog import CubeCatalog
+
+    root, _ = demo_dir
+    cat = CubeCatalog(spark)
+    t0 = time.perf_counter()
+    cat.load_config(f"{root}/config.yml")
+    warm = time.perf_counter() - t0
+    base_path = cat.datasets["local"].base_path
+    assert os.path.exists(os.path.join(base_path, "catalog.json"))
+    assert warm < 30  # re-register, not re-ingest (ingest is ~1 min)

@@ -25,6 +25,34 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.paths import join_store_path, open_store_text
 from .grid import GridMeta, TileGridMeta
 
+_RAW_SUFFIXES = (".zarr", ".levels", ".nc", ".nc4", ".h5", ".hdf5")
+
+
+def _looks_like_zarr(path: str) -> bool:
+    if path.rstrip("/").endswith(".zarr"):
+        return True
+    return os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, ".zgroup"))
+        or os.path.exists(os.path.join(path, "zarr.json"))
+    )
+
+
+def _is_raw_store(path: str) -> bool:
+    """A config Path pointing at a STORE (what the reference serves:
+    ``cube.nc``, ``*.zarr``, ``*.levels`` — ``context.py:236-255``)
+    rather than at an engine cube layout (``catalog.json``)."""
+    if path.rstrip("/").endswith(_RAW_SUFFIXES):
+        return True
+    if "://" in path:
+        return False  # remote engine layouts carry catalog.json
+    if _looks_like_zarr(path):
+        return True
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        return magic[:3] == b"CDF" or magic == b"\x89HDF\r\n\x1a\n"
+    return False
+
 try:
     import yaml
 except ImportError:  # pragma: no cover
@@ -234,6 +262,66 @@ class CubeCatalog:
 
     # -- config loading (F-6) ------------------------------------------------
 
+    @staticmethod
+    def _resolve_store_path(ds: dict, cfg_dir: str) -> str:
+        """Reference path semantics: ``obs`` datasets join Endpoint+Path
+        into the object-store URL (``context.py:217-235``); local relative
+        paths resolve against the config file's directory."""
+        p = ds["Path"]
+        if ds.get("FileSystem") == "obs":
+            ep = (ds.get("Endpoint") or "").rstrip("/")
+            return f"{ep}/{p.lstrip('/')}" if ep else p
+        if "://" in p or os.path.isabs(p):
+            return p
+        return os.path.join(cfg_dir, p)
+
+    def _ingest_raw_store(self, identifier: str, store: str) -> DatasetMeta:
+        """Auto-ingest a raw store (zarr v2/v3 local or HTTP, NetCDF3,
+        NetCDF4/HDF5, ``.levels`` pyramid) into the engine's LOD parquet
+        layout — materialized ONCE per store (keyed cache dir; the
+        ``catalog.json`` written last marks completeness) so config
+        reloads and new sessions re-register without re-ingesting."""
+        import hashlib
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        key = hashlib.md5(store.encode()).hexdigest()[:12]
+        out = os.path.join(tempfile.gettempdir(), f"xss_cfg_cube_{key}")
+        if os.path.exists(os.path.join(out, "catalog.json")):
+            return self.load_meta(identifier, out)
+        if store.rstrip("/").endswith(".levels"):
+            from ..sources.levels_ingest import ingest_levels_dir
+
+            _tables, tg, grid, var_names = ingest_levels_dir(
+                self.spark, store, out
+            )
+            meta = self.register_written_cube(
+                identifier, out, grid, tg, var_names
+            )
+            self.save_meta(meta)
+            return meta
+        from ..sources.cube_ingest import write_cube
+        from ..sources.xarray_ingest import ingest_xarray_distributed
+
+        fmt = "zarr" if _looks_like_zarr(store) else "nc"
+        df, grid = ingest_xarray_distributed(self.spark, store, fmt=fmt)
+        var_names = [
+            c for c in df.columns
+            if c not in ("time_idx", "lat_idx", "lon_idx",
+                         "time", "lat", "lon")
+        ]
+        cube = df.select(
+            "time_idx", "lat_idx", "lon_idx", "time", "lat", "lon",
+            *[F.col(v).cast("float").alias(v) for v in var_names],
+        )
+        _, tg = write_cube(cube, grid, out)
+        meta = self.register_written_cube(
+            identifier, out, grid, tg, var_names
+        )
+        self.save_meta(meta)
+        return meta
+
     def load_config(self, path: str) -> None:
         """Register datasets from a reference-shaped YAML config."""
         if yaml is None:  # pragma: no cover
@@ -249,10 +337,19 @@ class CubeCatalog:
                     value_range=tuple(m.get("ValueRange", (0.0, 1.0))),
                 )
             styles_cfg[style["Identifier"]] = mappings
+        cfg_dir = os.path.dirname(os.path.abspath(path))
         for ds in cfg.get("Datasets", []):
             ident = ds["Identifier"]
             if ds.get("FileSystem") == "memory":
                 base = self.datasets[ds["InputDatasets"][0]]
+                fn = ds["Function"]
+                if fn == "compute_dataset" and ds.get("Path"):
+                    # reference convention: the script FILE names the
+                    # computation and exposes a generic 'compute_dataset'
+                    # entry point (res/demo/config.yml:28-30 +
+                    # resample_in_time.py); resolve to the registered
+                    # transform of the same name — no exec()
+                    fn = os.path.splitext(os.path.basename(ds["Path"]))[0]
                 meta = DatasetMeta(
                     identifier=ident,
                     title=ds.get("Title", ident),
@@ -262,13 +359,21 @@ class CubeCatalog:
                     variables=base.variables,
                     styles=styles_cfg.get(ds.get("Style", ""), {}),
                     computed=True,
-                    function=ds["Function"],
+                    function=fn,
                     input_datasets=list(ds["InputDatasets"]),
                     input_params=dict(ds.get("InputParameters", {})),
                 )
                 self.register(meta)
             else:
-                meta = self.load_meta(ident, ds["Path"])
+                store = self._resolve_store_path(ds, cfg_dir)
+                if _is_raw_store(store):
+                    # the reference points Path at RAW stores (cube.nc,
+                    # .zarr, .levels — context.py:217-255); auto-ingest
+                    # through the pure-Python readers into LOD parquet
+                    # once, then serve like any engine cube
+                    meta = self._ingest_raw_store(ident, store)
+                else:
+                    meta = self.load_meta(ident, store)
                 meta.title = ds.get("Title", ident)
                 meta.styles = styles_cfg.get(ds.get("Style", ""), meta.styles)
         # top-level PlaceGroups (reference config.yml:52-58): Identifier,
