@@ -78,6 +78,9 @@ Datasets:
     FileSystem: local
     Path: "cube.nc"
     Style: default
+    PlaceGroups:
+      - PlaceGroupRef: inside-cube
+      - PlaceGroupRef: outside-cube
   - Identifier: remote
     Title: Remote OLCI L2C cube for region SNS
     BoundingBox: [0.0, 50, 5.0, 52.5]
@@ -107,6 +110,23 @@ Styles:
       conc_chl:
         ColorBar: "plasma"
         ValueRange: [0., 24.]
+ServiceProvider:
+  ProviderName: "Example Provider GmbH"
+  ProviderSite: "https://example.org"
+  ServiceContact:
+    IndividualName: "Jane Doe"
+    PositionName: "Engineer"
+    ContactInfo:
+      Phone:
+        Voice: "+49 000"
+        Facsimile: "+49 001"
+      Address:
+        DeliveryPoint: "HQ"
+        City: "Geesthacht"
+        AdministrativeArea: "SH"
+        PostalCode: "21502"
+        Country: "Germany"
+        ElectronicMailAddress: "jane@example.org"
 """)
     yield str(root), chl
     srv.shutdown()
@@ -160,6 +180,23 @@ def test_reference_config_loads_and_serves(spark, demo_dir):
         with urllib.request.urlopen(f"{base}/places", timeout=60) as r:
             doc = json.loads(r.read())
             assert doc
+        # dataset-level PlaceGroupRef association surfaces in details
+        with urllib.request.urlopen(
+            f"{base}/datasets?details=1", timeout=60
+        ) as r:
+            doc = json.loads(r.read())
+            by_id = {d["id"]: d for d in doc["datasets"]}
+            assert by_id["local"]["placeGroups"] == [
+                "inside-cube", "outside-cube"
+            ]
+        # ServiceProvider block lands in the WMTS capabilities
+        with urllib.request.urlopen(
+            f"{base}/wmts/1.0.0/WMTSCapabilities.xml", timeout=60
+        ) as r:
+            xml = r.read().decode()
+            assert "Example Provider GmbH" in xml
+            assert "ServiceProvider" in xml
+            assert "jane@example.org" in xml
     finally:
         srv.stop()
 

@@ -78,6 +78,11 @@ class DatasetMeta:
     function: str | None = None
     input_datasets: list[str] = field(default_factory=list)
     input_params: dict = field(default_factory=dict)
+    # reference config extras: per-dataset place-group association
+    # (PlaceGroupRef, config.yml:8-10) and the viewer's feature-property
+    # mapping (PropertyMapping, config-cyanoalert.yml)
+    place_group_refs: list[str] = field(default_factory=list)
+    property_mapping: dict = field(default_factory=dict)
 
 
 class CubeCatalog:
@@ -89,6 +94,8 @@ class CubeCatalog:
         # union of all configured PlaceGroups (None until a config sets them)
         self.places: DataFrame | None = None
         self.place_titles: dict[str, str] = {}
+        # ServiceProvider block from the YAML config (WMTS capabilities)
+        self.service_provider: dict = {}
 
     # -- registration -------------------------------------------------------
 
@@ -275,7 +282,9 @@ class CubeCatalog:
             return p
         return os.path.join(cfg_dir, p)
 
-    def _ingest_raw_store(self, identifier: str, store: str) -> DatasetMeta:
+    def _ingest_raw_store(
+        self, identifier: str, store: str, fmt: str | None = None
+    ) -> DatasetMeta:
         """Auto-ingest a raw store (zarr v2/v3 local or HTTP, NetCDF3,
         NetCDF4/HDF5, ``.levels`` pyramid) into the engine's LOD parquet
         layout — materialized ONCE per store (keyed cache dir; the
@@ -290,7 +299,7 @@ class CubeCatalog:
         out = os.path.join(tempfile.gettempdir(), f"xss_cfg_cube_{key}")
         if os.path.exists(os.path.join(out, "catalog.json")):
             return self.load_meta(identifier, out)
-        if store.rstrip("/").endswith(".levels"):
+        if fmt == "levels" or store.rstrip("/").endswith(".levels"):
             from ..sources.levels_ingest import ingest_levels_dir
 
             _tables, tg, grid, var_names = ingest_levels_dir(
@@ -304,7 +313,8 @@ class CubeCatalog:
         from ..sources.cube_ingest import write_cube
         from ..sources.xarray_ingest import ingest_xarray_distributed
 
-        fmt = "zarr" if _looks_like_zarr(store) else "nc"
+        if fmt not in ("zarr", "nc"):
+            fmt = "zarr" if _looks_like_zarr(store) else "nc"
         df, grid = ingest_xarray_distributed(self.spark, store, fmt=fmt)
         var_names = [
             c for c in df.columns
@@ -328,6 +338,7 @@ class CubeCatalog:
             raise RuntimeError("pyyaml not available")
         with open(path) as f:
             cfg = yaml.safe_load(f)
+        self.service_provider = dict(cfg.get("ServiceProvider") or {})
         styles_cfg: dict[str, dict[str, StyleMeta]] = {}
         for style in cfg.get("Styles", []):
             mappings = {}
@@ -366,16 +377,27 @@ class CubeCatalog:
                 self.register(meta)
             else:
                 store = self._resolve_store_path(ds, cfg_dir)
-                if _is_raw_store(store):
+                if _is_raw_store(store) or ds.get("Format") in (
+                    "zarr", "nc", "levels"
+                ):
                     # the reference points Path at RAW stores (cube.nc,
                     # .zarr, .levels — context.py:217-255); auto-ingest
                     # through the pure-Python readers into LOD parquet
                     # once, then serve like any engine cube
-                    meta = self._ingest_raw_store(ident, store)
+                    meta = self._ingest_raw_store(
+                        ident, store, fmt=ds.get("Format")
+                    )
                 else:
                     meta = self.load_meta(ident, store)
                 meta.title = ds.get("Title", ident)
                 meta.styles = styles_cfg.get(ds.get("Style", ""), meta.styles)
+            meta = self.datasets[ident]
+            meta.place_group_refs = [
+                g["PlaceGroupRef"]
+                for g in ds.get("PlaceGroups") or []
+                if isinstance(g, dict) and "PlaceGroupRef" in g
+            ]
+            meta.property_mapping = dict(ds.get("PropertyMapping") or {})
         # top-level PlaceGroups (reference config.yml:52-58): Identifier,
         # Title, Path (GeoJSON glob relative to the config file)
         groups = cfg.get("PlaceGroups", [])

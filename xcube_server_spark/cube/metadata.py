@@ -52,6 +52,12 @@ def get_datasets(catalog: CubeCatalog, details: bool = False) -> dict[str, Any]:
             entry["levels"] = [{"level": i, "width": w, "height": h}
                                for i, (w, h) in enumerate(sizes)]
             entry["tileGrid"] = get_tile_grid(catalog, meta.identifier)
+            if meta.place_group_refs:
+                # dataset-level PlaceGroups association (config.yml
+                # PlaceGroupRef entries)
+                entry["placeGroups"] = list(meta.place_group_refs)
+            if meta.property_mapping:
+                entry["propertyMapping"] = dict(meta.property_mapping)
         out.append(entry)
     return {"datasets": out}
 

@@ -39,6 +39,40 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
     _e(ident, "ows:Title", "spark-cube-server WMTS")
     _e(ident, "ows:ServiceType", "OGC WMTS")
     _e(ident, "ows:ServiceTypeVersion", "1.0.0")
+    sp = getattr(catalog, "service_provider", None) or {}
+    if sp:
+        # the config's ServiceProvider block, emitted the way the
+        # reference does (xcube_server/controllers/wmts.py:30-60) but
+        # tolerant of missing sub-fields
+        prov = _e(root, "ows:ServiceProvider")
+        if sp.get("ProviderName"):
+            _e(prov, "ows:ProviderName", sp["ProviderName"])
+        if sp.get("ProviderSite"):
+            _e(prov, "ows:ProviderSite", href=str(sp["ProviderSite"]))
+        sc = sp.get("ServiceContact") or {}
+        if sc:
+            el = _e(prov, "ows:ServiceContact")
+            for key in ("IndividualName", "PositionName"):
+                if sc.get(key):
+                    _e(el, f"ows:{key}", sc[key])
+            ci = sc.get("ContactInfo") or {}
+            if ci:
+                cel = _e(el, "ows:ContactInfo")
+                ph = ci.get("Phone") or {}
+                if ph:
+                    pel = _e(cel, "ows:Phone")
+                    for key in ("Voice", "Facsimile"):
+                        if ph.get(key):
+                            _e(pel, f"ows:{key}", ph[key])
+                ad = ci.get("Address") or {}
+                if ad:
+                    ael = _e(cel, "ows:Address")
+                    for key in (
+                        "DeliveryPoint", "City", "AdministrativeArea",
+                        "PostalCode", "Country", "ElectronicMailAddress",
+                    ):
+                        if ad.get(key):
+                            _e(ael, f"ows:{key}", ad[key])
     contents = _e(root, "Contents")
 
     for meta in catalog.datasets.values():
