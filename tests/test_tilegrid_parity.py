@@ -1,0 +1,92 @@
+"""Reference tile-grid parity: every case from the reference's own
+``test/im/test_tilegrid.py`` (CCI-ECV datasets, subsets, extent
+adjustment, anti-meridian, pole-crossing rejection) against
+``create_adaptive_tile_grid`` — the engine's ``TileGrid.create``
+(``xcube_server/im/tilegrid.py:169-246``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.cube.grid import create_adaptive_tile_grid
+
+GLOBAL = (-180.0, -90.0, 180.0, 90.0)
+
+
+def _shape(tg):
+    return (
+        tg.num_levels,
+        tg.num_level_zero_tiles_x,
+        tg.num_level_zero_tiles_y,
+        tg.tile_width,
+        tg.tile_height,
+    )
+
+
+@pytest.mark.parametrize("w,h,inv_y,want", [
+    (1440, 720, False, (2, 2, 1, 360, 360)),      # Soilmoisture CCI L3S
+    (7200, 3600, False, (4, 2, 1, 450, 450)),     # Aerosol CCI monthly
+    (720, 360, True, (1, 2, 1, 360, 360)),        # Cloud CCI monthly
+    (8640, 4320, True, (4, 2, 1, 540, 540)),      # SST CCI daily L4
+    (129600, 64800, False, (6, 6, 3, 675, 675)),  # Land Cover CCI
+])
+def test_create_cci_ecv(w, h, inv_y, want):
+    tg = create_adaptive_tile_grid(w, h, GLOBAL, tile_opt=500, inv_y=inv_y)
+    assert _shape(tg) == want
+    assert tg.geo_extent == GLOBAL  # exact cover: never padded
+
+
+def test_create_cci_ecv_subset():
+    tg = create_adaptive_tile_grid(
+        52, 36, (72.0, 8.0, 85.0, 17.0), tile_opt=500
+    )
+    assert _shape(tg) == (1, 1, 1, 52, 36)
+    assert tg.geo_extent == (72.0, 8.0, 85.0, 17.0)
+
+
+def test_create_subsets_exact_and_padded():
+    tg = create_adaptive_tile_grid(
+        4000, 3000, (-20.0, 10.0, 60.0, 70.0), tile_opt=500, inv_y=True
+    )
+    assert _shape(tg) == (4, 1, 1, 500, 375)
+    # non-pow2-friendly size: grid pads and the extent stretches AWAY
+    # from the anchored edge (south, because inv_y anchors the top row)
+    tg = create_adaptive_tile_grid(
+        4012, 3009, (-20.0, 10.0, 60.0, 70.0), tile_opt=500, inv_y=True
+    )
+    assert _shape(tg) == (2, 3, 5, 669, 301)
+    assert tg.geo_extent[0] == -20.0 and tg.geo_extent[3] == 70.0
+    assert tg.geo_extent[1] == pytest.approx(9.980059820538386, abs=1e-12)
+    assert tg.geo_extent[2] == pytest.approx(60.03988035892323, abs=1e-12)
+
+
+def test_create_antimeridian_extent():
+    tg = create_adaptive_tile_grid(
+        4000, 3000, (170.0, 10.0, -160.0, 70.0), tile_opt=500, inv_y=True
+    )
+    assert _shape(tg) == (4, 1, 1, 500, 375)
+    assert tg.geo_extent == (170.0, 10.0, -160.0, 70.0)
+
+
+def test_create_illegal_geo_extent():
+    # legal: inv_y anchors the NORTH edge, padding stretches south
+    tg = create_adaptive_tile_grid(
+        50, 25, (0.0, 77.5, 25.0, 90.0), tile_opt=5, inv_y=True
+    )
+    assert _shape(tg) == (2, 5, 2, 5, 7)
+    assert tg.geo_extent == (0.0, 76.0, 25.0, 90.0)
+    # illegal: same extent with inv_y=False would stretch north PAST 90
+    with pytest.raises(ValueError):
+        create_adaptive_tile_grid(
+            50, 25, (0.0, 77.5, 25.0, 90.0), tile_opt=5, inv_y=False
+        )
+    # mirror case at the south pole
+    tg = create_adaptive_tile_grid(
+        50, 25, (0.0, -90.0, 25.0, -77.5), tile_opt=5, inv_y=False
+    )
+    assert _shape(tg) == (2, 5, 2, 5, 7)
+    assert tg.geo_extent == (0.0, -90.0, 25.0, -76.0)
+    with pytest.raises(ValueError):
+        create_adaptive_tile_grid(
+            50, 25, (0.0, -90.0, 25.0, -77.5), tile_opt=5, inv_y=True
+        )

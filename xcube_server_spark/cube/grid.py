@@ -82,6 +82,31 @@ class TileGridMeta:
         )
 
 
+def _adjust_geo_extent(
+    geo_extent: tuple[float, float, float, float],
+    w_old: int, h_old: int, w_new: int, h_new: int, inv_y: bool,
+) -> tuple[float, float, float, float]:
+    """When the GE search padded the pyramid beyond the image, stretch the
+    extent the way the reference does (``im/tilegrid.py:203-246``): east
+    grows (wrapping the anti-meridian), and latitude grows AWAY from the
+    anchored row — south when ``inv_y`` (row 0 is the top), north
+    otherwise — because the padded pixels must sit at increasing indices."""
+    lon1, lat1, lon2, lat2 = geo_extent
+    delta_lon = (lon2 - lon1) if lon1 < lon2 else (360.0 + lon2 - lon1)
+    delta_lat = lat2 - lat1
+    if w_new > w_old:
+        lon2 = lon1 + w_new * delta_lon / w_old
+        if lon2 > 180.0:
+            lon2 -= 360.0
+    if h_new > h_old:
+        delta_lat_new = h_new * delta_lat / h_old
+        if inv_y:
+            lat1 = lat2 - delta_lat_new
+        else:
+            lat2 = lat1 + delta_lat_new
+    return lon1, lat1, lon2, lat2
+
+
 def create_adaptive_tile_grid(
     width: int,
     height: int,
@@ -90,24 +115,39 @@ def create_adaptive_tile_grid(
     inv_y: bool = False,
 ) -> TileGridMeta:
     """Tile grid for an externally-chunked store (O3): pick tile size and
-    level count with the ``pow2_2d_subdivision`` search (GE mode — the grid
-    covers the image, partial edge tiles trimmed at render) instead of
-    assuming we chose the layout. Mirrors ``TileGrid.create``
-    (``xcube_server/im/tilegrid.py:169-201``) feeding the search result
-    into grid metadata."""
-    from .subdivision import MODE_GE, pow2_2d_subdivision
+    level count with the ``pow2_2d_subdivision`` search instead of
+    assuming we chose the layout. Full parity with ``TileGrid.create``
+    (``xcube_server/im/tilegrid.py:169-201``): optimum tile sizes clamp to
+    the image (``min(w, tile_width or 256)`` — so an axis equal to its
+    optimum short-circuits to one level), full-world axes use EXACT cover
+    (no padding past the anti-meridian/poles), padded grids stretch the
+    geo extent away from the anchored edge, and a stretch crossing a pole
+    raises (``test/im/test_tilegrid.py::test_create_illegal_geo_extent``)."""
+    from .subdivision import MODE_EQ, MODE_GE, pow2_2d_subdivision
 
-    (_, _), (tw, th), (nt0_x, nt0_y), nl = pow2_2d_subdivision(
-        width, height, w_mode=MODE_GE, h_mode=MODE_GE,
-        tw_opt=tile_opt, th_opt=tile_opt,
+    west, south, east, north = geo_extent
+    w_mode = MODE_EQ if (west == -180.0 and east == 180.0) else MODE_GE
+    h_mode = MODE_EQ if (south == -90.0 and north == 90.0) else MODE_GE
+    (w_new, h_new), (tw, th), (nt0_x, nt0_y), nl = pow2_2d_subdivision(
+        width, height, w_mode=w_mode, h_mode=h_mode,
+        tw_opt=min(width, tile_opt or 256),
+        th_opt=min(height, tile_opt or 256),
     )
+    new_extent = _adjust_geo_extent(
+        geo_extent, width, height, w_new, h_new, inv_y
+    )
+    if not (-90.0 <= new_extent[1] < new_extent[3] <= 90.0):
+        raise ValueError(
+            f"invalid geo_extent {new_extent}: padding the pyramid past "
+            f"a pole — flip inv_y or supply a pole-clear extent"
+        )
     return TileGridMeta(
         num_levels=nl,
         tile_width=tw,
         tile_height=th,
         num_level_zero_tiles_x=nt0_x,
         num_level_zero_tiles_y=nt0_y,
-        geo_extent=geo_extent,
+        geo_extent=new_extent,
         inv_y=inv_y,
     )
 
