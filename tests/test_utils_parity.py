@@ -228,3 +228,31 @@ def test_static_tile_source(tmp_path):
     data2, ctype2 = src.get_tile(3, 9, 9)
     assert ctype2 == "image/png"
     assert decode_rgba_png(data2)[..., 3].max() == 0
+
+
+def test_iso_ts_rounds_like_reference(spark):
+    """timestamp_to_iso_string parity: pd.Timestamp.round semantics —
+    nearest second by default, nearest hour with freq='H'
+    (xcube_server/utils.py:86-97; test/test_utils.py cases)."""
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.functions.scalars import iso_ts
+
+    df = spark.createDataFrame(
+        [("2018-09-05 00:00:00",),
+         ("2018-09-05 10:35:42.164",),
+         ("2018-09-05 10:35:42.664",)],
+        "ts_str string",
+    ).select(F.to_timestamp("ts_str").alias("ts"))
+    secs = [r[0] for r in df.select(iso_ts(F.col("ts"))).collect()]
+    assert secs == [
+        "2018-09-05T00:00:00Z",
+        "2018-09-05T10:35:42Z",  # .164 rounds down
+        "2018-09-05T10:35:43Z",  # .664 rounds UP (truncation would fail)
+    ]
+    hours = [r[0] for r in df.select(iso_ts(F.col("ts"), freq="H")).collect()]
+    assert hours == [
+        "2018-09-05T00:00:00Z",
+        "2018-09-05T11:00:00Z",  # 10:35 rounds up to 11:00
+        "2018-09-05T11:00:00Z",
+    ]

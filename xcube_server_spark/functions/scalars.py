@@ -12,14 +12,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def iso_ts(col: Column) -> Column:
-    """F1 — ISO-8601 UTC second-resolution string with ``Z`` suffix.
+def iso_ts(col: Column, freq: str = "S") -> Column:
+    """F1 — ISO-8601 UTC string with ``Z`` suffix, ROUNDED to ``freq``.
 
-    Reference: ``timestamp_to_iso_string`` rounds datetime64 to seconds and
-    appends ``Z`` (``xcube_server/utils.py:86-97``). Session TZ is UTC so
-    ``date_format`` emits wall-clock UTC.
+    Reference: ``timestamp_to_iso_string`` is ``pd.Timestamp.round(freq)``
+    + ``'Z'`` (``xcube_server/utils.py:86-97``) — nearest second (or hour
+    with ``freq='H'``), NOT truncation; 10:35:42.664 must print as
+    10:35:43Z. Implemented as shift-then-truncate (round half UP; pandas
+    rounds the exact .5 boundary half-to-even — irrelevant for real
+    microsecond timestamps). Session TZ is UTC so ``date_format`` emits
+    wall-clock UTC.
     """
-    return F.date_format(F.date_trunc("second", col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    if freq.upper() in ("H", "HOUR"):
+        shifted = col + F.expr("INTERVAL 30 MINUTES")
+        return F.date_format(
+            F.date_trunc("hour", shifted), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        )
+    shifted = col + F.expr("INTERVAL 500 MILLISECONDS")
+    return F.date_format(
+        F.date_trunc("second", shifted), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
 
 
 def clip(col: Column, vmin: float, vmax: float) -> Column:

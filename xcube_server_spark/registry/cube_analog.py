@@ -202,8 +202,8 @@ def iso_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ISO = """
 SELECT event_type,
-       strftime(date_trunc('second', min(ts)), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
-       strftime(date_trunc('second', max(ts)), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+       strftime(date_trunc('second', min(ts) + INTERVAL 500 MILLISECOND), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
+       strftime(date_trunc('second', max(ts) + INTERVAL 500 MILLISECOND), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
 FROM events
 GROUP BY 1
 """
@@ -340,7 +340,7 @@ def nearest_dim_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NEAREST_DIM = """
 SELECT event_type, event_id,
-       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+       strftime(date_trunc('second', ts + INTERVAL 500 MILLISECOND), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
        floor((value) * 100.0 + 0.5) / 100.0 AS value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY event_type
@@ -376,7 +376,7 @@ def nearest_point_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NEAREST_POINT = """
 SELECT event_type, event_id,
-       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+       strftime(date_trunc('second', ts + INTERVAL 500 MILLISECOND), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
 FROM (
   SELECT *, row_number() OVER (
       PARTITION BY event_type
