@@ -403,3 +403,19 @@ def test_wmts_get_feature_info(server):
     )
     assert status == 200
     assert json.loads(body)["value"] is None
+
+
+def test_tile_invalid_time_is_bad_request(server):
+    """Reference behavior (test_tiles.py::test_get_dataset_tile_with_time_dim):
+    an unparseable time dim value is a 400 with a clear reason, not a 500."""
+    import urllib.error
+    import urllib.request
+
+    url = f"{server}/datasets/demo/vars/conc_tsm/tiles/0/0/0.png?time=Gnaaark!"
+    try:
+        urllib.request.urlopen(url, timeout=60)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        body = e.read().decode()
+        assert "not a valid value for dimension 'time'" in body

@@ -39,7 +39,15 @@ def _nearest_time(times: list[str], probe: str | None) -> tuple[int, str]:
         return 0, times[0]
     if probe == "current":
         return len(times) - 1, times[-1]
-    p = _dt.datetime.fromisoformat(probe)
+    try:
+        p = _dt.datetime.fromisoformat(probe)
+    except ValueError:
+        # reference wording (controllers/tiles.py via context.py:420-451;
+        # pinned by test_get_dataset_tile_with_time_dim): callers append
+        # the variable/dataset context
+        raise ValueError(
+            f"{probe!r} is not a valid value for dimension 'time'"
+        ) from None
     deltas = [
         abs((_dt.datetime.fromisoformat(t) - p).total_seconds()) for t in times
     ]
