@@ -419,3 +419,55 @@ def test_tile_invalid_time_is_bad_request(server):
         assert e.code == 400
         body = e.read().decode()
         assert "not a valid value for dimension 'time'" in body
+
+
+def test_places_query_modes_parity(server):
+    """Reference FindPlacesHandler parity (test_places.py): WKT geom=,
+    geom+bbox mutual exclusion (400), POST GeoJSON bodies (geometry,
+    Feature, FeatureCollection), and the 'query' parameter name."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    wkt = urllib.parse.quote("POLYGON ((0 50, 5 50, 5 53, 0 53, 0 50))")
+    status, doc = _get_json(f"{server}/places/all?geom={wkt}")
+    assert status == 200 and doc["type"] == "FeatureCollection"
+    n_wkt = len(doc["features"])
+    assert n_wkt >= 1
+    # geom+bbox together -> 400
+    try:
+        urllib.request.urlopen(
+            f"{server}/places/all?geom={wkt}&bbox=0,50,5,53", timeout=60
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "Only one of" in e.read().decode()
+    # POST bodies: geometry / Feature / FeatureCollection all equivalent
+    import json as _json
+
+    geom = {"type": "Polygon", "coordinates": [
+        [[0, 50], [5, 50], [5, 53], [0, 53], [0, 50]]]}
+    for body in (
+        geom,
+        {"type": "Feature", "properties": {}, "geometry": geom},
+        {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {}, "geometry": geom}]},
+    ):
+        req = urllib.request.Request(
+            f"{server}/places/all", method="POST",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            doc = _json.loads(r.read())
+            assert len(doc["features"]) == n_wkt
+    # empty FeatureCollection -> 400 (invalid GeoJSON object)
+    req = urllib.request.Request(
+        f"{server}/places/all", method="POST",
+        data=_json.dumps({"type": "FeatureCollection", "features": []}).encode(),
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -70,7 +70,22 @@ def parse_query_geometry(
     if geom is not None:
         return parse_wkt(geom)
     if body is not None:
-        g = body.get("geometry", body) if isinstance(body, dict) else None
+        g = body if isinstance(body, dict) else None
+        if isinstance(g, dict) and g.get("type") == "FeatureCollection":
+            # reference semantics (controllers/places.py find_places):
+            # a FeatureCollection query means its FIRST feature's geometry
+            feats = g.get("features") or g.get("places") or []
+            if not feats:
+                raise ValueError("Received invalid GeoJSON object")
+            g = feats[0]
+        if isinstance(g, dict) and g.get("type") == "Feature":
+            g = g.get("geometry")
+        if (
+            isinstance(g, dict)
+            and not is_geometry(g)
+            and isinstance(g.get("geometry"), (dict, str))
+        ):
+            g = g["geometry"]  # untyped {"geometry": ...} wrapper
         if isinstance(g, str):
             g = json.loads(g)
         if not is_geometry(g):

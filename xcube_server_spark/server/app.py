@@ -417,7 +417,7 @@ class CubeServer:
                 .collect()
             ]
             h._json({"placeGroups": groups})
-        elif method == "GET" and len(parts) in (2, 3) and parts[0] == "places":
+        elif method in ("GET", "POST") and len(parts) in (2, 3) and parts[0] == "places":
             if self._live_places() is None:
                 raise KeyError("no place groups configured")
             pl = self._live_places()
@@ -437,9 +437,25 @@ class CubeServer:
                         [west, north], [west, south],
                     ]],
                 }
+            elif method == "POST":
+                # FindPlacesHandler.post: query geometry as a GeoJSON body
+                # (geometry, Feature or FeatureCollection —
+                # xcube_server/handlers.py:273-283)
+                length = int(h.headers.get("Content-Length", 0))
+                body = json.loads(h.rfile.read(length) or b"null")
+                geom = parse_query_geometry(body=body)
             else:
+                if q.get("geom") and q.get("bbox"):
+                    raise ValueError(
+                        'Only one of "geom" and "bbox" may be given'
+                    )
                 geom = parse_query_geometry(bbox=q.get("bbox"), geom=q.get("geom"))
-            out = find_places(pl, geometry=geom, query_expr=q.get("expr"))
+            # 'query' is the reference's parameter name
+            # (handlers.py:260); 'expr' kept for compatibility
+            out = find_places(
+                pl, geometry=geom,
+                query_expr=q.get("query") or q.get("expr"),
+            )
             feats = [
                 {
                     "type": "Feature",
