@@ -161,6 +161,17 @@ def test_wmts_capabilities_and_kvp_tile(server):
     text = body.decode()
     assert "demo.conc_tsm" in text and "TileMatrixSet" in text
     assert "2017-01-16T10:09:22Z" in text  # time dimension values
+    # structural parity with the reference golden capabilities
+    # (test/res/test/WMTSCapabilities.xml): operations metadata with
+    # KVP+REST DCPs, Themes tree, ServiceMetadataURL, identification
+    # boilerplate
+    for frag in (
+        "OperationsMetadata", 'name="GetCapabilities"', 'name="GetTile"',
+        'name="GetFeatureInfo"', ">KVP<", ">REST<",
+        "Themes", "LayerRef", "ServiceMetadataURL",
+        "AccessConstraints", "Keyword",
+    ):
+        assert frag in text, frag
     # KVP, case-insensitive keys (xcube_server/handlers.py:108-117)
     status, _, _ = _get(
         f"{server}/wmts/kvp?SERVICE=WMTS&ReQuEsT=GetCapabilities"

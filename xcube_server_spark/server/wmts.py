@@ -37,8 +37,17 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
     root = ET.Element(f"{{{_NS['']}}}Capabilities", {"version": "1.0.0"})
     ident = _e(root, "ows:ServiceIdentification")
     _e(ident, "ows:Title", "spark-cube-server WMTS")
+    _e(
+        ident, "ows:Abstract",
+        "Web Map Tile Service (WMTS) for xcube-conformant data cubes",
+    )
+    kw = _e(ident, "ows:Keywords")
+    for k in ("tile", "tile matrix set", "map"):
+        _e(kw, "ows:Keyword", k)
     _e(ident, "ows:ServiceType", "OGC WMTS")
     _e(ident, "ows:ServiceTypeVersion", "1.0.0")
+    _e(ident, "ows:Fees", "none")
+    _e(ident, "ows:AccessConstraints", "none")
     sp = getattr(catalog, "service_provider", None) or {}
     if sp:
         # the config's ServiceProvider block, emitted the way the
@@ -73,6 +82,25 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
                     ):
                         if ad.get(key):
                             _e(ael, f"ows:{key}", ad[key])
+    # OperationsMetadata: KVP + REST endpoints per operation
+    # (reference golden: test/res/test/WMTSCapabilities.xml:49-102)
+    om = _e(root, "ows:OperationsMetadata")
+    kvp_url = f"{base_url}/wmts/kvp?"
+    rest_urls = {
+        "GetCapabilities": f"{base_url}/wmts/1.0.0/WMTSCapabilities.xml",
+        "GetTile": f"{base_url}/wmts/1.0.0/",
+        "GetFeatureInfo": f"{base_url}/wmts/1.0.0/",
+    }
+    for op_name, rest_url in rest_urls.items():
+        op = _e(om, "ows:Operation", name=op_name)
+        dcp = _e(op, "ows:DCP")
+        http = _e(dcp, "ows:HTTP")
+        for enc, url in (("KVP", kvp_url), ("REST", rest_url)):
+            get = _e(http, "ows:Get")
+            get.set(f"{{{_NS['xlink']}}}href", url)
+            con = _e(get, "ows:Constraint", name="GetEncoding")
+            av = _e(con, "ows:AllowedValues")
+            _e(av, "ows:Value", enc)
     contents = _e(root, "Contents")
 
     for meta in catalog.datasets.values():
@@ -130,6 +158,25 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
             _e(tm, "TileHeight", tg.tile_height)
             _e(tm, "MatrixWidth", ntx)
             _e(tm, "MatrixHeight", nty)
+
+    # Themes: one per dataset, one sub-Theme per variable layer
+    # (reference golden XML:368-429)
+    themes = _e(root, "Themes")
+    for meta in catalog.datasets.values():
+        theme = _e(themes, "Theme")
+        _e(theme, "ows:Title", meta.title)
+        _e(theme, "ows:Abstract", "")
+        _e(theme, "ows:Identifier", meta.identifier)
+        for var in meta.variables:
+            sub = _e(theme, "Theme")
+            _e(sub, "ows:Title", var)
+            _e(sub, "ows:Identifier", f"{meta.identifier}.{var}")
+            _e(sub, "LayerRef", f"{meta.identifier}.{var}")
+    smu = _e(root, "ServiceMetadataURL")
+    smu.set(
+        f"{{{_NS['xlink']}}}href",
+        f"{base_url}/wmts/1.0.0/WMTSCapabilities.xml",
+    )
 
     return ET.tostring(root, encoding="unicode", xml_declaration=True)
 
