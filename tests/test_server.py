@@ -60,6 +60,12 @@ def test_datasets_endpoint(server):
     assert status == 200
     ds = doc["datasets"][0]
     assert ds["id"] == "demo" and len(ds["variables"]) == 3
+    # details carry full per-dimension coordinate dumps (reference
+    # controllers/catalogue.py:87-88; pinned by test_dataset_with_details)
+    dims = {d["name"]: d for d in ds["dimensions"]}
+    assert set(dims) == {"time", "lat", "lon"}
+    assert dims["time"]["size"] == 5
+    assert dims["lat"]["size"] == len(dims["lat"]["coordinates"])
 
 
 def test_coords_endpoint(server):

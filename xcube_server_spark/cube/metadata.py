@@ -52,6 +52,12 @@ def get_datasets(catalog: CubeCatalog, details: bool = False) -> dict[str, Any]:
             entry["levels"] = [{"level": i, "width": w, "height": h}
                                for i, (w, h) in enumerate(sizes)]
             entry["tileGrid"] = get_tile_grid(catalog, meta.identifier)
+            # full coordinate dumps per dimension, like the reference's
+            # dataset_dict (controllers/catalogue.py:87-88)
+            entry["dimensions"] = [
+                get_coordinates(catalog, meta.identifier, d)
+                for d in ("time", "lat", "lon")
+            ]
             if meta.place_group_refs:
                 # dataset-level PlaceGroups association (config.yml
                 # PlaceGroupRef entries)
