@@ -263,6 +263,18 @@ class CubeCatalog:
 
     def coords(self, identifier: str, dim: str) -> DataFrame:
         meta = self.datasets[identifier]
+        if meta.computed:
+            if dim == "time":
+                # the computed frame's own axis (e.g. weekly labels),
+                # shaped like a dim table
+                rows = [
+                    (i, t) for i, t in enumerate(self.times(identifier))
+                ]
+                return self.spark.createDataFrame(
+                    rows, "idx int, value string"
+                ).selectExpr("idx", "CAST(value AS TIMESTAMP) AS value")
+            # spatial axes are level-aligned with the first input
+            meta = self.datasets[meta.input_datasets[0]]
         return self.spark.read.parquet(
             join_store_path(meta.base_path, f"coords_{dim}")
         )
