@@ -323,7 +323,22 @@ def test_colorbars_html(server):
 
 def test_ne2_static_tiles(server):
     status, doc = _get_json(f"{server}/ne2/tilegrid")
-    assert status == 200 and doc["extent"] == [-180.0, -90.0, 180.0, 90.0]
+    # reference ol4 shape (test_tiles.py::test_get_ne2_tile_grid):
+    # 3 levels, 2x1 256px level-zero tiles -> resolutions 0.703125...
+    assert doc["minZoom"] == 0 and doc["maxZoom"] == 2
+    assert doc["tileGrid"]["resolutions"] == [0.703125, 0.3515625, 0.17578125]
+    assert doc["tileGrid"]["origin"] == [-180.0, 90.0]
+    # unknown tile client -> 400
+    import urllib.error as _ue
+    import urllib.request as _ur
+
+    try:
+        _ur.urlopen(f"{server}/ne2/tilegrid?tiles=cesium", timeout=60)
+        raise AssertionError("expected 400")
+    except _ue.HTTPError as e:
+        assert e.code == 400 and "Unknown tile client" in e.read().decode()
+    assert status == 200
+    assert doc["tileGrid"]["extent"] == [-180.0, -90.0, 180.0, 90.0]
     status, ctype, body = _get(f"{server}/ne2/tiles/0/0/0.jpg")
     # no pyramid configured -> transparent PNG fallback, never a 404
     assert status == 200 and ctype == "image/png"

@@ -255,14 +255,29 @@ class CubeServer:
         elif method == "GET" and parts == ["colorbars.html"]:
             h._send(200, colorbars_html().encode(), "text/html")
         elif method == "GET" and parts == ["ne2", "tilegrid"]:
+            # reference: tiles=ol4 only; anything else is a 400
+            # (controllers/tiles.py:213-219; handlers.py:214-220)
+            client = q.get("tiles", "ol4")
+            if client != "ol4":
+                raise ValueError(f"Unknown tile client {client!r}")
             st = self.static_tiles
+            nlev = st.num_levels
+            res0 = 360.0 / (st.num_level_zero_tiles_x * st.tile_w)
             h._json(
                 {
                     "url": f"http://{h.headers.get('Host', 'localhost')}"
                     "/ne2/tiles/{z}/{x}/{y}.jpg",
                     "projection": "EPSG:4326",
-                    "tileSize": [st.tile_w, st.tile_h],
-                    "extent": [-180.0, -90.0, 180.0, 90.0],
+                    "minZoom": 0,
+                    "maxZoom": nlev - 1,
+                    "tileGrid": {
+                        "extent": [-180.0, -90.0, 180.0, 90.0],
+                        "origin": [-180.0, 90.0],
+                        "resolutions": [
+                            res0 / (1 << z) for z in range(nlev)
+                        ],
+                        "tileSize": [st.tile_w, st.tile_h],
+                    },
                 }
             )
         elif (

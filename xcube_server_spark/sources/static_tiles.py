@@ -19,11 +19,18 @@ from .png import encode_rgba_png
 
 class StaticTileSource:
     def __init__(self, base_dir: str, tile_w: int = 256, tile_h: int = 256,
-                 ext: str = "jpg"):
+                 ext: str = "jpg", num_levels: int = 3,
+                 num_level_zero_tiles_x: int = 2,
+                 num_level_zero_tiles_y: int = 1):
         self.base_dir = base_dir
         self.tile_w = tile_w
         self.tile_h = tile_h
         self.ext = ext
+        # NE2 pyramid geometry (reference NaturalEarth2Image: 3 levels,
+        # 2x1 level-zero 256px tiles -> resolutions 0.703125, ...)
+        self.num_levels = num_levels
+        self.num_level_zero_tiles_x = num_level_zero_tiles_x
+        self.num_level_zero_tiles_y = num_level_zero_tiles_y
 
     def tile_path(self, z: int, x: int, y: int) -> str:
         return os.path.join(self.base_dir, str(z), str(y), f"{x}.{self.ext}")
