@@ -108,7 +108,9 @@ def ivf_centroids_base() -> str:
     corpus row count ``n=<count>`` so scale factors don't clobber each other
     and the (static) oracle SQL can select the right partition by comparing
     against ``count(*)`` of its ``embeddings`` view."""
-    return os.path.join(tempfile.gettempdir(), "xss_gate_ivf")
+    base = os.path.join(tempfile.gettempdir(), "xss_gates")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, "xss_gate_ivf")
 
 
 def write_ivf_centroids(centroids: np.ndarray, n_rows: int) -> str:

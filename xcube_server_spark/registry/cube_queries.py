@@ -42,8 +42,16 @@ _POLY = {
 }
 
 
+def _gate_path(name: str) -> str:
+    """Versioned gate fixtures live under ONE parent (``/tmp/xss_gates``)
+    so a ``_vN`` bump never strands an old store outside the family dir."""
+    base = os.path.join(tempfile.gettempdir(), "xss_gates")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
 def _fixture_base() -> str:
-    return os.path.join(tempfile.gettempdir(), f"xss_gate_cube_{_W}x{_H}")
+    return _gate_path(f"xss_gate_cube_{_W}x{_H}")
 
 
 def _fixture_grid():
@@ -345,9 +353,7 @@ _APPEND_W, _APPEND_H = 64, 32  # 3 levels at tile 16
 
 
 def _append_fixture_base() -> str:
-    return os.path.join(
-        tempfile.gettempdir(), f"xss_gate_cube_append_{_APPEND_W}x{_APPEND_H}"
-    )
+    return _gate_path(f"xss_gate_cube_append_{_APPEND_W}x{_APPEND_H}")
 
 
 def cube_append_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,7 +960,7 @@ def _zarr_gate_store() -> str:
 
     from ..sources.zarr_store import write_zarr_group
 
-    path = os.path.join(tempfile.gettempdir(), "xss_zarr_gate_v1")
+    path = _gate_path("xss_zarr_gate_v1")
     if not os.path.exists(os.path.join(path, ".zgroup")):
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
@@ -1039,7 +1045,7 @@ def _netcdf_gate_store() -> str:
 
     from ..sources.netcdf3 import write_netcdf3
 
-    path = os.path.join(tempfile.gettempdir(), "xss_nc3_gate_v1.nc")
+    path = _gate_path("xss_nc3_gate_v1.nc")
     if not os.path.exists(path):
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
@@ -1103,7 +1109,7 @@ def _zarr_blosc_gate_store() -> str:
 
     from ..sources.zarr_store import write_zarr_group
 
-    path = os.path.join(tempfile.gettempdir(), "xss_zarr_gate_blosc_v1")
+    path = _gate_path("xss_zarr_gate_blosc_v1")
     if not os.path.exists(os.path.join(path, ".zgroup")):
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
@@ -1189,7 +1195,7 @@ def _netcdf4_gate_store() -> str:
 
     from ..sources.hdf5 import write_hdf5
 
-    path = os.path.join(tempfile.gettempdir(), "xss_nc4_gate_v1.nc")
+    path = _gate_path("xss_nc4_gate_v1.nc")
     if not os.path.exists(path):
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
@@ -1275,7 +1281,7 @@ def _netcdf4_packed_gate_store() -> str:
 
     from ..sources.hdf5 import write_hdf5
 
-    path = os.path.join(tempfile.gettempdir(), "xss_nc4_packed_gate_v1.nc")
+    path = _gate_path("xss_nc4_packed_gate_v1.nc")
     if not os.path.exists(path):
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
@@ -1427,7 +1433,7 @@ def _zarr_v3_gate_store() -> str:
 
     from ..sources.zarr_store import write_zarr_group_v3
 
-    path = os.path.join(tempfile.gettempdir(), "xss_zarr_v3_gate_v1")
+    path = _gate_path("xss_zarr_v3_gate_v1")
     if not os.path.exists(os.path.join(path, "zarr.json")):
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
