@@ -301,3 +301,149 @@ def test_bitshuffle_multiblock_roundtrip():
     raw = rng.integers(0, 3, size=200_000, dtype=np.uint8).tobytes()
     frame = compress(raw, 8, shuffle="bit", blocksize=65536)
     assert decompress(frame) == raw
+
+
+# ---------------------------------------------------------------------------
+# blosclz (codec id 0) — c-blosc's FastLZ-derived fallback codec
+# ---------------------------------------------------------------------------
+
+
+def test_blosclz_handbuilt_vectors():
+    """Streams constructed byte-by-byte from the blosclz.c format
+    (independent of this module's encoder): literal runs, a short match,
+    a distance-1 RLE match, a 255-chained long match and a FAR match."""
+    from xcube_server_spark.sources.blosc import blosclz_decompress
+
+    # literal run "AB" then match dist=2 len=6 (field=4, code=1)
+    s = bytes([0x01, 65, 66, (4 << 5) | 0, 1])
+    assert blosclz_decompress(s, 8) == b"ABABABAB"
+    # "A" then distance-1 RLE, len 9 (field 7, ext 0, code 0)
+    s = bytes([0x00, 65, (7 << 5) | 0, 0, 0])
+    assert blosclz_decompress(s, 10) == b"A" * 10
+    # 255-chained long match: copy len = 6+255+36+3 = 300
+    s = bytes([0x00, 66, (7 << 5) | 0, 255, 36, 0])
+    assert blosclz_decompress(s, 301) == b"B" * 301
+    # FAR escape: ofs5=31 + code 255 + 2 BE bytes; distance = ofs16+8192.
+    # Build: 8192 literals 'ab..' pattern, then far match dist 8192 len 4.
+    lit = bytes((i * 7 + 3) % 251 for i in range(8192))
+    stream = bytearray()
+    pos = 0
+    first = True
+    while pos < len(lit):
+        run = min(32, len(lit) - pos)
+        stream.append(run - 1)
+        stream += lit[pos : pos + run]
+        pos += run
+        first = False
+    assert not first
+    ofs16 = 8192 - 8191 - 1  # distance 8192 -> ofs16 = 0
+    stream += bytes([(2 << 5) | 31, 255, ofs16 >> 8, ofs16 & 0xFF])
+    out = blosclz_decompress(bytes(stream), 8192 + 4)
+    assert out[:8192] == lit and out[8192:] == lit[:4]
+
+
+def test_blosclz_overlapping_match_semantics():
+    """dist < len matches repeat the window byte-at-a-time."""
+    from xcube_server_spark.sources.blosc import blosclz_decompress
+
+    # "XY" then match dist=2 len=7 -> XYXYXYXYX
+    s = bytes([0x01, 88, 89, (5 << 5) | 0, 1])
+    assert blosclz_decompress(s, 9) == b"XYXYXYXYX"
+
+
+def test_blosclz_corrupt_inputs_rejected():
+    from xcube_server_spark.sources.blosc import blosclz_decompress
+
+    with pytest.raises(ValueError, match="empty"):
+        blosclz_decompress(b"", 4)
+    # literal run past end
+    with pytest.raises(ValueError, match="literal run"):
+        blosclz_decompress(bytes([5, 65]), 6)
+    # match before start: first token literal 'A', then dist 100
+    with pytest.raises(ValueError, match="before stream start"):
+        blosclz_decompress(bytes([0x00, 65, (4 << 5) | 0, 99]), 7)
+    # truncated match header
+    with pytest.raises(ValueError, match="truncated"):
+        blosclz_decompress(bytes([0x00, 65, (7 << 5) | 0]), 10)
+    # wrong decoded size
+    with pytest.raises(ValueError, match="expected"):
+        blosclz_decompress(bytes([0x02, 65, 66, 67]), 2)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 100, 5000, 70000, 200_000])
+def test_blosclz_block_roundtrip(n):
+    from xcube_server_spark.sources.blosc import (
+        blosclz_compress,
+        blosclz_decompress,
+    )
+
+    rng = np.random.default_rng(n)
+    for raw in (
+        (b"abcdef12" * (n // 8 + 1))[:n],
+        bytes(n),
+        rng.integers(0, 8, n, dtype=np.uint8).tobytes(),
+    ):
+        assert blosclz_decompress(blosclz_compress(raw), n) == raw
+
+
+def test_blosclz_far_match_roundtrip():
+    """Data whose only repeat sits beyond the 8191-byte near-distance
+    window forces the encoder's FAR form through the decoder."""
+    from xcube_server_spark.sources.blosc import (
+        blosclz_compress,
+        blosclz_decompress,
+    )
+
+    rng = np.random.default_rng(77)
+    base = rng.integers(0, 255, 10_000, dtype=np.uint8).tobytes()
+    data = base + base[:64]
+    comp = blosclz_compress(data)
+    assert blosclz_decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("dtype", ["<f8", "<f4", "<i4", "<u1"])
+@pytest.mark.parametrize("shuffle", [True, False, "bit"])
+def test_blosclz_chunk_roundtrip(dtype, shuffle):
+    """Whole blosc chunks with codec id 0 (incl. split streams + both
+    shuffles) round-trip."""
+    rng = np.random.default_rng(23)
+    arr = (rng.integers(0, 50, size=4096) / 7.0).astype(dtype)
+    raw = arr.tobytes()
+    frame = compress(
+        raw, arr.dtype.itemsize, cname="blosclz", shuffle=shuffle
+    )
+    assert decompress(frame) == raw
+
+
+def test_blosclz_chunk_codec_id_is_zero():
+    raw = (b"0123456701234567" * 512)
+    frame = compress(raw, 8, cname="blosclz")
+    assert frame[2] & 0x2 == 0  # compressed, not memcpy
+    assert (frame[2] >> 5) & 0x7 == 0  # blosclz codec id
+
+
+# ---------------------------------------------------------------------------
+# blosc-zstd (codec id 5) chunks route through sources/zstd_codec.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["<f8", "<i4"])
+@pytest.mark.parametrize("shuffle", [True, "bit"])
+def test_blosc_zstd_chunk_roundtrip(dtype, shuffle):
+    rng = np.random.default_rng(29)
+    arr = (rng.integers(0, 9, size=5000) * 1.5).astype(dtype)
+    raw = arr.tobytes()
+    frame = compress(raw, arr.dtype.itemsize, cname="zstd", shuffle=shuffle)
+    if not frame[2] & 0x2:  # compressed path taken
+        assert (frame[2] >> 5) & 0x7 == 5
+    assert decompress(frame) == raw
+
+
+def test_snappy_codec_still_rejected():
+    frame = bytearray(compress(b"x" * 4096, 1))
+    assert not frame[2] & 0x2
+    # force flags to claim snappy (codec id 2) on a compressed chunk
+    lz = bytearray(compress(bytes(4096), 8))
+    lz[2] = (2 << 5) | (lz[2] & 0x1F)
+    with pytest.raises(NotImplementedError, match="snappy"):
+        decompress(bytes(lz))

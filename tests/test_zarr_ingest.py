@@ -141,36 +141,69 @@ def test_blosc_store_roundtrips_through_distributed_ingest(spark, tmp_path):
     _check_cells(df, chl, tsm)
 
 
-def test_unsupported_codecs_rejected_clearly(tmp_path):
-    """Codecs the pure-Python path genuinely cannot decode (zstd and
-    blosclz payloads) must raise a clear gate error — never a silent
-    wrong read. blosc(lz4/zlib, byte- or bit-shuffle) is accepted (see
-    round-trips above)."""
+@pytest.mark.parametrize(
+    "compressor", ["blosc-blosclz", "blosc-zstd", "zstd"]
+)
+def test_blosclz_zstd_stores_roundtrip(tmp_path, compressor):
+    """Round 8 closed the last real-world codec gaps: blosclz payloads
+    (c-blosc's fallback cname), blosc-zstd payloads (codec id 5) and
+    standalone numcodecs-style ``{"id": "zstd"}`` chunks all read back
+    through the pure-Python decoders (``sources/blosc.py`` /
+    ``sources/zstd_codec.py``)."""
     import json
-    import os
+
+    import numpy as np
+
+    from xcube_server_spark.sources.zarr_store import (
+        open_zarr_group,
+        write_zarr_group,
+    )
+
+    t, y, x = np.meshgrid(
+        np.arange(3), np.arange(10), np.arange(20), indexing="ij"
+    )
+    chl = ((t * 5 + y * 3 + x * 2) % 31) / 4.0
+    chl[(y * 20 + x + t) % 9 == 0] = np.nan
+    p = str(tmp_path / compressor)
+    write_zarr_group(
+        p, TIMES, np.linspace(52, 50, 10), np.linspace(0, 5, 20),
+        {"chl": chl}, chunk_shape=(1, 4, 8), compressor=compressor,
+    )
+    meta = json.loads((tmp_path / compressor / "chl" / ".zarray").read_text())
+    if compressor == "zstd":
+        assert meta["compressor"]["id"] == "zstd"
+    else:
+        assert meta["compressor"]["id"] == "blosc"
+        assert meta["compressor"]["cname"] == compressor.split("-")[1]
+    g = open_zarr_group(p)
+    out = g["chl"][0:3, 0:10, 0:20]
+    assert (np.isnan(out) == np.isnan(chl)).all()
+    assert np.allclose(np.nan_to_num(out), np.nan_to_num(chl))
+
+
+def test_unsupported_codecs_rejected_clearly(tmp_path):
+    """Compressors the pure-Python path genuinely cannot decode must
+    still raise a clear gate error — never a silent wrong read."""
+    import json
 
     import pytest as _pytest
 
     from xcube_server_spark.sources.blosc import compress, decompress
     from xcube_server_spark.sources.zarr_store import ZarrArray
 
-    p = tmp_path / "zstd_arr"
+    p = tmp_path / "lzma_arr"
     p.mkdir()
     (p / ".zarray").write_text(json.dumps({
         "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
-        "compressor": {"id": "zstd", "level": 1},
+        "compressor": {"id": "lzma"},
         "fill_value": "NaN", "order": "C", "filters": None,
     }))
     with _pytest.raises(NotImplementedError):
         ZarrArray(str(p))
-    # blosc container carrying an unsupported inner codec
+    # blosc container carrying the one codec id modern c-blosc dropped
     frame = bytearray(compress(bytes(range(32)) * 8, 4))
-    zstd_flags = (5 << 5)  # codec id 5 = zstd
-    frame[2] = zstd_flags
-    with _pytest.raises(NotImplementedError, match="zstd"):
-        decompress(bytes(frame))
-    frame[2] = 0  # codec id 0 = blosclz
-    with _pytest.raises(NotImplementedError, match="blosclz"):
+    frame[2] = 2 << 5  # codec id 2 = snappy
+    with _pytest.raises(NotImplementedError, match="snappy"):
         decompress(bytes(frame))
 
 
@@ -405,7 +438,7 @@ def test_zarr_v3_over_http_consolidated(tmp_path):
 
 
 def test_zarr_v3_unsupported_codecs_rejected(tmp_path):
-    """v3 sharding/zstd/crc32c codecs and exotic grids raise clearly."""
+    """v3 codecs outside scope and exotic grids raise clearly."""
     import json as _json
 
     import pytest as _pytest
@@ -422,7 +455,7 @@ def test_zarr_v3_unsupported_codecs_rejected(tmp_path):
         "fill_value": 0.0,
         "codecs": [{"name": "bytes",
                     "configuration": {"endian": "little"}},
-                   {"name": "zstd", "configuration": {"level": 1}}],
+                   {"name": "vlen-utf8", "configuration": {}}],
     }
     (p / "zarr.json").write_text(_json.dumps(base))
     (p / "c.0").write_bytes(b"")
@@ -430,7 +463,7 @@ def test_zarr_v3_unsupported_codecs_rejected(tmp_path):
     # key encoding default: chunk at c/0 — write it so decode is reached
     (p / "c").mkdir()
     (p / "c" / "0").write_bytes(bytes(32))
-    with _pytest.raises(NotImplementedError, match="zstd"):
+    with _pytest.raises(NotImplementedError, match="vlen-utf8"):
         arr[0:4]
     base["chunk_grid"] = {"name": "rectilinear", "configuration": {}}
     (p / "zarr.json").write_text(_json.dumps(base))

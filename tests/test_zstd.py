@@ -1,0 +1,303 @@
+"""Tests for the pure-Python Zstandard codec (``sources/zstd_codec.py``).
+
+Three independent pins, so no pair of components can share a bug and pass:
+
+1. **c-zstd cross-verification** (the strongest): pyarrow bundles the real
+   C zstd library. Frames produced by OUR encoder must decompress byte-
+   identically under c-zstd (including its xxh64 checksum validation),
+   and frames produced by c-zstd at levels 1/3/19 — which exercise
+   Huffman 1- and 4-stream literals, FSE-compressed tables, Treeless and
+   Repeat modes, far offsets and multi-block windows — must decode under
+   OUR decoder.
+2. **Hand-built spec frames**: minimal frames constructed byte-by-byte
+   from RFC 8878 (raw block, RLE block, RLE literals + RLE-mode
+   sequences) with hand-computed expected output — independent of both
+   encoders.
+3. **Malformed-input contracts**: truncation, checksum mismatch,
+   reserved block types, dictionary frames, bad magic all raise loudly.
+
+Plus published xxhash64 vectors for the checksum primitive.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.zstd_codec import (
+    LL_DEFAULT,
+    ML_DEFAULT,
+    OF_DEFAULT,
+    _BackBits,
+    _BitWriter,
+    fse_build_dtable,
+    fse_read_ncount,
+    xxh64,
+    zstd_compress,
+    zstd_decompress,
+)
+
+try:
+    import pyarrow as pa
+
+    _CZSTD = pa.Codec("zstd", 3)
+except Exception:  # pragma: no cover - pyarrow always present in CI image
+    _CZSTD = None
+
+needs_czstd = pytest.mark.skipif(_CZSTD is None, reason="pyarrow zstd absent")
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 (published test vectors)
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"Hello, world!") == 0xF58336A78B6F9476
+    # >32 bytes engages the 4-lane loop
+    assert xxh64(b"a" * 101) != xxh64(b"a" * 100)
+    assert xxh64(b"", seed=1) != xxh64(b"")
+
+
+# ---------------------------------------------------------------------------
+# bit I/O duality
+# ---------------------------------------------------------------------------
+
+
+def test_bitwriter_backbits_roundtrip():
+    rng = np.random.default_rng(5)
+    fields = [(int(rng.integers(0, 1 << k)), k) for k in rng.integers(0, 17, 200)]
+    bw = _BitWriter()
+    for v, k in fields:
+        bw.write(v, int(k))
+    br = _BackBits(bw.close())
+    for v, k in reversed(fields):
+        assert br.read(int(k)) == v
+    assert br.pos == 0
+
+
+def test_backbits_rejects_zero_padding_byte():
+    with pytest.raises(ValueError, match="padding marker"):
+        _BackBits(b"\x12\x00")
+
+
+# ---------------------------------------------------------------------------
+# FSE table description
+# ---------------------------------------------------------------------------
+
+
+def test_predefined_dtable_invariants():
+    """Structural invariants of the decode tables built from the RFC's
+    three predefined distributions (every probable symbol spread exactly
+    count times, low-prob symbols once, transitions in range)."""
+    for norm, log in ((LL_DEFAULT, 6), (ML_DEFAULT, 6), (OF_DEFAULT, 5)):
+        dt = fse_build_dtable(norm, log)
+        assert len(dt.symbol) == 1 << log
+        # every probable symbol appears, low-prob (-1) exactly once
+        for s, c in enumerate(norm):
+            want = 1 if c == -1 else c
+            assert dt.symbol.count(s) == want
+        # newstate+2^nbits never exceeds the table
+        for i in range(1 << log):
+            assert dt.newstate[i] + (1 << dt.nbits[i]) <= (1 << log)
+
+
+def test_fse_read_ncount_parses_full_table_rle_like():
+    """AL nibble 0 → accuracy 5; an all-ones field decodes to a single
+    count-32 symbol (full table) — remaining closes exactly at 1."""
+    norm, log, end = fse_read_ncount(b"\xf0\xff", 0, 35, 9)
+    assert log == 5 and norm == [32] and end == 2
+
+
+def test_fse_read_ncount_rejects_accuracy_over_channel_max():
+    # AL nibble 15 → accuracy 20, over every channel's max
+    with pytest.raises(ValueError, match="accuracy"):
+        fse_read_ncount(b"\x0f\xff", 0, 35, 9)
+
+
+# ---------------------------------------------------------------------------
+# hand-built spec frames (independent of both encoders)
+# ---------------------------------------------------------------------------
+
+_MAGIC = struct.pack("<I", 0xFD2FB528)
+
+
+def _fhd_single(content_len: int) -> bytes:
+    # FHD: fcs_flag=0, single_segment=1, no checksum -> 1-byte FCS
+    assert content_len <= 255
+    return bytes([0x20, content_len])
+
+
+def test_handbuilt_raw_block_frame():
+    frame = _MAGIC + _fhd_single(5) + bytes([(5 << 3) | 1]) + b"\x00\x00hello"
+    assert zstd_decompress(frame) == b"hello"
+
+
+def test_handbuilt_rle_block_frame():
+    # RLE block: header size field = REGENERATED size, 1 content byte
+    h = (7 << 3) | (1 << 1) | 1
+    frame = _MAGIC + _fhd_single(7) + h.to_bytes(3, "little") + b"z"
+    assert zstd_decompress(frame) == b"zzzzzzz"
+
+
+def test_handbuilt_compressed_block_rle_modes():
+    """Compressed block built fully by hand: RLE literals ('ab' can't be
+    RLE — use 'aaaa'), one sequence in RLE mode on all three channels.
+
+    Literals: RLE type (1), size_format 0, regen 4  -> header 0x21, byte 'a'.
+    Sequences: nbseq=1; modes byte = RLE for LL/OF/ML (1<<6|1<<4|1<<2);
+    symbols ll_code=2 (LL=2), of_code=2, ml_code=0 (ML=3).
+    Bitstream (written forward, read backward): init states read 0 bits
+    (RLE tables are 0-bit); seq reads OF extra (2 bits), ML extra (0),
+    LL extra (0). of_value = (1<<2)+raw2bits; choose raw=0 -> of_value 4
+    -> real offset 1. Expected: 'aa' literals + match len 3 dist 1 on 'a'
+    + trailing literals 'aa' => 'aa' + 'aaa' + 'aa' = 7 a's.
+    """
+    lits = bytes([0x21, ord("a")])
+    bw = _BitWriter()
+    bw.write(0, 2)  # OF extra bits for the single sequence
+    stream = bw.close()
+    body = (
+        lits
+        + bytes([1])                       # nbseq = 1
+        + bytes([(1 << 6) | (1 << 4) | (1 << 2)])  # RLE mode x3
+        + bytes([2])                       # LL RLE symbol: code 2 -> LL 2
+        + bytes([2])                       # OF RLE symbol: code 2
+        + bytes([0])                       # ML RLE symbol: code 0 -> ML 3
+        + stream
+    )
+    h = (len(body) << 3) | (2 << 1) | 1
+    frame = _MAGIC + _fhd_single(7) + h.to_bytes(3, "little") + body
+    assert zstd_decompress(frame) == b"a" * 7
+
+
+def test_handbuilt_multi_frame_concat():
+    f1 = _MAGIC + _fhd_single(2) + bytes([(2 << 3) | 1]) + b"\x00\x00ab"
+    f2 = _MAGIC + _fhd_single(2) + bytes([(2 << 3) | 1]) + b"\x00\x00cd"
+    assert zstd_decompress(f1 + f2) == b"abcd"
+
+
+def test_skippable_frame_ignored():
+    skip = struct.pack("<II", 0x184D2A53, 3) + b"xyz"
+    f = _MAGIC + _fhd_single(2) + bytes([(2 << 3) | 1]) + b"\x00\x00ab"
+    assert zstd_decompress(skip + f) == b"ab"
+
+
+# ---------------------------------------------------------------------------
+# malformed input
+# ---------------------------------------------------------------------------
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x01\x02\x03rest")
+
+
+def test_reserved_block_type_rejected():
+    h = (1 << 3) | (3 << 1) | 1
+    frame = _MAGIC + _fhd_single(1) + h.to_bytes(3, "little") + b"x"
+    with pytest.raises(ValueError, match="reserved block"):
+        zstd_decompress(frame)
+
+
+def test_dictionary_frame_rejected():
+    # FHD dict_id_flag=1 -> 1-byte dict id
+    frame = _MAGIC + bytes([0x21, 7, 2]) + bytes([(2 << 3) | 1]) + b"ab"
+    with pytest.raises(NotImplementedError, match="dict"):
+        zstd_decompress(frame)
+
+
+def test_checksum_mismatch_rejected():
+    good = zstd_compress(b"checksum me " * 10)
+    bad = good[:-4] + b"\x00\x00\x00\x00"
+    if good[-4:] == bad[-4:]:  # pragma: no cover - astronomically unlikely
+        bad = good[:-4] + b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bad)
+
+
+def test_content_size_mismatch_rejected():
+    frame = _MAGIC + _fhd_single(9) + bytes([(5 << 3) | 1]) + b"\x00\x00hello"
+    with pytest.raises(ValueError, match="content size"):
+        zstd_decompress(frame)
+
+
+def test_expected_size_enforced():
+    f = zstd_compress(b"ten bytes!")
+    with pytest.raises(ValueError, match="expected"):
+        zstd_decompress(f, 11)
+
+
+def test_truncated_frame_rejected():
+    f = zstd_compress(b"some compressible text " * 20)
+    with pytest.raises(Exception):
+        zstd_decompress(f[: len(f) // 2])
+
+
+# ---------------------------------------------------------------------------
+# self round-trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 100, 4096, 70000, 300000])
+def test_self_roundtrip(n):
+    rng = np.random.default_rng(n)
+    for raw in (
+        bytes(n),
+        rng.integers(0, 256, n, dtype=np.uint8).tobytes(),
+        (b"the quick brown fox jumps 012345 " * (n // 33 + 1))[:n],
+        rng.integers(0, 4, n, dtype=np.uint8).tobytes(),
+    ):
+        assert zstd_decompress(zstd_compress(raw), n) == raw
+
+
+# ---------------------------------------------------------------------------
+# c-zstd cross-verification (pyarrow)
+# ---------------------------------------------------------------------------
+
+
+@needs_czstd
+@pytest.mark.parametrize("n", [1, 100, 4096, 70000, 300000])
+def test_czstd_reads_our_frames(n):
+    rng = np.random.default_rng(n + 1)
+    for raw in (
+        bytes(n),
+        rng.integers(0, 256, n, dtype=np.uint8).tobytes(),
+        (b"the quick brown fox jumps 012345 " * (n // 33 + 1))[:n],
+    ):
+        frame = zstd_compress(raw)
+        assert _CZSTD.decompress(frame, n).to_pybytes() == raw
+
+
+@needs_czstd
+@pytest.mark.parametrize("level", [1, 3, 19])
+@pytest.mark.parametrize("n", [1, 100, 4096, 70000, 300000, 1200000])
+def test_our_decoder_reads_czstd_frames(level, n):
+    """Levels 1/3/19 across shapes exercise: Huffman 1- and 4-stream
+    literals, direct and FSE-compressed weights, Treeless reuse,
+    Predefined / FSE_Compressed / RLE / Repeat sequence modes, repeat
+    offsets and >128K multi-block frames (1.2 MB = 10 blocks)."""
+    codec = pa.Codec("zstd", level)
+    rng = np.random.default_rng(n + level)
+    for raw in (
+        rng.integers(0, 256, n, dtype=np.uint8).tobytes(),
+        (b"the quick brown fox jumps 012345 " * (n // 33 + 1))[:n],
+        rng.integers(0, 4, n, dtype=np.uint8).tobytes(),
+        (np.sin(np.arange(n // 8 + 1)) * 100).astype("<f8").tobytes()[:n],
+    ):
+        frame = codec.compress(raw, asbytes=True)
+        assert zstd_decompress(frame, n) == raw
+
+
+@needs_czstd
+def test_czstd_validates_our_checksum():
+    """c-zstd checks xxh64 checksums when present: a frame whose
+    checksum c-zstd accepts proves our xxh64 matches its."""
+    raw = b"checksummed payload " * 50
+    frame = zstd_compress(raw)
+    # frame declares a checksum (FHD bit 2)
+    assert frame[4] & 0x04
+    assert _CZSTD.decompress(frame, len(raw)).to_pybytes() == raw

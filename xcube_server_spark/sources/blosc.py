@@ -1,4 +1,5 @@
-"""Pure-Python blosc v1 chunk codec (lz4 / zlib / memcpy, byte-shuffle).
+"""Pure-Python blosc v1 chunk codec (blosclz / lz4 / zlib / zstd / memcpy,
+byte- and bit-shuffle).
 
 The zarr ecosystem's DEFAULT compressor is ``blosc(cname='lz4', shuffle=1)``
 (numcodecs' ``Blosc``), so a zarr reader that only handles zlib/raw chunks
@@ -25,16 +26,19 @@ decompress those chunks with only the standard library + numpy:
   ``typesize`` byte-planes; numpy transpose undoes it (trailing
   ``len % typesize`` bytes ride along unshuffled).
 
-The LZ4 *block* codec (not the frame format) is implemented in Python:
-the decoder is the spec's token/literals/offset/match loop; the encoder is
-a greedy hash-table matcher — valid output, modest ratio — so tests and
-the correctness gate can round-trip REAL blosc-lz4 frames without
-numcodecs. The compressor writes a stream raw when compression does not
-shrink it, mirroring c-blosc.
+The LZ4 *block* codec (not the frame format) and the blosclz codec
+(c-blosc's FastLZ-derived fallback, codec id 0) are implemented in Python:
+each decoder is the spec's token/literals/offset/match loop; each encoder
+is a greedy hash-table matcher — valid output, modest ratio — so tests and
+the correctness gate can round-trip REAL blosc frames without numcodecs.
+zstd payloads (codec id 5, the zarr-v3 ecosystem default) route through
+the RFC 8878 implementation in ``sources/zstd_codec.py``. The compressor
+writes a stream raw when compression does not shrink it, mirroring
+c-blosc.
 
-Scope (asserted, not silently wrong): blosclz/zstd payloads raise
-``NotImplementedError`` naming the missing piece; byte-shuffle AND
-bit-shuffle both decode.
+Scope (asserted, not silently wrong): snappy payloads (codec id 2,
+removed from modern c-blosc builds) raise ``NotImplementedError``;
+byte-shuffle AND bit-shuffle both decode.
 """
 
 from __future__ import annotations
@@ -159,6 +163,150 @@ def lz4_block_compress(src: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# blosclz block format — c-blosc's own fallback codec (codec id 0), a
+# FastLZ-level-1 derivative described by blosclz.c in the c-blosc sources:
+#
+# - the FIRST control byte is masked ``& 31`` → a stream always opens with
+#   a literal run;
+# - ctrl < 32: literal run of ``ctrl + 1`` bytes copied from the input;
+# - ctrl >= 32: match. 3-bit length field ``ctrl >> 5`` ∈ 1..7 gives
+#   ``len = field - 1``; field 7 appends 255-chained extension bytes
+#   (``len += code`` until ``code != 255``). Then one distance code byte:
+#   near distance = ``((ctrl & 31) << 8) + code + 1`` (1..8191 usable).
+#   The pair ``code == 255 && (ctrl & 31) == 31`` escapes to a FAR match:
+#   two big-endian bytes give ``ofs``; distance = ``ofs + 8192``
+#   (``op - ofs - MAX_DISTANCE`` then the common ``ref--``,
+#   MAX_DISTANCE = 8191). Copy ``len + 3`` bytes, overlap-safe
+#   (distance 1 repeats the previous byte — RLE).
+# ---------------------------------------------------------------------------
+
+_BLZ_MAX_DISTANCE = 8191
+
+
+def blosclz_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one blosclz stream (see format notes above)."""
+    dst = bytearray()
+    n = len(src)
+    if n == 0:
+        if dst_size:
+            raise ValueError("corrupt blosclz block: empty input")
+        return b""
+    ctrl = src[0] & 31
+    i = 1
+    try:
+        while True:
+            if ctrl >= 32:
+                mlen = (ctrl >> 5) - 1
+                ofs = (ctrl & 31) << 8
+                if mlen == 6:  # length field 7: 255-chained extension
+                    while True:
+                        code = src[i]
+                        i += 1
+                        mlen += code
+                        if code != 255:
+                            break
+                code = src[i]
+                i += 1
+                if code == 255 and ofs == (31 << 8):
+                    dist = (src[i] << 8 | src[i + 1]) + _BLZ_MAX_DISTANCE + 1
+                    i += 2
+                else:
+                    dist = ofs + code + 1
+                start = len(dst) - dist
+                if start < 0:
+                    raise ValueError(
+                        "corrupt blosclz block: match before stream start"
+                    )
+                mlen += 3
+                if dist >= mlen:
+                    dst += dst[start : start + mlen]
+                else:  # overlapping (incl. distance-1 RLE): byte-at-a-time
+                    for k in range(mlen):
+                        dst.append(dst[start + k])
+            else:
+                run = ctrl + 1
+                if i + run > n:
+                    raise ValueError(
+                        "corrupt blosclz block: literal run past input end"
+                    )
+                dst += src[i : i + run]
+                i += run
+            if i >= n:
+                break
+            ctrl = src[i]
+            i += 1
+    except IndexError:
+        raise ValueError("corrupt blosclz block: truncated input") from None
+    if len(dst) != dst_size:
+        raise ValueError(
+            f"corrupt blosclz block: expected {dst_size} bytes, "
+            f"got {len(dst)}"
+        )
+    return bytes(dst)
+
+
+def blosclz_compress(src: bytes) -> bytes:
+    """Greedy blosclz encoder (hash-table 4-byte matches, near + far
+    distances). Always emits a VALID stream; callers store raw when it
+    does not shrink."""
+    n = len(src)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+
+    def emit_literals(lo: int, hi: int) -> None:
+        while lo < hi:
+            run = min(32, hi - lo)
+            out.append(run - 1)
+            out.extend(src[lo : lo + run])
+            lo += run
+
+    def emit_match(dist: int, mlen: int) -> None:
+        ln = mlen - 3
+        far = dist > _BLZ_MAX_DISTANCE
+        ofs5 = 31 if far else (dist - 1) >> 8
+        if ln < 6:
+            out.append(((ln + 1) << 5) | ofs5)
+        else:
+            out.append((7 << 5) | ofs5)
+            rem = ln - 6
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        if far:
+            ofs16 = dist - _BLZ_MAX_DISTANCE - 1
+            out.extend((255, ofs16 >> 8, ofs16 & 0xFF))
+        else:
+            out.append((dist - 1) & 0xFF)
+
+    i = anchor = 0
+    # the first token must be a literal run (its ctrl byte is masked & 31)
+    if n:
+        i = 1
+    while i + 4 <= n:
+        seq = src[i : i + 4]
+        j = table.get(seq)
+        table[seq] = i
+        if (
+            j is not None
+            and i - j <= _BLZ_MAX_DISTANCE + 0xFFFF + 1
+            and src[j : j + 4] == seq
+        ):
+            mlen = 4
+            limit = n - i
+            while mlen < limit and src[j + mlen] == src[i + mlen]:
+                mlen += 1
+            emit_literals(anchor, i)
+            emit_match(i - j, mlen)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit_literals(anchor, n)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # byte-shuffle (per block)
 # ---------------------------------------------------------------------------
 
@@ -264,10 +412,10 @@ def decompress(frame: bytes) -> bytes:
     if flags & _MEMCPY:
         return bytes(frame[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec not in (1, 3):
+    if codec not in (0, 1, 3, 5):
         raise NotImplementedError(
             f"blosc codec {_CODEC_NAMES.get(codec, codec)!r} is not "
-            "supported (lz4 and zlib payloads are)"
+            "supported (blosclz, lz4, zlib and zstd payloads are)"
         )
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
@@ -294,8 +442,14 @@ def decompress(frame: bytes) -> bytes:
             else:
                 payload = frame[pos : pos + csize]
                 pos += csize
-                if codec == 1:
+                if codec == 0:
+                    block += blosclz_decompress(payload, stream_size)
+                elif codec == 1:
                     block += lz4_block_decompress(payload, stream_size)
+                elif codec == 5:
+                    from .zstd_codec import zstd_decompress
+
+                    block += zstd_decompress(payload, stream_size)
                 else:
                     block += zlib.decompress(payload)
         if flags & _BITSHUFFLE:
@@ -324,9 +478,11 @@ def compress(
     raw-stream fallback when a stream does not shrink, and whole-chunk
     memcpy fallback when compression does not pay at all.
     """
-    codec = {"lz4": 1, "zlib": 3}.get(cname)
+    codec = {"blosclz": 0, "lz4": 1, "zlib": 3, "zstd": 5}.get(cname)
     if codec is None:
-        raise NotImplementedError(f"blosc writer supports lz4/zlib, not {cname!r}")
+        raise NotImplementedError(
+            f"blosc writer supports blosclz/lz4/zlib/zstd, not {cname!r}"
+        )
     nbytes = len(data)
     typesize = max(1, typesize)
     if typesize > 255:
@@ -366,11 +522,16 @@ def compress(
         stream_size = bsize // nstreams
         for s in range(nstreams):
             stream = block[s * stream_size : (s + 1) * stream_size]
-            comp = (
-                lz4_block_compress(stream)
-                if codec == 1
-                else zlib.compress(stream, 5)
-            )
+            if codec == 0:
+                comp = blosclz_compress(stream)
+            elif codec == 1:
+                comp = lz4_block_compress(stream)
+            elif codec == 5:
+                from .zstd_codec import zstd_compress
+
+                comp = zstd_compress(stream)
+            else:
+                comp = zlib.compress(stream, 5)
             if len(comp) < stream_size:
                 body += struct.pack("<i", len(comp)) + comp
             else:

@@ -17,11 +17,12 @@ minimal dataset surface the ingest path consumes
 Scope (asserted, not silently wrong): zarr v2 (``.zgroup``/``.zarray``
 JSON, C order, no filters) AND zarr v3 (``zarr.json`` nodes, regular
 chunk grid, default/v2 chunk-key encodings, ``dimension_names``,
-consolidated_metadata); compressors: ``null``, ``zlib``/``gzip`` or
-``blosc`` with lz4/zlib payloads and byte- or bit-shuffle (the
-pure-Python codec in ``sources/blosc.py`` — zarr's default compressor);
-blosc-zstd/blosclz payloads, v3 sharding/crc32c and non-identity
-transpose raise a clear error.
+consolidated_metadata); compressors: ``null``, ``zlib``/``gzip``,
+standalone ``zstd`` (the pure-Python RFC 8878 codec in
+``sources/zstd_codec.py``) or ``blosc`` with blosclz/lz4/zlib/zstd
+payloads and byte- or bit-shuffle (``sources/blosc.py`` — zarr's default
+compressor); v3 sharding/crc32c and non-identity transpose raise a
+clear error.
 Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
 consumes directly.
@@ -184,11 +185,11 @@ class ZarrArray:
             raise NotImplementedError("zarr filters are not supported")
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
-        if self._comp_id not in (None, "zlib", "blosc"):
+        if self._comp_id not in (None, "zlib", "zstd", "blosc"):
             raise NotImplementedError(
                 f"compressor {self._comp_id!r} needs numcodecs, which is "
-                "not installed; zlib, blosc(lz4/zlib) and uncompressed "
-                "stores are readable"
+                "not installed; zlib, zstd, blosc(blosclz/lz4/zlib/zstd) "
+                "and uncompressed stores are readable"
             )
         self.shape = tuple(meta["shape"])
         self.chunk_shape = tuple(meta["chunks"])
@@ -229,6 +230,10 @@ class ZarrArray:
             return arr
         if self._comp_id == "zlib":
             raw = zlib.decompress(raw)
+        elif self._comp_id == "zstd":
+            from .zstd_codec import zstd_decompress
+
+            raw = zstd_decompress(raw)
         elif self._comp_id == "blosc":
             from .blosc import decompress as _blosc_decompress
 
@@ -399,6 +404,10 @@ class ZarrArrayV3(ZarrArray):
                 break
             if name == "gzip":
                 raw = zlib.decompress(raw, 32 + 15)  # gzip OR zlib header
+            elif name == "zstd":
+                from .zstd_codec import zstd_decompress
+
+                raw = zstd_decompress(raw)
             elif name == "blosc":
                 from .blosc import decompress as _blosc_decompress
 
@@ -412,7 +421,7 @@ class ZarrArrayV3(ZarrArray):
             else:
                 raise NotImplementedError(
                     f"zarr v3 codec {name!r} is not supported "
-                    "(bytes/gzip/blosc/identity-transpose are)"
+                    "(bytes/gzip/zstd/blosc/identity-transpose are)"
                 )
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
 
@@ -533,11 +542,17 @@ def _write_array(
     comp = compressor if compressor is not None else (
         "zlib" if compress else None
     )
-    if comp in ("blosc", "blosc-bit"):
+    if comp in ("blosc", "blosc-bit", "blosc-blosclz", "blosc-zstd"):
         comp_meta: dict | None = {
-            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "id": "blosc",
+            "cname": {
+                "blosc-blosclz": "blosclz", "blosc-zstd": "zstd"
+            }.get(comp, "lz4"),
+            "clevel": 5,
             "shuffle": 2 if comp == "blosc-bit" else 1, "blocksize": 0,
         }
+    elif comp == "zstd":
+        comp_meta = {"id": "zstd", "level": 3}
     elif comp == "zlib":
         comp_meta = {"id": "zlib", "level": 5}
     elif comp is None:
@@ -576,13 +591,18 @@ def _write_array(
             block = arr[sel]
             chunk[tuple(slice(0, b) for b in block.shape)] = block
             raw = chunk.tobytes(order="C")
-            if comp in ("blosc", "blosc-bit"):
+            if comp in ("blosc", "blosc-bit", "blosc-blosclz", "blosc-zstd"):
                 from .blosc import compress as _blosc_compress
 
                 raw = _blosc_compress(
                     raw, arr.dtype.itemsize,
+                    cname=comp_meta["cname"],
                     shuffle="bit" if comp == "blosc-bit" else True,
                 )
+            elif comp == "zstd":
+                from .zstd_codec import zstd_compress
+
+                raw = zstd_compress(raw)
             elif comp == "zlib":
                 raw = zlib.compress(raw, 5)
             name = ".".join(
@@ -695,6 +715,10 @@ def _write_array_v3(
     ]
     if compressor == "gzip":
         codecs.append({"name": "gzip", "configuration": {"level": 5}})
+    elif compressor == "zstd":
+        codecs.append(
+            {"name": "zstd", "configuration": {"level": 3, "checksum": True}}
+        )
     elif compressor in ("blosc", "blosc-bit"):
         codecs.append({
             "name": "blosc",
@@ -746,6 +770,10 @@ def _write_array_v3(
             import gzip as _gzip
 
             raw = _gzip.compress(raw, 5)
+        elif compressor == "zstd":
+            from .zstd_codec import zstd_compress
+
+            raw = zstd_compress(raw)
         elif compressor in ("blosc", "blosc-bit"):
             from .blosc import compress as _blosc_compress
 

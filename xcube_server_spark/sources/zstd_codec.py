@@ -1,0 +1,896 @@
+"""Pure-Python Zstandard (RFC 8878) frame decoder + fixture-grade encoder.
+
+Real-world zarr increasingly ships zstd payloads — it is the zarr-v3
+ecosystem's default compressor, numcodecs exposes it both standalone
+(``{"id": "zstd"}``) and inside blosc (codec id 5), and the reference
+reads all of them through numcodecs (``xcube_server/context.py:247-250``).
+numcodecs is not installed here, so this module implements the published
+RFC 8878 format with only the standard library, the same discipline as
+``sources/blosc.py`` (c-blosc chunks) and ``sources/hdf5.py`` (HDF5):
+
+Decoder (``zstd_decompress``) — the full single-frame surface an
+unauthenticated store can ship:
+
+- frame header: magic, descriptor (content-size / single-segment /
+  checksum / dict-id flags), window descriptor, skippable frames;
+  raw-content dictionaries are out of scope (dict id != 0 raises).
+- blocks: Raw, RLE, Compressed (reserved raises).
+- literals: Raw, RLE, Huffman-compressed (1- and 4-stream) and Treeless
+  (previous table reuse); Huffman tree descriptions both direct (4-bit
+  weights) and FSE-compressed (two interleaved states, shared table).
+- sequences: Predefined_Mode, RLE_Mode, FSE_Compressed_Mode and
+  Repeat_Mode for each of the literals-length / offset / match-length
+  channels; the interleaved backward bitstream; repeat-offset history
+  with the literals_length==0 shift rule.
+- the optional xxhash64 content checksum is VALIDATED (xxh64 implemented
+  below from the published algorithm).
+
+Encoder (``zstd_compress``) — writes standard frames any zstd build
+reads, used by the zarr/blosc writers so gate fixtures carry REAL
+compressed payloads through the decode path: single-segment frame with
+content size + checksum; Raw / RLE / Compressed blocks; compressed
+blocks use raw literals plus greedy-LZ sequences entropy-coded with the
+RFC's PREDEFINED FSE distributions (a real tANS encode: state init /
+transition / flush exactly dual to the decoder). Tests cross-verify
+both directions against the c-zstd build bundled with pyarrow.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0xFD2FB528
+_SKIPPABLE_LOW = 0x184D2A50
+
+# ---------------------------------------------------------------------------
+# xxhash64 (checksum; published algorithm, seed 0)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, i)
+            v1, v2 = _xxh_round(v1, l1), _xxh_round(v2, l2)
+            v3, v4 = _xxh_round(v3, l3), _xxh_round(v4, l4)
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh_round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = (_rotl(h ^ _xxh_round(0, k), 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl(h ^ (k * _P1) & _M64, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M64, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    """Backward bitstream reader: the encoder wrote bits LSB-first,
+    closed with a 1 marker bit + zero padding; the decoder consumes from
+    the marker downward. Reads past the start return zero bits and drive
+    ``pos`` negative (the FSE weight-stream termination signal)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("corrupt zstd bitstream: missing padding marker")
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self.pos -= k
+        return self.peek_at(self.pos, k)
+
+    def peek(self, k: int) -> int:
+        return self.peek_at(self.pos - k, k)
+
+    def peek_at(self, lo: int, k: int) -> int:
+        """Bits [lo, lo+k), position ``lo`` as the LSB; positions < 0
+        read as zero."""
+        pad = 0
+        if lo < 0:
+            pad = -lo
+            k += lo
+            lo = 0
+            if k <= 0:
+                return 0
+        b0, b1 = lo >> 3, (lo + k + 7) >> 3
+        val = int.from_bytes(self.data[b0:b1], "little") >> (lo & 7)
+        return (val & ((1 << k) - 1)) << pad
+
+
+class _BitWriter:
+    """Forward LSB-first bit writer; ``close`` appends the 1 marker bit
+    and pads to a byte — the exact dual of ``_BackBits``."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, value: int, k: int) -> None:
+        self.acc |= (value & ((1 << k) - 1)) << self.nbits
+        self.nbits += k
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def close(self) -> bytes:
+        self.write(1, 1)
+        if self.nbits:
+            self.out.append(self.acc & ((1 << self.nbits) - 1))
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# FSE (tANS) — table description, decode table, encode table
+# ---------------------------------------------------------------------------
+
+
+def fse_read_ncount(data: bytes, pos: int, max_symbol: int,
+                    max_accuracy: int) -> tuple[list[int], int, int]:
+    """Parse an FSE table description (RFC 8878 §4.1.1): forward
+    LSB-first bitstream of variable-width normalized counts (−1 denotes
+    the "less than 1" probability). Returns (normalized, accuracy_log,
+    next byte position)."""
+    bitpos = pos * 8
+
+    def take(k: int) -> int:
+        nonlocal bitpos
+        b0, b1 = bitpos >> 3, (bitpos + k + 7) >> 3
+        if b1 > len(data):
+            raise ValueError("corrupt FSE table description: truncated")
+        v = int.from_bytes(data[b0:b1], "little") >> (bitpos & 7)
+        bitpos += k
+        return v & ((1 << k) - 1)
+
+    accuracy = take(4) + 5
+    if accuracy > max_accuracy:
+        raise ValueError(
+            f"FSE accuracy log {accuracy} exceeds channel max {max_accuracy}"
+        )
+    remaining = (1 << accuracy) + 1
+    threshold = 1 << accuracy
+    nbits = accuracy + 1
+    norm: list[int] = []
+    prev_zero = False
+    while remaining > 1:
+        if len(norm) > max_symbol:
+            raise ValueError("corrupt FSE table description: too many symbols")
+        if prev_zero:
+            # a zero count is followed by 2-bit repeat flags: 0-2 add that
+            # many more zeros and stop; 3 adds three and reads another flag
+            while True:
+                rep = take(2)
+                norm.extend([0] * min(rep, 3))
+                if len(norm) > max_symbol + 1:
+                    raise ValueError(
+                        "corrupt FSE table description: zero-repeat overrun"
+                    )
+                if rep != 3:
+                    break
+            prev_zero = False
+            continue
+        mx = (2 * threshold - 1) - remaining
+        low = take(nbits - 1)
+        if low < mx:
+            count = low
+        else:
+            extra = take(1)
+            count = low + (extra << (nbits - 1))
+            if count >= threshold:
+                count -= mx
+        count -= 1  # −1 encodes "less than 1"
+        remaining -= -count if count < 0 else count
+        norm.append(count)
+        if count == 0:
+            prev_zero = True
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nbits -= 1
+    if remaining != 1:
+        raise ValueError("corrupt FSE table description: counts overflow")
+    return norm, accuracy, (bitpos + 7) >> 3
+
+
+class _FseDTable:
+    __slots__ = ("log", "symbol", "nbits", "newstate")
+
+    def __init__(self, log, symbol, nbits, newstate):
+        self.log = log
+        self.symbol = symbol
+        self.nbits = nbits
+        self.newstate = newstate
+
+
+def _fse_spread(norm: list[int], log: int) -> list[int]:
+    """Symbol spread shared by decode- and encode-table builds (RFC
+    8878 §4.1.1 and the dual FSE_buildCTable layout)."""
+    size = 1 << log
+    table = [0] * size
+    high = size - 1
+    for s, c in enumerate(norm):
+        if c == -1:
+            table[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(norm):
+        for _ in range(max(c, 0)):
+            table[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("corrupt FSE table: spread did not close")
+    return table
+
+
+def fse_build_dtable(norm: list[int], log: int) -> _FseDTable:
+    size = 1 << log
+    symbol = _fse_spread(norm, log)
+    nxt = [c if c != -1 else 1 for c in norm]
+    nbits = [0] * size
+    newstate = [0] * size
+    for i in range(size):
+        s = symbol[i]
+        x = nxt[s]
+        nxt[s] += 1
+        nb = log - (x.bit_length() - 1)
+        nbits[i] = nb
+        newstate[i] = (x << nb) - size
+    return _FseDTable(log, symbol, nbits, newstate)
+
+
+def fse_rle_dtable(sym: int) -> _FseDTable:
+    """Degenerate 1-entry table for RLE_Mode channels (0-bit updates)."""
+    return _FseDTable(0, [sym], [0], [0])
+
+
+class _FseCTable:
+    __slots__ = ("log", "state_table", "delta_nbits", "delta_find")
+
+    def __init__(self, norm: list[int], log: int):
+        self.log = log
+        size = 1 << log
+        symbol = _fse_spread(norm, log)
+        cumul = [0]
+        for c in norm:
+            cumul.append(cumul[-1] + (1 if c == -1 else max(c, 0)))
+        self.state_table = [0] * size
+        cum = cumul[:]
+        for u in range(size):
+            s = symbol[u]
+            self.state_table[cum[s]] = size + u
+            cum[s] += 1
+        self.delta_nbits = {}
+        self.delta_find = {}
+        total = 0
+        for s, c in enumerate(norm):
+            if c == 0:
+                self.delta_nbits[s] = ((log + 1) << 16) - size
+                self.delta_find[s] = total
+            elif c in (-1, 1):
+                self.delta_nbits[s] = (log << 16) - size
+                self.delta_find[s] = total - 1
+                total += 1
+            else:
+                max_out = log - ((c - 1).bit_length() - 1)
+                self.delta_nbits[s] = (max_out << 16) - (c << max_out)
+                self.delta_find[s] = total - c
+                total += c
+
+    def init_state(self, sym: int) -> int:
+        nb = (self.delta_nbits[sym] + (1 << 15)) >> 16
+        value = (nb << 16) - self.delta_nbits[sym]
+        return self.state_table[(value >> nb) + self.delta_find[sym]]
+
+    def encode(self, state: int, sym: int, bw: _BitWriter) -> int:
+        nb = (state + self.delta_nbits[sym]) >> 16
+        bw.write(state, nb)
+        return self.state_table[(state >> nb) + self.delta_find[sym]]
+
+    def flush(self, state: int, bw: _BitWriter) -> None:
+        bw.write(state, self.log)
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+# ---------------------------------------------------------------------------
+
+
+def _huf_build(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Canonical table from explicit weights (last symbol implied):
+    returns (table of (symbol, nbits) sized 2^log, log)."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("corrupt Huffman weights: all zero")
+    log = total.bit_length()  # smallest power of two STRICTLY above total
+    rest = (1 << log) - total
+    if rest & (rest - 1):
+        raise ValueError("corrupt Huffman weights: non-power-of-2 remainder")
+    weights = weights + [rest.bit_length()]
+    if log > 11:
+        raise ValueError(f"Huffman table log {log} exceeds the format max 11")
+    table: list[tuple[int, int]] = [(0, 0)] * (1 << log)
+    pos = 0
+    for w in range(1, log + 1):
+        span = 1 << (w - 1)
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                table[pos : pos + span] = [(sym, log + 1 - w)] * span
+                pos += span
+    if pos != len(table):
+        raise ValueError("corrupt Huffman weights: table does not fill")
+    return table, log
+
+
+def _huf_read_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    """Huffman tree description → explicit weights + next position."""
+    hb = data[pos]
+    pos += 1
+    if hb >= 128:  # direct: 4-bit weights, first in the high nibble
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        blob = data[pos : pos + nbytes]
+        if len(blob) < nbytes:
+            raise ValueError("corrupt Huffman weights: truncated direct form")
+        weights = []
+        for i in range(n):
+            b = blob[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, pos + nbytes
+    # FSE-compressed: hb bytes hold table description + backward stream
+    blob = data[pos : pos + hb]
+    if len(blob) < hb:
+        raise ValueError("corrupt Huffman weights: truncated FSE form")
+    norm, log, tdesc_end = fse_read_ncount(blob, 0, 255, 6)
+    dt = fse_build_dtable(norm, log)
+    br = _BackBits(blob[tdesc_end:])
+    s1 = br.read(log)
+    s2 = br.read(log)
+    weights: list[int] = []
+
+    def step(state: int) -> int:
+        weights.append(dt.symbol[state])
+        return dt.newstate[state] + br.read(dt.nbits[state])
+
+    while True:
+        s1 = step(s1)
+        if br.pos < 0:
+            weights.append(dt.symbol[s2])
+            break
+        s2 = step(s2)
+        if br.pos < 0:
+            weights.append(dt.symbol[s1])
+            break
+        if len(weights) > 255:
+            raise ValueError("corrupt Huffman weights: more than 255")
+    if len(weights) > 255:
+        raise ValueError("corrupt Huffman weights: more than 255")
+    return weights, pos + hb
+
+
+def _huf_decode_stream(table, log: int, stream: bytes, count: int) -> bytes:
+    br = _BackBits(stream)
+    out = bytearray()
+    for _ in range(count):
+        sym, nb = table[br.peek(log)]
+        br.pos -= nb
+        out.append(sym)
+    if br.pos != 0:
+        raise ValueError("corrupt Huffman stream: bits left over")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# sequences: predefined distributions + code tables (RFC 8878 §3.1.1.3.2)
+# ---------------------------------------------------------------------------
+
+LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2,
+              2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1]
+ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+              1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+              1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1]
+OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+              1, 1, 1, 1, -1, -1, -1, -1, -1]
+_LL_LOG, _ML_LOG, _OF_LOG = 6, 6, 5
+_LL_MAX_LOG, _ML_MAX_LOG, _OF_MAX_LOG = 9, 9, 8
+
+LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128,
+                             256, 512, 1024, 2048, 4096, 8192, 16384,
+                             32768, 65536]
+LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                      13, 14, 15, 16]
+ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83,
+                                99, 131, 259, 515, 1027, 2051, 4099, 8195,
+                                16387, 32771, 65539]
+ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                      12, 13, 14, 15, 16]
+
+
+def _ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    for c in range(len(LL_BASE) - 1, 15, -1):
+        if ll >= LL_BASE[c]:
+            return c
+    raise AssertionError
+
+
+def _ml_code(ml: int) -> int:
+    if ml < 35:
+        return ml - 3
+    for c in range(len(ML_BASE) - 1, 31, -1):
+        if ml >= ML_BASE[c]:
+            return c
+    raise AssertionError
+
+
+# ---------------------------------------------------------------------------
+# frame decoder
+# ---------------------------------------------------------------------------
+
+
+class _FrameState:
+    """Cross-block state inside one frame: Huffman table for Treeless
+    literals, FSE tables for Repeat_Mode channels, repeat offsets."""
+
+    def __init__(self):
+        self.huf = None  # (table, log)
+        self.ll = self.of = self.ml = None
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, pos: int, st: _FrameState
+                     ) -> tuple[bytes, int]:
+    b0 = block[pos]
+    lit_type = b0 & 3
+    sf = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            regen = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            regen = (
+                (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
+            )
+            pos += 3
+        if lit_type == 0:
+            lits = bytes(block[pos : pos + regen])
+            if len(lits) != regen:
+                raise ValueError("corrupt block: truncated raw literals")
+            return lits, pos + regen
+        return bytes([block[pos]]) * regen, pos + 1
+    # Compressed / Treeless
+    if sf == 0:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen, comp = (h >> 4) & 0x3FF, (h >> 14) & 0x3FF
+        pos += 3
+        streams = 1
+    elif sf == 1:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen, comp = (h >> 4) & 0x3FF, (h >> 14) & 0x3FF
+        pos += 3
+        streams = 4
+    elif sf == 2:
+        h = int.from_bytes(block[pos : pos + 4], "little")
+        regen, comp = (h >> 4) & 0x3FFF, (h >> 18) & 0x3FFF
+        pos += 4
+        streams = 4
+    else:
+        h = int.from_bytes(block[pos : pos + 5], "little")
+        regen, comp = (h >> 4) & 0x3FFFF, (h >> 22) & 0x3FFFF
+        pos += 5
+        streams = 4
+    section = block[pos : pos + comp]
+    if len(section) != comp:
+        raise ValueError("corrupt block: truncated literals section")
+    spos = 0
+    if lit_type == 2:
+        weights, spos = _huf_read_weights(section, 0)
+        st.huf = _huf_build(weights)
+    elif st.huf is None:
+        raise ValueError(
+            "corrupt frame: Treeless literals with no previous table"
+        )
+    table, log = st.huf
+    if streams == 1:
+        lits = _huf_decode_stream(table, log, section[spos:], regen)
+    else:
+        j1, j2, j3 = struct.unpack_from("<HHH", section, spos)
+        spos += 6
+        sizes = [j1, j2, j3, comp - spos - j1 - j2 - j3]
+        if sizes[3] <= 0:
+            raise ValueError("corrupt block: bad literals jump table")
+        per = (regen + 3) // 4
+        counts = [per, per, per, regen - 3 * per]
+        if counts[3] < 0:
+            raise ValueError("corrupt block: literals size < 3*ceil(n/4)")
+        parts = []
+        for sz, cnt in zip(sizes, counts):
+            parts.append(
+                _huf_decode_stream(table, log, section[spos : spos + sz], cnt)
+            )
+            spos += sz
+        lits = b"".join(parts)
+    if len(lits) != regen:
+        raise ValueError("corrupt block: literal count mismatch")
+    return lits, pos + comp
+
+
+def _sequence_table(block: bytes, pos: int, mode: int, channel: str,
+                    st: _FrameState) -> tuple[_FseDTable, int]:
+    defaults = {
+        "ll": (LL_DEFAULT, _LL_LOG, _LL_MAX_LOG, 35),
+        "of": (OF_DEFAULT, _OF_LOG, _OF_MAX_LOG, 31),
+        "ml": (ML_DEFAULT, _ML_LOG, _ML_MAX_LOG, 52),
+    }[channel]
+    if mode == 0:
+        table = fse_build_dtable(defaults[0], defaults[1])
+    elif mode == 1:
+        table = fse_rle_dtable(block[pos])
+        pos += 1
+    elif mode == 2:
+        norm, log, pos = fse_read_ncount(block, pos, defaults[3], defaults[2])
+        table = fse_build_dtable(norm, log)
+    else:
+        table = getattr(st, channel)
+        if table is None:
+            raise ValueError(
+                f"corrupt frame: Repeat_Mode {channel} with no previous table"
+            )
+    setattr(st, channel, table)
+    return table, pos
+
+
+def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
+    lits, pos = _decode_literals(block, 0, st)
+    b0 = block[pos]
+    pos += 1
+    if b0 == 0:
+        if pos != len(block):
+            raise ValueError("corrupt block: bytes after empty sequences")
+        out += lits
+        return
+    if b0 < 128:
+        nbseq = b0
+    elif b0 < 255:
+        nbseq = ((b0 - 128) << 8) | block[pos]
+        pos += 1
+    else:
+        nbseq = struct.unpack_from("<H", block, pos)[0] + 0x7F00
+        pos += 2
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("corrupt block: reserved sequence mode bits set")
+    ll_t, pos = _sequence_table(block, pos, (modes >> 6) & 3, "ll", st)
+    of_t, pos = _sequence_table(block, pos, (modes >> 4) & 3, "of", st)
+    ml_t, pos = _sequence_table(block, pos, (modes >> 2) & 3, "ml", st)
+    br = _BackBits(block[pos:])
+    ll_s = br.read(ll_t.log)
+    of_s = br.read(of_t.log)
+    ml_s = br.read(ml_t.log)
+    lit_pos = 0
+    rep = st.rep
+    for i in range(nbseq):
+        ll_c, of_c, ml_c = (
+            ll_t.symbol[ll_s], of_t.symbol[of_s], ml_t.symbol[ml_s]
+        )
+        if of_c > 31:
+            raise ValueError("corrupt block: offset code > 31")
+        of_val = (1 << of_c) + br.read(of_c)
+        ml = ML_BASE[ml_c] + br.read(ML_BITS[ml_c])
+        ll = LL_BASE[ll_c] + br.read(LL_BITS[ll_c])
+        if i < nbseq - 1:
+            ll_s = ll_t.newstate[ll_s] + br.read(ll_t.nbits[ll_s])
+            ml_s = ml_t.newstate[ml_s] + br.read(ml_t.nbits[ml_s])
+            of_s = of_t.newstate[of_s] + br.read(of_t.nbits[of_s])
+        if br.pos < 0:
+            raise ValueError("corrupt block: sequence bitstream over-read")
+        out += lits[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if of_val > 3:
+            offset = of_val - 3
+            rep = [offset, rep[0], rep[1]]
+        else:
+            idx = of_val - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep = [offset, rep[0], rep[2]]
+            elif idx == 2:
+                offset = rep[2]
+                rep = [offset, rep[0], rep[1]]
+            else:
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("corrupt block: repeat offset 1-1 == 0")
+                rep = [offset, rep[0], rep[1]]
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt block: match past window start")
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:
+            for k in range(ml):
+                out.append(out[start + k])
+    st.rep = rep
+    if br.pos != 0:
+        raise ValueError("corrupt block: sequence bitstream under-read")
+    out += lits[lit_pos:]
+
+
+def zstd_decompress(data: bytes, expected_size: int | None = None) -> bytes:
+    """Decompress one or more concatenated zstd frames."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        (magic,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if magic & 0xFFFFFFF0 == _SKIPPABLE_LOW:
+            (sz,) = struct.unpack_from("<I", data, pos)
+            pos += 4 + sz
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"not a zstd frame: magic 0x{magic:08X}")
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        checksum = (fhd >> 2) & 1
+        did_flag = fhd & 3
+        if (fhd >> 3) & 1:
+            raise ValueError("corrupt frame header: reserved bit set")
+        if not single:
+            pos += 1  # window descriptor (bound only; not needed to decode)
+        pos += (0, 1, 2, 4)[did_flag]
+        if did_flag:
+            raise NotImplementedError(
+                "zstd dictionaries are not supported (frame sets a dict id)"
+            )
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        content_size = None
+        if fcs_size:
+            content_size = int.from_bytes(
+                data[pos : pos + fcs_size], "little"
+            )
+            if fcs_size == 2:
+                content_size += 256
+            pos += fcs_size
+        st = _FrameState()
+        frame_start = len(out)
+        while True:
+            h = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = h & 1, (h >> 1) & 3, h >> 3
+            if btype == 0:
+                out += data[pos : pos + bsize]
+                pos += bsize
+            elif btype == 1:
+                out += data[pos : pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                _decode_block(data[pos : pos + bsize], out, st)
+                pos += bsize
+            else:
+                raise ValueError("corrupt frame: reserved block type")
+            if last:
+                break
+        if content_size is not None and len(out) - frame_start != content_size:
+            raise ValueError(
+                f"corrupt frame: content size {content_size} != "
+                f"{len(out) - frame_start} decoded"
+            )
+        if checksum:
+            (want,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"zstd checksum mismatch: 0x{got:08X} != 0x{want:08X}"
+                )
+    if expected_size is not None and len(out) != expected_size:
+        raise ValueError(
+            f"zstd: expected {expected_size} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture-grade, standard-conforming output)
+# ---------------------------------------------------------------------------
+
+_BLOCK_MAX = 128 * 1024
+
+
+def _find_sequences(data: bytes, lo: int, hi: int,
+                    table: dict[bytes, int]) -> tuple[list, int]:
+    """Greedy LZ over data[lo:hi] with whole-input history: returns
+    ([(lit_lo, lit_hi, offset, match_len)], tail_literal_start)."""
+    seqs = []
+    i = anchor = lo
+    while i + 4 <= hi:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and data[j : j + 4] == key:
+            mlen = 4
+            limit = hi - i
+            while mlen < limit and data[j + mlen] == data[i + mlen]:
+                mlen += 1
+            seqs.append((anchor, i, i - j, mlen))
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    return seqs, anchor
+
+
+def _encode_block(data: bytes, lo: int, hi: int,
+                  table: dict[bytes, int]) -> bytes:
+    """One Compressed-block body: raw literals + predefined-FSE
+    sequences. Returns b"" when the block does not compress (caller
+    falls back to a Raw block)."""
+    seqs, tail = _find_sequences(data, lo, hi, table)
+    if not seqs:
+        return b""
+    lits = bytearray()
+    rows = []  # (ll, of_value, ml)
+    for lit_lo, lit_hi, offset, mlen in seqs:
+        lits += data[lit_lo:lit_hi]
+        rows.append((lit_hi - lit_lo, offset + 3, mlen))
+    lits += data[tail:hi]
+    body = bytearray()
+    # literals section: Raw, smallest size_format that fits
+    ln = len(lits)
+    if ln < 32:
+        body.append((ln << 3) | (0 << 2) | 0)
+    elif ln < 4096:
+        body += struct.pack("<H", (ln << 4) | (1 << 2) | 0)
+    else:
+        h = (ln << 4) | (3 << 2) | 0
+        body += h.to_bytes(3, "little")
+    body += lits
+    # sequences header: count + all-predefined modes
+    nbseq = len(rows)
+    if nbseq < 128:
+        body.append(nbseq)
+    elif nbseq < 0x7F00:
+        body += bytes((128 + (nbseq >> 8), nbseq & 0xFF))
+    else:
+        body += b"\xff" + struct.pack("<H", nbseq - 0x7F00)
+    body.append(0)  # Predefined_Mode for LL / OF / ML
+    ll_ct = _PREDEF_CTABLES[0]
+    of_ct = _PREDEF_CTABLES[1]
+    ml_ct = _PREDEF_CTABLES[2]
+    codes = []
+    for ll, of_val, ml in rows:
+        of_c = of_val.bit_length() - 1
+        codes.append((_ll_code(ll), of_c, _ml_code(ml)))
+    bw = _BitWriter()
+    last = nbseq - 1
+    ml_s = ml_ct.init_state(codes[last][2])
+    of_s = of_ct.init_state(codes[last][1])
+    ll_s = ll_ct.init_state(codes[last][0])
+    ll, of_val, ml = rows[last]
+    ll_c, of_c, ml_c = codes[last]
+    bw.write(ll - LL_BASE[ll_c], LL_BITS[ll_c])
+    bw.write(ml - ML_BASE[ml_c], ML_BITS[ml_c])
+    bw.write(of_val - (1 << of_c), of_c)
+    for i in range(last - 1, -1, -1):
+        ll, of_val, ml = rows[i]
+        ll_c, of_c, ml_c = codes[i]
+        of_s = of_ct.encode(of_s, of_c, bw)
+        ml_s = ml_ct.encode(ml_s, ml_c, bw)
+        ll_s = ll_ct.encode(ll_s, ll_c, bw)
+        bw.write(ll - LL_BASE[ll_c], LL_BITS[ll_c])
+        bw.write(ml - ML_BASE[ml_c], ML_BITS[ml_c])
+        bw.write(of_val - (1 << of_c), of_c)
+    ml_ct.flush(ml_s, bw)
+    of_ct.flush(of_s, bw)
+    ll_ct.flush(ll_s, bw)
+    body += bw.close()
+    return bytes(body) if len(body) < hi - lo else b""
+
+
+_PREDEF_CTABLES = (
+    _FseCTable(LL_DEFAULT, _LL_LOG),
+    _FseCTable(OF_DEFAULT, _OF_LOG),
+    _FseCTable(ML_DEFAULT, _ML_LOG),
+)
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """Compress into a single-segment zstd frame (content size +
+    checksum present) that any conforming decoder reads."""
+    n = len(data)
+    out = bytearray(struct.pack("<I", _MAGIC))
+    if n <= 255:
+        fcs_flag, fcs = 0, n.to_bytes(1, "little")
+    elif n - 256 <= 0xFFFF:
+        fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n <= 0xFFFFFFFF:
+        fcs_flag, fcs = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs = 3, n.to_bytes(8, "little")
+    out.append((fcs_flag << 6) | (1 << 5) | (1 << 2))  # single_segment+xxh
+    out += fcs
+    table: dict[bytes, int] = {}
+    pos = 0
+    while True:
+        hi = min(pos + _BLOCK_MAX, n)
+        last = 1 if hi == n else 0
+        chunk = data[pos:hi]
+        if chunk and chunk.count(chunk[:1]) == len(chunk):
+            out += ((last | (1 << 1) | (len(chunk) << 3))).to_bytes(
+                3, "little"
+            ) + chunk[:1]
+        else:
+            body = _encode_block(data, pos, hi, table) if chunk else b""
+            if body:
+                out += (last | (2 << 1) | (len(body) << 3)).to_bytes(
+                    3, "little"
+                ) + body
+            else:
+                out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+                out += chunk
+        pos = hi
+        if last:
+            break
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
