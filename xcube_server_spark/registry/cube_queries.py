@@ -1669,3 +1669,92 @@ GROUP BY 1
 
 QUERIES["zarr_v3_ingest_stats"] = zarr_v3_ingest_stats
 ORACLES["zarr_v3_ingest_stats"] = ORACLE_ZARR_V3
+
+
+# ---------------------------------------------------------------------------
+# zarr_v3_sharded_ingest_stats: sharding_indexed cloud layout through gate
+# ---------------------------------------------------------------------------
+
+
+def _zarr_v3_sharded_gate_store() -> str:
+    """Sharded V3 twin with its own formula —
+    ``((t*59 + y*37 + x*41) % 109) / 32`` with NULL holes where
+    ``(y*W + x + 8*t) % 21 == 0`` — inner (1,4,8) zstd chunks packed
+    into (1,8,16) shard objects with crc32c-protected footer indexes
+    (absent inner chunks on the edge shards), the layout real 100 TB v3
+    cubes use in object storage."""
+    import numpy as np
+
+    from ..sources.zarr_store import write_zarr_group_v3
+
+    path = _gate_path("xss_zarr_v3_sharded_gate_v1")
+    if not os.path.exists(os.path.join(path, "zarr.json")):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 59 + y * 37 + x * 41) % 109) / 32.0
+        chl[(y * _ZG_W + x + 8 * t) % 21 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_zarr_group_v3(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+            compressor="zstd", shards=(1, 8, 16),
+        )
+    return path
+
+
+def zarr_v3_sharded_ingest_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``zarr_ingest_stats`` over a zarr v3 ``sharding_indexed`` store:
+    executors resolve inner chunks through ranged reads (suffix-range the
+    crc32c-checked footer index, then one bounded range per inner zstd
+    chunk — ``sources/zarr_store.py:ZarrArrayV3._shard_index``), the
+    access pattern object stores require for shard-packed cubes. The
+    ingest planner windows on the INNER chunk grid, so read parallelism
+    is unchanged by the packing. Hash-verified cell-for-cell against the
+    SQL formula oracle. Reference parity: ``xcube_server/context.py:
+    238-255`` (zarr open via xarray/zarr-python, which reads shards)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _zarr_v3_sharded_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_ZARR_V3_SHARDED = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 8 * t.i) % 21 = 0 THEN NULL
+              ELSE ((t.i * 59 + y.i * 37 + x.i * 41) % 109) / 32.0 END
+           AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["zarr_v3_sharded_ingest_stats"] = zarr_v3_sharded_ingest_stats
+ORACLES["zarr_v3_sharded_ingest_stats"] = ORACLE_ZARR_V3_SHARDED

@@ -88,6 +88,24 @@ def cf_decode(arr: np.ndarray, attrs: dict) -> np.ndarray:
     return out
 
 
+_CRC32C_TABLE: list[int] = []
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    zarr v3 ``sharding_indexed`` stores append to shard indexes."""
+    if not _CRC32C_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
 class LocalStore:
     """Key→bytes view of a local zarr directory."""
 
@@ -100,6 +118,20 @@ class LocalStore:
             return None
         with open(p, "rb") as f:
             return f.read()
+
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        """Ranged read; negative ``start`` is a suffix offset (the shard
+        index sits at the END of an object of unknown size)."""
+        p = os.path.join(self.root, *key.split("/"))
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            if start < 0:  # suffix, clamped like HTTP bytes=-N semantics
+                f.seek(0, 2)
+                f.seek(max(0, f.tell() + start))
+            else:
+                f.seek(start)
+            return f.read(length)
 
 
 class HttpStore:
@@ -124,6 +156,31 @@ class HttpStore:
                 return None
             raise
 
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        """HTTP Range GET — how object stores serve shard sub-reads;
+        negative ``start`` maps to a suffix range (``bytes=-N``)."""
+        import urllib.error
+        import urllib.request
+
+        rng = (
+            f"bytes={start}" if start < 0
+            else f"bytes={start}-{start + length - 1}"
+        )
+        req = urllib.request.Request(
+            f"{self.base}/{key}", headers={"Range": rng}
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                body = r.read()
+        except urllib.error.HTTPError as e:
+            if e.code in (403, 404):
+                return None
+            raise
+        # a 200 (server ignored Range) still satisfies the contract
+        if len(body) > length:
+            body = body[start:] if start < 0 else body[start : start + length]
+        return body
+
 
 class LRUStoreCache:
     """Byte-bounded LRU over a store — the reference wraps remote stores
@@ -145,12 +202,26 @@ class LRUStoreCache:
             self._data.move_to_end(key)
             return self._data[key]
         val = self._store.get(key)
+        self._put(key, val)
+        return val
+
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        """Ranged reads cache under a composite key — one shard's index
+        and each inner chunk stay independently reusable."""
+        ck = f"{key}\x00{start}+{length}"
+        if ck in self._data:
+            self._data.move_to_end(ck)
+            return self._data[ck]
+        val = self._store.get_range(key, start, length)
+        self._put(ck, val)
+        return val
+
+    def _put(self, key: str, val: bytes | None) -> None:
         self._data[key] = val
         self._size += len(val) if val is not None else 0
         while self._size > self._max and len(self._data) > 1:
             _, old = self._data.popitem(last=False)
             self._size -= len(old) if old is not None else 0
-        return val
 
 
 def _store_for(path: str):
@@ -322,13 +393,65 @@ _V3_DTYPES = {
 }
 
 
+def _v3_decode_chain(raw: bytes, codecs: list[dict], ndim: int) -> bytes:
+    """Invert a zarr v3 bytes→bytes codec chain (last codec first; the
+    ``bytes`` array→bytes codec ends it)."""
+    for c in reversed(codecs):
+        name = c.get("name")
+        if name == "bytes":
+            break
+        if name == "gzip":
+            raw = zlib.decompress(raw, 32 + 15)  # gzip OR zlib header
+        elif name == "zstd":
+            from .zstd_codec import zstd_decompress
+
+            raw = zstd_decompress(raw)
+        elif name == "blosc":
+            from .blosc import decompress as _blosc_decompress
+
+            raw = _blosc_decompress(raw)
+        elif name == "crc32c":
+            if len(raw) < 4:
+                raise ValueError("crc32c codec: payload shorter than 4")
+            want = int.from_bytes(raw[-4:], "little")
+            raw = raw[:-4]
+            got = crc32c(raw)
+            if got != want:
+                raise ValueError(
+                    f"crc32c mismatch: 0x{got:08X} != 0x{want:08X}"
+                )
+        elif name == "transpose":
+            order = c.get("configuration", {}).get("order")
+            if order != list(range(ndim)):
+                raise NotImplementedError(
+                    "zarr v3 non-identity transpose codec"
+                )
+        else:
+            raise NotImplementedError(
+                f"zarr v3 codec {name!r} is not supported (bytes/gzip/"
+                "zstd/blosc/crc32c/identity-transpose/sharding_indexed are)"
+            )
+    return raw
+
+
+def _v3_endian(codecs: list[dict]) -> str:
+    for c in codecs:
+        if c.get("name") == "bytes":
+            if c.get("configuration", {}).get("endian") == "big":
+                return ">"
+    return "<"
+
+
 class ZarrArrayV3(ZarrArray):
     """Zarr v3 array: ``zarr.json`` metadata, ``c/``-prefixed chunk keys,
-    a codecs CHAIN (``bytes`` endian + ``gzip``/``blosc`` compressors) and
-    first-class ``dimension_names``. Translates onto the v2 machinery
-    (same store abstraction, window reads, CF decode); codecs outside
-    scope (zstd, crc32c, sharding_indexed, non-identity transpose) raise
-    a clear error."""
+    a codecs CHAIN (``bytes`` endian + ``gzip``/``zstd``/``blosc``
+    compressors, ``crc32c``) and first-class ``dimension_names``; the
+    ``sharding_indexed`` codec reads through the store's ranged-GET
+    protocol (suffix-range the footer index, then one ranged GET per
+    inner chunk — how 100 TB v3 cubes are laid out in object storage).
+    Translates onto the v2 machinery (same store abstraction, window
+    reads, CF decode); codecs outside scope (non-identity transpose,
+    vlen strings) raise a clear error."""
 
     def __init__(self, path: str, store=None, prefix: str = "",
                  meta: dict | None = None):
@@ -354,14 +477,36 @@ class ZarrArrayV3(ZarrArray):
         dt = meta.get("data_type")
         if dt not in _V3_DTYPES:
             raise NotImplementedError(f"zarr v3 data_type {dt!r}")
-        endian = "<"
         self._codecs = list(meta.get("codecs", []))
-        for c in self._codecs:
-            if c.get("name") == "bytes":
-                endian = (
-                    ">" if c.get("configuration", {}).get("endian")
-                    == "big" else "<"
+        self._shard: dict | None = None
+        if self._codecs and self._codecs[0].get("name") == "sharding_indexed":
+            conf = self._codecs[0].get("configuration", {})
+            inner = tuple(conf["chunk_shape"])
+            outer = self.chunk_shape
+            if len(inner) != len(outer) or any(
+                o % i for o, i in zip(outer, inner)
+            ):
+                raise ValueError(
+                    f"sharding_indexed: inner chunk shape {inner} does not "
+                    f"evenly divide the shard shape {outer}"
                 )
+            if len(self._codecs) > 1:
+                raise NotImplementedError(
+                    "codecs after sharding_indexed are not supported"
+                )
+            self._shard = {
+                "outer": outer,
+                "ratio": tuple(o // i for o, i in zip(outer, inner)),
+                "codecs": list(conf.get("codecs", [])),
+                "index_codecs": list(conf.get("index_codecs", [])),
+                "index_location": conf.get("index_location", "end"),
+            }
+            # expose the INNER chunking: it is the read granularity the
+            # ingest planner should window on
+            self.chunk_shape = inner
+            self._codecs = self._shard["codecs"]
+            self._index_cache: dict[tuple[int, ...], object] = {}
+        endian = _v3_endian(self._codecs)
         self.dtype = np.dtype(
             endian + _V3_DTYPES[dt]
         ) if _V3_DTYPES[dt] not in ("b1",) else np.dtype(_V3_DTYPES[dt])
@@ -383,46 +528,80 @@ class ZarrArrayV3(ZarrArray):
             return tuple(self._dimension_names)
         return tuple(self.attrs.get("_ARRAY_DIMENSIONS", ()))
 
-    def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
+    def _key(self, idx: tuple[int, ...]) -> str:
         if self._key_name == "default":
-            key = self._prefix + "c" + "".join(
+            return self._prefix + "c" + "".join(
                 f"{self._sep}{i}" for i in idx
             )
-        else:  # "v2" encoding
-            key = self._prefix + self._sep.join(str(i) for i in idx)
-        raw = self._store.get(key)
-        if raw is None:
-            arr = np.empty(self.chunk_shape, dtype=self.dtype)
-            arr[...] = (
-                self.fill_value if self.fill_value is not None else 0
-            )
-            return arr
-        # bytes->bytes codecs invert last-to-first; 'bytes' ends the chain
-        for c in reversed(self._codecs):
-            name = c.get("name")
-            if name == "bytes":
-                break
-            if name == "gzip":
-                raw = zlib.decompress(raw, 32 + 15)  # gzip OR zlib header
-            elif name == "zstd":
-                from .zstd_codec import zstd_decompress
+        return self._prefix + self._sep.join(str(i) for i in idx)
 
-                raw = zstd_decompress(raw)
-            elif name == "blosc":
-                from .blosc import decompress as _blosc_decompress
+    def _fill_chunk(self) -> np.ndarray:
+        arr = np.empty(self.chunk_shape, dtype=self.dtype)
+        arr[...] = self.fill_value if self.fill_value is not None else 0
+        return arr
 
-                raw = _blosc_decompress(raw)
-            elif name == "transpose":
-                order = c.get("configuration", {}).get("order")
-                if order != list(range(len(self.shape))):
-                    raise NotImplementedError(
-                        "zarr v3 non-identity transpose codec"
-                    )
-            else:
-                raise NotImplementedError(
-                    f"zarr v3 codec {name!r} is not supported "
-                    "(bytes/gzip/zstd/blosc/identity-transpose are)"
+    def _shard_index(self, shard_idx: tuple[int, ...], key: str):
+        """Fetch + decode one shard's footer/header index: a
+        ``(*ratio, 2)`` uint64 array of (offset, nbytes) per inner
+        chunk, 2^64-1 marking absent. None = whole shard absent."""
+        if shard_idx in self._index_cache:
+            return self._index_cache[shard_idx]
+        sh = self._shard
+        n_inner = 1
+        for r in sh["ratio"]:
+            n_inner *= r
+        size = 16 * n_inner
+        for c in sh["index_codecs"]:
+            if c.get("name") == "crc32c":
+                size += 4
+        if sh["index_location"] == "start":
+            raw = self._store.get_range(key, 0, size)
+        else:
+            raw = self._store.get_range(key, -size, size)
+        index = None
+        if raw is not None:
+            if len(raw) != size:
+                raise ValueError(
+                    f"sharding_indexed: index read returned {len(raw)} "
+                    f"of {size} bytes for {key}"
                 )
+            raw = _v3_decode_chain(raw, sh["index_codecs"], 1)
+            endian = _v3_endian(sh["index_codecs"])
+            index = np.frombuffer(raw, dtype=endian + "u8").reshape(
+                sh["ratio"] + (2,)
+            )
+        if len(self._index_cache) >= 64:
+            self._index_cache.pop(next(iter(self._index_cache)))
+        self._index_cache[shard_idx] = index
+        return index
+
+    def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
+        if self._shard is None:
+            raw = self._store.get(self._key(idx))
+            if raw is None:
+                return self._fill_chunk()
+            raw = _v3_decode_chain(raw, self._codecs, len(self.shape))
+            return np.frombuffer(raw, dtype=self.dtype).reshape(
+                self.chunk_shape
+            )
+        # sharded: idx is an INNER chunk index over the whole array
+        ratio = self._shard["ratio"]
+        shard_idx = tuple(i // r for i, r in zip(idx, ratio))
+        within = tuple(i % r for i, r in zip(idx, ratio))
+        key = self._key(shard_idx)
+        index = self._shard_index(shard_idx, key)
+        if index is None:
+            return self._fill_chunk()
+        offset, nbytes = (int(v) for v in index[within])
+        if offset == 2**64 - 1 and nbytes == 2**64 - 1:
+            return self._fill_chunk()
+        raw = self._store.get_range(key, offset, nbytes)
+        if raw is None or len(raw) != nbytes:
+            raise ValueError(
+                f"sharding_indexed: inner chunk read failed at {key} "
+                f"[{offset}:{offset + nbytes}]"
+            )
+        raw = _v3_decode_chain(raw, self._codecs, len(self.shape))
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
 
 
@@ -699,6 +878,26 @@ def consolidate_metadata(path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _encode_v3_chunk(chunk: np.ndarray, compressor: str | None) -> bytes:
+    raw = chunk.tobytes(order="C")
+    if compressor == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(raw, 5)
+    if compressor == "zstd":
+        from .zstd_codec import zstd_compress
+
+        return zstd_compress(raw)
+    if compressor in ("blosc", "blosc-bit"):
+        from .blosc import compress as _blosc_compress
+
+        return _blosc_compress(
+            raw, chunk.dtype.itemsize,
+            shuffle="bit" if compressor == "blosc-bit" else True,
+        )
+    return raw
+
+
 def _write_array_v3(
     path: str,
     arr: np.ndarray,
@@ -706,9 +905,13 @@ def _write_array_v3(
     dims: tuple[str, ...],
     attrs: dict | None = None,
     compressor: str | None = "gzip",
+    shards: tuple[int, ...] | None = None,
 ) -> dict:
     """Write one zarr v3 array (``zarr.json`` + ``c/...`` chunk tree) and
-    return its metadata document (for root consolidated_metadata)."""
+    return its metadata document (for root consolidated_metadata). With
+    ``shards`` (a multiple of ``chunk_shape`` per dim), chunks become
+    INNER chunks packed into shard objects with a crc32c-protected
+    footer index — the ``sharding_indexed`` cloud layout."""
     os.makedirs(path, exist_ok=True)
     codecs: list[dict] = [
         {"name": "bytes", "configuration": {"endian": "little"}}
@@ -733,6 +936,25 @@ def _write_array_v3(
     elif compressor is not None:
         raise NotImplementedError(f"v3 writer compressor {compressor!r}")
     dt_name = {v: k for k, v in _V3_DTYPES.items()}[arr.dtype.str[1:]]
+    grid_shape = list(shards if shards is not None else chunk_shape)
+    if shards is not None:
+        if any(s % c for s, c in zip(shards, chunk_shape)):
+            raise ValueError(
+                f"shard shape {shards} must be a multiple of the inner "
+                f"chunk shape {chunk_shape}"
+            )
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunk_shape),
+                "codecs": codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }]
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -740,7 +962,7 @@ def _write_array_v3(
         "data_type": dt_name,
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": list(chunk_shape)},
+            "configuration": {"chunk_shape": grid_shape},
         },
         "chunk_key_encoding": {
             "name": "default", "configuration": {"separator": "/"}
@@ -752,39 +974,62 @@ def _write_array_v3(
     }
     with open(os.path.join(path, "zarr.json"), "w") as f:
         json.dump(meta, f)
-    grid = [range(0, s, c) for s, c in zip(arr.shape, chunk_shape)]
     import itertools
 
-    for origin in itertools.product(*grid):
-        idx = tuple(o // c for o, c in zip(origin, chunk_shape))
+    fill = math.nan if arr.dtype.kind == "f" else 0
+
+    def cut_chunk(origin: tuple[int, ...]) -> np.ndarray | None:
+        """Inner chunk at ``origin``, fill-padded; None if fully outside
+        the array (possible inside an edge shard)."""
+        if any(o >= s for o, s in zip(origin, arr.shape)):
+            return None
         sel = tuple(
             slice(o, min(o + c, s))
             for o, c, s in zip(origin, chunk_shape, arr.shape)
         )
         chunk = np.empty(chunk_shape, dtype=arr.dtype)
-        chunk[...] = math.nan if arr.dtype.kind == "f" else 0
+        chunk[...] = fill
         block = arr[sel]
         chunk[tuple(slice(0, b) for b in block.shape)] = block
-        raw = chunk.tobytes(order="C")
-        if compressor == "gzip":
-            import gzip as _gzip
+        return chunk
 
-            raw = _gzip.compress(raw, 5)
-        elif compressor == "zstd":
-            from .zstd_codec import zstd_compress
-
-            raw = zstd_compress(raw)
-        elif compressor in ("blosc", "blosc-bit"):
-            from .blosc import compress as _blosc_compress
-
-            raw = _blosc_compress(
-                raw, arr.dtype.itemsize,
-                shuffle="bit" if compressor == "blosc-bit" else True,
-            )
+    def write_key(idx: tuple[int, ...], payload: bytes) -> None:
         key_dir = os.path.join(path, "c", *[str(i) for i in idx[:-1]])
         os.makedirs(key_dir, exist_ok=True)
         with open(os.path.join(key_dir, str(idx[-1])), "wb") as f:
-            f.write(raw)
+            f.write(payload)
+
+    if shards is None:
+        for origin in itertools.product(
+            *[range(0, s, c) for s, c in zip(arr.shape, chunk_shape)]
+        ):
+            idx = tuple(o // c for o, c in zip(origin, chunk_shape))
+            chunk = cut_chunk(origin)
+            assert chunk is not None
+            write_key(idx, _encode_v3_chunk(chunk, compressor))
+        return meta
+
+    ratio = tuple(s // c for s, c in zip(shards, chunk_shape))
+    for shard_origin in itertools.product(
+        *[range(0, s, c) for s, c in zip(arr.shape, shards)]
+    ):
+        shard_idx = tuple(o // c for o, c in zip(shard_origin, shards))
+        body = bytearray()
+        index = np.full(ratio + (2,), 2**64 - 1, dtype="<u8")
+        for within in itertools.product(*[range(r) for r in ratio]):
+            origin = tuple(
+                so + w * c
+                for so, w, c in zip(shard_origin, within, chunk_shape)
+            )
+            chunk = cut_chunk(origin)
+            if chunk is None:
+                continue  # fully outside: absent entry in the index
+            payload = _encode_v3_chunk(chunk, compressor)
+            index[within] = (len(body), len(payload))
+            body += payload
+        index_raw = index.tobytes(order="C")
+        index_raw += crc32c(index_raw).to_bytes(4, "little")
+        write_key(shard_idx, bytes(body) + index_raw)
     return meta
 
 
@@ -796,10 +1041,13 @@ def write_zarr_group_v3(
     variables: dict[str, np.ndarray],
     chunk_shape: tuple[int, int, int] = (1, 256, 256),
     compressor: str | None = "gzip",
+    shards: tuple[int, int, int] | None = None,
 ) -> None:
     """Write a (time, lat, lon) cube as a zarr V3 group (``zarr.json``
     nodes, ``c/``-tree chunk keys, codecs chain, ``dimension_names``,
-    consolidated_metadata in the root for object-store opens)."""
+    consolidated_metadata in the root for object-store opens). With
+    ``shards``, data variables use the ``sharding_indexed`` layout
+    (coordinates stay unsharded — they are tiny)."""
     os.makedirs(path, exist_ok=True)
     epoch = datetime(1970, 1, 1)
     tvals = np.array(
@@ -827,9 +1075,16 @@ def write_zarr_group_v3(
     for name, arr in variables.items():
         a = np.asarray(arr, "<f8")
         ch = tuple(min(c, s) for c, s in zip(chunk_shape, a.shape))
+        sh = None
+        if shards is not None:
+            sh = tuple(
+                min(max(s, c), ((dim + c - 1) // c) * c)
+                for s, c, dim in zip(shards, ch, a.shape)
+            )
+            sh = tuple(((s + c - 1) // c) * c for s, c in zip(sh, ch))
         consolidated[name] = _write_array_v3(
             os.path.join(path, name), a, ch, ("time", "lat", "lon"),
-            None, compressor,
+            None, compressor, shards=sh,
         )
     root = {
         "zarr_format": 3,
