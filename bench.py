@@ -24,8 +24,9 @@ BENCH_QUERIES = [
     # Headline set: the heavy queries plus one representative per operator
     # family. SIZE CONSTRAINT: the driver records only the LAST 2000 chars
     # of stdout and parses the final line as JSON — the per-query dict for
-    # this list must keep that line under ~1900 bytes (currently ~1600 at
-    # 55 queries; ~28 bytes per added entry). The FULL registry is
+    # this list must keep that line under ~1900 bytes (projected ~1840 at
+    # 62 queries; ~28 bytes per added entry — the list is effectively
+    # FULL, swap rather than append). The FULL registry is
     # correctness-checked elsewhere (tools/verify_window.py all); this
     # list exists for timing signal, not coverage.
     # TPC-H representatives
@@ -51,6 +52,8 @@ BENCH_QUERIES = [
     "zarr_ingest_stats_blosc",
     "zarr_ingest_stats_http",
     "netcdf4_ingest_stats",
+    "zarr_ingest_stats_zstd",
+    "zarr_v3_sharded_ingest_stats",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -76,6 +79,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "vocab_coverage",
     "ngram_novelty",
+    # retrieval + live dedup index (round-7 additions, r8 bench signal)
+    "bm25_search",
+    "stream_neardup_minhash_live",
     # pipeline mechanics
     "doc_chunking",
     "contamination_screen",

@@ -47,76 +47,33 @@ for _m in (
 
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
-# each round to maximize hard signal. Round 7 rotation (the r6 verdict's
-# ask #4 — r6 reused the r5 window, so rotation freshness had lapsed):
-# (a) queries NEW or code-CHANGED this round, first-ever / re-proving
-# driver rows (blosc-compressed zarr ingest through the pure-Python codec;
-# NetCDF4/HDF5 ingest through the pure-Python HDF5 reader; SemDeDup's
-# replication-factor observation hook; the upsert sink's per-run cleanup),
-# then (b) the 41 STALEST driver-green queries — every query whose last
-# driver row dates to r1 (40 of them) plus the oldest r3 rows — so the
-# stalest green after r7 is r3-vintage instead of r1. Everything past
-# position 50 is overflow: multiply-green in prior rounds AND re-proven
-# by the local DuckDB-oracle replica (tests/test_correctness.py) on every
-# pytest run.
+# each round to maximize hard signal. Round 8 rotation, by the documented
+# policy (changed-first, then stalest, alphabetical within a vintage):
+# (a) queries NEW this round (blosclz / standalone-zstd / v3-sharded zarr
+# gates — first-ever driver rows for the new pure-Python codecs) plus
+# queries whose CODE PATH changed this round and need re-proving
+# (zarr_ingest_stats* ride the reworked ZarrArray compressor dispatch,
+# zarr_v3_ingest_stats the refactored v3 codec chain, zarr_ingest_stats_http
+# the store get_range/LRU refactor, zarr_ingest_stats_blosc the blosc
+# codec-id dispatch); then (b) the STALEST driver-green rows — all 18
+# r3-vintage queries and the alphabetically-first 25 of the 42 r4-vintage
+# ones — so the stalest green after r8 is r4-vintage. Everything past
+# position 50 is overflow: multiply-green in prior rounds AND re-proven by
+# the local DuckDB-oracle replica (tests/test_correctness.py) on every
+# pytest run. The remaining 17 r4-vintage rows head the r9 rotation.
 _PRIORITY = [
-    # (a) new or changed in round 7
+    # (a) new in round 8
+    "zarr_ingest_stats_blosclz",
+    "zarr_ingest_stats_zstd",
+    "zarr_v3_sharded_ingest_stats",
+    # (a) code path changed in round 8 — re-prove
+    "zarr_ingest_stats",
     "zarr_ingest_stats_blosc",
-    "netcdf4_ingest_stats",
-    "netcdf4_packed_ingest_stats",
     "zarr_ingest_stats_http",
     "zarr_v3_ingest_stats",
-    "bm25_search",
-    "stream_neardup_minhash_live",
-    "semdedup_prune",
-    "merge_upsert_docs_live",
-    # (b) stalest driver-green rows: all 40 r1-vintage ...
-    "agg_cube_grouping",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "antimeridian",
-    "bbox_prune",
-    "clip_normalize",
-    "cube_decimate",
-    "cube_decimate_stride",
-    "fanout_ranges",
-    "histogram_prices",
-    "interval_bounds",
-    "iso_time_format",
-    "join_anti",
-    "join_asof",
-    "json_props_stats",
-    "minmax_range",
-    "nearest_dim_select",
-    "nearest_point_select",
-    "pivot_status_by_year",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q19_or_predicates",
-    "q20_excess_suppliers",
-    "q21_sole_supplier",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "stats_correlation",
-    "topk_global",
-    "ts_range_agg",
-    "ts_weekly_resample",
-    "union_groups",
-    "window_rank",
-    "window_running",
-    # ... and the oldest r3-vintage rows up to window position 50
-    "cross_source_overlap",  # <- window position 50 (r3-vintage)
-    # ---- overflow (past the 50-query window) ----
+    # (b) stalest driver-green rows: all 18 r3-vintage
     "data_split_train_valid",
     "dedup_simhash",
-    # remaining r3-vintage (next rotation's head)
     "doc_chunking",
     "embed_label_centroids",
     "multimodal_bytes",
@@ -133,11 +90,59 @@ _PRIORITY = [
     "text_tokens",
     "unigram_logprob",
     "vocab_top_tokens",
-    # r6-green cube/format/streaming representatives
-    "zarr_ingest_stats",
+    # (b) ... then the alphabetically-first 25 r4-vintage rows
+    "anomaly_zscore_daily",
+    "array_dim_stats",
+    "bigram_top",
+    "cube_geometry_timeseries",
+    "cube_point_timeseries",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_retention_summary",
+    "doc_length_percentiles",
+    "embed_ann_lsh",
+    "embed_cosine_topk",
+    "embed_neardup_cosine",
+    "embed_quantize_int8",
+    "event_attribution",
+    "event_funnel",
+    "hypertable_rollup_daily",
+    "kmv_distinct_sketch",
+    "merge_upsert_docs",
+    "morton_zorder_cells",
+    "pmi_collocations",
+    "q12_priority_shipping",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "rolling_median_daily",
+    "sample_temperature",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
+    # remaining r4-vintage (next rotation's head, 17 rows)
+    "session_paths_topk",
+    "snapshot_diff",
+    "stream_dedupe_events",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_sliding_avg",
+    "stream_sliding_avg_live",
+    "stream_topk_windowed",
+    "stream_topk_windowed_live",
+    "stream_tumbling_counts",
+    "stream_tumbling_counts_live",
+    "stream_user_stats_stateful",
+    "tile_grid_subdivision",
+    "time_weighted_avg",
+    "ts_gap_fill",
+    "user_retention",
+    "vocab_coverage",
+    # r6/r7-green format/cube/streaming representatives
     "netcdf_ingest_stats",
+    "netcdf4_ingest_stats",
+    "netcdf4_packed_ingest_stats",
     "cube_tile_render",
     "cube_append_lod",
+    "bm25_search",
+    "stream_neardup_minhash_live",
     "stream_dedupe_events_live",
     "stream_sessionize_live",
 ]
