@@ -1,0 +1,220 @@
+"""Dense (fractal-heap) group links in the pure-Python HDF5 reader.
+
+h5py with ``libver='latest'`` switches a group from compact Link messages
+to DENSE storage once it holds more than 8 links: the link messages move
+into a fractal heap and are located through a name-index v2 B-tree
+(record type 5). No h5py exists in this container, so the fixture here is
+a complete HDF5 file HAND-CONSTRUCTED byte-by-byte from the published
+File Format Specification (superblock v0 → v1 root header with a Link
+Info message → ``FRHP``/``FHDB`` fractal heap holding serialized Link
+messages → ``BTHD``/``BTLF`` name index) — fully independent of the
+module's writer, so reader and fixture cannot share a bug.
+
+Gated residue keeps clear errors: multi-level B-trees, huge/tiny heap
+IDs, filtered heap blocks, nested indirect blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from xcube_server_spark.sources.hdf5 import _File, _FractalHeap
+
+
+def _superblock_v0(root_oh_addr: int) -> bytes:
+    sb = bytearray(b"\x89HDF\r\n\x1a\n")
+    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])      # versions + sizes
+    sb += struct.pack("<HHI", 4, 16, 0)        # leaf K, internal K, flags
+    sb += struct.pack("<QQQQ", 0, 2**64 - 1, 2**30, 2**64 - 1)
+    # root symbol table entry: name offset, OH address, cache, scratch
+    sb += struct.pack("<QQII", 0, root_oh_addr, 0, 0) + bytes(16)
+    return bytes(sb)
+
+
+def _v1_header(messages: list[tuple[int, bytes]]) -> bytes:
+    body = bytearray()
+    for mtype, mbody in messages:
+        pad = (-len(mbody)) % 8
+        body += struct.pack("<HHB3x", mtype, len(mbody) + pad, 0)
+        body += mbody + bytes(pad)
+    head = struct.pack("<BxHII4x", 1, len(messages), 1, len(body))
+    return head + bytes(body)
+
+
+def _link_msg(name: str, target: int) -> bytes:
+    nb = name.encode()
+    return bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", target)
+
+
+def _build_dense_group(names_targets: list[tuple[str, int]],
+                       btree_depth: int = 0,
+                       heap_id_type: int = 0,
+                       filter_len: int = 0) -> bytes:
+    """Assemble the full file. Layout (addresses fixed up as we go):
+    superblock | root OH | FRHP | FHDB | BTHD | BTLF."""
+    blobs = [_link_msg(n, t) for n, t in names_targets]
+
+    sb_len = len(_superblock_v0(0))
+    root_oh = sb_len
+    li_body = bytes([0, 0]) + struct.pack("<QQ", 0, 0)  # patched below
+    root_hdr = _v1_header([(0x0002, li_body)])
+    frhp_addr = root_oh + len(root_hdr)
+
+    off_bytes, len_bytes = 4, 2  # max_heap_size=32 bits, max_managed=4096
+    db_header = 4 + 1 + 8 + off_bytes
+    frhp = bytearray(b"FRHP\x00")
+    frhp += struct.pack("<HH", 1 + off_bytes + len_bytes, filter_len)
+    frhp += bytes([0])                       # flags: no block checksums
+    frhp += struct.pack("<I", 4096)          # max managed object size
+    frhp += bytes(8 * 12)                    # huge/free-space/statistics
+    frhp += struct.pack("<H", 4)             # table width
+    frhp += struct.pack("<QQ", 512, 65536)   # start / max direct size
+    frhp += struct.pack("<HH", 32, 1)        # max heap bits, start rows
+    frhp_root_pos = len(frhp)
+    frhp += struct.pack("<QH", 0, 0)         # root addr, cur rows (patched)
+    frhp += bytes(4)                         # checksum (not validated)
+    fhdb_addr = frhp_addr + len(frhp)
+
+    fhdb = bytearray(b"FHDB\x00")
+    fhdb += struct.pack("<Q", frhp_addr)
+    fhdb += (0).to_bytes(off_bytes, "little")  # block offset in heap space
+    heap_ids = []
+    for blob in blobs:
+        off = len(fhdb)
+        heap_ids.append(
+            bytes([heap_id_type << 4])
+            + off.to_bytes(off_bytes, "little")
+            + len(blob).to_bytes(len_bytes, "little")
+        )
+        fhdb += blob
+    fhdb += bytes(512 - len(fhdb))           # pad to the block size
+    bthd_addr = fhdb_addr + len(fhdb)
+
+    rec_size = 4 + 1 + off_bytes + len_bytes
+    bthd = bytearray(b"BTHD\x00\x05")        # version 0, type 5
+    bthd += struct.pack("<IHHBB", 512, rec_size, btree_depth, 100, 40)
+    btlf_addr = bthd_addr + 4 + 2 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    bthd += struct.pack("<QHQ", btlf_addr, len(blobs), len(blobs))
+    bthd += bytes(4)                         # checksum
+
+    btlf = bytearray(b"BTLF\x00\x05")
+    for hid in heap_ids:
+        btlf += bytes(4) + hid               # name hash (unused) + heap ID
+    btlf += bytes(4)                         # checksum
+
+    # patch link-info and FRHP root now that addresses are known
+    li_body = bytes([0, 0]) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    root_hdr = _v1_header([(0x0002, li_body)])
+    struct.pack_into("<QH", frhp, frhp_root_pos, fhdb_addr, 0)
+
+    return (
+        _superblock_v0(root_oh) + root_hdr + bytes(frhp) + bytes(fhdb)
+        + bytes(bthd) + bytes(btlf)
+    )
+
+
+LINKS = [(f"var{i:02d}", 0x1000 + 16 * i) for i in range(12)]
+
+
+def test_dense_group_links_read():
+    buf = _build_dense_group(LINKS)
+    f = _File(buf)
+    links = f.group_links(f.root_addr)
+    assert links == dict(LINKS)
+
+
+def test_dense_group_single_link():
+    buf = _build_dense_group([("lonely", 0x2000)])
+    f = _File(buf)
+    assert f.group_links(f.root_addr) == {"lonely": 0x2000}
+
+
+def test_deep_name_btree_rejected():
+    buf = _build_dense_group(LINKS, btree_depth=1)
+    f = _File(buf)
+    with pytest.raises(NotImplementedError, match="depth 1"):
+        f.group_links(f.root_addr)
+
+
+def test_huge_heap_id_rejected():
+    buf = _build_dense_group(LINKS, heap_id_type=1)
+    f = _File(buf)
+    with pytest.raises(NotImplementedError, match="managed objects only"):
+        f.group_links(f.root_addr)
+
+
+def test_filtered_heap_rejected():
+    buf = _build_dense_group(LINKS, filter_len=8)
+    f = _File(buf)
+    with pytest.raises(NotImplementedError, match="filtered fractal heap"):
+        f.group_links(f.root_addr)
+
+
+def test_corrupt_signatures_rejected():
+    buf = bytearray(_build_dense_group(LINKS))
+    pos = buf.find(b"FRHP")
+    buf[pos:pos + 4] = b"XXXX"
+    f = _File(bytes(buf))
+    with pytest.raises(ValueError, match="FRHP"):
+        f.group_links(f.root_addr)
+
+
+def test_indirect_root_block_walk():
+    """A root FHIB whose first row holds two FHDB children: objects in
+    the SECOND child resolve through the doubling-table heap offsets."""
+    # hand-assemble heap: FRHP(root->FHIB, cur_rows=1) + 2 direct blocks
+    off_bytes, len_bytes = 4, 2
+    frhp_addr = 0
+    frhp = bytearray(b"FRHP\x00")
+    frhp += struct.pack("<HH", 1 + off_bytes + len_bytes, 0)
+    frhp += bytes([0])
+    frhp += struct.pack("<I", 4096)
+    frhp += bytes(8 * 12)
+    frhp += struct.pack("<H", 4)
+    frhp += struct.pack("<QQ", 512, 65536)
+    frhp += struct.pack("<HH", 32, 1)
+    root_pos = len(frhp)
+    frhp += struct.pack("<QH", 0, 0)
+    frhp += bytes(4)
+    fhib_addr = len(frhp)
+    payload = b"spec-pinned payload"
+
+    def direct_block(block_heap_off: int, content: bytes) -> bytes:
+        db = bytearray(b"FHDB\x00")
+        db += struct.pack("<Q", frhp_addr)
+        db += block_heap_off.to_bytes(off_bytes, "little")
+        obj_off = block_heap_off + len(db)
+        db += content
+        db += bytes(512 - len(db))
+        return bytes(db), obj_off
+
+    fhib = bytearray(b"FHIB\x00")
+    fhib += struct.pack("<Q", frhp_addr)
+    fhib += (0).to_bytes(off_bytes, "little")
+    children_pos = len(fhib)
+    fhib += struct.pack("<QQQQ", 0, 0, 2**64 - 1, 2**64 - 1)  # row 0
+    fhib += bytes(4)
+    db1_addr = fhib_addr + len(fhib)
+    db1, _ = direct_block(0, b"first block")
+    db2_addr = db1_addr + len(db1)
+    db2, obj_off = direct_block(512, payload)
+    struct.pack_into("<QQ", fhib, children_pos, db1_addr, db2_addr)
+    struct.pack_into("<QH", frhp, root_pos, fhib_addr, 1)
+    buf = bytes(frhp) + bytes(fhib) + db1 + db2
+
+    class _F:  # minimal _File stand-in: .buf and .base are all that's used
+        base = 0
+
+    _F.buf = buf
+    heap = _FractalHeap(_F, 0)
+    hid = (
+        bytes([0]) + obj_off.to_bytes(off_bytes, "little")
+        + len(payload).to_bytes(len_bytes, "little")
+    )
+    assert heap.read_id(hid) == payload
+    with pytest.raises(ValueError, match="outside mapped blocks"):
+        heap.read_id(
+            bytes([0]) + (3000).to_bytes(4, "little") + (9).to_bytes(2, "little")
+        )

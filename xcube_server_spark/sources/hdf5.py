@@ -14,8 +14,11 @@ clear ``NotImplementedError``/``ValueError``):
   offset 0 or any power-of-two byte offset per the spec's search rule
 - v1 object headers (with continuation blocks) and v2 ``OHDR`` headers
 - groups as v1 symbol tables (B-tree v1 + local heap + SNOD — the
-  netCDF4 default) and as compact Link messages (h5py libver='latest');
-  dense (fractal-heap) links raise
+  netCDF4 default), as compact Link messages, AND as dense storage
+  (h5py libver='latest' beyond 8 links: fractal-heap link messages
+  located via the name-index v2 B-tree; single-leaf trees and root
+  direct / one-level indirect heap blocks — deeper trees, huge/tiny
+  heap IDs and filtered heap blocks raise)
 - dataspace v1/v2; datatypes: fixed-point and IEEE float (either byte
   order), fixed strings, object references, vlen sequences (for
   ``DIMENSION_LIST``); compound/enum/array raise
@@ -305,12 +308,52 @@ class _File:
             elif mtype == _M_LINK_INFO:
                 flags = body[1]
                 p = 2 + (8 if flags & 1 else 0)
-                fheap = struct.unpack_from("<Q", body, p)[0]
+                fheap, name_btree = struct.unpack_from("<QQ", body, p)
                 if fheap != _UNDEF:
-                    raise NotImplementedError(
-                        "dense (fractal-heap) group links are not supported"
+                    # dense storage (h5py libver='latest' with >8 links):
+                    # link messages live in a fractal heap, located by
+                    # heap IDs in the name-index v2 B-tree (record type 5)
+                    heap = _FractalHeap(self, self.base + fheap)
+                    btype, recs = self._btree_v2_leaf_records(
+                        self.base + name_btree
                     )
+                    if btype != 5:
+                        raise ValueError(
+                            f"dense links: name index has record type "
+                            f"{btype}, expected 5"
+                        )
+                    for rec in recs:
+                        name, target = self._parse_link(heap.read_id(rec[4:]))
+                        links[name] = target
         return links
+
+    def _btree_v2_leaf_records(self, addr: int) -> tuple[int, list[bytes]]:
+        """Records of a depth-0 v2 B-tree (``BTHD`` header + one ``BTLF``
+        leaf — the shape h5py writes for dense groups up to hundreds of
+        links; deeper trees raise a clear error)."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"BTHD":
+            raise ValueError("corrupt v2 B-tree: bad BTHD signature")
+        p = addr + 4
+        btype = buf[p + 1]
+        rec_size = struct.unpack_from("<H", buf, p + 6)[0]
+        depth = struct.unpack_from("<H", buf, p + 8)[0]
+        root = struct.unpack_from("<Q", buf, p + 12)[0]
+        nrec = struct.unpack_from("<H", buf, p + 20)[0]
+        if depth != 0:
+            raise NotImplementedError(
+                f"v2 B-tree of depth {depth} (single-leaf trees only)"
+            )
+        if root == _UNDEF or nrec == 0:
+            return btype, []
+        leaf = self.base + root
+        if buf[leaf : leaf + 4] != b"BTLF":
+            raise ValueError("corrupt v2 B-tree: bad BTLF signature")
+        q = leaf + 6  # signature + version + type
+        return btype, [
+            bytes(buf[q + i * rec_size : q + (i + 1) * rec_size])
+            for i in range(nrec)
+        ]
 
     def _parse_link(self, body: bytes) -> tuple[str, int]:
         flags = body[1]
@@ -445,6 +488,100 @@ class _File:
                 return buf[q + 16 : q + 16 + osize]
             q += 16 + (osize + 7) // 8 * 8
         raise ValueError(f"global heap object {index} not found")
+
+
+class _FractalHeap:
+    """Managed-object reads from an HDF5 fractal heap (spec section
+    III.G): ``FRHP`` header, the doubling table mapping heap-space
+    offsets to ``FHDB`` direct blocks (root direct block, or one level
+    of ``FHIB`` indirect block — the shapes dense link/attribute storage
+    produces; nested indirect blocks and filtered blocks raise).
+    Heap IDs resolve as (type, heap offset, length) triples; huge/tiny
+    IDs are out of scope."""
+
+    def __init__(self, f: "_File", addr: int):
+        buf = f.buf
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("corrupt fractal heap: bad FRHP signature")
+        self.f = f
+        p = addr + 5  # signature + version
+        self.id_len, filter_len = struct.unpack_from("<HH", buf, p)
+        p += 4
+        self.flags = buf[p]
+        p += 1
+        self.max_managed = struct.unpack_from("<I", buf, p)[0]
+        p += 4
+        p += 8 * 12  # huge/free-space/statistics fields (12 lengths)
+        self.width = struct.unpack_from("<H", buf, p)[0]
+        p += 2
+        self.start_size, self.max_direct = struct.unpack_from("<QQ", buf, p)
+        p += 16
+        max_heap_bits = struct.unpack_from("<H", buf, p)[0]
+        p += 4  # + starting # of rows
+        root = struct.unpack_from("<Q", buf, p)[0]
+        p += 8
+        cur_rows = struct.unpack_from("<H", buf, p)[0]
+        if filter_len:
+            raise NotImplementedError("filtered fractal heap blocks")
+        self.off_bytes = (max_heap_bits + 7) // 8
+        self.len_bytes = max(1, (self.max_managed.bit_length() + 7) // 8)
+        # (heap offset, block size, file position of block start)
+        self._blocks: list[tuple[int, int, int]] = []
+        if root != _UNDEF:
+            if cur_rows == 0:
+                self._blocks.append((0, self.start_size, f.base + root))
+            else:
+                self._walk_indirect(f.base + root, cur_rows)
+
+    def _row_size(self, row: int) -> int:
+        return self.start_size if row < 2 else self.start_size << (row - 1)
+
+    def _walk_indirect(self, addr: int, nrows: int) -> None:
+        buf = self.f.buf
+        if buf[addr : addr + 4] != b"FHIB":
+            raise ValueError("corrupt fractal heap: bad FHIB signature")
+        import math as _math
+
+        max_direct_rows = (
+            int(_math.log2(self.max_direct))
+            - int(_math.log2(self.start_size)) + 2
+        )
+        if nrows > max_direct_rows:
+            raise NotImplementedError(
+                "nested fractal-heap indirect blocks (heap beyond "
+                f"{max_direct_rows} direct rows)"
+            )
+        p = addr + 4 + 1 + 8 + self.off_bytes  # sig+version+heap addr+offset
+        heap_off = 0
+        for row in range(nrows):
+            size = self._row_size(row)
+            for _ in range(self.width):
+                child = struct.unpack_from("<Q", buf, p)[0]
+                p += 8
+                if child != _UNDEF:
+                    self._blocks.append((heap_off, size, self.f.base + child))
+                heap_off += size
+
+    def read_id(self, hid: bytes) -> bytes:
+        if len(hid) < 1 + self.off_bytes + self.len_bytes:
+            raise ValueError("fractal heap ID shorter than its layout")
+        idtype = (hid[0] >> 4) & 0x3
+        if idtype != 0:
+            raise NotImplementedError(
+                f"fractal heap ID type {idtype} (managed objects only)"
+            )
+        off = int.from_bytes(hid[1 : 1 + self.off_bytes], "little")
+        ln = int.from_bytes(
+            hid[1 + self.off_bytes : 1 + self.off_bytes + self.len_bytes],
+            "little",
+        )
+        for heap_off, size, fpos in self._blocks:
+            if heap_off <= off and off + ln <= heap_off + size:
+                start = fpos + (off - heap_off)
+                return bytes(self.f.buf[start : start + ln])
+        raise ValueError(
+            f"fractal heap ID points outside mapped blocks: {off}+{ln}"
+        )
 
 
 def _parse_dataspace(body: bytes) -> tuple[int, ...]:
