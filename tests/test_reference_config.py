@@ -217,3 +217,91 @@ def test_raw_store_ingest_is_cached(spark, demo_dir):
     base_path = cat.datasets["local"].base_path
     assert os.path.exists(os.path.join(base_path, "catalog.json"))
     assert warm < 30  # re-register, not re-ingest (ingest is ~1 min)
+
+
+def _xml_shape(el):
+    """Structural fingerprint of an element tree: namespaced tag, sorted
+    attribute NAMES, children shapes in document order with consecutive
+    duplicates collapsed (so differing counts of TileMatrix / Layer /
+    Theme between the golden demo cube and this fixture's smaller cube
+    do not obscure real shape drift)."""
+    kids = [_xml_shape(c) for c in el]
+    collapsed = []
+    for k in kids:
+        if not collapsed or collapsed[-1] != k:
+            collapsed.append(k)
+    return (el.tag, tuple(sorted(el.attrib)), tuple(collapsed))
+
+
+def _xml_diff(a, b, path="/"):
+    """First structural difference between two shapes, or None."""
+    if a[0] != b[0]:
+        return f"{path}: tag {a[0]!r} != {b[0]!r}"
+    if a[1] != b[1]:
+        return f"{path}{a[0]}: attrs {a[1]} != {b[1]}"
+    for i, (ca, cb) in enumerate(zip(a[2], b[2])):
+        d = _xml_diff(ca, cb, f"{path}{a[0]}[{i}]/")
+        if d:
+            return d
+    if len(a[2]) != len(b[2]):
+        extra = (a[2][len(b[2]):] or b[2][len(a[2]):])[0]
+        return (
+            f"{path}{a[0]}: {len(a[2])} vs {len(b[2])} child kinds "
+            f"(first unmatched: {extra[0]})"
+        )
+    return None
+
+
+def test_wmts_capabilities_match_golden_structure(spark, demo_dir):
+    """Element-tree diff against the reference's golden capabilities
+    (``/root/reference/test/res/test/WMTSCapabilities.xml``): namespaced
+    tags, attribute names, child ORDER — normalized only by collapsing
+    repeated siblings (cube sizes differ) and ignoring text/URL values.
+    Protocol-boilerplate TEXT is pinned exactly."""
+    import urllib.request
+    import xml.etree.ElementTree as ET
+
+    from xcube_server_spark.cube.catalog import CubeCatalog
+    from xcube_server_spark.server.app import CubeServer
+
+    golden = ET.parse(
+        "/root/reference/test/res/test/WMTSCapabilities.xml"
+    ).getroot()
+
+    root, _ = demo_dir
+    cat = CubeCatalog(spark)
+    cat.load_config(f"{root}/config.yml")
+    srv = CubeServer(cat)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/wmts/1.0.0/WMTSCapabilities.xml",
+            timeout=120,
+        ) as r:
+            served = ET.fromstring(r.read())
+    finally:
+        srv.stop()
+
+    diff = _xml_diff(_xml_shape(golden), _xml_shape(served))
+    assert diff is None, diff
+
+    # protocol boilerplate text matches the golden byte-for-byte
+    ns = {
+        "ows": "http://www.opengis.net/ows/1.1",
+        "wmts": "http://www.opengis.net/wmts/1.0",
+    }
+    for xp in (
+        "ows:ServiceIdentification/ows:ServiceType",
+        "ows:ServiceIdentification/ows:ServiceTypeVersion",
+        "ows:ServiceIdentification/ows:Fees",
+        "ows:ServiceIdentification/ows:AccessConstraints",
+        "wmts:Contents/wmts:TileMatrixSet/ows:SupportedCRS",
+    ):
+        g = golden.find(xp, ns)
+        s = served.find(xp, ns)
+        assert g is not None and s is not None, xp
+        assert (g.text or "").strip() == (s.text or "").strip(), xp
+    # keyword SET matches (order-free)
+    gk = {e.text for e in golden.findall(".//ows:Keyword", ns)}
+    sk = {e.text for e in served.findall(".//ows:Keyword", ns)}
+    assert gk == sk

@@ -33,8 +33,24 @@ def _e(parent, tag, text=None, **attrs):
     return el
 
 
+_XSI = "http://www.w3.org/2001/XMLSchema-instance"
+ET.register_namespace("xsi", _XSI)
+
+
 def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
-    root = ET.Element(f"{{{_NS['']}}}Capabilities", {"version": "1.0.0"})
+    root = ET.Element(
+        f"{{{_NS['']}}}Capabilities",
+        {
+            # the golden capabilities carries the schemaLocation hint
+            # (reference: test/res/test/WMTSCapabilities.xml:2-7)
+            f"{{{_XSI}}}schemaLocation": (
+                "http://www.opengis.net/wmts/1.0 "
+                "http://schemas.opengis.net/wmts/1.0.0/"
+                "wmtsGetCapabilities_response.xsd"
+            ),
+            "version": "1.0.0",
+        },
+    )
     ident = _e(root, "ows:ServiceIdentification")
     _e(ident, "ows:Title", "spark-cube-server WMTS")
     _e(
@@ -57,7 +73,8 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
         if sp.get("ProviderName"):
             _e(prov, "ows:ProviderName", sp["ProviderName"])
         if sp.get("ProviderSite"):
-            _e(prov, "ows:ProviderSite", href=str(sp["ProviderSite"]))
+            site = _e(prov, "ows:ProviderSite")
+            site.set(f"{{{_NS['xlink']}}}href", str(sp["ProviderSite"]))
         sc = sp.get("ServiceContact") or {}
         if sc:
             el = _e(prov, "ows:ServiceContact")
@@ -103,46 +120,24 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
             _e(av, "ows:Value", enc)
     contents = _e(root, "Contents")
 
+    # TileMatrixSets first, deduplicated by grid (the golden capabilities
+    # shares one TileGrid_0 across datasets; test/res/test/
+    # WMTSCapabilities.xml:91-126), then the Layers.
+    matrix_ids: dict[str, str] = {}
     for meta in catalog.datasets.values():
         tg = meta.tile_grid
-        matrix_set_id = (
-            f"TileGrid_{meta.grid.width}_{meta.grid.height}"
-        )
-        for var in meta.variables:
-            layer = _e(contents, "Layer")
-            _e(layer, "ows:Identifier", f"{meta.identifier}.{var}")
-            _e(layer, "ows:Title", f"{meta.title} / {var}")
-            bbox = _e(layer, "ows:WGS84BoundingBox")
-            w, s, e, n = meta.grid.extent
-            _e(bbox, "ows:LowerCorner", f"{w} {s}")
-            _e(bbox, "ows:UpperCorner", f"{e} {n}")
-            style = _e(layer, "Style", isDefault="true")
-            _e(style, "ows:Identifier", "Default")
-            _e(layer, "Format", "image/png")
-            # time dimension (reference: per-layer <Dimension>,
-            # wmts.py:195-239)
-            dim = _e(layer, "Dimension")
-            _e(dim, "ows:Identifier", "time")
-            _e(dim, "Default", "current")
-            for t in catalog.times(meta.identifier):
-                _e(dim, "Value", t.replace(" ", "T") + "Z")
-            link = _e(layer, "TileMatrixSetLink")
-            _e(link, "TileMatrixSet", matrix_set_id)
-            tmpl = (
-                f"{base_url}/datasets/{meta.identifier}/vars/{var}"
-                "/tiles/{TileMatrix}/{TileCol}/{TileRow}.png?time={time}"
-            )
-            _e(
-                layer,
-                "ResourceURL",
-                format="image/png",
-                resourceType="tile",
-                template=tmpl,
-            )
-
+        key = f"{meta.grid.width}_{meta.grid.height}_{meta.grid.extent}"
+        if key in matrix_ids:
+            continue
+        matrix_set_id = f"TileGrid_{meta.grid.width}_{meta.grid.height}"
+        matrix_ids[key] = matrix_set_id
         tms = _e(contents, "TileMatrixSet")
         _e(tms, "ows:Identifier", matrix_set_id)
-        _e(tms, "ows:SupportedCRS", "urn:ogc:def:crs:OGC:2:84")
+        _e(tms, "ows:SupportedCRS", "urn:ogc:def:crs:OGC:1.3:CRS84")
+        w, s, e, n = meta.grid.extent
+        tbox = _e(tms, "ows:BoundingBox")
+        _e(tbox, "ows:LowerCorner", f"{w} {s}")
+        _e(tbox, "ows:UpperCorner", f"{e} {n}")
         sizes = level_sizes(meta.grid.width, meta.grid.height, tg.num_levels)
         for z in range(tg.num_levels):
             level = tg.num_levels - 1 - z
@@ -158,6 +153,48 @@ def get_wmts_capabilities_xml(catalog: CubeCatalog, base_url: str) -> str:
             _e(tm, "TileHeight", tg.tile_height)
             _e(tm, "MatrixWidth", ntx)
             _e(tm, "MatrixHeight", nty)
+
+    for meta in catalog.datasets.values():
+        key = f"{meta.grid.width}_{meta.grid.height}_{meta.grid.extent}"
+        matrix_set_id = matrix_ids[key]
+        for var in meta.variables:
+            # golden Layer child order (WMTSCapabilities.xml:127-151):
+            # Identifier, Title, Abstract, WGS84BoundingBox, Style,
+            # Format, TileMatrixSetLink, ResourceURL, Dimension
+            layer = _e(contents, "Layer")
+            _e(layer, "ows:Identifier", f"{meta.identifier}.{var}")
+            _e(layer, "ows:Title", f"{meta.title} / {var}")
+            _e(layer, "ows:Abstract", "")
+            bbox = _e(layer, "ows:WGS84BoundingBox")
+            w, s, e, n = meta.grid.extent
+            _e(bbox, "ows:LowerCorner", f"{w} {s}")
+            _e(bbox, "ows:UpperCorner", f"{e} {n}")
+            style = _e(layer, "Style", isDefault="true")
+            _e(style, "ows:Identifier", "Default")
+            _e(layer, "Format", "image/png")
+            link = _e(layer, "TileMatrixSetLink")
+            _e(link, "TileMatrixSet", matrix_set_id)
+            tmpl = (
+                f"{base_url}/wmts/1.0.0/tile/{meta.identifier}/{var}"
+                "/{TileMatrix}/{TileRow}/{TileCol}.png"
+            )
+            _e(
+                layer,
+                "ResourceURL",
+                format="image/png",
+                resourceType="tile",
+                template=tmpl,
+            )
+            # time dimension (reference: per-layer <Dimension>,
+            # wmts.py:195-239; golden shape incl. UOM + Current)
+            dim = _e(layer, "Dimension")
+            _e(dim, "ows:Identifier", "time")
+            _e(dim, "ows:Title", "time")
+            _e(dim, "ows:UOM", "ISO8601")
+            _e(dim, "Default", "current")
+            _e(dim, "Current", "true")
+            for t in catalog.times(meta.identifier):
+                _e(dim, "Value", t.replace(" ", "T") + "Z")
 
     # Themes: one per dataset, one sub-Theme per variable layer
     # (reference golden XML:368-429)
