@@ -1,0 +1,113 @@
+"""Registered HDF5 filter plugins: LZF (32000), blosc (32001), zstd
+(32015) — the compressors real-world HDF5/NetCDF4 files ship beyond the
+builtin deflate/shuffle/fletcher32 trio. Each decodes through the repo's
+pure-Python codecs; fixtures are written by this repo's own writer and
+hand-built LZF streams pin the block format independently of the
+encoder."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.lzf import lzf_compress, lzf_decompress
+
+# ---------------------------------------------------------------------------
+# LZF block codec
+# ---------------------------------------------------------------------------
+
+
+def test_lzf_handbuilt_vectors():
+    """Streams built byte-by-byte from the liblzf format description."""
+    # literal run "AB", back-ref len field 4 -> copy 6, distance 2
+    s = bytes([0x01, 65, 66, (4 << 5) | 0, 1])
+    assert lzf_decompress(s, 8) == b"ABABABAB"
+    # extended length: field 7 + ext 3 -> copy 7+3+2 = 12, distance 1 RLE
+    s = bytes([0x00, 90, (7 << 5) | 0, 3, 0])
+    assert lzf_decompress(s, 13) == b"Z" * 13
+    # pure literals
+    s = bytes([0x04]) + b"hello"
+    assert lzf_decompress(s, 5) == b"hello"
+
+
+def test_lzf_corrupt_inputs_rejected():
+    with pytest.raises(ValueError, match="literal run"):
+        lzf_decompress(bytes([0x05, 65]), 6)
+    with pytest.raises(ValueError, match="before stream start"):
+        lzf_decompress(bytes([0x00, 65, (4 << 5) | 0, 99]), 8)
+    with pytest.raises(ValueError, match="truncated"):
+        lzf_decompress(bytes([0x00, 65, (7 << 5) | 0]), 10)
+    with pytest.raises(ValueError, match="expected"):
+        lzf_decompress(bytes([0x02]) + b"abc", 2)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 100, 5000, 70000])
+def test_lzf_roundtrip(n):
+    rng = np.random.default_rng(n)
+    for raw in (
+        (b"repeatrepeat" * (n // 12 + 1))[:n],
+        bytes(n),
+        rng.integers(0, 6, n, dtype=np.uint8).tobytes(),
+    ):
+        assert lzf_decompress(lzf_compress(raw), n) == raw
+
+
+def test_lzf_long_match_capped_at_264():
+    raw = b"A" * 5000  # forces many max-length matches
+    comp = lzf_compress(raw)
+    assert lzf_decompress(comp, 5000) == raw
+    assert len(comp) < 200
+
+
+# ---------------------------------------------------------------------------
+# HDF5 files carrying the plugin filters
+# ---------------------------------------------------------------------------
+
+TIMES = ["2017-01-16 10:09:22", "2017-01-25 09:35:51", "2017-01-26 10:50:17"]
+H, W = 10, 20
+
+
+@pytest.mark.parametrize("compression", ["zstd", "blosc", "lzf"])
+def test_hdf5_plugin_filter_roundtrip(tmp_path, compression):
+    from xcube_server_spark.sources.hdf5 import open_hdf5, write_hdf5
+
+    t, y, x = np.meshgrid(
+        np.arange(3), np.arange(H), np.arange(W), indexing="ij"
+    )
+    chl = ((t * 7 + y * 5 + x * 3) % 41) / 8.0
+    chl[(y * W + x + t) % 13 == 0] = math.nan
+    path = str(tmp_path / f"{compression}.nc")
+    write_hdf5(
+        path, TIMES,
+        np.linspace(52.375, 50.125, H), np.linspace(0.125, 4.875, W),
+        {"conc_chl": chl}, chunk_shape=(1, 4, 8), compress=compression,
+    )
+    ds = open_hdf5(path)
+    got = ds["conc_chl"][0:3, 0:H, 0:W]
+    assert (np.isnan(got) == np.isnan(chl)).all()
+    assert np.allclose(np.nan_to_num(got), np.nan_to_num(chl))
+    assert list(ds["time"].values) == TIMES
+
+
+def test_unknown_filter_still_rejected(tmp_path):
+    """A filter id outside the supported set keeps a loud, NAMED error."""
+    from xcube_server_spark.sources.hdf5 import open_hdf5, write_hdf5
+
+    path = str(tmp_path / "f.nc")
+    chl = np.zeros((3, H, W))
+    write_hdf5(
+        path, TIMES,
+        np.linspace(52.375, 50.125, H), np.linspace(0.125, 4.875, W),
+        {"conc_chl": chl}, chunk_shape=(1, 4, 8), compress="zstd",
+    )
+    blob = bytearray(open(path, "rb").read())
+    # corrupt the filter id 32015 (0x7D0F LE) -> 32017 (unsupported)
+    idx = blob.find((32015).to_bytes(2, "little") + b"\x08\x00")
+    assert idx > 0
+    blob[idx : idx + 2] = (32017).to_bytes(2, "little")
+    open(path, "wb").write(bytes(blob))
+    ds = open_hdf5(path)
+    with pytest.raises(NotImplementedError, match="32017"):
+        ds["conc_chl"][0:1, 0:4, 0:8]

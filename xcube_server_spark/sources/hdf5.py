@@ -25,7 +25,10 @@ clear ``NotImplementedError``/``ValueError``):
 - data layout v3: compact, contiguous, chunked (B-tree v1 chunk index,
   any nesting level); layout v4 raises
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
-  verified); other filters raise by name
+  verified), plus the registered plugins real files ship — LZF 32000
+  (h5py's fast default, ``sources/lzf.py``), blosc 32001
+  (``sources/blosc.py``) and Zstandard 32015 (``sources/zstd_codec.py``);
+  other filters raise by name
 - attributes v1/v2/v3 including vlen-of-object-reference — the netCDF4
   dimension-scale convention (``DIMENSION_LIST`` through the global
   heap) is how variable dimensions are resolved, exactly as netCDF4/
@@ -747,10 +750,29 @@ class HDF5Variable:
                         f"dataset {self.name!r}: fletcher32 checksum mismatch"
                     )
                 data = body
+            elif fid == 32000:
+                # h5py's LZF filter: raw liblzf stream, no header
+                from .lzf import lzf_decompress
+
+                nbytes = self.dtype.itemsize
+                for s in self.chunk_shape:
+                    nbytes *= s
+                data = lzf_decompress(data, nbytes)
+            elif fid == 32001:
+                # registered blosc plugin: payload IS a blosc chunk
+                # (cvals carry typesize/level for the write side only)
+                from .blosc import decompress as _blosc_decompress
+
+                data = _blosc_decompress(data)
+            elif fid == 32015:
+                # registered Zstandard plugin: payload is a zstd frame
+                from .zstd_codec import zstd_decompress
+
+                data = zstd_decompress(data)
             else:
                 raise NotImplementedError(
-                    f"HDF5 filter id {fid} is not supported "
-                    "(deflate/shuffle/fletcher32 are)"
+                    f"HDF5 filter id {fid} is not supported (deflate/"
+                    "shuffle/fletcher32/lzf/blosc/zstd are)"
                 )
         return np.frombuffer(data, self.dtype).reshape(self.chunk_shape)
 
@@ -1169,7 +1191,7 @@ def write_hdf5(
             block = arr[sel]
             chunk[tuple(slice(0, b) for b in block.shape)] = block
             raw = chunk.tobytes()
-            if compress:
+            if compress in (True, "deflate"):
                 n = len(raw) // itemsize * itemsize
                 shuf = (
                     np.frombuffer(raw[:n], np.uint8)
@@ -1177,6 +1199,18 @@ def write_hdf5(
                     + raw[n:]
                 )
                 raw = zlib.compress(shuf, 5)
+            elif compress == "zstd":
+                from .zstd_codec import zstd_compress
+
+                raw = zstd_compress(raw)
+            elif compress == "blosc":
+                from .blosc import compress as _blosc_compress
+
+                raw = _blosc_compress(raw, itemsize, shuffle=True)
+            elif compress == "lzf":
+                from .lzf import lzf_compress
+
+                raw = lzf_compress(raw)
             addr = w.add(raw)
             entries.append((origin, addr, len(raw)))
         # chunk B-tree: one level-0 node holding every entry
@@ -1200,12 +1234,31 @@ def write_hdf5(
             _msg(_M_DATATYPE, _encode_datatype(arr.dtype)),
             _msg(_M_FILL, struct.pack("<BBBB", 2, 2, 0, 0)),
         ]
-        if compress:
+        if compress in (True, "deflate"):
             filt = struct.pack("<BB2x4x", 1, 2)
             filt += struct.pack("<HHHH", 2, 0, 0, 1)  # shuffle
             filt += struct.pack("<I4x", itemsize)
             filt += struct.pack("<HHHH", 1, 0, 0, 1)  # deflate
             filt += struct.pack("<I4x", 5)
+            msgs.append(_msg(_M_FILTERS, filt))
+        elif compress in ("zstd", "blosc", "lzf"):
+            # registered plugins (fid >= 256 carries a name in v1):
+            # zstd 32015 [level]; blosc 32001 [fmt ver, blosc ver,
+            # typesize, chunk bytes, clevel, shuffle, compcode];
+            # lzf 32000 [filter ver, lzf ver, chunk bytes]
+            fid, cvals = {
+                "zstd": (32015, (3,)),
+                "blosc": (32001, (2, 2, itemsize, len(raw), 5, 1, 1)),
+                "lzf": (32000, (4, 1, 0)),
+            }[compress]
+            fname = compress.encode() + b"\x00"
+            fname += b"\x00" * (-len(fname) % 8)
+            filt = struct.pack("<BB2x4x", 1, 1)
+            filt += struct.pack(
+                "<HHHH", fid, len(fname), 0, len(cvals)
+            ) + fname
+            filt += b"".join(struct.pack("<I", c) for c in cvals)
+            filt += b"\x00" * (4 if len(cvals) % 2 else 0)
             msgs.append(_msg(_M_FILTERS, filt))
         layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr)
         layout += b"".join(struct.pack("<I", c) for c in ch)

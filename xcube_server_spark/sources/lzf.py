@@ -1,0 +1,107 @@
+"""Pure-Python LZF block codec (Marc Lehmann's liblzf format).
+
+h5py registers LZF as HDF5 filter id 32000 and ships it as its default
+"fast" compressor, so real-world HDF5/NetCDF4 files carry LZF chunks;
+the filter payload is a raw liblzf stream with no extra header. Format
+(from the published liblzf ``lzf_d.c``):
+
+- control byte ``c < 32``: literal run of ``c + 1`` bytes;
+- otherwise a back-reference: length field ``c >> 5`` (7 = extended by
+  one extra byte), then one low-offset byte; the reference starts at
+  ``out_pos - (((c & 0x1f) << 8) | low) - 1`` (max distance 8192) and
+  copies ``length + 2`` bytes, overlap-safe (distance 1 = RLE).
+
+The encoder is a greedy 3-byte hash matcher — valid output, modest
+ratio — so tests and fixtures round-trip REAL LZF-filtered files
+without h5py. Max encodable match is 7 + 255 + 2 = 264 bytes.
+"""
+
+from __future__ import annotations
+
+_MAX_OFF = 8191  # 13-bit offset field; distance = off + 1
+_MAX_LEN = 7 + 255 + 2
+
+
+def lzf_decompress(src: bytes, dst_size: int) -> bytes:
+    dst = bytearray()
+    i, n = 0, len(src)
+    try:
+        while i < n:
+            c = src[i]
+            i += 1
+            if c < 32:
+                run = c + 1
+                if i + run > n:
+                    raise ValueError(
+                        "corrupt LZF block: literal run past input end"
+                    )
+                dst += src[i : i + run]
+                i += run
+            else:
+                length = c >> 5
+                if length == 7:
+                    length += src[i]
+                    i += 1
+                ref = len(dst) - (((c & 0x1F) << 8) | src[i]) - 1
+                i += 1
+                if ref < 0:
+                    raise ValueError(
+                        "corrupt LZF block: reference before stream start"
+                    )
+                length += 2
+                dist = len(dst) - ref
+                if dist >= length:
+                    dst += dst[ref : ref + length]
+                else:  # overlapping: byte-at-a-time (distance 1 = RLE)
+                    for k in range(length):
+                        dst.append(dst[ref + k])
+    except IndexError:
+        raise ValueError("corrupt LZF block: truncated input") from None
+    if len(dst) != dst_size:
+        raise ValueError(
+            f"corrupt LZF block: expected {dst_size} bytes, got {len(dst)}"
+        )
+    return bytes(dst)
+
+
+def lzf_compress(src: bytes) -> bytes:
+    """Greedy LZF encoder (3-byte hash matches). Always emits a VALID
+    stream; callers store raw when it does not shrink (the HDF5 filter
+    convention: a chunk whose filter did not shrink is stored unfiltered
+    with its filter-mask bit set)."""
+    n = len(src)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+
+    def flush(lo: int, hi: int) -> None:
+        while lo < hi:
+            run = min(32, hi - lo)
+            out.append(run - 1)
+            out.extend(src[lo : lo + run])
+            lo += run
+
+    i = anchor = 0
+    while i + 3 <= n:
+        key = src[i : i + 3]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= _MAX_OFF + 1 and src[j : j + 3] == key:
+            mlen = 3
+            limit = min(n - i, _MAX_LEN)
+            while mlen < limit and src[j + mlen] == src[i + mlen]:
+                mlen += 1
+            flush(anchor, i)
+            off = i - j - 1
+            length = mlen - 2
+            if length < 7:
+                out.append((length << 5) | (off >> 8))
+            else:
+                out.append((7 << 5) | (off >> 8))
+                out.append(length - 7)
+            out.append(off & 0xFF)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    flush(anchor, n)
+    return bytes(out)
