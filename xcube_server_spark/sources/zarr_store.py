@@ -290,6 +290,11 @@ class ZarrArray:
             out.append(tuple(lens))
         return tuple(out)
 
+    def _prefetch_chunks(self, idxs: list[tuple[int, ...]]) -> None:
+        """Window-read hook: subclasses may coalesce the chunk fetches a
+        single ``__getitem__`` is about to issue (sharded v3 arrays turn
+        per-inner-chunk ranged GETs into one span GET per shard)."""
+
     def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
         key = self._prefix + self._sep.join(str(i) for i in idx)
         raw = self._store.get(key)
@@ -364,6 +369,11 @@ class ZarrArray:
                 walk(dim + 1, idx + [ci])
 
         if all(len(r) for r in ranges):
+            import itertools
+
+            self._prefetch_chunks(
+                [tuple(i) for i in itertools.product(*ranges)]
+            )
             walk(0, [])
         # collapse int-indexed axes like numpy would
         squeeze = tuple(
@@ -506,6 +516,7 @@ class ZarrArrayV3(ZarrArray):
             self.chunk_shape = inner
             self._codecs = self._shard["codecs"]
             self._index_cache: dict[tuple[int, ...], object] = {}
+            self._span_cache: dict[tuple[str, int, int], bytes] = {}
         endian = _v3_endian(self._codecs)
         self.dtype = np.dtype(
             endian + _V3_DTYPES[dt]
@@ -575,6 +586,47 @@ class ZarrArrayV3(ZarrArray):
         self._index_cache[shard_idx] = index
         return index
 
+    def _prefetch_chunks(self, idxs: list[tuple[int, ...]]) -> None:
+        """Shard-read coalescing: at object-store scale, one window that
+        touches k inner chunks of a shard must not cost k round trips.
+        Group the window's inner chunks by shard and fetch each shard's
+        needed byte span with ONE ranged GET — unless the needed chunks
+        are so sparse within the span that per-chunk reads transfer less
+        (gap bound: span ≤ 2× needed bytes + 64 KiB)."""
+        if self._shard is None:
+            return
+        ratio = self._shard["ratio"]
+        by_shard: dict[tuple[int, ...], list[tuple[int, ...]]] = {}
+        for idx in idxs:
+            sh = tuple(i // r for i, r in zip(idx, ratio))
+            by_shard.setdefault(sh, []).append(
+                tuple(i % r for i, r in zip(idx, ratio))
+            )
+        for sh, withins in by_shard.items():
+            if len(withins) < 2:
+                continue
+            key = self._key(sh)
+            index = self._shard_index(sh, key)
+            if index is None:
+                continue
+            spans = []
+            for w in withins:
+                offset, nbytes = (int(v) for v in index[w])
+                if offset != 2**64 - 1:
+                    spans.append((offset, nbytes))
+            if len(spans) < 2:
+                continue
+            lo = min(o for o, _ in spans)
+            hi = max(o + n for o, n in spans)
+            need = sum(n for _, n in spans)
+            if hi - lo > 2 * need + 65536:
+                continue
+            blob = self._store.get_range(key, lo, hi - lo)
+            if blob is None or len(blob) != hi - lo:
+                continue  # fall back to per-chunk reads
+            for o, n in spans:
+                self._span_cache[(key, o, n)] = blob[o - lo : o - lo + n]
+
     def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
         if self._shard is None:
             raw = self._store.get(self._key(idx))
@@ -595,7 +647,9 @@ class ZarrArrayV3(ZarrArray):
         offset, nbytes = (int(v) for v in index[within])
         if offset == 2**64 - 1 and nbytes == 2**64 - 1:
             return self._fill_chunk()
-        raw = self._store.get_range(key, offset, nbytes)
+        raw = self._span_cache.pop((key, offset, nbytes), None)
+        if raw is None:
+            raw = self._store.get_range(key, offset, nbytes)
         if raw is None or len(raw) != nbytes:
             raise ValueError(
                 f"sharding_indexed: inner chunk read failed at {key} "
