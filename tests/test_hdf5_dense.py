@@ -218,3 +218,118 @@ def test_indirect_root_block_walk():
         heap.read_id(
             bytes([0]) + (3000).to_bytes(4, "little") + (9).to_bytes(2, "little")
         )
+
+
+def test_dense_attributes_read():
+    """A variable whose attributes moved to DENSE storage (Attribute
+    Info message → fractal heap + type-8 name-index B-tree) reads its
+    attrs and data. File hand-assembled from the spec: superblock →
+    variable object header (dataspace/datatype/contiguous layout +
+    Attribute Info) → FRHP/FHDB holding v1 attribute messages → BTHD/
+    BTLF type-8 records."""
+    import numpy as np
+
+    from xcube_server_spark.sources.hdf5 import (
+        HDF5Variable,
+        _attr_v1,
+        _dataspace_v1,
+        _encode_datatype,
+        _num_attr,
+    )
+
+    # attribute message BODIES (the heap stores the message payload)
+    attr_blobs = []
+    for i in range(10):  # >8 attrs: the h5py dense-storage trigger
+        msg = _num_attr(f"a{i:02d}", float(i) * 1.5, np.dtype("<f8"))
+        attr_blobs.append(msg[8:8 + struct.unpack_from("<H", msg, 2)[0]])
+
+    data = np.arange(6, dtype="<f8")
+
+    sb_len = len(_superblock_v0(0))
+    # variable object header comes right after the superblock
+    off_bytes, len_bytes = 4, 2
+    # assemble heap + btree after we know the header length; build the
+    # header with a placeholder Attribute Info first to size it
+    def var_header(fheap: int, btree: int) -> bytes:
+        ai = bytes([0, 0]) + struct.pack("<QQ", fheap, btree)
+        layout = struct.pack("<BBQQ", 3, 1, 0, data.nbytes)  # patched
+        return _v1_header([
+            (0x0001, _dataspace_v1(data.shape)),
+            (0x0003, _encode_datatype(data.dtype)),
+            (0x0008, layout),
+            (0x0015, ai),
+        ])
+
+    hdr_len = len(var_header(0, 0))
+    frhp_addr = sb_len + hdr_len
+    frhp = bytearray(b"FRHP\x00")
+    frhp += struct.pack("<HH", 1 + off_bytes + len_bytes, 0)
+    frhp += bytes([0])
+    frhp += struct.pack("<I", 4096)
+    frhp += bytes(8 * 12)
+    frhp += struct.pack("<H", 4)
+    frhp += struct.pack("<QQ", 1024, 65536)  # 10 attr messages > 512
+    frhp += struct.pack("<HH", 32, 1)
+    frhp_root_pos = len(frhp)
+    frhp += struct.pack("<QH", 0, 0)
+    frhp += bytes(4)
+    fhdb_addr = frhp_addr + len(frhp)
+    fhdb = bytearray(b"FHDB\x00")
+    fhdb += struct.pack("<Q", frhp_addr)
+    fhdb += (0).to_bytes(off_bytes, "little")
+    heap_ids = []
+    for blob in attr_blobs:
+        off = len(fhdb)
+        heap_ids.append(
+            bytes([0]) + off.to_bytes(off_bytes, "little")
+            + len(blob).to_bytes(len_bytes, "little")
+        )
+        fhdb += blob
+    fhdb += bytes(1024 - len(fhdb))
+    struct.pack_into("<QH", frhp, frhp_root_pos, fhdb_addr, 0)
+    bthd_addr = fhdb_addr + len(fhdb)
+    rec_size = 8 + 1 + 4 + 4  # type 8: heap id, flags, corder, hash
+    bthd = bytearray(b"BTHD\x00\x08")
+    bthd += struct.pack("<IHHBB", 512, rec_size, 0, 100, 40)
+    btlf_addr = bthd_addr + 4 + 2 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    bthd += struct.pack("<QHQ", btlf_addr, len(heap_ids), len(heap_ids))
+    bthd += bytes(4)
+    btlf = bytearray(b"BTLF\x00\x08")
+    for i, hid in enumerate(heap_ids):
+        # heap id padded to the record's 8-byte field
+        btlf += hid + bytes(8 - len(hid))
+        btlf += bytes([0]) + struct.pack("<I", i) + bytes(4)
+    btlf += bytes(4)
+    data_addr = btlf_addr + len(btlf)
+
+    hdr = bytearray(var_header(frhp_addr, bthd_addr))
+    # patch the contiguous-layout data address (find the layout message)
+    pos = hdr.find(struct.pack("<BBQQ", 3, 1, 0, data.nbytes))
+    assert pos > 0
+    struct.pack_into("<Q", hdr, pos + 2, data_addr)
+
+    buf = (
+        _superblock_v0(sb_len) + bytes(hdr) + bytes(frhp) + bytes(fhdb)
+        + bytes(bthd) + bytes(btlf) + data.tobytes()
+    )
+    from xcube_server_spark.sources.hdf5 import _File
+
+    f = _File(buf)
+    var = HDF5Variable(f, "v", sb_len)
+    assert var.attrs == {
+        f"a{i:02d}": pytest.approx(i * 1.5) for i in range(10)
+    }
+    assert np.allclose(var[0:6], data)
+
+
+def test_wrong_btree_record_type_rejected():
+    """A name index carrying the wrong record type (a type-8 attribute
+    tree where links need type 5) raises loudly instead of misparsing
+    records."""
+    buf = _build_dense_group([("x", 0x100)])
+    pos = buf.find(b"BTHD\x00\x05")
+    blob = bytearray(buf)
+    blob[pos + 5] = 8  # lie about the record type
+    f = _File(bytes(blob))
+    with pytest.raises(ValueError, match="expected 5"):
+        f.group_links(f.root_addr)

@@ -225,10 +225,12 @@ def test_fletcher32_mismatch_rejected(store):
 
 
 def test_unknown_filter_rejected(store):
+    # 32000/32001/32015 (lzf/blosc/zstd) are now supported — use an id
+    # with no registered plugin to pin the loud-failure contract
     path, _, _ = store
     v = open_hdf5(path)["conc_chl"]
-    v._filters = [(32000, ())]
-    with pytest.raises(NotImplementedError, match="filter id 32000"):
+    v._filters = [(32099, ())]
+    with pytest.raises(NotImplementedError, match="filter id 32099"):
         v._decode_chunk(bytes(256), 0)
 
 

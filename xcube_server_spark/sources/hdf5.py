@@ -32,7 +32,9 @@ clear ``NotImplementedError``/``ValueError``):
 - attributes v1/v2/v3 including vlen-of-object-reference — the netCDF4
   dimension-scale convention (``DIMENSION_LIST`` through the global
   heap) is how variable dimensions are resolved, exactly as netCDF4/
-  xarray do it
+  xarray do it — and DENSE attribute storage (Attribute Info message →
+  fractal heap + type-8 name-index v2 B-tree, the h5py layout beyond 8
+  attributes); shared dense messages raise
 
 The writer emits a REAL NetCDF4-shaped HDF5 file — superblock v0,
 v1 object headers, symbol-table root group, contiguous coordinate
@@ -633,11 +635,33 @@ class HDF5Variable:
             elif mtype == _M_ATTR_INFO:
                 flags = body[1]
                 p = 2 + (2 if flags & 1 else 0)
-                fheap = struct.unpack_from("<Q", body, p)[0]
+                fheap, name_btree = struct.unpack_from("<QQ", body, p)
                 if fheap != _UNDEF:
-                    raise NotImplementedError(
-                        "dense attribute storage is not supported"
+                    # dense storage (h5py/libhdf5 beyond 8 attributes):
+                    # attribute messages live in a fractal heap, located
+                    # by the name-index v2 B-tree (record type 8: heap ID
+                    # 8B, message flags 1B, creation order 4B, hash 4B)
+                    heap = _FractalHeap(file, file.base + fheap)
+                    btype, recs = file._btree_v2_leaf_records(
+                        file.base + name_btree
                     )
+                    if btype != 8:
+                        raise ValueError(
+                            f"dense attributes: name index has record "
+                            f"type {btype}, expected 8"
+                        )
+                    for rec in recs:
+                        if rec[8] & 0x2:
+                            raise NotImplementedError(
+                                "shared dense attribute messages"
+                            )
+                        aname, aval = file._parse_attr(
+                            heap.read_id(rec[:8])
+                        )
+                        if aname == "DIMENSION_LIST":
+                            self._dim_refs = aval
+                        else:
+                            self.attrs[aname] = aval
         if shape is None or dt is None or self._layout is None:
             raise ValueError(f"dataset {name!r}: incomplete object header")
         if dt.cls not in (0, 1):
