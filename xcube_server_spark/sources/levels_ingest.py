@@ -37,10 +37,10 @@ def discover_levels(levels_path: str) -> list[tuple[int, str]]:
     (text pointer, resolved against the URL), else ``{i}.zarr`` detected
     by its consolidated ``.zmetadata`` — the same key every HTTP group
     open needs anyway."""
-    if levels_path.startswith(("http://", "https://")):
-        from .zarr_store import HttpStore
+    if levels_path.startswith(("http://", "https://", "s3://")):
+        from .zarr_store import _store_for
 
-        store = HttpStore(levels_path)
+        store = _store_for(levels_path)
         found: list[tuple[int, str]] = []
         i = 0
         while True:

@@ -225,6 +225,10 @@ class LRUStoreCache:
 
 
 def _store_for(path: str):
+    if path.startswith("s3://"):
+        from .s3 import S3Store
+
+        return LRUStoreCache(S3Store(path))
     if path.startswith(("http://", "https://")):
         return LRUStoreCache(HttpStore(path))
     return LocalStore(path)
@@ -673,7 +677,7 @@ class ZarrGroup:
     def __init__(self, path: str):
         self.path = path
         self._arrays: dict[str, ZarrArray] = {}
-        if path.startswith(("http://", "https://")):
+        if path.startswith(("http://", "https://", "s3://")):
             store = _store_for(path)
             raw3 = store.get("zarr.json")
             if raw3 is not None:  # zarr v3 root node
