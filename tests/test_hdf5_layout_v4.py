@@ -1,0 +1,228 @@
+"""HDF5 data-layout v4 chunk indexes (h5py ``libver='latest'`` output):
+Single Chunk, Implicit, and Fixed Array (unfiltered client-0 and
+deflate-filtered client-1 elements). Fixtures are complete HDF5 files
+hand-assembled from the File Format Specification, independent of the
+module's writer. Extensible-array / v2-B-tree indexes and paged fixed
+arrays keep clear errors."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.hdf5 import HDF5Variable, _File
+from tests.test_hdf5_dense import _superblock_v0, _v1_header
+
+
+def _dataspace(shape):
+    from xcube_server_spark.sources.hdf5 import _dataspace_v1
+
+    return _dataspace_v1(shape)
+
+
+def _dtype(dt):
+    from xcube_server_spark.sources.hdf5 import _encode_datatype
+
+    return _encode_datatype(np.dtype(dt))
+
+
+def _layout_v4(chunk_dims, itemsize, tail: bytes) -> bytes:
+    body = bytes([4, 2, 0, len(chunk_dims) + 1, 8])
+    for d in tuple(chunk_dims) + (itemsize,):
+        body += struct.pack("<Q", d)
+    return body + tail
+
+
+def _build(shape, chunk, data: np.ndarray, index_tail_fn,
+           extra_msgs=(), payload_fn=None):
+    """Assemble superblock + variable header + payload; ``index_tail_fn``
+    receives the payload base address and returns the layout-v4 index
+    tail; ``payload_fn`` builds the payload bytes at that address."""
+    sb = _superblock_v0(0)
+
+    def header(tail):
+        msgs = [
+            (0x0001, _dataspace(shape)),
+            (0x0003, _dtype(data.dtype)),
+            (0x0008, _layout_v4(chunk, data.dtype.itemsize, tail)),
+        ] + list(extra_msgs)
+        return _v1_header(msgs)
+
+    hdr_len = len(header(index_tail_fn(0)))
+    payload_addr = len(sb) + hdr_len
+    tail = index_tail_fn(payload_addr)
+    hdr = header(tail)
+    assert len(hdr) == hdr_len
+    payload = payload_fn(payload_addr)
+    buf = sb + hdr + payload
+    f = _File(buf)
+    return HDF5Variable(f, "v", len(sb))
+
+
+def test_single_chunk_unfiltered():
+    data = np.arange(12, dtype="<f8")
+
+    v = _build(
+        (12,), (12,), data,
+        lambda addr: bytes([1]) + struct.pack("<Q", addr),
+        payload_fn=lambda addr: data.tobytes(),
+    )
+    assert v.chunk_shape == (12,)
+    assert np.allclose(v[0:12], data)
+    assert np.allclose(v[3:7], data[3:7])
+
+
+def test_implicit_index():
+    """Implicit: unfiltered fixed-size chunks packed in C-order, incl. a
+    partial edge chunk stored at full chunk size."""
+    data = np.arange(10, dtype="<i4")
+    chunks = [data[0:4], data[4:8], data[8:10]]
+    blob = b"".join(
+        np.pad(c, (0, 4 - len(c))).astype("<i4").tobytes() for c in chunks
+    )
+    v = _build(
+        (10,), (4,), data,
+        lambda addr: bytes([2]) + struct.pack("<Q", addr),
+        payload_fn=lambda addr: blob,
+    )
+    assert np.array_equal(v[0:10], data)
+    assert np.array_equal(v[3:9], data[3:9])
+
+
+def _fahd(client, entry_size, nelmts, dblk_addr):
+    return (
+        b"FAHD\x00" + bytes([client, entry_size, 10])
+        + struct.pack("<QQ", nelmts, dblk_addr) + bytes(4)
+    )
+
+
+def test_fixed_array_unfiltered_2d():
+    data = (np.arange(6 * 10) % 23).reshape(6, 10).astype("<f8")
+    ch = (4, 4)
+    origins = [(y, x) for y in (0, 4) for x in (0, 4, 8)]
+
+    def payload_fn(addr):
+        chunks = bytearray()
+        addrs = []
+        for (y, x) in origins:
+            block = np.full(ch, 0.0, "<f8")
+            part = data[y : y + 4, x : x + 4]
+            block[: part.shape[0], : part.shape[1]] = part
+            addrs.append(addr + len(chunks))
+            chunks += block.tobytes()
+        fahd_addr = addr + len(chunks)
+        dblk_addr = fahd_addr + len(_fahd(0, 8, len(origins), 0))
+        fadb = (
+            b"FADB\x00\x00" + struct.pack("<Q", fahd_addr)
+            + b"".join(struct.pack("<Q", a) for a in addrs) + bytes(4)
+        )
+        payload_fn.fahd_addr = fahd_addr
+        return (
+            bytes(chunks)
+            + _fahd(0, 8, len(origins), dblk_addr) + fadb
+        )
+
+    # two-pass: the header length is address-independent, so build the
+    # payload once at the known base, then the header with the real
+    # FAHD address
+    sb = _superblock_v0(0)
+
+    def header(fahd_addr):
+        return _v1_header([
+            (0x0001, _dataspace((6, 10))),
+            (0x0003, _dtype("<f8")),
+            (0x0008, _layout_v4(ch, 8, bytes([3, 10])
+                                + struct.pack("<Q", fahd_addr))),
+        ])
+
+    hdr_len = len(header(0))
+    base = len(sb) + hdr_len
+    payload = payload_fn(base)
+    buf = sb + header(payload_fn.fahd_addr) + payload
+    f = _File(buf)
+    var = HDF5Variable(f, "v", len(sb))
+    assert var.chunk_shape == ch
+    assert np.allclose(var[0:6, 0:10], data)
+    assert np.allclose(var[1:5, 3:9], data[1:5, 3:9])
+
+
+def test_fixed_array_filtered_deflate():
+    data = (np.arange(20) % 7).astype("<f8")
+    ch = (8,)
+    comp = []
+    for lo in (0, 8, 16):
+        block = np.zeros(8, "<f8")
+        part = data[lo : lo + 8]
+        block[: len(part)] = part
+        comp.append(zlib.compress(block.tobytes(), 5))
+    filt = struct.pack("<BB2x4x", 1, 1) + struct.pack(
+        "<HHHH", 1, 0, 0, 1
+    ) + struct.pack("<I4x", 5)
+
+    sb = _superblock_v0(0)
+
+    def header(fahd_addr):
+        return _v1_header([
+            (0x0001, _dataspace((20,))),
+            (0x0003, _dtype("<f8")),
+            (0x000B, filt),
+            (0x0008, _layout_v4(ch, 8, bytes([3, 10])
+                                + struct.pack("<Q", fahd_addr))),
+        ])
+
+    base = len(sb) + len(header(0))
+    chunks = bytearray()
+    entries = []
+    for c in comp:
+        entries.append((base + len(chunks), len(c), 0))
+        chunks += c
+    fahd_addr = base + len(chunks)
+    entry_size = 8 + 4 + 4  # addr + 4-byte size + mask
+    dblk_addr = fahd_addr + len(_fahd(1, entry_size, 3, 0))
+    fadb = b"FADB\x00\x01" + struct.pack("<Q", fahd_addr)
+    for a, sz, mask in entries:
+        fadb += struct.pack("<QII", a, sz, mask)
+    fadb += bytes(4)
+    buf = (
+        sb + header(fahd_addr) + bytes(chunks)
+        + _fahd(1, entry_size, 3, dblk_addr) + fadb
+    )
+    var = HDF5Variable(_File(buf), "v", len(sb))
+    assert np.allclose(var[0:20], data)
+    assert np.allclose(var[5:19], data[5:19])
+
+
+def test_unsupported_v4_indexes_rejected():
+    data = np.zeros(4, "<f8")
+    for itype, name in ((4, "extensible array"), (5, "v2 B-tree")):
+        with pytest.raises(NotImplementedError, match=name):
+            _build(
+                (4,), (4,), data,
+                lambda addr, t=itype: bytes([t]) + bytes(16),
+                payload_fn=lambda addr: b"",
+            )
+
+
+def test_paged_fixed_array_rejected():
+    data = np.zeros(4, "<f8")
+    sb = _superblock_v0(0)
+    hdr = _v1_header([
+        (0x0001, _dataspace((4,))),
+        (0x0003, _dtype("<f8")),
+        (0x0008, _layout_v4((4,), 8, bytes([3, 10])
+                            + struct.pack("<Q", len(_superblock_v0(0)) + 200))),
+    ])
+    base = len(sb) + len(hdr)
+    # FAHD claiming 8 elements with page_bits=2 (2^2=4 < 8 → paged),
+    # placed exactly at the address the layout message claimed
+    fahd = (
+        b"FAHD\x00" + bytes([0, 8, 2]) + struct.pack("<QQ", 8, 0) + bytes(4)
+    )
+    pad = (len(sb) + 200) - base
+    buf = sb + hdr + bytes(pad) + fahd
+    var = HDF5Variable(_File(buf), "v", len(sb))
+    with pytest.raises(NotImplementedError, match="paged fixed-array"):
+        var[0:4]

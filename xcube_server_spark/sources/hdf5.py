@@ -22,8 +22,11 @@ clear ``NotImplementedError``/``ValueError``):
 - dataspace v1/v2; datatypes: fixed-point and IEEE float (either byte
   order), fixed strings, object references, vlen sequences (for
   ``DIMENSION_LIST``); compound/enum/array raise
-- data layout v3: compact, contiguous, chunked (B-tree v1 chunk index,
-  any nesting level); layout v4 raises
+- data layout v3 (compact, contiguous, chunked with the B-tree v1
+  chunk index at any nesting level) AND layout v4 (h5py
+  libver='latest': Single Chunk, Implicit, unpaged Fixed Array indexes
+  with unfiltered or filtered elements); extensible-array / v2-B-tree
+  indexes and paged fixed arrays raise
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
   verified), plus the registered plugins real files ship — LZF 32000
   (h5py's fast default, ``sources/lzf.py``), blosc 32001
@@ -677,10 +680,9 @@ class HDF5Variable:
     #       | ("compact", bytes)
     def _parse_layout(self, body: bytes):
         ver = body[0]
-        if ver != 3:
+        if ver not in (3, 4):
             raise NotImplementedError(
-                f"data layout message version {ver} (only v3 is supported; "
-                "v4 means the file needs h5py)"
+                f"data layout message version {ver} (v3 and v4 supported)"
             )
         cls = body[1]
         if cls == 0:
@@ -689,16 +691,55 @@ class HDF5Variable:
         if cls == 1:
             addr, size = struct.unpack_from("<QQ", body, 2)
             return ("contiguous", addr, size)
-        if cls == 2:
+        if cls != 2:
+            raise NotImplementedError(f"data layout class {cls}")
+        if ver == 3:
             rank_p1 = body[2]
             (btree,) = struct.unpack_from("<Q", body, 3)
             dims = struct.unpack_from(f"<{rank_p1}I", body, 11)
             return ("chunked", btree, tuple(int(d) for d in dims[:-1]))
-        raise NotImplementedError(f"data layout class {cls}")
+        # version 4 chunked (h5py libver='latest'): flags, variable-width
+        # chunk dims (rank+1 entries, last = element size), then one of
+        # five chunk-index types
+        flags = body[2]
+        ndims = body[3]
+        enc = body[4]
+        p = 5
+        dims = []
+        for _ in range(ndims):
+            dims.append(int.from_bytes(body[p : p + enc], "little"))
+            p += enc
+        chunk_shape = tuple(dims[:-1])
+        itype = body[p]
+        p += 1
+        if itype == 1:  # Single Chunk
+            fsize, fmask = None, 0
+            if flags & 0x2:  # filtered single chunk
+                fsize = int.from_bytes(body[p : p + 8], "little")
+                fmask = struct.unpack_from("<I", body, p + 8)[0]
+                p += 12
+            (addr,) = struct.unpack_from("<Q", body, p)
+            return (
+                "chunked4", ("single", addr, fsize, fmask), chunk_shape
+            )
+        if itype == 2:  # Implicit: unfiltered chunks packed in C-order
+            (addr,) = struct.unpack_from("<Q", body, p)
+            return ("chunked4", ("implicit", addr), chunk_shape)
+        if itype == 3:  # Fixed Array
+            page_bits = body[p]
+            (addr,) = struct.unpack_from("<Q", body, p + 1)
+            return ("chunked4", ("fixed", addr, page_bits), chunk_shape)
+        raise NotImplementedError(
+            "layout v4 chunk index type "
+            f"{ {4: 'extensible array', 5: 'v2 B-tree'}.get(itype, itype) } "
+            "is not supported (single/implicit/fixed-array are)"
+        )
 
     @property
     def chunk_shape(self) -> tuple[int, ...] | None:
-        return self._layout[2] if self._layout[0] == "chunked" else None
+        if self._layout[0] in ("chunked", "chunked4"):
+            return self._layout[2]
+        return None
 
     @property
     def chunks(self):
@@ -721,6 +762,10 @@ class HDF5Variable:
         """chunk origin -> (file address, stored size, filter mask)."""
         if "map" in self._cache:
             return self._cache["map"]
+        if self._layout[0] == "chunked4":
+            out = self._chunk_map_v4()
+            self._cache["map"] = out
+            return out
         f, buf = self._f, self._f.buf
         _, btree, chunk_shape = self._layout
         rank = len(self.shape)
@@ -749,6 +794,82 @@ class HDF5Variable:
         if btree != _UNDEF:
             walk(btree)
         self._cache["map"] = out
+        return out
+
+    def _chunk_map_v4(self) -> dict[tuple[int, ...], tuple[int, int, int]]:
+        """Layout-v4 chunk indexes: Single Chunk, Implicit (unfiltered
+        chunks packed contiguously in C-order) and Fixed Array (``FAHD``
+        header + unpaged ``FADB`` element block; client 0 = bare
+        addresses, client 1 = address + stored size + filter mask)."""
+        f, buf = self._f, self._f.buf
+        _, info, chunk_shape = self._layout
+        nbytes = self.dtype.itemsize
+        for c in chunk_shape:
+            nbytes *= c
+        import itertools
+
+        origins = [
+            tuple(o)
+            for o in itertools.product(
+                *[range(0, s, c) for s, c in zip(self.shape, chunk_shape)]
+            )
+        ]
+        out: dict[tuple[int, ...], tuple[int, int, int]] = {}
+        if info[0] == "single":
+            _, addr, fsize, fmask = info
+            if len(origins) != 1:
+                raise ValueError(
+                    "single-chunk index on a multi-chunk dataset"
+                )
+            if addr != _UNDEF:
+                out[origins[0]] = (
+                    addr, nbytes if fsize is None else fsize, fmask
+                )
+            return out
+        if info[0] == "implicit":
+            _, addr = info
+            if addr != _UNDEF:
+                for i, org in enumerate(origins):
+                    out[org] = (addr + i * nbytes, nbytes, 0)
+            return out
+        _, addr, _page_bits = info  # fixed array
+        if addr == _UNDEF:
+            return out
+        p = f.base + addr
+        if buf[p : p + 4] != b"FAHD":
+            raise ValueError("corrupt fixed-array index: bad FAHD signature")
+        client, entry_size, pbits = buf[p + 5], buf[p + 6], buf[p + 7]
+        nelmts = struct.unpack_from("<Q", buf, p + 8)[0]
+        dblk = struct.unpack_from("<Q", buf, p + 16)[0]
+        if nelmts > (1 << pbits):
+            raise NotImplementedError(
+                f"paged fixed-array chunk index ({nelmts} elements > "
+                f"2^{pbits} page size)"
+            )
+        if dblk == _UNDEF:
+            return out
+        q = f.base + dblk
+        if buf[q : q + 4] != b"FADB":
+            raise ValueError("corrupt fixed-array index: bad FADB signature")
+        q += 4 + 1 + 1 + 8  # signature, version, client id, header address
+        n = min(nelmts, len(origins))
+        if client == 0:  # unfiltered: bare chunk addresses
+            for i in range(n):
+                (a,) = struct.unpack_from("<Q", buf, q)
+                q += entry_size
+                if a != _UNDEF:
+                    out[origins[i]] = (a, nbytes, 0)
+        elif client == 1:  # filtered: address + stored size + mask
+            szb = entry_size - 8 - 4
+            for i in range(n):
+                (a,) = struct.unpack_from("<Q", buf, q)
+                size = int.from_bytes(buf[q + 8 : q + 8 + szb], "little")
+                (mask,) = struct.unpack_from("<I", buf, q + 8 + szb)
+                q += entry_size
+                if a != _UNDEF:
+                    out[origins[i]] = (a, size, mask)
+        else:
+            raise ValueError(f"fixed-array index client id {client}")
         return out
 
     def _decode_chunk(self, raw: bytes, mask: int) -> np.ndarray:
