@@ -1,9 +1,10 @@
 """HDF5 data-layout v4 chunk indexes (h5py ``libver='latest'`` output):
-Single Chunk, Implicit, and Fixed Array (unfiltered client-0 and
-deflate-filtered client-1 elements). Fixtures are complete HDF5 files
-hand-assembled from the File Format Specification, independent of the
-module's writer. Extensible-array / v2-B-tree indexes and paged fixed
-arrays keep clear errors."""
+Single Chunk, Implicit, Fixed Array (unfiltered client-0 and
+deflate-filtered client-1 elements) and single-leaf v2 B-tree chunk
+indexes (type-10 unfiltered / type-11 filtered records). Fixtures are
+complete HDF5 files hand-assembled from the File Format Specification,
+independent of the module's writer. Extensible-array indexes and paged
+fixed arrays keep clear errors."""
 
 from __future__ import annotations
 
@@ -195,17 +196,6 @@ def test_fixed_array_filtered_deflate():
     assert np.allclose(var[5:19], data[5:19])
 
 
-def test_unsupported_v4_indexes_rejected():
-    data = np.zeros(4, "<f8")
-    for itype, name in ((4, "extensible array"), (5, "v2 B-tree")):
-        with pytest.raises(NotImplementedError, match=name):
-            _build(
-                (4,), (4,), data,
-                lambda addr, t=itype: bytes([t]) + bytes(16),
-                payload_fn=lambda addr: b"",
-            )
-
-
 def test_paged_fixed_array_rejected():
     data = np.zeros(4, "<f8")
     sb = _superblock_v0(0)
@@ -226,3 +216,109 @@ def test_paged_fixed_array_rejected():
     var = HDF5Variable(_File(buf), "v", len(sb))
     with pytest.raises(NotImplementedError, match="paged fixed-array"):
         var[0:4]
+
+
+def _bthd(btype, rec_size, nrec, leaf_addr):
+    b = bytearray(b"BTHD\x00")
+    b += bytes([btype])
+    b += struct.pack("<IHHBB", 2048, rec_size, 0, 100, 40)
+    b += struct.pack("<QHQ", leaf_addr, nrec, nrec)
+    b += bytes(4)
+    return bytes(b)
+
+
+def test_v2_btree_chunk_index_unfiltered():
+    """Layout v4 index type 5 with type-10 records (address + scaled
+    offsets) — the unfiltered unlimited-dim case."""
+    data = (np.arange(2 * 6) % 9).reshape(2, 6).astype("<f8")
+    ch = (1, 4)
+    sb = _superblock_v0(0)
+
+    def header(bt_addr):
+        return _v1_header([
+            (0x0001, _dataspace((2, 6))),
+            (0x0003, _dtype("<f8")),
+            (0x0008, _layout_v4(ch, 8, bytes([5]) + bytes(6)
+                                + struct.pack("<Q", bt_addr))),
+        ])
+
+    base = len(sb) + len(header(0))
+    chunks = bytearray()
+    recs = []
+    for sy in range(2):
+        for sx in range(2):
+            block = np.zeros(ch, "<f8")
+            part = data[sy : sy + 1, sx * 4 : sx * 4 + 4]
+            block[:, : part.shape[1]] = part
+            recs.append((base + len(chunks), sy, sx))
+            chunks += block.tobytes()
+    rec_size = 8 + 8 * 2
+    bt_addr = base + len(chunks)
+    leaf_addr = bt_addr + len(_bthd(10, rec_size, 4, 0))
+    btlf = bytearray(b"BTLF\x00\x0a")
+    for a, sy, sx in recs:
+        btlf += struct.pack("<QQQ", a, sy, sx)
+    btlf += bytes(4)
+    buf = (
+        sb + header(bt_addr) + bytes(chunks)
+        + _bthd(10, rec_size, 4, leaf_addr) + bytes(btlf)
+    )
+    var = HDF5Variable(_File(buf), "v", len(sb))
+    assert np.allclose(var[0:2, 0:6], data)
+    assert np.allclose(var[1:2, 2:6], data[1:2, 2:6])
+
+
+def test_v2_btree_chunk_index_filtered():
+    """Type-11 records: address + stored size + filter mask + scaled
+    offsets — deflate-compressed appendable datasets."""
+    data = (np.arange(18) % 5).astype("<f8")
+    ch = (8,)
+    filt = struct.pack("<BB2x4x", 1, 1) + struct.pack(
+        "<HHHH", 1, 0, 0, 1
+    ) + struct.pack("<I4x", 5)
+    sb = _superblock_v0(0)
+
+    def header(bt_addr):
+        return _v1_header([
+            (0x0001, _dataspace((18,))),
+            (0x0003, _dtype("<f8")),
+            (0x000B, filt),
+            (0x0008, _layout_v4(ch, 8, bytes([5]) + bytes(6)
+                                + struct.pack("<Q", bt_addr))),
+        ])
+
+    base = len(sb) + len(header(0))
+    chunks = bytearray()
+    recs = []
+    for i, lo in enumerate((0, 8, 16)):
+        block = np.zeros(8, "<f8")
+        part = data[lo : lo + 8]
+        block[: len(part)] = part
+        comp = zlib.compress(block.tobytes(), 5)
+        recs.append((base + len(chunks), len(comp), i))
+        chunks += comp
+    szb = 4
+    rec_size = 8 + szb + 4 + 8
+    bt_addr = base + len(chunks)
+    leaf_addr = bt_addr + len(_bthd(11, rec_size, 3, 0))
+    btlf = bytearray(b"BTLF\x00\x0b")
+    for a, sz, sc in recs:
+        btlf += struct.pack("<QIIQ", a, sz, 0, sc)
+    btlf += bytes(4)
+    buf = (
+        sb + header(bt_addr) + bytes(chunks)
+        + _bthd(11, rec_size, 3, leaf_addr) + bytes(btlf)
+    )
+    var = HDF5Variable(_File(buf), "v", len(sb))
+    assert np.allclose(var[0:18], data)
+    assert np.allclose(var[5:17], data[5:17])
+
+
+def test_extensible_array_index_rejected():
+    data = np.zeros(4, "<f8")
+    with pytest.raises(NotImplementedError, match="extensible array"):
+        _build(
+            (4,), (4,), data,
+            lambda addr: bytes([4]) + bytes(16),
+            payload_fn=lambda addr: b"",
+        )

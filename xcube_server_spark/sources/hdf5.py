@@ -24,9 +24,9 @@ clear ``NotImplementedError``/``ValueError``):
   ``DIMENSION_LIST``); compound/enum/array raise
 - data layout v3 (compact, contiguous, chunked with the B-tree v1
   chunk index at any nesting level) AND layout v4 (h5py
-  libver='latest': Single Chunk, Implicit, unpaged Fixed Array indexes
-  with unfiltered or filtered elements); extensible-array / v2-B-tree
-  indexes and paged fixed arrays raise
+  libver='latest': Single Chunk, Implicit, unpaged Fixed Array and
+  single-leaf v2-B-tree indexes, unfiltered or filtered elements);
+  extensible-array indexes and paged fixed arrays raise
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
   verified), plus the registered plugins real files ship — LZF 32000
   (h5py's fast default, ``sources/lzf.py``), blosc 32001
@@ -729,10 +729,15 @@ class HDF5Variable:
             page_bits = body[p]
             (addr,) = struct.unpack_from("<Q", body, p + 1)
             return ("chunked4", ("fixed", addr, page_bits), chunk_shape)
+        if itype == 5:  # v2 B-tree (filtered + unlimited-dim datasets)
+            # node size (4), split/merge percents (1+1), then address;
+            # the tree's own record type (10/11) decides filtered-ness
+            (addr,) = struct.unpack_from("<Q", body, p + 6)
+            return ("chunked4", ("btree2", addr), chunk_shape)
         raise NotImplementedError(
             "layout v4 chunk index type "
-            f"{ {4: 'extensible array', 5: 'v2 B-tree'}.get(itype, itype) } "
-            "is not supported (single/implicit/fixed-array are)"
+            f"{ {4: 'extensible array'}.get(itype, itype) } "
+            "is not supported (single/implicit/fixed-array/v2-btree are)"
         )
 
     @property
@@ -831,6 +836,39 @@ class HDF5Variable:
             if addr != _UNDEF:
                 for i, org in enumerate(origins):
                     out[org] = (addr + i * nbytes, nbytes, 0)
+            return out
+        if info[0] == "btree2":
+            _, addr = info
+            if addr == _UNDEF:
+                return out
+            rank = len(self.shape)
+            btype, recs = f._btree_v2_leaf_records(f.base + addr)
+            if btype == 10:  # unfiltered: address + scaled offsets
+                for rec in recs:
+                    (a,) = struct.unpack_from("<Q", rec, 0)
+                    scaled = struct.unpack_from(f"<{rank}Q", rec, 8)
+                    org = tuple(
+                        int(s) * c for s, c in zip(scaled, chunk_shape)
+                    )
+                    out[org] = (a, nbytes, 0)
+            elif btype == 11:  # filtered: + stored size + filter mask
+                szb = len(recs[0]) - 8 - 4 - 8 * rank if recs else 0
+                for rec in recs:
+                    (a,) = struct.unpack_from("<Q", rec, 0)
+                    size = int.from_bytes(rec[8 : 8 + szb], "little")
+                    (mask,) = struct.unpack_from("<I", rec, 8 + szb)
+                    scaled = struct.unpack_from(
+                        f"<{rank}Q", rec, 12 + szb
+                    )
+                    org = tuple(
+                        int(s) * c for s, c in zip(scaled, chunk_shape)
+                    )
+                    out[org] = (a, size, mask)
+            else:
+                raise ValueError(
+                    f"chunk v2 B-tree has record type {btype}, "
+                    "expected 10 or 11"
+                )
             return out
         _, addr, _page_bits = info  # fixed array
         if addr == _UNDEF:
