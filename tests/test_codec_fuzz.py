@@ -1,0 +1,131 @@
+"""Property fuzz for the pure-Python codecs (zstd / blosclz / lz4 / lzf
+/ blosc chunks): decoders facing hostile bytes must raise loudly or
+return the exact original — never hang, never silently return wrong
+data. The zstd frame's xxh64 checksum plus every decoder's final-length
+check make "parsed but wrong" structurally detectable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from xcube_server_spark.sources.blosc import (
+    blosclz_compress,
+    blosclz_decompress,
+    compress as blosc_compress,
+    decompress as blosc_decompress,
+    lz4_block_compress,
+    lz4_block_decompress,
+)
+from xcube_server_spark.sources.lzf import lzf_compress, lzf_decompress
+from xcube_server_spark.sources.zstd_codec import (
+    zstd_compress,
+    zstd_decompress,
+)
+
+_data = st.one_of(
+    st.binary(min_size=0, max_size=2000),
+    st.integers(0, 6).flatmap(
+        lambda k: st.binary(min_size=1, max_size=30).map(
+            lambda b: b * (2**k)
+        )
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_data)
+def test_zstd_roundtrip_property(raw):
+    assert zstd_decompress(zstd_compress(raw), len(raw)) == raw
+
+
+@settings(max_examples=100, deadline=None)
+@given(_data, st.integers(1, 100))
+def test_zstd_truncation_raises(raw, cut):
+    frame = zstd_compress(raw)
+    cut = min(cut, len(frame) - 1)
+    with pytest.raises(Exception):
+        zstd_decompress(frame[: len(frame) - cut], len(raw))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_data, st.integers(0, 10**9), st.integers(0, 255))
+def test_zstd_bitflip_never_silently_wrong(raw, pos, xor):
+    """A corrupted frame either raises or still yields the original
+    bytes (flips in dead padding) — the checksum rules out wrong data."""
+    frame = bytearray(zstd_compress(raw))
+    pos %= len(frame)
+    if xor == 0:
+        return
+    frame[pos] ^= xor
+    try:
+        out = zstd_decompress(bytes(frame), len(raw))
+    except Exception:
+        return
+    assert out == raw
+
+
+@settings(max_examples=150, deadline=None)
+@given(_data)
+def test_blosclz_roundtrip_property(raw):
+    assert blosclz_decompress(blosclz_compress(raw), len(raw)) == raw
+
+
+@settings(max_examples=150, deadline=None)
+@given(_data)
+def test_lzf_roundtrip_property(raw):
+    assert lzf_decompress(lzf_compress(raw), len(raw)) == raw
+
+
+@settings(max_examples=150, deadline=None)
+@given(_data)
+def test_lz4_roundtrip_property(raw):
+    assert lz4_block_decompress(lz4_block_compress(raw), len(raw)) == raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 4096))
+def test_block_decoders_never_hang_on_garbage(junk, size):
+    """Arbitrary bytes: decode must terminate with an exception or a
+    result of exactly the requested size."""
+    for dec in (blosclz_decompress, lzf_decompress, lz4_block_decompress):
+        try:
+            out = dec(junk, size)
+        except Exception:
+            continue
+        assert len(out) == size
+    try:
+        zstd_decompress(junk)
+    except Exception:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.binary(min_size=8, max_size=4096).filter(lambda b: len(b) % 8 == 0),
+    st.sampled_from(["blosclz", "lz4", "zlib", "zstd"]),
+    st.sampled_from([True, False, "bit"]),
+)
+def test_blosc_chunk_roundtrip_property(raw, cname, shuffle):
+    frame = blosc_compress(raw, 8, cname=cname, shuffle=shuffle)
+    assert blosc_decompress(frame) == raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=16, max_size=1024).filter(lambda b: len(b) % 4 == 0),
+    st.integers(0, 10**9),
+    st.integers(1, 255),
+)
+def test_blosc_chunk_bitflip_never_silently_oversized(raw, pos, xor):
+    """Chunk-level corruption either raises or yields output of the
+    declared nbytes (truncated/oversized results are impossible)."""
+    frame = bytearray(blosc_compress(raw, 4, cname="lz4"))
+    pos %= len(frame)
+    frame[pos] ^= xor
+    try:
+        out = blosc_decompress(bytes(frame))
+    except Exception:
+        return
+    assert len(out) == len(raw)
