@@ -21,6 +21,7 @@ from . import (
     pipeline_round2,
     pipeline_round5,
     pipeline_round5b,
+    pipeline_round8,
     relational,
     relational_ext,
     streaming_queries,
@@ -40,6 +41,7 @@ for _m in (
     pipeline_analytics,
     pipeline_round5,
     pipeline_round5b,
+    pipeline_round8,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -49,8 +51,9 @@ for _m in (
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
 # each round to maximize hard signal. Round 8 rotation, by the documented
 # policy (changed-first, then stalest, alphabetical within a vintage):
-# (a) queries NEW this round (blosclz / standalone-zstd / v3-sharded zarr
-# gates — first-ever driver rows for the new pure-Python codecs) plus
+# (a) queries NEW this round (corpus_shuffle + bpe_first_merges pipeline
+# operators; blosclz / standalone-zstd / v3-sharded zarr gates —
+# first-ever driver rows for the new pure-Python codecs) plus
 # queries whose CODE PATH changed this round and need re-proving
 # (zarr_ingest_stats* ride the reworked ZarrArray compressor dispatch,
 # zarr_v3_ingest_stats the refactored v3 codec chain, zarr_ingest_stats_http
@@ -63,6 +66,8 @@ for _m in (
 # pytest run. The remaining 17 r4-vintage rows head the r9 rotation.
 _PRIORITY = [
     # (a) new in round 8
+    "corpus_shuffle",
+    "bpe_first_merges",
     "zarr_ingest_stats_blosclz",
     "zarr_ingest_stats_zstd",
     "zarr_v3_sharded_ingest_stats",
@@ -113,10 +118,10 @@ _PRIORITY = [
     "pmi_collocations",
     "q12_priority_shipping",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "rolling_median_daily",
-    "sample_temperature",  # <- window position 50
+    "q3_shipping_priority",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "rolling_median_daily",
+    "sample_temperature",
     # remaining r4-vintage (next rotation's head, 17 rows)
     "session_paths_topk",
     "snapshot_diff",

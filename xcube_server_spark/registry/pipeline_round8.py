@@ -1,0 +1,110 @@
+"""Corpus-curation operators, round 8: reproducible global shuffle and
+tokenizer-training statistics.
+
+- ``corpus_shuffle`` — the pre-training data shuffle. Training runs
+  require a GLOBAL, REPRODUCIBLE permutation of the corpus (locality in
+  crawl order biases batches); the standard scale recipe is a sort by a
+  seeded keyed hash: deterministic across runs, engines, partitionings,
+  and resumable mid-way. Spark range-partitions the sort (sampling pass
+  + per-range sort — no single-node bottleneck at 100 TB); the gate
+  query takes the first 50 of the permutation, which Catalyst executes
+  as a TakeOrdered (no full sort materialized at gate scale).
+- ``bpe_first_merges`` — the first step of BPE tokenizer training: the
+  corpus-wide frequency of adjacent CHARACTER pairs inside words, whose
+  argmax is the first merge rule. Char pairs are produced scan-side with
+  JVM higher-order functions (``transform(sequence(...))`` — no Python
+  in the path); the group-by key space is bounded by the square of the
+  alphabet, so partial (map-side) aggregation collapses the shuffle to
+  a few hundred rows per task regardless of corpus size.
+
+Both oracles are exact SQL over the same parquet (md5 is bit-identical
+in Spark and DuckDB; substr/string_split are 1-based in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+
+QUERIES = {}
+ORACLES = {}
+
+_SHUFFLE_SEED = "epoch0:"
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 50 documents of the seeded global permutation: order by
+    ``md5(seed || doc_id)``. Changing the seed string reshuffles; the
+    same seed reproduces the exact epoch order on any engine. At scale
+    the same expression feeds ``repartitionByRange`` + write, giving
+    the shuffled corpus layout training jobs stream sequentially."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(
+                F.concat(
+                    F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")
+                )
+            ).alias("shuffle_key"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("shuffle_key")
+        .limit(50)
+    )
+
+
+ORACLES["corpus_shuffle"] = f"""
+SELECT md5(concat('{_SHUFFLE_SEED}', CAST(doc_id AS VARCHAR)))
+         AS shuffle_key,
+       doc_id, source
+FROM documents
+ORDER BY shuffle_key
+LIMIT 50
+"""
+QUERIES["corpus_shuffle"] = corpus_shuffle
+
+
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs by corpus frequency — the
+    candidate set for BPE's first merge rule. Pairs are generated
+    JVM-side per word (``transform(sequence(1, len-1), i ->
+    substring(w, i, 2))``) and partially aggregated before the only
+    shuffle, which carries at most |alphabet|² rows per task."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
+
+
+ORACLES["bpe_first_merges"] = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT w FROM words WHERE length(w) >= 2) t,
+       LATERAL (SELECT unnest(range(1, length(t.w))) AS i) r
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS freq
+FROM pairs
+GROUP BY 1
+ORDER BY freq DESC, pair
+LIMIT 20
+"""
+QUERIES["bpe_first_merges"] = bpe_first_merges
