@@ -63,7 +63,6 @@ def _build_dense_group(names_targets: list[tuple[str, int]],
     frhp_addr = root_oh + len(root_hdr)
 
     off_bytes, len_bytes = 4, 2  # max_heap_size=32 bits, max_managed=4096
-    db_header = 4 + 1 + 8 + off_bytes
     frhp = bytearray(b"FRHP\x00")
     frhp += struct.pack("<HH", 1 + off_bytes + len_bytes, filter_len)
     frhp += bytes([0])                       # flags: no block checksums

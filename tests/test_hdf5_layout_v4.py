@@ -197,7 +197,6 @@ def test_fixed_array_filtered_deflate():
 
 
 def test_paged_fixed_array_rejected():
-    data = np.zeros(4, "<f8")
     sb = _superblock_v0(0)
     hdr = _v1_header([
         (0x0001, _dataspace((4,))),
