@@ -469,3 +469,82 @@ def test_zarr_v3_unsupported_codecs_rejected(tmp_path):
     (p / "zarr.json").write_text(_json.dumps(base))
     with _pytest.raises(NotImplementedError, match="chunk grid"):
         ZarrArrayV3(str(p))
+
+
+def test_delta_and_fixedscaleoffset_filters(tmp_path):
+    """Real-world climate zarr ships numcodecs filter chains ahead of
+    the compressor: ``Delta`` (store diffs of a monotone coordinate) and
+    ``FixedScaleOffset`` (quantize floats to ints). Chunks here are
+    encoded BY HAND per the published numcodecs semantics (encode:
+    dtype→astype transform, then compressor), independent of the reader.
+    """
+    import json
+    import zlib as _zlib
+
+    import numpy as np
+
+    from xcube_server_spark.sources.zarr_store import ZarrArray
+
+    # --- Delta over an int64 time axis -------------------------------
+    p = tmp_path / "time"
+    p.mkdir()
+    times = np.array([100, 160, 220, 400, 1000], dtype="<i8")
+    (p / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<i8",
+        "compressor": {"id": "zlib", "level": 5},
+        "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i8"}],
+        "fill_value": None, "order": "C", "dimension_separator": ".",
+    }))
+    enc = np.diff(times, prepend=times[:1] * 0).astype("<i8")
+    assert enc[0] == 100  # first element stored as-is
+    (p / "0").write_bytes(_zlib.compress(enc.tobytes(), 5))
+    a = ZarrArray(str(p))
+    assert np.array_equal(a[0:5], times)
+
+    # --- FixedScaleOffset quantization of floats ---------------------
+    q = tmp_path / "chl"
+    q.mkdir()
+    vals = np.array([20.0, 20.25, 20.5, 21.75, 22.0], dtype="<f8")
+    scale, offset = 4, 20.0
+    (q / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        "compressor": None,
+        "filters": [{"id": "fixedscaleoffset", "offset": offset,
+                     "scale": scale, "dtype": "<f8", "astype": "<i2"}],
+        "fill_value": "NaN", "order": "C", "dimension_separator": ".",
+    }))
+    enc = np.round((vals - offset) * scale).astype("<i2")
+    (q / "0").write_bytes(enc.tobytes())
+    a = ZarrArray(str(q))
+    assert np.allclose(a[0:5], vals)
+
+    # --- chained: fso then delta (encode order), decode inverts ------
+    r = tmp_path / "chain"
+    r.mkdir()
+    (r / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        "compressor": None,
+        "filters": [
+            {"id": "fixedscaleoffset", "offset": offset, "scale": scale,
+             "dtype": "<f8", "astype": "<i2"},
+            {"id": "delta", "dtype": "<i2", "astype": "<i2"},
+        ],
+        "fill_value": "NaN", "order": "C", "dimension_separator": ".",
+    }))
+    fso = np.round((vals - offset) * scale).astype("<i2")
+    chained = np.diff(fso, prepend=fso[:1] * 0).astype("<i2")
+    (r / "0").write_bytes(chained.tobytes())
+    a = ZarrArray(str(r))
+    assert np.allclose(a[0:5], vals)
+
+    # --- unknown filter keeps a loud error ---------------------------
+    s = tmp_path / "bad"
+    s.mkdir()
+    (s / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        "compressor": None,
+        "filters": [{"id": "bitround", "keepbits": 6}],
+        "fill_value": None, "order": "C",
+    }))
+    with pytest.raises(NotImplementedError, match="bitround"):
+        ZarrArray(str(s))

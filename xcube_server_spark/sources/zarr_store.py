@@ -15,13 +15,15 @@ minimal dataset surface the ingest path consumes
 - ``ds[name][t0:t1, y0:y1, x0:x1]`` window slicing (the executor-side read)
 
 Scope (asserted, not silently wrong): zarr v2 (``.zgroup``/``.zarray``
-JSON, C order, no filters) AND zarr v3 (``zarr.json`` nodes, regular
+JSON, C order, numcodecs ``delta``/``fixedscaleoffset`` filter chains)
+AND zarr v3 (``zarr.json`` nodes, regular
 chunk grid, default/v2 chunk-key encodings, ``dimension_names``,
-consolidated_metadata); compressors: ``null``, ``zlib``/``gzip``,
-standalone ``zstd`` (the pure-Python RFC 8878 codec in
-``sources/zstd_codec.py``) or ``blosc`` with blosclz/lz4/zlib/zstd
+consolidated_metadata, ``sharding_indexed`` with crc32c-protected
+footer indexes read via ranged GETs); compressors: ``null``,
+``zlib``/``gzip``, standalone ``zstd`` (the pure-Python RFC 8878 codec
+in ``sources/zstd_codec.py``) or ``blosc`` with blosclz/lz4/zlib/zstd
 payloads and byte- or bit-shuffle (``sources/blosc.py`` — zarr's default
-compressor); v3 sharding/crc32c and non-identity transpose raise a
+compressor); non-identity transpose and vlen string codecs raise a
 clear error.
 Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
@@ -256,8 +258,13 @@ class ZarrArray:
             raise NotImplementedError("only zarr v2 stores are supported")
         if meta.get("order", "C") != "C":
             raise NotImplementedError("only C-order zarr arrays supported")
-        if meta.get("filters"):
-            raise NotImplementedError("zarr filters are not supported")
+        self._filters = list(meta.get("filters") or [])
+        for flt in self._filters:
+            if flt.get("id") not in ("delta", "fixedscaleoffset"):
+                raise NotImplementedError(
+                    f"zarr filter {flt.get('id')!r} is not supported "
+                    "(delta and fixedscaleoffset are)"
+                )
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
         if self._comp_id not in (None, "zlib", "zstd", "blosc"):
@@ -318,7 +325,27 @@ class ZarrArray:
             from .blosc import decompress as _blosc_decompress
 
             raw = _blosc_decompress(raw)
+        if self._filters:
+            return self._unfilter(raw).reshape(self.chunk_shape)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+
+    def _unfilter(self, raw: bytes) -> np.ndarray:
+        """Invert the numcodecs filter chain (applied before the
+        compressor on write, so undone last-to-first after decompress).
+        Buffer dtype is the LAST filter's ``astype``; each decode step
+        restores that filter's ``dtype`` (numcodecs ``Delta`` /
+        ``FixedScaleOffset`` semantics)."""
+        last = self._filters[-1]
+        arr = np.frombuffer(
+            raw, dtype=np.dtype(last.get("astype") or last["dtype"])
+        )
+        for flt in reversed(self._filters):
+            dt = np.dtype(flt["dtype"])
+            if flt["id"] == "delta":
+                arr = np.cumsum(arr, dtype=dt)
+            else:  # fixedscaleoffset
+                arr = (arr / flt["scale"] + flt["offset"]).astype(dt)
+        return arr
 
     def __getitem__(self, key) -> np.ndarray:
         if not isinstance(key, tuple):
