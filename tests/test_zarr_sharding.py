@@ -285,3 +285,47 @@ def test_prefetch_falls_back_when_sparse(tmp_path):
     # and values still correct
     want = chl[0:1, 0:4, 0:8]
     assert np.allclose(np.nan_to_num(out), np.nan_to_num(want))
+
+
+def test_distributed_ingest_windows_align_to_shards(spark, tmp_path):
+    """The planner's windows follow ``io_chunk_shape`` (the SHARD), so
+    each executor task fetches one shard: one index suffix-range + one
+    coalesced span GET — not a round trip per inner chunk. The Range log
+    lives in the driver-hosted HTTP server, so executor traffic lands in
+    it."""
+    from http.server import ThreadingHTTPServer
+
+    from xcube_server_spark.sources.xarray_ingest import (
+        ingest_xarray_distributed,
+    )
+
+    chl = _write(tmp_path / "s")
+    ranges: list[str] = []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _RangeHandler(str(tmp_path / "s"), ranges)
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        df, grid = ingest_xarray_distributed(spark, url, fmt="zarr")
+        rows = {
+            (r["time_idx"], r["lat_idx"], r["lon_idx"]): r["conc_chl"]
+            for r in df.collect()
+        }
+    finally:
+        srv.shutdown()
+    assert len(rows) == 3 * H * W
+    for (t, y, x) in [(0, 0, 0), (2, 9, 19), (1, 5, 10)]:
+        want = chl[t, y, x]
+        got = rows[(t, y, x)]
+        if math.isnan(want):
+            assert got is None or math.isnan(got)
+        else:
+            assert got == pytest.approx(want)
+    # shards: 3 (time) x 2 (lat 10/8) x 2 (lon 20/16) = 12. Bounded
+    # ranges: one span per multi-chunk shard; single-present-chunk edge
+    # shards read directly. Well under the 60-inner-chunk worst case.
+    bounded = [r for r in ranges if not r.startswith("-")]
+    suffix = [r for r in ranges if r.startswith("-")]
+    assert len(suffix) <= 14   # ~1 index read per shard (+ retries none)
+    assert len(bounded) <= 14

@@ -235,9 +235,15 @@ def ingest_xarray_distributed(
     grid = _grid_from_coords(lat, lon, ds["time"].values)
     names = _data_var_names(ds, var_names)
     if chunks is None:
-        # align windows to the first variable's store chunking when available
-        ch = getattr(ds[names[0]], "chunks", None)
-        chunks = tuple(c[0] for c in ch) if ch else (1, 512, 512)
+        # align windows to the store's TRANSFER unit: sharded v3 arrays
+        # expose the shard shape (one task = one index read + one
+        # coalesced span GET), plain arrays their chunking
+        io = getattr(ds[names[0]], "io_chunk_shape", None)
+        if io:
+            chunks = tuple(io)
+        else:
+            ch = getattr(ds[names[0]], "chunks", None)
+            chunks = tuple(c[0] for c in ch) if ch else (1, 512, 512)
     windows = plan_chunks(len(grid.times), grid.height, grid.width, chunks)
     manifest = spark.createDataFrame(
         windows, "t0 int, t1 int, y0 int, y1 int, x0 int, x1 int"

@@ -301,6 +301,15 @@ class ZarrArray:
             out.append(tuple(lens))
         return tuple(out)
 
+    @property
+    def io_chunk_shape(self) -> tuple[int, ...]:
+        """The PREFERRED read-window granularity: the store transfer
+        unit. Plain arrays: the chunk; sharded v3 arrays override this
+        with the SHARD shape so one ingest task fetches a whole shard
+        (one index read + one coalesced span GET) instead of paying a
+        round trip per inner chunk."""
+        return self.chunk_shape
+
     def _prefetch_chunks(self, idxs: list[tuple[int, ...]]) -> None:
         """Window-read hook: subclasses may coalesce the chunk fetches a
         single ``__getitem__`` is about to issue (sharded v3 arrays turn
@@ -569,6 +578,12 @@ class ZarrArrayV3(ZarrArray):
         if self._dimension_names:
             return tuple(self._dimension_names)
         return tuple(self.attrs.get("_ARRAY_DIMENSIONS", ()))
+
+    @property
+    def io_chunk_shape(self) -> tuple[int, ...]:
+        if self._shard is not None:
+            return self._shard["outer"]
+        return self.chunk_shape
 
     def _key(self, idx: tuple[int, ...]) -> str:
         if self._key_name == "default":
