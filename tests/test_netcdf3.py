@@ -120,3 +120,63 @@ def test_netcdf3_cf_packed_decode(tmp_path):
     assert got.dtype == np.float64
     assert np.isnan(got[0, 0, 0])
     assert got[1, 2, 3] == packed[1, 2, 3] * 0.25 + 1.0
+
+
+def test_cdf5_64bit_data_format(tmp_path):
+    """CDF-5 ("64-bit data", pnetcdf output): every NON_NEG size/count
+    widens to INT64, offsets are 64-bit, and the unsigned/int64 types
+    exist. File hand-assembled byte-by-byte from the published CDF-5
+    grammar — independent of this module's (CDF-1) writer."""
+    import struct
+
+    import numpy as np
+
+    from xcube_server_spark.sources.netcdf3 import NetCDF3Dataset
+
+    def nn(v):
+        return struct.pack(">q", v)
+
+    def name(s):
+        b = s.encode()
+        return nn(len(b)) + b + b"\x00" * (-len(b) % 4)
+
+    hdr = bytearray(b"CDF\x05")
+    hdr += nn(0)                     # numrecs (no record dim used)
+    hdr += struct.pack(">i", 10)     # NC_DIMENSION tag
+    hdr += nn(2)
+    hdr += name("y") + nn(3)
+    hdr += name("x") + nn(4)
+    hdr += struct.pack(">i", 0) + nn(0)  # global attrs: ABSENT
+    hdr += struct.pack(">i", 11)     # NC_VARIABLE tag
+    hdr += nn(2)
+    # var 1: big (y, x) uint64 counter
+    var1 = name("counts") + nn(2) + nn(0) + nn(1)
+    var1 += struct.pack(">i", 0) + nn(0)          # no attrs
+    var1 += struct.pack(">i", 11)                 # NC_UINT64
+    var1 += nn(12 * 8)                            # vsize
+    # var 2: (y,) int64 with a scale_factor attribute
+    var2 = name("offsets") + nn(1) + nn(0)
+    var2 += struct.pack(">i", 12) + nn(1)         # NC_ATTRIBUTE, 1 attr
+    var2 += name("scale_factor") + struct.pack(">i", 6) + nn(1)
+    var2 += struct.pack(">d", 0.5)
+    var2 += struct.pack(">i", 10)                 # NC_INT64
+    var2 += nn(3 * 8)
+    # begins: compute after header length is known (two passes)
+    base = len(hdr) + len(var1) + 8 + len(var2) + 8
+    # NOTE: ufunc results drop byte order — force big-endian at the end
+    counts = (np.arange(12) * 3 + 2**33).reshape(3, 4).astype(">u8")
+    offsets = np.array([2, 4, 6], dtype=">i8")
+    blob = (
+        bytes(hdr) + var1 + struct.pack(">q", base)
+        + var2 + struct.pack(">q", base + counts.nbytes)
+        + counts.tobytes() + offsets.tobytes()
+    )
+    p = tmp_path / "c5.nc"
+    p.write_bytes(blob)
+    ds = NetCDF3Dataset(str(p))
+    got = ds["counts"][0:3, 0:4]
+    assert np.array_equal(got, counts.astype("u8"))
+    assert got.dtype.kind == "u"
+    # int64 + CF scale_factor decodes through cf_decode
+    off = ds["offsets"][0:3]
+    assert np.allclose(off, [1.0, 2.0, 3.0])

@@ -1,7 +1,9 @@
-"""Pure-Python NetCDF3 classic (CDF-1/CDF-2) reader/writer.
+"""Pure-Python NetCDF3 classic (CDF-1/CDF-2/CDF-5) reader/writer.
 
 Upgrades S1 (NetCDF scan) from fully import-gated to EXECUTABLE for the
-classic format in this container: CDF-1 is a self-describing binary layout
+classic format in this container (including pnetcdf's CDF-5 "64-bit
+data" variant: INT64 size/count fields and the unsigned/int64 types):
+CDF-1 is a self-describing binary layout
 (header: dims / global attrs / var metadata; body: big-endian arrays, 4-byte
 aligned, record variables interleaved per record) that needs only the
 standard library and numpy. NetCDF4/HDF5 containers are handled by the
@@ -41,14 +43,23 @@ _TYPES = {
     4: (">i4", 4),  # NC_INT
     5: (">f4", 4),  # NC_FLOAT
     6: (">f8", 8),  # NC_DOUBLE
+    # CDF-5 additions
+    7: (">u1", 1),  # NC_UBYTE
+    8: (">u2", 2),  # NC_USHORT
+    9: (">u4", 4),  # NC_UINT
+    10: (">i8", 8),  # NC_INT64
+    11: (">u8", 8),  # NC_UINT64
 }
 _TYPE_OF_DTYPE = {"i1": 1, "S1": 2, "i2": 3, "i4": 4, "f4": 5, "f8": 6}
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, wide: bool = False):
         self.buf = buf
         self.pos = 0
+        # CDF-5 ("64-bit data", pnetcdf): every NON_NEG size/count field
+        # widens from 4 to 8 bytes; tags and nc_type stay 4-byte
+        self.wide = wide
 
     def i4(self) -> int:
         (v,) = struct.unpack_from(">i", self.buf, self.pos)
@@ -60,8 +71,12 @@ class _Reader:
         self.pos += 8
         return v
 
+    def nn(self) -> int:
+        """A NON_NEG field: INT64 in CDF-5, INT in CDF-1/2."""
+        return self.i8() if self.wide else self.i4()
+
     def name(self) -> str:
-        n = self.i4()
+        n = self.nn()
         s = self.buf[self.pos : self.pos + n].decode()
         self.pos += n + (-n % 4)
         return s
@@ -76,14 +91,14 @@ class _Reader:
 
 
 def _read_attrs(r: _Reader) -> dict:
-    tag, n = r.i4(), r.i4()
+    tag, n = r.i4(), r.nn()
     if tag not in (_NC_ATTRIBUTE, _ABSENT):
         raise ValueError("corrupt NetCDF3 header: bad attribute-list tag")
     out = {}
     for _ in range(n):
         name = r.name()
         nc_type = r.i4()
-        nelems = r.i4()
+        nelems = r.nn()
         v = r.values(nc_type, nelems)
         out[name] = v if isinstance(v, str) else (
             v[0].item() if len(v) == 1 else v
@@ -169,36 +184,36 @@ class NetCDF3Dataset:
             self.buf = f.read()
             f.close()
             self._fh = None
-        if self.buf[:3] != b"CDF" or self.buf[3] not in (1, 2):
+        if self.buf[:3] != b"CDF" or self.buf[3] not in (1, 2, 5):
             raise NotImplementedError(
                 "not a NetCDF3 classic file (NetCDF4/HDF5 containers are "
                 "read by sources/hdf5.py — xarray_ingest dispatches on the "
                 "magic number)"
             )
         version = self.buf[3]
-        r = _Reader(self.buf)
+        r = _Reader(self.buf, wide=(version == 5))
         r.pos = 4
-        self.numrecs = r.i4()
-        tag, ndims = r.i4(), r.i4()
+        self.numrecs = r.nn()
+        tag, ndims = r.i4(), r.nn()
         if tag not in (_NC_DIMENSION, _ABSENT):
             raise ValueError("corrupt NetCDF3 header: bad dimension-list tag")
         dims = []
         for _ in range(ndims):
-            dims.append((r.name(), r.i4()))
+            dims.append((r.name(), r.nn()))
         self.attrs = _read_attrs(r)
-        tag, nvars = r.i4(), r.i4()
+        tag, nvars = r.i4(), r.nn()
         if tag not in (_NC_VARIABLE, _ABSENT):
             raise ValueError("corrupt NetCDF3 header: bad variable-list tag")
         self._vars: dict[str, NetCDF3Variable] = {}
         rec_sizes = []
         for _ in range(nvars):
             name = r.name()
-            nd = r.i4()
-            vdims = [dims[r.i4()] for _ in range(nd)]
+            nd = r.nn()
+            vdims = [dims[r.nn()] for _ in range(nd)]
             vattrs = _read_attrs(r)
             nc_type = r.i4()
-            vsize = r.i4()
-            begin = r.i8() if version == 2 else r.i4()
+            vsize = r.nn()
+            begin = r.i8() if version in (2, 5) else r.i4()
             v = NetCDF3Variable(self, name, vdims, nc_type, vsize, begin, vattrs)
             self._vars[name] = v
             if v.is_record:
@@ -207,7 +222,7 @@ class NetCDF3Dataset:
         # case uses the unpadded size, which vsize already reflects
         self.recsize = sum(rec_sizes)
         if self.numrecs == -1:
-            # STREAMING sentinel (numrecs = 0xFFFFFFFF): the spec directs
+            # STREAMING sentinel (numrecs all-ones): the spec directs
             # readers to derive the record count from the file size
             if self.recsize <= 0:
                 self.numrecs = 0
