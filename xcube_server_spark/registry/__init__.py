@@ -52,24 +52,25 @@ for _m in (
 # each round to maximize hard signal. Round 8 rotation, by the documented
 # policy (changed-first, then stalest, alphabetical within a vintage):
 # (a) queries NEW this round (corpus_shuffle + bpe_first_merges pipeline
-# operators; blosclz / standalone-zstd / v3-sharded zarr gates —
+# operators; blosclz / standalone-zstd / raw-lz4 / v3-sharded zarr gates —
 # first-ever driver rows for the new pure-Python codecs) plus
 # queries whose CODE PATH changed this round and need re-proving
 # (zarr_ingest_stats* ride the reworked ZarrArray compressor dispatch,
 # zarr_v3_ingest_stats the refactored v3 codec chain, zarr_ingest_stats_http
 # the store get_range/LRU refactor, zarr_ingest_stats_blosc the blosc
 # codec-id dispatch); then (b) the STALEST driver-green rows — all 18
-# r3-vintage queries and the alphabetically-first 25 of the 42 r4-vintage
+# r3-vintage queries and the alphabetically-first 24 of the 42 r4-vintage
 # ones — so the stalest green after r8 is r4-vintage. Everything past
 # position 50 is overflow: multiply-green in prior rounds AND re-proven by
 # the local DuckDB-oracle replica (tests/test_correctness.py) on every
-# pytest run. The remaining 17 r4-vintage rows head the r9 rotation.
+# pytest run. The remaining 18 r4-vintage rows head the r9 rotation.
 _PRIORITY = [
     # (a) new in round 8
     "corpus_shuffle",
     "bpe_first_merges",
     "zarr_ingest_stats_blosclz",
     "zarr_ingest_stats_zstd",
+    "zarr_ingest_stats_lz4",
     "zarr_v3_sharded_ingest_stats",
     # (a) code path changed in round 8 — re-prove
     "zarr_ingest_stats",
@@ -117,12 +118,12 @@ _PRIORITY = [
     "morton_zorder_cells",
     "pmi_collocations",
     "q12_priority_shipping",
-    "q1_pricing_summary",
-    "q3_shipping_priority",  # <- window position 50
+    "q1_pricing_summary",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "q3_shipping_priority",
     "rolling_median_daily",
     "sample_temperature",
-    # remaining r4-vintage (next rotation's head, 17 rows)
+    # remaining r4-vintage (next rotation's head, 18 rows)
     "session_paths_topk",
     "snapshot_diff",
     "stream_dedupe_events",

@@ -1348,6 +1348,90 @@ ORACLES["zarr_ingest_stats_zstd"] = ORACLE_ZARR_INGEST_ZSTD
 
 
 # ---------------------------------------------------------------------------
+# zarr_ingest_stats_lz4: raw numcodecs-lz4 compressed store through the gate
+# ---------------------------------------------------------------------------
+
+
+def _zarr_lz4_gate_store() -> str:
+    """Raw-lz4 twin with its OWN formula — ``((t*37 + y*31 + x*13) % 97)
+    / 16`` with NULL holes where ``(y*W + x + 7*t) % 13 == 0`` — chunks
+    carry numcodecs ``LZ4`` framing (``<u4`` original size + one c-lz4
+    block, no blosc container)."""
+    import numpy as np
+
+    from ..sources.zarr_store import write_zarr_group
+
+    path = _gate_path("xss_zarr_gate_lz4_v1")
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 37 + y * 31 + x * 13) % 97) / 16.0
+        chl[(y * _ZG_W + x + 7 * t) % 13 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_zarr_group(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+            compressor="lz4",
+        )
+    return path
+
+
+def zarr_ingest_stats_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zarr_ingest_stats`` over a store whose chunks use the standalone
+    numcodecs ``{"id": "lz4"}`` compressor (4-byte LE original-size
+    header + c-lz4 block — no blosc container), decoded executor-side by
+    ``sources/blosc.py:lz4_block_decompress``. Framing is cross-verified
+    against pyarrow's bundled c-lz4 (``tests/test_zarr_ingest.py``); the
+    DISTINCT cell formula means a silent fallback to any other gate
+    store cannot fake the hash. Reference parity:
+    ``xcube_server/context.py:238-255`` (numcodecs reads LZ4 stores)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _zarr_lz4_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_ZARR_INGEST_LZ4 = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 7 * t.i) % 13 = 0 THEN NULL
+              ELSE ((t.i * 37 + y.i * 31 + x.i * 13) % 97) / 16.0 END
+           AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["zarr_ingest_stats_lz4"] = zarr_ingest_stats_lz4
+ORACLES["zarr_ingest_stats_lz4"] = ORACLE_ZARR_INGEST_LZ4
+
+
+# ---------------------------------------------------------------------------
 # netcdf4_ingest_stats: NetCDF4/HDF5 container through the gate
 # ---------------------------------------------------------------------------
 

@@ -20,11 +20,13 @@ AND zarr v3 (``zarr.json`` nodes, regular
 chunk grid, default/v2 chunk-key encodings, ``dimension_names``,
 consolidated_metadata, ``sharding_indexed`` with crc32c-protected
 footer indexes read via ranged GETs); compressors: ``null``,
-``zlib``/``gzip``, standalone ``zstd`` (the pure-Python RFC 8878 codec
-in ``sources/zstd_codec.py``) or ``blosc`` with blosclz/lz4/zlib/zstd
-payloads and byte- or bit-shuffle (``sources/blosc.py`` — zarr's default
-compressor); non-identity transpose and vlen string codecs raise a
-clear error.
+``zlib``/``gzip``, ``bz2``/``lzma`` (stdlib containers), raw ``lz4``
+(numcodecs framing: 4-byte LE original-size header + LZ4 block,
+decoded by ``sources/blosc.lz4_block_decompress``), standalone
+``zstd`` (the pure-Python RFC 8878 codec in ``sources/zstd_codec.py``)
+or ``blosc`` with blosclz/lz4/zlib/zstd payloads and byte- or
+bit-shuffle (``sources/blosc.py`` — zarr's default compressor);
+non-identity transpose and vlen string codecs raise a clear error.
 Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
 consumes directly.
@@ -40,6 +42,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import struct
 import zlib
 from datetime import datetime, timedelta
 
@@ -226,6 +229,43 @@ class LRUStoreCache:
             self._size -= len(old) if old is not None else 0
 
 
+def _lz4_frame_decompress(raw: bytes) -> bytes:
+    """numcodecs ``LZ4`` framing: ``<u4`` original size, then one LZ4
+    block (c-lz4 block format — NOT the lz4-frame container)."""
+    if len(raw) < 4:
+        raise ValueError("lz4 chunk shorter than its 4-byte size header")
+    (n,) = struct.unpack_from("<I", raw, 0)
+    from .blosc import lz4_block_decompress
+
+    return lz4_block_decompress(raw[4:], n)
+
+
+def _lz4_frame_compress(data: bytes) -> bytes:
+    from .blosc import lz4_block_compress
+
+    return struct.pack("<I", len(data)) + lz4_block_compress(data)
+
+
+def _lzma_decompress(raw: bytes, comp_meta: dict) -> bytes:
+    """numcodecs ``LZMA``: stdlib containers (XZ default, ALONE), or
+    FORMAT_RAW with the filter chain carried in the codec config."""
+    import lzma as _lzma
+
+    fmt = comp_meta.get("format", _lzma.FORMAT_XZ)
+    if fmt == _lzma.FORMAT_RAW:
+        filters = comp_meta.get("filters")
+        if not filters:
+            raise NotImplementedError(
+                "lzma FORMAT_RAW without a filters chain in the codec "
+                "config cannot be decoded"
+            )
+        return _lzma.decompress(
+            raw, format=fmt,
+            filters=[{k: v for k, v in f.items()} for f in filters],
+        )
+    return _lzma.decompress(raw)
+
+
 def _store_for(path: str):
     if path.startswith("s3://"):
         from .s3 import S3Store
@@ -267,10 +307,14 @@ class ZarrArray:
                 )
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
-        if self._comp_id not in (None, "zlib", "zstd", "blosc"):
+        self._comp_meta = comp or {}
+        if self._comp_id not in (
+            None, "zlib", "gzip", "bz2", "lzma", "lz4", "zstd", "blosc"
+        ):
             raise NotImplementedError(
                 f"compressor {self._comp_id!r} needs numcodecs, which is "
-                "not installed; zlib, zstd, blosc(blosclz/lz4/zlib/zstd) "
+                "not installed; zlib/gzip/bz2/lzma/lz4/zstd, "
+                "blosc(blosclz/lz4/zlib/zstd) "
                 "and uncompressed stores are readable"
             )
         self.shape = tuple(meta["shape"])
@@ -326,6 +370,17 @@ class ZarrArray:
             return arr
         if self._comp_id == "zlib":
             raw = zlib.decompress(raw)
+        elif self._comp_id == "gzip":
+            # numcodecs GZip writes a gzip container (zlib wbits 16+15)
+            raw = zlib.decompress(raw, 16 + 15)
+        elif self._comp_id == "bz2":
+            import bz2 as _bz2
+
+            raw = _bz2.decompress(raw)
+        elif self._comp_id == "lzma":
+            raw = _lzma_decompress(raw, self._comp_meta)
+        elif self._comp_id == "lz4":
+            raw = _lz4_frame_decompress(raw)
         elif self._comp_id == "zstd":
             from .zstd_codec import zstd_decompress
 
@@ -834,6 +889,18 @@ def _write_array(
         comp_meta = {"id": "zstd", "level": 3}
     elif comp == "zlib":
         comp_meta = {"id": "zlib", "level": 5}
+    elif comp == "gzip":
+        comp_meta = {"id": "gzip", "level": 5}
+    elif comp == "bz2":
+        comp_meta = {"id": "bz2", "level": 9}
+    elif comp == "lzma":
+        # numcodecs LZMA defaults: XZ container, auto check/preset
+        comp_meta = {
+            "id": "lzma", "format": 1, "check": -1,
+            "preset": None, "filters": None,
+        }
+    elif comp == "lz4":
+        comp_meta = {"id": "lz4", "acceleration": 1}
     elif comp is None:
         comp_meta = None
     else:
@@ -884,6 +951,19 @@ def _write_array(
                 raw = zstd_compress(raw)
             elif comp == "zlib":
                 raw = zlib.compress(raw, 5)
+            elif comp == "gzip":
+                co = zlib.compressobj(5, zlib.DEFLATED, 16 + 15)
+                raw = co.compress(raw) + co.flush()
+            elif comp == "bz2":
+                import bz2 as _bz2
+
+                raw = _bz2.compress(raw, 9)
+            elif comp == "lzma":
+                import lzma as _lzma
+
+                raw = _lzma.compress(raw)
+            elif comp == "lz4":
+                raw = _lz4_frame_compress(raw)
             name = ".".join(
                 str(o // c) for o, c in zip(origin, chunk_shape)
             )
