@@ -1,0 +1,227 @@
+"""HDF5 compound / enum / array datatypes (datatype classes 6, 8, 10).
+
+Fixture datatype messages are hand-encoded from the File Format
+Specification's member layouts (v1 padded names + 32-byte dimension
+info, v2 padded names, v3 bare names + minimum-width offsets) —
+independent of the module's writer, which only emits version 3: the
+decoder and encoder cannot share a layout bug and still pass.  Dataset
+reads go through complete hand-assembled files (superblock + v1 object
+header + contiguous payload) plus a chunked writer round trip.
+Reference parity: the reference reads any nc variable xarray/h5py can
+decode (``xcube_server/context.py:243-246``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.hdf5 import (
+    HDF5Variable,
+    _File,
+    _dataspace_v1,
+    _parse_datatype,
+)
+from tests.test_hdf5_dense import _superblock_v0, _v1_header
+
+
+def _member_v1(name: str, offset: int, dtype_msg: bytes,
+               dims: tuple[int, ...] = ()) -> bytes:
+    nb = name.encode() + b"\x00"
+    nb += bytes((-len(nb)) % 8)
+    body = nb + struct.pack("<I", offset)
+    body += bytes([len(dims)]) + bytes(3)          # dimensionality
+    body += struct.pack("<I", 0) + bytes(4)        # permutation, reserved
+    dsz = list(dims) + [0] * (4 - len(dims))
+    body += struct.pack("<4I", *dsz)
+    return body + dtype_msg
+
+
+def _member_v2(name: str, offset: int, dtype_msg: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    nb += bytes((-len(nb)) % 8)
+    return nb + struct.pack("<I", offset) + dtype_msg
+
+
+def _compound(ver: int, size: int, members: bytes, n: int) -> bytes:
+    return struct.pack(
+        "<BBBBI", (ver << 4) | 6, n & 0xFF, (n >> 8) & 0xFF, 0, size
+    ) + members
+
+
+_F8 = struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8) + struct.pack(
+    "<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023
+)
+_I4 = struct.pack("<BBBBI", 0x10, 0x8, 0, 0, 4) + struct.pack("<HH", 0, 32)
+_U2 = struct.pack("<BBBBI", 0x10, 0, 0, 0, 2) + struct.pack("<HH", 0, 16)
+
+
+def test_compound_v1_message_parse():
+    members = (
+        _member_v1("x", 0, _F8)
+        + _member_v1("count", 8, _I4)
+        + _member_v1("pair", 12, _U2, dims=(2,))
+    )
+    dt, end = _parse_datatype(_compound(1, 16, members, 3), 0)
+    assert dt.cls == 6
+    assert end == len(_compound(1, 16, members, 3))
+    assert dt.np.names == ("x", "count", "pair")
+    assert dt.np.itemsize == 16
+    assert dt.np.fields["x"][0] == np.dtype("<f8")
+    assert dt.np.fields["count"][1] == 8
+    assert dt.np.fields["pair"][0].shape == (2,)
+
+
+def test_compound_v2_and_v3_message_parse():
+    m2 = _member_v2("a", 0, _F8) + _member_v2("b", 8, _I4)
+    dt2, _ = _parse_datatype(_compound(2, 12, m2, 2), 0)
+    assert dt2.np.names == ("a", "b")
+    assert dt2.np.fields["b"][1] == 8
+
+    # v3: bare null-terminated names, offsets in min-width bytes
+    m3 = b"a\x00" + bytes([0]) + _F8 + b"b\x00" + bytes([8]) + _I4
+    dt3, _ = _parse_datatype(_compound(3, 12, m3, 2), 0)
+    assert dt3.np == dt2.np
+
+
+def test_compound_member_permutation_rejected():
+    nb = b"x\x00" + bytes(6)
+    body = nb + struct.pack("<I", 0) + bytes([1]) + bytes(3)
+    body += struct.pack("<I", 1) + bytes(4)        # non-identity perm
+    body += struct.pack("<4I", 2, 0, 0, 0) + _F8
+    with pytest.raises(NotImplementedError, match="permutation"):
+        _parse_datatype(_compound(1, 16, body, 1), 0)
+
+
+def _enum_v1(base_msg: bytes, base_size: int, size: int,
+             mapping: dict[str, int]) -> bytes:
+    body = bytearray(base_msg)
+    for name in mapping:
+        nb = name.encode() + b"\x00"
+        body += nb + bytes((-len(nb)) % 8)
+    for val in mapping.values():
+        body += int(val).to_bytes(base_size, "little", signed=True)
+    n = len(mapping)
+    return struct.pack(
+        "<BBBBI", (1 << 4) | 8, n & 0xFF, (n >> 8) & 0xFF, 0, size
+    ) + bytes(body)
+
+
+def test_enum_message_parse():
+    msg = _enum_v1(_I4, 4, 4, {"clear": 0, "cloud": 1, "missing": -1})
+    dt, end = _parse_datatype(msg, 0)
+    assert dt.cls == 8
+    assert end == len(msg)
+    assert dt.np == np.dtype("<i4")
+    assert dt.enum == {"clear": 0, "cloud": 1, "missing": -1}
+
+
+def _array_v2(base_msg: bytes, base_size: int,
+              dims: tuple[int, ...]) -> bytes:
+    body = bytes([len(dims)]) + bytes(3)
+    body += b"".join(struct.pack("<I", d) for d in dims)
+    body += b"".join(struct.pack("<I", i) for i in range(len(dims)))
+    size = base_size * int(np.prod(dims))
+    return struct.pack("<BBBBI", (2 << 4) | 10, 0, 0, 0, size) \
+        + body + base_msg
+
+
+def test_array_message_parse():
+    dt, end = _parse_datatype(_array_v2(_F8, 8, (3, 2)), 0)
+    assert dt.cls == 10
+    assert end == len(_array_v2(_F8, 8, (3, 2)))
+    assert dt.np.shape == (3, 2)
+    assert dt.np.base == np.dtype("<f8")
+
+
+def _contiguous_var(shape, dtype_msg: bytes, payload: bytes):
+    """Minimal complete file: superblock v0, one v1 object header with
+    dataspace + datatype + contiguous layout, payload appended."""
+    sb = _superblock_v0(0)
+
+    def header(addr):
+        layout = bytes([3, 1]) + struct.pack("<QQ", addr, len(payload))
+        return _v1_header([
+            (0x0001, _dataspace_v1(shape)),
+            (0x0003, dtype_msg),
+            (0x0008, layout),
+        ])
+
+    hdr_len = len(header(0))
+    addr = len(sb) + hdr_len
+    buf = sb + header(addr) + payload
+    return HDF5Variable(_File(buf), "v", len(sb))
+
+
+def test_compound_contiguous_dataset_read():
+    # on-disk records are packed at the message's declared offsets
+    disk = np.dtype(
+        {"names": ["x", "count"], "formats": ["<f8", "<i4"],
+         "offsets": [0, 8], "itemsize": 12}
+    )
+    data = np.zeros(5, disk)
+    data["x"] = [0.5, 1.5, 2.5, 3.5, 4.5]
+    data["count"] = [10, 20, 30, 40, 50]
+    members = _member_v1("x", 0, _F8) + _member_v1("count", 8, _I4)
+    v = _contiguous_var(
+        (5,), _compound(1, 12, members, 2), data.tobytes()
+    )
+    out = v[0:5]
+    assert out.dtype.names == ("x", "count")
+    assert np.allclose(out["x"].astype("f8"), data["x"])
+    assert np.array_equal(out["count"], data["count"])
+    win = v[1:4]
+    assert np.array_equal(win["count"], [20, 30, 40])
+
+
+def test_enum_dataset_read():
+    msg = _enum_v1(_I4, 4, 4, {"land": 0, "sea": 1, "ice": 2})
+    data = np.array([0, 1, 2, 1, 0], "<i4")
+    v = _contiguous_var((5,), msg, data.tobytes())
+    assert np.array_equal(v[0:5], data)
+    assert v.enum == {"land": 0, "sea": 1, "ice": 2}
+
+
+def test_array_dataset_read():
+    msg = _array_v2(_F8, 8, (3,))
+    data = np.arange(12, dtype="<f8").reshape(4, 3)
+    v = _contiguous_var((4,), msg, data.tobytes())
+    out = v[0:4]
+    assert out.shape == (4, 3)
+    assert np.allclose(out, data)
+
+
+def test_writer_roundtrip_structured(tmp_path):
+    """Chunked + shuffle + deflate structured variable through the
+    public writer (v3 compound message) and reader."""
+    from xcube_server_spark.sources.hdf5 import open_hdf5, write_hdf5
+
+    rec = np.dtype({
+        "names": ["val", "flag"], "formats": ["<f8", "<i2"],
+        "offsets": [0, 8], "itemsize": 10,
+    })
+    cube = np.zeros((2, 4, 6), rec)
+    cube["val"] = np.arange(48, dtype="<f8").reshape(2, 4, 6) / 7.0
+    cube["flag"] = (np.arange(48) % 5).reshape(2, 4, 6).astype("<i2")
+    path = str(tmp_path / "compound.nc")
+    write_hdf5(
+        path, ["2017-01-16 10:09:22", "2017-01-25 09:35:51"],
+        np.linspace(52, 50, 4), np.linspace(0, 5, 6),
+        {"obs": cube}, chunk_shape=(1, 4, 4),
+    )
+    ds = open_hdf5(path)
+    out = ds["obs"][0:2, 0:4, 0:6]
+    assert out.dtype.names == ("val", "flag")
+    assert np.allclose(out["val"], cube["val"])
+    assert np.array_equal(out["flag"], cube["flag"])
+    # window read crosses the chunk boundary in lon
+    win = ds["obs"][1:2, 1:3, 2:6]
+    assert np.allclose(win["val"], cube["val"][1:2, 1:3, 2:6])
+
+
+def test_time_datatype_still_rejected():
+    msg = struct.pack("<BBBBI", (1 << 4) | 2, 0, 0, 0, 4)
+    with pytest.raises(NotImplementedError, match="class 2"):
+        _parse_datatype(msg, 0)

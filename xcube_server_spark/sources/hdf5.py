@@ -21,7 +21,11 @@ clear ``NotImplementedError``/``ValueError``):
   heap IDs and filtered heap blocks raise)
 - dataspace v1/v2; datatypes: fixed-point and IEEE float (either byte
   order), fixed strings, object references, vlen sequences (for
-  ``DIMENSION_LIST``); compound/enum/array raise
+  ``DIMENSION_LIST``), compound (v1/v2/v3 member encodings → numpy
+  structured dtypes, incl. v1 array-dimensioned members), enum (read
+  as the base integer type, ``{name: value}`` map exposed on the
+  dataset) and array types (numpy subarray dtypes); time/bitfield/
+  opaque raise
 - data layout v3 (compact, contiguous, chunked with the B-tree v1
   chunk index at any nesting level) AND layout v4 (h5py
   libver='latest': Single Chunk, Implicit, unpaged Fixed Array and
@@ -123,12 +127,13 @@ class _DType:
     references/vlens (which have no numpy equivalent)."""
 
     def __init__(self, cls: int, size: int, np_dtype=None, base=None,
-                 is_vlen_string: bool = False):
+                 is_vlen_string: bool = False, enum=None):
         self.cls = cls
         self.size = size
         self.np = np_dtype
         self.base = base  # for vlen
         self.is_vlen_string = is_vlen_string
+        self.enum = enum  # {name: value} for cls 8
 
 
 def _parse_datatype(buf: bytes, pos: int) -> tuple[_DType, int]:
@@ -153,17 +158,94 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DType, int]:
     if cls == 3:  # fixed string
         return _DType(cls, size, np.dtype(f"S{size}")), p
     if cls == 6:  # compound
-        raise NotImplementedError(
-            "HDF5 compound datatypes are not supported (scalar grids only)"
-        )
+        nmembers = bits & 0xFFFF
+        names, formats, offsets = [], [], []
+        for _ in range(nmembers):
+            end = buf.index(0, p)
+            mname = buf[p:end].decode()
+            if ver in (1, 2):
+                p += ((end - p) // 8 + 1) * 8  # padded to multiple of 8
+            else:
+                p = end + 1  # v3: bare null terminator
+            if ver == 3:
+                # offset in the minimum bytes that hold the compound size
+                nb = max(1, (size.bit_length() + 7) // 8)
+                moff = int.from_bytes(buf[p : p + nb], "little")
+                p += nb
+            else:
+                (moff,) = struct.unpack_from("<I", buf, p)
+                p += 4
+            mdims: tuple[int, ...] = ()
+            if ver == 1:
+                rank = buf[p]
+                (perm,) = struct.unpack_from("<I", buf, p + 4)
+                if perm != 0:
+                    raise NotImplementedError(
+                        "compound member dimension permutation"
+                    )
+                dsz = struct.unpack_from("<4I", buf, p + 12)
+                mdims = tuple(int(d) for d in dsz[:rank])
+                p += 28  # 1 rank + 3 res + 4 perm + 4 res + 4x4 dims
+            mtype, p = _parse_datatype(buf, p)
+            if mtype.np is None:
+                raise NotImplementedError(
+                    f"compound member {mname!r}: datatype class "
+                    f"{mtype.cls} has no numpy equivalent"
+                )
+            names.append(mname)
+            formats.append((mtype.np, mdims) if mdims else mtype.np)
+            offsets.append(moff)
+        npdt = np.dtype({
+            "names": names, "formats": formats,
+            "offsets": offsets, "itemsize": size,
+        })
+        return _DType(cls, size, npdt), p
     if cls == 7:  # reference
         if bits & 0xF != 0:
             raise NotImplementedError("only object references are supported")
         return _DType(cls, size), p
+    if cls == 8:  # enum
+        nmembers = bits & 0xFFFF
+        base, p = _parse_datatype(buf, p)
+        if base.cls != 0:
+            raise NotImplementedError("enum base must be fixed-point")
+        names = []
+        for _ in range(nmembers):
+            end = buf.index(0, p)
+            names.append(buf[p:end].decode())
+            if ver in (1, 2):
+                p += ((end - p) // 8 + 1) * 8
+            else:
+                p = end + 1
+        vals = np.frombuffer(
+            buf, base.np, count=nmembers, offset=p
+        ).tolist()
+        p += nmembers * base.size
+        return _DType(
+            cls, size, base.np, base=base,
+            enum=dict(zip(names, vals)),
+        ), p
     if cls == 9:  # variable-length
         vtype = bits & 0xF
         base, _ = _parse_datatype(buf, p)
         return _DType(cls, size, base=base, is_vlen_string=(vtype == 1)), p
+    if cls == 10:  # array (v2/v3 only per spec)
+        rank = buf[p]
+        p += 1
+        if ver == 2:
+            p += 3  # reserved
+        dims = struct.unpack_from(f"<{rank}I", buf, p)
+        p += 4 * rank
+        if ver == 2:
+            p += 4 * rank  # permutation indexes (always identity)
+        base, p = _parse_datatype(buf, p)
+        if base.np is None:
+            raise NotImplementedError(
+                f"array base datatype class {base.cls} has no numpy "
+                "equivalent"
+            )
+        npdt = np.dtype((base.np, tuple(int(d) for d in dims)))
+        return _DType(cls, size, npdt), p
     raise NotImplementedError(f"HDF5 datatype class {cls} is not supported")
 
 
@@ -189,6 +271,28 @@ def _encode_datatype(np_dtype: np.dtype) -> bytes:
         return head + struct.pack("<HH", 0, dt.itemsize * 8)
     if dt.kind == "S":
         return struct.pack("<BBBBI", 0x13, 0, 0, 0, dt.itemsize)
+    if dt.kind == "V" and dt.names:  # compound, encoded as version 3
+        body = bytearray(struct.pack(
+            "<BBBBI", 0x36, len(dt.names) & 0xFF,
+            (len(dt.names) >> 8) & 0xFF, 0, dt.itemsize,
+        ))
+        nb = max(1, (dt.itemsize.bit_length() + 7) // 8)
+        for mname in dt.names:
+            mdt, moff = dt.fields[mname]
+            body += mname.encode() + b"\x00"
+            body += moff.to_bytes(nb, "little")
+            if mdt.subdtype is not None:
+                base, dims = mdt.subdtype
+                arr_head = struct.pack(
+                    "<BBBBI", 0x3A, 0, 0, 0, mdt.itemsize
+                ) + bytes([len(dims)])
+                arr_head += b"".join(
+                    struct.pack("<I", d) for d in dims
+                )
+                body += arr_head + _encode_datatype(base)
+            else:
+                body += _encode_datatype(mdt)
+        return bytes(body)
     raise NotImplementedError(f"writer dtype {dt}")
 
 
@@ -667,12 +771,14 @@ class HDF5Variable:
                             self.attrs[aname] = aval
         if shape is None or dt is None or self._layout is None:
             raise ValueError(f"dataset {name!r}: incomplete object header")
-        if dt.cls not in (0, 1):
+        if dt.cls not in (0, 1, 6, 8, 10):
             raise NotImplementedError(
-                f"dataset {name!r}: only numeric datasets are readable"
+                f"dataset {name!r}: only numeric, compound, enum and "
+                "array datasets are readable"
             )
         self.shape = shape
         self.dtype = dt.np
+        self.enum = dt.enum  # {name: value} for enum datasets, else None
         self.dims: tuple[str, ...] = ()
         self._cache: dict = {}
 
@@ -957,7 +1063,10 @@ class HDF5Variable:
                     f"HDF5 filter id {fid} is not supported (deflate/"
                     "shuffle/fletcher32/lzf/blosc/zstd are)"
                 )
-        return np.frombuffer(data, self.dtype).reshape(self.chunk_shape)
+        # subarray (class-10) element dims land after the dataspace dims
+        return np.frombuffer(data, self.dtype).reshape(
+            tuple(self.chunk_shape) + self.dtype.shape
+        )
 
     # -- reads --------------------------------------------------------------
 
@@ -986,7 +1095,11 @@ class HDF5Variable:
                     return np.frombuffer(
                         body[6 : 6 + sz], self.dtype, count=1
                     )[0]
-        return np.nan if self.dtype.kind == "f" else 0
+        if self.dtype.kind == "f":
+            return np.nan
+        if self.dtype.kind == "V":  # compound: zeroed record
+            return np.zeros((), self.dtype)[()]
+        return 0
 
     def __getitem__(self, key) -> np.ndarray:
         if not isinstance(key, tuple):
@@ -1016,7 +1129,9 @@ class HDF5Variable:
         out_shape = tuple(hi - lo for lo, hi in bounds)
         kind = self._layout[0]
         if kind == "compact":
-            arr = np.frombuffer(self._layout[1], self.dtype).reshape(self.shape)
+            arr = np.frombuffer(self._layout[1], self.dtype).reshape(
+                tuple(self.shape) + self.dtype.shape
+            )
             win = arr[tuple(slice(lo, hi) for lo, hi in bounds)]
         elif kind == "contiguous":
             _, addr, size = self._layout
@@ -1028,7 +1143,7 @@ class HDF5Variable:
                     self._f.buf, self.dtype,
                     count=int(np.prod(self.shape)) if self.shape else 1,
                     offset=s,
-                ).reshape(self.shape)
+                ).reshape(tuple(self.shape) + self.dtype.shape)
                 win = arr[tuple(slice(lo, hi) for lo, hi in bounds)]
         else:
             win = self._read_chunked_window(bounds, out_shape)
@@ -1352,14 +1467,19 @@ def write_hdf5(
         arr = np.asarray(spec)
         if arr.dtype.kind == "f":
             arr = arr.astype("<f8")
+        elif arr.dtype.kind == "V":
+            pass  # compound: members already little-endian by contract
         else:
             arr = arr.astype(arr.dtype.newbyteorder("<"))
         ch = tuple(min(c, s) for c, s in zip(chunk_shape, arr.shape))
         rank = arr.ndim
         itemsize = arr.dtype.itemsize
-        pad_fill = var_attrs.get(
-            "_FillValue", np.nan if arr.dtype.kind == "f" else 0
-        )
+        if arr.dtype.kind == "V":
+            pad_fill = np.zeros((), arr.dtype)[()]
+        else:
+            pad_fill = var_attrs.get(
+                "_FillValue", np.nan if arr.dtype.kind == "f" else 0
+            )
         # write chunks, collect (origin, addr, stored size)
         entries = []
         grid = [range(0, s, c) for s, c in zip(arr.shape, ch)]
