@@ -144,6 +144,7 @@ class _FakeS3Handler:
             def do_GET(self):
                 import urllib.parse
 
+                raw_path, _, raw_query = self.path.partition("?")
                 auth = self.headers.get("Authorization", "")
                 amz_date = self.headers.get("x-amz-date", "")
                 send = {
@@ -154,14 +155,11 @@ class _FakeS3Handler:
                 }
                 if self.headers.get("Range"):
                     send["Range"] = self.headers["Range"]
-                req = AWSRequest(
-                    method="GET",
-                    url=f"http://{self.headers['Host']}"
-                        + urllib.parse.quote(
-                            urllib.parse.unquote(self.path)
-                        ),
-                    headers=send,
-                )
+                url = f"http://{self.headers['Host']}" \
+                    + urllib.parse.quote(urllib.parse.unquote(raw_path))
+                if raw_query:
+                    url += "?" + raw_query
+                req = AWSRequest(method="GET", url=url, headers=send)
                 # add_auth stamps ITS OWN clock; re-sign with the
                 # CLIENT's x-amz-date so validation is deterministic
                 auth_obj = S3SigV4Auth(
@@ -178,6 +176,47 @@ class _FakeS3Handler:
                     self.send_error(403)
                     return
                 log.append(("ok", self.path))
+                qs = urllib.parse.parse_qs(raw_query)
+                if qs.get("list-type") == ["2"]:
+                    # ListObjectsV2 over the directory tree, paginated
+                    # at 3 keys/page to exercise continuation tokens
+                    import os as _os
+
+                    want = qs.get("prefix", [""])[0]
+                    after = qs.get("continuation-token", [""])[0]
+                    keys = []
+                    for root_, _dirs, files in _os.walk(directory):
+                        for fn in files:
+                            full = _os.path.join(root_, fn)
+                            rel = _os.path.relpath(full, directory)
+                            keys.append(rel.replace(_os.sep, "/"))
+                    keys = sorted(k for k in keys if k.startswith(want))
+                    if after:
+                        keys = [k for k in keys if k > after]
+                    page, rest = keys[:3], keys[3:]
+                    xml = [
+                        '<?xml version="1.0" encoding="UTF-8"?>',
+                        '<ListBucketResult xmlns="http://s3.amazonaws'
+                        '.com/doc/2006-03-01/">',
+                    ]
+                    for k in page:
+                        xml.append(f"<Contents><Key>{k}</Key></Contents>")
+                    xml.append(
+                        f"<IsTruncated>{'true' if rest else 'false'}"
+                        "</IsTruncated>"
+                    )
+                    if rest:
+                        xml.append(
+                            "<NextContinuationToken>"
+                            f"{page[-1]}</NextContinuationToken>"
+                        )
+                    xml.append("</ListBucketResult>")
+                    blob = "".join(xml).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(blob)))
+                    self.end_headers()
+                    self.wfile.write(blob)
+                    return
                 # strip the bucket segment, serve the rest from disk
                 parts = urllib.parse.unquote(self.path).split("/", 2)
                 rel = parts[2] if len(parts) > 2 else ""
@@ -248,9 +287,70 @@ def test_signed_zarr_reads_end_to_end(tmp_path, monkeypatch):
         blob = st.get_range("conc_chl/.zarray", 0, 10)
         assert blob == open(store_dir / "conc_chl" / ".zarray", "rb").read()[:10]
         # wrong secret: every request 403s; the group open fails LOUDLY
+        # (the .zmetadata GET reads as missing, then the ListObjectsV2
+        # fallback surfaces the 403 itself — object-level 403/404 are
+        # indistinguishable to anonymous S3 callers, bucket listing
+        # is not)
+        import urllib.error
+
         monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "wrong-secret")
-        with pytest.raises(NotImplementedError, match="consolidated"):
+        with pytest.raises(urllib.error.HTTPError):
             open_zarr_group("s3://bucket")
         assert log[-1][0] == "bad-sig"
+    finally:
+        srv.shutdown()
+
+
+@needs_botocore
+def test_unconsolidated_store_opens_via_listing(tmp_path, monkeypatch):
+    """A v2 store with NO ``.zmetadata`` opens through s3:// by
+    ListObjectsV2 discovery (signed, query-string canonicalization,
+    continuation-token pagination at 3 keys/page) — the ``s3fs.ls``
+    behavior the reference relies on for unconsolidated buckets."""
+    from http.server import ThreadingHTTPServer
+
+    from xcube_server_spark.sources.s3 import S3Store
+    from xcube_server_spark.sources.zarr_store import (
+        open_zarr_group,
+        write_zarr_group,
+    )
+
+    t, y, x = np.meshgrid(
+        np.arange(2), np.arange(6), np.arange(8), indexing="ij"
+    )
+    chl = ((t * 13 + y * 9 + x * 4) % 23) / 3.0
+    store_dir = tmp_path / "store"
+    write_zarr_group(
+        str(store_dir),
+        ["2017-01-16 10:09:22", "2017-01-25 09:35:51"],
+        np.linspace(52.0, 50.0, 6), np.linspace(0.0, 4.0, 8),
+        {"conc_chl": chl}, chunk_shape=(1, 3, 4),
+    )
+    (store_dir / ".zmetadata").unlink()
+    log: list = []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _FakeS3Handler(str(store_dir), log)
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "XSS_S3_ENDPOINT", f"http://127.0.0.1:{srv.server_address[1]}"
+        )
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", _AK)
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", _SK)
+        monkeypatch.setenv("AWS_REGION", "us-east-1")
+
+        st = S3Store("s3://bucket")
+        keys = st.list_keys()
+        assert "conc_chl/.zarray" in keys and ".zmetadata" not in keys
+        assert len(keys) > 3  # forces >1 page through the token loop
+        list_reqs = [p for k, p in log if "list-type" in p]
+        assert len(list_reqs) >= 2  # pagination actually happened
+        assert all(k == "ok" for k, _ in log)  # incl. signed list pages
+
+        g = open_zarr_group("s3://bucket")
+        out = g["conc_chl"][0:2, 0:6, 0:8]
+        assert np.allclose(out, chl)
+        assert [v for v in g.data_vars] == ["conc_chl"]
     finally:
         srv.shutdown()

@@ -12,10 +12,13 @@ header — a pure computation over the request, fully testable offline:
   GET with ``Range: bytes=0-9``, whose expected signature AWS documents
   byte-for-byte).
 - ``S3Store`` speaks the store protocol ``ZarrGroup``/``ZarrArray``
-  consume (``get`` / ``get_range``), signing every request when
-  credentials are present and falling back to anonymous requests (the
-  ``s3fs`` ``anon=True`` analog) when not. 404/403 read as missing keys
-  — how S3 surfaces absent chunks to anonymous callers.
+  consume (``get`` / ``get_range`` / ``list_keys``), signing every
+  request when credentials are present and falling back to anonymous
+  requests (the ``s3fs`` ``anon=True`` analog) when not. 404/403 read
+  as missing keys — how S3 surfaces absent chunks to anonymous callers.
+  ``list_keys`` speaks ListObjectsV2 (signed query string, continuation
+  -token pagination, namespace-agnostic XML parse), which is what lets
+  UNCONSOLIDATED buckets open by key discovery like ``s3fs.ls``.
 - The loopback test serves a real zarr store behind a fake S3 endpoint
   that RE-DERIVES the expected signature with the shared secret and
   rejects mismatches — so the whole chain (canonicalization, signed
@@ -183,6 +186,66 @@ class S3Store:
 
     def get(self, key: str) -> bytes | None:
         return self._request(key, {})
+
+    def list_keys(self, subprefix: str = "") -> list[str]:
+        """Every key under the store prefix (ListObjectsV2, signed,
+        paginated via continuation tokens), RELATIVE to the prefix.
+        This is the ``s3fs.ls`` analog that lets unconsolidated stores
+        open without a ``.zmetadata`` one-shot."""
+        import urllib.error
+        import urllib.request
+        import xml.etree.ElementTree as ET
+
+        full = "/".join(p for p in (self.prefix, subprefix) if p)
+        if full:
+            full += "/"
+        parsed = urllib.parse.urlparse(self.base)
+        host, uri_path = parsed.netloc, parsed.path or "/"
+        keys: list[str] = []
+        token: str | None = None
+        while True:
+            query = {"list-type": "2", "prefix": full}
+            if token:
+                query["continuation-token"] = token
+            headers: dict[str, str] = {}
+            if self.access_key and self.secret_key:
+                if self.session_token:
+                    headers["x-amz-security-token"] = self.session_token
+                headers = sign_v4(
+                    "GET", host, uri_path, query, headers,
+                    _EMPTY_SHA256, self.access_key, self.secret_key,
+                    self.region,
+                )
+            # encode exactly like the canonical query string, so the
+            # signature matches byte-for-byte (urlencode's '+' for
+            # space would diverge from SigV4's %20)
+            qs = "&".join(
+                f"{_uri_encode(k)}={_uri_encode(v)}"
+                for k, v in sorted(query.items())
+            )
+            req = urllib.request.Request(
+                f"{self.base}?{qs}", headers=headers
+            )
+            with urllib.request.urlopen(req) as r:
+                root = ET.fromstring(r.read())
+
+            def _local(tag: str) -> str:
+                return tag.rsplit("}", 1)[-1]
+
+            token = None
+            truncated = False
+            for el in root.iter():
+                tag = _local(el.tag)
+                if tag == "Key":
+                    k = el.text or ""
+                    if k.startswith(full) and k != full:
+                        keys.append(k[len(full):])
+                elif tag == "IsTruncated":
+                    truncated = (el.text or "").strip() == "true"
+                elif tag == "NextContinuationToken":
+                    token = (el.text or "").strip() or None
+            if not truncated or token is None:
+                return keys
 
     def get_range(self, key: str, start: int, length: int) -> bytes | None:
         rng = (

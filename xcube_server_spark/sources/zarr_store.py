@@ -221,6 +221,11 @@ class LRUStoreCache:
         self._put(ck, val)
         return val
 
+    def __getattr__(self, name):
+        # delegate non-cached capabilities (e.g. ``list_keys``) so a
+        # wrapped listable store stays listable
+        return getattr(self._store, name)
+
     def _put(self, key: str, val: bytes | None) -> None:
         self._data[key] = val
         self._size += len(val) if val is not None else 0
@@ -764,12 +769,14 @@ class ZarrGroup:
     """A zarr v2 group presenting the minimal xarray-Dataset surface the
     ingest path uses (``data_vars``, coordinate ``.values``, slicing).
 
-    Local groups are discovered by directory listing; ``http(s)://``
+    Local groups are discovered by directory listing. ``http(s)://``
     groups (the object-store path — S3 GETs are HTTP GETs) REQUIRE zarr
-    consolidated metadata (``.zmetadata``), because object stores have no
-    cheap listing — the same convention xarray's
-    ``open_zarr(consolidated=True)`` relies on. One GET then serves every
-    array's ``.zarray``/``.zattrs``."""
+    consolidated metadata (``.zmetadata``), because plain HTTP has no
+    listing — the same convention xarray's ``open_zarr(
+    consolidated=True)`` relies on; one GET then serves every array's
+    ``.zarray``/``.zattrs``. ``s3://`` groups CAN list (ListObjectsV2,
+    the ``s3fs.ls`` analog), so unconsolidated buckets fall back to
+    key discovery, exactly like the reference's s3fs-backed opens."""
 
     def __init__(self, path: str):
         self.path = path
@@ -782,6 +789,22 @@ class ZarrGroup:
                 cm = (root.get("consolidated_metadata") or {}).get(
                     "metadata"
                 )
+                if cm is None and hasattr(store, "list_keys"):
+                    # s3:// can LIST (ListObjectsV2) like s3fs does, so
+                    # unconsolidated v3 stores open by key discovery
+                    for name in sorted({
+                        k.split("/")[0] for k in store.list_keys()
+                        if k.endswith("/zarr.json")
+                    }):
+                        node = json.loads(
+                            store.get(f"{name}/zarr.json") or "{}"
+                        )
+                        if node.get("node_type") == "array":
+                            self._arrays[name] = ZarrArrayV3(
+                                f"{path}/{name}", store=store,
+                                prefix=name, meta=node,
+                            )
+                    return
                 if cm is None:
                     raise NotImplementedError(
                         "zarr v3 group over HTTP needs "
@@ -796,6 +819,22 @@ class ZarrGroup:
                         )
                 return
             raw = store.get(".zmetadata")
+            if raw is None and hasattr(store, "list_keys"):
+                # unconsolidated v2 store on a LISTABLE object store:
+                # discover arrays by their .zarray keys (s3fs.ls analog)
+                names = sorted({
+                    k.split("/")[0] for k in store.list_keys()
+                    if k.endswith("/.zarray") and "/" in k
+                })
+                if not names:
+                    raise FileNotFoundError(
+                        f"no zarr arrays under {path}"
+                    )
+                for name in names:
+                    self._arrays[name] = ZarrArray(
+                        f"{path}/{name}", store=store, prefix=name
+                    )
+                return
             if raw is None:
                 raise NotImplementedError(
                     f"zarr group over HTTP needs consolidated metadata "
