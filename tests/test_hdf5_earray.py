@@ -1,0 +1,266 @@
+"""HDF5 Extensible Array chunk index (layout-v4 index type 4) — the
+libhdf5 layout for chunked datasets with ONE unlimited dimension (h5py
+``maxshape=(None, ...)``), i.e. the appendable-time-axis files a cube
+server actually serves.
+
+Fixtures are complete files hand-assembled from the File Format
+Specification's Extensible Array structures (``EAHD`` header, ``EAIB``
+index block with inline elements + direct data-block pointers +
+super-block pointers, ``EADB`` data blocks, ``EASB`` super blocks), so
+the reader is pinned to the spec independent of any writer.  Geometry
+(H5EA__hdr_init): ``nsblks = 1 + (max_bits - log2(dblk_min)) // 2``,
+super block *u* holds ``2^(u//2)`` data blocks of
+``2^((u+1)//2) * dblk_min`` elements; the index block stores elements
+for the first ``2 * log2(sup_min_ptrs)`` super blocks' data blocks
+directly."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.hdf5 import HDF5Variable, _File, _UNDEF
+from tests.test_hdf5_dense import _superblock_v0, _v1_header
+from tests.test_hdf5_layout_v4 import _dataspace, _dtype, _layout_v4
+
+# creation params: max_bits, iblk_elmts, sup_min_ptrs, dblk_min, page_bits
+PARAMS = (32, 2, 2, 2, 10)
+# derived: nsblks=16; iblk_nsblks=2 -> direct dblks: sblk0 1x2, sblk1 1x4;
+# first pointed super block u=2: 2 dblks x 4 elements
+
+
+def _eahd(client: int, elt_size: int, iblk_addr: int,
+          page_bits: int | None = None) -> bytes:
+    max_bits, iblk_elmts, sup_min, dblk_min, pb = PARAMS
+    page_bits = pb if page_bits is None else page_bits
+    return (
+        b"EAHD\x00"
+        + bytes([client, elt_size, max_bits, iblk_elmts,
+                 dblk_min, sup_min, page_bits])
+        + bytes(6 * 8)                       # statistics
+        + struct.pack("<Q", iblk_addr)
+        + bytes(4)                           # checksum (not validated)
+    )
+
+
+_EAHD_LEN = len(_eahd(0, 8, 0))
+
+
+def _elt(client: int, entry) -> bytes:
+    if client == 0:
+        return struct.pack("<Q", entry)
+    a, sz, mask = entry
+    return struct.pack("<QII", a, sz, mask)
+
+
+def _build_earray_file(data: np.ndarray, chunk: int, client: int = 0,
+                       filt_msg: bytes | None = None,
+                       page_bits_override: int | None = None):
+    """One 1-D <f8 dataset, chunked (chunk,), extensible-array index
+    laid out as: header | EAHD | EAIB | dblks | sblk | sblk dblks |
+    chunk payloads."""
+    max_bits, iblk_elmts, sup_min, dblk_min, page_bits = PARAMS
+    if page_bits_override is not None:
+        page_bits = page_bits_override
+    elt_size = 8 if client == 0 else 16
+    n = len(data)
+    nchunks = (n + chunk - 1) // chunk
+
+    # chunk payloads (deflate for client 1)
+    raws = []
+    for lo in range(0, nchunks * chunk, chunk):
+        block = np.zeros(chunk, "<f8")
+        part = data[lo : lo + chunk]
+        block[: len(part)] = part
+        raw = block.tobytes()
+        raws.append(zlib.compress(raw, 5) if client == 1 else raw)
+
+    msgs_probe = [
+        (0x0001, _dataspace((n,))),
+        (0x0003, _dtype("<f8")),
+    ]
+    if filt_msg:
+        msgs_probe.append((0x000B, filt_msg))
+
+    def header(eahd_addr):
+        tail = bytes([4, max_bits, iblk_elmts, sup_min, dblk_min,
+                      page_bits]) + struct.pack("<Q", eahd_addr)
+        return _v1_header(
+            msgs_probe + [(0x0008, _layout_v4((chunk,), 8, tail))]
+        )
+
+    sb = _superblock_v0(0)
+    eahd_addr = len(sb) + len(header(0))
+    iblk_addr = eahd_addr + _EAHD_LEN
+
+    # index-block geometry
+    sblk_ndblks = [1 << (u // 2) for u in range(16)]
+    sblk_nelmts = [(1 << ((u + 1) // 2)) * dblk_min for u in range(16)]
+    iblk_nsblks = 2  # 2 * log2(sup_min=2)
+    ndblk_addrs = sum(sblk_ndblks[:iblk_nsblks])          # 2
+    nsblk_addrs = 16 - iblk_nsblks                        # 14
+    iblk_len = (
+        4 + 1 + 1 + 8 + iblk_elmts * elt_size
+        + ndblk_addrs * 8 + nsblk_addrs * 8 + 4
+    )
+
+    arr_off = (max_bits + 7) // 8
+
+    def dblk_len(nelmts):
+        return 4 + 1 + 1 + 8 + arr_off + nelmts * elt_size + 4
+
+    def sblk_len(ndblks):
+        return 4 + 1 + 1 + 8 + arr_off + ndblks * 8 + 4
+
+    # entries per linear chunk index
+    cursor = [iblk_addr + iblk_len]
+    entries = []  # (addr, stored_size, mask) per chunk; rest UNDEF
+
+    blobs = []
+
+    def alloc(b: bytes) -> int:
+        a = cursor[0]
+        blobs.append(b)
+        cursor[0] += len(b)
+        return a
+
+    def entry(i):
+        if i < len(raws):
+            return None  # patched later once payload addrs known
+        return (_UNDEF, 0, 0) if client else _UNDEF
+
+    # reserve structure space first, then payloads at the end
+    dblk_specs = []   # (nelmts,) in order
+    dblk_specs.append(sblk_nelmts[0])     # sblk0 dblk
+    dblk_specs.append(sblk_nelmts[1])     # sblk1 dblk
+    covered = iblk_elmts + sblk_nelmts[0] + sblk_nelmts[1]
+    use_sblk = nchunks > covered
+    sblk2_dblks = sblk_ndblks[2] if use_sblk else 0
+
+    dblk_addrs = []
+    pos = iblk_addr + iblk_len
+    for ne in dblk_specs:
+        dblk_addrs.append(pos)
+        pos += dblk_len(ne)
+    sblk2_addr = pos if use_sblk else _UNDEF
+    if use_sblk:
+        pos += sblk_len(sblk2_dblks)
+    sblk2_dblk_addrs = []
+    for _ in range(sblk2_dblks):
+        sblk2_dblk_addrs.append(pos)
+        pos += dblk_len(sblk_nelmts[2])
+    payload_base = pos
+    chunk_addrs = []
+    for raw in raws:
+        chunk_addrs.append(pos)
+        pos += len(raw)
+
+    def chunk_entry(i):
+        if i >= nchunks:
+            return (_UNDEF, 0, 0)
+        return (chunk_addrs[i], len(raws[i]), 0)
+
+    # assemble: EAIB
+    iblk = bytearray(b"EAIB\x00" + bytes([client]))
+    iblk += struct.pack("<Q", eahd_addr)
+    idx = 0
+    for _ in range(iblk_elmts):
+        iblk += _elt(client, chunk_entry(idx) if client else
+                     chunk_entry(idx)[0])
+        idx += 1
+    for a in dblk_addrs:
+        iblk += struct.pack("<Q", a)
+    iblk += struct.pack("<Q", sblk2_addr)
+    for _ in range(nsblk_addrs - 1):
+        iblk += struct.pack("<Q", _UNDEF)
+    iblk += bytes(4)
+    assert len(iblk) == iblk_len
+
+    def dblk(nelmts):
+        nonlocal idx
+        b = bytearray(b"EADB\x00" + bytes([client]))
+        b += struct.pack("<Q", eahd_addr)
+        b += (0).to_bytes(arr_off, "little")   # block offset
+        for _ in range(nelmts):
+            b += _elt(client, chunk_entry(idx) if client else
+                      chunk_entry(idx)[0])
+            idx += 1
+        b += bytes(4)
+        return bytes(b)
+
+    body = bytearray(bytes(iblk))
+    for ne in dblk_specs:
+        body += dblk(ne)
+    if use_sblk:
+        sblk = bytearray(b"EASB\x00" + bytes([client]))
+        sblk += struct.pack("<Q", eahd_addr)
+        sblk += (0).to_bytes(arr_off, "little")
+        for a in sblk2_dblk_addrs:
+            sblk += struct.pack("<Q", a)
+        sblk += bytes(4)
+        assert len(sblk) == sblk_len(sblk2_dblks)
+        body += sblk
+        for _ in range(sblk2_dblks):
+            body += dblk(sblk_nelmts[2])
+    assert len(body) + iblk_addr == payload_base
+    for raw in raws:
+        body += raw
+
+    buf = sb + header(eahd_addr) \
+        + _eahd(client, elt_size, iblk_addr, page_bits=page_bits) \
+        + bytes(body)
+    return HDF5Variable(_File(buf), "v", len(sb))
+
+
+def test_earray_inline_and_direct_blocks():
+    """6 chunks: 2 from the index block's inline elements, 2 from the
+    sblk-0 data block, 2 from the sblk-1 data block (partially used)."""
+    data = (np.arange(12) % 9).astype("<f8") / 4.0
+    v = _build_earray_file(data, chunk=2)
+    assert v.chunk_shape == (2,)
+    assert np.allclose(v[0:12], data)
+    assert np.allclose(v[3:11], data[3:11])
+
+
+def test_earray_through_super_block():
+    """14 chunks: exhausts the index block's direct pointers (2+2+4
+    elements) and continues into super block u=2 (2 data blocks x 4
+    elements, the second partially used)."""
+    data = ((np.arange(28) * 5) % 17).astype("<f8") / 3.0
+    v = _build_earray_file(data, chunk=2)
+    assert np.allclose(v[0:28], data)
+    assert np.allclose(v[7:25], data[7:25])
+
+
+def test_earray_filtered_client1():
+    """Client-1 elements: address + stored size + filter mask, deflate
+    chunks."""
+    filt = struct.pack("<BB2x4x", 1, 1) + struct.pack(
+        "<HHHH", 1, 0, 0, 1
+    ) + struct.pack("<I4x", 5)
+    data = (np.arange(12) % 5).astype("<f8") * 1.5
+    v = _build_earray_file(data, chunk=2, client=1, filt_msg=filt)
+    assert np.allclose(v[0:12], data)
+    assert np.allclose(v[1:9], data[1:9])
+
+
+def test_earray_paged_data_block_rejected():
+    data = np.zeros(12, "<f8")
+    v = _build_earray_file(data, chunk=2, page_bits_override=1)
+    with pytest.raises(NotImplementedError, match="paged"):
+        v[0:12]
+
+
+def test_earray_corrupt_signatures_rejected():
+    data = np.zeros(12, "<f8")
+    v = _build_earray_file(data, chunk=2)
+    buf = bytearray(v._f.buf)
+    pos = bytes(buf).find(b"EAIB")
+    buf[pos:pos + 4] = b"XXXX"
+    v2 = _build_earray_file(data, chunk=2)
+    v2._f.buf = bytes(buf)
+    with pytest.raises(ValueError, match="EAIB"):
+        v2[0:12]

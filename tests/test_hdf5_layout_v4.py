@@ -313,11 +313,11 @@ def test_v2_btree_chunk_index_filtered():
     assert np.allclose(var[5:17], data[5:17])
 
 
-def test_extensible_array_index_rejected():
+def test_unknown_chunk_index_type_rejected():
     data = np.zeros(4, "<f8")
-    with pytest.raises(NotImplementedError, match="extensible array"):
+    with pytest.raises(NotImplementedError, match="index type 6"):
         _build(
             (4,), (4,), data,
-            lambda addr: bytes([4]) + bytes(16),
+            lambda addr: bytes([6]) + bytes(16),
             payload_fn=lambda addr: b"",
         )

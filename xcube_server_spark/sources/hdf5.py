@@ -28,9 +28,11 @@ clear ``NotImplementedError``/``ValueError``):
   opaque raise
 - data layout v3 (compact, contiguous, chunked with the B-tree v1
   chunk index at any nesting level) AND layout v4 (h5py
-  libver='latest': Single Chunk, Implicit, unpaged Fixed Array and
-  single-leaf v2-B-tree indexes, unfiltered or filtered elements);
-  extensible-array indexes and paged fixed arrays raise
+  libver='latest': Single Chunk, Implicit, unpaged Fixed Array,
+  single-leaf v2-B-tree AND Extensible Array indexes — the
+  one-unlimited-dimension/appendable layout: EAHD header, EAIB inline
+  elements + direct data-block pointers, EASB super blocks, unfiltered
+  or filtered elements); paged fixed/extensible arrays raise
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
   verified), plus the registered plugins real files ship — LZF 32000
   (h5py's fast default, ``sources/lzf.py``), blosc 32001
@@ -835,15 +837,21 @@ class HDF5Variable:
             page_bits = body[p]
             (addr,) = struct.unpack_from("<Q", body, p + 1)
             return ("chunked4", ("fixed", addr, page_bits), chunk_shape)
+        if itype == 4:  # Extensible Array (one unlimited dimension)
+            # creation params, 5 single bytes (H5D_CHUNK_IDX_EARRAY):
+            # max nelmts bits, index blk elmts, sup blk min data ptrs,
+            # data blk min elmts, max dblk page nelmts bits
+            params = tuple(body[p : p + 5])
+            (addr,) = struct.unpack_from("<Q", body, p + 5)
+            return ("chunked4", ("earray", addr, params), chunk_shape)
         if itype == 5:  # v2 B-tree (filtered + unlimited-dim datasets)
             # node size (4), split/merge percents (1+1), then address;
             # the tree's own record type (10/11) decides filtered-ness
             (addr,) = struct.unpack_from("<Q", body, p + 6)
             return ("chunked4", ("btree2", addr), chunk_shape)
         raise NotImplementedError(
-            "layout v4 chunk index type "
-            f"{ {4: 'extensible array'}.get(itype, itype) } "
-            "is not supported (single/implicit/fixed-array/v2-btree are)"
+            f"layout v4 chunk index type {itype} is not supported "
+            "(single/implicit/fixed-array/extensible-array/v2-btree are)"
         )
 
     @property
@@ -976,6 +984,16 @@ class HDF5Variable:
                     "expected 10 or 11"
                 )
             return out
+        if info[0] == "earray":
+            _, addr, _params = info
+            if addr == _UNDEF:
+                return out
+            for i, (a, size, mask) in enumerate(
+                self._earray_elements(addr, len(origins))
+            ):
+                if a != _UNDEF and i < len(origins):
+                    out[origins[i]] = (a, size if size else nbytes, mask)
+            return out
         _, addr, _page_bits = info  # fixed array
         if addr == _UNDEF:
             return out
@@ -1015,6 +1033,135 @@ class HDF5Variable:
         else:
             raise ValueError(f"fixed-array index client id {client}")
         return out
+
+    def _earray_elements(self, addr: int, want: int):
+        """Decode the Extensible Array chunk index (``EAHD`` header →
+        ``EAIB`` index block → ``EADB`` data blocks, with ``EASB``
+        super blocks once the index block's direct pointers run out) —
+        the libhdf5 layout for datasets with ONE unlimited dimension
+        (h5py ``maxshape=(None, ...)``). Yields ``(chunk_addr,
+        stored_size, filter_mask)`` per linear chunk index; client 0 =
+        bare addresses (size 0 → caller substitutes the raw chunk
+        size), client 1 = address + stored size + filter mask. Paged
+        data blocks raise (page size defaults cover 2^10 chunks per
+        block before paging starts)."""
+        f, buf = self._f, self._f.buf
+        p = f.base + addr
+        if buf[p : p + 4] != b"EAHD":
+            raise ValueError(
+                "corrupt extensible-array index: bad EAHD signature"
+            )
+        client, elt_size = buf[p + 5], buf[p + 6]
+        max_bits, iblk_elmts = buf[p + 7], buf[p + 8]
+        dblk_min_elmts, sup_min_ptrs = buf[p + 9], buf[p + 10]
+        page_bits = buf[p + 11]
+        (iblk_addr,) = struct.unpack_from("<Q", buf, p + 12 + 6 * 8)
+        if client not in (0, 1):
+            raise ValueError(f"extensible-array client id {client}")
+
+        def _log2(v: int) -> int:
+            return max(v, 1).bit_length() - 1
+
+        # super-block geometry (libhdf5 H5EA__hdr_init)
+        nsblks = 1 + (max_bits - _log2(dblk_min_elmts)) // 2
+        sblk_ndblks = [1 << (u // 2) for u in range(nsblks)]
+        sblk_dblk_nelmts = [
+            (1 << ((u + 1) // 2)) * dblk_min_elmts for u in range(nsblks)
+        ]
+        iblk_nsblks = 2 * _log2(sup_min_ptrs)
+        ndblk_addrs = sum(sblk_ndblks[:iblk_nsblks])
+        nsblk_addrs = nsblks - iblk_nsblks
+        arr_off_size = (max_bits + 7) // 8
+        page_nelmts = 1 << page_bits
+
+        def _elt(q: int):
+            (a,) = struct.unpack_from("<Q", buf, q)
+            if client == 0:
+                return (a, 0, 0)
+            szb = elt_size - 8 - 4
+            size = int.from_bytes(buf[q + 8 : q + 8 + szb], "little")
+            (mask,) = struct.unpack_from("<I", buf, q + 8 + szb)
+            return (a, size, mask)
+
+        if iblk_addr == _UNDEF:
+            return
+        q = f.base + iblk_addr
+        if buf[q : q + 4] != b"EAIB":
+            raise ValueError(
+                "corrupt extensible-array index: bad EAIB signature"
+            )
+        q += 4 + 1 + 1 + 8  # signature, version, client id, header addr
+        emitted = 0
+        for _ in range(min(iblk_elmts, want)):
+            yield _elt(q)
+            q += elt_size
+            emitted += 1
+        if emitted >= want:
+            return
+
+        def _dblk_elements(dblk_addr: int, nelmts: int):
+            if dblk_addr == _UNDEF:
+                for _ in range(nelmts):
+                    yield (_UNDEF, 0, 0)
+                return
+            if nelmts > page_nelmts:
+                raise NotImplementedError(
+                    f"paged extensible-array data block ({nelmts} "
+                    f"elements > 2^{page_bits} page size)"
+                )
+            s = f.base + dblk_addr
+            if buf[s : s + 4] != b"EADB":
+                raise ValueError(
+                    "corrupt extensible-array index: bad EADB signature"
+                )
+            s += 4 + 1 + 1 + 8 + arr_off_size
+            for _ in range(nelmts):
+                yield _elt(s)
+                s += elt_size
+
+        # direct data-block pointers in the index block
+        dblk_addr_base = q
+        di = 0
+        for u in range(min(iblk_nsblks, nsblks)):
+            for _ in range(sblk_ndblks[u]):
+                (da,) = struct.unpack_from(
+                    "<Q", buf, dblk_addr_base + di * 8
+                )
+                di += 1
+                for elt in _dblk_elements(da, sblk_dblk_nelmts[u]):
+                    yield elt
+                    emitted += 1
+                    if emitted >= want:
+                        return
+        # super-block pointers after the direct data-block pointers
+        sblk_addr_base = dblk_addr_base + ndblk_addrs * 8
+        for si in range(nsblk_addrs):
+            u = iblk_nsblks + si
+            (sa,) = struct.unpack_from("<Q", buf, sblk_addr_base + si * 8)
+            if sa == _UNDEF:
+                for _ in range(sblk_ndblks[u] * sblk_dblk_nelmts[u]):
+                    yield (_UNDEF, 0, 0)
+                    emitted += 1
+                    if emitted >= want:
+                        return
+                continue
+            s = f.base + sa
+            if buf[s : s + 4] != b"EASB":
+                raise ValueError(
+                    "corrupt extensible-array index: bad EASB signature"
+                )
+            if sblk_dblk_nelmts[u] > page_nelmts:
+                raise NotImplementedError(
+                    "paged extensible-array super block"
+                )
+            s += 4 + 1 + 1 + 8 + arr_off_size
+            for d in range(sblk_ndblks[u]):
+                (da,) = struct.unpack_from("<Q", buf, s + d * 8)
+                for elt in _dblk_elements(da, sblk_dblk_nelmts[u]):
+                    yield elt
+                    emitted += 1
+                    if emitted >= want:
+                        return
 
     def _decode_chunk(self, raw: bytes, mask: int) -> np.ndarray:
         data = raw
