@@ -68,6 +68,7 @@ _PRIORITY = [
     # (a) new in round 8
     "corpus_shuffle",
     "bpe_first_merges",
+    "text_nfc_normalize",
     "zarr_ingest_stats_blosclz",
     "zarr_ingest_stats_zstd",
     "zarr_ingest_stats_lz4",
@@ -117,13 +118,13 @@ _PRIORITY = [
     "merge_upsert_docs",
     "morton_zorder_cells",
     "pmi_collocations",
-    "q12_priority_shipping",
-    "q1_pricing_summary",  # <- window position 50
+    "q12_priority_shipping",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "rolling_median_daily",
     "sample_temperature",
-    # remaining r4-vintage (next rotation's head, 18 rows)
+    # remaining r4-vintage (next rotation's head, 19 rows)
     "session_paths_topk",
     "snapshot_diff",
     "stream_dedupe_events",

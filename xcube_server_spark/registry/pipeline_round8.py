@@ -17,7 +17,12 @@ tokenizer-training statistics.
   alphabet, so partial (map-side) aggregation collapses the shuffle to
   a few hundred rows per task regardless of corpus size.
 
-Both oracles are exact SQL over the same parquet (md5 is bit-identical
+- ``text_nfc_normalize`` — Unicode NFC normalization (Arrow-batched
+  pandas UDF, map-only), verified by md5 against DuckDB's
+  ``nfc_normalize`` over text augmented with a decomposed combining
+  sequence so the normalization provably does work.
+
+All oracles are exact SQL over the same parquet (md5 is bit-identical
 in Spark and DuckDB; substr/string_split are 1-based in both).
 """
 
@@ -91,6 +96,64 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical first step of a text
+    pipeline (mixed crawl sources ship the same grapheme both composed
+    and decomposed, which silently defeats exact/near dedup and merges
+    wrongly in tokenizers). Each doc's text is suffixed with a
+    DECOMPOSED sequence (``e`` + U+0301 combining acute) built
+    engine-side, so normalization provably changes the string; the
+    normalized text is produced by an Arrow-batched pandas UDF
+    (``Series.str.normalize`` — C-speed ICU-equivalent via
+    unicodedata) and verified against DuckDB's ``nfc_normalize``
+    by md5. Scan-side only: no shuffle, no collect; at 100 TB this
+    runs as a map-only stage."""
+    from pyspark.sql.types import StringType
+
+    # legacy-style pandas_udf (no type hints): the module-wide
+    # ``from __future__ import annotations`` turns hints into strings,
+    # which the hint-based signature inference cannot resolve here
+    _nfc = F.pandas_udf(
+        lambda s: s.str.normalize("NFC"), StringType()
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # NB: Spark's chr() is mod-256 ASCII (not a codepoint ctor like
+    # DuckDB's) — build U+0301 as a plain literal instead
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" cafe"), F.lit("\u0301")
+        ).alias("raw"),
+    )
+    return (
+        aug.withColumn("nfc", _nfc(F.col("raw")))  # bound once
+        .select(
+            "doc_id",
+            F.length("raw").cast("bigint").alias("raw_len"),
+            F.length("nfc").cast("bigint").alias("nfc_len"),
+            F.md5("nfc").alias("nfc_hash"),
+        )
+        .orderBy("doc_id")
+        .limit(40)
+    )
+
+
+ORACLES["text_nfc_normalize"] = """
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS raw_len,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+       md5(nfc_normalize(raw)) AS nfc_hash
+FROM (
+  SELECT doc_id, concat(text, ' cafe', chr(769)) AS raw
+  FROM documents
+)
+ORDER BY doc_id
+LIMIT 40
+"""
+QUERIES["text_nfc_normalize"] = text_nfc_normalize
 
 
 ORACLES["bpe_first_merges"] = """
