@@ -281,6 +281,49 @@ def test_lzma_raw_format_needs_filters(tmp_path):
                 arr[0:8]
 
 
+def test_vlen_utf8_string_array(tmp_path):
+    """numcodecs ``VLenUTF8`` object arrays (string coords / labels in
+    real stores): ``<u4`` count + per-item ``<u4`` length framing,
+    composable with a compressor, hand-encoded here so the decoder is
+    pinned to the numcodecs wire format."""
+    import json
+    import zlib as _zlib
+
+    from xcube_server_spark.sources.zarr_store import (
+        ZarrArray,
+        _encode_vlen_utf8,
+    )
+
+    labels = ["alpha", "émile", "", "déjà-vu", "x" * 70, "βeta"]
+    p = tmp_path / "labels"
+    p.mkdir()
+    (p / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [6], "chunks": [3], "dtype": "|O",
+        "compressor": {"id": "zlib", "level": 5},
+        "filters": [{"id": "vlen-utf8"}],
+        "fill_value": None, "order": "C",
+    }))
+    (p / "0").write_bytes(_zlib.compress(_encode_vlen_utf8(labels[:3])))
+    (p / "1").write_bytes(_zlib.compress(_encode_vlen_utf8(labels[3:])))
+    arr = ZarrArray(str(p))
+    out = arr[0:6]
+    assert out.dtype == object
+    assert list(out) == labels
+    assert list(arr[2:5]) == labels[2:5]
+
+    # vlen-utf8 composed with further filters stays a clear gate
+    q = tmp_path / "bad"
+    q.mkdir()
+    (q / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "|O",
+        "compressor": None,
+        "filters": [{"id": "vlen-utf8"}, {"id": "delta", "dtype": "<i4"}],
+        "fill_value": None, "order": "C",
+    }))
+    with pytest.raises(NotImplementedError, match="vlen-utf8"):
+        ZarrArray(str(q))
+
+
 def test_unsupported_codecs_rejected_clearly(tmp_path):
     """Compressors the pure-Python path genuinely cannot decode must
     still raise a clear gate error — never a silent wrong read."""

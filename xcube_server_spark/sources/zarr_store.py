@@ -25,8 +25,10 @@ footer indexes read via ranged GETs); compressors: ``null``,
 decoded by ``sources/blosc.lz4_block_decompress``), standalone
 ``zstd`` (the pure-Python RFC 8878 codec in ``sources/zstd_codec.py``)
 or ``blosc`` with blosclz/lz4/zlib/zstd payloads and byte- or
-bit-shuffle (``sources/blosc.py`` — zarr's default compressor);
-non-identity transpose and vlen string codecs raise a clear error.
+bit-shuffle (``sources/blosc.py`` — zarr's default compressor); v2
+``vlen-utf8`` object arrays (string coords/labels) decode through the
+numcodecs wire framing; non-identity transpose and v3 vlen codecs
+raise a clear error.
 Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
 consumes directly.
@@ -234,6 +236,28 @@ class LRUStoreCache:
             self._size -= len(old) if old is not None else 0
 
 
+def _decode_vlen_utf8(raw: bytes) -> np.ndarray:
+    """numcodecs ``VLenUTF8`` chunk framing: ``<u4`` item count, then
+    per item ``<u4`` byte length + UTF-8 bytes → object array of str."""
+    (n,) = struct.unpack_from("<I", raw, 0)
+    out = np.empty(n, dtype=object)
+    p = 4
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", raw, p)
+        p += 4
+        out[i] = raw[p : p + ln].decode("utf-8")
+        p += ln
+    return out
+
+
+def _encode_vlen_utf8(items) -> bytes:
+    body = bytearray(struct.pack("<I", len(items)))
+    for s in items:
+        b = str(s).encode("utf-8")
+        body += struct.pack("<I", len(b)) + b
+    return bytes(body)
+
+
 def _lz4_frame_decompress(raw: bytes) -> bytes:
     """numcodecs ``LZ4`` framing: ``<u4`` original size, then one LZ4
     block (c-lz4 block format — NOT the lz4-frame container)."""
@@ -304,12 +328,21 @@ class ZarrArray:
         if meta.get("order", "C") != "C":
             raise NotImplementedError("only C-order zarr arrays supported")
         self._filters = list(meta.get("filters") or [])
-        for flt in self._filters:
-            if flt.get("id") not in ("delta", "fixedscaleoffset"):
+        self._vlen_utf8 = bool(
+            self._filters and self._filters[0].get("id") == "vlen-utf8"
+        )
+        if self._vlen_utf8:
+            if len(self._filters) > 1:
                 raise NotImplementedError(
-                    f"zarr filter {flt.get('id')!r} is not supported "
-                    "(delta and fixedscaleoffset are)"
+                    "vlen-utf8 composed with further filters"
                 )
+        else:
+            for flt in self._filters:
+                if flt.get("id") not in ("delta", "fixedscaleoffset"):
+                    raise NotImplementedError(
+                        f"zarr filter {flt.get('id')!r} is not supported "
+                        "(delta, fixedscaleoffset and vlen-utf8 are)"
+                    )
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
         self._comp_meta = comp or {}
@@ -394,6 +427,8 @@ class ZarrArray:
             from .blosc import decompress as _blosc_decompress
 
             raw = _blosc_decompress(raw)
+        if self._vlen_utf8:
+            return _decode_vlen_utf8(raw).reshape(self.chunk_shape)
         if self._filters:
             return self._unfilter(raw).reshape(self.chunk_shape)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
