@@ -221,6 +221,53 @@ def test_writer_roundtrip_structured(tmp_path):
     assert np.allclose(win["val"], cube["val"][1:2, 1:3, 2:6])
 
 
+def test_vlen_string_dataset_read():
+    """Variable-length string datasets (netCDF4 ``str`` variables):
+    16-byte descriptors (length + global-heap collection address +
+    object index) resolved through ``GCOL`` at read time."""
+    strings = ["tide-gauge", "", "буй-7", "platform-α"]
+    sb = _superblock_v0(0)
+    vlen_dt = struct.pack("<BBBBI", 0x19, 1, 0, 0, 16) + struct.pack(
+        "<BBBBI", 0x13, 0, 0, 0, 1
+    )
+
+    def header(desc_addr, nbytes):
+        layout = bytes([3, 1]) + struct.pack("<QQ", desc_addr, nbytes)
+        return _v1_header([
+            (0x0001, _dataspace_v1((len(strings),))),
+            (0x0003, vlen_dt),
+            (0x0008, layout),
+        ])
+
+    hdr_len = len(header(0, 0))
+    desc_addr = len(sb) + hdr_len
+    desc_len = 16 * len(strings)
+    gcol_addr = desc_addr + desc_len
+
+    body = b""
+    for i, s in enumerate(strings, start=1):
+        b = s.encode()
+        pad = (-len(b)) % 8
+        body += struct.pack("<HH4xQ", i, 1, len(b)) + b + bytes(pad)
+    free = 16
+    gsize = (16 + len(body) + free + 7) // 8 * 8
+    gcol = struct.pack("<4sB3xQ", b"GCOL", 1, gsize) + body
+    gcol += struct.pack("<HH4xQ", 0, 0, gsize - 16 - len(body))
+    gcol += bytes(gsize - len(gcol))
+
+    descs = b""
+    for i, s in enumerate(strings, start=1):
+        descs += struct.pack(
+            "<IQI", len(s.encode()), gcol_addr, i
+        )
+    buf = sb + header(desc_addr, desc_len) + descs + gcol
+    v = HDF5Variable(_File(buf), "names", len(sb))
+    out = v[0 : len(strings)]
+    assert out.dtype == object
+    assert list(out) == strings
+    assert list(v[1:3]) == strings[1:3]
+
+
 def test_time_datatype_still_rejected():
     msg = struct.pack("<BBBBI", (1 << 4) | 2, 0, 0, 0, 4)
     with pytest.raises(NotImplementedError, match="class 2"):

@@ -21,11 +21,13 @@ clear ``NotImplementedError``/``ValueError``):
   heap IDs and filtered heap blocks raise)
 - dataspace v1/v2; datatypes: fixed-point and IEEE float (either byte
   order), fixed strings, object references, vlen sequences (for
-  ``DIMENSION_LIST``), compound (v1/v2/v3 member encodings → numpy
-  structured dtypes, incl. v1 array-dimensioned members), enum (read
-  as the base integer type, ``{name: value}`` map exposed on the
-  dataset) and array types (numpy subarray dtypes); time/bitfield/
-  opaque raise
+  ``DIMENSION_LIST``), vlen-STRING datasets (descriptors resolved
+  through the global heap at read time → object arrays of str, the
+  netCDF4 ``str`` variable layout), compound (v1/v2/v3 member
+  encodings → numpy structured dtypes, incl. v1 array-dimensioned
+  members), enum (read as the base integer type, ``{name: value}``
+  map exposed on the dataset) and array types (numpy subarray
+  dtypes); time/bitfield/opaque raise
 - data layout v3 (compact, contiguous, chunked with the B-tree v1
   chunk index at any nesting level) AND layout v4 (h5py
   libver='latest': Single Chunk, Implicit, unpaged Fixed Array,
@@ -773,10 +775,17 @@ class HDF5Variable:
                             self.attrs[aname] = aval
         if shape is None or dt is None or self._layout is None:
             raise ValueError(f"dataset {name!r}: incomplete object header")
-        if dt.cls not in (0, 1, 6, 8, 10):
+        self._vlen_str = dt.cls == 9 and dt.is_vlen_string
+        if self._vlen_str:
+            # on-disk element: 4-byte length + global-heap collection
+            # address + object index; strings resolve at read time
+            dt.np = np.dtype(
+                [("len", "<u4"), ("gcol", "<u8"), ("idx", "<u4")]
+            )
+        elif dt.cls not in (0, 1, 6, 8, 10):
             raise NotImplementedError(
-                f"dataset {name!r}: only numeric, compound, enum and "
-                "array datasets are readable"
+                f"dataset {name!r}: only numeric, compound, enum, "
+                "array and vlen-string datasets are readable"
             )
         self.shape = shape
         self.dtype = dt.np
@@ -1295,6 +1304,19 @@ class HDF5Variable:
         else:
             win = self._read_chunked_window(bounds, out_shape)
         win = np.squeeze(win, axis=tuple(squeeze)) if squeeze else win
+        if self._vlen_str:
+            flat = np.ascontiguousarray(win).reshape(-1)
+            out = np.empty(flat.shape, dtype=object)
+            for i in range(flat.shape[0]):
+                rec = flat[i]
+                ln, addr = int(rec["len"]), int(rec["gcol"])
+                if addr in (0, _UNDEF):
+                    out[i] = ""  # fill / never-written element
+                else:
+                    out[i] = self._f._gheap_object(
+                        addr, int(rec["idx"])
+                    )[:ln].decode()
+            return out.reshape(win.shape)
         return _cf_decode(win, self.attrs)
 
     def _read_chunked_window(self, bounds, out_shape) -> np.ndarray:
