@@ -196,25 +196,65 @@ def test_fixed_array_filtered_deflate():
     assert np.allclose(var[5:19], data[5:19])
 
 
-def test_paged_fixed_array_rejected():
+def test_paged_fixed_array():
+    """Paged Fixed Array (a real many-chunk cube's index shape: more
+    chunks than 2^page_bits): the FADB holds only a page-init bitmap,
+    pages of elements (each with a trailing checksum word) follow the
+    block; unset bitmap bits read as never-written fill pages."""
+    # 10 chunks of 2 <f8, page_bits=2 -> 4 elements/page, 3 pages;
+    # page 1 (chunks 4..7) left uninitialized in the bitmap
+    data = np.arange(20, dtype="<f8")
+    written = [0, 1, 2, 3, 8, 9]
+
     sb = _superblock_v0(0)
-    hdr = _v1_header([
-        (0x0001, _dataspace((4,))),
-        (0x0003, _dtype("<f8")),
-        (0x0008, _layout_v4((4,), 8, bytes([3, 10])
-                            + struct.pack("<Q", len(_superblock_v0(0)) + 200))),
-    ])
-    base = len(sb) + len(hdr)
-    # FAHD claiming 8 elements with page_bits=2 (2^2=4 < 8 → paged),
-    # placed exactly at the address the layout message claimed
-    fahd = (
-        b"FAHD\x00" + bytes([0, 8, 2]) + struct.pack("<QQ", 8, 0) + bytes(4)
-    )
-    pad = (len(sb) + 200) - base
-    buf = sb + hdr + bytes(pad) + fahd
+
+    def header(fahd_addr):
+        return _v1_header([
+            (0x0001, _dataspace((20,))),
+            (0x0003, _dtype("<f8")),
+            (0x0008, _layout_v4((2,), 8, bytes([3, 2])
+                                + struct.pack("<Q", fahd_addr))),
+        ])
+
+    base = len(sb) + len(header(0))
+    chunks = bytearray()
+    addrs = {}
+    for ci in written:
+        addrs[ci] = base + len(chunks)
+        chunks += data[ci * 2 : ci * 2 + 2].tobytes()
+    fahd_addr = base + len(chunks)
+
+    def mk_fahd(dblk):
+        # page_bits=2 must live in the FAHD (the reader's source of
+        # truth), not just the layout message
+        return (
+            b"FAHD\x00" + bytes([0, 8, 2])
+            + struct.pack("<QQ", 10, dblk) + bytes(4)
+        )
+
+    fahd = mk_fahd(fahd_addr + len(mk_fahd(0)))
+    # FADB: header, bitmap (pages 0 and 2 set), block checksum
+    fadb = bytearray(b"FADB\x00\x00" + struct.pack("<Q", fahd_addr))
+    fadb += bytes([0b101]) + bytes(4)
+    for pg in range(3):
+        pg_n = min(4, 10 - pg * 4)
+        for i in range(pg * 4, pg * 4 + pg_n):
+            fadb += struct.pack(
+                "<Q", addrs.get(i, 2**64 - 1)
+            )
+        fadb += bytes(4)  # page checksum
+    buf = sb + header(fahd_addr) + bytes(chunks) + fahd + bytes(fadb)
     var = HDF5Variable(_File(buf), "v", len(sb))
-    with pytest.raises(NotImplementedError, match="paged fixed-array"):
-        var[0:4]
+    out = var[0:20]
+    for ci in range(10):
+        want = data[ci * 2 : ci * 2 + 2] if ci in written \
+            else [np.nan, np.nan]
+        got = out[ci * 2 : ci * 2 + 2]
+        if ci in written:
+            assert np.allclose(got, want)
+        else:
+            assert np.isnan(got).all()
+    assert np.allclose(var[1:7], data[1:7])
 
 
 def _bthd(btype, rec_size, nrec, leaf_addr):

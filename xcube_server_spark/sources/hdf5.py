@@ -30,11 +30,13 @@ clear ``NotImplementedError``/``ValueError``):
   dtypes); time/bitfield/opaque raise
 - data layout v3 (compact, contiguous, chunked with the B-tree v1
   chunk index at any nesting level) AND layout v4 (h5py
-  libver='latest': Single Chunk, Implicit, unpaged Fixed Array,
-  single-leaf v2-B-tree AND Extensible Array indexes — the
-  one-unlimited-dimension/appendable layout: EAHD header, EAIB inline
-  elements + direct data-block pointers, EASB super blocks, unfiltered
-  or filtered elements); paged fixed/extensible arrays raise
+  libver='latest': Single Chunk, Implicit, paged or unpaged Fixed
+  Array (paged = the many-chunk shape: page-init bitmap + per-page
+  checksummed element pages), single-leaf v2-B-tree AND Extensible
+  Array indexes — the one-unlimited-dimension/appendable layout: EAHD
+  header, EAIB inline elements + direct data-block pointers, EASB
+  super blocks, unfiltered or filtered elements); paged extensible-
+  array data blocks raise
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
   verified), plus the registered plugins real files ship — LZF 32000
   (h5py's fast default, ``sources/lzf.py``), blosc 32001
@@ -927,7 +929,7 @@ class HDF5Variable:
     def _chunk_map_v4(self) -> dict[tuple[int, ...], tuple[int, int, int]]:
         """Layout-v4 chunk indexes: Single Chunk, Implicit (unfiltered
         chunks packed contiguously in C-order) and Fixed Array (``FAHD``
-        header + unpaged ``FADB`` element block; client 0 = bare
+        header + paged or unpaged ``FADB`` element pages; client 0 = bare
         addresses, client 1 = address + stored size + filter mask)."""
         f, buf = self._f, self._f.buf
         _, info, chunk_shape = self._layout
@@ -1012,11 +1014,8 @@ class HDF5Variable:
         client, entry_size, pbits = buf[p + 5], buf[p + 6], buf[p + 7]
         nelmts = struct.unpack_from("<Q", buf, p + 8)[0]
         dblk = struct.unpack_from("<Q", buf, p + 16)[0]
-        if nelmts > (1 << pbits):
-            raise NotImplementedError(
-                f"paged fixed-array chunk index ({nelmts} elements > "
-                f"2^{pbits} page size)"
-            )
+        if client not in (0, 1):
+            raise ValueError(f"fixed-array index client id {client}")
         if dblk == _UNDEF:
             return out
         q = f.base + dblk
@@ -1024,23 +1023,46 @@ class HDF5Variable:
             raise ValueError("corrupt fixed-array index: bad FADB signature")
         q += 4 + 1 + 1 + 8  # signature, version, client id, header address
         n = min(nelmts, len(origins))
-        if client == 0:  # unfiltered: bare chunk addresses
+        page_nelmts = 1 << pbits
+
+        def _fa_entry(i: int, s: int):
+            (a,) = struct.unpack_from("<Q", buf, s)
+            if a == _UNDEF:
+                return
+            if client == 0:
+                out[origins[i]] = (a, nbytes, 0)
+            else:
+                szb = entry_size - 8 - 4
+                size = int.from_bytes(buf[s + 8 : s + 8 + szb], "little")
+                (mask,) = struct.unpack_from("<I", buf, s + 8 + szb)
+                out[origins[i]] = (a, size, mask)
+
+        if nelmts <= page_nelmts:  # unpaged: elements inline in FADB
             for i in range(n):
-                (a,) = struct.unpack_from("<Q", buf, q)
+                _fa_entry(i, q)
                 q += entry_size
-                if a != _UNDEF:
-                    out[origins[i]] = (a, nbytes, 0)
-        elif client == 1:  # filtered: address + stored size + mask
-            szb = entry_size - 8 - 4
-            for i in range(n):
-                (a,) = struct.unpack_from("<Q", buf, q)
-                size = int.from_bytes(buf[q + 8 : q + 8 + szb], "little")
-                (mask,) = struct.unpack_from("<I", buf, q + 8 + szb)
-                q += entry_size
-                if a != _UNDEF:
-                    out[origins[i]] = (a, size, mask)
-        else:
-            raise ValueError(f"fixed-array index client id {client}")
+            return out
+        # paged (the shape a real many-chunk cube ships): the data
+        # block holds only a page-init bitmap + checksum; pages of
+        # page_nelmts elements (each with its own 4-byte checksum)
+        # follow the data block sequentially. Unset bitmap bits mean
+        # the page was never written — every element in it is fill.
+        npages = (nelmts + page_nelmts - 1) // page_nelmts
+        bitmap = buf[q : q + (npages + 7) // 8]
+        q += (npages + 7) // 8 + 4  # bitmap + data-block checksum
+        i = 0
+        for pg in range(npages):
+            pg_n = min(page_nelmts, nelmts - pg * page_nelmts)
+            if bitmap[pg // 8] & (1 << (pg % 8)):
+                s = q
+                for _ in range(pg_n):
+                    if i < n:
+                        _fa_entry(i, s)
+                    i += 1
+                    s += entry_size
+            else:
+                i += pg_n
+            q += pg_n * entry_size + 4  # page elements + page checksum
         return out
 
     def _earray_elements(self, addr: int, want: int):
