@@ -302,6 +302,53 @@ def test_signed_zarr_reads_end_to_end(tmp_path, monkeypatch):
 
 
 @needs_botocore
+def test_levels_discovery_via_listing(tmp_path, monkeypatch):
+    """``.levels`` pyramids on s3:// discover through one ListObjectsV2
+    instead of per-level probe GETs — and survive UNCONSOLIDATED member
+    stores (no ``.zmetadata``), which the probe path cannot."""
+    from http.server import ThreadingHTTPServer
+
+    from xcube_server_spark.sources.levels_ingest import discover_levels
+    from xcube_server_spark.sources.zarr_store import write_zarr_group
+
+    root = tmp_path / "pyr.levels"
+    root.mkdir()
+    t, y, x = np.meshgrid(
+        np.arange(2), np.arange(4), np.arange(4), indexing="ij"
+    )
+    chl = ((t + y + x) % 7).astype("f8")
+    for name in ("0.zarr", "lvl1.zarr"):
+        write_zarr_group(
+            str(root / name),
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51"],
+            np.linspace(52, 50, 4), np.linspace(0, 4, 4),
+            {"conc_chl": chl}, chunk_shape=(1, 2, 2),
+        )
+        (root / name / ".zmetadata").unlink()  # unconsolidated
+    (root / "1.link").write_text("lvl1.zarr")
+
+    log: list = []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _FakeS3Handler(str(root), log)
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "XSS_S3_ENDPOINT", f"http://127.0.0.1:{srv.server_address[1]}"
+        )
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", _AK)
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", _SK)
+        monkeypatch.setenv("AWS_REGION", "us-east-1")
+        found = discover_levels("s3://bucket")
+        assert [i for i, _ in found] == [0, 1]
+        assert found[0][1].endswith("/0.zarr")
+        assert found[1][1].endswith("/lvl1.zarr")  # .link resolved
+        assert any("list-type" in p for _, p in log)
+    finally:
+        srv.shutdown()
+
+
+@needs_botocore
 def test_unconsolidated_store_opens_via_listing(tmp_path, monkeypatch):
     """A v2 store with NO ``.zmetadata`` opens through s3:// by
     ListObjectsV2 discovery (signed, query-string canonicalization,

@@ -41,6 +41,30 @@ def discover_levels(levels_path: str) -> list[tuple[int, str]]:
         from .zarr_store import _store_for
 
         store = _store_for(levels_path)
+        if hasattr(store, "list_keys"):
+            # s3:// can LIST: one paginated ListObjectsV2 replaces the
+            # per-level probe round-trips, and works for pyramids whose
+            # member stores are unconsolidated
+            import re as _re
+
+            lvls: dict[int, str] = {}
+            for k in store.list_keys():
+                m = _re.match(r"^(\d+)\.link$", k)
+                if m:
+                    target = (store.get(k) or b"").decode().strip()
+                    if "://" not in target:
+                        target = (
+                            f"{levels_path.rstrip('/')}/"
+                            f"{target.lstrip('/')}"
+                        )
+                    lvls[int(m.group(1))] = target
+                    continue
+                m = _re.match(r"^(\d+)\.zarr/", k)
+                if m and int(m.group(1)) not in lvls:
+                    lvls[int(m.group(1))] = (
+                        f"{levels_path.rstrip('/')}/{m.group(1)}.zarr"
+                    )
+            return [(i, lvls[i]) for i in sorted(lvls)]
         found: list[tuple[int, str]] = []
         i = 0
         while True:
