@@ -580,6 +580,58 @@ def test_zarr_v3_over_http_consolidated(tmp_path):
         srv.shutdown()
 
 
+def test_zarr_v3_transpose_codec(tmp_path):
+    """Non-identity ``transpose`` (tensorstore-written stores): the
+    encoded chunk is ``input.transpose(order)``; decode reshapes to the
+    permuted shape and inverse-transposes back to C order. Partial edge
+    chunks and a compressor behind the transpose are covered."""
+    import json as _json
+    import zlib as _zlib
+
+    from xcube_server_spark.sources.zarr_store import ZarrArrayV3
+
+    data = np.arange(2 * 3 * 5, dtype="<f8").reshape(2, 3, 5) / 3.0
+    order = [2, 0, 1]
+    p = tmp_path / "t"
+    p.mkdir()
+    (p / "zarr.json").write_text(_json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2, 3, 5],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2, 3, 4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": "NaN",
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": order}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 5}},
+        ],
+    }))
+    for cx, lo in ((0, 0), (1, 4)):
+        chunk = np.full((2, 3, 4), np.nan)
+        part = data[:, :, lo : lo + 4]
+        chunk[:, :, : part.shape[2]] = part
+        stored = np.ascontiguousarray(chunk.transpose(order))
+        (p / "c").mkdir(exist_ok=True)
+        (p / "c" / "0").mkdir(exist_ok=True)
+        (p / "c" / "0" / "0").mkdir(exist_ok=True)
+        (p / "c" / "0" / "0" / str(cx)).write_bytes(
+            _zlib.compress(stored.astype("<f8").tobytes(), 5)
+        )
+    arr = ZarrArrayV3(str(p))
+    out = arr[0:2, 0:3, 0:5]
+    assert np.allclose(out, data)
+    assert np.allclose(arr[1:2, 1:3, 2:5], data[1:2, 1:3, 2:5])
+
+    # a non-permutation order is corrupt metadata, not a gate
+    meta = _json.loads((p / "zarr.json").read_text())
+    meta["codecs"][0]["configuration"]["order"] = [0, 0, 1]
+    (p / "zarr.json").write_text(_json.dumps(meta))
+    bad = ZarrArrayV3(str(p))
+    with pytest.raises(ValueError, match="permutation"):
+        bad[0:2, 0:3, 0:5]
+
+
 def test_zarr_v3_unsupported_codecs_rejected(tmp_path):
     """v3 codecs outside scope and exotic grids raise clearly."""
     import json as _json

@@ -27,8 +27,9 @@ decoded by ``sources/blosc.lz4_block_decompress``), standalone
 or ``blosc`` with blosclz/lz4/zlib/zstd payloads and byte- or
 bit-shuffle (``sources/blosc.py`` — zarr's default compressor); v2
 ``vlen-utf8`` object arrays (string coords/labels) decode through the
-numcodecs wire framing; non-identity transpose and v3 vlen codecs
-raise a clear error.
+numcodecs wire framing; v3 non-identity ``transpose`` decodes by
+inverse-permutation at reshape time; v3 vlen codecs raise a clear
+error.
 Time coordinates decode CF-style integer ``units`` ("seconds/
 hours/days since ...") to ISO strings, which ``_grid_from_coords``
 consumes directly.
@@ -566,17 +567,41 @@ def _v3_decode_chain(raw: bytes, codecs: list[dict], ndim: int) -> bytes:
                     f"crc32c mismatch: 0x{got:08X} != 0x{want:08X}"
                 )
         elif name == "transpose":
-            order = c.get("configuration", {}).get("order")
-            if order != list(range(ndim)):
-                raise NotImplementedError(
-                    "zarr v3 non-identity transpose codec"
-                )
+            pass  # element-order permutation — validated and applied by
+            #       the caller at reshape time (_v3_transpose_order)
         else:
             raise NotImplementedError(
                 f"zarr v3 codec {name!r} is not supported (bytes/gzip/"
                 "zstd/blosc/crc32c/identity-transpose/sharding_indexed are)"
             )
     return raw
+
+
+def _v3_transpose_order(codecs: list[dict], ndim: int):
+    """The storage-order permutation of the (sole) non-identity
+    ``transpose`` codec, or ``None``. zarr v3 semantics: the encoded
+    chunk is ``input.transpose(order)``, so decode reshapes to the
+    permuted shape and inverse-transposes back to C order."""
+    for c in codecs:
+        if c.get("name") == "transpose":
+            order = list(c.get("configuration", {}).get("order") or [])
+            if sorted(order) != list(range(ndim)):
+                raise ValueError(
+                    f"zarr v3 transpose order {order!r} is not a "
+                    f"permutation of {ndim} dims"
+                )
+            if order != list(range(ndim)):
+                return order
+    return None
+
+
+def _v3_reshape(raw: bytes, dtype, chunk_shape, order) -> np.ndarray:
+    if order is None:
+        return np.frombuffer(raw, dtype=dtype).reshape(chunk_shape)
+    stored_shape = [chunk_shape[o] for o in order]
+    stored = np.frombuffer(raw, dtype=dtype).reshape(stored_shape)
+    inv = np.argsort(order)
+    return np.ascontiguousarray(stored.transpose(inv))
 
 
 def _v3_endian(codecs: list[dict]) -> str:
@@ -774,8 +799,9 @@ class ZarrArrayV3(ZarrArray):
             if raw is None:
                 return self._fill_chunk()
             raw = _v3_decode_chain(raw, self._codecs, len(self.shape))
-            return np.frombuffer(raw, dtype=self.dtype).reshape(
-                self.chunk_shape
+            return _v3_reshape(
+                raw, self.dtype, self.chunk_shape,
+                _v3_transpose_order(self._codecs, len(self.shape)),
             )
         # sharded: idx is an INNER chunk index over the whole array
         ratio = self._shard["ratio"]
@@ -797,7 +823,10 @@ class ZarrArrayV3(ZarrArray):
                 f"[{offset}:{offset + nbytes}]"
             )
         raw = _v3_decode_chain(raw, self._codecs, len(self.shape))
-        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+        return _v3_reshape(
+            raw, self.dtype, self.chunk_shape,
+            _v3_transpose_order(self._codecs, len(self.shape)),
+        )
 
 
 class ZarrGroup:
