@@ -156,6 +156,62 @@ LIMIT 40
 QUERIES["text_nfc_normalize"] = text_nfc_normalize
 
 
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection with BLOCKED candidate
+    generation: docs sharing a 40-char prefix block become candidate
+    pairs (an equi-join — the only shuffle, keyed and bounded by the
+    block), then each pair is verified by classic Levenshtein distance
+    at a 20% relative threshold (integer arithmetic: ``dist * 5 <=
+    max_len`` — no float compare). This is the standard fuzzy-dedup
+    shape at scale: blocking caps the quadratic verify to within-block
+    pairs; production would union several blocking keys (prefix,
+    length bucket, minhash band) through the same plan. Spark's
+    ``levenshtein`` and DuckDB's agree exactly (both classic
+    Wagner-Fischer, no transpositions)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("blk", F.substring("text", 1, 40))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    max_len = F.greatest(
+        F.length(F.col("a.text")), F.length(F.col("b.text"))
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+            max_len.cast("bigint").alias("max_len"),
+        )
+        .filter(F.col("edit_dist") * 5 <= F.col("max_len"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLES["dedup_levenshtein"] = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+         AS max_len
+FROM documents a
+JOIN documents b
+  ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) * 5
+      <= greatest(length(a.text), length(b.text))
+ORDER BY doc_a, doc_b
+"""
+QUERIES["dedup_levenshtein"] = dedup_levenshtein
+
+
 ORACLES["bpe_first_merges"] = """
 WITH words AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
