@@ -247,11 +247,126 @@ def test_earray_filtered_client1():
     assert np.allclose(v[1:9], data[1:9])
 
 
-def test_earray_paged_data_block_rejected():
+def test_earray_paged_data_block_rejected_outside_super_block():
+    """A paged data block pointed DIRECTLY from the index block has no
+    page-init bitmap anywhere — clear error, never garbage."""
     data = np.zeros(12, "<f8")
     v = _build_earray_file(data, chunk=2, page_bits_override=1)
     with pytest.raises(NotImplementedError, match="paged"):
         v[0:12]
+
+
+def test_earray_paged_super_block():
+    """Super block u=3 with PAGED data blocks (8 elements, page=4): the
+    EASB carries the page-init bitmap for every page of every block;
+    pages each end with a checksum word; an uninitialized page reads as
+    fill. Geometry with (max_bits=32, iblk=2, sup_min=2, dblk_min=2,
+    page_bits=2): capacity before sblk3 = 2 inline + 2 + 4 direct +
+    2x4 via sblk2 = 16 elements."""
+    max_bits, iblk_elmts, sup_min, dblk_min, page_bits = 32, 2, 2, 2, 2
+    chunk, nchunks = 2, 24
+    written = list(range(20))  # chunks 20..23 live in an uninit page
+    data = ((np.arange(nchunks * chunk) * 3) % 13).astype("<f8")
+
+    elt = 8  # client 0
+    arr_off = 4
+    sb = _superblock_v0(0)
+
+    def header(eahd_addr):
+        tail = bytes([4, max_bits, iblk_elmts, sup_min, dblk_min,
+                      page_bits]) + struct.pack("<Q", eahd_addr)
+        return _v1_header([
+            (0x0001, _dataspace((nchunks * chunk,))),
+            (0x0003, _dtype("<f8")),
+            (0x0008, _layout_v4((chunk,), 8, tail)),
+        ])
+
+    eahd_addr = len(sb) + len(header(0))
+    iblk_addr = eahd_addr + _EAHD_LEN
+    # geometry: ndblk_addrs=2 (sblk0 1x2, sblk1 1x4), nsblk_addrs=14
+    iblk_len = 4 + 1 + 1 + 8 + 2 * elt + 2 * 8 + 14 * 8 + 4
+
+    def dblk_len(n):
+        return 4 + 1 + 1 + 8 + arr_off + n * elt + 4
+
+    def paged_dblk_len(n):
+        pages = n // 4
+        return 4 + 1 + 1 + 8 + arr_off + 4 + pages * (4 * elt + 4)
+
+    sblk2_len = 4 + 1 + 1 + 8 + arr_off + 2 * 8 + 4
+    # sblk3: 2 dblks x 8 elmts, paged -> 4 bitmap bits -> 1 byte
+    sblk3_len = 4 + 1 + 1 + 8 + arr_off + 1 + 2 * 8 + 4
+
+    pos = iblk_addr + iblk_len
+    d0 = pos; pos += dblk_len(2)          # sblk0's block (chunks 2,3)
+    d1 = pos; pos += dblk_len(4)          # sblk1's block (chunks 4..7)
+    s2 = pos; pos += sblk2_len
+    s2d0 = pos; pos += dblk_len(4)        # chunks 8..11
+    s2d1 = pos; pos += dblk_len(4)        # chunks 12..15
+    s3 = pos; pos += sblk3_len
+    s3d0 = pos; pos += paged_dblk_len(8)  # chunks 16..23 (2 pages)
+    chunk_addrs = {}
+    for ci in written:
+        chunk_addrs[ci] = pos
+        pos += chunk * 8
+
+    U = 2**64 - 1
+
+    def addr_of(ci):
+        return chunk_addrs.get(ci, U)
+
+    iblk = bytearray(b"EAIB\x00\x00" + struct.pack("<Q", eahd_addr))
+    for ci in (0, 1):
+        iblk += struct.pack("<Q", addr_of(ci))
+    iblk += struct.pack("<QQ", d0, d1)
+    iblk += struct.pack("<QQ", s2, s3) + struct.pack("<Q", U) * 12
+    iblk += bytes(4)
+    assert len(iblk) == iblk_len
+
+    def dblk(first_ci, n):
+        b = bytearray(b"EADB\x00\x00" + struct.pack("<Q", eahd_addr))
+        b += (0).to_bytes(arr_off, "little")
+        for ci in range(first_ci, first_ci + n):
+            b += struct.pack("<Q", addr_of(ci))
+        b += bytes(4)
+        return bytes(b)
+
+    sblk2 = bytearray(b"EASB\x00\x00" + struct.pack("<Q", eahd_addr))
+    sblk2 += (0).to_bytes(arr_off, "little")
+    sblk2 += struct.pack("<QQ", s2d0, s2d1) + bytes(4)
+
+    sblk3 = bytearray(b"EASB\x00\x00" + struct.pack("<Q", eahd_addr))
+    sblk3 += (0).to_bytes(arr_off, "little")
+    sblk3 += bytes([0b0001])  # d0 pg0 init, d0 pg1 NOT, d1 pages n/a
+    sblk3 += struct.pack("<QQ", s3d0, U) + bytes(4)
+    assert len(sblk3) == sblk3_len
+
+    pd = bytearray(b"EADB\x00\x00" + struct.pack("<Q", eahd_addr))
+    pd += (0).to_bytes(arr_off, "little") + bytes(4)  # block checksum
+    for pg in range(2):
+        for ci in range(16 + pg * 4, 16 + pg * 4 + 4):
+            pd += struct.pack("<Q", addr_of(ci))
+        pd += bytes(4)  # page checksum
+    assert len(pd) == paged_dblk_len(8)
+
+    body = bytearray()
+    body += iblk + dblk(2, 2) + dblk(4, 4) + sblk2
+    body += dblk(8, 4) + dblk(12, 4) + sblk3 + pd
+    for ci in written:
+        body += data[ci * chunk : (ci + 1) * chunk].tobytes()
+
+    eahd = (
+        b"EAHD\x00" + bytes([0, elt, max_bits, iblk_elmts,
+                             dblk_min, sup_min, page_bits])
+        + bytes(6 * 8) + struct.pack("<Q", iblk_addr) + bytes(4)
+    )
+    assert len(eahd) == _EAHD_LEN
+    buf = sb + header(eahd_addr) + eahd + bytes(body)
+    v = HDF5Variable(_File(buf), "v", len(sb))
+    out = v[0 : nchunks * chunk]
+    assert np.allclose(out[:40], data[:40])       # chunks 0..19
+    assert np.isnan(out[40:]).all()               # uninit page -> fill
+    assert np.allclose(v[13:39], data[13:39])
 
 
 def test_earray_corrupt_signatures_rejected():

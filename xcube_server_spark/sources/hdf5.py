@@ -35,8 +35,9 @@ clear ``NotImplementedError``/``ValueError``):
   checksummed element pages), single-leaf v2-B-tree AND Extensible
   Array indexes — the one-unlimited-dimension/appendable layout: EAHD
   header, EAIB inline elements + direct data-block pointers, EASB
-  super blocks, unfiltered or filtered elements); paged extensible-
-  array data blocks raise
+  super blocks with page-init bitmaps over paged data blocks,
+  unfiltered or filtered elements); a paged data block directly under
+  the index block (no bitmap exists for it) raises
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32 (checksum
   verified), plus the registered plugins real files ship — LZF 32000
   (h5py's fast default, ``sources/lzf.py``), blosc 32001
@@ -1130,15 +1131,20 @@ class HDF5Variable:
         if emitted >= want:
             return
 
-        def _dblk_elements(dblk_addr: int, nelmts: int):
+        def _dblk_elements(dblk_addr: int, nelmts: int,
+                           page_init: bytes | None = None,
+                           first_bit: int = 0):
             if dblk_addr == _UNDEF:
                 for _ in range(nelmts):
                     yield (_UNDEF, 0, 0)
                 return
-            if nelmts > page_nelmts:
+            if nelmts > page_nelmts and page_init is None:
+                # page-init bits live in the owning super block; a
+                # paged block directly under the index block has none
                 raise NotImplementedError(
                     f"paged extensible-array data block ({nelmts} "
-                    f"elements > 2^{page_bits} page size)"
+                    f"elements > 2^{page_bits} page size) outside a "
+                    "super block"
                 )
             s = f.base + dblk_addr
             if buf[s : s + 4] != b"EADB":
@@ -1146,9 +1152,26 @@ class HDF5Variable:
                     "corrupt extensible-array index: bad EADB signature"
                 )
             s += 4 + 1 + 1 + 8 + arr_off_size
-            for _ in range(nelmts):
-                yield _elt(s)
-                s += elt_size
+            if nelmts <= page_nelmts:
+                for _ in range(nelmts):
+                    yield _elt(s)
+                    s += elt_size
+                return
+            # paged: prologue + block checksum, then element pages each
+            # carrying its own checksum word; uninitialized pages (bit
+            # unset in the super block's bitmap) are all-fill
+            s += 4
+            for pg in range(nelmts // page_nelmts):
+                bit = first_bit + pg
+                if page_init[bit // 8] & (1 << (bit % 8)):
+                    e = s
+                    for _ in range(page_nelmts):
+                        yield _elt(e)
+                        e += elt_size
+                else:
+                    for _ in range(page_nelmts):
+                        yield (_UNDEF, 0, 0)
+                s += page_nelmts * elt_size + 4
 
         # direct data-block pointers in the index block
         dblk_addr_base = q
@@ -1181,14 +1204,21 @@ class HDF5Variable:
                 raise ValueError(
                     "corrupt extensible-array index: bad EASB signature"
                 )
-            if sblk_dblk_nelmts[u] > page_nelmts:
-                raise NotImplementedError(
-                    "paged extensible-array super block"
-                )
             s += 4 + 1 + 1 + 8 + arr_off_size
+            page_init = None
+            npg = 0
+            if sblk_dblk_nelmts[u] > page_nelmts:
+                # paged data blocks: the super block carries one
+                # page-init bitmap covering every page of every block
+                npg = sblk_dblk_nelmts[u] // page_nelmts
+                nbits = sblk_ndblks[u] * npg
+                page_init = buf[s : s + (nbits + 7) // 8]
+                s += (nbits + 7) // 8
             for d in range(sblk_ndblks[u]):
                 (da,) = struct.unpack_from("<Q", buf, s + d * 8)
-                for elt in _dblk_elements(da, sblk_dblk_nelmts[u]):
+                for elt in _dblk_elements(
+                    da, sblk_dblk_nelmts[u], page_init, d * npg
+                ):
                     yield elt
                     emitted += 1
                     if emitted >= want:
