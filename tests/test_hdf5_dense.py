@@ -51,7 +51,8 @@ def _link_msg(name: str, target: int) -> bytes:
 def _build_dense_group(names_targets: list[tuple[str, int]],
                        btree_depth: int = 0,
                        heap_id_type: int = 0,
-                       filter_len: int = 0) -> bytes:
+                       filter_len: int = 0,
+                       two_leaves: bool = False) -> bytes:
     """Assemble the full file. Layout (addresses fixed up as we go):
     superblock | root OH | FRHP | FHDB | BTHD | BTLF."""
     blobs = [_link_msg(n, t) for n, t in names_targets]
@@ -92,16 +93,50 @@ def _build_dense_group(names_targets: list[tuple[str, int]],
     bthd_addr = fhdb_addr + len(fhdb)
 
     rec_size = 4 + 1 + off_bytes + len_bytes
-    bthd = bytearray(b"BTHD\x00\x05")        # version 0, type 5
-    bthd += struct.pack("<IHHBB", 512, rec_size, btree_depth, 100, 40)
-    btlf_addr = bthd_addr + 4 + 2 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
-    bthd += struct.pack("<QHQ", btlf_addr, len(blobs), len(blobs))
-    bthd += bytes(4)                         # checksum
+    bthd_len = 4 + 2 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    if btree_depth == 0 or not two_leaves:
+        bthd = bytearray(b"BTHD\x00\x05")    # version 0, type 5
+        bthd += struct.pack("<IHHBB", 512, rec_size, btree_depth, 100, 40)
+        btlf_addr = bthd_addr + bthd_len
+        bthd += struct.pack("<QHQ", btlf_addr, len(blobs), len(blobs))
+        bthd += bytes(4)                     # checksum
 
-    btlf = bytearray(b"BTLF\x00\x05")
-    for hid in heap_ids:
-        btlf += bytes(4) + hid               # name hash (unused) + heap ID
-    btlf += bytes(4)                         # checksum
+        btlf = bytearray(b"BTLF\x00\x05")
+        for hid in heap_ids:
+            btlf += bytes(4) + hid           # name hash (unused) + heap ID
+        btlf += bytes(4)                     # checksum
+    else:
+        # real depth-1 tree: BTIN root (1 record, 2 child pointers of
+        # address + 1-byte record count) over two BTLF leaves
+        mid = len(heap_ids) // 2
+        left, pivot, right = (
+            heap_ids[:mid], heap_ids[mid], heap_ids[mid + 1 :]
+        )
+        btin_addr = bthd_addr + bthd_len
+        btin_len = 6 + rec_size + 2 * (8 + 1) + 4
+        leaf0_addr = btin_addr + btin_len
+        leaf0_len = 6 + len(left) * rec_size + 4
+        leaf1_addr = leaf0_addr + leaf0_len
+
+        bthd = bytearray(b"BTHD\x00\x05")
+        bthd += struct.pack("<IHHBB", 512, rec_size, 1, 100, 40)
+        bthd += struct.pack("<QHQ", btin_addr, 1, len(blobs))
+        bthd += bytes(4)
+
+        btin = bytearray(b"BTIN\x00\x05")
+        btin += bytes(4) + pivot             # the one pivot record
+        btin += struct.pack("<QB", leaf0_addr, len(left))
+        btin += struct.pack("<QB", leaf1_addr, len(right))
+        btin += bytes(4)
+        assert len(btin) == btin_len
+
+        btlf = bytearray(btin)
+        for part in (left, right):
+            lf = bytearray(b"BTLF\x00\x05")
+            for hid in part:
+                lf += bytes(4) + hid
+            lf += bytes(4)
+            btlf += lf
 
     # patch link-info and FRHP root now that addresses are known
     li_body = bytes([0, 0]) + struct.pack("<QQ", frhp_addr, bthd_addr)
@@ -130,10 +165,24 @@ def test_dense_group_single_link():
     assert f.group_links(f.root_addr) == {"lonely": 0x2000}
 
 
-def test_deep_name_btree_rejected():
+def test_depth1_name_btree_reads():
+    """A REAL depth-1 v2 B-tree (BTIN root with a pivot record over two
+    BTLF leaves — the shape h5py writes once a dense group outgrows one
+    leaf) walks in key order and resolves every link."""
+    from xcube_server_spark.sources.hdf5 import _File
+
+    buf = _build_dense_group(LINKS, btree_depth=1, two_leaves=True)
+    f = _File(buf)
+    links = f.group_links(f.root_addr)
+    assert links == {n: t for n, t in LINKS}
+
+
+def test_depth1_tree_with_leaf_at_root_is_corrupt():
+    """A depth-1 header whose root bytes are a BTLF (not BTIN) is
+    structurally corrupt — loud error, never a silent misread."""
     buf = _build_dense_group(LINKS, btree_depth=1)
     f = _File(buf)
-    with pytest.raises(NotImplementedError, match="depth 1"):
+    with pytest.raises(ValueError, match="BTIN"):
         f.group_links(f.root_addr)
 
 

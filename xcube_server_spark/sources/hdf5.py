@@ -16,9 +16,10 @@ clear ``NotImplementedError``/``ValueError``):
 - groups as v1 symbol tables (B-tree v1 + local heap + SNOD — the
   netCDF4 default), as compact Link messages, AND as dense storage
   (h5py libver='latest' beyond 8 links: fractal-heap link messages
-  located via the name-index v2 B-tree; single-leaf trees and root
-  direct / one-level indirect heap blocks — deeper trees, huge/tiny
-  heap IDs and filtered heap blocks raise)
+  located via the name-index v2 B-tree at any depth (BTIN internal
+  nodes with capacity-derived pointer widths); root direct /
+  one-level indirect heap blocks — huge/tiny heap IDs and filtered
+  heap blocks raise)
 - dataspace v1/v2; datatypes: fixed-point and IEEE float (either byte
   order), fixed strings, object references, vlen sequences (for
   ``DIMENSION_LIST``), vlen-STRING datasets (descriptors resolved
@@ -32,7 +33,7 @@ clear ``NotImplementedError``/``ValueError``):
   chunk index at any nesting level) AND layout v4 (h5py
   libver='latest': Single Chunk, Implicit, paged or unpaged Fixed
   Array (paged = the many-chunk shape: page-init bitmap + per-page
-  checksummed element pages), single-leaf v2-B-tree AND Extensible
+  checksummed element pages), any-depth v2-B-tree AND Extensible
   Array indexes — the one-unlimited-dimension/appendable layout: EAHD
   header, EAIB inline elements + direct data-block pointers, EASB
   super blocks with page-init bitmaps over paged data blocks,
@@ -447,32 +448,81 @@ class _File:
         return links
 
     def _btree_v2_leaf_records(self, addr: int) -> tuple[int, list[bytes]]:
-        """Records of a depth-0 v2 B-tree (``BTHD`` header + one ``BTLF``
-        leaf — the shape h5py writes for dense groups up to hundreds of
-        links; deeper trees raise a clear error)."""
+        """All records of a v2 B-tree, in key order: ``BTHD`` header,
+        ``BTIN`` internal nodes (records first, then child pointers of
+        ``address + min-width record count [+ min-width subtree total
+        when depth > 1]``) down to ``BTLF`` leaves. Node capacities —
+        which fix the pointer field widths — follow libhdf5's H5B2
+        arithmetic from the header's node size and record size."""
         buf = self.buf
         if buf[addr : addr + 4] != b"BTHD":
             raise ValueError("corrupt v2 B-tree: bad BTHD signature")
         p = addr + 4
         btype = buf[p + 1]
+        node_size = struct.unpack_from("<I", buf, p + 2)[0]
         rec_size = struct.unpack_from("<H", buf, p + 6)[0]
         depth = struct.unpack_from("<H", buf, p + 8)[0]
         root = struct.unpack_from("<Q", buf, p + 12)[0]
         nrec = struct.unpack_from("<H", buf, p + 20)[0]
-        if depth != 0:
-            raise NotImplementedError(
-                f"v2 B-tree of depth {depth} (single-leaf trees only)"
-            )
         if root == _UNDEF or nrec == 0:
             return btype, []
-        leaf = self.base + root
-        if buf[leaf : leaf + 4] != b"BTLF":
-            raise ValueError("corrupt v2 B-tree: bad BTLF signature")
-        q = leaf + 6  # signature + version + type
-        return btype, [
-            bytes(buf[q + i * rec_size : q + (i + 1) * rec_size])
-            for i in range(nrec)
-        ]
+
+        def _enc(v: int) -> int:
+            return max(1, (int(v).bit_length() + 7) // 8)
+
+        # max records per node at each depth (H5B2 capacity arithmetic;
+        # 10 = sig + version + type + checksum overhead)
+        leaf_max = (node_size - 10) // rec_size
+        max_nrec = [leaf_max]
+        cum_max = [leaf_max]
+        for d in range(1, depth + 1):
+            ptr = 8 + _enc(max_nrec[d - 1]) + (
+                _enc(cum_max[d - 1]) if d > 1 else 0
+            )
+            imax = (node_size - 10 - ptr) // (rec_size + ptr)
+            max_nrec.append(imax)
+            cum_max.append(imax + (imax + 1) * cum_max[d - 1])
+
+        records: list[bytes] = []
+
+        def walk(a: int, d: int, n: int) -> None:
+            s = self.base + a
+            if d == 0:
+                if buf[s : s + 4] != b"BTLF":
+                    raise ValueError(
+                        "corrupt v2 B-tree: bad BTLF signature"
+                    )
+                q = s + 6
+                for i in range(n):
+                    records.append(
+                        bytes(buf[q + i * rec_size
+                                  : q + (i + 1) * rec_size])
+                    )
+                return
+            if buf[s : s + 4] != b"BTIN":
+                raise ValueError("corrupt v2 B-tree: bad BTIN signature")
+            q = s + 6
+            recs = [
+                bytes(buf[q + i * rec_size : q + (i + 1) * rec_size])
+                for i in range(n)
+            ]
+            q += n * rec_size
+            nrec_w = _enc(max_nrec[d - 1])
+            tot_w = _enc(cum_max[d - 1]) if d > 1 else 0
+            childs = []
+            for _ in range(n + 1):
+                (ca,) = struct.unpack_from("<Q", buf, q)
+                q += 8
+                cn = int.from_bytes(buf[q : q + nrec_w], "little")
+                q += nrec_w + tot_w
+                childs.append((ca, cn))
+            for i, (ca, cn) in enumerate(childs):
+                walk(ca, d - 1, cn)
+                if i < n:
+                    records.append(recs[i])
+
+        walk(root, depth, nrec)
+        return btype, records
 
     def _parse_link(self, body: bytes) -> tuple[str, int]:
         flags = body[1]
