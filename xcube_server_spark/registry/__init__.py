@@ -52,7 +52,8 @@ for _m in (
 # each round to maximize hard signal. Round 8 rotation, by the documented
 # policy (changed-first, then stalest, alphabetical within a vintage):
 # (a) queries NEW this round (corpus_shuffle / bpe_first_merges /
-# text_nfc_normalize / dedup_levenshtein pipeline operators; blosclz /
+# text_nfc_normalize / dedup_levenshtein / embed_kmeans_lloyd pipeline
+# operators; blosclz /
 # standalone-zstd / raw-lz4 / v3-sharded zarr gates — first-ever driver
 # rows for the new pure-Python codecs) plus
 # queries whose CODE PATH changed this round and need re-proving
@@ -60,17 +61,18 @@ for _m in (
 # zarr_v3_ingest_stats the refactored v3 codec chain, zarr_ingest_stats_http
 # the store get_range/LRU refactor, zarr_ingest_stats_blosc the blosc
 # codec-id dispatch); then (b) the STALEST driver-green rows — all 18
-# r3-vintage queries and the alphabetically-first 20 of the 42 r4-vintage
+# r3-vintage queries and the alphabetically-first 19 of the 42 r4-vintage
 # ones — so the stalest green after r8 is r4-vintage. Everything past
 # position 50 is overflow: multiply-green in prior rounds AND re-proven by
 # the local DuckDB-oracle replica (tests/test_correctness.py) on every
-# pytest run. The remaining 22 r4-vintage rows head the r9 rotation.
+# pytest run. The remaining 23 r4-vintage rows head the r9 rotation.
 _PRIORITY = [
     # (a) new in round 8
     "corpus_shuffle",
     "bpe_first_merges",
     "text_nfc_normalize",
     "dedup_levenshtein",
+    "embed_kmeans_lloyd",
     "zarr_ingest_stats_blosclz",
     "zarr_ingest_stats_zstd",
     "zarr_ingest_stats_lz4",
@@ -99,7 +101,7 @@ _PRIORITY = [
     "text_tokens",
     "unigram_logprob",
     "vocab_top_tokens",
-    # (b) ... then the alphabetically-first 20 r4-vintage rows
+    # (b) ... then the alphabetically-first 19 r4-vintage rows
     "anomaly_zscore_daily",
     "array_dim_stats",
     "bigram_top",
@@ -118,16 +120,16 @@ _PRIORITY = [
     "hypertable_rollup_daily",
     "kmv_distinct_sketch",
     "merge_upsert_docs",
-    "morton_zorder_cells",
-    "pmi_collocations",  # <- window position 50
+    "morton_zorder_cells",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "pmi_collocations",
     "q12_priority_shipping",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "rolling_median_daily",
     "sample_temperature",
-    # remaining r4-vintage (next rotation's head, with the 5 rows
-    # directly above, 22 rows)
+    # remaining r4-vintage (next rotation's head, with the 6 rows
+    # directly above, 23 rows)
     "session_paths_topk",
     "snapshot_diff",
     "stream_dedupe_events",

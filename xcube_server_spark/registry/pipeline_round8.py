@@ -212,6 +212,113 @@ ORDER BY doc_a, doc_b
 QUERIES["dedup_levenshtein"] = dedup_levenshtein
 
 
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table (k=4, two
+    fixed iterations) — the clustering primitive behind
+    cluster-balanced sampling, SemDeDup-style pruning and IVF coarse
+    quantizers. Spark shape: centroids are DRIVER-SIDED model state
+    (k x D doubles — the same discipline as the IVF/PQ codebooks),
+    broadcast into a JVM-side ``zip_with``/``aggregate`` distance
+    expression; assignment is an argmin via orderable structs
+    (distance, cluster-id) so ties break deterministically; the update
+    is one posexplode + groupBy(cluster, dim) partial-aggregated
+    shuffle. Determinism across engines: centroids are rounded to 1e-6
+    after init and after each update, so FP summation-order noise
+    cannot leak into the next iteration's distances."""
+    import math
+
+    def rnd6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    k, dims = 4, 64
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    init = emb.orderBy("vec_id").limit(k).collect()
+    cents = [[rnd6(float(v)) for v in r.ev] for r in init]
+
+    def assign(df: DataFrame, cs) -> DataFrame:
+        cands = []
+        for i, c in enumerate(cs):
+            carr = F.array(*[F.lit(float(v)) for v in c])
+            dist = F.sqrt(F.aggregate(
+                F.zip_with(
+                    F.col("ev"), carr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ))
+            cands.append(
+                F.struct(dist.alias("d"), F.lit(i).alias("cl"))
+            )
+        return df.withColumn("cl", F.least(*cands).getField("cl"))
+
+    rows = (
+        assign(emb, cents)
+        .select("cl", F.posexplode("ev").alias("dim", "v"))
+        .groupBy("cl", "dim")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    by_cl: dict = {}
+    for r in rows:
+        by_cl.setdefault(r.cl, {})[r.dim] = rnd6(r.m)
+    cents1 = [[by_cl[i][d] for d in range(dims)] for i in range(k)]
+
+    cdf = spark.createDataFrame(
+        [(i, *cents1[i][:4]) for i in range(k)],
+        "cluster_id bigint, c_d0 double, c_d1 double, "
+        "c_d2 double, c_d3 double",
+    )
+    counts = (
+        assign(emb, cents1)
+        .groupBy(F.col("cl").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+    return (
+        counts.join(F.broadcast(cdf), "cluster_id")
+        .select(
+            "cluster_id", "n_members", "c_d0", "c_d1", "c_d2", "c_d3"
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLES["embed_kmeans_lloyd"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         [floor(x * 1000000.0 + 0.5) / 1000000.0 FOR x IN ev] AS cv
+  FROM e ORDER BY vec_id LIMIT 4
+), a1 AS (
+  SELECT e.vec_id, e.ev,
+         (SELECT c.cl FROM c0 c
+          ORDER BY list_distance(e.ev, c.cv), c.cl LIMIT 1) AS cl
+  FROM e
+), m1 AS (
+  SELECT a1.cl, i.i AS dim,
+         floor(avg(a1.ev[i.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cl, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cl
+), a2 AS (
+  SELECT e.vec_id, e.ev,
+         (SELECT c.cl FROM c1 c
+          ORDER BY list_distance(e.ev, c.cv), c.cl LIMIT 1) AS cl
+  FROM e
+)
+SELECT CAST(a2.cl AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(c.cv[1]) AS c_d0, min(c.cv[2]) AS c_d1,
+       min(c.cv[3]) AS c_d2, min(c.cv[4]) AS c_d3
+FROM a2 JOIN c1 c ON a2.cl = c.cl
+GROUP BY 1 ORDER BY 1
+"""
+QUERIES["embed_kmeans_lloyd"] = embed_kmeans_lloyd
+
+
 ORACLES["bpe_first_merges"] = """
 WITH words AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
