@@ -22,6 +22,7 @@ from . import (
     pipeline_round5,
     pipeline_round5b,
     pipeline_round8,
+    pipeline_round8b,
     relational,
     relational_ext,
     streaming_queries,
@@ -42,6 +43,7 @@ for _m in (
     pipeline_round5,
     pipeline_round5b,
     pipeline_round8,
+    pipeline_round8b,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -67,6 +69,17 @@ for _m in (
 # the local DuckDB-oracle replica (tests/test_correctness.py) on every
 # pytest run. The remaining 23 r4-vintage rows head the r9 rotation.
 _PRIORITY = [
+    # (a) new in round 8 (late batch): analytics/sketch/streaming operators
+    # added after the first r8 rotation — changed-first policy puts them at
+    # the head; the 7 r4-vintage rows they displace (embed_quantize_int8 ..
+    # morton_zorder_cells) drop to overflow and head the r9 rotation
+    "ts_downsample_m4",
+    "trend_theil_sen",
+    "market_basket_lift",
+    "skew_key_census",
+    "distinct_hll_sketch",
+    "embed_random_projection",
+    "stream_static_enrich_live",
     # (a) new in round 8
     "corpus_shuffle",
     "bpe_first_merges",
@@ -113,15 +126,16 @@ _PRIORITY = [
     "doc_length_percentiles",
     "embed_ann_lsh",
     "embed_cosine_topk",
-    "embed_neardup_cosine",
+    "embed_neardup_cosine",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
+    # displaced by the late-r8 batch; these 7 head the r9 rotation
     "embed_quantize_int8",
     "event_attribution",
     "event_funnel",
     "hypertable_rollup_daily",
     "kmv_distinct_sketch",
     "merge_upsert_docs",
-    "morton_zorder_cells",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
+    "morton_zorder_cells",
     "pmi_collocations",
     "q12_priority_shipping",
     "q1_pricing_summary",

@@ -1,0 +1,472 @@
+"""Analytics + curation operators, round 8b: visualization downsampling,
+robust trends, association rules, skew diagnostics, portable cardinality
+sketches and JL random projection.
+
+Every operator follows the house discipline — one keyed shuffle where one
+is inherent, broadcast for scalar/dim sides, integer or rounded-double
+arithmetic so the DuckDB oracle agrees bit-for-bit:
+
+- ``ts_downsample_m4`` — the M4 width-preserving time-series downsampler
+  (Jugel et al., VLDB 2014): per (series, pixel-bucket) emit min / max /
+  first / last, the exact four points a pixel-perfect line render needs.
+  The per-series bucket count is the output bound, so a 100 TB series
+  table reduces in ONE partial-aggregated shuffle to pixels x series rows.
+- ``trend_theil_sen`` — Theil-Sen robust trend per series: median of all
+  pairwise slopes of the DAILY aggregate. The quadratic pair join runs on
+  the 30-row-per-series daily table (bounded), never on raw events.
+- ``market_basket_lift`` — association-rule mining over order baskets:
+  support / confidence / lift for co-purchased part pairs. The pair
+  generation joins on the basket key (bounded basket width), item and
+  order totals are broadcast.
+- ``skew_key_census`` — the shuffle-health diagnostic this engine's own
+  planner notes prescribe: per-key row counts vs the uniform share, the
+  top heavy keys and their skew ratio. Two aggregate passes, both partial.
+- ``distinct_hll_sketch`` — HyperLogLog register construction in PURE SQL
+  arithmetic (md5 -> 60-bit hash; 6-bit register index; rho = leading
+  zeros of the remaining 54 bits) with an EXACT integer register sum
+  (``sum(2^(56 - rho))`` as bigint, no float-order noise), so Spark and
+  DuckDB build bit-identical sketches. Mergeable across partitions by
+  construction (register max is associative+commutative) — the portable
+  twin of the KMV sketch family (``kmv_distinct_sketch``).
+- ``embed_random_projection`` — Johnson-Lindenstrauss sign projection
+  (64 -> 8 dims) with a deterministic +-1 matrix derived from md5, the
+  standard cheap preconditioner before LSH / clustering at scale.
+  Map-only: the matrix is a literal in the plan (codegen'd), no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+from ._util import rnd as _rnd
+
+QUERIES = {}
+ORACLES = {}
+
+_M4_PIXELS = 64
+
+
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (event_type, pixel) the min/max/first/last of
+    ``value``. Pixel = equal-width time bucket over the observed range
+    (integer microsecond arithmetic, no float). min/max/first/last of
+    doubles are exact (no summation), so no rounding is needed; there are
+    no duplicate timestamps per series in the driver tables, making
+    ``min_by(value, ts)`` / ``arg_min`` deterministic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        (F.unix_micros(F.max("ts")) + F.lit(1)).alias("t1"),
+    )
+    # integer division on BOTH engines: double division + cast disagrees
+    # (Spark's double->bigint cast truncates, DuckDB's rounds) and the
+    # 60-bit numerator would lose low bits in a double anyway
+    px = F.expr(
+        f"(unix_micros(ts) - t0) * {_M4_PIXELS}L div (t1 - t0)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("event_type", px.alias("px"), "ts", "value")
+        .groupBy("event_type", "px")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.expr("min_by(value, ts)").alias("v_first"),
+            F.expr("max_by(value, ts)").alias("v_last"),
+        )
+        .orderBy("event_type", "px")
+    )
+
+
+ORACLES["ts_downsample_m4"] = f"""
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) + 1 AS t1 FROM events
+)
+SELECT event_type,
+       (epoch_us(ts) - t0) * {_M4_PIXELS} // (t1 - t0) AS px,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(value) AS v_min,
+       max(value) AS v_max,
+       arg_min(value, ts) AS v_first,
+       arg_max(value, ts) AS v_last
+FROM events CROSS JOIN bounds
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+QUERIES["ts_downsample_m4"] = ts_downsample_m4
+
+
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per event_type over the daily mean value.
+
+    Daily means are rounded to 1e-6 BEFORE pairing (summation-order noise
+    must not leak into slopes); slopes are exact arithmetic on the rounded
+    means; the pair count per series is odd (30 days -> 435 pairs), so the
+    median is an exact element on both engines — no interpolation."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+        )
+        .agg(_rnd(F.avg("value"), 6).alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v")) / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            _rnd(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["trend_theil_sen"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type, (b.v - a.v) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(quantile_cont(slope, 0.5) * 1000000.0 + 0.5) / 1000000.0
+         AS ts_slope
+FROM slopes GROUP BY 1 ORDER BY 1
+"""
+QUERIES["trend_theil_sen"] = trend_theil_sen
+
+
+_BASKET_MIN_SUPPORT = 5
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: top part pairs by lift.
+
+    basket = distinct (order, part); the pair join is keyed on the order
+    (basket width is bounded — TPC-H orders hold <= ~13 parts, real carts
+    are similar), item-frequency and order-count sides are broadcast.
+    lift = P(a,b) / (P(a) P(b)) computed as one double division over
+    exact integer counts, rounded 1e-4; ordering ties break on the pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("item_cnt")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b")
+    )
+    lift = _rnd(
+        F.col("pair_cnt")
+        * F.col("n_orders")
+        / (F.col("cnt_a") * F.col("cnt_b")),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            lift.alias("lift"),
+            _rnd(F.col("pair_cnt") / F.col("cnt_a"), 4).alias("conf_a_b"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+ORACLES["market_basket_lift"] = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket
+), item AS (
+  SELECT l_partkey, count(*) AS item_cnt FROM basket GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, pair_cnt,
+       floor(pair_cnt * n.n_orders / (ia.item_cnt * ib.item_cnt)
+             * 10000.0 + 0.5) / 10000.0 AS lift,
+       floor(pair_cnt / ia.item_cnt * 10000.0 + 0.5) / 10000.0 AS conf_a_b
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.l_partkey
+JOIN item ib ON pairs.part_b = ib.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 15
+"""
+QUERIES["market_basket_lift"] = market_basket_lift
+
+
+def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic: the 10 heaviest join/shuffle keys of
+    ``lineitem.l_partkey`` with their share of all rows and their ratio to
+    the mean key load — the census a planner consults before choosing
+    salting / AQE skew-join thresholds. Two partial-aggregated passes
+    (key counts, then global stats broadcast back as scalars)."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    stats = keys.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        keys.crossJoin(F.broadcast(stats))
+        .select(
+            "l_partkey",
+            "cnt",
+            _rnd(F.col("cnt") * 100.0 / F.col("total"), 4).alias(
+                "share_pct"
+            ),
+            _rnd(
+                F.col("cnt") * F.col("n_keys") / F.col("total"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(10)
+    )
+
+
+ORACLES["skew_key_census"] = """
+WITH keys AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT sum(cnt) AS total, count(*) AS n_keys FROM keys
+)
+SELECT l_partkey, cnt,
+       floor(cnt * 100.0 / total * 10000.0 + 0.5) / 10000.0 AS share_pct,
+       floor(cnt * n_keys / total * 10000.0 + 0.5) / 10000.0 AS skew_ratio
+FROM keys CROSS JOIN stats
+ORDER BY cnt DESC, l_partkey
+LIMIT 10
+"""
+QUERIES["skew_key_census"] = skew_key_census
+
+
+# HLL parameters: p=6 -> m=64 registers; 60-bit md5-prefix hash; the
+# remaining 54 bits feed rho (leading-zero count + 1, range 1..55).
+# alpha_64 = 0.709 (Flajolet et al. 2007, m=64). The register sum is kept
+# EXACT: sum(2^(56 - rho)) over all 64 registers as a bigint (max
+# 64 * 2^55 < 2^63), so the only float op is the final division.
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+_HLL_SCALE = 1 << 56
+
+
+def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, built from md5
+    in pure SQL arithmetic (engine-portable: DuckDB constructs the SAME
+    sketch bit-for-bit), reported next to the exact distinct count.
+    At 100 TB the register table is the ONLY shuffled state: m rows per
+    group regardless of input rows, and register max merges associatively
+    across partitions (partial aggregation does the heavy lifting)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.expr(
+        "cast(conv(substring(md5(concat('u', cast(user_id as string)))"
+        ", 1, 15), 16, 10) as bigint)"
+    )
+    hashed = ev.select(
+        "event_type",
+        "user_id",
+        (h % _HLL_M).alias("idx"),
+        # integer div, NOT double: h has 60 bits — a double round-trip
+        # would corrupt the low bits DuckDB keeps exactly
+        h.alias("h"),
+    ).withColumn("w", F.expr(f"h div {_HLL_M}")).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.expr("bin(w)"))
+        ),
+    )
+    regs = hashed.groupBy("event_type", "idx").agg(
+        F.max("rho").alias("r")
+    )
+    sketch = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(1L, cast(56 - r as int))"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    est = _rnd(
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_SCALE))
+        / (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(_HLL_SCALE)
+        ),
+        4,
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        sketch.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            (F.lit(_HLL_M) - F.col("n_regs"))
+            .cast("bigint")
+            .alias("zero_regs"),
+            est.alias("hll_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["distinct_hll_sketch"] = f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         h % {_HLL_M} AS idx,
+         h // {_HLL_M} AS w
+  FROM (
+    SELECT event_type, user_id,
+           ('0x' || substr(md5(concat('u', CAST(user_id AS VARCHAR))),
+                           1, 15))::BIGINT AS h
+    FROM events
+  )
+), rhos AS (
+  SELECT event_type, idx,
+         CASE WHEN w = 0 THEN 55
+              ELSE 55 - length(bin(w)) END AS rho
+  FROM hashed
+), regs AS (
+  SELECT event_type, idx, max(rho) AS r FROM rhos GROUP BY 1, 2
+), sketch AS (
+  SELECT event_type,
+         sum((1::BIGINT << (56 - r))::BIGINT) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT sketch.event_type,
+       CAST({_HLL_M} - n_regs AS BIGINT) AS zero_regs,
+       floor({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {float(_HLL_SCALE)}
+             / (s_present + ({_HLL_M} - n_regs) * {_HLL_SCALE})
+             * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+       exact_distinct
+FROM sketch JOIN exact ON sketch.event_type = exact.event_type
+ORDER BY 1
+"""
+QUERIES["distinct_hll_sketch"] = distinct_hll_sketch
+
+
+_RP_IN_DIMS = 64
+_RP_OUT_DIMS = 8
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic +-1 sign matrix: row j, column i gets the parity of
+    md5('rp:{j}:{i}')'s first byte. Reproducible on any engine/run — the
+    whole model state is 512 literals in the plan."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"rp:{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(_RP_IN_DIMS)
+        ]
+        for j in range(_RP_OUT_DIMS)
+    ]
+
+
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign projection of the 64-d embeddings to 8 dims: proj_j =
+    <ev, R_j> with R in {-1, +1}. Each product is EXACT (multiply by
+    +-1); only the 64-term sum rounds, damped to 1e-4. Map-only: the
+    matrix lives in the plan as literals, there is no shuffle and no
+    Python in the path (JVM ``zip_with``/``aggregate``)."""
+    mat = _rp_matrix()
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    cols = [
+        _rnd(
+            F.aggregate(
+                F.zip_with(
+                    F.col("ev"),
+                    F.array(*[F.lit(v) for v in mat[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias(f"p{j}")
+        for j in range(_RP_OUT_DIMS)
+    ]
+    return emb.select("vec_id", *cols).orderBy("vec_id").limit(40)
+
+
+def _rp_oracle() -> str:
+    mat = _rp_matrix()
+    cols = ",\n       ".join(
+        "floor(list_dot_product(ev, CAST(["
+        + ", ".join(str(v) for v in mat[j])
+        + "] AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS p"
+        + str(j)
+        for j in range(_RP_OUT_DIMS)
+    )
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+ORDER BY vec_id
+LIMIT 40
+"""
+
+
+ORACLES["embed_random_projection"] = _rp_oracle()
+QUERIES["embed_random_projection"] = embed_random_projection

@@ -892,3 +892,69 @@ from .pipeline_queries import ORACLE_MINHASH as _ORACLE_MINHASH
 
 QUERIES["stream_neardup_minhash_live"] = stream_neardup_minhash_live
 ORACLES["stream_neardup_minhash_live"] = _ORACLE_MINHASH
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: the dimension-lookup pattern, live
+# ---------------------------------------------------------------------------
+
+
+def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN executed as a real streaming job: the event
+    stream enriches against the broadcast customer dimension (user_id ->
+    market segment) inside the micro-batch, then aggregates per
+    (segment, event_type) — the canonical Structured Streaming
+    dimension-lookup shape (stream-static inner joins are STATELESS: each
+    micro-batch joins map-side against the broadcast table, no join state
+    store, no watermark requirement).
+
+    100 TB: the dimension stays a broadcast (or a Delta/parquet snapshot
+    re-read per trigger for slowly-changing dims); per-trigger cost is the
+    micro-batch scan + one partial-aggregated shuffle of segment x type
+    cells. The batch oracle verifies the full enrich+aggregate chain.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.run import run_stream_to_batch
+    from ._util import rnd
+
+    staged = _staged_events(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+
+    def enrich_and_count(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(dim, "user_id")  # stateless map-side broadcast
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+
+    out = run_stream_to_batch(
+        spark, staged, enrich_and_count, output_mode="complete"
+    )
+    # float summation folds across micro-batch partials: round at read
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        rnd("sum_value", 4).alias("sum_value"),
+    ).orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_STREAM_STATIC_ENRICH = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(e.value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_static_enrich_live"] = stream_static_enrich_live
+ORACLES["stream_static_enrich_live"] = ORACLE_STREAM_STATIC_ENRICH
