@@ -68,17 +68,21 @@ BENCH_QUERIES = [
     "embed_ivfpq_ann",
     "embed_neardup_cosine",
     "embed_outlier_centroid",
-    # text / quality
+    # text / quality (text_tokens swapped out r8d for basket lift — the
+    # family stays covered by text_quality; the list is at its size cap)
     "text_quality",
-    "text_tokens",
     "quality_gopher_rules",
     "quality_c4_rules",
     "perplexity_buckets",
     "unigram_logprob",
     "pmi_collocations",
     "tfidf_top_terms",
-    "vocab_coverage",
     "ngram_novelty",
+    # round-8b additions (vocab_coverage swapped out — tfidf/unigram keep
+    # the vocab family covered): the pair join is the heaviest new plan,
+    # the HLL sketch is the hash-heavy aggregate shape
+    "market_basket_lift",
+    "distinct_hll_sketch",
     # retrieval + live dedup index (round-7 additions, r8 bench signal)
     "bm25_search",
     "stream_neardup_minhash_live",
