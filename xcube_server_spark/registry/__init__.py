@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from . import (
     cube_analog,
+    cube_climate,
     cube_queries,
     pipeline_analytics,
     pipeline_curation,
@@ -34,6 +35,7 @@ for _m in (
     relational,
     relational_ext,
     cube_analog,
+    cube_climate,
     cube_queries,
     pipeline_queries,
     pipeline_ext,
@@ -73,6 +75,8 @@ _PRIORITY = [
     # added after the first r8 rotation — changed-first policy puts them at
     # the head; the 7 r4-vintage rows they displace (embed_quantize_int8 ..
     # morton_zorder_cells) drop to overflow and head the r9 rotation
+    "cube_climatology_anomaly",
+    "cube_exceedance_streak",
     "ts_downsample_m4",
     "trend_theil_sen",
     "market_basket_lift",
@@ -124,11 +128,11 @@ _PRIORITY = [
     "dedup_normalized",
     "dedup_retention_summary",
     "doc_length_percentiles",
-    "embed_ann_lsh",
-    "embed_cosine_topk",
-    "embed_neardup_cosine",  # <- window position 50
+    "embed_ann_lsh",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the late-r8 batch; these 7 head the r9 rotation
+    # displaced by the late-r8 batch; these 9 head the r9 rotation
+    "embed_cosine_topk",
+    "embed_neardup_cosine",
     "embed_quantize_int8",
     "event_attribution",
     "event_funnel",

@@ -1,0 +1,199 @@
+"""Cube-native climate analytics over a multi-year monthly cube:
+climatology / deseasonalized anomaly and exceedance streaks.
+
+The reference serves per-step spatial statistics of a cube
+(``xcube_server/controllers/time_series.py``); the two classic products a
+climate user derives NEXT are (a) the **monthly climatology** (xarray's
+``groupby('time.month').mean()``) and the per-slice anomaly against it —
+the deseasonalized series — and (b) **exceedance streaks** (longest run
+of consecutive time steps above a threshold per cell — marine-heatwave /
+bloom-duration analysis). Both are implemented Spark-first here and
+verified against DuckDB over the same materialized cube parquet.
+
+The 5-slice demo fixture is single-month, so these gates build a SECOND
+deterministic fixture with the same generator (`synth_demo_cube`) and the
+same production layout (`write_cube`: time-partitioned latitude bands):
+24 monthly slices (2016-01 .. 2017-12) on a 50x25 grid. Every month has
+exactly TWO member slices, so the climatology mean is an average of two
+values — exact in IEEE regardless of summation order, which keeps the
+join-back anomaly arithmetic bit-identical across engines without
+intermediate rounding.
+
+Scale notes (100 TB):
+- climatology: one aggregate keyed (cell, month) — 12 rows per cell
+  regardless of series length — then a join back on the SAME key (the
+  exchange is reusable) and one per-slice spatial reduce. No window, no
+  driver state.
+- streaks: the gaps-and-islands window is partitioned per cell and
+  bounded by the time dimension (the short axis of any satellite cube);
+  the output is a streak-length histogram, bounded by n_t.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import rnd
+from .cube_queries import _gate_path
+
+QUERIES = {}
+ORACLES = {}
+
+_CW, _CH = 50, 25
+_CLIM_TIMES = tuple(
+    f"{2016 + i // 12}-{i % 12 + 1:02d}-15 10:00:00" for i in range(24)
+)
+_STREAK_THRESHOLD = 5.0
+
+
+def _clim_base() -> str:
+    return _gate_path(f"xss_gate_cube_clim_{_CW}x{_CH}_v1")
+
+
+def _clim_fixture(spark: SparkSession) -> str:
+    """Materialize the 24-month cube once (catalog-last write protocol of
+    `_demo_catalog`: the `_DONE` marker is written after the tables)."""
+    from ..sources.cube_ingest import synth_demo_cube, write_cube
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _clim_base()
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        cube, grid = synth_demo_cube(
+            spark, width=_CW, height=_CH, times=_CLIM_TIMES
+        )
+        write_cube(cube, grid, base, tile_size=32)
+        with open(marker, "w"):
+            pass
+    return os.path.join(base, "l0")
+
+
+def cube_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly climatology + deseasonalized anomaly series of ``kd489``
+    (sf_dir unused — the cube is the engine's own fixture, like every
+    cube gate). Output: per slice, the spatial mean anomaly against that
+    calendar month's climatology — flat for a pure seasonal signal,
+    trending for a real trend (the fixture has a linear time trend, so
+    the anomaly alternates -3/+3 months of the trend step)."""
+    l0 = spark.read.parquet(_clim_fixture(spark))
+    cells = l0.select(
+        "lat_idx",
+        "lon_idx",
+        "time_idx",
+        "time",
+        F.month("time").alias("m"),
+        F.col("kd489").cast("double").alias("v"),
+    )
+    clim = cells.groupBy("lat_idx", "lon_idx", "m").agg(
+        F.avg("v").alias("clim")  # exactly 2 members: IEEE-exact mean
+    )
+    return (
+        cells.join(clim, ["lat_idx", "lon_idx", "m"])
+        .groupBy("time_idx")
+        .agg(
+            F.date_format(F.min("time"), "yyyy-MM").alias("ym"),
+            F.count(F.lit(1)).cast("bigint").alias("n_valid"),
+            rnd(F.avg(F.col("v") - F.col("clim")), 6).alias("mean_anom"),
+        )
+        .orderBy("time_idx")
+    )
+
+
+def _clim_oracle() -> str:
+    scan = (
+        f"read_parquet('{os.path.join(_clim_base(), 'l0', '*', '*.parquet')}'"
+        ", hive_partitioning=1)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT lat_idx, lon_idx, time_idx, time, month(time) AS m,
+         CAST(kd489 AS DOUBLE) AS v
+  FROM {scan}
+), clim AS (
+  SELECT lat_idx, lon_idx, m, avg(v) AS clim
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT time_idx,
+       strftime(min(time), '%Y-%m') AS ym,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       floor(avg(v - clim) * 1000000.0 + 0.5) / 1000000.0 AS mean_anom
+FROM cells JOIN clim USING (lat_idx, lon_idx, m)
+GROUP BY time_idx
+ORDER BY time_idx
+"""
+
+
+QUERIES["cube_climatology_anomaly"] = cube_climatology_anomaly
+
+
+def cube_exceedance_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-time-step exceedance run per cell
+    (``kd489 > 5.0``), reported as a streak-length histogram — the
+    duration statistic behind marine-heatwave / bloom-persistence
+    products. Gaps-and-islands: ``time_idx - row_number()`` is constant
+    within a consecutive run; the window is per-cell and bounded by the
+    time dimension. The float threshold compare is exact on both engines
+    (same float32->double widening of the same parquet bytes)."""
+    l0 = spark.read.parquet(_clim_fixture(spark))
+    above = l0.select(
+        "lat_idx",
+        "lon_idx",
+        "time_idx",
+        F.col("kd489").cast("double").alias("v"),
+    ).filter(F.col("v") > _STREAK_THRESHOLD)
+    w = Window.partitionBy("lat_idx", "lon_idx").orderBy("time_idx")
+    runs = above.withColumn(
+        "grp", F.col("time_idx") - F.row_number().over(w)
+    )
+    per_cell = (
+        runs.groupBy("lat_idx", "lon_idx", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("lat_idx", "lon_idx")
+        .agg(F.max("run_len").alias("max_streak"))
+    )
+    return (
+        per_cell.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        .orderBy("max_streak")
+    )
+
+
+def _streak_oracle() -> str:
+    scan = (
+        f"read_parquet('{os.path.join(_clim_base(), 'l0', '*', '*.parquet')}'"
+        ", hive_partitioning=1)"
+    )
+    return f"""
+WITH above AS (
+  SELECT lat_idx, lon_idx, time_idx
+  FROM {scan}
+  WHERE CAST(kd489 AS DOUBLE) > {_STREAK_THRESHOLD}
+), runs AS (
+  SELECT lat_idx, lon_idx,
+         time_idx - row_number() OVER (PARTITION BY lat_idx, lon_idx
+                                       ORDER BY time_idx) AS grp
+  FROM above
+), per_cell AS (
+  SELECT lat_idx, lon_idx, max(run_len) AS max_streak
+  FROM (
+    SELECT lat_idx, lon_idx, grp, count(*) AS run_len
+    FROM runs GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT max_streak, CAST(count(*) AS BIGINT) AS n_cells
+FROM per_cell GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["cube_exceedance_streak"] = cube_exceedance_streak
+
+
+def _register_oracles() -> None:
+    ORACLES["cube_climatology_anomaly"] = _clim_oracle()
+    ORACLES["cube_exceedance_streak"] = _streak_oracle()
+
+
+_register_oracles()
