@@ -77,6 +77,7 @@ _PRIORITY = [
     # morton_zorder_cells) drop to overflow and head the r9 rotation
     "cube_climatology_anomaly",
     "cube_exceedance_streak",
+    "graph_pagerank_parts",
     "ts_downsample_m4",
     "trend_theil_sen",
     "market_basket_lift",
@@ -127,10 +128,10 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_normalized",
     "dedup_retention_summary",
-    "doc_length_percentiles",
-    "embed_ann_lsh",  # <- window position 50
+    "doc_length_percentiles",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the late-r8 batch; these 9 head the r9 rotation
+    # displaced by the late-r8 batch; these 10 head the r9 rotation
+    "embed_ann_lsh",
     "embed_cosine_topk",
     "embed_neardup_cosine",
     "embed_quantize_int8",

@@ -470,3 +470,115 @@ LIMIT 40
 
 ORACLES["embed_random_projection"] = _rp_oracle()
 QUERIES["embed_random_projection"] = embed_random_projection
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (3 unrolled iterations,
+    d=0.85) — the distributed iterative-graph primitive, expressed as
+    pure DataFrame joins: one edge-keyed join + one destination-keyed
+    aggregate per iteration (exactly the classic Spark PageRank shape;
+    at 100 TB the edge list is the shuffled state and ranks are
+    node-width). Graph: undirected co-purchase edges from order baskets
+    (both directions materialized), every node has degree >= 1 by
+    construction.
+
+    Engine determinism mirrors ``embed_kmeans_lloyd``: the node count is
+    the single driver-side scalar, each iteration's ranks round to 1e-6
+    (floor(x*1e6+0.5)/1e6 — the cross-engine `rnd` contract) so
+    float summation-order noise cannot compound across iterations; the
+    DuckDB oracle replays the identical three rounded iterations as
+    chained CTEs. Output: top-15 parts by final rank."""
+    import math
+
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    # localCheckpoint: the 3 unrolled iterations each re-reference the
+    # edge list — cut the recomputed self-join (and keep one lineage)
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # driver scalar, like the k-means init
+    r0 = math.floor(1.0 / n_nodes * 1e6 + 0.5) / 1e6
+    base = (1.0 - _PR_DAMP) / n_nodes
+    ranks = deg.select("src", F.lit(r0).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = summed.select(
+            F.col("dst").alias("src"),
+            _rnd(F.lit(base) + F.lit(_PR_DAMP) * F.col("s"), 6).alias(
+                "rank"
+            ),
+        )
+    return (
+        ranks.select(F.col("src").alias("l_partkey"), "rank")
+        .orderBy(F.desc("rank"), "l_partkey")
+        .limit(15)
+    )
+
+
+def _pagerank_oracle() -> str:
+    it = """
+r{k} AS (
+  SELECT e.dst AS node,
+         floor(((SELECT 0.15 / count(*) FROM deg)
+                + 0.85 * sum(r{p}.rank / deg.deg)) * 1000000.0 + 0.5)
+           / 1000000.0 AS rank
+  FROM edges e JOIN r{p} ON e.src = r{p}.node
+               JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)"""
+    iters = ",".join(it.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))
+    return f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY 1
+), r0 AS (
+  SELECT src AS node,
+         floor(1.0 / (SELECT count(*) FROM deg) * 1000000.0 + 0.5)
+           / 1000000.0 AS rank
+  FROM deg
+), {iters}
+SELECT node AS l_partkey, rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, l_partkey
+LIMIT 15
+"""
+
+
+ORACLES["graph_pagerank_parts"] = _pagerank_oracle()
+QUERIES["graph_pagerank_parts"] = graph_pagerank_parts
