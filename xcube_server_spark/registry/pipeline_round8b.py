@@ -299,7 +299,9 @@ QUERIES["skew_key_census"] = skew_key_census
 # remaining 54 bits feed rho (leading-zero count + 1, range 1..55).
 # alpha_64 = 0.709 (Flajolet et al. 2007, m=64). The register sum is kept
 # EXACT: sum(2^(56 - rho)) over all 64 registers as a bigint (max
-# 64 * 2^55 < 2^63), so the only float op is the final division.
+# 64 * 2^55 < 2^63); the only float ops are the final division and the
+# small-range linear-counting ln() (branch decided on exact integers +
+# the rounded raw estimate, so both engines take the same arm).
 _HLL_M = 64
 _HLL_ALPHA = 0.709
 _HLL_SCALE = 1 << 56
@@ -338,14 +340,22 @@ def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_present"),
         F.count(F.lit(1)).alias("n_regs"),
     )
-    est = _rnd(
+    zeros = F.lit(_HLL_M) - F.col("n_regs")
+    raw = _rnd(
         F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_SCALE))
-        / (
-            F.col("s_present")
-            + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(_HLL_SCALE)
-        ),
+        / (F.col("s_present") + zeros * F.lit(_HLL_SCALE)),
         4,
     )
+    # standard small-range correction (Flajolet et al. §4): when the raw
+    # harmonic estimate is <= 2.5m and empty registers exist, linear
+    # counting m*ln(m/zeros) is the unbiased estimator (the raw form
+    # overshoots badly at n << m). The branch condition uses the ROUNDED
+    # raw value + an exact integer, so both engines take the same arm;
+    # ln() differs across libms by <= 1 ulp, absorbed by the 1e-4 round.
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        _rnd(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros), 4),
+    ).otherwise(raw)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
     )
@@ -391,13 +401,22 @@ WITH hashed AS (
          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
   FROM events GROUP BY 1
 )
-SELECT sketch.event_type,
-       CAST({_HLL_M} - n_regs AS BIGINT) AS zero_regs,
-       floor({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {float(_HLL_SCALE)}
-             / (s_present + ({_HLL_M} - n_regs) * {_HLL_SCALE})
-             * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+, est AS (
+  SELECT event_type,
+         {_HLL_M} - n_regs AS zeros,
+         floor({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {float(_HLL_SCALE)}
+               / (s_present + ({_HLL_M} - n_regs) * {_HLL_SCALE})
+               * 10000.0 + 0.5) / 10000.0 AS raw
+  FROM sketch
+)
+SELECT est.event_type,
+       CAST(zeros AS BIGINT) AS zero_regs,
+       CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+            THEN floor({float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+                       * 10000.0 + 0.5) / 10000.0
+            ELSE raw END AS hll_estimate,
        exact_distinct
-FROM sketch JOIN exact ON sketch.event_type = exact.event_type
+FROM est JOIN exact ON est.event_type = exact.event_type
 ORDER BY 1
 """
 QUERIES["distinct_hll_sketch"] = distinct_hll_sketch
