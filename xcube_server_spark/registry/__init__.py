@@ -78,6 +78,7 @@ _PRIORITY = [
     "cube_climatology_anomaly",
     "cube_exceedance_streak",
     "graph_pagerank_parts",
+    "stream_late_data_eviction_live",
     "ts_downsample_m4",
     "trend_theil_sen",
     "market_basket_lift",
@@ -127,10 +128,10 @@ _PRIORITY = [
     "cube_point_timeseries",
     "dedup_exact",
     "dedup_normalized",
-    "dedup_retention_summary",
-    "doc_length_percentiles",  # <- window position 50
+    "dedup_retention_summary",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the late-r8 batch; these 10 head the r9 rotation
+    # displaced by the late-r8 batch; these 11 head the r9 rotation
+    "doc_length_percentiles",
     "embed_ann_lsh",
     "embed_cosine_topk",
     "embed_neardup_cosine",

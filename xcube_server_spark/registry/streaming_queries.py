@@ -958,3 +958,140 @@ ORDER BY 1, 2
 
 QUERIES["stream_static_enrich_live"] = stream_static_enrich_live
 ORACLES["stream_static_enrich_live"] = ORACLE_STREAM_STATIC_ENRICH
+
+
+# ---------------------------------------------------------------------------
+# Late-data eviction, live: watermark semantics proven against a SQL oracle
+# ---------------------------------------------------------------------------
+
+_LATE_DELAY_H = 1
+_LATE_WIN_S = 21600  # 6h tumbling, same as the tumbling gates
+
+
+def _staged_events_late(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as 4 files where file 4 is a DELIBERATELY LATE replay:
+    rows with ``event_id % 5 == 0`` and ``ts < global_max - 12 days`` are
+    held back and delivered last, after files 1-3 (event-time-ordered
+    thirds of the on-time rows; ascending mtimes pin the replay order)
+    have advanced the watermark far past every late row's window.
+
+    Why 12 days for a 1-hour watermark delay: the watermark a micro-batch
+    filters against lags the data by ONE EXTRA batch in availableNow
+    planning (measured here: the late batch was filtered against
+    ``max(batch 1..2) - delay``, not ``max(batch 1..3) - delay`` — the
+    global watermark for batch k commits from stats through batch k-2).
+    Choosing late rows >= 12 days older than the stream head puts every
+    late window far below EITHER candidate watermark, so the oracle does
+    not depend on that implementation detail (on-time tertile boundaries
+    sit ~10/20 days in, leaving days of margin at every sf). The staging
+    rule is pure SQL over the source table, so the oracle replicates it
+    verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # _v2: late rule changed 2h -> 12 days (watermark-lag robustness)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "xss_stream_events_late_v2_" + _stage_key(sf_dir),
+    )
+    if os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        return staged
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    ev = _events(spark, sf_dir)
+    gm = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    late = (F.col("event_id") % 5 == 0) & (
+        F.col("ts") < F.lit(gm) - F.expr("INTERVAL 12 DAYS")
+    )
+    ontime = ev.filter(~late).withColumn(
+        "tile",
+        F.ntile(3).over(
+            Window.orderBy("ts", "event_id")
+        ),
+    )
+    parts = [ontime.filter(F.col("tile") == k).drop("tile") for k in (1, 2, 3)]
+    parts.append(ev.filter(late))
+    for k, df in enumerate(parts):
+        tmp = os.path.join(staged, f"_tmp{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = os.path.join(staged, f"{k}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    with open(os.path.join(staged, "_STAGED_OK"), "w"):
+        pass
+    return staged
+
+
+def stream_late_data_eviction_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WATERMARK EVICTION proven live against a SQL oracle: a tumbling
+    6h count runs in APPEND mode over the late-replay staging — by the
+    time the held-back file arrives, the watermark sits at
+    ``global_max - 1h``, so every late row targets an already-finalized
+    window and must be DROPPED (a no-watermark engine would instead emit
+    duplicate window rows for the evicted state). The sink therefore
+    holds exactly the in-order rows of finalized windows
+    (``win_end <= global_max - delay``) — which is precisely what the
+    DuckDB oracle computes from the same staging rule. Trailing windows
+    the final watermark never passes stay withheld, also mirrored by the
+    oracle's emit filter.
+
+    100 TB: this is the semantics contract of any event-time pipeline —
+    state is bounded by (watermark horizon x key cardinality), late
+    arrivals cost nothing, and replay order only shifts WHICH rows are
+    late, never the finalized counts' correctness.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.run import run_stream_to_batch
+
+    staged = _staged_events_late(spark, sf_dir)
+
+    def windowed_counts(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", f"{_LATE_DELAY_H} hour")
+            .groupBy(
+                F.window("ts", f"{_LATE_WIN_S} seconds").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        )
+
+    out = run_stream_to_batch(
+        spark, staged, windowed_counts, output_mode="append"
+    )
+    return out.select(
+        (F.unix_timestamp("w.start") / _LATE_WIN_S)
+        .cast("bigint")
+        .alias("win_id"),
+        "event_type",
+        "n_events",
+    ).orderBy("win_id", "event_type")
+
+
+ORACLE_LATE_EVICTION = f"""
+WITH gm AS (SELECT max(ts) AS m FROM events),
+ontime AS (
+  SELECT e.* FROM events e CROSS JOIN gm
+  WHERE NOT (e.event_id % 5 = 0
+             AND e.ts < gm.m - INTERVAL 12 DAYS)
+)
+SELECT CAST(floor(epoch(ts) / {_LATE_WIN_S}) AS BIGINT) AS win_id,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ontime CROSS JOIN gm
+WHERE (floor(epoch(ts) / {_LATE_WIN_S}) + 1) * {_LATE_WIN_S}
+      <= epoch(gm.m) - {_LATE_DELAY_H * 3600}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_late_data_eviction_live"] = stream_late_data_eviction_live
+ORACLES["stream_late_data_eviction_live"] = ORACLE_LATE_EVICTION
