@@ -81,6 +81,7 @@ _PRIORITY = [
     "stream_late_data_eviction_live",
     "ts_downsample_m4",
     "trend_theil_sen",
+    "trend_mann_kendall",
     "market_basket_lift",
     "skew_key_census",
     "distinct_hll_sketch",
@@ -120,17 +121,18 @@ _PRIORITY = [
     "text_tokens",
     "unigram_logprob",
     "vocab_top_tokens",
-    # (b) ... then the alphabetically-first 19 r4-vintage rows
+    # (b) ... then the alphabetically-first r4-vintage rows up to the
+    # window cut (the late-r8 batch displaced the other 12 to overflow)
     "anomaly_zscore_daily",
     "array_dim_stats",
     "bigram_top",
     "cube_geometry_timeseries",
     "cube_point_timeseries",
     "dedup_exact",
-    "dedup_normalized",
-    "dedup_retention_summary",  # <- window position 50
+    "dedup_normalized",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the late-r8 batch; these 11 head the r9 rotation
+    # displaced by the late-r8 batch; these 12 head the r9 rotation
+    "dedup_retention_summary",
     "doc_length_percentiles",
     "embed_ann_lsh",
     "embed_cosine_topk",

@@ -601,3 +601,55 @@ LIMIT 15
 
 ORACLES["graph_pagerank_parts"] = _pagerank_oracle()
 QUERIES["graph_pagerank_parts"] = graph_pagerank_parts
+
+
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per user over their daily mean values: the
+    S statistic is a SUM OF SIGNS over ordered day pairs — pure integer
+    arithmetic once the daily means are rounded, so the oracle is exact
+    with no float-noise mitigation at all (the non-parametric sibling of
+    ``trend_theil_sen``, and the standard significance companion: S
+    against its null variance decides whether the Theil-Sen slope is
+    real). The pair join is keyed per series and bounded by the day
+    count, exactly like the slope pairing."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(_rnd(F.avg("value"), 6).alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.signum(F.col("b.v") - F.col("a.v")).cast("bigint").alias("sgn"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("sgn").cast("bigint").alias("s_stat"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES["trend_mann_kendall"] = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id, CAST(sign(b.v - a.v) AS BIGINT) AS sgn
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND a.d < b.d
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(sgn) AS BIGINT) AS s_stat
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+QUERIES["trend_mann_kendall"] = trend_mann_kendall
