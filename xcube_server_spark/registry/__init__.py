@@ -55,21 +55,21 @@ for _m in (
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
 # each round to maximize hard signal. Round 8 rotation, by the documented
 # policy (changed-first, then stalest, alphabetical within a vintage):
-# (a) queries NEW this round (corpus_shuffle / bpe_first_merges /
-# text_nfc_normalize / dedup_levenshtein / embed_kmeans_lloyd pipeline
-# operators; blosclz /
-# standalone-zstd / raw-lz4 / v3-sharded zarr gates — first-ever driver
-# rows for the new pure-Python codecs) plus
-# queries whose CODE PATH changed this round and need re-proving
-# (zarr_ingest_stats* ride the reworked ZarrArray compressor dispatch,
-# zarr_v3_ingest_stats the refactored v3 codec chain, zarr_ingest_stats_http
-# the store get_range/LRU refactor, zarr_ingest_stats_blosc the blosc
-# codec-id dispatch); then (b) the STALEST driver-green rows — all 18
-# r3-vintage queries and the alphabetically-first 19 of the 42 r4-vintage
-# ones — so the stalest green after r8 is r4-vintage. Everything past
-# position 50 is overflow: multiply-green in prior rounds AND re-proven by
-# the local DuckDB-oracle replica (tests/test_correctness.py) on every
-# pytest run. The remaining 23 r4-vintage rows head the r9 rotation.
+# (a) queries NEW this round — the late-r8 analytics/sketch/graph/streaming
+# batch (13 head entries), the first-r8 pipeline operators (corpus_shuffle /
+# bpe_first_merges / text_nfc_normalize / dedup_levenshtein /
+# embed_kmeans_lloyd), and the blosclz / standalone-zstd / raw-lz4 /
+# v3-sharded zarr gates — first-ever driver rows for the new pure-Python
+# codecs — plus queries whose CODE PATH changed this round and need
+# re-proving (zarr_ingest_stats* ride the reworked ZarrArray compressor
+# dispatch, zarr_v3_ingest_stats the refactored v3 codec chain,
+# zarr_ingest_stats_http the store get_range/LRU refactor,
+# zarr_ingest_stats_blosc the blosc codec-id dispatch); then (b) the
+# STALEST driver-green rows — all 18 r3-vintage queries and r4-vintage
+# rows alphabetically up to the cut. Everything past position 50 is
+# overflow: multiply-green in prior rounds AND re-proven by the local
+# DuckDB-oracle replica (tests/test_correctness.py) on every pytest run.
+# The displaced r4-vintage rows head the r9 rotation.
 _PRIORITY = [
     # (a) new in round 8 (late batch): analytics/sketch/streaming operators
     # added after the first r8 rotation — changed-first policy puts them at
