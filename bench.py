@@ -55,11 +55,14 @@ BENCH_QUERIES = [
     "zarr_ingest_stats_zstd",
     "zarr_v3_sharded_ingest_stats",
     # dedup family
+    # (dedup_containment swapped out r8e for pagerank — the family keeps
+    # 6 rows; pagerank is the heaviest new plan: basket self-join + 3
+    # unrolled edge-join iterations)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verify",
-    "dedup_containment",
     "dedup_substring_windows",
+    "graph_pagerank_parts",
     "dedup_components_minhash",
     "semdedup_prune",
     # similarity ladder

@@ -84,7 +84,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TUMBLING = """
 SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS win_id,
-       event_type, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+       event_type, count(*) AS n_events,
+       floor(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0
+             / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -266,7 +268,8 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SLIDING = """
 SELECT (CAST(floor(epoch(ts) / 7200) AS BIGINT) - k.k) * 7200 AS win_start,
        event_type, count(*) AS n_events,
-       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+       floor(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0
+             / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events
 CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
 GROUP BY 1, 2

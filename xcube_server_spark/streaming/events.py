@@ -35,7 +35,15 @@ def tumbling_counts(events: DataFrame, hours: int = 6) -> DataFrame:
         events.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.avg("value"), 4).alias("avg_value"),
+            # round the ORDER-DEPENDENT sum at a fine grid first, then
+            # divide: micro-batch partial merges reorder the summation,
+            # and rounding the avg directly flipped a true x.xxxx5
+            # boundary at sf0.1 (52.80375 -> 52.8037 vs 52.8038). The
+            # rounded sum is bit-identical on both engines, so the
+            # division and the output rounding are deterministic.
+            rnd(rnd(F.sum("value"), 6) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
         )
         .select(
             (F.unix_timestamp(F.col("window.start")) / (hours * 3600))
@@ -121,7 +129,15 @@ def sliding_avg(events: DataFrame, hours: int = 6, slide_hours: int = 2) -> Data
         events.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.avg("value"), 4).alias("avg_value"),
+            # round the ORDER-DEPENDENT sum at a fine grid first, then
+            # divide: micro-batch partial merges reorder the summation,
+            # and rounding the avg directly flipped a true x.xxxx5
+            # boundary at sf0.1 (52.80375 -> 52.8037 vs 52.8038). The
+            # rounded sum is bit-identical on both engines, so the
+            # division and the output rounding are deterministic.
+            rnd(rnd(F.sum("value"), 6) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
