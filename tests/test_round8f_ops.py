@@ -1,0 +1,135 @@
+"""Invariant tests for the round-8f operator batch — properties the
+DuckDB-oracle hash compare cannot express:
+
+- triangle counts re-derived by a DIFFERENT algorithm (naive id-ordered
+  three-way join in DuckDB) must equal the degree-ordered plan's output,
+- the Count-Min estimate can only over-count (est >= true, always),
+- the Bloom filter admits every true member (zero false negatives) and
+  its false-positive rate stays under the analytic bound,
+- autocorrelations live in [-1, 1] and pair counts shrink with the lag,
+- CUSUM finds the exact boundary of a hand-built mean shift,
+- SCD2 intervals chain gaplessly: one current row per customer,
+  valid_to == next valid_from, consecutive priorities differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+from pyspark.sql import functions as F
+
+from xcube_server_spark.registry import QUERIES
+from xcube_server_spark.registry.pipeline_round8f import (
+    _BLOOM_K,
+    _BLOOM_M,
+)
+
+from .conftest import SF_DIR
+
+
+def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
+    """The degree-ordered plan and a naive id-ordered (a<b<c) three-way
+    join are different algorithms over the same graph — their per-part
+    participation counts must agree exactly."""
+    out = [tuple(r) for r in QUERIES["graph_triangle_count"](spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{os.path.join(sf_dir, 'lineitem.parquet')}'"
+    )
+    naive = con.execute(
+        """
+        WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), tri AS (
+          SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          FROM und e1 JOIN und e2 ON e1.pb = e2.pa
+          JOIN und e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        )
+        SELECT part, count(*) AS n FROM (
+          SELECT a AS part FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        GROUP BY 1 ORDER BY n DESC, part LIMIT 10
+        """
+    ).fetchall()
+    assert out == [tuple(r) for r in naive]
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    rows = QUERIES["sketch_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.true_cnt, f"{r.tok}: CMS undercounted"
+        assert r.overcount == r.cms_est - r.true_cnt >= 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    rows = QUERIES["bloom_join_prefilter"](spark, sf_dir).collect()
+    assert rows, "no segments"
+    n_build = sum(r.true_members for r in rows)
+    # analytic FP probability for k hashes over m bits with n keys
+    p_fp = (1.0 - (1.0 - 1.0 / _BLOOM_M) ** (_BLOOM_K * n_build)) ** _BLOOM_K
+    for r in rows:
+        # every true member hits all k of its own bits by construction
+        assert r.bloom_positives >= r.true_members, r.c_mktsegment
+        assert r.false_positives == r.bloom_positives - r.true_members
+        non_members = r.n_cust - r.true_members
+        # 10x the analytic expectation + 5: loose, but catches a broken
+        # hash (which sends the FP count toward non_members)
+        assert r.false_positives <= max(5, 10 * p_fp * non_members) , (
+            f"{r.c_mktsegment}: fp={r.false_positives} vs bound "
+            f"{10 * p_fp * non_members:.1f}"
+        )
+
+
+def test_autocorr_bounds_and_pair_counts(spark, sf_dir):
+    rows = QUERIES["ts_autocorr_daily"](spark, sf_dir).collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        assert r.acf is None or -1.0 <= r.acf <= 1.0
+        by_series.setdefault(r.event_type, []).append((r.k, r.n_pairs))
+    for pairs in by_series.values():
+        ks = [n for _, n in sorted(pairs)]
+        assert ks == sorted(ks, reverse=True), "n_pairs must shrink with lag"
+
+
+def test_cusum_finds_hand_built_mean_shift(spark, tmp_path):
+    """10 days at value 1.0 then 10 days at 5.0: |C_i| = |n*P_i - i*T| is
+    maximized exactly at the last low day (d=9)."""
+    rows = []
+    for d in range(20):
+        v = 1.0 if d < 10 else 5.0
+        for h in (6, 18):  # two events per day, same value
+            rows.append((d * 2 + (h > 6), f"2024-01-{d + 1:02d}T{h:02d}:00:00", 7, "shift", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf = str(tmp_path / "cusum_sf")
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = QUERIES["ts_changepoint_cusum"](spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].event_type == "shift"
+    assert out[0].change_d == 9
+    assert out[0].n_days == 20
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    rows = QUERIES["scd2_dim_history"](spark, sf_dir).collect()
+    assert rows
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        currents = [r for r in ivs if r.is_current]
+        assert len(currents) == 1, f"cust {cust}: {len(currents)} current rows"
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, f"cust {cust}: gap"
+            assert a.priority != b.priority, f"cust {cust}: no-op interval"
+            assert a.valid_from <= a.valid_to

@@ -24,6 +24,7 @@ from . import (
     pipeline_round5b,
     pipeline_round8,
     pipeline_round8b,
+    pipeline_round8f,
     relational,
     relational_ext,
     streaming_queries,
@@ -46,6 +47,7 @@ for _m in (
     pipeline_round5b,
     pipeline_round8,
     pipeline_round8b,
+    pipeline_round8f,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -71,6 +73,22 @@ for _m in (
 # DuckDB-oracle replica (tests/test_correctness.py) on every pytest run.
 # The displaced r4-vintage rows head the r9 rotation.
 _PRIORITY = [
+    # (a) new in round 8f: the final r8 operator batch (first-ever driver
+    # rows) plus the four windowed-average queries whose ORACLES changed
+    # this round (round-sum-before-divide determinism fix) and must be
+    # re-proven by the changed-first policy; the 10 rows they displace
+    # from the old window tail (r3/r4-vintage, all multiply-green) drop
+    # to overflow and head the r9 rotation
+    "graph_triangle_count",
+    "sketch_cms_heavy_hitters",
+    "bloom_join_prefilter",
+    "ts_autocorr_daily",
+    "ts_changepoint_cusum",
+    "scd2_dim_history",
+    "stream_tumbling_counts",
+    "stream_tumbling_counts_live",
+    "stream_sliding_avg",
+    "stream_sliding_avg_live",
     # (a) new in round 8 (late batch): analytics/sketch/streaming operators
     # added after the first r8 rotation — changed-first policy puts them at
     # the head; the 7 r4-vintage rows they displace (embed_quantize_int8 ..
@@ -117,21 +135,21 @@ _PRIORITY = [
     "text_fingerprint",
     "text_langid",
     "text_quality",
-    "text_repetition",
+    "text_repetition",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
+    # displaced by the 8f head batch; with the block below these head
+    # the r9 rotation
     "text_tokens",
     "unigram_logprob",
     "vocab_top_tokens",
-    # (b) ... then the alphabetically-first r4-vintage rows up to the
-    # window cut (the late-r8 batch displaced the other 12 to overflow)
     "anomaly_zscore_daily",
     "array_dim_stats",
     "bigram_top",
     "cube_geometry_timeseries",
     "cube_point_timeseries",
     "dedup_exact",
-    "dedup_normalized",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
-    # displaced by the late-r8 batch; these 12 head the r9 rotation
+    "dedup_normalized",
+    # displaced by the late-r8 batch; these 12 also head the r9 rotation
     "dedup_retention_summary",
     "doc_length_percentiles",
     "embed_ann_lsh",
@@ -157,12 +175,8 @@ _PRIORITY = [
     "stream_dedupe_events",
     "stream_interval_join",
     "stream_sessionize",
-    "stream_sliding_avg",
-    "stream_sliding_avg_live",
     "stream_topk_windowed",
     "stream_topk_windowed_live",
-    "stream_tumbling_counts",
-    "stream_tumbling_counts_live",
     "stream_user_stats_stateful",
     "tile_grid_subdivision",
     "time_weighted_avg",

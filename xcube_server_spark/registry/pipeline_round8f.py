@@ -1,0 +1,605 @@
+"""Analytics + warehouse operators, round 8f: distributed triangle
+counting, Count-Min heavy hitters, Bloom-filter join pre-filtering,
+autocorrelation, CUSUM changepoint detection and SCD2 dimension history.
+
+House discipline throughout — one keyed shuffle where one is inherent,
+broadcast for sketch/dim sides, integer or round-before-divide arithmetic
+so the DuckDB oracle agrees bit-for-bit:
+
+- ``graph_triangle_count`` — triangles of the part co-purchase graph via
+  DEGREE-ORDERED edge orientation (each undirected edge directed from its
+  (degree, id)-smaller endpoint), the standard bound that caps wedge
+  generation at O(m^1.5) regardless of hub skew — the orientation is what
+  makes triangle counting survive a power-law graph at 100 TB, where the
+  naive node-iterator explodes on the hottest hub. Two edge-keyed joins,
+  pure integer comparisons, exactly reproducible in SQL.
+- ``sketch_cms_heavy_hitters`` — a Count-Min sketch (d=4 rows x w=512
+  counters) over document tokens, built with the portable 60-bit md5 hash
+  (`conv(substr(md5,1,15),16,10)` == DuckDB `('0x'||...)::BIGINT`), then
+  the sketch's estimate for the true top-20 tokens next to their exact
+  counts. Counters are exact integer sums — mergeable across partitions by
+  construction, the fixed-size answer to "top tokens without a full
+  vocabulary shuffle".
+- ``bloom_join_prefilter`` — the runtime-filter pattern: build a Bloom
+  bitset (k=4, m=65536) over the keys of a filtered build side, probe the
+  full customer dimension through it, and report per-segment true members
+  / Bloom positives / false positives. At 100 TB the bitset (8 KiB)
+  broadcasts to prune the probe-side SHUFFLE before the real join — the
+  semantics Spark's AQE injects as InSubqueryExec/bloom runtime filters,
+  materialized and measured. All-integer membership arithmetic.
+- ``ts_autocorr_daily`` — lag-k autocorrelation (k=1..7) of the per-series
+  daily means. Daily means are scaled to exact BIGINT at 1e-4 BEFORE
+  pairing, so every Pearson component (n, sums, cross-products) is an
+  exact integer on both engines; the single double division + sqrt at the
+  end is IEEE-deterministic on identical integer inputs.
+- ``ts_changepoint_cusum`` — CUSUM changepoint per series: with exact
+  integer daily values v and prefix sums P_i, the centered cumulative sum
+  at day i is n*P_i - i*total (all BIGINT — no mean, no float), and the
+  changepoint is the |CUSUM| argmax. One window pass over the tiny daily
+  table; the raw-events aggregate is the only corpus-width shuffle.
+- ``scd2_dim_history`` — slowly-changing-dimension type-2 intervals from
+  an order log: per customer, collapse consecutive orders with equal
+  priority into effective-dated (valid_from, valid_to, is_current) rows
+  via lag/lead windows — the warehouse-maintenance primitive behind every
+  dimension table a 100 TB pipeline joins against. Windows partition by
+  customer (bounded), deterministic (date, orderkey) ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+from ._util import rnd as _rnd
+
+QUERIES = {}
+ORACLES = {}
+
+
+# ---------------------------------------------------------------- triangles
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation, top 10 (count desc, part asc).
+
+    Undirected co-purchase edges {a,b} (distinct part pairs sharing an
+    order, same base as ``graph_pagerank_parts``) are oriented from the
+    (degree, id)-smaller endpoint. A triangle {a,b,c} is then counted
+    exactly once as the wedge e(u,v), e(u,w) with ord(v) < ord(w) closed
+    by e(v,w): u is the orientation-minimum, so both wedge edges leave u
+    and the closing edge is oriented v->w. Wedge fan-out per node is the
+    ORIENTED out-degree, which degree-ordering caps near sqrt(m) — the
+    whole plan is two edge-keyed joins + one explode/count, no node ever
+    enumerates its full undirected neighborhood."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("pa").alias("n"))
+        .unionByName(und.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    lt = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("pa") < F.col("pb"))
+    )
+    # oriented edge (src -> dst) carries dst's order key (deg, id) so the
+    # wedge comparison below needs no extra degree join
+    oriented = (
+        und.join(da, F.col("pa") == F.col("da.n"))
+        .join(db, F.col("pb") == F.col("db.n"))
+        .select(
+            F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(lt, F.col("db.deg")).otherwise(F.col("da.deg")).alias(
+                "dst_deg"
+            ),
+        )
+    )
+    # the wedge join and the closing semi-join both re-read the oriented
+    # edge list — cut the lineage so the basket self-join runs once
+    oriented = oriented.localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dst_deg") < F.col("e2.dst_deg"))
+            | (
+                (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("u"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "l_partkey")
+        .limit(10)
+    )
+
+
+ORACLES["graph_triangle_count"] = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, count(*) AS deg
+  FROM (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und)
+  GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS src,
+         CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS dst,
+         CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg
+              ELSE da.deg END AS dst_deg
+  FROM und JOIN deg da ON pa = da.n JOIN deg db ON pb = db.n
+), tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src
+   AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+  WHERE EXISTS (SELECT 1 FROM oriented e3
+                WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+)
+SELECT l_partkey, count(*) AS n_triangles
+FROM (SELECT u AS l_partkey FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+GROUP BY 1
+ORDER BY n_triangles DESC, l_partkey
+LIMIT 10
+"""
+QUERIES["graph_triangle_count"] = graph_triangle_count
+
+
+# ---------------------------------------------------------------- count-min
+_CMS_D = 4
+_CMS_W = 512
+_TOKS = "filter(split(text, ' '), t -> t <> '')"
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the 20 most frequent
+    document tokens (count desc, token asc).
+
+    The sketch is d x w exact-integer counters keyed by the portable
+    60-bit md5 hash; estimate(tok) = min over rows of its counter, which
+    over-counts by collisions only (est >= true is a pinned invariant).
+    The token aggregate is the one corpus-width shuffle; the sketch
+    (<= d*w rows) and the top-20 list are broadcast-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode_outer(F.expr(_TOKS)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = counts.localCheckpoint()  # feeds sketch, top-20 and hashes
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    hashed = counts.select("tok", "cnt", rows).withColumn(
+        "col",
+        F.expr(
+            "cast(conv(substr(md5(concat('cms', cast(i as string), ':', tok)),"
+            f" 1, 15), 16, 10) as bigint) % {_CMS_W}L"
+        ),
+    )
+    sketch = hashed.groupBy("i", "col").agg(F.sum("cnt").alias("counter"))
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(20)
+    probes = hashed.join(F.broadcast(top.select("tok")), "tok", "left_semi")
+    return (
+        probes.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("tok")
+        .agg(
+            F.min("cnt").alias("true_cnt"),
+            F.min("counter").alias("cms_est"),
+        )
+        .select(
+            "tok",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), "tok")
+    )
+
+
+ORACLES["sketch_cms_heavy_hitters"] = f"""
+WITH counts AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1
+), hashed AS (
+  SELECT tok, cnt, i,
+         ('0x' || substr(md5('cms' || i || ':' || tok), 1, 15))::BIGINT
+           % {_CMS_W} AS col
+  FROM counts CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS i)
+), sketch AS (
+  SELECT i, col, CAST(sum(cnt) AS BIGINT) AS counter
+  FROM hashed GROUP BY 1, 2
+), top AS (
+  SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20
+)
+SELECT h.tok,
+       CAST(min(h.cnt) AS BIGINT) AS true_cnt,
+       CAST(min(s.counter) AS BIGINT) AS cms_est,
+       CAST(min(s.counter) - min(h.cnt) AS BIGINT) AS overcount
+FROM hashed h JOIN sketch s ON h.i = s.i AND h.col = s.col
+WHERE h.tok IN (SELECT tok FROM top)
+GROUP BY 1
+ORDER BY true_cnt DESC, tok
+"""
+QUERIES["sketch_cms_heavy_hitters"] = sketch_cms_heavy_hitters
+
+
+# ------------------------------------------------------------------- bloom
+_BLOOM_K = 4
+_BLOOM_M = 65536
+
+
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join: per market segment, how many customers the
+    1996-buyers Bloom filter admits vs truly match.
+
+    Build side: custkeys with a 1996 order -> k=4 bit positions each,
+    deduplicated into the bitset (<= 4*|keys| rows standing in for the
+    m=65536-bit array). Probe side: every customer hashes its 4 positions
+    and is Bloom-positive iff all 4 hit. False positives are the price of
+    the 8 KiB broadcast; false negatives are impossible (pinned in
+    tests). The bitset and its semi-joins are broadcast-sized; the probe
+    side is scanned once with no shuffle wider than the final segment
+    aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        # key-width rows feed BOTH the bitset and the member join —
+        # cut the lineage so the orders scan runs once
+        .localCheckpoint()
+    )
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    pos_expr = (
+        "cast(conv(substr(md5(concat('bloom', cast(i as string), ':', "
+        f"cast(key as string))), 1, 15), 16, 10) as bigint) % {_BLOOM_M}L"
+    )
+    bits = (
+        build.select("key", ks)
+        .withColumn("pos", F.expr(pos_expr))
+        .select("pos")
+        .distinct()
+    )
+    # ONE probe-side pass: explode the k positions (map-side), mark each
+    # against the broadcast bitset, fold back to one row per customer,
+    # then a single segment-width aggregate. The probe table is scanned
+    # once and shuffled twice (by key, then by segment) — the shape that
+    # survives a 100 TB probe side.
+    probe = (
+        cust.select(F.col("c_custkey").alias("key"), "c_mktsegment")
+        .select("key", "c_mktsegment", ks)
+        .withColumn("pos", F.expr(pos_expr))
+    )
+    marked = probe.join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+    )
+    per_cust = (
+        marked.groupBy("key", "c_mktsegment")
+        .agg(
+            (F.count("hit") == _BLOOM_K).cast("bigint").alias("bloom_pos")
+        )
+        .join(
+            F.broadcast(build.withColumn("mem", F.lit(1))), "key", "left"
+        )
+    )
+    return (
+        per_cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count("mem").alias("true_members"),
+            F.sum("bloom_pos").alias("bloom_positives"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_cust",
+            "true_members",
+            "bloom_positives",
+            (F.col("bloom_positives") - F.col("true_members")).alias(
+                "false_positives"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLES["bloom_join_prefilter"] = f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+  WHERE year(o_orderdate) = 1996
+), ks AS (SELECT unnest(range(0, {_BLOOM_K})) AS i
+), bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('bloom' || i || ':' || key), 1, 15))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM build CROSS JOIN ks
+), probe AS (
+  SELECT c_custkey AS key, c_mktsegment,
+         ('0x' || substr(md5('bloom' || i || ':' || key), 1, 15))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM customer CROSS JOIN ks
+), hits AS (
+  SELECT key, c_mktsegment
+  FROM probe WHERE pos IN (SELECT pos FROM bits)
+  GROUP BY 1, 2
+  HAVING count(*) = {_BLOOM_K}
+), seg_cust AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(count(*) FILTER (WHERE c_custkey IN (SELECT key FROM build))
+              AS BIGINT) AS true_members
+  FROM customer GROUP BY 1
+), seg_hits AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS bloom_positives
+  FROM hits GROUP BY 1
+)
+SELECT s.c_mktsegment, s.n_cust, s.true_members,
+       h.bloom_positives,
+       h.bloom_positives - s.true_members AS false_positives
+FROM seg_cust s JOIN seg_hits h USING (c_mktsegment)
+ORDER BY 1
+"""
+QUERIES["bloom_join_prefilter"] = bloom_join_prefilter
+
+
+# ---------------------------------------------------------------- autocorr
+_ACF_MAX_LAG = 7
+
+
+def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k=1..7) of each event type's daily mean.
+
+    Daily means are scaled to exact BIGINT at 1e-4 before pairing, so
+    n / sum(x) / sum(y) / sum(xy) / sum(x^2) / sum(y^2) are exact integers
+    on both engines (worst case ~3e16, far under the BIGINT range); the
+    final Pearson division + sqrt runs in double on those identical
+    integers and is rounded at 1e-4. The raw-events daily aggregate is the
+    only corpus shuffle — the lag self-join runs on the 30-row-per-series
+    daily table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(
+        F.expr("cast(floor(avg(value) * 10000.0 + 0.5) as bigint)").alias(
+            "v"
+        )
+    )
+    daily = daily.localCheckpoint()  # both sides of the lag join
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+    ).alias("k")
+    a = daily.select(
+        F.col("event_type").alias("et"), "d", F.col("v").alias("x"), lags
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("v").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("et") == F.col("et2"))
+        & (F.col("d2") == F.col("d") + F.col("k")),
+    ).select(F.col("et").alias("event_type"), "k", "x", "y")
+    comp = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(vx * vy)
+    return comp.select(
+        "event_type",
+        "k",
+        F.col("n").alias("n_pairs"),
+        F.when(den != 0.0, _rnd(num.cast("double") / den, 4)).alias("acf"),
+    ).orderBy("event_type", "k")
+
+
+ORACLES["ts_autocorr_daily"] = f"""
+WITH daily AS (
+  SELECT event_type, datediff('day', DATE '2024-01-01', ts) AS d,
+         CAST(floor(avg(value) * 10000.0 + 0.5) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, k.k, a.v AS x, b.v AS y
+  FROM daily a
+  CROSS JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS k) k
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + k.k
+), comp AS (
+  SELECT event_type, k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, k, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy) <> 0.0
+            THEN floor((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * 1.0
+                              * (n * syy - sy * sy))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS acf
+FROM comp
+ORDER BY event_type, k
+"""
+QUERIES["ts_autocorr_daily"] = ts_autocorr_daily
+
+
+# ------------------------------------------------------------------- cusum
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over daily mean values.
+
+    With exact BIGINT daily values v_i (1e-6 scale), prefix sums P_i and
+    series total T over n days, the centered cumulative sum at day i is
+    C_i = n*P_i - i*T — pure integer arithmetic, no mean and no float
+    anywhere. The changepoint is the day maximizing |C_i| (earliest day
+    on ties). Output keeps C at the integer scale, plus the day and the
+    series length."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(
+        F.expr("cast(floor(avg(value) * 1000000.0 + 0.5) as bigint)").alias(
+            "v"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "d",
+        (
+            F.count(F.lit(1)).over(full) * F.sum("v").over(w)
+            - F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
+            * F.sum("v").over(full)
+        ).alias("c"),
+        F.count(F.lit(1)).over(full).alias("n_days"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_d"),
+            F.col("c").alias("cusum_c"),
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["ts_changepoint_cusum"] = """
+WITH daily AS (
+  SELECT event_type, datediff('day', DATE '2024-01-01', ts) AS d,
+         CAST(floor(avg(value) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, d,
+         CAST(count(*) OVER (PARTITION BY event_type)
+              * sum(v) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING)
+              - row_number() OVER (PARTITION BY event_type ORDER BY d)
+              * sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS c,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+)
+SELECT event_type, d AS change_d, c AS cusum_c, n_days
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(c) DESC, d) AS rk
+      FROM scored)
+WHERE rk = 1
+ORDER BY event_type
+"""
+QUERIES["ts_changepoint_cusum"] = ts_changepoint_cusum
+
+
+# -------------------------------------------------------------------- scd2
+def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each customer's order priority (custkeys
+    <= 300 keep the gate output bounded; the plan is key-partitioned and
+    scales with the customer count, not the order count).
+
+    Orders sort per customer by (date, orderkey); a row opens a new
+    interval when its priority differs from the previous order's.
+    valid_to = the next interval's valid_from (NULL while current). Two
+    window passes — change detection over orders, then lead() over the
+    interval-opening rows only."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    starts = marked.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return starts.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w2), "yyyy-MM-dd").alias(
+            "valid_to"
+        ),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    ).orderBy("custkey", "valid_from")
+
+
+ORACLES["scd2_dim_history"] = """
+WITH marked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders WHERE o_custkey <= 300
+), starts AS (
+  SELECT * FROM marked
+  WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey,
+       o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                '%Y-%m-%d') AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+         IS NULL AS is_current
+FROM starts
+ORDER BY custkey, valid_from
+"""
+QUERIES["scd2_dim_history"] = scd2_dim_history
