@@ -65,12 +65,14 @@ BENCH_QUERIES = [
     "graph_pagerank_parts",
     "dedup_components_minhash",
     "semdedup_prune",
-    # similarity ladder
+    # similarity ladder (embed_outlier_centroid swapped out r8f for
+    # triangle counting — the ladder keeps 4 rows; the oriented wedge
+    # join is the heaviest new r8f plan shape)
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_ivfpq_ann",
     "embed_neardup_cosine",
-    "embed_outlier_centroid",
+    "graph_triangle_count",
     # text / quality (text_tokens swapped out r8d for basket lift — the
     # family stays covered by text_quality; the list is at its size cap)
     "text_quality",

@@ -118,6 +118,48 @@ def test_cusum_finds_hand_built_mean_shift(spark, tmp_path):
     assert out[0].n_days == 20
 
 
+def test_ewma_matches_pandas(spark, sf_dir):
+    """The bit-shift closed form must equal pandas ewm(alpha=0.5,
+    adjust=True).mean() on the same rounded daily series."""
+    import pandas as pd
+
+    out = QUERIES["ts_ewma_daily"](spark, sf_dir).toPandas()
+    from xcube_server_spark.registry._util import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+        )
+        .agg(F.expr("cast(floor(avg(value)*10000.0+0.5) as bigint)").alias("v"))
+        .toPandas()
+        .sort_values(["event_type", "d"])
+    )
+    for et, grp in daily.groupby("event_type"):
+        ref = (grp["v"] / 10000.0).ewm(alpha=0.5, adjust=True).mean()
+        got = out[out.event_type == et].sort_values("d")["ewma"].to_numpy()
+        for g, r in zip(got, ref.to_numpy()):
+            assert abs(g - r) < 2e-4, f"{et}: {g} vs pandas {r}"
+
+
+def test_quantile_bins_equal_frequency(spark, sf_dir):
+    rows = QUERIES["feature_quantile_bins"](spark, sf_dir).collect()
+    assert rows
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r.yr, []).append(r)
+    for yr, bins in by_year.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [r.bin for r in bins] == list(range(1, len(bins) + 1))
+        counts = [r.n for r in bins]
+        assert max(counts) - min(counts) <= 1, f"{yr}: uneven bins"
+        for r in bins:
+            assert r.lo <= r.hi
+        for a, b in zip(bins, bins[1:]):
+            assert a.hi <= b.lo, f"{yr}: overlapping bin ranges"
+
+
 def test_scd2_intervals_chain(spark, sf_dir):
     rows = QUERIES["scd2_dim_history"](spark, sf_dir).collect()
     assert rows

@@ -84,6 +84,8 @@ _PRIORITY = [
     "bloom_join_prefilter",
     "ts_autocorr_daily",
     "ts_changepoint_cusum",
+    "ts_ewma_daily",
+    "feature_quantile_bins",
     "scd2_dim_history",
     "stream_tumbling_counts",
     "stream_tumbling_counts_live",
@@ -133,12 +135,12 @@ _PRIORITY = [
     "sample_stratified",
     "set_ops_customers",
     "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_repetition",  # <- window position 50
+    "text_langid",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch; with the block below these head
     # the r9 rotation
+    "text_quality",
+    "text_repetition",
     "text_tokens",
     "unigram_logprob",
     "vocab_top_tokens",

@@ -37,6 +37,15 @@ so the DuckDB oracle agrees bit-for-bit:
   at day i is n*P_i - i*total (all BIGINT — no mean, no float), and the
   changepoint is the |CUSUM| argmax. One window pass over the tiny daily
   table; the raw-events aggregate is the only corpus-width shuffle.
+- ``ts_ewma_daily`` — exponential smoothing with alpha=1/2: every weight
+  is a power of two, so the ewm recursion collapses to an exact
+  bit-shifted integer window sum divided once at the end — a
+  float-recursion-free EWMA both engines reproduce bit-for-bit.
+- ``feature_quantile_bins`` — per-year decile binning of order totals
+  (deterministic ntile over a total order), the equal-frequency
+  featurization primitive; the partitioned window bounds each sort, and
+  the unpartitioned-at-scale variant is the broadcast-boundaries path in
+  ``operators/percentile.py``.
 - ``scd2_dim_history`` — slowly-changing-dimension type-2 intervals from
   an order log: per customer, collapse consecutive orders with equal
   priority into effective-dated (valid_from, valid_to, is_current) rows
@@ -543,6 +552,109 @@ WHERE rk = 1
 ORDER BY event_type
 """
 QUERIES["ts_changepoint_cusum"] = ts_changepoint_cusum
+
+
+# -------------------------------------------------------------------- ewma
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.5, pandas
+    ``ewm(adjust=True)`` semantics) of each event type's daily mean.
+
+    The recursion is re-expressed closed-form so it is EXACT integer
+    arithmetic: with daily values x_j scaled to BIGINT at 1e-4 and row
+    index j, y_t = sum_{j<=t}(x_j << (j-1)) / (2^t - 1) — alpha=1/2 makes
+    every weight a power of two, so the numerator is an exact bit-shifted
+    window sum on both engines (worst case ~2^50, inside BIGINT) and the
+    single final division is IEEE-deterministic. One corpus-width daily
+    aggregate; the window runs over 30-row series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(
+        F.expr("cast(floor(avg(value) * 10000.0 + 0.5) as bigint)").alias(
+            "v"
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wsum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.withColumn("j", F.row_number().over(wo))
+    num = F.sum(F.expr("shiftleft(v, j - 1)")).over(wsum)
+    den = F.expr("shiftleft(1L, j) - 1L")
+    return idx.select(
+        "event_type",
+        "d",
+        _rnd(num.cast("double") / den.cast("double") / 10000.0, 4).alias(
+            "ewma"
+        ),
+    ).orderBy("event_type", "d")
+
+
+ORACLES["ts_ewma_daily"] = """
+WITH daily AS (
+  SELECT event_type, datediff('day', DATE '2024-01-01', ts) AS d,
+         CAST(floor(avg(value) * 10000.0 + 0.5) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, d, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS j
+  FROM daily
+)
+SELECT event_type, d,
+       floor(sum(v << (j - 1)) OVER (PARTITION BY event_type ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING)
+             / ((1::BIGINT << j) - 1)::DOUBLE / 10000.0
+             * 10000.0 + 0.5) / 10000.0 AS ewma
+FROM idx
+ORDER BY event_type, d
+"""
+QUERIES["ts_ewma_daily"] = ts_ewma_daily
+
+
+# ------------------------------------------------------------ quantile bins
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order totals per order year —
+    the featurization primitive behind quantile-bucketed model inputs.
+
+    ntile(10) over (price, orderkey) is deterministic (total order, no
+    ties) and distributes remainders to the first buckets identically on
+    both engines (probed). The window partitions by YEAR, so each sort is
+    bounded by a year's orders; an unpartitioned 100 TB binning would
+    instead broadcast percentile BOUNDARIES (operators/percentile.py) and
+    bucket map-side — this query is the exact per-partition form."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    binned = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+        F.ntile(10).over(w).alias("bin"),
+    )
+    return (
+        binned.groupBy("yr", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("yr", "bin")
+    )
+
+
+ORACLES["feature_quantile_bins"] = """
+WITH binned AS (
+  SELECT year(o_orderdate) AS yr, o_totalprice,
+         ntile(10) OVER (PARTITION BY year(o_orderdate)
+                         ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT yr, bin, CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM binned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+QUERIES["feature_quantile_bins"] = feature_quantile_bins
 
 
 # -------------------------------------------------------------------- scd2
