@@ -87,6 +87,7 @@ _PRIORITY = [
     "ts_ewma_daily",
     "feature_quantile_bins",
     "scd2_dim_history",
+    "stream_scd2_live",
     "stream_tumbling_counts",
     "stream_tumbling_counts_live",
     "stream_sliding_avg",
@@ -134,11 +135,11 @@ _PRIORITY = [
     "sample_mixture",
     "sample_stratified",
     "set_ops_customers",
-    "text_fingerprint",
-    "text_langid",  # <- window position 50
+    "text_fingerprint",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch; with the block below these head
     # the r9 rotation
+    "text_langid",
     "text_quality",
     "text_repetition",
     "text_tokens",

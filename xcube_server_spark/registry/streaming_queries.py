@@ -1109,6 +1109,8 @@ def _staged_orders_by_date(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    from pyspark.sql import functions as F
+
     src = os.path.join(sf_dir, "orders.parquet")
     try:
         st = os.stat(src)
@@ -1165,6 +1167,7 @@ def stream_scd2_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     staged = _staged_orders_by_date(spark, sf_dir)
     run_id = uuid.uuid4().hex[:8]
