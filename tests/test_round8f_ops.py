@@ -118,6 +118,34 @@ def test_cusum_finds_hand_built_mean_shift(spark, tmp_path):
     assert out[0].n_days == 20
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be result-identical to the plain join (inner and
+    left, including unmatched probe rows), only the distribution differs."""
+    from xcube_server_spark.operators.skew import salted_join
+    from xcube_server_spark.registry._util import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = ev.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    plain = ev.join(dim, "user_id").orderBy("event_id")
+    salted = salted_join(ev, dim, "user_id", salt_buckets=5).orderBy(
+        "event_id"
+    )
+    assert [tuple(r) for r in plain.collect()] == [
+        tuple(r) for r in salted.collect()
+    ]
+    # left join keeps unmatched probe rows exactly once
+    dim_half = dim.filter(F.col("user_id") % 2 == 0)
+    plain_l = ev.join(dim_half, "user_id", "left")
+    salted_l = salted_join(ev, dim_half, "user_id", 5, how="left")
+    assert plain_l.count() == salted_l.count() == ev.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(ev, dim, "user_id", how="full")
+
+
 def test_ewma_matches_pandas(spark, sf_dir):
     """The bit-shift closed form must equal pandas ewm(alpha=0.5,
     adjust=True).mean() on the same rounded daily series."""

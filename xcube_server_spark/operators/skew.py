@@ -55,3 +55,36 @@ def salted_agg(
             for name, (fn, col) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key replicated join (the salting-for-skew counterpart of
+    ``salted_agg`` for when AQE's skew-join split cannot apply — e.g. the
+    build side must not be broadcast and a handful of keys dominate the
+    probe side).
+
+    The BUILD side is replicated once per salt bucket (its row count
+    multiplies by N — use for dimension-sized sides); the PROBE side gets
+    a deterministic salt from a whole-row hash, so one hot key's rows
+    spread across N reducers instead of funneling through one. Join keys
+    become (key, salt); results are identical to the unsalted join for
+    ``inner`` and ``left`` joins because every probe row still meets every
+    build row of its key exactly once (the build replica set covers all N
+    salt values).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(salt_buckets)])
+    ).alias("__salt")
+    replicated = build.select("*", salts)
+    salted = probe.withColumn(
+        "__salt", F.abs(F.hash(*probe.columns)) % salt_buckets
+    )
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -88,6 +88,7 @@ _PRIORITY = [
     "feature_quantile_bins",
     "scd2_dim_history",
     "stream_scd2_live",
+    "join_salted_enrich",
     "stream_tumbling_counts",
     "stream_tumbling_counts_live",
     "stream_sliding_avg",
@@ -134,11 +135,11 @@ _PRIORITY = [
     "quality_filter_chain",
     "sample_mixture",
     "sample_stratified",
-    "set_ops_customers",
-    "text_fingerprint",  # <- window position 50
+    "set_ops_customers",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch; with the block below these head
     # the r9 rotation
+    "text_fingerprint",
     "text_langid",
     "text_quality",
     "text_repetition",

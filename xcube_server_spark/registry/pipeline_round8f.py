@@ -560,6 +560,54 @@ ORDER BY event_type
 QUERIES["ts_changepoint_cusum"] = ts_changepoint_cusum
 
 
+# ------------------------------------------------------------- salted join
+def join_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side enrichment through ``operators/skew.salted_join``: every
+    event joins its user's (pre-rounded) mean value with the join key
+    salted 8 ways, so a hot user's rows spread across 8 reducers instead
+    of funneling through one — the salting-for-skew counterpart of AQE's
+    skew split for when the build side cannot broadcast. The oracle is
+    the PLAIN unsalted SQL join, proving the mechanism changes the
+    physical distribution and nothing else. Deviations are scaled to
+    exact BIGINT per row before summing."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = ev.groupBy("user_id").agg(_rnd(F.avg("value"), 6).alias("user_avg"))
+    enriched = salted_join(ev, dim, "user_id", salt_buckets=8)
+    return (
+        enriched.withColumn(
+            "dev6",
+            F.expr(
+                "cast(floor((value - user_avg) * 1000000.0 + 0.5) as bigint)"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dev6").alias("sum_dev6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["join_salted_enrich"] = """
+WITH dim AS (
+  SELECT user_id,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS user_avg
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor((e.value - d.user_avg) * 1000000.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_dev6
+FROM events e JOIN dim d USING (user_id)
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["join_salted_enrich"] = join_salted_enrich
+
+
 # -------------------------------------------------------------------- ewma
 def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average (alpha=0.5, pandas
