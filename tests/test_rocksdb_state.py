@@ -1,0 +1,52 @@
+"""State-store backend parity: the streaming gates must produce identical
+results under the RocksDB state store provider — the production backend
+once streaming state outgrows executor heap (the default HDFS-backed
+provider keeps every version in memory; RocksDB spills to local disk and
+changelog-checkpoints, which is what a 100 TB stream's dedup/session state
+actually runs on).
+
+The provider is pinned at query start from the session conf, so the test
+flips the conf, re-runs the SAME registry callable, and compares row sets
+against the default-provider run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.registry import QUERIES
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stream_tumbling_counts_live",  # windowed aggregate state
+        "stream_dedupe_events_live",  # dropDuplicatesWithinWatermark state
+        "stream_sessionize_live",  # session-window state
+    ],
+)
+def test_stateful_gates_match_under_rocksdb(spark, sf_dir, name):
+    default_rows = sorted(
+        tuple(r) for r in QUERIES[name](spark, sf_dir).collect()
+    )
+    assert default_rows, name
+    prev = spark.conf.get(_CONF, None)
+    spark.conf.set(_CONF, _ROCKSDB)
+    try:
+        rocks_rows = sorted(
+            tuple(r) for r in QUERIES[name](spark, sf_dir).collect()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(_CONF)
+        else:
+            spark.conf.set(_CONF, prev)
+    assert rocks_rows == default_rows, (
+        f"{name}: RocksDB-backed run diverged from the default provider"
+    )
