@@ -89,6 +89,7 @@ _PRIORITY = [
     "scd2_dim_history",
     "stream_scd2_live",
     "join_salted_enrich",
+    "join_scd2_asof",
     "stream_tumbling_counts",
     "stream_tumbling_counts_live",
     "stream_sliding_avg",
@@ -134,11 +135,11 @@ _PRIORITY = [
     "pii_scrub",
     "quality_filter_chain",
     "sample_mixture",
-    "sample_stratified",
-    "set_ops_customers",  # <- window position 50
+    "sample_stratified",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch; with the block below these head
     # the r9 rotation
+    "set_ops_customers",
     "text_fingerprint",
     "text_langid",
     "text_quality",

@@ -746,6 +746,102 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey", "valid_from")
 
 
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each order joined to the SCD2 interval
+    in effect 30 days AFTER its own date — operator composition
+    (``scd2_dim_history`` output through ``operators/nearest.asof_join``).
+
+    The as-of union+window form costs ONE shuffle on custkey where the
+    correlated max-valid_from subquery (the oracle) would not survive a
+    100 TB fact side. Intervals are gapless by construction, so the
+    backward as-of match is always the valid interval (probe dates never
+    precede a customer's first interval: probe = first order date + 30).
+    Output: per effective-priority order counts and how many orders'
+    priority CHANGED within the 30 days."""
+    from ..operators.nearest import asof_join
+
+    # Two changes on the same date create a ZERO-LENGTH interval shadowed
+    # by its same-day successor; drop them so valid_from is strictly
+    # increasing per customer and the backward as-of pick is unambiguous
+    # (the surviving same-day interval is the effective one).
+    dim = (
+        scd2_dim_history(spark, sf_dir)
+        .filter(
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") != F.col("valid_from"))
+        )
+        .select("custkey", "priority", "valid_from")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    facts = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("prio_at_order"),
+        F.date_format(
+            F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd"
+        ).alias("probe"),
+    )
+    joined = asof_join(
+        facts,
+        dim,
+        on="custkey",
+        left_time="probe",
+        right_time="valid_from",
+        value_cols=["priority"],
+    )
+    return (
+        joined.groupBy(F.col("asof_priority").alias("prio_at_d30"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("asof_priority") != F.col("prio_at_order")).cast(
+                    "bigint"
+                )
+            ).alias("n_changed"),
+        )
+        .orderBy("prio_at_d30")
+    )
+
+
+ORACLES["join_scd2_asof"] = """
+WITH marked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders WHERE o_custkey <= 300
+), starts0 AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+         strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                  '%Y-%m-%d') AS valid_to
+  FROM marked
+  WHERE prev IS NULL OR prev <> o_orderpriority
+), starts AS (
+  SELECT custkey, priority, valid_from FROM starts0
+  WHERE valid_to IS NULL OR valid_to <> valid_from
+), facts AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS prio_at_order,
+         o_orderkey,
+         strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS probe
+  FROM orders WHERE o_custkey <= 300
+), matched AS (
+  SELECT f.o_orderkey, f.prio_at_order, s.priority,
+         row_number() OVER (PARTITION BY f.o_orderkey
+                            ORDER BY s.valid_from DESC) AS rk
+  FROM facts f JOIN starts s
+    ON s.custkey = f.custkey AND s.valid_from <= f.probe
+)
+SELECT priority AS prio_at_d30,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN priority <> prio_at_order THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed
+FROM matched WHERE rk = 1
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["join_scd2_asof"] = join_scd2_asof
+
+
 ORACLES["scd2_dim_history"] = """
 WITH marked AS (
   SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
