@@ -1,0 +1,137 @@
+"""(Geo)TIFF / COG reader tests.
+
+The hand-built fixture constructs a strip-layout TIFF byte-by-byte from
+the TIFF 6.0 spec (header, IFD entry layout, inline vs offset values), so
+the reader and the repo's own writer cannot share a bug and still pass —
+the same discipline as the blosc and HDF5 spec fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.tiff import (
+    TiffReader,
+    read_full,
+    write_geotiff,
+)
+from xcube_server_spark.sources.zarr_store import LocalStore
+
+
+def _formula(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    a = (((y * 7 + x * 13) % 97) / 10.0).astype("f8")
+    a[(y * w + x) % 11 == 0] = np.nan
+    return a
+
+
+def test_roundtrip_two_levels(tmp_path):
+    full = _formula(24, 40)
+    ov = full[::2, ::2].copy()
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, [full, ov], pixel_scale=(0.125, 0.125), origin=(0.0, 53.0))
+    st = LocalStore(str(tmp_path))
+    a0, ifd0 = read_full(st, "c.tif", 0)
+    a1, ifd1 = read_full(st, "c.tif", 1)
+    assert np.array_equal(np.isnan(a0), np.isnan(full))
+    assert np.allclose(np.nan_to_num(a0), np.nan_to_num(full))
+    assert np.allclose(np.nan_to_num(a1), np.nan_to_num(ov), equal_nan=False)
+    assert ifd1.is_overview and ifd1.pixel_scale[0] == 0.25
+    assert ifd0.tiepoint[3:5] == (0.0, 53.0)
+
+
+def test_uncompressed_int16(tmp_path):
+    a = (np.arange(20 * 32, dtype="i2") % 251).reshape(20, 32)
+    p = str(tmp_path / "i.tif")
+    write_geotiff(p, [a], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                  compression="none")
+    got, ifd = read_full(LocalStore(str(tmp_path)), "i.tif")
+    assert ifd.compression == 1 and got.dtype == np.dtype("<i2")
+    assert np.array_equal(got, a)
+
+
+def _hand_built_strip_tiff() -> bytes:
+    """Big-endian, strip-layout, deflate, 3x5 uint8 image with values
+    10*row+col — every byte placed per the spec tables by hand."""
+    h, w = 3, 5
+    img = bytes(10 * r + c for r in range(h) for c in range(w))
+    strip = zlib.compress(img)
+    # layout: header(8) | IFD | strip data
+    entries = []  # (tag, type, count, value_bytes_4)
+    def e4(tag, typ, cnt, val):
+        entries.append(struct.pack(">HHI", tag, typ, cnt) + val)
+    e4(256, 3, 1, struct.pack(">H", w) + b"\0\0")   # ImageWidth SHORT
+    e4(257, 4, 1, struct.pack(">I", h))             # ImageLength LONG
+    e4(258, 3, 1, struct.pack(">H", 8) + b"\0\0")   # BitsPerSample
+    e4(259, 3, 1, struct.pack(">H", 8) + b"\0\0")   # Compression deflate
+    e4(262, 3, 1, struct.pack(">H", 1) + b"\0\0")   # Photometric
+    n = 9
+    ifd_size = 2 + n * 12 + 4
+    strip_off = 8 + ifd_size
+    e4(273, 4, 1, struct.pack(">I", strip_off))     # StripOffsets
+    e4(277, 3, 1, struct.pack(">H", 1) + b"\0\0")   # SamplesPerPixel
+    e4(278, 4, 1, struct.pack(">I", h))             # RowsPerStrip (one strip)
+    e4(279, 4, 1, struct.pack(">I", len(strip)))    # StripByteCounts
+    assert len(entries) == n
+    entries.sort(key=lambda b: struct.unpack(">H", b[:2])[0])
+    out = b"MM\x00\x2a" + struct.pack(">I", 8)
+    out += struct.pack(">H", n) + b"".join(entries) + struct.pack(">I", 0)
+    out += strip
+    return out
+
+
+def test_hand_built_big_endian_strip_tiff(tmp_path):
+    p = tmp_path / "hand.tif"
+    p.write_bytes(_hand_built_strip_tiff())
+    got, ifd = read_full(LocalStore(str(tmp_path)), "hand.tif")
+    assert ifd.tile_w == 5 and ifd.tile_h == 3  # strip modeled as wide tile
+    want = np.array([[10 * r + c for c in range(5)] for r in range(3)])
+    assert np.array_equal(got, want)
+
+
+def test_clear_error_gates(tmp_path):
+    # BigTIFF magic
+    p = tmp_path / "big.tif"
+    p.write_bytes(b"II+\x00" + b"\0" * 12)
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        TiffReader(LocalStore(str(tmp_path)), "big.tif")
+    # LZW compression (code 5) in a hand-built IFD
+    raw = bytearray(_hand_built_strip_tiff())
+    # find the compression entry (tag 259 big-endian) and flip 8 -> 5
+    i = bytes(raw).find(struct.pack(">HHI", 259, 3, 1))
+    raw[i + 8 : i + 10] = struct.pack(">H", 5)
+    p2 = tmp_path / "lzw.tif"
+    p2.write_bytes(bytes(raw))
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        TiffReader(LocalStore(str(tmp_path)), "lzw.tif")
+    # not a TIFF at all
+    p3 = tmp_path / "no.tif"
+    p3.write_bytes(b"PK\x03\x04----")
+    with pytest.raises(ValueError, match="byte-order"):
+        TiffReader(LocalStore(str(tmp_path)), "no.tif")
+
+
+def test_distributed_ingest_matches_local_assembly(spark, tmp_path):
+    from xcube_server_spark.sources.tiff import ingest_geotiff_distributed
+
+    full = _formula(24, 40)
+    p = str(tmp_path / "d.tif")
+    write_geotiff(p, [full], pixel_scale=(0.125, 0.125), origin=(0.0, 53.0))
+    df = ingest_geotiff_distributed(spark, "local", str(tmp_path), "d.tif")
+    rows = {(r.lat_idx, r.lon_idx): r.value for r in df.collect()}
+    assert len(rows) == 24 * 40
+    for (yy, xx), v in rows.items():
+        want = full[yy, xx]
+        if np.isnan(want):
+            assert v is None
+        else:
+            assert abs(v - want) < 1e-12
+    # geo transform spot check
+    one = df.filter("lat_idx = 0 and lon_idx = 0").collect()[0]
+    assert abs(one.lat - (53.0 - 0.0625)) < 1e-12
+    assert abs(one.lon - 0.0625) < 1e-12

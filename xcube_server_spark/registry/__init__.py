@@ -90,6 +90,8 @@ _PRIORITY = [
     "stream_scd2_live",
     "join_salted_enrich",
     "join_scd2_asof",
+    "geotiff_ingest_stats",
+    "cog_overview_ingest_http",
     "stream_tumbling_counts",
     "stream_tumbling_counts_live",
     "stream_sliding_avg",
@@ -133,12 +135,12 @@ _PRIORITY = [
     "multimodal_bytes",
     "pack_sequences",
     "pii_scrub",
-    "quality_filter_chain",
-    "sample_mixture",
-    "sample_stratified",  # <- window position 50
+    "quality_filter_chain",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch; with the block below these head
     # the r9 rotation
+    "sample_mixture",
+    "sample_stratified",
     "set_ops_customers",
     "text_fingerprint",
     "text_langid",

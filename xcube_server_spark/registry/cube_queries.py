@@ -1842,3 +1842,194 @@ GROUP BY 1
 
 QUERIES["zarr_v3_sharded_ingest_stats"] = zarr_v3_sharded_ingest_stats
 ORACLES["zarr_v3_sharded_ingest_stats"] = ORACLE_ZARR_V3_SHARDED
+
+
+# ---------------------------------------------------------------------------
+# geotiff_ingest_stats / cog_overview_ingest_http: (Geo)TIFF + COG readers
+# ---------------------------------------------------------------------------
+
+_TIF_H, _TIF_W = 24, 40
+
+
+def _serve_dir_http(path: str) -> str:
+    """Serve a directory over loopback HTTP with REAL ``Range`` support
+    (one daemon server per process per dir) — object stores serve ranged
+    GETs natively, and the COG/sharded-zarr read contracts depend on them,
+    so the test server must honor ``bytes=a-b`` / ``bytes=-n`` instead of
+    falling back to full-object downloads."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if path in _HTTP_STORE_SERVER:
+        return _HTTP_STORE_SERVER[path]
+
+    root = path
+
+    class _RangeHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            p = os.path.join(root, *self.path.strip("/").split("/"))
+            if not os.path.isfile(p):
+                self.send_error(404)
+                return
+            size = os.path.getsize(p)
+            rng = self.headers.get("Range")
+            start, end = 0, size - 1
+            status = 200
+            if rng and rng.startswith("bytes="):
+                spec = rng[6:]
+                status = 206
+                if spec.startswith("-"):
+                    start = max(0, size - int(spec[1:]))
+                else:
+                    a, _, b = spec.partition("-")
+                    start = int(a)
+                    if b:
+                        end = min(int(b), size - 1)
+            with open(p, "rb") as f:
+                f.seek(start)
+                body = f.read(end - start + 1)
+            self.send_response(status)
+            if status == 206:
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{size}"
+                )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _HTTP_STORE_SERVER[path] = f"http://127.0.0.1:{srv.server_address[1]}"
+    return _HTTP_STORE_SERVER[path]
+
+
+def _geotiff_gate_file() -> str:
+    """Materialize (once) a deterministic two-level GeoTIFF (full res +
+    stride-2 overview) whose cells come from integer arithmetic —
+    ``((y*7 + x*13) % 97) / 10`` with NaN holes where
+    ``(y*W + x) % 11 == 0`` — so SQL oracles regenerate BOTH levels
+    without reading TIFF (the overview is an exact stride-2 subset, the
+    same decimation law the engine's LOD pyramid pins at
+    ``mldataset.py:296-304`` parity)."""
+    import numpy as np
+
+    from ..sources.tiff import write_geotiff
+
+    d = _gate_path("xss_geotiff_gate_v1")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "cube.tif")
+    if not os.path.exists(p):
+        y, x = np.mgrid[0:_TIF_H, 0:_TIF_W]
+        full = (((y * 7 + x * 13) % 97) / 10.0).astype("f8")
+        full[(y * _TIF_W + x) % 11 == 0] = np.nan
+        ov = full[::2, ::2].copy()
+        write_geotiff(
+            p, [full, ov], pixel_scale=(0.125, 0.125), origin=(0.0, 53.0)
+        )
+    return d
+
+
+def geotiff_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lat-band statistics from a REAL deflate-tiled GeoTIFF read by
+    the pure-Python TIFF reader through the DISTRIBUTED ingest path: the
+    driver range-reads only the header + IFD chain, executors range-GET
+    exactly their tile's bytes (``sources/tiff.py``). The oracle
+    regenerates the deterministic cell formula in SQL, hash-verifying the
+    whole chain: IFD parse, tile layout, deflate decode, edge-tile
+    clipping, NaN→NULL, geo transform (lat checked via the band key).
+
+    No reference counterpart (the reference reads zarr/NetCDF only) —
+    engine-added real-world coverage, same discipline as the zarr/HDF5
+    gates."""
+    from ..sources.tiff import ingest_geotiff_distributed
+
+    d = _geotiff_gate_file()
+    df = ingest_geotiff_distributed(spark, "local", d, "cube.tif", level=0)
+    return (
+        df.groupBy((F.col("lat_idx") / 4).cast("bigint").alias("band"))
+        .agg(
+            F.count("value").cast("bigint").alias("n_valid"),
+            rnd(F.avg("value"), 6).alias("mean_v"),
+            rnd(F.sum("value"), 6).alias("sum_v"),
+            rnd(F.min("lat"), 6).alias("min_lat"),
+            rnd(F.max("lon"), 6).alias("max_lon"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_GEOTIFF = f"""
+WITH cells AS (
+  SELECT y.i AS lat_idx, x.i AS lon_idx,
+         53.0 - (y.i + 0.5) * 0.125 AS lat,
+         0.0 + (x.i + 0.5) * 0.125 AS lon,
+         CASE WHEN (y.i * {_TIF_W} + x.i) % 11 = 0 THEN NULL
+              ELSE ((y.i * 7 + x.i * 13) % 97) / 10.0 END AS value
+  FROM (SELECT unnest(range(0, {_TIF_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_TIF_W})) AS i) x
+)
+SELECT lat_idx // 4 AS band,
+       CAST(count(value) AS BIGINT) AS n_valid,
+       floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_v,
+       floor(min(lat) * 1000000.0 + 0.5) / 1000000.0 AS min_lat,
+       floor(max(lon) * 1000000.0 + 0.5) / 1000000.0 AS max_lon
+FROM cells
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["geotiff_ingest_stats"] = geotiff_ingest_stats
+ORACLES["geotiff_ingest_stats"] = ORACLE_GEOTIFF
+
+
+def cog_overview_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cloud-Optimized GeoTIFF read contract END TO END: the SAME
+    two-level file served over HTTP, reading ONLY the overview IFD
+    (level 1) — the driver's ranged reads walk header + IFD chain, each
+    executor issues one HTTP Range GET per overview tile, and no byte of
+    the full-resolution level ever moves. The oracle regenerates the
+    stride-2 subset of the cell formula (overview cells ARE
+    ``full[::2, ::2]`` by the writer's construction), and the overview's
+    doubled pixel scale is hash-checked through the lat/lon outputs."""
+    from ..sources.tiff import ingest_geotiff_distributed
+
+    d = _geotiff_gate_file()
+    base = _serve_dir_http(d)
+    df = ingest_geotiff_distributed(spark, "http", base, "cube.tif", level=1)
+    return (
+        df.groupBy((F.col("lat_idx") / 4).cast("bigint").alias("band"))
+        .agg(
+            F.count("value").cast("bigint").alias("n_valid"),
+            rnd(F.avg("value"), 6).alias("mean_v"),
+            rnd(F.min("lat"), 6).alias("min_lat"),
+            rnd(F.max("lon"), 6).alias("max_lon"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_COG_OVERVIEW = f"""
+WITH cells AS (
+  SELECT y.i AS lat_idx, x.i AS lon_idx,
+         53.0 - (y.i + 0.5) * 0.25 AS lat,
+         0.0 + (x.i + 0.5) * 0.25 AS lon,
+         CASE WHEN ((y.i * 2) * {_TIF_W} + (x.i * 2)) % 11 = 0 THEN NULL
+              ELSE (((y.i * 2) * 7 + (x.i * 2) * 13) % 97) / 10.0
+         END AS value
+  FROM (SELECT unnest(range(0, {_TIF_H // 2})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_TIF_W // 2})) AS i) x
+)
+SELECT lat_idx // 4 AS band,
+       CAST(count(value) AS BIGINT) AS n_valid,
+       floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+       floor(min(lat) * 1000000.0 + 0.5) / 1000000.0 AS min_lat,
+       floor(max(lon) * 1000000.0 + 0.5) / 1000000.0 AS max_lon
+FROM cells
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["cog_overview_ingest_http"] = cog_overview_ingest_http
+ORACLES["cog_overview_ingest_http"] = ORACLE_COG_OVERVIEW
