@@ -116,6 +116,35 @@ def test_clear_error_gates(tmp_path):
         TiffReader(LocalStore(str(tmp_path)), "no.tif")
 
 
+def test_catalog_serves_geotiff_store(spark, tmp_path):
+    """A config Path pointing at a .tif auto-ingests through the GeoTIFF
+    reader into the LOD layout and serves like any engine cube — the same
+    raw-store contract as cube.nc / .zarr (Format sniffed by suffix and
+    by the II*/MM* magic)."""
+    from xcube_server_spark.cube.catalog import CubeCatalog, _is_raw_store
+
+    full = _formula(24, 40)
+    p = str(tmp_path / "scene.tif")
+    write_geotiff(p, [full], pixel_scale=(0.125, 0.125), origin=(0.0, 53.0))
+    assert _is_raw_store(p)
+    cat = CubeCatalog(spark)
+    meta = cat._ingest_raw_store("scene", p)
+    assert meta.grid.width == 40 and meta.grid.height == 24
+    assert "band_1" in meta.variables
+    cube = cat.cube(meta.identifier, 0)
+    got = {
+        (r.lat_idx, r.lon_idx): r.band_1
+        for r in cube.select("lat_idx", "lon_idx", "band_1").collect()
+    }
+    assert len(got) == 24 * 40
+    for (yy, xx), v in got.items():
+        want = full[yy, xx]
+        if np.isnan(want):
+            assert v is None
+        else:
+            assert abs(v - want) < 1e-5  # cube layout stores float32
+
+
 def test_distributed_ingest_matches_local_assembly(spark, tmp_path):
     from xcube_server_spark.sources.tiff import ingest_geotiff_distributed
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.paths import join_store_path, open_store_text
 from .grid import GridMeta, TileGridMeta
 
-_RAW_SUFFIXES = (".zarr", ".levels", ".nc", ".nc4", ".h5", ".hdf5")
+_RAW_SUFFIXES = (".zarr", ".levels", ".nc", ".nc4", ".h5", ".hdf5", ".tif", ".tiff")
 
 
 def _looks_like_zarr(path: str) -> bool:
@@ -50,7 +50,11 @@ def _is_raw_store(path: str) -> bool:
     if os.path.isfile(path):
         with open(path, "rb") as f:
             magic = f.read(8)
-        return magic[:3] == b"CDF" or magic == b"\x89HDF\r\n\x1a\n"
+        return (
+            magic[:3] == b"CDF"
+            or magic == b"\x89HDF\r\n\x1a\n"
+            or magic[:4] in (b"II*\x00", b"MM\x00*")
+        )
     return False
 
 try:
@@ -325,8 +329,11 @@ class CubeCatalog:
         from ..sources.cube_ingest import write_cube
         from ..sources.xarray_ingest import ingest_xarray_distributed
 
-        if fmt not in ("zarr", "nc"):
-            fmt = "zarr" if _looks_like_zarr(store) else "nc"
+        if fmt not in ("zarr", "nc", "geotiff"):
+            if store.rstrip("/").endswith((".tif", ".tiff")):
+                fmt = "geotiff"
+            else:
+                fmt = "zarr" if _looks_like_zarr(store) else "nc"
         df, grid = ingest_xarray_distributed(self.spark, store, fmt=fmt)
         var_names = [
             c for c in df.columns
@@ -390,7 +397,7 @@ class CubeCatalog:
             else:
                 store = self._resolve_store_path(ds, cfg_dir)
                 if _is_raw_store(store) or ds.get("Format") in (
-                    "zarr", "nc", "levels"
+                    "zarr", "nc", "levels", "geotiff"
                 ):
                     # the reference points Path at RAW stores (cube.nc,
                     # .zarr, .levels — context.py:217-255); auto-ingest

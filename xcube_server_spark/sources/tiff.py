@@ -439,3 +439,96 @@ def _make_store(kind: str, root: str):
     if kind == "http":
         return HttpStore(root)
     return LocalStore(root)
+
+
+# ------------------------------------------------------- dataset adapter
+class _Coord:
+    def __init__(self, values):
+        self.values = values
+
+
+class _GeoTiffVar:
+    """3-D (time=1, lat, lon) window view over one IFD — the dataset
+    protocol ``ingest_xarray_distributed`` consumes (``dims``,
+    ``chunks`` aligned to the TIFF tile grid, 3-D slicing that fetches
+    only the tiles intersecting the window)."""
+
+    dims = ("time", "lat", "lon")
+
+    def __init__(self, store, key: str, ifd: TiffIFD):
+        self._store = store
+        self._key = key
+        self._ifd = ifd
+        self.shape = (1, ifd.height, ifd.width)
+
+    @property
+    def chunks(self):
+        return ((1,), (self._ifd.tile_h,), (self._ifd.tile_w,))
+
+    def __getitem__(self, key):
+        t, ys, xs = key
+        ifd = self._ifd
+        y0, y1, _ = ys.indices(ifd.height)
+        x0, x1, _ = xs.indices(ifd.width)
+        out = np.full((y1 - y0, x1 - x0), np.nan, dtype="f8")
+        ty0, ty1 = y0 // ifd.tile_h, (y1 - 1) // ifd.tile_h
+        tx0, tx1 = x0 // ifd.tile_w, (x1 - 1) // ifd.tile_w
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                idx = ty * ifd.tiles_across + tx
+                raw = self._store.get_range(
+                    self._key, ifd.offsets[idx], ifd.counts[idx]
+                )
+                tile = decode_tile(raw, ifd, idx).astype("f8")
+                gy0, gx0 = ty * ifd.tile_h, tx * ifd.tile_w
+                sy0, sy1 = max(y0, gy0), min(y1, gy0 + tile.shape[0])
+                sx0, sx1 = max(x0, gx0), min(x1, gx0 + tile.shape[1])
+                out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = tile[
+                    sy0 - gy0 : sy1 - gy0, sx0 - gx0 : sx1 - gx0
+                ]
+        return out[None, :, :]
+
+
+class GeoTiffDataset:
+    """GeoTIFF as a 1-time-step cube dataset (group protocol: ``lat`` /
+    ``lon`` / ``time`` coords with ``.values``, ``data_vars``,
+    name-indexed window-sliceable variables)."""
+
+    _EPOCH = "2024-01-01 00:00:00"
+
+    def __init__(self, path: str, level: int = 0, var_name: str = "band_1"):
+        if path.startswith(("http://", "https://")):
+            base, _, key = path.rpartition("/")
+            store = _make_store("http", base)
+        else:
+            import os as _os
+
+            store = _make_store("local", _os.path.dirname(path) or ".")
+            key = _os.path.basename(path)
+        rd = TiffReader(store, key)
+        ifd = rd.ifds[level]
+        if ifd.pixel_scale is None or ifd.tiepoint is None:
+            raise ValueError("not a GeoTIFF: missing pixel scale / tiepoint")
+        sx, sy = ifd.pixel_scale[0], ifd.pixel_scale[1]
+        ox, oy = ifd.tiepoint[3], ifd.tiepoint[4]
+        lat = oy - (np.arange(ifd.height) + 0.5) * sy
+        lon = ox + (np.arange(ifd.width) + 0.5) * sx
+        self._coords = {
+            "lat": _Coord(lat),
+            "lon": _Coord(lon),
+            "time": _Coord(np.array([self._EPOCH])),
+        }
+        self._vars = {var_name: _GeoTiffVar(store, key, ifd)}
+
+    def __getitem__(self, name: str):
+        if name in self._coords:
+            return self._coords[name]
+        return self._vars[name]
+
+    @property
+    def data_vars(self):
+        return dict(self._vars)
+
+
+def open_geotiff(path: str, level: int = 0) -> GeoTiffDataset:
+    return GeoTiffDataset(path, level=level)

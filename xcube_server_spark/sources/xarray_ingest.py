@@ -53,6 +53,11 @@ def _open_store(path: str, fmt: str, opener: Callable | None):
     still needs xarray/netCDF4 (binary format, import-gated)."""
     if opener is not None:
         return opener()
+    if fmt == "geotiff":
+        # always the built-in reader — xarray has no TIFF backend here
+        from .tiff import open_geotiff
+
+        return open_geotiff(path)
     if fmt == "zarr":
         if xr is not None:
             return xr.open_zarr(path)
