@@ -100,20 +100,60 @@ def test_clear_error_gates(tmp_path):
     p.write_bytes(b"II+\x00" + b"\0" * 12)
     with pytest.raises(NotImplementedError, match="BigTIFF"):
         TiffReader(LocalStore(str(tmp_path)), "big.tif")
-    # LZW compression (code 5) in a hand-built IFD
+    # JPEG compression (code 7) in a hand-built IFD
     raw = bytearray(_hand_built_strip_tiff())
-    # find the compression entry (tag 259 big-endian) and flip 8 -> 5
+    # find the compression entry (tag 259 big-endian) and flip 8 -> 7
     i = bytes(raw).find(struct.pack(">HHI", 259, 3, 1))
-    raw[i + 8 : i + 10] = struct.pack(">H", 5)
-    p2 = tmp_path / "lzw.tif"
+    raw[i + 8 : i + 10] = struct.pack(">H", 7)
+    p2 = tmp_path / "jpg.tif"
     p2.write_bytes(bytes(raw))
-    with pytest.raises(NotImplementedError, match="compression 5"):
-        TiffReader(LocalStore(str(tmp_path)), "lzw.tif")
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        TiffReader(LocalStore(str(tmp_path)), "jpg.tif")
     # not a TIFF at all
     p3 = tmp_path / "no.tif"
     p3.write_bytes(b"PK\x03\x04----")
     with pytest.raises(ValueError, match="byte-order"):
         TiffReader(LocalStore(str(tmp_path)), "no.tif")
+
+
+def test_lzw_spec_vector_and_roundtrip(tmp_path):
+    """LZW pinned two ways: the 9-bit hand-packed stream for bytes
+    7 7 7 8 8 7 7 6 6 (Clear,7,258,8,8,258,6,6,EOI — derivable by hand
+    from TIFF 6.0 section 13, incl. the KwKwK case at code 258), and a
+    low-entropy roundtrip long enough to cross the 10/11/12-bit
+    early-change boundaries and a table reset."""
+    import random
+
+    from xcube_server_spark.sources.tiff import lzw_decode, lzw_encode
+
+    def pack(codes, width=9):
+        acc = bits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << width) | c
+            bits += width
+            while bits >= 8:
+                bits -= 8
+                out.append((acc >> bits) & 0xFF)
+        if bits:
+            out.append((acc << (8 - bits)) & 0xFF)
+        return bytes(out)
+
+    stream = pack([256, 7, 258, 8, 8, 258, 6, 6, 257])
+    assert lzw_decode(stream) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert lzw_encode(bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])) == stream
+    rng = random.Random(7)
+    data = bytes(rng.randrange(17) for _ in range(300_000))
+    assert lzw_decode(lzw_encode(data)) == data
+    # and through the TIFF container
+    full = _formula(24, 40)
+    p = str(tmp_path / "l.tif")
+    write_geotiff(p, [full], pixel_scale=(0.125, 0.125), origin=(0.0, 53.0),
+                  compression="lzw")
+    got, ifd = read_full(LocalStore(str(tmp_path)), "l.tif")
+    assert ifd.compression == 5
+    assert np.array_equal(np.isnan(got), np.isnan(full))
+    assert np.allclose(np.nan_to_num(got), np.nan_to_num(full))
 
 
 def test_catalog_serves_geotiff_store(spark, tmp_path):

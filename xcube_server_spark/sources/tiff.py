@@ -13,10 +13,11 @@ range-reads).
 
 Supported (the CO-GeoTIFF mainstream): classic TIFF both byte orders,
 strip AND tile layouts, chunky planar config, compression none(1) /
-deflate(8, 32946), sample formats uint(1)/int(2)/ieee-float(3) at
-8/16/32/64 bits, overview IFD chains, ModelPixelScale + ModelTiepoint
-georeferencing. Clear ``NotImplementedError`` gates (tested): BigTIFF(43),
-other compressions (LZW/JPEG/packbits), horizontal-differencing predictors,
+LZW(5, spec section 13 incl. the early-change quirk) / deflate(8, 32946),
+sample formats uint(1)/int(2)/ieee-float(3) at 8/16/32/64 bits, overview
+IFD chains, ModelPixelScale + ModelTiepoint georeferencing. Clear
+``NotImplementedError`` gates (tested): BigTIFF(43), other compressions
+(JPEG/packbits/CCITT), horizontal-differencing predictors,
 planar=separate, palette images.
 
 No reference counterpart: the reference snapshot reads zarr/NetCDF only
@@ -156,9 +157,10 @@ class TiffReader:
         width = e[_W][0]
         height = e[_L][0]
         comp = e.get(_COMP, [1])[0]
-        if comp not in (1, 8, 32946):
+        if comp not in (1, 5, 8, 32946):
             raise NotImplementedError(
-                f"TIFF compression {comp} not supported (none/deflate only)"
+                f"TIFF compression {comp} not supported"
+                " (none/LZW/deflate only)"
             )
         spp = e.get(_SPP, [1])[0]
         if spp != 1:
@@ -203,6 +205,8 @@ def decode_tile(raw: bytes, ifd: TiffIFD, tile_idx: int) -> np.ndarray:
     reader/store reference) so executors can call it on fetched bytes."""
     if ifd.compression in (8, 32946):
         raw = zlib.decompress(raw)
+    elif ifd.compression == 5:
+        raw = lzw_decode(raw)
     arr = np.frombuffer(raw, dtype=ifd.dtype)
     arr = arr[: ifd.tile_w * ifd.tile_h].reshape(ifd.tile_h, ifd.tile_w)
     ty, tx = divmod(tile_idx, ifd.tiles_across)
@@ -247,7 +251,7 @@ def write_geotiff(
     th, tw = tile
     if th % 16 or tw % 16:
         raise ValueError("TIFF tile dims must be multiples of 16")
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8}[compression]
 
     # serialize each level's tiles first so offsets can be laid out
     all_tiles: list[list[bytes]] = []
@@ -260,7 +264,11 @@ def write_geotiff(
                 win = a[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
                 block[: win.shape[0], : win.shape[1]] = win
                 b = block.tobytes()
-                tiles.append(zlib.compress(b, 6) if comp_code == 8 else b)
+                if comp_code == 8:
+                    b = zlib.compress(b, 6)
+                elif comp_code == 5:
+                    b = lzw_encode(b)
+                tiles.append(b)
         all_tiles.append(tiles)
 
     out = bytearray(b"II*\x00")
@@ -532,3 +540,99 @@ class GeoTiffDataset:
 
 def open_geotiff(path: str, level: int = 0) -> GeoTiffDataset:
     return GeoTiffDataset(path, level=level)
+
+
+# ------------------------------------------------------------------- LZW
+# TIFF 6.0 section 13: MSB-first LZW with ClearCode=256, EOI=257 and the
+# spec's "early change" quirk (code width grows one code earlier than the
+# table strictly requires, matching the original implementation).
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return _EOI
+        v = 0
+        for _ in range(width):
+            byte = data[bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table is one entry
+        # BEHIND the encoder's (the entry for code n lands while
+        # processing code n+1), so it grows at 2^w - 2 where the encoder
+        # grows at 2^w - 1 — sizes 510 / 1022 / 2046.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encoder twin (fixtures/tests; TIFF writers normally use deflate)."""
+    out = bytearray()
+    acc, accbits = 0, 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code == 4094:  # table nearly full: reset
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
