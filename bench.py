@@ -47,7 +47,9 @@ BENCH_QUERIES = [
     "cube_regrid_bilinear",
     "cube_threshold_area",
     "cube_var_correlation",
-    "zarr_ingest_stats",
+    # (zarr_ingest_stats swapped out r8f for the GeoTIFF reader — the
+    # plain-v2 decode path still rides zarr_ingest_stats_blosc/_http)
+    "geotiff_ingest_stats",
     "netcdf_ingest_stats",
     "zarr_ingest_stats_blosc",
     "zarr_ingest_stats_http",

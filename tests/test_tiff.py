@@ -156,6 +156,40 @@ def test_lzw_spec_vector_and_roundtrip(tmp_path):
     assert np.allclose(np.nan_to_num(got), np.nan_to_num(full))
 
 
+def test_predictor2_roundtrip_and_float_gate(tmp_path):
+    """Horizontal differencing (predictor 2) over LZW and deflate, uint8
+    and int16 (wraparound differences); the float predictor stays a
+    clear-error gate."""
+    a = ((np.arange(24 * 40).reshape(24, 40) * 37) % 251).astype("u1")
+    p = str(tmp_path / "p.tif")
+    write_geotiff(p, [a], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                  compression="lzw", predictor=2)
+    got, ifd = read_full(LocalStore(str(tmp_path)), "p.tif")
+    assert ifd.predictor == 2 and np.array_equal(got, a)
+    b = ((np.arange(20 * 32).reshape(20, 32) * 997) % 4099 - 2000).astype(
+        "<i2"
+    )
+    p2 = str(tmp_path / "p2.tif")
+    write_geotiff(p2, [b], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                  compression="deflate", predictor=2)
+    got2, _ = read_full(LocalStore(str(tmp_path)), "p2.tif")
+    assert np.array_equal(got2, b)
+    f = _formula(24, 40)
+    p3 = str(tmp_path / "p3.tif")
+    with pytest.raises(ValueError, match="integer-only"):
+        write_geotiff(p3, [f], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                      predictor=2)
+    # reader-side gate: a float file whose predictor tag claims 2
+    write_geotiff(p3, [f], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0))
+    raw = bytearray(open(p3, "rb").read())
+    i = raw.find(struct.pack("<HHI", 317, 3, 1))
+    assert i > 0
+    raw[i + 8 : i + 10] = struct.pack("<H", 2)
+    open(p3, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="integer samples only"):
+        read_full(LocalStore(str(tmp_path)), "p3.tif")
+
+
 def test_catalog_serves_geotiff_store(spark, tmp_path):
     """A config Path pointing at a .tif auto-ingests through the GeoTIFF
     reader into the LOD layout and serves like any engine cube — the same

@@ -17,8 +17,9 @@ LZW(5, spec section 13 incl. the early-change quirk) / deflate(8, 32946),
 sample formats uint(1)/int(2)/ieee-float(3) at 8/16/32/64 bits, overview
 IFD chains, ModelPixelScale + ModelTiepoint georeferencing. Clear
 ``NotImplementedError`` gates (tested): BigTIFF(43), other compressions
-(JPEG/packbits/CCITT), horizontal-differencing predictors,
-planar=separate, palette images.
+(JPEG/packbits/CCITT), the float predictor (3), planar=separate,
+palette images. Predictor 2 (horizontal differencing) IS supported for
+integer samples — undone with a wraparound row cumsum after decode.
 
 No reference counterpart: the reference snapshot reads zarr/NetCDF only
 (``xcube_server/context.py:238-255``); GeoTIFF/COG is engine-added
@@ -168,11 +169,15 @@ class TiffReader:
         if e.get(_PLANAR, [1])[0] != 1:
             raise NotImplementedError("planar TIFF not supported")
         pred = e.get(_PRED, [1])[0]
-        if pred != 1:
-            raise NotImplementedError(f"TIFF predictor {pred} not supported")
         bits = e.get(_BPS, [1])[0]
         sfmt = e.get(_SFMT, [1])[0]
         dtype = _dtype_for(bits, sfmt, self.bo)
+        if pred == 2 and sfmt == 3:
+            raise NotImplementedError(
+                "TIFF predictor 2 applies to integer samples only"
+            )
+        if pred not in (1, 2):
+            raise NotImplementedError(f"TIFF predictor {pred} not supported")
         if _TOFF in e:
             tile_w, tile_h = e[_TW][0], e[_TL][0]
             offsets, counts = e[_TOFF], e[_TCNT]
@@ -209,6 +214,9 @@ def decode_tile(raw: bytes, ifd: TiffIFD, tile_idx: int) -> np.ndarray:
         raw = lzw_decode(raw)
     arr = np.frombuffer(raw, dtype=ifd.dtype)
     arr = arr[: ifd.tile_w * ifd.tile_h].reshape(ifd.tile_h, ifd.tile_w)
+    if ifd.predictor == 2:
+        # horizontal differencing: undo with a wraparound row cumsum
+        arr = np.add.accumulate(arr, axis=1, dtype=arr.dtype)
     ty, tx = divmod(tile_idx, ifd.tiles_across)
     h = min(ifd.tile_h, ifd.height - ty * ifd.tile_h)
     w = min(ifd.tile_w, ifd.width - tx * ifd.tile_w)
@@ -239,6 +247,7 @@ def write_geotiff(
     origin: tuple[float, float],
     tile: tuple[int, int] = (16, 16),
     compression: str = "deflate",
+    predictor: int = 1,
 ) -> None:
     """Minimal tiled GeoTIFF/COG writer for fixtures and tests.
 
@@ -263,6 +272,12 @@ def write_geotiff(
                 block = np.zeros((th, tw), dtype=a.dtype)
                 win = a[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
                 block[: win.shape[0], : win.shape[1]] = win
+                if predictor == 2:
+                    if a.dtype.kind == "f":
+                        raise ValueError("predictor 2 is integer-only")
+                    d = block.copy()
+                    d[:, 1:] = block[:, 1:] - block[:, :-1]  # wraps in-dtype
+                    block = d
                 b = block.tobytes()
                 if comp_code == 8:
                     b = zlib.compress(b, 6)
@@ -303,6 +318,7 @@ def write_geotiff(
             _entry(_TOFF, 4, [0] * len(tiles)),  # patched
             _entry(_TCNT, 4, [len(t) for t in tiles]),
             _entry(_SFMT, 3, [sfmt]),
+            _entry(_PRED, 3, [predictor]),
             _entry(
                 _GEO_SCALE, 12, [sx * (2**li), sy * (2**li), 0.0]
             ),
