@@ -120,7 +120,10 @@ def test_blosc_chunk_roundtrip_property(raw, cname, shuffle):
 )
 def test_blosc_chunk_bitflip_never_silently_oversized(raw, pos, xor):
     """Chunk-level corruption either raises or yields output of the
-    declared nbytes (truncated/oversized results are impossible)."""
+    header's declared nbytes (truncated/oversized results are
+    impossible).  The flip may land in the nbytes field itself — the
+    declared size is then the corrupted one, exactly as c-blosc reports
+    it via blosc_cbuffer_sizes()."""
     frame = bytearray(blosc_compress(raw, 4, cname="lz4"))
     pos %= len(frame)
     frame[pos] ^= xor
@@ -128,4 +131,5 @@ def test_blosc_chunk_bitflip_never_silently_oversized(raw, pos, xor):
         out = blosc_decompress(bytes(frame))
     except Exception:
         return
-    assert len(out) == len(raw)
+    declared = int.from_bytes(frame[4:8], "little")
+    assert len(out) == declared

@@ -237,6 +237,17 @@ def test_truncated_frame_rejected():
         zstd_decompress(f[: len(f) // 2])
 
 
+def test_truncation_at_every_byte_terminates():
+    """Regression: a frame cut right after the frame header (before any
+    block header) used to spin forever — the 3-byte block-header read
+    past the end returned an empty slice, which parsed as a non-last
+    zero-size raw block.  Every possible cut must now raise promptly."""
+    f = zstd_compress(b"abc" * 50)
+    for cut in range(len(f)):
+        with pytest.raises(Exception):
+            zstd_decompress(f[:cut], 150)
+
+
 # ---------------------------------------------------------------------------
 # self round-trips
 # ---------------------------------------------------------------------------

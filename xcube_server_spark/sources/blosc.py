@@ -410,6 +410,13 @@ def decompress(frame: bytes) -> bytes:
             f"corrupt blosc chunk: nbytes={nbytes} blocksize={blocksize}"
         )
     if flags & _MEMCPY:
+        # c-blosc memcpyed chunks are exactly header + payload; anything
+        # else would let the slice below silently truncate
+        if 16 + nbytes != len(frame):
+            raise ValueError(
+                f"corrupt blosc chunk: memcpy nbytes {nbytes} != "
+                f"{len(frame) - 16} payload bytes"
+            )
         return bytes(frame[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
     if codec not in (0, 1, 3, 5):

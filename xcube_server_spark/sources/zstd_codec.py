@@ -715,16 +715,24 @@ def zstd_decompress(data: bytes, expected_size: int | None = None) -> bytes:
         st = _FrameState()
         frame_start = len(out)
         while True:
+            if pos + 3 > n:
+                raise ValueError("truncated zstd frame: block header")
             h = int.from_bytes(data[pos : pos + 3], "little")
             pos += 3
             last, btype, bsize = h & 1, (h >> 1) & 3, h >> 3
             if btype == 0:
+                if pos + bsize > n:
+                    raise ValueError("truncated zstd frame: raw block")
                 out += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:
+                if pos >= n:
+                    raise ValueError("truncated zstd frame: RLE block")
                 out += data[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:
+                if pos + bsize > n:
+                    raise ValueError("truncated zstd frame: compressed block")
                 _decode_block(data[pos : pos + bsize], out, st)
                 pos += bsize
             else:
