@@ -79,6 +79,7 @@ _PRIORITY = [
     # re-proven by the changed-first policy; the 10 rows they displace
     # from the old window tail (r3/r4-vintage, all multiply-green) drop
     # to overflow and head the r9 rotation
+    "netcdf4_kerchunk_ingest_http",
     "graph_triangle_count",
     "sketch_cms_heavy_hitters",
     "bloom_join_prefilter",
@@ -134,11 +135,11 @@ _PRIORITY = [
     "embed_label_centroids",
     "multimodal_bytes",
     "pack_sequences",
-    "pii_scrub",
-    "quality_filter_chain",  # <- window position 50
+    "pii_scrub",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the 8f head batch; with the block below these head
-    # the r9 rotation
+    # displaced by the 8f head batch and the kerchunk gate; with the
+    # block below these head the r9 rotation
+    "quality_filter_chain",
     "sample_mixture",
     "sample_stratified",
     "set_ops_customers",

@@ -1607,6 +1607,104 @@ ORACLES["netcdf4_packed_ingest_stats"] = ORACLE_NETCDF4_PACKED
 
 
 # ---------------------------------------------------------------------------
+# netcdf4_kerchunk_ingest_http: reference-manifest reads of an HDF5 archive
+# ---------------------------------------------------------------------------
+
+
+def _kerchunk_gate_dir() -> str:
+    """NetCDF4 file with ITS OWN formula —
+    ``((t*37 + y*11 + x*29) % 89) / 16`` with NULL holes where
+    ``(y*W + x + 4*t) % 13 == 0`` — plus the kerchunk reference manifest
+    built from it by ``build_hdf5_references`` (chunk B-tree scan →
+    zarr-keyed ``[url, offset, length]`` triples, inline base64
+    coordinates). A distinct formula means a fallback to any other
+    fixture cannot fake the hash."""
+    import numpy as np
+
+    from ..sources.hdf5 import write_hdf5
+    from ..sources.kerchunk import build_hdf5_references, write_references
+
+    d = _gate_path("xss_kerchunk_gate_v1")
+    refs = os.path.join(d, "refs.json")
+    if not os.path.exists(refs):
+        os.makedirs(d, exist_ok=True)
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 37 + y * 11 + x * 29) % 89) / 16.0
+        chl[(y * _ZG_W + x + 4 * t) % 13 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        nc = os.path.join(d, "cube.nc")
+        write_hdf5(
+            nc,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+        )
+        write_references(build_hdf5_references(nc), refs)
+    return d
+
+
+def netcdf4_kerchunk_ingest_http(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NetCDF4 read through a KERCHUNK REFERENCE MANIFEST over HTTP: a
+    one-time scan indexed every HDF5 chunk's byte extent into a small
+    JSON manifest (``sources/kerchunk.py``), and each executor task now
+    fetches exactly its chunks with ranged GETs against the ORIGINAL
+    ``.nc`` object — no per-task HDF5 header/B-tree walk, no archive
+    rewrite. This is the standard cloud pattern for serving NetCDF
+    archives at the zarr path's object-store discipline (the reference
+    reads such archives through xarray's HDF5 path,
+    ``xcube_server/context.py:243-246``; its S3 zarr discipline is
+    ``context.py:225-229``). Hash-verified against a SQL formula oracle
+    that regenerates the cube."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    base = _serve_dir_http(_kerchunk_gate_dir())
+    df, _grid = ingest_xarray_distributed(
+        spark, f"{base}/refs.json", fmt="kerchunk"
+    )
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_KERCHUNK = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 4 * t.i) % 13 = 0 THEN NULL
+              ELSE ((t.i * 37 + y.i * 11 + x.i * 29) % 89) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["netcdf4_kerchunk_ingest_http"] = netcdf4_kerchunk_ingest_http
+ORACLES["netcdf4_kerchunk_ingest_http"] = ORACLE_KERCHUNK
+
+
+# ---------------------------------------------------------------------------
 # zarr_ingest_stats_http: object-store protocol (HTTP GETs) through the gate
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,387 @@
+"""Kerchunk-style reference manifests: read NetCDF4/HDF5 chunk payloads
+THROUGH the zarr store protocol via byte-range references.
+
+This is the cloud-scale trick the kerchunk / fsspec
+``ReferenceFileSystem`` ecosystem standardized (public spec:
+https://fsspec.github.io/kerchunk/spec.html): a one-time scan of an
+HDF5 container emits a small JSON manifest mapping zarr v2 keys to
+``[url, offset, length]`` triples into the ORIGINAL file (plus inline
+JSON/base64 for metadata and tiny arrays). Executors then read chunks
+with plain ranged GETs — no HDF5 superblock/B-tree walk per task, no
+rewrite of the archive — and the whole dataset opens like a
+consolidated zarr store.
+
+Why it matters at 100 TB: providers ship NetCDF4; rewriting petabytes
+to zarr is often impossible. A reference manifest is kilobytes per
+file, the driver plans windows from it alone, and every executor GET
+is exactly one chunk's byte range of the original object. The
+reference serves such archives through xarray's HDF5 path
+(``xcube_server/context.py:243-246``); this module gives the same
+files the object-store read discipline of the zarr path
+(``context.py:225-229``).
+
+Two halves:
+
+- :func:`build_hdf5_references` — the scan/index step (kerchunk's
+  ``SingleHdf5ToZarr`` analog), built on this repo's pure-Python HDF5
+  reader: chunk B-tree/v4-index origins and byte extents come from
+  ``HDF5Variable._chunk_map``, the filter pipeline maps to zarr v2
+  codecs (HDF5 shuffle+deflate → numcodecs ``shuffle`` filter + zlib
+  compressor), and small contiguous datasets (coordinates) are
+  inlined base64 so opening costs one GET for the manifest plus one
+  ranged GET per data chunk.
+- :class:`ReferenceStore` — the read side (fsspec
+  ``ReferenceFileSystem`` analog): a key→bytes store over a manifest,
+  pluggable into the existing ``ZarrArray``/ingest machinery, with
+  ``{{template}}`` URL substitution per the spec's version-1 format.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import os
+
+import numpy as np
+
+from .zarr_store import LRUStoreCache, ZarrArray
+
+_INLINE_PREFIX = "base64:"
+
+
+class ReferenceStore:
+    """Key→bytes view of a kerchunk reference manifest.
+
+    ``refs`` values follow the public reference-filesystem format:
+    a ``str`` is inline content (``base64:``-prefixed or literal
+    UTF-8/JSON), a 1-list is a whole object, a 3-list is
+    ``[url, offset, length]``. Relative URLs resolve against the
+    manifest's own location; ``{{name}}`` placeholders substitute from
+    the manifest's ``templates`` table (spec v1)."""
+
+    def __init__(self, manifest: dict, base: str = ""):
+        if "refs" in manifest:
+            version = manifest.get("version", 1)
+            if version != 1:
+                raise NotImplementedError(
+                    f"reference manifest version {version!r} (0/1 "
+                    "layouts are readable)"
+                )
+            if manifest.get("gen"):
+                raise NotImplementedError(
+                    "generated-key reference manifests ('gen') are not "
+                    "supported — materialize the keys"
+                )
+            self._templates = dict(manifest.get("templates") or {})
+            self._refs = manifest["refs"]
+        else:  # version 0: the mapping IS the manifest
+            self._templates = {}
+            self._refs = manifest
+        self._base = base.rstrip("/")
+
+    # -- store protocol ----------------------------------------------------
+
+    def get(self, key: str) -> bytes | None:
+        ref = self._refs.get(key)
+        if ref is None:
+            return None
+        if isinstance(ref, str):
+            return self._inline(ref)
+        url = self._resolve(ref[0])
+        if len(ref) == 1:
+            return self._read(url, 0, None)
+        return self._read(url, int(ref[1]), int(ref[2]))
+
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        ref = self._refs.get(key)
+        if ref is None:
+            return None
+        if isinstance(ref, str):
+            body = self._inline(ref)
+            if start < 0:
+                start = max(0, len(body) + start)
+            return body[start : start + length]
+        url = self._resolve(ref[0])
+        off = int(ref[1]) if len(ref) > 1 else 0
+        total = int(ref[2]) if len(ref) > 2 else None
+        if start < 0:
+            if total is None:
+                return self._read(url, start, length)  # suffix of object
+            start = max(0, total + start)
+        if total is not None:
+            length = max(0, min(length, total - start))
+        return self._read(url, off + start, length)
+
+    # -- internals -----------------------------------------------------------
+
+    @staticmethod
+    def _inline(ref: str) -> bytes:
+        if ref.startswith(_INLINE_PREFIX):
+            return base64.b64decode(ref[len(_INLINE_PREFIX):])
+        return ref.encode("utf-8")
+
+    def _resolve(self, url: str) -> str:
+        if "{{" in url:
+            for name, value in self._templates.items():
+                url = url.replace("{{" + name + "}}", value)
+            if "{{" in url:
+                raise KeyError(f"unresolved template in reference: {url!r}")
+        if "://" in url or not self._base:
+            return url
+        return f"{self._base}/{url}"
+
+    @staticmethod
+    def _read(url: str, offset: int, length: int | None) -> bytes:
+        if url.startswith(("http://", "https://")):
+            import urllib.request
+
+            if length is None and offset == 0:
+                with urllib.request.urlopen(url) as r:
+                    return r.read()
+            rng = (
+                f"bytes={offset}" if offset < 0
+                else f"bytes={offset}-{offset + (length or 0) - 1}"
+            )
+            req = urllib.request.Request(url, headers={"Range": rng})
+            with urllib.request.urlopen(req) as r:
+                body = r.read()
+            if length is not None and len(body) > length:
+                # server ignored Range (200): slice locally
+                body = (
+                    body[offset:] if offset < 0
+                    else body[offset : offset + length]
+                )
+            return body
+        if url.startswith("s3://"):
+            from .s3 import S3Store
+
+            bucket_url = url.rsplit("/", 1)[0]
+            key = url.rsplit("/", 1)[1]
+            store = S3Store(bucket_url)
+            if length is None and offset == 0:
+                return store.get(key)
+            return store.get_range(key, offset, length or 0)
+        with open(url, "rb") as f:
+            if offset < 0:
+                f.seek(0, 2)
+                f.seek(max(0, f.tell() + offset))
+            else:
+                f.seek(offset)
+            return f.read() if length is None else f.read(length)
+
+
+class KerchunkGroup:
+    """The minimal dataset surface the ingest path consumes (mirrors
+    ``ZarrGroup``): name lookup, ``data_vars``, coordinate ``.values``."""
+
+    def __init__(self, arrays: dict[str, ZarrArray]):
+        self._arrays = arrays
+
+    def __getitem__(self, name: str) -> ZarrArray:
+        return self._arrays[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._arrays
+
+    @property
+    def data_vars(self) -> dict[str, ZarrArray]:
+        return {
+            n: a
+            for n, a in self._arrays.items()
+            if len(a.shape) >= 2 and n not in ("lat", "lon", "time")
+        }
+
+
+def open_kerchunk(src: str) -> KerchunkGroup:
+    """Open a reference manifest (local path or URL of the JSON) as a
+    dataset. One GET fetches the manifest; all array metadata is inline
+    in it (the consolidated-metadata property that makes the format
+    listing-free on object stores), so only chunk reads touch the
+    target files afterwards."""
+    if src.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(src) as r:
+            manifest = json.loads(r.read())
+        base = src.rsplit("/", 1)[0]
+    else:
+        with open(src) as f:
+            manifest = json.load(f)
+        base = os.path.dirname(os.path.abspath(src))
+    store = LRUStoreCache(ReferenceStore(manifest, base))
+    refs = manifest["refs"] if "refs" in manifest else manifest
+    names = sorted(
+        k.split("/")[0] for k in refs if k.endswith("/.zarray")
+    )
+    if not names:
+        raise ValueError(f"no zarr arrays referenced by {src}")
+    arrays = {}
+    for name in names:
+        meta = json.loads(ReferenceStore._inline(refs[f"{name}/.zarray"])
+                          if isinstance(refs[f"{name}/.zarray"], str)
+                          else store.get(f"{name}/.zarray"))
+        araw = refs.get(f"{name}/.zattrs")
+        attrs = json.loads(ReferenceStore._inline(araw)) if isinstance(
+            araw, str
+        ) else (json.loads(store.get(f"{name}/.zattrs") or "{}"))
+        arrays[name] = ZarrArray(
+            f"{src}::{name}", store=store, prefix=name,
+            meta=meta, attrs=attrs,
+        )
+    return KerchunkGroup(arrays)
+
+
+# ---------------------------------------------------------------------------
+# manifest builder (the kerchunk SingleHdf5ToZarr analog)
+# ---------------------------------------------------------------------------
+
+
+def _map_hdf5_filters(
+    filters: list[tuple[int, tuple]], itemsize: int
+) -> tuple[dict | None, list[dict]]:
+    """HDF5 filter pipeline → (zarr v2 compressor, zarr v2 filters).
+
+    HDF5 applies its pipeline in order on write; zarr v2 applies
+    ``filters`` in order then the ``compressor``. So shuffle (id 2)
+    followed by deflate (id 1) maps exactly to
+    ``filters=[{shuffle}], compressor={zlib}`` — the only layout the
+    wider kerchunk ecosystem emits for netCDF4's default compression.
+    Anything else (fletcher32, lzf, plugin codecs, deflate *before*
+    shuffle) has no faithful zarr v2 expression here and raises."""
+    comp: dict | None = None
+    zfilters: list[dict] = []
+    for fid, cvals in filters:
+        if comp is not None:
+            raise NotImplementedError(
+                "HDF5 filters after deflate have no zarr v2 mapping"
+            )
+        if fid == 1:
+            comp = {"id": "zlib", "level": int(cvals[0]) if cvals else 6}
+        elif fid == 2:
+            ts = int(cvals[0]) if cvals else itemsize
+            zfilters.append({"id": "shuffle", "elementsize": ts})
+        else:
+            raise NotImplementedError(
+                f"HDF5 filter id {fid} cannot be referenced as zarr v2 "
+                "codecs (deflate and shuffle can) — read the file via "
+                "the HDF5 path instead"
+            )
+    return comp, zfilters
+
+
+def _json_attr(value):
+    if isinstance(value, np.generic):
+        return value.item()
+    if isinstance(value, np.ndarray):
+        return [_json_attr(v) for v in value.tolist()]
+    if isinstance(value, bytes):
+        return value.decode("utf-8", "replace")
+    return value
+
+
+def build_hdf5_references(
+    path: str, target: str | None = None, inline_threshold: int = 512
+) -> dict:
+    """Scan a NetCDF4/HDF5 file once and emit a version-1 reference
+    manifest: zarr v2 metadata inline, every chunk as a byte-range
+    triple into ``target`` (default: the file's basename, resolved
+    relative to wherever the manifest itself lives — upload both to the
+    same prefix and the references keep working).
+
+    Contiguous datasets of at most ``inline_threshold`` raw bytes
+    (coordinate vectors, scalars) are embedded base64 so opening the
+    dataset costs zero extra round trips."""
+    from .hdf5 import open_hdf5
+
+    ds = open_hdf5(path)
+    f = ds._file
+    if target is None:
+        target = os.path.basename(path)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+
+    for name, var in ds._vars.items():
+        if getattr(var, "_vlen_str", False):
+            raise NotImplementedError(
+                f"dataset {name!r}: vlen-string datasets cannot be "
+                "byte-range referenced (element data lives in the "
+                "global heap)"
+            )
+        if var.dtype.kind not in "iuf":
+            raise NotImplementedError(
+                f"dataset {name!r}: dtype {var.dtype} has no zarr v2 "
+                "byte-range mapping (numeric datasets only)"
+            )
+        layout = var._layout
+        fill = var._fill_scalar()
+        fill_json = None
+        if fill is not None:
+            fill_json = (
+                "NaN" if isinstance(fill, float) and math.isnan(fill)
+                else _json_attr(np.asarray(fill).reshape(()).item())
+            )
+        attrs = {"_ARRAY_DIMENSIONS": list(var.dims)}
+        for aname, aval in var.attrs.items():
+            if aname in ("CLASS", "NAME", "REFERENCE_LIST"):
+                continue  # HDF5 dimension-scale bookkeeping, not CF
+            attrs[aname] = _json_attr(aval)
+
+        if layout[0] == "contiguous":
+            addr, size = layout[1], layout[2]
+            meta = {
+                "zarr_format": 2,
+                "shape": list(var.shape),
+                "chunks": list(var.shape) or [1],
+                "dtype": var.dtype.str,
+                "compressor": None,
+                "filters": None,
+                "fill_value": fill_json,
+                "order": "C",
+            }
+            key = f"{name}/" + ".".join("0" for _ in (var.shape or (1,)))
+            nbytes = int(np.prod(var.shape, dtype=np.int64)) * (
+                var.dtype.itemsize
+            )
+            if nbytes <= inline_threshold:
+                raw = bytes(f.buf[f.base + addr : f.base + addr + nbytes])
+                refs[key] = _INLINE_PREFIX + base64.b64encode(raw).decode()
+            else:
+                refs[key] = [target, int(f.base + addr), nbytes]
+        elif layout[0] in ("chunked", "chunked4"):
+            ch = var.chunk_shape
+            comp, zfilters = _map_hdf5_filters(
+                var._filters, var.dtype.itemsize
+            )
+            meta = {
+                "zarr_format": 2,
+                "shape": list(var.shape),
+                "chunks": list(ch),
+                "dtype": var.dtype.str,
+                "compressor": comp,
+                "filters": zfilters or None,
+                "fill_value": fill_json,
+                "order": "C",
+            }
+            for origin, (addr, size, mask) in var._chunk_map().items():
+                if mask:
+                    raise NotImplementedError(
+                        f"dataset {name!r}: per-chunk filter masks have "
+                        "no zarr expression"
+                    )
+                key = f"{name}/" + ".".join(
+                    str(o // c) for o, c in zip(origin, ch)
+                )
+                refs[key] = [target, int(f.base + addr), int(size)]
+        else:
+            raise NotImplementedError(
+                f"dataset {name!r}: {layout[0]} storage cannot be "
+                "byte-range referenced"
+            )
+        refs[f"{name}/.zarray"] = json.dumps(meta)
+        refs[f"{name}/.zattrs"] = json.dumps(attrs)
+    return {"version": 1, "refs": refs}
+
+
+def write_references(manifest: dict, path: str) -> None:
+    with open(path, "w") as fh:
+        json.dump(manifest, fh)

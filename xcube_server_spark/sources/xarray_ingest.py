@@ -58,6 +58,12 @@ def _open_store(path: str, fmt: str, opener: Callable | None):
         from .tiff import open_geotiff
 
         return open_geotiff(path)
+    if fmt == "kerchunk":
+        # reference manifest (kerchunk / fsspec ReferenceFileSystem):
+        # zarr keys → byte ranges of the original NetCDF4/HDF5 objects
+        from .kerchunk import open_kerchunk
+
+        return open_kerchunk(path)
     if fmt == "zarr":
         if xr is not None:
             return xr.open_zarr(path)

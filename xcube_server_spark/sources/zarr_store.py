@@ -338,11 +338,23 @@ class ZarrArray:
                     "vlen-utf8 composed with further filters"
                 )
         else:
-            for flt in self._filters:
-                if flt.get("id") not in ("delta", "fixedscaleoffset"):
+            for i, flt in enumerate(self._filters):
+                fid = flt.get("id")
+                if fid == "shuffle":
+                    # numcodecs Shuffle is a byte transpose: only valid
+                    # directly before the compressor (kerchunk maps HDF5
+                    # shuffle+deflate to exactly this position)
+                    if i != len(self._filters) - 1:
+                        raise NotImplementedError(
+                            "shuffle must be the last zarr filter "
+                            "(adjacent to the compressor)"
+                        )
+                    continue
+                if fid not in ("delta", "fixedscaleoffset"):
                     raise NotImplementedError(
                         f"zarr filter {flt.get('id')!r} is not supported "
-                        "(delta, fixedscaleoffset and vlen-utf8 are)"
+                        "(delta, fixedscaleoffset, shuffle and vlen-utf8 "
+                        "are)"
                     )
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
@@ -359,6 +371,14 @@ class ZarrArray:
         self.shape = tuple(meta["shape"])
         self.chunk_shape = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
+        # byte-level shuffle is undone on the raw chunk bytes in _chunk;
+        # keep only the array-level filters in self._filters
+        self._shuffle_ts = 0
+        if self._filters and self._filters[-1].get("id") == "shuffle":
+            flt = self._filters.pop()
+            self._shuffle_ts = int(
+                flt.get("elementsize") or self.dtype.itemsize
+            )
         fv = meta.get("fill_value")
         if fv == "NaN":
             fv = math.nan
@@ -428,6 +448,10 @@ class ZarrArray:
             from .blosc import decompress as _blosc_decompress
 
             raw = _blosc_decompress(raw)
+        if self._shuffle_ts > 1:
+            from .blosc import _unshuffle_bytes
+
+            raw = _unshuffle_bytes(raw, self._shuffle_ts)
         if self._vlen_utf8:
             return _decode_vlen_utf8(raw).reshape(self.chunk_shape)
         if self._filters:
