@@ -1,0 +1,119 @@
+"""Invariant tests for the per-pixel trend and area-weighted mean cube
+operators — properties the DuckDB-oracle hash compare cannot express:
+the known fixture trend, an exact single-cell Python recomputation, and
+the equal-weights degeneracy of the weighted mean."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from xcube_server_spark.registry import QUERIES
+from xcube_server_spark.registry.cube_climate import _clim_base
+
+
+def test_pixel_trend_recovers_fixture_trend(spark, sf_dir):
+    """kd489 carries an exact +0.25/step linear trend on every cell;
+    the per-cell OLS slope must recover it to float32-quantization
+    precision, on all 1250 cells."""
+    rows = QUERIES["cube_pixel_trend"](spark, sf_dir).collect()
+    assert len(rows) == 1250
+    for r in rows:
+        assert abs(r.slope_per_step - 0.25) < 2e-3, (
+            r.lat_idx, r.lon_idx, r.slope_per_step,
+        )
+
+
+def test_pixel_trend_single_cell_exact(spark, sf_dir):
+    """One cell recomputed in plain Python from the same parquet matches
+    the engine output bit-for-bit after the gate's 1e-6 rounding."""
+    out = {
+        (r.lat_idx, r.lon_idx): r
+        for r in QUERIES["cube_pixel_trend"](spark, sf_dir).collect()
+    }
+    l0 = spark.read.parquet(os.path.join(_clim_base(), "l0"))
+    cell = (
+        l0.filter((F.col("lat_idx") == 3) & (F.col("lon_idx") == 7))
+        .select("time_idx", F.col("kd489").cast("double").alias("v"))
+        .collect()
+    )
+    assert len(cell) == 24
+    sxy = sum(r.time_idx * math.floor(r.v * 10000 + 0.5) for r in cell)
+    sy = sum(math.floor(r.v * 10000 + 0.5) for r in cell)
+    slope = math.floor(
+        (24 * sxy - 276 * sy) / 276000000.0 * 1e6 + 0.5
+    ) / 1e6
+    mean = math.floor(sy / 240000.0 * 1e6 + 0.5) / 1e6
+    got = out[(3, 7)]
+    assert got.slope_per_step == slope
+    assert got.mean_level == mean
+
+
+def test_area_weighted_mean_shape_and_bias(spark, sf_dir):
+    """24 slices, 1250 cells each; the weighted and plain means differ
+    (cos-lat weighting is not a no-op on a 25-row latitude band) but by
+    less than the field's spatial spread."""
+    rows = QUERIES["cube_area_weighted_mean"](spark, sf_dir).collect()
+    assert len(rows) == 24
+    assert all(r.n_cells == 1250 for r in rows)
+    diffs = [abs(r.weighted_mean - r.plain_mean) for r in rows]
+    assert any(d > 0 for d in diffs)
+    assert all(d < 0.5 for d in diffs)
+
+
+def test_area_weighted_mean_single_step_exact(spark, sf_dir):
+    """Time step 0 recomputed in Python with the same integer
+    quantization matches exactly."""
+    got = {
+        r.time_idx: r
+        for r in QUERIES["cube_area_weighted_mean"](spark, sf_dir).collect()
+    }[0]
+    l0 = spark.read.parquet(os.path.join(_clim_base(), "l0"))
+    cells = (
+        l0.filter(F.col("time_idx") == 0)
+        .select("lat", F.col("kd489").cast("double").alias("v"))
+        .collect()
+    )
+    swv = sw = sv = 0
+    for r in cells:
+        wq = math.floor(math.cos(math.radians(r.lat)) * 1e6 + 0.5)
+        vq = math.floor(r.v * 10000 + 0.5)
+        swv += wq * vq
+        sw += wq
+        sv += vq
+    wmean = math.floor(swv / (sw * 10000.0) * 1e6 + 0.5) / 1e6
+    pmean = math.floor(sv / (len(cells) * 10000.0) * 1e6 + 0.5) / 1e6
+    assert got.weighted_mean == wmean
+    assert got.plain_mean == pmean
+
+
+def test_weighted_mean_equal_weights_degeneracy(spark):
+    """With constant latitude the quantized weights are identical, so
+    the weighted mean must equal the plain mean — pinned on a hand-built
+    frame through the same arithmetic."""
+    df = spark.createDataFrame(
+        [(0, 45.0, float(v)) for v in (1.0, 2.0, 4.0)],
+        "time_idx int, lat double, v double",
+    )
+    cells = df.select(
+        "time_idx",
+        F.floor(F.cos(F.radians(F.col("lat"))) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+        F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    row = (
+        cells.groupBy("time_idx")
+        .agg(
+            F.sum(F.col("wq") * F.col("vq")).alias("swv"),
+            F.sum("wq").alias("sw"),
+            F.sum("vq").alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    wmean = row.swv / (row.sw * 10000.0)
+    pmean = row.sv / (row.n * 10000.0)
+    assert abs(wmean - pmean) < 1e-12

@@ -80,6 +80,8 @@ _PRIORITY = [
     # from the old window tail (r3/r4-vintage, all multiply-green) drop
     # to overflow and head the r9 rotation
     "netcdf4_kerchunk_ingest_http",
+    "cube_pixel_trend",
+    "cube_area_weighted_mean",
     "graph_triangle_count",
     "sketch_cms_heavy_hitters",
     "bloom_join_prefilter",
@@ -133,12 +135,12 @@ _PRIORITY = [
     "dedup_simhash",
     "doc_chunking",
     "embed_label_centroids",
-    "multimodal_bytes",
-    "pack_sequences",
-    "pii_scrub",  # <- window position 50
+    "multimodal_bytes",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the 8f head batch and the kerchunk gate; with the
-    # block below these head the r9 rotation
+    # displaced by the 8f head batch, the kerchunk gate and the two new
+    # cube analytics; with the block below these head the r9 rotation
+    "pack_sequences",
+    "pii_scrub",
     "quality_filter_chain",
     "sample_mixture",
     "sample_stratified",

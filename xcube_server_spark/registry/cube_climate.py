@@ -191,9 +191,164 @@ FROM per_cell GROUP BY 1 ORDER BY 1
 QUERIES["cube_exceedance_streak"] = cube_exceedance_streak
 
 
+def cube_pixel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel OLS trend of ``kd489`` over the 24-month series — the
+    classic per-cell trend map (xarray's ``polyfit(dim='time')``; the
+    reference serves per-step statistics, a trend map is the next
+    product a climate user derives). Slope per cell via the closed form
+    ``(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` with x = time_idx.
+
+    Cross-engine exactness: values are quantized to 1e-4 BIGINTs scan-
+    side, so every aggregate is an exact integer sum (micro-batch /
+    partial-aggregate reordering cannot move a bit) and the only float
+    op is one final division. x-sums are constants (n=24, Sx=276,
+    Sxx=4324 — kd489 has no NULL holes).
+
+    Scale: one aggregate keyed (cell) — the map-side combine reduces
+    each cell to two BIGINTs regardless of series length; no window, no
+    join, no driver state. Output is one row per cell."""
+    l0 = spark.read.parquet(_clim_fixture(spark))
+    cells = l0.select(
+        "lat_idx",
+        "lon_idx",
+        F.col("time_idx").cast("long").alias("x"),
+        F.floor(F.col("kd489").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    n, sx, sxx = 24, 276, 4324
+    den = n * sxx - sx * sx  # 27600, exact
+    return (
+        cells.groupBy("lat_idx", "lon_idx")
+        .agg(
+            F.sum(F.col("x") * F.col("vq")).alias("sxy"),
+            F.sum("vq").alias("sy"),
+        )
+        .select(
+            "lat_idx",
+            "lon_idx",
+            rnd(
+                (F.lit(n) * F.col("sxy") - F.lit(sx) * F.col("sy"))
+                / F.lit(float(den) * 10000.0),
+                6,
+            ).alias("slope_per_step"),
+            rnd(F.col("sy") / F.lit(float(n) * 10000.0), 6).alias(
+                "mean_level"
+            ),
+        )
+    )
+
+
+def _trend_oracle() -> str:
+    scan = (
+        f"read_parquet('{os.path.join(_clim_base(), 'l0', '*', '*.parquet')}'"
+        ", hive_partitioning=1)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT lat_idx, lon_idx, CAST(time_idx AS BIGINT) AS x,
+         CAST(floor(CAST(kd489 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS vq
+  FROM {scan}
+), sums AS (
+  SELECT lat_idx, lon_idx,
+         CAST(sum(x * vq) AS BIGINT) AS sxy,
+         CAST(sum(vq) AS BIGINT) AS sy
+  FROM cells GROUP BY 1, 2
+)
+SELECT lat_idx, lon_idx,
+       floor((24 * sxy - 276 * sy) / 276000000.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS slope_per_step,
+       floor(sy / 240000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_level
+FROM sums
+"""
+
+
+QUERIES["cube_pixel_trend"] = cube_pixel_trend
+
+
+def cube_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latitude-area-weighted spatial mean per time step — the correct
+    way to average a geographic grid (cell area shrinks with cos(lat);
+    a plain mean over-weights high latitudes). Reported next to the
+    unweighted mean so the bias is visible. This is xarray's
+    ``ds.weighted(np.cos(np.deg2rad(ds.lat))).mean(('lat','lon'))``
+    recipe, Spark-first.
+
+    Cross-engine exactness: weights AND values quantize to BIGINTs
+    scan-side (cos() may differ by an ulp between libms — quantizing at
+    1e-4/1e-6 puts both engines on the same integer), so the weighted
+    sums are exact integers; one final division per slice.
+
+    Scale: pure scan-side projection + one aggregate keyed time_idx —
+    partial aggregation reduces every partition to 3 BIGINTs/slice."""
+    l0 = spark.read.parquet(_clim_fixture(spark))
+    cells = l0.select(
+        "time_idx",
+        F.floor(
+            F.cos(F.radians(F.col("lat"))) * 1000000 + F.lit(0.5)
+        ).cast("long").alias("wq"),
+        F.floor(F.col("kd489").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    return (
+        cells.groupBy("time_idx")
+        .agg(
+            F.sum(F.col("wq") * F.col("vq")).alias("swv"),
+            F.sum("wq").alias("sw"),
+            F.sum("vq").alias("sv"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+        .select(
+            "time_idx",
+            "n_cells",
+            rnd(
+                F.col("swv") / (F.col("sw").cast("double") * 10000.0), 6
+            ).alias("weighted_mean"),
+            rnd(
+                F.col("sv") / (F.col("n_cells").cast("double") * 10000.0),
+                6,
+            ).alias("plain_mean"),
+        )
+    )
+
+
+def _areaw_oracle() -> str:
+    scan = (
+        f"read_parquet('{os.path.join(_clim_base(), 'l0', '*', '*.parquet')}'"
+        ", hive_partitioning=1)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT time_idx,
+         CAST(floor(cos(radians(lat)) * 1000000 + 0.5) AS BIGINT) AS wq,
+         CAST(floor(CAST(kd489 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS vq
+  FROM {scan}
+), sums AS (
+  SELECT time_idx,
+         CAST(sum(wq * vq) AS BIGINT) AS swv,
+         CAST(sum(wq) AS BIGINT) AS sw,
+         CAST(sum(vq) AS BIGINT) AS sv,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells GROUP BY 1
+)
+SELECT time_idx, n_cells,
+       floor(swv / (CAST(sw AS DOUBLE) * 10000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS weighted_mean,
+       floor(sv / (CAST(n_cells AS DOUBLE) * 10000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS plain_mean
+FROM sums
+"""
+
+
+QUERIES["cube_area_weighted_mean"] = cube_area_weighted_mean
+
+
 def _register_oracles() -> None:
     ORACLES["cube_climatology_anomaly"] = _clim_oracle()
     ORACLES["cube_exceedance_streak"] = _streak_oracle()
+    ORACLES["cube_pixel_trend"] = _trend_oracle()
+    ORACLES["cube_area_weighted_mean"] = _areaw_oracle()
 
 
 _register_oracles()
