@@ -49,8 +49,11 @@ BENCH_QUERIES = [
     "cube_var_correlation",
     # (zarr_ingest_stats swapped out r8f for the GeoTIFF reader — the
     # plain-v2 decode path still rides zarr_ingest_stats_blosc/_http)
+    # (netcdf_ingest_stats swapped out r8g for the kerchunk manifest
+    # path — classic-CDF decode still rides netcdf4_ingest_stats' HDF5
+    # chain; the reference-manifest ranged-GET read is the new plan)
     "geotiff_ingest_stats",
-    "netcdf_ingest_stats",
+    "netcdf4_kerchunk_ingest_http",
     "zarr_ingest_stats_blosc",
     "zarr_ingest_stats_http",
     "netcdf4_ingest_stats",

@@ -1705,6 +1705,93 @@ ORACLES["netcdf4_kerchunk_ingest_http"] = ORACLE_KERCHUNK
 
 
 # ---------------------------------------------------------------------------
+# grib2_ingest_stats: the weather-archive format through the gate
+# ---------------------------------------------------------------------------
+
+
+def _grib2_gate_file() -> str:
+    """GRIB2 twin with ITS OWN formula —
+    ``((t*29 + y*17 + x*13) % 71) / 16`` with NULL holes where
+    ``(y*W + x + 5*t) % 11 == 0`` — written by the repo's own writer as
+    one message per time step (template 3.0 lat/lon grid, 4.0 product,
+    5.0 simple packing at binary scale -4, bitmap holes). The /16
+    quantum makes the simple-packing round trip bit-exact."""
+    import numpy as np
+
+    from ..sources.grib2 import write_grib2
+
+    path = _gate_path("xss_grib2_gate_v1.grib2")
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 29 + y * 17 + x * 13) % 71) / 16.0
+        chl[(y * _ZG_W + x + 5 * t) % 11 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_grib2(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl},
+            binary_scale=-4,
+            params={"conc_chl": (10, 4, 3)},
+        )
+    return path
+
+
+def grib2_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same statistics over a GRIB2 file (WMO FM 92 edition 2 — the
+    operational weather/ocean archive format) read by the pure-Python
+    reader (``sources/grib2.py``) on the executors: message chain walk,
+    template 3.0 grid decode, sign-magnitude scale factors, simple
+    unpacking ``(R + X*2^E)*10^-D`` from the n-bit stream, bitmap
+    holes→NaN→NULL, one ingest window per message. Engine addition —
+    the reference reads zarr/NetCDF only
+    (``xcube_server/context.py:238-255``)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_gate_file()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="grib2")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_GRIB2 = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 5 * t.i) % 11 = 0 THEN NULL
+              ELSE ((t.i * 29 + y.i * 17 + x.i * 13) % 71) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["grib2_ingest_stats"] = grib2_ingest_stats
+ORACLES["grib2_ingest_stats"] = ORACLE_GRIB2
+
+
+# ---------------------------------------------------------------------------
 # zarr_ingest_stats_http: object-store protocol (HTTP GETs) through the gate
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,583 @@
+"""Pure-Python GRIB2 reader/writer (WMO FM 92 GRIB edition 2).
+
+GRIB2 is the operational weather/ocean distribution format (ECMWF,
+NOAA, DWD archives ship it by the petabyte); the public spec is WMO's
+"FM 92 GRIB" Manual on Codes. A GRIB2 file is a concatenation of
+self-contained MESSAGES, one 2-D field each (one parameter at one valid
+time); every message is a fixed chain of sections:
+
+  0 indicator   "GRIB", discipline, edition=2, total length (u64)
+  1 identification   centre, reference time
+  2 local use   (optional, free bytes)
+  3 grid definition   template 3.0 = regular lat/lon: Ni/Nj, first/last
+    lat/lon in micro-degrees, Di/Dj increments, scanning mode
+  4 product definition   template 4.0: parameter category/number,
+    time unit + forecast offset (valid time = ref time + offset)
+  5 data representation   template 5.0 = simple packing:
+    Y = (R + X * 2^E) * 10^-D with R float32, E/D SIGN-MAGNITUDE int16
+    (GRIB's negative-number convention: MSB is a sign bit, not two's
+    complement), X an nbits-wide big-endian unsigned integer
+  6 bitmap   bit per grid point (1 = datum present) or indicator 255
+  7 data   the packed bit stream
+  8 end   "7777"
+
+Scope (asserted, not silently wrong): grid template 3.0 with scanning
+modes 0x00 (+i, -j) and 0x40 (+i, +j), product templates 4.0/4.8 (the
+octets this reader uses are common to both), data template 5.0 (simple
+packing, any 1..32 bit width), bitmaps 0/255. Complex/JPEG2000/PNG
+packing, spectral grids, quasi-regular rows and template 5.40 raise
+with the template id in the message.
+
+Dataset surface matches the other pure-Python readers (what
+``xarray_ingest._open_store`` consumes): ``data_vars`` with
+``.dims``/``.chunks``, coordinate ``.values``, window slicing. Each
+message decodes lazily on first touch; a cube of T times is T
+messages per variable, so the natural ingest window is one time slice.
+
+Variable naming: GRIB2 has no variable names — real products are keyed
+by (discipline, category, number). The reader names them from a small
+WMO table-4.2 excerpt, falling back to ``param_d{D}c{C}n{N}``; the
+writer additionally records the source column name in each message's
+LOCAL USE section (2) — a documented producer convention this reader
+honors, so round-tripped files keep their names while foreign files
+still map through the parameter triple.
+
+Reference parity: the reference serves only zarr/NetCDF stores
+(``xcube_server/context.py:238-255``); GRIB ingest is an engine
+addition for the archives weather providers actually publish.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from datetime import datetime, timedelta
+
+import numpy as np
+
+_MAGIC = b"GRIB"
+_END = b"7777"
+
+# WMO code table 4.2 excerpt (discipline, category, number) -> name
+_PARAM_NAMES = {
+    (0, 0, 0): "TMP",       # temperature [K]
+    (0, 1, 1): "RH",        # relative humidity
+    (0, 2, 2): "UGRD",      # u-component of wind
+    (0, 2, 3): "VGRD",      # v-component of wind
+    (0, 3, 0): "PRES",      # pressure
+    (10, 3, 0): "WTMP",     # water temperature
+    (10, 4, 3): "SALTY",    # salinity
+}
+
+_TIME_UNIT_SECONDS = {0: 60, 1: 3600, 2: 86400, 13: 1}
+
+
+def _sign_magnitude(raw: int, bits: int = 16) -> int:
+    """GRIB negative integers: MSB = sign, remaining bits = magnitude."""
+    sign_bit = 1 << (bits - 1)
+    return -(raw & (sign_bit - 1)) if raw & sign_bit else raw
+
+
+def _encode_sign_magnitude(value: int, bits: int = 16) -> int:
+    if value < 0:
+        return (1 << (bits - 1)) | (-value)
+    return value
+
+
+def _unpack_bits(data: bytes, n: int, nbits: int) -> np.ndarray:
+    """n big-endian nbits-wide unsigned ints from a packed bit stream."""
+    if nbits == 0:
+        return np.zeros(n, dtype=np.uint32)
+    if nbits > 32:
+        raise NotImplementedError(f"{nbits}-bit packing (1..32 supported)")
+    need = (n * nbits + 7) // 8
+    if len(data) < need:
+        raise ValueError(
+            f"truncated GRIB2 data section: {len(data)} bytes for "
+            f"{n}x{nbits} bits"
+        )
+    bits = np.unpackbits(np.frombuffer(data[:need], np.uint8))
+    bits = bits[: n * nbits].reshape(n, nbits).astype(np.uint32)
+    weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.uint32)).astype(
+        np.uint32
+    )
+    return bits @ weights
+
+
+def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
+    vals = np.asarray(values, dtype=np.uint64)
+    if nbits == 0:
+        return b""
+    if vals.size and int(vals.max()) >= (1 << nbits):
+        raise ValueError(
+            f"value {int(vals.max())} does not fit in {nbits} bits"
+        )
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts) & 1).astype(np.uint8).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+class Grib2Message:
+    """One parsed message: metadata eager, data decoded lazily."""
+
+    def __init__(self, buf, start: int):
+        self.buf = buf
+        if bytes(buf[start : start + 4]) != _MAGIC:
+            raise ValueError(f"not a GRIB message at offset {start}")
+        self.discipline = buf[start + 6]
+        edition = buf[start + 7]
+        if edition != 2:
+            raise NotImplementedError(f"GRIB edition {edition} (2 only)")
+        (self.total_length,) = struct.unpack_from(">Q", buf, start + 8)
+        self.name_hint: str | None = None
+        self._data_off = None
+        self._data_len = 0
+        self._bitmap_off = None
+        pos = start + 16
+        end = start + self.total_length
+        while pos < end:
+            if bytes(buf[pos : pos + 4]) == _END:
+                pos += 4
+                break
+            (length,) = struct.unpack_from(">I", buf, pos)
+            if length < 5:
+                raise ValueError("corrupt GRIB2 section header")
+            num = buf[pos + 4]
+            body = pos
+            if num == 1:
+                (yr,) = struct.unpack_from(">H", buf, body + 12)
+                mo, dy, hr, mi, se = (
+                    buf[body + 14], buf[body + 15], buf[body + 16],
+                    buf[body + 17], buf[body + 18],
+                )
+                self.ref_time = datetime(yr, mo, dy, hr, mi, se)
+            elif num == 2:
+                raw = bytes(buf[body + 5 : body + length])
+                try:
+                    self.name_hint = raw.decode("utf-8") or None
+                except UnicodeDecodeError:
+                    self.name_hint = None
+            elif num == 3:
+                self._parse_grid(body, length)
+            elif num == 4:
+                self._parse_product(body, length)
+            elif num == 5:
+                self._parse_packing(body, length)
+            elif num == 6:
+                ind = buf[body + 5]
+                if ind == 0:
+                    self._bitmap_off = (body + 6, length - 6)
+                elif ind != 255:
+                    raise NotImplementedError(
+                        f"GRIB2 bitmap indicator {ind} (0/255 supported)"
+                    )
+            elif num == 7:
+                self._data_off = body + 5
+                self._data_len = length - 5
+            pos += length
+        if pos != end:
+            raise ValueError(
+                f"corrupt GRIB2 message: sections end at {pos}, "
+                f"declared {end}"
+            )
+        self.end = end
+        for attr in ("ref_time", "ni", "npoints", "ref_value"):
+            if not hasattr(self, attr):
+                raise ValueError(
+                    f"GRIB2 message at {start} is missing a required "
+                    "section (1/3/5)"
+                )
+        if self._data_off is None:
+            raise ValueError("GRIB2 message has no data section")
+
+    def _parse_grid(self, body: int, length: int) -> None:
+        buf = self.buf
+        (self.npoints,) = struct.unpack_from(">I", buf, body + 6)
+        if buf[body + 10] != 0:
+            raise NotImplementedError(
+                "quasi-regular GRIB2 grids (optional point lists) are "
+                "not supported"
+            )
+        (tmpl,) = struct.unpack_from(">H", buf, body + 12)
+        if tmpl != 0:
+            raise NotImplementedError(
+                f"GRIB2 grid template 3.{tmpl} (3.0 regular lat/lon only)"
+            )
+        (self.ni,) = struct.unpack_from(">I", buf, body + 30)
+        (self.nj,) = struct.unpack_from(">I", buf, body + 34)
+        (la1,) = struct.unpack_from(">I", buf, body + 46)
+        (lo1,) = struct.unpack_from(">I", buf, body + 50)
+        (la2,) = struct.unpack_from(">I", buf, body + 55)
+        (lo2,) = struct.unpack_from(">I", buf, body + 59)
+        (di,) = struct.unpack_from(">I", buf, body + 63)
+        (dj,) = struct.unpack_from(">I", buf, body + 67)
+        self.lat1 = _sign_magnitude(la1, 32) / 1e6
+        self.lon1 = _sign_magnitude(lo1, 32) / 1e6
+        self.lat2 = _sign_magnitude(la2, 32) / 1e6
+        self.lon2 = _sign_magnitude(lo2, 32) / 1e6
+        self.di = di / 1e6
+        self.dj = dj / 1e6
+        scan = buf[body + 71]
+        if scan & 0b10111111 != 0:
+            raise NotImplementedError(
+                f"GRIB2 scanning mode 0x{scan:02X} (0x00 and 0x40 "
+                "supported: +i consecutive, rows north->south or "
+                "south->north)"
+            )
+        self.scan_j_positive = bool(scan & 0x40)
+        if self.ni * self.nj != self.npoints:
+            raise ValueError(
+                f"grid {self.ni}x{self.nj} != {self.npoints} points"
+            )
+
+    def _parse_product(self, body: int, length: int) -> None:
+        buf = self.buf
+        (tmpl,) = struct.unpack_from(">H", buf, body + 7)
+        if tmpl not in (0, 8):
+            raise NotImplementedError(
+                f"GRIB2 product template 4.{tmpl} (4.0/4.8 supported)"
+            )
+        self.category = buf[body + 9]
+        self.number = buf[body + 10]
+        unit = buf[body + 17]
+        if unit not in _TIME_UNIT_SECONDS:
+            raise NotImplementedError(
+                f"GRIB2 time unit {unit} (minute/hour/day/second)"
+            )
+        (fcst,) = struct.unpack_from(">I", buf, body + 18)
+        self.forecast_seconds = fcst * _TIME_UNIT_SECONDS[unit]
+
+    def _parse_packing(self, body: int, length: int) -> None:
+        buf = self.buf
+        (self.ndata,) = struct.unpack_from(">I", buf, body + 5)
+        (tmpl,) = struct.unpack_from(">H", buf, body + 9)
+        if tmpl != 0:
+            raise NotImplementedError(
+                f"GRIB2 data template 5.{tmpl} (5.0 simple packing only)"
+            )
+        (self.ref_value,) = struct.unpack_from(">f", buf, body + 11)
+        (e_raw,) = struct.unpack_from(">H", buf, body + 15)
+        (d_raw,) = struct.unpack_from(">H", buf, body + 17)
+        self.binary_scale = _sign_magnitude(e_raw)
+        self.decimal_scale = _sign_magnitude(d_raw)
+        self.nbits = buf[body + 19]
+
+    @property
+    def valid_time(self) -> datetime:
+        return self.ref_time + timedelta(seconds=self.forecast_seconds)
+
+    @property
+    def param(self) -> tuple[int, int, int]:
+        return (self.discipline, self.category, self.number)
+
+    def decode(self) -> np.ndarray:
+        """(nj, ni) float64 field, bitmap holes as NaN, row 0 = lat1."""
+        raw = bytes(self.buf[self._data_off : self._data_off + self._data_len])
+        x = _unpack_bits(raw, self.ndata, self.nbits).astype("float64")
+        y = (self.ref_value + x * 2.0 ** self.binary_scale) * (
+            10.0 ** -self.decimal_scale
+        )
+        if self._bitmap_off is not None:
+            off, blen = self._bitmap_off
+            bits = np.unpackbits(
+                np.frombuffer(bytes(self.buf[off : off + blen]), np.uint8)
+            )[: self.npoints]
+            if int(bits.sum()) != self.ndata:
+                raise ValueError(
+                    f"GRIB2 bitmap marks {int(bits.sum())} points but "
+                    f"{self.ndata} packed values present"
+                )
+            full = np.full(self.npoints, np.nan)
+            full[bits.astype(bool)] = y
+            y = full
+        elif self.ndata != self.npoints:
+            raise ValueError(
+                f"{self.ndata} packed values for {self.npoints} points "
+                "without a bitmap"
+            )
+        return y.reshape(self.nj, self.ni)
+
+
+class Grib2Variable:
+    """One parameter's message stack presented as a (time, lat, lon)
+    array; each time slice decodes lazily and caches."""
+
+    def __init__(self, name, messages, times):
+        self.name = name
+        self.dims = ("time", "lat", "lon")
+        m0 = messages[0]
+        self._by_time = {m.valid_time: m for m in messages}
+        self._times = times
+        self.shape = (len(times), m0.nj, m0.ni)
+        self.dtype = np.dtype("float64")
+        self.attrs: dict = {}
+        self._cache: dict[int, np.ndarray] = {}
+
+    @property
+    def chunks(self):
+        t, h, w = self.shape
+        return (tuple(1 for _ in range(t)), (h,), (w,))
+
+    def _slice(self, ti: int) -> np.ndarray:
+        if ti not in self._cache:
+            msg = self._by_time.get(self._times[ti])
+            if msg is None:
+                arr = np.full(self.shape[1:], np.nan)
+            else:
+                arr = msg.decode()
+            if len(self._cache) >= 8:
+                self._cache.clear()
+            self._cache[ti] = arr
+        return self._cache[ti]
+
+    def __getitem__(self, key) -> np.ndarray:
+        t, y, x = key
+        t0, t1 = t.start or 0, self.shape[0] if t.stop is None else t.stop
+        out = np.stack(
+            [self._slice(ti)[y, x] for ti in range(t0, min(t1, self.shape[0]))]
+        )
+        return out
+
+    @property
+    def values(self) -> np.ndarray:
+        return self[
+            slice(0, self.shape[0]), slice(0, None), slice(0, None)
+        ]
+
+
+class _CoordVar:
+    def __init__(self, name, vals):
+        self.name = name
+        self.dims = (name,)
+        self.values = vals
+        self.shape = (len(vals),)
+
+
+class Grib2Dataset:
+    """All messages of a file grouped into (time, lat, lon) variables."""
+
+    def __init__(self, path: str):
+        import mmap
+
+        f = open(path, "rb")
+        try:
+            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            self._fh = f
+        except (ValueError, OSError):
+            buf = f.read()
+            f.close()
+            self._fh = None
+        messages = []
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            if bytes(buf[pos : pos + 4]) != _MAGIC:
+                raise ValueError(
+                    f"garbage between GRIB2 messages at offset {pos}"
+                )
+            msg = Grib2Message(buf, pos)
+            messages.append(msg)
+            pos = msg.end
+        if not messages:
+            raise ValueError(f"no GRIB2 messages in {path}")
+        g0 = messages[0]
+        for m in messages:
+            if (m.ni, m.nj, m.lat1, m.lon1, m.di, m.dj,
+                    m.scan_j_positive) != (
+                    g0.ni, g0.nj, g0.lat1, g0.lon1, g0.di, g0.dj,
+                    g0.scan_j_positive):
+                raise NotImplementedError(
+                    "GRIB2 messages on different grids in one file"
+                )
+        times = sorted({m.valid_time for m in messages})
+        self._times = times
+        by_param: dict[tuple, list] = {}
+        for m in messages:
+            by_param.setdefault(m.param, []).append(m)
+        self._vars: dict[str, Grib2Variable] = {}
+        for param, msgs in sorted(by_param.items()):
+            hint = next((m.name_hint for m in msgs if m.name_hint), None)
+            name = hint or _PARAM_NAMES.get(
+                param, f"param_d{param[0]}c{param[1]}n{param[2]}"
+            )
+            self._vars[name] = Grib2Variable(name, msgs, times)
+        # synthesized coordinates (template 3.0 stores edges+increments)
+        lat_step = g0.dj if g0.scan_j_positive else -g0.dj
+        lats = np.array([g0.lat1 + j * lat_step for j in range(g0.nj)])
+        lons = np.array([g0.lon1 + i * g0.di for i in range(g0.ni)])
+        self._vars["lat"] = _CoordVar("lat", lats)
+        self._vars["lon"] = _CoordVar("lon", lons)
+        self._vars["time"] = _CoordVar(
+            "time",
+            np.array([t.strftime("%Y-%m-%d %H:%M:%S") for t in times]),
+        )
+
+    def __getitem__(self, name: str):
+        return self._vars[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._vars
+
+    @property
+    def data_vars(self) -> dict[str, Grib2Variable]:
+        return {
+            n: v
+            for n, v in self._vars.items()
+            if isinstance(v, Grib2Variable)
+        }
+
+
+def open_grib2(path: str) -> Grib2Dataset:
+    return Grib2Dataset(path)
+
+
+def is_grib2(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(8)
+    return head[:4] == _MAGIC and len(head) == 8 and head[7] == 2
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture-grade, standard-conforming messages)
+# ---------------------------------------------------------------------------
+
+
+def _section(num: int, body: bytes) -> bytes:
+    return struct.pack(">IB", len(body) + 5, num) + body
+
+
+def write_grib2(
+    path: str,
+    times: list[str],
+    lat: np.ndarray,
+    lon: np.ndarray,
+    variables: dict,
+    nbits: int = 16,
+    binary_scale: int = 0,
+    decimal_scale: int = 0,
+    params: dict | None = None,
+) -> None:
+    """One message per (variable, time): template 3.0 grid, 4.0 product,
+    5.0 simple packing. NaN cells become bitmap holes. Values must be
+    representable as ``R + X*2^E`` at ``10^-D`` — pick ``binary_scale``
+    / ``decimal_scale`` to the data's quantum for bit-exact round trips
+    (e.g. data on a 1/16 grid → ``binary_scale=-4``).
+
+    ``params`` optionally maps variable name → (discipline, category,
+    number); unnamed variables get discipline 0, category 0, numbers in
+    insertion order. The variable NAME rides the local-use section."""
+    lat = np.asarray(lat, "float64")
+    lon = np.asarray(lon, "float64")
+    nj, ni = len(lat), len(lon)
+    scan_j_positive = bool(nj > 1 and lat[1] > lat[0])
+    dj = abs(float(lat[1] - lat[0])) if nj > 1 else 1.0
+    di = abs(float(lon[1] - lon[0])) if ni > 1 else 1.0
+    out = bytearray()
+    e2 = 2.0 ** binary_scale
+    d10 = 10.0 ** decimal_scale
+    for k, (name, arr) in enumerate(variables.items()):
+        arr = np.asarray(arr, "float64")
+        if arr.shape != (len(times), nj, ni):
+            raise ValueError(
+                f"{name}: shape {arr.shape} != {(len(times), nj, ni)}"
+            )
+        disc, cat, num = (params or {}).get(name, (0, 0, k))
+        for ti, tstr in enumerate(times):
+            field = arr[ti]
+            present = ~np.isnan(field)
+            vals = field[present]
+            if vals.size == 0:
+                ref = 0.0
+            else:
+                # R is stored float32: quantize FIRST so X is computed
+                # against the exact on-wire reference
+                ref = float(np.float32(float(vals.min()) * d10))
+            rel = np.rint((vals * d10 - ref) / e2)
+            if rel.size and float(rel.min()) < -0.5:
+                raise ValueError(
+                    f"{name}[{ti}]: reference value above data minimum"
+                )
+            x = np.maximum(rel, 0).astype(np.uint64)
+            if x.size and int(x.max()) >= (1 << nbits):
+                raise ValueError(
+                    f"{name}[{ti}]: range needs more than {nbits} bits "
+                    "at this scaling"
+                )
+            t = datetime.strptime(tstr[:19], "%Y-%m-%d %H:%M:%S")
+            sec1 = (
+                struct.pack(">HHBBB", 255, 255, 2, 1, 1)
+                + struct.pack(
+                    ">HBBBBB", t.year, t.month, t.day, t.hour, t.minute,
+                    t.second,
+                )
+                + bytes([0, 1])
+            )
+            sec2 = name.encode("utf-8")
+            la1 = _encode_sign_magnitude(round(float(lat[0]) * 1e6), 32)
+            lo1 = _encode_sign_magnitude(round(float(lon[0]) * 1e6), 32)
+            la2 = _encode_sign_magnitude(round(float(lat[-1]) * 1e6), 32)
+            lo2 = _encode_sign_magnitude(round(float(lon[-1]) * 1e6), 32)
+            sec3 = (
+                bytes([0])
+                + struct.pack(">I", ni * nj)
+                + bytes([0, 0])
+                + struct.pack(">H", 0)  # template 3.0
+                + bytes([6])  # shape of earth: spherical r=6371229
+                + bytes(15)  # radius/axes scale factors+values (unused)
+                + struct.pack(">II", ni, nj)
+                + struct.pack(">II", 0, 0)  # basic angle, subdivisions
+                + struct.pack(">II", la1, lo1)
+                + bytes([0b00110000])  # res/component flags: Di/Dj given
+                + struct.pack(">II", la2, lo2)
+                + struct.pack(
+                    ">II", round(di * 1e6), round(dj * 1e6)
+                )
+                + bytes([0x40 if scan_j_positive else 0x00])
+            )
+            sec4 = (
+                struct.pack(">H", 0)
+                + struct.pack(">H", 0)  # template 4.0
+                + bytes([cat, num, 0, 0, 0])
+                + struct.pack(">HB", 0, 0)  # cutoff
+                + bytes([1])  # time unit: hour
+                + struct.pack(">I", 0)  # forecast time 0 (analysis)
+                + bytes([1, 0, 0, 255]) + bytes(8)  # surface levels
+            )
+            sec5 = (
+                struct.pack(">I", int(vals.size))
+                + struct.pack(">H", 0)  # template 5.0
+                + struct.pack(">f", ref)
+                + struct.pack(
+                    ">HH",
+                    _encode_sign_magnitude(binary_scale),
+                    _encode_sign_magnitude(decimal_scale),
+                )
+                + bytes([nbits, 0])
+            )
+            if present.all():
+                sec6 = bytes([255])
+            else:
+                sec6 = bytes([0]) + np.packbits(
+                    present.reshape(-1).astype(np.uint8)
+                ).tobytes()
+            sec7 = _pack_bits(x, nbits)
+            body = b"".join(
+                _section(n, s)
+                for n, s in (
+                    (1, sec1), (2, sec2), (3, sec3), (4, sec4),
+                    (5, sec5), (6, sec6), (7, sec7),
+                )
+            )
+            total = 16 + len(body) + 4
+            out += (
+                _MAGIC
+                + bytes([0, 0, disc, 2])
+                + struct.pack(">Q", total)
+                + body
+                + _END
+            )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(bytes(out))
+    os.replace(tmp, path)

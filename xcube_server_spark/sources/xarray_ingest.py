@@ -58,6 +58,11 @@ def _open_store(path: str, fmt: str, opener: Callable | None):
         from .tiff import open_geotiff
 
         return open_geotiff(path)
+    if fmt == "grib2":
+        # always the built-in reader — no GRIB backend here
+        from .grib2 import open_grib2
+
+        return open_grib2(path)
     if fmt == "kerchunk":
         # reference manifest (kerchunk / fsspec ReferenceFileSystem):
         # zarr keys → byte ranges of the original NetCDF4/HDF5 objects
@@ -72,8 +77,13 @@ def _open_store(path: str, fmt: str, opener: Callable | None):
         return open_zarr_group(path)
     if xr is not None:
         return xr.open_dataset(path)
-    # pure-Python fallbacks: NetCDF4/HDF5 containers (sources/hdf5.py)
-    # by magic number, classic CDF-1/CDF-2 otherwise (sources/netcdf3.py)
+    # pure-Python fallbacks by magic number: GRIB2 (sources/grib2.py),
+    # NetCDF4/HDF5 containers (sources/hdf5.py), classic CDF-1/CDF-2
+    # otherwise (sources/netcdf3.py)
+    from .grib2 import is_grib2, open_grib2
+
+    if is_grib2(path):
+        return open_grib2(path)
     from .hdf5 import is_hdf5, open_hdf5
 
     if is_hdf5(path):
