@@ -231,6 +231,71 @@ def test_shuffle_must_be_last_filter():
         ZarrArray("mem://x", store=None, meta=meta, attrs={})
 
 
+def _granules(tmp_path, n=3, h=6, w=8, grid_shift=0.0):
+    from xcube_server_spark.sources.kerchunk import build_hdf5_references
+
+    lat = np.linspace(52.0 + grid_shift, 50.0 + grid_shift, h)
+    lon = np.linspace(0.0, 4.0, w)
+    manifests, slices = [], []
+    for t in range(n):
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        fld = ((t * 13 + y * 5 + x * 3) % 37) / 4.0
+        slices.append(fld)
+        p = os.path.join(tmp_path, f"g{t}.nc")
+        write_hdf5(
+            p, [f"2020-03-{t + 1:02d} 00:00:00"], lat, lon,
+            {"chl": fld[None]}, chunk_shape=(1, 3, 4),
+        )
+        manifests.append(build_hdf5_references(p))
+    return manifests, np.stack(slices), lat, lon
+
+
+def test_combine_concatenates_along_time(tmp_path):
+    from xcube_server_spark.sources.kerchunk import combine_references
+
+    manifests, want, lat, lon = _granules(tmp_path)
+    combined = combine_references(manifests)
+    cp = os.path.join(tmp_path, "combined.json")
+    write_references(combined, cp)
+    ds = open_kerchunk(cp)
+    assert ds["chl"].shape == (3, 6, 8)
+    np.testing.assert_array_equal(ds["chl"][0:3, 0:6, 0:8], want)
+    np.testing.assert_allclose(ds["lat"].values, lat)
+    assert list(ds["time"].values) == [
+        "2020-03-01 00:00:00", "2020-03-02 00:00:00",
+        "2020-03-03 00:00:00",
+    ]
+    # chunk keys re-offset: granule 2's chunk 0 became time-chunk 2
+    refs = combined["refs"]
+    assert "chl/2.0.0" in refs and "chl/2.1.1" in refs
+    # the combined manifest still points at the ORIGINAL per-day files
+    targets = {v[0] for k, v in refs.items()
+               if isinstance(v, list) and k.startswith("chl/")}
+    assert targets == {"g0.nc", "g1.nc", "g2.nc"}
+
+
+def test_combine_rejects_mismatched_grids(tmp_path):
+    from xcube_server_spark.sources.kerchunk import combine_references
+
+    m1, _, _, _ = _granules(tmp_path, n=1)
+    m2, _, _, _ = _granules(tmp_path, n=1, grid_shift=1.0)
+    with pytest.raises(ValueError, match="differs between files"):
+        combine_references([m1[0], m2[0]])
+
+
+def test_combine_rejects_mixed_codecs(tmp_path):
+    import json as _json
+
+    from xcube_server_spark.sources.kerchunk import combine_references
+
+    manifests, _, _, _ = _granules(tmp_path, n=2)
+    meta = _json.loads(manifests[1]["refs"]["chl/.zarray"])
+    meta["compressor"] = None
+    manifests[1]["refs"]["chl/.zarray"] = _json.dumps(meta)
+    with pytest.raises(ValueError, match="codec"):
+        combine_references(manifests)
+
+
 def test_builder_rejects_unreferencable(tmp_path):
     """Non-numeric datasets and unsupported pipelines raise loudly
     instead of emitting manifests that decode garbage."""

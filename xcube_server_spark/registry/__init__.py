@@ -80,6 +80,7 @@ _PRIORITY = [
     # from the old window tail (r3/r4-vintage, all multiply-green) drop
     # to overflow and head the r9 rotation
     "netcdf4_kerchunk_ingest_http",
+    "netcdf4_kerchunk_multifile_http",
     "grib2_ingest_stats",
     "cube_pixel_trend",
     "cube_area_weighted_mean",
@@ -134,12 +135,12 @@ _PRIORITY = [
     # (b) stalest driver-green rows: all 18 r3-vintage
     "data_split_train_valid",
     "dedup_simhash",
-    "doc_chunking",
-    "embed_label_centroids",  # <- window position 50
+    "doc_chunking",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch and the r8g format/analytics gates
-    # (kerchunk, grib2, pixel trend, area-weighted mean); with the block
-    # below these head the r9 rotation
+    # (kerchunk single+multi, grib2, pixel trend, area-weighted mean);
+    # with the block below these head the r9 rotation
+    "embed_label_centroids",
     "multimodal_bytes",
     "pack_sequences",
     "pii_scrub",

@@ -1792,6 +1792,106 @@ ORACLES["grib2_ingest_stats"] = ORACLE_GRIB2
 
 
 # ---------------------------------------------------------------------------
+# netcdf4_kerchunk_multifile_http: one virtual dataset over many granules
+# ---------------------------------------------------------------------------
+
+
+def _kerchunk_multi_gate_dir() -> str:
+    """THREE single-time NetCDF4 granules (the one-file-per-day archive
+    layout) with a distinct formula — ``((t*43 + y*19 + x*7) % 79)/16``
+    with NULL holes where ``(y*W + x + 6*t) % 17 == 0`` — each scanned
+    into its own reference manifest, then combined along ``time`` into
+    ONE virtual-dataset manifest (`combine_references`, the kerchunk
+    MultiZarrToZarr analog)."""
+    import numpy as np
+
+    from ..sources.hdf5 import write_hdf5
+    from ..sources.kerchunk import (
+        build_hdf5_references,
+        combine_references,
+        write_references,
+    )
+
+    d = _gate_path("xss_kerchunk_multi_gate_v1")
+    combined = os.path.join(d, "combined.json")
+    if not os.path.exists(combined):
+        os.makedirs(d, exist_ok=True)
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        times = ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+                 "2017-01-26 10:50:17"]
+        manifests = []
+        for t_idx, ts in enumerate(times):
+            y, x = np.meshgrid(
+                np.arange(_ZG_H), np.arange(_ZG_W), indexing="ij"
+            )
+            chl = ((t_idx * 43 + y * 19 + x * 7) % 79) / 16.0
+            chl[(y * _ZG_W + x + 6 * t_idx) % 17 == 0] = np.nan
+            nc = os.path.join(d, f"granule_{t_idx}.nc")
+            write_hdf5(
+                nc, [ts], lat, lon, {"conc_chl": chl[None, :, :]},
+                chunk_shape=(1, 4, 8),
+            )
+            manifests.append(build_hdf5_references(nc))
+        write_references(combine_references(manifests), combined)
+    return d
+
+
+def netcdf4_kerchunk_multifile_http(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A MULTI-GRANULE virtual dataset: one combined reference manifest
+    concatenates three single-time NetCDF4 files along ``time``
+    (``combine_references`` — kerchunk's MultiZarrToZarr analog), and
+    the distributed ingest reads the whole series through it with
+    ranged GETs that span ALL the original objects. This is how
+    one-file-per-day archives (most satellite L3/L4 products) become a
+    single queryable cube at 100 TB without a rewrite. Hash-verified
+    against a SQL formula oracle."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    base = _serve_dir_http(_kerchunk_multi_gate_dir())
+    df, _grid = ingest_xarray_distributed(
+        spark, f"{base}/combined.json", fmt="kerchunk"
+    )
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_KERCHUNK_MULTI = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 6 * t.i) % 17 = 0 THEN NULL
+              ELSE ((t.i * 43 + y.i * 19 + x.i * 7) % 79) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["netcdf4_kerchunk_multifile_http"] = netcdf4_kerchunk_multifile_http
+ORACLES["netcdf4_kerchunk_multifile_http"] = ORACLE_KERCHUNK_MULTI
+
+
+# ---------------------------------------------------------------------------
 # zarr_ingest_stats_http: object-store protocol (HTTP GETs) through the gate
 # ---------------------------------------------------------------------------
 

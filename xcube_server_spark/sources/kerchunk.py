@@ -385,3 +385,167 @@ def build_hdf5_references(
 def write_references(manifest: dict, path: str) -> None:
     with open(path, "w") as fh:
         json.dump(manifest, fh)
+
+
+# ---------------------------------------------------------------------------
+# multi-file combine (the kerchunk MultiZarrToZarr analog)
+# ---------------------------------------------------------------------------
+
+
+def combine_references(
+    manifests: list[dict], concat_dim: str = "time"
+) -> dict:
+    """Combine per-file reference manifests into ONE virtual dataset
+    concatenated along ``concat_dim`` — the standard cloud workflow for
+    archives shipped as one NetCDF per day: a single small manifest then
+    serves years of granules, and executors ranged-GET chunks across
+    all of them with no per-file open cost.
+
+    Requirements (checked, loud): every file shares the non-concat
+    shape, chunking, dtype, compressor/filters and fill value; the
+    concat dimension's per-file length must be a multiple of its chunk
+    length in every file but the last (so re-keying is a pure offset).
+    The concat coordinate itself must be inline in every manifest (the
+    builder inlines coordinates); values are decoded, concatenated and
+    re-inlined."""
+    if not manifests:
+        raise ValueError("no manifests to combine")
+    refs_list = [
+        m["refs"] if "refs" in m else m for m in manifests
+    ]
+    out: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    names = sorted(
+        k.split("/")[0] for k in refs_list[0] if k.endswith("/.zarray")
+    )
+    for refs in refs_list[1:]:
+        other = sorted(
+            k.split("/")[0] for k in refs if k.endswith("/.zarray")
+        )
+        if other != names:
+            raise ValueError(
+                f"manifests expose different arrays: {names} vs {other}"
+            )
+
+    def meta_of(refs, name):
+        return json.loads(ReferenceStore._inline(refs[f"{name}/.zarray"]))
+
+    def attrs_of(refs, name):
+        raw = refs.get(f"{name}/.zattrs")
+        return json.loads(ReferenceStore._inline(raw)) if raw else {}
+
+    for name in names:
+        metas = [meta_of(r, name) for r in refs_list]
+        attrs = attrs_of(refs_list[0], name)
+        dims = tuple(attrs.get("_ARRAY_DIMENSIONS", ()))
+        m0 = metas[0]
+        invariant = {
+            k: m0.get(k)
+            for k in ("dtype", "compressor", "filters", "fill_value",
+                      "order")
+        }
+        for m in metas[1:]:
+            if {k: m.get(k) for k in invariant} != invariant:
+                raise ValueError(
+                    f"{name}: codec/dtype/fill metadata differs between "
+                    "files — cannot combine"
+                )
+        if concat_dim not in dims:
+            # identical in every file: carry the first file's refs, and
+            # where the payload is inline in several files, require the
+            # bytes to agree (silently picking one grid would misplace
+            # every cell of the others)
+            for m in metas[1:]:
+                if m["shape"] != m0["shape"]:
+                    raise ValueError(
+                        f"{name}: shape differs between files but has no "
+                        f"{concat_dim!r} dimension"
+                    )
+            for k, v in refs_list[0].items():
+                if not k.startswith(f"{name}/"):
+                    continue
+                for refs in refs_list[1:]:
+                    w = refs.get(k)
+                    if (
+                        isinstance(v, str) and isinstance(w, str)
+                        and not k.endswith(".zattrs")
+                        and ReferenceStore._inline(v)
+                        != ReferenceStore._inline(w)
+                    ):
+                        raise ValueError(
+                            f"{name}: non-{concat_dim} array differs "
+                            "between files — cannot combine"
+                        )
+                out[k] = v
+            continue
+        axis = dims.index(concat_dim)
+        for m in metas:
+            if (
+                m["chunks"] != m0["chunks"]
+                or [s for i, s in enumerate(m["shape"]) if i != axis]
+                != [s for i, s in enumerate(m0["shape"]) if i != axis]
+            ):
+                raise ValueError(
+                    f"{name}: shape/chunking differs between files on "
+                    "non-concat dimensions"
+                )
+        ct = int(m0["chunks"][axis])
+        total = sum(int(m["shape"][axis]) for m in metas)
+        if name == concat_dim and len(dims) == 1:
+            # the concat coordinate: decode inline values, concatenate,
+            # re-inline as ONE chunk
+            parts = []
+            for refs, m in zip(refs_list, metas):
+                key = f"{name}/0"
+                raw = refs.get(key)
+                if not isinstance(raw, str):
+                    raise NotImplementedError(
+                        f"combine needs the {concat_dim!r} coordinate "
+                        "inline in every manifest"
+                    )
+                parts.append(
+                    np.frombuffer(
+                        ReferenceStore._inline(raw), np.dtype(m0["dtype"])
+                    )[: int(m["shape"][0])]
+                )
+            vals = np.concatenate(parts)
+            meta = dict(m0)
+            meta["shape"] = [total]
+            meta["chunks"] = [total]
+            out[f"{name}/.zarray"] = json.dumps(meta)
+            out[f"{name}/.zattrs"] = json.dumps(attrs)
+            out[f"{name}/0"] = _INLINE_PREFIX + base64.b64encode(
+                vals.tobytes()
+            ).decode()
+            continue
+        meta = dict(m0)
+        shape = list(m0["shape"])
+        shape[axis] = total
+        meta["shape"] = shape
+        out[f"{name}/.zarray"] = json.dumps(meta)
+        out[f"{name}/.zattrs"] = json.dumps(attrs)
+        offset = 0
+        for fi, (refs, m) in enumerate(zip(refs_list, metas)):
+            n_i = int(m["shape"][axis])
+            if fi < len(refs_list) - 1 and n_i % ct:
+                raise ValueError(
+                    f"{name}: file {fi} has {n_i} {concat_dim!r} steps, "
+                    f"not a multiple of the chunk length {ct} — only the "
+                    "last file may be ragged"
+                )
+            if offset % ct:
+                raise ValueError(
+                    f"{name}: accumulated offset {offset} not "
+                    f"chunk-aligned at file {fi}"
+                )
+            shift = offset // ct
+            prefix = f"{name}/"
+            for k, v in refs.items():
+                if not k.startswith(prefix) or k.endswith(
+                    (".zarray", ".zattrs")
+                ):
+                    continue
+                idx = k[len(prefix):].split(".")
+                idx[axis] = str(int(idx[axis]) + shift)
+                out[prefix + ".".join(idx)] = v
+            offset += n_i
+    return {"version": 1, "refs": out}
