@@ -290,6 +290,23 @@ def test_writer_rejects_overflow(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_http_ranged_reads_match_local(tmp_path):
+    """The object-store path (message walk + payload decode via HTTP
+    Range GETs) yields byte-identical fields to the local mmap path."""
+    from xcube_server_spark.registry.cube_queries import _serve_dir_http
+
+    path, fld, lat, lon = _cube(tmp_path)
+    base = _serve_dir_http(str(tmp_path))
+    remote = open_grib2(f"{base}/cube.grib2")
+    local = open_grib2(path)
+    np.testing.assert_array_equal(
+        np.nan_to_num(remote["conc_chl"].values, nan=-9),
+        np.nan_to_num(local["conc_chl"].values, nan=-9),
+    )
+    np.testing.assert_allclose(remote["lat"].values, lat)
+    assert list(remote["time"].values) == TIMES
+
+
 def test_grib2_distributed_ingest(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -82,6 +82,7 @@ _PRIORITY = [
     "netcdf4_kerchunk_ingest_http",
     "netcdf4_kerchunk_multifile_http",
     "grib2_ingest_stats",
+    "grib2_ingest_http",
     "cube_pixel_trend",
     "cube_area_weighted_mean",
     "graph_triangle_count",
@@ -134,12 +135,12 @@ _PRIORITY = [
     "zarr_v3_ingest_stats",
     # (b) stalest driver-green rows: all 18 r3-vintage
     "data_split_train_valid",
-    "dedup_simhash",
-    "doc_chunking",  # <- window position 50
+    "dedup_simhash",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch and the r8g format/analytics gates
     # (kerchunk single+multi, grib2, pixel trend, area-weighted mean);
     # with the block below these head the r9 rotation
+    "doc_chunking",
     "embed_label_centroids",
     "multimodal_bytes",
     "pack_sequences",

@@ -1720,8 +1720,10 @@ def _grib2_gate_file() -> str:
 
     from ..sources.grib2 import write_grib2
 
-    path = _gate_path("xss_grib2_gate_v1.grib2")
+    d = _gate_path("xss_grib2_gate_v1")
+    path = os.path.join(d, "cube.grib2")
     if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
         t, y, x = np.meshgrid(
             np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
             indexing="ij",
@@ -1789,6 +1791,35 @@ GROUP BY 1
 
 QUERIES["grib2_ingest_stats"] = grib2_ingest_stats
 ORACLES["grib2_ingest_stats"] = ORACLE_GRIB2
+
+
+def grib2_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same GRIB2 archive read over the OBJECT-STORE protocol: every
+    executor walks the message chain and fetches exactly its messages'
+    bitmap+payload byte ranges with HTTP Range GETs through the LRU
+    store cache (the COG read discipline applied to GRIB). Same oracle
+    as the local gate, so a hash match proves the remote read path."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_gate_file()
+    base = _serve_dir_http(os.path.dirname(path))
+    df, _grid = ingest_xarray_distributed(
+        spark, f"{base}/{os.path.basename(path)}", fmt="grib2"
+    )
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+QUERIES["grib2_ingest_http"] = grib2_ingest_http
+ORACLES["grib2_ingest_http"] = ORACLE_GRIB2
 
 
 # ---------------------------------------------------------------------------

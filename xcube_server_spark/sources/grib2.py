@@ -118,18 +118,63 @@ def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
     return np.packbits(bits).tobytes()
 
 
+class _LocalSource:
+    """Byte source over an in-memory buffer / mmap."""
+
+    __slots__ = ("buf",)
+
+    def __init__(self, buf):
+        self.buf = buf
+
+    def read(self, off: int, n: int) -> bytes:
+        return bytes(self.buf[off : off + n])
+
+
+class _RangedSource:
+    """Byte source over a key→bytes store's ranged reads — the
+    object-store path (one HTTP Range GET per metadata walk step /
+    bitmap / data section, LRU-cached by the wrapping store)."""
+
+    __slots__ = ("store", "key")
+
+    def __init__(self, store, key: str):
+        self.store = store
+        self.key = key
+
+    def read(self, off: int, n: int) -> bytes:
+        if n <= 0:
+            return b""
+        try:
+            body = self.store.get_range(self.key, off, n)
+        except Exception:
+            # past-EOF ranges surface as 416 on real object stores
+            return b""
+        return body or b""
+
+
+def _as_source(buf_or_src):
+    return buf_or_src if hasattr(buf_or_src, "read") else _LocalSource(
+        buf_or_src
+    )
+
+
 class Grib2Message:
-    """One parsed message: metadata eager, data decoded lazily."""
+    """One parsed message: metadata eager (small section reads), bitmap
+    and data bytes fetched only at :meth:`decode` — so over an object
+    store every executor moves exactly its messages' payload ranges.
+    Accepts a raw buffer or a byte source (``.read(off, n)``)."""
 
     def __init__(self, buf, start: int):
-        self.buf = buf
-        if bytes(buf[start : start + 4]) != _MAGIC:
+        src = _as_source(buf)
+        self.src = src
+        head = src.read(start, 16)
+        if head[:4] != _MAGIC:
             raise ValueError(f"not a GRIB message at offset {start}")
-        self.discipline = buf[start + 6]
-        edition = buf[start + 7]
+        self.discipline = head[6]
+        edition = head[7]
         if edition != 2:
             raise NotImplementedError(f"GRIB edition {edition} (2 only)")
-        (self.total_length,) = struct.unpack_from(">Q", buf, start + 8)
+        (self.total_length,) = struct.unpack_from(">Q", head, 8)
         self.name_hint: str | None = None
         self._data_off = None
         self._data_len = 0
@@ -137,43 +182,45 @@ class Grib2Message:
         pos = start + 16
         end = start + self.total_length
         while pos < end:
-            if bytes(buf[pos : pos + 4]) == _END:
+            hdr = src.read(pos, 5)
+            if hdr[:4] == _END:
                 pos += 4
                 break
-            (length,) = struct.unpack_from(">I", buf, pos)
+            if len(hdr) < 5:
+                raise ValueError("truncated GRIB2 section header")
+            (length,) = struct.unpack_from(">I", hdr, 0)
             if length < 5:
                 raise ValueError("corrupt GRIB2 section header")
-            num = buf[pos + 4]
-            body = pos
+            num = hdr[4]
             if num == 1:
-                (yr,) = struct.unpack_from(">H", buf, body + 12)
+                sec = src.read(pos, length)
+                (yr,) = struct.unpack_from(">H", sec, 12)
                 mo, dy, hr, mi, se = (
-                    buf[body + 14], buf[body + 15], buf[body + 16],
-                    buf[body + 17], buf[body + 18],
+                    sec[14], sec[15], sec[16], sec[17], sec[18],
                 )
                 self.ref_time = datetime(yr, mo, dy, hr, mi, se)
             elif num == 2:
-                raw = bytes(buf[body + 5 : body + length])
+                raw = src.read(pos + 5, length - 5)
                 try:
                     self.name_hint = raw.decode("utf-8") or None
                 except UnicodeDecodeError:
                     self.name_hint = None
             elif num == 3:
-                self._parse_grid(body, length)
+                self._parse_grid(src.read(pos, length))
             elif num == 4:
-                self._parse_product(body, length)
+                self._parse_product(src.read(pos, length))
             elif num == 5:
-                self._parse_packing(body, length)
+                self._parse_packing(src.read(pos, length))
             elif num == 6:
-                ind = buf[body + 5]
-                if ind == 0:
-                    self._bitmap_off = (body + 6, length - 6)
-                elif ind != 255:
+                ind = src.read(pos + 5, 1)
+                if ind == b"\x00":
+                    self._bitmap_off = (pos + 6, length - 6)
+                elif ind != b"\xff":
                     raise NotImplementedError(
-                        f"GRIB2 bitmap indicator {ind} (0/255 supported)"
+                        f"GRIB2 bitmap indicator {ind[0]} (0/255 supported)"
                     )
             elif num == 7:
-                self._data_off = body + 5
+                self._data_off = pos + 5
                 self._data_len = length - 5
             pos += length
         if pos != end:
@@ -191,34 +238,33 @@ class Grib2Message:
         if self._data_off is None:
             raise ValueError("GRIB2 message has no data section")
 
-    def _parse_grid(self, body: int, length: int) -> None:
-        buf = self.buf
-        (self.npoints,) = struct.unpack_from(">I", buf, body + 6)
-        if buf[body + 10] != 0:
+    def _parse_grid(self, sec: bytes) -> None:
+        (self.npoints,) = struct.unpack_from(">I", sec, 6)
+        if sec[10] != 0:
             raise NotImplementedError(
                 "quasi-regular GRIB2 grids (optional point lists) are "
                 "not supported"
             )
-        (tmpl,) = struct.unpack_from(">H", buf, body + 12)
+        (tmpl,) = struct.unpack_from(">H", sec, 12)
         if tmpl != 0:
             raise NotImplementedError(
                 f"GRIB2 grid template 3.{tmpl} (3.0 regular lat/lon only)"
             )
-        (self.ni,) = struct.unpack_from(">I", buf, body + 30)
-        (self.nj,) = struct.unpack_from(">I", buf, body + 34)
-        (la1,) = struct.unpack_from(">I", buf, body + 46)
-        (lo1,) = struct.unpack_from(">I", buf, body + 50)
-        (la2,) = struct.unpack_from(">I", buf, body + 55)
-        (lo2,) = struct.unpack_from(">I", buf, body + 59)
-        (di,) = struct.unpack_from(">I", buf, body + 63)
-        (dj,) = struct.unpack_from(">I", buf, body + 67)
+        (self.ni,) = struct.unpack_from(">I", sec, 30)
+        (self.nj,) = struct.unpack_from(">I", sec, 34)
+        (la1,) = struct.unpack_from(">I", sec, 46)
+        (lo1,) = struct.unpack_from(">I", sec, 50)
+        (la2,) = struct.unpack_from(">I", sec, 55)
+        (lo2,) = struct.unpack_from(">I", sec, 59)
+        (di,) = struct.unpack_from(">I", sec, 63)
+        (dj,) = struct.unpack_from(">I", sec, 67)
         self.lat1 = _sign_magnitude(la1, 32) / 1e6
         self.lon1 = _sign_magnitude(lo1, 32) / 1e6
         self.lat2 = _sign_magnitude(la2, 32) / 1e6
         self.lon2 = _sign_magnitude(lo2, 32) / 1e6
         self.di = di / 1e6
         self.dj = dj / 1e6
-        scan = buf[body + 71]
+        scan = sec[71]
         if scan & 0b10111111 != 0:
             raise NotImplementedError(
                 f"GRIB2 scanning mode 0x{scan:02X} (0x00 and 0x40 "
@@ -231,37 +277,35 @@ class Grib2Message:
                 f"grid {self.ni}x{self.nj} != {self.npoints} points"
             )
 
-    def _parse_product(self, body: int, length: int) -> None:
-        buf = self.buf
-        (tmpl,) = struct.unpack_from(">H", buf, body + 7)
+    def _parse_product(self, sec: bytes) -> None:
+        (tmpl,) = struct.unpack_from(">H", sec, 7)
         if tmpl not in (0, 8):
             raise NotImplementedError(
                 f"GRIB2 product template 4.{tmpl} (4.0/4.8 supported)"
             )
-        self.category = buf[body + 9]
-        self.number = buf[body + 10]
-        unit = buf[body + 17]
+        self.category = sec[9]
+        self.number = sec[10]
+        unit = sec[17]
         if unit not in _TIME_UNIT_SECONDS:
             raise NotImplementedError(
                 f"GRIB2 time unit {unit} (minute/hour/day/second)"
             )
-        (fcst,) = struct.unpack_from(">I", buf, body + 18)
+        (fcst,) = struct.unpack_from(">I", sec, 18)
         self.forecast_seconds = fcst * _TIME_UNIT_SECONDS[unit]
 
-    def _parse_packing(self, body: int, length: int) -> None:
-        buf = self.buf
-        (self.ndata,) = struct.unpack_from(">I", buf, body + 5)
-        (tmpl,) = struct.unpack_from(">H", buf, body + 9)
+    def _parse_packing(self, sec: bytes) -> None:
+        (self.ndata,) = struct.unpack_from(">I", sec, 5)
+        (tmpl,) = struct.unpack_from(">H", sec, 9)
         if tmpl != 0:
             raise NotImplementedError(
                 f"GRIB2 data template 5.{tmpl} (5.0 simple packing only)"
             )
-        (self.ref_value,) = struct.unpack_from(">f", buf, body + 11)
-        (e_raw,) = struct.unpack_from(">H", buf, body + 15)
-        (d_raw,) = struct.unpack_from(">H", buf, body + 17)
+        (self.ref_value,) = struct.unpack_from(">f", sec, 11)
+        (e_raw,) = struct.unpack_from(">H", sec, 15)
+        (d_raw,) = struct.unpack_from(">H", sec, 17)
         self.binary_scale = _sign_magnitude(e_raw)
         self.decimal_scale = _sign_magnitude(d_raw)
-        self.nbits = buf[body + 19]
+        self.nbits = sec[19]
 
     @property
     def valid_time(self) -> datetime:
@@ -273,7 +317,7 @@ class Grib2Message:
 
     def decode(self) -> np.ndarray:
         """(nj, ni) float64 field, bitmap holes as NaN, row 0 = lat1."""
-        raw = bytes(self.buf[self._data_off : self._data_off + self._data_len])
+        raw = self.src.read(self._data_off, self._data_len)
         x = _unpack_bits(raw, self.ndata, self.nbits).astype("float64")
         y = (self.ref_value + x * 2.0 ** self.binary_scale) * (
             10.0 ** -self.decimal_scale
@@ -281,7 +325,7 @@ class Grib2Message:
         if self._bitmap_off is not None:
             off, blen = self._bitmap_off
             bits = np.unpackbits(
-                np.frombuffer(bytes(self.buf[off : off + blen]), np.uint8)
+                np.frombuffer(self.src.read(off, blen), np.uint8)
             )[: self.npoints]
             if int(bits.sum()) != self.ndata:
                 raise ValueError(
@@ -358,25 +402,41 @@ class Grib2Dataset:
     """All messages of a file grouped into (time, lat, lon) variables."""
 
     def __init__(self, path: str):
-        import mmap
+        self._fh = None
+        if path.startswith(("http://", "https://", "s3://")):
+            # object-store path: metadata walks and payload decodes go
+            # through LRU-cached ranged GETs (the COG read discipline)
+            from .zarr_store import LRUStoreCache, _store_for
 
-        f = open(path, "rb")
-        try:
-            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-            self._fh = f
-        except (ValueError, OSError):
-            buf = f.read()
-            f.close()
-            self._fh = None
+            base, _, key = path.rpartition("/")
+            store = _store_for(base)
+            if not isinstance(store, LRUStoreCache):
+                store = LRUStoreCache(store)
+            src = _RangedSource(store, key)
+            n = None
+        else:
+            import mmap
+
+            f = open(path, "rb")
+            try:
+                buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                self._fh = f
+            except (ValueError, OSError):
+                buf = f.read()
+                f.close()
+            src = _LocalSource(buf)
+            n = len(buf)
         messages = []
         pos = 0
-        n = len(buf)
-        while pos < n:
-            if bytes(buf[pos : pos + 4]) != _MAGIC:
+        while n is None or pos < n:
+            head = src.read(pos, 4)
+            if n is None and head == b"":
+                break  # remote EOF: past-end ranges read empty
+            if head != _MAGIC:
                 raise ValueError(
                     f"garbage between GRIB2 messages at offset {pos}"
                 )
-            msg = Grib2Message(buf, pos)
+            msg = Grib2Message(src, pos)
             messages.append(msg)
             pos = msg.end
         if not messages:
