@@ -203,3 +203,31 @@ def test_scd2_intervals_chain(spark, sf_dir):
             assert a.valid_to == b.valid_from, f"cust {cust}: gap"
             assert a.priority != b.priority, f"cust {cust}: no-op interval"
             assert a.valid_from <= a.valid_to
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The one-aggregate normal-equations fit equals numpy's lstsq on
+    the same features (to the gate's 1e-6 rounding), and R^2 is sane."""
+    import numpy as np
+
+    from xcube_server_spark.registry._util import load_table
+
+    row = QUERIES["ols_normal_equations"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    x1 = np.array([len(r.text) for r in docs], dtype="float64")
+    x2 = np.array([r.text.count(" ") for r in docs], dtype="float64")
+    y = np.array(
+        [sum(r.text.count(v) for v in "aeiou") for r in docs],
+        dtype="float64",
+    )
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n == len(docs)
+    assert abs(row.b0 - beta[0]) < 5e-5
+    assert abs(row.b1 - beta[1]) < 5e-5
+    assert abs(row.b2 - beta[2]) < 5e-5
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row.r2 - (1 - ss_res / ss_tot)) < 1e-4
+    assert 0.0 <= row.r2 <= 1.0

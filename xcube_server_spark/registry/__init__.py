@@ -83,6 +83,7 @@ _PRIORITY = [
     "netcdf4_kerchunk_multifile_http",
     "grib2_ingest_stats",
     "grib2_ingest_http",
+    "ols_normal_equations",
     "cube_pixel_trend",
     "cube_area_weighted_mean",
     "graph_triangle_count",
@@ -134,12 +135,12 @@ _PRIORITY = [
     "zarr_ingest_stats_http",
     "zarr_v3_ingest_stats",
     # (b) stalest driver-green rows: all 18 r3-vintage
-    "data_split_train_valid",
-    "dedup_simhash",  # <- window position 50
+    "data_split_train_valid",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # displaced by the 8f head batch and the r8g format/analytics gates
     # (kerchunk single+multi, grib2, pixel trend, area-weighted mean);
     # with the block below these head the r9 rotation
+    "dedup_simhash",
     "doc_chunking",
     "embed_label_centroids",
     "multimodal_bytes",

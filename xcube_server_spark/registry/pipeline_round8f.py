@@ -865,3 +865,136 @@ FROM starts
 ORDER BY custkey, valid_from
 """
 QUERIES["scd2_dim_history"] = scd2_dim_history
+
+
+# ---------------------------------------------------------------------------
+# ols_normal_equations: distributed model fitting via sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a 2-feature linear model over every document with ONE global
+    aggregate — ordinary least squares through its sufficient
+    statistics (the normal equations), the pattern that makes "train a
+    filter on 100 TB" a single map-side-combinable pass: each partition
+    reduces to ten running sums, the 3x3 system solves in a scalar
+    expression (Cramer's rule), and no row ever leaves its executor.
+
+    Model: vowel count ~ b0 + b1*n_chars + b2*n_spaces. All three
+    quantities are EXACT integers computed scan-side with the
+    length-minus-replace idiom (identical in Spark and DuckDB), so the
+    sufficient statistics are exact BIGINTs on both engines; the only
+    floating-point work is the one fixed Cramer expression tree, which
+    IEEE evaluates identically from identical integer inputs.
+
+    Output: the coefficients, R^2 and n — plus the residual norm so a
+    reader can judge the fit.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.length("text").cast("long").alias("x1"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        ).cast("long").alias("x2"),
+        sum(
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(v)))
+            ).cast("long")
+            for v in "aeiou"
+        ).alias("y"),
+    )
+    s = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # Cramer's rule on the 3x3 normal matrix [[n,s1,s2],[s1,s11,s12],
+    # [s2,s12,s22]] * b = [sy,s1y,s2y]; fixed expression tree -> IEEE-
+    # identical across engines given identical BIGINT sums
+    d = (
+        "(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12)"
+        " - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2)"
+        " + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))"
+    )
+    d0 = (
+        "(CAST(sy AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12)"
+        " - CAST(s1 AS DOUBLE)*(CAST(s1y AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2y)"
+        " + CAST(s2 AS DOUBLE)*(CAST(s1y AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2y))"
+    )
+    d1 = (
+        "(CAST(n AS DOUBLE)*(CAST(s1y AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2y)"
+        " - CAST(sy AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2)"
+        " + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s2))"
+    )
+    d2 = (
+        "(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s12)"
+        " - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s2)"
+        " + CAST(sy AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))"
+    )
+    sse = (
+        f"(CAST(syy AS DOUBLE) - ({d0})/({d})*sy - ({d1})/({d})*s1y"
+        f" - ({d2})/({d})*s2y)"
+    )
+    sst = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n)"
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"floor(({d0})/({d}) * 1e6 + 0.5) / 1e6 AS b0",
+        f"floor(({d1})/({d}) * 1e6 + 0.5) / 1e6 AS b1",
+        f"floor(({d2})/({d}) * 1e6 + 0.5) / 1e6 AS b2",
+        f"floor((1.0 - ({sse})/({sst})) * 1e6 + 0.5) / 1e6 AS r2",
+    )
+
+
+ORACLE_OLS = """
+WITH feats AS (
+  SELECT CAST(length(text) AS BIGINT) AS x1,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS x2,
+         CAST(
+           (length(text) - length(replace(text, 'a', ''))) +
+           (length(text) - length(replace(text, 'e', ''))) +
+           (length(text) - length(replace(text, 'i', ''))) +
+           (length(text) - length(replace(text, 'o', ''))) +
+           (length(text) - length(replace(text, 'u', '')))
+         AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1,
+         CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1*x1) AS BIGINT) AS s11,
+         CAST(sum(x1*x2) AS BIGINT) AS s12,
+         CAST(sum(x2*x2) AS BIGINT) AS s22,
+         CAST(sum(x1*y) AS BIGINT) AS s1y,
+         CAST(sum(x2*y) AS BIGINT) AS s2y,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM feats
+)
+SELECT n,
+       floor(((CAST(sy AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1y AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2y) + CAST(s2 AS DOUBLE)*(CAST(s1y AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2y))
+             /(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))) * 1000000.0 + 0.5) / 1000000.0 AS b0,
+       floor(((CAST(n AS DOUBLE)*(CAST(s1y AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2y) - CAST(sy AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s2))
+             /(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))) * 1000000.0 + 0.5) / 1000000.0 AS b1,
+       floor(((CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s2) + CAST(sy AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))
+             /(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))) * 1000000.0 + 0.5) / 1000000.0 AS b2,
+       floor((1.0 - (CAST(syy AS DOUBLE)
+                     - ((CAST(sy AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1y AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2y) + CAST(s2 AS DOUBLE)*(CAST(s1y AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2y))
+                        /(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2)))*sy
+                     - ((CAST(n AS DOUBLE)*(CAST(s1y AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2y) - CAST(sy AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s2))
+                        /(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2)))*s1y
+                     - ((CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s2y - CAST(s1y AS DOUBLE)*s2) + CAST(sy AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2))
+                        /(CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s12) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s22 - CAST(s12 AS DOUBLE)*s2) + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*s12 - CAST(s11 AS DOUBLE)*s2)))*s2y)
+                   /(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n)) * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM s
+"""
+QUERIES["ols_normal_equations"] = ols_normal_equations
+ORACLES["ols_normal_equations"] = ORACLE_OLS
