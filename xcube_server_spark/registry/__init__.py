@@ -57,21 +57,26 @@ for _m in (
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
 # each round to maximize hard signal. Round 8 rotation, by the documented
 # policy (changed-first, then stalest, alphabetical within a vintage):
-# (a) queries NEW this round — the late-r8 analytics/sketch/graph/streaming
-# batch (13 head entries), the first-r8 pipeline operators (corpus_shuffle /
+# (a) queries NEW this round, newest first — the r8g format/analytics
+# batch (kerchunk single+multi-granule manifests, GRIB2 local+HTTP, the
+# per-pixel trend / area-weighted-mean cube analytics, the OLS
+# sufficient-statistics fit), the 8f analytics/sketch/graph/streaming
+# batch, the first-r8 pipeline operators (corpus_shuffle /
 # bpe_first_merges / text_nfc_normalize / dedup_levenshtein /
 # embed_kmeans_lloyd), and the blosclz / standalone-zstd / raw-lz4 /
 # v3-sharded zarr gates — first-ever driver rows for the new pure-Python
 # codecs — plus queries whose CODE PATH changed this round and need
 # re-proving (zarr_ingest_stats* ride the reworked ZarrArray compressor
-# dispatch, zarr_v3_ingest_stats the refactored v3 codec chain,
+# dispatch AND the new shuffle-filter gate in __init__,
+# zarr_v3_ingest_stats the refactored v3 codec chain,
 # zarr_ingest_stats_http the store get_range/LRU refactor,
-# zarr_ingest_stats_blosc the blosc codec-id dispatch); then (b) the
-# STALEST driver-green rows — all 18 r3-vintage queries and r4-vintage
-# rows alphabetically up to the cut. Everything past position 50 is
-# overflow: multiply-green in prior rounds AND re-proven by the local
-# DuckDB-oracle replica (tests/test_correctness.py) on every pytest run.
-# The displaced r4-vintage rows head the r9 rotation.
+# zarr_ingest_stats_blosc the blosc codec-id dispatch + memcpy bounds
+# fix, zarr_ingest_stats_zstd the truncation bounds checks); then (b)
+# the STALEST driver-green rows — the r3-vintage queries alphabetically
+# up to the cut. Everything past position 50 is overflow: multiply-green
+# in prior rounds AND re-proven by the local DuckDB-oracle replica
+# (tests/test_correctness.py) on every pytest run. The displaced r3/r4
+# rows head the r9 rotation.
 _PRIORITY = [
     # (a) new in round 8f: the final r8 operator batch (first-ever driver
     # rows) plus the four windowed-average queries whose ORACLES changed
