@@ -143,10 +143,22 @@ def main() -> None:
     cold_total = 0.0
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # noop sink: full materialization of every output column, no
-        # collect-to-driver cost billed to the query.
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink: full materialization of every output column, no
+            # collect-to-driver cost billed to the query.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # pragma: no cover - rare streaming race
+            # One retry: long mixed batch+streaming sequences can hit a
+            # transient micro-batch planning race (observed once in ~500
+            # query runs: "SparkPlan.session() is null"); a genuine
+            # failure repeats and still aborts the bench.
+            print(f"# {name}: cold run failed ({exc!r:.120}), retrying",
+                  file=sys.stderr)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         cold = time.perf_counter() - t0
         cold_total += cold
         runs = []
