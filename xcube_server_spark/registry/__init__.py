@@ -89,6 +89,8 @@ _PRIORITY = [
     "grib2_ingest_stats",
     "grib2_ingest_http",
     "ols_normal_equations",
+    "unpivot_metrics",
+    "window_range_frame",
     "cube_pixel_trend",
     "cube_area_weighted_mean",
     "graph_triangle_count",
@@ -134,17 +136,19 @@ _PRIORITY = [
     "zarr_ingest_stats_zstd",
     "zarr_ingest_stats_lz4",
     "zarr_v3_sharded_ingest_stats",
-    # (a) code path changed in round 8 — re-prove
-    "zarr_ingest_stats",
+    # (a) code path changed in round 8 — re-prove (the plain-zlib
+    # zarr_ingest_stats drops to overflow: the blosc/http/v3 rows cover
+    # the shared ZarrArray init/filter change that touched it)
     "zarr_ingest_stats_blosc",
     "zarr_ingest_stats_http",
-    "zarr_v3_ingest_stats",
-    # (b) stalest driver-green rows: all 18 r3-vintage
-    "data_split_train_valid",  # <- window position 50
+    "zarr_v3_ingest_stats",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
-    # displaced by the 8f head batch and the r8g format/analytics gates
-    # (kerchunk single+multi, grib2, pixel trend, area-weighted mean);
-    # with the block below these head the r9 rotation
+    # displaced by the 8f head batch and the r8g format/analytics/
+    # relational gates (kerchunk single+multi, grib2 local+http, pixel
+    # trend, area-weighted mean, OLS, unpivot, range-frame); with the
+    # block below these (r3-vintage) head the r9 rotation
+    "zarr_ingest_stats",
+    "data_split_train_valid",
     "dedup_simhash",
     "doc_chunking",
     "embed_label_centroids",

@@ -696,3 +696,140 @@ QUERIES["stats_correlation"] = stats_correlation
 QUERIES["histogram_prices"] = histogram_prices
 ORACLES["stats_correlation"] = ORACLE_STATS_CORR
 ORACLES["histogram_prices"] = ORACLE_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# unpivot_metrics: wide->long reshaping (the UNPIVOT relational operator)
+# ---------------------------------------------------------------------------
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: per-nation order metrics computed wide (one row per
+    nation with total/avg/max columns) then unpivoted to long form
+    (nation, metric, value) — the inverse of `pivot_status_by_year`.
+    Spark expresses it with `stack()` (the UNPIVOT physical form: a
+    generator projection, no shuffle beyond the aggregate); the oracle
+    uses DuckDB's native UNPIVOT. Values quantize to cents as exact
+    BIGINTs before the reshape so both engines emit identical doubles.
+
+    Scale: one aggregate keyed nation (25 rows), then a 3x generator —
+    the reshape itself is free at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    wide = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("tot_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(cents).alias("max_cents"),
+        )
+        .select(
+            "n_name",
+            (F.col("tot_cents") / 100.0).alias("total_price"),
+            rnd(F.col("tot_cents") / F.col("n_orders") / 100.0, 4).alias(
+                "avg_price"
+            ),
+            (F.col("max_cents") / 100.0).alias("max_price"),
+        )
+    )
+    return wide.selectExpr(
+        "n_name",
+        "stack(3, 'total_price', total_price, 'avg_price', avg_price, "
+        "'max_price', max_price) AS (metric, value)",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT n_name,
+         CAST(sum(cents) AS DOUBLE) / 100.0 AS total_price,
+         floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 * 10000.0
+               + 0.5) / 10000.0 AS avg_price,
+         CAST(max(cents) AS DOUBLE) / 100.0 AS max_price
+  FROM (
+    SELECT n_name,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+  )
+  GROUP BY n_name
+)
+SELECT n_name, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (total_price, avg_price, max_price))
+"""
+
+
+QUERIES["unpivot_metrics"] = unpivot_metrics
+ORACLES["unpivot_metrics"] = ORACLE_UNPIVOT
+
+
+# ---------------------------------------------------------------------------
+# window_range_frame: time-interval RANGE window frames
+# ---------------------------------------------------------------------------
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each order's trailing-90-day spend for its
+    customer — a VALUE-based frame (all prior rows within 90 days of
+    the current ORDER DATE), which a ROWS frame cannot express when
+    order counts per interval vary. Spark: `rangeBetween` over the
+    epoch-day integer; oracle: the same integer range (DuckDB's
+    interval RANGE frame is equivalent but the integer form keeps the
+    frame arithmetic identical on both engines). Prices quantize to
+    cents scan-side so the frame sums are exact BIGINTs under any
+    accumulation order.
+
+    Scale: one hash exchange on o_custkey + per-partition sort — the
+    same cost envelope as any partitioned window; frames are bounded by
+    the 90-day horizon, so state per row is O(orders-in-window)."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).filter(F.col("o_custkey") % 10 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-90, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum("cents").over(w) / 100.0).alias("spend_90d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("orders_90d"),
+    )
+
+
+ORACLE_WINDOW_RANGE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1970-01-01', o_orderdate) AS epoch_day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey % 10 = 0
+)
+SELECT o_orderkey, o_custkey,
+       CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS spend_90d,
+       CAST(count(*) OVER w AS BIGINT) AS orders_90d
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["window_range_frame"] = window_range_frame
+ORACLES["window_range_frame"] = ORACLE_WINDOW_RANGE
