@@ -146,9 +146,14 @@ class _RangedSource:
             return b""
         try:
             body = self.store.get_range(self.key, off, n)
-        except Exception:
-            # past-EOF ranges surface as 416 on real object stores
-            return b""
+        except Exception as exc:
+            # ONLY a past-EOF range (416 on real object stores) reads as
+            # end-of-file; anything else (network failure, auth, 5xx)
+            # must raise, or a flaky connection would silently truncate
+            # the message chain and drop whole time slices
+            if getattr(exc, "code", None) == 416:
+                return b""
+            raise
         return body or b""
 
 
