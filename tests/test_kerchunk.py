@@ -231,7 +231,7 @@ def test_shuffle_must_be_last_filter():
         ZarrArray("mem://x", store=None, meta=meta, attrs={})
 
 
-def _granules(tmp_path, n=3, h=6, w=8, grid_shift=0.0):
+def _granules(tmp_path, n=3, h=6, w=8, grid_shift=0.0, prefix="g"):
     from xcube_server_spark.sources.kerchunk import build_hdf5_references
 
     lat = np.linspace(52.0 + grid_shift, 50.0 + grid_shift, h)
@@ -241,7 +241,7 @@ def _granules(tmp_path, n=3, h=6, w=8, grid_shift=0.0):
         y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         fld = ((t * 13 + y * 5 + x * 3) % 37) / 4.0
         slices.append(fld)
-        p = os.path.join(tmp_path, f"g{t}.nc")
+        p = os.path.join(tmp_path, f"{prefix}{t}.nc")
         write_hdf5(
             p, [f"2020-03-{t + 1:02d} 00:00:00"], lat, lon,
             {"chl": fld[None]}, chunk_shape=(1, 3, 4),
@@ -278,9 +278,29 @@ def test_combine_rejects_mismatched_grids(tmp_path):
     from xcube_server_spark.sources.kerchunk import combine_references
 
     m1, _, _, _ = _granules(tmp_path, n=1)
-    m2, _, _, _ = _granules(tmp_path, n=1, grid_shift=1.0)
+    m2, _, _, _ = _granules(tmp_path, n=1, grid_shift=1.0, prefix="shift")
     with pytest.raises(ValueError, match="differs between files"):
         combine_references([m1[0], m2[0]])
+
+
+def test_combine_rejects_clashing_relative_targets(tmp_path):
+    """Two granules scanned from files with the SAME basename would
+    resolve to one object after the combine — refuse instead of serving
+    granule 0 at every time step."""
+    import shutil
+
+    from xcube_server_spark.sources.kerchunk import (
+        build_hdf5_references,
+        combine_references,
+    )
+
+    manifests, _, _, _ = _granules(tmp_path, n=2)
+    d2 = os.path.join(tmp_path, "other")
+    os.makedirs(d2, exist_ok=True)
+    shutil.copy(os.path.join(tmp_path, "g1.nc"), os.path.join(d2, "g0.nc"))
+    clashing = build_hdf5_references(os.path.join(d2, "g0.nc"))
+    with pytest.raises(ValueError, match="relative target"):
+        combine_references([manifests[0], clashing])
 
 
 def test_combine_rejects_mixed_codecs(tmp_path):

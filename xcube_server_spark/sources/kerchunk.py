@@ -523,6 +523,27 @@ def combine_references(
         meta["shape"] = shape
         out[f"{name}/.zarray"] = json.dumps(meta)
         out[f"{name}/.zattrs"] = json.dumps(attrs)
+        # distinct granules must reference distinct objects: two
+        # manifests whose chunk triples share a relative target (e.g.
+        # both scanned a file named "cube.nc" in different directories)
+        # would resolve to ONE object after the combine and silently
+        # serve the same granule at every time step
+        targets_per_file = []
+        for refs in refs_list:
+            targets_per_file.append({
+                v[0] for k, v in refs.items()
+                if k.startswith(f"{name}/") and isinstance(v, list)
+                and "://" not in str(v[0])
+            })
+        for fi, tgts in enumerate(targets_per_file):
+            for fj in range(fi + 1, len(targets_per_file)):
+                clash = tgts & targets_per_file[fj]
+                if clash:
+                    raise ValueError(
+                        f"{name}: manifests {fi} and {fj} both reference "
+                        f"relative target(s) {sorted(clash)} — rename the "
+                        "granule files or use absolute URLs"
+                    )
         offset = 0
         for fi, (refs, m) in enumerate(zip(refs_list, metas)):
             n_i = int(m["shape"][axis])
