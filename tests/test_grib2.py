@@ -208,6 +208,150 @@ def test_sign_magnitude_helpers():
 
 
 # ---------------------------------------------------------------------------
+# complex packing (templates 5.2 / 5.3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "packing,order",
+    [("complex", 0), ("complex_diff", 1), ("complex_diff", 2)],
+)
+def test_complex_packing_roundtrip(tmp_path, packing, order):
+    """5.2 group splitting and 5.3 first/second-order spatial
+    differencing round trip bit-exactly, bitmap holes included."""
+    kw = {"diff_order": order} if order else {}
+    path, fld, _, _ = _cube(
+        tmp_path, f"{packing}{order}.grib2", packing=packing, **kw
+    )
+    got = open_grib2(path)["conc_chl"].values
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(fld, nan=-9)
+    )
+
+
+def test_complex_diff_compresses_smooth_fields(tmp_path):
+    """The point of 5.3: a smooth field's differences need fewer bits
+    than its values — the file must come out smaller than simple
+    packing (this is why operational archives use it)."""
+    H, W = 20, 30
+    y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    smooth = ((y + x) / 16.0)[None]
+    lat = np.linspace(50.0, 40.0, H)
+    lon = np.linspace(0.0, 29.0, W)
+    ps = os.path.join(tmp_path, "s.grib2")
+    pd_ = os.path.join(tmp_path, "d.grib2")
+    write_grib2(ps, ["2020-01-01 00:00:00"], lat, lon, {"v": smooth},
+                binary_scale=-4)
+    write_grib2(pd_, ["2020-01-01 00:00:00"], lat, lon, {"v": smooth},
+                binary_scale=-4, packing="complex_diff")
+    assert os.path.getsize(pd_) < os.path.getsize(ps)
+    np.testing.assert_array_equal(open_grib2(pd_)["v"].values, smooth)
+
+
+def _hand_complex_message() -> bytes:
+    """Template 5.2/7.2 packed BY HAND from the WMO tables: 6 points in
+    2 groups of 3. Group 0: ref 10, width 2, offsets [0,1,2] ->
+    [10,11,12]; group 1: ref 0, width 0 (all-equal) -> [0,0,0].
+    R=2, E=0, D=0 -> Y = 2 + X."""
+
+    def sec(num, body):
+        return struct.pack(">IB", len(body) + 5, num) + body
+
+    s1 = (
+        struct.pack(">HHBBB", 7, 0, 2, 1, 1)
+        + struct.pack(">HBBBBB", 2021, 6, 1, 12, 0, 0)
+        + bytes([0, 1])
+    )
+    s3 = (
+        bytes([0]) + struct.pack(">I", 6) + bytes([0, 0])
+        + struct.pack(">H", 0) + bytes([6]) + bytes(15)
+        + struct.pack(">II", 3, 2) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 50_000_000, 10_000_000)
+        + bytes([0b00110000])
+        + struct.pack(">II", 49_000_000, 12_000_000)
+        + struct.pack(">II", 1_000_000, 1_000_000)
+        + bytes([0x00])
+    )
+    s4 = (
+        struct.pack(">H", 0) + struct.pack(">H", 0)
+        + bytes([0, 0, 0, 0, 0]) + struct.pack(">HB", 0, 0)
+        + bytes([1]) + struct.pack(">I", 0)
+        + bytes([1, 0, 0, 255]) + bytes(8)
+    )
+    s5 = (
+        struct.pack(">I", 6)
+        + struct.pack(">H", 2)          # template 5.2
+        + struct.pack(">f", 2.0)        # R
+        + struct.pack(">HH", 0, 0)      # E=0, D=0
+        + bytes([4, 0])                 # 4 bits per group reference
+        + bytes([1, 0])                 # general splitting, no missing
+        + bytes(8)
+        + struct.pack(">I", 2)          # 2 groups
+        + bytes([0, 6])                 # width ref 0, 6 bits per width
+        + struct.pack(">I", 3)          # length ref 3
+        + bytes([1])                    # increment 1
+        + struct.pack(">I", 3)          # last group length 3
+        + bytes([0])                    # 0 bits for scaled lengths
+    )
+    s6 = bytes([255])
+    # refs [10, 0] at 4 bits -> 0xA0; widths [2, 0] at 6 bits ->
+    # 000010 000000 padded -> 0x08 0x00; group 0 offsets [0,1,2] at
+    # 2 bits -> 00 01 10 padded -> 0x18; group 1 has width 0: no bytes
+    s7 = bytes([0xA0, 0x08, 0x00, 0x18])
+    body = sec(1, s1) + sec(3, s3) + sec(4, s4) + sec(5, s5) + sec(6, s6) \
+        + sec(7, s7)
+    total = 16 + len(body) + 4
+    return b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total) \
+        + body + b"7777"
+
+
+def test_hand_built_complex_message_decodes():
+    msg = Grib2Message(_hand_complex_message(), 0)
+    assert msg.packing_template == 2
+    np.testing.assert_array_equal(
+        msg.decode(), [[12.0, 13.0, 14.0], [2.0, 2.0, 2.0]]
+    )
+
+
+def test_complex_missing_value_management_decodes():
+    """mvm=1: the all-ones pattern inside a group (and an all-ones
+    group reference at width 0) decode as missing. Pinned by editing
+    the hand message: mvm byte -> 1; group 0's last offset 0b11 is now
+    the missing marker, group 1's ref 15 (all ones at 4 bits) blanks
+    the whole group."""
+    m = bytearray(_hand_complex_message())
+    pos = 16
+    while m[pos + 4] != 5:
+        (ln,) = struct.unpack_from(">I", m, pos)
+        pos += ln
+    m[pos + 22] = 1                     # missing value management
+    # refs [10, 15] -> 0xAF; group 0 offsets [0,1,3] -> 00 01 11 -> 0x1C
+    while m[pos + 4] != 7:
+        (ln,) = struct.unpack_from(">I", m, pos)
+        pos += ln
+    m[pos + 5] = 0xAF
+    m[pos + 8] = 0x1C
+    out = Grib2Message(bytes(m), 0).decode()
+    np.testing.assert_array_equal(out[0, :2], [12.0, 13.0])
+    assert np.isnan(out[0, 2]) and np.isnan(out[1]).all()
+
+
+def test_complex_group_length_mismatch_raises(tmp_path):
+    path, _, _, _ = _cube(tmp_path, "c.grib2", packing="complex")
+    raw = bytearray(open(path, "rb").read())
+    pos = 16
+    while raw[pos + 4] != 5:
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        pos += ln
+    struct.pack_into(">I", raw, pos + 42, 9999)  # true last group length
+    bad = os.path.join(tmp_path, "bad_len.grib2")
+    with open(bad, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(ValueError, match="group lengths"):
+        open_grib2(bad)["conc_chl"].values
+
+
+# ---------------------------------------------------------------------------
 # malformed inputs
 # ---------------------------------------------------------------------------
 

@@ -88,6 +88,7 @@ _PRIORITY = [
     "netcdf4_kerchunk_multifile_http",
     "grib2_ingest_stats",
     "grib2_ingest_http",
+    "grib2_complex_ingest_stats",
     "ols_normal_equations",
     "unpivot_metrics",
     "window_range_frame",
@@ -140,9 +141,9 @@ _PRIORITY = [
     # zarr_ingest_stats drops to overflow: the blosc/http/v3 rows cover
     # the shared ZarrArray init/filter change that touched it)
     "zarr_ingest_stats_blosc",
-    "zarr_ingest_stats_http",
-    "zarr_v3_ingest_stats",  # <- window position 50
+    "zarr_ingest_stats_http",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "zarr_v3_ingest_stats",
     # displaced by the 8f head batch and the r8g format/analytics/
     # relational gates (kerchunk single+multi, grib2 local+http, pixel
     # trend, area-weighted mean, OLS, unpivot, range-frame); with the

@@ -1822,6 +1822,89 @@ QUERIES["grib2_ingest_http"] = grib2_ingest_http
 ORACLES["grib2_ingest_http"] = ORACLE_GRIB2
 
 
+def _grib2_complex_gate_file() -> str:
+    """GRIB2 twin packed with data template 5.3 (complex packing over
+    second-order spatial differences — the representation operational
+    NCEP/ECMWF archives actually ship) and ITS OWN formula:
+    ``((t*53 + y*23 + x*41) % 101) / 16`` with NULL holes where
+    ``(y*W + x + 8*t) % 19 == 0``."""
+    import numpy as np
+
+    from ..sources.grib2 import write_grib2
+
+    d = _gate_path("xss_grib2_cplx_gate_v1")
+    path = os.path.join(d, "cube.grib2")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 53 + y * 23 + x * 41) % 101) / 16.0
+        chl[(y * _ZG_W + x + 8 * t) % 19 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_grib2(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl},
+            binary_scale=-4, packing="complex_diff", diff_order=2,
+            params={"conc_chl": (10, 4, 3)},
+        )
+    return path
+
+
+def grib2_complex_ingest_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GRIB2 stats gate over DATA TEMPLATE 5.3: group-split values
+    of second-order spatial differences (group reference/width/length
+    vectors, sign-magnitude preamble with the initial values and the
+    difference minimum, per-group bit streams) — the packing real
+    operational archives use, decoded by the same pure-Python reader.
+    Distinct formula oracle; bitmap holes ride the same path."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_complex_gate_file()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="grib2")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_GRIB2_COMPLEX = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 8 * t.i) % 19 = 0 THEN NULL
+              ELSE ((t.i * 53 + y.i * 23 + x.i * 41) % 101) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["grib2_complex_ingest_stats"] = grib2_complex_ingest_stats
+ORACLES["grib2_complex_ingest_stats"] = ORACLE_GRIB2_COMPLEX
+
+
 # ---------------------------------------------------------------------------
 # netcdf4_kerchunk_multifile_http: one virtual dataset over many granules
 # ---------------------------------------------------------------------------

@@ -301,16 +301,50 @@ class Grib2Message:
     def _parse_packing(self, sec: bytes) -> None:
         (self.ndata,) = struct.unpack_from(">I", sec, 5)
         (tmpl,) = struct.unpack_from(">H", sec, 9)
-        if tmpl != 0:
+        if tmpl not in (0, 2, 3):
             raise NotImplementedError(
-                f"GRIB2 data template 5.{tmpl} (5.0 simple packing only)"
+                f"GRIB2 data template 5.{tmpl} (5.0 simple, 5.2 complex "
+                "and 5.3 complex+differencing are supported)"
             )
+        self.packing_template = tmpl
         (self.ref_value,) = struct.unpack_from(">f", sec, 11)
         (e_raw,) = struct.unpack_from(">H", sec, 15)
         (d_raw,) = struct.unpack_from(">H", sec, 17)
         self.binary_scale = _sign_magnitude(e_raw)
         self.decimal_scale = _sign_magnitude(d_raw)
         self.nbits = sec[19]
+        if tmpl in (2, 3):
+            split = sec[21]
+            if split != 1:
+                raise NotImplementedError(
+                    f"GRIB2 group splitting method {split} (1 = general "
+                    "group splitting only)"
+                )
+            self.missing_mgmt = sec[22]
+            if self.missing_mgmt not in (0, 1):
+                raise NotImplementedError(
+                    f"GRIB2 missing value management {self.missing_mgmt} "
+                    "(0/1 supported)"
+                )
+            (self.n_groups,) = struct.unpack_from(">I", sec, 31)
+            self.width_ref = sec[35]
+            self.width_bits = sec[36]
+            (self.length_ref,) = struct.unpack_from(">I", sec, 37)
+            self.length_inc = sec[41]
+            (self.last_length,) = struct.unpack_from(">I", sec, 42)
+            self.length_bits = sec[46]
+        if tmpl == 3:
+            self.diff_order = sec[47]
+            self.diff_octets = sec[48]
+            if self.diff_order not in (1, 2):
+                raise ValueError(
+                    f"GRIB2 spatial differencing order {self.diff_order}"
+                )
+            if self.missing_mgmt != 0:
+                raise NotImplementedError(
+                    "spatial differencing with embedded missing values "
+                    "is not supported (use a bitmap)"
+                )
 
     @property
     def valid_time(self) -> datetime:
@@ -320,10 +354,85 @@ class Grib2Message:
     def param(self) -> tuple[int, int, int]:
         return (self.discipline, self.category, self.number)
 
+    def _unpack_complex(self, raw: bytes) -> np.ndarray:
+        """Templates 7.2/7.3: group-split values (+ optional spatial
+        differencing). Each block (references, widths, scaled lengths,
+        then per-group value streams) starts on an octet boundary."""
+        pos = 0
+        gmin = 0
+        init: list[int] = []
+        if self.packing_template == 3:
+            w = self.diff_octets
+            for _ in range(self.diff_order):
+                init.append(
+                    _sign_magnitude(
+                        int.from_bytes(raw[pos : pos + w], "big"), 8 * w
+                    )
+                )
+                pos += w
+            gmin = _sign_magnitude(
+                int.from_bytes(raw[pos : pos + w], "big"), 8 * w
+            )
+            pos += w
+        ng = self.n_groups
+        refs = _unpack_bits(raw[pos:], ng, self.nbits).astype("int64")
+        pos += (ng * self.nbits + 7) // 8
+        widths = self.width_ref + _unpack_bits(
+            raw[pos:], ng, self.width_bits
+        ).astype("int64")
+        pos += (ng * self.width_bits + 7) // 8
+        lengths = self.length_ref + self.length_inc * _unpack_bits(
+            raw[pos:], ng, self.length_bits
+        ).astype("int64")
+        pos += (ng * self.length_bits + 7) // 8
+        if ng:
+            lengths[-1] = self.last_length
+        if int(lengths.sum()) != self.ndata:
+            raise ValueError(
+                f"GRIB2 complex packing: group lengths sum to "
+                f"{int(lengths.sum())}, expected {self.ndata}"
+            )
+        out = np.empty(self.ndata, dtype="float64")
+        missing = self.missing_mgmt == 1
+        at = 0
+        for j in range(ng):
+            lj, wj = int(lengths[j]), int(widths[j])
+            if wj == 0:
+                if missing and refs[j] == (1 << self.nbits) - 1:
+                    out[at : at + lj] = np.nan
+                else:
+                    out[at : at + lj] = float(refs[j])
+            else:
+                vals = _unpack_bits(raw[pos:], lj, wj).astype("int64")
+                pos += (lj * wj + 7) // 8
+                grp = (refs[j] + vals).astype("float64")
+                if missing:
+                    grp[vals == (1 << wj) - 1] = np.nan
+                out[at : at + lj] = grp
+            at += lj
+        if self.packing_template == 3:
+            # undo the scaling of differences, restore initial values,
+            # then integrate (first/second order)
+            nan_mask = np.isnan(out)
+            d = np.nan_to_num(out) + gmin
+            for k, g in enumerate(init):
+                d[k] = g
+            if self.diff_order == 1:
+                d = np.cumsum(d)
+            else:
+                for k in range(2, len(d)):
+                    d[k] = d[k] + 2 * d[k - 1] - d[k - 2]
+            out = d
+            out[nan_mask] = np.nan
+        return out
+
     def decode(self) -> np.ndarray:
         """(nj, ni) float64 field, bitmap holes as NaN, row 0 = lat1."""
         raw = self.src.read(self._data_off, self._data_len)
-        x = _unpack_bits(raw, self.ndata, self.nbits).astype("float64")
+        if getattr(self, "packing_template", 0) in (2, 3):
+            x = self._unpack_complex(raw)
+        else:
+            x = _unpack_bits(raw, self.ndata, self.nbits).astype("float64")
         y = (self.ref_value + x * 2.0 ** self.binary_scale) * (
             10.0 ** -self.decimal_scale
         )
@@ -512,6 +621,78 @@ def _section(num: int, body: bytes) -> bytes:
     return struct.pack(">IB", len(body) + 5, num) + body
 
 
+def _complex_sections(
+    x: np.ndarray, ref: float, scales: bytes, order: int, group_size: int
+) -> tuple[bytes, bytes]:
+    """Templates 5.2/5.3 + matching 7.x payload for a non-negative
+    integer series ``x`` (the scaled offsets from R). ``order`` 0 means
+    plain complex packing (5.2); 1/2 apply spatial differencing first
+    (5.3): the first ``order`` original values and the overall minimum
+    of the differences ride the data-section preamble, and the groups
+    pack ``d_k - gmin``."""
+    n = int(x.size)
+    preamble = b""
+    if order:
+        if n <= order:
+            raise ValueError("spatial differencing needs more data points")
+        d = x.astype("int64").copy()
+        if order == 1:
+            d[1:] = x[1:] - x[:-1]
+        else:
+            d[2:] = x[2:] - 2 * x[1:-1] + x[:-2]
+            d[1] = x[1] - x[0]  # second value: first-order seed
+        init = [int(v) for v in x[:order]]
+        gmin = int(d[order:].min()) if n > order else 0
+        d[:order] = gmin  # placeholders pack as zero
+        series = d - gmin
+        ww = 4
+        for v in init + [gmin]:
+            preamble += struct.pack(
+                ">I", _encode_sign_magnitude(int(v), 32)
+            )
+    else:
+        series = x.astype("int64")
+    ng = -(-n // group_size) if n else 0
+    refs = np.zeros(ng, dtype="int64")
+    widths = np.zeros(ng, dtype="int64")
+    streams = []
+    for j in range(ng):
+        grp = series[j * group_size : (j + 1) * group_size]
+        r = int(grp.min())
+        rel = grp - r
+        w = int(rel.max()).bit_length()
+        refs[j] = r
+        widths[j] = w
+        streams.append(_pack_bits(rel.astype("uint64"), w))
+    ref_bits = int(refs.max()).bit_length() if ng else 0
+    last_len = n - (ng - 1) * group_size if ng else 0
+    body5 = (
+        struct.pack(">I", n)
+        + struct.pack(">H", 3 if order else 2)
+        + struct.pack(">f", ref)
+        + scales
+        + bytes([ref_bits, 0])      # bits per group reference; field type
+        + bytes([1, 0])             # general group splitting; no missing
+        + bytes(8)                  # missing value substitutes
+        + struct.pack(">I", ng)
+        + bytes([0, 6])             # width reference 0; 6 bits per width
+        + struct.pack(">I", group_size)  # length reference
+        + bytes([1])                # length increment
+        + struct.pack(">I", last_len)
+        + bytes([0])                # scaled lengths take 0 bits
+    )
+    if order:
+        body5 += bytes([order, 4])  # order; 4 octets per extra value
+    body7 = (
+        preamble
+        + _pack_bits(refs.astype("uint64"), ref_bits)
+        + _pack_bits(widths.astype("uint64"), 6)
+        + b""  # scaled group lengths: 0 bits
+        + b"".join(streams)
+    )
+    return body5, body7
+
+
 def write_grib2(
     path: str,
     times: list[str],
@@ -522,16 +703,25 @@ def write_grib2(
     binary_scale: int = 0,
     decimal_scale: int = 0,
     params: dict | None = None,
+    packing: str = "simple",
+    group_size: int = 20,
+    diff_order: int = 2,
 ) -> None:
     """One message per (variable, time): template 3.0 grid, 4.0 product,
-    5.0 simple packing. NaN cells become bitmap holes. Values must be
-    representable as ``R + X*2^E`` at ``10^-D`` — pick ``binary_scale``
-    / ``decimal_scale`` to the data's quantum for bit-exact round trips
+    and data template per ``packing`` — ``"simple"`` (5.0),
+    ``"complex"`` (5.2, general group splitting) or ``"complex_diff"``
+    (5.3, groups over spatially differenced values of ``diff_order`` 1
+    or 2 — what operational NCEP/ECMWF archives ship). NaN cells become
+    bitmap holes in every mode. Values must be representable as
+    ``R + X*2^E`` at ``10^-D`` — pick ``binary_scale`` /
+    ``decimal_scale`` to the data's quantum for bit-exact round trips
     (e.g. data on a 1/16 grid → ``binary_scale=-4``).
 
     ``params`` optionally maps variable name → (discipline, category,
     number); unnamed variables get discipline 0, category 0, numbers in
     insertion order. The variable NAME rides the local-use section."""
+    if packing not in ("simple", "complex", "complex_diff"):
+        raise ValueError(f"unknown packing {packing!r}")
     lat = np.asarray(lat, "float64")
     lon = np.asarray(lon, "float64")
     nj, ni = len(lat), len(lon)
@@ -609,24 +799,31 @@ def write_grib2(
                 + struct.pack(">I", 0)  # forecast time 0 (analysis)
                 + bytes([1, 0, 0, 255]) + bytes(8)  # surface levels
             )
-            sec5 = (
-                struct.pack(">I", int(vals.size))
-                + struct.pack(">H", 0)  # template 5.0
-                + struct.pack(">f", ref)
-                + struct.pack(
-                    ">HH",
-                    _encode_sign_magnitude(binary_scale),
-                    _encode_sign_magnitude(decimal_scale),
-                )
-                + bytes([nbits, 0])
+            scales = struct.pack(
+                ">HH",
+                _encode_sign_magnitude(binary_scale),
+                _encode_sign_magnitude(decimal_scale),
             )
+            if packing == "simple":
+                sec5 = (
+                    struct.pack(">I", int(vals.size))
+                    + struct.pack(">H", 0)  # template 5.0
+                    + struct.pack(">f", ref)
+                    + scales
+                    + bytes([nbits, 0])
+                )
+                sec7 = _pack_bits(x, nbits)
+            else:
+                order = 0 if packing == "complex" else diff_order
+                sec5, sec7 = _complex_sections(
+                    x.astype("int64"), ref, scales, order, group_size
+                )
             if present.all():
                 sec6 = bytes([255])
             else:
                 sec6 = bytes([0]) + np.packbits(
                     present.reshape(-1).astype(np.uint8)
                 ).tobytes()
-            sec7 = _pack_bits(x, nbits)
             body = b"".join(
                 _section(n, s)
                 for n, s in (
