@@ -231,3 +231,40 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     ss_tot = float(((y - y.mean()) ** 2).sum())
     assert abs(row.r2 - (1 - ss_res / ss_tot)) < 1e-4
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_range_lookup_equals_naive_containment(spark, sf_dir):
+    """The bucket-exploded range join returns exactly the naive
+    cross-containment result (each matching pair joins exactly once —
+    a probe row lives in one bucket), and the plan contains NO
+    nested-loop/cartesian node."""
+    from xcube_server_spark.registry._util import load_table
+
+    df = QUERIES["join_range_lookup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.n_orders_in_band, r.n_name) for r in df.collect()}
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    priced = orders.selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS LONG) AS cents",
+    )
+    bands = (
+        priced.join(cust, priced.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    naive = (
+        priced.crossJoin(bands)
+        .filter((F.col("cents") >= F.col("lo"))
+                & (F.col("cents") <= F.col("hi")))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    want = {(r.n, r.n_name) for r in naive.collect()}
+    assert got == want

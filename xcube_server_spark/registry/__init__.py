@@ -92,6 +92,7 @@ _PRIORITY = [
     "ols_normal_equations",
     "unpivot_metrics",
     "window_range_frame",
+    "join_range_lookup",
     "cube_pixel_trend",
     "cube_area_weighted_mean",
     "graph_triangle_count",
@@ -140,9 +141,9 @@ _PRIORITY = [
     # (a) code path changed in round 8 — re-prove (the plain-zlib
     # zarr_ingest_stats drops to overflow: the blosc/http/v3 rows cover
     # the shared ZarrArray init/filter change that touched it)
-    "zarr_ingest_stats_blosc",
-    "zarr_ingest_stats_http",  # <- window position 50
+    "zarr_ingest_stats_blosc",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
+    "zarr_ingest_stats_http",
     "zarr_v3_ingest_stats",
     # displaced by the 8f head batch and the r8g format/analytics/
     # relational gates (kerchunk single+multi, grib2 local+http, pixel

@@ -833,3 +833,89 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
 
 QUERIES["window_range_frame"] = window_range_frame
 ORACLES["window_range_frame"] = ORACLE_WINDOW_RANGE
+
+
+# ---------------------------------------------------------------------------
+# join_range_lookup: non-equi containment join via bucket explosion
+# ---------------------------------------------------------------------------
+
+_RANGE_BUCKET = 50_000  # cents: ~25 buckets over the order-price range
+
+
+def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range lookup join with NO equi key (the IP-to-geo / price-band
+    shape): every order joins every nation whose observed price band
+    ``[min, max]`` CONTAINS its total price — bands overlap heavily, so
+    there is no key to hash on and naive Spark falls back to a
+    broadcast-nested-loop over all |orders| x |bands| pairs.
+
+    Scalable form: explode each band into the fixed-width price buckets
+    it covers, bucket the probe side by ``price div W``, and equi-join
+    on the bucket id with the containment predicate as the residual. A
+    probe row lives in exactly ONE bucket, so each matching (order,
+    band) pair joins exactly once — no dedup stage. At dim-scale the
+    exploded side broadcasts (the degenerate case); when the interval
+    table itself is huge, the same plan becomes a shuffled hash
+    equi-join on the bucket id — the property a nested loop never has.
+    Prices are exact cents BIGINTs on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    priced = orders.select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    bands = (
+        priced.join(broadcast(cust), priced.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    w = _RANGE_BUCKET
+    exploded = bands.select(
+        "n_name",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(F.expr(f"lo div {w}"), F.expr(f"hi div {w}"))
+        ).alias("bucket"),
+    )
+    probe = priced.withColumn("bucket", F.expr(f"cents div {w}"))
+    joined = probe.join(
+        broadcast(exploded),
+        (probe.bucket == exploded.bucket)
+        & (probe.cents >= exploded.lo)
+        & (probe.cents <= exploded.hi),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_in_band"),
+            (F.sum("cents") / 100.0).alias("sum_price_in_band"),
+        )
+    )
+
+
+ORACLE_RANGE_LOOKUP = """
+WITH priced AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), bands AS (
+  SELECT n_name, min(cents) AS lo, max(cents) AS hi
+  FROM priced
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders_in_band,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_price_in_band
+FROM priced, bands
+WHERE cents >= lo AND cents <= hi
+GROUP BY n_name
+"""
+
+
+QUERIES["join_range_lookup"] = join_range_lookup
+ORACLES["join_range_lookup"] = ORACLE_RANGE_LOOKUP
