@@ -356,6 +356,32 @@ def test_complex_group_length_mismatch_raises(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_writer_product_section_surface_octets(tmp_path):
+    """WMO template 4.0 octets 23-34 (regression: the first surface's
+    scaled value carried a stray 255 and the SECOND surface type read 0):
+    first fixed surface = ground (1, scale 0, value 0), second fixed
+    surface = missing (255). The repo's reader ignores these octets, so
+    this pins the raw section bytes."""
+    path, _, _, _ = _cube(tmp_path)
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"GRIB"
+    o = 16  # end of the fixed-length indicator section
+    sec4 = None
+    while buf[o : o + 4] != b"7777":
+        ln = struct.unpack(">I", buf[o : o + 4])[0]
+        if buf[o + 4] == 4:
+            sec4 = buf[o : o + ln]
+            break
+        o += ln
+    assert sec4 is not None
+    # 1-based octets within section 4 -> 0-based offsets
+    assert sec4[22] == 1          # oct 23: first surface type = ground
+    assert sec4[23] == 0          # oct 24: scale factor 0
+    assert sec4[24:28] == bytes(4)  # oct 25-28: scaled value 0
+    assert sec4[28] == 255        # oct 29: second surface type = missing
+    assert sec4[29] == 0 and sec4[30:34] == bytes(4)  # oct 30-34
+
+
 def test_edition_1_rejected():
     m = bytearray(_hand_message())
     m[7] = 1

@@ -163,6 +163,10 @@ def test_get_range_composes_offsets(cube):
     assert store.get_range(key, 2, 5) == whole[2:7]
     # ranges clamp at the reference extent instead of leaking file bytes
     assert store.get_range(key, ln - 2, 10) == whole[-2:]
+    # a start at/past the extent clamps to an EMPTY read, not a malformed
+    # "bytes=N-(N-1)" Range request (regression)
+    assert store.get_range(key, ln, 4) == b""
+    assert store.get_range(key, ln + 10, 4) == b""
 
 
 def test_filter_mapping_contract():
@@ -301,6 +305,34 @@ def test_combine_rejects_clashing_relative_targets(tmp_path):
     clashing = build_hdf5_references(os.path.join(d2, "g0.nc"))
     with pytest.raises(ValueError, match="relative target"):
         combine_references([manifests[0], clashing])
+
+
+def test_combine_checks_byte_range_static_arrays(tmp_path):
+    """Non-concat arrays carried as byte-range refs (too large to inline)
+    must agree across manifests — same target/offset/length combines;
+    differing or mixed inline/list refs raise instead of silently serving
+    file 0's grid (regression)."""
+    from xcube_server_spark.sources.kerchunk import combine_references
+
+    # equal list refs: verifiable-identical, combine succeeds
+    manifests, _, _, _ = _granules(tmp_path, n=2)
+    for m in manifests:
+        m["refs"]["lat/0"] = ["shared_grid.nc", 100, 48]
+    combined = combine_references(manifests)
+    assert combined["refs"]["lat/0"] == ["shared_grid.nc", 100, 48]
+
+    # differing targets: unverifiable, refuse
+    manifests, _, _, _ = _granules(tmp_path, n=2, prefix="d")
+    manifests[0]["refs"]["lat/0"] = ["d0.nc", 100, 48]
+    manifests[1]["refs"]["lat/0"] = ["d1.nc", 100, 48]
+    with pytest.raises(ValueError, match="byte-range reference"):
+        combine_references(manifests)
+
+    # mixed inline / byte-range: refuse
+    manifests, _, _, _ = _granules(tmp_path, n=2, prefix="m")
+    manifests[1]["refs"]["lat/0"] = ["m1.nc", 100, 48]
+    with pytest.raises(ValueError, match="inline in one manifest"):
+        combine_references(manifests)
 
 
 def test_combine_rejects_mixed_codecs(tmp_path):

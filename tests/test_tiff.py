@@ -94,6 +94,56 @@ def test_hand_built_big_endian_strip_tiff(tmp_path):
     assert np.array_equal(got, want)
 
 
+def _hand_built_multi_strip_tiff() -> bytes:
+    """Big-endian, UNCOMPRESSED, 5x5 uint8 image in THREE strips with
+    RowsPerStrip=2 — the normal libtiff layout where the final strip
+    holds fewer rows (1 here) and is NOT padded (TIFF 6.0: strips contain
+    only image rows)."""
+    h, w, rps = 5, 5, 2
+    img = bytes(10 * r + c for r in range(h) for c in range(w))
+    strips = [img[r * w : min(r + rps, h) * w] for r in range(0, h, rps)]
+    n = 9
+    ifd_size = 2 + n * 12 + 4
+    off_arr = 8 + ifd_size          # StripOffsets value array (3 LONGs)
+    cnt_arr = off_arr + 12          # StripByteCounts value array
+    data0 = cnt_arr + 12
+    offs, pos = [], data0
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    entries = []
+    def e4(tag, typ, cnt, val):
+        entries.append(struct.pack(">HHI", tag, typ, cnt) + val)
+    e4(256, 3, 1, struct.pack(">H", w) + b"\0\0")
+    e4(257, 4, 1, struct.pack(">I", h))
+    e4(258, 3, 1, struct.pack(">H", 8) + b"\0\0")
+    e4(259, 3, 1, struct.pack(">H", 1) + b"\0\0")   # uncompressed
+    e4(262, 3, 1, struct.pack(">H", 1) + b"\0\0")
+    e4(273, 4, 3, struct.pack(">I", off_arr))
+    e4(277, 3, 1, struct.pack(">H", 1) + b"\0\0")
+    e4(278, 4, 1, struct.pack(">I", rps))
+    e4(279, 4, 3, struct.pack(">I", cnt_arr))
+    assert len(entries) == n
+    entries.sort(key=lambda b: struct.unpack(">H", b[:2])[0])
+    out = b"MM\x00\x2a" + struct.pack(">I", 8)
+    out += struct.pack(">H", n) + b"".join(entries) + struct.pack(">I", 0)
+    out += b"".join(struct.pack(">I", o) for o in offs)
+    out += b"".join(struct.pack(">I", len(s)) for s in strips)
+    out += b"".join(strips)
+    return out
+
+
+def test_short_final_strip(tmp_path):
+    """Regression: the last strip of a striped TIFF holds fewer rows than
+    RowsPerStrip and must decode without a reshape error."""
+    p = tmp_path / "ms.tif"
+    p.write_bytes(_hand_built_multi_strip_tiff())
+    got, ifd = read_full(LocalStore(str(tmp_path)), "ms.tif")
+    assert ifd.tile_h == 2 and len(ifd.offsets) == 3
+    want = np.array([[10 * r + c for c in range(5)] for r in range(5)])
+    assert np.array_equal(got, want)
+
+
 def test_clear_error_gates(tmp_path):
     # BigTIFF magic
     p = tmp_path / "big.tif"

@@ -42,7 +42,7 @@ def salted_agg(
     Phase 1 groups by (keys..., salt) where salt = hash(whole row) % N —
     uniform within every key; phase 2 merges the ≤N partials per key.
     """
-    salt = (F.abs(F.hash(*df.columns)) % salt_buckets).alias("__salt")
+    salt = F.pmod(F.hash(*df.columns), F.lit(salt_buckets)).alias("__salt")
     partials = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[
             _PARTIAL[fn](col).alias(f"__p_{name}")
@@ -84,7 +84,10 @@ def salted_join(
         F.array(*[F.lit(i) for i in range(salt_buckets)])
     ).alias("__salt")
     replicated = build.select("*", salts)
+    # pmod, not abs+%: F.abs(Int.MinValue) wraps negative, and % keeps the
+    # sign for non-power-of-two bucket counts — that probe row would match
+    # no build replica (dropped on inner, null-enriched on left).
     salted = probe.withColumn(
-        "__salt", F.abs(F.hash(*probe.columns)) % salt_buckets
+        "__salt", F.pmod(F.hash(*probe.columns), F.lit(salt_buckets))
     )
     return salted.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -1720,7 +1720,7 @@ def _grib2_gate_file() -> str:
 
     from ..sources.grib2 import write_grib2
 
-    d = _gate_path("xss_grib2_gate_v1")
+    d = _gate_path("xss_grib2_gate_v2")
     path = os.path.join(d, "cube.grib2")
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
@@ -1832,7 +1832,7 @@ def _grib2_complex_gate_file() -> str:
 
     from ..sources.grib2 import write_grib2
 
-    d = _gate_path("xss_grib2_cplx_gate_v1")
+    d = _gate_path("xss_grib2_cplx_gate_v2")
     path = os.path.join(d, "cube.grib2")
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)

@@ -797,7 +797,9 @@ def write_grib2(
                 + struct.pack(">HB", 0, 0)  # cutoff
                 + bytes([1])  # time unit: hour
                 + struct.pack(">I", 0)  # forecast time 0 (analysis)
-                + bytes([1, 0, 0, 255]) + bytes(8)  # surface levels
+                # octets 23-34: first fixed surface type=1 (ground),
+                # scale 0, value 0; second surface type=255 (missing)
+                + bytes([1, 0]) + bytes(4) + bytes([255, 0]) + bytes(4)
             )
             scales = struct.pack(
                 ">HH",

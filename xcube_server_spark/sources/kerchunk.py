@@ -111,6 +111,11 @@ class ReferenceStore:
             start = max(0, total + start)
         if total is not None:
             length = max(0, min(length, total - start))
+        if length is not None and length <= 0:
+            # a clamped-to-zero read would emit a malformed Range header
+            # ("bytes=N-(N-1)") that servers answer with 416 or the whole
+            # object — the correct result is simply empty
+            return b""
         return self._read(url, off + start, length)
 
     # -- internals -----------------------------------------------------------
@@ -465,15 +470,36 @@ def combine_references(
                     continue
                 for refs in refs_list[1:]:
                     w = refs.get(k)
-                    if (
-                        isinstance(v, str) and isinstance(w, str)
-                        and not k.endswith(".zattrs")
-                        and ReferenceStore._inline(v)
-                        != ReferenceStore._inline(w)
-                    ):
+                    if k.endswith(".zattrs"):
+                        continue
+                    if isinstance(v, str) and isinstance(w, str):
+                        if (
+                            ReferenceStore._inline(v)
+                            != ReferenceStore._inline(w)
+                        ):
+                            raise ValueError(
+                                f"{name}: non-{concat_dim} array differs "
+                                "between files — cannot combine"
+                            )
+                    elif isinstance(v, list) and isinstance(w, list):
+                        # byte-range refs: identical only if they name the
+                        # same target slice — combine cannot fetch here, so
+                        # anything else is unverifiable and must not be
+                        # silently carried from file 0
+                        vt = [v[0], *(int(x) for x in v[1:])]
+                        wt = [w[0], *(int(x) for x in w[1:])]
+                        if vt != wt:
+                            raise ValueError(
+                                f"{name}: non-{concat_dim} array is a "
+                                "byte-range reference that differs between "
+                                "manifests — inline it in every manifest "
+                                "(combine cannot verify remote bytes)"
+                            )
+                    else:
                         raise ValueError(
-                            f"{name}: non-{concat_dim} array differs "
-                            "between files — cannot combine"
+                            f"{name}: non-{concat_dim} array is inline in "
+                            "one manifest and a byte-range reference in "
+                            "another — cannot verify equality"
                         )
                 out[k] = v
             continue

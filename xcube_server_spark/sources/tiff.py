@@ -213,7 +213,14 @@ def decode_tile(raw: bytes, ifd: TiffIFD, tile_idx: int) -> np.ndarray:
     elif ifd.compression == 5:
         raw = lzw_decode(raw)
     arr = np.frombuffer(raw, dtype=ifd.dtype)
-    arr = arr[: ifd.tile_w * ifd.tile_h].reshape(ifd.tile_h, ifd.tile_w)
+    # TIFF 6.0 final strips are NOT padded: a striped file whose height is
+    # not a multiple of RowsPerStrip delivers fewer than tile_h rows in the
+    # last strip. Zero-pad up to the full tile; the arr[:h, :w] clip below
+    # discards the padding.
+    n = ifd.tile_w * ifd.tile_h
+    if arr.size < n:
+        arr = np.pad(arr, (0, n - arr.size))
+    arr = arr[:n].reshape(ifd.tile_h, ifd.tile_w)
     if ifd.predictor == 2:
         # horizontal differencing: undo with a wraparound row cumsum
         arr = np.add.accumulate(arr, axis=1, dtype=arr.dtype)
