@@ -1,0 +1,184 @@
+"""Baseline JPEG codec (``sources/jpeg.py``).
+
+Pinning discipline (same as zstd/LZW/GRIB2): a message hand-packed from
+the T.81 tables decodes to pixels computed by a TEST-LOCAL direct IDCT
+(independent double-loop formula), so the decoder and the repo's encoder
+cannot share a bug and both pass; encoder round trips cover the exactness
+contract the driver gate relies on (per-8x8-block constant EVEN values at
+quality 50 are bit-exact) plus subsampling, restart markers and the
+documented clear-error gates."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.jpeg import (
+    _A,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+
+def _direct_idct(F: np.ndarray) -> np.ndarray:
+    """Textbook T.81 A.3.3 inverse DCT — explicit loops, no shared code
+    with the codec's matrix form."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4 * F[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s
+    return out
+
+
+def test_idct_matrix_matches_direct_formula():
+    rng = np.random.RandomState(7)
+    F = rng.randint(-500, 500, (8, 8)).astype(float)
+    assert np.allclose(_A.T @ F @ _A, _direct_idct(F), atol=1e-9)
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _hand_built_jpeg() -> tuple[bytes, np.ndarray]:
+    """16x8 grayscale, quant all-ones, tiny custom Huffman tables
+    (DC: sym0->'0', sym2->'10'; AC: EOB->'0', 0x12->'10').
+
+    Block 1: DC cat2 bits '11' (=+3), AC sym 0x12 (run 1, size 2) bits
+    '01' (extend -> -2) at zigzag k=2 (natural [1,0]), EOB.
+    Block 2: DC cat0 (pred carries 3), EOB.
+    Stream bits: 10 11 10 01 0 | 0 0  -> 10111001 000 + 1-pad = B9 1F."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dht = bytes([0x00, 1, 1] + [0] * 14) + bytes([0, 2])      # DC
+    dht += bytes([0x10, 1, 1] + [0] * 14) + bytes([0x00, 0x12])  # AC
+    out += _seg(0xC4, dht)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes([0xB9, 0x1F])
+    out += b"\xff\xd9"
+    F1 = np.zeros((8, 8))
+    F1[0, 0] = 3.0
+    F1[1, 0] = -2.0
+    b1 = np.clip(np.floor(_direct_idct(F1) + 128.0 + 0.5), 0, 255)
+    F2 = np.zeros((8, 8))
+    F2[0, 0] = 3.0  # DC predictor carried from block 1
+    b2 = np.clip(np.floor(_direct_idct(F2) + 128.0 + 0.5), 0, 255)
+    want = np.hstack([b1, b2]).astype(np.uint8)
+    return bytes(out), want
+
+
+def test_hand_built_stream_decodes():
+    data, want = _hand_built_jpeg()
+    assert is_jpeg(data)
+    got = decode_jpeg(data)
+    assert got.shape == (8, 16, 3)
+    assert np.array_equal(got[:, :, 0], want)
+    assert np.array_equal(got[:, :, 0], got[:, :, 2])  # gray replicated
+
+
+def _block_constant_even(h, w, seed=0):
+    """Per-8x8-block constant EVEN grayscale values — the exactness
+    construction: with the Annex K table (quality 50), DC quant 16
+    divides 8*(v-128) and every AC coefficient is exactly zero."""
+    by, bx = np.mgrid[0 : h // 8, 0 : w // 8]
+    vals = (2 * ((seed * 13 + by * 5 + bx * 3) % 101) + 22).astype(np.uint8)
+    return np.kron(vals, np.ones((8, 8), np.uint8))
+
+
+def test_block_constant_even_gray_is_exact_at_q50():
+    img = _block_constant_even(16, 24, seed=4)
+    got = decode_jpeg(encode_jpeg(img, quality=50))
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def test_constant_color_exact_444_and_420():
+    img = np.full((24, 16, 3), 0, np.uint8)
+    img[:, :, 0] = 90
+    img[:, :, 1] = 144
+    img[:, :, 2] = 202
+    for sub in ("4:4:4", "4:2:0"):
+        got = decode_jpeg(encode_jpeg(img, quality=50, subsampling=sub))
+        # constant color: DCT is DC-only in every plane; YCbCr round trip
+        # may shift each channel by ±1 from the double color transform
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 1, sub
+
+
+def _formula_rgb(h, w, seed=0):
+    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+    return ((seed * 31 + y * 7 + x * 13 + c * 59) % 256).astype(np.uint8)
+
+
+def test_lossy_roundtrip_quality_bound():
+    """High-quality roundtrip of a busy synthetic image stays close —
+    the standard lossy contract (and a full path through every marker,
+    both Huffman table classes, ZRL and multi-category coefficients)."""
+    img = _formula_rgb(24, 40, seed=2)
+    got = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 12 and err.max() < 80
+    # smooth gradients compress near-losslessly
+    grad = np.repeat(
+        np.linspace(30, 220, 32, dtype=np.uint8).reshape(1, -1), 16, 0
+    )
+    got_g = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert np.abs(got_g[:, :, 0].astype(int) - grad.astype(int)).max() <= 4
+
+
+def test_restart_markers_roundtrip():
+    img = _block_constant_even(16, 48, seed=9)
+    data = encode_jpeg(img, quality=50, restart_interval=2)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    got = decode_jpeg(data)
+    assert np.array_equal(got[:, :, 0], img)
+    # 4:2:0 color with restarts: MCUs are 16x16, interval hits mid-row
+    cimg = np.dstack([_block_constant_even(32, 32, s) for s in (1, 2, 3)])
+    data2 = encode_jpeg(cimg, quality=50, subsampling="4:2:0",
+                        restart_interval=1)
+    got2 = decode_jpeg(data2)
+    assert got2.shape == (32, 32, 3)
+
+
+def test_odd_dimensions_pad_and_crop():
+    img = _formula_rgb(13, 21, seed=5)[:, :, 0]
+    got = decode_jpeg(encode_jpeg(img, quality=90))
+    assert got.shape == (13, 21, 3)
+    err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+    assert err.mean() < 14
+    # 4:2:0 odd dims: chroma planes are ceil-sized, crop must match
+    cimg = _formula_rgb(13, 21, seed=6)
+    got2 = decode_jpeg(encode_jpeg(cimg, quality=90, subsampling="4:2:0"))
+    assert got2.shape == (13, 21, 3)
+
+
+def test_clear_error_gates():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # progressive: flip SOF0 -> SOF2 in a valid stream
+    data = bytearray(encode_jpeg(_block_constant_even(8, 8), quality=50))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_formula_rgb(8, 8), subsampling="4:1:1")
+    # truncated entropy stream
+    full = encode_jpeg(_formula_rgb(16, 16), quality=80)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(full[:-20])

@@ -27,9 +27,87 @@ def test_schema_and_payloads(media):
     assert row["meta"]["width"] == 8
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_raises_on_unknown_format_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", 8, 8, fake=False)
+
+
+def test_decode_image_real_png_and_jpeg():
+    """decode_image sniffs payload magic and returns REAL pixels — the
+    round-9 upgrade from the deterministic fake."""
+    import numpy as np
+
+    from xcube_server_spark.sources.jpeg import encode_jpeg
+    from xcube_server_spark.sources.png import encode_rgba_png
+
+    y, x, c = np.mgrid[0:6, 0:9, 0:4]
+    rgba = ((y * 7 + x * 13 + c * 59) % 256).astype(np.uint8)
+    got = decode_image(encode_rgba_png(rgba), 9, 6)
+    assert got.shape == (6, 9, 3)
+    assert np.array_equal(got, rgba[:, :, :3])
+    # block-constant even grayscale JPEG at q50 decodes bit-exactly
+    vals = (2 * (np.arange(2 * 3).reshape(2, 3) * 17 % 101) + 22).astype(
+        np.uint8
+    )
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    got_j = decode_image(encode_jpeg(img, quality=50), 24, 16)
+    assert np.array_equal(got_j[:, :, 0], img)
+    # raw RGB tensors (resize_assets output) reshape by metadata dims
+    raw = rgba[:, :, :3].tobytes()
+    got_r = decode_image(raw, 9, 6)
+    assert np.array_equal(got_r, rgba[:, :, :3])
+
+
+def test_extract_features_real_decode(spark):
+    """extract_features(fake_decode=False) over a real-PNG media table:
+    the Arrow-batched mapInPandas stage decodes actual containers."""
+    import numpy as np
+
+    from xcube_server_spark.pipeline.multimodal import MEDIA_SCHEMA
+    from xcube_server_spark.sources.png import encode_rgba_png
+
+    rows = []
+    want = {}
+    y, x, c = np.mgrid[0:8, 0:8, 0:4]
+    for aid in range(4):
+        rgba = ((aid * 31 + y * 7 + x * 13 + c * 59) % 256).astype(np.uint8)
+        rgba[:, :, 3] = 255
+        rows.append(
+            (aid, "image/png", bytearray(encode_rgba_png(rgba)),
+             {"width": 8, "height": 8, "n_frames": 1, "sample_rate": 0})
+        )
+        want[aid] = float(rgba[:, :, :3].mean())
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["asset_id"]: r["mean_luma"]
+        for r in extract_features(media, fake_decode=False).collect()
+    }
+    assert got == want
+
+
+def test_audio_decode_real_wav():
+    import numpy as np
+
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+    from xcube_server_spark.sources.wav import decode_wav, encode_wav
+
+    pcm = (np.arange(400) * 13 % 2001) - 1000
+    wave = pcm.astype(np.float64) / 32768.0
+    data = encode_wav(wave, 8000)
+    got, sr = decode_wav(data)
+    assert sr == 8000 and got.dtype == np.float32
+    assert np.array_equal(got.astype(np.float64), wave)  # pcm16 is exact
+    assert np.array_equal(decode_audio(data, 8000).astype(np.float64), wave)
+    # 8-bit and stereo downmix paths
+    w8, _ = decode_wav(encode_wav(wave, 8000, bits=8))
+    assert np.abs(w8 - wave.astype(np.float32)).max() <= 1 / 128
+    with pytest.raises(NotImplementedError, match="format tag"):
+        import struct
+
+        bad = bytearray(encode_wav(wave, 8000))
+        i = bad.find(b"fmt ") + 8
+        bad[i : i + 2] = struct.pack("<H", 85)  # MP3 tag
+        decode_wav(bytes(bad))
 
 
 def test_feature_extraction_deterministic(media, spark, sf_dir):

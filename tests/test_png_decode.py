@@ -1,0 +1,176 @@
+"""General PNG decoder (``sources/png.py``): fixtures are built FORWARD
+from the PNG spec in this file (filters applied per RFC 2083 §6 with
+independent code, chunks hand-assembled), so the decoder and the repo's
+encoder cannot share a bug and still pass — the same discipline as the
+TIFF/GRIB2/zstd spec fixtures."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.png import (
+    _chunk,
+    decode_png,
+    decode_rgba_png,
+    encode_rgba_png,
+)
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _build_png(
+    pixels: np.ndarray,
+    ctype: int,
+    depth: int = 8,
+    filters: list[int] | None = None,
+    plte: np.ndarray | None = None,
+    trns: bytes | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Forward-filter + assemble a PNG per the spec — test-local code,
+    shares nothing with the decoder."""
+    h = pixels.shape[0]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if depth == 8:
+        flat = pixels.reshape(h, -1).astype(np.uint8)
+    elif depth == 16:
+        wide = pixels.reshape(h, -1).astype(np.uint16)
+        flat = np.zeros((h, wide.shape[1] * 2), np.uint8)
+        flat[:, 0::2] = wide >> 8
+        flat[:, 1::2] = wide & 0xFF
+    else:  # 1/2/4-bit single channel, MSB-first packing
+        per_byte = 8 // depth
+        w = pixels.shape[1]
+        nbytes = (w * depth + 7) // 8
+        flat = np.zeros((h, nbytes), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                byte_i, off = divmod(x * depth, 8)
+                flat[y, byte_i] |= int(pixels[y, x, 0]) << (8 - depth - off)
+    stride = flat.shape[1]
+    bpp = max(1, nch * depth // 8)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, int)
+    for y, ft in enumerate(filters):
+        cur = flat[y].astype(int)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = [
+                (cur[i] - (cur[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(stride)
+            ]
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            enc = [
+                (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) // 2))
+                % 256
+                for i in range(stride)
+            ]
+        elif ft == 4:
+            enc = []
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((cur[i] - pr) % 256)
+        raw.append(ft)
+        raw.extend(int(v) & 0xFF for v in enc)
+        prev = cur
+    ihdr = struct.pack(
+        ">IIBBBBB", pixels.shape[1], h, depth, ctype, 0, 0, interlace
+    )
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _chunk(b"IEND", b"")
+
+
+def _formula_rgb(h, w, nch=3, seed=0):
+    y, x, c = np.mgrid[0:h, 0:w, 0:nch]
+    return ((seed * 31 + y * 7 + x * 13 + c * 59) % 256).astype(np.uint8)
+
+
+def test_all_five_filters_rgb():
+    """One row per filter type (0..4 then 2 again) — every unfilter branch
+    exercised with reconstruction pinned to the pre-filter pixels."""
+    px = _formula_rgb(6, 9)
+    data = _build_png(px, ctype=2, filters=[0, 1, 2, 3, 4, 2])
+    got = decode_png(data)
+    assert got.shape == (6, 9, 3)
+    assert np.array_equal(got, px)
+
+
+def test_rgba_and_gray_alpha():
+    px = _formula_rgb(5, 7, nch=4, seed=3)
+    got = decode_png(_build_png(px, ctype=6, filters=[4, 3, 1, 2, 4]))
+    assert np.array_equal(got, px)
+    ga = _formula_rgb(4, 6, nch=2, seed=5)
+    got2 = decode_png(_build_png(ga, ctype=4, filters=[1, 4, 3, 2]))
+    assert np.array_equal(got2, ga)
+    # normalized RGBA view adds opaque alpha to 3-channel input
+    rgb = _formula_rgb(3, 4)
+    rgba = decode_rgba_png(_build_png(rgb, ctype=2))
+    assert rgba.shape == (3, 4, 4) and (rgba[:, :, 3] == 255).all()
+    assert np.array_equal(rgba[:, :, :3], rgb)
+
+
+def test_grayscale_depths_16_and_subbyte():
+    g16 = (np.arange(4 * 5).reshape(4, 5, 1) * 4097 % 65536).astype(np.uint16)
+    got = decode_png(_build_png(g16, ctype=0, depth=16, filters=[0, 2, 0, 2]))
+    assert np.array_equal(got[:, :, 0], (g16[:, :, 0] >> 8).astype(np.uint8))
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        g = (np.arange(3 * 10).reshape(3, 10, 1) % (maxv + 1)).astype(np.uint8)
+        got = decode_png(_build_png(g, ctype=0, depth=depth))
+        assert np.array_equal(got[:, :, 0], g[:, :, 0] * (255 // maxv))
+
+
+def test_palette_with_and_without_trns():
+    plte = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]])
+    idx = (np.arange(4 * 6).reshape(4, 6, 1) % 4).astype(np.uint8)
+    got = decode_png(_build_png(idx, ctype=3, plte=plte))
+    assert got.shape == (4, 6, 3)
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+    got_a = decode_png(
+        _build_png(idx, ctype=3, plte=plte, trns=bytes([255, 128, 0]))
+    )
+    assert got_a.shape == (4, 6, 4)
+    want_a = np.array([255, 128, 0, 255])[idx[:, :, 0]]
+    assert np.array_equal(got_a[:, :, 3], want_a)
+    # 2-bit palette indices
+    got_2 = decode_png(_build_png(idx, ctype=3, depth=2, plte=plte))
+    assert np.array_equal(got_2, plte[idx[:, :, 0]])
+
+
+def test_roundtrip_with_repo_encoder():
+    px = _formula_rgb(8, 11, nch=4, seed=9)
+    assert np.array_equal(decode_rgba_png(encode_rgba_png(px)), px)
+
+
+def test_clear_error_gates():
+    px = _formula_rgb(2, 2)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_build_png(px, ctype=2, interlace=1))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF" + bytes(16))
+    bad = bytearray(_build_png(px, ctype=2))
+    # truncate the pixel stream: re-deflate one byte short of a full grid
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(
+            _build_png(px, ctype=2)[: 8 + 25]  # signature + IHDR only
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+            + _chunk(b"IEND", b"")
+        )

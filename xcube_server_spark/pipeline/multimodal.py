@@ -8,10 +8,14 @@ compute over payloads is Arrow-batched ``mapInPandas``: the Python worker
 sees a pandas Series of ``bytes`` per batch — the right boundary for
 PIL/ffmpeg-style decoders.
 
-The actual decoders are STUBBED here (the image/audio libraries are not in
-this container): ``decode_image`` raises ``NotImplementedError`` unless the
-deterministic fake is requested. The Spark-side plumbing — schema, batch
-shape, partition sizing, UDF signatures — is real and tested.
+Decoders are REAL for the formats a pure-Python stack can carry: PNG
+(``sources/png.py`` — all filters/color types), baseline JPEG
+(``sources/jpeg.py`` — T.81 Huffman + IDCT), raw RGB tensors, and RIFF
+PCM WAV audio (``sources/wav.py``); ``decode_image``/``decode_audio``
+sniff the payload magic and dispatch. The deterministic sha256 fake
+remains available (``fake=True``) for plumbing tests and for payloads in
+formats outside that set (GIF/WebP/MP3 — would need native libs), which
+otherwise raise a clear error.
 
 Scale notes: payload columns make rows wide — ``maxPartitionBytes`` should
 shrink (or assets should live in a separate table keyed by asset_id, joined
@@ -52,17 +56,33 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
     """Decode an encoded image payload to an (h, w, 3) uint8 array.
 
-    STUB: real decoding needs PIL/turbojpeg (not in this container). The
-    deterministic fake derives pixels from sha256(payload) so the full
-    pipeline is testable end-to-end with stable outputs.
+    Sniffs the payload magic: PNG and baseline JPEG decode to REAL pixels
+    via the repo's pure-Python codecs; ``image/raw-rgb`` tensors (the
+    ``resize_assets`` output) reshape directly using the metadata dims.
+    Anything else falls back to the deterministic sha256 fake when
+    ``fake=True`` (stable plumbing tests) or raises a clear error — the
+    remaining formats (GIF/WebP/AVIF) genuinely need native decoders.
     """
+    if payload[:8] == _PNG_SIG:
+        from ..sources.png import decode_rgba_png
+
+        return decode_rgba_png(payload)[:, :, :3]
+    if payload[:2] == b"\xff\xd8":
+        from ..sources.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if width * height * 3 == len(payload):  # raw RGB tensor round trip
+        return np.frombuffer(payload, np.uint8).reshape(height, width, 3)
     if not fake:
         raise NotImplementedError(
-            "image decoding requires PIL/libjpeg — not available in this "
-            "environment; pass fake=True for the deterministic test decoder"
+            "payload is not PNG/JPEG/raw-RGB — other formats need native "
+            "decoders; pass fake=True for the deterministic test decoder"
         )
     digest = hashlib.sha256(payload).digest()
     rng = np.frombuffer((digest * ((width * height * 3) // 32 + 1))[: width * height * 3],
@@ -164,12 +184,17 @@ def resize_assets(
 def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.ndarray:
     """Decode an audio payload to a float32 mono waveform.
 
-    STUB: real decoding needs ffmpeg/soundfile (not in this container). The
-    deterministic fake derives a waveform from sha256(payload) — stable
-    across runs and engines, like the image fake."""
+    RIFF PCM WAV payloads decode to REAL samples via ``sources/wav.py``
+    (the ``sample_rate`` argument is advisory; the container's rate wins).
+    Compressed formats (MP3/AAC/FLAC) need native codecs: deterministic
+    sha256 fake with ``fake=True``, clear error otherwise."""
+    if payload[:4] == b"RIFF":
+        from ..sources.wav import decode_wav
+
+        return decode_wav(payload)[0]
     if not fake:
         raise NotImplementedError(
-            "audio decoding requires ffmpeg/soundfile — not available here; "
+            "payload is not PCM WAV — compressed audio needs native codecs; "
             "pass fake=True for the deterministic test decoder"
         )
     n = max(int(sample_rate) or 16, 16)
@@ -188,7 +213,11 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             rms, peak, dur, zc = [], [], [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 sr = int(meta["sample_rate"]) or 16
-                wave = decode_audio(bytes(payload), sr, fake=fake_decode)
+                # stats in float64: float32 accumulation is order-dependent
+                # past 24 bits and would drift from any exact oracle
+                wave = decode_audio(
+                    bytes(payload), sr, fake=fake_decode
+                ).astype(np.float64)
                 rms.append(float(np.sqrt(np.mean(wave**2))))
                 peak.append(float(np.abs(wave).max()))
                 dur.append(len(wave) / sr)

@@ -25,6 +25,7 @@ from . import (
     pipeline_round8,
     pipeline_round8b,
     pipeline_round8f,
+    pipeline_round9,
     relational,
     relational_ext,
     streaming_queries,
@@ -48,6 +49,7 @@ for _m in (
     pipeline_round8,
     pipeline_round8b,
     pipeline_round8f,
+    pipeline_round9,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)

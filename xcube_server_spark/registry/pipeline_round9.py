@@ -1,0 +1,197 @@
+"""Round 9: multimodal decode gates over REAL pixels and samples.
+
+Until this round the multimodal pipeline's decoders were deterministic
+fakes (the container has no PIL/ffmpeg). ``sources/png.py`` (general
+baseline PNG), ``sources/jpeg.py`` (T.81 baseline JPEG) and
+``sources/wav.py`` (RIFF PCM) now decode real payloads, so the gates here
+featurize REAL media bytes end-to-end through the Arrow-batched
+``mapInPandas`` stage (``pipeline/multimodal.py``) and hash-compare
+against closed-form DuckDB oracles:
+
+- ``multimodal_decode_stats`` — PNG (RGBA, formula pixels: decode is
+  lossless, the oracle regenerates the pixel formula) and JPEG (grayscale,
+  constant EVEN value per 8x8 block at quality 50: the Annex K DC quant 16
+  divides 8*(v-128) and every AC coefficient is exactly zero, so the lossy
+  codec round-trips these BIT-EXACTLY — the oracle regenerates the block
+  formula). One mean-luma per asset from decoded pixels.
+- ``multimodal_audio_stats`` — PCM16 WAV with formula samples; rms, peak,
+  duration and zero-crossings from the decoded waveform. All sample
+  values are dyadic rationals (pcm/2^15) whose squares sum exactly in
+  float64, so rms agrees bit-for-bit with the SQL oracle.
+
+Scale shape: assets live in parquet as binary columns; executors decode
+one Arrow batch at a time (``mapInPandas``) — no driver-side pixels, no
+shuffle before the per-asset fold.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import rnd as _rnd
+from .cube_queries import _gate_path
+
+_IMG_W, _IMG_H = 24, 16  # 3x2 JPEG blocks
+_N_PNG, _N_JPG = 6, 6
+_WAV_N, _WAV_SR, _N_WAV = 1600, 8000, 5
+
+
+def _media_gate_fixture(spark: SparkSession) -> str:
+    """Materialize (once) the media-asset parquet: 6 PNG + 6 JPEG image
+    payloads and 5 PCM WAV audio payloads, all pixel/sample values from
+    integer formulas the SQL oracles regenerate."""
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.jpeg import encode_jpeg
+    from ..sources.png import encode_rgba_png
+    from ..sources.wav import encode_wav
+
+    d = _gate_path("xss_media_gate_v1")
+    assets_p = os.path.join(d, "assets.parquet")
+    audio_p = os.path.join(d, "audio.parquet")
+    if os.path.exists(os.path.join(assets_p, "_SUCCESS")) and os.path.exists(
+        os.path.join(audio_p, "_SUCCESS")
+    ):
+        return d
+    rows = []
+    y, x, c = np.mgrid[0:_IMG_H, 0:_IMG_W, 0:3]
+    for aid in range(_N_PNG):
+        rgba = np.empty((_IMG_H, _IMG_W, 4), np.uint8)
+        rgba[:, :, :3] = (aid * 31 + y * 7 + x * 13 + c * 59) % 256
+        rgba[:, :, 3] = 255
+        rows.append(
+            (aid, "image/png", bytearray(encode_rgba_png(rgba)),
+             {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
+              "sample_rate": 0})
+        )
+    by, bx = np.mgrid[0 : _IMG_H // 8, 0 : _IMG_W // 8]
+    for s in range(_N_JPG):
+        vals = (2 * ((s * 13 + by * 5 + bx * 3) % 101) + 22).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), np.uint8))
+        rows.append(
+            (10 + s, "image/jpeg",
+             bytearray(encode_jpeg(img, quality=50)),
+             {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
+              "sample_rate": 0})
+        )
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(assets_p)
+    arows = []
+    k = np.arange(_WAV_N)
+    for aid in range(_N_WAV):
+        pcm = ((aid * 7 + k * 13) % 2001) - 1000
+        wave = pcm.astype(np.float64) / 32768.0
+        arows.append(
+            (aid, "audio/wav", bytearray(encode_wav(wave, _WAV_SR)),
+             {"width": 0, "height": 0, "n_frames": 1,
+              "sample_rate": _WAV_SR})
+        )
+    spark.createDataFrame(arows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(audio_p)
+    return d
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean luma per asset from REAL decoded pixels (no fake decoder):
+    parquet binary column -> mapInPandas decode (PNG general baseline /
+    JPEG T.81 Huffman+IDCT) -> per-asset fold. The PNG payloads are
+    lossless; the JPEG payloads use the block-constant-even construction
+    that round trips bit-exactly at quality 50, so BOTH formats get full
+    value-hash oracles."""
+    from ..pipeline.multimodal import extract_features
+
+    d = _media_gate_fixture(spark)
+    media = spark.read.parquet(os.path.join(d, "assets.parquet"))
+    feats = extract_features(media, fake_decode=False)
+    return (
+        feats.join(media.select("asset_id", "media_type"), "asset_id")
+        .select(
+            "asset_id",
+            "media_type",
+            _rnd(F.col("mean_luma"), 6).alias("mean_luma"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+ORACLE_MM_DECODE = f"""
+WITH png AS (
+  SELECT a.i AS asset_id, 'image/png' AS media_type,
+         avg(CAST((a.i*31 + y.i*7 + x.i*13 + c.i*59) % 256 AS DOUBLE)) AS m
+  FROM (SELECT unnest(range(0, {_N_PNG})) AS i) a
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_W})) AS i) x
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) c
+  GROUP BY 1, 2
+), jpg AS (
+  SELECT 10 + s.i AS asset_id, 'image/jpeg' AS media_type,
+         avg(CAST(2*((s.i*13 + bb.i*5 + cc.i*3) % 101) + 22 AS DOUBLE)) AS m
+  FROM (SELECT unnest(range(0, {_N_JPG})) AS i) s
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_H // 8})) AS i) bb
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_W // 8})) AS i) cc
+  GROUP BY 1, 2
+)
+SELECT asset_id, media_type,
+       floor(m * 1000000 + 0.5) / 1000000 AS mean_luma
+FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg)
+ORDER BY asset_id
+"""
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform features from REAL decoded PCM samples: RIFF/WAV binary
+    column -> mapInPandas decode -> rms/peak/duration/zero-crossings.
+    Every decoded sample is pcm/2^15 (exact dyadic) and squared sums stay
+    under 2^53, so rms is bit-identical to the SQL oracle."""
+    from ..pipeline.multimodal import extract_audio_features
+
+    d = _media_gate_fixture(spark)
+    media = spark.read.parquet(os.path.join(d, "audio.parquet"))
+    feats = extract_audio_features(media, fake_decode=False)
+    return feats.select(
+        "asset_id",
+        _rnd(F.col("rms"), 6).alias("rms"),
+        _rnd(F.col("peak"), 6).alias("peak"),
+        _rnd(F.col("duration_sec"), 6).alias("duration_sec"),
+        F.col("zero_crossings"),
+    ).orderBy("asset_id")
+
+
+ORACLE_MM_AUDIO = f"""
+WITH samples AS (
+  SELECT a.i AS asset_id, k.i AS k,
+         CAST(((a.i*7 + k.i*13) % 2001) - 1000 AS DOUBLE) / 32768.0 AS v
+  FROM (SELECT unnest(range(0, {_N_WAV})) AS i) a
+  CROSS JOIN (SELECT unnest(range(0, {_WAV_N})) AS i) k
+), sgn AS (
+  SELECT asset_id, v, sign(v) AS s,
+         lag(sign(v)) OVER (PARTITION BY asset_id ORDER BY k) AS ps
+  FROM samples
+)
+SELECT asset_id,
+       floor(sqrt(sum(v*v) / {_WAV_N}.0) * 1000000 + 0.5) / 1000000 AS rms,
+       floor(max(abs(v)) * 1000000 + 0.5) / 1000000 AS peak,
+       floor(({_WAV_N}.0 / {_WAV_SR}) * 1000000 + 0.5) / 1000000
+         AS duration_sec,
+       CAST(count(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 END)
+            AS BIGINT) AS zero_crossings
+FROM sgn
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_audio_stats": multimodal_audio_stats,
+}
+
+ORACLES = {
+    "multimodal_decode_stats": ORACLE_MM_DECODE,
+    "multimodal_audio_stats": ORACLE_MM_AUDIO,
+}

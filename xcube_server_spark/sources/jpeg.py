@@ -1,0 +1,605 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+The multimodal pipeline treats media as opaque ``binary`` columns and
+decodes inside Arrow-batched ``mapInPandas`` stages
+(``pipeline/multimodal.py``). PIL/libjpeg are not in this container, so —
+like the zstd/blosc/LZW codecs before it — the baseline JPEG process is
+implemented directly from the public spec:
+
+* decoder: SOF0/SOF1 (sequential DCT, Huffman, 8-bit), interleaved and
+  single-component scans, restart markers, 4:4:4 / 4:2:2 / 4:2:0 chroma
+  subsampling (nearest upsample), JFIF YCbCr -> RGB;
+* encoder (fixtures/tests): grayscale + RGB, Annex K quantization tables
+  scaled by the IJG quality formula, Annex K Huffman tables, optional
+  4:2:0 subsampling and restart intervals.
+
+Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
+clear errors — the documented-unsupported contract used across the
+format readers.
+
+The reference delegates all image IO to PIL
+(``xcube_server/im/tiledimage.py:498-506``); this module exists so the
+Spark pipeline can featurize REAL pixels without native libraries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan: natural (row-major) index of each zigzag position, T.81 fig 5
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K.1/K.2 quantization tables (zigzag order here is NOT used: these
+# are natural row-major order; the writer zigzags them on emission)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# Annex K.3 typical Huffman tables: (bits[16], values)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: A[u, x] = C(u)/2 * cos((2x+1)uπ/16).
+    Forward: F = A @ f @ A.T; inverse: f = A.T @ F @ A (A is orthonormal)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0] *= 1 / np.sqrt(2)
+    return a
+
+_A = _dct_matrix()
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman per T.81 C.2: symbol -> (length, code)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(ln, code): sym for sym, (ln, code) in _build_codes(bits, vals).items()}
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map the t received bits to a signed coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers are consumed explicitly at MCU
+    boundaries."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.d[self.p]
+            if b == 0xFF:
+                nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else None
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                        if nxt is not None else "JPEG entropy stream truncated"
+                    )
+                self.p += 2
+            else:
+                self.p += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 E.2.4)."""
+        self.n = 0
+        while (
+            self.p + 1 < len(self.d)
+            and self.d[self.p] == 0xFF
+            and self.d[self.p + 1] == 0xFF
+        ):
+            self.p += 1  # fill bytes
+        if not (
+            self.p + 1 < len(self.d)
+            and self.d[self.p] == 0xFF
+            and 0xD0 <= self.d[self.p + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker in JPEG entropy data")
+        self.p += 2
+
+
+def _decode_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_tab: dict,
+    ac_tab: dict,
+    qt: np.ndarray,
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman-decode zigzag coefficients, dequantize,
+    inverse DCT, level shift. Returns (spatial block float64, new DC
+    predictor)."""
+    zz = np.zeros(64, np.int64)
+    t = _decode_huffman(r, dc_tab)
+    diff = _extend(r.bits(t), t)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huffman(r, ac_tab)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        zz[k] = _extend(r.bits(s), s)
+        k += 1
+    coef = np.zeros(64, np.float64)
+    coef[ZIGZAG] = zz * qt  # de-zigzag + dequantize
+    block = _A.T @ coef.reshape(8, 8) @ _A
+    return block + 128.0, pred
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (grayscale
+    replicated across channels)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    ri = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        seg[i : i + 64], np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                else:
+                    qts[tq] = np.frombuffer(
+                        seg[i : i + 128], ">u2"
+                    ).astype(np.int64)
+                    i += 128
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} not supported (8-bit only)"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{m:02X} (non-baseline) not supported"
+            )
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif m == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK?) not supported"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    for c, s in zip(order, scan):
+        c["dc"] = dc_tabs[s["td"]]
+        c["ac"] = ac_tabs[s["ta"]]
+        c["qt"] = qts[c["tq"]]
+    interleaved = len(scan) > 1
+    if interleaved:
+        mx = -(-w // (8 * hmax))
+        my = -(-h // (8 * vmax))
+    else:
+        c = order[0]
+        cw0 = -(-w * c["h"] // hmax)
+        ch0 = -(-h * c["v"] // vmax)
+        mx = -(-cw0 // 8)
+        my = -(-ch0 // 8)
+    for c in comps:
+        bw = mx * (c["h"] if interleaved else 1)
+        bh = my * (c["v"] if interleaved else 1)
+        c["plane"] = np.zeros((bh * 8, bw * 8), np.float64)
+        c["pred"] = 0
+    r = _BitReader(data, pos)
+    n_mcu = mx * my
+    for i in range(n_mcu):
+        if ri and i and i % ri == 0:
+            r.restart()
+            for c in comps:
+                c["pred"] = 0
+        myi, mxi = divmod(i, mx)
+        for c in order:
+            ch = c["h"] if interleaved else 1
+            cv = c["v"] if interleaved else 1
+            for vy in range(cv):
+                for vx in range(ch):
+                    block, c["pred"] = _decode_block(
+                        r, c["dc"], c["ac"], c["qt"], c["pred"]
+                    )
+                    y0 = (myi * cv + vy) * 8
+                    x0 = (mxi * ch + vx) * 8
+                    c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+    # crop planes to component extent, upsample to frame size (nearest)
+    out_planes = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        plane = c["plane"][:chh, :cw]
+        rows = np.arange(h) * chh // h
+        cols = np.arange(w) * cw // w
+        out_planes.append(plane[rows][:, cols])
+    if len(out_planes) == 1:
+        g = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.dstack([g, g, g])
+    y, cb, cr = out_planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.dstack([r_, g_, b_])
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 keeps Annex K verbatim."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((qt * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _encode_block(
+    wtr: _BitWriter,
+    block: np.ndarray,
+    qt: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    f = _A @ (block - 128.0) @ _A.T
+    coef = f.reshape(64)[ZIGZAG]  # zigzag order
+    q = np.trunc(coef / qt[ZIGZAG] + np.sign(coef) * 0.5).astype(np.int64)
+    diff = int(q[0]) - pred
+    t = int(diff).bit_length() if diff else 0
+    ln, code = dc_codes[t]
+    wtr.write(code, ln)
+    if t:
+        wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(q)[0])) if np.any(q[1:]) else 0
+    for k in range(1, 64):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        wtr.write(code, ln)
+    return int(q[0])
+
+
+def _pad_blocks(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) == (h, w):
+        return plane
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG. ``quality=50`` uses the Annex K tables verbatim —
+    with that table, images constant per 8x8 block with EVEN values round
+    trip EXACTLY (DC quant 16 divides 8*(v-128); all AC vanish), which is
+    what the driver gate's formula oracle relies on."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qly = _quality_scale(QT_LUMA, quality)
+    qlc = _quality_scale(QT_CHROMA, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [qly]
+    else:
+        rgb = img.astype(np.float64)
+        r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        if subsampling == "4:4:4":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "4:2:0":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qts = [qly, qlc, qlc]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_tables = [HUFF_DC_LUMA] + ([HUFF_DC_CHROMA] if not gray else [])
+    ac_tables = [HUFF_AC_LUMA] + ([HUFF_AC_CHROMA] if not gray else [])
+    dc_codes = [_build_codes(*t) for t in dc_tables]
+    ac_codes = [_build_codes(*t) for t in ac_tables]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + bytes(qly[ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([0x01]) + bytes(qlc[ZIGZAG].astype(np.uint8))
+    out += _seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += _seg(0xC0, sof)
+    dht = b""
+    for i, (bits, vals) in enumerate(dc_tables):
+        dht += bytes([i]) + bytes(bits) + bytes(vals)
+    for i, (bits, vals) in enumerate(ac_tables):
+        dht += bytes([0x10 | i]) + bytes(bits) + bytes(vals)
+    out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        ti = 0 if i == 0 else 1
+        sos += bytes([i + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    # entropy-coded data: interleaved MCUs
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        full = np.zeros((my * sv * 8, mx * sh * 8), np.float64)
+        pp = _pad_blocks(p)
+        # edge-extend out to the MCU grid
+        rows = np.minimum(np.arange(full.shape[0]), pp.shape[0] - 1)
+        cols = np.minimum(np.arange(full.shape[1]), pp.shape[1] - 1)
+        full[:] = pp[rows][:, cols]
+        padded.append(full)
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    for i in range(mx * my):
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * len(planes)
+        myi, mxi = divmod(i, mx)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            ti = 0 if ci == 0 else 1
+            for vy in range(sv):
+                for vx in range(sh):
+                    y0 = (myi * sv + vy) * 8
+                    x0 = (mxi * sh + vx) * 8
+                    preds[ci] = _encode_block(
+                        wtr,
+                        p[y0 : y0 + 8, x0 : x0 + 8],
+                        qts[ci],
+                        dc_codes[ti],
+                        ac_codes[ti],
+                        preds[ci],
+                    )
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == b"\xff\xd8"

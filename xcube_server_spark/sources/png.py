@@ -39,26 +39,152 @@ def encode_rgba_png(rgba: np.ndarray, compress_level: int = 1) -> bytes:
 
 
 def decode_rgba_png(data: bytes) -> np.ndarray:
-    """Minimal decoder (tests only): parses the PNGs this module writes."""
-    assert data[:8] == _SIG, "not a PNG"
+    """Decode any supported PNG to an (h, w, 4) uint8 RGBA array.
+
+    Originally a repo-written-files-only helper; now a general baseline
+    decoder (PNG spec, RFC 2083 / ISO 15948): all five row filters
+    (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6, bit depths
+    1/2/4/8/16 (16-bit samples downshifted to 8), palette + tRNS.
+    Adam7 interlace raises a clear error (rare in data pipelines; every
+    encoder writes interlace 0 by default)."""
+    img = decode_png(data)
+    ch = img.shape[2]
+    if ch == 4:
+        return img
+    rgba = np.empty((*img.shape[:2], 4), np.uint8)
+    if ch == 1:  # grayscale
+        rgba[:, :, :3] = img
+        rgba[:, :, 3] = 255
+    elif ch == 2:  # gray + alpha
+        rgba[:, :, :3] = img[:, :, :1]
+        rgba[:, :, 3] = img[:, :, 1]
+    else:  # RGB
+        rgba[:, :, :3] = img
+        rgba[:, :, 3] = 255
+    return rgba
+
+
+# bytes per pixel used by filters: max(1, channels * depth // 8)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters. None/Up vectorize; Sub/Average/Paeth have an
+    intra-row byte dependency and run as per-byte loops over one row —
+    fine at the tile/asset sizes executors decode one Arrow batch at a
+    time."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8
+        ).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (row[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} is not defined")
+        out[y] = row
+        prev = row
+    return out
+
+
+def _unpack_samples(rows: np.ndarray, w: int, depth: int, nch: int) -> np.ndarray:
+    """(h, stride) filtered bytes -> (h, w, nch) samples scaled to uint8."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        wide = rows[:, : w * nch * 2].reshape(h, w * nch, 2)
+        return wide[:, :, 0].reshape(h, w, nch)  # big-endian high byte
+    # sub-byte depths: 1/2/4-bit packed MSB-first, one channel only
+    per_byte = 8 // depth
+    bits = np.unpackbits(rows, axis=1)
+    vals = np.zeros((h, rows.shape[1] * per_byte), np.uint8)
+    for k in range(depth):
+        vals = (vals << 1) | bits[:, k::depth][:, : vals.shape[1]]
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """General baseline PNG decode to (h, w, channels) uint8 — channels
+    follows the color type (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA; palette
+    expands to 3 or 4). See ``decode_rgba_png`` for the normalized form."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
     pos = 8
-    w = h = None
-    idat = b""
-    while pos < len(data):
+    w = h = depth = ctype = interlace = None
+    idat, plte, trns = b"", None, None
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert (depth, ctype) == (8, 6), "decoder only handles 8-bit RGBA"
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if comp != 0 or filt != 0:
+                raise NotImplementedError(
+                    "PNG compression/filter method must be 0"
+                )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
+        elif tag == b"IEND":
+            break
         pos += 12 + length
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if ctype not in _CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and ctype not in (0, 3)
+    ):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} with color type {ctype} not supported"
+        )
+    nch = _CHANNELS[ctype]
+    stride = (w * nch * depth + 7) // 8
     raw = zlib.decompress(idat)
-    stride = w * 4 + 1
-    rows = []
-    for y in range(h):
-        row = raw[y * stride : (y + 1) * stride]
-        assert row[0] == 0, "decoder only handles filter 0"
-        rows.append(np.frombuffer(row[1:], dtype=np.uint8).reshape(w, 4))
-    return np.stack(rows)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = max(1, nch * depth // 8)
+    rows = _unfilter(raw, h, stride, bpp)
+    samples = _unpack_samples(rows, w, depth, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = samples[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if depth in (1, 2, 4):  # grayscale sub-byte: scale to full range
+        scale = 255 // ((1 << depth) - 1)
+        samples = samples * scale
+    return samples

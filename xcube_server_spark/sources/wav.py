@@ -1,0 +1,87 @@
+"""Pure-Python RIFF/WAVE PCM codec (multimodal audio payloads).
+
+The pipeline's audio featurization (``pipeline/multimodal.py``) decodes
+inside Arrow-batched ``mapInPandas`` stages; ffmpeg/soundfile are not in
+this container, so uncompressed PCM WAV — the dominant raw-audio
+interchange format — is parsed directly from the RIFF spec (format tag 1
+= integer PCM at 8/16/32 bits, tag 3 = IEEE float32). Compressed format
+tags raise a clear error, the documented-unsupported contract used across
+the format readers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def is_wav(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV to (float32 mono waveform in [-1, 1], sample_rate).
+    Multi-channel input is downmixed by mean — the standard cheap-filter
+    front end before an audio model."""
+    if not is_wav(data):
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            raw = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            wave = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            wave = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            wave = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM not supported")
+    elif audio_fmt == 3 and bits == 32:  # IEEE float
+        wave = np.frombuffer(raw, "<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} ({bits}-bit) not supported — "
+            "integer PCM (8/16/32) and float32 only"
+        )
+    if n_ch > 1:
+        wave = wave[: len(wave) - len(wave) % n_ch]
+        wave = wave.reshape(-1, n_ch).mean(axis=1)
+    return wave.astype(np.float32), rate
+
+
+def encode_wav(wave: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode a float mono waveform in [-1, 1] as integer PCM WAV
+    (fixtures/tests)."""
+    if bits == 16:
+        pcm = np.clip(np.floor(wave * 32768.0 + 0.5), -32768, 32767)
+        raw = pcm.astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = np.clip(np.floor(wave * 128.0 + 0.5) + 128, 0, 255)
+        raw = pcm.astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError("encoder writes 8- or 16-bit PCM")
+    block = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+        + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
