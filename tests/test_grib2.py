@@ -356,6 +356,143 @@ def test_complex_group_length_mismatch_raises(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_gauss_lats_pinned_to_published_table():
+    """gauss_lats against the PUBLISHED ECMWF N32 Gaussian latitudes
+    (widely cited: 87.8638, 85.0965, 82.3129, ...) plus the spec-derived
+    invariants: P_nj(sin lat) = 0, antisymmetry, strict monotonicity."""
+    from xcube_server_spark.sources.grib2 import gauss_lats
+
+    l64 = gauss_lats(64)
+    published_head = [87.8638, 85.0965, 82.3129, 79.5256, 76.7369, 73.9475]
+    assert [round(float(v), 4) for v in l64[:6]] == published_head
+    assert round(float(l64[31]), 4) == 1.3953  # last northern parallel
+    assert np.allclose(l64, -l64[::-1])        # antisymmetric
+    assert (np.diff(l64) < 0).all()            # strictly north -> south
+    # Legendre residual: P_64 at every root is ~0
+    x = np.sin(np.radians(l64))
+    p0, p1 = np.ones_like(x), x.copy()
+    for k in range(2, 65):
+        p0, p1 = p1, ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+    assert np.abs(p1).max() < 1e-12
+    with pytest.raises(ValueError, match="even"):
+        gauss_lats(7)
+
+
+def test_gaussian_grid_roundtrip(tmp_path):
+    """Regular Gaussian (template 3.40) through the writer and back:
+    values bit-exact at the /16 quantum, latitudes regenerated from N."""
+    from xcube_server_spark.sources.grib2 import gauss_lats
+
+    T, H, W = 2, 8, 6
+    lat = gauss_lats(H)  # north -> south (scan 0x00)
+    lon = np.linspace(0.0, 300.0, W)
+    t, y, x = np.meshgrid(
+        np.arange(T), np.arange(H), np.arange(W), indexing="ij"
+    )
+    fld = ((t * 29 + y * 17 + x * 13) % 71) / 16.0
+    fld[(y * W + x + 5 * t) % 11 == 0] = np.nan
+    p = os.path.join(tmp_path, "g.grib2")
+    write_grib2(
+        p, ["2022-01-01 00:00:00", "2022-01-02 00:00:00"], lat, lon,
+        {"v": fld}, binary_scale=-4, grid="gaussian",
+    )
+    ds = open_grib2(p)
+    np.testing.assert_allclose(ds["lat"].values, lat, atol=1e-12)
+    got = ds["v"].values
+    assert np.array_equal(np.isnan(got), np.isnan(fld))
+    assert np.array_equal(np.nan_to_num(got), np.nan_to_num(fld))
+    # the grid section really is template 3.40 with N at octets 68-71
+    msg = ds["v"]._by_time[sorted(ds["v"]._by_time)[0]]
+    assert msg.grid_template == 40 and msg.gaussian_n == H // 2
+    # writer refuses a non-Gaussian lat array in gaussian mode
+    with pytest.raises(ValueError, match="Gaussian lat"):
+        write_grib2(
+            os.path.join(tmp_path, "bad.grib2"), ["2022-01-01 00:00:00"],
+            np.linspace(60, -60, H), lon, {"v": fld[:1]},
+            grid="gaussian",
+        )
+
+
+def _hand_reduced_message() -> bytes:
+    """Hand-built REDUCED Gaussian message: Nj=2 rows (N=1, lats
+    ±35.2644 = arcsin(1/sqrt 3)), rows of 4 and 6 points, 8-bit simple
+    packing with R=0/E=0/D=0 so Y = X = 0..9 — every section byte placed
+    from the WMO section-3 table (octet 11 = list element size, octet 12
+    = interpretation 1, Ni/Di all-ones = missing)."""
+
+    def sec(num, body):
+        return struct.pack(">IB", len(body) + 5, num) + body
+
+    la = 35_264_390  # round(degrees(arcsin(1/sqrt(3))) * 1e6)
+    s1 = (
+        struct.pack(">HHBBB", 7, 0, 2, 1, 1)
+        + struct.pack(">HBBBBB", 2022, 3, 1, 0, 0, 0)
+        + bytes([0, 1])
+    )
+    s3 = (
+        bytes([0])
+        + struct.pack(">I", 10)         # 10 points total
+        + bytes([2, 1])                 # 2-octet list entries, points/row
+        + struct.pack(">H", 40)         # template 3.40
+        + bytes([6]) + bytes(15)
+        + struct.pack(">II", 0xFFFFFFFF, 2)   # Ni missing, Nj=2
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", la, 0)           # La1=+35.2644, Lo1=0
+        + bytes([0b00110000])
+        + struct.pack(">II", 0x80000000 | la, 300_000_000)
+        + struct.pack(">II", 0xFFFFFFFF, 1)   # Di missing, N=1
+        + bytes([0x00])                 # scan: north -> south
+        + struct.pack(">HH", 4, 6)      # points per row
+    )
+    s4 = (
+        struct.pack(">H", 0)
+        + struct.pack(">H", 0)
+        + bytes([0, 0, 0, 0, 0])
+        + struct.pack(">HB", 0, 0)
+        + bytes([1])
+        + struct.pack(">I", 0)
+        + bytes([1, 0]) + bytes(4) + bytes([255, 0]) + bytes(4)
+    )
+    s5 = (
+        struct.pack(">I", 10)
+        + struct.pack(">H", 0)
+        + struct.pack(">f", 0.0)
+        + struct.pack(">HH", 0, 0)
+        + bytes([8, 0])
+    )
+    s6 = bytes([255])
+    s7 = bytes(range(10))
+    body = sec(1, s1) + sec(3, s3) + sec(4, s4) + sec(5, s5) + sec(6, s6) \
+        + sec(7, s7)
+    total = 16 + len(body) + 4
+    return b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total) \
+        + body + b"7777"
+
+
+def test_hand_built_reduced_gaussian_decodes(tmp_path):
+    msg = Grib2Message(_hand_reduced_message(), 0)
+    assert msg.grid_template == 40 and msg.ni is None
+    assert list(msg.row_lengths) == [4, 6]
+    got = msg.decode()
+    assert got.shape == (10,)  # flat points, not (nj, ni)
+    np.testing.assert_array_equal(got, np.arange(10.0))
+    plats, plons = msg.point_coords()
+    np.testing.assert_allclose(plats[:4], 35.26439, atol=1e-4)
+    np.testing.assert_allclose(plats[4:], -35.26439, atol=1e-4)
+    # each row spans the circle with its own step: 360/4 and 360/6
+    np.testing.assert_allclose(plons[:4], [0, 90, 180, 270])
+    np.testing.assert_allclose(plons[4:], [0, 60, 120, 180, 240, 300])
+    # dataset surface: flat points dimension
+    p = os.path.join(tmp_path, "r.grib2")
+    with open(p, "wb") as f:
+        f.write(_hand_reduced_message())
+    ds = open_grib2(p)
+    var = next(iter(ds.data_vars.values()))
+    assert var.dims == ("time", "points") and var.shape == (1, 10)
+    np.testing.assert_array_equal(var.values[0], np.arange(10.0))
+    assert ds["lat"].values.shape == (10,)
+
+
 def test_writer_product_section_surface_octets(tmp_path):
     """WMO template 4.0 octets 23-34 (regression: the first surface's
     scaled value carried a stray 255 and the SECOND surface type read 0):

@@ -1906,6 +1906,124 @@ ORACLES["grib2_complex_ingest_stats"] = ORACLE_GRIB2_COMPLEX
 
 
 # ---------------------------------------------------------------------------
+# grib2_gaussian_ingest_stats: the ECMWF grid (template 3.40)
+# ---------------------------------------------------------------------------
+
+_GG_T, _GG_H, _GG_W = 2, 64, 48
+
+# the PUBLISHED N32 Gaussian latitudes (ECMWF GRIB documentation), 4 dp,
+# north to south — the oracle's ground truth for the Legendre-root
+# latitudes the READER computes from N alone (tests/test_grib2.py pins
+# gauss_lats against this same table plus the P_64(root)=0 invariant)
+_N32_NORTH = [
+    "87.8638", "85.0965", "82.3129", "79.5256", "76.7369", "73.9475",
+    "71.1578", "68.3678", "65.5776", "62.7874", "59.9970", "57.2066",
+    "54.4162", "51.6257", "48.8352", "46.0447", "43.2542", "40.4636",
+    "37.6731", "34.8825", "32.0919", "29.3014", "26.5108", "23.7202",
+    "20.9296", "18.1390", "15.3484", "12.5578", "9.7671", "6.9765",
+    "4.1859", "1.3953",
+]
+_N32_LATS = _N32_NORTH + ["-" + v for v in reversed(_N32_NORTH)]
+
+
+def _grib2_gaussian_gate_file() -> str:
+    """GRIB2 twin on a REGULAR GAUSSIAN grid (template 3.40, N=32): the
+    writer stores only N; the reader regenerates the 64 latitudes from
+    the Legendre roots. Field formula ``((t*37 + y*11 + x*29) % 89)/16``
+    with NULL holes where ``(y*W + x + 7*t) % 13 == 0``."""
+    import numpy as np
+
+    from ..sources.grib2 import gauss_lats, write_grib2
+
+    d = _gate_path("xss_grib2_gauss_gate_v1")
+    path = os.path.join(d, "cube.grib2")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t, y, x = np.meshgrid(
+            np.arange(_GG_T), np.arange(_GG_H), np.arange(_GG_W),
+            indexing="ij",
+        )
+        fld = ((t * 37 + y * 11 + x * 29) % 89) / 16.0
+        fld[(y * _GG_W + x + 7 * t) % 13 == 0] = np.nan
+        lat = gauss_lats(_GG_H)  # north -> south, scan 0x00
+        lon = np.linspace(0.0, 352.5, _GG_W)
+        write_grib2(
+            path,
+            ["2017-02-01 00:00:00", "2017-02-02 00:00:00"],
+            lat, lon, {"conc_chl": fld},
+            binary_scale=-4, grid="gaussian",
+            params={"conc_chl": (10, 4, 3)},
+        )
+    return path
+
+
+def grib2_gaussian_ingest_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-parallel statistics over a GAUSSIAN-grid GRIB2 file (grid
+    template 3.40 — what operational ECMWF archives ship; the reference
+    reads them via xarray/cfgrib, ``xcube_server/context.py:243-246``).
+    The file stores ONLY N=32; the reader derives all 64 parallels from
+    the Legendre-root recurrence, and the oracle pins each row's
+    latitude against the PUBLISHED ECMWF N32 table — a wrong root, a
+    flipped scan order or a mis-sliced row would all break the hash.
+    The per-row lat dim is a driver-side coordinate read broadcast onto
+    the cell aggregate (the dim-table discipline every cube gate uses)."""
+    from ..sources.grib2 import open_grib2
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_gaussian_gate_file()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="grib2")
+    lats = open_grib2(path)["lat"].values  # 64-value coordinate read
+    lat_dim = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(lats)],
+        "lat_idx int, lat double",
+    )
+    return (
+        df.groupBy("lat_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+        .join(F.broadcast(lat_dim), "lat_idx")
+        .select(
+            "lat_idx",
+            rnd(F.col("lat"), 4).alias("lat4"),
+            "n_valid", "sum_chl", "max_chl",
+        )
+        .orderBy("lat_idx")
+    )
+
+
+ORACLE_GRIB2_GAUSSIAN = f"""
+WITH lats(lat_idx, lat4) AS (VALUES {", ".join(
+    f"({i}, {v})" for i, v in enumerate(_N32_LATS)
+)}),
+cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_GG_W} + x.i + 7 * t.i) % 13 = 0 THEN NULL
+              ELSE ((t.i * 37 + y.i * 11 + x.i * 29) % 89) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_GG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_GG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_GG_W})) AS i) x
+)
+SELECT c.lat_idx, CAST(l.lat4 AS DOUBLE) AS lat4,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells c JOIN lats l ON l.lat_idx = c.lat_idx
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+QUERIES["grib2_gaussian_ingest_stats"] = grib2_gaussian_ingest_stats
+ORACLES["grib2_gaussian_ingest_stats"] = ORACLE_GRIB2_GAUSSIAN
+
+
+# ---------------------------------------------------------------------------
 # netcdf4_kerchunk_multifile_http: one virtual dataset over many granules
 # ---------------------------------------------------------------------------
 

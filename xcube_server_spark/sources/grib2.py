@@ -21,11 +21,16 @@ time); every message is a fixed chain of sections:
   7 data   the packed bit stream
   8 end   "7777"
 
-Scope (asserted, not silently wrong): grid template 3.0 with scanning
-modes 0x00 (+i, -j) and 0x40 (+i, +j), product templates 4.0/4.8 (the
-octets this reader uses are common to both), data template 5.0 (simple
-packing, any 1..32 bit width), bitmaps 0/255. Complex/JPEG2000/PNG
-packing, spectral grids, quasi-regular rows and template 5.40 raise
+Scope (asserted, not silently wrong): grid templates 3.0 (regular
+lat/lon) and 3.40 (Gaussian — latitudes computed from the Legendre-root
+recurrence, pinned against the published ECMWF N32 table), both regular
+and QUASI-REGULAR (reduced: per-row point counts via the section-3
+optional list, served as a flat ``points`` dimension with per-point
+lat/lon — the cfgrib convention); scanning modes 0x00 (+i, -j) and 0x40
+(+i, +j); product templates 4.0/4.8 (the octets this reader uses are
+common to both); data templates 5.0 (simple packing, any 1..32 bit
+width), 5.2/5.3 (complex, spatial differencing), bitmaps 0/255.
+JPEG2000/PNG packing, spectral grids and other grid projections raise
 with the template id in the message.
 
 Dataset surface matches the other pure-Python readers (what
@@ -83,6 +88,38 @@ def _encode_sign_magnitude(value: int, bits: int = 16) -> int:
     if value < 0:
         return (1 << (bits - 1)) | (-value)
     return value
+
+
+_GAUSS_CACHE: dict[int, np.ndarray] = {}
+
+
+def gauss_lats(nj: int) -> np.ndarray:
+    """The ``nj`` Gaussian latitudes (degrees, north to south): arcsin of
+    the roots of the Legendre polynomial P_nj, found by Newton iteration
+    from the Chebyshev initial guess — the grid operational ECMWF
+    archives are published on (grid template 3.40, N = nj/2). Pinned in
+    tests against the published N32 table (87.8638, 85.0965, ...) and the
+    P_nj(root) = 0 / symmetry invariants."""
+    if nj in _GAUSS_CACHE:
+        return _GAUSS_CACHE[nj]
+    if nj < 2 or nj % 2:
+        raise ValueError(f"Gaussian grid needs an even row count, got {nj}")
+    roots = []
+    for i in range(1, nj // 2 + 1):
+        x = math.cos(math.pi * (i - 0.25) / (nj + 0.5))
+        for _ in range(100):
+            p0, p1 = 1.0, x
+            for k in range(2, nj + 1):
+                p0, p1 = p1, ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+            dx = p1 * (x * x - 1.0) / (nj * (x * p1 - p0))
+            x -= dx
+            if abs(dx) < 1e-15:
+                break
+        roots.append(x)
+    north = np.degrees(np.arcsin(np.array(roots)))
+    lats = np.concatenate([north, -north[::-1]])
+    _GAUSS_CACHE[nj] = lats
+    return lats
 
 
 def _unpack_bits(data: bytes, n: int, nbits: int) -> np.ndarray:
@@ -245,30 +282,38 @@ class Grib2Message:
 
     def _parse_grid(self, sec: bytes) -> None:
         (self.npoints,) = struct.unpack_from(">I", sec, 6)
-        if sec[10] != 0:
-            raise NotImplementedError(
-                "quasi-regular GRIB2 grids (optional point lists) are "
-                "not supported"
-            )
+        list_octets = sec[10]
+        list_interp = sec[11]
         (tmpl,) = struct.unpack_from(">H", sec, 12)
-        if tmpl != 0:
+        if tmpl not in (0, 40):
             raise NotImplementedError(
-                f"GRIB2 grid template 3.{tmpl} (3.0 regular lat/lon only)"
+                f"GRIB2 grid template 3.{tmpl} (3.0 regular lat/lon and "
+                "3.40 Gaussian supported)"
             )
-        (self.ni,) = struct.unpack_from(">I", sec, 30)
+        self.grid_template = tmpl
+        (ni,) = struct.unpack_from(">I", sec, 30)
         (self.nj,) = struct.unpack_from(">I", sec, 34)
         (la1,) = struct.unpack_from(">I", sec, 46)
         (lo1,) = struct.unpack_from(">I", sec, 50)
         (la2,) = struct.unpack_from(">I", sec, 55)
         (lo2,) = struct.unpack_from(">I", sec, 59)
         (di,) = struct.unpack_from(">I", sec, 63)
-        (dj,) = struct.unpack_from(">I", sec, 67)
+        (dj_or_n,) = struct.unpack_from(">I", sec, 67)
         self.lat1 = _sign_magnitude(la1, 32) / 1e6
         self.lon1 = _sign_magnitude(lo1, 32) / 1e6
         self.lat2 = _sign_magnitude(la2, 32) / 1e6
         self.lon2 = _sign_magnitude(lo2, 32) / 1e6
-        self.di = di / 1e6
-        self.dj = dj / 1e6
+        if tmpl == 40:
+            # octets 68-71 hold N (parallels pole->equator), not Dj
+            self.gaussian_n = dj_or_n
+            self.dj = None
+            if self.nj != 2 * self.gaussian_n:
+                raise ValueError(
+                    f"Gaussian grid: Nj={self.nj} != 2N={2 * self.gaussian_n}"
+                )
+        else:
+            self.gaussian_n = None
+            self.dj = dj_or_n / 1e6
         scan = sec[71]
         if scan & 0b10111111 != 0:
             raise NotImplementedError(
@@ -277,10 +322,70 @@ class Grib2Message:
                 "south->north)"
             )
         self.scan_j_positive = bool(scan & 0x40)
-        if self.ni * self.nj != self.npoints:
-            raise ValueError(
-                f"grid {self.ni}x{self.nj} != {self.npoints} points"
+        self.row_lengths: np.ndarray | None = None
+        if list_octets:
+            # quasi-regular (reduced) grid: Ni is missing; a per-row
+            # point-count list follows the template (T.81 sec3 oct 11/12)
+            if list_interp != 1:
+                raise NotImplementedError(
+                    f"GRIB2 point-list interpretation {list_interp} "
+                    "(1 = points per row supported)"
+                )
+            off = 72
+            rows = [
+                int.from_bytes(
+                    sec[off + i * list_octets : off + (i + 1) * list_octets],
+                    "big",
+                )
+                for i in range(self.nj)
+            ]
+            self.row_lengths = np.array(rows, np.int64)
+            if int(self.row_lengths.sum()) != self.npoints:
+                raise ValueError(
+                    f"reduced grid rows sum to {int(self.row_lengths.sum())}"
+                    f" but header declares {self.npoints} points"
+                )
+            self.ni = None
+            self.di = None
+        else:
+            self.ni = ni
+            self.di = di / 1e6
+            if self.ni * self.nj != self.npoints:
+                raise ValueError(
+                    f"grid {self.ni}x{self.nj} != {self.npoints} points"
+                )
+
+    def grid_lats(self) -> np.ndarray:
+        """Row latitudes in storage order (row 0 first)."""
+        if self.grid_template == 40:
+            lats = gauss_lats(self.nj)  # north -> south
+            lats = lats[::-1] if self.scan_j_positive else lats
+            if abs(lats[0] - self.lat1) > 0.01:
+                raise ValueError(
+                    f"Gaussian grid first latitude {lats[0]:.4f} does not "
+                    f"match header La1={self.lat1:.4f}"
+                )
+            return lats
+        step = self.dj if self.scan_j_positive else -self.dj
+        return self.lat1 + np.arange(self.nj) * step
+
+    def point_coords(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-point (lat, lon) arrays in storage order — the flat
+        addressing a REDUCED grid needs (each row spans the full circle
+        with its own longitude step, 360/rowlen)."""
+        lats_r = self.grid_lats()
+        if self.row_lengths is None:
+            lons = self.lon1 + np.arange(self.ni) * self.di
+            return (
+                np.repeat(lats_r, self.ni),
+                np.tile(lons, self.nj),
             )
+        lat_parts, lon_parts = [], []
+        for j, n in enumerate(self.row_lengths):
+            n = int(n)
+            lat_parts.append(np.full(n, lats_r[j]))
+            lon_parts.append(self.lon1 + np.arange(n) * (360.0 / n))
+        return np.concatenate(lat_parts), np.concatenate(lon_parts)
 
     def _parse_product(self, sec: bytes) -> None:
         (tmpl,) = struct.unpack_from(">H", sec, 7)
@@ -454,6 +559,8 @@ class Grib2Message:
                 f"{self.ndata} packed values for {self.npoints} points "
                 "without a bitmap"
             )
+        if self.row_lengths is not None:
+            return y  # reduced grid: flat (points,) in storage order
         return y.reshape(self.nj, self.ni)
 
 
@@ -463,19 +570,29 @@ class Grib2Variable:
 
     def __init__(self, name, messages, times):
         self.name = name
-        self.dims = ("time", "lat", "lon")
         m0 = messages[0]
+        self.reduced = m0.row_lengths is not None
+        if self.reduced:
+            # quasi-regular grid: rows have different lengths, so the
+            # spatial extent is a flat "points" dimension (the cfgrib
+            # convention) with per-point lat/lon coordinate vars
+            self.dims = ("time", "points")
+            self.shape = (len(times), m0.npoints)
+        else:
+            self.dims = ("time", "lat", "lon")
+            self.shape = (len(times), m0.nj, m0.ni)
         self._by_time = {m.valid_time: m for m in messages}
         self._times = times
-        self.shape = (len(times), m0.nj, m0.ni)
         self.dtype = np.dtype("float64")
         self.attrs: dict = {}
         self._cache: dict[int, np.ndarray] = {}
 
     @property
     def chunks(self):
-        t, h, w = self.shape
-        return (tuple(1 for _ in range(t)), (h,), (w,))
+        t = self.shape[0]
+        return (tuple(1 for _ in range(t)),) + tuple(
+            (n,) for n in self.shape[1:]
+        )
 
     def _slice(self, ti: int) -> np.ndarray:
         if ti not in self._cache:
@@ -490,18 +607,22 @@ class Grib2Variable:
         return self._cache[ti]
 
     def __getitem__(self, key) -> np.ndarray:
-        t, y, x = key
+        t, *rest = key
         t0, t1 = t.start or 0, self.shape[0] if t.stop is None else t.stop
         out = np.stack(
-            [self._slice(ti)[y, x] for ti in range(t0, min(t1, self.shape[0]))]
+            [
+                self._slice(ti)[tuple(rest)]
+                for ti in range(t0, min(t1, self.shape[0]))
+            ]
         )
         return out
 
     @property
     def values(self) -> np.ndarray:
-        return self[
-            slice(0, self.shape[0]), slice(0, None), slice(0, None)
-        ]
+        key = (slice(0, self.shape[0]),) + tuple(
+            slice(0, None) for _ in self.shape[1:]
+        )
+        return self[key]
 
 
 class _CoordVar:
@@ -556,11 +677,16 @@ class Grib2Dataset:
         if not messages:
             raise ValueError(f"no GRIB2 messages in {path}")
         g0 = messages[0]
+
+        def _grid_key(m):
+            return (
+                m.grid_template, m.ni, m.nj, m.lat1, m.lon1, m.di, m.dj,
+                m.gaussian_n, m.scan_j_positive,
+                None if m.row_lengths is None else tuple(m.row_lengths),
+            )
+
         for m in messages:
-            if (m.ni, m.nj, m.lat1, m.lon1, m.di, m.dj,
-                    m.scan_j_positive) != (
-                    g0.ni, g0.nj, g0.lat1, g0.lon1, g0.di, g0.dj,
-                    g0.scan_j_positive):
+            if _grid_key(m) != _grid_key(g0):
                 raise NotImplementedError(
                     "GRIB2 messages on different grids in one file"
                 )
@@ -576,12 +702,18 @@ class Grib2Dataset:
                 param, f"param_d{param[0]}c{param[1]}n{param[2]}"
             )
             self._vars[name] = Grib2Variable(name, msgs, times)
-        # synthesized coordinates (template 3.0 stores edges+increments)
-        lat_step = g0.dj if g0.scan_j_positive else -g0.dj
-        lats = np.array([g0.lat1 + j * lat_step for j in range(g0.nj)])
-        lons = np.array([g0.lon1 + i * g0.di for i in range(g0.ni)])
-        self._vars["lat"] = _CoordVar("lat", lats)
-        self._vars["lon"] = _CoordVar("lon", lons)
+        # synthesized coordinates: template 3.0 stores edges+increments,
+        # 3.40 stores N (latitudes come from the Legendre roots); reduced
+        # grids get flat per-point coordinates
+        if g0.row_lengths is not None:
+            plats, plons = g0.point_coords()
+            self._vars["lat"] = _CoordVar("lat", plats)
+            self._vars["lon"] = _CoordVar("lon", plons)
+        else:
+            lats = g0.grid_lats()
+            lons = np.array([g0.lon1 + i * g0.di for i in range(g0.ni)])
+            self._vars["lat"] = _CoordVar("lat", lats)
+            self._vars["lon"] = _CoordVar("lon", lons)
         self._vars["time"] = _CoordVar(
             "time",
             np.array([t.strftime("%Y-%m-%d %H:%M:%S") for t in times]),
@@ -706,6 +838,7 @@ def write_grib2(
     packing: str = "simple",
     group_size: int = 20,
     diff_order: int = 2,
+    grid: str = "latlon",
 ) -> None:
     """One message per (variable, time): template 3.0 grid, 4.0 product,
     and data template per ``packing`` — ``"simple"`` (5.0),
@@ -722,12 +855,26 @@ def write_grib2(
     insertion order. The variable NAME rides the local-use section."""
     if packing not in ("simple", "complex", "complex_diff"):
         raise ValueError(f"unknown packing {packing!r}")
+    if grid not in ("latlon", "gaussian"):
+        raise ValueError(f"unknown grid {grid!r} (latlon/gaussian)")
     lat = np.asarray(lat, "float64")
     lon = np.asarray(lon, "float64")
     nj, ni = len(lat), len(lon)
     scan_j_positive = bool(nj > 1 and lat[1] > lat[0])
-    dj = abs(float(lat[1] - lat[0])) if nj > 1 else 1.0
     di = abs(float(lon[1] - lon[0])) if ni > 1 else 1.0
+    if grid == "gaussian":
+        # template 3.40: octets 68-71 carry N, latitudes are implied by
+        # the Legendre roots — require the caller's array to BE them
+        want = gauss_lats(nj)
+        want = want[::-1] if scan_j_positive else want
+        if np.abs(lat - want).max() > 1e-6:
+            raise ValueError(
+                "gaussian grid: lat array must hold the Gaussian "
+                "latitudes for Nj rows (use gauss_lats(nj))"
+            )
+        dj = None
+    else:
+        dj = abs(float(lat[1] - lat[0])) if nj > 1 else 1.0
     out = bytearray()
     e2 = 2.0 ** binary_scale
     d10 = 10.0 ** decimal_scale
@@ -773,11 +920,13 @@ def write_grib2(
             lo1 = _encode_sign_magnitude(round(float(lon[0]) * 1e6), 32)
             la2 = _encode_sign_magnitude(round(float(lat[-1]) * 1e6), 32)
             lo2 = _encode_sign_magnitude(round(float(lon[-1]) * 1e6), 32)
+            dj_or_n = nj // 2 if grid == "gaussian" else round(dj * 1e6)
             sec3 = (
                 bytes([0])
                 + struct.pack(">I", ni * nj)
                 + bytes([0, 0])
-                + struct.pack(">H", 0)  # template 3.0
+                # template 3.0 regular lat/lon or 3.40 regular Gaussian
+                + struct.pack(">H", 40 if grid == "gaussian" else 0)
                 + bytes([6])  # shape of earth: spherical r=6371229
                 + bytes(15)  # radius/axes scale factors+values (unused)
                 + struct.pack(">II", ni, nj)
@@ -785,9 +934,7 @@ def write_grib2(
                 + struct.pack(">II", la1, lo1)
                 + bytes([0b00110000])  # res/component flags: Di/Dj given
                 + struct.pack(">II", la2, lo2)
-                + struct.pack(
-                    ">II", round(di * 1e6), round(dj * 1e6)
-                )
+                + struct.pack(">II", round(di * 1e6), dj_or_n)
                 + bytes([0x40 if scan_j_positive else 0x00])
             )
             sec4 = (
