@@ -60,6 +60,60 @@ def test_pure_reader_roundtrip(store):
     assert list(ds["time"].values) == TIMES
 
 
+def test_forder_store_roundtrip(tmp_path):
+    """F-order (column-major) chunk layout: writer round trip AND a
+    hand-laid chunk built with the transpose identity
+    ``a.tobytes('F') == a.transpose(::-1).tobytes('C')`` — independent
+    of the writer's order plumbing."""
+    import json
+    import zlib
+
+    p = str(tmp_path / "f.zarr")
+    rng = np.random.default_rng(11)
+    chl = rng.uniform(0, 24, size=(len(TIMES), H, W))
+    chl[1, 3, 5] = math.nan
+    lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, H)
+    lon = np.linspace(0.125, 5.0 - 0.125, W)
+    write_zarr_group(
+        p, TIMES, lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+        order="F",
+    )
+    meta = json.load(open(f"{p}/conc_chl/.zarray"))
+    assert meta["order"] == "F"
+    ds = open_zarr_group(p)
+    got = ds["conc_chl"][0:3, 0:H, 0:W]
+    assert np.allclose(got, chl, equal_nan=True)
+    # window crossing chunk boundaries re-strides correctly
+    win = ds["conc_chl"][1:3, 2:7, 5:19]
+    assert np.allclose(win, chl[1:3, 2:7, 5:19], equal_nan=True)
+    # hand-laid single F-order chunk (no writer involved)
+    d2 = tmp_path / "hand.zarr"
+    (d2 / "v").mkdir(parents=True)
+    a = np.arange(24, dtype="<f8").reshape(2, 3, 4) * 1.5
+    raw = a.transpose(2, 1, 0).tobytes(order="C")  # == a.tobytes('F')
+    (d2 / "v" / "0.0.0").write_bytes(zlib.compress(raw))
+    (d2 / "v" / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [2, 3, 4], "chunks": [2, 3, 4],
+        "dtype": "<f8", "compressor": {"id": "zlib", "level": 5},
+        "fill_value": "NaN", "order": "F", "filters": None,
+        "dimension_separator": ".",
+    }))
+    (d2 / "v" / ".zattrs").write_text(json.dumps(
+        {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]}
+    ))
+    (d2 / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    g = open_zarr_group(str(d2))
+    assert np.array_equal(g["v"][0:2, 0:3, 0:4], a)
+    # unknown order still raises loudly
+    bad = json.loads((d2 / "v" / ".zarray").read_text())
+    bad["order"] = "Z"
+    (d2 / "v" / ".zarray").write_text(json.dumps(bad))
+    from xcube_server_spark.sources.zarr_store import ZarrArray
+
+    with pytest.raises(NotImplementedError, match="order"):
+        ZarrArray(str(d2 / "v"))
+
+
 def test_chunk_manifest_reports_store_layout(store):
     path, _, _ = store
     man = chunk_manifest(path, fmt="zarr")

@@ -1348,6 +1348,97 @@ ORACLES["zarr_ingest_stats_zstd"] = ORACLE_ZARR_INGEST_ZSTD
 
 
 # ---------------------------------------------------------------------------
+# zarr_ingest_stats_forder: Fortran-order chunk layout through the gate
+# ---------------------------------------------------------------------------
+
+
+def _zarr_forder_gate_store() -> str:
+    """F-ORDER twin with its own formula — ``((t*59 + y*13 + x*37) % 97)
+    / 16`` (dyadic quantum: every sum is exact) with NULL holes where
+    ``(y*W + x + 3*t) % 23 == 0`` — chunk bytes laid out COLUMN-MAJOR
+    (``order: "F"`` in .zarray), the layout Fortran writers produce."""
+    import numpy as np
+
+    from ..sources.zarr_store import write_zarr_group
+
+    path = _gate_path("xss_zarr_gate_forder_v1")
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 59 + y * 13 + x * 37) % 97) / 16.0
+        chl[(y * _ZG_W + x + 3 * t) % 23 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_zarr_group(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl}, chunk_shape=(1, 4, 8),
+            order="F",
+        )
+    return path
+
+
+def zarr_ingest_stats_forder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zarr_ingest_stats`` over a FORTRAN-ORDER store: chunk elements
+    are column-major on disk and must be re-strided on decode
+    (``zarr_store.py`` reshape ``order="F"``). Per-time aggregates are
+    PERMUTATION-INVARIANT inside a chunk, so this gate also hashes a
+    position-weighted integer checksum ``sum(16*v * (lat_idx*W +
+    lon_idx))`` per lat band — a transposed or mis-strided decode flips
+    it even when every value survives. All arithmetic is exact BIGINT
+    (the /16 quantum makes 16*v an integer). Reference parity: xarray
+    reads F-order transparently (``xcube_server/context.py:247-250``)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _zarr_forder_gate_store()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="zarr")
+    qv = F.floor(F.col("conc_chl") * 16 + F.lit(0.5)).cast("bigint")
+    pos = F.col("lat_idx").cast("bigint") * _ZG_W + F.col("lon_idx")
+    return (
+        df.withColumn("qv", qv)
+        .groupBy(
+            "time_idx",
+            (F.col("lat_idx") / 4).cast("bigint").alias("band"),
+        )
+        .agg(
+            F.count("qv").cast("bigint").alias("n_valid"),
+            F.sum("qv").alias("sum_q"),
+            F.sum(qv * pos).alias("pos_checksum"),
+            F.max("qv").alias("max_q"),
+        )
+        .orderBy("time_idx", "band")
+    )
+
+
+ORACLE_ZARR_FORDER = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 3 * t.i) % 23 = 0 THEN NULL
+              ELSE (t.i * 59 + y.i * 13 + x.i * 37) % 97 END AS qv
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx, lat_idx // 4 AS band,
+       CAST(count(qv) AS BIGINT) AS n_valid,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(sum(qv * (lat_idx * {_ZG_W} + lon_idx)) AS BIGINT)
+         AS pos_checksum,
+       CAST(max(qv) AS BIGINT) AS max_q
+FROM cells
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["zarr_ingest_stats_forder"] = zarr_ingest_stats_forder
+ORACLES["zarr_ingest_stats_forder"] = ORACLE_ZARR_FORDER
+
+
+# ---------------------------------------------------------------------------
 # zarr_ingest_stats_lz4: raw numcodecs-lz4 compressed store through the gate
 # ---------------------------------------------------------------------------
 

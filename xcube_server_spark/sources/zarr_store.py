@@ -326,8 +326,11 @@ class ZarrArray:
             meta = json.loads(raw)
         if meta.get("zarr_format") != 2:
             raise NotImplementedError("only zarr v2 stores are supported")
-        if meta.get("order", "C") != "C":
-            raise NotImplementedError("only C-order zarr arrays supported")
+        self._order = meta.get("order", "C")
+        if self._order not in ("C", "F"):
+            raise NotImplementedError(
+                f"zarr array order {self._order!r} (C and F supported)"
+            )
         self._filters = list(meta.get("filters") or [])
         self._vlen_utf8 = bool(
             self._filters and self._filters[0].get("id") == "vlen-utf8"
@@ -452,11 +455,20 @@ class ZarrArray:
             from .blosc import _unshuffle_bytes
 
             raw = _unshuffle_bytes(raw, self._shuffle_ts)
+        # order="F" reshapes the Fortran-laid-out buffer (column-major
+        # element order) into the same C-indexable view — the one line
+        # that makes Fortran-written stores readable
         if self._vlen_utf8:
-            return _decode_vlen_utf8(raw).reshape(self.chunk_shape)
+            return _decode_vlen_utf8(raw).reshape(
+                self.chunk_shape, order=self._order
+            )
         if self._filters:
-            return self._unfilter(raw).reshape(self.chunk_shape)
-        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+            return self._unfilter(raw).reshape(
+                self.chunk_shape, order=self._order
+            )
+        return np.frombuffer(raw, dtype=self.dtype).reshape(
+            self.chunk_shape, order=self._order
+        )
 
     def _unfilter(self, raw: bytes) -> np.ndarray:
         """Invert the numcodecs filter chain (applied before the
@@ -995,6 +1007,7 @@ def _write_array(
     attrs: dict | None = None,
     compress: bool = True,
     compressor: str | None = None,
+    order: str = "C",
 ) -> None:
     os.makedirs(path, exist_ok=True)
     fill: object = None
@@ -1039,7 +1052,7 @@ def _write_array(
         "dtype": arr.dtype.str,
         "compressor": comp_meta,
         "fill_value": fill,
-        "order": "C",
+        "order": order,
         "filters": None,
         "dimension_separator": ".",
     }
@@ -1063,7 +1076,7 @@ def _write_array(
                 chunk[...] = 0
             block = arr[sel]
             chunk[tuple(slice(0, b) for b in block.shape)] = block
-            raw = chunk.tobytes(order="C")
+            raw = chunk.tobytes(order=order)
             if comp in ("blosc", "blosc-bit", "blosc-blosclz", "blosc-zstd"):
                 from .blosc import compress as _blosc_compress
 
@@ -1112,9 +1125,12 @@ def write_zarr_group(
     chunk_shape: tuple[int, int, int] = (1, 256, 256),
     compress: bool = True,
     compressor: str | None = None,
+    order: str = "C",
 ) -> None:
     """Write a (time, lat, lon) cube as a zarr v2 group readable by both
-    this module and any standards-compliant zarr implementation."""
+    this module and any standards-compliant zarr implementation.
+    ``order="F"`` lays chunk elements out column-major (Fortran-written
+    stores)."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
@@ -1155,6 +1171,7 @@ def write_zarr_group(
             None,
             compress,
             compressor,
+            order=order,
         )
     consolidate_metadata(path)
 
