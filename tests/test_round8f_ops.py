@@ -268,3 +268,40 @@ def test_range_lookup_equals_naive_containment(spark, sf_dir):
     )
     want = {(r.n, r.n_name) for r in naive.collect()}
     assert got == want
+
+
+def test_capped_basket_pairs_skew_guard(spark, monkeypatch):
+    """The basket twin of the LSH bucket cap: ordinary baskets produce
+    exactly the naive self-join pair set; a degenerate 10k-item basket
+    is DROPPED by the default cap (completes instead of emitting 50M
+    pairs from one key); a tightened cap drops mid-size baskets too."""
+    from xcube_server_spark.registry._util import capped_basket_pairs
+
+    items = {k: list(range((k % 5) + 2)) for k in range(20)}
+    rows = [(k, it) for k, its in items.items() for it in its]
+    df = spark.createDataFrame(rows, "k long, item long")
+    got = {
+        (r.k, r.ia, r.ib)
+        for r in capped_basket_pairs(df, "k", "item", "m1").collect()
+    }
+    want = {
+        (k, a, b)
+        for k, its in items.items()
+        for a in its
+        for b in its
+        if a < b
+    }
+    assert got == want
+    # one 10k-item basket rides along: dropped, everything else intact
+    wide = spark.createDataFrame(
+        [(99, i) for i in range(10_000)], "k long, item long"
+    )
+    res = capped_basket_pairs(
+        df.unionByName(wide), "k", "item", "m2"
+    ).collect()
+    assert {r.k for r in res} == set(range(20))
+    assert len(res) == len(want)
+    # tightened cap: baskets wider than 3 items vanish as well
+    monkeypatch.setenv("SPARK_GRAFT_MAX_BASKET", "3")
+    res2 = {r.k for r in capped_basket_pairs(df, "k", "item", "m3").collect()}
+    assert res2 == {k for k, its in items.items() if len(its) <= 3}

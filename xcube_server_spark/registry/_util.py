@@ -99,3 +99,41 @@ def char_shingle_expr(k: int, cutoff: int = _SHINGLE_CUTOFF) -> str:
         f" ELSE transform(sequence(1, greatest(size(cs)-{k - 1}, 1)),"
         f" i -> array_join(slice(cs, i, {k}), '')) END)"
     )
+
+
+def capped_basket_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    metric_name: str,
+    default_cap: int = 1024,
+) -> DataFrame:
+    """Per-key unordered item pairs (a < b) with a WIDTH CAP — the
+    basket twin of the LSH ``_cap_buckets`` contract.
+
+    Pair generation is quadratic in basket width; TPC-H baskets are
+    bounded (~7 items) but a real-world skewed basket (one 10k-item
+    cart) would emit 50M rows from a single key and OOM its task.
+    Baskets are collected per key (one shuffle, replacing the equi-key
+    self-join — same shuffle count), baskets wider than the cap are
+    DROPPED with ``observe`` bookkeeping (dropped_wide_baskets /
+    max_basket_width — visible, never silent), and the surviving pairs
+    explode map-side. Cap via $SPARK_GRAFT_MAX_BASKET (default 1024 =
+    at most ~500k pairs per key)."""
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_BASKET", str(default_cap)))
+    baskets = df.groupBy(key).agg(F.collect_set(item).alias("__items"))
+    w = F.size("__items")
+    observed = baskets.observe(
+        metric_name,
+        F.sum(F.when(w > cap, 1).otherwise(0)).alias("dropped_wide_baskets"),
+        F.max(w).alias("max_basket_width"),
+    )
+    kept = observed.filter(w <= cap).select(
+        key, F.array_sort("__items").alias("__items")
+    )
+    return (
+        kept.select(key, F.explode("__items").alias("ia"), "__items")
+        .select(key, "ia", F.explode("__items").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(key, "ia", "ib")
+    )

@@ -176,16 +176,18 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = basket.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("item_cnt")
     )
-    a, b = basket.alias("a"), basket.alias("b")
+    # width-capped per-order pair explosion (same contract as the LSH
+    # bucket cap: a degenerate 10k-item cart is dropped loudly, not
+    # allowed to go quadratic in one task)
+    from ._util import capped_basket_pairs
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        capped_basket_pairs(
+            basket, "l_orderkey", "l_partkey", "basket_lift_baskets"
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("ia").alias("part_a"),
+            F.col("ib").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= _BASKET_MIN_SUPPORT)

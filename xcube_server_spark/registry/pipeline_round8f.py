@@ -79,19 +79,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIENTED out-degree, which degree-ordering caps near sqrt(m) — the
     whole plan is two edge-keyed joins + one explode/count, no node ever
     enumerates its full undirected neighborhood."""
+    from ._util import capped_basket_pairs
+
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = basket.alias("a"), basket.alias("b")
+    # width-capped pair generation (collect per order, drop degenerate
+    # baskets with observe bookkeeping, explode map-side) — one 10k-item
+    # order would otherwise emit 50M wedge-seed rows from a single key
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        capped_basket_pairs(
+            basket, "l_orderkey", "l_partkey", "triangle_baskets"
         )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
+        .select(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
         .distinct()
     )
     deg = (
