@@ -57,101 +57,50 @@ for _m in (
 
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
-# each round to maximize hard signal. Round 8 rotation, by the documented
-# policy (changed-first, then stalest, alphabetical within a vintage):
-# (a) queries NEW this round, newest first — the r8g format/analytics
-# batch (kerchunk single+multi-granule manifests, GRIB2 local+HTTP, the
-# per-pixel trend / area-weighted-mean cube analytics, the OLS
-# sufficient-statistics fit), the 8f analytics/sketch/graph/streaming
-# batch, the first-r8 pipeline operators (corpus_shuffle /
-# bpe_first_merges / text_nfc_normalize / dedup_levenshtein /
-# embed_kmeans_lloyd), and the blosclz / standalone-zstd / raw-lz4 /
-# v3-sharded zarr gates — first-ever driver rows for the new pure-Python
-# codecs — plus queries whose CODE PATH changed this round and need
-# re-proving (zarr_ingest_stats* ride the reworked ZarrArray compressor
-# dispatch AND the new shuffle-filter gate in __init__,
-# zarr_v3_ingest_stats the refactored v3 codec chain,
-# zarr_ingest_stats_http the store get_range/LRU refactor,
-# zarr_ingest_stats_blosc the blosc codec-id dispatch + memcpy bounds
-# fix, zarr_ingest_stats_zstd the truncation bounds checks); then (b)
-# the STALEST driver-green rows — the r3-vintage queries alphabetically
-# up to the cut. Everything past position 50 is overflow: multiply-green
-# in prior rounds AND re-proven by the local DuckDB-oracle replica
-# (tests/test_correctness.py) on every pytest run. The displaced r3/r4
-# rows head the r9 rotation.
+# each round to maximize hard signal. Round 9 rotation, by the documented
+# policy (changed-first, then stalest, alphabetical within a vintage — with
+# the verdict-named stale rows promoted inside their vintage):
+# (a) queries NEW this round: the real-decode multimodal gates
+# (PNG/JPEG/WAV pixels and samples through mapInPandas), the Gaussian-grid
+# GRIB2 gate (template 3.40, latitudes pinned to the published N32 table)
+# and the F-order zarr gate (position-weighted checksum);
+# plus queries whose CODE PATH changed this round and must re-prove:
+# graph_triangle_count / market_basket_lift (width-capped basket pairs),
+# join_salted_enrich (pmod salt fix), geotiff/cog (short-final-strip
+# decode fix), both kerchunk gates (get_range empty-read guard + combine
+# list-ref checks), all three grib2 gates (writer product-section octets,
+# fixture bump, reworked _parse_grid), and the two v2 zarr gates
+# covering the shared ZarrArray order-attr change (the codec twins are
+# r08-green and their codec paths are untouched; ZarrArrayV3 has its own
+# __init__ and is unaffected).
+# (b) the STALEST driver-green rows: ALL 18 r03-vintage queries, then
+# r04-vintage — the four rows the round-8 verdict named explicitly
+# (hypertable_rollup_daily, q1_pricing_summary,
+# stream_user_stats_stateful, time_weighted_avg) first, then
+# alphabetical to the cut. Everything past position 50 is overflow:
+# multiply-green in prior rounds AND re-proven by the local DuckDB-oracle
+# replica (tests/test_correctness.py) on every pytest run. The remaining
+# r04 rows (event_attribution .. vocab_coverage) head the r10 rotation.
 _PRIORITY = [
-    # (a) new in round 8f: the final r8 operator batch (first-ever driver
-    # rows) plus the four windowed-average queries whose ORACLES changed
-    # this round (round-sum-before-divide determinism fix) and must be
-    # re-proven by the changed-first policy; the 10 rows they displace
-    # from the old window tail (r3/r4-vintage, all multiply-green) drop
-    # to overflow and head the r9 rotation
+    # (a) new in round 9
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
+    "grib2_gaussian_ingest_stats",
+    "zarr_ingest_stats_forder",
+    # (a) code path changed in round 9 — re-prove
+    "graph_triangle_count",
+    "market_basket_lift",
+    "join_salted_enrich",
+    "geotiff_ingest_stats",
+    "cog_overview_ingest_http",
     "netcdf4_kerchunk_ingest_http",
     "netcdf4_kerchunk_multifile_http",
     "grib2_ingest_stats",
     "grib2_ingest_http",
     "grib2_complex_ingest_stats",
-    "ols_normal_equations",
-    "unpivot_metrics",
-    "window_range_frame",
-    "join_range_lookup",
-    "cube_pixel_trend",
-    "cube_area_weighted_mean",
-    "graph_triangle_count",
-    "sketch_cms_heavy_hitters",
-    "bloom_join_prefilter",
-    "ts_autocorr_daily",
-    "ts_changepoint_cusum",
-    "ts_ewma_daily",
-    "feature_quantile_bins",
-    "scd2_dim_history",
-    "stream_scd2_live",
-    "join_salted_enrich",
-    "join_scd2_asof",
-    "geotiff_ingest_stats",
-    "cog_overview_ingest_http",
-    "stream_tumbling_counts",
-    "stream_tumbling_counts_live",
-    "stream_sliding_avg",
-    "stream_sliding_avg_live",
-    # (a) new in round 8 (late batch): analytics/sketch/streaming operators
-    # added after the first r8 rotation — changed-first policy puts them at
-    # the head; the 7 r4-vintage rows they displace (embed_quantize_int8 ..
-    # morton_zorder_cells) drop to overflow and head the r9 rotation
-    "cube_climatology_anomaly",
-    "cube_exceedance_streak",
-    "graph_pagerank_parts",
-    "stream_late_data_eviction_live",
-    "ts_downsample_m4",
-    "trend_theil_sen",
-    "trend_mann_kendall",
-    "market_basket_lift",
-    "skew_key_census",
-    "distinct_hll_sketch",
-    "embed_random_projection",
-    "stream_static_enrich_live",
-    # (a) new in round 8
-    "corpus_shuffle",
-    "bpe_first_merges",
-    "text_nfc_normalize",
-    "dedup_levenshtein",
-    "embed_kmeans_lloyd",
-    "zarr_ingest_stats_blosclz",
-    "zarr_ingest_stats_zstd",
-    "zarr_ingest_stats_lz4",
-    "zarr_v3_sharded_ingest_stats",
-    # (a) code path changed in round 8 — re-prove (the plain-zlib
-    # zarr_ingest_stats drops to overflow: the blosc/http/v3 rows cover
-    # the shared ZarrArray init/filter change that touched it)
-    "zarr_ingest_stats_blosc",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
-    "zarr_ingest_stats_http",
-    "zarr_v3_ingest_stats",
-    # displaced by the 8f head batch and the r8g format/analytics/
-    # relational gates (kerchunk single+multi, grib2 local+http, pixel
-    # trend, area-weighted mean, OLS, unpivot, range-frame); with the
-    # block below these (r3-vintage) head the r9 rotation
     "zarr_ingest_stats",
+    "zarr_ingest_stats_http",
+    # (b) stalest: all 18 r03-vintage rows
     "data_split_train_valid",
     "dedup_simhash",
     "doc_chunking",
@@ -170,6 +119,11 @@ _PRIORITY = [
     "text_tokens",
     "unigram_logprob",
     "vocab_top_tokens",
+    # (b) r04-vintage: verdict-named rows first, then alphabetical
+    "hypertable_rollup_daily",
+    "q1_pricing_summary",
+    "stream_user_stats_stateful",
+    "time_weighted_avg",
     "anomaly_zscore_daily",
     "array_dim_stats",
     "bigram_top",
@@ -177,27 +131,24 @@ _PRIORITY = [
     "cube_point_timeseries",
     "dedup_exact",
     "dedup_normalized",
-    # displaced by the late-r8 batch; these 12 also head the r9 rotation
     "dedup_retention_summary",
     "doc_length_percentiles",
     "embed_ann_lsh",
     "embed_cosine_topk",
-    "embed_neardup_cosine",
+    "embed_neardup_cosine",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
+    # remaining r04-vintage (these head the r10 rotation)
     "embed_quantize_int8",
     "event_attribution",
     "event_funnel",
-    "hypertable_rollup_daily",
     "kmv_distinct_sketch",
     "merge_upsert_docs",
     "morton_zorder_cells",
     "pmi_collocations",
     "q12_priority_shipping",
-    "q1_pricing_summary",
     "q3_shipping_priority",
     "rolling_median_daily",
     "sample_temperature",
-    # remaining r4-vintage (next rotation's head, with the 6 rows
-    # directly above, 23 rows)
     "session_paths_topk",
     "snapshot_diff",
     "stream_dedupe_events",
@@ -205,9 +156,7 @@ _PRIORITY = [
     "stream_sessionize",
     "stream_topk_windowed",
     "stream_topk_windowed_live",
-    "stream_user_stats_stateful",
     "tile_grid_subdivision",
-    "time_weighted_avg",
     "ts_gap_fill",
     "user_retention",
     "vocab_coverage",
@@ -221,6 +170,13 @@ _PRIORITY = [
     "stream_neardup_minhash_live",
     "stream_dedupe_events_live",
     "stream_sessionize_live",
+    # r8-green zarr codec twins (codec paths untouched this round)
+    "zarr_ingest_stats_blosc",
+    "zarr_ingest_stats_blosclz",
+    "zarr_ingest_stats_zstd",
+    "zarr_ingest_stats_lz4",
+    "zarr_v3_ingest_stats",
+    "zarr_v3_sharded_ingest_stats",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}
