@@ -117,8 +117,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the wedge join and the closing semi-join both re-read the oriented
-    # edge list — cut the lineage so the basket self-join runs once
-    oriented = oriented.localCheckpoint()
+    # edge list — cut the lineage so the basket explode runs once. The
+    # repartition is load-bearing twice over: AQE coalesces the small
+    # post-explode shuffle to ~3 partitions, which would strangle the
+    # wedge join's parallelism (measured 7.7s -> 2.7s at sf0.1), and
+    # hashing on src pre-clusters the wedge self-join key
+    oriented = oriented.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).localCheckpoint()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
