@@ -493,6 +493,95 @@ def test_hand_built_reduced_gaussian_decodes(tmp_path):
     assert ds["lat"].values.shape == (10,)
 
 
+def test_png_packing_roundtrip(tmp_path):
+    """Data template 5.41 (PNG packing — NCEP MRMS ships it): bit-exact
+    at the /16 quantum in both 16-bit full-grid and bitmap (ndata x 1)
+    layouts, plus an 8-bit depth variant."""
+    path, fld, lat, lon = _cube(tmp_path, "png.grib2", packing="png")
+    ds = open_grib2(path)
+    got = ds["conc_chl"].values
+    assert np.array_equal(np.isnan(got), np.isnan(fld))
+    assert np.array_equal(np.nan_to_num(got), np.nan_to_num(fld))
+    msg = ds["conc_chl"]._by_time[sorted(ds["conc_chl"]._by_time)[0]]
+    assert msg.packing_template == 41
+    # the data section really is a PNG stream
+    raw = open(path, "rb").read()
+    assert b"\x89PNG\r\n\x1a\n" in raw
+    # 8-bit depth (no holes -> full-grid Nj x Ni image)
+    T, H, W = 2, 6, 9
+    t, y, x = np.meshgrid(
+        np.arange(T), np.arange(H), np.arange(W), indexing="ij"
+    )
+    small = ((t * 7 + y * 5 + x * 3) % 13).astype("float64")
+    p8 = os.path.join(tmp_path, "png8.grib2")
+    write_grib2(
+        p8, ["2021-06-01 00:00:00", "2021-06-02 00:00:00"],
+        np.linspace(55.0, 50.0, H), np.linspace(0.0, 8.0, W),
+        {"v": small}, nbits=8, packing="png",
+    )
+    got8 = open_grib2(p8)["v"].values
+    assert np.array_equal(got8, small)
+
+
+def test_hand_built_png_packed_message_decodes():
+    """5.41 message with a PNG payload assembled by the TEST-LOCAL
+    forward-filtering builder (tests/test_png_decode.py) — decoder-only
+    pin, no repo PNG writer involved. 2x3 grid, R=1.5, E=1, D=0:
+    Y = 1.5 + 2*X for X = 0..5."""
+    from tests.test_png_decode import _build_png
+
+    def sec(num, body):
+        return struct.pack(">IB", len(body) + 5, num) + body
+
+    img = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    png = _build_png(img, ctype=0, filters=[2, 1])
+    s1 = (
+        struct.pack(">HHBBB", 7, 0, 2, 1, 1)
+        + struct.pack(">HBBBBB", 2021, 6, 1, 12, 0, 0)
+        + bytes([0, 1])
+    )
+    s3 = (
+        bytes([0])
+        + struct.pack(">I", 6)
+        + bytes([0, 0])
+        + struct.pack(">H", 0)
+        + bytes([6]) + bytes(15)
+        + struct.pack(">II", 3, 2)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 50_000_000, 10_000_000)
+        + bytes([0b00110000])
+        + struct.pack(">II", 49_000_000, 12_000_000)
+        + struct.pack(">II", 1_000_000, 1_000_000)
+        + bytes([0x00])
+    )
+    s4 = (
+        struct.pack(">H", 0)
+        + struct.pack(">H", 0)
+        + bytes([0, 0, 0, 0, 0])
+        + struct.pack(">HB", 0, 0)
+        + bytes([1])
+        + struct.pack(">I", 6)
+        + bytes([1, 0]) + bytes(4) + bytes([255, 0]) + bytes(4)
+    )
+    s5 = (
+        struct.pack(">I", 6)
+        + struct.pack(">H", 41)         # template 5.41
+        + struct.pack(">f", 1.5)
+        + struct.pack(">HH", 1, 0)
+        + bytes([8, 0])
+    )
+    s6 = bytes([255])
+    body = sec(1, s1) + sec(3, s3) + sec(4, s4) + sec(5, s5) + sec(6, s6) \
+        + sec(7, png)
+    total = 16 + len(body) + 4
+    msg = Grib2Message(
+        b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total)
+        + body + b"7777", 0,
+    )
+    want = 1.5 + 2.0 * np.arange(6).reshape(2, 3)
+    np.testing.assert_array_equal(msg.decode(), want)
+
+
 def test_writer_product_section_surface_octets(tmp_path):
     """WMO template 4.0 octets 23-34 (regression: the first surface's
     scaled value carried a stray 255 and the SECOND surface type read 0):

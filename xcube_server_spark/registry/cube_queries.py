@@ -2115,6 +2115,93 @@ ORACLES["grib2_gaussian_ingest_stats"] = ORACLE_GRIB2_GAUSSIAN
 
 
 # ---------------------------------------------------------------------------
+# grib2_png_ingest_stats: data template 5.41 (PNG packing)
+# ---------------------------------------------------------------------------
+
+
+def _grib2_png_gate_file() -> str:
+    """GRIB2 twin packed with DATA TEMPLATE 5.41 (PNG — what NCEP MRMS
+    products ship): the scaled integers ride a 16-bit grayscale PNG that
+    the repo's own general decoder unpacks. Distinct formula —
+    ``((t*31 + y*7 + x*19) % 83)/16`` with NULL holes where
+    ``(y*W + x + 9*t) % 17 == 0`` (holes exercise the ndata-x-1 bitmap
+    layout)."""
+    import numpy as np
+
+    from ..sources.grib2 import write_grib2
+
+    d = _gate_path("xss_grib2_png_gate_v1")
+    path = os.path.join(d, "cube.grib2")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 31 + y * 7 + x * 19) % 83) / 16.0
+        chl[(y * _ZG_W + x + 9 * t) % 17 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_grib2(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl},
+            binary_scale=-4, packing="png",
+            params={"conc_chl": (10, 4, 3)},
+        )
+    return path
+
+
+def grib2_png_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRIB2 stats gate over DATA TEMPLATE 5.41: scaled integers
+    inside a grayscale PNG container (IDAT deflate, row filters),
+    decoded on the executors by the same pure-Python PNG decoder the
+    multimodal pipeline uses — one codec, two formats. Bitmap holes ride
+    the ndata-x-1 image layout (the g2clib convention). Formula oracle;
+    the /16 quantum keeps the round trip bit-exact."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_png_gate_file()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="grib2")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_GRIB2_PNG = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 9 * t.i) % 17 = 0 THEN NULL
+              ELSE ((t.i * 31 + y.i * 7 + x.i * 19) % 83) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["grib2_png_ingest_stats"] = grib2_png_ingest_stats
+ORACLES["grib2_png_ingest_stats"] = ORACLE_GRIB2_PNG
+
+
+# ---------------------------------------------------------------------------
 # netcdf4_kerchunk_multifile_http: one virtual dataset over many granules
 # ---------------------------------------------------------------------------
 

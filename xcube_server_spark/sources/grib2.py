@@ -29,9 +29,11 @@ optional list, served as a flat ``points`` dimension with per-point
 lat/lon — the cfgrib convention); scanning modes 0x00 (+i, -j) and 0x40
 (+i, +j); product templates 4.0/4.8 (the octets this reader uses are
 common to both); data templates 5.0 (simple packing, any 1..32 bit
-width), 5.2/5.3 (complex, spatial differencing), bitmaps 0/255.
-JPEG2000/PNG packing, spectral grids and other grid projections raise
-with the template id in the message.
+width), 5.2/5.3 (complex, spatial differencing), 5.41 (PNG packing —
+the scaled integers ride a grayscale PNG decoded by the repo's own
+``sources/png.py``; what NCEP MRMS products ship), bitmaps 0/255.
+JPEG2000 packing (5.40), spectral grids and other grid projections
+raise with the template id in the message.
 
 Dataset surface matches the other pure-Python readers (what
 ``xarray_ingest._open_store`` consumes): ``data_vars`` with
@@ -406,10 +408,10 @@ class Grib2Message:
     def _parse_packing(self, sec: bytes) -> None:
         (self.ndata,) = struct.unpack_from(">I", sec, 5)
         (tmpl,) = struct.unpack_from(">H", sec, 9)
-        if tmpl not in (0, 2, 3):
+        if tmpl not in (0, 2, 3, 41):
             raise NotImplementedError(
-                f"GRIB2 data template 5.{tmpl} (5.0 simple, 5.2 complex "
-                "and 5.3 complex+differencing are supported)"
+                f"GRIB2 data template 5.{tmpl} (5.0 simple, 5.2 complex, "
+                "5.3 complex+differencing and 5.41 PNG are supported)"
             )
         self.packing_template = tmpl
         (self.ref_value,) = struct.unpack_from(">f", sec, 11)
@@ -536,6 +538,20 @@ class Grib2Message:
         raw = self.src.read(self._data_off, self._data_len)
         if getattr(self, "packing_template", 0) in (2, 3):
             x = self._unpack_complex(raw)
+        elif getattr(self, "packing_template", 0) == 41:
+            # template 7.41: the scaled integers ride a PNG container
+            # (grayscale, bit depth = nbits rounded up to 8/16); with a
+            # bitmap the image is ndata x 1, otherwise Nj x Ni — both
+            # flatten to the same storage-order stream
+            from .png import decode_png
+
+            img = decode_png(raw, full_depth=True)
+            x = img[:, :, 0].reshape(-1).astype("float64")
+            if x.size != self.ndata:
+                raise ValueError(
+                    f"GRIB2 PNG payload holds {x.size} samples, header "
+                    f"declares {self.ndata}"
+                )
         else:
             x = _unpack_bits(raw, self.ndata, self.nbits).astype("float64")
         y = (self.ref_value + x * 2.0 ** self.binary_scale) * (
@@ -853,8 +869,11 @@ def write_grib2(
     ``params`` optionally maps variable name → (discipline, category,
     number); unnamed variables get discipline 0, category 0, numbers in
     insertion order. The variable NAME rides the local-use section."""
-    if packing not in ("simple", "complex", "complex_diff"):
+    if packing not in ("simple", "complex", "complex_diff", "png"):
         raise ValueError(f"unknown packing {packing!r}")
+    if packing == "png" and nbits > 16:
+        raise ValueError("PNG packing (template 5.41) carries at most "
+                         "16 bits per value")
     if grid not in ("latlon", "gaussian"):
         raise ValueError(f"unknown grid {grid!r} (latlon/gaussian)")
     lat = np.asarray(lat, "float64")
@@ -962,6 +981,27 @@ def write_grib2(
                     + bytes([nbits, 0])
                 )
                 sec7 = _pack_bits(x, nbits)
+            elif packing == "png":
+                from .png import encode_gray_png
+
+                # template 5.41/7.41: scaled integers as a grayscale PNG
+                # (full grid when every point is present, ndata x 1 with
+                # a bitmap — the g2clib convention)
+                depth = 8 if nbits <= 8 else 16
+                dt = np.uint8 if depth == 8 else np.uint16
+                img = (
+                    x.astype(dt).reshape(nj, ni)
+                    if present.all()
+                    else x.astype(dt).reshape(1, -1)
+                )
+                sec5 = (
+                    struct.pack(">I", int(vals.size))
+                    + struct.pack(">H", 41)  # template 5.41
+                    + struct.pack(">f", ref)
+                    + scales
+                    + bytes([depth, 0])
+                )
+                sec7 = encode_gray_png(img)
             else:
                 order = 0 if packing == "complex" else diff_order
                 sec5, sec7 = _complex_sections(

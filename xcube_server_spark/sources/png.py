@@ -38,6 +38,21 @@ def encode_rgba_png(rgba: np.ndarray, compress_level: int = 1) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_gray_png(gray: np.ndarray, compress_level: int = 1) -> bytes:
+    """Encode an (h, w) uint8 or uint16 grayscale array as PNG bytes
+    (color type 0, depth 8 or 16 big-endian) — the container GRIB2 data
+    template 5.41 packs grid fields into."""
+    if gray.ndim != 2 or gray.dtype not in (np.uint8, np.uint16):
+        raise ValueError("expected (h, w) uint8/uint16 grayscale array")
+    h, w = gray.shape
+    depth = 8 if gray.dtype == np.uint8 else 16
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    body = gray.astype(">u2") if depth == 16 else gray
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, compress_level)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
 def decode_rgba_png(data: bytes) -> np.ndarray:
     """Decode any supported PNG to an (h, w, 4) uint8 RGBA array.
 
@@ -107,13 +122,23 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _unpack_samples(rows: np.ndarray, w: int, depth: int, nch: int) -> np.ndarray:
-    """(h, stride) filtered bytes -> (h, w, nch) samples scaled to uint8."""
+def _unpack_samples(
+    rows: np.ndarray, w: int, depth: int, nch: int, full_depth: bool = False
+) -> np.ndarray:
+    """(h, stride) filtered bytes -> (h, w, nch) samples. Default output
+    is uint8 (16-bit downshifted); ``full_depth`` keeps 16-bit samples
+    as uint16 and sub-byte samples unscaled (codec consumers like GRIB2
+    template 5.41 need the exact integers)."""
     h = rows.shape[0]
     if depth == 8:
         return rows[:, : w * nch].reshape(h, w, nch)
     if depth == 16:
         wide = rows[:, : w * nch * 2].reshape(h, w * nch, 2)
+        if full_depth:
+            vals16 = (
+                wide[:, :, 0].astype(np.uint16) << 8
+            ) | wide[:, :, 1]
+            return vals16.reshape(h, w, nch)
         return wide[:, :, 0].reshape(h, w, nch)  # big-endian high byte
     # sub-byte depths: 1/2/4-bit packed MSB-first, one channel only
     per_byte = 8 // depth
@@ -124,10 +149,12 @@ def _unpack_samples(rows: np.ndarray, w: int, depth: int, nch: int) -> np.ndarra
     return vals[:, :w].reshape(h, w, 1)
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def decode_png(data: bytes, full_depth: bool = False) -> np.ndarray:
     """General baseline PNG decode to (h, w, channels) uint8 — channels
     follows the color type (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA; palette
-    expands to 3 or 4). See ``decode_rgba_png`` for the normalized form."""
+    expands to 3 or 4). See ``decode_rgba_png`` for the normalized form.
+    ``full_depth`` returns exact stored samples (uint16 for depth 16,
+    unscaled sub-byte grays) instead of normalizing to uint8."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -173,7 +200,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG pixel data length mismatch")
     bpp = max(1, nch * depth // 8)
     rows = _unfilter(raw, h, stride, bpp)
-    samples = _unpack_samples(rows, w, depth, nch)
+    samples = _unpack_samples(rows, w, depth, nch, full_depth)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -184,6 +211,8 @@ def decode_png(data: bytes) -> np.ndarray:
             alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if full_depth:
+        return samples
     if depth in (1, 2, 4):  # grayscale sub-byte: scale to full range
         scale = 255 // ((1 << depth) - 1)
         samples = samples * scale
