@@ -523,6 +523,35 @@ def test_png_packing_roundtrip(tmp_path):
     assert np.array_equal(got8, small)
 
 
+def test_j2k_packing_roundtrip(tmp_path):
+    """Data template 5.40 (lossless JPEG 2000 — what operational NCEP
+    archives ship): bit-exact at the /16 quantum through the
+    pure-Python EBCOT/MQ/5-3 codec, bitmap (ndata x 1) layout included;
+    the lossy (9/7) compression-type octet raises a clear error."""
+    path, fld, lat, lon = _cube(tmp_path, "j2k.grib2", packing="j2k")
+    ds = open_grib2(path)
+    got = ds["conc_chl"].values
+    assert np.array_equal(np.isnan(got), np.isnan(fld))
+    assert np.array_equal(np.nan_to_num(got), np.nan_to_num(fld))
+    msg = ds["conc_chl"]._by_time[sorted(ds["conc_chl"]._by_time)[0]]
+    assert msg.packing_template == 40
+    raw = open(path, "rb").read()
+    assert b"\xff\x4f" in raw  # SOC marker inside the data section
+    # walk the first message's sections and flip octet 22 of section 5
+    # (compression type 0 -> 1 = lossy)
+    bad = bytearray(raw)
+    pos = 16
+    while bad[pos + 4] != 5:
+        (ln,) = struct.unpack(">I", bad[pos : pos + 4])
+        pos += ln
+    assert bad[pos + 21] == 0  # compression type: lossless
+    bad[pos + 21] = 1
+    p2 = os.path.join(tmp_path, "lossy.grib2")
+    open(p2, "wb").write(bytes(bad))
+    with pytest.raises(NotImplementedError, match="lossy"):
+        open_grib2(p2)["conc_chl"].values
+
+
 def test_hand_built_png_packed_message_decodes():
     """5.41 message with a PNG payload assembled by the TEST-LOCAL
     forward-filtering builder (tests/test_png_decode.py) — decoder-only

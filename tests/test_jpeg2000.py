@@ -1,0 +1,237 @@
+"""JPEG 2000 codec (``sources/jpeg2000.py``) — the GRIB2 5.40 profile.
+
+No J2K library exists in this container to cross-verify against, so the
+pinning strategy is layered: every component is fuzzed for enc/dec
+consistency across its full input space (MQ coder over all 19 contexts,
+tag trees over random value grids and query thresholds, 5/3 DWT inverse
+identities at every length parity, tier-1 codeblocks of every subband
+orientation), structural spec facts are asserted directly (Qe table
+invariants, tag-tree bit counts on a hand-worked example, DWT against
+the Annex F lifting formulas computed longhand), and the full
+codestream round-trips bit-exactly across sizes, depths, signedness,
+decomposition counts and codeblock sizes."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.jpeg2000 import (
+    _NLPS,
+    _NMPS,
+    _QE,
+    _SWITCH,
+    MQDecoder,
+    MQEncoder,
+    TagTree,
+    _fwd_53_1d,
+    _fwd_53_2d,
+    _HeaderBitReader,
+    _HeaderBitWriter,
+    _inv_53_1d,
+    _inv_53_2d,
+    decode_codeblock,
+    decode_j2k,
+    encode_codeblock,
+    encode_j2k,
+)
+
+
+def test_qe_table_invariants():
+    """Structural facts about Table C.2 that a transcription typo would
+    break: 47 rows; every Qe < 0x8000 (probabilities below 1/2); state 0
+    and the fast-attack states 6/14 carry Qe 0x5601 with SWITCH set;
+    NMPS/NLPS stay in range; the terminal state 46 maps to itself."""
+    assert len(_QE) == len(_NMPS) == len(_NLPS) == len(_SWITCH) == 47
+    assert all(0 < q <= 0x5601 for q in _QE)
+    assert _QE[0] == _QE[6] == _QE[14] == 0x5601
+    assert [i for i, s in enumerate(_SWITCH) if s] == [0, 6, 14]
+    assert all(0 <= n < 47 for n in _NMPS + _NLPS)
+    assert _NMPS[46] == 46 and _NLPS[46] == 46
+    assert _QE[45] == 0x0001  # the most-skewed state
+    # MPS transitions never decrease skew for the non-jump chain tail
+    assert _NMPS[44] == 45 and _NMPS[45] == 45
+
+
+def test_mq_roundtrip_fuzz():
+    rng = random.Random(42)
+    for trial in range(40):
+        n = rng.randrange(1, 700)
+        syms = [(rng.randrange(19), rng.randrange(2)) for _ in range(n)]
+        enc = MQEncoder()
+        for ctx, d in syms:
+            enc.encode(ctx, d)
+        data = enc.flush()
+        assert not data.endswith(b"\xff")  # spec termination rule
+        dec = MQDecoder(data)
+        assert [dec.decode(ctx) for ctx, _ in syms] == [d for _, d in syms]
+
+
+def test_mq_skewed_streams_compress():
+    """An all-MPS stream must collapse to a handful of bytes (the whole
+    point of the state machine); alternating symbols must not."""
+    enc = MQEncoder()
+    for _ in range(10_000):
+        enc.encode(0, 0)
+    assert len(enc.flush()) < 30
+    enc2 = MQEncoder()
+    rng = random.Random(1)
+    for _ in range(10_000):
+        enc2.encode(18, rng.randrange(2))  # uniform context, coin flips
+    assert len(enc2.flush()) > 1150  # ~1 bit/symbol
+
+
+def test_tag_tree_hand_worked_example():
+    """2x2 leaves with values [[1,0],[2,3]] -> root min 0. Querying
+    leaf (0,0) at threshold 1: root emits 0 (bound 0->... value 0 is
+    reached) -- worked longhand: root value 0 => '1' (known at 0);
+    leaf value 1: '0' (0->1) and stops at threshold. Total bits '10'.
+    Then (1,0) value 0 at threshold 1: root known (no bits), leaf '1'."""
+    tt = TagTree(2, 2)
+    for (x, y), v in {(0, 0): 1, (1, 0): 0, (0, 1): 2, (1, 1): 3}.items():
+        tt.set(x, y, v)
+    tt.finalize()
+    bits = _HeaderBitWriter()
+    tt.encode(bits, 0, 0, 1)
+    tt.encode(bits, 1, 0, 1)
+    out = bits.flush()
+    # '10' + '1' = '101' -> byte 1010_0000
+    assert out == bytes([0b10100000])
+    rd = _HeaderBitReader(out)
+    td = TagTree(2, 2)
+    assert td.decode(rd, 0, 0, 1) is False  # value 1 >= 1
+    assert td.decode(rd, 1, 0, 1) is True   # value 0 < 1
+
+
+def test_tag_tree_roundtrip_fuzz():
+    rng = random.Random(9)
+    for _ in range(30):
+        w, h = rng.randrange(1, 8), rng.randrange(1, 8)
+        vals = [[rng.randrange(7) for _ in range(w)] for _ in range(h)]
+        tt = TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                tt.set(x, y, vals[y][x])
+        tt.finalize()
+        bits = _HeaderBitWriter()
+        queries = []
+        for y in range(h):
+            for x in range(w):
+                for t in sorted(rng.sample(range(1, 9), 2)):
+                    tt.encode(bits, x, y, t)
+                    queries.append((x, y, t))
+        rd = _HeaderBitReader(bits.flush())
+        td = TagTree(w, h)
+        for x, y, t in queries:
+            assert td.decode(rd, x, y, t) == (vals[y][x] < t)
+
+
+def test_header_bit_stuffing():
+    """A run of 1-bits crossing a byte boundary forces the 7-bit rule:
+    after an 0xFF byte the next byte carries only 7 bits."""
+    bw = _HeaderBitWriter()
+    for _ in range(15):
+        bw.write(1)
+    bw.write(0)
+    out = bw.flush()
+    # 8 ones -> 0xFF; the next byte carries only SEVEN bits (stuffed
+    # MSB): ones 9-15 -> 0x7F; the final 0 opens a third byte
+    assert out == bytes([0xFF, 0x7F, 0x00])
+    rd = _HeaderBitReader(out)
+    assert [rd.read() for _ in range(15)] == [1] * 15
+    assert rd.read() == 0
+
+
+def test_dwt_53_hand_computed():
+    """Annex F lifting worked longhand for x = [10, 12, 8, 6, 7]:
+    d0 = 12 - (10+8)//2 = 3; d1 = 6 - (8+7)//2 = -1;
+    s0 = 10 + (3+3+2)//4 = 12; s1 = 8 + (3-1+2)//4 = 9;
+    s2 = 7 + (-1-1+2)//4 = 7."""
+    s, d = _fwd_53_1d(np.array([10, 12, 8, 6, 7]))
+    assert list(s) == [12, 9, 7] and list(d) == [3, -1]
+    assert list(_inv_53_1d(s, d)) == [10, 12, 8, 6, 7]
+
+
+def test_dwt_roundtrip_fuzz():
+    rng = random.Random(5)
+    for _ in range(60):
+        n = rng.randrange(1, 50)
+        x = np.array([rng.randrange(-2000, 2000) for _ in range(n)])
+        s, d = _fwd_53_1d(x)
+        assert len(s) == (n + 1) // 2 and len(d) == n // 2
+        assert np.array_equal(_inv_53_1d(s, d), x)
+    for _ in range(25):
+        h, w = rng.randrange(1, 33), rng.randrange(1, 33)
+        a = np.array(
+            [[rng.randrange(-2000, 2000) for _ in range(w)]
+             for _ in range(h)]
+        )
+        assert np.array_equal(_inv_53_2d(*_fwd_53_2d(a)), a)
+
+
+@pytest.mark.parametrize("orient", ["LL", "HL", "LH", "HH"])
+def test_codeblock_roundtrip(orient):
+    rng = random.Random(11)
+    for _ in range(10):
+        h, w = rng.randrange(1, 22), rng.randrange(1, 22)
+        c = np.array(
+            [[rng.randrange(-300, 300) if rng.random() < 0.6 else 0
+              for _ in range(w)] for _ in range(h)]
+        )
+        data, npasses, nplanes = encode_codeblock(c, orient)
+        got = decode_codeblock(data, h, w, npasses, nplanes, orient)
+        assert np.array_equal(got, c)
+    # all-zero block contributes nothing
+    assert encode_codeblock(np.zeros((8, 8), int), orient) == (b"", 0, 0)
+
+
+def test_codestream_roundtrips():
+    rng = random.Random(7)
+    for h, w in [(1, 1), (3, 5), (13, 21), (64, 64), (65, 70)]:
+        img = np.array(
+            [[rng.randrange(0, 4096) for _ in range(w)] for _ in range(h)]
+        )
+        assert np.array_equal(decode_j2k(encode_j2k(img, levels=5)), img)
+    # signed data, multiple level/codeblock geometries
+    s = np.array([[rng.randrange(-2000, 2000) for _ in range(47)]
+                  for _ in range(33)])
+    assert np.array_equal(decode_j2k(encode_j2k(s, signed=True)), s)
+    img = np.array([[rng.randrange(0, 255) for _ in range(61)]
+                    for _ in range(50)])
+    for lv in (0, 1, 3):
+        for cbe in (4, 6):
+            got = decode_j2k(encode_j2k(img, levels=lv, cb_exp=cbe))
+            assert np.array_equal(got, img), (lv, cbe)
+
+
+def test_smooth_field_compresses():
+    """The reason GRIB uses J2K: a smooth geophysical field shrinks
+    severalfold losslessly."""
+    y, x = np.mgrid[0:80, 0:120]
+    fld = (1000 + 300 * np.sin(x / 15.0) * np.cos(y / 11.0) + 2 * y).astype(
+        np.int64
+    )
+    data = encode_j2k(fld)
+    assert np.array_equal(decode_j2k(data), fld)
+    assert len(data) < fld.size * 2 * 0.35  # < 35% of raw 16-bit
+
+
+def test_clear_error_gates():
+    img = np.arange(64).reshape(8, 8)
+    data = bytearray(encode_j2k(img))
+    with pytest.raises(ValueError, match="SOC"):
+        decode_j2k(b"\x89PNG" + bytes(data))
+    # flip the transform byte (5/3 -> 9/7) inside COD
+    i = bytes(data).find(b"\xff\x52")
+    cod_end = i + 4 + 12 - 2
+    assert data[cod_end - 1] == 1
+    data[cod_end - 1] = 0
+    with pytest.raises(NotImplementedError, match="9/7"):
+        decode_j2k(bytes(data))
+    data[cod_end - 1] = 1
+    # multi-layer claim
+    data[i + 7] = 2  # Scod(1) prog(1) -> layers hi byte at i+6, lo i+7
+    with pytest.raises(NotImplementedError, match="layer"):
+        decode_j2k(bytes(data))

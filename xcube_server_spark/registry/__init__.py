@@ -87,6 +87,7 @@ _PRIORITY = [
     "multimodal_audio_stats",
     "grib2_gaussian_ingest_stats",
     "grib2_png_ingest_stats",
+    "grib2_j2k_ingest_stats",
     "zarr_ingest_stats_forder",
     # (a) code path changed in round 9 — re-prove
     "graph_triangle_count",
@@ -134,10 +135,10 @@ _PRIORITY = [
     "dedup_normalized",
     "dedup_retention_summary",
     "doc_length_percentiles",
-    "embed_ann_lsh",
-    "embed_cosine_topk",  # <- window position 50
+    "embed_ann_lsh",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # remaining r04-vintage (these head the r10 rotation)
+    "embed_cosine_topk",
     "embed_neardup_cosine",
     "embed_quantize_int8",
     "event_attribution",

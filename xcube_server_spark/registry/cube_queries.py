@@ -2202,6 +2202,96 @@ ORACLES["grib2_png_ingest_stats"] = ORACLE_GRIB2_PNG
 
 
 # ---------------------------------------------------------------------------
+# grib2_j2k_ingest_stats: data template 5.40 (lossless JPEG 2000)
+# ---------------------------------------------------------------------------
+
+
+def _grib2_j2k_gate_file() -> str:
+    """GRIB2 twin packed with DATA TEMPLATE 5.40 (lossless JPEG 2000 —
+    what operational NCEP archives ship): the scaled integers ride a
+    single-tile reversible-5/3 codestream decoded by the pure-Python
+    EBCOT/MQ codec (``sources/jpeg2000.py``). Distinct formula —
+    ``((t*41 + y*23 + x*11) % 79)/16`` with NULL holes where
+    ``(y*W + x + 2*t) % 29 == 0`` (holes exercise the ndata-x-1 bitmap
+    layout)."""
+    import numpy as np
+
+    from ..sources.grib2 import write_grib2
+
+    d = _gate_path("xss_grib2_j2k_gate_v1")
+    path = os.path.join(d, "cube.grib2")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 41 + y * 23 + x * 11) % 79) / 16.0
+        chl[(y * _ZG_W + x + 2 * t) % 29 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_grib2(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl},
+            binary_scale=-4, packing="j2k",
+            params={"conc_chl": (10, 4, 3)},
+        )
+    return path
+
+
+def grib2_j2k_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRIB2 stats gate over DATA TEMPLATE 5.40: scaled integers in
+    a lossless JPEG 2000 codestream, decoded ON THE EXECUTORS by the
+    pure-Python Part 1 codec — MQ arithmetic decoding, tag-tree packet
+    headers, three-pass EBCOT bitplane coding, reversible 5/3 inverse
+    DWT. Bitmap holes ride the ndata-x-1 layout (the g2clib
+    convention). Formula oracle; the /16 quantum keeps the whole chain
+    bit-exact. The reference reads these via xarray/cfgrib+jasper
+    (``xcube_server/context.py:243-246``)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_j2k_gate_file()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="grib2")
+    return (
+        df.groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.sum("conc_chl"), 6).alias("sum_chl"),
+            rnd(F.min("conc_chl"), 6).alias("min_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+        )
+    )
+
+
+ORACLE_GRIB2_J2K = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i AS lat_idx, x.i AS lon_idx,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 2 * t.i) % 29 = 0 THEN NULL
+              ELSE ((t.i * 41 + y.i * 23 + x.i * 11) % 79) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(sum(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS sum_chl,
+       floor(min(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS min_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["grib2_j2k_ingest_stats"] = grib2_j2k_ingest_stats
+ORACLES["grib2_j2k_ingest_stats"] = ORACLE_GRIB2_J2K
+
+
+# ---------------------------------------------------------------------------
 # netcdf4_kerchunk_multifile_http: one virtual dataset over many granules
 # ---------------------------------------------------------------------------
 

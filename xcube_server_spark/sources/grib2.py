@@ -29,11 +29,12 @@ optional list, served as a flat ``points`` dimension with per-point
 lat/lon — the cfgrib convention); scanning modes 0x00 (+i, -j) and 0x40
 (+i, +j); product templates 4.0/4.8 (the octets this reader uses are
 common to both); data templates 5.0 (simple packing, any 1..32 bit
-width), 5.2/5.3 (complex, spatial differencing), 5.41 (PNG packing —
-the scaled integers ride a grayscale PNG decoded by the repo's own
-``sources/png.py``; what NCEP MRMS products ship), bitmaps 0/255.
-JPEG2000 packing (5.40), spectral grids and other grid projections
-raise with the template id in the message.
+width), 5.2/5.3 (complex, spatial differencing), 5.40 (LOSSLESS
+JPEG 2000 — the packing operational NCEP archives ship, decoded by the
+pure-Python EBCOT/MQ/5-3-DWT codec in ``sources/jpeg2000.py``; the
+lossy 9/7 variant raises), 5.41 (PNG packing — NCEP MRMS — via
+``sources/png.py``), bitmaps 0/255. Spectral grids and other grid
+projections raise with the template id in the message.
 
 Dataset surface matches the other pure-Python readers (what
 ``xarray_ingest._open_store`` consumes): ``data_vars`` with
@@ -408,10 +409,11 @@ class Grib2Message:
     def _parse_packing(self, sec: bytes) -> None:
         (self.ndata,) = struct.unpack_from(">I", sec, 5)
         (tmpl,) = struct.unpack_from(">H", sec, 9)
-        if tmpl not in (0, 2, 3, 41):
+        if tmpl not in (0, 2, 3, 40, 41):
             raise NotImplementedError(
                 f"GRIB2 data template 5.{tmpl} (5.0 simple, 5.2 complex, "
-                "5.3 complex+differencing and 5.41 PNG are supported)"
+                "5.3 complex+differencing, 5.40 JPEG 2000 and 5.41 PNG "
+                "are supported)"
             )
         self.packing_template = tmpl
         (self.ref_value,) = struct.unpack_from(">f", sec, 11)
@@ -420,6 +422,13 @@ class Grib2Message:
         self.binary_scale = _sign_magnitude(e_raw)
         self.decimal_scale = _sign_magnitude(d_raw)
         self.nbits = sec[19]
+        if tmpl == 40:
+            # octet 22: compression type (0 lossless / 1 lossy 9/7)
+            if sec[21] != 0:
+                raise NotImplementedError(
+                    "GRIB2 template 5.40 lossy (9/7) compression is not "
+                    "supported — lossless (reversible 5/3) only"
+                )
         if tmpl in (2, 3):
             split = sec[21]
             if split != 1:
@@ -538,6 +547,17 @@ class Grib2Message:
         raw = self.src.read(self._data_off, self._data_len)
         if getattr(self, "packing_template", 0) in (2, 3):
             x = self._unpack_complex(raw)
+        elif getattr(self, "packing_template", 0) == 40:
+            # template 7.40: a JPEG 2000 codestream carries the scaled
+            # integers (pure-Python decoder, sources/jpeg2000.py)
+            from .jpeg2000 import decode_j2k
+
+            x = decode_j2k(raw).reshape(-1).astype("float64")
+            if x.size != self.ndata:
+                raise ValueError(
+                    f"GRIB2 JPEG 2000 payload holds {x.size} samples, "
+                    f"header declares {self.ndata}"
+                )
         elif getattr(self, "packing_template", 0) == 41:
             # template 7.41: the scaled integers ride a PNG container
             # (grayscale, bit depth = nbits rounded up to 8/16); with a
@@ -869,7 +889,7 @@ def write_grib2(
     ``params`` optionally maps variable name → (discipline, category,
     number); unnamed variables get discipline 0, category 0, numbers in
     insertion order. The variable NAME rides the local-use section."""
-    if packing not in ("simple", "complex", "complex_diff", "png"):
+    if packing not in ("simple", "complex", "complex_diff", "png", "j2k"):
         raise ValueError(f"unknown packing {packing!r}")
     if packing == "png" and nbits > 16:
         raise ValueError("PNG packing (template 5.41) carries at most "
@@ -1002,6 +1022,27 @@ def write_grib2(
                     + bytes([depth, 0])
                 )
                 sec7 = encode_gray_png(img)
+            elif packing == "j2k":
+                from .jpeg2000 import encode_j2k
+
+                # template 5.40/7.40: scaled integers as a LOSSLESS
+                # JPEG 2000 codestream (reversible 5/3); bitmap fields
+                # pack ndata x 1 like PNG packing
+                grid_vals = (
+                    x.reshape(nj, ni) if present.all()
+                    else x.reshape(1, -1)
+                )
+                sec5 = (
+                    struct.pack(">I", int(vals.size))
+                    + struct.pack(">H", 40)  # template 5.40
+                    + struct.pack(">f", ref)
+                    + scales
+                    + bytes([nbits, 0])
+                    + bytes([0, 255])  # lossless; ratio n/a
+                )
+                sec7 = encode_j2k(
+                    grid_vals.astype("int64"), depth=max(nbits, 1)
+                )
             else:
                 order = 0 if packing == "complex" else diff_order
                 sec5, sec7 = _complex_sections(
