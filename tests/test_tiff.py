@@ -150,14 +150,14 @@ def test_clear_error_gates(tmp_path):
     p.write_bytes(b"II+\x00" + b"\0" * 12)
     with pytest.raises(NotImplementedError, match="BigTIFF"):
         TiffReader(LocalStore(str(tmp_path)), "big.tif")
-    # JPEG compression (code 7) in a hand-built IFD
+    # old-style JPEG (code 6, deprecated by TechNote 2) in a hand-built IFD
     raw = bytearray(_hand_built_strip_tiff())
-    # find the compression entry (tag 259 big-endian) and flip 8 -> 7
+    # find the compression entry (tag 259 big-endian) and flip 8 -> 6
     i = bytes(raw).find(struct.pack(">HHI", 259, 3, 1))
-    raw[i + 8 : i + 10] = struct.pack(">H", 7)
+    raw[i + 8 : i + 10] = struct.pack(">H", 6)
     p2 = tmp_path / "jpg.tif"
     p2.write_bytes(bytes(raw))
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(NotImplementedError, match="compression 6"):
         TiffReader(LocalStore(str(tmp_path)), "jpg.tif")
     # not a TIFF at all
     p3 = tmp_path / "no.tif"
@@ -238,6 +238,41 @@ def test_predictor2_roundtrip_and_float_gate(tmp_path):
     open(p3, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="integer samples only"):
         read_full(LocalStore(str(tmp_path)), "p3.tif")
+
+
+def test_jpeg_compressed_tiff_roundtrip(tmp_path):
+    """Compression 7 (new-style JPEG, TechNote 2): abbreviated per-tile
+    streams share one JPEGTables blob. Per-8x8-block constant EVEN
+    uint8 values round trip BIT-EXACTLY at quality 50 (the Annex K DC
+    quant 16 divides 8*(v-128), all AC vanish) — the same construction
+    the multimodal gate uses to make a lossy codec hash-checkable."""
+    by, bx = np.mgrid[0:4, 0:6]
+    vals = (2 * ((by * 5 + bx * 3) % 101) + 22).astype(np.uint8)
+    a = np.kron(vals, np.ones((8, 8), np.uint8))  # 32 x 48
+    p = str(tmp_path / "jc.tif")
+    write_geotiff(p, [a], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                  compression="jpeg")
+    raw = open(p, "rb").read()
+    assert struct.pack("<HHI", 347, 7, 1)[:4] != raw[:4]  # sanity
+    got, ifd = read_full(LocalStore(str(tmp_path)), "jc.tif")
+    assert ifd.compression == 7
+    assert 347 in ifd.tags and bytes(ifd.tags[347]).startswith(b"\xff\xd8")
+    assert np.array_equal(got, a)
+    # lossy path: a busy gradient stays close but not exact
+    g = ((np.arange(32 * 48).reshape(32, 48)) % 256).astype(np.uint8)
+    p2 = str(tmp_path / "jl.tif")
+    write_geotiff(p2, [g], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                  compression="jpeg")
+    got2, _ = read_full(LocalStore(str(tmp_path)), "jl.tif")
+    assert np.abs(got2.astype(int) - g.astype(int)).mean() < 12
+    # guards: predictor / non-uint8 refuse loudly
+    with pytest.raises(ValueError, match="predictor"):
+        write_geotiff(str(tmp_path / "x.tif"), [a], pixel_scale=(1, 1),
+                      origin=(0, 0), compression="jpeg", predictor=2)
+    with pytest.raises(ValueError, match="uint8"):
+        write_geotiff(str(tmp_path / "y.tif"), [a.astype("u2")],
+                      pixel_scale=(1, 1), origin=(0, 0),
+                      compression="jpeg")
 
 
 def test_catalog_serves_geotiff_store(spark, tmp_path):

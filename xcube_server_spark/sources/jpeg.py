@@ -262,14 +262,71 @@ def _decode_block(
     return block + 128.0, pred
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _parse_dqt(seg: bytes, qts: dict) -> None:
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        if pq == 0:
+            qts[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(
+                np.int64
+            )
+            i += 64
+        else:
+            qts[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(
+                np.int64
+            )
+            i += 128
+
+
+def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        bits = list(seg[i + 1 : i + 17])
+        nv = sum(bits)
+        vals = list(seg[i + 17 : i + 17 + nv])
+        (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+        i += 17 + nv
+
+
+def _parse_tables(
+    tables: bytes, qts: dict, dc_tabs: dict, ac_tabs: dict
+) -> None:
+    """Parse a tables-only stream (SOI, DQT/DHT segments, EOI)."""
+    if tables[:2] != b"\xff\xd8":
+        raise ValueError("JPEGTables stream missing SOI")
+    pos = 2
+    while pos + 4 <= len(tables):
+        if tables[pos] != 0xFF:
+            raise ValueError("bad marker alignment in JPEGTables")
+        m = tables[pos + 1]
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", tables[pos + 2 : pos + 4])
+        seg = tables[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:
+            _parse_dqt(seg, qts)
+        elif m == 0xC4:
+            _parse_dht(seg, dc_tabs, ac_tabs)
+        pos += 2 + ln
+
+
+def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (grayscale
-    replicated across channels)."""
+    replicated across channels).
+
+    ``tables`` optionally supplies a TIFF 6.0 TechNote 2 ``JPEGTables``
+    stream (SOI + DQT/DHT segments + EOI): its tables seed the decode,
+    and the per-tile abbreviated stream may override them — how
+    JPEG-compressed TIFFs share one table set across all tiles."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
+    if tables is not None:
+        _parse_tables(tables, qts, dc_tabs, ac_tabs)
     frame = None
     ri = 0
     pos = 2
@@ -283,20 +340,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + ln]
         if m == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if pq == 0:
-                    qts[tq] = np.frombuffer(
-                        seg[i : i + 64], np.uint8
-                    ).astype(np.int64)
-                    i += 64
-                else:
-                    qts[tq] = np.frombuffer(
-                        seg[i : i + 128], ">u2"
-                    ).astype(np.int64)
-                    i += 128
+            _parse_dqt(seg, qts)
         elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -315,14 +359,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"JPEG SOF marker 0xFF{m:02X} (non-baseline) not supported"
             )
         elif m == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                bits = list(seg[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + nv])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
-                i += 17 + nv
+            _parse_dht(seg, dc_tabs, ac_tabs)
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
@@ -494,12 +531,18 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
-) -> bytes:
+    split_tables: bool = False,
+):
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG. ``quality=50`` uses the Annex K tables verbatim —
     with that table, images constant per 8x8 block with EVEN values round
     trip EXACTLY (DC quant 16 divides 8*(v-128); all AC vanish), which is
-    what the driver gate's formula oracle relies on."""
+    what the driver gate's formula oracle relies on.
+
+    ``split_tables=True`` returns ``(tables, stream)`` instead: a TIFF
+    TechNote 2 ``JPEGTables`` blob (SOI + DQT/DHT + EOI) and an
+    ABBREVIATED image stream with no tables — the layout
+    JPEG-compressed TIFFs use so every tile shares one table set."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -535,12 +578,13 @@ def encode_jpeg(
     ac_tables = [HUFF_AC_LUMA] + ([HUFF_AC_CHROMA] if not gray else [])
     dc_codes = [_build_codes(*t) for t in dc_tables]
     ac_codes = [_build_codes(*t) for t in ac_tables]
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = bytes([0x00]) + bytes(qly[ZIGZAG].astype(np.uint8))
     if not gray:
         dqt += bytes([0x01]) + bytes(qlc[ZIGZAG].astype(np.uint8))
-    out += _seg(0xDB, dqt)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if not split_tables:
+        out += _seg(0xDB, dqt)
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i, (sh, sv) in enumerate(samp):
         sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
@@ -550,7 +594,8 @@ def encode_jpeg(
         dht += bytes([i]) + bytes(bits) + bytes(vals)
     for i, (bits, vals) in enumerate(ac_tables):
         dht += bytes([0x10 | i]) + bytes(bits) + bytes(vals)
-    out += _seg(0xC4, dht)
+    if not split_tables:
+        out += _seg(0xC4, dht)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
@@ -598,6 +643,11 @@ def encode_jpeg(
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"
+    if split_tables:
+        tables = (
+            b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC4, dht) + b"\xff\xd9"
+        )
+        return tables, bytes(out)
     return bytes(out)
 
 

@@ -44,6 +44,7 @@ _W, _L, _BPS, _COMP, _PHOTO, _SOFF, _SPP, _RPS, _SCNT = (
 )
 _PLANAR, _PRED = 284, 317
 _TW, _TL, _TOFF, _TCNT, _SFMT = 322, 323, 324, 325, 339
+_JPEG_TABLES = 347  # TechNote 2 shared tables for compression 7
 _GEO_SCALE, _GEO_TIE, _GEO_KEYS = 33550, 33922, 34735
 
 _NEW_SUBFILE = 254  # bit 0 = reduced-resolution (overview) image
@@ -158,10 +159,10 @@ class TiffReader:
         width = e[_W][0]
         height = e[_L][0]
         comp = e.get(_COMP, [1])[0]
-        if comp not in (1, 5, 8, 32946):
+        if comp not in (1, 5, 7, 8, 32946):
             raise NotImplementedError(
                 f"TIFF compression {comp} not supported"
-                " (none/LZW/deflate only)"
+                " (none/LZW/deflate/JPEG only)"
             )
         spp = e.get(_SPP, [1])[0]
         if spp != 1:
@@ -208,6 +209,22 @@ class TiffReader:
 def decode_tile(raw: bytes, ifd: TiffIFD, tile_idx: int) -> np.ndarray:
     """Decode one tile's bytes to a clipped 2-D array. Standalone (no
     reader/store reference) so executors can call it on fetched bytes."""
+    ty, tx = divmod(tile_idx, ifd.tiles_across)
+    if ifd.compression == 7:
+        # new-style JPEG (TechNote 2): each tile is an abbreviated
+        # baseline stream sharing the JPEGTables tag's DQT/DHT
+        from .jpeg import decode_jpeg
+
+        if ifd.dtype[1:] != "u1":
+            raise NotImplementedError(
+                "JPEG-compressed TIFF carries 8-bit samples only"
+            )
+        tables = ifd.tags.get(_JPEG_TABLES)
+        img = decode_jpeg(bytes(raw), tables=bytes(tables) if tables else None)
+        arr = img[:, :, 0]  # single-sample grayscale
+        h = min(ifd.tile_h, ifd.height - ty * ifd.tile_h)
+        w = min(ifd.tile_w, ifd.width - tx * ifd.tile_w)
+        return arr[:h, :w].astype(ifd.dtype)
     if ifd.compression in (8, 32946):
         raw = zlib.decompress(raw)
     elif ifd.compression == 5:
@@ -267,12 +284,17 @@ def write_geotiff(
     th, tw = tile
     if th % 16 or tw % 16:
         raise ValueError("TIFF tile dims must be multiples of 16")
-    comp_code = {"none": 1, "lzw": 5, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7}[compression]
+    if comp_code == 7 and predictor != 1:
+        raise ValueError("JPEG compression does not compose a predictor")
 
     # serialize each level's tiles first so offsets can be laid out
+    jpeg_tables: bytes | None = None
     all_tiles: list[list[bytes]] = []
     for arr in levels:
         a = np.ascontiguousarray(arr)
+        if comp_code == 7 and a.dtype != np.uint8:
+            raise ValueError("JPEG compression carries uint8 samples only")
         tiles = []
         for ty in range((a.shape[0] + th - 1) // th):
             for tx in range((a.shape[1] + tw - 1) // tw):
@@ -285,6 +307,15 @@ def write_geotiff(
                     d = block.copy()
                     d[:, 1:] = block[:, 1:] - block[:, :-1]  # wraps in-dtype
                     block = d
+                if comp_code == 7:
+                    from .jpeg import encode_jpeg
+
+                    # abbreviated streams share ONE JPEGTables blob
+                    jpeg_tables, b = encode_jpeg(
+                        block, quality=50, split_tables=True
+                    )
+                    tiles.append(b)
+                    continue
                 b = block.tobytes()
                 if comp_code == 8:
                     b = zlib.compress(b, 6)
@@ -297,6 +328,8 @@ def write_geotiff(
     out += struct.pack("<I", 0)  # IFD0 offset patched below
 
     def _entry(tag, typ, vals):
+        if typ == 7:  # UNDEFINED: raw bytes (JPEGTables)
+            return tag, typ, len(vals), bytes(vals), len(vals)
         cnt = len(vals)
         fmt = _TYPE_FMT[typ]
         size = _TYPE_SIZES[typ] * cnt
@@ -335,6 +368,8 @@ def write_geotiff(
             # minimal GeoKeyDirectory: v1.1.0, 1 key: GTModelType=2 (geographic)
             _entry(_GEO_KEYS, 3, [1, 1, 0, 1, 1024, 0, 1, 2]),
         ]
+        if jpeg_tables is not None:
+            entries.append(_entry(_JPEG_TABLES, 7, jpeg_tables))
         pending.append(entries)
 
     # layout: header(8) | IFD blocks+overflow | tile data
