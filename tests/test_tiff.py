@@ -240,6 +240,65 @@ def test_predictor2_roundtrip_and_float_gate(tmp_path):
         read_full(LocalStore(str(tmp_path)), "p3.tif")
 
 
+def test_packbits_spec_vector_and_roundtrip(tmp_path):
+    """PackBits pinned to the WORKED EXAMPLE in TIFF 6.0 section 9
+    (the Apple PackBits vector), plus roundtrip fuzz and a file-level
+    roundtrip through compression 32773."""
+    import random
+
+    from xcube_server_spark.sources.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
+    assert packbits_decode(packed) == want
+    rng = random.Random(3)
+    for _ in range(40):
+        n = rng.randrange(0, 600)
+        data = bytes(
+            rng.choice([0, 1, rng.randrange(256)]) for _ in range(n)
+        )
+        assert packbits_decode(packbits_encode(data)) == data
+    a = ((np.arange(24 * 40).reshape(24, 40) * 31) % 251).astype("u1")
+    a[5:9, :] = 7  # long runs exercise replicate packets
+    p = str(tmp_path / "pb.tif")
+    write_geotiff(p, [a], pixel_scale=(1.0, 1.0), origin=(0.0, 0.0),
+                  compression="packbits")
+    got, ifd = read_full(LocalStore(str(tmp_path)), "pb.tif")
+    assert ifd.compression == 32773
+    assert np.array_equal(got, a)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries) — what
+    petabyte COG archives ship: writer emits it, reader walks it, two
+    levels over HTTP-style ranged reads included."""
+    full = _formula(24, 40)
+    ov = full[::2, ::2].copy()
+    p = str(tmp_path / "big.tif")
+    write_geotiff(p, [full, ov], pixel_scale=(0.125, 0.125),
+                  origin=(0.0, 53.0), bigtiff=True)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"II+\x00" and raw[4:6] == b"\x08\x00"
+    st = LocalStore(str(tmp_path))
+    rd = TiffReader(st, "big.tif")
+    assert rd.big and len(rd.ifds) == 2
+    a0, ifd0 = read_full(st, "big.tif", 0)
+    a1, ifd1 = read_full(st, "big.tif", 1)
+    assert np.array_equal(np.isnan(a0), np.isnan(full))
+    assert np.allclose(np.nan_to_num(a0), np.nan_to_num(full))
+    assert np.allclose(np.nan_to_num(a1), np.nan_to_num(ov))
+    assert ifd1.is_overview and ifd0.tiepoint[3:5] == (0.0, 53.0)
+    # malformed offset size still raises loudly
+    bad = bytearray(raw)
+    bad[4] = 4
+    (tmp_path / "bad.tif").write_bytes(bytes(bad))
+    with pytest.raises(NotImplementedError, match="offset size"):
+        TiffReader(st, "bad.tif")
+
+
 def test_jpeg_compressed_tiff_roundtrip(tmp_path):
     """Compression 7 (new-style JPEG, TechNote 2): abbreviated per-tile
     streams share one JPEGTables blob. Per-8x8-block constant EVEN

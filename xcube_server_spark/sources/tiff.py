@@ -35,8 +35,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    11: 4, 12: 8, 16: 8, 17: 8, 18: 8,  # 16-18: BigTIFF LONG8/SLONG8/IFD8
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 # tags
 _W, _L, _BPS, _COMP, _PHOTO, _SOFF, _SPP, _RPS, _SCNT = (
@@ -113,34 +119,59 @@ class TiffReader:
             raise ValueError("not a TIFF: bad byte-order mark")
         magic = struct.unpack(self.bo + "H", head[2:4])[0]
         if magic == 43:
-            raise NotImplementedError("BigTIFF (magic 43) not supported")
-        if magic != 42:
+            # BigTIFF: 8-byte offsets — the layout petabyte COG archives
+            # actually ship (classic TIFF caps at 4 GiB)
+            self.big = True
+            head2 = store.get_range(key, 4, 12)
+            osz, pad = struct.unpack(self.bo + "HH", head2[:4])
+            if osz != 8 or pad != 0:
+                raise NotImplementedError(
+                    f"BigTIFF offset size {osz} (8 supported)"
+                )
+            off = struct.unpack(self.bo + "Q", head2[4:12])[0]
+        elif magic == 42:
+            self.big = False
+            off = struct.unpack(self.bo + "I", head[4:8])[0]
+        else:
             raise ValueError(f"not a TIFF: magic {magic}")
         self.ifds: list[TiffIFD] = []
-        off = struct.unpack(self.bo + "I", head[4:8])[0]
         while off:
             ifd, off = self._parse_ifd(off)
             self.ifds.append(ifd)
 
     # -- IFD parsing ------------------------------------------------------
     def _parse_ifd(self, off: int) -> tuple[TiffIFD, int]:
-        nb = self.store.get_range(self.key, off, 2)
-        n = struct.unpack(self.bo + "H", nb)[0]
-        body = self.store.get_range(self.key, off + 2, n * 12 + 4)
+        """Classic IFDs: u16 count, 12-byte entries, u32 offsets.
+        BigTIFF: u64 count, 20-byte entries (u64 value count, 8 inline
+        bytes), u64 offsets."""
+        if self.big:
+            hdr_w, ent_w, off_w = 8, 20, 8
+            hdr_f = val_f = off_f = "Q"
+        else:
+            hdr_w, ent_w, off_w = 2, 12, 4
+            hdr_f, val_f, off_f = "H", "I", "I"
+        nb = self.store.get_range(self.key, off, hdr_w)
+        n = struct.unpack(self.bo + hdr_f, nb)[0]
+        body = self.store.get_range(
+            self.key, off + hdr_w, n * ent_w + off_w
+        )
+        val_w = 8 if self.big else 4
         entries = {}
         for i in range(n):
-            tag, typ, cnt = struct.unpack(
-                self.bo + "HHI", body[i * 12 : i * 12 + 8]
-            )
-            raw = body[i * 12 + 8 : i * 12 + 12]
+            ent = body[i * ent_w : (i + 1) * ent_w]
+            tag, typ = struct.unpack(self.bo + "HH", ent[:4])
+            (cnt,) = struct.unpack(self.bo + val_f, ent[4 : 4 + val_w])
+            raw = ent[4 + val_w :]
             size = _TYPE_SIZES.get(typ, 1) * cnt
-            if size > 4:
-                ptr = struct.unpack(self.bo + "I", raw)[0]
+            if size > len(raw):
+                ptr = struct.unpack(self.bo + off_f, raw[:off_w])[0]
                 data = self.store.get_range(self.key, ptr, size)
             else:
                 data = raw[:size]
             entries[tag] = self._decode_values(typ, cnt, data)
-        nxt = struct.unpack(self.bo + "I", body[n * 12 : n * 12 + 4])[0]
+        nxt = struct.unpack(
+            self.bo + off_f, body[n * ent_w : n * ent_w + off_w]
+        )[0]
         return self._ifd_from_entries(entries), nxt
 
     def _decode_values(self, typ: int, cnt: int, data: bytes):
@@ -159,10 +190,10 @@ class TiffReader:
         width = e[_W][0]
         height = e[_L][0]
         comp = e.get(_COMP, [1])[0]
-        if comp not in (1, 5, 7, 8, 32946):
+        if comp not in (1, 5, 7, 8, 32773, 32946):
             raise NotImplementedError(
                 f"TIFF compression {comp} not supported"
-                " (none/LZW/deflate/JPEG only)"
+                " (none/LZW/deflate/JPEG/PackBits only)"
             )
         spp = e.get(_SPP, [1])[0]
         if spp != 1:
@@ -229,6 +260,8 @@ def decode_tile(raw: bytes, ifd: TiffIFD, tile_idx: int) -> np.ndarray:
         raw = zlib.decompress(raw)
     elif ifd.compression == 5:
         raw = lzw_decode(raw)
+    elif ifd.compression == 32773:
+        raw = packbits_decode(raw)
     arr = np.frombuffer(raw, dtype=ifd.dtype)
     # TIFF 6.0 final strips are NOT padded: a striped file whose height is
     # not a multiple of RowsPerStrip delivers fewer than tile_h rows in the
@@ -272,6 +305,7 @@ def write_geotiff(
     tile: tuple[int, int] = (16, 16),
     compression: str = "deflate",
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> None:
     """Minimal tiled GeoTIFF/COG writer for fixtures and tests.
 
@@ -284,7 +318,9 @@ def write_geotiff(
     th, tw = tile
     if th % 16 or tw % 16:
         raise ValueError("TIFF tile dims must be multiples of 16")
-    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7}[compression]
+    comp_code = {
+        "none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "packbits": 32773,
+    }[compression]
     if comp_code == 7 and predictor != 1:
         raise ValueError("JPEG compression does not compose a predictor")
 
@@ -321,11 +357,20 @@ def write_geotiff(
                     b = zlib.compress(b, 6)
                 elif comp_code == 5:
                     b = lzw_encode(b)
+                elif comp_code == 32773:
+                    b = packbits_encode(b)
                 tiles.append(b)
         all_tiles.append(tiles)
 
-    out = bytearray(b"II*\x00")
-    out += struct.pack("<I", 0)  # IFD0 offset patched below
+    if bigtiff:
+        # BigTIFF: magic 43, 8-byte offsets, 20-byte IFD entries
+        out = bytearray(b"II+\x00")
+        out += struct.pack("<HH", 8, 0)
+        out += struct.pack("<Q", 0)  # IFD0 offset patched below
+    else:
+        out = bytearray(b"II*\x00")
+        out += struct.pack("<I", 0)  # IFD0 offset patched below
+    inline = 8 if bigtiff else 4
 
     def _entry(tag, typ, vals):
         if typ == 7:  # UNDEFINED: raw bytes (JPEGTables)
@@ -372,14 +417,14 @@ def write_geotiff(
             entries.append(_entry(_JPEG_TABLES, 7, jpeg_tables))
         pending.append(entries)
 
-    # layout: header(8) | IFD blocks+overflow | tile data
-    pos = 8
+    # layout: header | IFD blocks+overflow | tile data
+    pos = len(out)
     blocks = []
     for entries in pending:
         n = len(entries)
         ifd_offsets.append(pos)
-        body_size = 2 + n * 12 + 4
-        overflow = sum(size for *_x, size in entries if size > 4)
+        body_size = (8 + n * 20 + 8) if bigtiff else (2 + n * 12 + 4)
+        overflow = sum(size for *_x, size in entries if size > inline)
         blocks.append((pos, body_size, overflow))
         pos += body_size + overflow
     data_pos = pos
@@ -392,7 +437,11 @@ def write_geotiff(
             data_pos += len(t)
         tile_offsets.append(offs)
 
-    struct.pack_into("<I", out, 4, ifd_offsets[0])
+    if bigtiff:
+        struct.pack_into("<Q", out, 8, ifd_offsets[0])
+    else:
+        struct.pack_into("<I", out, 4, ifd_offsets[0])
+    cnt_fmt, off_fmt = ("<Q", "<Q") if bigtiff else ("<H", "<I")
     for li, entries in enumerate(pending):
         # patch tile offsets into the entry list
         fixed = []
@@ -402,18 +451,19 @@ def write_geotiff(
             fixed.append((tag, typ, cnt, packed, size))
         fixed.sort(key=lambda e: e[0])  # tags ascending per spec
         n = len(fixed)
-        out += struct.pack("<H", n)
-        overflow_pos = blocks[li][0] + 2 + n * 12 + 4
+        out += struct.pack(cnt_fmt, n)
+        overflow_pos = blocks[li][0] + blocks[li][1]
         overflow_buf = b""
         for tag, typ, cnt, packed, size in fixed:
-            out += struct.pack("<HHI", tag, typ, cnt)
-            if size > 4:
-                out += struct.pack("<I", overflow_pos + len(overflow_buf))
+            out += struct.pack("<HH", tag, typ)
+            out += struct.pack("<Q" if bigtiff else "<I", cnt)
+            if size > inline:
+                out += struct.pack(off_fmt, overflow_pos + len(overflow_buf))
                 overflow_buf += packed
             else:
-                out += packed.ljust(4, b"\0")
+                out += packed.ljust(inline, b"\0")
         nxt = ifd_offsets[li + 1] if li + 1 < len(pending) else 0
-        out += struct.pack("<I", nxt)
+        out += struct.pack(off_fmt, nxt)
         out += overflow_buf
     for tiles in all_tiles:
         for t in tiles:
@@ -604,6 +654,53 @@ def open_geotiff(path: str, level: int = 0) -> GeoTiffDataset:
 # TIFF 6.0 section 13: MSB-first LZW with ClearCode=256, EOI=257 and the
 # spec's "early change" quirk (code width grows one code earlier than the
 # table strictly requires, matching the original implementation).
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 section 9 PackBits RLE: n in [0,127] copies n+1 literal
+    bytes; n in [-127,-1] repeats the next byte 1-n times; -128 no-ops."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >= 3 identical bytes become replicate
+    packets, everything else literal packets (<= 128 bytes each)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                k = min(128, i - lit_start)
+                out.append(k - 1)
+                out += data[lit_start : lit_start + k]
+                lit_start += k
+            out.append(256 - (run - 1))
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        k = min(128, i - lit_start)
+        out.append(k - 1)
+        out += data[lit_start : lit_start + k]
+        lit_start += k
+    return bytes(out)
+
+
 _CLEAR, _EOI = 256, 257
 
 
