@@ -186,3 +186,27 @@ def test_audio_decode_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"xx", 16, fake=False)
+
+
+def test_resize_bilinear():
+    """Bilinear resize (align-corners=False): constant images stay
+    constant, a linear ramp resamples to the analytic center-sample
+    values, and 2x downscale of a 2x2-blocked image averages blocks."""
+    import numpy as np
+
+    from xcube_server_spark.pipeline.multimodal import resize_image
+
+    const = np.full((8, 12, 3), 77, np.uint8)
+    assert (resize_image(const, 6, 4, "bilinear") == 77).all()
+    # horizontal ramp 0..15 at width 16 -> width 8: centers at
+    # (j+0.5)*2-0.5 = 2j+0.5 -> value 2j+0.5 -> rounds to 2j+1 (ties up)
+    ramp = np.tile(np.arange(16, dtype=np.uint8), (4, 1))
+    got = resize_image(ramp, 8, 4, "bilinear")
+    assert got.shape == (4, 8)
+    assert list(got[0]) == [2 * j + 1 for j in range(8)]
+    # float dtype keeps exact averages
+    rampf = ramp.astype(np.float64)
+    gotf = resize_image(rampf, 8, 4, "bilinear")
+    assert np.allclose(gotf[0], [2 * j + 0.5 for j in range(8)])
+    with pytest.raises(ValueError, match="method"):
+        resize_image(const, 4, 4, "lanczos")

@@ -134,13 +134,40 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     return media.mapInPandas(run, "asset_id long, frame_idx int")
 
 
-def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Nearest-neighbor resize — pure numpy index sampling (no PIL needed),
-    the same O(out_pixels) gather a GPU preprocessing kernel does."""
+def resize_image(
+    img: np.ndarray, out_w: int, out_h: int, method: str = "nearest"
+) -> np.ndarray:
+    """Resize — pure numpy (no PIL needed). ``nearest`` is the
+    O(out_pixels) index gather; ``bilinear`` is the align-corners=False
+    convention training loaders default to (sample at pixel centers,
+    clamp at the border), vectorized as four gathers + a lerp."""
     h, w = img.shape[:2]
-    rows = (np.arange(out_h) * (h / out_h)).astype(int)
-    cols = (np.arange(out_w) * (w / out_w)).astype(int)
-    return img[rows][:, cols]
+    if method == "nearest":
+        rows = (np.arange(out_h) * (h / out_h)).astype(int)
+        cols = (np.arange(out_w) * (w / out_w)).astype(int)
+        return img[rows][:, cols]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    if img.ndim == 2:
+        wy, wx = wy[:, :, 0], wx[:, :, 0]
+    top = a + (b - a) * wx
+    bot = c + (d - c) * wx
+    out = top + (bot - top) * wy
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(img.dtype)
+    return out.astype(img.dtype)
 
 
 def resize_assets(
