@@ -160,10 +160,49 @@ def test_roundtrip_with_repo_encoder():
     assert np.array_equal(decode_rgba_png(encode_rgba_png(px)), px)
 
 
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def test_adam7_interlaced():
+    """Adam7: the test builds the seven filtered sub-images FORWARD
+    (reusing the spec-side filter builder per pass, varying filter
+    types) and the decoder must reassemble the full grid."""
+    for h, w in [(13, 17), (8, 8), (1, 1), (3, 2), (16, 5)]:
+        px = _formula_rgb(h, w, seed=h * 31 + w)
+        raw = b""
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            filters = [(pi + r) % 5 for r in range(sub.shape[0])]
+            sub_png = _build_png(sub, ctype=2, filters=filters)
+            # extract the sub-image's raw filtered scanlines back out
+            # of the helper's container (IDAT payload, deflated)
+            i = sub_png.find(b"IDAT") - 4
+            (ln,) = struct.unpack(">I", sub_png[i : i + 4])
+            raw += zlib.decompress(
+                sub_png[i + 8 : i + 8 + ln]
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        from xcube_server_spark.sources.png import _chunk
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        got = decode_png(data)
+        assert np.array_equal(got, px), (h, w)
+
+
 def test_clear_error_gates():
     px = _formula_rgb(2, 2)
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_build_png(px, ctype=2, interlace=1))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(_build_png(px, ctype=2, interlace=2))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF" + bytes(16))
     bad = bytearray(_build_png(px, ctype=2))

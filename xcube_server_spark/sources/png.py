@@ -149,6 +149,38 @@ def _unpack_samples(
     return vals[:, :w].reshape(h, w, 1)
 
 
+# Adam7 pass origins and strides: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7(
+    raw: bytes, h: int, w: int, depth: int, nch: int, bpp: int
+) -> np.ndarray:
+    """Adam7 interlace: seven independently-filtered sub-images, each
+    scattered back onto its (x0 + i*dx, y0 + j*dy) grid."""
+    dt = np.uint16 if depth == 16 else np.uint8
+    out = np.zeros((h, w, nch), dt)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        rows = _unfilter(raw[pos : pos + need], ph, stride, bpp)
+        pos += need
+        out[y0::dy, x0::dx] = _unpack_samples(rows, pw, depth, nch, True)
+    if pos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return out
+
+
 def decode_png(data: bytes, full_depth: bool = False) -> np.ndarray:
     """General baseline PNG decode to (h, w, channels) uint8 — channels
     follows the color type (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA; palette
@@ -183,8 +215,8 @@ def decode_png(data: bytes, full_depth: bool = False) -> np.ndarray:
         pos += 12 + length
     if w is None:
         raise ValueError("PNG has no IHDR chunk")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace}")
     if ctype not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
     if depth not in (1, 2, 4, 8, 16) or (
@@ -194,13 +226,16 @@ def decode_png(data: bytes, full_depth: bool = False) -> np.ndarray:
             f"PNG bit depth {depth} with color type {ctype} not supported"
         )
     nch = _CHANNELS[ctype]
-    stride = (w * nch * depth + 7) // 8
     raw = zlib.decompress(idat)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
     bpp = max(1, nch * depth // 8)
-    rows = _unfilter(raw, h, stride, bpp)
-    samples = _unpack_samples(rows, w, depth, nch, full_depth)
+    if interlace == 1:
+        samples = _adam7(raw, h, w, depth, nch, bpp)
+    else:
+        stride = (w * nch * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        rows = _unfilter(raw, h, stride, bpp)
+        samples = _unpack_samples(rows, w, depth, nch, True)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -213,7 +248,9 @@ def decode_png(data: bytes, full_depth: bool = False) -> np.ndarray:
         return rgb
     if full_depth:
         return samples
+    if depth == 16:  # normalize to uint8: keep the high byte
+        return (samples >> 8).astype(np.uint8)
     if depth in (1, 2, 4):  # grayscale sub-byte: scale to full range
         scale = 255 // ((1 << depth) - 1)
-        samples = samples * scale
+        samples = (samples * scale).astype(np.uint8)
     return samples
