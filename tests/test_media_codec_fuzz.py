@@ -1,0 +1,83 @@
+"""Hostile-byte fuzz for the round-9 media codecs (PNG / JPEG /
+JPEG 2000 / WAV): truncations and bit flips must RAISE LOUDLY or return
+a well-formed array — never hang (the round-8 zstd lesson: an empty
+slice parsed as a zero-size block spun forever) and never crash the
+interpreter. Each case runs against streams produced by the repo's own
+encoders so the mutation space is realistic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from xcube_server_spark.sources.jpeg import decode_jpeg, encode_jpeg
+from xcube_server_spark.sources.jpeg2000 import decode_j2k, encode_j2k
+from xcube_server_spark.sources.png import decode_png, encode_rgba_png
+from xcube_server_spark.sources.wav import decode_wav, encode_wav
+
+
+def _img(h=24, w=16):
+    y, x, c = np.mgrid[0:h, 0:w, 0:4]
+    a = ((y * 7 + x * 13 + c * 59) % 256).astype(np.uint8)
+    a[:, :, 3] = 255
+    return a
+
+
+_PNG = encode_rgba_png(_img())
+_JPG = encode_jpeg(_img()[:, :, :3], quality=80)
+_J2K = encode_j2k((np.arange(20 * 24) % 251).reshape(20, 24))
+_WAV = encode_wav(((np.arange(300) * 13 % 2001) - 1000) / 32768.0, 8000)
+
+_DECODERS = {
+    "png": (_PNG, decode_png),
+    "jpeg": (_JPG, decode_jpeg),
+    "j2k": (_J2K, decode_j2k),
+    "wav": (_WAV, lambda b: decode_wav(b)[0]),
+}
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from(sorted(_DECODERS)),
+    st.floats(0.0, 1.0),
+)
+def test_truncation_terminates(codec, frac):
+    data, dec = _DECODERS[codec]
+    cut = data[: int(len(data) * frac)]
+    if cut == data:
+        return
+    try:
+        out = dec(cut)
+        # a shorter prefix may still parse (e.g. WAV with a shorter
+        # declared data chunk is impossible — but be permissive: any
+        # non-exception result must at least be an ndarray)
+        assert isinstance(out, np.ndarray)
+    except Exception as exc:  # noqa: BLE001 - loud failure is the contract
+        assert not isinstance(exc, (SystemError, MemoryError))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sampled_from(sorted(_DECODERS)),
+    st.integers(0, 10_000),
+    st.integers(1, 255),
+)
+def test_bitflip_terminates(codec, pos, xor):
+    data, dec = _DECODERS[codec]
+    pos %= len(data)
+    mutated = bytes(
+        b ^ xor if i == pos else b for i, b in enumerate(data)
+    )
+    try:
+        out = dec(mutated)
+        assert isinstance(out, np.ndarray)
+    except Exception as exc:  # noqa: BLE001
+        assert not isinstance(exc, (SystemError, MemoryError))
+
+
+def test_empty_and_garbage_inputs_raise():
+    for _name, (_data, dec) in sorted(_DECODERS.items()):
+        for junk in (b"", b"\x00" * 64, b"\xff" * 64, b"GIF89a" + b"x" * 32):
+            with pytest.raises(Exception):
+                dec(junk)
