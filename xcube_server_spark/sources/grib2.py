@@ -992,6 +992,11 @@ def write_grib2(
                 _encode_sign_magnitude(binary_scale),
                 _encode_sign_magnitude(decimal_scale),
             )
+            if vals.size == 0 and packing in ("png", "j2k"):
+                raise ValueError(
+                    f"{name}[{ti}]: PNG/JPEG2000 packing needs at least "
+                    "one present value (all-missing slice)"
+                )
             if packing == "simple":
                 sec5 = (
                     struct.pack(">I", int(vals.size))
