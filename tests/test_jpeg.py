@@ -164,14 +164,98 @@ def test_odd_dimensions_pad_and_crop():
     assert got2.shape == (13, 21, 3)
 
 
+def test_progressive_equals_baseline_bit_exact():
+    """THE progressive cross-check: both modes entropy-code the same
+    quantized coefficients, so a progressive stream (SOF2 — spectral
+    bands, successive approximation, EOB runs, buffered correction
+    bits) and its baseline twin must decode to BIT-IDENTICAL pixels.
+    Two completely different entropy paths agreeing exactly is the
+    strongest pin available without a reference decoder."""
+    rng = np.random.RandomState(5)
+    cases = [
+        ((16, 24), None, 50), ((13, 21), None, 75),
+        ((24, 16), "4:4:4", 80), ((32, 32), "4:2:0", 85),
+        ((13, 21), "4:2:0", 90), ((64, 48), "4:4:4", 95),
+    ]
+    for (h, w), sub, q in cases:
+        if sub is None:
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            sub = "4:4:4"
+        else:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+    # SOF2 marker really present; exactness construction still exact
+    img = _block_constant_even(16, 24, seed=2)
+    data = encode_jpeg(img, quality=50, progressive=True)
+    assert b"\xff\xc2" in data
+    assert np.array_equal(decode_jpeg(data)[:, :, 0], img)
+
+
+def test_progressive_ac_scan_pair_fuzz():
+    """Coefficient-level fuzz of the AC first+refine scan pair — the
+    EOB-run/buffered-correction-bit machinery across block counts,
+    densities and bands."""
+    import random
+
+    from xcube_server_spark.sources import jpeg as J
+
+    ac_codes = J._build_codes(*J.HUFF_AC_PROG)
+    ac_tab = J._decode_table(*J.HUFF_AC_PROG)
+    rng = random.Random(0)
+    for trial in range(60):
+        nbx, nby = rng.randrange(1, 6), rng.randrange(1, 5)
+        density = rng.choice([0.02, 0.15, 0.5, 0.95])
+        qb = np.zeros((nby, nbx, 64), np.int64)
+        mask = np.random.RandomState(trial).random_sample(
+            (nby, nbx, 64)
+        ) < density
+        vals = np.random.RandomState(trial + 7).randint(
+            -300, 301, (nby, nbx, 64)
+        )
+        qb[mask] = vals[mask]
+        ss = rng.choice([1, 1, 6])
+        se = rng.choice([63, 63, 5])
+        if se < ss:
+            se = 63
+        first = J._encode_ac_first(qb, (nbx, nby), ac_codes, ss, se, 1)
+        refine = J._encode_ac_refine(qb, (nbx, nby), ac_codes, ss, se, 0)
+        comp = {
+            "id": 1, "h": 1, "v": 1, "tq": 0,
+            "coef": np.zeros((nby, nbx, 64), np.int32),
+            "nbx": nbx, "nby": nby,
+        }
+        frame = {"mx": nbx, "my": nby, "hmax": 1, "vmax": 1,
+                 "h": nby * 8, "w": nbx * 8}
+        J._decode_prog_scan(
+            J._BitReader(first + b"\xff\xd9", 0), [comp], frame,
+            [(1, 0, 0)], ss, se, 0, 1, {}, {0: ac_tab}, 0,
+        )
+        J._decode_prog_scan(
+            J._BitReader(refine + b"\xff\xd9", 0), [comp], frame,
+            [(1, 0, 0)], ss, se, 1, 0, {}, {0: ac_tab}, 0,
+        )
+        want = qb.copy()
+        want[:, :, :ss] = 0
+        want[:, :, se + 1 :] = 0
+        want[:, :, 0] = 0
+        got = comp["coef"].astype(np.int64)
+        got[:, :, 0] = 0
+        assert np.array_equal(got, want), (trial, nbx, nby, ss, se)
+
+
 def test_clear_error_gates():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive: flip SOF0 -> SOF2 in a valid stream
+    # a BASELINE stream mislabeled SOF2 is structurally invalid as
+    # progressive (its single interleaved scan claims Se=63 for DC)
     data = bytearray(encode_jpeg(_block_constant_even(8, 8), quality=50))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(bytes(data))
     data[i + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(NotImplementedError, match="non-baseline"):

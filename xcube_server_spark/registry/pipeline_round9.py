@@ -37,19 +37,22 @@ from .cube_queries import _gate_path
 
 _IMG_W, _IMG_H = 24, 16  # 3x2 JPEG blocks
 _N_PNG, _N_JPG = 6, 6
+_N_PROG = 4  # progressive (SOF2) JPEG assets
 _WAV_N, _WAV_SR, _N_WAV = 1600, 8000, 5
 
 
 def _media_gate_fixture(spark: SparkSession) -> str:
-    """Materialize (once) the media-asset parquet: 6 PNG + 6 JPEG image
-    payloads and 5 PCM WAV audio payloads, all pixel/sample values from
-    integer formulas the SQL oracles regenerate."""
+    """Materialize (once) the media-asset parquet: 6 PNG + 6 baseline
+    JPEG + 4 PROGRESSIVE JPEG image payloads and 5 PCM WAV audio
+    payloads, all pixel/sample values from integer formulas the SQL
+    oracles regenerate (the JPEG assets use the block-constant-even
+    construction, bit-exact at quality 50 in BOTH entropy modes)."""
     from ..pipeline.multimodal import MEDIA_SCHEMA
     from ..sources.jpeg import encode_jpeg
     from ..sources.png import encode_rgba_png
     from ..sources.wav import encode_wav
 
-    d = _gate_path("xss_media_gate_v1")
+    d = _gate_path("xss_media_gate_v2")
     assets_p = os.path.join(d, "assets.parquet")
     audio_p = os.path.join(d, "audio.parquet")
     if os.path.exists(os.path.join(assets_p, "_SUCCESS")) and os.path.exists(
@@ -77,6 +80,15 @@ def _media_gate_fixture(spark: SparkSession) -> str:
              {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
               "sample_rate": 0})
         )
+    for s in range(_N_PROG):
+        vals = (2 * ((s * 17 + by * 7 + bx * 5) % 101) + 20).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), np.uint8))
+        rows.append(
+            (20 + s, "image/jpeg-progressive",
+             bytearray(encode_jpeg(img, quality=50, progressive=True)),
+             {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
+              "sample_rate": 0})
+        )
     spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(assets_p)
@@ -99,9 +111,10 @@ def _media_gate_fixture(spark: SparkSession) -> str:
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean luma per asset from REAL decoded pixels (no fake decoder):
     parquet binary column -> mapInPandas decode (PNG general baseline /
-    JPEG T.81 Huffman+IDCT) -> per-asset fold. The PNG payloads are
-    lossless; the JPEG payloads use the block-constant-even construction
-    that round trips bit-exactly at quality 50, so BOTH formats get full
+    JPEG T.81 Huffman+IDCT, BASELINE AND PROGRESSIVE SOF2) -> per-asset
+    fold. The PNG payloads are lossless; the JPEG payloads use the
+    block-constant-even construction that round trips bit-exactly at
+    quality 50 in both entropy modes, so ALL formats get full
     value-hash oracles."""
     from ..pipeline.multimodal import extract_features
 
@@ -135,10 +148,20 @@ WITH png AS (
   CROSS JOIN (SELECT unnest(range(0, {_IMG_H // 8})) AS i) bb
   CROSS JOIN (SELECT unnest(range(0, {_IMG_W // 8})) AS i) cc
   GROUP BY 1, 2
+), jprog AS (
+  SELECT 20 + s.i AS asset_id, 'image/jpeg-progressive' AS media_type,
+         avg(CAST(2*((s.i*17 + bb.i*7 + cc.i*5) % 101) + 20 AS DOUBLE)) AS m
+  FROM (SELECT unnest(range(0, {_N_PROG})) AS i) s
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_H // 8})) AS i) bb
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_W // 8})) AS i) cc
+  GROUP BY 1, 2
 )
 SELECT asset_id, media_type,
        floor(m * 1000000 + 0.5) / 1000000 AS mean_luma
-FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg)
+FROM (
+  SELECT * FROM png UNION ALL SELECT * FROM jpg
+  UNION ALL SELECT * FROM jprog
+)
 ORDER BY asset_id
 """
 

@@ -126,6 +126,23 @@ HUFF_AC_CHROMA = (
 )
 
 
+# Progressive AC table: the Annex K sequential tables DEFINE NO EOBn
+# symbols (0x10..0xE0), which progressive scans require — libjpeg always
+# emits custom tables for SOF2. This fixed canonical table assigns every
+# progressive-reachable symbol a 9-bit code (176 symbols < 2^9: a valid,
+# if unoptimized, prefix set; the DHT in the stream carries it, so any
+# decoder reads it like any other table).
+_AC_PROG_VALS = (
+    [r << 4 for r in range(15)]            # EOB1..EOB16384 (incl. 0x00)
+    + [0xF0]                                # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0],
+    _AC_PROG_VALS,
+)
+
+
 def _dct_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II basis: A[u, x] = C(u)/2 * cos((2x+1)uπ/16).
     Forward: F = A @ f @ A.T; inverse: f = A.T @ F @ A (A is orthonormal)."""
@@ -352,8 +369,8 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif m == 0xC2:  # progressive: its own multi-scan walk
+            return _decode_progressive(data, tables)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{m:02X} (non-baseline) not supported"
@@ -420,7 +437,12 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                     y0 = (myi * cv + vy) * 8
                     x0 = (mxi * ch + vx) * 8
                     c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
-    # crop planes to component extent, upsample to frame size (nearest)
+    return _upsample_and_color(comps, h, w, hmax, vmax)
+
+
+def _upsample_and_color(comps, h, w, hmax, vmax) -> np.ndarray:
+    """Crop component planes to extent, nearest-upsample to frame size,
+    and convert JFIF YCbCr -> RGB (grayscale replicated)."""
     out_planes = []
     for c in comps:
         cw = -(-w * c["h"] // hmax)
@@ -438,6 +460,235 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     b_ = y + 1.772 * (cb - 128.0)
     rgb = np.dstack([r_, g_, b_])
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """First byte index at/after ``p`` holding a real marker (0xFF
+    followed by neither a stuffed 0x00 nor an RSTn)."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_progressive(
+    data: bytes, tables: bytes | None = None
+) -> np.ndarray:
+    """Progressive JPEG (SOF2) — the dominant web-JPEG variant: DC and
+    AC coefficients arrive across multiple scans (spectral selection
+    bands + successive-approximation bit refinement), accumulated into
+    per-component coefficient arrays and reconstructed once at EOI.
+    Scan semantics per ITU-T T.81 G.2 (EOB runs, point transforms,
+    correction bits)."""
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    if tables is not None:
+        _parse_tables(tables, qts, dc_tabs, ac_tabs)
+    frame = None
+    comps: list[dict] = []
+    ri = 0
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:
+            _parse_dqt(seg, qts)
+        elif m == 0xC4:
+            _parse_dht(seg, dc_tabs, ac_tabs)
+        elif m == 0xDD:
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("progressive JPEG: 8-bit only")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component progressive JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mx = -(-w // (8 * hmax))
+            my = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mx * c["h"]
+                c["bh"] = my * c["v"]
+                # per-block coefficients in ZIGZAG order, refined in place
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), np.int32)
+                # non-interleaved scans cover only the component extent
+                c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+            frame = {"h": h, "w": w, "hmax": hmax, "vmax": vmax,
+                     "mx": mx, "my": my}
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "mixed/other SOF inside a progressive stream"
+            )
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("progressive scan before SOF2")
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                scomps.append((cs, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            rdr = _BitReader(data, pos + 2 + ln)
+            _decode_prog_scan(
+                rdr, comps, frame, scomps, ss, se, ah, al,
+                dc_tabs, ac_tabs, ri,
+            )
+            pos = _next_marker(data, rdr.p)
+            continue
+        pos += 2 + ln
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    # reconstruct: dequantize + IDCT every block
+    h, w = frame["h"], frame["w"]
+    for c in comps:
+        qt = qts[c["tq"]]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
+        coef = c["coef"]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                natural = np.zeros(64, np.float64)
+                natural[ZIGZAG] = coef[by, bx] * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ natural.reshape(8, 8) @ _A + 128.0
+                )
+        c["plane"] = plane
+    return _upsample_and_color(comps, h, w, frame["hmax"], frame["vmax"])
+
+
+def _decode_prog_scan(
+    r: _BitReader, comps, frame, scomps, ss, se, ah, al,
+    dc_tabs, ac_tabs, ri,
+) -> None:
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _td, _ta in scomps]
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        for c, (_cs, td, _ta) in zip(order, scomps):
+            c["pred"] = 0
+            if ah == 0:
+                c["dc"] = dc_tabs[td]
+        interleaved = len(order) > 1
+        if interleaved:
+            mx, my = frame["mx"], frame["my"]
+        else:
+            c = order[0]
+            mx, my = c["nbx"], c["nby"]
+        for i in range(mx * my):
+            if ri and i and i % ri == 0:
+                r.restart()
+                for c in order:
+                    c["pred"] = 0
+            myi, mxi = divmod(i, mx)
+            for c in order:
+                ch = c["h"] if interleaved else 1
+                cv = c["v"] if interleaved else 1
+                for vy in range(cv):
+                    for vx in range(ch):
+                        by = myi * cv + vy
+                        bx = mxi * ch + vx
+                        if ah == 0:
+                            t = _decode_huffman(r, c["dc"])
+                            diff = _extend(r.bits(t), t)
+                            c["pred"] += diff
+                            c["coef"][by, bx, 0] = c["pred"] << al
+                        elif r.bit():
+                            c["coef"][by, bx, 0] |= 1 << al
+        return
+    # AC scan: always one component
+    if len(order) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    c = order[0]
+    ac = ac_tabs[scomps[0][2]]
+    eobrun = 0
+    nbx, nby = c["nbx"], c["nby"]
+    p1, m1 = 1 << al, -1 << al
+    for i in range(nbx * nby):
+        if ri and i and i % ri == 0:
+            r.restart()
+            eobrun = 0
+        by, bx = divmod(i, nbx)
+        coef = c["coef"][by, bx]
+        if ah == 0:  # first scan of this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huffman(r, ac)
+                rr, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if rr == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("progressive AC index overflow")
+                coef[k] = _extend(r.bits(s), s) << al
+                k += 1
+            continue
+        # refinement scan (T.81 G.2.2 / the libjpeg control flow)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huffman(r, ac)
+                rr, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if rr < 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    # rr == 15: run of 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "progressive refinement magnitude != 1"
+                        )
+                    newval = p1 if r.bit() else m1
+                while k <= se:
+                    if coef[k] != 0:
+                        if r.bit() and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    if r.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                k += 1
+            eobrun -= 1
 
 
 # ---------------------------------------------------------------- encoder
@@ -473,17 +724,14 @@ def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((qt * s + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _encode_block(
+def _emit_block(
     wtr: _BitWriter,
-    block: np.ndarray,
-    qt: np.ndarray,
+    q: np.ndarray,
     dc_codes: dict,
     ac_codes: dict,
     pred: int,
 ) -> int:
-    f = _A @ (block - 128.0) @ _A.T
-    coef = f.reshape(64)[ZIGZAG]  # zigzag order
-    q = np.trunc(coef / qt[ZIGZAG] + np.sign(coef) * 0.5).astype(np.int64)
+    """Baseline entropy coding of one quantized block (zigzag order)."""
     diff = int(q[0]) - pred
     t = int(diff).bit_length() if diff else 0
     ln, code = dc_codes[t]
@@ -514,6 +762,219 @@ def _encode_block(
     return int(q[0])
 
 
+def _emit_extend(wtr: _BitWriter, v: int, s: int) -> None:
+    wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+
+
+def _encode_progressive_scans(
+    qblocks, samp, dc_codes, ac_codes, mx, my, h, w, hmax, vmax
+) -> bytes:
+    """The IJG ``jpeg_simple_progression`` scan script over precomputed
+    quantized blocks: interleaved DC first (Al=1) and refine, then
+    per-component spectral AC bands at two successive-approximation
+    levels. Every scan kind the decoder implements is exercised."""
+    ncomp = len(qblocks)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            ti = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (ti << 4) | ti])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    out = bytearray()
+
+    # --- DC first scan: interleaved, point transform Al=1
+    out += sos(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for i in range(mx * my):
+        myi, mxi = divmod(i, mx)
+        for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
+            ti = 0 if ci == 0 else 1
+            for vy in range(sv):
+                for vx in range(sh):
+                    v = int(qb[myi * sv + vy, mxi * sh + vx, 0]) >> 1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = abs(diff).bit_length()
+                    ln, code = dc_codes[ti][t]
+                    wtr.write(code, ln)
+                    if t:
+                        _emit_extend(wtr, diff, t)
+    wtr.flush()
+    out += wtr.out
+
+    # --- AC scans per component: two bands for luma, one for chroma;
+    # first at Al=1, then a refinement pass to Al=0
+    def comp_grid(ci):
+        sh, sv = samp[ci]
+        nbx = -(-(-(-w * sh // hmax)) // 8)
+        nby = -(-(-(-h * sv // vmax)) // 8)
+        return nbx, nby
+
+    bands = []
+    for ci in range(ncomp):
+        if ci == 0:
+            bands += [(ci, 1, 5), (ci, 6, 63)]
+        else:
+            bands += [(ci, 1, 63)]
+    for ci, ss, se in bands:
+        out += sos([ci], ss, se, 0, 1)
+        out += _encode_ac_first(qblocks[ci], comp_grid(ci),
+                                ac_codes[0 if ci == 0 else 1], ss, se, 1)
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 1, 0)
+        out += _encode_ac_refine(qblocks[ci], comp_grid(ci),
+                                 ac_codes[0 if ci == 0 else 1], 1, 63, 0)
+
+    # --- DC refinement: the remaining low bit, raw (no Huffman)
+    out += sos(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for i in range(mx * my):
+        myi, mxi = divmod(i, mx)
+        for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
+            for vy in range(sv):
+                for vx in range(sh):
+                    wtr.write(int(qb[myi * sv + vy, mxi * sh + vx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    return bytes(out)
+
+
+def _encode_ac_first(qb, grid, ac, ss, se, al) -> bytes:
+    """Progressive AC first scan (T.81 G.1.2.2): EOB runs across blocks,
+    point-transformed magnitudes |v| >> Al with sign restored."""
+    nbx, nby = grid
+    wtr = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            ln, code = ac[rr << 4]
+            wtr.write(code, ln)
+            if rr:
+                wtr.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for i in range(nbx * nby):
+        by, bx = divmod(i, nbx)
+        vals = [int(v) for v in qb[by, bx, ss : se + 1]]
+        tvals = [
+            (abs(v) >> al) * (1 if v >= 0 else -1) for v in vals
+        ]
+        nz = [k for k, v in enumerate(tvals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last = nz[-1]
+        for k, v in enumerate(tvals):
+            if k > last:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac[(run << 4) | s]
+            wtr.write(code, ln)
+            _emit_extend(wtr, v, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+    flush_eob()
+    wtr.flush()
+    return bytes(wtr.out)
+
+
+def _encode_ac_refine(qb, grid, ac, ss, se, al) -> bytes:
+    """Progressive AC refinement scan (T.81 G.1.2.3, the libjpeg
+    control flow): newly-significant coefficients emit (run<<4)|1 with a
+    sign bit; already-significant ones contribute BUFFERED correction
+    bits flushed after the next symbol; trailing content folds into EOB
+    runs that carry their buffered bits."""
+    nbx, nby = grid
+    wtr = _BitWriter()
+    eobrun = 0
+    # TWO correction-bit buffers (the jcphuff discipline): ``be`` holds
+    # bits belonging to blocks already folded into the pending EOB run
+    # (they ride the EOBn code), ``br`` holds the CURRENT block's bits
+    # since its last emitted symbol (they ride that block's next
+    # ZRL/RS symbol). Conflating them desynchronizes the decoder, which
+    # reads be-bits in the EOB-covered correction loop and br-bits in
+    # the per-symbol advance loop.
+    be: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            ln, code = ac[rr << 4]
+            wtr.write(code, ln)
+            if rr:
+                wtr.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+            for b in be:
+                wtr.write(b, 1)
+            be.clear()
+
+    for i in range(nbx * nby):
+        by, bx = divmod(i, nbx)
+        block = qb[by, bx]
+        absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for k, a in enumerate(absv):
+            if a == 1:
+                eob = k
+        run = 0
+        br: list[int] = []
+        for k, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            # pending ZRLs flush at EVERY nonzero visit, but only inside
+            # the EOB window — beyond the last newly-significant
+            # coefficient the run folds into the EOB
+            while run > 15 and k <= eob:
+                flush_eob()
+                ln, code = ac[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+                for b in br:
+                    wtr.write(b, 1)
+                br.clear()
+            if a > 1:  # history coefficient: correction bit for br
+                br.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            flush_eob()
+            ln, code = ac[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if int(block[ss + k]) > 0 else 0, 1)
+            for b in br:
+                wtr.write(b, 1)
+            br.clear()
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)  # this block's trailing bits join the EOB run
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush_eob()
+    flush_eob()
+    wtr.flush()
+    return bytes(wtr.out)
+
+
 def _pad_blocks(plane: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -532,6 +993,7 @@ def encode_jpeg(
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
     split_tables: bool = False,
+    progressive: bool = False,
 ):
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG. ``quality=50`` uses the Annex K tables verbatim —
@@ -542,7 +1004,14 @@ def encode_jpeg(
     ``split_tables=True`` returns ``(tables, stream)`` instead: a TIFF
     TechNote 2 ``JPEGTables`` blob (SOI + DQT/DHT + EOI) and an
     ABBREVIATED image stream with no tables — the layout
-    JPEG-compressed TIFFs use so every tile shares one table set."""
+    JPEG-compressed TIFFs use so every tile shares one table set.
+
+    ``progressive=True`` emits SOF2 with the standard IJG simple
+    progression (DC-first/refine + per-component spectral AC bands with
+    two successive-approximation levels). Both modes entropy-code the
+    SAME quantized coefficients, so a progressive stream and its
+    baseline twin decode to BIT-IDENTICAL pixels — the cross-check the
+    tests rely on."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -575,7 +1044,13 @@ def encode_jpeg(
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     dc_tables = [HUFF_DC_LUMA] + ([HUFF_DC_CHROMA] if not gray else [])
-    ac_tables = [HUFF_AC_LUMA] + ([HUFF_AC_CHROMA] if not gray else [])
+    if progressive:
+        # sequential Annex K AC tables lack the EOBn symbols
+        ac_tables = [HUFF_AC_PROG] * (1 if gray else 2)
+    else:
+        ac_tables = [HUFF_AC_LUMA] + (
+            [HUFF_AC_CHROMA] if not gray else []
+        )
     dc_codes = [_build_codes(*t) for t in dc_tables]
     ac_codes = [_build_codes(*t) for t in ac_tables]
     dqt = bytes([0x00]) + bytes(qly[ZIGZAG].astype(np.uint8))
@@ -588,7 +1063,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i, (sh, sv) in enumerate(samp):
         sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     dht = b""
     for i, (bits, vals) in enumerate(dc_tables):
         dht += bytes([i]) + bytes(bits) + bytes(vals)
@@ -596,6 +1071,41 @@ def encode_jpeg(
         dht += bytes([0x10 | i]) + bytes(bits) + bytes(vals)
     if not split_tables:
         out += _seg(0xC4, dht)
+    # quantized coefficient blocks (zigzag order) per component — the
+    # ONE place both entropy modes draw from
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    qblocks = []
+    for p, (sh, sv), qt in zip(planes, samp, qts):
+        full = np.zeros((my * sv * 8, mx * sh * 8), np.float64)
+        pp = _pad_blocks(p)
+        rows = np.minimum(np.arange(full.shape[0]), pp.shape[0] - 1)
+        cols = np.minimum(np.arange(full.shape[1]), pp.shape[1] - 1)
+        full[:] = pp[rows][:, cols]
+        bh, bw = my * sv, mx * sh
+        qb = np.zeros((bh, bw, 64), np.int64)
+        qzz = qt[ZIGZAG]
+        for by in range(bh):
+            for bx in range(bw):
+                f = _A @ (
+                    full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                ) @ _A.T
+                coefz = f.reshape(64)[ZIGZAG]
+                qb[by, bx] = np.trunc(
+                    coefz / qzz + np.sign(coefz) * 0.5
+                ).astype(np.int64)
+        qblocks.append(qb)
+    if progressive:
+        if restart_interval or split_tables:
+            raise ValueError(
+                "progressive encoding does not compose with "
+                "restart_interval / split_tables here"
+            )
+        out += _encode_progressive_scans(
+            qblocks, samp, dc_codes, ac_codes, mx, my, h, w, hmax, vmax
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
@@ -604,18 +1114,6 @@ def encode_jpeg(
         sos += bytes([i + 1, (ti << 4) | ti])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
-    # entropy-coded data: interleaved MCUs
-    mx = -(-w // (8 * hmax))
-    my = -(-h // (8 * vmax))
-    padded = []
-    for p, (sh, sv) in zip(planes, samp):
-        full = np.zeros((my * sv * 8, mx * sh * 8), np.float64)
-        pp = _pad_blocks(p)
-        # edge-extend out to the MCU grid
-        rows = np.minimum(np.arange(full.shape[0]), pp.shape[0] - 1)
-        cols = np.minimum(np.arange(full.shape[1]), pp.shape[1] - 1)
-        full[:] = pp[rows][:, cols]
-        padded.append(full)
     wtr = _BitWriter()
     preds = [0] * len(planes)
     rst = 0
@@ -626,16 +1124,13 @@ def encode_jpeg(
             rst += 1
             preds = [0] * len(planes)
         myi, mxi = divmod(i, mx)
-        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+        for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
             ti = 0 if ci == 0 else 1
             for vy in range(sv):
                 for vx in range(sh):
-                    y0 = (myi * sv + vy) * 8
-                    x0 = (mxi * sh + vx) * 8
-                    preds[ci] = _encode_block(
+                    preds[ci] = _emit_block(
                         wtr,
-                        p[y0 : y0 + 8, x0 : x0 + 8],
-                        qts[ci],
+                        qb[myi * sv + vy, mxi * sh + vx],
                         dc_codes[ti],
                         ac_codes[ti],
                         preds[ci],
