@@ -26,12 +26,14 @@ def _img(h=24, w=16):
 
 _PNG = encode_rgba_png(_img())
 _JPG = encode_jpeg(_img()[:, :, :3], quality=80)
+_JPG_PROG = encode_jpeg(_img()[:, :, :3], quality=80, progressive=True)
 _J2K = encode_j2k((np.arange(20 * 24) % 251).reshape(20, 24))
 _WAV = encode_wav(((np.arange(300) * 13 % 2001) - 1000) / 32768.0, 8000)
 
 _DECODERS = {
     "png": (_PNG, decode_png),
     "jpeg": (_JPG, decode_jpeg),
+    "jpeg-prog": (_JPG_PROG, decode_jpeg),
     "j2k": (_J2K, decode_j2k),
     "wav": (_WAV, lambda b: decode_wav(b)[0]),
 }

@@ -94,6 +94,7 @@ _PRIORITY = [
     "market_basket_lift",
     "join_salted_enrich",
     "geotiff_ingest_stats",
+    "geotiff_jpeg_ingest_stats",
     "cog_overview_ingest_http",
     "netcdf4_kerchunk_ingest_http",
     "netcdf4_kerchunk_multifile_http",
@@ -134,10 +135,10 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_normalized",
     "dedup_retention_summary",
-    "doc_length_percentiles",
-    "embed_ann_lsh",  # <- window position 50
+    "doc_length_percentiles",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # remaining r04-vintage (these head the r10 rotation)
+    "embed_ann_lsh",
     "embed_cosine_topk",
     "embed_neardup_cosine",
     "embed_quantize_int8",

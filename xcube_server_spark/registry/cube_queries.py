@@ -2818,3 +2818,80 @@ ORDER BY 1
 """
 QUERIES["cog_overview_ingest_http"] = cog_overview_ingest_http
 ORACLES["cog_overview_ingest_http"] = ORACLE_COG_OVERVIEW
+
+
+# ---------------------------------------------------------------------------
+# geotiff_jpeg_ingest_stats: JPEG-compressed TIFF (compression 7)
+# ---------------------------------------------------------------------------
+
+_TJ_H, _TJ_W = 32, 48  # 4x6 JPEG blocks, 16x16 tiles
+
+
+def _geotiff_jpeg_gate_file() -> str:
+    """JPEG-compressed GeoTIFF twin (compression 7, TechNote 2: one
+    shared JPEGTables tag + abbreviated per-tile streams): per-8x8-block
+    constant EVEN uint8 values — ``2*((by*5 + bx*3) % 101) + 22`` — the
+    construction a LOSSY codec round-trips bit-exactly at quality 50,
+    so the SQL oracle regenerates every pixel."""
+    import numpy as np
+
+    from ..sources.tiff import write_geotiff
+
+    d = _gate_path("xss_geotiff_jpeg_gate_v1")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "cube.tif")
+    if not os.path.exists(p):
+        by, bx = np.mgrid[0 : _TJ_H // 8, 0 : _TJ_W // 8]
+        vals = (2 * ((by * 5 + bx * 3) % 101) + 22).astype(np.uint8)
+        full = np.kron(vals, np.ones((8, 8), np.uint8))
+        write_geotiff(
+            p, [full], pixel_scale=(0.125, 0.125), origin=(0.0, 53.0),
+            compression="jpeg",
+        )
+    return d
+
+
+def geotiff_jpeg_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lat-band statistics from a JPEG-COMPRESSED GeoTIFF: executors
+    range-GET their tiles and decode them through the T.81 codec with
+    the shared JPEGTables tag — the compression real-world RGB/grayscale
+    COGs actually ship. The block-constant-even construction makes the
+    lossy codec bit-exact, and a position-weighted integer checksum pins
+    tile placement (per-band sums alone are permutation-blind)."""
+    from ..sources.tiff import ingest_geotiff_distributed
+
+    d = _geotiff_jpeg_gate_file()
+    df = ingest_geotiff_distributed(spark, "local", d, "cube.tif", level=0)
+    qv = F.col("value").cast("bigint")
+    pos = F.col("lat_idx").cast("bigint") * _TJ_W + F.col("lon_idx")
+    return (
+        df.groupBy((F.col("lat_idx") / 8).cast("bigint").alias("band"))
+        .agg(
+            F.count("value").cast("bigint").alias("n_valid"),
+            F.sum(qv).alias("sum_v"),
+            F.sum(qv * pos).alias("pos_checksum"),
+            F.max(qv).alias("max_v"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_GEOTIFF_JPEG = f"""
+WITH cells AS (
+  SELECT y.i AS lat_idx, x.i AS lon_idx,
+         2 * (((y.i // 8) * 5 + (x.i // 8) * 3) % 101) + 22 AS v
+  FROM (SELECT unnest(range(0, {_TJ_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_TJ_W})) AS i) x
+)
+SELECT lat_idx // 8 AS band,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v * (lat_idx * {_TJ_W} + lon_idx)) AS BIGINT)
+         AS pos_checksum,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM cells
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["geotiff_jpeg_ingest_stats"] = geotiff_jpeg_ingest_stats
+ORACLES["geotiff_jpeg_ingest_stats"] = ORACLE_GEOTIFF_JPEG

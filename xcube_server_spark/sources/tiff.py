@@ -488,7 +488,7 @@ def ingest_geotiff_distributed(
 
     ifd_meta = _open_ifd(store_kind, root, key, level)
     (height, width, tile_h, tile_w, tiles_across, offsets, counts,
-     dtype, comp, scale, tie) = ifd_meta
+     dtype, comp, scale, tie, jpeg_tables) = ifd_meta
     plan = [
         (t, offsets[t], counts[t]) for t in range(len(offsets))
     ]
@@ -504,6 +504,9 @@ def ingest_geotiff_distributed(
         ifd = TiffIFD(
             width=width, height=height, dtype=dtype, compression=comp,
             tile_w=tile_w, tile_h=tile_h, offsets=offsets, counts=counts,
+            tags=(
+                {_JPEG_TABLES: jpeg_tables} if jpeg_tables else {}
+            ),
         )
         for batch in iterator:
             for r in batch.itertuples(index=False):
@@ -542,10 +545,12 @@ def _open_ifd(store_kind: str, root: str, key: str, level: int):
     ifd = rd.ifds[level]
     if ifd.pixel_scale is None or ifd.tiepoint is None:
         raise ValueError("not a GeoTIFF: missing pixel scale / tiepoint")
+    jt = ifd.tags.get(_JPEG_TABLES)
     return (
         ifd.height, ifd.width, ifd.tile_h, ifd.tile_w, ifd.tiles_across,
         ifd.offsets, ifd.counts, ifd.dtype, ifd.compression,
         ifd.pixel_scale, ifd.tiepoint,
+        bytes(jt) if jt else None,  # shared JPEGTables (compression 7)
     )
 
 
