@@ -9,10 +9,11 @@ sees a pandas Series of ``bytes`` per batch — the right boundary for
 PIL/ffmpeg-style decoders.
 
 Decoders are REAL for the formats a pure-Python stack can carry: PNG
-(``sources/png.py`` — all filters/color types), baseline JPEG
-(``sources/jpeg.py`` — T.81 Huffman + IDCT), raw RGB tensors, and RIFF
-PCM WAV audio (``sources/wav.py``); ``decode_image``/``decode_audio``
-sniff the payload magic and dispatch. The deterministic sha256 fake
+(``sources/png.py`` — all filters/color types/depths, Adam7), JPEG
+(``sources/jpeg.py`` — T.81 baseline AND progressive SOF2, the
+dominant web-JPEG variant), raw RGB tensors, and RIFF PCM WAV audio
+(``sources/wav.py``); ``decode_image``/``decode_audio`` sniff the
+payload magic and dispatch. The deterministic sha256 fake
 remains available (``fake=True``) for plumbing tests and for payloads in
 formats outside that set (GIF/WebP/MP3 — would need native libs), which
 otherwise raise a clear error.
@@ -62,9 +63,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
     """Decode an encoded image payload to an (h, w, 3) uint8 array.
 
-    Sniffs the payload magic: PNG and baseline JPEG decode to REAL pixels
-    via the repo's pure-Python codecs; ``image/raw-rgb`` tensors (the
-    ``resize_assets`` output) reshape directly using the metadata dims.
+    Sniffs the payload magic: PNG and JPEG (baseline + progressive)
+    decode to REAL pixels via the repo's pure-Python codecs;
+    ``image/raw-rgb`` tensors (the ``resize_assets`` output) reshape
+    directly using the metadata dims.
     Anything else falls back to the deterministic sha256 fake when
     ``fake=True`` (stable plumbing tests) or raises a clear error — the
     remaining formats (GIF/WebP/AVIF) genuinely need native decoders.
