@@ -262,6 +262,16 @@ def test_clear_error_gates():
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_formula_rgb(8, 8), subsampling="4:1:1")
+    # Adobe APP14 declaring RGB (transform 0) must refuse, not decode
+    # wrong colors silently; transform 1 (YCbCr) passes through
+    base = encode_jpeg(_formula_rgb(8, 8), quality=80)
+    app14 = struct.pack(">H", 2 + 12) + b"Adobe" + bytes(6) + bytes([0])
+    rgb_claim = base[:2] + b"\xff\xee" + app14 + base[2:]
+    with pytest.raises(NotImplementedError, match="Adobe APP14"):
+        decode_jpeg(rgb_claim)
+    app14_ok = struct.pack(">H", 2 + 12) + b"Adobe" + bytes(6) + bytes([1])
+    ok_claim = base[:2] + b"\xff\xee" + app14_ok + base[2:]
+    assert decode_jpeg(ok_claim).shape == (8, 8, 3)
     # truncated entropy stream
     full = encode_jpeg(_formula_rgb(16, 16), quality=80)
     with pytest.raises(ValueError, match="truncated|marker"):

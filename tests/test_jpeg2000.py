@@ -14,6 +14,7 @@ decomposition counts and codeblock sizes."""
 from __future__ import annotations
 
 import random
+import struct
 
 import numpy as np
 import pytest
@@ -235,3 +236,12 @@ def test_clear_error_gates():
     data[i + 7] = 2  # Scod(1) prog(1) -> layers hi byte at i+6, lo i+7
     with pytest.raises(NotImplementedError, match="layer"):
         decode_j2k(bytes(data))
+    data[i + 7] = 1
+    # semantics-changing markers refuse loudly instead of being skipped
+    # (a silently-ignored POC/QCC would decode WRONG pixels)
+    for mk, name in ((b"\xff\x5f", "POC"), (b"\xff\x5d", "QCC"),
+                     (b"\xff\x53", "COC"), (b"\xff\x5e", "RGN")):
+        j = bytes(data).find(b"\xff\x90")  # inject before SOT
+        seg = mk + struct.pack(">H", 4) + b"\x00\x00"
+        with pytest.raises(NotImplementedError, match=name):
+            decode_j2k(bytes(data[:j]) + seg + bytes(data[j:]))

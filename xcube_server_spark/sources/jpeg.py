@@ -279,6 +279,18 @@ def _decode_block(
     return block + 128.0, pred
 
 
+def _check_adobe_app14(seg: bytes) -> None:
+    """Adobe APP14 declares the color transform: 1 = YCbCr (our
+    assumption), 0 = components are plain RGB, 2 = YCCK. Skipping a
+    non-YCbCr declaration would silently decode wrong colors — refuse
+    loudly instead."""
+    if seg[:5] == b"Adobe" and len(seg) >= 12 and seg[11] != 1:
+        raise NotImplementedError(
+            f"Adobe APP14 color transform {seg[11]} (only 1 = YCbCr "
+            "supported; 0 = RGB, 2 = YCCK)"
+        )
+
+
 def _parse_dqt(seg: bytes, qts: dict) -> None:
     i = 0
     while i < len(seg):
@@ -379,6 +391,8 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
             _parse_dht(seg, dc_tabs, ac_tabs)
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xEE:  # APP14 (Adobe): color transform declaration
+            _check_adobe_app14(seg)
         elif m == 0xDA:  # SOS
             ns = seg[0]
             scan = []
@@ -506,6 +520,8 @@ def _decode_progressive(
             _parse_dht(seg, dc_tabs, ac_tabs)
         elif m == 0xDD:
             (ri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xEE:
+            _check_adobe_app14(seg)
         elif m == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:

@@ -957,6 +957,16 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     "quantized (non-reversible) codestreams"
                 )
             guard = seg[0] >> 5
+        elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
+                        b"\xff\x5f"):
+            # these CHANGE decoding semantics — skipping them silently
+            # would produce wrong pixels, so refuse loudly
+            name = {0x53: "COC", 0x5D: "QCC", 0x5E: "RGN",
+                    0x5F: "POC"}[marker[1]]
+            raise NotImplementedError(
+                f"JPEG 2000 {name} marker (per-component overrides / "
+                "ROI / progression changes) not supported"
+            )
         elif marker == b"\xff\x90":  # SOT
             (isot, psot, tpsot, _tnsot) = struct.unpack(">HIBB", seg[:8])
             if isot != 0 or tpsot != 0:
