@@ -210,3 +210,25 @@ def test_resize_bilinear():
     assert np.allclose(gotf[0], [2 * j + 0.5 for j in range(8)])
     with pytest.raises(ValueError, match="method"):
         resize_image(const, 4, 4, "lanczos")
+
+
+def test_wav_24bit_pcm():
+    """24-bit PCM (the studio-audio standard): 3-byte two's-complement
+    samples round trip exactly (float32 carries 24 mantissa bits), and
+    negative values cross the sign boundary correctly."""
+    import numpy as np
+
+    from xcube_server_spark.sources.wav import decode_wav, encode_wav
+
+    pcm = np.concatenate([
+        np.array([0, 1, -1, 8388607, -8388608, 42, -77]),
+        (np.arange(200) * 65537) % 16777216 - 8388608,
+    ])
+    wave = pcm.astype(np.float64) / 8388608.0
+    data = encode_wav(wave, 48000, bits=24)
+    got, sr = decode_wav(data)
+    assert sr == 48000
+    assert np.array_equal(
+        np.floor(got.astype(np.float64) * 8388608.0 + 0.5).astype(np.int64),
+        pcm,
+    )

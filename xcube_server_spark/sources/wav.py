@@ -4,7 +4,7 @@ The pipeline's audio featurization (``pipeline/multimodal.py``) decodes
 inside Arrow-batched ``mapInPandas`` stages; ffmpeg/soundfile are not in
 this container, so uncompressed PCM WAV — the dominant raw-audio
 interchange format — is parsed directly from the RIFF spec (format tag 1
-= integer PCM at 8/16/32 bits, tag 3 = IEEE float32). Compressed format
+= integer PCM at 8/16/24/32 bits, tag 3 = IEEE float32). Compressed format
 tags raise a clear error, the documented-unsupported contract used across
 the format readers.
 """
@@ -46,6 +46,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             wave = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
         elif bits == 16:
             wave = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:  # 3-byte little-endian two's complement
+            b = np.frombuffer(raw[: len(raw) - len(raw) % 3], np.uint8)
+            b = b.reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            wave = v.astype(np.float32) / 8388608.0
         elif bits == 32:
             wave = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
         else:
@@ -72,8 +78,16 @@ def encode_wav(wave: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     elif bits == 8:
         pcm = np.clip(np.floor(wave * 128.0 + 0.5) + 128, 0, 255)
         raw = pcm.astype(np.uint8).tobytes()
+    elif bits == 24:
+        pcm = np.clip(
+            np.floor(wave * 8388608.0 + 0.5), -8388608, 8388607
+        ).astype(np.int32)
+        u = np.where(pcm < 0, pcm + (1 << 24), pcm).astype(np.uint32)
+        raw = np.stack(
+            [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=1
+        ).astype(np.uint8).tobytes()
     else:
-        raise NotImplementedError("encoder writes 8- or 16-bit PCM")
+        raise NotImplementedError("encoder writes 8-, 16- or 24-bit PCM")
     block = bits // 8
     fmt = struct.pack(
         "<HHIIHH", 1, 1, sample_rate, sample_rate * block, block, bits
