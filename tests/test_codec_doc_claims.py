@@ -1,0 +1,109 @@
+"""Codec docstring accuracy: every load-bearing supported/raises claim in
+a format module's documentation is pinned to a behavioral probe, so a
+feature can't be implemented (or removed) without the doc moving with it.
+Motivated by the round-9 stale claims: png.py said "Adam7 raises" after
+Adam7 shipped; tiff.py listed BigTIFF/PackBits/JPEG as unsupported after
+all three shipped.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources import gif, jpeg, jpeg2000, png, tiff, wav
+
+
+def _doc(obj) -> str:
+    return (obj.__doc__ or "") + " "
+
+
+# ---------------------------------------------------------------- claims
+def test_png_doc_claims_adam7_supported_and_it_is():
+    d = _doc(png.decode_rgba_png) + _doc(png)
+    assert "Adam7" in d
+    assert "Adam7 interlace raises" not in d  # the round-9 stale claim
+    from tests.test_png_decode import test_adam7_interlaced
+
+    test_adam7_interlaced()  # behavior: interlaced streams decode
+
+
+def test_jpeg_doc_claims_match_dispatch():
+    d = _doc(jpeg)
+    assert "SOF2 progressive" in d or "progressive" in d
+    assert "Arithmetic coding" in d  # documented raises
+    img = ((np.arange(64).reshape(8, 8) % 8) * 2 + 100).astype(np.uint8)
+    img = np.kron(img[:2, :2], np.ones((8, 8), np.uint8))
+    # supported: progressive output decodes
+    assert jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=50, progressive=True)
+    ).shape == (16, 16, 3)
+    # documented raises: arithmetic-coded SOF
+    data = bytearray(jpeg.encode_jpeg(img, quality=50))
+    data[data.find(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises((NotImplementedError, ValueError)):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_jpeg2000_doc_claims_97_raises_and_it_does():
+    d = _doc(jpeg2000)
+    assert "9/7 irreversible" in d  # documented out-of-scope
+    data = bytearray(jpeg2000.encode_j2k(np.arange(64).reshape(8, 8)))
+    i = bytes(data).find(b"\xff\x52")
+    data[i + 4 + 12 - 2 - 1] = 0  # COD transform byte: 5/3 -> 9/7
+    with pytest.raises(NotImplementedError, match="9/7"):
+        jpeg2000.decode_j2k(bytes(data))
+
+
+def test_tiff_doc_compression_list_matches_dispatch():
+    d = _doc(tiff)
+    # supported list must name what the gate admits, and not list shipped
+    # features as unsupported (the round-9 stale text)
+    for name in ("BigTIFF", "PackBits", "JPEG(7", "LZW(5", "deflate(8"):
+        assert name in d, name
+    assert "other compressions (JPEG" not in d
+    # behavior: an undispatched compression id refuses with the doc's list
+    from xcube_server_spark.sources.zarr_store import LocalStore
+
+    from tests.test_tiff import _hand_built_strip_tiff
+
+    raw = bytearray(_hand_built_strip_tiff())
+    i = bytes(raw).find(struct.pack(">HHI", 259, 3, 1))
+    raw[i + 8 : i + 10] = struct.pack(">H", 2)  # CCITT G3
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "c.tif"), "wb") as f:
+            f.write(bytes(raw))
+        with pytest.raises(NotImplementedError, match="PackBits only"):
+            tiff.TiffReader(LocalStore(td), "c.tif")
+
+
+def test_wav_doc_claims_extensible_and_24bit():
+    d = _doc(wav)
+    assert "0xFFFE" in d and "24" in d
+    wave = ((np.arange(64) * 29 % 257) - 128) / 32768.0
+    got, sr = wav.decode_wav(wav.encode_wav(wave, 16000, bits=24))
+    assert sr == 16000 and np.abs(got - wave).max() <= 1 / (1 << 23)
+
+
+def test_gif_doc_claims_interlace_and_transparency():
+    d = _doc(gif)
+    assert "interlace" in d and "transpar" in d
+    pal = np.array([[0, 0, 0], [200, 100, 50]], np.uint8)
+    idx = (np.indices((9, 7)).sum(axis=0) % 2).astype(np.uint8)
+    assert np.array_equal(
+        gif.decode_gif(gif.encode_gif(idx, pal, interlace=True)), pal[idx]
+    )
+
+
+def test_multimodal_doc_lists_gif_as_real():
+    from xcube_server_spark.pipeline import multimodal
+
+    d = _doc(multimodal) + _doc(multimodal.decode_image)
+    assert "GIF" in d
+    # WebP must still refuse without fake
+    with pytest.raises(NotImplementedError, match="native"):
+        multimodal.decode_image(b"RIFFxxxxWEBPVP8 ", 4, 4)

@@ -1,0 +1,142 @@
+"""GIF87a/89a codec: LZW state machine, interlace, transparency,
+compositing, hostile bytes. Same pinning discipline as the TIFF LZW
+(hand-packed stream + roundtrips crossing every code-width boundary)."""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+    gif_frame_count,
+    is_gif,
+)
+
+
+def test_canonical_1x1_transparent_spacer():
+    """The ubiquitous 1x1 transparent web spacer — an independent,
+    internet-canonical artifact (not produced by our encoder)."""
+    data = base64.b64decode(
+        "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    assert is_gif(data)
+    img = decode_gif(data)
+    # single pixel has the transparent index -> background (white) shows
+    assert img.shape == (1, 1, 3) and img[0, 0].tolist() == [255, 255, 255]
+    assert gif_frame_count(data) == 1
+
+
+def test_hand_packed_lzw_stream():
+    """Hand-packed LSB-first stream: clear(100b) 0(000b) END(101b) at
+    width 3 -> bytes 0x44 0x01 (the spacer GIF's own payload)."""
+    assert _lzw_decode(2, b"\x44\x01", 1).tolist() == [0]
+
+
+@pytest.mark.parametrize(
+    "n_colors,shape",
+    [(2, (5, 9)), (4, (16, 16)), (100, (33, 47)), (256, (64, 80))],
+)
+def test_roundtrip_palette_sizes(n_colors, shape):
+    rng = np.random.default_rng(n_colors)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_colors, shape).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_roundtrip_crosses_table_reset():
+    """200x300 noise at 256 colors forces >4094 LZW entries -> the
+    encoder's early clear-code reset path and the decoder's re-init."""
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_lzw_kwkwk_case():
+    """All-same pixels exercise code == len(table) (the KwKwK rule)."""
+    mono = np.full(1000, 3, np.uint8)
+    assert (_lzw_decode(2, _lzw_encode(2, mono), 1000) == 3).all()
+
+
+def test_interlaced_roundtrip():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (23, 17)).astype(np.uint8)
+    assert np.array_equal(
+        decode_gif(encode_gif(idx, pal, interlace=True)), pal[idx]
+    )
+
+
+def test_transparency_composites_background():
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    pal[0] = (9, 8, 7)
+    idx = rng.integers(0, 16, (12, 12)).astype(np.uint8)
+    out = decode_gif(encode_gif(idx, pal, transparent=3))
+    want = pal[idx].copy()
+    want[idx == 3] = pal[0]
+    assert np.array_equal(out, want)
+
+
+def test_multi_frame_offsets_and_local_palette():
+    """Hand-assembled two-frame GIF: frame 1 has an offset, a LOCAL
+    palette and rides a per-frame graphic-control extension."""
+    g0 = encode_gif(
+        np.zeros((4, 6), np.uint8), np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    )
+    body = bytearray(g0[:-1])  # drop trailer
+    lpal = np.zeros((2, 3), np.uint8)
+    lpal[0] = (10, 20, 30)
+    lpal[1] = (40, 50, 60)
+    idx1 = np.array([[1, 0], [0, 1]], np.uint8)
+    body += b"\x2c" + struct.pack("<HHHH", 3, 1, 2, 2)
+    body += bytes([0x80 | 0])  # local color table, 2 entries
+    body += lpal.tobytes()
+    lzw = _lzw_encode(2, idx1.reshape(-1))
+    body += bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    data = bytes(body)
+    assert gif_frame_count(data) == 2
+    f0 = decode_gif(data, 0)
+    assert f0.shape == (4, 6, 3) and (f0 == (1, 2, 3)).all()
+    f1 = decode_gif(data, 1)
+    # canvas = background (global palette entry 0), frame pasted at (3,1)
+    assert (f1[1, 3] == (40, 50, 60)).all()
+    assert (f1[1, 4] == (10, 20, 30)).all()
+    assert (f1[0, 0] == (1, 2, 3)).all()
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:20],  # truncated mid color table
+        lambda b: b[:-2],  # missing trailer/terminator
+        lambda b: b.replace(b"GIF89a", b"GIF99a", 1),
+        lambda b: b + b"\x77",  # junk introducer after trailer is fine...
+    ],
+)
+def test_hostile_bytes_raise_not_crash(mutate):
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.tile(np.array([[0, 1]], np.uint8), (8, 8))
+    data = mutate(encode_gif(idx, pal))
+    try:
+        decode_gif(data)
+    except (ValueError, NotImplementedError, struct.error):
+        pass  # clear refusal is the contract; silent garbage is not
+
+
+def test_frame_beyond_screen_and_bad_index_raise():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    g = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+    pos = g.index(b"\x2c")
+    struct.pack_into("<HH", g, pos + 1, 3, 3)  # shift frame off-screen
+    with pytest.raises(ValueError):
+        decode_gif(bytes(g))
+    with pytest.raises(ValueError):
+        encode_gif(np.full((2, 2), 7, np.uint8), pal)  # index > palette

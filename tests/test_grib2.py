@@ -523,6 +523,29 @@ def test_png_packing_roundtrip(tmp_path):
     assert np.array_equal(got8, small)
 
 
+def test_png_packing_24_and_32_bit_channels(tmp_path):
+    """5.41 with >16 bits per value: g2clib packs the scaled integers
+    as RGB/RGBA pixels whose bytes form big-endian 24/32-bit ints — the
+    decoder must REASSEMBLE channels, not slice channel 0 (which would
+    silently return only the high byte)."""
+    T, H, W = 1, 5, 7
+    base = np.arange(H * W, dtype="float64").reshape(1, H, W)
+    for nbits, scale in ((24, 1 << 18), (32, 1 << 26)):
+        fld = base * scale + 3.0  # spans > (nbits-8) bits -> multi-byte
+        p = os.path.join(tmp_path, f"png{nbits}.grib2")
+        write_grib2(
+            p, ["2021-06-01 00:00:00"],
+            np.linspace(55.0, 51.0, H), np.linspace(0.0, 6.0, W),
+            {"v": fld}, nbits=nbits, packing="png",
+        )
+        got = open_grib2(p)["v"].values
+        assert np.array_equal(got, fld), nbits
+        raw = open(p, "rb").read()
+        sig = raw.index(b"\x89PNG\r\n\x1a\n")
+        color_type = raw[sig + 8 + 4 + 4 + 9]  # IHDR: len+tag+w+h+depth
+        assert color_type == (2 if nbits == 24 else 6)
+
+
 def test_j2k_packing_roundtrip(tmp_path):
     """Data template 5.40 (lossless JPEG 2000 — what operational NCEP
     archives ship): bit-exact at the /16 quantum through the

@@ -276,3 +276,21 @@ def test_clear_error_gates():
     full = encode_jpeg(_formula_rgb(16, 16), quality=80)
     with pytest.raises(ValueError, match="truncated|marker"):
         decode_jpeg(full[:-20])
+
+
+def test_sequential_multi_scan_refuses():
+    """A valid baseline stream may split its 3 components across
+    separate sequential scans; decoding only the first would silently
+    return tinted pixels (zero chroma) — must refuse instead."""
+    data = bytes(encode_jpeg(_formula_rgb(8, 8), quality=80))
+    i = data.find(b"\xff\xda")
+    seg = data[i + 4 : i + 2 + struct.unpack(">H", data[i + 2 : i + 4])[0]]
+    ns = seg[0]
+    assert ns == 3
+    # rewrite the SOS header to claim a single-component first scan,
+    # keeping the entropy bytes (the refusal fires before entropy decode)
+    new_seg = bytes([1]) + seg[1:3] + seg[1 + 2 * ns :]
+    new_sos = b"\xff\xda" + struct.pack(">H", 2 + len(new_seg)) + new_seg
+    patched = data[:i] + new_sos + data[i + 4 + len(seg) :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -237,6 +237,13 @@ def test_clear_error_gates():
     with pytest.raises(NotImplementedError, match="layer"):
         decode_j2k(bytes(data))
     data[i + 7] = 1
+    # QCD band exponents that differ from the derived depth+gain ladder
+    # shift every magnitude by 2^delta — must refuse, not decode shifted
+    q = bytes(data).find(b"\xff\x5c")
+    data[q + 5] += 8  # LL exponent +1 (exponent rides the top 5 bits)
+    with pytest.raises(NotImplementedError, match="QCD band exponents"):
+        decode_j2k(bytes(data))
+    data[q + 5] -= 8
     # semantics-changing markers refuse loudly instead of being skipped
     # (a silently-ignored POC/QCC would decode WRONG pixels)
     for mk, name in ((b"\xff\x5f", "POC"), (b"\xff\x5d", "QCC"),

@@ -52,10 +52,39 @@ def test_decode_image_real_png_and_jpeg():
     img = np.kron(vals, np.ones((8, 8), np.uint8))
     got_j = decode_image(encode_jpeg(img, quality=50), 24, 16)
     assert np.array_equal(got_j[:, :, 0], img)
-    # raw RGB tensors (resize_assets output) reshape by metadata dims
+    # raw RGB tensors (resize_assets output) reshape by metadata dims —
+    # but ONLY when the media_type says so: an unknown format whose
+    # length happens to equal w*h*3 must not be reinterpreted as pixels
     raw = rgba[:, :, :3].tobytes()
-    got_r = decode_image(raw, 9, 6)
+    got_r = decode_image(raw, 9, 6, media_type="image/raw-rgb")
     assert np.array_equal(got_r, rgba[:, :, :3])
+    with pytest.raises(NotImplementedError):
+        decode_image(raw, 9, 6)  # no media_type -> no silent reinterpret
+    with pytest.raises(ValueError):
+        decode_image(raw[:-3], 9, 6, media_type="image/raw-rgb")
+
+
+def test_decode_image_real_gif():
+    """GIF87a/89a payloads decode to real pixels (pure-Python LZW);
+    interlace and transparent-index frames included."""
+    import numpy as np
+
+    from xcube_server_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.integers(0, 64, (11, 14)).astype(np.uint8)
+    got = decode_image(encode_gif(idx, pal), 14, 11)
+    assert got.shape == (11, 14, 3)
+    assert np.array_equal(got, pal[idx])
+    inter = decode_image(encode_gif(idx, pal, interlace=True), 14, 11)
+    assert np.array_equal(inter, pal[idx])
+    # transparent pixels show the background color (palette entry of the
+    # screen descriptor's bg index, 0 in encode_gif fixtures)
+    tr = decode_gif(encode_gif(idx, pal, transparent=5))
+    want = pal[idx].copy()
+    want[idx == 5] = pal[0]
+    assert np.array_equal(tr, want)
 
 
 def test_extract_features_real_decode(spark):
@@ -108,6 +137,68 @@ def test_audio_decode_real_wav():
         i = bad.find(b"fmt ") + 8
         bad[i : i + 2] = struct.pack("<H", 85)  # MP3 tag
         decode_wav(bytes(bad))
+
+
+def test_wav_truncated_data_chunk_refuses():
+    """A data chunk declaring more bytes than remain must raise — a
+    silently shorter waveform violates the clear-errors contract."""
+    import struct
+
+    import numpy as np
+
+    from xcube_server_spark.sources.wav import decode_wav, encode_wav
+
+    wave = ((np.arange(100) * 37 % 401) - 200) / 32768.0
+    data = bytearray(encode_wav(wave, 8000))
+    i = data.find(b"data") + 4
+    (ln,) = struct.unpack("<I", data[i : i + 4])
+    data[i : i + 4] = struct.pack("<I", ln + 64)  # declare past EOF
+    with pytest.raises(ValueError, match="data.*chunk declares"):
+        decode_wav(bytes(data))
+
+
+def test_wav_extensible_pcm_and_float():
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, the common container for
+    24-bit PCM) with a KSDATAFORMAT PCM / IEEE-float SubFormat maps onto
+    the plain integer/float paths; other GUIDs refuse."""
+    import struct
+
+    import numpy as np
+
+    from xcube_server_spark.sources.wav import decode_wav, encode_wav
+
+    guid_tail = bytes.fromhex("00000010800000aa00389b71")
+
+    def to_extensible(data: bytes, subtype: int) -> bytes:
+        buf = bytearray(data)
+        i = buf.find(b"fmt ")
+        (ln,) = struct.unpack("<I", buf[i + 4 : i + 8])
+        fmt = bytes(buf[i + 8 : i + 8 + ln])
+        bits = struct.unpack("<H", fmt[14:16])[0]
+        ext = struct.pack("<HHI", 22, bits, 4) + struct.pack(
+            "<I", subtype
+        ) + guid_tail
+        new = struct.pack("<H", 0xFFFE) + fmt[2:16] + ext
+        out = buf[: i + 4] + struct.pack("<I", len(new)) + new
+        out += buf[i + 8 + ln + (ln & 1) :]
+        riff = bytearray(out)
+        riff[4:8] = struct.pack("<I", len(riff) - 8)
+        return bytes(riff)
+
+    wave = ((np.arange(200) * 13 % 2001) - 1000) / 32768.0
+    for bits in (16, 24):
+        ext = to_extensible(encode_wav(wave, 8000, bits=bits), 1)
+        got, sr = decode_wav(ext)
+        assert sr == 8000
+        tol = 0.0 if bits == 16 else 1 / (1 << (bits - 1))
+        assert np.abs(got.astype(np.float64) - wave).max() <= tol
+    bad = to_extensible(encode_wav(wave, 8000), 7)  # unknown subtype
+    with pytest.raises(NotImplementedError, match="subtype"):
+        decode_wav(bad)
+    junk = to_extensible(encode_wav(wave, 8000), 1)
+    junk = junk.replace(guid_tail, b"\x00" * 12, 1)
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        decode_wav(junk)
 
 
 def test_feature_extraction_deterministic(media, spark, sf_dir):

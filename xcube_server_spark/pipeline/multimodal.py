@@ -60,16 +60,24 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+def decode_image(
+    payload: bytes,
+    width: int,
+    height: int,
+    fake: bool = False,
+    media_type: str | None = None,
+) -> np.ndarray:
     """Decode an encoded image payload to an (h, w, 3) uint8 array.
 
-    Sniffs the payload magic: PNG and JPEG (baseline + progressive)
-    decode to REAL pixels via the repo's pure-Python codecs;
-    ``image/raw-rgb`` tensors (the ``resize_assets`` output) reshape
-    directly using the metadata dims.
+    Sniffs the payload magic: PNG, JPEG (baseline + progressive) and
+    GIF (87a/89a) decode to REAL pixels via the repo's pure-Python
+    codecs; ``image/raw-rgb`` tensors (the ``resize_assets`` output)
+    reshape using the metadata dims — gated on ``media_type``, never on
+    payload length alone (an unsupported format of coincidental size
+    must NOT be reinterpreted as pixels).
     Anything else falls back to the deterministic sha256 fake when
     ``fake=True`` (stable plumbing tests) or raises a clear error — the
-    remaining formats (GIF/WebP/AVIF) genuinely need native decoders.
+    remaining formats (WebP/AVIF) genuinely need native decoders.
     """
     if payload[:8] == _PNG_SIG:
         from ..sources.png import decode_rgba_png
@@ -79,12 +87,22 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False) ->
         from ..sources.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    if width * height * 3 == len(payload):  # raw RGB tensor round trip
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..sources.gif import decode_gif
+
+        return decode_gif(payload)
+    if media_type == "image/raw-rgb":
+        if width * height * 3 != len(payload):
+            raise ValueError(
+                f"raw-RGB payload is {len(payload)} bytes, metadata "
+                f"declares {width}x{height}x3 = {width * height * 3}"
+            )
         return np.frombuffer(payload, np.uint8).reshape(height, width, 3)
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/JPEG/raw-RGB — other formats need native "
-            "decoders; pass fake=True for the deterministic test decoder"
+            "payload is not PNG/JPEG/GIF/raw-RGB — other formats need "
+            "native decoders; pass fake=True for the deterministic test "
+            "decoder"
         )
     digest = hashlib.sha256(payload).digest()
     rng = np.frombuffer((digest * ((width * height * 3) // 32 + 1))[: width * height * 3],
@@ -100,9 +118,17 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lumas, shas, lens = [], [], []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+            for payload, meta, mtype in zip(
+                pdf["payload"], pdf["meta"], pdf["media_type"]
+            ):
                 data = bytes(payload)
-                img = decode_image(data, meta["width"], meta["height"], fake=fake_decode)
+                img = decode_image(
+                    data,
+                    meta["width"],
+                    meta["height"],
+                    fake=fake_decode,
+                    media_type=mtype,
+                )
                 lumas.append(float(img.mean()))
                 shas.append(hashlib.sha256(data).hexdigest())
                 lens.append(len(data))
@@ -184,9 +210,15 @@ def resize_assets(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+            for payload, meta, mtype in zip(
+                pdf["payload"], pdf["meta"], pdf["media_type"]
+            ):
                 img = decode_image(
-                    bytes(payload), meta["width"], meta["height"], fake=fake_decode
+                    bytes(payload),
+                    meta["width"],
+                    meta["height"],
+                    fake=fake_decode,
+                    media_type=mtype,
                 )
                 small = resize_image(img, out_w, out_h)
                 payloads.append(small.tobytes())

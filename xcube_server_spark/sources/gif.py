@@ -1,0 +1,321 @@
+"""Pure-Python GIF87a/89a codec (multimodal image payloads).
+
+Real scraped corpora are full of GIFs, and PIL is not in this container,
+so the format is parsed directly from the GIF89a specification: logical
+screen descriptor, global/local color tables, graphic-control extensions
+(transparency), image descriptors (incl. Adam-style 4-pass interlace) and
+the GIF flavor of variable-width LZW. GIF LZW differs from the TIFF LZW
+already in ``sources/tiff.py`` in two ways: codes are packed
+LITTLE-ENDIAN (LSB-first within each byte) and the code width grows one
+entry LATER (no TIFF "early change") — so the state machine is
+reimplemented here rather than shared.
+
+``decode_gif`` renders one frame composited onto the logical screen
+(background fill + transparency holes) — the shape an image featurizer
+wants; ``gif_frame_count`` exposes the animation length for frame-sample
+fan-out. ``encode_gif`` exists for deterministic test/gate fixtures and
+round-trip pinning (lossless palette frames hash-oracle exactly).
+
+The reference server has no GIF path (it delegates all imaging to
+PIL/matplotlib); this module exists for the LLM-pipeline multimodal
+surface (``pipeline/multimodal.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in (b"GIF87a", b"GIF89a")
+
+
+# --------------------------------------------------------------- LZW dec
+def _lzw_decode(min_size: int, data: bytes, npix: int) -> np.ndarray:
+    """GIF variable-width LZW: codes LSB-first, width grows when the
+    table reaches 2^width (max 12 bits), CLEAR resets."""
+    if not 2 <= min_size <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_size} out of range")
+    clear = 1 << min_size
+    end = clear + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i % 256]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without END code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"GIF LZW first code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+        if len(out) >= npix:
+            break
+    if len(out) < npix:
+        raise ValueError(
+            f"GIF LZW stream holds {len(out)} pixels, frame needs {npix}"
+        )
+    return np.frombuffer(bytes(out[:npix]), np.uint8)
+
+
+# --------------------------------------------------------------- LZW enc
+def _lzw_encode(min_size: int, indices: np.ndarray) -> bytes:
+    clear = 1 << min_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_size + 1
+    emit(clear, width)
+    w = b""
+    for k in indices.tobytes():
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        # mirror the decoder: it appends this entry while READING the
+        # code just emitted, then grows width when ITS table (one entry
+        # behind ours) reaches 2^width — i.e. when next_code - 1 does
+        if next_code < 4095:  # stay clear of the 4096 table-full edge
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # near-full table: reset like every mainstream encoder
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+        # the decoder appends one entry while reading that code and may
+        # grow its width before reading END — mirror it
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out[y] = rows[src]
+            src += 1
+    return out
+
+
+def _parse_color_table(data: bytes, pos: int, n: int) -> tuple[np.ndarray, int]:
+    end = pos + 3 * n
+    if end > len(data):
+        raise ValueError("GIF color table truncated")
+    return np.frombuffer(data[pos:end], np.uint8).reshape(n, 3), end
+
+
+def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF sub-block stream truncated")
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(chunks), pos
+        if pos + ln > len(data):
+            raise ValueError("GIF sub-block overruns file")
+        chunks.append(data[pos : pos + ln])
+        pos += ln
+
+
+def _parse(data: bytes):
+    """Parse header + blocks → (screen_w, screen_h, gct, bg_index,
+    frames) where each frame is a dict with the decoded index rows."""
+    if not is_gif(data):
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(data) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _parse_color_table(data, pos, 2 << (packed & 0x07))
+    frames = []
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("GIF extension truncated")
+            label = data[pos]
+            pos += 1
+            body, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                transparent = body[3] if body[0] & 0x01 else None
+            continue
+        if b == 0x2C:  # image descriptor
+            left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+            fpacked = data[pos + 8]
+            pos += 9
+            lct = None
+            if fpacked & 0x80:
+                lct, pos = _parse_color_table(data, pos, 2 << (fpacked & 0x07))
+            min_size = data[pos]
+            pos += 1
+            lzw, pos = _sub_blocks(data, pos)
+            idx = _lzw_decode(min_size, lzw, fw * fh).reshape(fh, fw)
+            if fpacked & 0x40:  # interlaced
+                idx = _deinterlace(idx)
+            frames.append(
+                {
+                    "left": left,
+                    "top": top,
+                    "indices": idx,
+                    "palette": lct if lct is not None else gct,
+                    "transparent": transparent,
+                }
+            )
+            transparent = None
+            continue
+        raise ValueError(f"unknown GIF block introducer 0x{b:02X}")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return sw, sh, gct, bg, frames
+
+
+def gif_frame_count(data: bytes) -> int:
+    return len(_parse(data)[4])
+
+
+def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
+    """Decode one GIF frame composited onto the logical screen as an
+    (h, w, 3) uint8 RGB array: background-color fill, frame offset
+    honored, transparent-index pixels left showing the background."""
+    sw, sh, gct, bg, frames = _parse(data)
+    if not 0 <= frame < len(frames):
+        raise ValueError(f"GIF has {len(frames)} frames, asked for {frame}")
+    fr = frames[frame]
+    pal = fr["palette"]
+    if pal is None:
+        raise ValueError("GIF frame has neither local nor global palette")
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    idx = fr["indices"]
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("GIF pixel index beyond palette")
+    rgb = pal[idx]
+    y0, x0 = fr["top"], fr["left"]
+    fh, fw = idx.shape
+    if y0 + fh > sh or x0 + fw > sw:
+        raise ValueError("GIF frame extends beyond logical screen")
+    region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+    if fr["transparent"] is not None:
+        mask = idx != fr["transparent"]
+        region[mask] = rgb[mask]
+    else:
+        region[:, :] = rgb
+    return canvas
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) uint8 palette as a
+    single-frame GIF89a (test/gate fixtures; lossless round trip)."""
+    indices = np.asarray(indices, np.uint8)
+    palette = np.asarray(palette, np.uint8)
+    h, w = indices.shape
+    n = len(palette)
+    if n < 2 or n > 256:
+        raise ValueError("palette must hold 2..256 colors")
+    if int(indices.max(initial=0)) >= n:
+        raise ValueError("index beyond palette")
+    size_exp = max(1, (n - 1).bit_length())  # table is 2^(exp) >= n
+    full = np.zeros((1 << size_exp, 3), np.uint8)
+    full[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((size_exp - 1) & 0x07), 0, 0])
+    out += full.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    rows = indices
+    if interlace:
+        order = [
+            y for start, step in _INTERLACE_PASSES for y in range(start, h, step)
+        ]
+        rows = indices[order]
+    min_size = max(2, size_exp)
+    out += bytes([min_size])
+    lzw = _lzw_encode(min_size, rows.reshape(-1))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -559,14 +559,32 @@ class Grib2Message:
                     f"header declares {self.ndata}"
                 )
         elif getattr(self, "packing_template", 0) == 41:
-            # template 7.41: the scaled integers ride a PNG container
-            # (grayscale, bit depth = nbits rounded up to 8/16); with a
-            # bitmap the image is ndata x 1, otherwise Nj x Ni — both
-            # flatten to the same storage-order stream
+            # template 7.41: the scaled integers ride a PNG container.
+            # g2clib's convention by bits-per-value: <=8 grayscale-8,
+            # <=16 grayscale-16, <=24 RGB, <=32 RGBA — for the multi-
+            # channel shapes each pixel's bytes form ONE big-endian
+            # integer, so channels must be reassembled, not sliced.
+            # With a bitmap the image is ndata x 1, otherwise Nj x Ni —
+            # both flatten to the same storage-order stream.
             from .png import decode_png
 
             img = decode_png(raw, full_depth=True)
-            x = img[:, :, 0].reshape(-1).astype("float64")
+            nch = img.shape[2]
+            if nch == 1:
+                x = img[:, :, 0].reshape(-1).astype("float64")
+            elif img.dtype == np.uint8 and nch in (3, 4):
+                acc = np.zeros(img.shape[:2], np.uint64)
+                for c in range(nch):
+                    acc = (acc << np.uint64(8)) | img[:, :, c].astype(
+                        np.uint64
+                    )
+                x = acc.reshape(-1).astype("float64")
+            else:
+                raise NotImplementedError(
+                    f"GRIB2 PNG packing with {nch} channels at "
+                    f"{img.dtype} — g2clib writes gray-8/16, RGB-8 or "
+                    "RGBA-8 only"
+                )
             if x.size != self.ndata:
                 raise ValueError(
                     f"GRIB2 PNG payload holds {x.size} samples, header "
@@ -891,9 +909,9 @@ def write_grib2(
     insertion order. The variable NAME rides the local-use section."""
     if packing not in ("simple", "complex", "complex_diff", "png", "j2k"):
         raise ValueError(f"unknown packing {packing!r}")
-    if packing == "png" and nbits > 16:
+    if packing == "png" and nbits > 32:
         raise ValueError("PNG packing (template 5.41) carries at most "
-                         "16 bits per value")
+                         "32 bits per value")
     if grid not in ("latlon", "gaussian"):
         raise ValueError(f"unknown grid {grid!r} (latlon/gaussian)")
     lat = np.asarray(lat, "float64")
@@ -1007,18 +1025,36 @@ def write_grib2(
                 )
                 sec7 = _pack_bits(x, nbits)
             elif packing == "png":
-                from .png import encode_gray_png
-
-                # template 5.41/7.41: scaled integers as a grayscale PNG
-                # (full grid when every point is present, ndata x 1 with
-                # a bitmap — the g2clib convention)
-                depth = 8 if nbits <= 8 else 16
-                dt = np.uint8 if depth == 8 else np.uint16
-                img = (
-                    x.astype(dt).reshape(nj, ni)
-                    if present.all()
-                    else x.astype(dt).reshape(1, -1)
+                from .png import (
+                    encode_gray_png,
+                    encode_rgb_png,
+                    encode_rgba_png,
                 )
+
+                # template 5.41/7.41: scaled integers as a PNG (full
+                # grid when every point is present, ndata x 1 with a
+                # bitmap). g2clib's depth ladder: <=8 gray-8, <=16
+                # gray-16, <=24 RGB, <=32 RGBA — multi-channel pixels
+                # hold one big-endian integer each.
+                shape = (nj, ni) if present.all() else (1, -1)
+                if nbits <= 16:
+                    depth = 8 if nbits <= 8 else 16
+                    dt = np.uint8 if depth == 8 else np.uint16
+                    sec7 = encode_gray_png(x.astype(dt).reshape(shape))
+                else:
+                    depth = 24 if nbits <= 24 else 32
+                    nch = depth // 8
+                    u = x.astype(np.uint64).reshape(shape)
+                    img = np.stack(
+                        [
+                            ((u >> np.uint64(8 * (nch - 1 - c)))
+                             & np.uint64(0xFF)).astype(np.uint8)
+                            for c in range(nch)
+                        ],
+                        axis=2,
+                    )
+                    enc = encode_rgb_png if nch == 3 else encode_rgba_png
+                    sec7 = enc(img)
                 sec5 = (
                     struct.pack(">I", int(vals.size))
                     + struct.pack(">H", 41)  # template 5.41
@@ -1026,7 +1062,6 @@ def write_grib2(
                     + scales
                     + bytes([depth, 0])
                 )
-                sec7 = encode_gray_png(img)
             elif packing == "j2k":
                 from .jpeg2000 import encode_j2k
 

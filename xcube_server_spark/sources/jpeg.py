@@ -6,16 +6,18 @@ decodes inside Arrow-batched ``mapInPandas`` stages
 like the zstd/blosc/LZW codecs before it — the baseline JPEG process is
 implemented directly from the public spec:
 
-* decoder: SOF0/SOF1 (sequential DCT, Huffman, 8-bit), interleaved and
-  single-component scans, restart markers, 4:4:4 / 4:2:2 / 4:2:0 chroma
-  subsampling (nearest upsample), JFIF YCbCr -> RGB;
+* decoder: SOF0/SOF1 (sequential DCT, Huffman, 8-bit), SOF2 progressive
+  (spectral selection + successive approximation, DC and AC scans),
+  interleaved and single-component scans, restart markers, 4:4:4 /
+  4:2:2 / 4:2:0 chroma subsampling (nearest upsample), JFIF
+  YCbCr -> RGB;
 * encoder (fixtures/tests): grayscale + RGB, Annex K quantization tables
   scaled by the IJG quality formula, Annex K Huffman tables, optional
-  4:2:0 subsampling and restart intervals.
+  4:2:0 subsampling, restart intervals, and progressive output.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
-clear errors — the documented-unsupported contract used across the
-format readers.
+Arithmetic coding, 12-bit precision, CMYK and sequential multi-scan
+(components split across several baseline scans) raise clear errors —
+the documented-unsupported contract used across the format readers.
 
 The reference delegates all image IO to PIL
 (``xcube_server/im/tiledimage.py:498-506``); this module exists so the
@@ -412,6 +414,14 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     by_id = {c["id"]: c for c in comps}
+    if len(scan) < len(comps):
+        # a valid baseline stream may split components across several
+        # sequential scans; decoding only the first would silently
+        # return tinted pixels (zero chroma planes) — refuse instead
+        raise NotImplementedError(
+            f"sequential multi-scan JPEG (first SOS covers {len(scan)} "
+            f"of {len(comps)} components) not supported"
+        )
     order = [by_id[s["cs"]] for s in scan]
     for c, s in zip(order, scan):
         c["dc"] = dc_tabs[s["td"]]

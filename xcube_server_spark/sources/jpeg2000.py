@@ -900,7 +900,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
     pos = 2
     w = h = depth = None
     signed = False
-    levels = cb_exp = guard = None
+    levels = cb_exp = guard = qcd_exps = None
     body = None
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
@@ -957,6 +957,10 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     "quantized (non-reversible) codestreams"
                 )
             guard = seg[0] >> 5
+            # SPqcd for no-quantization: one byte per band, exponent in
+            # the top 5 bits; validated against depth + gain after the
+            # header loop (COD/SIZ may come later)
+            qcd_exps = [b >> 3 for b in seg[1:]]
         elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
                         b"\xff\x5f"):
             # these CHANGE decoding semantics — skipping them silently
@@ -979,6 +983,19 @@ def decode_j2k(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if None in (w, h, depth, levels, cb_exp, guard) or body is None:
         raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD/SOT")
+    # the decoder derives Mb as guard + depth + gain - 1; a conformant
+    # stream may carry DIFFERENT per-band exponents in QCD (shifting
+    # every magnitude by 2^delta) — refuse those loudly rather than
+    # decode shifted values, matching the COC/QCC/RGN/POC policy
+    want_exps = [depth] + [
+        depth + _GAIN[o] for _ in range(levels) for o in ("HL", "LH", "HH")
+    ]
+    if len(qcd_exps) != len(want_exps) or qcd_exps != want_exps:
+        raise NotImplementedError(
+            f"JPEG 2000 QCD band exponents {qcd_exps} differ from the "
+            f"derived depth+gain ladder {want_exps} (explicit "
+            "quantization exponents not supported)"
+        )
     cb = 1 << cb_exp
     bands, (llh, llw) = _band_dims(h, w, levels)
     subbands = {

@@ -38,6 +38,19 @@ def encode_rgba_png(rgba: np.ndarray, compress_level: int = 1) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_rgb_png(rgb: np.ndarray, compress_level: int = 1) -> bytes:
+    """Encode an (h, w, 3) uint8 array as PNG bytes (color type 2) —
+    the container g2clib uses for GRIB2 template 5.41 fields of 17-24
+    bits per value (each pixel's bytes form one big-endian integer)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 RGB array")
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, compress_level)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
 def encode_gray_png(gray: np.ndarray, compress_level: int = 1) -> bytes:
     """Encode an (h, w) uint8 or uint16 grayscale array as PNG bytes
     (color type 0, depth 8 or 16 big-endian) — the container GRIB2 data
@@ -56,12 +69,11 @@ def encode_gray_png(gray: np.ndarray, compress_level: int = 1) -> bytes:
 def decode_rgba_png(data: bytes) -> np.ndarray:
     """Decode any supported PNG to an (h, w, 4) uint8 RGBA array.
 
-    Originally a repo-written-files-only helper; now a general baseline
-    decoder (PNG spec, RFC 2083 / ISO 15948): all five row filters
+    Originally a repo-written-files-only helper; now a general decoder
+    (PNG spec, RFC 2083 / ISO 15948): all five row filters
     (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6, bit depths
-    1/2/4/8/16 (16-bit samples downshifted to 8), palette + tRNS.
-    Adam7 interlace raises a clear error (rare in data pipelines; every
-    encoder writes interlace 0 by default)."""
+    1/2/4/8/16 (16-bit samples downshifted to 8), palette + tRNS, and
+    Adam7 interlace (both interlace methods decode)."""
     img = decode_png(data)
     ch = img.shape[2]
     if ch == 4:

@@ -11,15 +11,18 @@ mapped onto the engine's object-store protocol (``zarr_store.LocalStore`` /
 ``HttpStore``, the same stores the zarr v3 ``sharding_indexed`` path
 range-reads).
 
-Supported (the CO-GeoTIFF mainstream): classic TIFF both byte orders,
-strip AND tile layouts, chunky planar config, compression none(1) /
-LZW(5, spec section 13 incl. the early-change quirk) / deflate(8, 32946),
-sample formats uint(1)/int(2)/ieee-float(3) at 8/16/32/64 bits, overview
-IFD chains, ModelPixelScale + ModelTiepoint georeferencing. Clear
-``NotImplementedError`` gates (tested): BigTIFF(43), other compressions
-(JPEG/packbits/CCITT), the float predictor (3), planar=separate,
-palette images. Predictor 2 (horizontal differencing) IS supported for
-integer samples — undone with a wraparound row cumsum after decode.
+Supported (the CO-GeoTIFF mainstream): classic TIFF AND BigTIFF(43),
+both byte orders, strip AND tile layouts, chunky planar config,
+compression none(1) / LZW(5, spec section 13 incl. the early-change
+quirk) / new-style JPEG(7, TechNote 2 abbreviated streams +
+JPEGTables) / deflate(8, 32946) / PackBits(32773), sample formats
+uint(1)/int(2)/ieee-float(3) at 8/16/32/64 bits, overview IFD chains,
+ModelPixelScale + ModelTiepoint georeferencing. Clear
+``NotImplementedError`` gates (tested): other compressions (CCITT/old
+JPEG), the float predictor (3), planar=separate, palette images,
+multi-sample pixels. Predictor 2 (horizontal differencing) IS
+supported for integer samples — undone with a wraparound row cumsum
+after decode.
 
 No reference counterpart: the reference snapshot reads zarr/NetCDF only
 (``xcube_server/context.py:238-255``); GeoTIFF/COG is engine-added

@@ -4,9 +4,10 @@ The pipeline's audio featurization (``pipeline/multimodal.py``) decodes
 inside Arrow-batched ``mapInPandas`` stages; ffmpeg/soundfile are not in
 this container, so uncompressed PCM WAV — the dominant raw-audio
 interchange format — is parsed directly from the RIFF spec (format tag 1
-= integer PCM at 8/16/24/32 bits, tag 3 = IEEE float32). Compressed format
-tags raise a clear error, the documented-unsupported contract used across
-the format readers.
+= integer PCM at 8/16/24/32 bits, tag 3 = IEEE float32, and tag 0xFFFE
+WAVE_FORMAT_EXTENSIBLE whose SubFormat GUID is one of those two).
+Compressed format tags and truncated data chunks raise a clear error,
+the documented-unsupported contract used across the format readers.
 """
 
 from __future__ import annotations
@@ -28,19 +29,46 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_ext = b""
     raw = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag in (b"fmt ", b"data") and pos + 8 + ln > len(data):
+            # a declared length past EOF would silently yield a shorter
+            # waveform — refuse truncated files loudly
+            raise ValueError(
+                f"WAV {tag.decode()!r} chunk declares {ln} bytes but "
+                f"only {len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_ext = body[16:]
         elif tag == b"data":
             raw = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE (common for 24-bit)
+        # cbSize(2) validBits(2) channelMask(4) SubFormat GUID(16); the
+        # GUID's first little-endian field is the plain format tag when
+        # the subtype is KSDATAFORMAT_SUBTYPE_PCM / IEEE_FLOAT
+        if len(fmt_ext) < 24:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
+        guid = fmt_ext[8:24]
+        if guid[4:] != bytes.fromhex("00000010800000aa00389b71"):
+            raise NotImplementedError(
+                f"WAVE_FORMAT_EXTENSIBLE SubFormat {guid.hex()} is not a "
+                "KSDATAFORMAT audio subtype"
+            )
+        audio_fmt = struct.unpack("<I", guid[:4])[0]
+        if audio_fmt not in (1, 3):
+            raise NotImplementedError(
+                f"WAVE_FORMAT_EXTENSIBLE subtype {audio_fmt} not "
+                "supported — PCM and IEEE float only"
+            )
     if audio_fmt == 1:  # integer PCM
         if bits == 8:  # unsigned
             wave = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -61,7 +89,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(
             f"WAV format tag {audio_fmt} ({bits}-bit) not supported — "
-            "integer PCM (8/16/32) and float32 only"
+            "integer PCM (8/16/24/32) and float32 only"
         )
     if n_ch > 1:
         wave = wave[: len(wave) - len(wave) % n_ch]
