@@ -57,87 +57,31 @@ for _m in (
 
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
-# each round to maximize hard signal. Round 9 rotation, by the documented
-# policy (changed-first, then stalest, alphabetical within a vintage — with
-# the verdict-named stale rows promoted inside their vintage):
-# (a) queries NEW this round: the real-decode multimodal gates
-# (PNG/JPEG/WAV pixels and samples through mapInPandas), the Gaussian-grid
-# GRIB2 gate (template 3.40, latitudes pinned to the published N32 table)
-# and the F-order zarr gate (position-weighted checksum);
-# plus queries whose CODE PATH changed this round and must re-prove:
-# graph_triangle_count / market_basket_lift (width-capped basket pairs),
-# join_salted_enrich (pmod salt fix), geotiff/cog (short-final-strip
-# decode fix), both kerchunk gates (get_range empty-read guard + combine
-# list-ref checks), all three grib2 gates (writer product-section octets,
-# fixture bump, reworked _parse_grid), and the two v2 zarr gates
-# covering the shared ZarrArray order-attr change (the codec twins are
-# r08-green and their codec paths are untouched; ZarrArrayV3 has its own
-# __init__ and is unaffected).
-# (b) the STALEST driver-green rows: ALL 18 r03-vintage queries, then
-# r04-vintage — the four rows the round-8 verdict named explicitly
-# (hypertable_rollup_daily, q1_pricing_summary,
-# stream_user_stats_stateful, time_weighted_avg) first, then
-# alphabetical to the cut. Everything past position 50 is overflow:
-# multiply-green in prior rounds AND re-proven by the local DuckDB-oracle
-# replica (tests/test_correctness.py) on every pytest run. The remaining
-# r04 rows (event_attribution .. vocab_coverage) head the r10 rotation.
+# each round to maximize hard signal. Round 10 rotation, by the documented
+# policy (changed-first, then stalest, alphabetical within a vintage):
+# (a) queries whose CODE PATH or FIXTURE changed this round and must
+# re-prove: multimodal_decode_stats (fixture v3 adds four GIF assets —
+# the new pure-Python GIF codec — and the oracle gained the gif CTE),
+# multimodal_audio_stats (wav.py gained WAVE_FORMAT_EXTENSIBLE + the
+# truncated-data-chunk guard; fixture dir bumped with v3),
+# grib2_png_ingest_stats (template 7.41 decode now reassembles
+# multi-channel PNGs; writer depth ladder extended to 24/32) and
+# grib2_j2k_ingest_stats (decode_j2k now parses + validates QCD
+# per-band exponents).
+# (b) the STALEST driver-green rows: ALL 25 remaining r04-vintage
+# queries, then the first 21 r06-vintage rows alphabetically.
+# Everything past position 50 is overflow: multiply-green in prior
+# rounds AND re-proven by the local DuckDB-oracle replica
+# (tests/test_correctness.py) on every pytest run. The remaining r06
+# rows (dsir_importance .. winsorized_mean) head the r11 rotation,
+# then r07 vintage.
 _PRIORITY = [
-    # (a) new in round 9
+    # (a) changed in round 10 -- re-prove
     "multimodal_decode_stats",
     "multimodal_audio_stats",
-    "grib2_gaussian_ingest_stats",
     "grib2_png_ingest_stats",
     "grib2_j2k_ingest_stats",
-    "zarr_ingest_stats_forder",
-    # (a) code path changed in round 9 — re-prove
-    "graph_triangle_count",
-    "market_basket_lift",
-    "join_salted_enrich",
-    "geotiff_ingest_stats",
-    "geotiff_jpeg_ingest_stats",
-    "cog_overview_ingest_http",
-    "netcdf4_kerchunk_ingest_http",
-    "netcdf4_kerchunk_multifile_http",
-    "grib2_ingest_stats",
-    "grib2_ingest_http",
-    "grib2_complex_ingest_stats",
-    "zarr_ingest_stats",
-    "zarr_ingest_stats_http",
-    # (b) stalest: all 18 r03-vintage rows
-    "data_split_train_valid",
-    "dedup_simhash",
-    "doc_chunking",
-    "embed_label_centroids",
-    "multimodal_bytes",
-    "pack_sequences",
-    "pii_scrub",
-    "quality_filter_chain",
-    "sample_mixture",
-    "sample_stratified",
-    "set_ops_customers",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_repetition",
-    "text_tokens",
-    "unigram_logprob",
-    "vocab_top_tokens",
-    # (b) r04-vintage: verdict-named rows first, then alphabetical
-    "hypertable_rollup_daily",
-    "q1_pricing_summary",
-    "stream_user_stats_stateful",
-    "time_weighted_avg",
-    "anomaly_zscore_daily",
-    "array_dim_stats",
-    "bigram_top",
-    "cube_geometry_timeseries",
-    "cube_point_timeseries",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_retention_summary",
-    "doc_length_percentiles",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
-    # remaining r04-vintage (these head the r10 rotation)
+    # (b) stalest: all 25 remaining r04-vintage rows
     "embed_ann_lsh",
     "embed_cosine_topk",
     "embed_neardup_cosine",
@@ -163,23 +107,56 @@ _PRIORITY = [
     "ts_gap_fill",
     "user_retention",
     "vocab_coverage",
-    # r6/r7-green format/cube/streaming representatives
-    "netcdf_ingest_stats",
-    "netcdf4_ingest_stats",
-    "netcdf4_packed_ingest_stats",
-    "cube_tile_render",
+    # (b) r06-vintage, alphabetical to the cut
+    "contamination_screen",
+    "cross_source_overlap_kmv",
     "cube_append_lod",
-    "bm25_search",
-    "stream_neardup_minhash_live",
+    "cube_cell_anomaly",
+    "cube_focal_mean",
+    "cube_hovmoller",
+    "cube_regrid_bilinear",
+    "cube_regrid_mean",
+    "cube_regrid_nearest",
+    "cube_threshold_area",
+    "cube_tile_render",
+    "cube_time_interp",
+    "cube_var_correlation",
+    "decayed_engagement",
+    "dedup_components_minhash",
+    "dedup_containment",
+    "dedup_lsh_verify",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_substring_windows",  # <- window position 50
+    # ---- overflow (past the 50-query window) ----
+    # remaining r06-vintage (these head the r11 rotation)
+    "dsir_importance",
+    "embed_ann_ivf",
+    "embed_ivfpq_ann",
+    "embed_outlier_centroid",
+    "embed_pq_ann",
+    "join_semi",
+    "mixture_schedule",
+    "netcdf_ingest_stats",
+    "ngram_novelty",
+    "perplexity_buckets",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "quality_c4_rules",
+    "quality_gopher_rules",
+    "rfm_segments",
     "stream_dedupe_events_live",
+    "stream_hypertable_rollup_live",
+    "stream_interval_join_live",
     "stream_sessionize_live",
-    # r8-green zarr codec twins (codec paths untouched this round)
-    "zarr_ingest_stats_blosc",
-    "zarr_ingest_stats_blosclz",
-    "zarr_ingest_stats_zstd",
-    "zarr_ingest_stats_lz4",
-    "zarr_v3_ingest_stats",
-    "zarr_v3_sharded_ingest_stats",
+    "text_entropy",
+    "tfidf_top_terms",
+    "winsorized_mean",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -9,11 +9,13 @@ featurize REAL media bytes end-to-end through the Arrow-batched
 against closed-form DuckDB oracles:
 
 - ``multimodal_decode_stats`` — PNG (RGBA, formula pixels: decode is
-  lossless, the oracle regenerates the pixel formula) and JPEG (grayscale,
+  lossless, the oracle regenerates the pixel formula), JPEG (grayscale,
   constant EVEN value per 8x8 block at quality 50: the Annex K DC quant 16
   divides 8*(v-128) and every AC coefficient is exactly zero, so the lossy
   codec round-trips these BIT-EXACTLY — the oracle regenerates the block
-  formula). One mean-luma per asset from decoded pixels.
+  formula) and GIF (formula palette + formula index plane — palette
+  frames are lossless; one interlaced, one transparent-index asset).
+  One mean-luma per asset from decoded pixels.
 - ``multimodal_audio_stats`` — PCM16 WAV with formula samples; rms, peak,
   duration and zero-crossings from the decoded waveform. All sample
   values are dyadic rationals (pcm/2^15) whose squares sum exactly in
@@ -38,6 +40,7 @@ from .cube_queries import _gate_path
 _IMG_W, _IMG_H = 24, 16  # 3x2 JPEG blocks
 _N_PNG, _N_JPG = 6, 6
 _N_PROG = 4  # progressive (SOF2) JPEG assets
+_N_GIF = 4  # palette GIF assets (s=1 interlaced, s=3 transparent)
 _WAV_N, _WAV_SR, _N_WAV = 1600, 8000, 5
 
 
@@ -48,11 +51,12 @@ def _media_gate_fixture(spark: SparkSession) -> str:
     oracles regenerate (the JPEG assets use the block-constant-even
     construction, bit-exact at quality 50 in BOTH entropy modes)."""
     from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.gif import encode_gif
     from ..sources.jpeg import encode_jpeg
     from ..sources.png import encode_rgba_png
     from ..sources.wav import encode_wav
 
-    d = _gate_path("xss_media_gate_v2")
+    d = _gate_path("xss_media_gate_v3")
     assets_p = os.path.join(d, "assets.parquet")
     audio_p = os.path.join(d, "audio.parquet")
     if os.path.exists(os.path.join(assets_p, "_SUCCESS")) and os.path.exists(
@@ -89,6 +93,28 @@ def _media_gate_fixture(spark: SparkSession) -> str:
              {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
               "sample_rate": 0})
         )
+    # GIF: 64-color formula palette, formula index plane — palette
+    # frames are LOSSLESS, so the oracle regenerates pal[idx] exactly.
+    # s=1 is interlaced (same pixels, exercises the deinterlacer);
+    # s=3 carries a transparent index (those pixels composite to the
+    # background = palette entry 0 of the global table).
+    gy, gx = np.mgrid[0:_IMG_H, 0:_IMG_W]
+    for s in range(_N_GIF):
+        pal = np.empty((64, 3), np.uint8)
+        for ch in range(3):
+            pal[:, ch] = (np.arange(64) * 5 + ch * 11 + s * 3) % 256
+        idx = ((s * 7 + gy * 3 + gx) % 64).astype(np.uint8)
+        payload = encode_gif(
+            idx,
+            pal,
+            interlace=(s == 1),
+            transparent=(5 if s == 3 else None),
+        )
+        rows.append(
+            (30 + s, "image/gif", bytearray(payload),
+             {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
+              "sample_rate": 0})
+        )
     spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(assets_p)
@@ -111,11 +137,11 @@ def _media_gate_fixture(spark: SparkSession) -> str:
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean luma per asset from REAL decoded pixels (no fake decoder):
     parquet binary column -> mapInPandas decode (PNG general baseline /
-    JPEG T.81 Huffman+IDCT, BASELINE AND PROGRESSIVE SOF2) -> per-asset
-    fold. The PNG payloads are lossless; the JPEG payloads use the
-    block-constant-even construction that round trips bit-exactly at
-    quality 50 in both entropy modes, so ALL formats get full
-    value-hash oracles."""
+    JPEG T.81 Huffman+IDCT, BASELINE AND PROGRESSIVE SOF2 / GIF LZW
+    incl. interlace + transparency) -> per-asset fold. The PNG and GIF
+    payloads are lossless; the JPEG payloads use the block-constant-even
+    construction that round trips bit-exactly at quality 50 in both
+    entropy modes, so ALL formats get full value-hash oracles."""
     from ..pipeline.multimodal import extract_features
 
     d = _media_gate_fixture(spark)
@@ -155,12 +181,27 @@ WITH png AS (
   CROSS JOIN (SELECT unnest(range(0, {_IMG_H // 8})) AS i) bb
   CROSS JOIN (SELECT unnest(range(0, {_IMG_W // 8})) AS i) cc
   GROUP BY 1, 2
+), gif AS (
+  -- palette GIF is lossless: pixel = pal[(s*7 + y*3 + x) % 64] with
+  -- pal[p][c] = (p*5 + c*11 + s*3) % 256; asset s=3 composites its
+  -- transparent index 5 to the background (palette entry 0)
+  SELECT 30 + s.i AS asset_id, 'image/gif' AS media_type,
+         avg(CAST(CASE
+           WHEN s.i = 3 AND (s.i*7 + y.i*3 + x.i) % 64 = 5
+             THEN (c.i*11 + s.i*3) % 256
+           ELSE (((s.i*7 + y.i*3 + x.i) % 64)*5 + c.i*11 + s.i*3) % 256
+         END AS DOUBLE)) AS m
+  FROM (SELECT unnest(range(0, {_N_GIF})) AS i) s
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_W})) AS i) x
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) c
+  GROUP BY 1, 2
 )
 SELECT asset_id, media_type,
        floor(m * 1000000 + 0.5) / 1000000 AS mean_luma
 FROM (
   SELECT * FROM png UNION ALL SELECT * FROM jpg
-  UNION ALL SELECT * FROM jprog
+  UNION ALL SELECT * FROM jprog UNION ALL SELECT * FROM gif
 )
 ORDER BY asset_id
 """
