@@ -742,3 +742,24 @@ def test_bm25_single_corpus_exchange(spark, sf_dir):
                    and "Exchange" in s.split("\n")[0]
                    and "hashpartitioning" in s]
     assert len(ex_sections) <= 4  # df distinct+agg, final doc agg
+
+
+def test_triangle_wedge_input_width(spark, sf_dir):
+    """The triangle-count wedge join reads a localCheckpoint'd edge
+    list. AQE coalesces the small post-explode shuffle to ~3 partitions
+    and the checkpoint FREEZES that — a 3-wide wedge self-join ran 10.1s
+    vs 5.4s at sf0.1. The explicit repartition(defaultParallelism, src)
+    must survive into the materialized RDD; this pin fails on the
+    un-repartitioned variant, so an AQE or Spark-version change cannot
+    silently restore the slow plan."""
+    from xcube_server_spark.registry.pipeline_round8f import (
+        _oriented_copurchase_edges,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    good = _oriented_copurchase_edges(spark, sf_dir)
+    assert good.rdd.getNumPartitions() >= want
+    # the trap really exists: without the repartition, AQE coalesces the
+    # checkpointed width far below defaultParallelism at test scale
+    bad = _oriented_copurchase_edges(spark, sf_dir, repartition=False)
+    assert bad.rdd.getNumPartitions() < want

@@ -67,18 +67,13 @@ ORACLES = {}
 
 
 # ---------------------------------------------------------------- triangles
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle participation, top 10 (count desc, part asc).
-
-    Undirected co-purchase edges {a,b} (distinct part pairs sharing an
-    order, same base as ``graph_pagerank_parts``) are oriented from the
-    (degree, id)-smaller endpoint. A triangle {a,b,c} is then counted
-    exactly once as the wedge e(u,v), e(u,w) with ord(v) < ord(w) closed
-    by e(v,w): u is the orientation-minimum, so both wedge edges leave u
-    and the closing edge is oriented v->w. Wedge fan-out per node is the
-    ORIENTED out-degree, which degree-ordering caps near sqrt(m) — the
-    whole plan is two edge-keyed joins + one explode/count, no node ever
-    enumerates its full undirected neighborhood."""
+def _oriented_copurchase_edges(
+    spark: SparkSession, sf_dir: str, repartition: bool = True
+) -> DataFrame:
+    """Degree-ordered oriented co-purchase edge list (src, dst, dst_deg),
+    checkpointed. ``repartition=False`` exists ONLY so the plan test can
+    demonstrate the AQE-coalesce trap this guards against — production
+    callers always repartition (see the load-bearing comment below)."""
     from ._util import capped_basket_pairs
 
     li = _t(spark, sf_dir, "lineitem")
@@ -119,12 +114,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wedge join and the closing semi-join both re-read the oriented
     # edge list — cut the lineage so the basket explode runs once. The
     # repartition is load-bearing twice over: AQE coalesces the small
-    # post-explode shuffle to ~3 partitions, which would strangle the
-    # wedge join's parallelism (measured 7.7s -> 2.7s at sf0.1), and
-    # hashing on src pre-clusters the wedge self-join key
-    oriented = oriented.repartition(
-        spark.sparkContext.defaultParallelism, "src"
-    ).localCheckpoint()
+    # post-explode shuffle to ~3 partitions and localCheckpoint FREEZES
+    # that, which would strangle the wedge join's parallelism (measured
+    # 7.7s -> 2.7s at sf0.1), and hashing on src pre-clusters the wedge
+    # self-join key. Pinned by test_plans.test_triangle_wedge_input_width.
+    if repartition:
+        oriented = oriented.repartition(
+            spark.sparkContext.defaultParallelism, "src"
+        )
+    return oriented.localCheckpoint()
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation, top 10 (count desc, part asc).
+
+    Undirected co-purchase edges {a,b} (distinct part pairs sharing an
+    order, same base as ``graph_pagerank_parts``) are oriented from the
+    (degree, id)-smaller endpoint. A triangle {a,b,c} is then counted
+    exactly once as the wedge e(u,v), e(u,w) with ord(v) < ord(w) closed
+    by e(v,w): u is the orientation-minimum, so both wedge edges leave u
+    and the closing edge is oriented v->w. Wedge fan-out per node is the
+    ORIENTED out-degree, which degree-ordering caps near sqrt(m) — the
+    whole plan is two edge-keyed joins + one explode/count, no node ever
+    enumerates its full undirected neighborhood."""
+    oriented = _oriented_copurchase_edges(spark, sf_dir)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
