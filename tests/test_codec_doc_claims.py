@@ -47,10 +47,19 @@ def test_jpeg_doc_claims_match_dispatch():
         jpeg.decode_jpeg(bytes(data))
 
 
-def test_jpeg2000_doc_claims_97_raises_and_it_does():
+def test_jpeg2000_doc_claims_97_supported_and_derived_quant_raises():
     d = _doc(jpeg2000)
-    assert "9/7 irreversible" in d  # documented out-of-scope
-    data = bytearray(jpeg2000.encode_j2k(np.arange(64).reshape(8, 8)))
+    assert "9/7 irreversible" in d  # documented in-scope since round 10
+    img = np.arange(64).reshape(8, 8).astype(np.int64)
+    # supported: 9/7 + scalar-expounded quantization decodes (the fine
+    # encoder delta makes integer fields round-trip exactly)
+    assert np.array_equal(
+        jpeg2000.decode_j2k(jpeg2000.encode_j2k(img, irreversible=True)),
+        img,
+    )
+    # documented raises: a 9/7 stream with a no-quantization QCD is
+    # nonconforming — flipping the COD transform byte produces one
+    data = bytearray(jpeg2000.encode_j2k(img))
     i = bytes(data).find(b"\xff\x52")
     data[i + 4 + 12 - 2 - 1] = 0  # COD transform byte: 5/3 -> 9/7
     with pytest.raises(NotImplementedError, match="9/7"):

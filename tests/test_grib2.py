@@ -550,7 +550,9 @@ def test_j2k_packing_roundtrip(tmp_path):
     """Data template 5.40 (lossless JPEG 2000 — what operational NCEP
     archives ship): bit-exact at the /16 quantum through the
     pure-Python EBCOT/MQ/5-3 codec, bitmap (ndata x 1) layout included;
-    the lossy (9/7) compression-type octet raises a clear error."""
+    an unknown compression-type octet raises a clear error (0 lossless
+    and 1 lossy are both decodable — the codestream's COD declares the
+    actual transform)."""
     path, fld, lat, lon = _cube(tmp_path, "j2k.grib2", packing="j2k")
     ds = open_grib2(path)
     got = ds["conc_chl"].values
@@ -568,11 +570,43 @@ def test_j2k_packing_roundtrip(tmp_path):
         (ln,) = struct.unpack(">I", bad[pos : pos + 4])
         pos += ln
     assert bad[pos + 21] == 0  # compression type: lossless
+    # octet 22 is informational (the codestream declares the transform):
+    # flipping it to 1 (lossy) must still decode the 5/3 stream exactly
     bad[pos + 21] = 1
-    p2 = os.path.join(tmp_path, "lossy.grib2")
+    p2 = os.path.join(tmp_path, "lossy_octet.grib2")
     open(p2, "wb").write(bytes(bad))
-    with pytest.raises(NotImplementedError, match="lossy"):
-        open_grib2(p2)["conc_chl"].values
+    got2 = open_grib2(p2)["conc_chl"].values
+    assert np.array_equal(np.nan_to_num(got2), np.nan_to_num(fld))
+    # an undefined compression type refuses
+    bad[pos + 21] = 2
+    p3 = os.path.join(tmp_path, "badtype.grib2")
+    open(p3, "wb").write(bytes(bad))
+    with pytest.raises(NotImplementedError, match="compression type 2"):
+        open_grib2(p3)["conc_chl"].values
+
+
+def test_j2k97_lossy_packing_roundtrip(tmp_path):
+    """Data template 5.40 LOSSY (irreversible 9/7 + scalar quantizer —
+    the packing lossy operational archives ship): the writer's 2^-6
+    step keeps reconstruction error far below half a quantum, so the
+    /16-quantum field round-trips EXACTLY (tolerance-free pin), bitmap
+    layout included; the compression-type octet reads 1."""
+    path, fld, lat, lon = _cube(tmp_path, "j2k97.grib2", packing="j2k97")
+    ds = open_grib2(path)
+    got = ds["conc_chl"].values
+    assert np.array_equal(np.isnan(got), np.isnan(fld))
+    assert np.array_equal(np.nan_to_num(got), np.nan_to_num(fld))
+    raw = open(path, "rb").read()
+    pos = 16
+    bb = bytearray(raw)
+    while bb[pos + 4] != 5:
+        (ln,) = struct.unpack(">I", bb[pos : pos + 4])
+        pos += ln
+    assert bb[pos + 21] == 1  # compression type: lossy
+    # the embedded codestream really uses the 9/7 transform (COD byte)
+    soc = raw.index(b"\xff\x4f")
+    cod = raw.index(b"\xff\x52", soc)
+    assert raw[cod + 4 + 12 - 2 - 1] == 0
 
 
 def test_hand_built_png_packed_message_decodes():

@@ -252,3 +252,68 @@ def test_clear_error_gates():
         seg = mk + struct.pack(">H", 4) + b"\x00\x00"
         with pytest.raises(NotImplementedError, match=name):
             decode_j2k(bytes(data[:j]) + seg + bytes(data[j:]))
+
+
+def test_97_dwt_perfect_reconstruction_and_dc_gain():
+    """Float 9/7 lifting: structural inverse reconstructs to ~1e-9, a
+    constant signal lands entirely in the low band (DC gain 1 after the
+    K normalization), every high coefficient ~0."""
+    from xcube_server_spark.sources.jpeg2000 import (
+        _fwd_97_2d,
+        _fwd_97_axis0,
+        _inv_97_2d,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (7, 9), (1, 5), (5, 1), (2, 2), (3, 3), (2, 7)]:
+        a = rng.uniform(-1000, 1000, (h, w))
+        assert np.abs(_inv_97_2d(*_fwd_97_2d(a)) - a).max() < 1e-9, (h, w)
+    lo, hi = _fwd_97_axis0(np.full(16, 77.0))
+    assert np.abs(lo - 77.0).max() < 1e-8
+    assert np.abs(hi).max() < 1e-8
+
+
+def test_97_codestream_integer_roundtrip_exact():
+    """9/7 + the fine scalar quantizer (delta 2^-6, QCD style 2):
+    reconstruction error stays far below 0.5, so integer fields decode
+    + round back EXACTLY — the tolerance-free pin that makes a lossy
+    transform hash-oracle-able."""
+    rng = np.random.default_rng(12)
+    for shape, hi in [((16, 16), 256), ((33, 47), 4096), ((8, 8), 65536),
+                      ((5, 7), 100), ((1, 9), 50)]:
+        img = rng.integers(0, hi, shape).astype(np.int64)
+        data = encode_j2k(img, irreversible=True)
+        assert np.array_equal(decode_j2k(data), img), (shape, hi)
+    # the stream really declares 9/7 + scalar-expounded quantization
+    i = data.find(b"\xff\x52")
+    assert data[i + 4 + 12 - 2 - 1] == 0  # COD transform byte
+    q = data.find(b"\xff\x5c")
+    assert data[q + 4] & 0x1F == 2  # Sqcd style
+
+
+def test_97_quantizer_mantissa_dequantizes():
+    """A hand-patched QCD mantissa scales the step size by 1+mu/2048 —
+    the decoder must honor it (values shift accordingly), proving the
+    full delta formula is applied, not just the exponent."""
+    img = np.full((8, 8), 200, np.int64)
+    data = bytearray(encode_j2k(img, irreversible=True, levels=1))
+    got0 = decode_j2k(bytes(data))
+    assert np.array_equal(got0, img)
+    q = bytes(data).find(b"\xff\x5c")
+    # LL band entry: bump mantissa from 0 to 1024 -> delta x 1.5
+    exp = data[q + 5] >> 3
+    struct.pack_into(">H", data, q + 5, (exp << 11) | 1024)
+    got = decode_j2k(bytes(data))
+    # constant 200 -> DC-shifted 72; LL quantized at delta=2^-6 then
+    # dequantized at 1.5x -> reconstructed ~1.5*72 + 128
+    want = int(np.floor(1.5 * (200 - 128) + 0.5)) + 128
+    assert np.array_equal(got, np.full((8, 8), want))
+
+
+def test_97_derived_quantization_raises():
+    img = np.arange(64, dtype=np.int64).reshape(8, 8)
+    data = bytearray(encode_j2k(img, irreversible=True, levels=1))
+    q = bytes(data).find(b"\xff\x5c")
+    data[q + 4] = (data[q + 4] & 0xE0) | 1  # Sqcd style 1 (derived)
+    with pytest.raises(NotImplementedError, match="derived"):
+        decode_j2k(bytes(data))

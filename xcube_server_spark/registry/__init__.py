@@ -58,7 +58,12 @@ for _m in (
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
 # each round to maximize hard signal. Round 10 rotation, by the documented
-# policy (changed-first, then stalest, alphabetical within a vintage):
+# policy (new-first, changed-first, then stalest, alphabetical within a
+# vintage):
+# (a0) NEW this round: grib2_j2k97_ingest_stats — GRIB2 template 5.40
+# compression type 1 (lossy irreversible 9/7 + QCD style-2 scalar
+# dequantization) with a tolerance-free integer pin and a
+# position-weighted checksum.
 # (a) queries whose CODE PATH or FIXTURE changed this round and must
 # re-prove: multimodal_decode_stats (fixture v3 adds four GIF assets —
 # the new pure-Python GIF codec — and the oracle gained the gif CTE),
@@ -76,6 +81,8 @@ for _m in (
 # rows (dsir_importance .. winsorized_mean) head the r11 rotation,
 # then r07 vintage.
 _PRIORITY = [
+    # (a0) new in round 10
+    "grib2_j2k97_ingest_stats",
     # (a) changed in round 10 -- re-prove
     "multimodal_decode_stats",
     "multimodal_audio_stats",
@@ -127,10 +134,10 @@ _PRIORITY = [
     "dedup_lsh_verify",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_substring_windows",  # <- window position 50
+    "dedup_paragraphs",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # remaining r06-vintage (these head the r11 rotation)
+    "dedup_substring_windows",
     "dsir_importance",
     "embed_ann_ivf",
     "embed_ivfpq_ann",

@@ -2292,6 +2292,105 @@ ORACLES["grib2_j2k_ingest_stats"] = ORACLE_GRIB2_J2K
 
 
 # ---------------------------------------------------------------------------
+# grib2_j2k97_ingest_stats: data template 5.40 LOSSY (irreversible 9/7)
+# ---------------------------------------------------------------------------
+
+
+def _grib2_j2k97_gate_file() -> str:
+    """GRIB2 twin packed with DATA TEMPLATE 5.40 compression type 1
+    (LOSSY JPEG 2000): irreversible 9/7 DWT + scalar-expounded
+    quantization. The writer's fine 2^-6 step keeps reconstruction
+    error far below half a /16 quantum, so the decoded field equals
+    the formula EXACTLY — the tolerance-free pin that makes a lossy
+    transform hash-oracle-able (same discipline as the q50
+    block-constant JPEG assets). Distinct formula
+    ``((t*37 + y*17 + x*13) % 83)/16`` with NULL holes where
+    ``(y*W + x + 3*t) % 31 == 0``."""
+    import numpy as np
+
+    from ..sources.grib2 import write_grib2
+
+    d = _gate_path("xss_grib2_j2k97_gate_v1")
+    path = os.path.join(d, "cube.grib2")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t, y, x = np.meshgrid(
+            np.arange(_ZG_T), np.arange(_ZG_H), np.arange(_ZG_W),
+            indexing="ij",
+        )
+        chl = ((t * 37 + y * 17 + x * 13) % 83) / 16.0
+        chl[(y * _ZG_W + x + 3 * t) % 31 == 0] = np.nan
+        lat = np.linspace(52.5 - 0.125, 50.0 + 0.125, _ZG_H)
+        lon = np.linspace(0.125, 5.0 - 0.125, _ZG_W)
+        write_grib2(
+            path,
+            ["2017-01-16 10:09:22", "2017-01-25 09:35:51",
+             "2017-01-26 10:50:17"],
+            lat, lon, {"conc_chl": chl},
+            binary_scale=-4, packing="j2k97",
+            params={"conc_chl": (10, 4, 3)},
+        )
+    return path
+
+
+def grib2_j2k97_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRIB2 stats gate over DATA TEMPLATE 5.40 compression type 1:
+    the LOSSY (irreversible 9/7) JPEG 2000 packing some operational
+    archives ship, decoded ON THE EXECUTORS — MQ/EBCOT tier-1, QCD
+    style-2 dequantization (per-band exponent + mantissa, midpoint
+    reconstruction) and the Table F.4 9/7 inverse lifting. The fixture
+    quantizer is fine enough that decode+round recovers the /16-quantum
+    formula exactly, so this lossy path gets a FULL value-hash oracle,
+    plus a position-weighted BIGINT checksum that a wrong element order
+    inside the grid cannot survive. The reference reads these via
+    xarray/cfgrib+openjpeg (``xcube_server/context.py:243-246``)."""
+    from ..sources.xarray_ingest import ingest_xarray_distributed
+
+    path = _grib2_j2k97_gate_file()
+    df, _grid = ingest_xarray_distributed(spark, path, fmt="grib2")
+    qv = F.floor(F.col("conc_chl") * 16.0 + 0.5).cast("bigint")
+    pos = F.col("lat_idx").cast("bigint") * _ZG_W + F.col("lon_idx")
+    return (
+        df.withColumn("qv", qv)
+        .withColumn("pos", pos)
+        .groupBy("time_idx")
+        .agg(
+            F.count("conc_chl").cast("bigint").alias("n_valid"),
+            rnd(F.avg("conc_chl"), 6).alias("mean_chl"),
+            rnd(F.max("conc_chl"), 6).alias("max_chl"),
+            F.sum(F.col("qv") * F.col("pos")).cast("bigint").alias(
+                "pos_checksum"
+            ),
+        )
+    )
+
+
+ORACLE_GRIB2_J2K97 = f"""
+WITH cells AS (
+  SELECT t.i AS time_idx, y.i * {_ZG_W} + x.i AS pos,
+         CASE WHEN (y.i * {_ZG_W} + x.i + 3 * t.i) % 31 = 0 THEN NULL
+              ELSE ((t.i * 37 + y.i * 17 + x.i * 13) % 83) / 16.0
+           END AS conc_chl
+  FROM (SELECT unnest(range(0, {_ZG_T})) AS i) t
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_ZG_W})) AS i) x
+)
+SELECT time_idx,
+       CAST(count(conc_chl) AS BIGINT) AS n_valid,
+       floor(avg(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS mean_chl,
+       floor(max(conc_chl) * 1000000.0 + 0.5) / 1000000.0 AS max_chl,
+       CAST(sum(CAST(floor(conc_chl * 16.0 + 0.5) AS BIGINT) * pos)
+            AS BIGINT) AS pos_checksum
+FROM cells
+GROUP BY 1
+"""
+
+
+QUERIES["grib2_j2k97_ingest_stats"] = grib2_j2k97_ingest_stats
+ORACLES["grib2_j2k97_ingest_stats"] = ORACLE_GRIB2_J2K97
+
+
+# ---------------------------------------------------------------------------
 # netcdf4_kerchunk_multifile_http: one virtual dataset over many granules
 # ---------------------------------------------------------------------------
 

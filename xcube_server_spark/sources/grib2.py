@@ -29,11 +29,13 @@ optional list, served as a flat ``points`` dimension with per-point
 lat/lon — the cfgrib convention); scanning modes 0x00 (+i, -j) and 0x40
 (+i, +j); product templates 4.0/4.8 (the octets this reader uses are
 common to both); data templates 5.0 (simple packing, any 1..32 bit
-width), 5.2/5.3 (complex, spatial differencing), 5.40 (LOSSLESS
-JPEG 2000 — the packing operational NCEP archives ship, decoded by the
-pure-Python EBCOT/MQ/5-3-DWT codec in ``sources/jpeg2000.py``; the
-lossy 9/7 variant raises), 5.41 (PNG packing — NCEP MRMS — via
-``sources/png.py``), bitmaps 0/255. Spectral grids and other grid
+width), 5.2/5.3 (complex, spatial differencing), 5.40 (JPEG 2000,
+BOTH compression types: lossless reversible 5/3 — what operational
+NCEP archives ship — and lossy irreversible 9/7 with scalar-expounded
+dequantization, decoded by the pure-Python EBCOT/MQ/DWT codec in
+``sources/jpeg2000.py``), 5.41 (PNG packing — NCEP MRMS — via
+``sources/png.py``, incl. the g2clib 24/32-bit RGB/RGBA channel
+convention), bitmaps 0/255. Spectral grids and other grid
 projections raise with the template id in the message.
 
 Dataset surface matches the other pure-Python readers (what
@@ -423,11 +425,14 @@ class Grib2Message:
         self.decimal_scale = _sign_magnitude(d_raw)
         self.nbits = sec[19]
         if tmpl == 40:
-            # octet 22: compression type (0 lossless / 1 lossy 9/7)
-            if sec[21] != 0:
+            # octet 22: compression type — 0 lossless (reversible 5/3)
+            # or 1 lossy (irreversible 9/7); the embedded codestream's
+            # COD declares the actual transform and sources/jpeg2000.py
+            # decodes both, so the octet is informational here
+            if sec[21] not in (0, 1):
                 raise NotImplementedError(
-                    "GRIB2 template 5.40 lossy (9/7) compression is not "
-                    "supported — lossless (reversible 5/3) only"
+                    f"GRIB2 template 5.40 compression type {sec[21]} "
+                    "(0 lossless / 1 lossy only)"
                 )
         if tmpl in (2, 3):
             split = sec[21]
@@ -907,7 +912,9 @@ def write_grib2(
     ``params`` optionally maps variable name → (discipline, category,
     number); unnamed variables get discipline 0, category 0, numbers in
     insertion order. The variable NAME rides the local-use section."""
-    if packing not in ("simple", "complex", "complex_diff", "png", "j2k"):
+    if packing not in (
+        "simple", "complex", "complex_diff", "png", "j2k", "j2k97"
+    ):
         raise ValueError(f"unknown packing {packing!r}")
     if packing == "png" and nbits > 32:
         raise ValueError("PNG packing (template 5.41) carries at most "
@@ -1062,12 +1069,17 @@ def write_grib2(
                     + scales
                     + bytes([depth, 0])
                 )
-            elif packing == "j2k":
+            elif packing in ("j2k", "j2k97"):
                 from .jpeg2000 import encode_j2k
 
-                # template 5.40/7.40: scaled integers as a LOSSLESS
-                # JPEG 2000 codestream (reversible 5/3); bitmap fields
-                # pack ndata x 1 like PNG packing
+                # template 5.40/7.40: scaled integers as a JPEG 2000
+                # codestream — "j2k" lossless (reversible 5/3,
+                # compression-type octet 0), "j2k97" lossy (irreversible
+                # 9/7 + fine scalar quantizer, octet 1 — what lossy
+                # operational archives ship; the 2^-6 step keeps
+                # integer fields exactly recoverable after rounding);
+                # bitmap fields pack ndata x 1 like PNG packing
+                lossy = packing == "j2k97"
                 grid_vals = (
                     x.reshape(nj, ni) if present.all()
                     else x.reshape(1, -1)
@@ -1078,10 +1090,12 @@ def write_grib2(
                     + struct.pack(">f", ref)
                     + scales
                     + bytes([nbits, 0])
-                    + bytes([0, 255])  # lossless; ratio n/a
+                    + bytes([1 if lossy else 0, 255])
                 )
                 sec7 = encode_j2k(
-                    grid_vals.astype("int64"), depth=max(nbits, 1)
+                    grid_vals.astype("int64"),
+                    depth=max(nbits, 1),
+                    irreversible=lossy,
                 )
             else:
                 order = 0 if packing == "complex" else diff_order

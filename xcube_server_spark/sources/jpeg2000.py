@@ -20,12 +20,17 @@ repo's zstd/blosc/LZW/JPEG codecs:
 * tier-2 single-layer packet headers (Annex B.10: inclusion/zero-bp tag
   trees, pass-count code, Lblock length signalling, header bit
   stuffing);
-* reversible 5/3 DWT (Annex F lifting, symmetric extension);
+* reversible 5/3 DWT (Annex F lifting, symmetric extension) AND the
+  9/7 irreversible transform (Table F.4 lifting + K normalization)
+  with scalar-expounded dequantization (QCD style 2, per-band
+  exponent/mantissa, midpoint reconstruction) — the lossy packing
+  some operational GRIB2 5.40 archives ship;
 * codestream framing (SOC/SIZ/COD/QCD/SOT/SOD/EOC).
 
 Out of scope (clear errors, never wrong answers): multiple
-tiles/components/layers, precinct partitions, the 9/7 irreversible
-transform, coding-style option flags (bypass/termall/causal/segsym).
+tiles/components/layers, precinct partitions, scalar-DERIVED
+quantization (QCD style 1), nonconforming 9/7-with-no-quantizer
+streams, coding-style option flags (bypass/termall/causal/segsym).
 With one layer, one component and one precinct per resolution ALL five
 progression orders serialize packets identically, so any declared order
 parses.
@@ -473,6 +478,75 @@ def _inv_53_2d(ll, hl, lh, hh) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------------------ 9/7 lifting
+# Table F.4 lifting parameters (irreversible transform)
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _wss_take(a: np.ndarray, n: int, pad: int) -> np.ndarray:
+    """Whole-sample symmetric extension by ``pad`` on both ends along
+    axis 0 (works for any n >= 2, unlike np.pad(mode='reflect'))."""
+    j = np.arange(-pad, n + pad)
+    p = 2 * (n - 1)
+    j = np.abs(j) % p
+    j = np.where(j >= n, p - j, j)
+    return a[j]
+
+
+def _lift(e: np.ndarray, par: int, c: float) -> None:
+    """One lifting step along axis 0: e[j] += c*(e[j-1]+e[j+1]) for all
+    interior j with j % 2 == par."""
+    j0 = par if par else 2
+    e[j0:-1:2] += c * (e[j0 - 1 : -2 : 2] + e[j0 + 1 :: 2])
+
+
+def _fwd_97_axis0(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Irreversible 9/7 analysis along axis 0 (Annex F.3, Table F.4):
+    four lifting steps over the symmetric extension, then the K
+    normalization (low x 1/K, high x K — for a constant signal the low
+    band equals the constant and every high coefficient is ~0)."""
+    n = a.shape[0]
+    if n == 1:
+        return a.astype(np.float64).copy(), a[:0].astype(np.float64)
+    e = _wss_take(a, n, 4).astype(np.float64)
+    for c, par in ((_A97, 1), (_B97, 0), (_G97, 1), (_D97, 0)):
+        _lift(e, par, c)
+    mid = e[4 : 4 + n]
+    return mid[0::2] / _K97, mid[1::2] * _K97
+
+
+def _inv_97_axis0(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Exact structural inverse of :func:`_fwd_97_axis0`."""
+    n = lo.shape[0] + hi.shape[0]
+    if n == 1:
+        return lo.astype(np.float64).copy()
+    y = np.empty((n,) + lo.shape[1:], np.float64)
+    y[0::2] = lo * _K97
+    y[1::2] = hi / _K97
+    e = _wss_take(y, n, 4)
+    for c, par in ((_D97, 0), (_G97, 1), (_B97, 0), (_A97, 1)):
+        _lift(e, par, -c)
+    return e[4 : 4 + n]
+
+
+def _fwd_97_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+    """One 2-D 9/7 decomposition step: (LL, HL, LH, HH) float64."""
+    lo_c, hi_c = _fwd_97_axis0(np.asarray(a, np.float64))
+    ll_t, hl_t = _fwd_97_axis0(lo_c.T)
+    lh_t, hh_t = _fwd_97_axis0(hi_c.T)
+    return ll_t.T, hl_t.T, lh_t.T, hh_t.T
+
+
+def _inv_97_2d(ll, hl, lh, hh) -> np.ndarray:
+    top = _inv_97_axis0(ll.T, hl.T).T
+    bot = _inv_97_axis0(lh.T, hh.T).T
+    return _inv_97_axis0(top, bot)
+
+
 # --------------------------------------------------------------- EBCOT T1
 def _zc_context(sh: int, sv: int, sd: int, orient: str) -> int:
     """Zero-coding context (Table D.1)."""
@@ -765,16 +839,31 @@ def _read_pass_count(bits: _HeaderBitReader) -> int:
 
 
 # ---------------------------------------------------------- codestream enc
+_Q97_SHIFT = 6  # encoder quantizer: delta_b = 2^-6 per band (near-lossless)
+
+
+def _eps_for(depth: int, orient: str, irreversible: bool) -> int:
+    """Per-band QCD exponent: the derived depth+gain ladder for the
+    reversible path; depth+gain+shift (a fine uniform quantizer) for
+    the irreversible encoder."""
+    return depth + _GAIN[orient] + (_Q97_SHIFT if irreversible else 0)
+
+
 def encode_j2k(
     img: np.ndarray,
     levels: int = 5,
     cb_exp: int = 6,
     signed: bool = False,
     depth: int | None = None,
+    irreversible: bool = False,
 ) -> bytes:
-    """Encode a 2-D integer array as a lossless single-tile,
-    single-component, single-layer JPEG 2000 codestream (the GRIB2
-    5.40 / Jasper profile)."""
+    """Encode a 2-D integer array as a single-tile, single-component,
+    single-layer JPEG 2000 codestream (the GRIB2 5.40 / Jasper
+    profile). ``irreversible=True`` uses the 9/7 transform with a fine
+    scalar quantizer (delta 2^-6 per band, QCD scalar-expounded) — the
+    lossy packing some operational GRIB2 archives ship; reconstruction
+    error stays far below 0.5, so integer fields survive a
+    decode+round round trip exactly."""
     img = np.asarray(img)
     h, w = img.shape
     if depth is None:
@@ -788,14 +877,32 @@ def encode_j2k(
     if not signed:
         a = a - (1 << (depth - 1))  # DC level shift
     subbands: dict = {}
-    cur = a
-    for lev in range(1, levels + 1):
-        ll, hl, lh, hh = _fwd_53_2d(cur)
-        subbands[(lev, "HL")] = hl
-        subbands[(lev, "LH")] = lh
-        subbands[(lev, "HH")] = hh
-        cur = ll
-    subbands[(levels, "LL")] = cur
+    if irreversible:
+        curf = a.astype(np.float64)
+        fbands: dict = {}
+        for lev in range(1, levels + 1):
+            ll, hl, lh, hh = _fwd_97_2d(curf)
+            fbands[(lev, "HL")] = hl
+            fbands[(lev, "LH")] = lh
+            fbands[(lev, "HH")] = hh
+            curf = ll
+        fbands[(levels, "LL")] = curf
+        for key, v in fbands.items():
+            delta = 2.0 ** (
+                (depth + _GAIN[key[1]]) - _eps_for(depth, key[1], True)
+            )
+            subbands[key] = (
+                np.sign(v) * np.floor(np.abs(v) / delta)
+            ).astype(np.int64)
+    else:
+        cur = a
+        for lev in range(1, levels + 1):
+            ll, hl, lh, hh = _fwd_53_2d(cur)
+            subbands[(lev, "HL")] = hl
+            subbands[(lev, "LH")] = lh
+            subbands[(lev, "HH")] = hh
+            cur = ll
+        subbands[(levels, "LL")] = cur
 
     body = bytearray()
     for packet_bands in _packet_band_order(levels):
@@ -814,7 +921,7 @@ def encode_j2k(
             ncx, ncy = -(-bw // cb), -(-bh // cb)
             incl = TagTree(ncx, ncy)
             zbp = TagTree(ncx, ncy)
-            mb = guard + (depth + _GAIN[key[1]]) - 1
+            mb = guard + _eps_for(depth, key[1], irreversible) - 1
             blocks = _codeblocks(bh, bw, cb)
             coded = []
             for y0, x0, hh_, ww_ in blocks:
@@ -871,20 +978,36 @@ def encode_j2k(
         + bytes([0])             # progression LRCP
         + struct.pack(">H", 1)   # one layer
         + bytes([0])             # no MCT
-        + bytes([levels, cb_exp - 2, cb_exp - 2, 0, 1])  # 1 = 5/3
+        # transform: 1 = reversible 5/3, 0 = irreversible 9/7
+        + bytes([levels, cb_exp - 2, cb_exp - 2, 0,
+                 0 if irreversible else 1])
     )
     out += b"\xff\x52" + cod
     nb = 3 * levels + 1
-    exps = bytearray([(depth + 0) << 3])  # LL
-    for _lev in range(levels):
-        for o in ("HL", "LH", "HH"):
-            exps.append((depth + _GAIN[o]) << 3)
-    out += (
-        b"\xff\x5c"
-        + struct.pack(">H", 3 + nb)
-        + bytes([guard << 5])  # Sqcd: reversible, no quantization
-        + bytes(exps)
-    )
+    band_order = ["LL"] + [
+        o for _lev in range(levels) for o in ("HL", "LH", "HH")
+    ]
+    if irreversible:
+        # Sqcd style 2 (scalar expounded): 2 bytes per band,
+        # exponent in the top 5 bits, 11-bit mantissa 0
+        spqcd = b"".join(
+            struct.pack(">H", _eps_for(depth, o, True) << 11)
+            for o in band_order
+        )
+        out += (
+            b"\xff\x5c"
+            + struct.pack(">H", 3 + 2 * nb)
+            + bytes([(guard << 5) | 2])
+            + spqcd
+        )
+    else:
+        exps = bytes(_eps_for(depth, o, False) << 3 for o in band_order)
+        out += (
+            b"\xff\x5c"
+            + struct.pack(">H", 3 + nb)
+            + bytes([guard << 5])  # Sqcd: reversible, no quantization
+            + exps
+        )
     psot = 14 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     out += b"\xff\x93" + body
@@ -900,7 +1023,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
     pos = 2
     w = h = depth = None
     signed = False
-    levels = cb_exp = guard = qcd_exps = None
+    levels = cb_exp = guard = qcd_steps = qcd_style = transform = None
     body = None
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
@@ -946,21 +1069,29 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     f"codeblock style 0x{seg[8]:02X} (optional coding "
                     "modes not supported)"
                 )
-            if seg[9] != 1:
-                raise NotImplementedError(
-                    "9/7 irreversible transform (GRIB lossless uses the "
-                    "reversible 5/3)"
-                )
+            if seg[9] not in (0, 1):
+                raise ValueError(f"JPEG 2000 transform byte {seg[9]}")
+            transform = seg[9]  # 1 = reversible 5/3, 0 = irreversible 9/7
         elif marker == b"\xff\x5c":  # QCD
-            if seg[0] & 0x1F:
-                raise NotImplementedError(
-                    "quantized (non-reversible) codestreams"
-                )
+            qcd_style = seg[0] & 0x1F
             guard = seg[0] >> 5
-            # SPqcd for no-quantization: one byte per band, exponent in
-            # the top 5 bits; validated against depth + gain after the
-            # header loop (COD/SIZ may come later)
-            qcd_exps = [b >> 3 for b in seg[1:]]
+            if qcd_style == 0:
+                # no quantization (reversible): one byte per band,
+                # exponent in the top 5 bits; validated against
+                # depth + gain after the header loop
+                qcd_steps = [(b >> 3, 0) for b in seg[1:]]
+            elif qcd_style == 2:
+                # scalar expounded: 2 bytes per band, 5-bit exponent +
+                # 11-bit mantissa
+                qcd_steps = [
+                    (v >> 11, v & 0x7FF)
+                    for (v,) in struct.iter_unpack(">H", seg[1:])
+                ]
+            else:
+                raise NotImplementedError(
+                    "JPEG 2000 scalar-derived quantization (Sqcd style "
+                    "1) not supported — styles 0 and 2 only"
+                )
         elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
                         b"\xff\x5f"):
             # these CHANGE decoding semantics — skipping them silently
@@ -981,21 +1112,46 @@ def decode_j2k(data: bytes) -> np.ndarray:
             pos = end
             continue
         pos += 2 + ln
-    if None in (w, h, depth, levels, cb_exp, guard) or body is None:
+    if (
+        None in (w, h, depth, levels, cb_exp, guard, transform)
+        or body is None
+    ):
         raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD/SOT")
-    # the decoder derives Mb as guard + depth + gain - 1; a conformant
-    # stream may carry DIFFERENT per-band exponents in QCD (shifting
-    # every magnitude by 2^delta) — refuse those loudly rather than
-    # decode shifted values, matching the COC/QCC/RGN/POC policy
-    want_exps = [depth] + [
-        depth + _GAIN[o] for _ in range(levels) for o in ("HL", "LH", "HH")
-    ]
-    if len(qcd_exps) != len(want_exps) or qcd_exps != want_exps:
-        raise NotImplementedError(
-            f"JPEG 2000 QCD band exponents {qcd_exps} differ from the "
-            f"derived depth+gain ladder {want_exps} (explicit "
-            "quantization exponents not supported)"
+    # QCD entries follow the packet band order (LL, then each
+    # resolution's HL/LH/HH); one (exponent, mantissa) pair per band
+    flat_keys = [k for pb in _packet_band_order(levels) for k in pb]
+    if len(qcd_steps) != len(flat_keys):
+        raise ValueError(
+            f"JPEG 2000 QCD declares {len(qcd_steps)} bands, "
+            f"{levels}-level decomposition has {len(flat_keys)}"
         )
+    if transform == 0 and qcd_style == 0:
+        # a 9/7 stream whose QCD declares "no quantization" is
+        # nonconforming (E.1: the irreversible transform requires a
+        # quantizer); guessing a step size would decode wrong values
+        raise NotImplementedError(
+            "9/7 irreversible transform with a no-quantization QCD "
+            "(style 0) — conformant lossy streams carry scalar "
+            "quantization"
+        )
+    if transform == 1:
+        # reversible path derives Mb as guard + depth + gain - 1; a
+        # conformant stream may carry DIFFERENT per-band exponents in
+        # QCD (shifting every magnitude by 2^delta) — refuse those
+        # loudly rather than decode shifted values, matching the
+        # COC/QCC/RGN/POC policy
+        want_exps = [depth + _GAIN[k[1]] for k in flat_keys]
+        got_exps = [e for e, _ in qcd_steps]
+        if got_exps != want_exps or any(m for _, m in qcd_steps):
+            raise NotImplementedError(
+                f"JPEG 2000 QCD band exponents {got_exps} differ from "
+                f"the derived depth+gain ladder {want_exps} (explicit "
+                "quantization exponents not supported with the "
+                "reversible transform)"
+            )
+    mb_of = {
+        k: guard + e - 1 for k, (e, _m) in zip(flat_keys, qcd_steps)
+    }
     cb = 1 << cb_exp
     bands, (llh, llw) = _band_dims(h, w, levels)
     subbands = {
@@ -1018,7 +1174,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
             ncx, ncy = -(-bw // cb), -(-bh // cb)
             incl = TagTree(ncx, ncy)
             zbp = TagTree(ncx, ncy)
-            mb = guard + (depth + _GAIN[key[1]]) - 1
+            mb = mb_of[key]
             for bi, (y0, x0, hh_, ww_) in enumerate(
                 _codeblocks(bh, bw, cb)
             ):
@@ -1046,12 +1202,33 @@ def decode_j2k(data: bytes) -> np.ndarray:
                 seg, hh_, ww_, npasses, nplanes, key[1]
             )
 
-    cur = subbands[(levels, "LL")]
-    for lev in range(levels, 0, -1):
-        cur = _inv_53_2d(
-            cur, subbands[(lev, "HL")], subbands[(lev, "LH")],
-            subbands[(lev, "HH")],
-        )
+    if transform == 0:
+        # dequantize (midpoint reconstruction: |q| + 0.5 for q != 0 —
+        # sign(0) = 0 keeps zeros at zero) and run the float synthesis,
+        # then round half-up to the integer sample grid
+        steps = dict(zip(flat_keys, qcd_steps))
+        fsub = {}
+        for key, band in subbands.items():
+            e, m = steps[key]
+            delta = 2.0 ** ((depth + _GAIN[key[1]]) - e) * (
+                1.0 + m / 2048.0
+            )
+            b = band.astype(np.float64)
+            fsub[key] = np.sign(b) * (np.abs(b) + 0.5) * delta
+        curf = fsub[(levels, "LL")]
+        for lev in range(levels, 0, -1):
+            curf = _inv_97_2d(
+                curf, fsub[(lev, "HL")], fsub[(lev, "LH")],
+                fsub[(lev, "HH")],
+            )
+        cur = np.floor(curf + 0.5).astype(np.int64)
+    else:
+        cur = subbands[(levels, "LL")]
+        for lev in range(levels, 0, -1):
+            cur = _inv_53_2d(
+                cur, subbands[(lev, "HL")], subbands[(lev, "LH")],
+                subbands[(lev, "HH")],
+            )
     if not signed:
         cur = cur + (1 << (depth - 1))
     return cur
