@@ -278,19 +278,29 @@ def test_clear_error_gates():
         decode_jpeg(full[:-20])
 
 
-def test_sequential_multi_scan_refuses():
-    """A valid baseline stream may split its 3 components across
-    separate sequential scans; decoding only the first would silently
-    return tinted pixels (zero chroma) — must refuse instead."""
-    data = bytes(encode_jpeg(_formula_rgb(8, 8), quality=80))
-    i = data.find(b"\xff\xda")
-    seg = data[i + 4 : i + 2 + struct.unpack(">H", data[i + 2 : i + 4])[0]]
-    ns = seg[0]
-    assert ns == 3
-    # rewrite the SOS header to claim a single-component first scan,
-    # keeping the entropy bytes (the refusal fires before entropy decode)
-    new_seg = bytes([1]) + seg[1:3] + seg[1 + 2 * ns :]
-    new_sos = b"\xff\xda" + struct.pack(">H", 2 + len(new_seg)) + new_seg
-    patched = data[:i] + new_sos + data[i + 4 + len(seg) :]
-    with pytest.raises(NotImplementedError, match="multi-scan"):
-        decode_jpeg(patched)
+def test_sequential_multi_scan_decodes_bit_identical():
+    """A valid baseline stream may split its components across separate
+    sequential scans (T.81 A.2). The scan-per-component encoder reuses
+    the interleaved encoder's quantized coefficients, so the two
+    streams must decode to BIT-IDENTICAL pixels — in 4:4:4 AND 4:2:0
+    (where the per-scan block grid differs from the MCU grid)."""
+    for h, w in [(8, 8), (17, 23)]:
+        img = _formula_rgb(h, w)
+        for sub in ("4:4:4", "4:2:0"):
+            one = decode_jpeg(encode_jpeg(img, quality=80, subsampling=sub))
+            ms = encode_jpeg(
+                img, quality=80, subsampling=sub, multi_scan=True
+            )
+            assert ms.count(b"\xff\xda") == 3  # three SOS segments
+            assert np.array_equal(decode_jpeg(ms), one), (h, w, sub)
+    # a component named in two scans refuses
+    data = bytearray(encode_jpeg(_formula_rgb(8, 8), quality=80,
+                                 multi_scan=True))
+    i = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    data[i + 5] = 1  # second scan re-claims component 1
+    with pytest.raises(ValueError, match="two scans"):
+        decode_jpeg(bytes(data))
+    # a stream that ends before covering every component refuses
+    first_scan_only = bytes(data[:i]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="undecoded"):
+        decode_jpeg(first_scan_only)

@@ -8,16 +8,17 @@ implemented directly from the public spec:
 
 * decoder: SOF0/SOF1 (sequential DCT, Huffman, 8-bit), SOF2 progressive
   (spectral selection + successive approximation, DC and AC scans),
-  interleaved and single-component scans, restart markers, 4:4:4 /
+  interleaved AND sequential multi-scan streams (components split
+  across several baseline scans, T.81 A.2), restart markers, 4:4:4 /
   4:2:2 / 4:2:0 chroma subsampling (nearest upsample), JFIF
   YCbCr -> RGB;
 * encoder (fixtures/tests): grayscale + RGB, Annex K quantization tables
   scaled by the IJG quality formula, Annex K Huffman tables, optional
-  4:2:0 subsampling, restart intervals, and progressive output.
+  4:2:0 subsampling, restart intervals, progressive and
+  scan-per-component output.
 
-Arithmetic coding, 12-bit precision, CMYK and sequential multi-scan
-(components split across several baseline scans) raise clear errors —
-the documented-unsupported contract used across the format readers.
+Arithmetic coding, 12-bit precision and CMYK raise clear errors — the
+documented-unsupported contract used across the format readers.
 
 The reference delegates all image IO to PIL
 (``xcube_server/im/tiledimage.py:498-506``); this module exists so the
@@ -361,7 +362,7 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     frame = None
     ri = 0
     pos = 2
-    scan = None
+    decoded: set[int] = set()
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -396,16 +397,52 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
         elif m == 0xEE:  # APP14 (Adobe): color transform declaration
             _check_adobe_app14(seg)
         elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
-            pos = pos + 2 + ln
-            break
+            # decode this scan's entropy data in place; a valid baseline
+            # stream may split its components across SEVERAL sequential
+            # scans (T.81 allows 1..Nf components per SOS) — loop on to
+            # the next SOS until every component has pixels
+            pos = _decode_baseline_scan(
+                data, pos + 2 + ln, frame, scan, qts, dc_tabs, ac_tabs,
+                ri, decoded,
+            )
+            continue
         pos += 2 + ln
-    if frame is None or scan is None:
+    if frame is None or not decoded:
         raise ValueError("JPEG missing SOF/SOS")
+    comps = frame["comps"]
+    missing = [c["id"] for c in comps if c["id"] not in decoded]
+    if missing:
+        raise ValueError(
+            f"JPEG stream ended with components {missing} undecoded"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return _upsample_and_color(comps, frame["h"], frame["w"], hmax, vmax)
+
+
+def _decode_baseline_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[dict],
+    qts: dict,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    ri: int,
+    decoded: set,
+) -> int:
+    """Decode one sequential scan's entropy data into the component
+    planes; returns the offset of the marker following the scan.
+    Multi-component scans interleave MCUs on the frame grid; a
+    single-component scan walks that component's own block grid
+    (T.81 A.2)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     if len(comps) not in (1, 3):
         raise NotImplementedError(
@@ -414,40 +451,47 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     by_id = {c["id"]: c for c in comps}
-    if len(scan) < len(comps):
-        # a valid baseline stream may split components across several
-        # sequential scans; decoding only the first would silently
-        # return tinted pixels (zero chroma planes) — refuse instead
-        raise NotImplementedError(
-            f"sequential multi-scan JPEG (first SOS covers {len(scan)} "
-            f"of {len(comps)} components) not supported"
-        )
-    order = [by_id[s["cs"]] for s in scan]
+    try:
+        order = [by_id[s["cs"]] for s in scan]
+    except KeyError as exc:
+        raise ValueError(f"JPEG SOS names unknown component {exc}")
+    for c in order:
+        if c["id"] in decoded:
+            raise ValueError(
+                f"JPEG component {c['id']} appears in two scans"
+            )
     for c, s in zip(order, scan):
+        if s["td"] not in dc_tabs or s["ta"] not in ac_tabs:
+            raise ValueError("JPEG scan references a missing Huffman table")
         c["dc"] = dc_tabs[s["td"]]
         c["ac"] = ac_tabs[s["ta"]]
         c["qt"] = qts[c["tq"]]
     interleaved = len(scan) > 1
+    # planes are always allocated at the FULL-frame interleaved padding
+    # (>= any single-scan grid), so mixed interleaved/non-interleaved
+    # scans write into one consistent buffer
+    fmx = -(-w // (8 * hmax))
+    fmy = -(-h // (8 * vmax))
     if interleaved:
-        mx = -(-w // (8 * hmax))
-        my = -(-h // (8 * vmax))
+        mx, my = fmx, fmy
     else:
         c = order[0]
         cw0 = -(-w * c["h"] // hmax)
         ch0 = -(-h * c["v"] // vmax)
         mx = -(-cw0 // 8)
         my = -(-ch0 // 8)
-    for c in comps:
-        bw = mx * (c["h"] if interleaved else 1)
-        bh = my * (c["v"] if interleaved else 1)
-        c["plane"] = np.zeros((bh * 8, bw * 8), np.float64)
+    for c in order:
+        if "plane" not in c:
+            c["plane"] = np.zeros(
+                (fmy * c["v"] * 8, fmx * c["h"] * 8), np.float64
+            )
         c["pred"] = 0
     r = _BitReader(data, pos)
     n_mcu = mx * my
     for i in range(n_mcu):
         if ri and i and i % ri == 0:
             r.restart()
-            for c in comps:
+            for c in order:
                 c["pred"] = 0
         myi, mxi = divmod(i, mx)
         for c in order:
@@ -461,7 +505,8 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                     y0 = (myi * cv + vy) * 8
                     x0 = (mxi * ch + vx) * 8
                     c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
-    return _upsample_and_color(comps, h, w, hmax, vmax)
+    decoded.update(c["id"] for c in order)
+    return _next_marker(data, r.p)
 
 
 def _upsample_and_color(comps, h, w, hmax, vmax) -> np.ndarray:
@@ -1020,6 +1065,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     split_tables: bool = False,
     progressive: bool = False,
+    multi_scan: bool = False,
 ):
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG. ``quality=50`` uses the Annex K tables verbatim —
@@ -1034,10 +1080,11 @@ def encode_jpeg(
 
     ``progressive=True`` emits SOF2 with the standard IJG simple
     progression (DC-first/refine + per-component spectral AC bands with
-    two successive-approximation levels). Both modes entropy-code the
-    SAME quantized coefficients, so a progressive stream and its
-    baseline twin decode to BIT-IDENTICAL pixels — the cross-check the
-    tests rely on."""
+    two successive-approximation levels). ``multi_scan=True`` emits one
+    NON-INTERLEAVED baseline scan per component instead of a single
+    interleaved SOS. All modes entropy-code the SAME quantized
+    coefficients, so every variant decodes to BIT-IDENTICAL pixels —
+    the cross-check the tests rely on."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -1122,14 +1169,41 @@ def encode_jpeg(
                 ).astype(np.int64)
         qblocks.append(qb)
     if progressive:
-        if restart_interval or split_tables:
+        if restart_interval or split_tables or multi_scan:
             raise ValueError(
                 "progressive encoding does not compose with "
-                "restart_interval / split_tables here"
+                "restart_interval / split_tables / multi_scan here"
             )
         out += _encode_progressive_scans(
             qblocks, samp, dc_codes, ac_codes, mx, my, h, w, hmax, vmax
         )
+        out += b"\xff\xd9"
+        return bytes(out)
+    if multi_scan:
+        if restart_interval or split_tables:
+            raise ValueError(
+                "multi-scan encoding does not compose with "
+                "restart_interval / split_tables here"
+            )
+        # one NON-INTERLEAVED scan per component (T.81 allows any
+        # 1..Nf split; this is the common "a scan per component" form)
+        for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
+            ti = 0 if ci == 0 else 1
+            out += _seg(
+                0xDA, bytes([1, ci + 1, (ti << 4) | ti, 0, 63, 0])
+            )
+            cw0 = -(-w * sh // hmax)
+            ch0 = -(-h * sv // vmax)
+            nbx, nby = -(-cw0 // 8), -(-ch0 // 8)
+            wtr = _BitWriter()
+            pred = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    pred = _emit_block(
+                        wtr, qb[by, bx], dc_codes[ti], ac_codes[ti], pred
+                    )
+            wtr.flush()
+            out += wtr.out
         out += b"\xff\xd9"
         return bytes(out)
     if restart_interval:
