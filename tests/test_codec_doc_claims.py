@@ -108,11 +108,21 @@ def test_gif_doc_claims_interlace_and_transparency():
     )
 
 
-def test_multimodal_doc_lists_gif_as_real():
+def test_multimodal_doc_lists_gif_and_webp_as_real():
     from xcube_server_spark.pipeline import multimodal
 
     d = _doc(multimodal) + _doc(multimodal.decode_image)
-    assert "GIF" in d
-    # WebP must still refuse without fake
-    with pytest.raises(NotImplementedError, match="native"):
-        multimodal.decode_image(b"RIFFxxxxWEBPVP8 ", 4, 4)
+    assert "GIF" in d and "WebP" in d
+    # lossless WebP decodes for real through the dispatch
+    from xcube_server_spark.sources.webp import encode_webp
+
+    rgba = (np.indices((4, 4)).sum(axis=0)[:, :, None] * np.array(
+        [7, 11, 13, 0]
+    ) + np.array([0, 0, 0, 255])).astype(np.uint8)
+    got = multimodal.decode_image(encode_webp(rgba), 4, 4)
+    assert np.array_equal(got, rgba[:, :, :3])
+    # lossy WebP must still refuse
+    vp8 = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    lossy = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
+    with pytest.raises(NotImplementedError, match="lossy"):
+        multimodal.decode_image(lossy, 4, 4)

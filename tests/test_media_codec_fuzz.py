@@ -1,5 +1,5 @@
-"""Hostile-byte fuzz for the round-9 media codecs (PNG / JPEG /
-JPEG 2000 / WAV): truncations and bit flips must RAISE LOUDLY or return
+"""Hostile-byte fuzz for the media codecs (PNG / JPEG / JPEG 2000 /
+WAV / GIF / WebP): truncations and bit flips must RAISE LOUDLY or return
 a well-formed array — never hang (the round-8 zstd lesson: an empty
 slice parsed as a zero-size block spun forever) and never crash the
 interpreter. Each case runs against streams produced by the repo's own
@@ -11,10 +11,12 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from xcube_server_spark.sources.gif import decode_gif, encode_gif
 from xcube_server_spark.sources.jpeg import decode_jpeg, encode_jpeg
 from xcube_server_spark.sources.jpeg2000 import decode_j2k, encode_j2k
 from xcube_server_spark.sources.png import decode_png, encode_rgba_png
 from xcube_server_spark.sources.wav import decode_wav, encode_wav
+from xcube_server_spark.sources.webp import decode_webp, encode_webp
 
 
 def _img(h=24, w=16):
@@ -29,6 +31,10 @@ _JPG = encode_jpeg(_img()[:, :, :3], quality=80)
 _JPG_PROG = encode_jpeg(_img()[:, :, :3], quality=80, progressive=True)
 _J2K = encode_j2k((np.arange(20 * 24) % 251).reshape(20, 24))
 _WAV = encode_wav(((np.arange(300) * 13 % 2001) - 1000) / 32768.0, 8000)
+_GIF = encode_gif((np.arange(20 * 24) % 64).reshape(20, 24).astype(np.uint8),
+                  (np.arange(64 * 3) % 256).reshape(64, 3).astype(np.uint8),
+                  interlace=True, transparent=3)
+_WEBP = encode_webp(_img())
 
 _DECODERS = {
     "png": (_PNG, decode_png),
@@ -36,6 +42,8 @@ _DECODERS = {
     "jpeg-prog": (_JPG_PROG, decode_jpeg),
     "j2k": (_J2K, decode_j2k),
     "wav": (_WAV, lambda b: decode_wav(b)[0]),
+    "gif": (_GIF, decode_gif),
+    "webp": (_WEBP, decode_webp),
 }
 
 

@@ -1,0 +1,317 @@
+"""WebP VP8L codec: encoder/decoder roundtrips plus HAND-BUILT
+bitstreams (assembled in the test from the spec text, exercising the
+paths the fixture encoder never emits — transforms, LZ77, color cache,
+meta prefix codes). Same pinning discipline as the GIF/TIFF LZW tests:
+spec-derived structural pins + roundtrips, since no WebP library exists
+in this container to cross-verify against."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.webp import (
+    _BitsW,
+    _distance_map,
+    decode_webp,
+    encode_webp,
+    is_webp,
+)
+
+
+def _wrap(payload: bytes) -> bytes:
+    payload = b"\x2f" + payload
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+class _W(_BitsW):
+    """Spec-side stream builder: simple prefix codes only."""
+
+    def header(self, w: int, h: int) -> None:
+        self.write(w - 1, 14)
+        self.write(h - 1, 14)
+        self.write(0, 1)  # alpha hint
+        self.write(0, 3)  # version
+
+    def simple1(self, sym: int) -> None:
+        """Simple prefix code, ONE symbol (0 bits per use)."""
+        self.write(1, 1)
+        self.write(0, 1)  # num_symbols - 1 = 0
+        if sym < 2:
+            self.write(0, 1)  # 1-bit first symbol
+            self.write(sym, 1)
+        else:
+            self.write(1, 1)
+            self.write(sym, 8)
+
+    def simple2(self, s0: int, s1: int) -> None:
+        """Simple prefix code, TWO symbols: s0 -> code 0, s1 -> code 1."""
+        self.write(1, 1)
+        self.write(1, 1)
+        self.write(1, 1)  # 8-bit first symbol
+        self.write(s0, 8)
+        self.write(s1, 8)
+
+    def trees(self, green, red, blue, alpha, dist=(0,)) -> None:
+        """Five prefix codes from symbol tuples (len 1 or 2 each)."""
+        for syms in (green, red, blue, alpha, dist):
+            if len(syms) == 1:
+                self.simple1(syms[0])
+            else:
+                self.simple2(*syms)
+
+    def no_cache_no_meta(self, meta: bool = False) -> None:
+        self.write(0, 1)  # no color cache
+        if meta is not None:
+            self.write(0, 1)  # no meta prefix (main image only)
+
+
+def test_roundtrips():
+    rng = np.random.default_rng(4)
+    for h, w in [(1, 1), (6, 9), (16, 16), (33, 47), (2, 7)]:
+        rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        data = encode_webp(rgba)
+        assert is_webp(data)
+        assert np.array_equal(decode_webp(data), rgba), (h, w)
+
+
+def test_distance_map_matches_spec_table():
+    """The generation rule (sort by squared distance, then dy desc, dx
+    desc) must reproduce the spec's published neighborhood table — the
+    first 80 entries pinned verbatim."""
+    want = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+            (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+            (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2),
+            (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1),
+            (3, 3), (-3, 3), (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5),
+            (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+            (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2), (4, 4),
+            (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+            (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2),
+            (-6, 2), (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6),
+            (6, 3), (-6, 3), (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5),
+            (-5, 5), (7, 1), (-7, 1)]
+    dm = _distance_map()
+    assert len(dm) == 120
+    assert dm[:80] == want
+
+
+def test_hand_built_subtract_green():
+    """2x1 stream with the subtract-green transform: decoded r/b gain
+    the green value back (mod 256)."""
+    w = _W()
+    w.header(2, 1)
+    w.write(1, 1)  # a transform follows
+    w.write(2, 2)  # SUBTRACT_GREEN
+    w.write(0, 1)  # no more transforms
+    w.no_cache_no_meta()
+    w.trees(green=(10, 200), red=(5,), blue=(250,), alpha=(255,))
+    w.write(0, 1)  # pixel 0: green 10
+    w.write(1, 1)  # pixel 1: green 200
+    out = decode_webp(_wrap(w.flush()))
+    assert out.shape == (1, 2, 4)
+    assert out[0, 0].tolist() == [(5 + 10) % 256, 10, (250 + 10) % 256, 255]
+    assert out[0, 1].tolist() == [(5 + 200) % 256, 200, (250 + 200) % 256,
+                                  255]
+
+
+def test_hand_built_predictor_modes():
+    """2x2 stream, predictor transform, one 4x4 block, mode 1 (= left):
+    residuals accumulate along each row; (0,0) predicts opaque black
+    and row starts predict T."""
+    w = _W()
+    w.header(2, 2)
+    w.write(1, 1)
+    w.write(0, 2)  # PREDICTOR
+    w.write(0, 3)  # size_bits = 2 -> 4x4 blocks -> 1x1 sub-image
+    # sub-image stream (no meta allowed): mode pixel green=1
+    w.write(0, 1)  # no cache
+    w.trees(green=(1,), red=(0,), blue=(0,), alpha=(0,))
+    w.write(0, 1)  # no more transforms
+    w.no_cache_no_meta()
+    # residuals: ARGB deltas; alpha residual for (0,0) must add to the
+    # black predictor's 0xff -> use 0 so alpha stays 255... black is
+    # (a=255, r=0, g=0, b=0): residual alpha 0 keeps 255.
+    w.trees(green=(7, 3), red=(2,), blue=(1,), alpha=(0,))
+    for bit in (0, 1, 0, 1):  # greens: 7, 3, 7, 3
+        w.write(bit, 1)
+    out = decode_webp(_wrap(w.flush()))
+    # row 0: p00 = black + (0,2,7,1) = a255 r2 g7 b1
+    assert out[0, 0].tolist() == [2, 7, 1, 255]
+    # p01 = p00 + (0,2,3,1)
+    assert out[0, 1].tolist() == [4, 10, 2, 255]
+    # row 1 x=0 predicts T: p10 = p00 + (0,2,7,1)
+    assert out[1, 0].tolist() == [4, 14, 2, 255]
+    # p11: x>0,y>0 -> block mode 1 = L: p11 = p10 + (0,2,3,1)
+    assert out[1, 1].tolist() == [6, 17, 3, 255]
+
+
+def test_hand_built_color_indexing_bundled():
+    """Width-5 image, 3-color palette -> 2-bit bundling (4 px/byte,
+    leftmost pixel in the LOW bits), palette entries delta-coded."""
+    w = _W()
+    w.header(5, 1)
+    w.write(1, 1)
+    w.write(3, 2)  # COLOR_INDEXING
+    w.write(2, 8)  # palette size - 1 = 2
+    # palette image (3x1): literals; entries are DELTAS:
+    # e0=(a255,r10,g20,b30), e1 delta (0,5,5,5), e2 delta (0,1,1,1)
+    w.write(0, 1)  # no cache
+    w.trees(green=(20, 5), red=(10, 5), blue=(30, 5), alpha=(255, 0))
+    # e0: g code0, r code0, b code0, a code0
+    w.write(0, 1); w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    # e1 = delta 5s: g code1, r code1, b code1, a code1
+    w.write(1, 1); w.write(1, 1); w.write(1, 1); w.write(1, 1)
+    # e2 = delta (0,1,1,1): need 1s... reuse code1=5? no — use another
+    # delta of 5 for simplicity: e2 = e1 + 5s
+    w.write(1, 1); w.write(1, 1); w.write(1, 1); w.write(1, 1)
+    w.write(0, 1)  # no more transforms
+    w.no_cache_no_meta()
+    # packed width = ceil(5/4) = 2; indices 0,1,2,0,1 ->
+    # byte0 = 0 | 1<<2 | 2<<4 | 0<<6 = 0x24; byte1 = 1
+    w.trees(green=(0x24, 0x01), red=(0,), blue=(0,), alpha=(0,))
+    w.write(0, 1)  # packed pixel 0
+    w.write(1, 1)  # packed pixel 1
+    out = decode_webp(_wrap(w.flush()))
+    pal = np.array(
+        [[10, 20, 30, 255], [15, 25, 35, 255], [20, 30, 40, 255]]
+    )
+    want = pal[[0, 1, 2, 0, 1]].reshape(1, 5, 4)
+    assert np.array_equal(out, want)
+
+
+def _normal_green(w: _W, alphabet: int):
+    """Emit a NORMAL green code (simple codes cap symbols at 8 bits, so
+    LZ77/cache symbols >= 256 need this) and return symbol -> writer."""
+    from xcube_server_spark.sources.webp import (
+        _canonical_writer,
+        _write_uniform_code,
+    )
+
+    n9 = 2 * (alphabet - 256)
+    lengths = [8] * (alphabet - n9) + [9] * n9
+    _write_uniform_code(w, lengths)
+    table = _canonical_writer(lengths)
+
+    def put(sym: int) -> None:
+        ln, code = table[sym]
+        for b in range(ln - 1, -1, -1):
+            w.write((code >> b) & 1, 1)
+
+    return put
+
+
+def test_hand_built_lz77_and_cache():
+    """4x1 stream with a 2-bit color cache: literal -> cache insert,
+    then cache-symbol hits reproduce the pixel."""
+    argb = (255 << 24) | (8 << 16) | (9 << 8) | 7
+    cache_idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 30
+    w = _W()
+    w.header(4, 1)
+    w.write(0, 1)  # no transforms
+    w.write(1, 1)  # color cache present
+    w.write(2, 4)  # cache_bits = 2
+    w.write(0, 1)  # no meta
+    put = _normal_green(w, 256 + 24 + 4)
+    w.simple1(8)  # red
+    w.simple1(7)  # blue
+    w.simple1(255)  # alpha
+    w.simple1(0)  # distance (unused)
+    put(9)  # literal green 9 -> (255,8,9,7) enters the cache
+    put(256 + 24 + cache_idx)  # cache hit
+    put(9)
+    put(256 + 24 + cache_idx)
+    out = decode_webp(_wrap(w.flush()))
+    assert (out == np.array([8, 9, 7, 255])).all()
+
+
+def test_hand_built_lz77_linear_distance():
+    """6x1 stream: two literals then an LZ77 copy (length 4, linear
+    distance code 122 -> distance 2) — the OVERLAPPING-copy semantics
+    every LZ decoder must honor."""
+    w = _W()
+    w.header(6, 1)
+    w.write(0, 1)  # no transforms
+    w.no_cache_no_meta()
+    put = _normal_green(w, 256 + 24)
+    w.simple1(20)  # red
+    w.simple1(30)  # blue
+    w.simple1(255)  # alpha
+    # distance slot 13: extra=5, offset=(2+1)<<5=96; 96+25+1=122 ->
+    # linear distance 122-120 = 2
+    w.simple1(13)
+    put(5)  # literal g5
+    put(6)  # literal g6
+    put(256 + 3)  # length slot 3 -> length 4
+    w.write(25, 5)  # distance extra bits
+    out = decode_webp(_wrap(w.flush()))
+    want = np.array(
+        [[[20, 5, 30, 255], [20, 6, 30, 255]] * 3], np.uint8
+    )
+    assert np.array_equal(out, want)
+
+
+def test_hand_built_short_distance_code():
+    """3x2 stream: first row literals, second row one literal then an
+    LZ77 copy with distance code 1 -> map entry (0,1) -> the pixel
+    directly above."""
+    w = _W()
+    w.header(3, 2)
+    w.write(0, 1)
+    w.no_cache_no_meta()
+    put = _normal_green(w, 256 + 24)
+    w.simple1(0)  # red
+    w.simple1(0)  # blue
+    w.simple1(255)  # alpha
+    w.simple1(0)  # distance slot 0 -> code 1 -> (0,1) -> dist = width
+    for g in (11, 12, 13, 14):  # three literals + row-2 first literal
+        put(g)
+    put(256 + 1)  # length slot 1 -> length 2: copies from above
+    out = decode_webp(_wrap(w.flush()))
+    assert out[:, :, 1].tolist() == [[11, 12, 13], [14, 12, 13]]
+
+
+def test_hand_built_cross_color():
+    """1x1 stream with the cross-color transform: one block whose
+    element sets green_to_red=16 (0.5 in 3.5 fixed point): red gains
+    (16 * g) >> 5."""
+    w = _W()
+    w.header(1, 1)
+    w.write(1, 1)
+    w.write(1, 2)  # COLOR_TRANSFORM
+    w.write(0, 3)  # 4x4 blocks -> 1x1 sub-image
+    w.write(0, 1)  # sub-image: no cache
+    # element pixel: B channel = green_to_red = 16; G = g2b = 0; R = 0
+    w.trees(green=(0,), red=(0,), blue=(16,), alpha=(0,))
+    w.write(0, 1)  # no more transforms
+    w.no_cache_no_meta()
+    w.trees(green=(64,), red=(100,), blue=(50,), alpha=(255,))
+    out = decode_webp(_wrap(w.flush()))
+    # delta = (16 * 64) >> 5 = 32 -> red 100+32
+    assert out[0, 0].tolist() == [132, 64, 50, 255]
+
+
+def test_clear_error_gates():
+    rng = np.random.default_rng(1)
+    rgba = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    good = encode_webp(rgba)
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_webp(b"GIF89a" + good)
+    # lossy chunk refuses
+    lossy = good.replace(b"VP8L", b"VP8 ", 1)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+    # truncation refuses
+    with pytest.raises(ValueError):
+        decode_webp(good[:20])
+    # animated VP8X refuses
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + bytes(9)
+    anim = good[:12] + vp8x + good[12:]
+    anim = anim[:4] + struct.pack("<I", len(anim) - 8) + anim[8:]
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(anim)

@@ -11,12 +11,14 @@ PIL/ffmpeg-style decoders.
 Decoders are REAL for the formats a pure-Python stack can carry: PNG
 (``sources/png.py`` — all filters/color types/depths, Adam7), JPEG
 (``sources/jpeg.py`` — T.81 baseline AND progressive SOF2, the
-dominant web-JPEG variant), raw RGB tensors, and RIFF PCM WAV audio
+dominant web-JPEG variant, incl. sequential multi-scan), GIF
+(``sources/gif.py``), lossless WebP (``sources/webp.py`` — VP8L with
+all four transforms), raw RGB tensors, and RIFF PCM WAV audio
 (``sources/wav.py``); ``decode_image``/``decode_audio`` sniff the
-payload magic and dispatch. The deterministic sha256 fake
-remains available (``fake=True``) for plumbing tests and for payloads in
-formats outside that set (GIF/WebP/MP3 — would need native libs), which
-otherwise raise a clear error.
+payload magic and dispatch. The deterministic sha256 fake remains
+available (``fake=True``) for plumbing tests and for payloads in
+formats outside that set (lossy WebP/AVIF/MP3 — would need native
+libs), which otherwise raise a clear error.
 
 Scale notes: payload columns make rows wide — ``maxPartitionBytes`` should
 shrink (or assets should live in a separate table keyed by asset_id, joined
@@ -69,15 +71,15 @@ def decode_image(
 ) -> np.ndarray:
     """Decode an encoded image payload to an (h, w, 3) uint8 array.
 
-    Sniffs the payload magic: PNG, JPEG (baseline + progressive) and
-    GIF (87a/89a) decode to REAL pixels via the repo's pure-Python
-    codecs; ``image/raw-rgb`` tensors (the ``resize_assets`` output)
-    reshape using the metadata dims — gated on ``media_type``, never on
-    payload length alone (an unsupported format of coincidental size
-    must NOT be reinterpreted as pixels).
+    Sniffs the payload magic: PNG, JPEG (baseline + progressive), GIF
+    (87a/89a) and lossless WebP (VP8L) decode to REAL pixels via the
+    repo's pure-Python codecs; ``image/raw-rgb`` tensors (the
+    ``resize_assets`` output) reshape using the metadata dims — gated
+    on ``media_type``, never on payload length alone (an unsupported
+    format of coincidental size must NOT be reinterpreted as pixels).
     Anything else falls back to the deterministic sha256 fake when
     ``fake=True`` (stable plumbing tests) or raises a clear error — the
-    remaining formats (WebP/AVIF) genuinely need native decoders.
+    remaining formats (lossy-WebP/AVIF) genuinely need native decoders.
     """
     if payload[:8] == _PNG_SIG:
         from ..sources.png import decode_rgba_png
@@ -91,6 +93,10 @@ def decode_image(
         from ..sources.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..sources.webp import decode_webp
+
+        return decode_webp(payload)[:, :, :3]
     if media_type == "image/raw-rgb":
         if width * height * 3 != len(payload):
             raise ValueError(
@@ -100,9 +106,9 @@ def decode_image(
         return np.frombuffer(payload, np.uint8).reshape(height, width, 3)
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/JPEG/GIF/raw-RGB — other formats need "
-            "native decoders; pass fake=True for the deterministic test "
-            "decoder"
+            "payload is not PNG/JPEG/GIF/WebP-lossless/raw-RGB — other "
+            "formats need native decoders; pass fake=True for the "
+            "deterministic test decoder"
         )
     digest = hashlib.sha256(payload).digest()
     rng = np.frombuffer((digest * ((width * height * 3) // 32 + 1))[: width * height * 3],

@@ -13,8 +13,9 @@ against closed-form DuckDB oracles:
   constant EVEN value per 8x8 block at quality 50: the Annex K DC quant 16
   divides 8*(v-128) and every AC coefficient is exactly zero, so the lossy
   codec round-trips these BIT-EXACTLY — the oracle regenerates the block
-  formula) and GIF (formula palette + formula index plane — palette
-  frames are lossless; one interlaced, one transparent-index asset).
+  formula) GIF (formula palette + formula index plane — palette
+  frames are lossless; one interlaced, one transparent-index asset)
+  and lossless WebP/VP8L (formula pixels, exact like PNG).
   One mean-luma per asset from decoded pixels.
 - ``multimodal_audio_stats`` — PCM16 WAV with formula samples; rms, peak,
   duration and zero-crossings from the decoded waveform. All sample
@@ -41,22 +42,25 @@ _IMG_W, _IMG_H = 24, 16  # 3x2 JPEG blocks
 _N_PNG, _N_JPG = 6, 6
 _N_PROG = 4  # progressive (SOF2) JPEG assets
 _N_GIF = 4  # palette GIF assets (s=1 interlaced, s=3 transparent)
+_N_WEBP = 4  # lossless WebP (VP8L) assets
 _WAV_N, _WAV_SR, _N_WAV = 1600, 8000, 5
 
 
 def _media_gate_fixture(spark: SparkSession) -> str:
     """Materialize (once) the media-asset parquet: 6 PNG + 6 baseline
-    JPEG + 4 PROGRESSIVE JPEG image payloads and 5 PCM WAV audio
-    payloads, all pixel/sample values from integer formulas the SQL
-    oracles regenerate (the JPEG assets use the block-constant-even
-    construction, bit-exact at quality 50 in BOTH entropy modes)."""
+    JPEG + 4 PROGRESSIVE JPEG + 4 GIF + 4 lossless-WebP image payloads
+    and 5 PCM WAV audio payloads, all pixel/sample values from integer
+    formulas the SQL oracles regenerate (the JPEG assets use the
+    block-constant-even construction, bit-exact at quality 50 in BOTH
+    entropy modes)."""
     from ..pipeline.multimodal import MEDIA_SCHEMA
     from ..sources.gif import encode_gif
     from ..sources.jpeg import encode_jpeg
     from ..sources.png import encode_rgba_png
     from ..sources.wav import encode_wav
+    from ..sources.webp import encode_webp
 
-    d = _gate_path("xss_media_gate_v3")
+    d = _gate_path("xss_media_gate_v4")
     assets_p = os.path.join(d, "assets.parquet")
     audio_p = os.path.join(d, "audio.parquet")
     if os.path.exists(os.path.join(assets_p, "_SUCCESS")) and os.path.exists(
@@ -115,6 +119,16 @@ def _media_gate_fixture(spark: SparkSession) -> str:
              {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
               "sample_rate": 0})
         )
+    # WebP: VP8L lossless formula pixels — exact like the PNG assets
+    for s in range(_N_WEBP):
+        rgba = np.empty((_IMG_H, _IMG_W, 4), np.uint8)
+        rgba[:, :, :3] = (s * 29 + y * 11 + x * 3 + c * 47) % 256
+        rgba[:, :, 3] = 255
+        rows.append(
+            (40 + s, "image/webp", bytearray(encode_webp(rgba)),
+             {"width": _IMG_W, "height": _IMG_H, "n_frames": 1,
+              "sample_rate": 0})
+        )
     spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(assets_p)
@@ -138,8 +152,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean luma per asset from REAL decoded pixels (no fake decoder):
     parquet binary column -> mapInPandas decode (PNG general baseline /
     JPEG T.81 Huffman+IDCT, BASELINE AND PROGRESSIVE SOF2 / GIF LZW
-    incl. interlace + transparency) -> per-asset fold. The PNG and GIF
-    payloads are lossless; the JPEG payloads use the block-constant-even
+    incl. interlace + transparency / WebP VP8L prefix codes) ->
+    per-asset fold. The PNG, GIF and WebP payloads are lossless; the JPEG payloads use the block-constant-even
     construction that round trips bit-exactly at quality 50 in both
     entropy modes, so ALL formats get full value-hash oracles."""
     from ..pipeline.multimodal import extract_features
@@ -196,12 +210,23 @@ WITH png AS (
   CROSS JOIN (SELECT unnest(range(0, {_IMG_W})) AS i) x
   CROSS JOIN (SELECT unnest(range(0, 3)) AS i) c
   GROUP BY 1, 2
+), webp AS (
+  -- VP8L lossless: the oracle regenerates the pixel formula exactly
+  SELECT 40 + s.i AS asset_id, 'image/webp' AS media_type,
+         avg(CAST((s.i*29 + y.i*11 + x.i*3 + c.i*47) % 256 AS DOUBLE))
+           AS m
+  FROM (SELECT unnest(range(0, {_N_WEBP})) AS i) s
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_IMG_W})) AS i) x
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) c
+  GROUP BY 1, 2
 )
 SELECT asset_id, media_type,
        floor(m * 1000000 + 0.5) / 1000000 AS mean_luma
 FROM (
   SELECT * FROM png UNION ALL SELECT * FROM jpg
   UNION ALL SELECT * FROM jprog UNION ALL SELECT * FROM gif
+  UNION ALL SELECT * FROM webp
 )
 ORDER BY asset_id
 """

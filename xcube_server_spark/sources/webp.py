@@ -1,0 +1,594 @@
+"""Pure-Python WebP LOSSLESS (VP8L) codec (multimodal image payloads).
+
+WebP is the second-most-common scraped-corpus image format after JPEG;
+PIL/libwebp are not in this container, so the lossless bitstream is
+implemented directly from the public specification (RFC 9649 / the WebP
+Lossless Bitstream Specification): LSB-first bit reading, canonical
+prefix codes (simple and normal forms, incl. the 19-entry
+code-length-code order and 16/17/18 repeat codes), color cache, LZ77
+backward references with the 120-entry 2-D distance neighborhood,
+meta-prefix entropy images, and all four transforms (predictor with the
+14 spatial modes, cross-color, subtract-green, color indexing with
+pixel bundling) applied inverse-in-reverse-read-order.
+
+Lossy WebP (VP8 chunks) needs a full VP8 intra decoder — out of scope,
+clear error. Alpha/animation side-chunks (VP8X/ALPH/ANMF) likewise.
+
+The encoder exists for deterministic fixtures: no transforms, no cache,
+single prefix-code group (mixed 8/9-bit complete canonical codes for
+the literal alphabets, simple codes for the unused distance tree) —
+minimal but fully conformant output our decoder AND any libwebp must
+agree on.
+
+Interop caveat (same honesty as ``sources/jpeg2000.py``): no WebP
+library exists in this container to cross-verify; the decoder is pinned
+by spec-derived structural tests (the distance-map ordering rule is
+property-checked against the spec's published head entries) plus
+encoder/decoder roundtrips. The reference server has no WebP path (it
+delegates imaging to PIL); this module serves the LLM-pipeline
+multimodal surface (``pipeline/multimodal.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def is_webp(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+
+
+# ------------------------------------------------------------- bit reader
+class _Bits:
+    """LSB-first bit reader (VP8L convention — opposite of JPEG)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            if self.p >= len(self.d):
+                raise ValueError("VP8L bitstream truncated")
+            self.acc |= self.d[self.p] << self.n
+            self.n += 8
+            self.p += 1
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.n -= k
+        return v
+
+
+class _BitsW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, k: int) -> None:
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------- prefix codes
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical assignment (shorter codes
+    first, ties by symbol order — the DEFLATE/WebP convention)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    for ln in range(1, max(lengths, default=0) + 1):
+        for sym, sl in enumerate(lengths):
+            if sl == ln:
+                table[(ln, code)] = sym
+                code += 1
+        code <<= 1
+    return table
+
+
+class _Prefix:
+    """One decoded prefix code: either a 0-bit constant or a canonical
+    tree walked bit-by-bit (codes are MSB-first within the LSB-first
+    stream, per the spec)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [s for s, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(nz) == 1:
+            self.const: int | None = nz[0]
+            self.table = {}
+            return
+        self.const = None
+        kraft = sum(2.0 ** -ln for ln in lengths if ln)
+        if abs(kraft - 1.0) > 1e-12:
+            raise ValueError(f"VP8L prefix code not complete (kraft {kraft})")
+        self.table = _canonical_codes(lengths)
+
+    def read(self, br: _Bits) -> int:
+        if self.const is not None:
+            return self.const
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _read_prefix_code(br: _Bits, alphabet: int) -> _Prefix:
+    if br.read(1):  # simple code
+        num = br.read(1) + 1
+        first_8 = br.read(1)
+        s0 = br.read(8 if first_8 else 1)
+        lengths = [0] * alphabet
+        if num == 1:
+            if s0 >= alphabet:
+                raise ValueError("VP8L simple code symbol out of range")
+            lengths[s0] = 1
+            p = _Prefix.__new__(_Prefix)
+            p.const = s0
+            p.table = {}
+            return p
+        s1 = br.read(8)
+        if s0 >= alphabet or s1 >= alphabet or s0 == s1:
+            raise ValueError("VP8L simple code symbols invalid")
+        # simple codes assign code 0 to the FIRST listed symbol (spec),
+        # not canonically by symbol order
+        p = _Prefix.__new__(_Prefix)
+        p.const = None
+        p.table = {(1, 0): s0, (1, 1): s1}
+        return p
+    # normal: code-length code, then run-length-coded symbol lengths
+    ncl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(ncl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl = _Prefix(cl_lengths) if sum(
+        1 for v in cl_lengths if v
+    ) > 1 else None
+    if cl is None:
+        # degenerate code-length code: one symbol, zero bits each
+        only = next(i for i, v in enumerate(cl_lengths) if v)
+        lengths = [only if only < 16 else 0] * alphabet
+        if only >= 16:
+            raise ValueError("VP8L degenerate code-length code of repeats")
+        return _Prefix(lengths)
+    if br.read(1):  # explicit max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        sym = cl.read(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet:
+                    lengths[i] = prev
+                    i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    if i > alphabet:
+        raise ValueError("VP8L code lengths overflow the alphabet")
+    return _Prefix(lengths)
+
+
+# ------------------------------------------------------- LZ77 primitives
+def _lz77_value(slot: int, br: _Bits) -> int:
+    """Length/distance slot -> value (spec 'prefix coding')."""
+    if slot < 4:
+        return slot + 1
+    extra = (slot - 2) >> 1
+    offset = (2 + (slot & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _distance_map() -> list[tuple[int, int]]:
+    """The 120 special short-distance codes: the close (dx, dy)
+    neighborhood ordered by squared distance, then larger dy first,
+    then larger dx first — the rule reproduces the spec's published
+    table (head entries pinned in tests/test_webp.py)."""
+    cand = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return cand[:120]
+
+
+_DIST_MAP = _distance_map()
+
+
+# ---------------------------------------------------------- entropy image
+def _decode_pixels(
+    br: _Bits, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode one spatially-coded ARGB image (the core VP8L loop):
+    returns (h*w, 4) uint8 [A, R, G, B]."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError(f"VP8L color cache bits {cache_bits}")
+    cache = (
+        np.zeros((1 << cache_bits, 4), np.uint8) if cache_bits else None
+    )
+    meta = None
+    meta_bs = 0
+    ngroups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        meta_bs = 1 << meta_bits
+        mw, mh = -(-w // meta_bs), -(-h // meta_bs)
+        meta_px = _decode_pixels(br, mw, mh, False)
+        meta = (
+            meta_px[:, 1].astype(np.int32) << 8
+        ) | meta_px[:, 2].astype(np.int32)
+        meta = meta.reshape(mh, mw)
+        ngroups = int(meta.max()) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(ngroups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_alpha),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+    out = np.zeros((w * h, 4), np.uint8)  # A R G B
+    pos = 0
+    npx = w * h
+    while pos < npx:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            g = groups[int(meta[y // meta_bs, x // meta_bs])]
+        else:
+            g = groups[0]
+        s = g[0].read(br)
+        if s < 256:  # literal
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            out[pos] = (alpha, red, s, blue)
+            if cache is not None:
+                _cache_insert(cache, cache_bits, out[pos])
+            pos += 1
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _lz77_value(s - 256, br)
+            dslot = g[4].read(br)
+            dcode = _lz77_value(dslot, br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos or pos + length > npx:
+                raise ValueError("VP8L backward reference out of range")
+            for k in range(length):
+                out[pos + k] = out[pos + k - dist]
+                if cache is not None:
+                    _cache_insert(cache, cache_bits, out[pos + k])
+            pos += length
+        else:  # color cache
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a cache")
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out
+
+
+def _cache_insert(cache: np.ndarray, bits: int, px: np.ndarray) -> None:
+    argb = (
+        (int(px[0]) << 24) | (int(px[1]) << 16) | (int(px[2]) << 8)
+        | int(px[3])
+    )
+    cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - bits)] = px
+
+
+# ------------------------------------------------------------- transforms
+def _delta(t: int, c: int) -> int:
+    """ColorTransformDelta: signed-byte product, arithmetic >> 5."""
+    t8 = t - 256 if t >= 128 else t
+    c8 = c - 256 if c >= 128 else c
+    return (t8 * c8) >> 5
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.int32) + b.astype(np.int32)) // 2).astype(np.uint8)
+
+
+def _inv_predictor(px: np.ndarray, w: int, h: int, modes: np.ndarray,
+                   bs: int) -> None:
+    """In-place inverse of the predictor transform (spec modes 0..13;
+    edge rule: (0,0) predicts opaque black, row 0 predicts L, col 0
+    predicts T; TR at the right edge reads the next flat index, the
+    libwebp memory convention)."""
+    black = np.array([255, 0, 0, 0], np.int32)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = px[i - 1].astype(np.int32)
+            elif x == 0:
+                pred = px[i - w].astype(np.int32)
+            else:
+                mode = int(modes[y // bs, x // bs])
+                L = px[i - 1].astype(np.int32)
+                T = px[i - w].astype(np.int32)
+                TL = px[i - w - 1].astype(np.int32)
+                TR = px[i - w + 1].astype(np.int32)
+                if mode == 0:
+                    pred = black
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T).astype(np.int32)
+                elif mode == 6:
+                    pred = _avg2(L, TL).astype(np.int32)
+                elif mode == 7:
+                    pred = _avg2(L, T).astype(np.int32)
+                elif mode == 8:
+                    pred = _avg2(TL, T).astype(np.int32)
+                elif mode == 9:
+                    pred = _avg2(T, TR).astype(np.int32)
+                elif mode == 10:
+                    pred = _avg2(
+                        _avg2(L, TL), _avg2(T, TR)
+                    ).astype(np.int32)
+                elif mode == 11:
+                    d = int(np.abs(L - TL).sum() - np.abs(T - TL).sum())
+                    pred = T if d <= 0 else L
+                elif mode == 12:
+                    pred = np.clip(L + T - TL, 0, 255)
+                elif mode == 13:
+                    ave = _avg2(L, T).astype(np.int32)
+                    half = ave - TL
+                    # C division truncates toward zero
+                    half = np.sign(half) * (np.abs(half) // 2)
+                    pred = np.clip(ave + half, 0, 255)
+                else:
+                    raise ValueError(f"VP8L predictor mode {mode}")
+            px[i] = (px[i].astype(np.int32) + pred) & 0xFF
+
+
+def _inv_color_transform(px: np.ndarray, w: int, h: int,
+                         cte: np.ndarray, bs: int) -> None:
+    """In-place inverse cross-color transform: per block, add the
+    green->red / green->blue / red->blue signed-multiplier deltas."""
+    for y in range(h):
+        by = y // bs
+        for x in range(w):
+            e = cte[by, x // bs]  # (A,R,G,B): R=red_to_blue, G=g->blue,
+            g2r, g2b, r2b = int(e[3]), int(e[2]), int(e[1])
+            i = y * w + x
+            a, r, gg, b = (int(v) for v in px[i])
+            r = (r + _delta(g2r, gg)) & 0xFF
+            b = (b + _delta(g2b, gg) + _delta(r2b, r)) & 0xFF
+            px[i] = (a, r, gg, b)
+
+
+def _decode_vp8l(data: bytes) -> np.ndarray:
+    if not data or data[0] != 0x2F:
+        raise ValueError("not a VP8L stream (missing 0x2F signature)")
+    br = _Bits(data, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise NotImplementedError("VP8L version != 0")
+    transforms = []  # (type, payload, width_at_read)
+    cur_w = w
+    seen = set()
+    while br.read(1):
+        t = br.read(2)
+        if t in seen:
+            raise ValueError(f"VP8L transform {t} repeated")
+        seen.add(t)
+        if t == 0 or t == 1:  # predictor / cross-color
+            bits = br.read(3) + 2
+            bs = 1 << bits
+            sw, sh = -(-cur_w // bs), -(-h // bs)
+            sub = _decode_pixels(br, sw, sh, False).reshape(sh, sw, 4)
+            transforms.append((t, (bs, sub), cur_w))
+        elif t == 2:  # subtract green
+            transforms.append((t, None, cur_w))
+        else:  # color indexing
+            psize = br.read(8) + 1
+            pal = _decode_pixels(br, psize, 1, False)
+            pal = np.cumsum(pal.astype(np.int32), axis=0) & 0xFF
+            pal = pal.astype(np.uint8)
+            if psize <= 2:
+                wbits = 3
+            elif psize <= 4:
+                wbits = 2
+            elif psize <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            new_w = -(-cur_w // (1 << wbits))
+            transforms.append((t, (pal, wbits, cur_w), cur_w))
+            cur_w = new_w
+    px = _decode_pixels(br, cur_w, h, True)
+    for t, payload, t_w in reversed(transforms):
+        if t == 3:
+            pal, wbits, orig_w = payload
+            if wbits:
+                packed = px[:, 2].reshape(h, cur_w)  # indices in green
+                per = 1 << wbits  # pixels per packed byte
+                bpp = 8 >> wbits  # bits per pixel (leftmost = low bits)
+                idx = np.zeros((h, orig_w), np.uint8)
+                for k in range(per):
+                    cols = np.arange(k, orig_w, per)
+                    src = packed[:, cols // per]
+                    idx[:, cols] = (src >> (k * bpp)) & ((1 << bpp) - 1)
+            else:
+                idx = px[:, 2].reshape(h, cur_w)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("VP8L palette index out of range")
+            px = pal[idx.reshape(-1)]
+            cur_w = orig_w
+        elif t == 2:
+            g = px[:, 2].astype(np.int32)
+            px[:, 1] = ((px[:, 1] + g) & 0xFF).astype(np.uint8)
+            px[:, 3] = ((px[:, 3] + g) & 0xFF).astype(np.uint8)
+        elif t == 1:
+            bs, sub = payload
+            _inv_color_transform(px, cur_w, h, sub, bs)
+        else:
+            bs, sub = payload
+            _inv_predictor(px, cur_w, h, sub[:, :, 2], bs)
+    if cur_w != w:
+        raise ValueError("VP8L transform width bookkeeping broke")
+    return px.reshape(h, w, 4)[:, :, [1, 2, 3, 0]]  # -> RGBA
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a lossless WebP to (h, w, 4) uint8 RGBA."""
+    if not is_webp(data):
+        raise ValueError("not a RIFF/WEBP file")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + ln > len(data):
+            raise ValueError(f"WebP chunk {tag!r} overruns the file")
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"VP8L":
+            return _decode_vp8l(body)
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs a full VP8 intra decoder — "
+                "lossless (VP8L) only"
+            )
+        if tag == b"VP8X":
+            flags = body[0]
+            if flags & 0x02:  # animation
+                raise NotImplementedError("animated WebP not supported")
+            # keep walking: the image chunk follows
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WebP container holds no VP8L image chunk")
+
+
+# ---------------------------------------------------------------- encoder
+def _write_uniform_code(bw: _BitsW, lengths: list[int]) -> None:
+    """Emit a NORMAL prefix code whose symbol lengths use exactly the
+    values {8, 9} (complete mixed tree) or {8} (uniform), spending one
+    code-length-code bit per symbol."""
+    used = sorted(set(ln for ln in lengths if ln))
+    if used == [8]:
+        cl_syms = [0, 8]  # '0' unused but completes the CL tree
+    elif used == [8, 9]:
+        cl_syms = [8, 9]
+    else:
+        raise ValueError("encoder writes 8/9-bit ladders only")
+    cl_lengths = [0] * 19
+    for s in cl_syms:
+        cl_lengths[s] = 1
+    bw.write(0, 1)  # normal code
+    bw.write(15, 4)  # num_code_lengths = 19
+    for i in range(19):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no explicit max_symbol
+    cl_codes = {s: c for c, s in enumerate(cl_syms)}
+    for ln in lengths:
+        bw.write(cl_codes[ln], 1)
+
+
+def _canonical_writer(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    table = _canonical_codes(lengths)
+    return {sym: (ln, code) for (ln, code), sym in table.items()}
+
+
+def encode_webp(rgba: np.ndarray) -> bytes:
+    """Encode an (h, w, 4) uint8 RGBA array as a lossless WebP
+    (fixtures/tests: no transforms, no cache, one prefix group,
+    complete 8/9-bit canonical literal codes)."""
+    rgba = np.asarray(rgba)
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("expected (h, w, 4) uint8 RGBA")
+    h, w = rgba.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("dimensions out of VP8L range")
+    bw = _BitsW()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if (rgba[:, :, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    # green alphabet: 280 symbols -> 232 at 8 bits + 48 at 9 bits
+    green_lengths = [8] * 232 + [9] * 48
+    lit_lengths = [8] * 256
+    _write_uniform_code(bw, green_lengths)  # green
+    _write_uniform_code(bw, lit_lengths)  # red
+    _write_uniform_code(bw, lit_lengths)  # blue
+    _write_uniform_code(bw, lit_lengths)  # alpha
+    # distance tree: unused -> simple code, single symbol 0, 0 bits/use
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    bw.write(0, 1)  # 1-bit first symbol
+    bw.write(0, 1)  # symbol 0
+    gw = _canonical_writer(green_lengths)
+    lw = _canonical_writer(lit_lengths)
+
+    def put(tbl, sym):
+        ln, code = tbl[sym]
+        for b in range(ln - 1, -1, -1):  # codes are MSB-first
+            bw.write((code >> b) & 1, 1)
+
+    flat = rgba.reshape(-1, 4)
+    for r, g, b, a in flat:
+        put(gw, int(g))
+        put(lw, int(r))
+        put(lw, int(b))
+        put(lw, int(a))
+    payload = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
