@@ -304,3 +304,65 @@ def test_sequential_multi_scan_decodes_bit_identical():
     first_scan_only = bytes(data[:i]) + b"\xff\xd9"
     with pytest.raises(ValueError, match="undecoded"):
         decode_jpeg(first_scan_only)
+
+
+def test_cmyk_adobe_decode_exact():
+    """4-component Adobe CMYK (APP14 transform 0, Photoshop-inverted
+    storage): block-constant EVEN planes at q50 decode bit-exactly, and
+    the RGB composition is R = C'*K'/255 on the stored planes."""
+    by, bx = np.mgrid[0:2, 0:3]
+    planes = []
+    for s in range(4):
+        vals = (2 * ((s * 13 + by * 5 + bx * 3) % 101) + 20).astype(
+            np.uint8
+        )
+        planes.append(np.kron(vals, np.ones((8, 8), np.uint8)))
+    cmyk = np.stack(planes, axis=2)
+    data = encode_jpeg(cmyk, quality=50)
+    assert b"Adobe" in data
+    got = decode_jpeg(data)
+    c_, m_, y_, k_ = (p.astype(np.float64) for p in planes)
+    want = np.clip(
+        np.floor(np.dstack([c_ * k_, m_ * k_, y_ * k_]) / 255.0 + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(got, want)
+    # without the APP14 declaration the inversion is ambiguous: refuse
+    i = data.find(b"\xff\xee")
+    ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    stripped = data[:i] + data[i + 2 + ln :]
+    with pytest.raises(NotImplementedError, match="APP14"):
+        decode_jpeg(stripped)
+
+
+def test_ycck_adobe_decode():
+    """APP14 transform 2 (YCCK): the decoder runs the YCbCr math on the
+    first three channels and composes with K. Fixture: forward-convert
+    stored CMY to YCC in the test, patch the transform byte; decoded
+    pixels match the direct CMYK composition within the float color
+    transform's rounding (<= 3 levels)."""
+    by, bx = np.mgrid[0:2, 0:3]
+    planes = [
+        np.kron(
+            (2 * ((s * 13 + by * 5 + bx * 3) % 101) + 20).astype(
+                np.uint8
+            ),
+            np.ones((8, 8), np.uint8),
+        ).astype(np.float64)
+        for s in range(4)
+    ]
+    c_, m_, y_, k_ = planes
+    # forward YCbCr on the stored (inverted) CMY channels
+    yy = 0.299 * c_ + 0.587 * m_ + 0.114 * y_
+    cb = -0.168736 * c_ - 0.331264 * m_ + 0.5 * y_ + 128.0
+    cr = 0.5 * c_ - 0.418688 * m_ - 0.081312 * y_ + 128.0
+    ycck = np.stack(
+        [np.clip(np.floor(p + 0.5), 0, 255) for p in (yy, cb, cr, k_)],
+        axis=2,
+    ).astype(np.uint8)
+    data = bytearray(encode_jpeg(ycck, quality=50))
+    i = bytes(data).find(b"Adobe")
+    data[i + 11] = 2  # transform byte: CMYK -> YCCK
+    got = decode_jpeg(bytes(data))
+    want = np.dstack([c_ * k_, m_ * k_, y_ * k_]) / 255.0
+    assert np.abs(got.astype(np.float64) - want).max() <= 3.0

@@ -11,14 +11,17 @@ implemented directly from the public spec:
   interleaved AND sequential multi-scan streams (components split
   across several baseline scans, T.81 A.2), restart markers, 4:4:4 /
   4:2:2 / 4:2:0 chroma subsampling (nearest upsample), JFIF
-  YCbCr -> RGB;
-* encoder (fixtures/tests): grayscale + RGB, Annex K quantization tables
-  scaled by the IJG quality formula, Annex K Huffman tables, optional
-  4:2:0 subsampling, restart intervals, progressive and
-  scan-per-component output.
+  YCbCr -> RGB, and the Adobe 4-component family (APP14 transform 0 =
+  inverted CMYK, 2 = YCCK — composed to RGB via R = C'*K'/255);
+* encoder (fixtures/tests): grayscale + RGB + inverted-CMYK, Annex K
+  quantization tables scaled by the IJG quality formula, Annex K
+  Huffman tables, optional 4:2:0 subsampling, restart intervals,
+  progressive and scan-per-component output.
 
-Arithmetic coding, 12-bit precision and CMYK raise clear errors — the
-documented-unsupported contract used across the format readers.
+Arithmetic coding, 12-bit precision, 3-component Adobe-RGB (transform
+0) and 4-component streams without an APP14 declaration raise clear
+errors — the documented-unsupported contract used across the format
+readers.
 
 The reference delegates all image IO to PIL
 (``xcube_server/im/tiledimage.py:498-506``); this module exists so the
@@ -282,16 +285,18 @@ def _decode_block(
     return block + 128.0, pred
 
 
-def _check_adobe_app14(seg: bytes) -> None:
-    """Adobe APP14 declares the color transform: 1 = YCbCr (our
-    assumption), 0 = components are plain RGB, 2 = YCCK. Skipping a
-    non-YCbCr declaration would silently decode wrong colors — refuse
-    loudly instead."""
-    if seg[:5] == b"Adobe" and len(seg) >= 12 and seg[11] != 1:
-        raise NotImplementedError(
-            f"Adobe APP14 color transform {seg[11]} (only 1 = YCbCr "
-            "supported; 0 = RGB, 2 = YCCK)"
-        )
+def _check_adobe_app14(seg: bytes) -> int | None:
+    """Adobe APP14 declares the color transform: 0 = components as-is
+    (RGB for 3, inverted CMYK for 4), 1 = YCbCr, 2 = YCCK. Returns the
+    code, or None when the segment is not Adobe's. Unknown codes
+    refuse; the (transform, component-count) combination is validated
+    at color-conversion time."""
+    if seg[:5] != b"Adobe" or len(seg) < 12:
+        return None
+    t = seg[11]
+    if t not in (0, 1, 2):
+        raise NotImplementedError(f"Adobe APP14 color transform {t}")
+    return t
 
 
 def _parse_dqt(seg: bytes, qts: dict) -> None:
@@ -362,6 +367,7 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     frame = None
     ri = 0
     pos = 2
+    adobe = None
     decoded: set[int] = set()
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -395,7 +401,8 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", seg[:2])
         elif m == 0xEE:  # APP14 (Adobe): color transform declaration
-            _check_adobe_app14(seg)
+            t = _check_adobe_app14(seg)
+            adobe = t if t is not None else adobe
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -424,7 +431,9 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
         )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    return _upsample_and_color(comps, frame["h"], frame["w"], hmax, vmax)
+    return _upsample_and_color(
+        comps, frame["h"], frame["w"], hmax, vmax, adobe
+    )
 
 
 def _decode_baseline_scan(
@@ -444,9 +453,9 @@ def _decode_baseline_scan(
     single-component scan walks that component's own block grid
     (T.81 A.2)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
-    if len(comps) not in (1, 3):
+    if len(comps) not in (1, 3, 4):
         raise NotImplementedError(
-            f"{len(comps)}-component JPEG (CMYK?) not supported"
+            f"{len(comps)}-component JPEG not supported"
         )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -509,9 +518,19 @@ def _decode_baseline_scan(
     return _next_marker(data, r.p)
 
 
-def _upsample_and_color(comps, h, w, hmax, vmax) -> np.ndarray:
+def _ycc_to_rgb(y, cb, cr):
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    return r_, g_, b_
+
+
+def _upsample_and_color(comps, h, w, hmax, vmax, adobe=None) -> np.ndarray:
     """Crop component planes to extent, nearest-upsample to frame size,
-    and convert JFIF YCbCr -> RGB (grayscale replicated)."""
+    and color-convert: grayscale replicated, JFIF YCbCr -> RGB for 3
+    components, and the Adobe CMYK family for 4 (APP14 transform 0 =
+    inverted CMYK as stored, 2 = YCCK; Photoshop writes CMYK values
+    INVERTED, so R = C' * K' / 255 on the stored planes)."""
     out_planes = []
     for c in comps:
         cw = -(-w * c["h"] // hmax)
@@ -523,11 +542,32 @@ def _upsample_and_color(comps, h, w, hmax, vmax) -> np.ndarray:
     if len(out_planes) == 1:
         g = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
         return np.dstack([g, g, g])
-    y, cb, cr = out_planes
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
-    rgb = np.dstack([r_, g_, b_])
+    if len(out_planes) == 3:
+        if adobe == 0:
+            raise NotImplementedError(
+                "Adobe APP14 color transform 0 with 3 components (plain "
+                "RGB JPEG) not supported — YCbCr / CMYK / YCCK only"
+            )
+        rgb = np.dstack(_ycc_to_rgb(*out_planes))
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    # 4 components: the Adobe CMYK family. Without an APP14 marker the
+    # inversion convention is ambiguous — refuse rather than guess.
+    if adobe == 2:  # YCCK: YCbCr math on the (inverted) CMY, K as-is
+        c_, m_, y_ = _ycc_to_rgb(*out_planes[:3])
+        k_ = out_planes[3]
+    elif adobe == 0:  # stored (inverted) CMYK
+        c_, m_, y_, k_ = out_planes
+    else:
+        raise NotImplementedError(
+            "4-component JPEG without an Adobe APP14 CMYK/YCCK "
+            "declaration (transform 0 or 2) — inversion convention "
+            "is ambiguous"
+        )
+    c_ = np.clip(c_, 0.0, 255.0)
+    m_ = np.clip(m_, 0.0, 255.0)
+    y_ = np.clip(y_, 0.0, 255.0)
+    k_ = np.clip(k_, 0.0, 255.0)
+    rgb = np.dstack([c_ * k_, m_ * k_, y_ * k_]) / 255.0
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
@@ -576,7 +616,11 @@ def _decode_progressive(
         elif m == 0xDD:
             (ri,) = struct.unpack(">H", seg[:2])
         elif m == 0xEE:
-            _check_adobe_app14(seg)
+            if _check_adobe_app14(seg) == 0:
+                raise NotImplementedError(
+                    "Adobe APP14 color transform 0 (plain RGB) in a "
+                    "progressive JPEG not supported"
+                )
         elif m == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -1087,6 +1131,7 @@ def encode_jpeg(
     the cross-check the tests rely on."""
     img = np.asarray(img)
     gray = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
     qly = _quality_scale(QT_LUMA, quality)
     qlc = _quality_scale(QT_CHROMA, quality)
@@ -1094,6 +1139,15 @@ def encode_jpeg(
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
         qts = [qly]
+    elif cmyk:
+        # Adobe CMYK (APP14 transform 0): the four channels are stored
+        # AS GIVEN — callers pass Photoshop-inverted CMYK, the web/
+        # print convention the decoder's R = C'*K'/255 math expects
+        if subsampling != "4:4:4":
+            raise ValueError("CMYK encoding is 4:4:4 only")
+        planes = [img[:, :, i].astype(np.float64) for i in range(4)]
+        samp = [(1, 1)] * 4
+        qts = [qly] * 4
     else:
         rgb = img.astype(np.float64)
         r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -1133,9 +1187,12 @@ def encode_jpeg(
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     if not split_tables:
         out += _seg(0xDB, dqt)
+    if cmyk:
+        out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i, (sh, sv) in enumerate(samp):
-        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+        tq = 0 if (i == 0 or cmyk) else 1
+        sof += bytes([i + 1, (sh << 4) | sv, tq])
     out += _seg(0xC2 if progressive else 0xC0, sof)
     dht = b""
     for i, (bits, vals) in enumerate(dc_tables):
