@@ -366,3 +366,23 @@ def test_ycck_adobe_decode():
     got = decode_jpeg(bytes(data))
     want = np.dstack([c_ * k_, m_ * k_, y_ * k_]) / 255.0
     assert np.abs(got.astype(np.float64) - want).max() <= 3.0
+
+
+def test_12bit_sof1_roundtrip():
+    """12-bit extended sequential (SOF1, Pq=1 DQT — the document-scan
+    precision): block-constant EVEN 12-bit values at q50 are exact in
+    coefficient space; output scales >>4 to uint8. 12-bit claimed in
+    SOF0 refuses (baseline is 8-bit by definition)."""
+    by, bx = np.mgrid[0:2, 0:3]
+    vals12 = (2 * ((by * 97 + bx * 53) % 2011) + 22).astype(np.uint16)
+    img = np.kron(vals12, np.ones((8, 8), np.uint16))
+    data = encode_jpeg(img, quality=50, precision=12)
+    i = data.find(b"\xff\xc1")
+    assert i > 0 and data[i + 4] == 12
+    assert data[data.find(b"\xff\xdb") + 4] >> 4 == 1  # 16-bit DQT
+    got = decode_jpeg(data)
+    assert np.array_equal(got[:, :, 0], (img >> 4).astype(np.uint8))
+    bad = bytearray(data)
+    bad[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg(bytes(bad))

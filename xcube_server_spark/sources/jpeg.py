@@ -6,19 +6,21 @@ decodes inside Arrow-batched ``mapInPandas`` stages
 like the zstd/blosc/LZW codecs before it — the baseline JPEG process is
 implemented directly from the public spec:
 
-* decoder: SOF0/SOF1 (sequential DCT, Huffman, 8-bit), SOF2 progressive
+* decoder: SOF0/SOF1 (sequential DCT, Huffman, 8-bit; SOF1 also
+  12-bit, scaled >>4 to uint8 on output), SOF2 progressive
   (spectral selection + successive approximation, DC and AC scans),
   interleaved AND sequential multi-scan streams (components split
   across several baseline scans, T.81 A.2), restart markers, 4:4:4 /
   4:2:2 / 4:2:0 chroma subsampling (nearest upsample), JFIF
   YCbCr -> RGB, and the Adobe 4-component family (APP14 transform 0 =
   inverted CMYK, 2 = YCCK — composed to RGB via R = C'*K'/255);
-* encoder (fixtures/tests): grayscale + RGB + inverted-CMYK, Annex K
-  quantization tables scaled by the IJG quality formula, Annex K
-  Huffman tables, optional 4:2:0 subsampling, restart intervals,
-  progressive and scan-per-component output.
+* encoder (fixtures/tests): grayscale + RGB + inverted-CMYK + 12-bit
+  grayscale (SOF1, Pq=1 DQT), Annex K quantization tables scaled by
+  the IJG quality formula, Annex K Huffman tables, optional 4:2:0
+  subsampling, restart intervals, progressive and scan-per-component
+  output.
 
-Arithmetic coding, 12-bit precision, 3-component Adobe-RGB (transform
+Arithmetic coding, 12-bit-in-SOF0, 3-component Adobe-RGB (transform
 0) and 4-component streams without an APP14 declaration raise clear
 errors — the documented-unsupported contract used across the format
 readers.
@@ -256,6 +258,7 @@ def _decode_block(
     ac_tab: dict,
     qt: np.ndarray,
     pred: int,
+    shift: float = 128.0,
 ) -> tuple[np.ndarray, int]:
     """One 8x8 block: Huffman-decode zigzag coefficients, dequantize,
     inverse DCT, level shift. Returns (spatial block float64, new DC
@@ -282,7 +285,7 @@ def _decode_block(
     coef = np.zeros(64, np.float64)
     coef[ZIGZAG] = zz * qt  # de-zigzag + dequantize
     block = _A.T @ coef.reshape(8, 8) @ _A
-    return block + 128.0, pred
+    return block + shift, pred
 
 
 def _check_adobe_app14(seg: bytes) -> int | None:
@@ -381,15 +384,16 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
             _parse_dqt(seg, qts)
         elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if prec not in (8, 12) or (prec == 12 and m == 0xC0):
                 raise NotImplementedError(
-                    f"JPEG precision {prec} not supported (8-bit only)"
+                    f"JPEG precision {prec} in SOF{m - 0xC0} not "
+                    "supported (8-bit, or 12-bit extended sequential)"
                 )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
         elif m == 0xC2:  # progressive: its own multi-scan walk
             return _decode_progressive(data, tables)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -432,7 +436,8 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     return _upsample_and_color(
-        comps, frame["h"], frame["w"], hmax, vmax, adobe
+        comps, frame["h"], frame["w"], hmax, vmax, adobe,
+        frame.get("prec", 8),
     )
 
 
@@ -509,7 +514,8 @@ def _decode_baseline_scan(
             for vy in range(cv):
                 for vx in range(ch):
                     block, c["pred"] = _decode_block(
-                        r, c["dc"], c["ac"], c["qt"], c["pred"]
+                        r, c["dc"], c["ac"], c["qt"], c["pred"],
+                        float(1 << (frame.get("prec", 8) - 1)),
                     )
                     y0 = (myi * cv + vy) * 8
                     x0 = (mxi * ch + vx) * 8
@@ -518,19 +524,25 @@ def _decode_baseline_scan(
     return _next_marker(data, r.p)
 
 
-def _ycc_to_rgb(y, cb, cr):
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
+def _ycc_to_rgb(y, cb, cr, center=128.0):
+    r_ = y + 1.402 * (cr - center)
+    g_ = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b_ = y + 1.772 * (cb - center)
     return r_, g_, b_
 
 
-def _upsample_and_color(comps, h, w, hmax, vmax, adobe=None) -> np.ndarray:
+def _upsample_and_color(
+    comps, h, w, hmax, vmax, adobe=None, prec=8
+) -> np.ndarray:
     """Crop component planes to extent, nearest-upsample to frame size,
     and color-convert: grayscale replicated, JFIF YCbCr -> RGB for 3
     components, and the Adobe CMYK family for 4 (APP14 transform 0 =
     inverted CMYK as stored, 2 = YCCK; Photoshop writes CMYK values
-    INVERTED, so R = C' * K' / 255 on the stored planes)."""
+    INVERTED, so R = C' * K' / maxval on the stored planes). 12-bit
+    samples (SOF1 extended sequential) are scaled to 8 bits on output
+    (>> 4) — the featurizer-friendly convention."""
+    maxval = float((1 << prec) - 1)
+    center = float(1 << (prec - 1))
     out_planes = []
     for c in comps:
         cw = -(-w * c["h"] // hmax)
@@ -539,8 +551,14 @@ def _upsample_and_color(comps, h, w, hmax, vmax, adobe=None) -> np.ndarray:
         rows = np.arange(h) * chh // h
         cols = np.arange(w) * cw // w
         out_planes.append(plane[rows][:, cols])
+    def to8(v):
+        v = np.clip(np.floor(v + 0.5), 0, maxval)
+        if prec > 8:
+            v = np.floor(v / (1 << (prec - 8)))
+        return v.astype(np.uint8)
+
     if len(out_planes) == 1:
-        g = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
+        g = to8(out_planes[0])
         return np.dstack([g, g, g])
     if len(out_planes) == 3:
         if adobe == 0:
@@ -548,12 +566,11 @@ def _upsample_and_color(comps, h, w, hmax, vmax, adobe=None) -> np.ndarray:
                 "Adobe APP14 color transform 0 with 3 components (plain "
                 "RGB JPEG) not supported — YCbCr / CMYK / YCCK only"
             )
-        rgb = np.dstack(_ycc_to_rgb(*out_planes))
-        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+        return to8(np.dstack(_ycc_to_rgb(*out_planes, center=center)))
     # 4 components: the Adobe CMYK family. Without an APP14 marker the
     # inversion convention is ambiguous — refuse rather than guess.
     if adobe == 2:  # YCCK: YCbCr math on the (inverted) CMY, K as-is
-        c_, m_, y_ = _ycc_to_rgb(*out_planes[:3])
+        c_, m_, y_ = _ycc_to_rgb(*out_planes[:3], center=center)
         k_ = out_planes[3]
     elif adobe == 0:  # stored (inverted) CMYK
         c_, m_, y_, k_ = out_planes
@@ -563,12 +580,12 @@ def _upsample_and_color(comps, h, w, hmax, vmax, adobe=None) -> np.ndarray:
             "declaration (transform 0 or 2) — inversion convention "
             "is ambiguous"
         )
-    c_ = np.clip(c_, 0.0, 255.0)
-    m_ = np.clip(m_, 0.0, 255.0)
-    y_ = np.clip(y_, 0.0, 255.0)
-    k_ = np.clip(k_, 0.0, 255.0)
-    rgb = np.dstack([c_ * k_, m_ * k_, y_ * k_]) / 255.0
-    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    c_ = np.clip(c_, 0.0, maxval)
+    m_ = np.clip(m_, 0.0, maxval)
+    y_ = np.clip(y_, 0.0, maxval)
+    k_ = np.clip(k_, 0.0, maxval)
+    rgb = np.dstack([c_ * k_, m_ * k_, y_ * k_]) / maxval
+    return to8(rgb)
 
 
 def _next_marker(data: bytes, p: int) -> int:
@@ -1110,6 +1127,7 @@ def encode_jpeg(
     split_tables: bool = False,
     progressive: bool = False,
     multi_scan: bool = False,
+    precision: int = 8,
 ):
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG. ``quality=50`` uses the Annex K tables verbatim —
@@ -1133,6 +1151,15 @@ def encode_jpeg(
     gray = img.ndim == 2
     cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12 and not gray:
+        raise NotImplementedError(
+            "12-bit encoding is grayscale-only here (the document-scan "
+            "shape); 12-bit color would need scaled chroma tables"
+        )
+    if precision == 12 and (progressive or multi_scan or split_tables):
+        raise ValueError("12-bit encoding is plain sequential only")
     qly = _quality_scale(QT_LUMA, quality)
     qlc = _quality_scale(QT_CHROMA, quality)
     if gray:
@@ -1180,20 +1207,25 @@ def encode_jpeg(
         )
     dc_codes = [_build_codes(*t) for t in dc_tables]
     ac_codes = [_build_codes(*t) for t in ac_tables]
-    dqt = bytes([0x00]) + bytes(qly[ZIGZAG].astype(np.uint8))
-    if not gray:
-        dqt += bytes([0x01]) + bytes(qlc[ZIGZAG].astype(np.uint8))
+    if precision == 12:
+        # 12-bit samples require 16-bit quantization entries (Pq = 1)
+        dqt = bytes([0x10]) + qly[ZIGZAG].astype(">u2").tobytes()
+    else:
+        dqt = bytes([0x00]) + bytes(qly[ZIGZAG].astype(np.uint8))
+        if not gray:
+            dqt += bytes([0x01]) + bytes(qlc[ZIGZAG].astype(np.uint8))
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     if not split_tables:
         out += _seg(0xDB, dqt)
     if cmyk:
         out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
     for i, (sh, sv) in enumerate(samp):
         tq = 0 if (i == 0 or cmyk) else 1
         sof += bytes([i + 1, (sh << 4) | sv, tq])
-    out += _seg(0xC2 if progressive else 0xC0, sof)
+    sof_marker = 0xC2 if progressive else (0xC1 if precision == 12 else 0xC0)
+    out += _seg(sof_marker, sof)
     dht = b""
     for i, (bits, vals) in enumerate(dc_tables):
         dht += bytes([i]) + bytes(bits) + bytes(vals)
@@ -1218,7 +1250,8 @@ def encode_jpeg(
         for by in range(bh):
             for bx in range(bw):
                 f = _A @ (
-                    full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    - float(1 << (precision - 1))
                 ) @ _A.T
                 coefz = f.reshape(64)[ZIGZAG]
                 qb[by, bx] = np.trunc(
