@@ -1,0 +1,253 @@
+"""FLAC codec (``sources/flac.py``): encoder/decoder roundtrips plus
+HAND-BUILT frames (assembled in the test from the spec) for the paths
+the fixture encoder never writes — LPC subframes, stereo decorrelation,
+wasted bits, escape partitions, multi-partition Rice — and the CRC
+integrity contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.flac import (
+    _Bits,
+    _BitsW,
+    _crc8,
+    _crc16,
+    _read_utf8_ordinal,
+    _utf8_ordinal,
+    decode_flac,
+    encode_flac,
+    is_flac,
+)
+
+
+def test_roundtrips():
+    rng = np.random.default_rng(8)
+    cases = [
+        ("smooth", (np.sin(np.arange(10_000) / 50) * 8000).astype(np.int64)),
+        ("noisy-verbatim", rng.integers(-30000, 30000, 5000)),
+        ("constant", np.full(3000, 1234)),
+        ("tiny", np.array([1, -2, 3])),
+        ("multi-frame", rng.integers(-100, 100, 9000)),
+    ]
+    for kind, sig in cases:
+        got, rate, bps = decode_flac(encode_flac(sig, 16000))
+        assert rate == 16000 and bps == 16
+        assert np.array_equal(got[:, 0], sig), kind
+    st = np.stack(
+        [rng.integers(-1000, 1000, 5000), rng.integers(-1000, 1000, 5000)],
+        axis=1,
+    )
+    got, _, _ = decode_flac(encode_flac(st, 44100))
+    assert np.array_equal(got, st)
+    s24 = rng.integers(-(1 << 22), 1 << 22, 2000)
+    got, _, bps = decode_flac(encode_flac(s24, 48000, bps=24))
+    assert bps == 24 and np.array_equal(got[:, 0], s24)
+
+
+def test_smooth_signal_compresses():
+    sig = (np.sin(np.arange(20_000) / 40) * 12000).astype(np.int64)
+    data = encode_flac(sig, 16000)
+    assert len(data) < 0.4 * 2 * len(sig)  # rice fixed-2 actually helps
+
+
+def test_utf8_ordinals():
+    for v in (0, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1):
+        assert _read_utf8_ordinal(_Bits(_utf8_ordinal(v))) == v
+
+
+# ------------------------------------------------------- hand-built frames
+def _streaminfo(rate, nch, bps, total, block):
+    w = _BitsW()
+    w.write(block, 16)
+    w.write(block, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(rate, 20)
+    w.write(nch - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(total, 36)
+    w.align()
+    body = bytes(w.out) + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+
+def _frame_header(w, nch_code, bps, n):
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)  # 16-bit blocksize field follows
+    w.write(0, 4)  # rate from STREAMINFO
+    w.write(nch_code, 4)
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+    w.write(0, 1)
+    w.write(0, 8)  # frame 0 ordinal
+    w.write(n - 1, 16)
+    w.align()
+    hdr = bytes(w.out)
+    return hdr + bytes([_crc8(hdr)])
+
+
+def _finish(hdr, w):
+    w.align()
+    frame = hdr + bytes(w.out)
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def _write_rice(w, res, param, order, po=0):
+    w.write(0, 2)  # 4-bit params
+    w.write(po, 4)
+    n = len(res) + order
+    idx = 0
+    for p in range(1 << po):
+        cnt = n // (1 << po) - (order if p == 0 else 0)
+        w.write(param, 4)
+        for v in res[idx : idx + cnt]:
+            u = (abs(int(v)) << 1) - (1 if v < 0 else 0)
+            w.write(0, u >> param)
+            w.write(1, 1)
+            if param:
+                w.write(u & ((1 << param) - 1), param)
+        idx += cnt
+
+
+def test_hand_built_lpc_subframe():
+    """LPC order 2, precision 5, shift 2, coefs (6, -2): the spec's
+    s[i] = res[i] + ((6*s[i-1] - 2*s[i-2]) >> 2) recursion, computed
+    longhand in the test."""
+    n = 8
+    warm = [100, 110]
+    res = [3, -1, 4, 0, -2, 5]
+    w = _BitsW()
+    hdr = _frame_header(w, 0, 16, n)
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(32 + 1, 6)  # LPC order 2: type 100001 -> (1)+1
+    w.write(0, 1)  # no wasted bits
+    for v in warm:
+        w.write(v, 16)
+    w.write(5 - 1, 4)  # precision 5
+    w.write(2, 5)  # shift
+    for c in (6, -2):
+        w.write(c & 0x1F, 5)
+    _write_rice(w, res, 2, order=2)
+    data = _streaminfo(8000, 1, 16, n, n) + _finish(hdr, w)
+    got, rate, bps = decode_flac(data)
+    want = list(warm)
+    for r in res:
+        want.append(r + ((6 * want[-1] - 2 * want[-2]) >> 2))
+    assert got[:, 0].tolist() == want
+
+
+def test_hand_built_stereo_decorrelation():
+    """All three stereo modes reconstruct the same L/R pair; the side
+    channel carries bps+1 bits."""
+    n = 4
+    L = [1000, -200, 35, 7]
+    R = [990, -195, 30, -7]
+    side = [ls - rs for ls, rs in zip(L, R)]
+    mid = [(ls + rs) >> 1 for ls, rs in zip(L, R)]
+
+    def verb(w, vals, bits):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(int(v) & ((1 << bits) - 1), bits)
+
+    for code, ch0, b0, ch1, b1 in [
+        (8, L, 16, side, 17),   # left/side
+        (9, side, 17, R, 16),   # side/right
+        (10, mid, 16, side, 17),  # mid/side
+    ]:
+        w = _BitsW()
+        hdr = _frame_header(w, code, 16, n)
+        w = _BitsW()
+        verb(w, ch0, b0)
+        verb(w, ch1, b1)
+        data = _streaminfo(8000, 2, 16, n, n) + _finish(hdr, w)
+        got, _, _ = decode_flac(data)
+        assert got[:, 0].tolist() == L, code
+        assert got[:, 1].tolist() == R, code
+
+
+def test_hand_built_wasted_bits_and_escape_partition():
+    """A subframe with 2 wasted bits (samples shifted left on output)
+    and an escaped Rice partition (raw 6-bit residuals)."""
+    n = 4
+    vals = [12, -8, 20, 4]  # multiples of 4 -> 2 wasted bits
+    w = _BitsW()
+    hdr = _frame_header(w, 0, 16, n)
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(8, 6)  # FIXED order 0 (residual = signal)
+    w.write(1, 1)  # wasted-bits flag
+    w.write(1, 1)  # unary 0 -> k = 1? no: first 1 ends -> k = 0+1 = 1
+    # ... unary() counts zeros before the 1; '1' = 0 zeros -> wasted = 1
+    # we want wasted = 2 -> one zero then a one: rewrite below
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(8, 6)
+    w.write(1, 1)
+    w.write(0, 1)
+    w.write(1, 1)  # unary 1 -> wasted = 2
+    w.write(0, 2)  # residual method 0
+    w.write(0, 4)  # partition order 0
+    w.write(15, 4)  # ESCAPE
+    w.write(6, 5)  # raw 6-bit residuals
+    for v in vals:
+        w.write((v >> 2) & 0x3F, 6)
+    data = _streaminfo(8000, 1, 16, n, n) + _finish(hdr, w)
+    got, _, _ = decode_flac(data)
+    assert got[:, 0].tolist() == vals
+
+
+def test_hand_built_multi_partition_rice():
+    """Partition order 2 over a 16-sample fixed-order-1 frame: the
+    first partition holds n/4 - order samples."""
+    n = 16
+    sig = [50]
+    res = [2, -3, 1, 0, 4, -1, 2, 2, -2, 0, 1, 3, -4, 1, 0]
+    for r in res:
+        sig.append(r + sig[-1])
+    w = _BitsW()
+    hdr = _frame_header(w, 0, 16, n)
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(9, 6)  # FIXED order 1
+    w.write(0, 1)
+    w.write(50, 16)
+    _write_rice(w, res, 2, order=1, po=2)
+    data = _streaminfo(8000, 1, 16, n, n) + _finish(hdr, w)
+    got, _, _ = decode_flac(data)
+    assert got[:, 0].tolist() == sig
+
+
+def test_crc_integrity_refuses():
+    sig = np.arange(-50, 50, dtype=np.int64)
+    data = bytearray(encode_flac(sig, 8000))
+    assert is_flac(bytes(data))
+    data[-1] ^= 0x40  # corrupt the frame CRC-16 itself
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(data))
+    data[-1] ^= 0x40
+    data[-20] ^= 0x40  # corrupt payload -> CRC mismatch or desync, LOUD
+    with pytest.raises(ValueError):
+        decode_flac(bytes(data))
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"RIFF" + bytes(data))
+    with pytest.raises(ValueError):
+        decode_flac(bytes(data[:30]))  # truncated metadata/frames
+
+
+def test_multimodal_audio_dispatch():
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+
+    sig = (np.sin(np.arange(4000) / 30) * 6000).astype(np.int64)
+    wave = decode_audio(encode_flac(sig, 16000), 16000)
+    assert wave.dtype == np.float32
+    assert np.allclose(wave, sig / 32768.0, atol=1e-7)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_audio(b"\xff\xfb" + b"\x00" * 64, 16000)  # MP3 magic

@@ -1,5 +1,5 @@
 """Hostile-byte fuzz for the media codecs (PNG / JPEG / JPEG 2000 /
-WAV / GIF / WebP): truncations and bit flips must RAISE LOUDLY or return
+WAV / GIF / WebP / FLAC): truncations and bit flips must RAISE LOUDLY or return
 a well-formed array — never hang (the round-8 zstd lesson: an empty
 slice parsed as a zero-size block spun forever) and never crash the
 interpreter. Each case runs against streams produced by the repo's own
@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from xcube_server_spark.sources.flac import decode_flac, encode_flac
 from xcube_server_spark.sources.gif import decode_gif, encode_gif
 from xcube_server_spark.sources.jpeg import decode_jpeg, encode_jpeg
 from xcube_server_spark.sources.jpeg2000 import decode_j2k, encode_j2k
@@ -35,6 +36,7 @@ _GIF = encode_gif((np.arange(20 * 24) % 64).reshape(20, 24).astype(np.uint8),
                   (np.arange(64 * 3) % 256).reshape(64, 3).astype(np.uint8),
                   interlace=True, transparent=3)
 _WEBP = encode_webp(_img())
+_FLAC = encode_flac(((np.arange(500) * 37 % 4001) - 2000), 8000)
 
 _DECODERS = {
     "png": (_PNG, decode_png),
@@ -44,6 +46,7 @@ _DECODERS = {
     "wav": (_WAV, lambda b: decode_wav(b)[0]),
     "gif": (_GIF, decode_gif),
     "webp": (_WEBP, decode_webp),
+    "flac": (_FLAC, lambda b: decode_flac(b)[0]),
 }
 
 

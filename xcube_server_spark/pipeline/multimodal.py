@@ -252,17 +252,26 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
     """Decode an audio payload to a float32 mono waveform.
 
     RIFF PCM WAV payloads decode to REAL samples via ``sources/wav.py``
-    (the ``sample_rate`` argument is advisory; the container's rate wins).
-    Compressed formats (MP3/AAC/FLAC) need native codecs: deterministic
-    sha256 fake with ``fake=True``, clear error otherwise."""
+    (the ``sample_rate`` argument is advisory; the container's rate
+    wins), and FLAC payloads via the pure-Python ``sources/flac.py``
+    (lossless — samples normalize by the stream's own bit depth; multi-
+    channel downmixes by mean like WAV). Lossy formats (MP3/AAC/Opus)
+    need native codecs: deterministic sha256 fake with ``fake=True``,
+    clear error otherwise."""
     if payload[:4] == b"RIFF":
         from ..sources.wav import decode_wav
 
         return decode_wav(payload)[0]
+    if payload[:4] == b"fLaC":
+        from ..sources.flac import decode_flac
+
+        samples, _rate, bps = decode_flac(payload)
+        wave = samples.astype(np.float32) / float(1 << (bps - 1))
+        return wave.mean(axis=1).astype(np.float32)
     if not fake:
         raise NotImplementedError(
-            "payload is not PCM WAV — compressed audio needs native codecs; "
-            "pass fake=True for the deterministic test decoder"
+            "payload is not PCM WAV or FLAC — lossy audio needs native "
+            "codecs; pass fake=True for the deterministic test decoder"
         )
     n = max(int(sample_rate) or 16, 16)
     digest = hashlib.sha256(payload).digest()

@@ -17,7 +17,8 @@ against closed-form DuckDB oracles:
   frames are lossless; one interlaced, one transparent-index asset)
   and lossless WebP/VP8L (formula pixels, exact like PNG).
   One mean-luma per asset from decoded pixels.
-- ``multimodal_audio_stats`` — PCM16 WAV with formula samples; rms, peak,
+- ``multimodal_audio_stats`` — PCM16 WAV and FLAC (pure-Python Rice/
+  fixed-predictor decode, lossless) with formula samples; rms, peak,
   duration and zero-crossings from the decoded waveform. All sample
   values are dyadic rationals (pcm/2^15) whose squares sum exactly in
   float64, so rms agrees bit-for-bit with the SQL oracle.
@@ -44,6 +45,7 @@ _N_PROG = 4  # progressive (SOF2) JPEG assets
 _N_GIF = 4  # palette GIF assets (s=1 interlaced, s=3 transparent)
 _N_WEBP = 4  # lossless WebP (VP8L) assets
 _WAV_N, _WAV_SR, _N_WAV = 1600, 8000, 5
+_N_FLAC = 3  # lossless FLAC assets (exact integer samples)
 
 
 def _media_gate_fixture(spark: SparkSession) -> str:
@@ -60,7 +62,7 @@ def _media_gate_fixture(spark: SparkSession) -> str:
     from ..sources.wav import encode_wav
     from ..sources.webp import encode_webp
 
-    d = _gate_path("xss_media_gate_v4")
+    d = _gate_path("xss_media_gate_v5")
     assets_p = os.path.join(d, "assets.parquet")
     audio_p = os.path.join(d, "audio.parquet")
     if os.path.exists(os.path.join(assets_p, "_SUCCESS")) and os.path.exists(
@@ -139,6 +141,19 @@ def _media_gate_fixture(spark: SparkSession) -> str:
         wave = pcm.astype(np.float64) / 32768.0
         arows.append(
             (aid, "audio/wav", bytearray(encode_wav(wave, _WAV_SR)),
+             {"width": 0, "height": 0, "n_frames": 1,
+              "sample_rate": _WAV_SR})
+        )
+    # FLAC: LOSSLESS integer samples through the pure-Python decoder
+    # (fixed-order-2 Rice frames); decode_audio normalizes by 2^15,
+    # so the oracle shape matches the WAV assets exactly
+    from ..sources.flac import encode_flac
+
+    for s_ in range(_N_FLAC):
+        pcm = (((10 + s_) * 11 + k * 17) % 2001) - 1000
+        arows.append(
+            (10 + s_, "audio/flac",
+             bytearray(encode_flac(pcm.astype(np.int64), _WAV_SR)),
              {"width": 0, "height": 0, "n_frames": 1,
               "sample_rate": _WAV_SR})
         )
@@ -256,6 +271,12 @@ WITH samples AS (
   SELECT a.i AS asset_id, k.i AS k,
          CAST(((a.i*7 + k.i*13) % 2001) - 1000 AS DOUBLE) / 32768.0 AS v
   FROM (SELECT unnest(range(0, {_N_WAV})) AS i) a
+  CROSS JOIN (SELECT unnest(range(0, {_WAV_N})) AS i) k
+  UNION ALL
+  SELECT 10 + a.i, k.i,
+         CAST((((10 + a.i)*11 + k.i*17) % 2001) - 1000 AS DOUBLE)
+           / 32768.0
+  FROM (SELECT unnest(range(0, {_N_FLAC})) AS i) a
   CROSS JOIN (SELECT unnest(range(0, {_WAV_N})) AS i) k
 ), sgn AS (
   SELECT asset_id, v, sign(v) AS s,

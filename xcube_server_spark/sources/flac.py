@@ -1,0 +1,435 @@
+"""Pure-Python FLAC decoder (multimodal audio payloads).
+
+FLAC is the dominant lossless audio interchange format in scraped
+speech/music corpora; ffmpeg/soundfile are not in this container, so
+the format is implemented directly from the public specification
+(RFC 9639 / the FLAC format spec): STREAMINFO metadata, frame headers
+(UTF-8-coded ordinals, CRC-8), subframe types CONSTANT / VERBATIM /
+FIXED (orders 0-4) / LPC (any order, signed quantized coefficients +
+shift), Rice-coded residual partitions (4- and 5-bit parameters,
+escape-to-raw), wasted bits, stereo decorrelation (left/side,
+right/side, mid/side) and the frame CRC-16 integrity check.
+
+The decoder is exact by construction (FLAC is lossless integer
+arithmetic), so decoded samples hash-oracle directly. The encoder
+exists for deterministic fixtures: VERBATIM and CONSTANT subframes plus
+fixed-order-2 with Rice residuals — minimal but conformant output.
+
+The reference server has no audio path at all; this module serves the
+LLM-pipeline multimodal surface (``pipeline/multimodal.py``), the same
+engine-added pedigree as ``sources/wav.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def is_flac(data: bytes) -> bool:
+    return data[:4] == b"fLaC"
+
+
+_FIXED_COEFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader (the FLAC convention)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.p = pos  # byte position
+        self.bit = 0
+
+    def read(self, k: int) -> int:
+        v = 0
+        while k:
+            if self.p >= len(self.d):
+                raise ValueError("FLAC bitstream truncated")
+            avail = 8 - self.bit
+            take = min(k, avail)
+            byte = self.d[self.p]
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.p += 1
+            k -= take
+        return v
+
+    def sread(self, k: int) -> int:
+        v = self.read(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+            if n > 1 << 24:
+                raise ValueError("FLAC unary run too long")
+        return n
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.p += 1
+
+
+_BLOCKSIZES = [0, 192, 576, 1152, 2304, 4608, -1, -2,
+               256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
+
+
+def _read_utf8_ordinal(br: _Bits) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("FLAC frame ordinal: bad UTF-8 lead byte")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC frame ordinal: bad continuation byte")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _read_residual(br: _Bits, n: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise NotImplementedError(f"FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if n % nparts:
+        raise ValueError("FLAC partition order does not divide block size")
+    out = np.empty(n - order, np.int64)
+    idx = 0
+    for p in range(nparts):
+        cnt = n // nparts - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for i in range(cnt):
+                out[idx + i] = br.sread(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = br.unary()
+                u = (q << param) | br.read(param)
+                out[idx + i] = (u >> 1) ^ -(u & 1)  # zigzag
+        idx += cnt
+    return out
+
+
+def _read_subframe(br: _Bits, n: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        out = np.full(n, br.sread(bps), np.int64)
+    elif ftype == 1:  # VERBATIM
+        out = np.array([br.sread(bps) for _ in range(n)], np.int64)
+    elif 8 <= ftype <= 12:  # FIXED, order = ftype - 8
+        order = ftype - 8
+        warm = [br.sread(bps) for _ in range(order)]
+        res = _read_residual(br, n, order)
+        out = np.empty(n, np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, n):
+            p = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out[i] = res[i - order] + p
+    elif ftype >= 32:  # LPC, order = (ftype & 31) + 1
+        order = (ftype & 31) + 1
+        warm = [br.sread(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC LPC precision code 15 is invalid")
+        shift = br.sread(5)
+        if shift < 0:
+            raise NotImplementedError("negative FLAC LPC shift")
+        coefs = [br.sread(prec) for _ in range(order)]
+        res = _read_residual(br, n, order)
+        out = np.empty(n, np.int64)
+        out[:order] = warm
+        for i in range(order, n):
+            acc = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"FLAC subframe type {ftype} is reserved")
+    return out << wasted if wasted else out
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream to ((n, channels) int32 samples, rate,
+    bits-per-sample)."""
+    if not is_flac(data):
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("FLAC metadata truncated")
+        hdr = data[pos]
+        (ln,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + ln]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            br = _Bits(body)
+            br.read(16)  # min blocksize
+            br.read(16)  # max blocksize
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            nch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            info = (rate, nch, bps, total)
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC stream has no STREAMINFO block")
+    rate, nch, bps, total = info
+    chunks = []
+    got = 0
+    while got < total:
+        hstart = pos
+        br = _Bits(data, pos)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"FLAC frame sync not found at byte {pos}")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _read_utf8_ordinal(br)
+        if bs_code == 0:
+            raise ValueError("FLAC block size code 0 is reserved")
+        n = _BLOCKSIZES[bs_code]
+        if n == -1:
+            n = br.read(8) + 1
+        elif n == -2:
+            n = br.read(16) + 1
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC sample rate code 15 is invalid")
+        if ss_code not in (0, 1, 2, 4, 5, 6):
+            raise NotImplementedError(f"FLAC sample size code {ss_code}")
+        br.align()
+        crc8 = br.read(8)
+        if _crc8(data[hstart : br.p - 1]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        if ch_code < 8:
+            if ch_code + 1 != nch:
+                raise ValueError("FLAC frame channel count != STREAMINFO")
+            subs = [_read_subframe(br, n, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise ValueError("FLAC stereo decorrelation needs 2 channels")
+            b0 = bps + (1 if ch_code == 9 else 0)
+            b1 = bps + (1 if ch_code in (8, 10) else 0)
+            s0 = _read_subframe(br, n, b0)
+            s1 = _read_subframe(br, n, b1)
+            if ch_code == 8:  # left/side
+                subs = [s0, s0 - s1]
+            elif ch_code == 9:  # side/right
+                subs = [s1 + s0, s1]
+            else:  # mid/side
+                side = s1
+                mid = (s0 << 1) | (side & 1)
+                subs = [(mid + side) >> 1, (mid - side) >> 1]
+        else:
+            raise ValueError(f"FLAC channel assignment {ch_code} reserved")
+        br.align()
+        crc16 = br.read(16)
+        if _crc16(data[hstart : br.p - 2]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        chunks.append(np.stack(subs, axis=1))
+        got += n
+        pos = br.p
+    out = np.concatenate(chunks, axis=0) if chunks else np.zeros(
+        (0, nch), np.int64
+    )
+    if out.shape[0] != total:
+        raise ValueError(
+            f"FLAC frames hold {out.shape[0]} samples, STREAMINFO "
+            f"declares {total}"
+        )
+    return out.astype(np.int32), rate, bps
+
+
+# ---------------------------------------------------------------- encoder
+class _BitsW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        if self.n:
+            self.out.append(self.acc << (8 - self.n))
+            self.acc = 0
+            self.n = 0
+
+
+def _utf8_ordinal(v: int) -> bytes:
+    """UTF-8-style ordinal coding (n-byte form carries 5n+1 bits)."""
+    if v < 0x80:
+        return bytes([v])
+    n = 2
+    while v >= (1 << (5 * n + 1)):
+        n += 1
+    out = [((0xFF << (8 - n)) & 0xFF) | (v >> (6 * (n - 1)))]
+    for i in range(n - 2, -1, -1):
+        out.append(0x80 | ((v >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int,
+    bps: int = 16,
+    block: int = 4096,
+    fixed_order: int = 2,
+) -> bytes:
+    """Encode (n,) or (n, ch) int samples as FLAC (fixtures/tests):
+    fixed-order predictor with single-partition Rice residuals, falling
+    back to VERBATIM when Rice would expand, CONSTANT when flat."""
+    samples = np.asarray(samples, np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_total, nch = samples.shape
+    if not 1 <= nch <= 8:
+        raise ValueError("1..8 channels")
+    lim = 1 << (bps - 1)
+    if samples.min(initial=0) < -lim or samples.max(initial=0) >= lim:
+        raise ValueError(f"samples exceed {bps}-bit range")
+    out = bytearray(b"fLaC")
+    si = _BitsW()
+    si.write(block, 16)
+    si.write(block, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n_total, 36)
+    si.align()
+    body = bytes(si.out) + b"\x00" * 16  # md5 unset (all zero = unknown)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    frame_no = 0
+    pos = 0
+    while pos < n_total or (n_total == 0 and frame_no == 0):
+        n = min(block, n_total - pos)
+        if n == 0:
+            break
+        w = _BitsW()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocksize strategy
+        w.write(7, 4)  # blocksize: 16-bit field follows
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(nch - 1, 4)  # independent channels
+        w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+        w.write(0, 1)
+        for b in _utf8_ordinal(frame_no):
+            w.write(b, 8)
+        w.write(n - 1, 16)
+        w.align()
+        hdr = bytes(w.out)
+        hdr += bytes([_crc8(hdr)])
+        w = _BitsW()
+        for ch in range(nch):
+            sig = samples[pos : pos + n, ch]
+            w.write(0, 1)
+            if (sig == sig[0]).all():
+                w.write(0, 6)  # CONSTANT
+                w.write(0, 1)
+                w.write(int(sig[0]) & ((1 << bps) - 1), bps)
+                continue
+            order = min(fixed_order, n - 1, 4)
+            coefs = _FIXED_COEFS[order]
+            res = sig[order:].copy()
+            for j, c in enumerate(coefs):
+                res = res - c * sig[order - 1 - j : n - 1 - j]
+            u = (np.abs(res) << 1) - (res < 0).astype(np.int64)
+            param = 0
+            while param < 14 and (u >> param).mean() > 1.5:
+                param += 1
+            rice_bits = int((u >> param).sum()) + len(u) * (param + 1)
+            if rice_bits + order * bps > n * bps:
+                w.write(1, 6)  # VERBATIM
+                w.write(0, 1)
+                for v in sig:
+                    w.write(int(v) & ((1 << bps) - 1), bps)
+                continue
+            w.write(8 + order, 6)  # FIXED
+            w.write(0, 1)
+            for v in sig[:order]:
+                w.write(int(v) & ((1 << bps) - 1), bps)
+            w.write(0, 2)  # 4-bit rice params
+            w.write(0, 4)  # partition order 0
+            w.write(param, 4)
+            for uv in u:
+                q = int(uv) >> param
+                w.write(0, q)
+                w.write(1, 1)
+                if param:
+                    w.write(int(uv) & ((1 << param) - 1), param)
+        w.align()
+        frame = hdr + bytes(w.out)
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+        pos += n
+        frame_no += 1
+    return bytes(out)
