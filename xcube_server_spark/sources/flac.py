@@ -170,10 +170,19 @@ def _read_subframe(br: _Bits, n: int, bps: int) -> np.ndarray:
         res = _read_residual(br, n, order)
         out = np.empty(n, np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, n):
-            p = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
-            out[i] = res[i - order] + p
+        # the fixed predictors are exactly "residual = order-th finite
+        # difference", so reconstruction is ORDER nested integrations:
+        # x_m = Δ^m s starts from its value at the last warmup index
+        # and accumulates — cumsum instead of a per-sample Python loop
+        # (the same trick grib2's spatial differencing uses)
+        x = res
+        if order:
+            diffs = [np.asarray(warm, np.int64)]
+            for _ in range(order - 1):
+                diffs.append(np.diff(diffs[-1]))
+            for m in range(order - 1, -1, -1):
+                x = diffs[m][-1] + np.cumsum(x)
+        out[order:] = x
     elif ftype >= 32:  # LPC, order = (ftype & 31) + 1
         order = (ftype & 31) + 1
         warm = [br.sread(bps) for _ in range(order)]
