@@ -126,3 +126,14 @@ def test_multimodal_doc_lists_gif_and_webp_as_real():
     lossy = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
     with pytest.raises(NotImplementedError, match="lossy"):
         multimodal.decode_image(lossy, 4, 4)
+
+
+def test_flac_doc_claims_match_dispatch():
+    from xcube_server_spark.sources import flac
+
+    d = _doc(flac)
+    for claim in ("LPC", "Rice", "mid/side", "CRC-16"):
+        assert claim in d, claim
+    sig = ((np.arange(300) * 31 % 401) - 200).astype(np.int64)
+    got, rate, bps = flac.decode_flac(flac.encode_flac(sig, 22050))
+    assert rate == 22050 and np.array_equal(got[:, 0], sig)
