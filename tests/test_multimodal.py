@@ -167,7 +167,9 @@ def test_wav_extensible_pcm_and_float():
 
     from xcube_server_spark.sources.wav import decode_wav, encode_wav
 
-    guid_tail = bytes.fromhex("00000010800000aa00389b71")
+    # the canonical little-endian serialization of
+    # {xxxxxxxx-0000-0010-8000-00AA00389B71}: Data2 and Data3 byte-swap
+    guid_tail = bytes.fromhex("00001000800000aa00389b71")
 
     def to_extensible(data: bytes, subtype: int) -> bytes:
         buf = bytearray(data)

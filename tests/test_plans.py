@@ -760,6 +760,10 @@ def test_triangle_wedge_input_width(spark, sf_dir):
     good = _oriented_copurchase_edges(spark, sf_dir)
     assert good.rdd.getNumPartitions() >= want
     # the trap really exists: without the repartition, AQE coalesces the
-    # checkpointed width far below defaultParallelism at test scale
-    bad = _oriented_copurchase_edges(spark, sf_dir, repartition=False)
-    assert bad.rdd.getNumPartitions() < want
+    # checkpointed width far below defaultParallelism at test scale.
+    # AQE coalesces to ~3 partitions here, so the demonstration only
+    # discriminates on boxes wide enough for 3 < defaultParallelism —
+    # skip it on narrow CI runners rather than encode this machine.
+    if want >= 8:
+        bad = _oriented_copurchase_edges(spark, sf_dir, repartition=False)
+        assert bad.rdd.getNumPartitions() < want

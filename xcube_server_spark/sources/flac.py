@@ -236,7 +236,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
     rate, nch, bps, total = info
     chunks = []
     got = 0
-    while got < total:
+    # total = 0 is the legal "unknown length" STREAMINFO (streamed /
+    # piped encodes): decode frames until the bytes run out instead of
+    # silently returning an empty array
+    unknown_total = total == 0
+    while (pos + 2 <= len(data)) if unknown_total else (got < total):
         hstart = pos
         br = _Bits(data, pos)
         sync = br.read(14)
@@ -300,7 +304,7 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
     out = np.concatenate(chunks, axis=0) if chunks else np.zeros(
         (0, nch), np.int64
     )
-    if out.shape[0] != total:
+    if not unknown_total and out.shape[0] != total:
         raise ValueError(
             f"FLAC frames hold {out.shape[0]} samples, STREAMINFO "
             f"declares {total}"
@@ -360,6 +364,8 @@ def encode_flac(
     n_total, nch = samples.shape
     if not 1 <= nch <= 8:
         raise ValueError("1..8 channels")
+    if bps not in (8, 12, 16, 20, 24):
+        raise ValueError(f"bps {bps} — frame headers code 8/12/16/20/24")
     lim = 1 << (bps - 1)
     if samples.min(initial=0) < -lim or samples.max(initial=0) >= lim:
         raise ValueError(f"samples exceed {bps}-bit range")

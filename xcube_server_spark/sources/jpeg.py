@@ -866,6 +866,12 @@ def _emit_block(
     """Baseline entropy coding of one quantized block (zigzag order)."""
     diff = int(q[0]) - pred
     t = int(diff).bit_length() if diff else 0
+    if t not in dc_codes:
+        raise ValueError(
+            f"DC difference category {t} exceeds the Annex K tables "
+            "(max 11) — 12-bit content with hard edges needs custom "
+            "Huffman tables this fixture encoder does not build"
+        )
     ln, code = dc_codes[t]
     wtr.write(code, ln)
     if t:
@@ -882,6 +888,12 @@ def _emit_block(
             wtr.write(code, ln)
             run -= 16
         s = abs(v).bit_length()
+        if (run << 4) | s not in ac_codes:
+            raise ValueError(
+                f"AC run/size ({run},{s}) exceeds the encoder's Huffman "
+                "table — 12-bit content with hard edges needs custom "
+                "tables this fixture encoder does not build"
+            )
         ln, code = ac_codes[(run << 4) | s]
         wtr.write(code, ln)
         wtr.write(v if v > 0 else v + (1 << s) - 1, s)

@@ -58,7 +58,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if len(fmt_ext) < 24:
             raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
         guid = fmt_ext[8:24]
-        if guid[4:] != bytes.fromhex("00000010800000aa00389b71"):
+        # KSDATAFORMAT_SUBTYPE_* serialize GUID Data1/2/3 little-endian:
+        # {xxxxxxxx-0000-0010-8000-00AA00389B71} -> ....0000 1000 80 00...
+        if guid[4:] != bytes.fromhex("00001000800000aa00389b71"):
             raise NotImplementedError(
                 f"WAVE_FORMAT_EXTENSIBLE SubFormat {guid.hex()} is not a "
                 "KSDATAFORMAT audio subtype"

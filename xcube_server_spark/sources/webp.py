@@ -158,21 +158,15 @@ def _read_prefix_code(br: _Bits, alphabet: int) -> _Prefix:
         p.const = None
         p.table = {(1, 0): s0, (1, 1): s1}
         return p
-    # normal: code-length code, then run-length-coded symbol lengths
+    # normal: code-length code, then run-length-coded symbol lengths.
+    # A single-symbol CL code is the legal degenerate form (_Prefix
+    # handles it as a 0-bit constant) — the max_symbol flag below is
+    # still read unconditionally, per the spec.
     ncl = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(ncl):
         cl_lengths[_CL_ORDER[i]] = br.read(3)
-    cl = _Prefix(cl_lengths) if sum(
-        1 for v in cl_lengths if v
-    ) > 1 else None
-    if cl is None:
-        # degenerate code-length code: one symbol, zero bits each
-        only = next(i for i, v in enumerate(cl_lengths) if v)
-        lengths = [only if only < 16 else 0] * alphabet
-        if only >= 16:
-            raise ValueError("VP8L degenerate code-length code of repeats")
-        return _Prefix(lengths)
+    cl = _Prefix(cl_lengths)
     if br.read(1):  # explicit max_symbol
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
@@ -333,66 +327,109 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((a.astype(np.int32) + b.astype(np.int32)) // 2).astype(np.uint8)
 
 
+_L_FREE_MODES = {0, 2, 3, 4, 8, 9}  # no dependence on the left pixel
+
+
 def _inv_predictor(px: np.ndarray, w: int, h: int, modes: np.ndarray,
                    bs: int) -> None:
     """In-place inverse of the predictor transform (spec modes 0..13;
     edge rule: (0,0) predicts opaque black, row 0 predicts L, col 0
-    predicts T; TR at the right edge reads the next flat index, the
-    libwebp memory convention)."""
-    black = np.array([255, 0, 0, 0], np.int32)
+    predicts T; TR at the right edge reads the next flat index — the
+    current row's first pixel, already decoded — the libwebp memory
+    convention). Block segments whose mode has no left-pixel dependence
+    vectorize per row; the sequential modes run a scalar loop over
+    Python ints (not per-pixel numpy scalars)."""
+    a = px.astype(np.int32)
+    flat = a  # (h*w, 4), ARGB
     for y in range(h):
-        for x in range(w):
-            i = y * w + x
-            if x == 0 and y == 0:
-                pred = black
-            elif y == 0:
-                pred = px[i - 1].astype(np.int32)
-            elif x == 0:
-                pred = px[i - w].astype(np.int32)
-            else:
-                mode = int(modes[y // bs, x // bs])
-                L = px[i - 1].astype(np.int32)
-                T = px[i - w].astype(np.int32)
-                TL = px[i - w - 1].astype(np.int32)
-                TR = px[i - w + 1].astype(np.int32)
+        r0, r1 = y * w, (y + 1) * w
+        row = flat[r0:r1]
+        if y == 0:
+            # pixel (0,0) adds opaque black, the rest chain on L:
+            # a running sum of residuals, mod 256
+            row[0, 0] += 255
+            flat[r0:r1] = np.cumsum(row, axis=0) & 0xFF
+            continue
+        top = flat[r0 - w : r1 - w]
+        row[0] = (row[0] + top[0]) & 0xFF  # col 0 predicts T
+        x = 1
+        while x < w:
+            mode = int(modes[y // bs, x // bs])
+            xe = min(w, ((x // bs) + 1) * bs)
+            if mode in _L_FREE_MODES:
+                seg = slice(x, xe)
+                t = top[seg]
                 if mode == 0:
-                    pred = black
-                elif mode == 1:
-                    pred = L
-                elif mode == 2:
-                    pred = T
+                    row[seg, 0] += 255
+                    row[seg] &= 0xFF
+                    x = xe
+                    continue
+                if mode in (3, 9):
+                    # TR: flat[(y-1)*w + x + 1] — at x = w-1 that flat
+                    # index is THIS row's pixel 0, already decoded
+                    tr = flat[r0 - w + x + 1 : r0 - w + xe + 1]
+                if mode == 2:
+                    pred = t
                 elif mode == 3:
-                    pred = TR
+                    pred = tr
                 elif mode == 4:
-                    pred = TL
-                elif mode == 5:
-                    pred = _avg2(_avg2(L, TR), T).astype(np.int32)
-                elif mode == 6:
-                    pred = _avg2(L, TL).astype(np.int32)
-                elif mode == 7:
-                    pred = _avg2(L, T).astype(np.int32)
+                    pred = top[x - 1 : xe - 1]
                 elif mode == 8:
-                    pred = _avg2(TL, T).astype(np.int32)
-                elif mode == 9:
-                    pred = _avg2(T, TR).astype(np.int32)
+                    pred = (top[x - 1 : xe - 1] + t) // 2
+                else:  # 9
+                    pred = (t + tr) // 2
+                row[seg] = (row[seg] + pred) & 0xFF
+                x = xe
+                continue
+            if not 0 <= mode <= 13:
+                raise ValueError(f"VP8L predictor mode {mode}")
+            # sequential modes: scalar loop over plain ints
+            rl = row[x - 1 : xe].tolist()
+            tl = top[x - 1 : xe].tolist()
+            for k in range(1, len(rl)):
+                L = rl[k - 1]
+                T = tl[k]
+                TL = tl[k - 1]
+                v = rl[k]
+                if mode == 1:
+                    p = L
+                elif mode == 5:
+                    xi = x + k - 1
+                    TR = flat[r0 - w + xi + 1].tolist()
+                    p = [((L[c] + TR[c]) // 2 + T[c]) // 2 for c in range(4)]
+                elif mode == 6:
+                    p = [(L[c] + TL[c]) // 2 for c in range(4)]
+                elif mode == 7:
+                    p = [(L[c] + T[c]) // 2 for c in range(4)]
                 elif mode == 10:
-                    pred = _avg2(
-                        _avg2(L, TL), _avg2(T, TR)
-                    ).astype(np.int32)
+                    xi = x + k - 1
+                    TR = flat[r0 - w + xi + 1].tolist()
+                    p = [
+                        ((L[c] + TL[c]) // 2 + (T[c] + TR[c]) // 2) // 2
+                        for c in range(4)
+                    ]
                 elif mode == 11:
-                    d = int(np.abs(L - TL).sum() - np.abs(T - TL).sum())
-                    pred = T if d <= 0 else L
+                    d = sum(
+                        abs(L[c] - TL[c]) - abs(T[c] - TL[c])
+                        for c in range(4)
+                    )
+                    p = T if d <= 0 else L
                 elif mode == 12:
-                    pred = np.clip(L + T - TL, 0, 255)
-                elif mode == 13:
-                    ave = _avg2(L, T).astype(np.int32)
-                    half = ave - TL
-                    # C division truncates toward zero
-                    half = np.sign(half) * (np.abs(half) // 2)
-                    pred = np.clip(ave + half, 0, 255)
-                else:
-                    raise ValueError(f"VP8L predictor mode {mode}")
-            px[i] = (px[i].astype(np.int32) + pred) & 0xFF
+                    p = [
+                        min(255, max(0, L[c] + T[c] - TL[c]))
+                        for c in range(4)
+                    ]
+                else:  # 13
+                    p = []
+                    for c in range(4):
+                        ave = (L[c] + T[c]) // 2
+                        d = ave - TL[c]
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        p.append(min(255, max(0, ave + half)))
+                rl[k] = [(v[c] + p[c]) & 0xFF for c in range(4)]
+            row[x:xe] = np.asarray(rl[1:], np.int32)
+            x = xe
+    px[:] = (flat & 0xFF).astype(np.uint8)
 
 
 def _inv_color_transform(px: np.ndarray, w: int, h: int,
