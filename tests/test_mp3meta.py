@@ -1,0 +1,95 @@
+"""MP3 frame-header prober (``sources/mp3meta.py``): exact duration /
+bitrate statistics from a header walk — no decode claims. Fixture
+frames are hand-assembled per the ISO 11172-3 header layout."""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.sources.mp3meta import build_mp3, is_mp3, probe_mp3
+
+
+def test_cbr_mpeg1():
+    data = build_mp3(38, kbps=128, rate=44100)
+    assert is_mp3(data)
+    meta = probe_mp3(data)
+    assert meta["n_frames"] == 38
+    assert meta["sample_rate"] == 44100
+    assert meta["duration_sec"] == pytest.approx(38 * 1152 / 44100)
+    assert not meta["vbr"]
+    assert meta["mean_bitrate_kbps"] == pytest.approx(128, rel=0.02)
+
+
+def test_mpeg2_and_id3():
+    data = build_mp3(10, kbps=64, rate=16000, version=2,
+                     id3=b"\x00" * 300)
+    meta = probe_mp3(data)
+    assert meta["n_frames"] == 10
+    assert meta["sample_rate"] == 16000
+    assert meta["duration_sec"] == pytest.approx(10 * 576 / 16000)
+
+
+def test_vbr_detection():
+    data = build_mp3(5, kbps=128) + build_mp3(5, kbps=192)
+    meta = probe_mp3(data)
+    assert meta["vbr"] and meta["n_frames"] == 10
+
+
+def test_clear_errors():
+    good = build_mp3(4)
+    with pytest.raises(ValueError, match="sync lost"):
+        probe_mp3(b"\x00\x00" + good)
+    with pytest.raises(ValueError, match="remain"):
+        probe_mp3(good[:-40])  # truncated final frame
+    bad = bytearray(good)
+    bad[2] = (15 << 4) | (bad[2] & 0x0F)  # reserved bitrate index
+    with pytest.raises(ValueError, match="reserved"):
+        probe_mp3(bytes(bad))
+    bad = bytearray(good)
+    bad[1] = 0xE0 | (3 << 3) | (2 << 1) | 1  # layer II code
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        probe_mp3(bytes(bad))
+    with pytest.raises(ValueError, match="no frames"):
+        probe_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x02\x00\x00")
+    # mid-stream sample-rate change refuses
+    mixed = build_mp3(3, rate=44100) + build_mp3(3, rate=32000)
+    with pytest.raises(ValueError, match="sample rate changes"):
+        probe_mp3(mixed)
+
+
+def test_probe_audio_all_containers(spark):
+    """probe_audio reads duration/rate from container metadata only,
+    and the mapInPandas wrapper runs it over a mixed-format table."""
+    import numpy as np
+
+    from xcube_server_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        probe_audio,
+        probe_audio_meta,
+    )
+    from xcube_server_spark.sources.flac import encode_flac
+    from xcube_server_spark.sources.wav import encode_wav
+
+    wav = encode_wav(np.zeros(8000), 8000)
+    flac = encode_flac(np.arange(-500, 500), 16000)
+    mp3 = build_mp3(19, kbps=96, rate=32000)
+    assert probe_audio(wav) == ("wav", 1.0, 8000)
+    c, d, r = probe_audio(flac)
+    assert (c, r) == ("flac", 16000) and d == pytest.approx(1000 / 16000)
+    c, d, r = probe_audio(mp3)
+    assert (c, r) == ("mp3", 32000) and d == pytest.approx(19 * 1152 / 32000)
+    with pytest.raises(NotImplementedError, match="probe_audio"):
+        probe_audio(b"OggS" + b"\x00" * 40)
+    rows = [
+        (1, "audio/wav", bytearray(wav),
+         {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 8000}),
+        (2, "audio/flac", bytearray(flac),
+         {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 16000}),
+        (3, "audio/mpeg", bytearray(mp3),
+         {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 32000}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["asset_id"]: r for r in probe_audio_meta(media).collect()}
+    assert got[1]["container"] == "wav" and got[1]["duration_sec"] == 1.0
+    assert got[2]["container"] == "flac"
+    assert got[3]["container"] == "mp3" and got[3]["sample_rate"] == 32000

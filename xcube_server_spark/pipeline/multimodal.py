@@ -279,6 +279,80 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
     return (raw.astype(np.float32) - 127.5) / 127.5
 
 
+def probe_audio(payload: bytes) -> tuple[str, float, int]:
+    """(container, duration_sec, sample_rate) WITHOUT decoding samples —
+    the metadata pass a 100 TB audio-curation sweep runs first. WAV
+    reads the fmt/data chunk sizes, FLAC reads STREAMINFO, MP3 walks
+    frame headers (``sources/mp3meta.py`` — headers only, no decode)."""
+    import struct as _struct
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, dlen = 12, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if tag == b"fmt ":
+                fmt = _struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+            elif tag == b"data":
+                dlen = min(ln, len(payload) - pos - 8)
+            pos += 8 + ln + (ln & 1)
+        if fmt is None or dlen is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        _, _n_ch, rate, _, block_align, _ = fmt
+        return "wav", dlen / (block_align * rate), rate
+    if payload[:4] == b"fLaC":
+        from ..sources.flac import _Bits
+
+        body = payload[8 : 8 + int.from_bytes(payload[5:8], "big")]
+        br = _Bits(body)
+        for _ in range(4):
+            br.read(16 if _ < 2 else 24)
+        rate = br.read(20)
+        br.read(3)
+        br.read(5)
+        total = br.read(36)
+        if total == 0:
+            raise ValueError(
+                "FLAC STREAMINFO declares unknown length — probe needs "
+                "a frame walk (decode_audio does one)"
+            )
+        return "flac", total / rate, rate
+    from ..sources.mp3meta import is_mp3, probe_mp3
+
+    if is_mp3(payload):
+        meta = probe_mp3(payload)
+        return "mp3", meta["duration_sec"], meta["sample_rate"]
+    raise NotImplementedError("probe_audio: not WAV/FLAC/MP3")
+
+
+def probe_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas metadata probe over audio payloads — duration and
+    rate histograms without touching a single sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            containers, durs, rates = [], [], []
+            for payload in pdf["payload"]:
+                c, d, r = probe_audio(bytes(payload))
+                containers.append(c)
+                durs.append(d)
+                rates.append(r)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "container": containers,
+                    "duration_sec": durs,
+                    "sample_rate": rates,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, container string, duration_sec double,"
+        " sample_rate int",
+    )
+
+
 def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """mapInPandas audio featurization: payload → (asset_id, rms, peak,
     duration_sec, zero_crossings) — the standard cheap filters before an

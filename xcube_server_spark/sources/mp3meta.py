@@ -1,0 +1,149 @@
+"""MP3 frame-header metadata prober (NO audio decode).
+
+Corpus curation over scraped audio needs duration/bitrate/rate
+statistics long before it needs waveforms; full MPEG audio decoding
+requires large Huffman/scalefactor tables, but the FRAME HEADERS are
+four self-describing bytes (ISO 11172-3 / 13818-3). This module walks
+the frame chain — sync, version, layer, bitrate/sample-rate indices,
+padding — skips a leading ID3v2 container, and reports exact duration
+and frame statistics. Layer III only (the 'MP3' in MP3); free-format
+bitrate (index 0) and reserved indices refuse loudly.
+
+``decode_audio`` still refuses MP3 payloads (lossy decode needs native
+codecs); this prober is the honest metadata-only capability next to it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Layer III bitrate tables, kbit/s (index 0 = free format, 15 = bad)
+_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320]
+_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                160]
+_RATES = {3: [44100, 48000, 32000],   # MPEG-1
+          2: [22050, 24000, 16000],   # MPEG-2
+          0: [11025, 12000, 8000]}    # MPEG-2.5
+
+
+def is_mp3(data: bytes) -> bool:
+    if data[:3] == b"ID3":
+        return True
+    return (
+        len(data) >= 2
+        and data[0] == 0xFF
+        and data[1] & 0xE0 == 0xE0
+        and (data[1] >> 1) & 0x03 == 0x01  # layer III
+    )
+
+
+def _id3v2_size(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        raise ValueError("ID3v2 size bytes must have bit 7 clear")
+    size = (
+        (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    )
+    return 10 + size
+
+
+def probe_mp3(data: bytes) -> dict:
+    """Walk the frame chain and return exact metadata:
+    ``{duration_sec, sample_rate, n_frames, mean_bitrate_kbps, vbr}``.
+    """
+    pos = _id3v2_size(data)
+    n_frames = 0
+    total_samples = 0
+    rate = None
+    bitrates = set()
+    total_bits = 0
+    while pos + 4 <= len(data):
+        if data[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or b1 & 0xE0 != 0xE0:
+            raise ValueError(
+                f"MP3 frame sync lost at byte {pos} (0x{b0:02X}{b1:02X})"
+            )
+        version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise NotImplementedError(
+                f"MPEG version code {version} / layer code {layer} — "
+                "Layer III only"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx == 0:
+            raise NotImplementedError("free-format MP3 bitrate")
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("reserved MP3 bitrate/sample-rate index")
+        table = _BITRATES_V1 if version == 3 else _BITRATES_V2
+        kbps = table[br_idx]
+        sr = _RATES[version][sr_idx]
+        if rate is None:
+            rate = sr
+        elif sr != rate:
+            raise ValueError("MP3 sample rate changes mid-stream")
+        spf = 1152 if version == 3 else 576  # samples per L3 frame
+        frame_len = (spf // 8 * kbps * 1000) // sr + padding
+        if frame_len <= 4:
+            raise ValueError("MP3 frame length underflow")
+        if pos + frame_len > len(data):
+            raise ValueError(
+                f"MP3 frame at byte {pos} declares {frame_len} bytes, "
+                f"{len(data) - pos} remain"
+            )
+        n_frames += 1
+        total_samples += spf
+        bitrates.add(kbps)
+        total_bits += frame_len * 8
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("MP3 stream holds no frames")
+    duration = total_samples / rate
+    return {
+        "duration_sec": duration,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "mean_bitrate_kbps": total_bits / duration / 1000.0,
+        "vbr": len(bitrates) > 1,
+    }
+
+
+def build_mp3(
+    n_frames: int,
+    kbps: int = 128,
+    rate: int = 44100,
+    version: int = 3,
+    id3: bytes | None = None,
+) -> bytes:
+    """Assemble a structurally valid Layer III frame chain with dummy
+    (zero) payloads — header-walk fixtures only, NOT playable audio."""
+    table = _BITRATES_V1 if version == 3 else _BITRATES_V2
+    br_idx = table.index(kbps)
+    sr_idx = _RATES[version].index(rate)
+    spf = 1152 if version == 3 else 576
+    out = bytearray()
+    if id3 is not None:
+        if any(b & 0x80 for b in struct.pack(">I", len(id3))):
+            raise ValueError("ID3 payload too large for the fixture")
+        ss = len(id3)
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(ss >> 21) & 0x7F, (ss >> 14) & 0x7F, (ss >> 7) & 0x7F,
+             ss & 0x7F]
+        ) + id3
+    for k in range(n_frames):
+        padding = k % 2  # exercise the padding byte
+        frame_len = (spf // 8 * kbps * 1000) // rate + padding
+        hdr = bytes([
+            0xFF,
+            0xE0 | (version << 3) | (1 << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+            0xC0,  # mono, no extensions
+        ])
+        out += hdr + bytes(frame_len - 4)
+    return bytes(out)
