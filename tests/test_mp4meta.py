@@ -1,0 +1,90 @@
+"""MP4/ISO-BMFF metadata prober: box-walk correctness on hand-assembled
+containers (the fixture builder shares only the box framing helpers)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from xcube_server_spark.sources.mp4meta import build_mp4, is_mp4, probe_mp4
+
+
+def test_movie_and_track_metadata():
+    data = build_mp4(
+        duration_sec=12.5,
+        timescale=600,
+        tracks=[
+            {"handler": "vide", "codec": "avc1", "width": 1280.0,
+             "height": 720.0, "duration_sec": 12.5, "n_samples": 300,
+             "timescale": 24},
+            {"handler": "soun", "codec": "mp4a", "duration_sec": 12.4,
+             "n_samples": 540, "timescale": 44100},
+        ],
+    )
+    assert is_mp4(data)
+    meta = probe_mp4(data)
+    assert meta["duration_sec"] == pytest.approx(12.5)
+    assert meta["n_tracks"] == 2
+    v, a = meta["tracks"]
+    assert v["handler"] == "vide" and v["codec"] == "avc1"
+    assert (v["width"], v["height"]) == (1280.0, 720.0)
+    assert v["n_samples"] == 300
+    assert v["duration_sec"] == pytest.approx(12.5)
+    assert a["handler"] == "soun" and a["codec"] == "mp4a"
+    assert a["duration_sec"] == pytest.approx(12.4, abs=1e-4)
+
+
+def test_version1_mvhd_and_largesize():
+    data = build_mp4(duration_sec=3.25, timescale=1000, v1=True)
+    assert probe_mp4(data)["duration_sec"] == pytest.approx(3.25)
+    # rewrite moov as a largesize box: size=1 + 64-bit size
+    i = data.find(b"moov") - 4
+    (sz,) = struct.unpack(">I", data[i : i + 4])
+    big = (
+        data[:i]
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", sz + 8)
+        + data[i + 8 : i + sz]
+    )
+    assert probe_mp4(big)["duration_sec"] == pytest.approx(3.25)
+
+
+def test_clear_errors():
+    good = build_mp4(5.0)
+    with pytest.raises(ValueError, match="ftyp"):
+        probe_mp4(b"RIFF" + good)
+    with pytest.raises(ValueError, match="moov"):
+        probe_mp4(good[: good.find(b"moov") - 4])
+    bad = bytearray(good)
+    i = bad.find(b"moov") - 4
+    struct.pack_into(">I", bad, i, 1 << 30)  # size past EOF
+    with pytest.raises(ValueError, match="declares"):
+        probe_mp4(bytes(bad))
+
+
+def test_probe_video_meta_spark(spark):
+    from xcube_server_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        probe_video_meta,
+    )
+
+    rows = []
+    for aid, (w, h, dur) in enumerate(
+        [(640.0, 360.0, 7.0), (1920.0, 1080.0, 33.4)]
+    ):
+        data = build_mp4(
+            duration_sec=dur,
+            tracks=[{"handler": "vide", "codec": "avc1", "width": w,
+                     "height": h, "duration_sec": dur, "n_samples": 10}],
+        )
+        rows.append(
+            (aid, "video/mp4", bytearray(data),
+             {"width": int(w), "height": int(h), "n_frames": 10,
+              "sample_rate": 0})
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["asset_id"]: r for r in probe_video_meta(media).collect()}
+    assert got[0]["width"] == 640.0 and got[0]["video_codec"] == "avc1"
+    assert got[1]["duration_sec"] == pytest.approx(33.4)

@@ -353,6 +353,45 @@ def probe_audio_meta(media: DataFrame) -> DataFrame:
     )
 
 
+def probe_video_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas ISO-BMFF metadata probe (``sources/mp4meta.py``):
+    duration / track inventory / codec / dimensions per asset WITHOUT a
+    video decoder — the curation pass that runs before any (native)
+    sample decode."""
+    from ..sources.mp4meta import probe_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs, ntr, codecs, ws, hs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                meta = probe_mp4(bytes(payload))
+                durs.append(meta["duration_sec"])
+                ntr.append(meta["n_tracks"])
+                vid = next(
+                    (t for t in meta["tracks"] if t["handler"] == "vide"),
+                    None,
+                )
+                codecs.append(vid["codec"] if vid else None)
+                ws.append(vid["width"] if vid else None)
+                hs.append(vid["height"] if vid else None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "duration_sec": durs,
+                    "n_tracks": ntr,
+                    "video_codec": codecs,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, duration_sec double, n_tracks int,"
+        " video_codec string, width double, height double",
+    )
+
+
 def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """mapInPandas audio featurization: payload → (asset_id, rms, peak,
     duration_sec, zero_crossings) — the standard cheap filters before an

@@ -1,0 +1,206 @@
+"""MP4 / ISO-BMFF metadata prober (NO frame decode).
+
+Video curation at corpus scale starts with container metadata —
+duration, track inventory, codec fourccs, frame dimensions — none of
+which needs a video decoder. This module walks the ISO base-media box
+structure (ISO/IEC 14496-12): ``ftyp``, ``moov``/``mvhd`` (movie
+timescale + duration, version 0 and 1 layouts), ``trak``/``tkhd``
+(16.16 fixed-point width/height), ``mdia``/``mdhd`` (per-track
+timescale/duration), ``hdlr`` (handler type: vide/soun/text),
+``stsd`` (sample-description fourccs) and ``stsz`` (sample counts).
+64-bit ``largesize`` boxes are handled; malformed sizes refuse loudly.
+
+Pairs with ``sources/mp3meta.py`` (audio) as the honest metadata-only
+capability: actual H.264/VP9/AV1 sample decode needs native codecs and
+stays behind the documented clear error in ``pipeline/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in a range."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("MP4 largesize header truncated")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(
+                f"MP4 box {btype!r} at {pos} declares {size} bytes, "
+                f"{end - pos} remain"
+            )
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find(data, start, end, btype):
+    for t, b, e in _boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _fullbox(data: bytes, body: int) -> tuple[int, int]:
+    return data[body], body + 4  # (version, payload offset)
+
+
+def probe_mp4(data: bytes) -> dict:
+    """Return ``{duration_sec, n_tracks, tracks: [{handler, codec,
+    width, height, duration_sec, n_samples}]}`` from the box tree."""
+    if not is_mp4(data):
+        raise ValueError("not an ISO-BMFF file (missing ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box (streaming-only fragment?)")
+    ms, me = moov
+    mvhd = _find(data, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4 moov has no mvhd")
+    ver, p = _fullbox(data, mvhd[0])
+    if ver == 1:
+        timescale, duration = struct.unpack(">IQ", data[p + 16 : p + 28])
+    else:
+        timescale, duration = struct.unpack(">II", data[p + 8 : p + 16])
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale is zero")
+    tracks = []
+    for t, b, e in _boxes(data, ms, me):
+        if t != b"trak":
+            continue
+        info = {"handler": None, "codec": None, "width": None,
+                "height": None, "duration_sec": None, "n_samples": None}
+        tkhd = _find(data, b, e, b"tkhd")
+        if tkhd:
+            tb, te = tkhd
+            # width/height: 16.16 fixed point, the last 8 payload bytes
+            wfix, hfix = struct.unpack(">II", data[te - 8 : te])
+            info["width"] = wfix / 65536.0
+            info["height"] = hfix / 65536.0
+        mdia = _find(data, b, e, b"mdia")
+        if mdia:
+            mb, mel = mdia
+            mdhd = _find(data, mb, mel, b"mdhd")
+            if mdhd:
+                v2, p2 = _fullbox(data, mdhd[0])
+                if v2 == 1:
+                    ts2, dur2 = struct.unpack(
+                        ">IQ", data[p2 + 16 : p2 + 28]
+                    )
+                else:
+                    ts2, dur2 = struct.unpack(
+                        ">II", data[p2 + 8 : p2 + 16]
+                    )
+                if ts2:
+                    info["duration_sec"] = dur2 / ts2
+            hdlr = _find(data, mb, mel, b"hdlr")
+            if hdlr:
+                _, p3 = _fullbox(data, hdlr[0])
+                info["handler"] = data[p3 + 4 : p3 + 8].decode(
+                    "ascii", "replace"
+                )
+            minf = _find(data, mb, mel, b"minf")
+            if minf:
+                stbl = _find(data, minf[0], minf[1], b"stbl")
+                if stbl:
+                    stsd = _find(data, stbl[0], stbl[1], b"stsd")
+                    if stsd:
+                        _, p4 = _fullbox(data, stsd[0])
+                        (n_entries,) = struct.unpack(
+                            ">I", data[p4 : p4 + 4]
+                        )
+                        if n_entries:
+                            info["codec"] = data[p4 + 8 : p4 + 12].decode(
+                                "ascii", "replace"
+                            )
+                    stsz = _find(data, stbl[0], stbl[1], b"stsz")
+                    if stsz:
+                        _, p5 = _fullbox(data, stsz[0])
+                        (_fix, cnt) = struct.unpack(
+                            ">II", data[p5 : p5 + 8]
+                        )
+                        info["n_samples"] = cnt
+        tracks.append(info)
+    return {
+        "duration_sec": duration / timescale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+# ------------------------------------------------------------- fixtures
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, version: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def build_mp4(
+    duration_sec: float = 10.0,
+    timescale: int = 1000,
+    tracks: list[dict] | None = None,
+    v1: bool = False,
+) -> bytes:
+    """Assemble a structurally valid metadata-only MP4 (no mdat samples)
+    for prober tests."""
+    dur = int(duration_sec * timescale)
+    if v1:
+        mvhd = _full(
+            b"mvhd", 1,
+            struct.pack(">QQIQ", 0, 0, timescale, dur) + bytes(80),
+        )
+    else:
+        mvhd = _full(
+            b"mvhd", 0,
+            struct.pack(">IIII", 0, 0, timescale, dur) + bytes(80),
+        )
+    trak_boxes = b""
+    for tr in tracks or []:
+        tkhd = _full(
+            b"tkhd", 0,
+            bytes(72)
+            + struct.pack(
+                ">II",
+                int(tr.get("width", 0) * 65536),
+                int(tr.get("height", 0) * 65536),
+            ),
+        )
+        ts2 = tr.get("timescale", timescale)
+        mdhd = _full(
+            b"mdhd", 0,
+            struct.pack(
+                ">IIII", 0, 0, ts2, int(tr.get("duration_sec", 0) * ts2)
+            )
+            + bytes(4),
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            bytes(4) + tr.get("handler", "vide").encode() + bytes(13),
+        )
+        entry = _box(tr.get("codec", "avc1").encode(), bytes(70))
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stsz = _full(
+            b"stsz", 0, struct.pack(">II", 0, tr.get("n_samples", 0))
+        )
+        stbl = _box(b"stbl", stsd + stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak_boxes += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak_boxes)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
