@@ -26,6 +26,7 @@ from . import (
     pipeline_round8b,
     pipeline_round8f,
     pipeline_round9,
+    pipeline_round10,
     relational,
     relational_ext,
     streaming_queries,
@@ -50,6 +51,7 @@ for _m in (
     pipeline_round8b,
     pipeline_round8f,
     pipeline_round9,
+    pipeline_round10,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -63,15 +65,16 @@ for _m in (
 # (a0) NEW this round: grib2_j2k97_ingest_stats — GRIB2 template 5.40
 # compression type 1 (lossy irreversible 9/7 + QCD style-2 scalar
 # dequantization) with a tolerance-free integer pin and a
-# position-weighted checksum.
+# position-weighted checksum — and html_text_extract (regexp-chain
+# HTML-to-text, JVM-side, RE2-compatible patterns).
 # (a) queries whose CODE PATH or FIXTURE changed this round and must
-# re-prove: multimodal_decode_stats (fixture v3 adds four GIF assets —
-# the new pure-Python GIF codec — and the oracle gained the gif CTE),
-# multimodal_audio_stats (wav.py gained WAVE_FORMAT_EXTENSIBLE + the
-# truncated-data-chunk guard; fixture dir bumped with v3),
-# grib2_png_ingest_stats (template 7.41 decode now reassembles
-# multi-channel PNGs; writer depth ladder extended to 24/32) and
-# grib2_j2k_ingest_stats (decode_j2k now parses + validates QCD
+# re-prove: multimodal_decode_stats (fixture v5: +4 GIF, +4 lossless
+# WebP assets — the new pure-Python gif.py/webp.py codecs — oracle
+# gained gif+webp CTEs), multimodal_audio_stats (wav.py
+# WAVE_FORMAT_EXTENSIBLE + truncation guard; +3 FLAC assets through
+# the new flac.py decoder), grib2_png_ingest_stats (template 7.41
+# decode reassembles multi-channel PNGs; writer depth ladder 24/32)
+# and grib2_j2k_ingest_stats (decode_j2k parses + validates QCD
 # per-band exponents).
 # (b) the STALEST driver-green rows: ALL 25 remaining r04-vintage
 # queries, then the first 21 r06-vintage rows alphabetically.
@@ -83,6 +86,7 @@ for _m in (
 _PRIORITY = [
     # (a0) new in round 10
     "grib2_j2k97_ingest_stats",
+    "html_text_extract",
     # (a) changed in round 10 -- re-prove
     "multimodal_decode_stats",
     "multimodal_audio_stats",
@@ -133,10 +137,10 @@ _PRIORITY = [
     "dedup_containment",
     "dedup_lsh_verify",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",  # <- window position 50
+    "dedup_ngram_jaccard",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # remaining r06-vintage (these head the r11 rotation)
+    "dedup_paragraphs",
     "dedup_substring_windows",
     "dsir_importance",
     "embed_ann_ivf",

@@ -1,0 +1,91 @@
+"""Round 10: web-corpus text extraction.
+
+``html_text_extract`` — the cheap-baseline HTML-to-text stage every web
+corpus runs before quality filtering (the regexp-chain flavor of
+trafilatura/justext): drop script/style blocks, strip tags, decode the
+common entities, collapse whitespace. The whole chain is built-in
+``regexp_replace``/``replace`` expressions — JVM-side, whole-stage
+codegen, zero Python — so it runs at scan speed on 100 TB of crawl.
+
+Cross-engine regex discipline: RE2 (DuckDB) has no backreferences, so
+script and style blocks strip with separate patterns; Java's ``\\s``
+includes U+000B where RE2's does not, so whitespace collapses with an
+explicit character class. The HTML is synthesized IN-QUERY around the
+``documents.text`` column on both engines, making the gate a pure
+extraction-semantics comparison (md5 of the extracted text per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+
+QUERIES = {}
+ORACLES = {}
+
+_WS = "[ \\t\\n\\r\\f]+"
+
+
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>d</title><script type="text/js">var '
+              'x="<p>";</script><style>.a{color:red}</style></head>'
+              '<body><h1 class="t">'),
+        F.col("lang"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit('</p>\n<a href="http://x">&amp; more &lt;here&gt;</a>'
+              "</body></html>"),
+    )
+    t = F.regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, "(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, _WS, " "))
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("text_len"),
+        F.size(F.split(t, " ")).cast("bigint").alias("n_tokens"),
+        F.md5(t).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLES["html_text_extract"] = """
+WITH html AS (
+  SELECT doc_id,
+         '<html><head><title>d</title><script type="text/js">var '
+         || 'x="<p>";</script><style>.a{color:red}</style></head>'
+         || '<body><h1 class="t">' || lang || '</h1>' || chr(10)
+         || '<p>' || text || '</p>' || chr(10)
+         || '<a href="http://x">&amp; more &lt;here&gt;</a>'
+         || '</body></html>' AS h
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ',
+                                'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)),
+           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS t
+  FROM html
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS text_len,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+       md5(t) AS text_md5
+FROM stripped
+ORDER BY doc_id
+"""
+
+QUERIES["html_text_extract"] = html_text_extract
