@@ -1,0 +1,112 @@
+"""WebM/EBML metadata prober: varint parsing, element walk, track
+inventory — on hand-assembled containers."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from xcube_server_spark.sources.webmmeta import (
+    _read_vint,
+    build_webm,
+    is_webm,
+    probe_webm,
+)
+
+
+def test_varints():
+    # 1-byte: 0x81 -> 1 (size), width 1; IDs keep the marker
+    assert _read_vint(b"\x81", 0, keep_marker=False)[0] == 1
+    assert _read_vint(b"\x81", 0, keep_marker=True)[0] == 0x81
+    # 2-byte size 0x40 0x7F -> 127 (NON-minimal but legal, not unknown)
+    v, p, w = _read_vint(b"\x40\x7f", 0, keep_marker=False)
+    assert (v, p, w) == (127, 2, 2)
+    # 3-byte TimestampScale id
+    v, _, _ = _read_vint(b"\x2a\xd7\xb1", 0, keep_marker=True)
+    assert v == 0x2AD7B1
+    with pytest.raises(ValueError, match="width"):
+        _read_vint(b"\x00\x01", 0, keep_marker=False)
+
+
+def test_movie_and_tracks():
+    data = build_webm(
+        duration_sec=42.5,
+        tracks=[
+            {"type": "video", "codec": "V_VP9", "width": 1920,
+             "height": 1080},
+            {"type": "audio", "codec": "A_OPUS", "sampling_hz": 48000.0,
+             "channels": 2},
+        ],
+    )
+    assert is_webm(data)
+    meta = probe_webm(data)
+    assert meta["duration_sec"] == pytest.approx(42.5)
+    assert meta["n_tracks"] == 2
+    v, a = meta["tracks"]
+    assert v == {"type": "video", "codec": "V_VP9", "width": 1920,
+                 "height": 1080, "sampling_hz": None, "channels": None}
+    assert a["type"] == "audio" and a["codec"] == "A_OPUS"
+    assert a["sampling_hz"] == 48000.0 and a["channels"] == 2
+
+
+def test_nondefault_timestamp_scale():
+    data = build_webm(duration_sec=7.0, scale=500_000)
+    assert probe_webm(data)["duration_sec"] == pytest.approx(7.0)
+
+
+def test_non_minimal_size_is_not_unknown():
+    """A 2-byte encoding of size 127 (0x40 0x7F) must parse as 127, not
+    as the 1-byte all-ones 'unknown size' form."""
+    data = bytearray(build_webm(3.0))
+    # re-encode the EBML header element's size field non-minimally:
+    # find the DocType element inside and leave content as-is — easier:
+    # probe a hand-built element: id 0xEC (void) size 0x40 0x03 + body
+    from xcube_server_spark.sources.webmmeta import _elements
+
+    blob = b"\xec\x40\x03abc"
+    els = list(_elements(blob, 0, len(blob)))
+    assert els == [(0xEC, 3, 6)]
+    # 1-byte all-ones size IS unknown -> refuse
+    with pytest.raises(NotImplementedError, match="unknown-size"):
+        list(_elements(b"\xec\xffabc", 0, 6))
+
+
+def test_clear_errors():
+    good = build_webm(5.0)
+    with pytest.raises(ValueError, match="EBML"):
+        probe_webm(b"RIFF" + good)
+    bad = bytearray(good)
+    # truncate mid-segment
+    with pytest.raises(ValueError):
+        probe_webm(bytes(bad[:-6]))
+
+
+def test_probe_video_meta_mixed_containers(spark):
+    from xcube_server_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        probe_video_meta,
+    )
+    from xcube_server_spark.sources.mp4meta import build_mp4
+
+    mp4 = build_mp4(
+        duration_sec=9.0,
+        tracks=[{"handler": "vide", "codec": "avc1", "width": 640.0,
+                 "height": 480.0, "duration_sec": 9.0, "n_samples": 5}],
+    )
+    webm = build_webm(
+        duration_sec=21.0,
+        tracks=[{"type": "video", "codec": "V_VP9", "width": 854,
+                 "height": 480}],
+    )
+    rows = [
+        (1, "video/mp4", bytearray(mp4),
+         {"width": 640, "height": 480, "n_frames": 5, "sample_rate": 0}),
+        (2, "video/webm", bytearray(webm),
+         {"width": 854, "height": 480, "n_frames": 1, "sample_rate": 0}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["asset_id"]: r for r in probe_video_meta(media).collect()}
+    assert got[1]["video_codec"] == "avc1" and got[1]["width"] == 640.0
+    assert got[2]["video_codec"] == "V_VP9" and got[2]["width"] == 854.0
+    assert got[2]["duration_sec"] == pytest.approx(21.0)

@@ -354,26 +354,44 @@ def probe_audio_meta(media: DataFrame) -> DataFrame:
 
 
 def probe_video_meta(media: DataFrame) -> DataFrame:
-    """mapInPandas ISO-BMFF metadata probe (``sources/mp4meta.py``):
-    duration / track inventory / codec / dimensions per asset WITHOUT a
-    video decoder — the curation pass that runs before any (native)
-    sample decode."""
-    from ..sources.mp4meta import probe_mp4
+    """mapInPandas container-metadata probe for MP4/ISO-BMFF
+    (``sources/mp4meta.py``) and WebM/Matroska
+    (``sources/webmmeta.py``): duration / track inventory / codec /
+    dimensions per asset WITHOUT a video decoder — the curation pass
+    that runs before any (native) sample decode."""
+    from ..sources.mp4meta import is_mp4, probe_mp4
+    from ..sources.webmmeta import is_webm, probe_webm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             durs, ntr, codecs, ws, hs = [], [], [], [], []
             for payload in pdf["payload"]:
-                meta = probe_mp4(bytes(payload))
+                data = bytes(payload)
+                if is_mp4(data):
+                    meta = probe_mp4(data)
+                    vid = next(
+                        (t for t in meta["tracks"]
+                         if t["handler"] == "vide"),
+                        None,
+                    )
+                elif is_webm(data):
+                    meta = probe_webm(data)
+                    vid = next(
+                        (t for t in meta["tracks"]
+                         if t["type"] == "video"),
+                        None,
+                    )
+                else:
+                    raise NotImplementedError(
+                        "probe_video_meta: not MP4/ISO-BMFF or WebM"
+                    )
                 durs.append(meta["duration_sec"])
                 ntr.append(meta["n_tracks"])
-                vid = next(
-                    (t for t in meta["tracks"] if t["handler"] == "vide"),
-                    None,
-                )
                 codecs.append(vid["codec"] if vid else None)
-                ws.append(vid["width"] if vid else None)
-                hs.append(vid["height"] if vid else None)
+                ws.append(float(vid["width"]) if vid and vid["width"]
+                          is not None else None)
+                hs.append(float(vid["height"]) if vid and vid["height"]
+                          is not None else None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

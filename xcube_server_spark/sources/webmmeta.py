@@ -1,0 +1,198 @@
+"""WebM / Matroska (EBML) metadata prober (NO frame decode).
+
+WebM is the other half of scraped web video next to MP4; its container
+is EBML (RFC 8794) — variable-length element IDs and sizes. This module
+walks the element tree for the curation metadata a 100 TB sweep needs:
+Segment > Info (TimestampScale, Duration) and Segment > Tracks >
+TrackEntry (TrackType, CodecID, Video PixelWidth/PixelHeight, Audio
+SamplingFrequency/Channels). Element IDs are the published WebM/
+Matroska registry values; unknown-size elements and malformed varints
+refuse loudly. Sample decode (VP8/VP9/AV1/Opus) needs native codecs and
+stays behind the documented clear error in ``pipeline/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_EBML = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_AUDIO = 0xE1
+_SAMPLING = 0xB5
+_CHANNELS = 0x9F
+
+
+def is_webm(data: bytes) -> bool:
+    return data[:4] == struct.pack(">I", _EBML)
+
+
+def _read_vint(
+    data: bytes, pos: int, keep_marker: bool
+) -> tuple[int, int, int]:
+    """EBML varint: leading zero bits of the first byte give the width.
+    IDs keep the length-marker bit; sizes strip it. Returns
+    (value, next_pos, width) — the caller needs the STREAM width to
+    detect the all-ones 'unknown size' form."""
+    if pos >= len(data):
+        raise ValueError("EBML varint truncated")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("EBML varint with >8-byte width")
+    width = 9 - b0.bit_length()
+    if pos + width > len(data):
+        raise ValueError("EBML varint body truncated")
+    v = b0 if keep_marker else b0 & (0xFF >> width)
+    for k in range(1, width):
+        v = (v << 8) | data[pos + k]
+    return v, pos + width, width
+
+
+def _elements(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        eid, pos, _ = _read_vint(data, pos, keep_marker=True)
+        size, pos, sw = _read_vint(data, pos, keep_marker=False)
+        if size == (1 << (7 * sw)) - 1:
+            raise NotImplementedError(
+                "EBML unknown-size element (live-streamed Matroska)"
+            )
+        if pos + size > end:
+            raise ValueError(
+                f"EBML element 0x{eid:X} declares {size} bytes, "
+                f"{end - pos} remain"
+            )
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _uint(data: bytes, s: int, e: int) -> int:
+    return int.from_bytes(data[s:e], "big")
+
+
+def _float(data: bytes, s: int, e: int) -> float:
+    n = e - s
+    if n == 4:
+        return struct.unpack(">f", data[s:e])[0]
+    if n == 8:
+        return struct.unpack(">d", data[s:e])[0]
+    raise ValueError(f"EBML float of {n} bytes")
+
+
+_TRACK_TYPES = {1: "video", 2: "audio", 17: "subtitle"}
+
+
+def probe_webm(data: bytes) -> dict:
+    """Return ``{duration_sec, n_tracks, tracks: [{type, codec, width,
+    height, sampling_hz, channels}]}`` from the EBML tree."""
+    if not is_webm(data):
+        raise ValueError("not an EBML/WebM file (missing EBML header)")
+    seg = None
+    for eid, s, e in _elements(data, 0, len(data)):
+        if eid == _SEGMENT:
+            seg = (s, e)
+            break
+    if seg is None:
+        raise ValueError("WebM has no Segment element")
+    scale = 1_000_000  # default TimestampScale: 1 ms
+    duration_ticks = None
+    tracks = []
+    for eid, s, e in _elements(data, seg[0], seg[1]):
+        if eid == _INFO:
+            for i2, s2, e2 in _elements(data, s, e):
+                if i2 == _TIMESTAMP_SCALE:
+                    scale = _uint(data, s2, e2)
+                elif i2 == _DURATION:
+                    duration_ticks = _float(data, s2, e2)
+        elif eid == _TRACKS:
+            for i2, s2, e2 in _elements(data, s, e):
+                if i2 != _TRACK_ENTRY:
+                    continue
+                tr = {"type": None, "codec": None, "width": None,
+                      "height": None, "sampling_hz": None,
+                      "channels": None}
+                for i3, s3, e3 in _elements(data, s2, e2):
+                    if i3 == _TRACK_TYPE:
+                        tr["type"] = _TRACK_TYPES.get(
+                            _uint(data, s3, e3), "other"
+                        )
+                    elif i3 == _CODEC_ID:
+                        tr["codec"] = data[s3:e3].decode("ascii",
+                                                         "replace")
+                    elif i3 == _VIDEO:
+                        for i4, s4, e4 in _elements(data, s3, e3):
+                            if i4 == _PIXEL_W:
+                                tr["width"] = _uint(data, s4, e4)
+                            elif i4 == _PIXEL_H:
+                                tr["height"] = _uint(data, s4, e4)
+                    elif i3 == _AUDIO:
+                        for i4, s4, e4 in _elements(data, s3, e3):
+                            if i4 == _SAMPLING:
+                                tr["sampling_hz"] = _float(data, s4, e4)
+                            elif i4 == _CHANNELS:
+                                tr["channels"] = _uint(data, s4, e4)
+                tracks.append(tr)
+    if scale == 0:
+        raise ValueError("WebM TimestampScale is zero")
+    dur = None if duration_ticks is None else duration_ticks * scale / 1e9
+    return {"duration_sec": dur, "n_tracks": len(tracks),
+            "tracks": tracks}
+
+
+# ------------------------------------------------------------- fixtures
+def _vint_id(eid: int) -> bytes:
+    out = []
+    v = eid
+    while v:
+        out.append(v & 0xFF)
+        v >>= 8
+    return bytes(reversed(out))
+
+
+def _vint_size(size: int) -> bytes:
+    for width in range(1, 9):
+        if size < (1 << (7 * width)) - 1:
+            out = size | (1 << (7 * width))
+            return out.to_bytes(width, "big")
+    raise ValueError("size too large")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    return _vint_id(eid) + _vint_size(len(body)) + body
+
+
+def build_webm(
+    duration_sec: float = 10.0,
+    scale: int = 1_000_000,
+    tracks: list[dict] | None = None,
+) -> bytes:
+    """Assemble a structurally valid metadata-only WebM for tests."""
+    info = _el(_TIMESTAMP_SCALE, scale.to_bytes(3, "big"))
+    info += _el(_DURATION,
+                struct.pack(">d", duration_sec * 1e9 / scale))
+    trs = b""
+    for tr in tracks or []:
+        body = _el(_TRACK_TYPE,
+                   bytes([{"video": 1, "audio": 2}[tr["type"]]]))
+        body += _el(_CODEC_ID, tr.get("codec", "V_VP9").encode())
+        if tr["type"] == "video":
+            vid = _el(_PIXEL_W, tr["width"].to_bytes(2, "big"))
+            vid += _el(_PIXEL_H, tr["height"].to_bytes(2, "big"))
+            body += _el(_VIDEO, vid)
+        else:
+            au = _el(_SAMPLING, struct.pack(">d", tr["sampling_hz"]))
+            au += _el(_CHANNELS, bytes([tr.get("channels", 1)]))
+            body += _el(_AUDIO, au)
+        trs += _el(_TRACK_ENTRY, body)
+    segment = _el(_SEGMENT, _el(_INFO, info) + _el(_TRACKS, trs))
+    ebml = _el(_EBML, _el(0x4282, b"webm"))  # DocType
+    return ebml + segment
