@@ -65,8 +65,11 @@ for _m in (
 # (a0) NEW this round: grib2_j2k97_ingest_stats — GRIB2 template 5.40
 # compression type 1 (lossy irreversible 9/7 + QCD style-2 scalar
 # dequantization) with a tolerance-free integer pin and a
-# position-weighted checksum — and html_text_extract (regexp-chain
-# HTML-to-text, JVM-side, RE2-compatible patterns).
+# position-weighted checksum — html_text_extract (regexp-chain
+# HTML-to-text, JVM-side, RE2-compatible patterns) — and
+# media_meta_probe (container-metadata curation over mixed WAV/FLAC/
+# MP3 assets: chunk sizes / STREAMINFO / frame-header walk, no sample
+# decode).
 # (a) queries whose CODE PATH or FIXTURE changed this round and must
 # re-prove: multimodal_decode_stats (fixture v5: +4 GIF, +4 lossless
 # WebP assets — the new pure-Python gif.py/webp.py codecs — oracle
@@ -87,6 +90,7 @@ _PRIORITY = [
     # (a0) new in round 10
     "grib2_j2k97_ingest_stats",
     "html_text_extract",
+    "media_meta_probe",
     # (a) changed in round 10 -- re-prove
     "multimodal_decode_stats",
     "multimodal_audio_stats",
@@ -136,10 +140,10 @@ _PRIORITY = [
     "dedup_components_minhash",
     "dedup_containment",
     "dedup_lsh_verify",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",  # <- window position 50
+    "dedup_minhash_lsh",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # remaining r06-vintage (these head the r11 rotation)
+    "dedup_ngram_jaccard",
     "dedup_paragraphs",
     "dedup_substring_windows",
     "dsir_importance",

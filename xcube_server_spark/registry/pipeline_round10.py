@@ -89,3 +89,82 @@ ORDER BY doc_id
 """
 
 QUERIES["html_text_extract"] = html_text_extract
+
+
+# ---------------------------------------------------------------------------
+# media_meta_probe: container-metadata extraction without decoding
+# ---------------------------------------------------------------------------
+
+_N_META = 6
+
+
+def _meta_gate_fixture(spark: SparkSession) -> str:
+    """Mixed WAV/FLAC/MP3 assets with formula-parameterized durations;
+    the prober must recover each container's exact metadata."""
+    import os
+
+    import numpy as np
+
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.flac import encode_flac
+    from ..sources.mp3meta import build_mp3
+    from ..sources.wav import encode_wav
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_mediameta_gate_v1")
+    p = os.path.join(d, "assets.parquet")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return p
+    rows = []
+    for s in range(_N_META):
+        wav = encode_wav(np.zeros(800 + 160 * s), 8000)
+        rows.append((s, "audio/wav", bytearray(wav),
+                     {"width": 0, "height": 0, "n_frames": 1,
+                      "sample_rate": 8000}))
+        flac = encode_flac(
+            (np.arange(1000 + 100 * s) * 13 % 801) - 400, 16000
+        )
+        rows.append((10 + s, "audio/flac", bytearray(flac),
+                     {"width": 0, "height": 0, "n_frames": 1,
+                      "sample_rate": 16000}))
+        mp3 = build_mp3(10 + s, kbps=96, rate=32000)
+        rows.append((20 + s, "audio/mpeg", bytearray(mp3),
+                     {"width": 0, "height": 0, "n_frames": 1,
+                      "sample_rate": 32000}))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata curation pass over a mixed WAV/FLAC/MP3 asset
+    table: duration and sample rate from the CONTAINER (chunk sizes /
+    STREAMINFO / frame-header walk — ``sources/mp3meta.py``), never
+    from decoded samples. The Arrow-batched ``mapInPandas`` stage is
+    the same shape a 100 TB sweep runs; the oracle regenerates each
+    duration from the fixture formulas with identical IEEE division."""
+    from ..pipeline.multimodal import probe_audio_meta
+
+    p = _meta_gate_fixture(spark)
+    media = spark.read.parquet(p)
+    return probe_audio_meta(media).select(
+        "asset_id", "container", "duration_sec", "sample_rate"
+    ).orderBy("asset_id")
+
+
+ORACLES["media_meta_probe"] = f"""
+WITH s AS (SELECT unnest(range(0, {_N_META})) AS i)
+SELECT i AS asset_id, 'wav' AS container,
+       CAST(800 + 160*i AS DOUBLE) / 8000 AS duration_sec,
+       CAST(8000 AS INT) AS sample_rate FROM s
+UNION ALL
+SELECT 10 + i, 'flac', CAST(1000 + 100*i AS DOUBLE) / 16000,
+       CAST(16000 AS INT) FROM s
+UNION ALL
+SELECT 20 + i, 'mp3', CAST((10 + i) * 1152 AS DOUBLE) / 32000,
+       CAST(32000 AS INT) FROM s
+ORDER BY asset_id
+"""
+
+QUERIES["media_meta_probe"] = media_meta_probe
