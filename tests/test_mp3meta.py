@@ -79,7 +79,7 @@ def test_probe_audio_all_containers(spark):
     c, d, r = probe_audio(mp3)
     assert (c, r) == ("mp3", 32000) and d == pytest.approx(19 * 1152 / 32000)
     with pytest.raises(NotImplementedError, match="probe_audio"):
-        probe_audio(b"OggS" + b"\x00" * 40)
+        probe_audio(b"MThd" + b"\x00" * 40)  # MIDI: truly undispatched
     rows = [
         (1, "audio/wav", bytearray(wav),
          {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 8000}),

@@ -1,0 +1,48 @@
+"""Ogg metadata prober: page-chain walk, Opus pre-skip, Vorbis rate."""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.sources.oggmeta import (
+    build_ogg_opus,
+    build_ogg_vorbis,
+    is_ogg,
+    probe_ogg,
+)
+
+
+def test_opus_duration_subtracts_preskip():
+    data = build_ogg_opus(2.5, pre_skip=312)
+    assert is_ogg(data)
+    meta = probe_ogg(data)
+    assert meta["codec"] == "opus" and meta["sample_rate"] == 48000
+    assert meta["duration_sec"] == pytest.approx(2.5)
+    assert meta["channels"] == 1
+
+
+def test_vorbis_rate_from_ident_header():
+    meta = probe_ogg(build_ogg_vorbis(7.25, rate=44100, channels=2))
+    assert meta["codec"] == "vorbis"
+    assert meta["sample_rate"] == 44100 and meta["channels"] == 2
+    assert meta["duration_sec"] == pytest.approx(7.25)
+
+
+def test_clear_errors():
+    good = build_ogg_opus(1.0)
+    with pytest.raises(ValueError, match="OggS"):
+        probe_ogg(b"RIFF" + good)
+    with pytest.raises(ValueError, match="capture pattern|body bytes|remain"):
+        probe_ogg(good[:-10])
+    flac_in_ogg = good.replace(b"OpusHead", b"\x7fFLACxxx", 1)
+    with pytest.raises(NotImplementedError, match="Opus and Vorbis"):
+        probe_ogg(flac_in_ogg)
+
+
+def test_probe_audio_dispatches_ogg():
+    from xcube_server_spark.pipeline.multimodal import probe_audio
+
+    c, d, r = probe_audio(build_ogg_opus(3.0))
+    assert (c, r) == ("opus", 48000) and d == pytest.approx(3.0)
+    c, d, r = probe_audio(build_ogg_vorbis(4.0, rate=16000))
+    assert (c, r) == ("vorbis", 16000) and d == pytest.approx(4.0)

@@ -317,12 +317,17 @@ def probe_audio(payload: bytes) -> tuple[str, float, int]:
                 "a frame walk (decode_audio does one)"
             )
         return "flac", total / rate, rate
+    from ..sources.oggmeta import is_ogg, probe_ogg
+
+    if is_ogg(payload):
+        meta = probe_ogg(payload)
+        return meta["codec"], meta["duration_sec"], meta["sample_rate"]
     from ..sources.mp3meta import is_mp3, probe_mp3
 
     if is_mp3(payload):
         meta = probe_mp3(payload)
         return "mp3", meta["duration_sec"], meta["sample_rate"]
-    raise NotImplementedError("probe_audio: not WAV/FLAC/MP3")
+    raise NotImplementedError("probe_audio: not WAV/FLAC/MP3/Ogg")
 
 
 def probe_audio_meta(media: DataFrame) -> DataFrame:

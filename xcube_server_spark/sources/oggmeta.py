@@ -1,0 +1,150 @@
+"""Ogg container metadata prober (NO audio decode).
+
+Ogg wraps Opus and Vorbis in scraped audio corpora. Duration lives in
+the container itself: the last page's granule position counts PCM
+samples (RFC 3533 pages; RFC 7845 Opus granules run at 48 kHz and
+subtract pre-skip; the Vorbis identification header carries the rate).
+This module walks page headers — capture pattern, continuation flags,
+lacing tables — reads the first packet just far enough to identify the
+codec and rate, and takes the final granule. Page CRCs are not
+recomputed (a metadata sweep tolerates bit-rot the way `ffprobe`
+does); structural damage (lost capture pattern, truncated lacing)
+refuses loudly. Sample decode stays a documented clear error.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def is_ogg(data: bytes) -> bool:
+    return data[:4] == b"OggS"
+
+
+def _pages(data: bytes):
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"Ogg capture pattern lost at byte {pos}")
+        if data[pos + 4] != 0:
+            raise NotImplementedError(
+                f"Ogg stream structure version {data[pos + 4]}"
+            )
+        htype = data[pos + 5]
+        (granule,) = struct.unpack("<q", data[pos + 6 : pos + 14])
+        (serial,) = struct.unpack("<I", data[pos + 14 : pos + 18])
+        nsegs = data[pos + 26]
+        lace = data[pos + 27 : pos + 27 + nsegs]
+        if len(lace) < nsegs:
+            raise ValueError("Ogg lacing table truncated")
+        body_len = sum(lace)
+        body = pos + 27 + nsegs
+        if body + body_len > len(data):
+            raise ValueError(
+                f"Ogg page at {pos} declares {body_len} body bytes, "
+                f"{len(data) - body} remain"
+            )
+        yield htype, granule, serial, data[body : body + body_len]
+        pos = body + body_len
+    if pos != len(data):
+        raise ValueError("trailing bytes after the last Ogg page")
+
+
+def probe_ogg(data: bytes) -> dict:
+    """Return ``{codec, duration_sec, sample_rate, channels}`` from the
+    page chain (Opus per RFC 7845: 48 kHz granules minus pre-skip;
+    Vorbis: rate from the identification header)."""
+    if not is_ogg(data):
+        raise ValueError("not an Ogg stream (missing OggS)")
+    codec = None
+    rate = None
+    channels = None
+    pre_skip = 0
+    first_serial = None
+    last_granule = None
+    for htype, granule, serial, body in _pages(data):
+        if first_serial is None:
+            if not htype & 0x02:
+                raise ValueError("first Ogg page is not a stream start")
+            first_serial = serial
+            if body[:8] == b"OpusHead":
+                codec = "opus"
+                channels = body[9]
+                (pre_skip,) = struct.unpack("<H", body[10:12])
+                rate = 48000  # Opus granules ALWAYS count at 48 kHz
+            elif body[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                channels = body[11]
+                (rate,) = struct.unpack("<I", body[12:16])
+            else:
+                raise NotImplementedError(
+                    f"Ogg codec {body[:8]!r} — Opus and Vorbis only"
+                )
+        if serial != first_serial:
+            raise NotImplementedError(
+                "multiplexed Ogg (several logical streams)"
+            )
+        if granule >= 0:
+            last_granule = granule
+    if last_granule is None:
+        raise ValueError("Ogg stream has no completed-packet granule")
+    if rate == 0:
+        raise ValueError("Ogg rate is zero")
+    samples = last_granule - (pre_skip if codec == "opus" else 0)
+    return {
+        "codec": codec,
+        "duration_sec": max(samples, 0) / rate,
+        "sample_rate": rate,
+        "channels": channels,
+    }
+
+
+# ------------------------------------------------------------- fixtures
+def _page(htype: int, granule: int, serial: int, seq: int,
+          body: bytes) -> bytes:
+    lace = []
+    n = len(body)
+    while n >= 255:
+        lace.append(255)
+        n -= 255
+    lace.append(n)
+    return (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<qIIi", granule, serial, seq, 0)
+        + bytes([len(lace)])
+        + bytes(lace)
+        + body
+    )
+
+
+def build_ogg_opus(
+    duration_sec: float, pre_skip: int = 312, channels: int = 1
+) -> bytes:
+    """Structurally valid Opus-in-Ogg metadata fixture (header page +
+    comment page + one dummy audio page carrying the final granule)."""
+    head = (
+        b"OpusHead" + bytes([1, channels])
+        + struct.pack("<H", pre_skip)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0])
+    )
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    granule = int(duration_sec * 48000) + pre_skip
+    return (
+        _page(0x02, 0, 7, 0, head)
+        + _page(0x00, -1, 7, 1, tags)  # header pages: granule -1
+        + _page(0x04, granule, 7, 2, bytes(40))
+    )
+
+
+def build_ogg_vorbis(duration_sec: float, rate: int = 44100,
+                     channels: int = 2) -> bytes:
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", rate) + bytes(16)
+    )
+    granule = int(duration_sec * rate)
+    return (
+        _page(0x02, 0, 9, 0, ident)
+        + _page(0x04, granule, 9, 1, bytes(40))
+    )
