@@ -1,0 +1,104 @@
+"""WARC source (``sources/warc.py``): record parsing, plain and
+gzip-member index passes, distributed ranged-read ingest, hostile
+bytes."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pytest
+
+from xcube_server_spark.sources.warc import (
+    build_warc,
+    build_warc_index,
+    ingest_warc_distributed,
+    parse_record,
+)
+from xcube_server_spark.sources.zarr_store import LocalStore
+
+
+def _recs(n=6):
+    out = []
+    for i in range(n):
+        body = f"<p>record {i} {'x' * (10 + i)}</p>".encode()
+        out.append({"warc_type": "response",
+                    "uri": f"http://example.com/doc{i}",
+                    "content_type": "text/html", "body": body})
+        out.append({"warc_type": "request",
+                    "uri": f"http://example.com/doc{i}",
+                    "content_type": "application/http",
+                    "body": b"GET / HTTP/1.1"})
+    return out
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_index_and_spans(tmp_path, gz):
+    recs = _recs()
+    name = "a.warc.gz" if gz else "a.warc"
+    data = build_warc(recs, gz=gz)
+    (tmp_path / name).write_bytes(data)
+    idx = build_warc_index(LocalStore(str(tmp_path)), name)
+    assert len(idx) == len(recs)
+    assert [r["warc_type"] for r in idx[:4]] == [
+        "response", "request", "response", "request"
+    ]
+    # spans tile the file exactly
+    assert idx[0]["offset"] == 0
+    for a, b in zip(idx, idx[1:]):
+        assert b["offset"] == a["offset"] + a["length"]
+    assert idx[-1]["offset"] + idx[-1]["length"] == len(data)
+    # each span parses independently (the executor contract)
+    span = data[idx[2]["offset"] : idx[2]["offset"] + idx[2]["length"]]
+    blob = gzip.GzipFile(fileobj=io.BytesIO(span)).read() if gz else span
+    headers, body = parse_record(blob)
+    assert headers["warc-target-uri"] == "http://example.com/doc1"
+    assert body == recs[2]["body"]
+
+
+def test_distributed_ingest(spark, tmp_path):
+    recs = _recs(5)
+    (tmp_path / "c.warc.gz").write_bytes(build_warc(recs, gz=True))
+    df = ingest_warc_distributed(
+        spark, "local", str(tmp_path), "c.warc.gz"
+    )
+    rows = {r["record_idx"]: r for r in df.collect()}
+    assert len(rows) == 10
+    for i in range(5):
+        r = rows[2 * i]
+        assert r["warc_type"] == "response"
+        assert r["uri"] == f"http://example.com/doc{i}"
+        assert bytes(r["payload"]) == recs[2 * i]["body"]
+        assert r["body_len"] == len(recs[2 * i]["body"])
+
+
+def test_clear_errors(tmp_path):
+    recs = _recs(2)
+    data = build_warc(recs)
+    (tmp_path / "bad.warc").write_bytes(b"HTTP/1.1 200 OK\r\n\r\n" + data)
+    with pytest.raises(ValueError, match="version line"):
+        build_warc_index(LocalStore(str(tmp_path)), "bad.warc")
+    # truncated body refuses at parse
+    short = (b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 100\r\n\r\n"
+             b"only-ten\r\n\r\n")
+    with pytest.raises(ValueError, match="available"):
+        parse_record(short)
+    # gz chain with a corrupt member boundary
+    gzd = bytearray(build_warc(recs, gz=True))
+    idx = None
+    for i in range(1, len(gzd)):
+        if gzd[i : i + 2] == b"\x1f\x8b":
+            idx = i
+            break
+    gzd[idx] = 0x00  # second member loses its magic
+    (tmp_path / "bad.warc.gz").write_bytes(bytes(gzd))
+    with pytest.raises((ValueError, OSError)):
+        build_warc_index(LocalStore(str(tmp_path)), "bad.warc.gz")
+
+
+def test_missing_content_length(tmp_path):
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+    (tmp_path / "n.warc").write_bytes(raw)
+    with pytest.raises(ValueError, match="Content-Length"):
+        build_warc_index(LocalStore(str(tmp_path)), "n.warc")

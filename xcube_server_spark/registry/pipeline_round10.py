@@ -28,6 +28,18 @@ ORACLES = {}
 _WS = "[ \\t\\n\\r\\f]+"
 
 
+def _strip_html(col):
+    """The regexp-chain extraction, shared by html_text_extract and the
+    WARC composition gate (RE2-compatible patterns only)."""
+    t = F.regexp_replace(col, "(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, "(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, _WS, " "))
+
+
 def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
@@ -40,13 +52,7 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</p>\n<a href="http://x">&amp; more &lt;here&gt;</a>'
               "</body></html>"),
     )
-    t = F.regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    t = F.regexp_replace(t, "(?s)<style[^>]*>.*?</style>", " ")
-    t = F.regexp_replace(t, "<[^>]*>", " ")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&#39;", "'")):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.trim(F.regexp_replace(t, _WS, " "))
+    t = _strip_html(html)
     return docs.select(
         "doc_id",
         F.length(t).cast("bigint").alias("text_len"),
@@ -168,3 +174,107 @@ ORDER BY asset_id
 """
 
 QUERIES["media_meta_probe"] = media_meta_probe
+
+
+# ---------------------------------------------------------------------------
+# warc_ingest_stats: Common Crawl-shaped web-archive ingest + extraction
+# ---------------------------------------------------------------------------
+
+_N_WARC = 12
+
+
+def _warc_gate_fixture(spark: SparkSession) -> str:
+    """Member-per-record ``.warc.gz`` (the Common Crawl layout):
+    interleaved response/request records; the response bodies are
+    formula HTML the SQL oracle regenerates verbatim."""
+    import os
+
+    from ..sources.warc import build_warc
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_warc_gate_v1")
+    path = os.path.join(d, "crawl.warc.gz")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        recs = []
+        for i in range(_N_WARC):
+            body = (
+                f"<html><head><script>s()</script></head><body>"
+                f"<h1>doc {i}</h1><p>record {i} {'x' * (10 + i)} "
+                f"&amp; tail</p></body></html>"
+            ).encode()
+            recs.append(
+                {"warc_type": "response",
+                 "uri": f"http://example.com/doc{i}",
+                 "content_type": "text/html", "body": body}
+            )
+            recs.append(
+                {"warc_type": "request",
+                 "uri": f"http://example.com/doc{i}",
+                 "content_type": "application/http",
+                 "body": b"GET / HTTP/1.1"}
+            )
+        with open(path, "wb") as f:
+            f.write(build_warc(recs, gz=True))
+    return d
+
+
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus FRONT DOOR, end to end: a member-per-record
+    ``.warc.gz`` (driver builds the record index in one streaming pass;
+    executors ranged-GET and gunzip exactly their records —
+    ``sources/warc.py``), response records filtered, bodies pushed
+    through the shared regexp-chain HTML extraction. Every body is
+    formula-deterministic, so the oracle regenerates the archive's
+    decoded content verbatim — md5 of both raw body and extracted
+    text per record."""
+    from ..sources.warc import ingest_warc_distributed
+
+    d = _warc_gate_fixture(spark)
+    df = ingest_warc_distributed(spark, "local", d, "crawl.warc.gz")
+    body_str = F.decode(F.col("payload"), "utf-8")
+    return (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            "record_idx",
+            "uri",
+            F.col("body_len").cast("bigint").alias("body_len"),
+            F.md5(body_str).alias("body_md5"),
+            F.md5(_strip_html(body_str)).alias("text_md5"),
+        )
+        .orderBy("record_idx")
+    )
+
+
+ORACLES["warc_ingest_stats"] = f"""
+WITH recs AS (
+  SELECT i,
+         '<html><head><script>s()</script></head><body><h1>doc ' || i
+         || '</h1><p>record ' || i || ' ' || repeat('x', 10 + i)
+         || ' &amp; tail</p></body></html>' AS body
+  FROM (SELECT unnest(range(0, {_N_WARC})) AS i)
+), stripped AS (
+  SELECT i, body,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(body, '(?s)<script[^>]*>.*?</script>',
+                                ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)),
+           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS t
+  FROM recs
+)
+SELECT CAST(2 * i AS INT) AS record_idx,
+       'http://example.com/doc' || i AS uri,
+       CAST(length(body) AS BIGINT) AS body_len,
+       md5(body) AS body_md5,
+       md5(t) AS text_md5
+FROM stripped
+ORDER BY record_idx
+"""
+
+QUERIES["warc_ingest_stats"] = warc_ingest_stats

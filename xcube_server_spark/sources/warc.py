@@ -1,0 +1,258 @@
+"""WARC web-archive source (ISO 28500) — the Common Crawl container.
+
+LLM text corpora START as WARC: crawls ship as `.warc.gz` files whose
+records (response/request/warcinfo/...) each carry named headers and a
+Content-Length body, and — in the Common Crawl convention — each record
+is its own gzip MEMBER, so records decompress independently once you
+know the member offsets. That makes WARC ingest exactly the
+driver-indexes/executors-fetch shape this engine uses for COG tiles and
+kerchunk chunks:
+
+* the DRIVER makes one sequential pass (plain ``.warc``: header-only
+  hops via Content-Length; ``.warc.gz``: one streaming decompression
+  that never materializes more than a record) and emits an index row
+  per record — compressed offset, compressed length, type, URI;
+* EXECUTORS ``get_range`` exactly their records' byte spans through the
+  object-store protocol (``LocalStore``/``HttpStore``) and gunzip/parse
+  independently — no full-archive download on any node.
+
+At 100 TB the index pass parallelizes per-FILE (one driver task per
+archive member of a crawl segment, each ~1 GB), which is how Common
+Crawl is actually laid out; within a file the gzip-member chain is
+inherently sequential, so per-file is the natural index unit.
+
+The reference server has no web-archive path; this source feeds the
+LLM-pipeline surface (``html_text_extract``, dedup, quality filters).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+
+_MAX_HEADER = 64 * 1024
+
+
+def _parse_header(blob: bytes) -> tuple[dict, int]:
+    """Parse one record's header block from ``blob`` (which must start
+    at the record): returns (headers, body_start_offset_within_blob).
+    Header names are lower-cased; the WARC version line is checked."""
+    end = blob.find(b"\r\n\r\n")
+    if end < 0:
+        raise ValueError("WARC record header not terminated (\\r\\n\\r\\n)")
+    lines = blob[:end].split(b"\r\n")
+    if not lines[0].startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record: version line {lines[0]!r}")
+    version = lines[0][5:].decode("ascii", "replace")
+    if version not in ("1.0", "1.1"):
+        raise NotImplementedError(f"WARC version {version}")
+    headers: dict = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if not _:
+            raise ValueError(f"malformed WARC header line {ln!r}")
+        headers[k.strip().decode("ascii", "replace").lower()] = (
+            v.strip().decode("utf-8", "replace")
+        )
+    if "content-length" not in headers:
+        raise ValueError("WARC record missing Content-Length")
+    return headers, end + 4
+
+
+def parse_record(blob: bytes) -> tuple[dict, bytes]:
+    """Parse a complete record (headers + body) from a buffer that
+    starts at the record."""
+    headers, body_start = _parse_header(blob)
+    n = int(headers["content-length"])
+    body = blob[body_start : body_start + n]
+    if len(body) < n:
+        raise ValueError(
+            f"WARC body declares {n} bytes, {len(body)} available"
+        )
+    return headers, body
+
+
+class _RangeReader:
+    """Buffered sequential reads over ``store.get_range`` — the driver's
+    single index pass touches each byte once."""
+
+    def __init__(self, store, key: str, chunk: int = 1 << 20) -> None:
+        self.store = store
+        self.key = key
+        self.chunk = chunk
+        self.pos = 0
+        self.buf = b""
+        self.buf_at = 0
+        self.eof = False
+
+    def read_at(self, off: int, n: int) -> bytes:
+        out = b""
+        while n > 0:
+            if not (self.buf_at <= off < self.buf_at + len(self.buf)):
+                got = self.store.get_range(self.key, off, self.chunk)
+                if not got:
+                    break
+                self.buf, self.buf_at = got, off
+            s = off - self.buf_at
+            piece = self.buf[s : s + n]
+            if not piece:
+                break
+            out += piece
+            off += len(piece)
+            n -= len(piece)
+        return out
+
+
+def build_warc_index(store, key: str) -> list[dict]:
+    """One sequential driver pass → per-record index rows
+    ``{offset, length, warc_type, uri, content_type}`` (offsets into
+    the stored object: compressed spans for ``.warc.gz`` members,
+    record spans for plain ``.warc``)."""
+    rd = _RangeReader(store, key)
+    head2 = rd.read_at(0, 2)
+    if head2[:2] == b"\x1f\x8b":
+        return _index_gzip_members(rd)
+    return _index_plain(rd)
+
+
+def _index_plain(rd: _RangeReader) -> list[dict]:
+    out = []
+    pos = 0
+    while True:
+        blob = rd.read_at(pos, _MAX_HEADER)
+        if not blob:
+            break
+        headers, body_start = _parse_header(blob)
+        n = int(headers["content-length"])
+        total = body_start + n + 4  # record + \r\n\r\n separator
+        out.append(_index_row(pos, total, headers))
+        pos += total
+    return out
+
+
+def _index_gzip_members(rd: _RangeReader) -> list[dict]:
+    out = []
+    pos = 0
+    while True:
+        probe = rd.read_at(pos, 2)
+        if not probe:
+            break
+        if probe[:2] != b"\x1f\x8b":
+            raise ValueError(
+                f"gzip member expected at byte {pos} in .warc.gz"
+            )
+        d = zlib.decompressobj(wbits=31)
+        plain = b""
+        off = pos
+        while not d.eof:
+            chunk = rd.read_at(off, rd.chunk)
+            if not chunk:
+                raise ValueError(
+                    f"gzip member at {pos} truncated (no stream end)"
+                )
+            plain += d.decompress(chunk)
+            off += len(chunk)
+        clen = (off - pos) - len(d.unused_data)
+        headers, _ = _parse_header(plain)
+        out.append(_index_row(pos, clen, headers))
+        pos += clen
+    return out
+
+
+def _index_row(off: int, length: int, headers: dict) -> dict:
+    return {
+        "offset": off,
+        "length": length,
+        "warc_type": headers.get("warc-type", ""),
+        "uri": headers.get("warc-target-uri", ""),
+        "content_type": headers.get("content-type", ""),
+    }
+
+
+def ingest_warc_distributed(spark, store_kind: str, root: str, key: str):
+    """WARC → DataFrame(record_idx, warc_type, uri, content_type,
+    body_len, payload). Driver builds the record index in one pass;
+    executors ranged-GET and parse exactly their records."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .tiff import _make_store
+
+    store = _make_store(store_kind, root)
+    index = build_warc_index(store, key)
+    gz = bool(index) and (
+        store.get_range(key, 0, 2)[:2] == b"\x1f\x8b"
+    )
+    plan = [
+        (i, r["offset"], r["length"]) for i, r in enumerate(index)
+    ]
+    pdf = spark.createDataFrame(
+        plan, "record_idx int, off long, cnt long"
+    )
+
+    def fetch(iterator):
+        import pandas as pd
+
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            idxs, types, uris, ctypes, lens, bodies = ([] for _ in
+                                                       range(6))
+            for r in batch.itertuples(index=False):
+                raw = st.get_range(key, int(r.off), int(r.cnt))
+                if raw is None or len(raw) < int(r.cnt):
+                    raise ValueError(
+                        f"WARC record span at {int(r.off)} unreadable"
+                    )
+                blob = gzip.GzipFile(fileobj=io.BytesIO(raw)).read() \
+                    if gz else raw
+                headers, body = parse_record(blob)
+                idxs.append(int(r.record_idx))
+                types.append(headers.get("warc-type", ""))
+                uris.append(headers.get("warc-target-uri", ""))
+                ctypes.append(headers.get("content-type", ""))
+                lens.append(len(body))
+                bodies.append(body)
+            yield pd.DataFrame(
+                {
+                    "record_idx": idxs,
+                    "warc_type": types,
+                    "uri": uris,
+                    "content_type": ctypes,
+                    "body_len": lens,
+                    "payload": bodies,
+                }
+            )
+
+    return pdf.repartition(min(max(len(plan), 1), 32)).mapInPandas(
+        fetch,
+        "record_idx int, warc_type string, uri string,"
+        " content_type string, body_len long, payload binary",
+    )
+
+
+# ------------------------------------------------------------- fixtures
+def build_warc(records: list[dict], gz: bool = False) -> bytes:
+    """Assemble a WARC (optionally member-per-record gzip — the Common
+    Crawl layout) from ``{warc_type, uri, content_type, body}`` dicts."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        body = r["body"]
+        hdr = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r['warc_type']}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            + (f"WARC-Target-URI: {r['uri']}\r\n" if r.get("uri") else "")
+            + (f"Content-Type: {r['content_type']}\r\n"
+               if r.get("content_type") else "")
+            + f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        rec = hdr + body + b"\r\n\r\n"
+        if gz:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)
