@@ -1,0 +1,85 @@
+"""TAR/WebDataset source: cross-verified BOTH directions against the
+stdlib ``tarfile`` module (an independent implementation baked into the
+container — the interop pin most of the media codecs can't have),
+plus distributed ranged-read ingest and WebDataset sample grouping."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from xcube_server_spark.sources.tar_source import (
+    _sample_key,
+    build_tar,
+    build_tar_index,
+    ingest_tar_distributed,
+)
+from xcube_server_spark.sources.zarr_store import LocalStore
+
+
+def _members():
+    ms = [(f"shard/{i:04d}.txt", f"text {i} {'y' * i}".encode())
+          for i in range(6)]
+    ms += [(f"shard/{i:04d}.bin", bytes([i]) * (100 + i))
+           for i in range(6)]
+    ms.append(("deep/" + "d/" * 30 + "x" * 60 + ".txt", b"longname"))
+    return ms
+
+
+def test_stdlib_reads_our_writer():
+    data = build_tar(_members())
+    tf = tarfile.open(fileobj=io.BytesIO(data))
+    got = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    assert got == dict(_members())
+
+
+@pytest.mark.parametrize(
+    "fmt", [tarfile.GNU_FORMAT, tarfile.PAX_FORMAT, tarfile.USTAR_FORMAT]
+)
+def test_our_index_reads_stdlib_tars(tmp_path, fmt):
+    members = _members()
+    if fmt == tarfile.USTAR_FORMAT:
+        members = members[:-1]  # ustar caps names at 100 chars
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tw:
+        for name, body in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(body)
+            tw.addfile(ti, io.BytesIO(body))
+    (tmp_path / "t.tar").write_bytes(buf.getvalue())
+    idx = build_tar_index(LocalStore(str(tmp_path)), "t.tar")
+    raw = buf.getvalue()
+    got = {r["name"]: raw[r["offset"] : r["offset"] + r["size"]]
+           for r in idx}
+    assert got == dict(members)
+
+
+def test_webdataset_grouping():
+    assert _sample_key("shard/0001.jpg") == ("shard/0001", "jpg")
+    assert _sample_key("a/b/0001.JSON") == ("a/b/0001", "json")
+    assert _sample_key("noext") == ("noext", "")
+
+
+def test_distributed_ingest(spark, tmp_path):
+    members = [(f"{i:04d}.txt", f"doc {i}".encode()) for i in range(4)]
+    members += [(f"{i:04d}.cls", str(i % 2).encode()) for i in range(4)]
+    (tmp_path / "s.tar").write_bytes(build_tar(members))
+    df = ingest_tar_distributed(spark, "local", str(tmp_path), "s.tar")
+    rows = df.collect()
+    assert len(rows) == 8
+    by = {(r["sample_key"], r["field"]): bytes(r["payload"])
+          for r in rows}
+    assert by[("0002", "txt")] == b"doc 2"
+    assert by[("0003", "cls")] == b"1"
+
+
+def test_clear_errors(tmp_path):
+    data = build_tar([("a.txt", b"hello")])
+    (tmp_path / "bad.tar").write_bytes(b"\x01" * 200 + data)
+    with pytest.raises(ValueError, match="magic|octal"):
+        build_tar_index(LocalStore(str(tmp_path)), "bad.tar")
+    (tmp_path / "trunc.tar").write_bytes(data[: len(data) - 1100])
+    with pytest.raises(ValueError, match="truncated"):
+        build_tar_index(LocalStore(str(tmp_path)), "trunc.tar")

@@ -69,9 +69,12 @@ for _m in (
 # HTML-to-text, JVM-side, RE2-compatible patterns) — and
 # media_meta_probe (container-metadata curation over mixed WAV/FLAC/
 # MP3 assets: chunk sizes / STREAMINFO / frame-header walk, no sample
-# decode) — and warc_ingest_stats (the Common Crawl front door:
+# decode) — warc_ingest_stats (the Common Crawl front door:
 # member-per-record .warc.gz, driver index pass + executor ranged
-# reads, composed with the shared HTML extraction).
+# reads, composed with the shared HTML extraction) — and
+# webdataset_ingest_stats (TAR-shard multimodal samples: header-hop
+# index, per-sample regroup, real PNG decode; the tar machinery is
+# cross-verified both directions against stdlib tarfile).
 # (a) queries whose CODE PATH or FIXTURE changed this round and must
 # re-prove: multimodal_decode_stats (fixture v5: +4 GIF, +4 lossless
 # WebP assets — the new pure-Python gif.py/webp.py codecs — oracle
@@ -94,6 +97,7 @@ _PRIORITY = [
     "html_text_extract",
     "media_meta_probe",
     "warc_ingest_stats",
+    "webdataset_ingest_stats",
     # (a) changed in round 10 -- re-prove
     "multimodal_decode_stats",
     "multimodal_audio_stats",
@@ -141,10 +145,10 @@ _PRIORITY = [
     "cube_var_correlation",
     "decayed_engagement",
     "dedup_components_minhash",
-    "dedup_containment",
-    "dedup_lsh_verify",  # <- window position 50
+    "dedup_containment",  # <- window position 50
     # ---- overflow (past the 50-query window) ----
     # remaining r06-vintage (these head the r11 rotation)
+    "dedup_lsh_verify",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_paragraphs",

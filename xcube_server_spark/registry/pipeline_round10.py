@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import load_table as _t
+from ._util import rnd as _rnd
 
 QUERIES = {}
 ORACLES = {}
@@ -278,3 +279,118 @@ ORDER BY record_idx
 """
 
 QUERIES["warc_ingest_stats"] = warc_ingest_stats
+
+
+# ---------------------------------------------------------------------------
+# webdataset_ingest_stats: TAR-shard multimodal samples (the WebDataset
+# training-corpus layout)
+# ---------------------------------------------------------------------------
+
+_N_WDS = 8
+_WDS_W, _WDS_H = 16, 12
+
+
+def _wds_gate_fixture(spark: SparkSession) -> str:
+    """A WebDataset shard: {s:04d}.png (formula pixels), .txt (formula
+    text) and .cls (label) per sample, in one plain ustar tar."""
+    import os
+
+    import numpy as np
+
+    from ..sources.png import encode_rgba_png
+    from ..sources.tar_source import build_tar
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_wds_gate_v1")
+    path = os.path.join(d, "shard-0000.tar")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        y, x, c = np.mgrid[0:_WDS_H, 0:_WDS_W, 0:3]
+        members = []
+        for s in range(_N_WDS):
+            rgba = np.empty((_WDS_H, _WDS_W, 4), np.uint8)
+            rgba[:, :, :3] = (s * 37 + y * 5 + x * 9 + c * 41) % 256
+            rgba[:, :, 3] = 255
+            members.append((f"{s:04d}.png", encode_rgba_png(rgba)))
+            members.append(
+                (f"{s:04d}.txt",
+                 f"caption {s} {'z' * (5 + s)}".encode())
+            )
+            members.append((f"{s:04d}.cls", str(s % 3).encode()))
+        with open(path, "wb") as f:
+            f.write(build_tar(members))
+    return d
+
+
+def webdataset_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard end to end: driver header-hop tar index,
+    executors ranged-GET their members (``sources/tar_source.py``),
+    fields regroup per sample key, the image field decodes to REAL
+    pixels (formula PNG -> exact mean), the caption/label fields stay
+    JVM-side — one row per training sample, the shape a 100 TB
+    WebDataset sweep produces."""
+    from ..pipeline.multimodal import decode_image
+    from ..sources.tar_source import ingest_tar_distributed
+
+    d = _wds_gate_fixture(spark)
+    df = ingest_tar_distributed(spark, "local", d, "shard-0000.tar")
+
+    import pandas as pd  # noqa: F401
+
+    def luma(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, lumas = [], []
+            for k, payload in zip(pdf["sample_key"], pdf["payload"]):
+                img = decode_image(bytes(payload), 0, 0)
+                keys.append(k)
+                lumas.append(float(img.mean()))
+            yield pd.DataFrame({"sample_key": keys, "mean_luma": lumas})
+
+    imgs = df.filter(F.col("field") == "png").mapInPandas(
+        luma, "sample_key string, mean_luma double"
+    )
+    txts = df.filter(F.col("field") == "txt").select(
+        "sample_key",
+        F.length(F.decode("payload", "utf-8")).cast("bigint").alias(
+            "caption_len"
+        ),
+    )
+    lbls = df.filter(F.col("field") == "cls").select(
+        "sample_key", F.decode("payload", "utf-8").alias("label")
+    )
+    return (
+        imgs.join(txts, "sample_key").join(lbls, "sample_key")
+        .select(
+            "sample_key",
+            _rnd(F.col("mean_luma"), 6).alias("mean_luma"),
+            "caption_len",
+            "label",
+        )
+        .orderBy("sample_key")
+    )
+
+
+ORACLES["webdataset_ingest_stats"] = f"""
+WITH s AS (SELECT unnest(range(0, {_N_WDS})) AS i),
+luma AS (
+  SELECT s.i,
+         avg(CAST((s.i*37 + y.i*5 + x.i*9 + c.i*41) % 256 AS DOUBLE))
+           AS m
+  FROM s
+  CROSS JOIN (SELECT unnest(range(0, {_WDS_H})) AS i) y
+  CROSS JOIN (SELECT unnest(range(0, {_WDS_W})) AS i) x
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) c
+  GROUP BY 1
+)
+SELECT lpad(CAST(s.i AS VARCHAR), 4, '0') AS sample_key,
+       floor(luma.m * 1000000 + 0.5) / 1000000 AS mean_luma,
+       CAST(length('caption ' || s.i || ' ' || repeat('z', 5 + s.i))
+            AS BIGINT) AS caption_len,
+       CAST(s.i % 3 AS VARCHAR) AS label
+FROM s JOIN luma ON luma.i = s.i
+ORDER BY sample_key
+"""
+
+QUERIES["webdataset_ingest_stats"] = webdataset_ingest_stats

@@ -1,0 +1,216 @@
+"""TAR / WebDataset shard source (header-hop index + ranged reads).
+
+Multimodal training corpora ship as WebDataset: plain ``.tar`` shards
+whose members group into samples by basename — ``0001.jpg`` +
+``0001.json`` + ``0001.txt`` are one sample. A tar is a chain of
+512-byte headers, each declaring its member's size, so the DRIVER can
+index a shard touching ONLY headers (one tiny ranged read per member,
+hopping over bodies), and EXECUTORS ranged-GET exactly their members'
+byte spans — the same read discipline as the COG/kerchunk/WARC sources.
+POSIX ustar and GNU formats are handled (octal and base-256 sizes,
+long-name 'L' extensions, pax 'x' headers consulted for ``path``);
+anything structurally damaged refuses loudly.
+
+The reference server has no archive path; this source feeds the
+LLM-pipeline multimodal surface (decode/featurize over the member
+payloads).
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+
+
+def _field(block: bytes, off: int, n: int) -> bytes:
+    return block[off : off + n]
+
+
+def _num(field: bytes) -> int:
+    """Tar numeric field: NUL/space-terminated octal, or GNU base-256
+    (high bit of the first byte set)."""
+    if field and field[0] & 0x80:
+        v = field[0] & 0x7F
+        for b in field[1:]:
+            v = (v << 8) | b
+        return v
+    s = field.split(b"\x00")[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        raise ValueError(
+            f"tar numeric field {field!r} is not octal — damaged or "
+            "not a tar header"
+        ) from None
+
+
+def build_tar_index(store, key: str) -> list[dict]:
+    """Header-hop pass → ``{name, offset, size, typeflag}`` per regular
+    member (directories and metadata headers consumed, not listed)."""
+    out = []
+    pos = 0
+    pending_name = None
+    pending_pax: dict = {}
+    zero_blocks = 0
+    while True:
+        block = store.get_range(key, pos, 512)
+        if block is None or len(block) < 512:
+            if out and zero_blocks == 0:
+                raise ValueError(
+                    f"tar truncated mid-archive at byte {pos}"
+                )
+            break
+        if block == b"\x00" * 512:
+            zero_blocks += 1
+            if zero_blocks == 2:
+                break
+            pos += 512
+            continue
+        zero_blocks = 0
+        magic = _field(block, 257, 6)
+        if magic not in (b"ustar\x00", b"ustar ", b"\x00" * 6):
+            raise ValueError(
+                f"tar header magic {magic!r} at byte {pos} unrecognized"
+            )
+        size = _num(_field(block, 124, 12))
+        typeflag = block[156:157]
+        name = _field(block, 0, 100).split(b"\x00")[0].decode(
+            "utf-8", "replace"
+        )
+        prefix = _field(block, 345, 155).split(b"\x00")[0].decode(
+            "utf-8", "replace"
+        )
+        if prefix:
+            name = prefix + "/" + name
+        body = pos + 512
+        padded = (size + 511) // 512 * 512
+        if typeflag == b"L":  # GNU long name: body IS the next name
+            raw = store.get_range(key, body, size)
+            pending_name = raw.split(b"\x00")[0].decode(
+                "utf-8", "replace"
+            )
+        elif typeflag in (b"x", b"g"):  # pax extended header
+            raw = store.get_range(key, body, size)
+            rec_pos = 0
+            while rec_pos < len(raw):
+                sp = raw.index(b" ", rec_pos)
+                ln = int(raw[rec_pos:sp])
+                kv = raw[rec_pos + (sp - rec_pos) + 1 : rec_pos + ln - 1]
+                k, _, v = kv.partition(b"=")
+                pending_pax[k.decode()] = v.decode("utf-8", "replace")
+                rec_pos += ln
+        else:
+            if pending_name is not None:
+                name = pending_name
+            if "path" in pending_pax:
+                name = pending_pax["path"]
+            if "size" in pending_pax:
+                size = int(pending_pax["size"])
+                padded = (size + 511) // 512 * 512
+            pending_name = None
+            pending_pax = {}
+            if typeflag in (b"0", b"\x00"):  # regular file
+                out.append(
+                    {"name": name, "offset": body, "size": size,
+                     "typeflag": "0"}
+                )
+        pos = body + padded
+    return out
+
+
+def _sample_key(name: str) -> tuple[str, str]:
+    """WebDataset grouping: key = path without the (last) extension,
+    field = the extension."""
+    base = posixpath.normpath(name)
+    stem, ext = os.path.splitext(base)
+    return stem, ext.lstrip(".").lower()
+
+
+def ingest_tar_distributed(spark, store_kind: str, root: str, key: str):
+    """TAR shard → DataFrame(member_idx, name, sample_key, field, size,
+    payload): driver header-hop index, executors ranged-GET their
+    members' spans."""
+    from .tiff import _make_store
+
+    store = _make_store(store_kind, root)
+    index = build_tar_index(store, key)
+    plan = [
+        (i, r["name"], r["offset"], r["size"])
+        for i, r in enumerate(index)
+    ]
+    pdf = spark.createDataFrame(
+        plan, "member_idx int, name string, off long, cnt long"
+    )
+
+    def fetch(iterator):
+        import pandas as pd
+
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            idxs, names, keys, fields, sizes, payloads = (
+                [] for _ in range(6)
+            )
+            for r in batch.itertuples(index=False):
+                raw = st.get_range(key, int(r.off), int(r.cnt)) or b""
+                if len(raw) < int(r.cnt):
+                    raise ValueError(
+                        f"tar member {r.name!r} span unreadable"
+                    )
+                sk, field = _sample_key(r.name)
+                idxs.append(int(r.member_idx))
+                names.append(r.name)
+                keys.append(sk)
+                fields.append(field)
+                sizes.append(int(r.cnt))
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {
+                    "member_idx": idxs,
+                    "name": names,
+                    "sample_key": keys,
+                    "field": fields,
+                    "size": sizes,
+                    "payload": payloads,
+                }
+            )
+
+    return pdf.repartition(min(max(len(plan), 1), 32)).mapInPandas(
+        fetch,
+        "member_idx int, name string, sample_key string, field string,"
+        " size long, payload binary",
+    )
+
+
+# ------------------------------------------------------------- fixtures
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Plain ustar writer for fixtures (long names via GNU 'L')."""
+    out = bytearray()
+
+    def header(name: str, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        nb = name.encode()
+        h[0:100] = nb[:100].ljust(100, b"\x00")
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}".encode() + b"\x00"
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8  # checksum placeholder
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+        return bytes(h)
+
+    for name, body in members:
+        if len(name.encode()) > 100:
+            nb = name.encode() + b"\x00"
+            out += header("././@LongLink", len(nb), b"L")
+            out += nb.ljust((len(nb) + 511) // 512 * 512, b"\x00")
+        out += header(name, len(body), b"0")
+        out += body.ljust((len(body) + 511) // 512 * 512, b"\x00")
+    out += b"\x00" * 1024
+    return bytes(out)
