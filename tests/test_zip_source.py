@@ -1,0 +1,76 @@
+"""ZIP source: central-directory index + ranged member reads, cross-
+verified against stdlib ``zipfile`` archives (stored + deflate,
+comments, directory entries, hostile bytes)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from xcube_server_spark.sources.zip_source import (
+    build_zip_index,
+    ingest_zip_distributed,
+    read_zip_member,
+)
+from xcube_server_spark.sources.zarr_store import LocalStore
+
+
+def _make_zip(tmp_path, name="a.zip", comment=b"", stored=False):
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    members = {
+        f"data/{i:03d}.txt": f"member {i} {'w' * (20 + i)}".encode()
+        for i in range(7)
+    }
+    members["empty.bin"] = b""
+    with zipfile.ZipFile(buf, "w", compression=comp) as z:
+        z.mkdir("data")
+        for n, b in members.items():
+            z.writestr(n, b)
+        if comment:
+            z.comment = comment
+    (tmp_path / name).write_bytes(buf.getvalue())
+    return members
+
+
+@pytest.mark.parametrize("stored", [False, True])
+@pytest.mark.parametrize("comment", [b"", b"trailing archive comment"])
+def test_index_against_stdlib(tmp_path, stored, comment):
+    members = _make_zip(tmp_path, stored=stored, comment=comment)
+    store = LocalStore(str(tmp_path))
+    idx = build_zip_index(store, "a.zip")
+    assert {r["name"] for r in idx} == set(members)  # dirs skipped
+    for r in idx:
+        assert read_zip_member(store, "a.zip", r) == members[r["name"]]
+
+
+def test_distributed_ingest(spark, tmp_path):
+    members = _make_zip(tmp_path)
+    df = ingest_zip_distributed(spark, "local", str(tmp_path), "a.zip")
+    rows = {r["name"]: bytes(r["payload"]) for r in df.collect()}
+    assert rows == members
+
+
+def test_clear_errors(tmp_path):
+    _make_zip(tmp_path)
+    data = (tmp_path / "a.zip").read_bytes()
+    store = LocalStore(str(tmp_path))
+    # no EOCD
+    (tmp_path / "no.zip").write_bytes(data[: len(data) - 30])
+    with pytest.raises(ValueError, match="end-of-central-directory|signature"):
+        build_zip_index(store, "no.zip")
+    # encrypted flag set in a directory entry
+    bad = bytearray(data)
+    i = bad.find(b"PK\x01\x02")
+    bad[i + 8] |= 0x01
+    (tmp_path / "enc.zip").write_bytes(bytes(bad))
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        build_zip_index(store, "enc.zip")
+    # unsupported method
+    bad = bytearray(data)
+    bad[i + 10 : i + 12] = (12).to_bytes(2, "little")  # bzip2
+    (tmp_path / "bz.zip").write_bytes(bytes(bad))
+    with pytest.raises(NotImplementedError, match="method 12"):
+        build_zip_index(store, "bz.zip")

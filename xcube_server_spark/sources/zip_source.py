@@ -1,0 +1,205 @@
+"""ZIP archive source (central-directory index + ranged member reads).
+
+ZIP is the ranged-read archive par excellence: the end-of-central-
+directory record sits at the tail, the central directory lists every
+member's compressed span up front, and DEFLATE members decompress
+independently — so the DRIVER reads a few KB from the END of a
+multi-GB archive (no sequential pass at all, unlike tar/warc) and
+EXECUTORS ranged-GET exactly their members. Stored (method 0) and
+DEFLATE (method 8) members are supported — that is the entirety of
+what practical dataset zips use; encrypted members, other methods and
+spanned archives refuse loudly. ZIP64 EOCD/extra fields are handled
+for >4 GiB archives.
+
+Cross-verified both directions against the stdlib ``zipfile`` module
+(same pin as the tar source). Feeds the LLM-pipeline surface like
+``tar_source``/``warc``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_EOCD = b"PK\x05\x06"
+_EOCD64_LOC = b"PK\x06\x07"
+_EOCD64 = b"PK\x06\x06"
+_CDIR = b"PK\x01\x02"
+_LOCAL = b"PK\x03\x04"
+
+
+def is_zip(data: bytes) -> bool:
+    return data[:4] in (_LOCAL, _EOCD, b"PK\x07\x08")
+
+
+def _object_size(store, key: str) -> int:
+    """Binary-search the object's size through get_range (the store
+    protocol has no stat); doubles up then narrows — O(log n) probes."""
+    lo, hi = 0, 1
+    while store.get_range(key, hi - 1, 1):
+        lo, hi = hi, hi * 2
+        if hi > 1 << 50:
+            raise ValueError("object implausibly large")
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        if store.get_range(key, mid - 1, 1):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def build_zip_index(store, key: str, size: int | None = None) -> list[dict]:
+    """Tail-read the EOCD (+ ZIP64 records when present), walk the
+    central directory → ``{name, offset, csize, usize, method}`` rows.
+    ``offset`` points at the member's LOCAL header; executors re-read
+    its variable-length fields to find the data start."""
+    if size is None:
+        size = _object_size(store, key)
+    tail_len = min(size, 65557 + 20)  # max comment + EOCD64 locator
+    tail = store.get_range(key, size - tail_len, tail_len)
+    e = tail.rfind(_EOCD)
+    if e < 0:
+        raise ValueError("ZIP end-of-central-directory record not found")
+    (ndisk, cddisk, _n_here, n_total, cd_size, cd_off, _clen) = (
+        struct.unpack("<HHHHIIH", tail[e + 4 : e + 22])
+    )
+    if ndisk not in (0, 0xFFFF) or cddisk not in (0, 0xFFFF):
+        raise NotImplementedError("spanned (multi-disk) ZIP archives")
+    if 0xFFFFFFFF in (cd_size, cd_off) or n_total == 0xFFFF:
+        loc = tail.rfind(_EOCD64_LOC, 0, e)
+        if loc < 0:
+            raise ValueError("ZIP64 markers without an EOCD64 locator")
+        (eocd64_off,) = struct.unpack(
+            "<Q", tail[loc + 8 : loc + 16]
+        )
+        rec = store.get_range(key, eocd64_off, 56)
+        if rec[:4] != _EOCD64:
+            raise ValueError("ZIP64 EOCD signature mismatch")
+        n_total = struct.unpack("<Q", rec[32:40])[0]
+        cd_size = struct.unpack("<Q", rec[40:48])[0]
+        cd_off = struct.unpack("<Q", rec[48:56])[0]
+    cd = store.get_range(key, cd_off, cd_size)
+    if cd is None or len(cd) < cd_size:
+        raise ValueError("ZIP central directory unreadable")
+    out = []
+    pos = 0
+    for _ in range(n_total):
+        if cd[pos : pos + 4] != _CDIR:
+            raise ValueError(
+                f"ZIP central-directory entry signature missing at {pos}"
+            )
+        (flags, method) = struct.unpack("<HH", cd[pos + 8 : pos + 12])
+        csize, usize = struct.unpack("<II", cd[pos + 20 : pos + 28])
+        nlen, elen, clen = struct.unpack("<HHH", cd[pos + 28 : pos + 34])
+        (lofs,) = struct.unpack("<I", cd[pos + 42 : pos + 46])
+        name = cd[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        extra = cd[pos + 46 + nlen : pos + 46 + nlen + elen]
+        # ZIP64 extra field (id 1): 8-byte usize/csize/offset as needed
+        ep = 0
+        need64 = [v == 0xFFFFFFFF for v in (usize, csize, lofs)]
+        while ep + 4 <= len(extra):
+            fid, fln = struct.unpack("<HH", extra[ep : ep + 4])
+            if fid == 1:
+                vp = ep + 4
+                vals = []
+                for flag in need64:
+                    if flag:
+                        vals.append(
+                            struct.unpack("<Q", extra[vp : vp + 8])[0]
+                        )
+                        vp += 8
+                    else:
+                        vals.append(None)
+                usize = vals[0] if vals[0] is not None else usize
+                csize = vals[1] if vals[1] is not None else csize
+                lofs = vals[2] if vals[2] is not None else lofs
+            ep += 4 + fln
+        if flags & 0x01:
+            raise NotImplementedError(f"encrypted ZIP member {name!r}")
+        if method not in (0, 8):
+            raise NotImplementedError(
+                f"ZIP compression method {method} for {name!r} "
+                "(stored/deflate only)"
+            )
+        if not name.endswith("/"):
+            out.append(
+                {"name": name, "offset": lofs, "csize": csize,
+                 "usize": usize, "method": method}
+            )
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+def read_zip_member(store, key: str, row: dict) -> bytes:
+    """Executor-side: read one member via its local header + span."""
+    lh = store.get_range(key, row["offset"], 30)
+    if lh[:4] != _LOCAL:
+        raise ValueError(
+            f"ZIP local header signature missing at {row['offset']}"
+        )
+    nlen, elen = struct.unpack("<HH", lh[26:30])
+    data_off = row["offset"] + 30 + nlen + elen
+    raw = store.get_range(key, data_off, row["csize"])
+    if raw is None or len(raw) < row["csize"]:
+        raise ValueError(f"ZIP member {row['name']!r} span unreadable")
+    if row["method"] == 0:
+        body = raw
+    else:
+        body = zlib.decompress(raw, wbits=-15)
+    if len(body) != row["usize"]:
+        raise ValueError(
+            f"ZIP member {row['name']!r} inflates to {len(body)} bytes, "
+            f"directory declares {row['usize']}"
+        )
+    return body
+
+
+def ingest_zip_distributed(spark, store_kind: str, root: str, key: str):
+    """ZIP → DataFrame(member_idx, name, size, payload): the driver
+    tail-reads EOCD + central directory only; executors ranged-GET and
+    inflate their members independently."""
+    from .tiff import _make_store
+
+    store = _make_store(store_kind, root)
+    index = build_zip_index(store, key)
+    plan = [
+        (i, r["name"], r["offset"], r["csize"], r["usize"], r["method"])
+        for i, r in enumerate(index)
+    ]
+    pdf = spark.createDataFrame(
+        plan,
+        "member_idx int, name string, off long, csize long,"
+        " usize long, method int",
+    )
+
+    def fetch(iterator):
+        import pandas as pd
+
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            idxs, names, sizes, payloads = [], [], [], []
+            for r in batch.itertuples(index=False):
+                body = read_zip_member(
+                    st, key,
+                    {"name": r.name, "offset": int(r.off),
+                     "csize": int(r.csize), "usize": int(r.usize),
+                     "method": int(r.method)},
+                )
+                idxs.append(int(r.member_idx))
+                names.append(r.name)
+                sizes.append(len(body))
+                payloads.append(body)
+            yield pd.DataFrame(
+                {
+                    "member_idx": idxs,
+                    "name": names,
+                    "size": sizes,
+                    "payload": payloads,
+                }
+            )
+
+    return pdf.repartition(min(max(len(plan), 1), 32)).mapInPandas(
+        fetch,
+        "member_idx int, name string, size long, payload binary",
+    )
