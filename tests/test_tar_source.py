@@ -83,3 +83,14 @@ def test_clear_errors(tmp_path):
     (tmp_path / "trunc.tar").write_bytes(data[: len(data) - 1100])
     with pytest.raises(ValueError, match="truncated"):
         build_tar_index(LocalStore(str(tmp_path)), "trunc.tar")
+
+
+def test_tar_ingest_over_http_range(spark, tmp_path):
+    from xcube_server_spark.registry.cube_queries import _serve_dir_http
+
+    members = [(f"{i:04d}.txt", f"doc {i}".encode()) for i in range(3)]
+    (tmp_path / "h.tar").write_bytes(build_tar(members))
+    url = _serve_dir_http(str(tmp_path))
+    df = ingest_tar_distributed(spark, "http", url, "h.tar")
+    rows = {r["name"]: bytes(r["payload"]) for r in df.collect()}
+    assert rows == dict(members)

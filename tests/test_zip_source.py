@@ -74,3 +74,13 @@ def test_clear_errors(tmp_path):
     (tmp_path / "bz.zip").write_bytes(bytes(bad))
     with pytest.raises(NotImplementedError, match="method 12"):
         build_zip_index(store, "bz.zip")
+
+
+def test_zip_ingest_over_http_range(spark, tmp_path):
+    from xcube_server_spark.registry.cube_queries import _serve_dir_http
+
+    members = _make_zip(tmp_path, name="h.zip")
+    url = _serve_dir_http(str(tmp_path))
+    df = ingest_zip_distributed(spark, "http", url, "h.zip")
+    rows = {r["name"]: bytes(r["payload"]) for r in df.collect()}
+    assert rows == members

@@ -3,9 +3,10 @@
 ZIP is the ranged-read archive par excellence: the end-of-central-
 directory record sits at the tail, the central directory lists every
 member's compressed span up front, and DEFLATE members decompress
-independently — so the DRIVER reads a few KB from the END of a
-multi-GB archive (no sequential pass at all, unlike tar/warc) and
-EXECUTORS ranged-GET exactly their members. Stored (method 0) and
+independently — so the DRIVER makes ONE suffix-range read from the end
+of a multi-GB archive (no sequential pass at all, unlike tar/warc; the
+``bytes=-N`` form both store flavors honor, so not even the object
+size is needed) and EXECUTORS ranged-GET exactly their members. Stored (method 0) and
 DEFLATE (method 8) members are supported — that is the entirety of
 what practical dataset zips use; encrypted members, other methods and
 spanned archives refuse loudly. ZIP64 EOCD/extra fields are handled
@@ -32,32 +33,17 @@ def is_zip(data: bytes) -> bool:
     return data[:4] in (_LOCAL, _EOCD, b"PK\x07\x08")
 
 
-def _object_size(store, key: str) -> int:
-    """Binary-search the object's size through get_range (the store
-    protocol has no stat); doubles up then narrows — O(log n) probes."""
-    lo, hi = 0, 1
-    while store.get_range(key, hi - 1, 1):
-        lo, hi = hi, hi * 2
-        if hi > 1 << 50:
-            raise ValueError("object implausibly large")
-    while lo + 1 < hi:
-        mid = (lo + hi) // 2
-        if store.get_range(key, mid - 1, 1):
-            lo = mid
-        else:
-            hi = mid
-    return lo
-
-
-def build_zip_index(store, key: str, size: int | None = None) -> list[dict]:
-    """Tail-read the EOCD (+ ZIP64 records when present), walk the
-    central directory → ``{name, offset, csize, usize, method}`` rows.
-    ``offset`` points at the member's LOCAL header; executors re-read
-    its variable-length fields to find the data start."""
-    if size is None:
-        size = _object_size(store, key)
-    tail_len = min(size, 65557 + 20)  # max comment + EOCD64 locator
-    tail = store.get_range(key, size - tail_len, tail_len)
+def build_zip_index(store, key: str) -> list[dict]:
+    """SUFFIX-read the EOCD (+ ZIP64 records when present) — both store
+    flavors honor ``bytes=-N`` semantics, so no stat / object size is
+    needed — then walk the central directory →
+    ``{name, offset, csize, usize, method}`` rows. ``offset`` points at
+    the member's LOCAL header; executors re-read its variable-length
+    fields to find the data start."""
+    tail_len = 65557 + 20  # max EOCD + comment + ZIP64 locator
+    tail = store.get_range(key, -tail_len, tail_len)
+    if not tail:
+        raise ValueError(f"ZIP object {key!r} unreadable")
     e = tail.rfind(_EOCD)
     if e < 0:
         raise ValueError("ZIP end-of-central-directory record not found")
