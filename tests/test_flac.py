@@ -251,3 +251,49 @@ def test_multimodal_audio_dispatch():
     assert np.allclose(wave, sig / 32768.0, atol=1e-7)
     with pytest.raises(NotImplementedError, match="lossy"):
         decode_audio(b"\xff\xfb" + b"\x00" * 64, 16000)  # MP3 magic
+
+
+def test_frame_sample_size_disagrees_with_streaminfo():
+    """A frame legitimately declaring its own (different) bit depth must
+    refuse LOUDLY (mixed-depth contract), not mis-parse into a CRC error.
+    ss_code 0 still defers to STREAMINFO."""
+    data = bytearray(encode_flac(np.arange(100, dtype=np.int64), 8000))
+    # metadata: "fLaC" + one STREAMINFO block (4-byte header + 34 bytes)
+    frame_start = 4 + 4 + 34
+    assert data[frame_start] == 0xFF  # sync
+    hdr = data[frame_start:]
+    # byte 3 = ch_code(4) | ss_code(3) | reserved(1): force ss_code 2 (12-bit)
+    old = hdr[3]
+    assert (old >> 1) & 0x07 == 4  # encoder wrote 16-bit code
+    new3 = (old & 0xF1) | (2 << 1)
+    data[frame_start + 3] = new3
+    # header: 4 fixed bytes + utf8 ordinal (1 byte, frame 0) + 16-bit
+    # blocksize tail (encoder writes bs_code 7), then CRC-8
+    crc8_pos = frame_start + 7
+    data[crc8_pos] = _crc8(bytes(data[frame_start:crc8_pos]))
+    # recompute trailing frame CRC-16 (last 2 bytes of stream)
+    body = bytes(data[frame_start:-2])
+    data[-2:] = struct.pack(">H", _crc16(body))
+    with pytest.raises(NotImplementedError, match="12-bit.*16-bit"):
+        decode_flac(bytes(data))
+
+
+def test_probe_audio_zero_block_align_raises():
+    """Malformed WAV fmt with block_align=0 or rate=0 must raise the
+    module's loud ValueError, not ZeroDivisionError."""
+    from xcube_server_spark.pipeline.multimodal import probe_audio
+
+    import struct as _s
+
+    def wav(rate, block_align):
+        fmt = _s.pack("<HHIIHH", 1, 1, rate, rate * 2, block_align, 16)
+        data = b"\x00\x00" * 8
+        riff = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        riff += b"data" + _s.pack("<I", len(data)) + data
+        return b"RIFF" + _s.pack("<I", len(riff)) + riff
+
+    assert probe_audio(wav(8000, 2))[0] == "wav"
+    with pytest.raises(ValueError, match="zero block_align/rate"):
+        probe_audio(wav(8000, 0))
+    with pytest.raises(ValueError, match="zero block_align/rate"):
+        probe_audio(wav(0, 2))

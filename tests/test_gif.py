@@ -140,3 +140,90 @@ def test_frame_beyond_screen_and_bad_index_raise():
         decode_gif(bytes(g))
     with pytest.raises(ValueError):
         encode_gif(np.full((2, 2), 7, np.uint8), pal)  # index > palette
+
+
+def _anim_pal():
+    return np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+
+
+def test_animation_delta_frames_composite():
+    """Frame k>0 must composite over the PRIOR frames (disposal 0/1),
+    not over bare background — the delta-frame shape real GIFs use."""
+    from xcube_server_spark.sources.gif import encode_gif_animation
+
+    pal = _anim_pal()
+    f0 = np.full((4, 4), 1, np.uint8)  # red everywhere
+    f1 = np.full((2, 2), 2, np.uint8)  # small green patch at (1,1)
+    data = encode_gif_animation(
+        (4, 4), pal,
+        [{"indices": f0, "disposal": 1},
+         {"indices": f1, "left": 1, "top": 1, "disposal": 0}],
+    )
+    assert gif_frame_count(data) == 2
+    img = decode_gif(data, 1)
+    # untouched corner keeps frame 0's red (NOT background black)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [0, 255, 0]
+    assert img[3, 3].tolist() == [255, 0, 0]
+
+
+def test_animation_disposal_background_restore():
+    """Disposal 2 clears the frame's rect back to the background color
+    before the next frame renders."""
+    from xcube_server_spark.sources.gif import encode_gif_animation
+
+    pal = _anim_pal()
+    f0 = np.full((4, 4), 1, np.uint8)          # red, disposal 2
+    f1 = np.full((1, 1), 2, np.uint8)          # one green pixel at (0,0)
+    data = encode_gif_animation(
+        (4, 4), pal,
+        [{"indices": f0, "disposal": 2},
+         {"indices": f1, "disposal": 0}],
+        background=3,  # blue background
+    )
+    img = decode_gif(data, 1)
+    assert img[0, 0].tolist() == [0, 255, 0]
+    # rest restored to background blue, not frame 0's red
+    assert img[2, 2].tolist() == [0, 0, 255]
+
+
+def test_animation_disposal_restore_previous():
+    """Disposal 3 restores the canvas to its pre-frame state."""
+    from xcube_server_spark.sources.gif import encode_gif_animation
+
+    pal = _anim_pal()
+    f0 = np.full((4, 4), 1, np.uint8)   # red base, keep
+    f1 = np.full((4, 4), 2, np.uint8)   # green overlay, restore-previous
+    f2 = np.full((1, 1), 3, np.uint8)   # one blue pixel
+    data = encode_gif_animation(
+        (4, 4), pal,
+        [{"indices": f0, "disposal": 1},
+         {"indices": f1, "disposal": 3},
+         {"indices": f2, "disposal": 0}],
+    )
+    img2 = decode_gif(data, 2)
+    assert img2[0, 0].tolist() == [0, 0, 255]
+    # green overlay was disposed back to red before frame 2
+    assert img2[2, 2].tolist() == [255, 0, 0]
+    # frame 1 itself still shows green when asked for directly
+    assert decode_gif(data, 1)[2, 2].tolist() == [0, 255, 0]
+
+
+def test_animation_transparency_shows_composited_state():
+    """Transparent pixels in frame k reveal the composited frames below,
+    not the raw background."""
+    from xcube_server_spark.sources.gif import encode_gif_animation
+
+    pal = _anim_pal()
+    f0 = np.full((2, 2), 1, np.uint8)                  # red base
+    f1 = np.array([[0, 2], [2, 0]], np.uint8)          # 0 = transparent
+    data = encode_gif_animation(
+        (2, 2), pal,
+        [{"indices": f0, "disposal": 1},
+         {"indices": f1, "transparent": 0}],
+    )
+    img = decode_gif(data, 1)
+    assert img[0, 0].tolist() == [255, 0, 0]  # transparent -> red below
+    assert img[0, 1].tolist() == [0, 255, 0]

@@ -58,6 +58,8 @@ def test_our_index_reads_stdlib_tars(tmp_path, fmt):
 
 def test_webdataset_grouping():
     assert _sample_key("shard/0001.jpg") == ("shard/0001", "jpg")
+    assert _sample_key("shard/0001.seg.png") == ("shard/0001", "seg.png")
+    assert _sample_key("a/0001.json.gz") == ("a/0001", "json.gz")
     assert _sample_key("a/b/0001.JSON") == ("a/b/0001", "json")
     assert _sample_key("noext") == ("noext", "")
 

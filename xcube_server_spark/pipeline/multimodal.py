@@ -299,6 +299,8 @@ def probe_audio(payload: bytes) -> tuple[str, float, int]:
         if fmt is None or dlen is None:
             raise ValueError("WAV missing fmt/data chunk")
         _, _n_ch, rate, _, block_align, _ = fmt
+        if block_align == 0 or rate == 0:
+            raise ValueError("WAV fmt declares zero block_align/rate")
         return "wav", dlen / (block_align * rate), rate
     if payload[:4] == b"fLaC":
         from ..sources.flac import _Bits

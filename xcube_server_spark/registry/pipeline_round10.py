@@ -35,8 +35,10 @@ def _strip_html(col):
     t = F.regexp_replace(col, "(?s)<script[^>]*>.*?</script>", " ")
     t = F.regexp_replace(t, "(?s)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, "<[^>]*>", " ")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&#39;", "'")):
+    # '&amp;' LAST: double-escaped entities ('&amp;lt;') must surface as
+    # the literal text '&lt;', not double-unescape to '<'.
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, _WS, " "))
 
@@ -82,8 +84,8 @@ WITH html AS (
                                 'g'),
                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', chr(39)),
+             '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
            '[ \\t\\n\\r\\f]+', ' ', 'g')) AS t
   FROM html
 )
@@ -264,8 +266,8 @@ WITH recs AS (
                                 ' ', 'g'),
                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', chr(39)),
+             '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
            '[ \\t\\n\\r\\f]+', ' ', 'g')) AS t
   FROM recs
 )

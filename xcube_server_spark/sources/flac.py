@@ -267,21 +267,37 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
             br.read(16)
         elif sr_code == 15:
             raise ValueError("FLAC sample rate code 15 is invalid")
-        if ss_code not in (0, 1, 2, 4, 5, 6):
+        # ss_code 0 defers to STREAMINFO; otherwise the frame declares its
+        # own bit depth, which must be used for subframe decode (a frame
+        # may legitimately differ from STREAMINFO).
+        _SS_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+        if ss_code == 0:
+            frame_bps = bps
+        elif ss_code in _SS_BITS:
+            frame_bps = _SS_BITS[ss_code]
+        else:
             raise NotImplementedError(f"FLAC sample size code {ss_code}")
         br.align()
         crc8 = br.read(8)
         if _crc8(data[hstart : br.p - 1]) != crc8:
             raise ValueError("FLAC frame header CRC-8 mismatch")
+        if frame_bps != bps:
+            # The decode contract returns one uniform bit depth; a frame
+            # declaring a different depth would change the sample scale.
+            raise NotImplementedError(
+                f"FLAC frame declares {frame_bps}-bit samples but "
+                f"STREAMINFO declares {bps}-bit — mixed-depth streams "
+                "unsupported"
+            )
         if ch_code < 8:
             if ch_code + 1 != nch:
                 raise ValueError("FLAC frame channel count != STREAMINFO")
-            subs = [_read_subframe(br, n, bps) for _ in range(nch)]
+            subs = [_read_subframe(br, n, frame_bps) for _ in range(nch)]
         elif ch_code in (8, 9, 10):
             if nch != 2:
                 raise ValueError("FLAC stereo decorrelation needs 2 channels")
-            b0 = bps + (1 if ch_code == 9 else 0)
-            b1 = bps + (1 if ch_code in (8, 10) else 0)
+            b0 = frame_bps + (1 if ch_code == 9 else 0)
+            b1 = frame_bps + (1 if ch_code in (8, 10) else 0)
             s0 = _read_subframe(br, n, b0)
             s1 = _read_subframe(br, n, b1)
             if ch_code == 8:  # left/side

@@ -199,6 +199,7 @@ def _parse(data: bytes):
         gct, pos = _parse_color_table(data, pos, 2 << (packed & 0x07))
     frames = []
     transparent = None
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -212,6 +213,7 @@ def _parse(data: bytes):
             body, pos = _sub_blocks(data, pos)
             if label == 0xF9 and len(body) >= 4:  # graphic control
                 transparent = body[3] if body[0] & 0x01 else None
+                disposal = (body[0] >> 2) & 0x07
             continue
         if b == 0x2C:  # image descriptor
             left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
@@ -233,9 +235,11 @@ def _parse(data: bytes):
                     "indices": idx,
                     "palette": lct if lct is not None else gct,
                     "transparent": transparent,
+                    "disposal": disposal,
                 }
             )
             transparent = None
+            disposal = 0
             continue
         raise ValueError(f"unknown GIF block introducer 0x{b:02X}")
     if not frames:
@@ -247,20 +251,10 @@ def gif_frame_count(data: bytes) -> int:
     return len(_parse(data)[4])
 
 
-def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
-    """Decode one GIF frame composited onto the logical screen as an
-    (h, w, 3) uint8 RGB array: background-color fill, frame offset
-    honored, transparent-index pixels left showing the background."""
-    sw, sh, gct, bg, frames = _parse(data)
-    if not 0 <= frame < len(frames):
-        raise ValueError(f"GIF has {len(frames)} frames, asked for {frame}")
-    fr = frames[frame]
+def _draw_frame(canvas: np.ndarray, sw: int, sh: int, fr: dict) -> None:
     pal = fr["palette"]
     if pal is None:
         raise ValueError("GIF frame has neither local nor global palette")
-    canvas = np.zeros((sh, sw, 3), np.uint8)
-    if gct is not None and bg < len(gct):
-        canvas[:, :] = gct[bg]
     idx = fr["indices"]
     if idx.max(initial=0) >= len(pal):
         raise ValueError("GIF pixel index beyond palette")
@@ -275,6 +269,38 @@ def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
         region[mask] = rgb[mask]
     else:
         region[:, :] = rgb
+
+
+def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
+    """Decode GIF frame ``frame`` as an (h, w, 3) uint8 RGB array of the
+    logical screen. Animated GIFs encode later frames as deltas, so frames
+    0..``frame`` are composited in order honoring each frame's Graphic
+    Control disposal method (0/1 keep, 2 restore-to-background, 3
+    restore-to-previous); transparent-index pixels let the composited
+    state below show through."""
+    sw, sh, gct, bg, frames = _parse(data)
+    if not 0 <= frame < len(frames):
+        raise ValueError(f"GIF has {len(frames)} frames, asked for {frame}")
+    background = np.zeros(3, np.uint8)
+    if gct is not None and bg < len(gct):
+        background = gct[bg]
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = background
+    for i in range(frame + 1):
+        fr = frames[i]
+        disposal = fr["disposal"]
+        if disposal > 3:
+            raise ValueError(f"GIF reserved disposal method {disposal}")
+        prev = canvas.copy() if (disposal == 3 and i < frame) else None
+        _draw_frame(canvas, sw, sh, fr)
+        if i < frame:  # disposal applies after display, before next frame
+            if disposal == 2:
+                fh, fw = fr["indices"].shape
+                canvas[
+                    fr["top"] : fr["top"] + fh, fr["left"] : fr["left"] + fw
+                ] = background
+            elif disposal == 3:
+                canvas = prev
     return canvas
 
 
@@ -318,4 +344,52 @@ def encode_gif(
         chunk = lzw[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    screen: tuple[int, int],
+    palette: np.ndarray,
+    frames: list[dict],
+    background: int = 0,
+) -> bytes:
+    """Encode a multi-frame GIF89a for fixtures: ``screen`` is (w, h),
+    each frame dict holds ``indices`` (h, w uint8), ``left``/``top``
+    offsets, ``disposal`` (0-3) and optional ``transparent`` index — the
+    delta-frame shapes real animated GIFs use, so the compositing path in
+    :func:`decode_gif` can be pinned against known canvases."""
+    palette = np.asarray(palette, np.uint8)
+    w, h = screen
+    n = len(palette)
+    if n < 2 or n > 256:
+        raise ValueError("palette must hold 2..256 colors")
+    size_exp = max(1, (n - 1).bit_length())
+    full = np.zeros((1 << size_exp, 3), np.uint8)
+    full[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((size_exp - 1) & 0x07), background & 0xFF, 0])
+    out += full.tobytes()
+    for fr in frames:
+        idx = np.asarray(fr["indices"], np.uint8)
+        fh, fw = idx.shape
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        disposal = fr.get("disposal", 0)
+        transparent = fr.get("transparent")
+        packed = (disposal & 0x07) << 2
+        tix = 0
+        if transparent is not None:
+            packed |= 0x01
+            tix = transparent & 0xFF
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0, tix, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out += b"\x00"  # no LCT, no interlace
+        min_size = max(2, size_exp)
+        out += bytes([min_size])
+        lzw = _lzw_encode(min_size, idx.reshape(-1))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -121,11 +121,15 @@ def build_tar_index(store, key: str) -> list[dict]:
 
 
 def _sample_key(name: str) -> tuple[str, str]:
-    """WebDataset grouping: key = path without the (last) extension,
-    field = the extension."""
+    """WebDataset grouping: the basename splits at its FIRST dot, so
+    multi-extension fields stay in one sample — ``0001.seg.png`` is
+    sample ``0001`` with field ``seg.png`` (webdataset's documented
+    convention), not sample ``0001.seg``."""
     base = posixpath.normpath(name)
-    stem, ext = os.path.splitext(base)
-    return stem, ext.lstrip(".").lower()
+    head, _, fname = base.rpartition("/")
+    stem, _, ext = fname.partition(".")
+    key = f"{head}/{stem}" if head else stem
+    return key, ext.lower()
 
 
 def ingest_tar_distributed(spark, store_kind: str, root: str, key: str):
