@@ -1,0 +1,198 @@
+"""Splittable compressed JSONL source (``sources/jsonl.py``): seekable
+seek-table fast path vs no-decompress header walk parity, stdlib
+gzip/json and pyarrow c-zstd cross-verification, the line-boundary
+refusal contract, and the two-stage distributed ingest end to end."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+
+import pytest
+
+from xcube_server_spark.sources.jsonl import (
+    build_jsonl_gz,
+    build_jsonl_gz_index,
+    build_jsonl_index,
+    build_jsonl_zst,
+    build_jsonl_zst_index,
+    chunk_lines,
+    decompress_chunk,
+    ingest_jsonl_corpus,
+)
+from xcube_server_spark.sources.zstd_codec import zstd_compress
+
+try:
+    import pyarrow as pa
+
+    _CZSTD = pa.Codec("zstd", 3)
+except Exception:  # pragma: no cover
+    _CZSTD = None
+
+
+class _MemStore:
+    def __init__(self, objs: dict[str, bytes]):
+        self.objs = objs
+        self.range_calls = 0
+
+    def get_range(self, key, start, length):
+        data = self.objs.get(key)
+        if data is None:
+            return None
+        self.range_calls += 1
+        if start < 0:
+            start = max(0, len(data) + start)
+        return data[start : start + length]
+
+
+def _lines(n: int) -> list[bytes]:
+    return [
+        json.dumps(
+            {"id": i, "lang": ["en", "de", "fr"][i % 3],
+             "text": f"doc {i} " + "tok " * (3 + i % 7) + "end"}
+        ).encode()
+        for i in range(n)
+    ]
+
+
+def test_gz_member_index_and_stdlib_crosscheck():
+    lines = _lines(30)
+    blob = build_jsonl_gz(lines, lines_per_member=4)
+    # stdlib reads the concatenated members as one stream
+    assert gzip.decompress(blob) == b"".join(ln + b"\n" for ln in lines)
+    st = _MemStore({"d.jsonl.gz": blob})
+    idx = build_jsonl_gz_index(st, "d.jsonl.gz")
+    assert len(idx) == 8  # ceil(30/4)
+    assert idx[0]["offset"] == 0
+    assert sum(r["length"] for r in idx) == len(blob)
+    got = []
+    for i, r in enumerate(idx):
+        raw = blob[r["offset"] : r["offset"] + r["length"]]
+        text = decompress_chunk(raw, "gz")
+        assert len(text) == r["content_size"]
+        got += chunk_lines(text, i == len(idx) - 1)
+    assert got == lines
+
+
+def test_zst_seek_table_equals_header_walk():
+    lines = _lines(23)
+    with_table = build_jsonl_zst(lines, lines_per_frame=5, seekable=True)
+    without = build_jsonl_zst(lines, lines_per_frame=5, seekable=False)
+    st1 = _MemStore({"a": with_table})
+    st2 = _MemStore({"a": without})
+    i1 = build_jsonl_zst_index(st1, "a")
+    i2 = build_jsonl_zst_index(st2, "a")
+    assert [(r["offset"], r["length"]) for r in i1] == [
+        (r["offset"], r["length"]) for r in i2
+    ]
+    assert len(i1) == 5  # ceil(23/5)
+    # seek-table path needs exactly TWO suffix reads (footer + table)
+    assert st1.range_calls == 2
+    # chunks decode independently and reassemble the corpus
+    got = []
+    for i, r in enumerate(i1):
+        text = decompress_chunk(
+            with_table[r["offset"] : r["offset"] + r["length"]], "zst"
+        )
+        assert len(text) == r["content_size"]
+        got += chunk_lines(text, i == len(i1) - 1)
+    assert got == lines
+
+
+@pytest.mark.skipif(_CZSTD is None, reason="pyarrow zstd absent")
+def test_zst_frames_crosscheck_real_zstd():
+    """Every fixture frame decompresses identically under pyarrow's
+    bundled c-zstd — the writer emits standard frames."""
+    lines = _lines(11)
+    blob = build_jsonl_zst(lines, lines_per_frame=4, seekable=True)
+    st = _MemStore({"a": blob})
+    for r in build_jsonl_zst_index(st, "a"):
+        raw = blob[r["offset"] : r["offset"] + r["length"]]
+        ours = decompress_chunk(raw, "zst")
+        theirs = _CZSTD.decompress(raw, r["content_size"])
+        assert bytes(theirs) == ours
+
+
+def test_header_walk_skips_interleaved_skippable_frames():
+    lines = _lines(8)
+    f1 = zstd_compress(b"".join(ln + b"\n" for ln in lines[:4]))
+    f2 = zstd_compress(b"".join(ln + b"\n" for ln in lines[4:]))
+    skip = struct.pack("<II", 0x184D2A50, 5) + b"hello"
+    blob = skip + f1 + skip + f2
+    st = _MemStore({"a": blob})
+    idx = build_jsonl_zst_index(st, "a")
+    assert [(r["offset"], r["length"]) for r in idx] == [
+        (len(skip), len(f1)), (2 * len(skip) + len(f1), len(f2))
+    ]
+
+
+def test_line_boundary_violation_refuses():
+    # frame boundary mid-line: a frame whose text lacks the trailing \n
+    a = zstd_compress(b'{"id": 0, "te')
+    b = zstd_compress(b'xt": "rest"}\n')
+    st = _MemStore({"a": a + b})
+    idx = build_jsonl_zst_index(st, "a")
+    assert len(idx) == 2
+    text = decompress_chunk(a, "zst")
+    with pytest.raises(ValueError, match="splits a JSONL line"):
+        chunk_lines(text, is_last=False)
+    # the FINAL chunk may legally lack a trailing newline
+    assert chunk_lines(b"tail-line", is_last=True) == [b"tail-line"]
+
+
+def test_sniff_dispatch_and_refusal():
+    lines = _lines(4)
+    st = _MemStore(
+        {
+            "a.jsonl.gz": build_jsonl_gz(lines, 2),
+            "a.jsonl.zst": build_jsonl_zst(lines, 2),
+            "a.jsonl": b'{"id": 0}\n',
+        }
+    )
+    assert {r["codec"] for r in build_jsonl_index(st, "a.jsonl.gz")} == {"gz"}
+    assert {r["codec"] for r in build_jsonl_index(st, "a.jsonl.zst")} == {"zst"}
+    with pytest.raises(NotImplementedError, match="neither gzip nor zstd"):
+        build_jsonl_index(st, "a.jsonl")
+
+
+def test_truncated_and_hostile_bytes_raise():
+    lines = _lines(6)
+    blob = build_jsonl_zst(lines, 3, seekable=False)
+    st = _MemStore({"t": blob[:-7]})
+    with pytest.raises(ValueError):
+        build_jsonl_zst_index(st, "t")
+    bad = bytearray(build_jsonl_zst(lines, 3, seekable=True))
+    bad[-9:-5] = struct.pack("<I", 99)  # lie about the frame count
+    with pytest.raises(ValueError):
+        build_jsonl_zst_index(_MemStore({"t": bytes(bad)}), "t")
+
+
+def test_distributed_ingest_end_to_end(spark, tmp_path):
+    """Two shards (one .gz, one .zst) through the two-stage executor
+    ingest — parsed back and compared against stdlib json row by row."""
+    lines = _lines(40)
+    (tmp_path / "part0.jsonl.zst").write_bytes(
+        build_jsonl_zst(lines[:25], lines_per_frame=6)
+    )
+    (tmp_path / "part1.jsonl.gz").write_bytes(
+        build_jsonl_gz(lines[25:], lines_per_member=7)
+    )
+    df = ingest_jsonl_corpus(
+        spark, "local", str(tmp_path),
+        ["part0.jsonl.zst", "part1.jsonl.gz"], parallelism=8,
+    )
+    rows = df.collect()
+    assert len(rows) == 40
+    got = sorted(
+        (json.loads(r.line)["id"], r.key, r.chunk_idx, r.line_no)
+        for r in rows
+    )
+    ids = [g[0] for g in got]
+    assert ids == list(range(40))
+    # chunk/line coordinates reconstruct the original order
+    assert got[0][1:] == ("part0.jsonl.zst", 0, 0)
+    assert got[24][1:] == ("part0.jsonl.zst", 4, 0)  # 25th line, frame 4
+    assert got[25][1:] == ("part1.jsonl.gz", 0, 0)
+    for i, r in zip(ids, sorted(rows, key=lambda r: json.loads(r.line)["id"])):
+        assert json.loads(r.line) == json.loads(lines[i])

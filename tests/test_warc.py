@@ -117,3 +117,31 @@ def test_warc_ingest_over_http_range(spark, tmp_path):
     rows = {r["record_idx"]: bytes(r["payload"]) for r in df.collect()}
     assert len(rows) == 8
     assert rows[2] == recs[2]["body"]
+
+
+def test_zst_index_and_ingest(spark, tmp_path):
+    """Frame-per-record .warc.zst: the no-decompress frame walk finds
+    the same records as the gzip twin; distributed ingest decodes them."""
+    recs = _recs(5)
+    blob = build_warc(recs, zst=True)
+    (tmp_path / "z.warc.zst").write_bytes(blob)
+    st = LocalStore(str(tmp_path))
+    idx = build_warc_index(st, "z.warc.zst")
+    assert len(idx) == len(recs)
+    assert idx[0]["offset"] == 0
+    assert sum(r["length"] for r in idx) == len(blob)
+    assert [r["warc_type"] for r in idx] == [r["warc_type"] for r in recs]
+    df = ingest_warc_distributed(spark, "local", str(tmp_path),
+                                 "z.warc.zst")
+    rows = {r["record_idx"]: bytes(r["payload"]) for r in df.collect()}
+    assert len(rows) == len(recs)
+    for i, r in enumerate(recs):
+        assert rows[i] == r["body"]
+
+
+def test_zst_truncated_refuses(tmp_path):
+    recs = _recs(3)
+    blob = build_warc(recs, zst=True)
+    (tmp_path / "t.warc.zst").write_bytes(blob[:-9])
+    with pytest.raises(ValueError):
+        build_warc_index(LocalStore(str(tmp_path)), "t.warc.zst")

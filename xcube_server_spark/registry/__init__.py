@@ -27,6 +27,7 @@ from . import (
     pipeline_round8f,
     pipeline_round9,
     pipeline_round10,
+    pipeline_round11,
     relational,
     relational_ext,
     streaming_queries,
@@ -52,6 +53,7 @@ for _m in (
     pipeline_round8f,
     pipeline_round9,
     pipeline_round10,
+    pipeline_round11,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -59,95 +61,35 @@ for _m in (
 
 # Explicit registry order. The driver's correctness gate checks the FIRST 50
 # entries of queries() against the DuckDB oracle, so the window is rebuilt
-# each round to maximize hard signal. Round 10 rotation, by the documented
+# each round to maximize hard signal. Round 11 rotation, by the documented
 # policy (new-first, changed-first, then stalest, alphabetical within a
 # vintage):
-# (a0) NEW this round: grib2_j2k97_ingest_stats — GRIB2 template 5.40
-# compression type 1 (lossy irreversible 9/7 + QCD style-2 scalar
-# dequantization) with a tolerance-free integer pin and a
-# position-weighted checksum — html_text_extract (regexp-chain
-# HTML-to-text, JVM-side, RE2-compatible patterns) — and
-# media_meta_probe (container-metadata curation over mixed WAV/FLAC/
-# MP3 assets: chunk sizes / STREAMINFO / frame-header walk, no sample
-# decode) — warc_ingest_stats (the Common Crawl front door:
-# member-per-record .warc.gz, driver index pass + executor ranged
-# reads, composed with the shared HTML extraction) — and
-# webdataset_ingest_stats (TAR-shard multimodal samples: header-hop
-# index, per-sample regroup, real PNG decode; the tar machinery is
-# cross-verified both directions against stdlib tarfile).
-# (a) queries whose CODE PATH or FIXTURE changed this round and must
-# re-prove: multimodal_decode_stats (fixture v5: +4 GIF, +4 lossless
-# WebP assets — the new pure-Python gif.py/webp.py codecs — oracle
-# gained gif+webp CTEs), multimodal_audio_stats (wav.py
-# WAVE_FORMAT_EXTENSIBLE + truncation guard; +3 FLAC assets through
-# the new flac.py decoder), grib2_png_ingest_stats (template 7.41
-# decode reassembles multi-channel PNGs; writer depth ladder 24/32)
-# and grib2_j2k_ingest_stats (decode_j2k parses + validates QCD
-# per-band exponents).
-# (b) the STALEST driver-green rows: ALL 25 remaining r04-vintage
-# queries, then the first 21 r06-vintage rows alphabetically.
-# Everything past position 50 is overflow: multiply-green in prior
-# rounds AND re-proven by the local DuckDB-oracle replica
-# (tests/test_correctness.py) on every pytest run. The remaining r06
-# rows (dsir_importance .. winsorized_mean) head the r11 rotation,
-# then r07 vintage.
+# (a0) NEW this round: jsonl_zst_ingest_stats / jsonl_gz_ingest_stats
+# (splittable compressed JSONL corpus shards: seekable-zstd seek table,
+# no-decompress frame walk, gzip member walk — sources/jsonl.py) and
+# warc_zst_ingest_stats (frame-per-record .warc.zst).
+# (b) queries whose CODE PATH or ORACLE changed this round and must
+# re-prove: warc_ingest_stats + html_text_extract (the _strip_html
+# entity chain now unescapes '&amp;' LAST, both engines),
+# webdataset_ingest_stats (sample keys split the basename at its FIRST
+# dot), multimodal_decode_stats (GIF decode composites animation frames
+# honoring disposal), multimodal_audio_stats (FLAC per-frame sample-size
+# handling).
+# (c) the STALEST driver-green rows: the 31 remaining r06-vintage
+# queries (dedup_lsh_verify .. winsorized_mean), then r07 vintage
+# alphabetically to the cut. Everything past position 50 is overflow:
+# multiply-green in prior rounds AND re-proven by the local DuckDB-oracle
+# replica (tests/test_correctness.py) on every pytest run. The remaining
+# r07 rows (fanout_ranges .. zarr_v3_ingest_stats) head the r12 rotation.
 _PRIORITY = [
-    # (a0) new in round 10
-    "grib2_j2k97_ingest_stats",
-    "html_text_extract",
-    "media_meta_probe",
+    "jsonl_zst_ingest_stats",
+    "jsonl_gz_ingest_stats",
+    "warc_zst_ingest_stats",
     "warc_ingest_stats",
+    "html_text_extract",
     "webdataset_ingest_stats",
-    # (a) changed in round 10 -- re-prove
     "multimodal_decode_stats",
     "multimodal_audio_stats",
-    "grib2_png_ingest_stats",
-    "grib2_j2k_ingest_stats",
-    # (b) stalest: all 25 remaining r04-vintage rows
-    "embed_ann_lsh",
-    "embed_cosine_topk",
-    "embed_neardup_cosine",
-    "embed_quantize_int8",
-    "event_attribution",
-    "event_funnel",
-    "kmv_distinct_sketch",
-    "merge_upsert_docs",
-    "morton_zorder_cells",
-    "pmi_collocations",
-    "q12_priority_shipping",
-    "q3_shipping_priority",
-    "rolling_median_daily",
-    "sample_temperature",
-    "session_paths_topk",
-    "snapshot_diff",
-    "stream_dedupe_events",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_topk_windowed",
-    "stream_topk_windowed_live",
-    "tile_grid_subdivision",
-    "ts_gap_fill",
-    "user_retention",
-    "vocab_coverage",
-    # (b) r06-vintage, alphabetical to the cut
-    "contamination_screen",
-    "cross_source_overlap_kmv",
-    "cube_append_lod",
-    "cube_cell_anomaly",
-    "cube_focal_mean",
-    "cube_hovmoller",
-    "cube_regrid_bilinear",
-    "cube_regrid_mean",
-    "cube_regrid_nearest",
-    "cube_threshold_area",
-    "cube_tile_render",
-    "cube_time_interp",
-    "cube_var_correlation",
-    "decayed_engagement",
-    "dedup_components_minhash",
-    "dedup_containment",  # <- window position 50
-    # ---- overflow (past the 50-query window) ----
-    # remaining r06-vintage (these head the r11 rotation)
     "dedup_lsh_verify",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -179,6 +121,18 @@ _PRIORITY = [
     "text_entropy",
     "tfidf_top_terms",
     "winsorized_mean",
+    "agg_cube_grouping",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "antimeridian",
+    "bbox_prune",
+    "bm25_search",
+    "clip_normalize",
+    "cross_source_overlap",
+    "cube_decimate",
+    "cube_decimate_stride",
+    # ---- overflow (past the 50-query window): module order ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -1,0 +1,195 @@
+"""Round-11 gates: splittable compressed JSONL corpus ingest — the
+format released LLM corpora actually ship (Dolma / RedPajama publish
+``.jsonl.zst`` shards; The Pile and Common Crawl derivatives ship
+``.jsonl.gz``). Each gate drives ``sources/jsonl.py`` end to end: the
+executor-side index pass (seekable-zstd seek table / no-decompress frame
+walk / gzip member walk), the chunk-span redistribution, per-chunk
+ranged reads and decode, then JVM-side JSON field extraction
+(``get_json_object``) and per-doc stats. Every document is
+formula-deterministic, so the DuckDB oracle regenerates the corpus
+content — including each doc's (shard, chunk) coordinate, which pins the
+SPLITTING itself, not just the decoded text.
+
+The reference has no corpus path; its analog is the store axis
+(``xcube_server/context.py:217-235``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+_N_DOCS = 40
+_SPLIT = 25  # docs per shard 0; shard 1 carries the rest
+_LPC = {"zst": 6, "gz": 7}  # lines per frame / member
+
+
+def _doc_lines(lo: int, hi: int) -> list[bytes]:
+    out = []
+    for i in range(lo, hi):
+        lang = ["en", "de", "fr"][i % 3]
+        text = f"doc {i} " + "tok " * (3 + i % 7) + "end"
+        out.append(
+            f'{{"id": {i}, "lang": "{lang}", "text": "{text}"}}'.encode()
+        )
+    return out
+
+
+def _jsonl_gate_fixture(codec: str) -> tuple[str, list[str]]:
+    """Two shards per codec. For ``zst``, shard 0 carries the seekable
+    seek table (one-suffix-read index) and shard 1 deliberately omits it
+    (header-walk index) — both index paths are exercised in one gate."""
+    from ..sources.jsonl import build_jsonl_gz, build_jsonl_zst
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_jsonl_gate_v1")
+    keys = [f"part0.jsonl.{codec}", f"part1.jsonl.{codec}"]
+    if not all(os.path.exists(os.path.join(d, k)) for k in keys):
+        os.makedirs(d, exist_ok=True)
+        parts = [_doc_lines(0, _SPLIT), _doc_lines(_SPLIT, _N_DOCS)]
+        for k, lines, seekable in zip(keys, parts, (True, False)):
+            if codec == "zst":
+                blob = build_jsonl_zst(lines, _LPC["zst"],
+                                       seekable=seekable)
+            else:
+                blob = build_jsonl_gz(lines, _LPC["gz"])
+            with open(os.path.join(d, k), "wb") as f:
+                f.write(blob)
+    return d, keys
+
+
+def _jsonl_ingest_stats(spark: SparkSession, codec: str) -> DataFrame:
+    from ..sources.jsonl import ingest_jsonl_corpus
+
+    d, keys = _jsonl_gate_fixture(codec)
+    df = ingest_jsonl_corpus(spark, "local", d, keys, parallelism=8)
+    line = F.col("line")
+    text = F.get_json_object(line, "$.text")
+    return df.select(
+        F.get_json_object(line, "$.id").cast("bigint").alias("doc_id"),
+        F.col("key").alias("shard"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.get_json_object(line, "$.lang").alias("lang"),
+        F.length(text).cast("bigint").alias("text_len"),
+        F.size(F.split(text, " ")).cast("bigint").alias("n_tokens"),
+        F.md5(text).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def jsonl_zst_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/RedPajama-shaped ``.jsonl.zst`` shards: concatenated zstd
+    frames indexed without decompression (seek table on shard 0, header
+    hops on shard 1), decoded per-chunk on the executors through the
+    pure-Python RFC 8878 decoder (``sources/zstd_codec.py``)."""
+    return _jsonl_ingest_stats(spark, "zst")
+
+
+def jsonl_gz_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile-shaped ``.jsonl.gz`` shards: concatenated gzip members found
+    via one streaming ``unused_data`` pass per shard (executor-side),
+    then member-wise parallel decode."""
+    return _jsonl_ingest_stats(spark, "gz")
+
+
+def _jsonl_oracle(codec: str) -> str:
+    lpc = _LPC[codec]
+    return f"""
+WITH d AS (
+  SELECT i,
+         CASE WHEN i < {_SPLIT} THEN 'part0.jsonl.{codec}'
+              ELSE 'part1.jsonl.{codec}' END AS shard,
+         CAST(CASE WHEN i < {_SPLIT} THEN i // {lpc}
+              ELSE (i - {_SPLIT}) // {lpc} END AS INT) AS chunk_idx,
+         CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr'
+              END AS lang,
+         'doc ' || i || ' ' || repeat('tok ', 3 + i % 7) || 'end' AS text
+  FROM (SELECT unnest(range(0, {_N_DOCS})) AS i)
+)
+SELECT CAST(i AS BIGINT) AS doc_id, shard, chunk_idx, lang,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
+QUERIES["jsonl_zst_ingest_stats"] = jsonl_zst_ingest_stats
+ORACLES["jsonl_zst_ingest_stats"] = _jsonl_oracle("zst")
+QUERIES["jsonl_gz_ingest_stats"] = jsonl_gz_ingest_stats
+ORACLES["jsonl_gz_ingest_stats"] = _jsonl_oracle("gz")
+
+
+# ---------------------------------------------------------------------------
+# warc_zst_ingest_stats: frame-per-record .warc.zst (newer crawl tooling)
+# ---------------------------------------------------------------------------
+
+def _warc_zst_gate_fixture() -> str:
+    """The round-10 WARC fixture content, packed frame-per-record zstd
+    instead of member-per-record gzip — same formula bodies, so the
+    oracle is shared with ``warc_ingest_stats`` verbatim."""
+    from ..sources.warc import build_warc
+    from .cube_queries import _gate_path
+    from .pipeline_round10 import _N_WARC
+
+    d = _gate_path("xss_warc_gate_zst_v1")
+    path = os.path.join(d, "crawl.warc.zst")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        recs = []
+        for i in range(_N_WARC):
+            body = (
+                f"<html><head><script>s()</script></head><body>"
+                f"<h1>doc {i}</h1><p>record {i} {'x' * (10 + i)} "
+                f"&amp; tail</p></body></html>"
+            ).encode()
+            recs.append(
+                {"warc_type": "response",
+                 "uri": f"http://example.com/doc{i}",
+                 "content_type": "text/html", "body": body}
+            )
+            recs.append(
+                {"warc_type": "request",
+                 "uri": f"http://example.com/doc{i}",
+                 "content_type": "application/http",
+                 "body": b"GET / HTTP/1.1"}
+            )
+        with open(path, "wb") as f:
+            f.write(build_warc(recs, zst=True))
+    return d
+
+
+def warc_zst_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.warc.zst`` front door: record-per-frame index built by the
+    no-decompress zstd frame walk, executors ranged-GET + decode exactly
+    their frames, bodies through the shared HTML extraction — the same
+    content (and oracle) as the gzip twin ``warc_ingest_stats``."""
+    from ..sources.warc import ingest_warc_distributed
+    from .pipeline_round10 import _strip_html
+
+    d = _warc_zst_gate_fixture()
+    df = ingest_warc_distributed(spark, "local", d, "crawl.warc.zst")
+    body_str = F.decode(F.col("payload"), "utf-8")
+    return (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            "record_idx",
+            "uri",
+            F.col("body_len").cast("bigint").alias("body_len"),
+            F.md5(body_str).alias("body_md5"),
+            F.md5(_strip_html(body_str)).alias("text_md5"),
+        )
+        .orderBy("record_idx")
+    )
+
+
+QUERIES["warc_zst_ingest_stats"] = warc_zst_ingest_stats
+
+from .pipeline_round10 import ORACLES as _R10_ORACLES
+
+ORACLES["warc_zst_ingest_stats"] = _R10_ORACLES["warc_ingest_stats"]

@@ -1,0 +1,363 @@
+"""Splittable compressed JSONL corpus source (``.jsonl.gz`` / ``.jsonl.zst``).
+
+Released LLM corpora overwhelmingly ship as compressed JSON-lines shards
+(Dolma and RedPajama publish ``.jsonl.zst``; Common Crawl derivatives and
+The Pile ship ``.jsonl.gz`` / ``.jsonl.zst``). Spark cannot split either
+format natively — a naive ``spark.read.json`` on a ``.gz`` file decodes
+the whole object in ONE task. This source restores parallelism using the
+structure the formats actually have:
+
+* ``.jsonl.zst`` — corpora are written as CONCATENATED ZSTD FRAMES, each
+  frame a batch of whole lines. Frames are independently decompressible,
+  and — unlike gzip — a zstd frame can be WALKED WITHOUT DECOMPRESSION:
+  every block header carries the block's compressed size, so the index
+  pass hops ``frame header → block headers → next frame`` touching only
+  headers. Better still, the public *seekable zstd* format (zstd repo,
+  ``contrib/seekable_format``) appends a skippable frame holding a seek
+  table; when present, ONE suffix-range read yields the whole frame
+  index without touching the body at all.
+* ``.jsonl.gz`` — splittable only when written as CONCATENATED GZIP
+  MEMBERS (the member-per-batch convention, same trick as Common Crawl's
+  member-per-record ``.warc.gz``). Member boundaries are found with one
+  streaming pass via ``zlib``'s ``unused_data`` — inherent to DEFLATE,
+  which carries no compressed-size fields to hop.
+
+Scale shape (100 TB): corpora are laid out as many ~100 MB–1 GB shards.
+``ingest_jsonl_corpus`` therefore runs the INDEX pass itself on the
+executors — one task per shard builds that shard's chunk index — then
+redistributes (shard, chunk) spans so every executor ranged-GETs and
+decodes only its chunks. No driver data pass, no full-object download on
+any node, and intra-file parallelism on top of inter-file parallelism.
+
+Line-boundary contract: each compressed chunk must contain whole lines
+(the convention every blocked-JSONL writer follows). A chunk whose text
+continues into the next chunk is refused loudly — clear errors, never
+wrong answers.
+
+The reference server has no corpus path; this source feeds the
+LLM-pipeline surface (dedup, quality, tokenize gates) the way its store
+axis feeds cubes (``xcube_server/context.py:217-235``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+import zlib
+
+from .warc import _RangeReader
+
+_ZSTD_MAGIC = 0xFD2FB528
+_SKIP_LOW = 0x184D2A50
+_SEEKABLE_SKIP = 0x184D2A5E  # skippable-frame magic the seek table uses
+_SEEKABLE_FOOTER_MAGIC = 0x8F92EAB1
+
+
+# ------------------------------------------------------------ zstd index
+def _walk_zstd_frame(rd: _RangeReader, pos: int) -> tuple[int, int | None]:
+    """Hop over one zstd frame WITHOUT decompressing: parse the frame
+    header for its variable-length fields, then follow the 3-byte block
+    headers (each carries the block's stored size). Returns
+    (end_offset, declared_content_size_or_None)."""
+    head = rd.read_at(pos, 18)  # magic + max frame header
+    if len(head) < 5:
+        raise ValueError(f"zstd frame truncated at byte {pos}")
+    (magic,) = struct.unpack_from("<I", head, 0)
+    if magic & 0xFFFFFFF0 == _SKIP_LOW:
+        if len(head) < 8:
+            raise ValueError("zstd skippable frame truncated")
+        (sz,) = struct.unpack_from("<I", head, 4)
+        return pos + 8 + sz, None
+    if magic != _ZSTD_MAGIC:
+        raise ValueError(f"not a zstd frame at byte {pos}: 0x{magic:08X}")
+    fhd = head[4]
+    if (fhd >> 3) & 1:
+        raise ValueError("zstd frame header: reserved bit set")
+    p = pos + 5
+    single = (fhd >> 5) & 1
+    if not single:
+        p += 1  # window descriptor
+    did_flag = fhd & 3
+    p += (0, 1, 2, 4)[did_flag]
+    fcs_flag = fhd >> 6
+    fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    content_size = None
+    if fcs_size:
+        raw = rd.read_at(p, fcs_size)
+        if len(raw) < fcs_size:
+            raise ValueError("zstd frame header truncated (content size)")
+        content_size = int.from_bytes(raw, "little")
+        if fcs_size == 2:
+            content_size += 256
+        p += fcs_size
+    while True:
+        bh = rd.read_at(p, 3)
+        if len(bh) < 3:
+            raise ValueError(f"zstd block header truncated at byte {p}")
+        h = int.from_bytes(bh, "little")
+        last, btype, bsize = h & 1, (h >> 1) & 3, h >> 3
+        p += 3
+        if btype == 3:
+            raise ValueError("zstd reserved block type in frame walk")
+        p += 1 if btype == 1 else bsize  # RLE stores one byte
+        if last:
+            break
+    if (fhd >> 2) & 1:  # content checksum
+        p += 4
+    if not rd.read_at(p - 1, 1):  # headers may not promise bytes past EOF
+        raise ValueError(f"zstd frame at byte {pos} truncated")
+    return p, content_size
+
+
+def _read_seek_table(store, key: str) -> list[tuple[int, int, int]] | None:
+    """Seekable-zstd fast path: ONE suffix-range read of the trailing
+    skippable frame yields [(offset, compressed_len, content_len)] for
+    every frame — no body bytes touched. Returns None when the object
+    has no seek table (fall back to the header walk)."""
+    tail = store.get_range(key, -9, 9)
+    if tail is None or len(tail) < 9:
+        return None
+    (magic,) = struct.unpack_from("<I", tail, 5)
+    if magic != _SEEKABLE_FOOTER_MAGIC:
+        return None
+    (n_frames,) = struct.unpack_from("<I", tail, 0)
+    desc = tail[4]
+    if desc & 0x7C:
+        raise ValueError("seekable-zstd descriptor: reserved bits set")
+    entry = 12 if desc & 0x80 else 8
+    table_len = n_frames * entry + 9
+    frame_len = 8 + table_len  # skippable magic + size + table + footer
+    raw = store.get_range(key, -frame_len, frame_len)
+    if raw is None or len(raw) < frame_len:
+        raise ValueError("seekable-zstd seek table truncated")
+    (skip_magic, skip_sz) = struct.unpack_from("<II", raw, 0)
+    if skip_magic != _SEEKABLE_SKIP or skip_sz != table_len:
+        raise ValueError("seekable-zstd skippable frame malformed")
+    out = []
+    pos = 8
+    off = 0
+    for _ in range(n_frames):
+        clen, dlen = struct.unpack_from("<II", raw, pos)
+        out.append((off, clen, dlen))
+        off += clen
+        pos += entry
+    return out
+
+
+def build_jsonl_zst_index(store, key: str) -> list[dict]:
+    """Per-frame chunk index for a concatenated-frames ``.jsonl.zst``:
+    the seekable seek table when present (one suffix read), else a
+    header-hop walk that never decompresses a byte."""
+    table = _read_seek_table(store, key)
+    if table is not None:
+        return [
+            {"offset": off, "length": clen, "content_size": dlen}
+            for off, clen, dlen in table
+            if clen > 0
+        ]
+    rd = _RangeReader(store, key)
+    out = []
+    pos = 0
+    while True:
+        probe = rd.read_at(pos, 4)
+        if not probe:
+            break
+        (magic,) = struct.unpack("<I", probe.ljust(4, b"\x00"))
+        end, csize = _walk_zstd_frame(rd, pos)
+        if magic == _ZSTD_MAGIC:
+            out.append(
+                {"offset": pos, "length": end - pos, "content_size": csize}
+            )
+        pos = end
+    return out
+
+
+# ------------------------------------------------------------ gzip index
+def build_jsonl_gz_index(store, key: str) -> list[dict]:
+    """Per-member chunk index for a concatenated-members ``.jsonl.gz``:
+    one streaming pass finds member boundaries via ``zlib``'s
+    ``unused_data`` (DEFLATE carries no size fields to hop). At corpus
+    scale this pass runs executor-side per shard
+    (``ingest_jsonl_corpus``), so no node ever streams more than its own
+    shards."""
+    rd = _RangeReader(store, key)
+    out = []
+    pos = 0
+    while True:
+        probe = rd.read_at(pos, 2)
+        if not probe:
+            break
+        if probe[:2] != b"\x1f\x8b":
+            raise ValueError(f"gzip member expected at byte {pos}")
+        d = zlib.decompressobj(wbits=31)
+        off = pos
+        dlen = 0
+        while not d.eof:
+            chunk = rd.read_at(off, rd.chunk)
+            if not chunk:
+                raise ValueError(f"gzip member at {pos} truncated")
+            dlen += len(d.decompress(chunk))
+            off += len(chunk)
+        clen = (off - pos) - len(d.unused_data)
+        out.append({"offset": pos, "length": clen, "content_size": dlen})
+        pos += clen
+    return out
+
+
+def build_jsonl_index(store, key: str) -> list[dict]:
+    """Sniff the container and index it: gzip members or zstd frames."""
+    head = store.get_range(key, 0, 4)
+    if head is None or len(head) < 2:
+        raise ValueError(f"object {key!r} unreadable or too short")
+    magic = struct.unpack("<I", head)[0] if len(head) >= 4 else 0
+    if head[:2] == b"\x1f\x8b":
+        kind = "gz"
+        rows = build_jsonl_gz_index(store, key)
+    elif magic == _ZSTD_MAGIC or magic & 0xFFFFFFF0 == _SKIP_LOW:
+        kind = "zst"
+        rows = build_jsonl_zst_index(store, key)
+    else:
+        raise NotImplementedError(
+            f"object {key!r} is neither gzip nor zstd"
+        )
+    for r in rows:
+        r["codec"] = kind
+    return rows
+
+
+# ------------------------------------------------------------- decoding
+def decompress_chunk(raw: bytes, codec: str) -> bytes:
+    if codec == "gz":
+        return gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+    if codec == "zst":
+        from .zstd_codec import zstd_decompress
+
+        return zstd_decompress(raw)
+    raise NotImplementedError(f"jsonl codec {codec!r}")
+
+
+def chunk_lines(text: bytes, is_last: bool) -> list[bytes]:
+    """Split one decompressed chunk into whole lines. A non-final chunk
+    that does not end at a line boundary means the writer split a JSON
+    document across chunks — refuse loudly rather than emit half a
+    document."""
+    if not text:
+        return []
+    if not text.endswith(b"\n") and not is_last:
+        raise ValueError(
+            "compressed chunk boundary splits a JSONL line (writer must "
+            "flush whole lines per member/frame)"
+        )
+    return [ln for ln in text.split(b"\n") if ln]
+
+
+# ------------------------------------------------------------ ingestion
+def ingest_jsonl_corpus(spark, store_kind: str, root: str,
+                        keys: list[str], parallelism: int = 32):
+    """Corpus of compressed JSONL shards → DataFrame(key, chunk_idx,
+    line_no, line). Two executor-side stages: (1) one task per shard
+    builds its chunk index (suffix-read seek table / header hops / one
+    streaming pass — metadata only crosses the shuffle); (2) chunk spans
+    redistribute and every task ranged-GETs + decodes exactly its
+    chunks. ``line_no`` is the line's ordinal within its chunk;
+    (key, chunk_idx, line_no) is a total order over the corpus."""
+    import pandas as pd
+
+    from .tiff import _make_store
+
+    files = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def index(iterator):
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            ks, cis, offs, cnts, codecs, lasts = ([] for _ in range(6))
+            for k in batch["key"]:
+                rows = build_jsonl_index(st, k)
+                for i, r in enumerate(rows):
+                    ks.append(k)
+                    cis.append(i)
+                    offs.append(r["offset"])
+                    cnts.append(r["length"])
+                    codecs.append(r["codec"])
+                    lasts.append(i == len(rows) - 1)
+            yield pd.DataFrame(
+                {"key": ks, "chunk_idx": cis, "off": offs, "cnt": cnts,
+                 "codec": codecs, "is_last": lasts}
+            )
+
+    idx = files.repartition(max(len(keys), 1)).mapInPandas(
+        index,
+        "key string, chunk_idx int, off long, cnt long, codec string,"
+        " is_last boolean",
+    )
+
+    def fetch(iterator):
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            ks, cis, lns, lines = [], [], [], []
+            for r in batch.itertuples(index=False):
+                raw = st.get_range(r.key, int(r.off), int(r.cnt))
+                if raw is None or len(raw) < int(r.cnt):
+                    raise ValueError(
+                        f"chunk span {r.key}@{int(r.off)} unreadable"
+                    )
+                text = decompress_chunk(raw, r.codec)
+                for j, ln in enumerate(chunk_lines(text, bool(r.is_last))):
+                    ks.append(r.key)
+                    cis.append(int(r.chunk_idx))
+                    lns.append(j)
+                    lines.append(ln.decode("utf-8"))
+            yield pd.DataFrame(
+                {"key": ks, "chunk_idx": cis, "line_no": lns,
+                 "line": lines}
+            )
+
+    return idx.repartition(parallelism).mapInPandas(
+        fetch, "key string, chunk_idx int, line_no int, line string"
+    )
+
+
+def ingest_jsonl_distributed(spark, store_kind: str, root: str, key: str,
+                             parallelism: int = 32):
+    """Single-shard convenience wrapper over ``ingest_jsonl_corpus``."""
+    return ingest_jsonl_corpus(spark, store_kind, root, [key],
+                               parallelism)
+
+
+# ------------------------------------------------------------- fixtures
+def build_jsonl_gz(lines: list[bytes], lines_per_member: int) -> bytes:
+    """Concatenated-members ``.jsonl.gz`` writer (fixtures): each member
+    compresses a batch of whole lines independently."""
+    out = bytearray()
+    for i in range(0, len(lines), lines_per_member):
+        batch = b"".join(ln + b"\n" for ln in lines[i:i + lines_per_member])
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(batch)
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def build_jsonl_zst(lines: list[bytes], lines_per_frame: int,
+                    seekable: bool = True) -> bytes:
+    """Concatenated-frames ``.jsonl.zst`` writer (fixtures): one zstd
+    frame per line batch; optionally appends the public seekable-zstd
+    seek table (skippable frame 0x184D2A5E + footer magic 0x8F92EAB1)."""
+    from .zstd_codec import zstd_compress
+
+    frames = []
+    for i in range(0, len(lines), lines_per_frame):
+        batch = b"".join(ln + b"\n" for ln in lines[i:i + lines_per_frame])
+        frames.append((zstd_compress(batch), len(batch)))
+    out = bytearray()
+    for comp, _ in frames:
+        out += comp
+    if seekable:
+        table = bytearray()
+        for comp, dlen in frames:
+            table += struct.pack("<II", len(comp), dlen)
+        table += struct.pack("<IBI", len(frames), 0,
+                             _SEEKABLE_FOOTER_MAGIC)
+        out += struct.pack("<II", _SEEKABLE_SKIP, len(table)) + table
+    return bytes(out)

@@ -107,12 +107,16 @@ class _RangeReader:
 def build_warc_index(store, key: str) -> list[dict]:
     """One sequential driver pass → per-record index rows
     ``{offset, length, warc_type, uri, content_type}`` (offsets into
-    the stored object: compressed spans for ``.warc.gz`` members,
-    record spans for plain ``.warc``)."""
+    the stored object: compressed spans for ``.warc.gz`` gzip members /
+    ``.warc.zst`` zstd frames, record spans for plain ``.warc``)."""
     rd = _RangeReader(store, key)
-    head2 = rd.read_at(0, 2)
-    if head2[:2] == b"\x1f\x8b":
+    head = rd.read_at(0, 4)
+    if head[:2] == b"\x1f\x8b":
         return _index_gzip_members(rd)
+    if len(head) >= 4:
+        magic = int.from_bytes(head, "little")
+        if magic == 0xFD2FB528 or magic & 0xFFFFFFF0 == 0x184D2A50:
+            return _index_zstd_frames(rd)
     return _index_plain(rd)
 
 
@@ -160,6 +164,30 @@ def _index_gzip_members(rd: _RangeReader) -> list[dict]:
     return out
 
 
+def _index_zstd_frames(rd: _RangeReader) -> list[dict]:
+    """Record-per-frame ``.warc.zst`` (newer crawl tooling): the frame
+    walk hops block headers without decompressing (``sources/jsonl.py``);
+    each record frame is then decoded once for its header row. Skippable
+    frames (e.g. the zstd-warc dictionary convention) are passed over."""
+    from .jsonl import _walk_zstd_frame
+    from .zstd_codec import zstd_decompress
+
+    out = []
+    pos = 0
+    while True:
+        probe = rd.read_at(pos, 4)
+        if not probe:
+            break
+        magic = int.from_bytes(probe.ljust(4, b"\x00"), "little")
+        end, _ = _walk_zstd_frame(rd, pos)
+        if magic == 0xFD2FB528:
+            plain = zstd_decompress(rd.read_at(pos, end - pos))
+            headers, _ = _parse_header(plain)
+            out.append(_index_row(pos, end - pos, headers))
+        pos = end
+    return out
+
+
 def _index_row(off: int, length: int, headers: dict) -> dict:
     return {
         "offset": off,
@@ -180,9 +208,6 @@ def ingest_warc_distributed(spark, store_kind: str, root: str, key: str):
 
     store = _make_store(store_kind, root)
     index = build_warc_index(store, key)
-    gz = bool(index) and (
-        store.get_range(key, 0, 2)[:2] == b"\x1f\x8b"
-    )
     plan = [
         (i, r["offset"], r["length"]) for i, r in enumerate(index)
     ]
@@ -203,8 +228,14 @@ def ingest_warc_distributed(spark, store_kind: str, root: str, key: str):
                     raise ValueError(
                         f"WARC record span at {int(r.off)} unreadable"
                     )
-                blob = gzip.GzipFile(fileobj=io.BytesIO(raw)).read() \
-                    if gz else raw
+                if raw[:2] == b"\x1f\x8b":
+                    blob = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+                elif raw[:4] == b"\x28\xb5\x2f\xfd":
+                    from .zstd_codec import zstd_decompress
+
+                    blob = zstd_decompress(raw)
+                else:
+                    blob = raw
                 headers, body = parse_record(blob)
                 idxs.append(int(r.record_idx))
                 types.append(headers.get("warc-type", ""))
@@ -231,9 +262,13 @@ def ingest_warc_distributed(spark, store_kind: str, root: str, key: str):
 
 
 # ------------------------------------------------------------- fixtures
-def build_warc(records: list[dict], gz: bool = False) -> bytes:
+def build_warc(records: list[dict], gz: bool = False,
+               zst: bool = False) -> bytes:
     """Assemble a WARC (optionally member-per-record gzip — the Common
-    Crawl layout) from ``{warc_type, uri, content_type, body}`` dicts."""
+    Crawl layout — or frame-per-record zstd, the newer crawl-tooling
+    layout) from ``{warc_type, uri, content_type, body}`` dicts."""
+    if gz and zst:
+        raise ValueError("pick one of gz/zst")
     out = bytearray()
     for i, r in enumerate(records):
         body = r["body"]
@@ -253,6 +288,10 @@ def build_warc(records: list[dict], gz: bool = False) -> bytes:
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
                 g.write(rec)
             out += buf.getvalue()
+        elif zst:
+            from .zstd_codec import zstd_compress
+
+            out += zstd_compress(rec)
         else:
             out += rec
     return bytes(out)
