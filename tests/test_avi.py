@@ -1,0 +1,140 @@
+"""RIFF/AVI MJPEG container (``sources/avi.py``): header parse, idx1 vs
+sequential-movi parity, exact pixel recovery through the block-constant
+JPEG construction, hostile bytes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.avi import (
+    build_avi_mjpeg,
+    decode_mjpeg_frame,
+    is_avi,
+    probe_avi,
+)
+from xcube_server_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+
+def _block_img(h, w, seed):
+    """Block-constant EVEN values: exact under quality-50 round trip."""
+    img = np.zeros((h, w, 3), np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = 2 * ((seed * 17 + by * 7 + bx * 5) % 101) + 20
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    return img
+
+
+def _fixture(n_frames=4, h=16, w=24, fps=12.5):
+    imgs = [_block_img(h, w, s) for s in range(n_frames)]
+    jpgs = [encode_jpeg(im, quality=50) for im in imgs]
+    return build_avi_mjpeg(jpgs, w, h, fps=fps), imgs
+
+
+def test_probe_meta():
+    data, imgs = _fixture()
+    assert is_avi(data)
+    m = probe_avi(data)
+    assert (m["width"], m["height"]) == (24, 16)
+    assert m["codec"] == "MJPG"
+    assert m["n_frames"] == 4 and len(m["frames"]) == 4
+    assert m["fps"] == pytest.approx(12.5)
+    assert m["duration_sec"] == pytest.approx(4 / 12.5)
+    assert m["n_tracks"] == 1
+
+
+def test_frames_decode_exactly():
+    data, imgs = _fixture()
+    for i, im in enumerate(imgs):
+        assert np.array_equal(decode_mjpeg_frame(data, i), im)
+    with pytest.raises(ValueError, match="4 frames"):
+        decode_mjpeg_frame(data, 4)
+
+
+def test_idx1_and_movi_walk_agree():
+    data, _ = _fixture()
+    with_idx = probe_avi(data)["frames"]
+    # strip idx1: truncate at the idx1 chunk and fix the RIFF size
+    pos = data.rindex(b"idx1")
+    body = bytearray(data[:pos])
+    struct.pack_into("<I", body, 4, len(body) - 8)
+    without = probe_avi(bytes(body))["frames"]
+    assert with_idx == without
+
+
+def test_spans_are_complete_jpegs():
+    """Each indexed span is a standalone JPEG — the property executor
+    ranged-GETs rely on."""
+    data, imgs = _fixture()
+    for (off, sz), im in zip(probe_avi(data)["frames"], imgs):
+        jpg = data[off : off + sz]
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        assert np.array_equal(decode_jpeg(jpg), im)
+
+
+def test_non_mjpeg_refuses():
+    data, _ = _fixture()
+    mutated = data.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_mjpeg_frame(mutated, 0)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:40],  # truncated header
+        lambda b: b.replace(b"AVI ", b"AVIX", 1),
+        lambda b: b.replace(b"movi", b"mvoi", 1),
+        # huge first-chunk size overruns the RIFF parent
+        lambda b: b[:16] + struct.pack("<I", 2**31) + b[20:],
+    ],
+)
+def test_hostile_bytes_raise(mutate):
+    data, _ = _fixture(1)
+    with pytest.raises((ValueError, struct.error)):
+        probe_avi(mutate(data))
+
+
+def test_probe_video_meta_avi_branch(spark):
+    from xcube_server_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        probe_video_meta,
+    )
+
+    data, _ = _fixture(n_frames=5, fps=25.0)
+    media = spark.createDataFrame(
+        [(7, "video/x-msvideo", bytearray(data),
+          {"width": 24, "height": 16, "n_frames": 5, "sample_rate": 0})],
+        MEDIA_SCHEMA,
+    )
+    r = probe_video_meta(media).collect()[0]
+    assert r["video_codec"] == "MJPG"
+    assert (r["width"], r["height"]) == (24.0, 16.0)
+    assert r["duration_sec"] == pytest.approx(0.2)
+    assert r["n_tracks"] == 1
+
+
+def test_sample_video_frames_spark(spark):
+    from xcube_server_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    data, imgs = _fixture(n_frames=4)
+    media = spark.createDataFrame(
+        [(3, "video/x-msvideo", bytearray(data),
+          {"width": 24, "height": 16, "n_frames": 4, "sample_rate": 0})],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["frame_idx"]: r for r in
+            sample_video_frames(media, every_n=2).collect()}
+    assert sorted(rows) == [0, 2]  # every_n honored
+    for k, r in rows.items():
+        px = imgs[k].astype(np.int64)
+        pos = np.arange(16 * 24, dtype=np.int64) + 1
+        assert r["checksum"] == int((px[..., 0].reshape(-1) * pos).sum())
+        assert r["mean_luma"] == pytest.approx(px.mean())
+        assert (r["width"], r["height"]) == (24, 16)

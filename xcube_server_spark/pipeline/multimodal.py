@@ -362,10 +362,11 @@ def probe_audio_meta(media: DataFrame) -> DataFrame:
 
 def probe_video_meta(media: DataFrame) -> DataFrame:
     """mapInPandas container-metadata probe for MP4/ISO-BMFF
-    (``sources/mp4meta.py``) and WebM/Matroska
-    (``sources/webmmeta.py``): duration / track inventory / codec /
-    dimensions per asset WITHOUT a video decoder — the curation pass
-    that runs before any (native) sample decode."""
+    (``sources/mp4meta.py``), WebM/Matroska (``sources/webmmeta.py``)
+    and RIFF/AVI (``sources/avi.py``): duration / track inventory /
+    codec / dimensions per asset WITHOUT a video decoder — the curation
+    pass that runs before any (native) sample decode."""
+    from ..sources.avi import is_avi, probe_avi
     from ..sources.mp4meta import is_mp4, probe_mp4
     from ..sources.webmmeta import is_webm, probe_webm
 
@@ -388,9 +389,15 @@ def probe_video_meta(media: DataFrame) -> DataFrame:
                          if t["type"] == "video"),
                         None,
                     )
+                elif is_avi(data):
+                    m = probe_avi(data)
+                    meta = {"duration_sec": m["duration_sec"],
+                            "n_tracks": m["n_tracks"]}
+                    vid = {"codec": m["codec"], "width": m["width"],
+                           "height": m["height"]}
                 else:
                     raise NotImplementedError(
-                        "probe_video_meta: not MP4/ISO-BMFF or WebM"
+                        "probe_video_meta: not MP4/ISO-BMFF, WebM or AVI"
                     )
                 durs.append(meta["duration_sec"])
                 ntr.append(meta["n_tracks"])
@@ -414,6 +421,52 @@ def probe_video_meta(media: DataFrame) -> DataFrame:
         run,
         "asset_id long, duration_sec double, n_tracks int,"
         " video_codec string, width double, height double",
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """mapInPandas REAL video-frame sampling for MJPEG AVIs
+    (``sources/avi.py`` + the T.81 codec): every ``every_n``-th frame
+    decodes to pixels and reduces to per-frame stats — (asset_id,
+    frame_idx, width, height, mean_luma, checksum), where ``checksum``
+    is the position-weighted exact-integer block sum
+    ``sum(v * (block_ordinal + 1))`` the format gates use, so a wrong
+    frame ORDER or wrong block layout cannot cancel out. Non-MJPEG
+    video refuses loudly (H.264/VP9 are table-blocked — use
+    probe_video_meta for those)."""
+    from ..sources.avi import decode_mjpeg_frame, is_avi, probe_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aids, fidx, ws, hs, lumas, cks = ([] for _ in range(6))
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not is_avi(data):
+                    raise NotImplementedError(
+                        "sample_video_frames: only RIFF/AVI containers"
+                    )
+                n = len(probe_avi(data)["frames"])
+                for k in range(0, n, every_n):
+                    img = decode_mjpeg_frame(data, k)
+                    h, w = img.shape[:2]
+                    px = img.astype(np.int64)
+                    pos = np.arange(h * w, dtype=np.int64) + 1
+                    ck = int((px[..., 0].reshape(-1) * pos).sum())
+                    aids.append(int(aid))
+                    fidx.append(k)
+                    ws.append(w)
+                    hs.append(h)
+                    lumas.append(float(px.mean()))
+                    cks.append(ck)
+            yield pd.DataFrame(
+                {"asset_id": aids, "frame_idx": fidx, "width": ws,
+                 "height": hs, "mean_luma": lumas, "checksum": cks}
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, frame_idx int, width int, height int,"
+        " mean_luma double, checksum long",
     )
 
 

@@ -67,3 +67,18 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions — wider is better (fused JVM
     pipelines, SURVEY.md §4 'operator fusion')."""
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+def count_parquet_scans(df: DataFrame) -> int:
+    """Parquet scans that EXECUTE, not plan-text mentions: a cached
+    relation (``persist``) is materialized once, but ``toString``
+    reprints its plan under every ``InMemoryTableScan`` — count each
+    distinct ``InMemoryRelation`` once instead. (A cached plan holding
+    multiple scans is approximated by one; none in this registry.)"""
+    plan = executed_plan(df)
+    scans = plan.count("FileScan")
+    imts = plan.count("InMemoryTableScan")
+    if imts:
+        rels = set(re.findall(r"InMemoryRelation \[[^\]]*\]", plan))
+        scans -= imts - len(rels)
+    return scans

@@ -67,7 +67,9 @@ for _m in (
 # (a0) NEW this round: jsonl_zst_ingest_stats / jsonl_gz_ingest_stats
 # (splittable compressed JSONL corpus shards: seekable-zstd seek table,
 # no-decompress frame walk, gzip member walk — sources/jsonl.py) and
-# warc_zst_ingest_stats (frame-per-record .warc.zst).
+# warc_zst_ingest_stats (frame-per-record .warc.zst) and
+# video_frames_stats (MJPEG/AVI REAL frame pixels via the RIFF walk +
+# T.81 codec, position-weighted exact-integer checksums).
 # (b) queries whose CODE PATH or ORACLE changed this round and must
 # re-prove: warc_ingest_stats + html_text_extract (the _strip_html
 # entity chain now unescapes '&amp;' LAST, both engines),
@@ -85,6 +87,7 @@ _PRIORITY = [
     "jsonl_zst_ingest_stats",
     "jsonl_gz_ingest_stats",
     "warc_zst_ingest_stats",
+    "video_frames_stats",
     "warc_ingest_stats",
     "html_text_extract",
     "webdataset_ingest_stats",
@@ -131,8 +134,7 @@ _PRIORITY = [
     "clip_normalize",
     "cross_source_overlap",
     "cube_decimate",
-    "cube_decimate_stride",
-    # ---- overflow (past the 50-query window): module order ----
+    # ---- overflow (cube_decimate_stride displaced to r12 head) (past the 50-query window): module order ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -461,19 +461,23 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled and counted per market segment. Spark plans both as hash
     joins (semi/anti) over the distinct key sets.
 
-    This form deliberately exercises the INTERSECT/EXCEPT operators (4
-    scans of orders). The scale rewrite — one scan, per-key year flags via
-    `max(when(year=...))`, cohort from the flag pair — is what a 100 TB
-    job would run; the operators themselves are the thing under test here."""
+    The INTERSECT/EXCEPT branches would naively re-scan orders 4 times;
+    instead the filtered two-year (custkey, year) distinct set — tiny
+    next to the fact table — is computed ONCE and cached, so every
+    branch reads the cache and the parquet scan happens exactly once
+    (at 100 TB that halves-to-quarters the I/O of this query). The
+    set operators themselves stay under test."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .select("o_custkey", F.year("o_orderdate").alias("yr"))
+        .distinct()
+        .persist()
+    )
 
     def active(year: int) -> DataFrame:
-        return (
-            orders.filter(F.year("o_orderdate") == year)
-            .select("o_custkey")
-            .distinct()
-        )
+        return base.filter(F.col("yr") == year).select("o_custkey")
 
     both = active(1996).intersect(active(1997)).withColumn(
         "cohort", F.lit("both_years")

@@ -193,3 +193,95 @@ QUERIES["warc_zst_ingest_stats"] = warc_zst_ingest_stats
 from .pipeline_round10 import ORACLES as _R10_ORACLES
 
 ORACLES["warc_zst_ingest_stats"] = _R10_ORACLES["warc_ingest_stats"]
+
+
+# ---------------------------------------------------------------------------
+# video_frames_stats: REAL MJPEG/AVI frame pixels, formula-oracled
+# ---------------------------------------------------------------------------
+
+_N_AVI = 3
+_AVI_W, _AVI_H = 24, 16  # 3x2 grid of 8x8 blocks
+
+
+def _video_gate_fixture(spark: SparkSession) -> str:
+    """MJPEG AVIs whose frames are block-constant EVEN values — the
+    quality-50 Annex-K construction that makes the lossy T.81 round
+    trip BIT-EXACT (DC quant 16 divides 8*(v-128); all AC vanish) — so
+    decoded pixels are pinned by formula, per frame, per block."""
+    import numpy as np
+
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.avi import build_avi_mjpeg
+    from ..sources.jpeg import encode_jpeg
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_video_gate_v1")
+    p = os.path.join(d, "assets.parquet")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return p
+    rows = []
+    for a in range(_N_AVI):
+        jpgs = []
+        for s in range(3 + a):
+            img = np.zeros((_AVI_H, _AVI_W, 3), np.uint8)
+            for by in range(_AVI_H // 8):
+                for bx in range(_AVI_W // 8):
+                    v = 2 * ((a * 13 + s * 17 + by * 7 + bx * 5) % 101) + 20
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+            jpgs.append(encode_jpeg(img, quality=50))
+        avi = build_avi_mjpeg(jpgs, _AVI_W, _AVI_H, fps=10.0 + a)
+        rows.append((a, "video/x-msvideo", bytearray(avi),
+                     {"width": _AVI_W, "height": _AVI_H,
+                      "n_frames": 3 + a, "sample_rate": 0}))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def video_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling end to end: RIFF/AVI walk → per-frame
+    ranged spans → T.81 decode (``sources/avi.py``) inside one
+    Arrow-batched ``mapInPandas`` stage. The checksum is the
+    position-weighted exact-integer pixel sum, so wrong frame order,
+    wrong block layout or a wrong pixel ANYWHERE breaks the hash; the
+    oracle regenerates every frame's blocks from the fixture formula."""
+    from ..pipeline.multimodal import sample_video_frames
+
+    p = _video_gate_fixture(spark)
+    media = spark.read.parquet(p)
+    return sample_video_frames(media).select(
+        "asset_id", "frame_idx", "width", "height", "mean_luma",
+        "checksum",
+    ).orderBy("asset_id", "frame_idx")
+
+
+# position-weight identity: sum over an 8x8 block at (by,bx) of the
+# 1-based pixel ordinal (y*W + x + 1) = 8W(64by+28) + 8(64bx+28) + 64,
+# which at W=24 is 12288*by + 512*bx + 5664.
+ORACLES["video_frames_stats"] = f"""
+WITH f AS (
+  SELECT a, unnest(range(0, 3 + a)) AS s
+  FROM (SELECT unnest(range(0, {_N_AVI})) AS a)
+), b AS (
+  SELECT f.a, f.s, by.by, bx.bx,
+         CAST(2*((f.a*13 + f.s*17 + by.by*7 + bx.bx*5) % 101) + 20
+              AS BIGINT) AS v,
+         CAST(12288*by.by + 512*bx.bx + 5664 AS BIGINT) AS pw
+  FROM f,
+       (SELECT unnest(range(0, {_AVI_H // 8})) AS by) by,
+       (SELECT unnest(range(0, {_AVI_W // 8})) AS bx) bx
+), g AS (
+  SELECT a, s, CAST(sum(v) AS BIGINT) AS vs,
+         CAST(sum(v * pw) AS BIGINT) AS ck
+  FROM b GROUP BY a, s
+)
+SELECT CAST(a AS BIGINT) AS asset_id, CAST(s AS INT) AS frame_idx,
+       CAST({_AVI_W} AS INT) AS width, CAST({_AVI_H} AS INT) AS height,
+       CAST(192 * vs AS DOUBLE) / {_AVI_H * _AVI_W * 3} AS mean_luma,
+       ck AS checksum
+FROM g
+ORDER BY asset_id, frame_idx
+"""
+
+QUERIES["video_frames_stats"] = video_frames_stats

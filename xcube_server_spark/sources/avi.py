@@ -1,0 +1,192 @@
+"""RIFF/AVI container + MJPEG frame extraction (multimodal video).
+
+H.264/H.265/VP9 sample decode is table-blocked in this container (spec
+tables too large to reproduce safely), but MJPEG — the format lab
+cameras, capture cards and many dataset pipelines emit — is NOT: every
+video frame is a complete baseline JPEG, and the repo already owns a
+full T.81 codec (``sources/jpeg.py``). This module walks the RIFF/AVI
+container (the WAV RIFF parser generalizes — same chunk grammar, plus
+LIST nesting) and yields REAL pixels per frame.
+
+Index discipline matches the other archive sources: the index pass hops
+chunk HEADERS only (RIFF sizes make every hop O(1); the ``idx1`` chunk,
+when present, is read in one ranged GET instead), so executors
+ranged-GET exactly their frames' spans — at 100 TB one task per AVI
+builds the index and frame decode parallelizes per-span.
+
+Format facts from the public Microsoft AVI RIFF spec: 56-byte
+``avih``/``strh`` layouts, ``BITMAPINFOHEADER`` ``strf``, ``00dc``
+compressed-frame chunks, ``idx1`` entries of (fourcc, flags, offset,
+size) with offsets relative to the ``movi`` fourcc position.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def is_avi(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+# ---------------------------------------------------------------- parse
+def _walk_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a chunk run; LIST
+    chunks yield their list type as fourcc ``LIST:<type>``."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"AVI chunk {fourcc!r} at {pos} overruns its parent"
+            )
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def probe_avi(data: bytes) -> dict:
+    """Container metadata + video frame spans from in-memory bytes:
+    ``{width, height, fps, n_frames, codec, duration_sec, n_tracks,
+    frames: [(offset, size)]}``."""
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI stream")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(8 + riff_size, len(data))
+    meta = {"n_tracks": 0, "codec": None, "width": None, "height": None,
+            "fps": None, "n_frames": 0}
+    movi = None
+    idx1 = None
+    for fourcc, body, size in _walk_chunks(data, 12, end):
+        if fourcc == b"LIST":
+            ltype = data[body : body + 4]
+            if ltype == b"hdrl":
+                _parse_hdrl(data, body + 4, body + size, meta)
+            elif ltype == b"movi":
+                movi = (body - 4, body + 4, body + size)
+        elif fourcc == b"idx1":
+            idx1 = (body, size)
+    if movi is None:
+        raise ValueError("AVI has no movi list")
+    frames: list[tuple[int, int]] = []
+    if idx1 is not None:
+        body, size = idx1
+        base = movi[0] + 4  # offsets are relative to the 'movi' fourcc
+        for p in range(body, body + size, 16):
+            ckid, _flags, off, sz = struct.unpack_from("<4sIII", data, p)
+            if ckid[2:4] in (b"dc", b"db"):
+                frames.append((base + off + 8, sz))
+    else:
+        for fourcc, b, sz in _walk_chunks(data, movi[1], movi[2]):
+            if fourcc[2:4] in (b"dc", b"db"):
+                frames.append((b, sz))
+    meta["frames"] = frames
+    if meta["n_frames"] == 0:
+        meta["n_frames"] = len(frames)
+    if meta["fps"]:
+        meta["duration_sec"] = meta["n_frames"] / meta["fps"]
+    else:
+        meta["duration_sec"] = None
+    return meta
+
+
+def _parse_hdrl(data: bytes, pos: int, end: int, meta: dict) -> None:
+    for fourcc, body, size in _walk_chunks(data, pos, end):
+        if fourcc == b"avih":
+            if size < 40:
+                raise ValueError("AVI avih header truncated")
+            (usec, _mbps, _pad, _flags, total, _init, streams, _buf,
+             w, h) = struct.unpack_from("<10I", data, body)
+            meta["n_tracks"] = streams
+            meta["n_frames"] = total
+            meta["width"] = w
+            meta["height"] = h
+        elif fourcc == b"LIST" and data[body : body + 4] == b"strl":
+            _parse_strl(data, body + 4, body + size, meta)
+
+
+def _parse_strl(data: bytes, pos: int, end: int, meta: dict) -> None:
+    fcc_type = None
+    for fourcc, body, size in _walk_chunks(data, pos, end):
+        if fourcc == b"strh":
+            if size < 48:
+                raise ValueError("AVI strh header truncated")
+            fcc_type = data[body : body + 4]
+            handler = data[body + 4 : body + 8]
+            scale, rate = struct.unpack_from("<II", data, body + 20)
+            if fcc_type == b"vids":
+                meta["codec"] = handler.decode("ascii", "replace").strip()
+                if scale:
+                    meta["fps"] = rate / scale
+        elif fourcc == b"strf" and fcc_type == b"vids":
+            if size < 40:
+                raise ValueError("AVI video strf (BITMAPINFOHEADER) short")
+            _bisz, bw, bh = struct.unpack_from("<Iii", data, body)
+            meta["width"] = bw
+            meta["height"] = abs(bh)
+
+
+def decode_mjpeg_frame(data: bytes, frame: int = 0) -> np.ndarray:
+    """Decode video frame ``frame`` of an in-memory MJPEG AVI to an
+    (h, w, 3) uint8 RGB array via the repo's T.81 codec."""
+    from .jpeg import decode_jpeg
+
+    meta = probe_avi(data)
+    if meta["codec"] != "MJPG":
+        raise NotImplementedError(
+            f"AVI video codec {meta['codec']!r}: only MJPG decodes "
+            "(H.264/VP9 are table-blocked; see probe_video_meta)"
+        )
+    spans = meta["frames"]
+    if not 0 <= frame < len(spans):
+        raise ValueError(f"AVI has {len(spans)} frames, asked for {frame}")
+    off, sz = spans[frame]
+    return decode_jpeg(data[off : off + sz])
+
+
+# -------------------------------------------------------------- fixture
+def build_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                    fps: float = 10.0) -> bytes:
+    """Assemble an MJPEG AVI (with idx1) from pre-encoded JPEG frames —
+    fixture writer mirroring what capture tooling emits."""
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack(
+        "<10I16x",
+        int(1e6 * scale / rate), 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, scale, rate, 0, len(frames),
+        0, -1, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b""
+    offsets = []
+    for jpg in frames:
+        offsets.append(4 + len(movi_body))  # relative to 'movi' fourcc
+        movi_body += chunk(b"00dc", jpg)
+    movi = lst(b"movi", movi_body)
+    idx = b"".join(
+        struct.pack("<4sIII", b"00dc", 0x10, off, len(jpg))
+        for off, jpg in zip(offsets, frames)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
