@@ -1,0 +1,377 @@
+"""Ogg Vorbis codec (``sources/vorbis.py``): the spec's worked Huffman
+example, float32_unpack, inverse-dB table endpoints, analytic-formula
+PCM pins (the decode chain's output IS ``window * iMDCT(spectrum)``
+lapped — computable independently), a naive direct-sum iMDCT
+cross-check, unit decodes of the codebook/residue/coupling paths the
+fixture encoder doesn't emit, and hostile bytes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.sources.vorbis import (
+    _Bits,
+    _BitsW,
+    _canon_codes,
+    _Codebook,
+    _float32_pack,
+    _float32_unpack,
+    _ilog,
+    _INVERSE_DB,
+    _inverse_couple,
+    _lookup1_values,
+    _ogg_page,
+    _Residue,
+    _vorbis_window,
+    decode_vorbis,
+    encode_vorbis,
+    is_vorbis,
+    ogg_crc,
+)
+
+
+def _win(n_idx):
+    s = np.sin((np.pi / 256) * (n_idx + 0.5))
+    return np.sin((np.pi / 2) * (s * s))
+
+
+def _imdct_naive(spec):
+    """Independent direct-sum iMDCT (written here, not imported)."""
+    half = len(spec)
+    n = 2 * half
+    out = np.zeros(n)
+    for m in range(n):
+        acc = 0.0
+        for k in range(half):
+            acc += spec[k] * np.cos(
+                np.pi / half * (m + 0.5 + n / 4) * (k + 0.5)
+            )
+        out[m] = acc
+    return out
+
+
+# ------------------------------------------------------------ primitives
+def test_huffman_spec_worked_example():
+    """Vorbis I spec 3.2.1: lengths [2,4,4,4,4,2,3,3] assign codewords
+    00, 0100, 0101, 0110, 0111, 10, 110, 111."""
+    codes = _canon_codes([2, 4, 4, 4, 4, 2, 3, 3])
+    assert codes == {
+        0: (2, 0b00), 1: (4, 0b0100), 2: (4, 0b0101), 3: (4, 0b0110),
+        4: (4, 0b0111), 5: (2, 0b10), 6: (3, 0b110), 7: (3, 0b111),
+    }
+
+
+def test_float32_unpack():
+    assert _float32_unpack(_float32_pack(1, 778)) == 2.0 ** -10
+    assert _float32_unpack(_float32_pack(0, 0)) == 0.0
+    assert _float32_unpack(_float32_pack(3, 788)) == 3.0
+    assert _float32_unpack(_float32_pack(3, 788, sign=1)) == -3.0
+
+
+def test_inverse_db_table_matches_spec_endpoints():
+    """First/last entries as printed in the spec's static table."""
+    assert _INVERSE_DB[255] == 1.0
+    assert _INVERSE_DB[0] == pytest.approx(1.0649863e-07, rel=1e-7)
+    assert _INVERSE_DB[1] == pytest.approx(1.1341951e-07, rel=1e-7)
+    assert _INVERSE_DB[254] == pytest.approx(0.9389798, rel=1e-6)
+    assert np.all(np.diff(_INVERSE_DB) > 0)
+
+
+def test_ilog_and_lookup1():
+    assert [_ilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+    assert _lookup1_values(49, 2) == 7
+    assert _lookup1_values(50, 2) == 7
+    assert _lookup1_values(48, 2) == 6
+
+
+def test_ogg_crc_known_property():
+    # independent bit-level CRC over the generator polynomial
+    def slow(data):
+        r = 0
+        for b in data:
+            r ^= b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else r << 1
+                r &= 0xFFFFFFFF
+        return r
+
+    for blob in (b"", b"OggS", bytes(range(100))):
+        assert ogg_crc(blob) == slow(blob)
+
+
+def test_window_princen_bradley():
+    w = _vorbis_window(256)
+    assert np.allclose(w[:128] ** 2 + w[128:] ** 2, 1.0, atol=1e-14)
+
+
+# ----------------------------------------------------- analytic PCM pins
+def test_single_coefficient_matches_formula_exactly():
+    spec = np.zeros(128)
+    spec[5] = 100 / 1024
+    pcm, rate = decode_vorbis(encode_vorbis([spec, None], 8000))
+    assert rate == 8000 and pcm.shape == (128, 1)
+    n = np.arange(128.0) + 128
+    expect = _win(n) * ((100 / 1024) * np.cos(
+        ((np.pi / 128) * (n + 64.5)) * 5.5))
+    assert np.array_equal(pcm[:, 0], expect)  # BIT exact
+
+
+def test_two_coefficients_and_double_lap():
+    s1 = np.zeros(128)
+    s1[3] = 64 / 1024
+    s1[17] = 200 / 1024
+    s2 = np.zeros(128)
+    s2[9] = 128 / 1024
+    pcm, _ = decode_vorbis(encode_vorbis([s1, s2, None], 8000))
+    assert pcm.shape == (256, 1)
+    n = np.arange(128.0)
+
+    def y(spec_pairs, idx):
+        acc = np.zeros_like(idx, dtype=np.float64)
+        for k, c in spec_pairs:
+            acc = acc + c * np.cos(((np.pi / 128) * (idx + 64.5))
+                                   * (k + 0.5))
+        return acc
+
+    # region 1: right half of packet 1 + left half of packet 2
+    r1 = _win(n + 128) * y([(3, 64 / 1024), (17, 200 / 1024)], n + 128) \
+        + _win(n) * y([(9, 128 / 1024)], n)
+    # region 2: right half of packet 2 (packet 3 silent)
+    r2 = _win(n + 128) * y([(9, 128 / 1024)], n + 128)
+    assert np.array_equal(pcm[:128, 0], r1)
+    assert np.array_equal(pcm[128:, 0], r2)
+
+
+def test_imdct_matches_naive_direct_sum():
+    rng = np.random.default_rng(5)
+    spec = np.round(rng.uniform(0, 255, 32)) / 1024
+    pcm, _ = decode_vorbis(encode_vorbis([spec, None], 8000,
+                                         blocksize=64))
+    n = np.arange(32) + 32
+    y = _imdct_naive(spec)
+    s = np.sin((np.pi / 64) * (n + 0.5))
+    w = np.sin((np.pi / 2) * (s * s))
+    assert np.allclose(pcm[:, 0], w * y[32:], atol=1e-12)
+
+
+def test_granule_trims_tail():
+    spec = np.zeros(128)
+    spec[1] = 50 / 1024
+    data = bytearray(encode_vorbis([spec, None, None], 8000))
+    pcm, _ = decode_vorbis(bytes(data))
+    assert pcm.shape[0] == 256
+    # shrink the final granule: decoder must trim, not pad
+    pos = len(data) - 1
+    # rebuild the last page with granule 200
+    idx = data.rindex(b"OggS")
+    page = bytearray(data[idx:])
+    struct.pack_into("<q", page, 6, 200)
+    page[22:26] = b"\x00\x00\x00\x00"
+    struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
+    pcm2, _ = decode_vorbis(bytes(data[:idx]) + bytes(page))
+    assert pcm2.shape[0] == 200
+    assert np.array_equal(pcm2[:, 0], pcm[:200, 0])
+    assert pos  # silence linters
+
+
+# --------------------------------------- paths the encoder doesn't emit
+def test_codebook_ordered_and_vq_type1():
+    w = _BitsW()
+    w.write(0x564342, 24)
+    w.write(2, 16)   # dim 2
+    w.write(4, 24)   # 4 entries
+    w.write(1, 1)    # ordered
+    w.write(0, 5)    # first length 1
+    # kraft-complete [1, 2, 3, 3]: 1 entry at len 1 (ilog(4)=3 bits),
+    # 1 at len 2 (ilog(3)=2 bits), 2 at len 3 (ilog(2)=2 bits)
+    w.write(1, 3)
+    w.write(1, 2)
+    w.write(2, 2)
+    w.write(1, 4)    # lookup type 1
+    w.write(_float32_pack(1, 788), 32)   # minimum 1.0
+    w.write(_float32_pack(2, 788), 32)   # delta 2.0
+    w.write(1, 4)    # value_bits 2
+    w.write(0, 1)    # sequence_p 0
+    # lookup1_values(4, 2) = 2 multiplicands
+    w.write(0, 2)
+    w.write(3, 2)
+    cb = _Codebook(_Bits(w.bytes()))
+    assert cb.lengths == [1, 2, 3, 3]
+    # entry e, dim d: mult[(e // lv^d) % lv] * delta + min
+    # lv=2; entry 1: d0 -> mult[1]=3 -> 7.0; d1 -> mult[0]=0 -> 1.0
+    assert cb.vectors[1].tolist() == [7.0, 1.0]
+    assert cb.vectors[3].tolist() == [7.0, 7.0]
+    # decode: entry 0 has codeword 00 (len 2)
+    r = _Bits(b"\x00")
+    assert cb.decode_scalar(r) == 0
+
+
+def test_codebook_sparse_and_single_entry_refusal():
+    w = _BitsW()
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(3, 24)
+    w.write(0, 1)   # unordered
+    w.write(1, 1)   # sparse
+    w.write(1, 1)
+    w.write(1, 5)   # entry 0: len 2
+    w.write(0, 1)   # entry 1: unused
+    w.write(1, 1)
+    w.write(1, 5)   # entry 2: len 2... underfull tree
+    w.write(0, 4)
+    with pytest.raises(ValueError, match="under-specified"):
+        _Codebook(_Bits(w.bytes()))
+    w2 = _BitsW()
+    w2.write(0x564342, 24)
+    w2.write(1, 16)
+    w2.write(2, 24)
+    w2.write(0, 1)
+    w2.write(1, 1)   # sparse
+    w2.write(1, 1)
+    w2.write(0, 5)   # entry 0 used, len 1
+    w2.write(0, 1)   # entry 1 unused -> single used entry
+    with pytest.raises(NotImplementedError, match="single-used-entry"):
+        _Codebook(_Bits(w2.bytes()))
+
+
+def _scalar_book(lengths):
+    w = _BitsW()
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(len(lengths), 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for ln in lengths:
+        w.write(ln - 1, 5)
+    w.write(0, 4)
+    return _Codebook(_Bits(w.bytes()))
+
+
+def _vq_book(dim, vectors_q, delta=1.0):
+    """Type-2 book: one entry per quantized vector."""
+    n = 2
+    while n < len(vectors_q):
+        n *= 2
+    elen = _ilog(n - 1)
+    w = _BitsW()
+    w.write(0x564342, 24)
+    w.write(dim, 16)
+    w.write(n, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(n):
+        w.write(elen - 1, 5)
+    w.write(2, 4)
+    w.write(_float32_pack(0, 0), 32)
+    w.write(_float32_pack(1, 788) if delta == 1.0 else 0, 32)
+    w.write(3, 4)  # value_bits 4
+    w.write(0, 1)
+    for e in range(n):
+        vals = vectors_q[e] if e < len(vectors_q) else [0] * dim
+        for v in vals:
+            w.write(v, 4)
+    return _Codebook(_Bits(w.bytes()))
+
+
+def test_residue_type2_stereo_deinterleave():
+    classbook = _scalar_book([1, 1])   # dim 1, classes 0/1
+    valbook = _vq_book(4, [[1, 2, 3, 4], [5, 6, 7, 8]])
+    w = _BitsW()
+    w.write(0, 24)       # begin
+    w.write(8, 24)       # end
+    w.write(3, 24)       # partition size 4
+    w.write(1, 6)        # 2 classifications
+    w.write(0, 8)        # classbook idx 0
+    w.write(0, 3)        # class 0 cascade 0
+    w.write(0, 1)
+    w.write(1, 3)        # class 1 cascade 1
+    w.write(0, 1)
+    w.write(1, 8)        # class 1 pass 0 -> book 1
+    res = _Residue(2, _Bits(w.bytes()))
+    books = [classbook, valbook]
+    # payload: interleaved stereo, n2 = 4 per channel -> vector len 8,
+    # 2 partitions: classes [1, 1]; entries 0 then 1
+    pw = _BitsW()
+    pw.write(1, 1)  # classword: class 1 (code '1')
+    # partition 0 entry 0: codeword 0 (len 1)
+    pw.write(0, 1)
+    pw.write(1, 1)  # classword for partition 1
+    pw.write(1, 1)  # entry 1
+    out = res.decode(_Bits(pw.bytes()), books, 4, [False, False])
+    assert out.shape == (2, 4)
+    # interleaved [1,2,3,4,5,6,7,8] -> ch0 [1,3,5,7], ch1 [2,4,6,8]
+    assert out[0].tolist() == [1.0, 3.0, 5.0, 7.0]
+    assert out[1].tolist() == [2.0, 4.0, 6.0, 8.0]
+
+
+def test_residue_type0_stride():
+    classbook = _scalar_book([1, 1])
+    valbook = _vq_book(2, [[1, 2], [3, 4]])  # dim 2
+    w = _BitsW()
+    w.write(0, 24)
+    w.write(4, 24)
+    w.write(3, 24)  # partition size 4
+    w.write(1, 6)
+    w.write(0, 8)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(1, 3)
+    w.write(0, 1)
+    w.write(1, 8)
+    res = _Residue(0, _Bits(w.bytes()))
+    pw = _BitsW()
+    pw.write(1, 1)  # class 1
+    pw.write(0, 1)  # entry 0 -> [1,2]
+    pw.write(1, 1)  # entry 1 -> [3,4]
+    out = res.decode(_Bits(pw.bytes()), [classbook, valbook], 4, [False])
+    # type 0: step=2; i=0 vec [1,2] -> v[0]+=1, v[2]+=2;
+    #         i=1 vec [3,4] -> v[1]+=3, v[3]+=4
+    assert out[0].tolist() == [1.0, 3.0, 2.0, 4.0]
+
+
+def test_inverse_coupling_spec_cases():
+    M = np.array([3.0, 3.0, -3.0, -3.0, 0.0])
+    A = np.array([1.0, -1.0, 1.0, -1.0, 0.0])
+    # spec 4.3.5: (3,1)->(3,2); (3,-1)->(2,3); (-3,1)->(-3,-2);
+    # (-3,-1)->(-2,-3); (0,0)->(0,0)
+    m, a = _inverse_couple(M, A)
+    assert m.tolist() == [3.0, 2.0, -3.0, -2.0, 0.0]
+    assert a.tolist() == [2.0, 3.0, -2.0, -3.0, 0.0]
+
+
+# --------------------------------------------------------- hostile bytes
+def test_crc_flip_refuses():
+    spec = np.zeros(128)
+    spec[2] = 30 / 1024
+    data = bytearray(encode_vorbis([spec, None], 8000))
+    data[-1] ^= 0x40  # last body byte of the final page
+    with pytest.raises(ValueError, match="CRC"):
+        decode_vorbis(bytes(data))
+
+
+def test_truncation_refuses():
+    spec = np.zeros(128)
+    spec[2] = 30 / 1024
+    data = encode_vorbis([spec, None], 8000)
+    for cut in (10, 60, len(data) - 5):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_vorbis(data[:cut])
+
+
+def test_is_vorbis_and_alien_streams():
+    spec = np.zeros(128)
+    data = encode_vorbis([spec, None], 8000)
+    assert is_vorbis(data)
+    assert not is_vorbis(b"RIFF" + bytes(40))
+    page = _ogg_page(0x02, 0, 5, 0, b"OpusHead" + bytes(12))
+    assert not is_vorbis(page)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="k/1024"):
+        encode_vorbis([np.full(128, 0.3)], 8000)
+    with pytest.raises(ValueError, match="length"):
+        encode_vorbis([np.zeros(64)], 8000)

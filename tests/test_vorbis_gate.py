@@ -1,0 +1,84 @@
+"""The vorbis_decode_stats gate's exactness contract: every fixture
+sample sits FAR from a 2^-20 quantization boundary, so last-ulp libm
+differences between numpy and DuckDB cannot flip the checksum; and the
+decoded PCM equals the oracle's analytic formula."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xcube_server_spark.registry.pipeline_round11 import _VORBIS_ASSETS
+from xcube_server_spark.sources.vorbis import decode_vorbis, encode_vorbis
+
+
+def _fixture_pcm(packets):
+    spectra = []
+    for pk in packets:
+        if pk is None:
+            spectra.append(None)
+        else:
+            s = np.zeros(128)
+            for k, num in pk.items():
+                s[k] = num / 1024
+            spectra.append(s)
+    pcm, rate = decode_vorbis(encode_vorbis(spectra, 8000))
+    return pcm[:, 0], rate
+
+
+def test_quantization_margin():
+    for aid, packets in _VORBIS_ASSETS:
+        pcm, _ = _fixture_pcm(packets)
+        scaled = pcm * 1048576.0 + 0.5
+        dist = np.abs(scaled - np.round(scaled))
+        # cross-engine libm wiggle is ulp-scale: |scaled| < 2^19, so a
+        # few-ulp disagreement moves scaled by < 1e-9 — require 1e-4,
+        # five orders of margin
+        assert dist.min() > 1e-4, (
+            f"asset {aid}: sample within {dist.min()} of a quantization "
+            "boundary — retune the fixture constants"
+        )
+
+
+def test_decoded_matches_analytic_formula():
+    def w(n):
+        s = np.sin((np.pi / 256) * (n + 0.5))
+        return np.sin((np.pi / 2) * (s * s))
+
+    def y(spec, n):
+        acc = np.zeros_like(n, dtype=np.float64)
+        for k, num in spec.items():
+            acc = acc + (num / 1024) * np.cos(
+                ((np.pi / 128) * (n + 64.5)) * (k + 0.5))
+        return acc
+
+    j = np.arange(128.0)
+    for aid, packets in _VORBIS_ASSETS:
+        pcm, _ = _fixture_pcm(packets)
+        specs = [p for p in packets]
+        regions = []
+        for r in range(len(packets) - 1):
+            left, right = specs[r], specs[r + 1]
+            seg = np.zeros(128)
+            if left is not None:
+                seg = seg + w(j + 128) * y(left, j + 128)
+            if right is not None:
+                seg = seg + w(j) * y(right, j)
+            regions.append(seg)
+        expect = np.concatenate(regions)
+        assert pcm.shape == expect.shape
+        assert np.allclose(pcm, expect, atol=1e-15), f"asset {aid}"
+
+
+def test_decode_audio_vorbis_branch():
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+
+    pcm, _ = _fixture_pcm(_VORBIS_ASSETS[0][1])
+    spectra = [None if p is None else p for p in _VORBIS_ASSETS[0][1]]
+    s = np.zeros(128)
+    for k, num in _VORBIS_ASSETS[0][1][0].items():
+        s[k] = num / 1024
+    data = encode_vorbis([s, None], 8000)
+    wave = decode_audio(data, 8000)
+    assert wave.dtype == np.float32
+    assert np.allclose(wave, pcm.astype(np.float32))
+    assert spectra  # keep name referenced

@@ -268,10 +268,18 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
         samples, _rate, bps = decode_flac(payload)
         wave = samples.astype(np.float32) / float(1 << (bps - 1))
         return wave.mean(axis=1).astype(np.float32)
+    if payload[:4] == b"OggS":
+        from ..sources.vorbis import decode_vorbis, is_vorbis
+
+        if is_vorbis(payload):
+            pcm, _rate = decode_vorbis(payload)
+            return pcm.mean(axis=1).astype(np.float32)
+        # Ogg Opus and friends fall through to the fake/refuse path
     if not fake:
         raise NotImplementedError(
-            "payload is not PCM WAV or FLAC — lossy audio needs native "
-            "codecs; pass fake=True for the deterministic test decoder"
+            "payload is not PCM WAV, FLAC or Ogg Vorbis — other lossy "
+            "audio needs native codecs; pass fake=True for the "
+            "deterministic test decoder"
         )
     n = max(int(sample_rate) or 16, 16)
     digest = hashlib.sha256(payload).digest()

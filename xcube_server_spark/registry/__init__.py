@@ -69,7 +69,9 @@ for _m in (
 # no-decompress frame walk, gzip member walk — sources/jsonl.py) and
 # warc_zst_ingest_stats (frame-per-record .warc.zst) and
 # video_frames_stats (MJPEG/AVI REAL frame pixels via the RIFF walk +
-# T.81 codec, position-weighted exact-integer checksums).
+# T.81 codec, position-weighted exact-integer checksums) and
+# vorbis_decode_stats (full Ogg Vorbis PCM decode, analytic cos/sin
+# oracle with a proven quantization margin).
 # (b) queries whose CODE PATH or ORACLE changed this round and must
 # re-prove: warc_ingest_stats + html_text_extract (the _strip_html
 # entity chain now unescapes '&amp;' LAST, both engines),
@@ -88,6 +90,7 @@ _PRIORITY = [
     "jsonl_gz_ingest_stats",
     "warc_zst_ingest_stats",
     "video_frames_stats",
+    "vorbis_decode_stats",
     "warc_ingest_stats",
     "html_text_extract",
     "webdataset_ingest_stats",
@@ -133,8 +136,7 @@ _PRIORITY = [
     "bm25_search",
     "clip_normalize",
     "cross_source_overlap",
-    "cube_decimate",
-    # ---- overflow (cube_decimate_stride displaced to r12 head) (past the 50-query window): module order ----
+    # ---- overflow (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -285,3 +285,141 @@ ORDER BY asset_id, frame_idx
 """
 
 QUERIES["video_frames_stats"] = video_frames_stats
+
+
+# ---------------------------------------------------------------------------
+# vorbis_decode_stats: REAL Ogg Vorbis PCM, analytic-formula oracle
+# ---------------------------------------------------------------------------
+# The fixture encoder stores chosen spectra verbatim (flat unity floor,
+# VQ type-2 dyadic multiplicands), so decoded PCM is analytically
+# window * iMDCT(spectrum) lapped — a cos/sin formula DuckDB evaluates
+# with the SAME association order the decoder uses (pinned in
+# sources/vorbis.py at _imdct_basis/_vorbis_window). Residual libm
+# last-ulp wiggle is absorbed by quantizing at 2^-20 with a fixture
+# whose values sit far from quantization boundaries (margin asserted in
+# tests/test_vorbis_gate.py).
+
+_VORBIS_ASSETS = [
+    # (asset_id, packets): packets = list of {bin: numerator/1024} or None
+    (0, [{5: 100}, None]),
+    (1, [{3: 64, 17: 200}, None]),
+    (2, [{9: 128}, None, {30: 255}, None]),
+]
+
+
+def _vorbis_gate_fixture(spark: SparkSession) -> str:
+    import numpy as np
+
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.vorbis import encode_vorbis
+
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_vorbis_gate_v1")
+    p = os.path.join(d, "assets.parquet")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return p
+    rows = []
+    for aid, packets in _VORBIS_ASSETS:
+        spectra = []
+        for pk in packets:
+            if pk is None:
+                spectra.append(None)
+            else:
+                s = np.zeros(128)
+                for k, num in pk.items():
+                    s[k] = num / 1024
+                spectra.append(s)
+        ogg = encode_vorbis(spectra, 8000)
+        rows.append((aid, "audio/ogg", bytearray(ogg),
+                     {"width": 0, "height": 0, "n_frames": 0,
+                      "sample_rate": 8000}))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def vorbis_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis decode end to end inside one Arrow-batched
+    ``mapInPandas`` stage: page CRCs, packet reassembly, codebook
+    Huffman, floor1 curve, residue, iMDCT, window, overlap-add, granule
+    trim (``sources/vorbis.py``). The checksum is the position-weighted
+    sum of 2^-20-quantized samples, so a wrong sample ANYWHERE (wrong
+    window half, wrong lap order, wrong bin) breaks the value."""
+    import pandas as pd
+
+    from ..sources.vorbis import decode_vorbis
+
+    p = _vorbis_gate_fixture(spark)
+    media = spark.read.parquet(p)
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            aids, ns, rates, cks = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                pcm, rate = decode_vorbis(bytes(payload))
+                q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
+                pos = np.arange(len(q), dtype=np.int64) + 1
+                aids.append(int(aid))
+                ns.append(len(q))
+                rates.append(rate)
+                cks.append(int((q * pos).sum()))
+            yield pd.DataFrame(
+                {"asset_id": aids, "n_samples": ns, "sample_rate": rates,
+                 "checksum": cks}
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, n_samples long, sample_rate int, checksum long",
+    ).orderBy("asset_id")
+
+
+def _sql_w(n: str) -> str:
+    s = f"sin(pi()/256*({n}+0.5))"
+    return f"sin(pi()/2 * ({s} * {s}))"
+
+
+def _sql_c(n: str, k: int) -> str:
+    return f"cos(pi()/128*({n}+64.5) * {k}.5)"
+
+
+def _sql_y(n: str, spec: dict) -> str:
+    terms = " + ".join(
+        f"({num}.0/1024 * {_sql_c(n, k)})" for k, num in spec.items()
+    )
+    return f"({terms})"
+
+
+ORACLES["vorbis_decode_stats"] = f"""
+WITH base AS (
+  SELECT a, unnest(range(0, n)) AS i
+  FROM (VALUES (0, 128), (1, 128), (2, 384)) t(a, n)
+), pcm AS (
+  SELECT a, i,
+    CASE
+      WHEN a = 0 THEN {_sql_w('i+128')} * {_sql_y('i+128', {5: 100})}
+      WHEN a = 1 THEN {_sql_w('i+128')}
+                      * {_sql_y('i+128', {3: 64, 17: 200})}
+      WHEN a = 2 AND i < 128 THEN {_sql_w('i+128')}
+                      * {_sql_y('i+128', {9: 128})}
+      WHEN a = 2 AND i < 256 THEN {_sql_w('i-128')}
+                      * {_sql_y('i-128', {30: 255})}
+      ELSE {_sql_w('i-128')} * {_sql_y('i-128', {30: 255})}
+    END AS v
+  FROM base
+)
+SELECT CAST(a AS BIGINT) AS asset_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(sum(CAST(floor(v*1048576 + 0.5) AS BIGINT) * (i + 1))
+            AS BIGINT) AS checksum
+FROM pcm
+GROUP BY a
+ORDER BY asset_id
+"""
+
+QUERIES["vorbis_decode_stats"] = vorbis_decode_stats

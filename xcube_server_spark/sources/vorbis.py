@@ -1,0 +1,1062 @@
+"""Ogg Vorbis decoder (pure Python/numpy) + fixture-grade encoder.
+
+Unlike MP3/AAC/H.264, Vorbis is NOT table-blocked: every codebook, floor
+configuration and residue configuration ships IN-BAND in the setup
+header (Vorbis I spec, public), so a spec-driven decoder needs no large
+reproduced constant tables. The one static table — floor1's inverse-dB
+amplitude table — is generated from its defining formula
+``10^((i-255) * 0.546875 / 20)`` (0.546875 dB per step; endpoints match
+the spec's printed 1.0649863e-07 and 1.0).
+
+Scope: the full Vorbis I decode chain — Ogg page/packet reassembly with
+CRC verification, codebook parse (ordered/unordered/sparse, VQ lookup
+types 1 and 2), floor type 1 (type 0 is legacy, refused loudly),
+residue types 0/1/2, channel coupling, window/iMDCT/overlap-add with
+long/short block transitions, granule-based end trim. Anything outside
+the spec's happy path raises ``ValueError``/``NotImplementedError`` —
+clear errors, never wrong answers.
+
+The iMDCT is a cached cosine-basis matmul: per packet it is one
+BLAS-dispatched (n, n/2) @ (n/2,) product, and a scale pipeline batches
+frames of one blocksize into a single (frames, n/2) @ (n/2, n) GEMM.
+Exactness discipline for the driver gate: basis and window are built
+with a pinned association order (documented at the definitions) so a
+SQL oracle can reproduce decoded floats bit-for-bit.
+
+The encoder writes standard-conforming streams for fixtures: caller
+chooses the residue spectra directly (stored as VQ type-2 multiplicands
+— dyadic exact), a flat unity floor (final Y 255 -> inverse-dB index
+255 -> exactly 1.0), one packet per page, real CRCs. It exists so tests
+and gates can pin the decoder against content whose decoded output is
+an analytic formula; it is not a perceptual encoder.
+
+The reference server has no audio path; this feeds the LLM-pipeline
+multimodal surface (``pipeline/multimodal.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------ bit I/O
+# Vorbis packs LSb-first within bytes (spec "bitpacking convention").
+
+
+class _Bits:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, k: int) -> int:
+        out = 0
+        for i in range(k):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("Vorbis packet overread (truncated)")
+            out |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return out
+
+    def read_bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("Vorbis packet overread (truncated)")
+        b = (self.data[byte] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitsW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, k: int) -> None:
+        for i in range(k):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+def _ilog(x: int) -> int:
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def _float32_unpack(x: int) -> float:
+    mantissa = x & 0x1FFFFF
+    exponent = (x & 0x7FE00000) >> 21
+    if x & 0x80000000:
+        mantissa = -mantissa
+    return float(mantissa) * 2.0 ** (exponent - 788)
+
+
+def _float32_pack(mantissa: int, exponent: int, sign: int = 0) -> int:
+    return (sign << 31) | (exponent << 21) | mantissa
+
+
+def _lookup1_values(entries: int, dim: int) -> int:
+    v = int(round(entries ** (1.0 / dim)))
+    while (v + 1) ** dim <= entries:
+        v += 1
+    while v ** dim > entries:
+        v -= 1
+    return v
+
+
+# The floor1 amplitude table: 0.546875 dB per step, unity at index 255.
+_INVERSE_DB = 10.0 ** ((np.arange(256) - 255) * (0.546875 / 20.0))
+_INVERSE_DB[255] = 1.0  # exact by definition
+
+
+# ----------------------------------------------------------- codebooks
+class _Codebook:
+    """Parsed codebook: canonical Huffman decode + optional VQ lookup."""
+
+    def __init__(self, br: _Bits) -> None:
+        if br.read(24) != 0x564342:
+            raise ValueError("codebook sync pattern lost")
+        self.dim = br.read(16)
+        self.entries = br.read(24)
+        lengths: list[int | None] = []
+        if br.read_bit():  # ordered
+            cur_len = br.read(5) + 1
+            cur = 0
+            while cur < self.entries:
+                num = br.read(_ilog(self.entries - cur))
+                if cur + num > self.entries:
+                    raise ValueError("ordered codebook overruns entries")
+                lengths.extend([cur_len] * num)
+                cur += num
+                cur_len += 1
+                if cur_len > 32:
+                    raise ValueError("codeword length > 32")
+        else:
+            sparse = br.read_bit()
+            for _ in range(self.entries):
+                if sparse and not br.read_bit():
+                    lengths.append(None)
+                else:
+                    lengths.append(br.read(5) + 1)
+        self.lengths = lengths
+        self._assign_codewords()
+        self.lookup_type = br.read(4)
+        if self.lookup_type == 0:
+            self.vectors = None
+        elif self.lookup_type in (1, 2):
+            minimum = _float32_unpack(br.read(32))
+            delta = _float32_unpack(br.read(32))
+            value_bits = br.read(4) + 1
+            sequence_p = br.read_bit()
+            if self.lookup_type == 1:
+                lookup_values = _lookup1_values(self.entries, self.dim)
+            else:
+                lookup_values = self.entries * self.dim
+            mults = [br.read(value_bits) for _ in range(lookup_values)]
+            self.vectors = self._build_vq(
+                minimum, delta, sequence_p, lookup_values,
+                np.array(mults, np.float64),
+            )
+        else:
+            raise ValueError(f"codebook lookup type {self.lookup_type}")
+
+    def _assign_codewords(self) -> None:
+        """Spec 3.2.1: each used entry, in order, takes the numerically
+        lowest unused codeword of its length (verified in tests against
+        the spec's worked example)."""
+        used = [(e, ln) for e, ln in enumerate(self.lengths)
+                if ln is not None]
+        if len(used) == 1:
+            raise NotImplementedError(
+                "single-used-entry codebook (spec special case) — refuse "
+                "rather than guess its codeword width"
+            )
+        # free subtree roots as (depth, code), ordered by code value
+        free: list[tuple[int, int]] = [(0, 0)]
+        table: dict[tuple[int, int], int] = {}
+        for entry, ln in used:
+            best = None
+            for i, (d, c) in enumerate(free):
+                if d <= ln:
+                    val = c << (ln - d)
+                    if best is None or val < best[0]:
+                        best = (val, i, d, c)
+            if best is None:
+                raise ValueError("over-specified Huffman tree (no room)")
+            _, i, d, c = best
+            free.pop(i)
+            for k in range(1, ln - d + 1):
+                free.append((d + k, (c << k) | 1))
+            table[(ln, best[0])] = entry
+        if free and used:
+            raise ValueError("under-specified Huffman tree (unused leaves)")
+        self._table = table
+        self._max_len = max(ln for _, ln in used) if used else 0
+
+    def decode_scalar(self, br: _Bits) -> int:
+        code = 0
+        for ln in range(1, self._max_len + 1):
+            code = (code << 1) | br.read_bit()
+            hit = self._table.get((ln, code))
+            if hit is not None:
+                return hit
+        raise ValueError("invalid Huffman codeword in packet")
+
+    def _build_vq(self, minimum, delta, sequence_p, lookup_values, mults):
+        out = np.empty((self.entries, self.dim), np.float64)
+        if self.lookup_type == 1:
+            for e in range(self.entries):
+                last = 0.0
+                divisor = 1
+                for d in range(self.dim):
+                    off = (e // divisor) % lookup_values
+                    v = mults[off] * delta + minimum + last
+                    if sequence_p:
+                        last = v
+                    out[e, d] = v
+                    divisor *= lookup_values
+        else:
+            for e in range(self.entries):
+                last = 0.0
+                for d in range(self.dim):
+                    v = mults[e * self.dim + d] * delta + minimum + last
+                    if sequence_p:
+                        last = v
+                    out[e, d] = v
+        return out
+
+    def decode_vector(self, br: _Bits) -> np.ndarray:
+        if self.vectors is None:
+            raise ValueError("scalar codebook used in VQ context")
+        return self.vectors[self.decode_scalar(br)]
+
+
+# ---------------------------------------------------------------- floor
+class _Floor1:
+    def __init__(self, br: _Bits) -> None:
+        partitions = br.read(5)
+        self.partition_classes = [br.read(4) for _ in range(partitions)]
+        max_class = max(self.partition_classes, default=-1)
+        self.class_dims = []
+        self.class_subclasses = []
+        self.class_masterbooks = []
+        self.subclass_books = []
+        for _ in range(max_class + 1):
+            self.class_dims.append(br.read(3) + 1)
+            sub = br.read(2)
+            self.class_subclasses.append(sub)
+            self.class_masterbooks.append(br.read(8) if sub else -1)
+            self.subclass_books.append(
+                [br.read(8) - 1 for _ in range(1 << sub)]
+            )
+        self.multiplier = br.read(2) + 1
+        rangebits = br.read(4)
+        xs = [0, 1 << rangebits]
+        for pc in self.partition_classes:
+            for _ in range(self.class_dims[pc]):
+                xs.append(br.read(rangebits))
+        if len(set(xs)) != len(xs):
+            raise ValueError("floor1 X values not unique")
+        self.x_list = xs
+
+    def decode(self, br: _Bits, books: list[_Codebook]) -> list[int] | None:
+        """Returns final_Y post values, or None for an unused channel."""
+        if not br.read_bit():
+            return None
+        rng = (256, 128, 86, 64)[self.multiplier - 1]
+        ybits = _ilog(rng - 1)
+        y = [br.read(ybits), br.read(ybits)]
+        for i, pc in enumerate(self.partition_classes):
+            cdim = self.class_dims[pc]
+            cbits = self.class_subclasses[pc]
+            csub = (1 << cbits) - 1
+            cval = 0
+            if cbits:
+                cval = books[self.class_masterbooks[pc]].decode_scalar(br)
+            for _ in range(cdim):
+                book = self.subclass_books[pc][cval & csub]
+                cval >>= cbits
+                if book >= 0:
+                    y.append(books[book].decode_scalar(br))
+                else:
+                    y.append(0)
+        return self._amplitude(y, rng)
+
+    def _amplitude(self, y: list[int], rng: int) -> list[int]:
+        """Spec 7.2.2 step 1: predict each post from its sorted-X
+        neighbors; a zero-valued post keeps the prediction."""
+        xs = self.x_list
+        n = len(xs)
+        step2 = [True, True] + [False] * (n - 2)
+        final = [y[0], y[1]] + [0] * (n - 2)
+        for i in range(2, n):
+            lo = _low_neighbor(xs, i)
+            hi = _high_neighbor(xs, i)
+            pred = _render_point(xs[lo], final[lo], xs[hi], final[hi],
+                                 xs[i])
+            val = y[i]
+            high_room = rng - pred
+            low_room = pred
+            room = 2 * min(high_room, low_room)
+            if val:
+                step2[lo] = True
+                step2[hi] = True
+                step2[i] = True
+                if val >= room:
+                    if high_room > low_room:
+                        final[i] = val - low_room + pred
+                    else:
+                        final[i] = pred - val + high_room - 1
+                else:
+                    if val & 1:
+                        final[i] = pred - ((val + 1) >> 1)
+                    else:
+                        final[i] = pred + (val >> 1)
+            else:
+                step2[i] = False
+                final[i] = pred
+        self._step2 = step2
+        return [min(max(v, 0), rng - 1) for v in final]
+
+    def curve(self, final_y: list[int], n2: int) -> np.ndarray:
+        """Spec 7.2.3 step 2: render the piecewise-linear curve between
+        step2-flagged posts in the multiplied-Y domain (integer
+        Bresenham), extend flat past the last post, then map through the
+        inverse-dB amplitude table."""
+        xs = self.x_list
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        out = np.zeros(n2, np.int64)
+        lx, ly = 0, final_y[0] * self.multiplier
+        for i in order:
+            if not self._step2[i]:
+                continue
+            hx, hy = xs[i], final_y[i] * self.multiplier
+            if hx > lx:
+                _render_line(lx, ly, hx, hy, out)
+            lx, ly = hx, hy
+        if lx < n2:
+            out[lx:] = ly
+        out = np.clip(out, 0, 255)
+        return _INVERSE_DB[out]
+
+
+def _low_neighbor(xs: list[int], i: int) -> int:
+    best = -1
+    for j in range(i):
+        if xs[j] < xs[i] and (best < 0 or xs[j] > xs[best]):
+            best = j
+    return best
+
+
+def _high_neighbor(xs: list[int], i: int) -> int:
+    best = -1
+    for j in range(i):
+        if xs[j] > xs[i] and (best < 0 or xs[j] < xs[best]):
+            best = j
+    return best
+
+
+def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    err = ady * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0: int, y0: int, x1: int, y1: int, v: np.ndarray) -> None:
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    base = abs(dy) // adx * (1 if dy >= 0 else -1)
+    sy = base + 1 if dy > 0 else base - 1
+    ady -= abs(base) * adx
+    x, y, err = x0, y0, 0
+    if x0 < len(v):
+        v[x0] = y0
+    for x in range(x0 + 1, x1):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        if x < len(v):
+            v[x] = y
+
+
+# --------------------------------------------------------------- residue
+class _Residue:
+    def __init__(self, rtype: int, br: _Bits) -> None:
+        self.rtype = rtype
+        self.begin = br.read(24)
+        self.end = br.read(24)
+        self.partition_size = br.read(24) + 1
+        self.classifications = br.read(6) + 1
+        self.classbook = br.read(8)
+        cascades = []
+        for _ in range(self.classifications):
+            low = br.read(3)
+            high = br.read(5) if br.read_bit() else 0
+            cascades.append(high * 8 + low)
+        self.books: list[list[int]] = []
+        for c in range(self.classifications):
+            row = []
+            for p in range(8):
+                row.append(br.read(8) if cascades[c] & (1 << p) else -1)
+            self.books.append(row)
+
+    def decode(self, br: _Bits, books: list[_Codebook], n2: int,
+               do_not_decode: list[bool]) -> np.ndarray:
+        """Decode residue vectors for ``len(do_not_decode)`` channels of
+        spectrum length ``n2``. Returns (channels, n2) float64."""
+        ch = len(do_not_decode)
+        if self.rtype == 2:
+            vec = np.zeros(ch * n2, np.float64)
+            if not all(do_not_decode):
+                self._decode_core(br, books, [vec], ch * n2, [False])
+            # deinterleave
+            return vec.reshape(n2, ch).T.copy()
+        out = [np.zeros(n2, np.float64) for _ in range(ch)]
+        self._decode_core(br, books, out, n2, do_not_decode)
+        return np.stack(out)
+
+    def _decode_core(self, br: _Bits, books: list[_Codebook],
+                     out: list[np.ndarray], actual_size: int,
+                     do_not_decode: list[bool]) -> None:
+        begin = min(self.begin, actual_size)
+        end = min(self.end, actual_size)
+        n_read = end - begin
+        if n_read == 0:
+            return
+        if n_read % self.partition_size:
+            raise ValueError("residue span not a partition multiple")
+        parts = n_read // self.partition_size
+        classbook = books[self.classbook]
+        cw = classbook.dim  # classwords per codeword
+        ch = len(out)
+        classes = [[0] * (parts + cw) for _ in range(ch)]
+        psize = self.partition_size
+        for p in range(8):
+            pcount = 0
+            while pcount < parts:
+                if p == 0:
+                    for j in range(ch):
+                        if do_not_decode[j]:
+                            continue
+                        temp = classbook.decode_scalar(br)
+                        for i in range(cw, 0, -1):
+                            classes[j][pcount + i - 1] = (
+                                temp % self.classifications
+                            )
+                            temp //= self.classifications
+                for _ in range(cw):
+                    if pcount >= parts:
+                        break
+                    for j in range(ch):
+                        if do_not_decode[j]:
+                            continue
+                        vq = classes[j][pcount]
+                        book_idx = self.books[vq][p]
+                        if book_idx < 0:
+                            continue
+                        book = books[book_idx]
+                        off = begin + pcount * psize
+                        if self.rtype == 0:
+                            step = psize // book.dim
+                            for i in range(step):
+                                vec = book.decode_vector(br)
+                                out[j][off + i:off + i
+                                       + step * book.dim:step] += vec
+                        else:  # types 1 and 2 share the contiguous form
+                            i = 0
+                            while i < psize:
+                                vec = book.decode_vector(br)
+                                out[j][off + i:off + i + book.dim] += vec
+                                i += book.dim
+                    pcount += 1
+
+
+# --------------------------------------------------------- mapping/mode
+class _Mapping:
+    def __init__(self, br: _Bits, channels: int) -> None:
+        if br.read(16) != 0:
+            raise ValueError("mapping type must be 0")
+        self.submaps = br.read(4) + 1 if br.read_bit() else 1
+        self.coupling: list[tuple[int, int]] = []
+        if br.read_bit():
+            steps = br.read(8) + 1
+            bits = _ilog(channels - 1)
+            for _ in range(steps):
+                m = br.read(bits)
+                a = br.read(bits)
+                if m == a or m >= channels or a >= channels:
+                    raise ValueError("invalid coupling channels")
+                self.coupling.append((m, a))
+        if br.read(2) != 0:
+            raise ValueError("mapping reserved bits set")
+        if self.submaps > 1:
+            self.mux = [br.read(4) for _ in range(channels)]
+        else:
+            self.mux = [0] * channels
+        self.submap_floor = []
+        self.submap_residue = []
+        for _ in range(self.submaps):
+            br.read(8)  # unused time configuration placeholder
+            self.submap_floor.append(br.read(8))
+            self.submap_residue.append(br.read(8))
+
+
+class _Mode:
+    def __init__(self, br: _Bits) -> None:
+        self.blockflag = br.read_bit()
+        if br.read(16) != 0:
+            raise ValueError("mode window type must be 0")
+        if br.read(16) != 0:
+            raise ValueError("mode transform type must be 0")
+        self.mapping = br.read(8)
+
+
+# ------------------------------------------------------------- headers
+class _Setup:
+    pass
+
+
+def _parse_ident(packet: bytes) -> tuple[int, int, int, int]:
+    if packet[:7] != b"\x01vorbis":
+        raise ValueError("first packet is not a Vorbis ident header")
+    br = _Bits(packet, 7 * 8)
+    if br.read(32) != 0:
+        raise NotImplementedError("Vorbis version != 0")
+    channels = br.read(8)
+    rate = br.read(32)
+    br.read(32)  # bitrate max
+    br.read(32)  # bitrate nominal
+    br.read(32)  # bitrate min
+    bs0 = 1 << br.read(4)
+    bs1 = 1 << br.read(4)
+    if channels == 0 or rate == 0:
+        raise ValueError("Vorbis ident: zero channels or rate")
+    if not (64 <= bs0 <= 8192 and 64 <= bs1 <= 8192 and bs0 <= bs1):
+        raise ValueError(f"Vorbis ident: bad blocksizes {bs0}/{bs1}")
+    if not br.read_bit():
+        raise ValueError("Vorbis ident: framing bit unset")
+    return channels, rate, bs0, bs1
+
+
+def _parse_setup(packet: bytes, channels: int) -> _Setup:
+    if packet[:7] != b"\x05vorbis":
+        raise ValueError("setup packet header mismatch")
+    br = _Bits(packet, 7 * 8)
+    s = _Setup()
+    s.books = [_Codebook(br) for _ in range(br.read(8) + 1)]
+    for _ in range(br.read(6) + 1):  # time domain transforms (legacy)
+        if br.read(16) != 0:
+            raise ValueError("nonzero time-domain transform")
+    s.floors = []
+    for _ in range(br.read(6) + 1):
+        ftype = br.read(16)
+        if ftype == 1:
+            s.floors.append(_Floor1(br))
+        elif ftype == 0:
+            raise NotImplementedError(
+                "floor type 0 (legacy LSP) — no modern encoder emits it"
+            )
+        else:
+            raise ValueError(f"floor type {ftype}")
+    s.residues = []
+    for _ in range(br.read(6) + 1):
+        rtype = br.read(16)
+        if rtype not in (0, 1, 2):
+            raise ValueError(f"residue type {rtype}")
+        s.residues.append(_Residue(rtype, br))
+    s.mappings = [
+        _Mapping(br, channels) for _ in range(br.read(6) + 1)
+    ]
+    s.modes = [_Mode(br) for _ in range(br.read(6) + 1)]
+    if not br.read_bit():
+        raise ValueError("setup framing bit unset")
+    return s
+
+
+# ------------------------------------------------------- window / iMDCT
+_BASIS_CACHE: dict[int, np.ndarray] = {}
+_WIN_CACHE: dict[int, np.ndarray] = {}
+
+
+def _imdct_basis(n: int) -> np.ndarray:
+    """(n, n/2) cosine basis: y = B @ X. Association order is pinned so
+    a SQL oracle reproduces it bit-for-bit:
+    ``cos((pi/(n/2)) * (m + 0.5 + n/4) * (k + 0.5))`` evaluated as
+    ``((pi/half) * m') * k'`` — scaling by pi/half is exact (power-of-2
+    divide), both factors are exact dyadics, one rounding per multiply."""
+    if n not in _BASIS_CACHE:
+        half = n // 2
+        m = np.arange(n, dtype=np.float64) + (0.5 + n / 4.0)
+        k = np.arange(half, dtype=np.float64) + 0.5
+        _BASIS_CACHE[n] = np.cos(((np.pi / half) * m)[:, None] * k[None, :])
+    return _BASIS_CACHE[n]
+
+
+def _vorbis_window(n: int) -> np.ndarray:
+    """Full-slope window w(m) = sin((pi/2) * s*s), s = sin((pi/n)(m+0.5)).
+    Same pinned association as the basis (see the gate oracle)."""
+    if n not in _WIN_CACHE:
+        m = np.arange(n, dtype=np.float64) + 0.5
+        s = np.sin((np.pi / n) * m)
+        _WIN_CACHE[n] = np.sin((np.pi / 2) * (s * s))
+    return _WIN_CACHE[n]
+
+
+def _window_for(n: int, prev_flag: int, next_flag: int, bs0: int,
+                bs1: int) -> np.ndarray:
+    """Window for one block, honoring long-block transitions: a long
+    block next to a short one uses the short slope centered in its lap
+    region (spec 4.3.1)."""
+    w = np.zeros(n, np.float64)
+    full = _vorbis_window(n)
+    left_n = n if prev_flag or n == bs0 else bs0
+    right_n = n if next_flag or n == bs0 else bs0
+    if n == bs0 or (prev_flag and next_flag) or bs0 == bs1:
+        return full.copy()
+    # left slope
+    ls = _vorbis_window(left_n)
+    begin = n // 4 - left_n // 4
+    w[begin:begin + left_n // 2] = ls[:left_n // 2]
+    w[begin + left_n // 2:n // 2] = 1.0
+    # middle
+    w[n // 2:3 * n // 4] = 1.0
+    # right slope
+    rs = _vorbis_window(right_n)
+    rbegin = 3 * n // 4 - right_n // 4
+    w[n // 2:rbegin] = 1.0
+    w[rbegin:rbegin + right_n // 2] = rs[right_n // 2:]
+    return w
+
+
+# --------------------------------------------------------------- Ogg I/O
+def _ogg_crc_table() -> list[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_CRC_TABLE = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: poly 0x04c11db7, init 0, no reflection, no xorout."""
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def _ogg_packets(data: bytes):
+    """Reassemble logical packets from the page chain, verifying every
+    page CRC. Yields (packet_bytes, granule_after_page_end_or_None)
+    where the granule is attached to the packet that COMPLETES a page."""
+    pos = 0
+    pending = b""
+    first_serial = None
+    while pos < len(data):
+        if data[pos:pos + 4] != b"OggS":
+            raise ValueError(f"Ogg capture pattern lost at byte {pos}")
+        if pos + 27 > len(data):
+            raise ValueError("Ogg page header truncated")
+        version = data[pos + 4]
+        if version != 0:
+            raise NotImplementedError(f"Ogg version {version}")
+        htype = data[pos + 5]
+        (granule,) = struct.unpack("<q", data[pos + 6:pos + 14])
+        (serial,) = struct.unpack("<I", data[pos + 14:pos + 18])
+        (crc,) = struct.unpack("<I", data[pos + 22:pos + 26])
+        nsegs = data[pos + 26]
+        lace = data[pos + 27:pos + 27 + nsegs]
+        if len(lace) < nsegs:
+            raise ValueError("Ogg lacing table truncated")
+        body = pos + 27 + nsegs
+        body_len = sum(lace)
+        if body + body_len > len(data):
+            raise ValueError("Ogg page body truncated")
+        page = bytearray(data[pos:body + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        if first_serial is None:
+            first_serial = serial
+        elif serial != first_serial:
+            raise NotImplementedError("multiplexed Ogg streams")
+        if pending and not htype & 0x01:
+            raise ValueError("Ogg packet continuation flag missing")
+        # split body into packets via lacing
+        off = body
+        seg_packets = []
+        for v in lace:
+            pending += data[off:off + v]
+            off += v
+            if v < 255:
+                seg_packets.append(pending)
+                pending = b""
+        for i, pkt in enumerate(seg_packets):
+            last_of_page = (i == len(seg_packets) - 1) and not pending
+            yield pkt, (granule if last_of_page and granule >= 0
+                        else None)
+        pos = body + body_len
+    if pending:
+        raise ValueError("Ogg stream ends mid-packet")
+
+
+# ------------------------------------------------------------ decoding
+def _inverse_couple(M: np.ndarray, A: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Square-polar magnitude/angle decoupling (spec 4.3.5 pseudocode):
+    given the coupled (magnitude, angle) residues, recover the channel
+    pair."""
+    new_m = M.copy()
+    new_a = A.copy()
+    pos_m = M > 0
+    sel = pos_m & (A > 0)
+    new_a[sel] = (M - A)[sel]
+    sel = pos_m & ~(A > 0)
+    new_a[sel] = M[sel]
+    new_m[sel] = (M + A)[sel]
+    sel = ~pos_m & (A > 0)
+    new_a[sel] = (M + A)[sel]
+    sel = ~pos_m & ~(A > 0)
+    new_a[sel] = M[sel]
+    new_m[sel] = (M - A)[sel]
+    return new_m, new_a
+
+
+def is_vorbis(data: bytes) -> bool:
+    try:
+        for pkt, _ in _ogg_packets(data):
+            return pkt[:7] == b"\x01vorbis"
+    except (ValueError, NotImplementedError):
+        return False
+    return False
+
+
+def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an Ogg Vorbis stream to ((n, channels) float64 PCM in
+    [-1, 1], rate). Float64 end to end: the driver gate quantizes the
+    output, and float32 re-rounding would break its exactness proof."""
+    packets = _ogg_packets(data)
+    try:
+        ident, _ = next(packets)
+    except StopIteration:
+        raise ValueError("empty Ogg stream") from None
+    channels, rate, bs0, bs1 = _parse_ident(ident)
+    try:
+        comment, _ = next(packets)
+        setup_pkt, _ = next(packets)
+    except StopIteration:
+        raise ValueError("Vorbis header packets missing") from None
+    if comment[:7] != b"\x03vorbis":
+        raise ValueError("second packet is not the comment header")
+    setup = _parse_setup(setup_pkt, channels)
+    mode_bits = _ilog(len(setup.modes) - 1)
+    out_chunks: list[np.ndarray] = []
+    prev_tail: np.ndarray | None = None  # (channels, n_prev/2) windowed
+    prev_flag_of_prev = 0
+    total = 0
+    last_granule = None
+    for pkt, granule in packets:
+        if not pkt:
+            raise ValueError("zero-length Vorbis packet")
+        br = _Bits(pkt)
+        if br.read_bit() != 0:
+            raise ValueError("header packet in the audio section")
+        mode = setup.modes[br.read(mode_bits)]
+        n = bs1 if mode.blockflag else bs0
+        prev_flag = next_flag = 1
+        if mode.blockflag:
+            prev_flag = br.read_bit()
+            next_flag = br.read_bit()
+        mapping = setup.mappings[mode.mapping]
+        n2 = n // 2
+        # floors
+        floor_y = []
+        nonzero = []
+        for ch in range(channels):
+            fl = setup.floors[mapping.submap_floor[mapping.mux[ch]]]
+            y = fl.decode(br, setup.books)
+            floor_y.append(y)
+            nonzero.append(y is not None)
+        for m, a in mapping.coupling:
+            if nonzero[m] or nonzero[a]:
+                nonzero[m] = nonzero[a] = True
+        # residues per submap
+        residue_vec = np.zeros((channels, n2), np.float64)
+        for sm in range(mapping.submaps):
+            chans = [c for c in range(channels) if mapping.mux[c] == sm]
+            dnd = [not nonzero[c] for c in chans]
+            res = setup.residues[mapping.submap_residue[sm]]
+            dec = res.decode(br, setup.books, n2, dnd)
+            for i, c in enumerate(chans):
+                residue_vec[c] = dec[i]
+        # inverse coupling (reverse order)
+        for m, a in reversed(mapping.coupling):
+            residue_vec[m], residue_vec[a] = _inverse_couple(
+                residue_vec[m], residue_vec[a]
+            )
+        # floor curve * residue -> spectrum; iMDCT; window
+        basis = _imdct_basis(n)
+        w = _window_for(n, prev_flag, next_flag, bs0, bs1)
+        cur = np.zeros((channels, n), np.float64)
+        for c in range(channels):
+            if nonzero[c]:
+                fl = setup.floors[mapping.submap_floor[mapping.mux[c]]]
+                spectrum = residue_vec[c] * fl.curve(floor_y[c], n2)
+                cur[c] = w * (basis @ spectrum)
+        # overlap-add with the previous block
+        if prev_tail is not None:
+            n_prev = prev_tail.shape[1] * 2
+            out_len = n_prev // 4 + n // 4
+            seg = np.zeros((channels, out_len), np.float64)
+            m = min(out_len, n_prev // 2)
+            seg[:, :m] += prev_tail[:, :m]
+            d = n_prev // 4 - n // 4
+            if d >= 0:
+                seg[:, d:] += cur[:, :n2]
+            else:
+                seg[:, :] += cur[:, -d:-d + out_len]
+            out_chunks.append(seg)
+            total += out_len
+        prev_tail = cur[:, n2:]
+        prev_flag_of_prev = next_flag
+        if granule is not None:
+            last_granule = granule
+    _ = prev_flag_of_prev
+    if not out_chunks:
+        return np.zeros((0, channels), np.float64), rate
+    pcm = np.concatenate(out_chunks, axis=1).T
+    if last_granule is not None:
+        if last_granule > total:
+            raise ValueError(
+                f"Ogg granule {last_granule} exceeds {total} decoded"
+            )
+        pcm = pcm[:last_granule]
+    return pcm, rate
+
+
+# ------------------------------------------------------------- encoder
+def _canon_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Entry -> (length, codeword) under the spec's lowest-available
+    assignment — the encoder-side mirror of ``_assign_codewords``."""
+    free: list[tuple[int, int]] = [(0, 0)]
+    out: dict[int, tuple[int, int]] = {}
+    for entry, ln in enumerate(lengths):
+        best = None
+        for i, (d, c) in enumerate(free):
+            if d <= ln:
+                val = c << (ln - d)
+                if best is None or val < best[0]:
+                    best = (val, i, d, c)
+        if best is None:
+            raise ValueError("over-specified Huffman tree")
+        _, i, d, c = best
+        free.pop(i)
+        for k in range(1, ln - d + 1):
+            free.append((d + k, (c << k) | 1))
+        out[entry] = (ln, best[0])
+    return out
+
+
+def _write_code(w: _BitsW, code: tuple[int, int]) -> None:
+    ln, c = code
+    for i in range(ln - 1, -1, -1):
+        w.write((c >> i) & 1, 1)
+
+
+def _ogg_page(htype: int, granule: int, serial: int, seq: int,
+              body: bytes) -> bytes:
+    lace = []
+    n = len(body)
+    while n >= 255:
+        lace.append(255)
+        n -= 255
+    lace.append(n)
+    page = bytearray(
+        b"OggS\x00" + bytes([htype])
+        + struct.pack("<qII", granule, serial, seq)
+        + b"\x00\x00\x00\x00"
+        + bytes([len(lace)]) + bytes(lace) + body
+    )
+    struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def encode_vorbis(spectra: list[np.ndarray | None], rate: int,
+                  blocksize: int = 256, serial: int = 1) -> bytes:
+    """Fixture-grade mono Ogg Vorbis: one audio packet per spectrum
+    (``None`` = silent packet via the floor nonzero bit). Spectrum
+    values must be k/1024 with k in 0..255 — they are stored verbatim
+    as VQ type-2 multiplicands (delta 2^-10), the floor is flat unity,
+    so a decoder's output is analytically ``window * iMDCT(spectrum)``
+    lapped — the property the driver gate's SQL oracle reproduces."""
+    n2 = blocksize // 2
+    quant: list[list[int] | None] = []
+    for s in spectra:
+        if s is None:
+            quant.append(None)
+            continue
+        arr = np.asarray(s, np.float64)
+        if arr.shape != (n2,):
+            raise ValueError(f"spectrum must be length {n2}")
+        m = arr * 1024.0
+        mi = np.rint(m).astype(np.int64)
+        if not np.array_equal(m, mi.astype(np.float64)) or (
+                mi.min() < 0 or mi.max() > 255):
+            raise ValueError("spectrum values must be k/1024, k in 0..255")
+        quant.append(mi.tolist())
+    used = [q for q in quant if q is not None]
+    n_entries = 2
+    while n_entries < len(used):
+        n_entries *= 2
+    elen = _ilog(n_entries - 1)  # uniform codeword length
+    bslog = _ilog(blocksize) - 1
+
+    w = _BitsW()  # ---- identification packet
+    for b in b"\x01vorbis":
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(1, 8)  # channels
+    w.write(rate, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(bslog, 4)
+    w.write(bslog, 4)
+    w.write(1, 1)
+    ident = w.bytes()
+
+    w = _BitsW()  # ---- comment packet
+    for b in b"\x03vorbis":
+        w.write(b, 8)
+    vendor = b"xcube_server_spark fixture"
+    w.write(len(vendor), 32)
+    for b in vendor:
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(1, 1)
+    comment = w.bytes()
+
+    w = _BitsW()  # ---- setup packet
+    for b in b"\x05vorbis":
+        w.write(b, 8)
+    w.write(1, 8)  # 2 codebooks
+    # classbook: dim 1, entries 2, lengths [1, 1], no lookup
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)  # unordered
+    w.write(0, 1)  # not sparse
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)  # lookup 0
+    # value book: dim n2, VQ type 2, one entry per used spectrum
+    w.write(0x564342, 24)
+    w.write(n2, 16)
+    w.write(n_entries, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(n_entries):
+        w.write(elen - 1, 5)
+    w.write(2, 4)  # lookup type 2
+    w.write(_float32_pack(0, 0), 32)      # minimum 0.0
+    w.write(_float32_pack(1, 778), 32)    # delta 2^-10
+    w.write(7, 4)  # value_bits 8
+    w.write(0, 1)  # sequence_p
+    for e in range(n_entries):
+        vals = used[e] if e < len(used) else [0] * n2
+        for v in vals:
+            w.write(v, 8)
+    w.write(0, 6)   # 1 time transform
+    w.write(0, 16)
+    w.write(0, 6)   # 1 floor
+    w.write(1, 16)  # floor type 1
+    w.write(1, 5)   # 1 partition
+    w.write(0, 4)   # class 0
+    w.write(0, 3)   # class dim 1
+    w.write(0, 2)   # subclass bits 0
+    w.write(0, 8)   # subclass book: 0 -> -1 (unused)
+    w.write(0, 2)   # multiplier 1
+    w.write(7, 4)   # rangebits 7 (x1 = 128)
+    w.write(64, 7)  # the one extra post X
+    w.write(0, 6)   # 1 residue
+    w.write(1, 16)  # residue type 1
+    w.write(0, 24)          # begin
+    w.write(n2, 24)         # end
+    w.write(n2 - 1, 24)     # partition size
+    w.write(1, 6)           # 2 classifications
+    w.write(0, 8)           # classbook = book 0
+    w.write(0, 3)           # class 0: cascade 0
+    w.write(0, 1)
+    w.write(1, 3)           # class 1: cascade 1 (pass 0)
+    w.write(0, 1)
+    w.write(1, 8)           # class 1 pass 0 -> book 1
+    w.write(0, 6)   # 1 mapping
+    w.write(0, 16)  # type 0
+    w.write(0, 1)   # 1 submap
+    w.write(0, 1)   # no coupling
+    w.write(0, 2)   # reserved
+    w.write(0, 8)   # time placeholder
+    w.write(0, 8)   # floor 0
+    w.write(0, 8)   # residue 0
+    w.write(0, 6)   # 1 mode
+    w.write(0, 1)   # blockflag 0
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)   # mapping 0
+    w.write(1, 1)   # framing
+    setup = w.bytes()
+
+    class_codes = _canon_codes([1, 1])
+    value_codes = _canon_codes([elen] * n_entries)
+    packets = []
+    ei = 0
+    for q in quant:
+        w = _BitsW()
+        w.write(0, 1)  # audio packet
+        # mode number: ilog(0) = 0 bits
+        if q is None:
+            w.write(0, 1)  # floor nonzero = 0
+        else:
+            w.write(1, 1)
+            w.write(255, 8)  # y0
+            w.write(255, 8)  # y1
+            _write_code(w, class_codes[1])   # partition class 1
+            _write_code(w, value_codes[ei])  # the spectrum vector
+            ei += 1
+        packets.append(w.bytes())
+
+    out = bytearray()
+    out += _ogg_page(0x02, 0, serial, 0, ident)
+    out += _ogg_page(0x00, 0, serial, 1, comment)
+    out += _ogg_page(0x00, 0, serial, 2, setup)
+    done = 0
+    for i, pkt in enumerate(packets):
+        if i > 0:
+            done += blocksize // 2
+        last = i == len(packets) - 1
+        out += _ogg_page(0x04 if last else 0x00, done, serial, 3 + i,
+                         pkt)
+    return bytes(out)
