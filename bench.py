@@ -55,9 +55,13 @@ BENCH_QUERIES = [
     # (zarr_ingest_stats_zstd swapped out r9 for the Gaussian GRIB2
     # reader — the zstd codec still rides zarr_v3_sharded's chain and
     # its own tests; the Legendre-lat Gaussian decode is the new plan)
+    # (zarr_ingest_stats_blosc swapped out r11 for the splittable
+    # compressed-JSONL corpus reader — plain-v2 zarr decode still rides
+    # zarr_ingest_stats_http and the blosc codec its own tests; the
+    # executor-side frame index + per-chunk zstd decode is the new plan)
     "geotiff_ingest_stats",
     "netcdf4_kerchunk_ingest_http",
-    "zarr_ingest_stats_blosc",
+    "jsonl_zst_ingest_stats",
     "zarr_ingest_stats_http",
     "netcdf4_ingest_stats",
     "grib2_gaussian_ingest_stats",
@@ -105,7 +109,11 @@ BENCH_QUERIES = [
     # in mapInPandas is the new plan shape)
     "doc_chunking",
     "contamination_screen",
-    "cross_source_overlap_kmv",
+    # (cross_source_overlap_kmv swapped out r11 for the Vorbis decode
+    # gate — the KMV family stays covered by distinct_hll_sketch; the
+    # pure-Python psychoacoustic-container decode in mapInPandas is the
+    # new plan shape)
+    "vorbis_decode_stats",
     "dsir_importance",
     "multimodal_decode_stats",
     "mixture_schedule",

@@ -138,3 +138,39 @@ def test_sample_video_frames_spark(spark):
         assert r["checksum"] == int((px[..., 0].reshape(-1) * pos).sum())
         assert r["mean_luma"] == pytest.approx(px.mean())
         assert (r["width"], r["height"]) == (24, 16)
+
+
+def test_build_avi_index_store_matches_probe(tmp_path):
+    from xcube_server_spark.sources.avi import build_avi_index
+    from xcube_server_spark.sources.zarr_store import LocalStore
+
+    data, _ = _fixture(n_frames=5)
+    (tmp_path / "c.avi").write_bytes(data)
+    st = LocalStore(str(tmp_path))
+    meta = build_avi_index(st, "c.avi")
+    assert meta["frames"] == probe_avi(data)["frames"]
+    assert meta["codec"] == "MJPG"
+    # idx1 stripped -> movi header walk gives the same spans
+    pos = data.rindex(b"idx1")
+    body = bytearray(data[:pos])
+    struct.pack_into("<I", body, 4, len(body) - 8)
+    (tmp_path / "n.avi").write_bytes(bytes(body))
+    assert build_avi_index(st, "n.avi")["frames"] == meta["frames"]
+
+
+def test_distributed_ingest_http_range(spark, tmp_path):
+    """Executors Range-GET frame spans over HTTP and decode real pixels."""
+    from xcube_server_spark.registry.cube_queries import _serve_dir_http
+    from xcube_server_spark.sources.avi import ingest_avi_frames_distributed
+
+    data, imgs = _fixture(n_frames=4)
+    (tmp_path / "h.avi").write_bytes(data)
+    url = _serve_dir_http(str(tmp_path))
+    df = ingest_avi_frames_distributed(spark, "http", url, "h.avi",
+                                       every_n=2)
+    rows = {r["frame_idx"]: r for r in df.collect()}
+    assert sorted(rows) == [0, 2]
+    for k, r in rows.items():
+        px = imgs[k].astype(np.int64)
+        pos = np.arange(16 * 24, dtype=np.int64) + 1
+        assert r["checksum"] == int((px[..., 0].reshape(-1) * pos).sum())

@@ -375,3 +375,85 @@ def test_encoder_input_validation():
         encode_vorbis([np.full(128, 0.3)], 8000)
     with pytest.raises(ValueError, match="length"):
         encode_vorbis([np.zeros(64)], 8000)
+
+
+# ----------------------------------------------- long/short transitions
+def _window_ref(n, prev_flag, next_flag, bs0, bs1):
+    """Independent window construction (spec 4.3.1), written here."""
+    def slope(m):
+        x = (np.arange(m) + 0.5) / m * np.pi
+        return np.sin(np.pi / 2 * np.sin(x) ** 2)
+
+    if n == bs0:
+        return slope(n)
+    w = np.zeros(n)
+    left_n = n if prev_flag else bs0
+    right_n = n if next_flag else bs0
+    ls, rs = slope(left_n), slope(right_n)
+    lb = n // 4 - left_n // 4
+    w[lb:lb + left_n // 2] = ls[:left_n // 2]
+    w[lb + left_n // 2:3 * n // 4 - right_n // 4] = 1.0
+    rb = 3 * n // 4 - right_n // 4
+    w[rb:rb + right_n // 2] = rs[right_n // 2:]
+    return w
+
+
+def test_mixed_blocksize_transitions_match_global_lapping():
+    """Short->long->short stream vs an INDEPENDENT synthesis: naive
+    direct-sum iMDCT, spec windows, global-buffer overlap-add with
+    lap-center alignment (o_{k+1} = o_k + 3n_k/4 - n_{k+1}/4)."""
+    from xcube_server_spark.sources.vorbis import encode_vorbis_mixed
+
+    rng = np.random.default_rng(11)
+    bs0, bs1 = 64, 256
+    specs = [
+        np.round(rng.uniform(0, 255, 32)) / 1024,   # short
+        np.round(rng.uniform(0, 255, 128)) / 1024,  # long
+        np.round(rng.uniform(0, 255, 128)) / 1024,  # long
+        np.round(rng.uniform(0, 255, 32)) / 1024,   # short
+        64,                                          # silent short
+    ]
+    data = encode_vorbis_mixed(specs, 8000, bs0, bs1)
+    pcm, _ = decode_vorbis(data)
+
+    # independent synthesis
+    items = []
+    for i, s in enumerate(specs):
+        if isinstance(s, int):
+            n = s
+            y = np.zeros(n)
+        else:
+            n = len(s) * 2
+            y = _imdct_naive(s)
+        items.append((n, y))
+    flags = [0 if n == bs0 else 1 for n, _ in items]
+    offs = [0]
+    for k in range(len(items) - 1):
+        nk = items[k][0]
+        nk1 = items[k + 1][0]
+        offs.append(offs[-1] + 3 * nk // 4 - nk1 // 4)
+    shift = -min(offs)  # a long block may start before the first short
+    offs = [o + shift for o in offs]
+    total = max(o + n for o, (n, _) in zip(offs, items))
+    buf = np.zeros(total)
+    for k, (n, y) in enumerate(items):
+        pf = flags[k - 1] if k > 0 else 1
+        nf = flags[k + 1] if k + 1 < len(items) else 1
+        w = _window_ref(n, pf, nf, bs0, bs1)
+        buf[offs[k]:offs[k] + n] += w * y
+    start = offs[0] + items[0][0] // 2
+    end = offs[-1] + items[-1][0] // 2
+    expect = buf[start:end]
+    assert pcm.shape[0] == len(expect)
+    assert np.allclose(pcm[:, 0], expect, atol=1e-12)
+
+
+def test_mixed_granule_math():
+    from xcube_server_spark.sources.vorbis import encode_vorbis_mixed
+
+    s = np.zeros(32)
+    s[1] = 10 / 1024
+    ll = np.zeros(128)
+    ll[2] = 20 / 1024
+    pcm, _ = decode_vorbis(encode_vorbis_mixed([s, ll, s], 8000, 64, 256))
+    assert pcm.shape[0] == (16 + 64) + (64 + 16)

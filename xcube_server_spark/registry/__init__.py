@@ -71,7 +71,8 @@ for _m in (
 # video_frames_stats (MJPEG/AVI REAL frame pixels via the RIFF walk +
 # T.81 codec, position-weighted exact-integer checksums) and
 # vorbis_decode_stats (full Ogg Vorbis PCM decode, analytic cos/sin
-# oracle with a proven quantization margin).
+# oracle with a proven quantization margin) and avi_frames_ingest_http
+# (ranged-read distributed MJPEG frame ingest over loopback HTTP).
 # (b) queries whose CODE PATH or ORACLE changed this round and must
 # re-prove: warc_ingest_stats + html_text_extract (the _strip_html
 # entity chain now unescapes '&amp;' LAST, both engines),
@@ -91,6 +92,7 @@ _PRIORITY = [
     "warc_zst_ingest_stats",
     "video_frames_stats",
     "vorbis_decode_stats",
+    "avi_frames_ingest_http",
     "warc_ingest_stats",
     "html_text_extract",
     "webdataset_ingest_stats",
@@ -135,8 +137,7 @@ _PRIORITY = [
     "bbox_prune",
     "bm25_search",
     "clip_normalize",
-    "cross_source_overlap",
-    # ---- overflow (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
+    # ---- overflow (cross_source_overlap displaced to r12 head) (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -423,3 +423,64 @@ ORDER BY asset_id
 """
 
 QUERIES["vorbis_decode_stats"] = vorbis_decode_stats
+
+
+# ---------------------------------------------------------------------------
+# avi_frames_ingest_http: distributed ranged-read MJPEG ingest
+# ---------------------------------------------------------------------------
+
+def _avi_http_gate_fixture() -> str:
+    """The video gate's AVIs as standalone FILES (same formula frames),
+    served over Range-aware loopback HTTP."""
+    import numpy as np
+
+    from ..sources.avi import build_avi_mjpeg
+    from ..sources.jpeg import encode_jpeg
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_avi_http_gate_v1")
+    os.makedirs(d, exist_ok=True)
+    for a in range(_N_AVI):
+        path = os.path.join(d, f"clip{a}.avi")
+        if os.path.exists(path):
+            continue
+        jpgs = []
+        for s in range(3 + a):
+            img = np.zeros((_AVI_H, _AVI_W, 3), np.uint8)
+            for by in range(_AVI_H // 8):
+                for bx in range(_AVI_W // 8):
+                    v = 2 * ((a * 13 + s * 17 + by * 7 + bx * 5) % 101) + 20
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+            jpgs.append(encode_jpeg(img, quality=50))
+        with open(path, "wb") as f:
+            f.write(build_avi_mjpeg(jpgs, _AVI_W, _AVI_H, fps=10.0 + a))
+    return d
+
+
+def avi_frames_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranged-read video path end to end over HTTP: index pass reads
+    chunk headers + idx1 only; executors Range-GET exactly their frames'
+    spans and T.81-decode them. Same formula content as
+    video_frames_stats, so the oracle is shared verbatim."""
+    from functools import reduce
+
+    from ..sources.avi import ingest_avi_frames_distributed
+    from .cube_queries import _serve_dir_http
+
+    d = _avi_http_gate_fixture()
+    url = _serve_dir_http(d)
+    parts = []
+    for a in range(_N_AVI):
+        df = ingest_avi_frames_distributed(spark, "http", url,
+                                           f"clip{a}.avi")
+        parts.append(df.select(
+            F.lit(a).cast("bigint").alias("asset_id"),
+            "frame_idx", "width", "height", "mean_luma", "checksum",
+        ))
+    return reduce(lambda x, y: x.unionByName(y), parts).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+QUERIES["avi_frames_ingest_http"] = avi_frames_ingest_http
+ORACLES["avi_frames_ingest_http"] = ORACLES["video_frames_stats"]

@@ -190,3 +190,120 @@ def build_avi_mjpeg(frames: list[bytes], width: int, height: int,
     )
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------- distributed ingest
+def build_avi_index(store, key: str) -> dict:
+    """Store-protocol AVI index: header-hop over top-level chunks
+    (8-byte reads), hdrl parsed from one small ranged GET, frame spans
+    from one ``idx1`` GET (or a movi header walk when idx1 is absent).
+    No frame payload is touched — executors ranged-GET exactly their
+    frames' spans."""
+    from .warc import _RangeReader
+
+    rd = _RangeReader(store, key)
+    head = rd.read_at(0, 12)
+    if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"AVI ":
+        raise ValueError(f"object {key!r} is not a RIFF/AVI stream")
+    (riff_size,) = struct.unpack("<I", head[4:8])
+    end = 8 + riff_size
+    meta = {"n_tracks": 0, "codec": None, "width": None, "height": None,
+            "fps": None, "n_frames": 0}
+    pos = 12
+    movi = None
+    idx1 = None
+    while pos + 8 <= end:
+        hdr = rd.read_at(pos, 12)
+        if len(hdr) < 8:
+            break
+        fourcc = hdr[:4]
+        (size,) = struct.unpack("<I", hdr[4:8])
+        body = pos + 8
+        if fourcc == b"LIST":
+            ltype = hdr[8:12]
+            if ltype == b"hdrl":
+                blob = rd.read_at(body + 4, size - 4)
+                _parse_hdrl(blob, 0, len(blob), meta)
+            elif ltype == b"movi":
+                movi = (body, body + 4, body + size)
+        elif fourcc == b"idx1":
+            idx1 = rd.read_at(body, size)
+        pos = body + size + (size & 1)
+    if movi is None:
+        raise ValueError("AVI has no movi list")
+    frames: list[tuple[int, int]] = []
+    if idx1 is not None:
+        for p in range(0, len(idx1) - 15, 16):
+            ckid, _flags, off, sz = struct.unpack_from("<4sIII", idx1, p)
+            if ckid[2:4] in (b"dc", b"db"):
+                frames.append((movi[0] + off + 8, sz))
+    else:
+        p = movi[1]
+        while p + 8 <= movi[2]:
+            hdr = rd.read_at(p, 8)
+            if len(hdr) < 8:
+                raise ValueError("AVI movi chunk header truncated")
+            (sz,) = struct.unpack("<I", hdr[4:8])
+            if hdr[2:4] in (b"dc", b"db"):
+                frames.append((p + 8, sz))
+            p += 8 + sz + (sz & 1)
+    meta["frames"] = frames
+    if meta["n_frames"] == 0:
+        meta["n_frames"] = len(frames)
+    return meta
+
+
+def ingest_avi_frames_distributed(spark, store_kind: str, root: str,
+                                  key: str, every_n: int = 1):
+    """MJPEG AVI → DataFrame(frame_idx, width, height, mean_luma,
+    checksum): one index pass (headers + idx1 only), then executors
+    ranged-GET and T.81-decode exactly their frames. The checksum is
+    the position-weighted exact-integer pixel sum the video gate pins."""
+    from .tiff import _make_store
+
+    store = _make_store(store_kind, root)
+    meta = build_avi_index(store, key)
+    if meta["codec"] != "MJPG":
+        raise NotImplementedError(
+            f"AVI codec {meta['codec']!r}: only MJPG decodes"
+        )
+    plan = [
+        (i, off, sz)
+        for i, (off, sz) in enumerate(meta["frames"])
+        if i % every_n == 0
+    ]
+    pdf = spark.createDataFrame(plan, "frame_idx int, off long, cnt long")
+
+    def fetch(iterator):
+        import pandas as pd
+
+        from .jpeg import decode_jpeg
+
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            fi, ws, hs, lum, cks = ([] for _ in range(5))
+            for r in batch.itertuples(index=False):
+                raw = st.get_range(key, int(r.off), int(r.cnt))
+                if raw is None or len(raw) < int(r.cnt):
+                    raise ValueError(
+                        f"AVI frame span at {int(r.off)} unreadable"
+                    )
+                img = decode_jpeg(raw)
+                h, w = img.shape[:2]
+                px = img.astype(np.int64)
+                pos = np.arange(h * w, dtype=np.int64) + 1
+                fi.append(int(r.frame_idx))
+                ws.append(w)
+                hs.append(h)
+                lum.append(float(px.mean()))
+                cks.append(int((px[..., 0].reshape(-1) * pos).sum()))
+            yield pd.DataFrame(
+                {"frame_idx": fi, "width": ws, "height": hs,
+                 "mean_luma": lum, "checksum": cks}
+            )
+
+    return pdf.repartition(min(max(len(plan), 1), 32)).mapInPandas(
+        fetch,
+        "frame_idx int, width int, height int, mean_luma double,"
+        " checksum long",
+    )

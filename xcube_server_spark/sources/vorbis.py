@@ -1060,3 +1060,200 @@ def encode_vorbis(spectra: list[np.ndarray | None], rate: int,
         out += _ogg_page(0x04 if last else 0x00, done, serial, 3 + i,
                          pkt)
     return bytes(out)
+
+
+def encode_vorbis_mixed(spectra: list, rate: int, bs0: int = 256,
+                        bs1: int = 1024, serial: int = 2) -> bytes:
+    """Mixed-blocksize fixture encoder: each item of ``spectra`` is a
+    spectrum array whose LENGTH picks the mode (bs0/2 -> short,
+    bs1/2 -> long) or an int blocksize for a silent packet. Emits two
+    modes/mappings/residues so the decoder's long/short window
+    TRANSITION paths (prev/next window flags, asymmetric lap regions)
+    are exercised by real conforming streams."""
+    if bs0 >= bs1:
+        raise ValueError("need bs0 < bs1 for a mixed-size stream")
+    n2s, n2l = bs0 // 2, bs1 // 2
+    quant: list[tuple[int, list[int] | None]] = []  # (blockflag, q)
+    for s in spectra:
+        if isinstance(s, int):
+            if s == bs0:
+                quant.append((0, None))
+            elif s == bs1:
+                quant.append((1, None))
+            else:
+                raise ValueError(f"silent blocksize {s} not in modes")
+            continue
+        arr = np.asarray(s, np.float64)
+        if arr.shape == (n2s,):
+            flag = 0
+        elif arr.shape == (n2l,):
+            flag = 1
+        else:
+            raise ValueError(
+                f"spectrum length {arr.shape} matches neither {n2s} "
+                f"nor {n2l}"
+            )
+        m = arr * 1024.0
+        mi = np.rint(m).astype(np.int64)
+        if not np.array_equal(m, mi.astype(np.float64)) or (
+                mi.min() < 0 or mi.max() > 255):
+            raise ValueError("spectrum values must be k/1024, k in 0..255")
+        quant.append((flag, mi.tolist()))
+    used_s = [q for f, q in quant if q is not None and f == 0]
+    used_l = [q for f, q in quant if q is not None and f == 1]
+
+    def pow2_entries(k: int) -> int:
+        n = 2
+        while n < k:
+            n *= 2
+        return n
+
+    e_s, e_l = pow2_entries(len(used_s)), pow2_entries(len(used_l))
+
+    w = _BitsW()
+    for b in b"\x01vorbis":
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(1, 8)
+    w.write(rate, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(_ilog(bs0) - 1, 4)
+    w.write(_ilog(bs1) - 1, 4)
+    w.write(1, 1)
+    ident = w.bytes()
+
+    w = _BitsW()
+    for b in b"\x03vorbis":
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(1, 1)
+    comment = w.bytes()
+
+    def write_value_book(w: _BitsW, dim: int, entries: int,
+                         vectors: list[list[int]]) -> None:
+        elen = _ilog(entries - 1)
+        w.write(0x564342, 24)
+        w.write(dim, 16)
+        w.write(entries, 24)
+        w.write(0, 1)
+        w.write(0, 1)
+        for _ in range(entries):
+            w.write(elen - 1, 5)
+        w.write(2, 4)
+        w.write(_float32_pack(0, 0), 32)
+        w.write(_float32_pack(1, 778), 32)
+        w.write(7, 4)
+        w.write(0, 1)
+        for e in range(entries):
+            vals = vectors[e] if e < len(vectors) else [0] * dim
+            for v in vals:
+                w.write(v, 8)
+
+    def write_residue(w: _BitsW, n2: int, book: int) -> None:
+        w.write(1, 16)
+        w.write(0, 24)
+        w.write(n2, 24)
+        w.write(n2 - 1, 24)
+        w.write(1, 6)
+        w.write(0, 8)
+        w.write(0, 3)
+        w.write(0, 1)
+        w.write(1, 3)
+        w.write(0, 1)
+        w.write(book, 8)
+
+    w = _BitsW()
+    for b in b"\x05vorbis":
+        w.write(b, 8)
+    w.write(2, 8)  # 3 codebooks
+    w.write(0x564342, 24)  # classbook
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)
+    write_value_book(w, n2s, e_s, used_s)
+    write_value_book(w, n2l, e_l, used_l)
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 6)   # 1 floor (flat unity; curve extends past x1=128)
+    w.write(1, 16)
+    w.write(1, 5)
+    w.write(0, 4)
+    w.write(0, 3)
+    w.write(0, 2)
+    w.write(0, 8)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(64, 7)
+    w.write(1, 6)   # 2 residues
+    write_residue(w, n2s, 1)
+    write_residue(w, n2l, 2)
+    w.write(1, 6)   # 2 mappings
+    for res in (0, 1):
+        w.write(0, 16)
+        w.write(0, 1)
+        w.write(0, 1)
+        w.write(0, 2)
+        w.write(0, 8)
+        w.write(0, 8)   # floor 0
+        w.write(res, 8)
+    w.write(1, 6)   # 2 modes
+    w.write(0, 1)   # short
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)   # long
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(1, 8)
+    w.write(1, 1)
+    setup = w.bytes()
+
+    class_codes = _canon_codes([1, 1])
+    codes_s = _canon_codes([_ilog(e_s - 1)] * e_s)
+    codes_l = _canon_codes([_ilog(e_l - 1)] * e_l)
+    packets = []
+    is_, il_ = 0, 0
+    for i, (flag, q) in enumerate(quant):
+        w = _BitsW()
+        w.write(0, 1)
+        w.write(flag, 1)  # mode number (2 modes -> 1 bit)
+        if flag:
+            prev_flag = quant[i - 1][0] if i > 0 else 1
+            next_flag = quant[i + 1][0] if i + 1 < len(quant) else 1
+            w.write(prev_flag, 1)
+            w.write(next_flag, 1)
+        if q is None:
+            w.write(0, 1)
+        else:
+            w.write(1, 1)
+            w.write(255, 8)
+            w.write(255, 8)
+            _write_code(w, class_codes[1])
+            if flag:
+                _write_code(w, codes_l[il_])
+                il_ += 1
+            else:
+                _write_code(w, codes_s[is_])
+                is_ += 1
+        packets.append(w.bytes())
+
+    out = bytearray()
+    out += _ogg_page(0x02, 0, serial, 0, ident)
+    out += _ogg_page(0x00, 0, serial, 1, comment)
+    out += _ogg_page(0x00, 0, serial, 2, setup)
+    done = 0
+    sizes = [bs0 if f == 0 else bs1 for f, _ in quant]
+    for i, pkt in enumerate(packets):
+        if i > 0:
+            done += sizes[i - 1] // 4 + sizes[i] // 4
+        last = i == len(packets) - 1
+        out += _ogg_page(0x04 if last else 0x00, done, serial, 3 + i,
+                         pkt)
+    return bytes(out)
