@@ -137,3 +137,57 @@ def test_flac_doc_claims_match_dispatch():
     sig = ((np.arange(300) * 31 % 401) - 200).astype(np.int64)
     got, rate, bps = flac.decode_flac(flac.encode_flac(sig, 22050))
     assert rate == 22050 and np.array_equal(got[:, 0], sig)
+
+
+def test_vorbis_doc_claims():
+    from xcube_server_spark.sources import vorbis
+
+    d = _doc(vorbis)
+    # documented refusals exist and fire
+    assert "floor type 1" in d and "refused loudly" in d
+    w = vorbis._BitsW()
+    for b in b"\x05vorbis":
+        w.write(b, 8)
+    w.write(0, 8)  # 1 codebook
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 6)   # 1 floor
+    w.write(0, 16)  # floor type 0 -> must refuse
+    with pytest.raises(NotImplementedError, match="floor type 0"):
+        vorbis._parse_setup(w.bytes(), 1)
+    # the inverse-dB formula claim: endpoints match the spec's table
+    assert "0.546875" in d
+    assert vorbis._INVERSE_DB[255] == 1.0
+    assert abs(vorbis._INVERSE_DB[0] - 1.0649863e-07) < 1e-13
+
+
+def test_avi_doc_claims():
+    from xcube_server_spark.sources import avi
+
+    d = _doc(avi) + _doc(avi.decode_mjpeg_frame)
+    assert "MJPEG" in d and "idx1" in d
+    # only-MJPG claim fires
+    img = np.zeros((8, 8, 3), np.uint8)
+    data = avi.build_avi_mjpeg([jpeg.encode_jpeg(img, quality=50)], 8, 8)
+    bad = data.replace(b"MJPG", b"XVID")
+    with pytest.raises(NotImplementedError, match="XVID"):
+        avi.decode_mjpeg_frame(bad, 0)
+
+
+def test_jsonl_doc_claims():
+    from xcube_server_spark.sources import jsonl
+
+    d = _doc(jsonl)
+    assert "seekable" in d and "WITHOUT DECOMPRESSION" in d.upper() or \
+        "without decompression" in d.lower() or "walked without" in d.lower()
+    # the line-boundary refusal contract
+    with pytest.raises(ValueError, match="splits a JSONL line"):
+        jsonl.chunk_lines(b"partial-line-no-newline", is_last=False)

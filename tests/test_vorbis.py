@@ -457,3 +457,39 @@ def test_mixed_granule_math():
     ll[2] = 20 / 1024
     pcm, _ = decode_vorbis(encode_vorbis_mixed([s, ll, s], 8000, 64, 256))
     assert pcm.shape[0] == (16 + 64) + (64 + 16)
+
+
+# ------------------------------------------------------- coupled stereo
+def test_stereo_coupling_end_to_end():
+    """Square-polar coupled stereo through a real stream: ch0 carries
+    magnitude, ch1 angle; with M>0, A>0 the decoded pair is (M, M-A)."""
+    from xcube_server_spark.sources.vorbis import encode_vorbis_stereo
+
+    M = np.zeros(128)
+    M[4] = 200 / 1024
+    A = np.zeros(128)
+    A[4] = 50 / 1024
+    z = np.zeros(128)
+    pcm, rate = decode_vorbis(encode_vorbis_stereo([(M, A), (z, z)], 8000))
+    assert rate == 8000 and pcm.shape == (128, 2)
+    n = np.arange(128.0) + 128
+    cos = np.cos(((np.pi / 128) * (n + 64.5)) * 4.5)
+    assert np.array_equal(pcm[:, 0], _win(n) * ((200 / 1024) * cos))
+    assert np.array_equal(pcm[:, 1], _win(n) * ((150 / 1024) * cos))
+
+
+def test_coupling_with_unused_floor_renders_silence():
+    """Spec 4.3.2 vs 4.3.6 corner: coupling propagation forces the
+    angle channel's RESIDUE to decode, but its unused FLOOR still
+    renders that channel silent (this crashed before the fix)."""
+    from xcube_server_spark.sources.vorbis import encode_vorbis_stereo
+
+    M = np.zeros(128)
+    M[4] = 200 / 1024
+    z = np.zeros(128)
+    pcm, _ = decode_vorbis(
+        encode_vorbis_stereo([(M, None), (z, z)], 8000))
+    n = np.arange(128.0) + 128
+    cos = np.cos(((np.pi / 128) * (n + 64.5)) * 4.5)
+    assert np.array_equal(pcm[:, 0], _win(n) * ((200 / 1024) * cos))
+    assert np.all(pcm[:, 1] == 0.0)

@@ -16,12 +16,13 @@ long/short block transitions, granule-based end trim. Anything outside
 the spec's happy path raises ``ValueError``/``NotImplementedError`` —
 clear errors, never wrong answers.
 
-The iMDCT is a cached cosine-basis matmul: per packet it is one
-BLAS-dispatched (n, n/2) @ (n/2,) product, and a scale pipeline batches
-frames of one blocksize into a single (frames, n/2) @ (n/2, n) GEMM.
-Exactness discipline for the driver gate: basis and window are built
-with a pinned association order (documented at the definitions) so a
-SQL oracle can reproduce decoded floats bit-for-bit.
+The iMDCT is a cached cosine-basis matmul — per packet one
+BLAS-dispatched (n, n/2) @ (n/2,) product; the Python-side entropy
+decode (bit reader + Huffman walk) dominates runtime, which is fine for
+the corpus-featurization role this plays (one Arrow batch of assets per
+``mapInPandas`` task). Exactness discipline for the driver gate: basis
+and window are built with a pinned association order (documented at the
+definitions) so a SQL oracle can reproduce decoded floats bit-for-bit.
 
 The encoder writes standard-conforming streams for fixtures: caller
 chooses the residue spectra directly (stored as VQ type-2 multiplicands
@@ -775,7 +776,6 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
     mode_bits = _ilog(len(setup.modes) - 1)
     out_chunks: list[np.ndarray] = []
     prev_tail: np.ndarray | None = None  # (channels, n_prev/2) windowed
-    prev_flag_of_prev = 0
     total = 0
     last_granule = None
     for pkt, granule in packets:
@@ -822,7 +822,11 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
         w = _window_for(n, prev_flag, next_flag, bs0, bs1)
         cur = np.zeros((channels, n), np.float64)
         for c in range(channels):
-            if nonzero[c]:
+            # coupling propagation (nonzero[c]) governs RESIDUE decode
+            # only; a channel whose own floor was unused renders silent
+            # even when its residue was pulled in by a coupling partner
+            # (spec 4.3.2 vs 4.3.6)
+            if floor_y[c] is not None:
                 fl = setup.floors[mapping.submap_floor[mapping.mux[c]]]
                 spectrum = residue_vec[c] * fl.curve(floor_y[c], n2)
                 cur[c] = w * (basis @ spectrum)
@@ -841,10 +845,8 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
             out_chunks.append(seg)
             total += out_len
         prev_tail = cur[:, n2:]
-        prev_flag_of_prev = next_flag
         if granule is not None:
             last_granule = granule
-    _ = prev_flag_of_prev
     if not out_chunks:
         return np.zeros((0, channels), np.float64), rate
     pcm = np.concatenate(out_chunks, axis=1).T
@@ -1253,6 +1255,169 @@ def encode_vorbis_mixed(spectra: list, rate: int, bs0: int = 256,
     for i, pkt in enumerate(packets):
         if i > 0:
             done += sizes[i - 1] // 4 + sizes[i] // 4
+        last = i == len(packets) - 1
+        out += _ogg_page(0x04 if last else 0x00, done, serial, 3 + i,
+                         pkt)
+    return bytes(out)
+
+
+def encode_vorbis_stereo(spectra_pairs: list, rate: int,
+                         blocksize: int = 256, serial: int = 3) -> bytes:
+    """Stereo fixture encoder with ONE square-polar coupling step
+    (magnitude=ch0, angle=ch1) and a type-2 (channel-interleaved)
+    residue — the layout libvorbis actually emits for coupled stereo.
+    Each item is (M_spec, A_spec) with the k/1024 value rule, or with
+    ``A_spec=None`` to leave channel 1's FLOOR unused while coupling
+    still pulls its residue in (the spec 4.3.2-vs-4.3.6 corner)."""
+    n2 = blocksize // 2
+    quant = []
+    for pair in spectra_pairs:
+        m_spec, a_spec = pair
+        vec = np.zeros(2 * n2, np.float64)
+        m = np.asarray(m_spec, np.float64)
+        if m.shape != (n2,):
+            raise ValueError(f"spectrum must be length {n2}")
+        vec[0::2] = m
+        a_used = a_spec is not None
+        if a_used:
+            a = np.asarray(a_spec, np.float64)
+            if a.shape != (n2,):
+                raise ValueError(f"spectrum must be length {n2}")
+            vec[1::2] = a
+        q = vec * 1024.0
+        qi = np.rint(q).astype(np.int64)
+        if not np.array_equal(q, qi.astype(np.float64)) or (
+                qi.min() < 0 or qi.max() > 255):
+            raise ValueError("spectrum values must be k/1024, k in 0..255")
+        quant.append((qi.tolist(), a_used))
+    n_entries = 2
+    while n_entries < len(quant):
+        n_entries *= 2
+    elen = _ilog(n_entries - 1)
+    bslog = _ilog(blocksize) - 1
+
+    w = _BitsW()
+    for b in b"\x01vorbis":
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(2, 8)  # stereo
+    w.write(rate, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(bslog, 4)
+    w.write(bslog, 4)
+    w.write(1, 1)
+    ident = w.bytes()
+
+    w = _BitsW()
+    for b in b"\x03vorbis":
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(1, 1)
+    comment = w.bytes()
+
+    w = _BitsW()
+    for b in b"\x05vorbis":
+        w.write(b, 8)
+    w.write(1, 8)  # 2 codebooks
+    w.write(0x564342, 24)  # classbook
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)
+    w.write(0x564342, 24)  # interleaved value book, dim 2*n2
+    w.write(2 * n2, 16)
+    w.write(n_entries, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(n_entries):
+        w.write(elen - 1, 5)
+    w.write(2, 4)
+    w.write(_float32_pack(0, 0), 32)
+    w.write(_float32_pack(1, 778), 32)
+    w.write(7, 4)
+    w.write(0, 1)
+    for e in range(n_entries):
+        vals = quant[e][0] if e < len(quant) else [0] * (2 * n2)
+        for v in vals:
+            w.write(v, 8)
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 6)   # 1 floor (flat unity)
+    w.write(1, 16)
+    w.write(1, 5)
+    w.write(0, 4)
+    w.write(0, 3)
+    w.write(0, 2)
+    w.write(0, 8)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(64, 7)
+    w.write(0, 6)   # 1 residue, type 2 over the interleaved vector
+    w.write(2, 16)
+    w.write(0, 24)
+    w.write(2 * n2, 24)
+    w.write(2 * n2 - 1, 24)
+    w.write(1, 6)
+    w.write(0, 8)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(1, 3)
+    w.write(0, 1)
+    w.write(1, 8)
+    w.write(0, 6)   # 1 mapping with one coupling step
+    w.write(0, 16)
+    w.write(0, 1)   # 1 submap
+    w.write(1, 1)   # coupling present
+    w.write(0, 8)   # 1 step
+    w.write(0, 1)   # magnitude = ch 0 (ilog(channels-1) = 1 bit)
+    w.write(1, 1)   # angle = ch 1
+    w.write(0, 2)
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(0, 6)   # 1 mode
+    w.write(0, 1)
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)
+    setup = w.bytes()
+
+    class_codes = _canon_codes([1, 1])
+    value_codes = _canon_codes([elen] * n_entries)
+    packets = []
+    for i, (_, a_used) in enumerate(quant):
+        w = _BitsW()
+        w.write(0, 1)
+        # floor ch0: flat unity
+        w.write(1, 1)
+        w.write(255, 8)
+        w.write(255, 8)
+        # floor ch1: flat unity, or unused (coupling still decodes it)
+        if a_used:
+            w.write(1, 1)
+            w.write(255, 8)
+            w.write(255, 8)
+        else:
+            w.write(0, 1)
+        _write_code(w, class_codes[1])
+        _write_code(w, value_codes[i])
+        packets.append(w.bytes())
+
+    out = bytearray()
+    out += _ogg_page(0x02, 0, serial, 0, ident)
+    out += _ogg_page(0x00, 0, serial, 1, comment)
+    out += _ogg_page(0x00, 0, serial, 2, setup)
+    done = 0
+    for i, pkt in enumerate(packets):
+        if i > 0:
+            done += blocksize // 2
         last = i == len(packets) - 1
         out += _ogg_page(0x04 if last else 0x00, done, serial, 3 + i,
                          pkt)
