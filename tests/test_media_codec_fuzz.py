@@ -16,6 +16,9 @@ from xcube_server_spark.sources.gif import decode_gif, encode_gif
 from xcube_server_spark.sources.jpeg import decode_jpeg, encode_jpeg
 from xcube_server_spark.sources.jpeg2000 import decode_j2k, encode_j2k
 from xcube_server_spark.sources.png import decode_png, encode_rgba_png
+from xcube_server_spark.sources.avi import build_avi_mjpeg, decode_mjpeg_frame
+from xcube_server_spark.sources.jsonl import build_jsonl_zst, build_jsonl_zst_index
+from xcube_server_spark.sources.vorbis import decode_vorbis, encode_vorbis
 from xcube_server_spark.sources.wav import decode_wav, encode_wav
 from xcube_server_spark.sources.webp import decode_webp, encode_webp
 
@@ -37,6 +40,33 @@ _GIF = encode_gif((np.arange(20 * 24) % 64).reshape(20, 24).astype(np.uint8),
                   interlace=True, transparent=3)
 _WEBP = encode_webp(_img())
 _FLAC = encode_flac(((np.arange(500) * 37 % 4001) - 2000), 8000)
+_spec = np.zeros(128)
+_spec[7] = 120 / 1024
+_VORBIS = encode_vorbis([_spec, None], 8000)
+_AVI = build_avi_mjpeg(
+    [encode_jpeg(_img()[:16, :16, :3], quality=60) for _ in range(2)],
+    16, 16,
+)
+
+
+class _FuzzStore:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+
+    def get_range(self, key, start, length):
+        if start < 0:
+            start = max(0, len(self.data) + start)
+        return self.data[start:start + length]
+
+
+def _jsonl_zst_fuzz(b: bytes) -> np.ndarray:
+    rows = build_jsonl_zst_index(_FuzzStore(b), "k")
+    return np.array([r["offset"] for r in rows])
+
+
+_JSONL = build_jsonl_zst(
+    [f'{{"id": {i}}}'.encode() for i in range(20)], 6, seekable=True
+)
 
 _DECODERS = {
     "png": (_PNG, decode_png),
@@ -47,6 +77,9 @@ _DECODERS = {
     "gif": (_GIF, decode_gif),
     "webp": (_WEBP, decode_webp),
     "flac": (_FLAC, lambda b: decode_flac(b)[0]),
+    "vorbis": (_VORBIS, lambda b: decode_vorbis(b)[0]),
+    "avi": (_AVI, lambda b: decode_mjpeg_frame(b, 0)),
+    "jsonl-zst": (_JSONL, _jsonl_zst_fuzz),
 }
 
 

@@ -170,6 +170,8 @@ def build_jsonl_zst_index(store, key: str) -> list[dict]:
                 {"offset": pos, "length": end - pos, "content_size": csize}
             )
         pos = end
+    if not out:
+        raise ValueError(f"object {key!r} holds no zstd frames")
     return out
 
 

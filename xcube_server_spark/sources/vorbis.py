@@ -129,6 +129,10 @@ class _Codebook:
             raise ValueError("codebook sync pattern lost")
         self.dim = br.read(16)
         self.entries = br.read(24)
+        if self.dim == 0:
+            # a zero-dimension book would make residue partition fills
+            # (i += book.dim) loop forever on hostile bytes
+            raise ValueError("codebook dimension 0")
         lengths: list[int | None] = []
         if br.read_bit():  # ordered
             cur_len = br.read(5) + 1
