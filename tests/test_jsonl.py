@@ -196,3 +196,21 @@ def test_distributed_ingest_end_to_end(spark, tmp_path):
     assert got[25][1:] == ("part1.jsonl.gz", 0, 0)
     for i, r in zip(ids, sorted(rows, key=lambda r: json.loads(r.line)["id"])):
         assert json.loads(r.line) == json.loads(lines[i])
+
+
+def test_ingest_partitioning_shape(spark, tmp_path):
+    """The scale contract: the fetch stage runs at the requested
+    parallelism and chunks spread across tasks (no single-task decode
+    of a multi-chunk shard)."""
+    lines = _lines(60)
+    (tmp_path / "big.jsonl.zst").write_bytes(
+        build_jsonl_zst(lines, lines_per_frame=5)
+    )
+    df = ingest_jsonl_corpus(spark, "local", str(tmp_path),
+                             ["big.jsonl.zst"], parallelism=12)
+    assert df.rdd.getNumPartitions() == 12
+    per_part = df.rdd.mapPartitions(
+        lambda it: [len(set(r.chunk_idx for r in it))]
+    ).collect()
+    assert sum(per_part) == 12  # 12 chunks spread over the tasks
+    assert max(per_part) < 12   # ...not all in one task

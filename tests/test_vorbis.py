@@ -493,3 +493,27 @@ def test_coupling_with_unused_floor_renders_silence():
     cos = np.cos(((np.pi / 128) * (n + 64.5)) * 4.5)
     assert np.array_equal(pcm[:, 0], _win(n) * ((200 / 1024) * cos))
     assert np.all(pcm[:, 1] == 0.0)
+
+
+def test_residue_begin_offset():
+    """Residue begin > 0 leaves the low bins untouched (spec: the
+    region below `begin` is never coded)."""
+    classbook = _scalar_book([1, 1])
+    valbook = _vq_book(4, [[1, 2, 3, 4]])
+    w = _BitsW()
+    w.write(4, 24)       # begin 4
+    w.write(8, 24)       # end 8
+    w.write(3, 24)       # partition size 4
+    w.write(1, 6)
+    w.write(0, 8)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(1, 3)
+    w.write(0, 1)
+    w.write(1, 8)
+    res = _Residue(1, _Bits(w.bytes()))
+    pw = _BitsW()
+    pw.write(1, 1)  # class 1
+    pw.write(0, 1)  # entry 0
+    out = res.decode(_Bits(pw.bytes()), [classbook, valbook], 8, [False])
+    assert out[0].tolist() == [0, 0, 0, 0, 1.0, 2.0, 3.0, 4.0]

@@ -72,7 +72,9 @@ for _m in (
 # T.81 codec, position-weighted exact-integer checksums) and
 # vorbis_decode_stats (full Ogg Vorbis PCM decode, analytic cos/sin
 # oracle with a proven quantization margin) and avi_frames_ingest_http
-# (ranged-read distributed MJPEG frame ingest over loopback HTTP).
+# (ranged-read distributed MJPEG frame ingest over loopback HTTP) and
+# webdataset_multimodal_stats (tar shard composing REAL T.81 image +
+# REAL Vorbis audio decode + JSON captions per training sample).
 # (b) queries whose CODE PATH or ORACLE changed this round and must
 # re-prove: warc_ingest_stats + html_text_extract (the _strip_html
 # entity chain now unescapes '&amp;' LAST, both engines),
@@ -93,6 +95,7 @@ _PRIORITY = [
     "video_frames_stats",
     "vorbis_decode_stats",
     "avi_frames_ingest_http",
+    "webdataset_multimodal_stats",
     "warc_ingest_stats",
     "html_text_extract",
     "webdataset_ingest_stats",
@@ -136,8 +139,7 @@ _PRIORITY = [
     "antimeridian",
     "bbox_prune",
     "bm25_search",
-    "clip_normalize",
-    # ---- overflow (cross_source_overlap displaced to r12 head) (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
+    # ---- overflow (clip_normalize displaced to r12 head) (cross_source_overlap displaced to r12 head) (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -484,3 +484,154 @@ def avi_frames_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["avi_frames_ingest_http"] = avi_frames_ingest_http
 ORACLES["avi_frames_ingest_http"] = ORACLES["video_frames_stats"]
+
+
+# ---------------------------------------------------------------------------
+# webdataset_multimodal_stats: tar shard composing REAL image + REAL
+# audio decode per training sample
+# ---------------------------------------------------------------------------
+
+_N_WDSMM = 6
+_WDSMM_W = _WDSMM_H = 16  # 2x2 grid of 8x8 blocks
+
+
+def _wds_mm_fixture() -> str:
+    """WebDataset shard whose samples carry the three fields a
+    multimodal trainer consumes: {i:04d}.jpg (block-constant q50 JPEG —
+    bit-exact pixels), {i:04d}.ogg (Vorbis, one spectral line per
+    sample — analytic PCM) and {i:04d}.json (caption metadata)."""
+    import numpy as np
+
+    from ..sources.jpeg import encode_jpeg
+    from ..sources.tar_source import build_tar
+    from ..sources.vorbis import encode_vorbis
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_wds_mm_gate_v1")
+    path = os.path.join(d, "shard-0000.tar")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        members = []
+        for i in range(_N_WDSMM):
+            img = np.zeros((_WDSMM_H, _WDSMM_W, 3), np.uint8)
+            for by in range(2):
+                for bx in range(2):
+                    v = 2 * ((i * 11 + by * 5 + bx * 3) % 101) + 20
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+            members.append((f"{i:04d}.jpg", encode_jpeg(img, quality=50)))
+            spec = np.zeros(128)
+            spec[3 + i % 5] = (40 + 20 * i) / 1024
+            members.append((f"{i:04d}.ogg",
+                            encode_vorbis([spec, None], 8000)))
+            members.append((
+                f"{i:04d}.json",
+                f'{{"cap": "sample {i} {"y" * (4 + i)}", "k": {i}}}'
+                .encode(),
+            ))
+        with open(path, "wb") as f:
+            f.write(build_tar(members))
+    return d
+
+
+def webdataset_multimodal_stats(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The full multimodal-corpus composition: tar header-hop index,
+    per-sample field regroup, then BOTH heavyweight decodes inside one
+    Arrow-batched stage — T.81 image pixels (position-weighted integer
+    checksum) and Ogg Vorbis PCM (2^-20-quantized position-weighted
+    checksum) — plus JVM-side JSON caption extraction. One row per
+    training sample; every value regenerated by the oracle's formulas."""
+    import pandas as pd
+
+    from ..sources.jpeg import decode_jpeg
+    from ..sources.tar_source import ingest_tar_distributed
+    from ..sources.vorbis import decode_vorbis
+
+    d = _wds_mm_fixture()
+    df = ingest_tar_distributed(spark, "local", d, "shard-0000.tar")
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            keys, icks, ans, acks = [], [], [], []
+            for k, field, payload in zip(pdf["sample_key"], pdf["field"],
+                                         pdf["payload"]):
+                if field == "jpg":
+                    img = decode_jpeg(bytes(payload)).astype(np.int64)
+                    pos = np.arange(img.shape[0] * img.shape[1],
+                                    dtype=np.int64) + 1
+                    keys.append(k)
+                    icks.append(int((img[..., 0].reshape(-1) * pos).sum()))
+                    ans.append(None)
+                    acks.append(None)
+                elif field == "ogg":
+                    pcm, _rate = decode_vorbis(bytes(payload))
+                    q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(
+                        np.int64)
+                    pos = np.arange(len(q), dtype=np.int64) + 1
+                    keys.append(k)
+                    icks.append(None)
+                    ans.append(len(q))
+                    acks.append(int((q * pos).sum()))
+            yield pd.DataFrame(
+                {"sample_key": keys, "img_checksum": icks,
+                 "audio_n_samples": ans, "audio_checksum": acks}
+            )
+
+    heavy = df.filter(F.col("field").isin("jpg", "ogg")).mapInPandas(
+        decode,
+        "sample_key string, img_checksum long, audio_n_samples long,"
+        " audio_checksum long",
+    ).groupBy("sample_key").agg(
+        F.max("img_checksum").alias("img_checksum"),
+        F.max("audio_n_samples").alias("audio_n_samples"),
+        F.max("audio_checksum").alias("audio_checksum"),
+    )
+    caps = df.filter(F.col("field") == "json").select(
+        "sample_key",
+        F.get_json_object(F.decode("payload", "utf-8"), "$.cap")
+        .alias("cap"),
+    ).select(
+        "sample_key",
+        F.length("cap").cast("bigint").alias("caption_len"),
+    )
+    return heavy.join(caps, "sample_key").select(
+        "sample_key", "caption_len", "img_checksum", "audio_n_samples",
+        "audio_checksum",
+    ).orderBy("sample_key")
+
+
+# image: 16x16, 2x2 blocks; block position-weight at W=16:
+# 8W(64by+28) + 8(64bx+28) + 64 = 8192*by + 512*bx + 3872
+ORACLES["webdataset_multimodal_stats"] = f"""
+WITH img AS (
+  SELECT i, CAST(sum(
+           (2*((i*11 + by.by*5 + bx.bx*3) % 101) + 20)
+           * (8192*by.by + 512*bx.bx + 3872)) AS BIGINT) AS img_checksum
+  FROM (SELECT unnest(range(0, {_N_WDSMM})) AS i),
+       (SELECT unnest(range(0, 2)) AS by) by,
+       (SELECT unnest(range(0, 2)) AS bx) bx
+  GROUP BY i
+), pcm AS (
+  SELECT s.i, n.n,
+         {_sql_w('n.n+128')}
+         * (((40 + 20*s.i)*1.0/1024)
+            * cos(pi()/128*(n.n+128+64.5) * (3 + s.i%5 + 0.5))) AS v
+  FROM (SELECT unnest(range(0, {_N_WDSMM})) AS i) s,
+       (SELECT unnest(range(0, 128)) AS n) n
+), aud AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS audio_n_samples,
+         CAST(sum(CAST(floor(v*1048576 + 0.5) AS BIGINT) * (n + 1))
+              AS BIGINT) AS audio_checksum
+  FROM pcm GROUP BY i
+)
+SELECT lpad(CAST(img.i AS VARCHAR), 4, '0') AS sample_key,
+       CAST(length('sample ' || img.i || ' ' || repeat('y', 4 + img.i))
+            AS BIGINT) AS caption_len,
+       img.img_checksum, aud.audio_n_samples, aud.audio_checksum
+FROM img JOIN aud ON img.i = aud.i
+ORDER BY sample_key
+"""
+
+QUERIES["webdataset_multimodal_stats"] = webdataset_multimodal_stats
