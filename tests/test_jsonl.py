@@ -214,3 +214,54 @@ def test_ingest_partitioning_shape(spark, tmp_path):
     ).collect()
     assert sum(per_part) == 12  # 12 chunks spread over the tasks
     assert max(per_part) < 12   # ...not all in one task
+
+
+def test_bgzf_index_hops_without_decompression():
+    """BGZF members index by the 'BC' declared block size — parity with
+    the streaming walk on identical content, stdlib gzip cross-check,
+    and per-member independent decode."""
+    from xcube_server_spark.sources.jsonl import build_jsonl_bgzf
+
+    lines = _lines(26)
+    bgzf = build_jsonl_bgzf(lines, lines_per_member=5)
+    plain = build_jsonl_gz(lines, lines_per_member=5)
+    # stdlib reads the BGZF chain as ordinary multi-member gzip
+    assert gzip.decompress(bgzf) == gzip.decompress(plain)
+    st = _MemStore({"b": bgzf, "p": plain})
+    ib = build_jsonl_gz_index(st, "b")
+    ip = build_jsonl_gz_index(st, "p")
+    assert [r["content_size"] for r in ib] == [
+        r["content_size"] for r in ip
+    ]
+    assert len(ib) == 6  # ceil(26/5); EOF marker skipped
+    got = []
+    for i, r in enumerate(ib):
+        text = decompress_chunk(bgzf[r["offset"]:r["offset"] + r["length"]],
+                                "gz")
+        assert len(text) == r["content_size"]
+        got += chunk_lines(text, i == len(ib) - 1)
+    assert got == lines
+
+
+def test_bgzf_mixed_chain_refuses():
+    from xcube_server_spark.sources.jsonl import build_jsonl_bgzf
+
+    lines = _lines(8)
+    blob = build_jsonl_bgzf(lines[:4], 4)
+    # splice a PLAIN member after the first BGZF block
+    first = build_jsonl_gz_index(_MemStore({"x": blob}), "x")[0]
+    plain = build_jsonl_gz(lines[4:], 4)
+    spliced = blob[: first["offset"] + first["length"]] + plain
+    with pytest.raises(ValueError, match="mixed container"):
+        build_jsonl_gz_index(_MemStore({"x": spliced}), "x")
+
+
+def test_bgzf_distributed_ingest(spark, tmp_path):
+    from xcube_server_spark.sources.jsonl import build_jsonl_bgzf
+
+    lines = _lines(20)
+    (tmp_path / "b.jsonl.gz").write_bytes(build_jsonl_bgzf(lines, 4))
+    df = ingest_jsonl_corpus(spark, "local", str(tmp_path),
+                             ["b.jsonl.gz"], parallelism=4)
+    rows = df.collect()
+    assert sorted(json.loads(r.line)["id"] for r in rows) == list(range(20))

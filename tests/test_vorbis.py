@@ -517,3 +517,97 @@ def test_residue_begin_offset():
     pw.write(0, 1)  # entry 0
     out = res.decode(_Bits(pw.bytes()), [classbook, valbook], 8, [False])
     assert out[0].tolist() == [0, 0, 0, 0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_residue_multipass_cascade_accumulates():
+    """A class whose cascade sets passes 0 AND 1 reads one vector per
+    pass and SUMS them into the partition."""
+    classbook = _scalar_book([1, 1])
+    b0 = _vq_book(4, [[1, 2, 3, 4]])
+    b1 = _vq_book(4, [[10, 11, 12, 13]])  # 4-bit multiplicands
+    w = _BitsW()
+    w.write(0, 24)
+    w.write(4, 24)
+    w.write(3, 24)  # psize 4
+    w.write(1, 6)   # 2 classifications
+    w.write(0, 8)
+    w.write(0, 3)   # class 0: cascade 0
+    w.write(0, 1)
+    w.write(3, 3)   # class 1: cascade 0b011 -> passes 0 and 1
+    w.write(0, 1)
+    w.write(1, 8)   # class 1 pass 0 -> book 1
+    w.write(2, 8)   # class 1 pass 1 -> book 2
+    res = _Residue(1, _Bits(w.bytes()))
+    pw = _BitsW()
+    pw.write(1, 1)  # classword (read once, in pass 0): class 1
+    pw.write(0, 1)  # pass 0: entry 0 of b0
+    pw.write(0, 1)  # pass 1: entry 0 of b1
+    out = res.decode(_Bits(pw.bytes()), [classbook, b0, b1], 4, [False])
+    assert out[0].tolist() == [11.0, 13.0, 15.0, 17.0]
+
+
+def test_residue_wide_classword():
+    """classbook dim 2: ONE codeword classifies TWO partitions, unwrapped
+    most-significant-last per the spec's modulo peel."""
+    # classbook: dim 2, 4 entries (classes base-2: entry = c0*2 + c1)
+    w = _BitsW()
+    w.write(0x564342, 24)
+    w.write(2, 16)
+    w.write(4, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(4):
+        w.write(1, 5)  # all length 2
+    w.write(0, 4)
+    classbook = _Codebook(_Bits(w.bytes()))
+    valbook = _vq_book(4, [[1, 2, 3, 4], [5, 6, 7, 8]])
+    w = _BitsW()
+    w.write(0, 24)
+    w.write(8, 24)
+    w.write(3, 24)  # psize 4 -> 2 partitions
+    w.write(1, 6)
+    w.write(0, 8)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(1, 3)
+    w.write(0, 1)
+    w.write(1, 8)
+    res = _Residue(1, _Bits(w.bytes()))
+    # entry 3 = 0b11 -> temp=3: partition 1 gets 3%2=1, partition 0 gets 1
+    # (both class 1); then two partition vectors: entries 0 and 1
+    pw = _BitsW()
+    _c = _canon_codes([2, 2, 2, 2])
+    for i in range(1, -1, -1):
+        pw.write((_c[3][1] >> i) & 1, 1)  # classword entry 3, MSB first
+    pw.write(0, 1)  # partition 0 -> entry 0
+    pw.write(1, 1)  # partition 1 -> entry 1
+    out = res.decode(_Bits(pw.bytes()), [classbook, valbook], 8, [False])
+    assert out[0].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+
+
+def test_sloped_floor_stream():
+    """A NON-flat floor through a real stream: posts (0,y0)-(128,y1)
+    render the integer Bresenham line y0 + (dy*x)//adx, each bin's
+    amplitude is inverse_dB[y], and the spectrum scales accordingly —
+    expectation computed here from the spec formulas, not the module."""
+    from xcube_server_spark.sources.vorbis import encode_vorbis
+
+    spec = np.zeros(128)
+    spec[0] = 64 / 1024   # bin 0: amplitude index y0 exactly
+    spec[100] = 128 / 1024
+    data = encode_vorbis([spec, None], 8000, floor_y=(200, 248))
+    pcm, _ = decode_vorbis(data)
+    n = np.arange(128.0) + 128
+
+    def amp(x):
+        y = 200 + ((248 - 200) * x) // 128
+        return 10.0 ** ((np.arange(256) - 255) * (0.546875 / 20.0))[y] \
+            if y != 255 else 1.0
+
+    y0 = (64 / 1024) * amp(0)
+    y100 = (128 / 1024) * amp(100)
+    expect = _win(n) * (
+        y0 * np.cos(((np.pi / 128) * (n + 64.5)) * 0.5)
+        + y100 * np.cos(((np.pi / 128) * (n + 64.5)) * 100.5)
+    )
+    assert np.allclose(pcm[:, 0], expect, rtol=1e-15, atol=1e-18)

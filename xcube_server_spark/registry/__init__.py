@@ -74,7 +74,9 @@ for _m in (
 # oracle with a proven quantization margin) and avi_frames_ingest_http
 # (ranged-read distributed MJPEG frame ingest over loopback HTTP) and
 # webdataset_multimodal_stats (tar shard composing REAL T.81 image +
-# REAL Vorbis audio decode + JSON captions per training sample).
+# REAL Vorbis audio decode + JSON captions per training sample) and
+# jsonl_bgzf_ingest_stats (BGZF block hops: the gzip analog of the
+# zstd seek table — index without decompression).
 # (b) queries whose CODE PATH or ORACLE changed this round and must
 # re-prove: warc_ingest_stats + html_text_extract (the _strip_html
 # entity chain now unescapes '&amp;' LAST, both engines),
@@ -91,6 +93,7 @@ for _m in (
 _PRIORITY = [
     "jsonl_zst_ingest_stats",
     "jsonl_gz_ingest_stats",
+    "jsonl_bgzf_ingest_stats",
     "warc_zst_ingest_stats",
     "video_frames_stats",
     "vorbis_decode_stats",
@@ -138,8 +141,7 @@ _PRIORITY = [
     "agg_rollup",
     "antimeridian",
     "bbox_prune",
-    "bm25_search",
-    # ---- overflow (clip_normalize displaced to r12 head) (cross_source_overlap displaced to r12 head) (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
+    # ---- overflow (bm25_search displaced to r12 head) (clip_normalize displaced to r12 head) (cross_source_overlap displaced to r12 head) (cube_decimate+stride displaced to r12 head) (past the 50-query window): module order ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -635,3 +635,52 @@ ORDER BY sample_key
 """
 
 QUERIES["webdataset_multimodal_stats"] = webdataset_multimodal_stats
+
+
+# ---------------------------------------------------------------------------
+# jsonl_bgzf_ingest_stats: the no-decompress gzip index path
+# ---------------------------------------------------------------------------
+
+def _jsonl_bgzf_fixture() -> tuple[str, list[str]]:
+    """The gz gate's corpus re-written as BGZF blocks (bgzip 'BC' extra
+    subfields + EOF marker): same docs, same member batching, so the
+    oracle is shared with ``jsonl_gz_ingest_stats`` verbatim — only the
+    INDEX pass differs (block-size hops, no decompression)."""
+    from ..sources.jsonl import build_jsonl_bgzf
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_jsonl_bgzf_gate_v1")
+    keys = ["part0.jsonl.gz", "part1.jsonl.gz"]
+    if not all(os.path.exists(os.path.join(d, k)) for k in keys):
+        os.makedirs(d, exist_ok=True)
+        parts = [_doc_lines(0, _SPLIT), _doc_lines(_SPLIT, _N_DOCS)]
+        for k, lines in zip(keys, parts):
+            with open(os.path.join(d, k), "wb") as f:
+                f.write(build_jsonl_bgzf(lines, _LPC["gz"]))
+    return d, keys
+
+
+def jsonl_bgzf_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGZF-blocked ``.jsonl.gz``: the index pass hops members by their
+    declared block sizes, touching only headers and ISIZE tails — the
+    gzip analog of the zstd seek table. Content and chunk coordinates
+    match the plain-gzip twin exactly."""
+    from ..sources.jsonl import ingest_jsonl_corpus
+
+    d, keys = _jsonl_bgzf_fixture()
+    df = ingest_jsonl_corpus(spark, "local", d, keys, parallelism=8)
+    line = F.col("line")
+    text = F.get_json_object(line, "$.text")
+    return df.select(
+        F.get_json_object(line, "$.id").cast("bigint").alias("doc_id"),
+        F.col("key").alias("shard"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.get_json_object(line, "$.lang").alias("lang"),
+        F.length(text).cast("bigint").alias("text_len"),
+        F.size(F.split(text, " ")).cast("bigint").alias("n_tokens"),
+        F.md5(text).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+QUERIES["jsonl_bgzf_ingest_stats"] = jsonl_bgzf_ingest_stats
+ORACLES["jsonl_bgzf_ingest_stats"] = _jsonl_oracle("gz")

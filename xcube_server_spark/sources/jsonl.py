@@ -176,14 +176,65 @@ def build_jsonl_zst_index(store, key: str) -> list[dict]:
 
 
 # ------------------------------------------------------------ gzip index
+def _bgzf_bsize(rd: _RangeReader, pos: int) -> int | None:
+    """If the gzip member at ``pos`` carries the BGZF 'BC' extra
+    subfield (the bgzip/SAM convention), return its total block size —
+    the hop that makes a ``.jsonl.gz`` indexable WITHOUT decompression.
+    Returns None for plain gzip members."""
+    head = rd.read_at(pos, 12)
+    if len(head) < 12 or head[:2] != b"\x1f\x8b" or head[2] != 8:
+        return None
+    if not head[3] & 0x04:  # FLG.FEXTRA
+        return None
+    (xlen,) = struct.unpack("<H", head[10:12])
+    extra = rd.read_at(pos + 12, xlen)
+    if len(extra) < xlen:
+        raise ValueError(f"gzip FEXTRA at {pos} truncated")
+    p = 0
+    while p + 4 <= xlen:
+        si1, si2, slen = extra[p], extra[p + 1], int.from_bytes(
+            extra[p + 2:p + 4], "little")
+        if si1 == 66 and si2 == 67 and slen == 2:  # 'B','C'
+            (bsize_m1,) = struct.unpack("<H", extra[p + 4:p + 6])
+            return bsize_m1 + 1
+        p += 4 + slen
+    return None
+
+
 def build_jsonl_gz_index(store, key: str) -> list[dict]:
-    """Per-member chunk index for a concatenated-members ``.jsonl.gz``:
-    one streaming pass finds member boundaries via ``zlib``'s
-    ``unused_data`` (DEFLATE carries no size fields to hop). At corpus
-    scale this pass runs executor-side per shard
-    (``ingest_jsonl_corpus``), so no node ever streams more than its own
-    shards."""
+    """Per-member chunk index for a concatenated-members ``.jsonl.gz``.
+    BGZF-style members (bgzip's 'BC' extra subfield) hop by their
+    declared block size — headers and the 4-byte ISIZE tail are the only
+    bytes touched, no decompression. Plain gzip members fall back to one
+    streaming pass via ``zlib``'s ``unused_data`` (DEFLATE carries no
+    size fields to hop). At corpus scale either pass runs executor-side
+    per shard (``ingest_jsonl_corpus``), so no node ever streams more
+    than its own shards."""
     rd = _RangeReader(store, key)
+    if _bgzf_bsize(rd, 0) is not None:
+        out = []
+        pos = 0
+        while True:
+            probe = rd.read_at(pos, 2)
+            if not probe:
+                break
+            bsize = _bgzf_bsize(rd, pos)
+            if bsize is None:
+                raise ValueError(
+                    f"plain gzip member at byte {pos} inside a BGZF "
+                    "chain — mixed container"
+                )
+            tail = rd.read_at(pos + bsize - 4, 4)
+            if len(tail) < 4:
+                raise ValueError(f"BGZF block at {pos} truncated")
+            (isize,) = struct.unpack("<I", tail)
+            if isize > 0:  # skip bgzip's empty EOF marker block
+                out.append({"offset": pos, "length": bsize,
+                            "content_size": isize})
+            pos += bsize
+        if not out:
+            raise ValueError(f"object {key!r} holds no BGZF data blocks")
+        return out
     out = []
     pos = 0
     while True:
@@ -338,6 +389,33 @@ def build_jsonl_gz(lines: list[bytes], lines_per_member: int) -> bytes:
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
             g.write(batch)
         out += buf.getvalue()
+    return bytes(out)
+
+
+def build_jsonl_bgzf(lines: list[bytes], lines_per_member: int) -> bytes:
+    """BGZF-style ``.jsonl.gz`` writer (fixtures): every member carries
+    the bgzip 'BC' extra subfield declaring its compressed block size,
+    plus the standard empty EOF marker block — stdlib ``gzip`` reads it
+    as ordinary multi-member gzip, while the index pass hops blocks
+    without decompressing."""
+    def block(payload: bytes) -> bytes:
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        body = comp.compress(payload) + comp.flush()
+        bsize = 12 + 6 + len(body) + 8
+        if bsize > 0x10000:
+            raise ValueError("BGZF block exceeds 64 KiB — smaller batches")
+        hdr = (b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+               + struct.pack("<H", 6)
+               + b"BC" + struct.pack("<HH", 2, bsize - 1))
+        return hdr + body + struct.pack(
+            "<II", zlib.crc32(payload), len(payload) & 0xFFFFFFFF
+        )
+
+    out = bytearray()
+    for i in range(0, len(lines), lines_per_member):
+        batch = b"".join(ln + b"\n" for ln in lines[i:i + lines_per_member])
+        out += block(batch)
+    out += block(b"")  # bgzip EOF marker
     return bytes(out)
 
 

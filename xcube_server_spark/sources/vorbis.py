@@ -911,13 +911,18 @@ def _ogg_page(htype: int, granule: int, serial: int, seq: int,
 
 
 def encode_vorbis(spectra: list[np.ndarray | None], rate: int,
-                  blocksize: int = 256, serial: int = 1) -> bytes:
+                  blocksize: int = 256, serial: int = 1,
+                  floor_y: tuple[int, int] = (255, 255)) -> bytes:
     """Fixture-grade mono Ogg Vorbis: one audio packet per spectrum
     (``None`` = silent packet via the floor nonzero bit). Spectrum
     values must be k/1024 with k in 0..255 — they are stored verbatim
     as VQ type-2 multiplicands (delta 2^-10), the floor is flat unity,
     so a decoder's output is analytically ``window * iMDCT(spectrum)``
-    lapped — the property the driver gate's SQL oracle reproduces."""
+    lapped — the property the driver gate's SQL oracle reproduces.
+    ``floor_y`` sets the two floor posts: (255, 255) is the flat unity
+    default; other values render the integer Bresenham line between
+    (0, y0) and (128, y1) through the inverse-dB table (sloped-floor
+    test coverage)."""
     n2 = blocksize // 2
     quant: list[list[int] | None] = []
     for s in spectra:
@@ -1047,8 +1052,8 @@ def encode_vorbis(spectra: list[np.ndarray | None], rate: int,
             w.write(0, 1)  # floor nonzero = 0
         else:
             w.write(1, 1)
-            w.write(255, 8)  # y0
-            w.write(255, 8)  # y1
+            w.write(floor_y[0], 8)  # y0
+            w.write(floor_y[1], 8)  # y1
             _write_code(w, class_codes[1])   # partition class 1
             _write_code(w, value_codes[ei])  # the spectrum vector
             ei += 1
