@@ -611,3 +611,70 @@ def test_sloped_floor_stream():
         + y100 * np.cos(((np.pi / 128) * (n + 64.5)) * 100.5)
     )
     assert np.allclose(pcm[:, 0], expect, rtol=1e-15, atol=1e-18)
+
+
+def test_floor_step2_state_not_shared_across_channels():
+    """Regression: floor configs are shared across channels, so step2
+    flags must travel WITH each channel's decode result — rendering
+    channel A's curve after channel B's decode must not change it."""
+    from xcube_server_spark.sources.vorbis import _Floor1, _write_code
+
+    w = _BitsW()
+    w.write(1, 5)    # 1 partition
+    w.write(0, 4)    # class 0
+    w.write(0, 3)    # class dim 1
+    w.write(0, 2)    # subclass bits 0
+    w.write(1, 8)    # subclass book 0 (stored +1) -> Y[2] IS read
+    w.write(0, 2)    # multiplier 1
+    w.write(7, 4)    # rangebits 7
+    w.write(64, 7)   # post X = 64
+    fl = _Floor1(_Bits(w.bytes()))
+    book = _scalar_book([1, 2, 2])  # entries 0,1,2
+
+    def packet(y0, y1, post_entry):
+        pw = _BitsW()
+        pw.write(1, 1)
+        pw.write(y0, 8)
+        pw.write(y1, 8)
+        _write_code(pw, _canon_codes([1, 2, 2])[post_entry])
+        return _Bits(pw.bytes())
+
+    # channel A: post entry 0 -> Y=0 -> step2 False (straight line)
+    dec_a = fl.decode(packet(100, 200, 0), [book])
+    curve_a_before = fl.curve(dec_a, 128).copy()
+    # channel B: post entry 2 -> Y=2 -> step2 True (bent line)
+    dec_b = fl.decode(packet(30, 40, 2), [book])
+    _ = fl.curve(dec_b, 128)
+    curve_a_after = fl.curve(dec_a, 128)
+    assert np.array_equal(curve_a_before, curve_a_after)
+    # and the two channels genuinely differ
+    assert not np.array_equal(curve_a_before, fl.curve(dec_b, 128))
+
+
+def test_giant_codebook_refused_cheaply():
+    import time
+
+    w = _BitsW()
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(0xFFFFFF, 24)  # 16.7M entries
+    t0 = time.monotonic()
+    with pytest.raises(NotImplementedError, match="2\\^20"):
+        _Codebook(_Bits(w.bytes()))
+    assert time.monotonic() - t0 < 0.1  # refused before any O(n) work
+
+
+def test_spliced_continuation_page_refuses():
+    from xcube_server_spark.sources.vorbis import _ogg_packets
+
+    spec = np.zeros(128)
+    spec[2] = 30 / 1024
+    data = encode_vorbis([spec, None], 8000)
+    # flip the continuation flag on the LAST page (nothing pending)
+    idx = data.rindex(b"OggS")
+    page = bytearray(data[idx:])
+    page[5] |= 0x01
+    page[22:26] = b"\x00\x00\x00\x00"
+    struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
+    with pytest.raises(ValueError, match="never started"):
+        list(_ogg_packets(data[:idx] + bytes(page)))

@@ -82,3 +82,26 @@ def test_decode_audio_vorbis_branch():
     assert wave.dtype == np.float32
     assert np.allclose(wave, pcm.astype(np.float32))
     assert spectra  # keep name referenced
+
+
+def test_decode_audio_stereo_downmix():
+    """decode_audio downmixes coupled stereo by channel mean, matching
+    the WAV/FLAC convention."""
+    import numpy as np
+
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+    from xcube_server_spark.sources.vorbis import (
+        decode_vorbis,
+        encode_vorbis_stereo,
+    )
+
+    M = np.zeros(128)
+    M[6] = 180 / 1024
+    A = np.zeros(128)
+    A[6] = 60 / 1024
+    z = np.zeros(128)
+    data = encode_vorbis_stereo([(M, A), (z, z)], 8000)
+    pcm, _ = decode_vorbis(data)
+    wave = decode_audio(data, 8000)
+    assert wave.dtype == np.float32
+    assert np.allclose(wave, pcm.mean(axis=1).astype(np.float32))

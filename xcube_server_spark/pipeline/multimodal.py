@@ -442,7 +442,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     frame ORDER or wrong block layout cannot cancel out. Non-MJPEG
     video refuses loudly (H.264/VP9 are table-blocked — use
     probe_video_meta for those)."""
-    from ..sources.avi import decode_mjpeg_frame, is_avi, probe_avi
+    from ..sources.avi import is_avi, probe_avi
+    from ..sources.jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -453,9 +454,18 @@ def sample_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                     raise NotImplementedError(
                         "sample_video_frames: only RIFF/AVI containers"
                     )
-                n = len(probe_avi(data)["frames"])
-                for k in range(0, n, every_n):
-                    img = decode_mjpeg_frame(data, k)
+                # parse the container ONCE; frames decode from their
+                # standalone-JPEG spans (re-probing per frame is O(F^2))
+                meta = probe_avi(data)
+                if meta["codec"] != "MJPG":
+                    raise NotImplementedError(
+                        f"AVI video codec {meta['codec']!r}: only MJPG "
+                        "decodes (H.264/VP9 are table-blocked)"
+                    )
+                spans = meta["frames"]
+                for k in range(0, len(spans), every_n):
+                    off, sz = spans[k]
+                    img = decode_jpeg(data[off:off + sz])
                     h, w = img.shape[:2]
                     px = img.astype(np.int64)
                     pos = np.arange(h * w, dtype=np.int64) + 1

@@ -469,11 +469,15 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     set operators themselves stay under test."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # localCheckpoint, not persist: a cached relation lives in the
+    # session CacheManager until explicit unpersist and leaks across
+    # repeated invocations (the ADVICE-r04 lesson, relational_ext.py);
+    # the checkpointed blocks are released when the DataFrame is GC'd
     base = (
         orders.filter(F.year("o_orderdate").isin(1996, 1997))
         .select("o_custkey", F.year("o_orderdate").alias("yr"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
 
     def active(year: int) -> DataFrame:

@@ -74,10 +74,19 @@ def probe_avi(data: bytes) -> dict:
     if idx1 is not None:
         body, size = idx1
         base = movi[0] + 4  # offsets are relative to the 'movi' fourcc
-        for p in range(body, body + size, 16):
+        entries = []
+        for p in range(body, body + size - 15, 16):
             ckid, _flags, off, sz = struct.unpack_from("<4sIII", data, p)
             if ckid[2:4] in (b"dc", b"db"):
-                frames.append((base + off + 8, sz))
+                entries.append((ckid, off, sz))
+        # many real writers store ABSOLUTE file offsets in idx1; probe
+        # the first entry: does base+off (spec) or off (absolute) land
+        # on the chunk header?
+        if entries:
+            ckid, off, _sz = entries[0]
+            if data[base + off:base + off + 4] != ckid and                     data[off:off + 4] == ckid:
+                base = 0
+        frames = [(base + off + 8, sz) for _ckid, off, sz in entries]
     else:
         for fourcc, b, sz in _walk_chunks(data, movi[1], movi[2]):
             if fourcc[2:4] in (b"dc", b"db"):
@@ -215,7 +224,10 @@ def build_avi_index(store, key: str) -> dict:
     while pos + 8 <= end:
         hdr = rd.read_at(pos, 12)
         if len(hdr) < 8:
-            break
+            raise ValueError(
+                f"AVI chunk header at byte {pos} truncated (object "
+                "shorter than its RIFF size)"
+            )
         fourcc = hdr[:4]
         (size,) = struct.unpack("<I", hdr[4:8])
         body = pos + 8
@@ -233,10 +245,17 @@ def build_avi_index(store, key: str) -> dict:
         raise ValueError("AVI has no movi list")
     frames: list[tuple[int, int]] = []
     if idx1 is not None:
+        entries = []
         for p in range(0, len(idx1) - 15, 16):
             ckid, _flags, off, sz = struct.unpack_from("<4sIII", idx1, p)
             if ckid[2:4] in (b"dc", b"db"):
-                frames.append((movi[0] + off + 8, sz))
+                entries.append((ckid, off, sz))
+        base = movi[0]
+        if entries:  # absolute-offset writers (see probe_avi)
+            ckid, off, _sz = entries[0]
+            if rd.read_at(base + off, 4) != ckid and                     rd.read_at(off, 4) == ckid:
+                base = 0
+        frames = [(base + off + 8, sz) for _ckid, off, sz in entries]
     else:
         p = movi[1]
         while p + 8 <= movi[2]:

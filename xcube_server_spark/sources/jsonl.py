@@ -123,6 +123,8 @@ def _read_seek_table(store, key: str) -> list[tuple[int, int, int]] | None:
         return None
     (n_frames,) = struct.unpack_from("<I", tail, 0)
     desc = tail[4]
+    # bit 7 = checksum flag; bits 6-2 reserved-must-be-zero; bits 1-0
+    # are Unused_Bits a decoder must IGNORE (seekable-format spec)
     if desc & 0x7C:
         raise ValueError("seekable-zstd descriptor: reserved bits set")
     entry = 12 if desc & 0x80 else 8

@@ -133,6 +133,13 @@ class _Codebook:
             # a zero-dimension book would make residue partition fills
             # (i += book.dim) loop forever on hostile bytes
             raise ValueError("codebook dimension 0")
+        if self.entries > 1 << 20:
+            # the 24-bit field admits 16.7M entries; a hostile header
+            # could cost GBs/minutes before failing validation. Real
+            # books are a few thousand entries.
+            raise NotImplementedError(
+                f"codebook with {self.entries} entries (> 2^20) refused"
+            )
         lengths: list[int | None] = []
         if br.read_bit():  # ordered
             cur_len = br.read(5) + 1
@@ -186,6 +193,17 @@ class _Codebook:
                 "single-used-entry codebook (spec special case) — refuse "
                 "rather than guess its codeword width"
             )
+        if used:
+            # O(n) Kraft check first: over/underfull trees fail cheaply
+            # and a complete tree keeps the free list below 33 nodes, so
+            # the assignment loop below is O(n * 32), not O(n^2)
+            kraft = sum(1 << (32 - ln) for _, ln in used)
+            if kraft > 1 << 32:
+                raise ValueError("over-specified Huffman tree (no room)")
+            if kraft < 1 << 32:
+                raise ValueError(
+                    "under-specified Huffman tree (unused leaves)"
+                )
         # free subtree roots as (depth, code), ordered by code value
         free: list[tuple[int, int]] = [(0, 0)]
         table: dict[tuple[int, int], int] = {}
@@ -274,8 +292,10 @@ class _Floor1:
             raise ValueError("floor1 X values not unique")
         self.x_list = xs
 
-    def decode(self, br: _Bits, books: list[_Codebook]) -> list[int] | None:
-        """Returns final_Y post values, or None for an unused channel."""
+    def decode(self, br: _Bits, books: list[_Codebook]
+               ) -> tuple[list[int], list[bool]] | None:
+        """Returns (final_Y post values, step2 flags), or None for an
+        unused channel."""
         if not br.read_bit():
             return None
         rng = (256, 128, 86, 64)[self.multiplier - 1]
@@ -297,7 +317,8 @@ class _Floor1:
                     y.append(0)
         return self._amplitude(y, rng)
 
-    def _amplitude(self, y: list[int], rng: int) -> list[int]:
+    def _amplitude(self, y: list[int], rng: int
+                   ) -> tuple[list[int], list[bool]]:
         """Spec 7.2.2 step 1: predict each post from its sorted-X
         neighbors; a zero-valued post keeps the prediction."""
         xs = self.x_list
@@ -330,20 +351,24 @@ class _Floor1:
             else:
                 step2[i] = False
                 final[i] = pred
-        self._step2 = step2
-        return [min(max(v, 0), rng - 1) for v in final]
+        # step2 travels WITH the per-channel result: this floor config
+        # object is shared across channels, so instance state here would
+        # leak one channel's flags into another's curve render
+        return [min(max(v, 0), rng - 1) for v in final], step2
 
-    def curve(self, final_y: list[int], n2: int) -> np.ndarray:
+    def curve(self, decoded: tuple[list[int], list[bool]],
+              n2: int) -> np.ndarray:
         """Spec 7.2.3 step 2: render the piecewise-linear curve between
         step2-flagged posts in the multiplied-Y domain (integer
         Bresenham), extend flat past the last post, then map through the
         inverse-dB amplitude table."""
+        final_y, step2 = decoded
         xs = self.x_list
         order = sorted(range(len(xs)), key=lambda i: xs[i])
         out = np.zeros(n2, np.int64)
         lx, ly = 0, final_y[0] * self.multiplier
         for i in order:
-            if not self._step2[i]:
+            if not step2[i]:
                 continue
             hx, hy = xs[i], final_y[i] * self.multiplier
             if hx > lx:
@@ -710,6 +735,11 @@ def _ogg_packets(data: bytes):
             raise NotImplementedError("multiplexed Ogg streams")
         if pending and not htype & 0x01:
             raise ValueError("Ogg packet continuation flag missing")
+        if not pending and htype & 0x01 and first_serial == serial and pos:
+            raise ValueError(
+                f"Ogg page at byte {pos} continues a packet that never "
+                "started (stream sliced mid-packet)"
+            )
         # split body into packets via lacing
         off = body
         seg_packets = []
