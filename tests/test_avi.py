@@ -174,3 +174,28 @@ def test_distributed_ingest_http_range(spark, tmp_path):
         px = imgs[k].astype(np.int64)
         pos = np.arange(16 * 24, dtype=np.int64) + 1
         assert r["checksum"] == int((px[..., 0].reshape(-1) * pos).sum())
+
+
+def test_idx1_absolute_offsets(tmp_path):
+    """Many capture tools store ABSOLUTE file offsets in idx1; the
+    first-entry probe must detect that and both the in-memory and
+    store-protocol parsers must still find every frame."""
+    from xcube_server_spark.sources.avi import build_avi_index
+    from xcube_server_spark.sources.zarr_store import LocalStore
+
+    data, imgs = _fixture(n_frames=3)
+    rel = probe_avi(data)["frames"]
+    # rewrite idx1 entries from movi-relative to absolute file offsets
+    buf = bytearray(data)
+    idxpos = data.rindex(b"idx1") + 8
+    base = data.index(b"movi")
+    for p in range(idxpos, len(buf) - 15, 16):
+        (off,) = struct.unpack_from("<I", buf, p + 8)
+        struct.pack_into("<I", buf, p + 8, base + off)
+    absolute = bytes(buf)
+    assert probe_avi(absolute)["frames"] == rel
+    for i, im in enumerate(imgs):
+        assert np.array_equal(decode_mjpeg_frame(absolute, i), im)
+    (tmp_path / "abs.avi").write_bytes(absolute)
+    st = LocalStore(str(tmp_path))
+    assert build_avi_index(st, "abs.avi")["frames"] == rel
