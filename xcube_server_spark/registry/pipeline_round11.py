@@ -458,28 +458,24 @@ def _avi_http_gate_fixture() -> str:
 
 
 def avi_frames_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ranged-read video path end to end over HTTP: index pass reads
-    chunk headers + idx1 only; executors Range-GET exactly their frames'
-    spans and T.81-decode them. Same formula content as
+    """The ranged-read video path end to end over HTTP: every file's
+    index pass runs ON THE EXECUTORS (chunk headers + idx1 only), frame
+    spans redistribute once, and each task Range-GETs exactly its
+    frames' spans and T.81-decodes them — one plan for the whole corpus
+    (``ingest_avi_corpus``). Same formula content as
     video_frames_stats, so the oracle is shared verbatim."""
-    from functools import reduce
-
-    from ..sources.avi import ingest_avi_frames_distributed
+    from ..sources.avi import ingest_avi_corpus
     from .cube_queries import _serve_dir_http
 
     d = _avi_http_gate_fixture()
     url = _serve_dir_http(d)
-    parts = []
-    for a in range(_N_AVI):
-        df = ingest_avi_frames_distributed(spark, "http", url,
-                                           f"clip{a}.avi")
-        parts.append(df.select(
-            F.lit(a).cast("bigint").alias("asset_id"),
-            "frame_idx", "width", "height", "mean_luma", "checksum",
-        ))
-    return reduce(lambda x, y: x.unionByName(y), parts).orderBy(
-        "asset_id", "frame_idx"
-    )
+    keys = [f"clip{a}.avi" for a in range(_N_AVI)]
+    df = ingest_avi_corpus(spark, "http", url, keys, parallelism=8)
+    return df.select(
+        F.regexp_extract("key", "clip(\\d+)", 1).cast("bigint")
+        .alias("asset_id"),
+        "frame_idx", "width", "height", "mean_luma", "checksum",
+    ).orderBy("asset_id", "frame_idx")
 
 
 QUERIES["avi_frames_ingest_http"] = avi_frames_ingest_http

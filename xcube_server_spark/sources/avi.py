@@ -326,3 +326,78 @@ def ingest_avi_frames_distributed(spark, store_kind: str, root: str,
         "frame_idx int, width int, height int, mean_luma double,"
         " checksum long",
     )
+
+
+def ingest_avi_corpus(spark, store_kind: str, root: str,
+                      keys: list[str], every_n: int = 1,
+                      parallelism: int = 32):
+    """Corpus of MJPEG AVIs → DataFrame(key, frame_idx, width, height,
+    mean_luma, checksum). Same two-stage shape as the JSONL corpus
+    reader: stage 1 indexes each file ON THE EXECUTORS (chunk headers +
+    idx1 only — metadata crosses the shuffle, frames don't), stage 2
+    redistributes frame spans so every task Range-GETs and decodes only
+    its frames. One plan, one repartition, any number of files."""
+    import pandas as pd
+
+    from .tiff import _make_store
+
+    files = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def index(iterator):
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            ks, fi, offs, cnts = [], [], [], []
+            for k in batch["key"]:
+                meta = build_avi_index(st, k)
+                if meta["codec"] != "MJPG":
+                    raise NotImplementedError(
+                        f"AVI codec {meta['codec']!r} in {k!r}: only "
+                        "MJPG decodes"
+                    )
+                for i, (off, sz) in enumerate(meta["frames"]):
+                    if i % every_n:
+                        continue
+                    ks.append(k)
+                    fi.append(i)
+                    offs.append(off)
+                    cnts.append(sz)
+            yield pd.DataFrame(
+                {"key": ks, "frame_idx": fi, "off": offs, "cnt": cnts}
+            )
+
+    idx = files.repartition(max(len(keys), 1)).mapInPandas(
+        index, "key string, frame_idx int, off long, cnt long"
+    )
+
+    def fetch(iterator):
+        from .jpeg import decode_jpeg
+
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            ks, fi, ws, hs, lum, cks = ([] for _ in range(6))
+            for r in batch.itertuples(index=False):
+                raw = st.get_range(r.key, int(r.off), int(r.cnt))
+                if raw is None or len(raw) < int(r.cnt):
+                    raise ValueError(
+                        f"AVI frame span {r.key}@{int(r.off)} unreadable"
+                    )
+                img = decode_jpeg(raw)
+                h, w = img.shape[:2]
+                px = img.astype(np.int64)
+                pos = np.arange(h * w, dtype=np.int64) + 1
+                ks.append(r.key)
+                fi.append(int(r.frame_idx))
+                ws.append(w)
+                hs.append(h)
+                lum.append(float(px.mean()))
+                cks.append(int((px[..., 0].reshape(-1) * pos).sum()))
+            yield pd.DataFrame(
+                {"key": ks, "frame_idx": fi, "width": ws, "height": hs,
+                 "mean_luma": lum, "checksum": cks}
+            )
+
+    return idx.repartition(parallelism).mapInPandas(
+        fetch,
+        "key string, frame_idx int, width int, height int,"
+        " mean_luma double, checksum long",
+    )
