@@ -678,3 +678,11 @@ def test_spliced_continuation_page_refuses():
     struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
     with pytest.raises(ValueError, match="never started"):
         list(_ogg_packets(data[:idx] + bytes(page)))
+
+
+def test_chained_ogg_clear_error():
+    spec = np.zeros(128)
+    a = encode_vorbis([spec, None], 8000, serial=5)
+    b = encode_vorbis([spec, None], 8000, serial=6)
+    with pytest.raises(NotImplementedError, match="chained Ogg"):
+        decode_vorbis(a + b)

@@ -705,6 +705,7 @@ def _ogg_packets(data: bytes):
     pos = 0
     pending = b""
     first_serial = None
+    eos_seen = False
     while pos < len(data):
         if data[pos:pos + 4] != b"OggS":
             raise ValueError(f"Ogg capture pattern lost at byte {pos}")
@@ -732,9 +733,16 @@ def _ogg_packets(data: bytes):
         if first_serial is None:
             first_serial = serial
         elif serial != first_serial:
+            if eos_seen:
+                raise NotImplementedError(
+                    "chained Ogg (a second logical stream follows EOS) "
+                    "— split the chain at the BOS boundary"
+                )
             raise NotImplementedError("multiplexed Ogg streams")
         if pending and not htype & 0x01:
             raise ValueError("Ogg packet continuation flag missing")
+        if htype & 0x04:
+            eos_seen = True
         if not pending and htype & 0x01 and first_serial == serial and pos:
             raise ValueError(
                 f"Ogg page at byte {pos} continues a packet that never "
