@@ -199,3 +199,27 @@ def test_idx1_absolute_offsets(tmp_path):
     (tmp_path / "abs.avi").write_bytes(absolute)
     st = LocalStore(str(tmp_path))
     assert build_avi_index(st, "abs.avi")["frames"] == rel
+
+
+def test_idx1_with_only_audio_entries_falls_back_to_movi(tmp_path):
+    """Index-less writers sometimes emit an idx1 holding only audio
+    ('wb') rows. The video-frame walk must fall back to the movi chunks
+    instead of reporting zero frames — in both probe_avi and the
+    store-protocol build_avi_index."""
+    from xcube_server_spark.sources.avi import build_avi_index
+    from xcube_server_spark.sources.zarr_store import LocalStore
+
+    data, imgs = _fixture(n_frames=3)
+    want = probe_avi(data)["frames"]
+    buf = bytearray(data)
+    idxpos = data.rindex(b"idx1") + 8
+    for p in range(idxpos, len(buf) - 15, 16):
+        buf[p : p + 4] = b"01wb"  # every index row now claims audio
+    audio_only = bytes(buf)
+    got = probe_avi(audio_only)
+    assert got["frames"] == want
+    for i, im in enumerate(imgs):
+        assert np.array_equal(decode_mjpeg_frame(audio_only, i), im)
+    (tmp_path / "aud.avi").write_bytes(audio_only)
+    st = LocalStore(str(tmp_path))
+    assert build_avi_index(st, "aud.avi")["frames"] == want

@@ -168,6 +168,24 @@ def test_truncated_and_hostile_bytes_raise():
         build_jsonl_zst_index(_MemStore({"t": bytes(bad)}), "t")
 
 
+def test_empty_seek_table_refuses_loudly():
+    """An n_frames=0 seek table (or all-empty entries) must trip the
+    same 'holds no zstd frames' guard as the header-walk path — not
+    silently contribute zero rows to ingest."""
+    # object = ONLY the seekable skippable frame with an empty table
+    footer = struct.pack("<IB", 0, 0) + struct.pack("<I", 0x8F92EAB1)
+    blob = struct.pack("<II", 0x184D2A5E, len(footer)) + footer
+    with pytest.raises(ValueError, match="no zstd frames"):
+        build_jsonl_zst_index(_MemStore({"t": blob}), "t")
+    # a table whose every entry has clen == 0 hits the same guard
+    entry = struct.pack("<II", 0, 0)
+    footer2 = entry * 2 + struct.pack("<IB", 2, 0) \
+        + struct.pack("<I", 0x8F92EAB1)
+    blob2 = struct.pack("<II", 0x184D2A5E, len(footer2)) + footer2
+    with pytest.raises(ValueError, match="no zstd frames"):
+        build_jsonl_zst_index(_MemStore({"t": blob2}), "t")
+
+
 def test_distributed_ingest_end_to_end(spark, tmp_path):
     """Two shards (one .gz, one .zst) through the two-stage executor
     ingest — parsed back and compared against stdlib json row by row."""

@@ -686,3 +686,147 @@ def test_chained_ogg_clear_error():
     b = encode_vorbis([spec, None], 8000, serial=6)
     with pytest.raises(NotImplementedError, match="chained Ogg"):
         decode_vorbis(a + b)
+
+
+# ------------------------------------------- end-of-packet (spec-legal)
+def _repage(pkts):
+    """One packet per page with fresh CRCs (serial 1), preserving each
+    packet's granule."""
+    from xcube_server_spark.sources.vorbis import _ogg_page
+
+    out = b""
+    for i, (p, g) in enumerate(pkts):
+        htype = 0x02 if i == 0 else (0x04 if i == len(pkts) - 1 else 0)
+        out += _ogg_page(htype, g if g is not None else 0, 1, i, p)
+    return out
+
+
+def test_eop_floor_truncation_renders_frame_silent():
+    """Vorbis I 7.2.2: EOP during floor decode marks the floor unused —
+    the truncated packet renders silence, NOT a 'truncated' error, and
+    equals the stream where that packet was encoded silent."""
+    from xcube_server_spark.sources.vorbis import _ogg_packets
+
+    s1 = np.zeros(128)
+    s1[3] = 64 / 1024
+    s2 = np.zeros(128)
+    s2[9] = 128 / 1024
+    full = list(_ogg_packets(encode_vorbis([s1, s2, None], 8000)))
+    # packet 4 (audio #2): keep 1 byte — mode read (0 bits: one mode)
+    # succeeds, floor's 8-bit Y reads EOP -> unused
+    full[4] = (full[4][0][:1], full[4][1])
+    pcm, _ = decode_vorbis(_repage(full))
+    expect, _ = decode_vorbis(encode_vorbis([s1, None, None], 8000))
+    assert np.array_equal(pcm, expect)
+
+
+def test_every_audio_packet_truncation_is_legal():
+    """Truncating an AUDIO packet at any byte is a spec-legal condition
+    (4.3.1 drop / 7.2.2 floor unused / 8.6.2 partial residue) — decode
+    must never raise, including the zero-length-packet case."""
+    from xcube_server_spark.sources.vorbis import _ogg_packets
+
+    s1 = np.zeros(128)
+    s1[3] = 64 / 1024
+    s1[17] = 200 / 1024
+    pkts = list(_ogg_packets(encode_vorbis([s1, s1, None], 8000)))
+    audio = pkts[3][0]
+    for cut in range(len(audio)):
+        trial = list(pkts)
+        trial[3] = (audio[:cut], pkts[3][1])
+        pcm, rate = decode_vorbis(_repage(trial))
+        assert rate == 8000 and pcm.ndim == 2 and pcm.shape[1] == 1
+
+
+def test_residue_eop_keeps_partial():
+    """8.6.2: EOP mid-residue keeps data decoded so far (here: nothing,
+    zeros) instead of raising."""
+    classbook = _scalar_book([1, 1])
+    valbook = _vq_book(4, [[1, 2, 3, 4], [5, 6, 7, 8]])
+    w = _BitsW()
+    w.write(0, 24)
+    w.write(8, 24)
+    w.write(3, 24)
+    w.write(1, 6)
+    w.write(0, 8)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(1, 3)
+    w.write(0, 1)
+    w.write(1, 8)
+    res = _Residue(2, _Bits(w.bytes()))
+    out = res.decode(_Bits(b""), [classbook, valbook], 4, [False, False])
+    assert out.shape == (2, 4)
+    assert np.all(out == 0.0)
+
+
+def test_header_truncation_still_refuses():
+    """EOP leniency is AUDIO-section only: a truncated setup header is
+    corruption and keeps the clear-error contract."""
+    from xcube_server_spark.sources.vorbis import _ogg_packets
+
+    spec = np.zeros(128)
+    pkts = list(_ogg_packets(encode_vorbis([spec, None], 8000)))
+    pkts[2] = (pkts[2][0][: len(pkts[2][0]) // 2], pkts[2][1])
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_vorbis(_repage(pkts))
+
+
+# ------------------------------------ hostile setup cross-references
+def test_setup_crossref_validation():
+    """Out-of-range book/floor/residue/mapping indices in the setup
+    header raise clear ValueError at parse time, never bare IndexError
+    at decode time."""
+    from xcube_server_spark.sources.vorbis import (
+        _Setup,
+        _validate_setup_refs,
+    )
+
+    class _O:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def base():
+        s = _Setup()
+        s.books = [None, None]
+        s.floors = [_O(class_masterbooks=[0], subclass_books=[[-1, 1]])]
+        s.residues = [_O(classbook=0, books=[[-1, 1]])]
+        s.mappings = [_O(submaps=1, mux=[0], submap_floor=[0],
+                         submap_residue=[0])]
+        s.modes = [_O(mapping=0)]
+        return s
+
+    _validate_setup_refs(base())  # sane refs pass
+
+    s = base()
+    s.floors[0].class_masterbooks = [2]
+    with pytest.raises(ValueError, match="masterbook"):
+        _validate_setup_refs(s)
+    s = base()
+    s.floors[0].subclass_books = [[5]]
+    with pytest.raises(ValueError, match="subclass book"):
+        _validate_setup_refs(s)
+    s = base()
+    s.residues[0].classbook = 9
+    with pytest.raises(ValueError, match="classbook"):
+        _validate_setup_refs(s)
+    s = base()
+    s.residues[0].books = [[2]]
+    with pytest.raises(ValueError, match="book"):
+        _validate_setup_refs(s)
+    s = base()
+    s.mappings[0].mux = [1]
+    with pytest.raises(ValueError, match="mux"):
+        _validate_setup_refs(s)
+    s = base()
+    s.mappings[0].submap_floor = [3]
+    with pytest.raises(ValueError, match="floor"):
+        _validate_setup_refs(s)
+    s = base()
+    s.mappings[0].submap_residue = [3]
+    with pytest.raises(ValueError, match="residue"):
+        _validate_setup_refs(s)
+    s = base()
+    s.modes[0].mapping = 1
+    with pytest.raises(ValueError, match="mapping"):
+        _validate_setup_refs(s)

@@ -87,7 +87,11 @@ def probe_avi(data: bytes) -> dict:
             if data[base + off:base + off + 4] != ckid and                     data[off:off + 4] == ckid:
                 base = 0
         frames = [(base + off + 8, sz) for _ckid, off, sz in entries]
-    else:
+    if not frames:
+        # Either no idx1 at all, or an idx1 with no 'dc'/'db' entries
+        # (index-less writers that emit only audio index rows): walk the
+        # movi chunks directly so a decodable file never reports zero
+        # frames just because its index is video-free.
         for fourcc, b, sz in _walk_chunks(data, movi[1], movi[2]):
             if fourcc[2:4] in (b"dc", b"db"):
                 frames.append((b, sz))
@@ -256,7 +260,9 @@ def build_avi_index(store, key: str) -> dict:
             if rd.read_at(base + off, 4) != ckid and                     rd.read_at(off, 4) == ckid:
                 base = 0
         frames = [(base + off + 8, sz) for _ckid, off, sz in entries]
-    else:
+    if not frames:
+        # No idx1, or an idx1 holding only non-video (audio) entries:
+        # fall back to the movi header walk (same contract as probe_avi)
         p = movi[1]
         while p + 8 <= movi[2]:
             hdr = rd.read_at(p, 8)

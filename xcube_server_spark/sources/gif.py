@@ -277,7 +277,15 @@ def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
     0..``frame`` are composited in order honoring each frame's Graphic
     Control disposal method (0/1 keep, 2 restore-to-background, 3
     restore-to-previous); transparent-index pixels let the composited
-    state below show through."""
+    state below show through.
+
+    Disposal 2 is GIF89a-spec-literal: the frame rectangle is restored
+    to the GLOBAL background color. Most browsers/Pillow instead restore
+    to *transparent* (the page/underlay shows through) — a state an
+    RGB-only canvas cannot represent, so composited later frames of real
+    animated GIFs may differ from those renderers when disposal 2 and
+    transparency interact. This deterministic spec-literal choice is
+    what the multimodal gates' oracles pin."""
     sw, sh, gct, bg, frames = _parse(data)
     if not 0 <= frame < len(frames):
         raise ValueError(f"GIF has {len(frames)} frames, asked for {frame}")

@@ -153,11 +153,18 @@ def build_jsonl_zst_index(store, key: str) -> list[dict]:
     header-hop walk that never decompresses a byte."""
     table = _read_seek_table(store, key)
     if table is not None:
-        return [
+        chunks = [
             {"offset": off, "length": clen, "content_size": dlen}
             for off, clen, dlen in table
             if clen > 0
         ]
+        # Same not-empty contract as the header-walk path below: an
+        # n_frames=0 footer (or all-empty entries) must fail loudly, not
+        # contribute zero rows silently to ingest_jsonl_corpus.
+        if not chunks:
+            raise ValueError(
+                f"object {key!r} holds no zstd frames (empty seek table)")
+        return chunks
     rd = _RangeReader(store, key)
     out = []
     pos = 0

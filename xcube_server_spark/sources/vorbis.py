@@ -45,6 +45,17 @@ import numpy as np
 # Vorbis packs LSb-first within bytes (spec "bitpacking convention").
 
 
+class _EndOfPacket(ValueError):
+    """Bit reader ran past the end of a packet.
+
+    A ``ValueError`` subclass so header parsing keeps its clear-error
+    contract (EOP inside ident/comment/setup IS corruption), while the
+    audio decode loop can catch this specifically and apply the Vorbis I
+    spec's legal-truncation semantics (4.3.1 drop packet / 7.2.2 floor
+    unused / 8.6.2 keep partial residue) instead of rejecting the file.
+    """
+
+
 class _Bits:
     def __init__(self, data: bytes, pos_bits: int = 0) -> None:
         self.data = data
@@ -55,7 +66,7 @@ class _Bits:
         for i in range(k):
             byte = self.pos >> 3
             if byte >= len(self.data):
-                raise ValueError("Vorbis packet overread (truncated)")
+                raise _EndOfPacket("Vorbis packet overread (truncated)")
             out |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
             self.pos += 1
         return out
@@ -63,7 +74,7 @@ class _Bits:
     def read_bit(self) -> int:
         byte = self.pos >> 3
         if byte >= len(self.data):
-            raise ValueError("Vorbis packet overread (truncated)")
+            raise _EndOfPacket("Vorbis packet overread (truncated)")
         b = (self.data[byte] >> (self.pos & 7)) & 1
         self.pos += 1
         return b
@@ -450,16 +461,28 @@ class _Residue:
     def decode(self, br: _Bits, books: list[_Codebook], n2: int,
                do_not_decode: list[bool]) -> np.ndarray:
         """Decode residue vectors for ``len(do_not_decode)`` channels of
-        spectrum length ``n2``. Returns (channels, n2) float64."""
+        spectrum length ``n2``. Returns (channels, n2) float64.
+
+        End-of-packet mid-decode is spec-legal (Vorbis I 8.6.2): the
+        partial data accumulated so far is kept and the remainder of the
+        residue stays zero — ``_decode_core`` mutates the output arrays
+        in place, so catching here loses nothing already decoded.
+        """
         ch = len(do_not_decode)
         if self.rtype == 2:
             vec = np.zeros(ch * n2, np.float64)
             if not all(do_not_decode):
-                self._decode_core(br, books, [vec], ch * n2, [False])
+                try:
+                    self._decode_core(br, books, [vec], ch * n2, [False])
+                except _EndOfPacket:
+                    pass
             # deinterleave
             return vec.reshape(n2, ch).T.copy()
         out = [np.zeros(n2, np.float64) for _ in range(ch)]
-        self._decode_core(br, books, out, n2, do_not_decode)
+        try:
+            self._decode_core(br, books, out, n2, do_not_decode)
+        except _EndOfPacket:
+            pass
         return np.stack(out)
 
     def _decode_core(self, br: _Bits, books: list[_Codebook],
@@ -617,7 +640,57 @@ def _parse_setup(packet: bytes, channels: int) -> _Setup:
     s.modes = [_Mode(br) for _ in range(br.read(6) + 1)]
     if not br.read_bit():
         raise ValueError("setup framing bit unset")
+    _validate_setup_refs(s)
     return s
+
+
+def _validate_setup_refs(s: _Setup) -> None:
+    """Range-check every cross-reference the setup header encodes.
+
+    Hostile headers can index past the parsed books/floors/residues/
+    mappings lists (the bit widths allow values beyond the list
+    lengths); without this, decode raises bare IndexError instead of
+    the module's promised clear ValueError (fuzz-test contract).
+    """
+    nb = len(s.books)
+    for fi, fl in enumerate(s.floors):
+        for mb in fl.class_masterbooks:
+            if mb >= nb:
+                raise ValueError(
+                    f"floor {fi}: class masterbook {mb} >= {nb} books")
+        for row in fl.subclass_books:
+            for b in row:
+                if b >= nb:  # -1 == unused is legal
+                    raise ValueError(
+                        f"floor {fi}: subclass book {b} >= {nb} books")
+    for ri, res in enumerate(s.residues):
+        if res.classbook >= nb:
+            raise ValueError(
+                f"residue {ri}: classbook {res.classbook} >= {nb} books")
+        for row in res.books:
+            for b in row:
+                if b >= nb:  # -1 == pass not coded
+                    raise ValueError(
+                        f"residue {ri}: book {b} >= {nb} books")
+    for mi, mp in enumerate(s.mappings):
+        for mx in mp.mux:
+            if mx >= mp.submaps:
+                raise ValueError(
+                    f"mapping {mi}: mux {mx} >= {mp.submaps} submaps")
+        for f in mp.submap_floor:
+            if f >= len(s.floors):
+                raise ValueError(
+                    f"mapping {mi}: floor {f} >= {len(s.floors)} floors")
+        for r in mp.submap_residue:
+            if r >= len(s.residues):
+                raise ValueError(
+                    f"mapping {mi}: residue {r} >= "
+                    f"{len(s.residues)} residues")
+    for di, mode in enumerate(s.modes):
+        if mode.mapping >= len(s.mappings):
+            raise ValueError(
+                f"mode {di}: mapping {mode.mapping} >= "
+                f"{len(s.mappings)} mappings")
 
 
 # ------------------------------------------------------- window / iMDCT
@@ -820,18 +893,34 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
     prev_tail: np.ndarray | None = None  # (channels, n_prev/2) windowed
     total = 0
     last_granule = None
+    dropped = 0
     for pkt, granule in packets:
         if not pkt:
-            raise ValueError("zero-length Vorbis packet")
+            # Zero-length packets are legal Ogg padding; with no bits at
+            # all the mode read EOPs immediately -> 4.3.1 drop.
+            dropped += 1
+            continue
         br = _Bits(pkt)
-        if br.read_bit() != 0:
-            raise ValueError("header packet in the audio section")
-        mode = setup.modes[br.read(mode_bits)]
-        n = bs1 if mode.blockflag else bs0
-        prev_flag = next_flag = 1
-        if mode.blockflag:
-            prev_flag = br.read_bit()
-            next_flag = br.read_bit()
+        try:
+            if br.read_bit() != 0:
+                raise ValueError("header packet in the audio section")
+            mode_num = br.read(mode_bits)
+            if mode_num >= len(setup.modes):
+                raise ValueError(f"Vorbis mode number {mode_num} out of "
+                                 f"range ({len(setup.modes)} modes)")
+            mode = setup.modes[mode_num]
+            n = bs1 if mode.blockflag else bs0
+            prev_flag = next_flag = 1
+            if mode.blockflag:
+                prev_flag = br.read_bit()
+                next_flag = br.read_bit()
+        except _EndOfPacket:
+            # Vorbis I 4.3.1: EOP while reading packet type / mode /
+            # window flags renders the packet undecodable — drop it and
+            # continue with the next packet (real libvorbis streams can
+            # legally end this way; not a file-level error).
+            dropped += 1
+            continue
         mapping = setup.mappings[mode.mapping]
         n2 = n // 2
         # floors
@@ -839,7 +928,13 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
         nonzero = []
         for ch in range(channels):
             fl = setup.floors[mapping.submap_floor[mapping.mux[ch]]]
-            y = fl.decode(br, setup.books)
+            try:
+                y = fl.decode(br, setup.books)
+            except _EndOfPacket:
+                # Vorbis I 7.2.2: EOP during floor decode marks the
+                # floor unused for this channel (any channels after it
+                # hit EOP immediately and land here too).
+                y = None
             floor_y.append(y)
             nonzero.append(y is not None)
         for m, a in mapping.coupling:
@@ -894,10 +989,15 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
     pcm = np.concatenate(out_chunks, axis=1).T
     if last_granule is not None:
         if last_granule > total:
-            raise ValueError(
-                f"Ogg granule {last_granule} exceeds {total} decoded"
-            )
-        pcm = pcm[:last_granule]
+            if not dropped:
+                raise ValueError(
+                    f"Ogg granule {last_granule} exceeds {total} decoded"
+                )
+            # Dropped (undecodable) packets leave a hole: the stream's
+            # final granule legitimately exceeds what we could decode.
+            # Keep everything decoded instead of erroring.
+        else:
+            pcm = pcm[:last_granule]
     return pcm, rate
 
 
