@@ -253,11 +253,13 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
 
     RIFF PCM WAV payloads decode to REAL samples via ``sources/wav.py``
     (the ``sample_rate`` argument is advisory; the container's rate
-    wins), and FLAC payloads via the pure-Python ``sources/flac.py``
+    wins), FLAC payloads via the pure-Python ``sources/flac.py``
     (lossless — samples normalize by the stream's own bit depth; multi-
-    channel downmixes by mean like WAV). Lossy formats (MP3/AAC/Opus)
-    need native codecs: deterministic sha256 fake with ``fake=True``,
-    clear error otherwise."""
+    channel downmixes by mean like WAV), Ogg Vorbis via
+    ``sources/vorbis.py`` and MPEG-1 Layer III via ``sources/mp3.py``
+    (see its docstring for the synthesis-window / Huffman-table
+    fidelity tiers). Remaining lossy formats (AAC/Opus): deterministic
+    sha256 fake with ``fake=True``, clear error otherwise."""
     if payload[:4] == b"RIFF":
         from ..sources.wav import decode_wav
 
@@ -275,11 +277,19 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
             pcm, _rate = decode_vorbis(payload)
             return pcm.mean(axis=1).astype(np.float32)
         # Ogg Opus and friends fall through to the fake/refuse path
+    else:
+        from ..sources.mp3meta import is_mp3
+
+        if is_mp3(payload):
+            from ..sources.mp3 import decode_mp3
+
+            pcm, _rate = decode_mp3(payload)
+            return pcm.mean(axis=1).astype(np.float32)
     if not fake:
         raise NotImplementedError(
-            "payload is not PCM WAV, FLAC or Ogg Vorbis — other lossy "
-            "audio needs native codecs; pass fake=True for the "
-            "deterministic test decoder"
+            "payload is not PCM WAV, FLAC, Ogg Vorbis or MPEG-1 Layer "
+            "III — other lossy audio needs native codecs; pass "
+            "fake=True for the deterministic test decoder"
         )
     n = max(int(sample_rate) or 16, 16)
     digest = hashlib.sha256(payload).digest()

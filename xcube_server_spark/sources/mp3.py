@@ -1,0 +1,740 @@
+"""MPEG-1 Audio Layer III (MP3) decoder + fixture-grade encoder.
+
+Scope and honesty (see also ``mp3tables.py``): the full Layer III
+decode chain is implemented — frame/side-info parse, bit reservoir,
+scalefactors (scfsi sharing), Huffman big-values + count1 regions,
+requantization, MS stereo, short-block reordering, alias reduction,
+hybrid IMDCT with all four window types, frequency inversion, and the
+32-band polyphase synthesis. Every formula-defined stage is spec-exact
+and pinned by analytic tests plus the driver gate's closed-form SQL
+oracle. Two table-data caveats, both REFUSED or DOCUMENTED rather than
+silently wrong:
+
+- Streams selecting Huffman tables outside the validated set
+  (``mp3tables.HUFF``) or count1 table A raise ``NotImplementedError``
+  naming the table id — those printed tables could not be transcribed
+  verifiably in this environment.
+- The synthesis window is a documented near-PR stand-in for the spec's
+  printed Table B.3 (round-trip SNR pinned by test); third-party MP3s
+  decode with that prototype's passband shape instead of the spec
+  one's. Intensity stereo is likewise refused (clear error).
+
+The bundled ``encode_mp3`` writes standard-layout frames whose chosen
+quantized lines make decoded PCM an analytic formula (the same fixture
+trick as ``vorbis.py``). Reference analog: the multimodal store axis
+(xcube_server/context.py:217-235) feeding sample decode; crawl-audio
+curation hits MP3 first.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .mp3tables import (
+    ALIAS_CA,
+    ALIAS_CS,
+    COUNT1_B,
+    HUFF,
+    PRETAB,
+    SFB_LONG,
+    SFB_SHORT,
+    SLEN,
+    SYNTH_WINDOW,
+    UNSUPPORTED_HUFF_SHAPES,
+)
+
+# ----------------------------------------------------------- bit I/O
+# MP3 packs MSb-first within bytes (unlike Vorbis).
+
+
+class _Bits:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, k: int) -> int:
+        out = 0
+        for _ in range(k):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("MP3 bitstream overread (truncated)")
+            out = (out << 1) | ((self.data[byte] >> (7 - (self.pos & 7)))
+                               & 1)
+            self.pos += 1
+        return out
+
+
+class _BitsW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << (7 - self.bit)
+            self.bit = (self.bit + 1) & 7
+
+    def tell(self) -> int:
+        """Total bits written."""
+        if self.bit:
+            return (len(self.out) - 1) * 8 + self.bit
+        return len(self.out) * 8
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+# ------------------------------------------------------ frame header
+_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320]
+_RATES = [44100, 48000, 32000]
+
+
+def _parse_header(b: bytes, pos: int) -> dict:
+    b0, b1, b2, b3 = b[pos:pos + 4]
+    if b0 != 0xFF or b1 & 0xE0 != 0xE0:
+        raise ValueError(f"MP3 frame sync lost at byte {pos}")
+    version = (b1 >> 3) & 0x03
+    layer = (b1 >> 1) & 0x03
+    if version != 3 or layer != 1:
+        raise NotImplementedError(
+            f"MPEG version code {version} / layer code {layer} — sample "
+            "decode supports MPEG-1 Layer III only (probe_mp3 handles "
+            "MPEG-2/2.5 metadata)"
+        )
+    protection = b1 & 1  # 0 -> 16-bit CRC follows the header
+    br_idx = b2 >> 4
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx == 0:
+        raise NotImplementedError("free-format MP3 bitrate")
+    if br_idx == 15 or sr_idx == 3:
+        raise ValueError("reserved MP3 bitrate/sample-rate index")
+    padding = (b2 >> 1) & 1
+    mode = b3 >> 6
+    mode_ext = (b3 >> 4) & 0x03
+    rate = _RATES[sr_idx]
+    frame_len = 144 * _BITRATES[br_idx] * 1000 // rate + padding
+    return {
+        "rate": rate, "frame_len": frame_len, "mode": mode,
+        "mode_ext": mode_ext, "crc": protection == 0,
+        "nch": 1 if mode == 3 else 2, "br_idx": br_idx,
+        "sr_idx": sr_idx, "padding": padding,
+    }
+
+
+# -------------------------------------------------------- side info
+def _parse_side_info(br: _Bits, nch: int) -> dict:
+    si = {"main_data_begin": br.read(9)}
+    br.read(5 if nch == 1 else 3)  # private bits
+    si["scfsi"] = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+    si["gr"] = []
+    for _g in range(2):
+        chs = []
+        for _c in range(nch):
+            g = {
+                "part2_3_length": br.read(12),
+                "big_values": br.read(9),
+                "global_gain": br.read(8),
+                "scalefac_compress": br.read(4),
+                "window_switching": br.read(1),
+            }
+            if g["window_switching"]:
+                g["block_type"] = br.read(2)
+                g["mixed_block"] = br.read(1)
+                g["table_select"] = [br.read(5), br.read(5), 0]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                if g["block_type"] == 0:
+                    raise ValueError(
+                        "window_switching with block_type 0 is forbidden"
+                    )
+            else:
+                g["block_type"] = 0
+                g["mixed_block"] = 0
+                g["table_select"] = [br.read(5) for _ in range(3)]
+                g["region0_count"] = br.read(4)
+                g["region1_count"] = br.read(3)
+            g["preflag"] = br.read(1)
+            g["scalefac_scale"] = br.read(1)
+            g["count1table_select"] = br.read(1)
+            if g["big_values"] > 288:
+                raise ValueError(
+                    f"big_values {g['big_values']} > 288 (576 lines)"
+                )
+            chs.append(g)
+        si["gr"].append(chs)
+    return si
+
+
+# ------------------------------------------------------ scalefactors
+def _read_scalefactors(br: _Bits, g: dict, ch: int, gr: int,
+                       scfsi: list, prev: list | None) -> list:
+    """Long blocks: 21 sfb values with scfsi group sharing from granule
+    0. Short: 12 sfbs x 3 windows (returned flat, window-major per
+    sfb). Mixed: 8 long + sfbs 3..11 short."""
+    slen1, slen2 = SLEN[g["scalefac_compress"]]
+    short = g["window_switching"] and g["block_type"] == 2
+    if short and not g["mixed_block"]:
+        return [
+            [br.read(slen1 if sfb < 6 else slen2) for _ in range(3)]
+            for sfb in range(12)
+        ]
+    if short:  # mixed: 8 long sfbs then short sfbs 3..11
+        long_part = [br.read(slen1) for _ in range(8)]
+        short_part = [
+            [br.read(slen1 if sfb < 6 else slen2) for _ in range(3)]
+            for sfb in range(3, 12)
+        ]
+        return [long_part, short_part]
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+              (16, 21, slen2)]
+    sf = [0] * 21
+    for gi, (lo, hi, slen) in enumerate(groups):
+        if gr == 1 and scfsi[ch][gi]:
+            if prev is None:
+                raise ValueError("scfsi set but granule 0 scalefactors "
+                                 "unavailable")
+            sf[lo:hi] = prev[lo:hi]
+        else:
+            for sfb in range(lo, hi):
+                sf[sfb] = br.read(slen)
+    return sf
+
+
+# --------------------------------------------------- Huffman decode
+class _HuffTree:
+    """Binary decode tree built from (hlen, hcod) entries."""
+
+    def __init__(self, entries: dict) -> None:
+        self.tree: dict = {}
+        for sym, (hlen, hcod) in entries.items():
+            node = self.tree
+            for i in range(hlen - 1, -1, -1):
+                bit = (hcod >> i) & 1
+                if i == 0:
+                    node[bit] = sym
+                else:
+                    node = node.setdefault(bit, {})
+
+    def decode(self, br: _Bits):
+        node = self.tree
+        while True:
+            node = node[br.read(1)]
+            if not isinstance(node, dict):
+                return node
+
+
+_TREES: dict[int, _HuffTree] = {
+    tid: _HuffTree(entries) for tid, (_x, _y, _lb, entries) in
+    HUFF.items() if entries
+}
+_COUNT1B_TREE = _HuffTree(COUNT1_B)
+
+
+def _huffman_spectrum(br: _Bits, g: dict, rate: int,
+                      part2_3_end: int) -> np.ndarray:
+    """Decode big-values pairs (3 regions) + count1 quadruples into the
+    576-line spectrum, honoring part2_3_length exactly."""
+    is_vals = np.zeros(576, np.float64)
+    if g["window_switching"]:
+        region1, region2 = 36, 576
+    else:
+        sfb = SFB_LONG[rate]
+        i1 = g["region0_count"] + 1
+        i2 = g["region0_count"] + g["region1_count"] + 2
+        if i2 > 22:
+            raise ValueError(
+                f"region counts {g['region0_count']}/{g['region1_count']}"
+                " exceed the scalefactor band table"
+            )
+        region1, region2 = sfb[i1], sfb[i2]
+    bv_end = 2 * g["big_values"]
+    pos = 0
+    while pos < bv_end:
+        region = 0 if pos < region1 else (1 if pos < region2 else 2)
+        tid = g["table_select"][region]
+        if tid not in HUFF:
+            shape = UNSUPPORTED_HUFF_SHAPES.get(tid)
+            raise NotImplementedError(
+                f"Huffman table {tid} {shape}: transcription not "
+                "verifiable in this environment (see mp3tables.py) — "
+                "refusing rather than misdecoding"
+            )
+        xlen, ylen, linbits, entries = HUFF[tid]
+        if not entries:  # table 0: region carries zeros, no bits
+            pos += 2
+            continue
+        x, y = _TREES[tid].decode(br)
+        if x == xlen - 1 and linbits:
+            x += br.read(linbits)
+        if x and br.read(1):
+            x = -x
+        if y == ylen - 1 and linbits:
+            y += br.read(linbits)
+        if y and br.read(1):
+            y = -y
+        if pos + 2 > 576:
+            raise ValueError("big_values spectrum overflow")
+        is_vals[pos] = x
+        is_vals[pos + 1] = y
+        pos += 2
+    # count1 region: quadruples until the granule's bit budget is spent
+    if g["count1table_select"] == 0 and br.pos < part2_3_end:
+        raise NotImplementedError(
+            "count1 Huffman table A: transcription not verifiable in "
+            "this environment (see mp3tables.py) — refusing rather "
+            "than misdecoding"
+        )
+    while br.pos < part2_3_end and pos + 4 <= 576:
+        start = br.pos
+        try:
+            quad = _COUNT1B_TREE.decode(br)
+            vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1,
+                    quad & 1]
+            for i, v in enumerate(vals):
+                if v and br.read(1):
+                    vals[i] = -v
+        except ValueError:
+            br.pos = start
+            break
+        if br.pos > part2_3_end:
+            # spec: a quadruple straddling part2_3_length is discarded
+            br.pos = start
+            break
+        is_vals[pos:pos + 4] = vals
+        pos += 4
+    br.pos = part2_3_end
+    return is_vals
+
+
+# ------------------------------------------------------ requantize
+def _requantize(is_vals: np.ndarray, g: dict, sf, rate: int
+                ) -> np.ndarray:
+    """xr = sign(is) |is|^(4/3) 2^((gg-210)/4 - 8 sbg/4) 2^(-mult sf)
+    with mult = (scalefac_scale+1)/2 and preflag's pretab added to
+    long-block scalefactors."""
+    mult = 0.5 * (g["scalefac_scale"] + 1)
+    base = np.sign(is_vals) * np.abs(is_vals) ** (4.0 / 3.0)
+    gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+    short = g["window_switching"] and g["block_type"] == 2
+    exp = np.zeros(576, np.float64)
+    if not short:
+        bands = SFB_LONG[rate]
+        for sfb in range(22):
+            v = sf[sfb] if sfb < 21 else 0
+            v += g["preflag"] * PRETAB[sfb]
+            exp[bands[sfb]:bands[sfb + 1]] = -mult * v
+    elif not g["mixed_block"]:
+        bands = SFB_SHORT[rate]
+        sbg = g["subblock_gain"]
+        for sfb in range(13):
+            w0 = 3 * bands[sfb]
+            width = bands[sfb + 1] - bands[sfb]
+            for win in range(3):
+                v = sf[sfb][win] if sfb < 12 else 0
+                lo = w0 + win * width
+                exp[lo:lo + width] = -mult * v - 2.0 * sbg[win]
+    else:
+        long_sf, short_sf = sf
+        lbands = SFB_LONG[rate]
+        sbands = SFB_SHORT[rate]
+        sbg = g["subblock_gain"]
+        for sfb in range(8):
+            v = long_sf[sfb] + g["preflag"] * PRETAB[sfb]
+            exp[lbands[sfb]:lbands[sfb + 1]] = -mult * v
+        for si_, sfb in enumerate(range(3, 13)):
+            w0 = 3 * sbands[sfb]
+            width = sbands[sfb + 1] - sbands[sfb]
+            for win in range(3):
+                v = short_sf[si_][win] if sfb < 12 else 0
+                lo = w0 + win * width
+                exp[lo:lo + width] = -mult * v - 2.0 * sbg[win]
+    return base * gain * 2.0 ** exp
+
+
+# ------------------------------------------- reorder / alias / IMDCT
+def _reorder_short(xr: np.ndarray, rate: int, mixed: bool) -> np.ndarray:
+    out = xr.copy()
+    bands = SFB_SHORT[rate]
+    first = 3 if mixed else 0
+    for sfb in range(first, 13):
+        start = 3 * bands[sfb]
+        width = bands[sfb + 1] - bands[sfb]
+        block = xr[start:start + 3 * width]
+        if len(block) < 3 * width:
+            break
+        out[start:start + 3 * width] = (
+            block.reshape(3, width).T.reshape(-1)
+        )
+    return out
+
+
+def _alias_reduce(xr: np.ndarray, n_boundaries: int) -> np.ndarray:
+    out = xr.copy()
+    for b in range(1, n_boundaries + 1):
+        lo = 18 * b - 1 - np.arange(8)
+        hi = 18 * b + np.arange(8)
+        a, bb = out[lo].copy(), out[hi].copy()
+        out[lo] = a * ALIAS_CS - bb * ALIAS_CA
+        out[hi] = bb * ALIAS_CS + a * ALIAS_CA
+    return out
+
+
+_IMDCT_BASIS: dict[int, np.ndarray] = {}
+_WINDOWS: dict[int, np.ndarray] = {}
+
+
+def _imdct_basis(n: int) -> np.ndarray:
+    """(n, n/2) basis: x[m] = sum_k X[k] cos(pi/(2n)(2m+1+n/2)(2k+1)).
+    Association order pinned for the gate oracle: the scalar formula
+    below, evaluated per (m, k)."""
+    if n not in _IMDCT_BASIS:
+        m = np.arange(n)[:, None].astype(np.float64)
+        k = np.arange(n // 2)[None, :].astype(np.float64)
+        _IMDCT_BASIS[n] = np.cos(
+            (np.pi / (2 * n)) * (2 * m + 1 + n / 2) * (2 * k + 1)
+        )
+    return _IMDCT_BASIS[n]
+
+
+def _block_window(bt: int) -> np.ndarray:
+    if bt not in _WINDOWS:
+        n = np.arange(36)
+        sin36 = np.sin(np.pi / 36 * (n + 0.5))
+        if bt == 0:
+            w = sin36
+        elif bt == 1:  # start
+            w = sin36.copy()
+            w[18:24] = 1.0
+            w[24:30] = np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5))
+            w[30:] = 0.0
+        elif bt == 3:  # stop
+            w = sin36.copy()
+            w[:6] = 0.0
+            w[6:12] = np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5))
+            w[12:18] = 1.0
+        else:
+            raise ValueError(f"block window type {bt}")
+        _WINDOWS[bt] = w
+    return _WINDOWS[bt]
+
+
+_WIN_SHORT = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+
+
+def _imdct_granule(xr: np.ndarray, g: dict) -> np.ndarray:
+    """Per-subband hybrid IMDCT + window: returns (32, 36) windowed
+    time blocks ready for overlap-add."""
+    bt = g["block_type"] if g["window_switching"] else 0
+    mixed = g["window_switching"] and g["mixed_block"]
+    out = np.zeros((32, 36), np.float64)
+    b36 = _imdct_basis(36)
+    for sb in range(32):
+        X = xr[18 * sb:18 * sb + 18]
+        sb_bt = bt if not (mixed and sb < 2) else 0
+        if sb_bt == 2:
+            acc = np.zeros(36, np.float64)
+            b12 = _imdct_basis(12)
+            for win in range(3):
+                z = (b12 @ X[win::3]) * _WIN_SHORT
+                acc[6 + 6 * win:18 + 6 * win] += z
+            out[sb] = acc
+        else:
+            out[sb] = (b36 @ X) * _block_window(sb_bt)
+    return out
+
+
+# --------------------------------------------------- polyphase synth
+class _Synth:
+    """32-band synthesis: V matrixing N[i][k] = cos((16+i)(2k+1)pi/64),
+    1024-deep FIFO, build-U / window-by-D / 16-tap sum (spec structure;
+    its effective filter form is pinned by test)."""
+
+    _N = np.cos(
+        (16 + np.arange(64))[:, None] * (2 * np.arange(32) + 1)[None, :]
+        * np.pi / 64
+    )
+
+    def __init__(self) -> None:
+        self.v = np.zeros(1024, np.float64)
+
+    def step(self, s: np.ndarray) -> np.ndarray:
+        self.v[64:] = self.v[:-64]
+        self.v[:64] = self._N @ s
+        u = np.empty(512, np.float64)
+        for i in range(8):
+            u[i * 64:i * 64 + 32] = self.v[i * 128:i * 128 + 32]
+            u[i * 64 + 32:i * 64 + 64] = self.v[i * 128 + 96:
+                                                i * 128 + 128]
+        w = u * SYNTH_WINDOW
+        return w.reshape(16, 32).sum(axis=0)
+
+
+# ------------------------------------------------------- main decode
+def is_mp3_stream(data: bytes) -> bool:
+    from .mp3meta import is_mp3
+
+    return is_mp3(data)
+
+
+def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MPEG-1 Layer III stream to ((n, channels) float64 PCM,
+    rate). Float64 end to end — the driver gate quantizes the output
+    and float32 re-rounding would break its exactness proof."""
+    from .mp3meta import _id3v2_size
+
+    pos = _id3v2_size(data)
+    rate = None
+    nch = None
+    reservoir = bytearray()
+    res_base = 0  # absolute byte index of reservoir[0]
+    overlap = None  # (nch, 32, 18) IMDCT overlap store
+    synths = None
+    pcm_chunks: list[np.ndarray] = []
+    prev_sf = None
+    while pos + 4 <= len(data):
+        if data[pos:pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        hdr = _parse_header(data, pos)
+        if rate is None:
+            rate, nch = hdr["rate"], hdr["nch"]
+            overlap = np.zeros((nch, 32, 18), np.float64)
+            synths = [_Synth() for _ in range(nch)]
+            prev_sf = [None] * nch
+        elif hdr["rate"] != rate or hdr["nch"] != nch:
+            raise ValueError("MP3 rate/channel change mid-stream")
+        if pos + hdr["frame_len"] > len(data):
+            raise ValueError(
+                f"MP3 frame at byte {pos} declares {hdr['frame_len']} "
+                f"bytes, {len(data) - pos} remain"
+            )
+        body = pos + 4 + (2 if hdr["crc"] else 0)
+        si_len = 17 if nch == 1 else 32
+        si = _parse_side_info(_Bits(data[body:body + si_len]), nch)
+        main = data[body + si_len:pos + hdr["frame_len"]]
+        # bit reservoir: this frame's granules start main_data_begin
+        # bytes BEFORE this frame's own main data
+        start_abs = res_base + len(reservoir) - si["main_data_begin"]
+        reservoir += main
+        if start_abs < res_base:
+            raise ValueError(
+                "MP3 bit reservoir underrun (main_data_begin points "
+                "before the available stream)"
+            )
+        br = _Bits(bytes(reservoir), (start_abs - res_base) * 8)
+        frame_pcm = _decode_frame(br, si, hdr, rate, nch, overlap,
+                                  synths, prev_sf)
+        pcm_chunks.append(frame_pcm)
+        # trim consumed reservoir, keep the spec's 511-byte max lookback
+        keep = min(len(reservoir), 511 + len(main))
+        res_base += len(reservoir) - keep
+        del reservoir[:len(reservoir) - keep]
+        pos += hdr["frame_len"]
+    if not pcm_chunks:
+        raise ValueError("MP3 stream holds no frames")
+    return np.concatenate(pcm_chunks, axis=0), rate
+
+
+def _decode_frame(br: _Bits, si: dict, hdr: dict, rate: int, nch: int,
+                  overlap: np.ndarray, synths: list,
+                  prev_sf: list) -> np.ndarray:
+    ms = hdr["mode"] == 1 and (hdr["mode_ext"] & 0x2)
+    if hdr["mode"] == 1 and (hdr["mode_ext"] & 0x1):
+        raise NotImplementedError(
+            "intensity stereo: the is_pos ratio bound interacts with "
+            "zero-part detection — refused rather than misdecoded"
+        )
+    out = np.empty((1152, nch), np.float64)
+    for gr in range(2):
+        xr_ch = []
+        for ch in range(nch):
+            g = si["gr"][gr][ch]
+            part2_3_end = br.pos + g["part2_3_length"]
+            sf = _read_scalefactors(br, g, ch, gr, si["scfsi"],
+                                    prev_sf[ch])
+            if not (g["window_switching"] and g["block_type"] == 2):
+                prev_sf[ch] = sf
+            is_vals = _huffman_spectrum(br, g, rate, part2_3_end)
+            xr_ch.append(_requantize(is_vals, g, sf, rate))
+        if ms and nch == 2:
+            m, s = xr_ch
+            inv_sqrt2 = 1.0 / np.sqrt(2.0)
+            xr_ch = [(m + s) * inv_sqrt2, (m - s) * inv_sqrt2]
+        for ch in range(nch):
+            g = si["gr"][gr][ch]
+            xr = xr_ch[ch]
+            short = g["window_switching"] and g["block_type"] == 2
+            if short:
+                xr = _reorder_short(xr, rate, bool(g["mixed_block"]))
+                n_alias = 1 if g["mixed_block"] else 0
+            else:
+                n_alias = 31
+            if n_alias:
+                xr = _alias_reduce(xr, n_alias)
+            blocks = _imdct_granule(xr, g)  # (32, 36)
+            first18 = blocks[:, :18] + overlap[ch]
+            overlap[ch] = blocks[:, 18:]
+            # frequency inversion: odd subbands negate odd samples
+            first18[1::2, 1::2] *= -1.0
+            for s_i in range(18):
+                out[gr * 576 + s_i * 32:gr * 576 + (s_i + 1) * 32, ch] \
+                    = synths[ch].step(first18[:, s_i])
+    return out
+
+
+# ------------------------------------------------------- fixture encoder
+def _encode_big_values(w: _BitsW, lines: dict[int, int], tid: int
+                       ) -> int:
+    """Huffman-code the pair region covering lines 0..2*bv-1; returns
+    big_values (pair count)."""
+    if not lines:
+        return 0
+    xlen, ylen, linbits, entries = HUFF[tid]
+    max_line = max(lines)
+    bv = max_line // 2 + 1
+    for p in range(bv):
+        x = lines.get(2 * p, 0)
+        y = lines.get(2 * p + 1, 0)
+        ax, ay = abs(x), abs(y)
+        if ax >= xlen or ay >= ylen:
+            raise ValueError(
+                f"fixture value ({x},{y}) exceeds table {tid} range"
+            )
+        hlen, hcod = entries[(ax, ay)]
+        w.write(hcod, hlen)
+        if ax:
+            w.write(1 if x < 0 else 0, 1)
+        if ay:
+            w.write(1 if y < 0 else 0, 1)
+    return bv
+
+
+def _write_scalefactors(w: _BitsW, g: dict, gr: int, scfsi: list
+                        ) -> None:
+    sfc = g.get("scalefac_compress", 0)
+    slen1, slen2 = SLEN[sfc]
+
+    def put(v: int, slen: int) -> None:
+        if v >> slen:
+            raise ValueError(
+                f"scalefactor {v} does not fit slen {slen} "
+                f"(scalefac_compress {sfc})"
+            )
+        w.write(v, slen)
+
+    if g.get("block_type", 0) == 2:
+        sfs = g.get("scalefacs") or [[0, 0, 0]] * 12
+        for sfb in range(12):
+            for win in range(3):
+                put(sfs[sfb][win], slen1 if sfb < 6 else slen2)
+        return
+    sfs = g.get("scalefacs") or [0] * 21
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+              (16, 21, slen2)]
+    for gi, (lo, hi, slen) in enumerate(groups):
+        if gr == 1 and scfsi[gi]:
+            continue  # shared from granule 0
+        for sfb in range(lo, hi):
+            put(sfs[sfb], slen)
+
+
+def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
+               table: int = 5, stereo: bool = False, ms: bool = False,
+               scfsi: tuple = (0, 0, 0, 0)) -> bytes:
+    """Assemble a standards-layout MPEG-1 Layer III stream whose
+    granules carry chosen quantized lines. ``frames`` is a list of
+    2-tuples (granule0, granule1); each granule is a dict (mono) or a
+    per-channel tuple of dicts (``stereo=True``):
+
+    ``{"lines": {line_index: is_value}, "global_gain": 210,
+      "block_type": 0 | 2, "scalefac_compress": 0, "scalefacs": [...],
+      "subblock_gain": (0,0,0), "scalefac_scale": 0, "preflag": 0}``
+
+    ``ms=True`` sets joint-stereo/MS (lines are then the M/S spectra).
+    ``scfsi`` marks long-block scalefactor groups granule 1 inherits.
+    No count1 region, no reservoir (main_data_begin = 0) — decoded PCM
+    is the closed-form requantize → (reorder) → alias → IMDCT → window
+    → overlap → polyphase chain; the driver gate's SQL oracle
+    evaluates the mono long-block subset independently."""
+    sr_idx = _RATES.index(rate)
+    br_idx = _BITRATES.index(kbps)
+    frame_len = 144 * kbps * 1000 // rate
+    nch = 2 if stereo else 1
+    out = bytearray()
+    for granules in frames:
+        w = _BitsW()
+        main = _BitsW()
+        side = []
+        for gr, gspec in enumerate(granules):
+            chs = gspec if stereo else (gspec,)
+            for ch, g in enumerate(chs):
+                lines = dict(g.get("lines", {}))
+                short = g.get("block_type", 0) == 2
+                bound = 36 if short else SFB_LONG[rate][16]
+                if lines and max(lines) >= bound:
+                    raise ValueError(
+                        f"fixture lines must stay inside region0 "
+                        f"(< {bound})"
+                    )
+                start_bits = main.tell()
+                ch_scfsi = scfsi if ch == 0 else (0, 0, 0, 0)
+                _write_scalefactors(main, g, gr, ch_scfsi)
+                bv = _encode_big_values(main, lines, table)
+                side.append({
+                    "part2_3_length": main.tell() - start_bits,
+                    "big_values": bv, "g": g,
+                })
+        # header: MPEG-1 Layer III, no CRC
+        w.write(0x7FF, 11)
+        w.write(3, 2)   # MPEG-1
+        w.write(1, 2)   # Layer III
+        w.write(1, 1)   # protection: no CRC
+        w.write(br_idx, 4)
+        w.write(sr_idx, 2)
+        w.write(0, 1)   # padding
+        w.write(0, 1)   # private
+        w.write(1 if (stereo and ms) else (0 if stereo else 3), 2)
+        w.write(2 if (stereo and ms) else 0, 2)  # mode ext: MS on
+        w.write(0, 2)   # copyright/original
+        w.write(0, 2)   # emphasis
+        # side info (17 bytes mono / 32 stereo)
+        w.write(0, 9)   # main_data_begin
+        w.write(0, 5 if nch == 1 else 3)
+        for ch in range(nch):
+            for bit in (scfsi if ch == 0 else (0, 0, 0, 0)):
+                w.write(bit, 1)
+        for s in side:
+            g = s["g"]
+            short = g.get("block_type", 0) == 2
+            w.write(s["part2_3_length"], 12)
+            w.write(s["big_values"], 9)
+            w.write(g.get("global_gain", 210), 8)
+            w.write(g.get("scalefac_compress", 0), 4)
+            w.write(1 if short else 0, 1)   # window_switching
+            if short:
+                w.write(2, 2)   # block_type
+                w.write(0, 1)   # mixed_block
+                w.write(table, 5)
+                w.write(0, 5)   # region1 table (empty)
+                for sbg in g.get("subblock_gain", (0, 0, 0)):
+                    w.write(sbg, 3)
+            else:
+                for region in range(3):
+                    w.write(table if region == 0 else 0, 5)
+                w.write(15, 4)  # region0_count: boundary sfb_long[16]
+                w.write(5, 3)   # region1_count: sfb_long[22] = 576
+            w.write(g.get("preflag", 0), 1)
+            w.write(g.get("scalefac_scale", 0), 1)
+            w.write(1, 1)   # count1 table B (region is empty anyway)
+        hdr_side = w.bytes()
+        assert len(hdr_side) == 4 + (17 if nch == 1 else 32)
+        body = main.bytes()
+        if len(hdr_side) + len(body) > frame_len:
+            raise ValueError("fixture granule data exceeds frame size")
+        out += hdr_side + body
+        out += bytes(frame_len - len(hdr_side) - len(body))
+    return bytes(out)
