@@ -1,0 +1,54 @@
+"""The mp3_decode_stats gate's exactness contract: every fixture
+sample sits FAR from a 2^-20 quantization boundary (so last-ulp libm
+differences between numpy and DuckDB cannot flip the checksum), and
+the DuckDB oracle SQL reproduces the Spark-side decode exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xcube_server_spark.registry.pipeline_round12 import (
+    _MP3_ASSETS,
+    _mp3_oracle_sql,
+)
+from xcube_server_spark.sources.mp3 import decode_mp3, encode_mp3
+
+
+def test_quantization_margin():
+    for aid, frames in _MP3_ASSETS:
+        pcm, _ = decode_mp3(encode_mp3(frames))
+        nz = pcm[:, 0][pcm[:, 0] != 0.0]
+        scaled = nz * 1048576.0 + 0.5
+        dist = np.abs(scaled - np.round(scaled))
+        assert dist.min() > 1e-4, (
+            f"asset {aid}: sample within {dist.min()} of a quantization "
+            "boundary — retune the fixture constants"
+        )
+
+
+def test_oracle_sql_matches_decoder():
+    import duckdb
+
+    rows = duckdb.sql(_mp3_oracle_sql()).fetchall()
+    got = {r[0]: r for r in rows}
+    for aid, frames in _MP3_ASSETS:
+        pcm, rate = decode_mp3(encode_mp3(frames))
+        q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
+        ck = int((q * (np.arange(len(q)) + 1)).sum())
+        assert got[aid] == (aid, len(q), rate, ck)
+
+
+def test_fixture_lines_alias_safe_even_subbands():
+    """The oracle formula omits alias butterflies and frequency
+    inversion — valid ONLY because every fixture line lives in an even
+    subband at an alias-safe offset. Pin that invariant."""
+    for _aid, frames in _MP3_ASSETS:
+        for g0, g1 in frames:
+            for g in (g0, g1):
+                for li in g.get("lines", {}):
+                    sb, off = li // 18, li % 18
+                    assert sb % 2 == 0, li  # freq inversion no-op
+                    if sb == 0:
+                        assert off <= 9, li  # untouched by boundary 1
+                    else:
+                        assert off in (8, 9), li  # between butterflies

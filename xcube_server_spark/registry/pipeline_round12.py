@@ -1,0 +1,495 @@
+"""Round-12 gates.
+
+``mp3_decode_stats``: REAL MPEG-1 Layer III decode end to end inside
+one Arrow-batched ``mapInPandas`` stage — frame headers, side info,
+Huffman big-values regions, requantization, alias reduction, hybrid
+IMDCT + window + overlap-add, and the 32-band polyphase synthesis
+(``sources/mp3.py``). The fixture encoder stores chosen quantized
+lines (the ``vorbis_decode_stats`` trick), so decoded PCM is the
+closed-form chain
+
+    X = sign(is) |is|^(4/3) 2^((gg-210)/4)
+    block[n] = X cos(pi/72 (2n+19)(2k+1)) sin(pi/36 (n+1/2))
+    S[T=18G+s, sb] = block_G[s] + block_{G-1}[18+s]
+    pcm[32T+i] += D[i] cos(pi/64 (16 + i mod 64)(2 sb+1)) S[T, sb]
+
+which the DuckDB oracle evaluates independently (the D window enters
+as its exact k/65536 literals — the same public-table embedding as the
+spec formulas; see ``mp3tables.py`` for the window's provenance).
+Fixture lines sit at alias-safe offsets in EVEN subbands so neither
+the butterflies nor frequency inversion fire (both are pinned by
+``tests/test_mp3.py`` against an independent model); the checksum is
+the position-weighted sum of 2^-20-quantized samples, so a wrong
+sample anywhere breaks the value. Margin from quantization boundaries
+is asserted in ``tests/test_mp3_gate.py``.
+
+``curation_pipeline_stats``: the end-to-end curation DAG (ingest →
+extract → quality-filter → near-dup drop → mixture) composed as ONE
+plan — see the function docstring.
+
+Reference analog for both: the multimodal/corpus store axis
+(``xcube_server/context.py:217-235``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+# --------------------------------------------------------------------------
+# mp3_decode_stats
+# --------------------------------------------------------------------------
+# (asset_id, [frame, ...]) with frame = (granule0, granule1) and each
+# granule {"lines": {line: is}, "global_gain": g}. Long blocks, mono.
+# Lines are in EVEN subbands at alias-safe offsets (sb0: 0..9, other
+# even sb: offset 8..9) — see module docstring.
+_MP3_ASSETS = [
+    (0, [({"lines": {5: 2}}, {"lines": {}})]),
+    (1, [({"lines": {3: 1, 8: 3}}, {"lines": {5: -2}})]),
+    (2, [({"lines": {44: 2}, "global_gain": 214}, {"lines": {}}),
+         ({"lines": {80: 3}}, {"lines": {8: 1}})]),
+]
+
+
+def _mp3_gate_fixture(spark: SparkSession) -> str:
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.mp3 import encode_mp3
+
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_mp3_gate_v1")
+    p = os.path.join(d, "assets.parquet")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return p
+    rows = []
+    for aid, frames in _MP3_ASSETS:
+        mp3 = encode_mp3(frames)
+        rows.append((aid, "audio/mpeg", bytearray(mp3),
+                     {"width": 0, "height": 0,
+                      "n_frames": len(frames), "sample_rate": 44100}))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def mp3_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer III decode end to end in one Arrow-batched
+    ``mapInPandas`` stage (``sources/mp3.py``); schema and checksum
+    discipline identical to ``vorbis_decode_stats``."""
+    import pandas as pd
+
+    from ..sources.mp3 import decode_mp3
+
+    p = _mp3_gate_fixture(spark)
+    media = spark.read.parquet(p)
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            aids, ns, rates, cks = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                pcm, rate = decode_mp3(bytes(payload))
+                q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
+                pos = np.arange(len(q), dtype=np.int64) + 1
+                aids.append(int(aid))
+                ns.append(len(q))
+                rates.append(rate)
+                cks.append(int((q * pos).sum()))
+            yield pd.DataFrame(
+                {"asset_id": aids, "n_samples": ns, "sample_rate": rates,
+                 "checksum": cks}
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, n_samples long, sample_rate int, checksum long",
+    ).orderBy("asset_id")
+
+
+def _mp3_oracle_sql() -> str:
+    from ..sources.mp3tables import SYNTH_WINDOW
+
+    d_rows = ", ".join(
+        f"({i}, {int(round(v * 65536))}/65536.0)"
+        for i, v in enumerate(SYNTH_WINDOW)
+    )
+    line_rows = []
+    for aid, frames in _MP3_ASSETS:
+        for gidx, (g0, g1) in enumerate(frames):
+            for gr, g in ((0, g0), (1, g1)):
+                gg = g.get("global_gain", 210)
+                for li, iv in g.get("lines", {}).items():
+                    line_rows.append(
+                        f"({aid}, {2 * gidx + gr}, {li // 18}, "
+                        f"{li % 18}, {iv}, {gg})"
+                    )
+    sizes = ", ".join(
+        f"({aid}, {1152 * len(frames)})" for aid, frames in _MP3_ASSETS
+    )
+    return f"""
+WITH d(i, v) AS (VALUES {d_rows}),
+lines(a, G, sb, k, iv, gg) AS (VALUES {", ".join(line_rows)}),
+sizes(a, n) AS (VALUES {sizes}),
+-- windowed IMDCT time blocks, one row per (granule line, n)
+blk AS (
+  SELECT a, G, sb, nn.n AS n,
+    sign(iv) * power(abs(CAST(iv AS DOUBLE)), 4.0/3)
+      * power(2.0, (gg - 210)/4.0)
+      * cos(pi()/72 * (2*nn.n + 19) * (2*k + 1))
+      * sin(pi()/36 * (nn.n + 0.5)) AS x
+  FROM lines CROSS JOIN (SELECT unnest(range(0, 36)) AS n) nn
+),
+-- subband samples: granule G's first half + granule G-1's second half
+sub AS (
+  SELECT a, sb, T, sum(x) AS s FROM (
+    SELECT a, sb, G*18 + n AS T, x FROM blk WHERE n < 18
+    UNION ALL
+    SELECT a, sb, (G+1)*18 + (n - 18) AS T, x FROM blk WHERE n >= 18
+  ) u
+  JOIN sizes USING (a)
+  WHERE T*32 < n
+  GROUP BY a, sb, T
+),
+-- polyphase: each subband step excites 512 output taps through D
+contrib AS (
+  SELECT s.a, s.T*32 + d.i AS t,
+    d.v * cos(pi()/64 * (16 + (d.i % 64)) * (2*s.sb + 1)) * s.s AS y
+  FROM sub s CROSS JOIN d
+),
+pcm AS (
+  SELECT z.a, z.t, coalesce(sum(c.y), 0.0) AS v
+  FROM (SELECT a, unnest(range(0, n)) AS t FROM sizes) z
+  LEFT JOIN contrib c ON c.a = z.a AND c.t = z.t
+  GROUP BY z.a, z.t
+)
+SELECT CAST(a AS BIGINT) AS asset_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(sum(CAST(floor(v*1048576 + 0.5) AS BIGINT) * (t + 1))
+            AS BIGINT) AS checksum
+FROM pcm
+GROUP BY a
+ORDER BY asset_id
+"""
+
+
+QUERIES["mp3_decode_stats"] = mp3_decode_stats
+ORACLES["mp3_decode_stats"] = _mp3_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline_stats: the composed curation DAG as ONE plan
+# --------------------------------------------------------------------------
+# 60 deterministic docs over two .jsonl.zst shards (one seekable, one
+# header-walk): ids 0..39 unique rich bodies (Gopher-passing), 40..49
+# byte-identical duplicates of 0..9 (the LSH drop set), 50..59 tiny
+# bodies (the Gopher drop set).
+_CUR_N = 60
+_CUR_SPLIT = 35
+_CUR_LPF = 7  # lines per zstd frame
+
+
+def _cur_body(i: int) -> str:
+    """Unique docs (0..39) are built so that distinct docs share NO
+    5-char shingle at all: doc-specific 8-hex words separated only by
+    2-char stop words ('to'/'be'/'of' — a 5-shingle spanning one always
+    includes a doc-specific hex neighbor), so the ONLY LSH bucket
+    collisions are the byte-identical duplicate pairs (40..49 = copies
+    of 0..9). Verified drop set == exactly {40..49}."""
+    import hashlib
+
+    j = i - 40 if 40 <= i < 50 else i
+    if i >= 50:
+        return f"tiny {i}"
+
+    def h(c: str) -> str:
+        return hashlib.md5(f"{c}0{j}".encode()).hexdigest()[:8]
+
+    return (f"{h('a')} to {h('b')} to {h('c')} be "
+            f"{h('d')} of {h('e')} of {h('f')}")
+
+
+def _cur_fixture() -> tuple[str, list[str]]:
+    import json
+
+    from ..sources.jsonl import build_jsonl_zst
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_curation_gate_v2")
+    keys = ["part0.jsonl.zst", "part1.jsonl.zst"]
+    if not all(os.path.exists(os.path.join(d, k)) for k in keys):
+        os.makedirs(d, exist_ok=True)
+        lines = []
+        for i in range(_CUR_N):
+            j = i - 40 if 40 <= i < 50 else i
+            html = (
+                '<html><head><script>var x="<p>";</script>'
+                "<style>.a{color:red}</style></head><body>"
+                f"<h1>D{j}</h1><p>{_cur_body(i)}</p>"
+                f'<a href="http://x">&amp;m{j}</a></body></html>'
+            )
+            lines.append(json.dumps(
+                {"id": i, "source": f"src{i % 3}", "html": html}
+            ).encode())
+        parts = [lines[:_CUR_SPLIT], lines[_CUR_SPLIT:]]
+        for k, ls, seekable in zip(keys, parts, (True, False)):
+            with open(os.path.join(d, k), "wb") as f:
+                f.write(build_jsonl_zst(ls, _CUR_LPF, seekable=seekable))
+    return d, keys
+
+
+_CUR_WEIGHTS = {"src0": 3.0, "src1": 2.0}  # others 1.0
+_CUR_K = 20
+
+
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """The end-to-end curation DAG a training-data run executes, as ONE
+    composed plan with no materialization barriers between stages:
+
+    1. splittable ``.jsonl.zst`` ingest (two-stage executor-side index
+       + ranged decode — ``sources/jsonl.py``),
+    2. HTML→text extraction (the shared ``_strip_html`` JVM regexp
+       chain),
+    3. Gopher quality PASS-filter (the five rules of
+       ``quality_gopher_rules`` as a per-doc predicate — pure
+       projection+filter, no shuffle),
+    4. MinHash-LSH near-dup DROP (signature projection → band buckets
+       → drop every non-minimum bucket member; the drop set broadcasts
+       into a left-anti join),
+    5. deterministic mixture schedule over the survivors (stride
+       scheduling, first K).
+
+    Irreducible exchanges: the LSH bucket group-by + drop-id distinct,
+    and the schedule's per-source rank window — everything else fuses
+    into scan-side projections (PLANS.md row pins the count). Output
+    pins every stage at once: a wrong extraction flips ``text_md5``, a
+    wrong filter or drop changes the survivor set and every
+    ``sched_pos`` after it."""
+    from ..sources.jsonl import ingest_jsonl_corpus
+    from ._util import char_cs_expr, char_shingle_expr, spread
+    from .pipeline_round10 import _strip_html
+
+    from pyspark.sql import Window
+
+    d, keys = _cur_fixture()
+    raw = ingest_jsonl_corpus(spark, "local", d, keys, parallelism=8)
+    line = F.col("line")
+    docs = raw.select(
+        F.get_json_object(line, "$.id").cast("bigint").alias("doc_id"),
+        F.get_json_object(line, "$.source").alias("source"),
+        _strip_html(F.get_json_object(line, "$.html")).alias("text"),
+    )
+    # stage 3: Gopher pass-all predicate (projection + filter)
+    feats = spread(docs).select(
+        "doc_id", "source", "text",
+        F.expr("filter(split(trim(text), ' '), w -> w <> '')")
+        .alias("ws"),
+    ).select(
+        "doc_id", "source", "text",
+        F.expr("size(ws)").alias("wc"),
+        F.expr("CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) "
+               "AS DOUBLE)").alias("chars"),
+        F.expr("size(filter(ws, w -> w rlike '[A-Za-z]'))")
+        .alias("alpha_words"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', '')) AS"
+            " DOUBLE) + CAST((length(text) -"
+            " length(replace(text, '...', ''))) DIV 3 AS DOUBLE)"
+        ).alias("symbols"),
+        F.expr(
+            "size(array_intersect(transform(ws, w -> lower(w)),"
+            " array('the','be','to','of','and','that','have','with')))"
+        ).alias("stop_hits"),
+    )
+    passed = feats.filter(
+        "wc >= 5 AND wc <= 1000 AND chars / wc >= 3.0 AND"
+        " chars / wc <= 10.0 AND CAST(alpha_words AS DOUBLE) / wc >= 0.8"
+        " AND symbols / wc <= 0.1 AND stop_hits >= 2"
+    ).select("doc_id", "source", "text")
+    # stage 4: LSH signature (projection) -> buckets -> drop ids
+    sig = passed.withColumn("cs", F.expr(char_cs_expr())).withColumn(
+        "hashes",
+        F.expr(f"transform({char_shingle_expr(5)}, s -> md5(s))"),
+    ).drop("cs")
+    for j in range(4):
+        sig = sig.withColumn(
+            f"m{j}",
+            F.expr("array_min(transform(hashes, h ->"
+                   f" substring(h, {8 * j + 1}, 8)))"),
+        )
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat("m0", "m1")).alias("b0"),
+        F.md5(F.concat("m2", "m3")).alias("b1"),
+    ).selectExpr(
+        "doc_id", "stack(2, 'b0', b0, 'b1', b1) AS (band_id, band)"
+    )
+    drops = (
+        bands.groupBy("band_id", "band")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr("slice(ids, 2, size(ids) - 1)"))
+                .alias("doc_id"))
+        .distinct()
+    )
+    survivors = passed.join(F.broadcast(drops), "doc_id", "left_anti")
+    # stage 5: stride-scheduled mixture over survivors
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    weight = F.lit(1.0)
+    for src, wt in _CUR_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)) \
+            .otherwise(weight)
+    sched = (
+        survivors.select("doc_id", "source", F.md5("text")
+                         .alias("text_md5"))
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("vt", F.col("pos").cast("double") / weight)
+        .orderBy("vt", "source", "doc_id")
+        .limit(_CUR_K)
+    )
+    w_global = Window.orderBy("vt", "source", "doc_id")
+    return sched.withColumn(
+        "sched_pos", F.row_number().over(w_global)
+    ).select("sched_pos", "source", "doc_id", "text_md5")
+
+
+_CUR_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in _CUR_WEIGHTS.items()
+)
+
+ORACLES["curation_pipeline_stats"] = f"""
+WITH gen AS (
+  SELECT i,
+         'src' || (i % 3) AS source,
+         CASE WHEN i >= 40 AND i < 50 THEN i - 40 ELSE i END AS j,
+         CASE WHEN i >= 50 THEN 'tiny ' || i
+              ELSE substr(md5('a0' ||
+                     (CASE WHEN i >= 40 THEN i - 40 ELSE i END)), 1, 8)
+                || ' to ' || substr(md5('b0' ||
+                     (CASE WHEN i >= 40 THEN i - 40 ELSE i END)), 1, 8)
+                || ' to ' || substr(md5('c0' ||
+                     (CASE WHEN i >= 40 THEN i - 40 ELSE i END)), 1, 8)
+                || ' be ' || substr(md5('d0' ||
+                     (CASE WHEN i >= 40 THEN i - 40 ELSE i END)), 1, 8)
+                || ' of ' || substr(md5('e0' ||
+                     (CASE WHEN i >= 40 THEN i - 40 ELSE i END)), 1, 8)
+                || ' of ' || substr(md5('f0' ||
+                     (CASE WHEN i >= 40 THEN i - 40 ELSE i END)), 1, 8)
+         END AS body
+  FROM (SELECT unnest(range(0, {_CUR_N})) AS i)
+),
+html AS (
+  SELECT i AS doc_id, source,
+         '<html><head><script>var x="<p>";</script>'
+         || '<style>.a{{color:red}}</style></head><body>'
+         || '<h1>D' || j || '</h1>'
+         || '<p>' || body || '</p>'
+         || '<a href="http://x">&amp;m' || j || '</a></body></html>'
+           AS h
+  FROM gen
+),
+docs AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ',
+                                'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text
+  FROM html
+),
+m AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+  FROM docs
+),
+passed AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           len(ws) AS wc,
+           CAST(list_sum(list_transform(ws, w -> length(w)))
+                AS DOUBLE) AS chars,
+           len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+             AS alpha_words,
+           CAST(length(text) - length(replace(text, '#', ''))
+                AS DOUBLE)
+             + CAST((length(text) - length(replace(text, '...', '')))
+                    // 3 AS DOUBLE) AS symbols,
+           len(list_intersect(list_transform(ws, w -> lower(w)),
+               ['the','be','to','of','and','that','have','with']))
+             AS stop_hits
+    FROM m
+  ) q
+  WHERE wc >= 5 AND wc <= 1000 AND chars / wc >= 3.0
+    AND chars / wc <= 10.0
+    AND CAST(alpha_words AS DOUBLE) / wc >= 0.8
+    AND symbols / wc <= 0.1 AND stop_hits >= 2
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text)-4, 1) + 1),
+             x -> substr(text, CAST(x AS INT), 5)))) AS sh
+  FROM passed
+),
+mh AS (
+  SELECT doc_id,
+         min(substring(md5(sh), 1, 8))  AS m0,
+         min(substring(md5(sh), 9, 8))  AS m1,
+         min(substring(md5(sh), 17, 8)) AS m2,
+         min(substring(md5(sh), 25, 8)) AS m3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 'b0' AS band_id, md5(m0 || m1) AS band FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1' AS band_id, md5(m2 || m3) AS band FROM mh
+),
+drops AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY band_id, band) AS keeper
+    FROM bands
+  ) b WHERE doc_id <> keeper
+),
+survivors AS (
+  SELECT p.* FROM passed p
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+ranked AS (
+  SELECT doc_id, source, md5(text) AS text_md5,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS pos,
+         CASE {_CUR_CASE} ELSE 1.0 END AS weight
+  FROM survivors
+),
+sched AS (
+  SELECT doc_id, source, text_md5,
+         CAST(pos AS DOUBLE) / weight AS vt
+  FROM ranked
+  ORDER BY vt, source, doc_id
+  LIMIT {_CUR_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS INT)
+         AS sched_pos,
+       source, doc_id, text_md5
+FROM sched
+"""
+
+QUERIES["curation_pipeline_stats"] = curation_pipeline_stats
