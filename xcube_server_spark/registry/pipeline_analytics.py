@@ -517,40 +517,56 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase-detection signal (word2vec-style phrase merging, quality
     filtering of OCR garbage).
 
-    Plan shape: unigram and bigram counts are both vocabulary-sized
-    aggregates; the unigram table broadcasts onto the bigram table TWICE
-    (left word, right word) and the two corpus totals ride along as
-    broadcast scalars — token rows shuffle only into the two count
-    aggregates, never for scoring. Top-15 is TakeOrdered.
+    Plan shape (single-pass, round-12 rewrite): ONE tokenize + ONE
+    explode emits every unigram as (w, NULL) and every bigram as
+    (w1, w2); a single hash aggregate on (w1, w2) feeds EVERY branch —
+    unigrams, bigrams and both corpus totals are filters over the same
+    grouped counts. The counts table (vocabulary-sized, tiny next to
+    the token stream) is ``localCheckpoint``-ed so the five consumers
+    read the materialized result instead of re-running the
+    tokenize+shuffle per branch (the old two-pipeline form re-tokenized
+    the corpus for each count and carried 9 exchanges — the registry
+    maximum; this form shuffles token rows exactly once). The unigram
+    side broadcasts onto the bigram table twice (left word, right
+    word) and the totals ride along as broadcast scalars. Top-15 is
+    TakeOrdered.
     """
     docs = spread(_t(spark, sf_dir, "documents").select("text"))
     toks = docs.select(
         F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
     )
-    # deliberately NOT cached: uni and bi share the spread (RoundRobin)
-    # exchange, which AQE usually reuses; even when it doesn't, the repeat
-    # is a linear re-tokenize — measured 2.2x FASTER than caching the
-    # materialized token arrays (cache write amplification dominates)
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # unigram keys (w, NULL) + bigram keys (w1, w2) in one array, so
+    # tokenization happens ONCE (the old two-pipeline form re-tokenized
+    # the corpus for each count). explode_outer + null-drop avoids the
+    # inferred size() scan filter that rebuilds the array per row (see
+    # dsir_importance).
+    combined_expr = (
+        "concat("
+        " transform(t, w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)),"
+        " CASE WHEN size(t) >= 2 THEN"
+        "  transform(sequence(1, size(t) - 1),"
+        "   i -> struct(element_at(t, i) AS w1,"
+        "               element_at(t, i + 1) AS w2))"
+        " ELSE array() END)"
     )
-    pair_expr = (
-        "CASE WHEN size(t) >= 2 THEN "
-        " transform(sequence(1, size(t) - 1),"
-        "  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
-        " ELSE array() END"
-    )
-    bi = (
-        # explode_outer + null-drop: avoid the inferred size() scan filter
-        # that rebuilds the pair array per row (see dsir_importance)
-        toks.select(F.explode_outer(F.expr(pair_expr)).alias("p"))
+    counts = (
+        toks.select(F.explode_outer(F.expr(combined_expr)).alias("p"))
         .filter(F.col("p").isNotNull())
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .agg(F.count(F.lit(1)).alias("c"))
+        # localCheckpoint over cache(): no session-lifetime storage
+        # entry, and the five downstream branches read the materialized
+        # counts instead of re-running the one big shuffle each.
+        .localCheckpoint()
+    )
+    uni = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("c")
+    )
+    bi = (
+        counts.filter(F.col("w2").isNotNull())
+        .filter(F.col("c") >= _PMI_MIN_COUNT)
+        .select("w1", "w2", F.col("c").alias("c_ab"))
     )
     tot_uni = uni.agg(F.sum("c").alias("n_uni"))
     tot_bi = bi.agg(F.sum("c_ab").alias("n_bi"))
