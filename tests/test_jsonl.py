@@ -168,6 +168,38 @@ def test_truncated_and_hostile_bytes_raise():
         build_jsonl_zst_index(_MemStore({"t": bytes(bad)}), "t")
 
 
+def test_dict_frame_shard_contract():
+    """RFC 8878 §3.1.1 dictionary frames: the header-only index walk
+    hops them fine (the dict id is just header bytes), but decoding the
+    chunk refuses LOUDLY, naming the dictionary id — a dict-compressed
+    shard can never silently yield wrong rows."""
+    from xcube_server_spark.sources.zstd_codec import zstd_decompress
+
+    lines = _lines(4)
+    good = build_jsonl_zst(lines, 4, seekable=False)
+    body = b'{"id": 99}\n'
+    # raw last block: 3-byte little-endian header (size << 3) | last
+    hdr = ((len(body) << 3) | 1).to_bytes(3, "little")
+    dict_frame = (
+        b"\x28\xb5\x2f\xfd"    # zstd magic
+        + bytes([0x21, 5])      # FHD: single-segment, did_flag=1; id 5
+        + bytes([len(body)])    # content size (single-segment FHD)
+        + hdr + body
+    )
+    shard = good + dict_frame
+    idx = build_jsonl_zst_index(_MemStore({"s": shard}), "s")
+    assert len(idx) == 2  # the walk indexes BOTH frames (header hops)
+    off, ln = idx[1]["offset"], idx[1]["length"]
+    assert shard[off:off + ln] == dict_frame
+    with pytest.raises(NotImplementedError, match="dictionary id 5"):
+        zstd_decompress(shard[off:off + ln])
+    # the good chunk still decodes
+    off0, ln0 = idx[0]["offset"], idx[0]["length"]
+    assert zstd_decompress(shard[off0:off0 + ln0]) == b"".join(
+        l + b"\n" for l in lines
+    )
+
+
 def test_empty_seek_table_refuses_loudly():
     """An n_frames=0 seek table (or all-empty entries) must trip the
     same 'holds no zstd frames' guard as the header-walk path — not

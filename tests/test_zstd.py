@@ -203,11 +203,15 @@ def test_reserved_block_type_rejected():
         zstd_decompress(frame)
 
 
-def test_dictionary_frame_rejected():
-    # FHD dict_id_flag=1 -> 1-byte dict id
+def test_dictionary_frame_rejected_naming_the_id():
+    # FHD dict_id_flag=1 -> 1-byte dict id; the refusal must NAME it
     frame = _MAGIC + bytes([0x21, 7, 2]) + bytes([(2 << 3) | 1]) + b"ab"
-    with pytest.raises(NotImplementedError, match="dict"):
+    with pytest.raises(NotImplementedError, match="dictionary id 7"):
         zstd_decompress(frame)
+    # 2-byte dict id (flag 2): id 0x0203 = 515
+    frame2 = _MAGIC + bytes([0x22, 3, 2, 9]) + bytes([(2 << 3) | 1]) + b"ab"
+    with pytest.raises(NotImplementedError, match="dictionary id 515"):
+        zstd_decompress(frame2)
 
 
 def test_checksum_mismatch_rejected():

@@ -698,11 +698,16 @@ def zstd_decompress(data: bytes, expected_size: int | None = None) -> bytes:
             raise ValueError("corrupt frame header: reserved bit set")
         if not single:
             pos += 1  # window descriptor (bound only; not needed to decode)
-        pos += (0, 1, 2, 4)[did_flag]
+        did_size = (0, 1, 2, 4)[did_flag]
         if did_flag:
+            did = int.from_bytes(data[pos : pos + did_size], "little")
             raise NotImplementedError(
-                "zstd dictionaries are not supported (frame sets a dict id)"
+                "zstd dictionary frames are not supported (RFC 8878 "
+                f"§3.1.1): frame references dictionary id {did} — "
+                "decompress the shard with its dictionary and "
+                "re-compress dict-free, or use seekable/plain frames"
             )
+        pos += did_size
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
         content_size = None
         if fcs_size:
