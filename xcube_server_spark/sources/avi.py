@@ -283,7 +283,13 @@ def ingest_avi_frames_distributed(spark, store_kind: str, root: str,
     """MJPEG AVI → DataFrame(frame_idx, width, height, mean_luma,
     checksum): one index pass (headers + idx1 only), then executors
     ranged-GET and T.81-decode exactly their frames. The checksum is
-    the position-weighted exact-integer pixel sum the video gate pins."""
+    the position-weighted exact-integer pixel sum the video gate pins.
+
+    The index pass is one task per FILE (driver-side here, executor-
+    side in ``ingest_avi_corpus``): a single giant AVI serializes its
+    index step, but that walk reads only idx1 (one ranged GET) or the
+    8-byte movi chunk headers — frame payloads never move until the
+    distributed stage."""
     from .tiff import _make_store
 
     store = _make_store(store_kind, root)

@@ -323,7 +323,14 @@ def ingest_jsonl_corpus(spark, store_kind: str, root: str,
     streaming pass — metadata only crosses the shuffle); (2) chunk spans
     redistribute and every task ranged-GETs + decodes exactly its
     chunks. ``line_no`` is the line's ordinal within its chunk;
-    (key, chunk_idx, line_no) is a total order over the corpus."""
+    (key, chunk_idx, line_no) is a total order over the corpus.
+
+    Stage 1 runs one task per SHARD (``repartition(len(keys))``): a
+    corpus packed into a single giant shard serializes its index pass
+    on one task. The walk is header-only (a few bytes per frame/member,
+    no decompression), so even a multi-TB shard indexes in seconds —
+    but shard-parallel layouts (what Dolma/Pile actually publish)
+    parallelize stage 1 too."""
     import pandas as pd
 
     from .tiff import _make_store
