@@ -70,7 +70,11 @@ BENCH_QUERIES = [
     # (dedup_containment swapped out r8e for pagerank — the family keeps
     # 6 rows; pagerank is the heaviest new plan: basket self-join + 3
     # unrolled edge-join iterations)
-    "dedup_exact",
+    # (dedup_exact swapped out r12 for the MP3 decode gate — the hash
+    # group-by shape stays covered by dedup_minhash's bucket agg and
+    # dedup_exact's own oracle tests; the full Layer III chain in
+    # mapInPandas is the new plan shape)
+    "mp3_decode_stats",
     "dedup_minhash_lsh",
     "dedup_lsh_verify",
     "dedup_substring_windows",
@@ -116,7 +120,11 @@ BENCH_QUERIES = [
     "vorbis_decode_stats",
     "dsir_importance",
     "multimodal_decode_stats",
-    "mixture_schedule",
+    # (mixture_schedule swapped out r12 for the composed curation DAG —
+    # the stride-schedule shape runs INSIDE curation_pipeline_stats as
+    # its final stage, so the family keeps coverage while the bench row
+    # times the full ingest→extract→filter→dedup→schedule plan)
+    "curation_pipeline_stats",
     # behavioral analytics
     "event_attribution",
     "rfm_segments",
