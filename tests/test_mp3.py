@@ -113,7 +113,7 @@ def test_polyphase_structure_equals_effective_filter():
 
 # --------------------------------------- independent reference model
 def _ref_decode(frames, rate=44100, stereo=False, ms=False,
-                scfsi=(0, 0, 0, 0)):
+                intensity=False, scfsi=(0, 0, 0, 0)):
     """Independent spec-chain model: requantize -> (reorder is encoder
     order here: the fixture writes natural-order lines for short
     blocks, which the DECODER reorders; this model applies the same
@@ -175,10 +175,39 @@ def _ref_decode(frames, rate=44100, stereo=False, ms=False,
                               * 2.0 ** ((gg - 210) / 4.0)
                               * 2.0 ** (-mult * v))
             xr_ch.append(xr)
-        if ms and nch == 2:
+        if nch == 2 and (ms or intensity):
             m, s_ = xr_ch
             r2 = 1 / np.sqrt(2.0)
-            xr_ch = [(m + s_) * r2, (m - s_) * r2]
+            if not intensity:
+                xr_ch = [(m + s_) * r2, (m - s_) * r2]
+            else:
+                g_r = chs[1]
+                lines_r = g_r.get("lines", {})
+                # the fixture encoder's big_values covers lines
+                # 0..2*bv-1, so the right channel's decoded data ends
+                # at 2*(max//2 + 1)
+                zend = (2 * (max(lines_r) // 2 + 1)) if lines_r else 0
+                sfs_r = g_r.get("scalefacs") or [0] * 21
+                bands = SFB_LONG[rate]
+                lo_, hi_ = np.empty(576), np.empty(576)
+                for sfb in range(22):
+                    a, b = bands[sfb], bands[sfb + 1]
+                    is_pos = sfs_r[min(sfb, 20)]
+                    if a >= zend and is_pos != 7:
+                        if is_pos == 6:
+                            lo_[a:b] = m[a:b]
+                            hi_[a:b] = 0.0
+                        else:
+                            rt = np.tan(is_pos * np.pi / 12.0)
+                            lo_[a:b] = m[a:b] * (rt / (1 + rt))
+                            hi_[a:b] = m[a:b] * (1 / (1 + rt))
+                    elif ms:
+                        lo_[a:b] = (m[a:b] + s_[a:b]) * r2
+                        hi_[a:b] = (m[a:b] - s_[a:b]) * r2
+                    else:
+                        lo_[a:b] = m[a:b]
+                        hi_[a:b] = s_[a:b]
+                xr_ch = [lo_, hi_]
         for ch, g in enumerate(chs):
             xr = xr_ch[ch]
             short = g.get("block_type", 0) == 2
@@ -442,13 +471,53 @@ def test_unverified_huffman_table_refused():
         decode_mp3(bad)
 
 
-def test_intensity_stereo_refused():
-    frames = [(({"lines": {5: 2}}, {"lines": {}}),
-               ({"lines": {}}, {"lines": {}}))]
-    data = bytearray(encode_mp3(frames, stereo=True, ms=True))
-    data[3] = (data[3] & 0xCF) | 0x10  # mode_ext -> 01 (intensity)
-    with pytest.raises(NotImplementedError, match="intensity"):
-        decode_mp3(bytes(data))
+def test_intensity_stereo_long_blocks():
+    """Intensity-only joint stereo: right channel carries no data, its
+    scalefactors are is_pos values — decoded L/R follow the tangent
+    ratio split of the carrier channel (incl. is_pos 6 full-left and
+    is_pos 7 illegal -> plain LR fallback)."""
+    is_pos = [1] * 6 + [6] * 5 + [7] * 10
+    frames = [(
+        ({"lines": {2: 2, 30: 3, 70: -2}}, {"lines": {5: 1}}),
+        ({"lines": {}, "scalefac_compress": 13, "scalefacs": is_pos},
+         {"lines": {}}),
+    )]
+    pcm, _ = decode_mp3(encode_mp3(frames, stereo=True, intensity=True))
+    exp = _ref_decode(frames, stereo=True, intensity=True)
+    assert pcm.shape == (1152, 2)
+    assert np.abs(pcm - exp).max() < 1e-12
+    # the split genuinely happened: channels differ and both nonzero
+    assert np.abs(pcm[:, 0]).max() > 0 and np.abs(pcm[:, 1]).max() > 0
+    assert np.abs(pcm[:, 0] - pcm[:, 1]).max() > 1e-6
+
+
+def test_intensity_plus_ms_band_split():
+    """MS + intensity: bands below the right channel's zero part get
+    MS; bands at/above it get intensity (is_pos 7 bands fall back to
+    MS)."""
+    is_pos = [2] * 10 + [7] * 11
+    frames = [(
+        ({"lines": {2: 2, 60: 3}},
+         {"lines": {2: 1}, "scalefac_compress": 13,
+          "scalefacs": is_pos}),
+        ({"lines": {}}, {"lines": {}}),
+    )]
+    pcm, _ = decode_mp3(
+        encode_mp3(frames, stereo=True, ms=True, intensity=True))
+    exp = _ref_decode(frames, stereo=True, ms=True, intensity=True)
+    assert np.abs(pcm - exp).max() < 1e-12
+
+
+def test_intensity_short_blocks_refused():
+    frames = [(
+        ({"lines": {5: 2}, "block_type": 2},
+         {"lines": {}, "block_type": 2}),
+        ({"lines": {}, "block_type": 2},
+         {"lines": {}, "block_type": 2}),
+    )]
+    data = encode_mp3(frames, stereo=True, intensity=True)
+    with pytest.raises(NotImplementedError, match="short block"):
+        decode_mp3(data)
 
 
 def test_hostile_bytes_raise_cleanly():

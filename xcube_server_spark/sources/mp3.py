@@ -17,7 +17,9 @@ silently wrong:
 - The synthesis window is a documented near-PR stand-in for the spec's
   printed Table B.3 (round-trip SNR pinned by test); third-party MP3s
   decode with that prototype's passband shape instead of the spec
-  one's. Intensity stereo is likewise refused (clear error).
+  one's. Long-block intensity stereo decodes (is_pos tangent ratios,
+  zero-part bound, is_pos 7 fallback); short-block intensity refuses
+  (clear error).
 
 The bundled ``encode_mp3`` writes standard-layout frames whose chosen
 quantized lines make decoded PCM an analytic formula (the same fixture
@@ -308,7 +310,7 @@ def _huffman_spectrum(br: _Bits, g: dict, rate: int,
         is_vals[pos:pos + 4] = vals
         pos += 4
     br.pos = part2_3_end
-    return is_vals
+    return is_vals, pos
 
 
 # ------------------------------------------------------ requantize
@@ -539,18 +541,62 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     return np.concatenate(pcm_chunks, axis=0), rate
 
 
+def _stereo_process(xr_ch: list, g_r: dict, sf_r, rate: int, ms: bool,
+                    intensity: bool, zero_end_r: int) -> list:
+    """Joint-stereo processing (spec 2.4.3.4.9.2/9.3). MS applies
+    everywhere intensity doesn't; intensity applies to scalefactor
+    bands lying entirely at/above the right channel's decoded-data end
+    (``zero_end_r``), with the right channel's scalefactor repurposed
+    as is_pos (7 = illegal -> fall back to MS / LR per band). Long
+    blocks only — short-block intensity refuses loudly (its per-window
+    zero-part bound in the reordered domain is a different layout)."""
+    m, s = xr_ch
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    if not intensity:
+        if ms:
+            return [(m + s) * inv_sqrt2, (m - s) * inv_sqrt2]
+        return xr_ch
+    if g_r["window_switching"] and g_r["block_type"] == 2:
+        raise NotImplementedError(
+            "intensity stereo with short blocks: the per-window "
+            "zero-part bound is unimplemented — refused rather than "
+            "misdecoded (long-block intensity decodes)"
+        )
+    bands = SFB_LONG[rate]
+    out_l = np.empty(576, np.float64)
+    out_r = np.empty(576, np.float64)
+    for sfb in range(22):
+        lo, hi = bands[sfb], bands[sfb + 1]
+        # band 21 (above the last scalefactor band) carries the last
+        # band's is_pos — the dist10 'remainder' convention
+        is_pos = sf_r[min(sfb, 20)]
+        if lo >= zero_end_r and is_pos != 7:
+            if is_pos == 6:  # tan(pi/2): full-left
+                out_l[lo:hi] = m[lo:hi]
+                out_r[lo:hi] = 0.0
+            else:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = m[lo:hi] * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = m[lo:hi] * (1.0 / (1.0 + ratio))
+        elif ms:
+            out_l[lo:hi] = (m[lo:hi] + s[lo:hi]) * inv_sqrt2
+            out_r[lo:hi] = (m[lo:hi] - s[lo:hi]) * inv_sqrt2
+        else:
+            out_l[lo:hi] = m[lo:hi]
+            out_r[lo:hi] = s[lo:hi]
+    return [out_l, out_r]
+
+
 def _decode_frame(br: _Bits, si: dict, hdr: dict, rate: int, nch: int,
                   overlap: np.ndarray, synths: list,
                   prev_sf: list) -> np.ndarray:
-    ms = hdr["mode"] == 1 and (hdr["mode_ext"] & 0x2)
-    if hdr["mode"] == 1 and (hdr["mode_ext"] & 0x1):
-        raise NotImplementedError(
-            "intensity stereo: the is_pos ratio bound interacts with "
-            "zero-part detection — refused rather than misdecoded"
-        )
+    ms = bool(hdr["mode"] == 1 and (hdr["mode_ext"] & 0x2))
+    intensity = bool(hdr["mode"] == 1 and (hdr["mode_ext"] & 0x1))
     out = np.empty((1152, nch), np.float64)
     for gr in range(2):
         xr_ch = []
+        sf_ch = []
+        zero_end = []
         for ch in range(nch):
             g = si["gr"][gr][ch]
             part2_3_end = br.pos + g["part2_3_length"]
@@ -558,12 +604,13 @@ def _decode_frame(br: _Bits, si: dict, hdr: dict, rate: int, nch: int,
                                     prev_sf[ch])
             if not (g["window_switching"] and g["block_type"] == 2):
                 prev_sf[ch] = sf
-            is_vals = _huffman_spectrum(br, g, rate, part2_3_end)
+            is_vals, zend = _huffman_spectrum(br, g, rate, part2_3_end)
+            sf_ch.append(sf)
+            zero_end.append(zend)
             xr_ch.append(_requantize(is_vals, g, sf, rate))
-        if ms and nch == 2:
-            m, s = xr_ch
-            inv_sqrt2 = 1.0 / np.sqrt(2.0)
-            xr_ch = [(m + s) * inv_sqrt2, (m - s) * inv_sqrt2]
+        if nch == 2 and (ms or intensity):
+            xr_ch = _stereo_process(xr_ch, si["gr"][gr][1], sf_ch[1],
+                                    rate, ms, intensity, zero_end[1])
         for ch in range(nch):
             g = si["gr"][gr][ch]
             xr = xr_ch[ch]
@@ -644,6 +691,7 @@ def _write_scalefactors(w: _BitsW, g: dict, gr: int, scfsi: list
 
 def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
                table: int = 5, stereo: bool = False, ms: bool = False,
+               intensity: bool = False,
                scfsi: tuple = (0, 0, 0, 0)) -> bytes:
     """Assemble a standards-layout MPEG-1 Layer III stream whose
     granules carry chosen quantized lines. ``frames`` is a list of
@@ -697,8 +745,10 @@ def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
         w.write(sr_idx, 2)
         w.write(0, 1)   # padding
         w.write(0, 1)   # private
-        w.write(1 if (stereo and ms) else (0 if stereo else 3), 2)
-        w.write(2 if (stereo and ms) else 0, 2)  # mode ext: MS on
+        joint = stereo and (ms or intensity)
+        w.write(1 if joint else (0 if stereo else 3), 2)
+        mode_ext = (2 if ms else 0) | (1 if intensity else 0)
+        w.write(mode_ext if joint else 0, 2)
         w.write(0, 2)   # copyright/original
         w.write(0, 2)   # emphasis
         # side info (17 bytes mono / 32 stereo)
