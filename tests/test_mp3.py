@@ -539,6 +539,57 @@ def test_hostile_bytes_raise_cleanly():
             pass  # clear errors only
 
 
+def test_crc_protected_frames():
+    """protection_bit 0 frames carry CRC-16 (poly 0x8005) over the
+    last two header bytes + side info: valid frames decode identically
+    to unprotected ones; a side-info bit flip is caught."""
+    frames = [({"lines": {5: 2}}, {"lines": {3: 1}})]
+    plain, _ = decode_mp3(encode_mp3(frames))
+    protected = encode_mp3(frames, crc=True)
+    pcm, _ = decode_mp3(protected)
+    assert np.array_equal(pcm, plain)
+    bad = bytearray(protected)
+    bad[8] ^= 0x40  # a side-info byte (after header+crc)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_mp3(bytes(bad))
+    # independent check of the CRC primitive: 0x8005 MSB-first
+    from xcube_server_spark.sources.mp3 import crc16_mpeg
+
+    def slow(data):
+        reg = 0xFFFF
+        for byte in data:
+            for i in range(7, -1, -1):
+                bit = (byte >> i) & 1
+                top = (reg >> 15) & 1
+                reg = ((reg << 1) & 0xFFFF)
+                if top ^ bit:
+                    reg ^= 0x8005
+        return reg
+
+    for blob in (b"", b"\x12\x34", bytes(range(32))):
+        assert crc16_mpeg(blob) == slow(blob)
+
+
+def test_xing_header_frame_skipped():
+    """A Xing/Info first frame (VBR metadata) is excluded from decode
+    output and from probe_mp3's frame/duration stats."""
+    from xcube_server_spark.sources.mp3meta import probe_mp3
+
+    frames = [({"lines": {5: 2}}, {"lines": {}})]
+    audio = encode_mp3(frames)
+    flen = len(audio)
+    # silent frame whose main data leads with the Xing magic
+    xing = bytearray(audio[:4]) + bytes(17) + b"Xing" + bytes(
+        flen - 4 - 17 - 4
+    )
+    stream = bytes(xing) + audio
+    pcm, _ = decode_mp3(stream)
+    assert np.array_equal(pcm, decode_mp3(audio)[0])
+    meta = probe_mp3(stream)
+    assert meta["n_frames"] == 1
+    assert meta["duration_sec"] == pytest.approx(1152 / 44100)
+
+
 def test_reservoir_underrun_refused():
     frames = [({"lines": {5: 2}}, {"lines": {}})]
     data = bytearray(encode_mp3(frames))

@@ -97,6 +97,19 @@ _BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
 _RATES = [44100, 48000, 32000]
 
 
+def crc16_mpeg(data: bytes, crc: int = 0xFFFF) -> int:
+    """CRC-16 as MPEG audio frames use it: polynomial 0x8005, initial
+    0xFFFF, MSB-first, no final XOR. Protected frames (header
+    protection_bit 0) carry it over the last two header bytes + the
+    side info."""
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) if crc & 0x8000 else crc << 1
+            crc &= 0xFFFF
+    return crc
+
+
 def _parse_header(b: bytes, pos: int) -> dict:
     b0, b1, b2, b3 = b[pos:pos + 4]
     if b0 != 0xFF or b1 & 0xE0 != 0xE0:
@@ -498,6 +511,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     synths = None
     pcm_chunks: list[np.ndarray] = []
     prev_sf = None
+    n_seen = 0
     while pos + 4 <= len(data):
         if data[pos:pos + 3] == b"TAG":  # ID3v1 trailer
             break
@@ -516,6 +530,24 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             )
         body = pos + 4 + (2 if hdr["crc"] else 0)
         si_len = 17 if nch == 1 else 32
+        if hdr["crc"]:
+            stored = int.from_bytes(data[pos + 4:pos + 6], "big")
+            calc = crc16_mpeg(data[pos + 2:pos + 4]
+                              + data[body:body + si_len])
+            if stored != calc:
+                raise ValueError(
+                    f"MP3 frame at byte {pos}: CRC mismatch "
+                    f"(stored 0x{stored:04X}, computed 0x{calc:04X})"
+                )
+        # Xing/Info VBR header: a silent FIRST frame whose main data
+        # carries encoder metadata — skip it entirely (mainstream
+        # decoders exclude it from output)
+        if n_seen == 0 and data[body + si_len:body + si_len + 4] \
+                in (b"Xing", b"Info"):
+            n_seen += 1
+            pos += hdr["frame_len"]
+            continue
+        n_seen += 1
         si = _parse_side_info(_Bits(data[body:body + si_len]), nch)
         main = data[body + si_len:pos + hdr["frame_len"]]
         # bit reservoir: this frame's granules start main_data_begin
@@ -691,7 +723,7 @@ def _write_scalefactors(w: _BitsW, g: dict, gr: int, scfsi: list
 
 def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
                table: int = 5, stereo: bool = False, ms: bool = False,
-               intensity: bool = False,
+               intensity: bool = False, crc: bool = False,
                scfsi: tuple = (0, 0, 0, 0)) -> bytes:
     """Assemble a standards-layout MPEG-1 Layer III stream whose
     granules carry chosen quantized lines. ``frames`` is a list of
@@ -740,7 +772,7 @@ def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
         w.write(0x7FF, 11)
         w.write(3, 2)   # MPEG-1
         w.write(1, 2)   # Layer III
-        w.write(1, 1)   # protection: no CRC
+        w.write(0 if crc else 1, 1)  # protection bit (0 = CRC present)
         w.write(br_idx, 4)
         w.write(sr_idx, 2)
         w.write(0, 1)   # padding
@@ -782,6 +814,10 @@ def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
             w.write(1, 1)   # count1 table B (region is empty anyway)
         hdr_side = w.bytes()
         assert len(hdr_side) == 4 + (17 if nch == 1 else 32)
+        if crc:
+            cv = crc16_mpeg(hdr_side[2:4] + hdr_side[4:])
+            hdr_side = (hdr_side[:4] + cv.to_bytes(2, "big")
+                        + hdr_side[4:])
         body = main.bytes()
         if len(hdr_side) + len(body) > frame_len:
             raise ValueError("fixture granule data exceeds frame size")

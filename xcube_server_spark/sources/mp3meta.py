@@ -55,6 +55,7 @@ def probe_mp3(data: bytes) -> dict:
     """
     pos = _id3v2_size(data)
     n_frames = 0
+    first_frame = True
     total_samples = 0
     rate = None
     bitrates = set()
@@ -97,6 +98,20 @@ def probe_mp3(data: bytes) -> dict:
                 f"MP3 frame at byte {pos} declares {frame_len} bytes, "
                 f"{len(data) - pos} remain"
             )
+        if first_frame:
+            # Xing/Info VBR header: a silent first frame carrying
+            # encoder metadata — exclude it from duration/frame stats
+            # (mainstream probes do), but keep walking from its end
+            first_frame = False
+            mode = data[pos + 3] >> 6
+            off = pos + 4 + (2 if not data[pos + 1] & 1 else 0)
+            if version == 3:
+                off += 17 if mode == 3 else 32
+            else:
+                off += 9 if mode == 3 else 17
+            if data[off:off + 4] in (b"Xing", b"Info"):
+                pos += frame_len
+                continue
         n_frames += 1
         total_samples += spf
         bitrates.add(kbps)
