@@ -18,6 +18,7 @@ from xcube_server_spark.sources.jpeg2000 import decode_j2k, encode_j2k
 from xcube_server_spark.sources.png import decode_png, encode_rgba_png
 from xcube_server_spark.sources.avi import build_avi_mjpeg, decode_mjpeg_frame
 from xcube_server_spark.sources.jsonl import build_jsonl_zst, build_jsonl_zst_index
+from xcube_server_spark.sources.mp3 import decode_mp3, encode_mp3
 from xcube_server_spark.sources.vorbis import decode_vorbis, encode_vorbis
 from xcube_server_spark.sources.wav import decode_wav, encode_wav
 from xcube_server_spark.sources.webp import decode_webp, encode_webp
@@ -78,6 +79,9 @@ _DECODERS = {
     "webp": (_WEBP, decode_webp),
     "flac": (_FLAC, lambda b: decode_flac(b)[0]),
     "vorbis": (_VORBIS, lambda b: decode_vorbis(b)[0]),
+    "mp3": (encode_mp3([({"lines": {5: 2, 17: 1}}, {"lines": {8: 3}})],
+                       crc=True),
+            lambda b: decode_mp3(b)[0]),
     "avi": (_AVI, lambda b: decode_mjpeg_frame(b, 0)),
     "jsonl-zst": (_JSONL, _jsonl_zst_fuzz),
 }
