@@ -134,11 +134,40 @@ def _ref_decode(frames, rate=44100, stereo=False, ms=False,
         for ch, g in enumerate(chs):
             gg = g.get("global_gain", 210)
             short = g.get("block_type", 0) == 2
+            mixed = short and g.get("mixed")
             sfc = g.get("scalefac_compress", 0)
             mult = 0.5 * (g.get("scalefac_scale", 0) + 1)
             gr_in_frame = G % 2
             xr = np.zeros(576)
-            if short:
+            if mixed:
+                long_sf, short_sf = g.get("scalefacs") or (
+                    [0] * 8, [[0, 0, 0]] * 9
+                )
+                sbg = g.get("subblock_gain", (0, 0, 0))
+                lbands = SFB_LONG[rate]
+                sbands = SFB_SHORT[rate]
+                pre = g.get("preflag", 0)
+                for li, iv in g.get("lines", {}).items():
+                    base_val = (np.sign(iv) * abs(iv) ** (4 / 3)
+                                * 2.0 ** ((gg - 210) / 4.0))
+                    if li < 36:  # long part: sb0/sb1, long sfbs 0..7
+                        sfb = max(s_ for s_ in range(8)
+                                  if lbands[s_] <= li)
+                        v = long_sf[sfb] + pre * PRETAB[sfb]
+                        xr[li] = base_val * 2.0 ** (-mult * v)
+                    else:  # short part: sfbs 3.., reordered
+                        sfb = max(s_ for s_ in range(3, 13)
+                                  if 3 * sbands[s_] <= li)
+                        base = sbands[sfb]
+                        width = sbands[sfb + 1] - sbands[sfb]
+                        off = li - 3 * base
+                        win, i = off // width, off % width
+                        dest = 3 * base + 3 * i + win
+                        v = short_sf[sfb - 3][win] if sfb < 12 else 0
+                        xr[dest] = base_val * 2.0 ** (
+                            -mult * v - 2.0 * sbg[win]
+                        )
+            elif short:
                 sfs = g.get("scalefacs") or [[0, 0, 0]] * 12
                 sbg = g.get("subblock_gain", (0, 0, 0))
                 bands = SFB_SHORT[rate]
@@ -211,9 +240,13 @@ def _ref_decode(frames, rate=44100, stereo=False, ms=False,
         for ch, g in enumerate(chs):
             xr = xr_ch[ch]
             short = g.get("block_type", 0) == 2
-            if not short:  # alias butterflies, all 31 boundaries
+            mixed = short and g.get("mixed")
+            n_bound = 0 if (short and not mixed) else (
+                1 if mixed else 31
+            )
+            if n_bound:  # alias butterflies
                 xr = xr.copy()
-                for b in range(1, 32):
+                for b in range(1, n_bound + 1):
                     for i in range(8):
                         lo, hi = 18 * b - 1 - i, 18 * b + i
                         a, bb = xr[lo], xr[hi]
@@ -223,7 +256,7 @@ def _ref_decode(frames, rate=44100, stereo=False, ms=False,
             n = np.arange(36)
             for sb in range(32):
                 X = xr[18 * sb:18 * sb + 18]
-                if short:
+                if short and not (mixed and sb < 2):
                     for win in range(3):
                         z = np.zeros(12)
                         for m_ in range(12):
@@ -351,6 +384,26 @@ def test_short_block_scalefactors():
     pcm, _ = decode_mp3(encode_mp3(frames))
     exp = _ref_decode(frames)
     assert np.abs(pcm - exp).max() < 1e-12
+
+
+def test_mixed_blocks_end_to_end():
+    """Mixed blocks (block_type 2, mixed_block 1): subbands 0-1 decode
+    as LONG blocks (long scalefactors sfb 0..7, boundary-1 alias
+    butterfly), the rest as short windows (sfbs 3.., subblock gains) —
+    all in one granule, against the independent model."""
+    frames = [(
+        {"lines": {2: 2, 17: 1, 40: 3, 100: -2}, "block_type": 2,
+         "mixed": True, "scalefac_compress": 9,
+         "scalefacs": ([1] * 8, [[0, 1, 0]] * 9), "preflag": 1,
+         "subblock_gain": (0, 1, 0)},
+        {"lines": {5: 2}, "block_type": 2, "mixed": True},
+    )]
+    pcm, _ = decode_mp3(encode_mp3(frames))
+    exp = _ref_decode(frames)
+    assert pcm.shape == (1152, 1)
+    assert np.abs(pcm - exp).max() < 1e-12
+    # both halves genuinely contribute
+    assert np.abs(pcm).max() > 0.1
 
 
 def test_stereo_lr_and_ms():

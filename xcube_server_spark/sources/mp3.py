@@ -706,6 +706,16 @@ def _write_scalefactors(w: _BitsW, g: dict, gr: int, scfsi: list
         w.write(v, slen)
 
     if g.get("block_type", 0) == 2:
+        if g.get("mixed"):
+            long_sf, short_sf = g.get("scalefacs") or (
+                [0] * 8, [[0, 0, 0]] * 9
+            )
+            for sfb in range(8):
+                put(long_sf[sfb], slen1)
+            for si_, sfb in enumerate(range(3, 12)):
+                for win in range(3):
+                    put(short_sf[si_][win], slen1 if sfb < 6 else slen2)
+            return
         sfs = g.get("scalefacs") or [[0, 0, 0]] * 12
         for sfb in range(12):
             for win in range(3):
@@ -754,7 +764,10 @@ def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
             for ch, g in enumerate(chs):
                 lines = dict(g.get("lines", {}))
                 short = g.get("block_type", 0) == 2
-                bound = 36 if short else SFB_LONG[rate][16]
+                # short frames select `table` for regions 0 AND 1
+                # (boundary 36), so any line is codable; long frames
+                # keep region0-only (tables 0 beyond sfb_long[16])
+                bound = 576 if short else SFB_LONG[rate][16]
                 if lines and max(lines) >= bound:
                     raise ValueError(
                         f"fixture lines must stay inside region0 "
@@ -799,9 +812,9 @@ def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
             w.write(1 if short else 0, 1)   # window_switching
             if short:
                 w.write(2, 2)   # block_type
-                w.write(0, 1)   # mixed_block
+                w.write(1 if g.get("mixed") else 0, 1)
                 w.write(table, 5)
-                w.write(0, 5)   # region1 table (empty)
+                w.write(table, 5)  # region1 (lines >= 36)
                 for sbg in g.get("subblock_gain", (0, 0, 0)):
                     w.write(sbg, 3)
             else:
