@@ -85,6 +85,7 @@ for _m in (
 _PRIORITY = [
     "mp3_decode_stats",
     "curation_pipeline_stats",
+    "curation_warc_pipeline_stats",
     "pmi_collocations",
     "vorbis_decode_stats",
     "webdataset_multimodal_stats",
@@ -132,10 +133,11 @@ _PRIORITY = [
     "union_groups",
     "window_rank",
     "window_running",
-    "zarr_v3_ingest_stats",
-    # ---- overflow (past the 50-query window): module order. All 223
-    # were driver-green in the r01-r11 union and stay locally verified
-    # per pytest run. ----
+    # ---- overflow (past the 50-query window): module order.
+    # zarr_v3_ingest_stats displaced to the r13 head by the late
+    # curation_warc_pipeline_stats addition; all 223 prior entries were
+    # driver-green in the r01-r11 union and stay locally verified per
+    # pytest run. ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

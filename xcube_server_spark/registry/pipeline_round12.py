@@ -274,10 +274,7 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str
     wrong filter or drop changes the survivor set and every
     ``sched_pos`` after it."""
     from ..sources.jsonl import ingest_jsonl_corpus
-    from ._util import char_cs_expr, char_shingle_expr, spread
     from .pipeline_round10 import _strip_html
-
-    from pyspark.sql import Window
 
     d, keys = _cur_fixture()
     raw = ingest_jsonl_corpus(spark, "local", d, keys, parallelism=8)
@@ -287,6 +284,18 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str
         F.get_json_object(line, "$.source").alias("source"),
         _strip_html(F.get_json_object(line, "$.html")).alias("text"),
     )
+    return _curation_downstream(docs)
+
+
+def _curation_downstream(docs: DataFrame) -> DataFrame:
+    """Stages 3-5 of the curation DAG (Gopher pass-filter → LSH drop →
+    stride schedule), shared by the ``.jsonl.zst`` and WARC front
+    doors — input contract: (doc_id bigint, source string, text
+    string)."""
+    from ._util import char_cs_expr, char_shingle_expr, spread
+
+    from pyspark.sql import Window
+
     # stage 3: Gopher pass-all predicate (projection + filter)
     feats = spread(docs).select(
         "doc_id", "source", "text",
@@ -493,3 +502,81 @@ FROM sched
 """
 
 QUERIES["curation_pipeline_stats"] = curation_pipeline_stats
+
+
+# --------------------------------------------------------------------------
+# curation_warc_pipeline_stats: the same DAG from the WARC front door
+# --------------------------------------------------------------------------
+def _cur_warc_fixture() -> str:
+    """The SAME 60 documents as ``_cur_fixture`` packaged as a
+    frame-per-record ``.warc.zst`` crawl: response records carry the
+    HTML bodies (doc id + source encoded in the target URI), and
+    interleaved request records must be filtered out by warc_type —
+    the record-type stage the JSONL variant has no analog for."""
+    from ..sources.warc import build_warc
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_curation_warc_gate_v1")
+    path = os.path.join(d, "crawl.warc.zst")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        recs = []
+        for i in range(_CUR_N):
+            j = i - 40 if 40 <= i < 50 else i
+            html = (
+                '<html><head><script>var x="<p>";</script>'
+                "<style>.a{color:red}</style></head><body>"
+                f"<h1>D{j}</h1><p>{_cur_body(i)}</p>"
+                f'<a href="http://x">&amp;m{j}</a></body></html>'
+            )
+            recs.append(
+                {"warc_type": "response",
+                 "uri": f"http://src{i % 3}.example.com/d{i}",
+                 "content_type": "text/html",
+                 "body": html.encode()}
+            )
+            if i % 4 == 0:  # interleave request records to filter out
+                recs.append(
+                    {"warc_type": "request",
+                     "uri": f"http://src{i % 3}.example.com/d{i}",
+                     "content_type": "application/http",
+                     "body": b"GET / HTTP/1.1"}
+                )
+        with open(path, "wb") as f:
+            f.write(build_warc(recs, zst=True))
+    return d
+
+
+def curation_warc_pipeline_stats(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The curation DAG with the WEB-CRAWL front door: frame-per-record
+    ``.warc.zst`` ingest (``sources/warc.py`` — no-decompress zstd
+    frame walk, executors ranged-GET + decode exactly their records),
+    response-record filtering, doc id/source parsed from the target
+    URI, then the SAME extract → Gopher-filter → LSH-drop → schedule
+    stages as ``curation_pipeline_stats`` (``_curation_downstream``).
+    The two front doors regenerate identical documents, so this gate
+    SHARES the JSONL variant's oracle verbatim — the strongest possible
+    cross-source pin: both ingest paths must land byte-identical."""
+    from ..sources.warc import ingest_warc_distributed
+    from .pipeline_round10 import _strip_html
+
+    d = _cur_warc_fixture()
+    raw = ingest_warc_distributed(spark, "local", d, "crawl.warc.zst")
+    body_str = F.decode(F.col("payload"), "utf-8")
+    docs = (
+        raw.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("uri", r"/d(\d+)$", 1).cast("bigint")
+            .alias("doc_id"),
+            F.regexp_extract("uri", r"http://(src\d)\.", 1)
+            .alias("source"),
+            _strip_html(body_str).alias("text"),
+        )
+    )
+    return _curation_downstream(docs)
+
+
+ORACLES["curation_warc_pipeline_stats"] = \
+    ORACLES["curation_pipeline_stats"]
+QUERIES["curation_warc_pipeline_stats"] = curation_warc_pipeline_stats
