@@ -209,6 +209,41 @@ def _ref_decode(frames, rate=44100, stereo=False, ms=False,
             r2 = 1 / np.sqrt(2.0)
             if not intensity:
                 xr_ch = [(m + s_) * r2, (m - s_) * r2]
+            elif chs[1].get("block_type", 0) == 2:
+                # short-block intensity, reordered domain: per window,
+                # bands above the right channel's last data-bearing
+                # sfb take the tangent split
+                g_r = chs[1]
+                sfs_r = g_r.get("scalefacs") or [[0, 0, 0]] * 12
+                bands = SFB_SHORT[rate]
+                lo_ = (m + s_) * r2 if ms else m.copy()
+                hi_ = (m - s_) * r2 if ms else s_.copy()
+                for win in range(3):
+                    bound = 0
+                    for sfb in range(12, -1, -1):
+                        base = bands[sfb]
+                        width = bands[sfb + 1] - bands[sfb]
+                        idx = [3 * base + 3 * i + win
+                               for i in range(width)]
+                        if any(s_[k] != 0.0 for k in idx):
+                            bound = sfb + 1
+                            break
+                    for sfb in range(bound, 13):
+                        base = bands[sfb]
+                        width = bands[sfb + 1] - bands[sfb]
+                        idx = [3 * base + 3 * i + win
+                               for i in range(width)]
+                        is_pos = sfs_r[min(sfb, 11)][win]
+                        if is_pos == 7:
+                            continue
+                        for k in idx:
+                            if is_pos == 6:
+                                lo_[k], hi_[k] = m[k], 0.0
+                            else:
+                                rt = np.tan(is_pos * np.pi / 12.0)
+                                lo_[k] = m[k] * (rt / (1 + rt))
+                                hi_[k] = m[k] * (1 / (1 + rt))
+                xr_ch = [lo_, hi_]
             else:
                 g_r = chs[1]
                 lines_r = g_r.get("lines", {})
@@ -561,15 +596,52 @@ def test_intensity_plus_ms_band_split():
     assert np.abs(pcm - exp).max() < 1e-12
 
 
-def test_intensity_short_blocks_refused():
+def test_intensity_short_blocks():
+    """Short-block intensity: per-window bound scan + per-(sfb, win)
+    is_pos. Right empty -> whole spectrum intensity; is_pos drawn from
+    the right channel's short scalefactor grid."""
+    is_pos = [[1, 2, 6]] * 6 + [[7, 0, 3]] * 6
     frames = [(
-        ({"lines": {5: 2}, "block_type": 2},
+        ({"lines": {2: 2, 7: 1, 40: 3}, "block_type": 2},
+         {"lines": {5: -2}, "block_type": 2}),
+        ({"lines": {}, "block_type": 2, "scalefac_compress": 13,
+          "scalefacs": is_pos},
          {"lines": {}, "block_type": 2}),
+    )]
+    pcm, _ = decode_mp3(encode_mp3(frames, stereo=True, intensity=True))
+    exp = _ref_decode(frames, stereo=True, intensity=True)
+    assert pcm.shape == (1152, 2)
+    assert np.abs(pcm - exp).max() < 1e-12
+    assert np.abs(pcm[:, 0] - pcm[:, 1]).max() > 1e-6
+
+
+def test_intensity_short_with_ms_and_right_data():
+    """MS + short intensity: windows where the right channel still
+    carries data keep MS below the per-window bound; bands above split
+    by intensity."""
+    is_pos = [[2, 2, 2]] * 12
+    frames = [(
+        ({"lines": {2: 2, 50: 1}, "block_type": 2},
+         {"lines": {1: 1}, "block_type": 2, "scalefac_compress": 13,
+          "scalefacs": is_pos}),
         ({"lines": {}, "block_type": 2},
          {"lines": {}, "block_type": 2}),
     )]
+    pcm, _ = decode_mp3(
+        encode_mp3(frames, stereo=True, ms=True, intensity=True))
+    exp = _ref_decode(frames, stereo=True, ms=True, intensity=True)
+    assert np.abs(pcm - exp).max() < 1e-12
+
+
+def test_intensity_mixed_blocks_refused():
+    frames = [(
+        ({"lines": {5: 2}, "block_type": 2, "mixed": True},
+         {"lines": {}, "block_type": 2, "mixed": True}),
+        ({"lines": {}, "block_type": 2, "mixed": True},
+         {"lines": {}, "block_type": 2, "mixed": True}),
+    )]
     data = encode_mp3(frames, stereo=True, intensity=True)
-    with pytest.raises(NotImplementedError, match="short block"):
+    with pytest.raises(NotImplementedError, match="MIXED"):
         decode_mp3(data)
 
 

@@ -17,9 +17,10 @@ silently wrong:
 - The synthesis window is a documented near-PR stand-in for the spec's
   printed Table B.3 (round-trip SNR pinned by test); third-party MP3s
   decode with that prototype's passband shape instead of the spec
-  one's. Long-block intensity stereo decodes (is_pos tangent ratios,
-  zero-part bound, is_pos 7 fallback); short-block intensity refuses
-  (clear error).
+  one's. Intensity stereo decodes for long blocks (is_pos tangent
+  ratios, zero-part bound, is_pos 7 fallback) AND short blocks
+  (per-window top-down bound scan, per-(sfb, window) is_pos);
+  mixed-block intensity refuses (clear error).
 
 The bundled ``encode_mp3`` writes standard-layout frames whose chosen
 quantized lines make decoded PCM an analytic formula (the same fixture
@@ -589,11 +590,14 @@ def _stereo_process(xr_ch: list, g_r: dict, sf_r, rate: int, ms: bool,
             return [(m + s) * inv_sqrt2, (m - s) * inv_sqrt2]
         return xr_ch
     if g_r["window_switching"] and g_r["block_type"] == 2:
-        raise NotImplementedError(
-            "intensity stereo with short blocks: the per-window "
-            "zero-part bound is unimplemented — refused rather than "
-            "misdecoded (long-block intensity decodes)"
-        )
+        if g_r["mixed_block"]:
+            raise NotImplementedError(
+                "intensity stereo with MIXED blocks: the split "
+                "long/short bound is unimplemented — refused rather "
+                "than misdecoded (long- and short-block intensity "
+                "decode)"
+            )
+        return _intensity_short(m, s, sf_r, rate, ms)
     bands = SFB_LONG[rate]
     out_l = np.empty(576, np.float64)
     out_r = np.empty(576, np.float64)
@@ -616,6 +620,47 @@ def _stereo_process(xr_ch: list, g_r: dict, sf_r, rate: int, ms: bool,
         else:
             out_l[lo:hi] = m[lo:hi]
             out_r[lo:hi] = s[lo:hi]
+    return [out_l, out_r]
+
+
+def _intensity_short(m: np.ndarray, s: np.ndarray, sf_r, rate: int,
+                     ms: bool) -> list:
+    """Short-block intensity (non-mixed): PER WINDOW, scan scalefactor
+    bands top-down for the right channel's last nonzero line (in the
+    natural window-major layout stereo processing runs in, before
+    reordering); bands above it take the intensity split with that
+    band+window's repurposed scalefactor as is_pos (7 = illegal ->
+    MS/LR fallback). Everything below follows MS when enabled."""
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    bands = SFB_SHORT[rate]
+    out_l = (m + s) * inv_sqrt2 if ms else m.copy()
+    out_r = (m - s) * inv_sqrt2 if ms else s.copy()
+    for win in range(3):
+        # highest sfb (0..12) whose window `win` still carries
+        # right-channel data; bands above it are the intensity region
+        bound_sfb = 0
+        for sfb in range(12, -1, -1):
+            width = bands[sfb + 1] - bands[sfb]
+            lo = 3 * bands[sfb] + win * width
+            if np.any(s[lo:lo + width] != 0.0):
+                bound_sfb = sfb + 1
+                break
+        for sfb in range(bound_sfb, 13):
+            width = bands[sfb + 1] - bands[sfb]
+            lo = 3 * bands[sfb] + win * width
+            hi = lo + width
+            # band 12 (above the last scalefactor band) carries band
+            # 11's is_pos — the 'remainder' convention, as long blocks
+            is_pos = sf_r[min(sfb, 11)][win]
+            if is_pos == 7:
+                continue  # MS/LR fallback already in out_l/out_r
+            if is_pos == 6:
+                out_l[lo:hi] = m[lo:hi]
+                out_r[lo:hi] = 0.0
+            else:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = m[lo:hi] * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = m[lo:hi] * (1.0 / (1.0 + ratio))
     return [out_l, out_r]
 
 
