@@ -86,6 +86,7 @@ _PRIORITY = [
     "mp3_decode_stats",
     "curation_pipeline_stats",
     "curation_warc_pipeline_stats",
+    "multimodal_curation_stats",
     "pmi_collocations",
     "vorbis_decode_stats",
     "webdataset_multimodal_stats",
@@ -132,10 +133,10 @@ _PRIORITY = [
     "ts_weekly_resample",
     "union_groups",
     "window_rank",
-    "window_running",
     # ---- overflow (past the 50-query window): module order.
-    # zarr_v3_ingest_stats displaced to the r13 head by the late
-    # curation_warc_pipeline_stats addition; all 223 prior entries were
+    # window_running + zarr_v3_ingest_stats displaced to the r13 head
+    # by the late curation_warc_pipeline_stats /
+    # multimodal_curation_stats additions; all 223 prior entries were
     # driver-green in the r01-r11 union and stay locally verified per
     # pytest run. ----
 ]

@@ -580,3 +580,237 @@ def curation_warc_pipeline_stats(spark: SparkSession, sf_dir: str
 ORACLES["curation_warc_pipeline_stats"] = \
     ORACLES["curation_pipeline_stats"]
 QUERIES["curation_warc_pipeline_stats"] = curation_warc_pipeline_stats
+
+
+# --------------------------------------------------------------------------
+# multimodal_curation_stats: the audio-visual sample-curation DAG
+# --------------------------------------------------------------------------
+# 16 WebDataset samples; per sample a JPEG, an Ogg Vorbis clip and a
+# JSON caption. The DAG drops each failure class by a DIFFERENT stage:
+#   4, 5   -> audio too short (128 < 200 samples)    [quality filter]
+#   6, 7   -> caption under 3 tokens                 [quality filter]
+#   8, 9   -> image below the 16x16 resolution floor [quality filter]
+#   12..15 -> byte-identical images of 0..3          [checksum dedup]
+# leaving survivors {0, 1, 2, 3, 10, 11} for the schedule.
+_N_MMCUR = 16
+_MMCUR_WEIGHTS = {"src0": 2.0}  # src1 weight 1.0
+
+
+def _mmcur_img_base(i: int) -> int:
+    return i - 12 if 12 <= i < 16 else i
+
+
+def _mm_curation_fixture() -> str:
+    import numpy as np
+
+    from ..sources.jpeg import encode_jpeg
+    from ..sources.tar_source import build_tar
+    from ..sources.vorbis import encode_vorbis
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_mm_curation_gate_v1")
+    path = os.path.join(d, "shard-0000.tar")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        members = []
+        for i in range(_N_MMCUR):
+            j = _mmcur_img_base(i)
+            if i in (8, 9):  # below the resolution floor: one block
+                img = np.full((8, 8, 3),
+                              2 * ((j * 11) % 101) + 20, np.uint8)
+            else:
+                img = np.zeros((16, 16, 3), np.uint8)
+                for by in range(2):
+                    for bx in range(2):
+                        v = 2 * ((j * 11 + by * 5 + bx * 3) % 101) + 20
+                        img[by * 8:(by + 1) * 8,
+                            bx * 8:(bx + 1) * 8] = v
+            members.append((f"{i:04d}.jpg", encode_jpeg(img,
+                                                        quality=50)))
+            spec = np.zeros(128)
+            spec[5] = 100 / 1024
+            packets = [spec, None] if i in (4, 5) else [spec, None, None]
+            members.append((f"{i:04d}.ogg",
+                            encode_vorbis(packets, 8000)))
+            k = 2 if i in (6, 7) else 5
+            cap = " ".join(f"tok{t}" for t in range(k))
+            members.append((
+                f"{i:04d}.json",
+                f'{{"cap": "{cap}", "src": "src{i % 2}"}}'.encode(),
+            ))
+        with open(path, "wb") as f:
+            f.write(build_tar(members))
+    return d
+
+
+def multimodal_curation_stats(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """The audio-visual sample-curation DAG, composed as one plan:
+    WebDataset shard ingest (header-hop index, ranged member reads) →
+    REAL T.81 image + Ogg Vorbis audio decode in one Arrow stage →
+    per-sample quality filters (resolution floor, audio-duration
+    floor, caption token floor — each dropping a different fixture
+    class) → exact image dedup (position-weighted pixel checksum,
+    keep the minimum sample key) → stride-scheduled mixture by source.
+    The schedule output pins every stage: a wrong pixel anywhere flips
+    a checksum and with it the dedup set and every rank after it."""
+    import pandas as pd
+
+    from ..sources.jpeg import decode_jpeg
+    from ..sources.tar_source import ingest_tar_distributed
+    from ..sources.vorbis import decode_vorbis
+
+    from pyspark.sql import Window
+
+    d = _mm_curation_fixture()
+    df = ingest_tar_distributed(spark, "local", d, "shard-0000.tar")
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            keys, icks, ws, hs, ans = [], [], [], [], []
+            for k, field, payload in zip(pdf["sample_key"],
+                                         pdf["field"], pdf["payload"]):
+                if field == "jpg":
+                    img = decode_jpeg(bytes(payload)).astype(np.int64)
+                    h, w = img.shape[:2]
+                    pos = np.arange(h * w, dtype=np.int64) + 1
+                    keys.append(k)
+                    icks.append(int((img[..., 0].reshape(-1)
+                                     * pos).sum()))
+                    ws.append(w)
+                    hs.append(h)
+                    ans.append(None)
+                elif field == "ogg":
+                    pcm, _rate = decode_vorbis(bytes(payload))
+                    keys.append(k)
+                    icks.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    ans.append(pcm.shape[0])
+            yield pd.DataFrame(
+                {"sample_key": keys, "img_checksum": icks,
+                 "img_w": ws, "img_h": hs, "audio_n_samples": ans}
+            )
+
+    heavy = df.filter(F.col("field").isin("jpg", "ogg")).mapInPandas(
+        decode,
+        "sample_key string, img_checksum long, img_w int, img_h int,"
+        " audio_n_samples long",
+    ).groupBy("sample_key").agg(
+        F.max("img_checksum").alias("img_checksum"),
+        F.max("img_w").alias("img_w"),
+        F.max("img_h").alias("img_h"),
+        F.max("audio_n_samples").alias("audio_n_samples"),
+    )
+    caps = df.filter(F.col("field") == "json").select(
+        "sample_key",
+        F.get_json_object(F.decode("payload", "utf-8"), "$.cap")
+        .alias("cap"),
+        F.get_json_object(F.decode("payload", "utf-8"), "$.src")
+        .alias("source"),
+    ).select(
+        "sample_key", "source",
+        F.size(F.split("cap", " ")).cast("bigint").alias("cap_tokens"),
+    )
+    samples = heavy.join(caps, "sample_key")
+    # quality filters: each clause owns one fixture drop class
+    passed = samples.filter(
+        "img_w * img_h >= 256 AND audio_n_samples >= 200"
+        " AND cap_tokens >= 3"
+    )
+    # exact image dedup: keep the minimum sample_key per pixel checksum
+    keeper = Window.partitionBy("img_checksum")
+    survivors = (
+        passed.withColumn("keep_key",
+                          F.min("sample_key").over(keeper))
+        .filter("sample_key = keep_key")
+        .drop("keep_key")
+    )
+    # stride-scheduled mixture by source
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5("sample_key"), F.col("sample_key")
+    )
+    weight = F.lit(1.0)
+    for src, wt in _MMCUR_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)) \
+            .otherwise(weight)
+    sched = (
+        survivors.withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("vt", F.col("pos").cast("double") / weight)
+        .orderBy("vt", "source", "sample_key")
+        .limit(10)
+    )
+    w_global = Window.orderBy("vt", "source", "sample_key")
+    return sched.withColumn(
+        "sched_pos", F.row_number().over(w_global)
+    ).select("sched_pos", "sample_key", "source", "img_checksum",
+             "audio_n_samples")
+
+
+_MMCUR_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in _MMCUR_WEIGHTS.items()
+)
+
+ORACLES["multimodal_curation_stats"] = f"""
+WITH base AS (
+  SELECT i, 'src' || (i % 2) AS source,
+         CASE WHEN i >= 12 THEN i - 12 ELSE i END AS j,
+         CASE WHEN i IN (4, 5) THEN 128 ELSE 256 END AS audio_n,
+         CASE WHEN i IN (6, 7) THEN 2 ELSE 5 END AS cap_tokens,
+         CASE WHEN i IN (8, 9) THEN 64 ELSE 256 END AS area
+  FROM (SELECT unnest(range(0, {_N_MMCUR})) AS i)
+),
+img AS (
+  -- 16x16: blocks weight 8192*by + 512*bx + 3872; 8x8: single block,
+  -- positions 1..64 sum to 2080
+  SELECT b.i,
+         CASE WHEN b.i IN (8, 9)
+              THEN CAST((2*((b.j*11) % 101) + 20) * 2080 AS BIGINT)
+              ELSE (SELECT CAST(sum(
+                       (2*((b.j*11 + by.by*5 + bx.bx*3) % 101) + 20)
+                       * (8192*by.by + 512*bx.bx + 3872)) AS BIGINT)
+                    FROM (SELECT unnest(range(0, 2)) AS by) by,
+                         (SELECT unnest(range(0, 2)) AS bx) bx)
+         END AS img_checksum
+  FROM base b
+),
+passed AS (
+  SELECT b.i, b.source, b.audio_n, img.img_checksum
+  FROM base b JOIN img ON b.i = img.i
+  WHERE b.area >= 256 AND b.audio_n >= 200 AND b.cap_tokens >= 3
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT i, source, audio_n, img_checksum,
+           min(lpad(CAST(i AS VARCHAR), 4, '0'))
+             OVER (PARTITION BY img_checksum) AS keep_key
+    FROM passed
+  ) s WHERE lpad(CAST(i AS VARCHAR), 4, '0') = keep_key
+),
+ranked AS (
+  SELECT lpad(CAST(i AS VARCHAR), 4, '0') AS sample_key,
+         source, audio_n, img_checksum,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(lpad(CAST(i AS VARCHAR), 4, '0')),
+                    lpad(CAST(i AS VARCHAR), 4, '0')) AS pos,
+         CASE {_MMCUR_CASE} ELSE 1.0 END AS weight
+  FROM survivors
+),
+sched AS (
+  SELECT sample_key, source, audio_n, img_checksum,
+         CAST(pos AS DOUBLE) / weight AS vt
+  FROM ranked
+  ORDER BY vt, source, sample_key
+  LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY vt, source, sample_key)
+            AS INT) AS sched_pos,
+       sample_key, source, img_checksum,
+       CAST(audio_n AS BIGINT) AS audio_n_samples
+FROM sched
+"""
+
+QUERIES["multimodal_curation_stats"] = multimodal_curation_stats
