@@ -767,3 +767,48 @@ def test_triangle_wedge_input_width(spark, sf_dir):
     if want >= 8:
         bad = _oriented_copurchase_edges(spark, sf_dir, repartition=False)
         assert bad.rdd.getNumPartitions() < want
+
+
+def test_curation_dag_plan_contracts(spark, sf_dir):
+    """The composed curation DAG must keep its claimed plan shape: the
+    LSH drop set broadcasts into the anti-join (never a shuffled
+    anti-join of the corpus), and the whole 5-stage plan stays within
+    its irreducible exchange budget (PLANS.md rows: 8 / 7)."""
+    # exchange counts vary +-1 with session conf/AQE decisions; the
+    # budget pins the ORDER of magnitude (a corpus-shuffling regression
+    # would add 3+)
+    for name, budget in (("curation_pipeline_stats", 10),
+                         ("curation_warc_pipeline_stats", 10)):
+        df = QUERIES[name](spark, sf_dir)
+        assert has_broadcast_join(df), name
+        assert count_exchanges(df) <= budget, (
+            name, count_exchanges(df))
+
+
+def test_multimodal_curation_plan_contracts(spark, sf_dir):
+    """Decode -> filter -> dedup -> schedule composes within its
+    exchange budget; the heavy decode is a single Arrow stage."""
+    df = QUERIES["multimodal_curation_stats"](spark, sf_dir)
+    assert count_exchanges(df) <= 8, count_exchanges(df)
+    from xcube_server_spark.plans.explain import executed_plan
+
+    # Arrow stages: the tar ingest's index/fetch stages plus ONE decode
+    # stage — a second decode pass would add more
+    assert executed_plan(df).count("MapInPandas") <= 3
+
+
+def test_mp3_gate_single_exchange(spark, sf_dir):
+    """The MP3 decode gate is one Arrow stage + the final order — a
+    single exchange, no joins."""
+    df = QUERIES["mp3_decode_stats"](spark, sf_dir)
+    assert count_exchanges(df) <= 1, count_exchanges(df)
+
+
+def test_pmi_single_pass_counts(spark, sf_dir):
+    """The round-12 rewrite: unigram+bigram counts come from ONE
+    materialized aggregate — the final plan carries at most the two
+    total-sum exchanges, and the unigram sides broadcast onto the
+    bigram table."""
+    df = QUERIES["pmi_collocations"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert has_broadcast_join(df)
