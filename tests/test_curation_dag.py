@@ -1,0 +1,114 @@
+"""Curation-DAG invariants beyond the gate fixture: drop accounting,
+determinism and filter soundness of ``_curation_downstream`` over a
+larger randomized corpus (seeded), plus MP3 probe/decode consistency
+properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.registry.pipeline_round12 import (
+    _curation_downstream,
+)
+
+
+def _random_corpus(n: int, seed: int) -> list[tuple[int, str, str]]:
+    """(doc_id, source, text) rows: a mix of Gopher-passing docs (stop
+    words + word-like tokens), some exact duplicates, and some
+    junk/tiny docs."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{k}" for k in range(400)]
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    rows = []
+    for i in range(n):
+        kind = i % 10
+        if kind == 8:  # tiny / junk
+            text = "x"
+        elif kind == 9 and i >= 10:  # duplicate of an earlier doc
+            text = rows[i - 10][2]
+        else:
+            k = int(rng.integers(8, 40))
+            words = list(rng.choice(vocab, size=k))
+            words += list(rng.choice(stops, size=3))
+            rng.shuffle(words)
+            text = " ".join(words)
+        rows.append((i, f"src{i % 3}", text))
+    return rows
+
+
+def test_curation_downstream_invariants(spark):
+    rows = _random_corpus(300, seed=42)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    sched = _curation_downstream(docs).collect()
+    # determinism: a second run over the same input is identical
+    sched2 = _curation_downstream(
+        spark.createDataFrame(rows,
+                              "doc_id long, source string, text string")
+    ).collect()
+    assert [tuple(r) for r in sched] == [tuple(r) for r in sched2]
+    # the schedule is a contiguous 1..K ranking with unique docs
+    assert [r["sched_pos"] for r in sched] == list(
+        range(1, len(sched) + 1))
+    ids = [r["doc_id"] for r in sched]
+    assert len(set(ids)) == len(ids)
+    # no tiny/junk doc (kind 8) can appear: they fail Gopher
+    assert all(i % 10 != 8 for i in ids)
+    # exact duplicates never BOTH appear
+    dup_pairs = [(i - 10, i) for i in range(10, 300)
+                 if i % 10 == 9 and rows[i][2] == rows[i - 10][2]]
+    scheduled = set(ids)
+    for a, b in dup_pairs:
+        assert not ({a, b} <= scheduled), (a, b)
+
+
+def test_curation_schedule_weight_bias(spark):
+    """Stride scheduling must front-load the heavier source: among the
+    first rows of the schedule, src0 (weight 3) appears at least as
+    often as src2 (weight 1)."""
+    rows = _random_corpus(300, seed=7)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    sched = _curation_downstream(docs).collect()
+    srcs = [r["source"] for r in sched]
+    assert srcs.count("src0") >= srcs.count("src2")
+
+
+def test_mp3_probe_decode_duration_consistency():
+    """probe_mp3's metadata duration equals the decoded sample count /
+    rate for assorted fixture streams (incl. CRC frames and multiple
+    frames)."""
+    from xcube_server_spark.sources.mp3 import decode_mp3, encode_mp3
+    from xcube_server_spark.sources.mp3meta import probe_mp3
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        n_frames = int(rng.integers(1, 4))
+        frames = []
+        for _ in range(n_frames):
+            g0 = {"lines": {int(rng.integers(0, 10)):
+                            int(rng.integers(1, 4))}}
+            g1 = {"lines": {}}
+            frames.append((g0, g1))
+        data = encode_mp3(frames, crc=bool(trial % 2))
+        meta = probe_mp3(data)
+        pcm, rate = decode_mp3(data)
+        assert meta["n_frames"] == n_frames
+        assert meta["sample_rate"] == rate == 44100
+        assert meta["duration_sec"] == pytest.approx(len(pcm) / rate)
+
+
+def test_mp3_id3v1_tag_trailer():
+    """An ID3v1 'TAG' trailer after the last frame terminates both the
+    probe and the decode cleanly."""
+    from xcube_server_spark.sources.mp3 import decode_mp3, encode_mp3
+    from xcube_server_spark.sources.mp3meta import probe_mp3
+
+    body = encode_mp3([({"lines": {5: 2}}, {"lines": {}})])
+    tagged = body + b"TAG" + bytes(125)
+    assert probe_mp3(tagged)["n_frames"] == 1
+    pcm, _ = decode_mp3(tagged)
+    assert np.array_equal(pcm, decode_mp3(body)[0])
