@@ -249,10 +249,10 @@ def test_multimodal_audio_dispatch():
     wave = decode_audio(encode_flac(sig, 16000), 16000)
     assert wave.dtype == np.float32
     assert np.allclose(wave, sig / 32768.0, atol=1e-7)
-    # MP3 now dispatches to the REAL decoder (sources/mp3.py); this
-    # junk header declares free-format bitrate -> its precise refusal
-    with pytest.raises(NotImplementedError, match="free-format"):
-        decode_audio(b"\xff\xfb" + b"\x00" * 64, 16000)
+    # MP3 now dispatches to the REAL decoder (sources/mp3.py); a junk
+    # header with a reserved bitrate index gets its precise refusal
+    with pytest.raises(ValueError, match="reserved"):
+        decode_audio(b"\xff\xfb\xf0" + b"\x00" * 64, 16000)
     # genuinely unsupported audio still gets the clear lossy-codec error
     with pytest.raises(NotImplementedError, match="lossy"):
         decode_audio(b"\x01\x02 not audio", 16000)

@@ -650,8 +650,8 @@ def test_hostile_bytes_raise_cleanly():
     data = encode_mp3(frames)
     with pytest.raises(ValueError):
         decode_mp3(data[:100])  # truncated frame
-    with pytest.raises((ValueError, NotImplementedError)):
-        decode_mp3(b"\xff\xfb" + bytes(100))  # undersized tail
+    with pytest.raises(ValueError, match="reserved"):
+        decode_mp3(b"\xff\xfb\xf0" + bytes(100))  # bitrate index 15
     rng = np.random.default_rng(7)
     for _ in range(60):
         buf = bytearray(data)
@@ -713,6 +713,33 @@ def test_xing_header_frame_skipped():
     meta = probe_mp3(stream)
     assert meta["n_frames"] == 1
     assert meta["duration_sec"] == pytest.approx(1152 / 44100)
+
+
+def test_free_format_bitrate():
+    """Bitrate index 0 (free format): the constant frame length is
+    derived from the sync-to-sync distance — decoded PCM must equal
+    the same content at a table bitrate, and the probe must report the
+    derived duration/bitrate."""
+    from xcube_server_spark.sources.mp3meta import probe_mp3
+
+    frames = [({"lines": {5: 2}}, {"lines": {3: 1}}),
+              ({"lines": {8: -3}}, {"lines": {}})]
+    ref, _ = decode_mp3(encode_mp3(frames))
+    free = encode_mp3(frames, free_frame_bytes=300)
+    pcm, rate = decode_mp3(free)
+    assert rate == 44100
+    assert np.array_equal(pcm, ref)
+    meta = probe_mp3(free)
+    assert meta["n_frames"] == 2
+    assert meta["duration_sec"] == pytest.approx(2304 / 44100)
+    # derived bitrate: 300 bytes * 8 * 44100 / 1152 ≈ 91.9 kbps
+    assert meta["mean_bitrate_kbps"] == pytest.approx(91.875, rel=1e-3)
+    # single-frame stream: length runs to EOF (with an ID3v1 trailer)
+    one = encode_mp3(frames[:1], free_frame_bytes=280)
+    single = one + b"TAG" + bytes(125)
+    pcm1, _ = decode_mp3(single)
+    assert np.array_equal(pcm1, ref[:1152])
+    assert probe_mp3(single)["n_frames"] == 1
 
 
 def test_reservoir_underrun_refused():

@@ -111,7 +111,8 @@ def crc16_mpeg(data: bytes, crc: int = 0xFFFF) -> int:
     return crc
 
 
-def _parse_header(b: bytes, pos: int) -> dict:
+def _parse_header(b: bytes, pos: int,
+                  free_base: int | None = None) -> dict:
     b0, b1, b2, b3 = b[pos:pos + 4]
     if b0 != 0xFF or b1 & 0xE0 != 0xE0:
         raise ValueError(f"MP3 frame sync lost at byte {pos}")
@@ -126,20 +127,26 @@ def _parse_header(b: bytes, pos: int) -> dict:
     protection = b1 & 1  # 0 -> 16-bit CRC follows the header
     br_idx = b2 >> 4
     sr_idx = (b2 >> 2) & 0x03
-    if br_idx == 0:
-        raise NotImplementedError("free-format MP3 bitrate")
     if br_idx == 15 or sr_idx == 3:
         raise ValueError("reserved MP3 bitrate/sample-rate index")
     padding = (b2 >> 1) & 1
     mode = b3 >> 6
     mode_ext = (b3 >> 4) & 0x03
     rate = _RATES[sr_idx]
-    frame_len = 144 * _BITRATES[br_idx] * 1000 // rate + padding
+    if br_idx == 0:  # free format: constant sync-derived frame length
+        from .mp3meta import find_free_frame_len
+
+        if free_base is None:
+            free_base = find_free_frame_len(b, pos)
+        frame_len = free_base + padding
+    else:
+        frame_len = 144 * _BITRATES[br_idx] * 1000 // rate + padding
     return {
         "rate": rate, "frame_len": frame_len, "mode": mode,
         "mode_ext": mode_ext, "crc": protection == 0,
         "nch": 1 if mode == 3 else 2, "br_idx": br_idx,
         "sr_idx": sr_idx, "padding": padding,
+        "free_base": free_base,
     }
 
 
@@ -513,10 +520,12 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     pcm_chunks: list[np.ndarray] = []
     prev_sf = None
     n_seen = 0
+    free_base = None
     while pos + 4 <= len(data):
         if data[pos:pos + 3] == b"TAG":  # ID3v1 trailer
             break
-        hdr = _parse_header(data, pos)
+        hdr = _parse_header(data, pos, free_base)
+        free_base = hdr["free_base"]
         if rate is None:
             rate, nch = hdr["rate"], hdr["nch"]
             overlap = np.zeros((nch, 32, 18), np.float64)
@@ -779,6 +788,7 @@ def _write_scalefactors(w: _BitsW, g: dict, gr: int, scfsi: list
 def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
                table: int = 5, stereo: bool = False, ms: bool = False,
                intensity: bool = False, crc: bool = False,
+               free_frame_bytes: int | None = None,
                scfsi: tuple = (0, 0, 0, 0)) -> bytes:
     """Assemble a standards-layout MPEG-1 Layer III stream whose
     granules carry chosen quantized lines. ``frames`` is a list of
@@ -796,8 +806,12 @@ def encode_mp3(frames: list, rate: int = 44100, kbps: int = 160,
     → overlap → polyphase chain; the driver gate's SQL oracle
     evaluates the mono long-block subset independently."""
     sr_idx = _RATES.index(rate)
-    br_idx = _BITRATES.index(kbps)
-    frame_len = 144 * kbps * 1000 // rate
+    if free_frame_bytes is not None:  # free format: br_idx 0
+        br_idx = 0
+        frame_len = free_frame_bytes
+    else:
+        br_idx = _BITRATES.index(kbps)
+        frame_len = 144 * kbps * 1000 // rate
     nch = 2 if stereo else 1
     out = bytearray()
     for granules in frames:

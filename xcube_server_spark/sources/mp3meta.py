@@ -7,7 +7,8 @@ four self-describing bytes (ISO 11172-3 / 13818-3). This module walks
 the frame chain — sync, version, layer, bitrate/sample-rate indices,
 padding — skips a leading ID3v2 container, and reports exact duration
 and frame statistics. Layer III only (the 'MP3' in MP3); free-format
-bitrate (index 0) and reserved indices refuse loudly.
+bitrate (index 0) derives its constant frame length from the
+sync-to-sync distance; reserved indices refuse loudly.
 
 ``decode_audio`` still refuses MP3 payloads (lossy decode needs native
 codecs); this prober is the honest metadata-only capability next to it.
@@ -49,6 +50,32 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size
 
 
+def find_free_frame_len(data: bytes, pos: int) -> int:
+    """Free-format frames (bitrate index 0) carry a CONSTANT frame
+    length the header does not encode: derive it as the distance to
+    the next syncword with matching version/layer/sample-rate fields
+    (spec: free-format streams keep the length fixed, +- the padding
+    byte). Returns the PADDING-FREE base length; a single-frame stream
+    extends to EOF (ID3v1 'TAG' trailer excluded)."""
+    b1 = data[pos + 1]
+    sr_bits = data[pos + 2] & 0x0C
+    pad = (data[pos + 2] >> 1) & 1
+    limit = min(pos + 8192, len(data) - 3)
+    for q in range(pos + 21, limit):  # header+side is >= 21 bytes
+        if (data[q] == 0xFF and data[q + 1] == b1
+                and (data[q + 2] >> 4) == 0
+                and (data[q + 2] & 0x0C) == sr_bits):
+            return q - pos - pad
+    end = len(data)
+    if end >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128
+    if end - pos > 8192:
+        raise ValueError(
+            "free-format MP3: no matching next sync within 8192 bytes"
+        )
+    return end - pos - pad
+
+
 def probe_mp3(data: bytes) -> dict:
     """Walk the frame chain and return exact metadata:
     ``{duration_sec, sample_rate, n_frames, mean_bitrate_kbps, vbr}``.
@@ -56,6 +83,7 @@ def probe_mp3(data: bytes) -> dict:
     pos = _id3v2_size(data)
     n_frames = 0
     first_frame = True
+    free_base = None
     total_samples = 0
     rate = None
     bitrates = set()
@@ -78,19 +106,23 @@ def probe_mp3(data: bytes) -> dict:
         br_idx = b2 >> 4
         sr_idx = (b2 >> 2) & 0x03
         padding = (b2 >> 1) & 0x01
-        if br_idx == 0:
-            raise NotImplementedError("free-format MP3 bitrate")
         if br_idx == 15 or sr_idx == 3:
             raise ValueError("reserved MP3 bitrate/sample-rate index")
-        table = _BITRATES_V1 if version == 3 else _BITRATES_V2
-        kbps = table[br_idx]
         sr = _RATES[version][sr_idx]
         if rate is None:
             rate = sr
         elif sr != rate:
             raise ValueError("MP3 sample rate changes mid-stream")
         spf = 1152 if version == 3 else 576  # samples per L3 frame
-        frame_len = (spf // 8 * kbps * 1000) // sr + padding
+        if br_idx == 0:  # free format: constant sync-derived length
+            if free_base is None:
+                free_base = find_free_frame_len(data, pos)
+            frame_len = free_base + padding
+            kbps = free_base * 8 * sr / (spf * 1000)
+        else:
+            table = _BITRATES_V1 if version == 3 else _BITRATES_V2
+            kbps = table[br_idx]
+            frame_len = (spf // 8 * kbps * 1000) // sr + padding
         if frame_len <= 4:
             raise ValueError("MP3 frame length underflow")
         if pos + frame_len > len(data):
