@@ -559,6 +559,55 @@ def test_unverified_huffman_table_refused():
         decode_mp3(bad)
 
 
+@pytest.mark.parametrize("tid", [4, 14])
+def test_reserved_huffman_table_id_is_invalid_stream(tid):
+    """Table ids 4 and 14 don't exist in ISO 11172-3 Table B.7 — a
+    stream selecting them is INVALID (ValueError), not merely
+    untranscribed (NotImplementedError)."""
+    frames = [({"lines": {5: 2}}, {"lines": {}})]
+    bad = _patch_side_bits(encode_mp3(frames), 52, 5, tid)
+    with pytest.raises(ValueError, match=f"reserved Huffman table id {tid}"):
+        decode_mp3(bad)
+
+
+def test_scfsi_after_short_granule0_refused_across_frames():
+    """scfsi sharing is granule-0 -> granule-1 WITHIN one frame: a
+    frame whose granule 0 is short-block leaves no donor scalefactors,
+    so a scfsi-set long granule 1 must refuse — even when a PREVIOUS
+    frame decoded long blocks (state must not leak across frames)."""
+    frames = [
+        ({"lines": {2: 2}, "scalefac_compress": 13, "scalefacs": [2] * 21},
+         {"lines": {3: 1}}),
+        ({"lines": {1: 2}, "block_type": 2},
+         {"lines": {2: 2}, "scalefac_compress": 13, "scalefacs": [1] * 21}),
+    ]
+    with pytest.raises(ValueError, match="scfsi set but granule 0"):
+        decode_mp3(encode_mp3(frames, scfsi=(1, 0, 0, 0)))
+
+
+def test_decode_audio_fake_falls_back_on_mp3_refusal():
+    """is_mp3 is a loose sniff and decode_mp3 honestly refuses
+    unvalidated Huffman tables — with fake=True the refusal must fall
+    through to the deterministic sha256 fake (the 'stable plumbing'
+    contract), not crash; with fake=False it surfaces."""
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+
+    frames = [({"lines": {5: 2}}, {"lines": {}})]
+    bad = _patch_side_bits(encode_mp3(frames), 52, 5, 16)
+    with pytest.raises(NotImplementedError, match="table 16"):
+        decode_audio(bad, 64, fake=False)
+    wave = decode_audio(bad, 64, fake=True)
+    assert wave.shape == (64,) and wave.dtype == np.float32
+    assert np.array_equal(wave, decode_audio(bad, 64, fake=True))
+    # ID3-prefixed NON-audio sniffs as MP3 too; fake must survive it
+    junk = b"ID3" + b"\x00" * 32
+    assert decode_audio(junk, 64, fake=True).shape == (64,)
+    # a VALID mp3 still really decodes under fake=True (real > fake)
+    good = encode_mp3([({"lines": {5: 2}}, {"lines": {}})])
+    real = decode_audio(good, 64, fake=False)
+    assert np.array_equal(decode_audio(good, 64, fake=True), real)
+
+
 def test_intensity_stereo_long_blocks():
     """Intensity-only joint stereo: right channel carries no data, its
     scalefactors are is_pos values — decoded L/R follow the tangent

@@ -797,6 +797,27 @@ def test_multimodal_curation_plan_contracts(spark, sf_dir):
     assert executed_plan(df).count("MapInPandas") <= 3
 
 
+def test_stride_schedule_rank_is_window_group_limit(spark, sf_dir):
+    """The stride-schedule stage (weighted fair queueing) bounds its
+    per-source row_number with a LITERAL ``pos <= K`` filter — lossless
+    because the global top-K by (vt, source, id) always selects a
+    pos-prefix of each source — which triggers Spark's WindowGroupLimit
+    rewrite: each task keeps K rows per source (map-side partial top-K)
+    instead of one task sorting that source's entire corpus. Without
+    the pin, a refactor dropping the filter turns the schedule into a
+    near-global sort on a handful of reducers at 100 TB."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    for name in ("mixture_schedule", "curation_pipeline_stats",
+                 "curation_warc_pipeline_stats",
+                 "multimodal_curation_stats"):
+        plan = executed_plan(QUERIES[name](spark, sf_dir))
+        # 2 = Partial + Final (map-side and post-shuffle), like partial
+        # aggregates; >= 2 tolerates AQE reprints
+        assert plan.count("WindowGroupLimit") >= 2, (
+            name, plan.count("WindowGroupLimit"))
+
+
 def test_mp3_gate_single_exchange(spark, sf_dir):
     """The MP3 decode gate is one Arrow stage + the final order — a
     single exchange, no joins."""

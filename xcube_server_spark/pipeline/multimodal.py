@@ -283,8 +283,19 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
         if is_mp3(payload):
             from ..sources.mp3 import decode_mp3
 
-            pcm, _rate = decode_mp3(payload)
-            return pcm.mean(axis=1).astype(np.float32)
+            if not fake:
+                pcm, _rate = decode_mp3(payload)
+                return pcm.mean(axis=1).astype(np.float32)
+            # fake=True is the "stable plumbing" contract: is_mp3 is a
+            # loose sniff (any ID3 prefix / 0xFF Layer-III sync) and
+            # decode_mp3 honestly refuses unvalidated Huffman tables, so
+            # a refusal here must fall through to the deterministic
+            # sha256 fake rather than crash the fake-decode pipeline.
+            try:
+                pcm, _rate = decode_mp3(payload)
+                return pcm.mean(axis=1).astype(np.float32)
+            except (NotImplementedError, ValueError):
+                pass
     if not fake:
         raise NotImplementedError(
             "payload is not PCM WAV, FLAC, Ogg Vorbis or MPEG-1 Layer "

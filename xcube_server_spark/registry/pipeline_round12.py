@@ -362,6 +362,14 @@ def _curation_downstream(docs: DataFrame) -> DataFrame:
         survivors.select("doc_id", "source", F.md5("text")
                          .alias("text_md5"))
         .withColumn("pos", F.row_number().over(w_rank))
+        # Lossless rank bound -> map-side partial top-K: vt is strictly
+        # increasing in pos within a source, so the global top-K by
+        # (vt, source, doc_id) selects a pos-PREFIX of each source; a
+        # prefix of <= K selected rows has length <= K, hence no row
+        # with pos > K can ever reach the limit. The literal filter
+        # triggers Spark's WindowGroupLimit rewrite — each task keeps
+        # only K rows per source instead of sorting its whole corpus.
+        .filter(F.col("pos") <= _CUR_K)
         .withColumn("vt", F.col("pos").cast("double") / weight)
         .orderBy("vt", "source", "doc_id")
         .limit(_CUR_K)
@@ -738,6 +746,11 @@ def multimodal_curation_stats(spark: SparkSession, sf_dir: str
             .otherwise(weight)
     sched = (
         survivors.withColumn("pos", F.row_number().over(w_rank))
+        # Lossless rank bound (see _curation_downstream): the top-K by
+        # (vt, source, key) takes a pos-prefix per source, so pos > K
+        # never survives the limit; the literal filter makes the rank
+        # a WindowGroupLimit partial top-K instead of a full sort.
+        .filter(F.col("pos") <= 10)
         .withColumn("vt", F.col("pos").cast("double") / weight)
         .orderBy("vt", "source", "sample_key")
         .limit(10)

@@ -751,6 +751,15 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     sched = (
         docs.select("doc_id", "source")
         .withColumn("pos", F.row_number().over(w_rank))
+        # Lossless rank bound -> map-side partial top-K (Spark 3.5
+        # WindowGroupLimit): within a source vt = pos/weight is
+        # strictly increasing in pos, so the global top-K by
+        # (vt, source, doc_id) selects a pos-PREFIX of each source —
+        # at most K rows — and no row with pos > K can reach the
+        # limit, for ANY positive weights. Without this literal
+        # filter each window partition is one task sorting that
+        # source's entire corpus (a near-global sort at 100 TB).
+        .filter(F.col("pos") <= _SCHED_K)
         .withColumn("weight", weight)
         .select("doc_id", "source", "pos", vt)
         .orderBy("vt", "source", "doc_id")

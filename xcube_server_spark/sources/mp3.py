@@ -282,6 +282,11 @@ def _huffman_spectrum(br: _Bits, g: dict, rate: int,
         tid = g["table_select"][region]
         if tid not in HUFF:
             shape = UNSUPPORTED_HUFF_SHAPES.get(tid)
+            if shape is None:  # ids 4 and 14 don't exist in the spec
+                raise ValueError(
+                    f"reserved Huffman table id {tid}: no such table in "
+                    "ISO 11172-3 Table B.7 — invalid stream"
+                )
             raise NotImplementedError(
                 f"Huffman table {tid} {shape}: transcription not "
                 "verifiable in this environment (see mp3tables.py) — "
@@ -518,7 +523,6 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     overlap = None  # (nch, 32, 18) IMDCT overlap store
     synths = None
     pcm_chunks: list[np.ndarray] = []
-    prev_sf = None
     n_seen = 0
     free_base = None
     while pos + 4 <= len(data):
@@ -530,7 +534,6 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             rate, nch = hdr["rate"], hdr["nch"]
             overlap = np.zeros((nch, 32, 18), np.float64)
             synths = [_Synth() for _ in range(nch)]
-            prev_sf = [None] * nch
         elif hdr["rate"] != rate or hdr["nch"] != nch:
             raise ValueError("MP3 rate/channel change mid-stream")
         if pos + hdr["frame_len"] > len(data):
@@ -571,7 +574,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             )
         br = _Bits(bytes(reservoir), (start_abs - res_base) * 8)
         frame_pcm = _decode_frame(br, si, hdr, rate, nch, overlap,
-                                  synths, prev_sf)
+                                  synths)
         pcm_chunks.append(frame_pcm)
         # trim consumed reservoir, keep the spec's 511-byte max lookback
         keep = min(len(reservoir), 511 + len(main))
@@ -674,11 +677,16 @@ def _intensity_short(m: np.ndarray, s: np.ndarray, sf_r, rate: int,
 
 
 def _decode_frame(br: _Bits, si: dict, hdr: dict, rate: int, nch: int,
-                  overlap: np.ndarray, synths: list,
-                  prev_sf: list) -> np.ndarray:
+                  overlap: np.ndarray, synths: list) -> np.ndarray:
     ms = bool(hdr["mode"] == 1 and (hdr["mode_ext"] & 0x2))
     intensity = bool(hdr["mode"] == 1 and (hdr["mode_ext"] & 0x1))
     out = np.empty((1152, nch), np.float64)
+    # scfsi sharing is granule-0 -> granule-1 WITHIN one frame only
+    # (ISO 11172-3 2.4.2.7); per-frame state means a short-block
+    # granule 0 leaves this None and a scfsi-set granule 1 refuses in
+    # _read_scalefactors instead of silently reusing a prior frame's
+    # scalefactors.
+    prev_sf: list = [None] * nch
     for gr in range(2):
         xr_ch = []
         sf_ch = []

@@ -10,8 +10,13 @@ and frame statistics. Layer III only (the 'MP3' in MP3); free-format
 bitrate (index 0) derives its constant frame length from the
 sync-to-sync distance; reserved indices refuse loudly.
 
-``decode_audio`` still refuses MP3 payloads (lossy decode needs native
-codecs); this prober is the honest metadata-only capability next to it.
+``decode_audio`` (pipeline/multimodal.py) routes MP3-sniffed payloads
+to the full Layer III decoder in ``sources/mp3.py``, whose docstring
+documents the fidelity tiers (validated Huffman tables 0-6 + count1 B
+decode; untranscribed tables 7-31 / count1 A refuse loudly; the
+synthesis window is a documented near-PR stand-in). With
+``fake=True`` a decoder refusal falls through to the deterministic
+sha256 fake. This prober stays the header-only metadata capability.
 """
 
 from __future__ import annotations
