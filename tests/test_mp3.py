@@ -209,6 +209,57 @@ def _ref_decode(frames, rate=44100, stereo=False, ms=False,
             r2 = 1 / np.sqrt(2.0)
             if not intensity:
                 xr_ch = [(m + s_) * r2, (m - s_) * r2]
+            elif chs[1].get("block_type", 0) == 2 and chs[1].get("mixed"):
+                # mixed-block intensity, reordered domain: short region
+                # (sfbs 3..12) per-window bound scan; long region
+                # (long sfbs 0..7, lines 0..35) joins intensity only
+                # when the right channel's whole short region is silent
+                g_r = chs[1]
+                lsf_r, ssf_r = g_r.get("scalefacs") or (
+                    [0] * 8, [[0, 0, 0]] * 9
+                )
+                sbands = SFB_SHORT[rate]
+                lbands = SFB_LONG[rate]
+                lo_ = (m + s_) * r2 if ms else m.copy()
+                hi_ = (m - s_) * r2 if ms else s_.copy()
+
+                def _apply(k, is_pos):
+                    if is_pos == 7:
+                        return
+                    if is_pos == 6:
+                        lo_[k], hi_[k] = m[k], 0.0
+                    else:
+                        rt = np.tan(is_pos * np.pi / 12.0)
+                        lo_[k] = m[k] * (rt / (1 + rt))
+                        hi_[k] = m[k] * (1 / (1 + rt))
+
+                for win in range(3):
+                    bound = 3
+                    for sfb in range(12, 2, -1):
+                        base = sbands[sfb]
+                        width = sbands[sfb + 1] - sbands[sfb]
+                        idx = [3 * base + 3 * i + win
+                               for i in range(width)]
+                        if any(s_[k] != 0.0 for k in idx):
+                            bound = sfb + 1
+                            break
+                    for sfb in range(bound, 13):
+                        base = sbands[sfb]
+                        width = sbands[sfb + 1] - sbands[sfb]
+                        for i in range(width):
+                            _apply(3 * base + 3 * i + win,
+                                   ssf_r[min(sfb, 11) - 3][win])
+                if not any(s_[k] != 0.0 for k in range(36, 576)):
+                    bound = 0
+                    for sfb in range(7, -1, -1):
+                        if any(s_[k] != 0.0 for k in
+                               range(lbands[sfb], lbands[sfb + 1])):
+                            bound = sfb + 1
+                            break
+                    for sfb in range(bound, 8):
+                        for k in range(lbands[sfb], lbands[sfb + 1]):
+                            _apply(k, lsf_r[sfb])
+                xr_ch = [lo_, hi_]
             elif chs[1].get("block_type", 0) == 2:
                 # short-block intensity, reordered domain: per window,
                 # bands above the right channel's last data-bearing
@@ -682,16 +733,47 @@ def test_intensity_short_with_ms_and_right_data():
     assert np.abs(pcm - exp).max() < 1e-12
 
 
-def test_intensity_mixed_blocks_refused():
+def test_intensity_mixed_blocks_end_to_end():
+    """Mixed-block intensity, right channel silent: the entire short
+    region (sfbs 3..12, per window) AND the long region (sfbs 0..7)
+    take the tangent split, is_pos drawn from the right channel's
+    mixed scalefactor pair — against the independent model."""
+    is_long = [1, 2, 6, 0, 3, 1, 7, 2]
+    is_short = [[1, 2, 6]] * 4 + [[7, 0, 3]] * 5
     frames = [(
-        ({"lines": {5: 2}, "block_type": 2, "mixed": True},
+        ({"lines": {2: 2, 17: 1, 40: 3, 100: -2}, "block_type": 2,
+          "mixed": True},
+         {"lines": {5: -2}, "block_type": 2, "mixed": True}),
+        ({"lines": {}, "block_type": 2, "mixed": True,
+          "scalefac_compress": 13, "scalefacs": (is_long, is_short)},
          {"lines": {}, "block_type": 2, "mixed": True}),
+    )]
+    pcm, _ = decode_mp3(encode_mp3(frames, stereo=True, intensity=True))
+    exp = _ref_decode(frames, stereo=True, intensity=True)
+    assert pcm.shape == (1152, 2)
+    assert np.abs(pcm - exp).max() < 1e-12
+    assert np.abs(pcm[:, 0] - pcm[:, 1]).max() > 1e-6
+
+
+def test_intensity_mixed_with_ms_and_right_data():
+    """MS + mixed intensity with right-channel data in the SHORT
+    region: the long region falls back to MS entirely (it lies below
+    every window in frequency), and only the windows' bands above the
+    right data take the split."""
+    is_short = [[2, 2, 2]] * 9
+    frames = [(
+        ({"lines": {2: 2, 17: 1, 50: 1}, "block_type": 2,
+          "mixed": True},
+         {"lines": {4: 1, 38: 1}, "block_type": 2, "mixed": True,
+          "scalefac_compress": 13,
+          "scalefacs": ([3] * 8, is_short)}),
         ({"lines": {}, "block_type": 2, "mixed": True},
          {"lines": {}, "block_type": 2, "mixed": True}),
     )]
-    data = encode_mp3(frames, stereo=True, intensity=True)
-    with pytest.raises(NotImplementedError, match="MIXED"):
-        decode_mp3(data)
+    pcm, _ = decode_mp3(
+        encode_mp3(frames, stereo=True, ms=True, intensity=True))
+    exp = _ref_decode(frames, stereo=True, ms=True, intensity=True)
+    assert np.abs(pcm - exp).max() < 1e-12
 
 
 def test_hostile_bytes_raise_cleanly():

@@ -808,9 +808,12 @@ def test_stride_schedule_rank_is_window_group_limit(spark, sf_dir):
     near-global sort on a handful of reducers at 100 TB."""
     from xcube_server_spark.plans.explain import executed_plan
 
+    # sample_temperature's computed rk <= target_n can't bound the
+    # window, but target_n <= TOTAL always, so its literal rk <= TOTAL
+    # pre-filter earns the same rewrite
     for name in ("mixture_schedule", "curation_pipeline_stats",
                  "curation_warc_pipeline_stats",
-                 "multimodal_curation_stats"):
+                 "multimodal_curation_stats", "sample_temperature"):
         plan = executed_plan(QUERIES[name](spark, sf_dir))
         # 2 = Partial + Final (map-side and post-shuffle), like partial
         # aggregates; >= 2 tolerates AQE reprints

@@ -992,7 +992,12 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     document stream, so selection is one per-source window over md5 order —
     the same deterministic-rank machinery as ``sample_stratified``, with the
     rank bound now computed, not configured. Nothing but (source, doc_id,
-    rank) shuffles.
+    rank) shuffles — and the rank itself is a WindowGroupLimit partial
+    top-K: the computed ``rk <= target_n`` filter can't bound the window
+    (non-literal), but every ``target_n = floor(TOTAL·w/w_sum + 0.5)`` is
+    ≤ TOTAL because ``w/w_sum ≤ 1``, so a literal ``rk <= TOTAL``
+    pre-filter is provably lossless and keeps each task to TOTAL rows per
+    source instead of sorting the whole stratum.
     """
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
@@ -1010,8 +1015,10 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_source", "target_n")
     )
     w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
-    ranked = docs.select("source", "doc_id").withColumn(
-        "rk", F.row_number().over(w)
+    ranked = (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TEMP_TOTAL)
     )
     return (
         ranked.join(broadcast(targets), "source")

@@ -17,10 +17,11 @@ silently wrong:
 - The synthesis window is a documented near-PR stand-in for the spec's
   printed Table B.3 (round-trip SNR pinned by test); third-party MP3s
   decode with that prototype's passband shape instead of the spec
-  one's. Intensity stereo decodes for long blocks (is_pos tangent
-  ratios, zero-part bound, is_pos 7 fallback) AND short blocks
-  (per-window top-down bound scan, per-(sfb, window) is_pos);
-  mixed-block intensity refuses (clear error).
+  one's. Intensity stereo decodes for the full block matrix: long
+  blocks (is_pos tangent ratios, zero-part bound, is_pos 7 fallback),
+  short blocks (per-window top-down bound scan, per-(sfb, window)
+  is_pos) and mixed blocks (short region per-window over sfbs 3..12,
+  long region only when the whole short region is silent).
 
 The bundled ``encode_mp3`` writes standard-layout frames whose chosen
 quantized lines make decoded PCM an analytic formula (the same fixture
@@ -592,9 +593,9 @@ def _stereo_process(xr_ch: list, g_r: dict, sf_r, rate: int, ms: bool,
     everywhere intensity doesn't; intensity applies to scalefactor
     bands lying entirely at/above the right channel's decoded-data end
     (``zero_end_r``), with the right channel's scalefactor repurposed
-    as is_pos (7 = illegal -> fall back to MS / LR per band). Long
-    blocks only — short-block intensity refuses loudly (its per-window
-    zero-part bound in the reordered domain is a different layout)."""
+    as is_pos (7 = illegal -> fall back to MS / LR per band). Short
+    and mixed blocks route to their per-window bound scans
+    (``_intensity_short`` / ``_intensity_mixed``)."""
     m, s = xr_ch
     inv_sqrt2 = 1.0 / np.sqrt(2.0)
     if not intensity:
@@ -603,12 +604,7 @@ def _stereo_process(xr_ch: list, g_r: dict, sf_r, rate: int, ms: bool,
         return xr_ch
     if g_r["window_switching"] and g_r["block_type"] == 2:
         if g_r["mixed_block"]:
-            raise NotImplementedError(
-                "intensity stereo with MIXED blocks: the split "
-                "long/short bound is unimplemented — refused rather "
-                "than misdecoded (long- and short-block intensity "
-                "decode)"
-            )
+            return _intensity_mixed(m, s, sf_r, rate, ms)
         return _intensity_short(m, s, sf_r, rate, ms)
     bands = SFB_LONG[rate]
     out_l = np.empty(576, np.float64)
@@ -632,6 +628,68 @@ def _stereo_process(xr_ch: list, g_r: dict, sf_r, rate: int, ms: bool,
         else:
             out_l[lo:hi] = m[lo:hi]
             out_r[lo:hi] = s[lo:hi]
+    return [out_l, out_r]
+
+
+def _is_split(out_l: np.ndarray, out_r: np.ndarray, m: np.ndarray,
+              lo: int, hi: int, is_pos: int) -> None:
+    """Apply the intensity tangent split to lines [lo, hi) of the
+    carrier channel ``m``; is_pos 7 is illegal (the MS/LR fallback is
+    already in out_l/out_r — leave it), is_pos 6 is tan(pi/2) full
+    left."""
+    if is_pos == 7:
+        return
+    if is_pos == 6:
+        out_l[lo:hi] = m[lo:hi]
+        out_r[lo:hi] = 0.0
+    else:
+        ratio = np.tan(is_pos * np.pi / 12.0)
+        out_l[lo:hi] = m[lo:hi] * (ratio / (1.0 + ratio))
+        out_r[lo:hi] = m[lo:hi] * (1.0 / (1.0 + ratio))
+
+
+def _intensity_mixed(m: np.ndarray, s: np.ndarray, sf_r, rate: int,
+                     ms: bool) -> list:
+    """Mixed-block intensity: the granule splits at line 36 — subbands
+    0-1 carry LONG blocks over long sfbs 0..7 (SFB_LONG[rate][8] == 36
+    at every MPEG-1 rate), lines 36.. carry short windows over short
+    sfbs 3..12 in the SAME window-major pre-reorder layout as non-mixed
+    short (3 * SFB_SHORT[rate][3] == 36). The short region follows the
+    per-window top-down bound scan of ``_intensity_short`` restricted
+    to sfbs 3..12; the long region is lower in frequency than every
+    short window, so it joins the intensity region only when the right
+    channel's ENTIRE short region is silent — then its own top-down
+    long scan over sfbs 0..7 sets the bound. Scalefactors: sf_r is the
+    mixed pair (8 long values, 9 short triples for sfbs 3..11); band
+    12 reuses band 11's is_pos (remainder convention)."""
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    sf_long, sf_short = sf_r
+    out_l = (m + s) * inv_sqrt2 if ms else m.copy()
+    out_r = (m - s) * inv_sqrt2 if ms else s.copy()
+    bands = SFB_SHORT[rate]
+    for win in range(3):
+        bound_sfb = 3
+        for sfb in range(12, 2, -1):
+            width = bands[sfb + 1] - bands[sfb]
+            lo = 3 * bands[sfb] + win * width
+            if np.any(s[lo:lo + width] != 0.0):
+                bound_sfb = sfb + 1
+                break
+        for sfb in range(bound_sfb, 13):
+            width = bands[sfb + 1] - bands[sfb]
+            lo = 3 * bands[sfb] + win * width
+            _is_split(out_l, out_r, m, lo, lo + width,
+                      sf_short[min(sfb, 11) - 3][win])
+    if not np.any(s[36:] != 0.0):
+        lbands = SFB_LONG[rate]
+        bound = 0
+        for sfb in range(7, -1, -1):
+            if np.any(s[lbands[sfb]:lbands[sfb + 1]] != 0.0):
+                bound = sfb + 1
+                break
+        for sfb in range(bound, 8):
+            _is_split(out_l, out_r, m, lbands[sfb], lbands[sfb + 1],
+                      sf_long[sfb])
     return [out_l, out_r]
 
 
@@ -660,19 +718,10 @@ def _intensity_short(m: np.ndarray, s: np.ndarray, sf_r, rate: int,
         for sfb in range(bound_sfb, 13):
             width = bands[sfb + 1] - bands[sfb]
             lo = 3 * bands[sfb] + win * width
-            hi = lo + width
             # band 12 (above the last scalefactor band) carries band
             # 11's is_pos — the 'remainder' convention, as long blocks
-            is_pos = sf_r[min(sfb, 11)][win]
-            if is_pos == 7:
-                continue  # MS/LR fallback already in out_l/out_r
-            if is_pos == 6:
-                out_l[lo:hi] = m[lo:hi]
-                out_r[lo:hi] = 0.0
-            else:
-                ratio = np.tan(is_pos * np.pi / 12.0)
-                out_l[lo:hi] = m[lo:hi] * (ratio / (1.0 + ratio))
-                out_r[lo:hi] = m[lo:hi] * (1.0 / (1.0 + ratio))
+            _is_split(out_l, out_r, m, lo, lo + width,
+                      sf_r[min(sfb, 11)][win])
     return [out_l, out_r]
 
 
