@@ -1,0 +1,131 @@
+"""``audio_curation_stats`` fixture/oracle contracts: alias-safe line
+placement (the closed-form oracle omits butterflies + frequency
+inversion), quantization-boundary margin (libm last-ulp differences
+cannot flip the checksum), per-stage drop-class ownership, and
+checksum separation (non-duplicates distinct, duplicates identical)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xcube_server_spark.registry.pipeline_round13 import (
+    _AUD_ASSETS,
+    _AUD_K,
+    _AUD_MIN_SAMPLES,
+    _aud_cap_tokens,
+    _aud_oracle_sql,
+)
+from xcube_server_spark.sources.mp3 import decode_mp3, encode_mp3
+
+
+def _decode_stats():
+    out = {}
+    for aid, frames in _AUD_ASSETS:
+        pcm, rate = decode_mp3(encode_mp3(frames))
+        q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
+        ck = int((q * (np.arange(len(q)) + 1)).sum())
+        out[aid] = (len(q), rate, ck, pcm[:, 0])
+    return out
+
+
+def test_fixture_lines_alias_safe_even_subbands():
+    for _aid, frames in _AUD_ASSETS:
+        for g0, g1 in frames:
+            for g in (g0, g1):
+                for li in g.get("lines", {}):
+                    sb, off = li // 18, li % 18
+                    assert sb % 2 == 0, li  # freq inversion no-op
+                    if sb == 0:
+                        assert off <= 9, li
+                    else:
+                        assert off in (8, 9), li  # between butterflies
+
+
+def test_quantization_margin():
+    for aid, (_n, _r, _ck, wave) in _decode_stats().items():
+        nz = wave[wave != 0.0]
+        scaled = nz * 1048576.0 + 0.5
+        dist = np.abs(scaled - np.round(scaled))
+        assert dist.min() > 1e-4, (
+            f"asset {aid}: sample within {dist.min()} of a quantization "
+            "boundary — retune the fixture constants"
+        )
+
+
+def test_checksum_separation_and_drop_classes():
+    """Each fixture drop class is owned by exactly one DAG stage:
+    4/5 fall to the duration floor, 6/7 to the caption floor, 8/9 to
+    the checksum dedup (byte-identical to 0/1); everyone else reaches
+    the schedule. Non-duplicate checksums are pairwise distinct (a
+    collision would silently merge samples in the dedup stage)."""
+    stats = _decode_stats()
+    # duplicates: bit-identical PCM and checksum
+    for dup, orig in ((8, 0), (9, 1)):
+        assert stats[dup][2] == stats[orig][2]
+        assert np.array_equal(stats[dup][3], stats[orig][3])
+    # non-dup checksums pairwise distinct
+    cks = {a: s[2] for a, s in stats.items() if a not in (8, 9)}
+    assert len(set(cks.values())) == len(cks), cks
+    # stage ownership
+    dur_pass = {a for a, s in stats.items()
+                if s[0] >= _AUD_MIN_SAMPLES}
+    assert dur_pass == set(range(12)) - {4, 5}
+    cap_pass = {a for a in range(12) if _aud_cap_tokens(a) >= 3}
+    assert cap_pass == set(range(12)) - {6, 7}
+    survivors = dur_pass & cap_pass - {8, 9}
+    assert survivors == {0, 1, 2, 3, 10, 11}
+    # durations genuinely vary among survivors, so the schedule's
+    # duration weighting is exercised (not count-equivalent)
+    assert len({stats[a][0] for a in survivors}) >= 3
+
+
+def test_oracle_decode_stage_matches_decoder():
+    """The oracle's closed-form PCM chain (stats CTE) reproduces the
+    real decoder's (n_samples, checksum) for every asset — the same
+    pin as ``test_mp3_gate.test_oracle_sql_matches_decoder`` through
+    the reused ``_mp3_pcm_ctes``."""
+    import duckdb
+
+    sql = _aud_oracle_sql()
+    head = sql.split(",\nmeta(")[0]  # WITH ... stats AS (...)
+    rows = duckdb.sql(
+        head + "\nSELECT a, n_samples, checksum FROM stats ORDER BY a"
+    ).fetchall()
+    stats = _decode_stats()
+    assert len(rows) == len(stats)
+    for a, n, ck in rows:
+        assert (stats[a][0], stats[a][2]) == (n, ck), a
+
+
+def test_schedule_is_duration_weighted_fair():
+    """End-to-end invariant on the oracle output: the selected prefix
+    follows weighted fair queueing on cumulative duration — every
+    selected (source, pos) pair's virtual time is among the K smallest
+    over all survivor prefixes."""
+    import duckdb
+
+    rows = duckdb.sql(_aud_oracle_sql()).fetchall()
+    assert len(rows) == _AUD_K
+    assert [r[0] for r in rows] == list(range(1, _AUD_K + 1))
+    stats = _decode_stats()
+    # recompute vts by hand over survivors {0,1,2,3,10,11}
+    import hashlib
+
+    surv = {0, 1, 2, 3, 10, 11}
+    by_src: dict[str, list[int]] = {}
+    for a in sorted(surv):
+        by_src.setdefault(f"src{a % 2}", []).append(a)
+    vts = []
+    for src, ids in by_src.items():
+        ids = sorted(ids, key=lambda a: (
+            hashlib.md5(f"{a:04d}".encode()).hexdigest(), f"{a:04d}"))
+        cum = 0
+        for a in ids:
+            cum += stats[a][0]
+            w = 2.0 if src == "src0" else 1.0
+            vts.append((cum / w, src, f"{a:04d}", stats[a][0]))
+    vts.sort()
+    want = [(i + 1, k, s, n)
+            for i, (_vt, s, k, n) in enumerate(vts[:_AUD_K])]
+    got = [(r[0], r[1], r[2], r[3]) for r in rows]
+    assert got == want

@@ -821,6 +821,22 @@ def test_stride_schedule_rank_is_window_group_limit(spark, sf_dir):
             name, plan.count("WindowGroupLimit"))
 
 
+def test_audio_curation_plan_contracts(spark, sf_dir):
+    """The audio curation DAG (round 13): ingest + decode stay within
+    the Arrow-stage budget (tar index/fetch + ONE decode pass), the
+    whole 5-stage plan stays within its exchange budget, and the
+    duration-weighted schedule's rank is a WindowGroupLimit partial
+    top-K (covered family-wide by
+    test_stride_schedule_rank_is_window_group_limit)."""
+    df = QUERIES["audio_curation_stats"](spark, sf_dir)
+    assert count_exchanges(df) <= 8, count_exchanges(df)
+    from xcube_server_spark.plans.explain import executed_plan
+
+    plan = executed_plan(df)
+    assert plan.count("MapInPandas") <= 3
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 def test_mp3_gate_single_exchange(spark, sf_dir):
     """The MP3 decode gate is one Arrow stage + the final order — a
     single exchange, no joins."""

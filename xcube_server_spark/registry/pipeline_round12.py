@@ -113,7 +113,12 @@ def mp3_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
-def _mp3_oracle_sql() -> str:
+def _mp3_pcm_ctes(assets) -> str:
+    """The closed-form MPEG-1 Layer III decode as a reusable DuckDB CTE
+    chain over ``(asset_id, frames)`` fixtures (module docstring for
+    the math): yields ``pcm(a, t, v)`` — every decoded sample of every
+    asset — plus ``sizes(a, n)``. Shared by ``mp3_decode_stats`` and
+    the round-13 audio curation DAG oracle."""
     from ..sources.mp3tables import SYNTH_WINDOW
 
     d_rows = ", ".join(
@@ -121,7 +126,7 @@ def _mp3_oracle_sql() -> str:
         for i, v in enumerate(SYNTH_WINDOW)
     )
     line_rows = []
-    for aid, frames in _MP3_ASSETS:
+    for aid, frames in assets:
         for gidx, (g0, g1) in enumerate(frames):
             for gr, g in ((0, g0), (1, g1)):
                 gg = g.get("global_gain", 210)
@@ -131,10 +136,9 @@ def _mp3_oracle_sql() -> str:
                         f"{li % 18}, {iv}, {gg})"
                     )
     sizes = ", ".join(
-        f"({aid}, {1152 * len(frames)})" for aid, frames in _MP3_ASSETS
+        f"({aid}, {1152 * len(frames)})" for aid, frames in assets
     )
-    return f"""
-WITH d(i, v) AS (VALUES {d_rows}),
+    return f"""d(i, v) AS (VALUES {d_rows}),
 lines(a, G, sb, k, iv, gg) AS (VALUES {", ".join(line_rows)}),
 sizes(a, n) AS (VALUES {sizes}),
 -- windowed IMDCT time blocks, one row per (granule line, n)
@@ -168,7 +172,12 @@ pcm AS (
   FROM (SELECT a, unnest(range(0, n)) AS t FROM sizes) z
   LEFT JOIN contrib c ON c.a = z.a AND c.t = z.t
   GROUP BY z.a, z.t
-)
+)"""
+
+
+def _mp3_oracle_sql() -> str:
+    return f"""
+WITH {_mp3_pcm_ctes(_MP3_ASSETS)}
 SELECT CAST(a AS BIGINT) AS asset_id,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(44100 AS INT) AS sample_rate,

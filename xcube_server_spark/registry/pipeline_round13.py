@@ -1,0 +1,263 @@
+"""Round-13 gates.
+
+``audio_curation_stats``: the curation DAG's AUDIO front door — the
+third composed curation pipeline (after the jsonl/warc document twins
+and the audio-visual WebDataset DAG), exercising the round-12/13 MP3
+decoder inside a multi-stage plan. A WebDataset-style tar shard of
+MPEG-1 Layer III clips + JSON captions flows through
+
+    tar ingest (driver header-hop index, executor ranged reads)
+    → REAL MP3 decode in ONE Arrow stage (``sources/mp3.py``:
+      frame walk, side info, Huffman, requantize, IMDCT, polyphase)
+    → quality filters: duration floor + caption-token floor
+    → exact dedup on the position-weighted PCM checksum (keep the
+      minimum sample key — byte-identical clips collapse)
+    → DURATION-weighted stride-scheduled mixture: virtual time is the
+      source's CUMULATIVE decoded duration / weight (weighted fair
+      queueing on listening time, not clip count), with the lossless
+      ``pos <= K`` prefix bound making the per-source rank a
+      WindowGroupLimit partial top-K.
+
+Every fixture drop class is owned by a DIFFERENT stage (the
+``multimodal_curation_stats`` discipline): assets 4/5 are one-frame
+clips under the duration floor, 6/7 have two-token captions, 8/9 are
+byte-identical duplicates of 0/1. The DuckDB oracle decodes the same
+clips through the closed-form Layer III chain
+(``pipeline_round12._mp3_pcm_ctes`` — the ``mp3_decode_stats``
+machinery, reused verbatim) and replays the DAG in SQL; fixture lines
+obey the same alias-safe even-subband constraint (pinned by
+``tests/test_audio_curation.py``).
+
+Reference analog: the multimodal/corpus store axis
+(``xcube_server/context.py:217-235``) — crawl-audio curation is the
+first pipeline a user points this engine at once MP3 decodes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline_round12 import _mp3_pcm_ctes
+
+QUERIES = {}
+ORACLES = {}
+
+# --------------------------------------------------------------------------
+# audio_curation_stats
+# --------------------------------------------------------------------------
+_AUD_N = 12
+_AUD_WEIGHTS = {"src0": 2.0}  # src1 weight 1.0
+_AUD_K = 4
+_AUD_MIN_SAMPLES = 2000  # duration floor: one 1152-sample frame fails
+
+
+def _aud_frames(i: int) -> list:
+    """Deterministic per-asset Layer III fixture frames. Lines sit in
+    EVEN subbands at alias-safe offsets (sb0: 0..9, other even sb:
+    offset 8) so the closed-form oracle may omit alias butterflies and
+    frequency inversion — the ``mp3_decode_stats`` constraint, pinned
+    by ``tests/test_audio_curation.py``. Assets 8/9 reuse 0/1's frames
+    byte-identically (the dedup drop class); 4/5 are single-frame
+    (duration drop class); 2/3 and 11 are longer (3 and 4 frames) so
+    the duration-weighted schedule orders differently than a count
+    schedule would."""
+    j = i - 8 if i in (8, 9) else i
+    n_frames = {2: 3, 3: 3, 4: 1, 5: 1, 11: 4}.get(j, 2)
+    # per-asset salts searched so every decoded sample clears the
+    # 2^-20 quantization boundary by > 2e-4 (test_quantization_margin)
+    salt = {1: 6, 2: 2, 3: 4, 5: 2, 6: 1, 10: 5, 11: 14}.get(j, 0)
+    frames = []
+    for fidx in range(n_frames):
+        # even subband 2..8 (lines < 162: the fixture encoder's
+        # region0 bound)
+        sb = 2 * ((j + fidx) % 4 + 1)
+        g0 = {"lines": {18 * sb + 8: 1 + (j + fidx + salt) % 3}}
+        g1 = {"lines": {(j + 2 * fidx + salt) % 10: 2}} if fidx % 2 == 0 \
+            else {"lines": {}}
+        frames.append((g0, g1))
+    return frames
+
+
+_AUD_ASSETS = [(i, _aud_frames(i)) for i in range(_AUD_N)]
+
+
+def _aud_cap_tokens(i: int) -> int:
+    return 2 if i in (6, 7) else 4
+
+
+def _aud_fixture() -> str:
+    from ..sources.mp3 import encode_mp3
+    from ..sources.tar_source import build_tar
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_audio_curation_gate_v2")
+    path = os.path.join(d, "shard-0000.tar")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        members = []
+        for i, frames in _AUD_ASSETS:
+            members.append((f"{i:04d}.mp3", encode_mp3(frames)))
+            cap = " ".join(f"tok{t}" for t in range(_aud_cap_tokens(i)))
+            members.append((
+                f"{i:04d}.json",
+                f'{{"cap": "{cap}", "src": "src{i % 2}"}}'.encode(),
+            ))
+        with open(path, "wb") as f:
+            f.write(build_tar(members))
+    return d
+
+
+def audio_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio curation DAG as one plan (module docstring). Scale
+    shape: the tar index is driver-side metadata; executors ranged-read
+    and decode exactly their members (one Arrow stage); the dedup
+    window partitions by checksum (high cardinality); the schedule's
+    per-source rank carries the lossless ``pos <= K`` literal bound
+    (WindowGroupLimit partial top-K — within a source the cumulative-
+    duration virtual time is strictly increasing in pos, so the global
+    top-K is a pos-prefix of each source), and the cumulative-duration
+    window then runs over at most K rows per source."""
+    import pandas as pd
+
+    from ..sources.mp3 import decode_mp3
+    from ..sources.tar_source import ingest_tar_distributed
+
+    from pyspark.sql import Window
+
+    d = _aud_fixture()
+    df = ingest_tar_distributed(spark, "local", d, "shard-0000.tar")
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            keys, ns, cks = [], [], []
+            for k, field, payload in zip(pdf["sample_key"],
+                                         pdf["field"], pdf["payload"]):
+                if field != "mp3":
+                    continue
+                pcm, _rate = decode_mp3(bytes(payload))
+                q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
+                pos = np.arange(len(q), dtype=np.int64) + 1
+                keys.append(k)
+                ns.append(len(q))
+                cks.append(int((q * pos).sum()))
+            yield pd.DataFrame(
+                {"sample_key": keys, "n_samples": ns, "checksum": cks}
+            )
+
+    audio = df.filter(F.col("field") == "mp3").mapInPandas(
+        decode, "sample_key string, n_samples long, checksum long"
+    )
+    caps = df.filter(F.col("field") == "json").select(
+        "sample_key",
+        F.get_json_object(F.decode("payload", "utf-8"), "$.cap")
+        .alias("cap"),
+        F.get_json_object(F.decode("payload", "utf-8"), "$.src")
+        .alias("source"),
+    ).select(
+        "sample_key", "source",
+        F.size(F.split("cap", " ")).cast("bigint").alias("cap_tokens"),
+    )
+    samples = audio.join(caps, "sample_key")
+    # quality filters: each clause owns one fixture drop class
+    passed = samples.filter(
+        f"n_samples >= {_AUD_MIN_SAMPLES} AND cap_tokens >= 3"
+    )
+    # exact PCM dedup: keep the minimum sample_key per checksum
+    keeper = Window.partitionBy("checksum")
+    survivors = (
+        passed.withColumn("keep_key", F.min("sample_key").over(keeper))
+        .filter("sample_key = keep_key")
+        .drop("keep_key")
+    )
+    # duration-weighted stride schedule
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5("sample_key"), F.col("sample_key")
+    )
+    weight = F.lit(1.0)
+    for src, wt in _AUD_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)) \
+            .otherwise(weight)
+    w_cum = Window.partitionBy("source").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sched = (
+        survivors.withColumn("pos", F.row_number().over(w_rank))
+        # lossless prefix bound -> WindowGroupLimit (docstring)
+        .filter(F.col("pos") <= _AUD_K)
+        .withColumn("cum_dur", F.sum("n_samples").over(w_cum))
+        # exact: cum_dur is integral, weights are 2.0/1.0
+        .withColumn("vt", F.col("cum_dur").cast("double") / weight)
+        .orderBy("vt", "source", "sample_key")
+        .limit(_AUD_K)
+    )
+    w_global = Window.orderBy("vt", "source", "sample_key")
+    return sched.withColumn(
+        "sched_pos", F.row_number().over(w_global)
+    ).select("sched_pos", "sample_key", "source", "n_samples",
+             "checksum")
+
+
+_AUD_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in _AUD_WEIGHTS.items()
+)
+
+
+def _aud_oracle_sql() -> str:
+    metas = ", ".join(
+        f"({i}, 'src{i % 2}', {_aud_cap_tokens(i)})"
+        for i in range(_AUD_N)
+    )
+    return f"""
+WITH {_mp3_pcm_ctes(_AUD_ASSETS)},
+stats AS (
+  SELECT a, count(*) AS n_samples,
+         CAST(sum(CAST(floor(v*1048576 + 0.5) AS BIGINT) * (t + 1))
+              AS BIGINT) AS checksum
+  FROM pcm GROUP BY a
+),
+meta(a, source, cap_tokens) AS (VALUES {metas}),
+keyed AS (
+  SELECT lpad(CAST(a AS VARCHAR), 4, '0') AS sample_key, source,
+         CAST(n_samples AS BIGINT) AS n_samples, checksum
+  FROM stats JOIN meta USING (a)
+  WHERE n_samples >= {_AUD_MIN_SAMPLES} AND cap_tokens >= 3
+),
+surv AS (
+  SELECT sample_key, source, n_samples, checksum FROM (
+    SELECT k.*, min(sample_key) OVER (PARTITION BY checksum) AS keep
+    FROM keyed k
+  ) WHERE sample_key = keep
+),
+ranked AS (
+  SELECT sample_key, source, n_samples, checksum,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(sample_key), sample_key) AS pos
+  FROM surv
+),
+cum AS (
+  SELECT *, sum(n_samples) OVER (PARTITION BY source ORDER BY pos)
+            AS cum_dur
+  FROM ranked WHERE pos <= {_AUD_K}
+),
+sel AS (
+  SELECT *, CAST(cum_dur AS DOUBLE) /
+            (CASE {_AUD_CASE} ELSE 1.0 END) AS vt
+  FROM cum
+  ORDER BY vt, source, sample_key
+  LIMIT {_AUD_K}
+)
+SELECT row_number() OVER (ORDER BY vt, source, sample_key)
+         AS sched_pos,
+       sample_key, source, n_samples, checksum
+FROM sel
+ORDER BY sched_pos
+"""
+
+
+QUERIES["audio_curation_stats"] = audio_curation_stats
+ORACLES["audio_curation_stats"] = _aud_oracle_sql()
