@@ -97,6 +97,48 @@ def test_oracle_decode_stage_matches_decoder():
         assert (stats[a][0], stats[a][2]) == (n, ck), a
 
 
+def test_probe_fixture_durations_match_oracle_fractions():
+    """``audio_probe_mixture_stats``'s oracle hardcodes each asset's
+    duration as an exact integer fraction; pin that the REAL payload
+    probes (WAV fmt/data, FLAC STREAMINFO, MP3 frame walk, Ogg granule
+    positions incl. Opus pre-skip) produce bit-identical doubles —
+    the same-hand control between fixture builders and the VALUES
+    table."""
+    import numpy as np
+
+    from xcube_server_spark.pipeline.multimodal import probe_audio
+    from xcube_server_spark.registry.pipeline_round13 import (
+        _PRB_SPEC,
+        _prb_duration_frac,
+    )
+    from xcube_server_spark.sources.flac import encode_flac
+    from xcube_server_spark.sources.mp3 import encode_mp3
+    from xcube_server_spark.sources.oggmeta import (
+        build_ogg_opus,
+        build_ogg_vorbis,
+    )
+    from xcube_server_spark.sources.wav import encode_wav
+
+    for spec in _PRB_SPEC:
+        kind = spec[1]
+        if kind == "wav":
+            payload = encode_wav(np.zeros(spec[3]), spec[2])
+        elif kind == "flac":
+            payload = encode_flac(np.zeros(spec[3], np.int64), spec[2])
+        elif kind == "mp3":
+            payload = encode_mp3(
+                [({"lines": {5: 2}}, {"lines": {}})] * spec[2])
+        elif kind == "opus":
+            payload = build_ogg_opus(spec[3] / spec[2])
+        else:
+            payload = build_ogg_vorbis(spec[3] / spec[2], spec[2])
+        container, dur, rate = probe_audio(payload)
+        num, den = _prb_duration_frac(spec)
+        assert container == kind, spec
+        assert dur == num / den, (spec, dur)  # BIT-identical, not close
+        assert rate == (44100 if kind == "mp3" else spec[2])
+
+
 def test_schedule_is_duration_weighted_fair():
     """End-to-end invariant on the oracle output: the selected prefix
     follows weighted fair queueing on cumulative duration — every

@@ -813,7 +813,8 @@ def test_stride_schedule_rank_is_window_group_limit(spark, sf_dir):
     # pre-filter earns the same rewrite
     for name in ("mixture_schedule", "curation_pipeline_stats",
                  "curation_warc_pipeline_stats",
-                 "multimodal_curation_stats", "sample_temperature"):
+                 "multimodal_curation_stats", "sample_temperature",
+                 "audio_probe_mixture_stats"):
         plan = executed_plan(QUERIES[name](spark, sf_dir))
         # 2 = Partial + Final (map-side and post-shuffle), like partial
         # aggregates; >= 2 tolerates AQE reprints

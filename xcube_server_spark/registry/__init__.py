@@ -88,6 +88,7 @@ for _m in (
 # every pytest run.
 _PRIORITY = [
     "audio_curation_stats",
+    "audio_probe_mixture_stats",
     "mp3_decode_stats",
     "curation_pipeline_stats",
     "curation_warc_pipeline_stats",
@@ -135,11 +136,12 @@ _PRIORITY = [
     "zarr_ingest_stats_blosc",
     "zarr_ingest_stats_blosclz",
     "zarr_ingest_stats_lz4",
-    "zarr_ingest_stats_zstd",
-    "zarr_v3_sharded_ingest_stats",  # <- window position 50
+    "zarr_ingest_stats_zstd",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 227
     # prior entries were driver-green in the r01-r12 union (zero stale,
-    # zero never-checked) and stay locally verified per pytest run. ----
+    # zero never-checked) and stay locally verified per pytest run;
+    # zarr_v3_sharded_ingest_stats (r08 vintage) was displaced from the
+    # tail by audio_probe_mixture_stats and heads the r14 rotation. ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -261,3 +261,184 @@ ORDER BY sched_pos
 
 QUERIES["audio_curation_stats"] = audio_curation_stats
 ORACLES["audio_curation_stats"] = _aud_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# audio_probe_mixture_stats: metadata-only curation over MIXED containers
+# --------------------------------------------------------------------------
+# The 100 TB story: before (or instead of) decoding a single sample, a
+# crawl-audio sweep probes container metadata — including formats this
+# engine honestly REFUSES to decode (Ogg Opus) — filters on probed
+# duration, and schedules a duration-weighted mixture. Everything below
+# runs on frame/page/STREAMINFO headers only (``probe_audio``).
+#
+# (asset_id, kind, *params); durations are exact integer sample counts
+# over the container's rate, so both engines compute the identical IEEE
+# quotient. Assets 10/11 fall under the duration floor (the drop class).
+_PRB_SPEC = [
+    (0, "wav", 44100, 22050),    # rate, n_samples -> 0.5 s
+    (1, "wav", 8000, 1200),      # 0.15 s
+    (2, "flac", 16000, 3200),    # 0.2 s
+    (3, "flac", 22050, 11025),   # 0.5 s
+    (4, "mp3", 2),               # frames -> 2304/44100 s
+    (5, "mp3", 3),
+    (6, "opus", 48000, 12000),   # granule math: 0.25 s at 48 kHz
+    (7, "opus", 48000, 24000),
+    (8, "vorbis", 44100, 11025),
+    (9, "vorbis", 32000, 16000),
+    (10, "wav", 44100, 882),     # 0.02 s -> duration-floor drop
+    (11, "opus", 48000, 480),    # 0.01 s -> duration-floor drop
+]
+_PRB_WEIGHTS = {"wav": 2.0, "opus": 2.0}  # other containers 1.0
+_PRB_K = 6
+_PRB_MIN_SEC = 0.05
+
+
+def _prb_duration_frac(spec) -> tuple[int, int]:
+    """(numerator_samples, denominator_rate) of the probed duration."""
+    if spec[1] == "mp3":
+        return 1152 * spec[2], 44100
+    return spec[3], spec[2]
+
+
+def _prb_fixture(spark: SparkSession) -> str:
+    import numpy as np
+
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.flac import encode_flac
+    from ..sources.mp3 import encode_mp3
+    from ..sources.oggmeta import build_ogg_opus, build_ogg_vorbis
+    from ..sources.wav import encode_wav
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_audio_probe_gate_v1")
+    p = os.path.join(d, "assets.parquet")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return p
+    rows = []
+    for spec in _PRB_SPEC:
+        aid, kind = spec[0], spec[1]
+        if kind == "wav":
+            payload = encode_wav(np.zeros(spec[3]), spec[2])
+            mt = "audio/wav"
+        elif kind == "flac":
+            payload = encode_flac(np.zeros(spec[3], np.int64), spec[2])
+            mt = "audio/flac"
+        elif kind == "mp3":
+            payload = encode_mp3(
+                [({"lines": {5: 2}}, {"lines": {}})] * spec[2]
+            )
+            mt = "audio/mpeg"
+        elif kind == "opus":
+            payload = build_ogg_opus(spec[3] / spec[2])
+            mt = "audio/ogg"
+        else:  # metadata-only vorbis fixture (exact binary duration)
+            payload = build_ogg_vorbis(spec[3] / spec[2], spec[2])
+            mt = "audio/ogg"
+        rows.append((aid, mt, bytearray(payload),
+                     {"width": 0, "height": 0, "n_frames": 0,
+                      "sample_rate": spec[2]}))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def audio_probe_mixture_stats(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Duration-weighted mixture over a mixed-container audio corpus
+    using METADATA PROBES ONLY (``probe_audio_meta``: WAV fmt/data
+    chunks, FLAC STREAMINFO, MP3 frame-header walk, Ogg granule
+    positions incl. Opus pre-skip — zero samples decoded, which is how
+    a 100 TB sweep must start, and the only honest path for codecs this
+    engine refuses to decode). Probe → duration floor → duration-
+    weighted stride schedule per container, with the same lossless
+    ``pos <= K`` WindowGroupLimit bound as ``audio_curation_stats``.
+
+    Float discipline: every probed duration is an exact-integer sample
+    count divided by the container rate — one IEEE division on
+    identical operands in both engines — and the cumulative sums run in
+    identical per-source rank order, so vt comparisons are bit-stable.
+    """
+    from ..pipeline.multimodal import probe_audio_meta
+
+    from pyspark.sql import Window
+
+    media = spark.read.parquet(_prb_fixture(spark))
+    probed = probe_audio_meta(media)
+    passed = probed.filter(F.col("duration_sec") >= _PRB_MIN_SEC)
+    w_rank = Window.partitionBy("container").orderBy(
+        F.md5(F.col("asset_id").cast("string")), F.col("asset_id")
+    )
+    weight = F.lit(1.0)
+    for src, wt in _PRB_WEIGHTS.items():
+        weight = F.when(F.col("container") == src, F.lit(wt)) \
+            .otherwise(weight)
+    w_cum = Window.partitionBy("container").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sched = (
+        passed.withColumn("pos", F.row_number().over(w_rank))
+        # lossless prefix bound -> WindowGroupLimit (audio_curation_stats)
+        .filter(F.col("pos") <= _PRB_K)
+        .withColumn("cum_dur", F.sum("duration_sec").over(w_cum))
+        .withColumn("vt", F.col("cum_dur") / weight)
+        .orderBy("vt", "container", "asset_id")
+        .limit(_PRB_K)
+    )
+    w_global = Window.orderBy("vt", "container", "asset_id")
+    return sched.withColumn(
+        "sched_pos", F.row_number().over(w_global)
+    ).select("sched_pos", "asset_id", "container", "duration_sec",
+             "sample_rate")
+
+
+_PRB_CASE = " ".join(
+    f"WHEN container = '{s}' THEN {w!r}"
+    for s, w in _PRB_WEIGHTS.items()
+)
+
+
+def _prb_oracle_sql() -> str:
+    rows = []
+    for spec in _PRB_SPEC:
+        num, den = _prb_duration_frac(spec)
+        container = spec[1]
+        rate = 44100 if spec[1] == "mp3" else spec[2]
+        rows.append(
+            f"({spec[0]}, '{container}', "
+            f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), {rate})"
+        )
+    return f"""
+WITH probed(asset_id, container, duration_sec, sample_rate) AS (
+  VALUES {", ".join(rows)}
+),
+ranked AS (
+  SELECT asset_id, container, duration_sec, sample_rate,
+         row_number() OVER (
+           PARTITION BY container
+           ORDER BY md5(CAST(asset_id AS VARCHAR)), asset_id) AS pos
+  FROM probed WHERE duration_sec >= {_PRB_MIN_SEC}
+),
+cum AS (
+  SELECT *, sum(duration_sec) OVER (
+              PARTITION BY container ORDER BY pos) AS cum_dur
+  FROM ranked WHERE pos <= {_PRB_K}
+),
+sel AS (
+  SELECT *, cum_dur / (CASE {_PRB_CASE} ELSE 1.0 END) AS vt
+  FROM cum
+  ORDER BY vt, container, asset_id
+  LIMIT {_PRB_K}
+)
+SELECT row_number() OVER (ORDER BY vt, container, asset_id)
+         AS sched_pos,
+       CAST(asset_id AS BIGINT) AS asset_id, container, duration_sec,
+       CAST(sample_rate AS INT) AS sample_rate
+FROM sel
+ORDER BY sched_pos
+"""
+
+
+QUERIES["audio_probe_mixture_stats"] = audio_probe_mixture_stats
+ORACLES["audio_probe_mixture_stats"] = _prb_oracle_sql()
