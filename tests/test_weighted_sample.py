@@ -1,0 +1,86 @@
+"""``weighted_sample_wor`` (A-Res) contracts: the ln-key ordering is
+provably stable against last-ulp libm differences at every shipped
+scale factor, equals the textbook u^(1/w) ordering, and the weights
+genuinely bias inclusion (statistical direction test over salted
+re-draws)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from xcube_server_spark.registry.pipeline_round13 import (
+    _WSW_K,
+    _WSW_WEIGHTS,
+)
+
+SF_DIRS = [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                "/root/testdata/sf0.1")
+    if os.path.exists(d)
+]
+
+
+def _docs(sf_dir):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+
+
+def _key(doc_id, source, salt=""):
+    h = int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:15], 16)
+    u = (h + 1) / 2.0 ** 60
+    w = _WSW_WEIGHTS.get(source, 1.0)
+    return np.log(u) / w, u, w
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_key_margin_dominates_libm_wiggle(sf_dir):
+    """JVM and DuckDB ln/pow may differ in the last ulp (~|key| *
+    2^-52 ≈ 1e-14 absolute here). The gate's ordering is safe iff the
+    adjacent key gaps in and around the selected top-K exceed that by
+    orders of magnitude — prove it on the shipped data."""
+    keys = sorted(
+        (_key(d, s)[0] for d, s in _docs(sf_dir)), reverse=True
+    )
+    window = keys[: _WSW_K + 2]
+    gaps = np.diff(window) * -1.0
+    assert gaps.min() > 1e-9, gaps.min()
+
+
+def test_ln_key_order_equals_textbook_ares_order():
+    """Ranking by ln(u)/w is the monotone-equivalent of the textbook
+    A-Res key u^(1/w) — verify the two orderings select the identical
+    top-K on real data (the correctness of the portability rewrite)."""
+    rows = _docs(SF_DIRS[0])
+    ln_top = sorted(
+        rows, key=lambda r: (-_key(*r)[0], r[0])
+    )[:_WSW_K]
+    pow_top = sorted(
+        rows,
+        key=lambda r: (-(_key(*r)[1] ** (1.0 / _key(*r)[2])), r[0]),
+    )[:_WSW_K]
+    assert ln_top == pow_top
+
+
+def test_weights_bias_inclusion_direction():
+    """Over many salted re-draws, weight-3 sources must be included
+    roughly 3x as often as weight-1 sources (loose statistical bounds
+    — the direction and rough magnitude, not the exact ratio)."""
+    rows = _docs(SF_DIRS[0])
+    n_src0 = n_src2 = 0
+    for salt in range(200):
+        top = sorted(
+            ((_key(d, s, f"|{salt}")[0], d, s) for d, s in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:_WSW_K]
+        n_src0 += sum(1 for _k, _d, s in top if s == "src0")
+        n_src2 += sum(1 for _k, _d, s in top if s == "src2")
+    assert n_src0 > 2.0 * n_src2, (n_src0, n_src2)
+    assert n_src0 < 4.5 * n_src2, (n_src0, n_src2)

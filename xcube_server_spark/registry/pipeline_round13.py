@@ -442,3 +442,83 @@ ORDER BY sched_pos
 
 QUERIES["audio_probe_mixture_stats"] = audio_probe_mixture_stats
 ORACLES["audio_probe_mixture_stats"] = _prb_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# weighted_sample_wor: deterministic weighted sampling WITHOUT replacement
+# --------------------------------------------------------------------------
+_WSW_WEIGHTS = {"src0": 3.0, "src1": 2.0}  # other sources weight 1.0
+_WSW_K = 40
+
+
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via A-Res (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    document draws u in (0, 1] and the K items with the largest
+    u^(1/w) form an exact weighted sample-without-replacement. Here u
+    is DETERMINISTIC — the 60-bit md5 of the doc id mapped to
+    (h+1)/2^60 — so a resumed run re-selects the identical sample
+    (the ``mixture_schedule`` reproducibility discipline: order is a
+    property of the data, not the execution). ``sample_mixture`` /
+    ``sample_temperature`` take per-source PREFIXES of a ranked
+    stream; this draws a single GLOBAL sample whose inclusion
+    probabilities follow per-source weights — the third sampling
+    primitive a training-mix builder needs.
+
+    Portability: ranking by u^(1/w) equals ranking by ln(u)/w (ln and
+    ^(1/w) are monotone), which both engines evaluate with one ln and
+    one exact division; JVM-vs-DuckDB libm may differ in the last ulp,
+    so ``tests/test_weighted_sample.py`` PROVES the adjacent key gaps
+    around and inside the selected set exceed that wiggle by >1e5x at
+    every shipped scale factor. The selected output carries only
+    integers/strings (rank, doc_id, source) — no float ever reaches
+    the driver hash.
+
+    Plan shape: scan-side key computation, TakeOrdered(K) global
+    top-K (per-partition partial top-K, no full sort, no shuffle
+    before the single K-row collect), final rank window over K rows.
+    """
+    from ._util import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    from pyspark.sql import Window
+
+    weight = F.lit(1.0)
+    for src, wt in _WSW_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)) \
+            .otherwise(weight)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.pow(F.lit(2.0), F.lit(60))
+    keyed = docs.withColumn("key", F.log(u) / weight)
+    sel = keyed.orderBy(F.desc("key"), F.asc("doc_id")).limit(_WSW_K)
+    w_rank = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return sel.withColumn("rank", F.row_number().over(w_rank)) \
+        .select("rank", "doc_id", "source")
+
+
+_WSW_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in _WSW_WEIGHTS.items()
+)
+
+ORACLES["weighted_sample_wor"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             + 1) / power(2.0, 60))
+           / (CASE {_WSW_CASE} ELSE 1.0 END) AS key
+  FROM documents
+),
+sel AS (
+  SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT {_WSW_K}
+)
+SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+       doc_id, source
+FROM sel
+ORDER BY rank
+"""
+QUERIES["weighted_sample_wor"] = weighted_sample_wor
