@@ -163,9 +163,45 @@ def _parallel_calibration(n: int = 3_000_000) -> float:
     return round(par / single, 2)
 
 
+class _LoadSampler:
+    """Background /proc/loadavg sampler: a TIME SERIES of host load
+    across the whole bench run. The start/end par32 point probes
+    demonstrably under-capture mid-run contention bursts (BENCH_NOTES
+    round-12: load-avg swung 0.1 -> 6.4 inside one run while both
+    endpoint probes looked clean); the series is what separates a host
+    burst from a code regression per-query."""
+
+    def __init__(self, interval: float = 5.0) -> None:
+        import threading
+
+        self.interval = interval
+        self.samples: list[tuple[float, float]] = []
+        self._stop = threading.Event()
+        self._t0 = time.perf_counter()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            self.samples.append(
+                (round(time.perf_counter() - self._t0, 1),
+                 round(os.getloadavg()[0], 2))
+            )
+
+    def start(self) -> "_LoadSampler":
+        self._thread.start()
+        return self
+
+    def stop(self) -> list[tuple[float, float]]:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        return self.samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sampler = _LoadSampler().start()
+    par32_start = _parallel_calibration()
     spark = get_spark(app_name="xss-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # Warm table metadata + page cache (file listing, footers) so the first
@@ -242,14 +278,23 @@ def main() -> None:
     # the recurring "doc family regression" (those queries are Python
     # worker / Arrow heavy, so they track par32, not calibration_sec).
     par32 = _parallel_calibration()
-    # Detail (spread, cold) goes to stderr; the FINAL stdout line must stay
-    # compact — the driver records only the last ~2.4 KB of stdout and parses
-    # the last line as JSON, so a bloated line starts outside the captured
-    # tail and "parsed" comes back null (that is exactly what happened to
-    # BENCH_r04: spread_min_max pushed the line to ~5.5 KB).
+    # Detail (spread, cold, load series) goes to stderr; the FINAL stdout
+    # line must stay compact — the driver records only the last ~2.4 KB of
+    # stdout and parses the last line as JSON, so a bloated line starts
+    # outside the captured tail and "parsed" comes back null (that is
+    # exactly what happened to BENCH_r04: spread_min_max pushed the line
+    # to ~5.5 KB).
     print(
         json.dumps(
             {"spread_min_max": spread, "cold_total_sec": round(cold_total, 4)},
+            separators=(",", ":"),
+        ),
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {"load_series_5s": sampler.stop(),
+             "par32_start": par32_start, "par32_end": par32},
             separators=(",", ":"),
         ),
         file=sys.stderr,
