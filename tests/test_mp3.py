@@ -659,6 +659,37 @@ def test_decode_audio_fake_falls_back_on_mp3_refusal():
     assert np.array_equal(decode_audio(good, 64, fake=True), real)
 
 
+def test_decode_audio_fake_falls_back_on_vorbis_refusal(monkeypatch):
+    """Same contract for Vorbis: an honesty REFUSAL (unsupported
+    feature -> NotImplementedError) under fake=True falls through to
+    the sha256 fake; corrupt data (ValueError) still surfaces — the
+    Vorbis magic is tight, so a parse failure is data damage, not a
+    capability gap."""
+    from xcube_server_spark.pipeline.multimodal import decode_audio
+    from xcube_server_spark.sources import vorbis as vmod
+    from xcube_server_spark.sources.vorbis import encode_vorbis
+
+    spec = np.zeros(128)
+    spec[5] = 100 / 1024
+    data = encode_vorbis([spec, None, None], 8000)
+
+    def refuse(_payload):
+        raise NotImplementedError("floor type 0: unimplemented")
+
+    monkeypatch.setattr(vmod, "decode_vorbis", refuse)
+    with pytest.raises(NotImplementedError, match="floor type 0"):
+        decode_audio(data, 64, fake=False)
+    wave = decode_audio(data, 64, fake=True)
+    assert wave.shape == (64,) and wave.dtype == np.float32
+
+    def corrupt(_payload):
+        raise ValueError("checksum mismatch")
+
+    monkeypatch.setattr(vmod, "decode_vorbis", corrupt)
+    with pytest.raises(ValueError, match="checksum"):
+        decode_audio(data, 64, fake=True)
+
+
 def test_intensity_stereo_long_blocks():
     """Intensity-only joint stereo: right channel carries no data, its
     scalefactors are is_pos values — decoded L/R follow the tangent

@@ -259,7 +259,17 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
     ``sources/vorbis.py`` and MPEG-1 Layer III via ``sources/mp3.py``
     (see its docstring for the synthesis-window / Huffman-table
     fidelity tiers). Remaining lossy formats (AAC/Opus): deterministic
-    sha256 fake with ``fake=True``, clear error otherwise."""
+    sha256 fake with ``fake=True``, clear error otherwise.
+
+    ``fake=True`` is the "stable plumbing over arbitrary corpora"
+    contract: an honesty REFUSAL (``NotImplementedError`` — Vorbis
+    unsupported features, MP3 unvalidated Huffman tables) falls
+    through to the deterministic fake instead of crashing the
+    fake-decode pipeline; MP3 additionally falls through on
+    ``ValueError`` because ``is_mp3`` is a loose sniff (any ID3 prefix
+    / Layer-III sync byte) that matches non-MP3 payloads. Corrupt data
+    behind a TIGHT magic (RIFF/fLaC/valid Vorbis ident) still errors —
+    that's data damage worth surfacing, not a capability gap."""
     if payload[:4] == b"RIFF":
         from ..sources.wav import decode_wav
 
@@ -274,8 +284,14 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
         from ..sources.vorbis import decode_vorbis, is_vorbis
 
         if is_vorbis(payload):
-            pcm, _rate = decode_vorbis(payload)
-            return pcm.mean(axis=1).astype(np.float32)
+            if not fake:
+                pcm, _rate = decode_vorbis(payload)
+                return pcm.mean(axis=1).astype(np.float32)
+            try:  # fake contract: refusals -> fake (docstring)
+                pcm, _rate = decode_vorbis(payload)
+                return pcm.mean(axis=1).astype(np.float32)
+            except NotImplementedError:
+                pass
         # Ogg Opus and friends fall through to the fake/refuse path
     else:
         from ..sources.mp3meta import is_mp3
@@ -286,12 +302,7 @@ def decode_audio(payload: bytes, sample_rate: int, fake: bool = False) -> np.nda
             if not fake:
                 pcm, _rate = decode_mp3(payload)
                 return pcm.mean(axis=1).astype(np.float32)
-            # fake=True is the "stable plumbing" contract: is_mp3 is a
-            # loose sniff (any ID3 prefix / 0xFF Layer-III sync) and
-            # decode_mp3 honestly refuses unvalidated Huffman tables, so
-            # a refusal here must fall through to the deterministic
-            # sha256 fake rather than crash the fake-decode pipeline.
-            try:
+            try:  # fake contract: refusals + loose-sniff misses -> fake
                 pcm, _rate = decode_mp3(payload)
                 return pcm.mean(axis=1).astype(np.float32)
             except (NotImplementedError, ValueError):
