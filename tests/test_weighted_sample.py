@@ -69,6 +69,35 @@ def test_ln_key_order_equals_textbook_ares_order():
     assert ln_top == pow_top
 
 
+def test_reservoir_merge_identity():
+    """The live gate's correctness rests on topK(A ∪ B) =
+    topK(topK(A) ∪ B): folding ANY micro-batch partitioning of the
+    corpus through a K-row reservoir equals the global top-K. Check
+    over randomized partitionings (sizes AND order)."""
+    rows = _docs(SF_DIRS[0])
+    keyed = sorted(
+        ((_key(d, s)[0], d, s) for d, s in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = keyed[:_WSW_K]
+    rng = np.random.default_rng(13)
+    items = [(k, d, s) for k, d, s in keyed]
+    for _trial in range(20):
+        perm = rng.permutation(len(items))
+        n_batches = int(rng.integers(1, 9))
+        cuts = sorted(rng.integers(0, len(items), n_batches - 1)) \
+            if n_batches > 1 else []
+        reservoir: list = []
+        start = 0
+        for end in list(cuts) + [len(items)]:
+            batch = [items[i] for i in perm[start:end]]
+            start = end
+            reservoir = sorted(
+                reservoir + batch, key=lambda t: (-t[0], t[1])
+            )[:_WSW_K]
+        assert reservoir == want
+
+
 def test_weights_bias_inclusion_direction():
     """Over many salted re-draws, weight-3 sources must be included
     roughly 3x as often as weight-1 sources (loose statistical bounds

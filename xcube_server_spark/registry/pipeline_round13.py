@@ -485,6 +485,18 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    sel = _wsw_keyed(docs).orderBy(
+        F.desc("key"), F.asc("doc_id")
+    ).limit(_WSW_K)
+    w_rank = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return sel.withColumn("rank", F.row_number().over(w_rank)) \
+        .select("rank", "doc_id", "source")
+
+
+def _wsw_keyed(docs: DataFrame) -> DataFrame:
+    """Attach the A-Res key ln(u)/w to a (doc_id, source) frame — the
+    shared scan-side expression of the batch gate and its live
+    streaming twin (``stream_weighted_sample_live``)."""
     weight = F.lit(1.0)
     for src, wt in _WSW_WEIGHTS.items():
         weight = F.when(F.col("source") == src, F.lit(wt)) \
@@ -494,11 +506,7 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10,
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.pow(F.lit(2.0), F.lit(60))
-    keyed = docs.withColumn("key", F.log(u) / weight)
-    sel = keyed.orderBy(F.desc("key"), F.asc("doc_id")).limit(_WSW_K)
-    w_rank = Window.orderBy(F.desc("key"), F.asc("doc_id"))
-    return sel.withColumn("rank", F.row_number().over(w_rank)) \
-        .select("rank", "doc_id", "source")
+    return docs.withColumn("key", F.log(u) / weight)
 
 
 _WSW_CASE = " ".join(

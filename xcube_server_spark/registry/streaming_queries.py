@@ -897,6 +897,122 @@ QUERIES["stream_neardup_minhash_live"] = stream_neardup_minhash_live
 ORACLES["stream_neardup_minhash_live"] = _ORACLE_MINHASH
 
 
+def _staged_docs_sources(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (doc_id, source) as 4 doc_id-ranged files — the document
+    feed for the live weighted-sampling reservoir."""
+    import os
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_docs_src_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .repartitionByRange(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def stream_weighted_sample_live(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The A-Res weighted reservoir maintained LIVE: each micro-batch
+    of arriving documents computes its deterministic keys scan-side
+    (``pipeline_round13._wsw_keyed`` — the batch gate's expression) and
+    folds into a K-row reservoir via foreachBatch. Correct by the
+    reservoir merge identity topK(A ∪ B) = topK(topK(A) ∪ B), so after
+    the backlog drains the reservoir equals the batch
+    ``weighted_sample_wor`` exactly — SAME oracle, the batch/stream
+    parity pin.
+
+    100 TB shape: state is O(K) rows regardless of stream length; each
+    micro-batch sorts only (its own keyed rows + K carried rows) with
+    a per-partition partial top-K before the K-row merge — the stream
+    is consumed once, nothing re-reads history."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .pipeline_round13 import _WSW_K, _wsw_keyed
+
+    staged = _staged_docs_sources(spark, sf_dir)
+    run_id = uuid.uuid4().hex[:8]
+    state_root = os.path.join(
+        tempfile.gettempdir(), f"xss_wsw_state_{run_id}"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_wsw_{run_id}")
+    os.makedirs(state_root)
+    cols = "doc_id bigint, source string, key double"
+
+    def maintain(df: DataFrame, bid: int) -> None:
+        prev_path = os.path.join(state_root, f"v{bid - 1}")
+        if os.path.exists(prev_path):
+            state = df.sparkSession.read.parquet(prev_path)
+        else:
+            state = df.sparkSession.createDataFrame([], cols)
+        merged = (
+            _wsw_keyed(df).select("doc_id", "source", "key")
+            .unionByName(state)
+            .orderBy(F.desc("key"), F.asc("doc_id"))
+            .limit(_WSW_K)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{bid}")
+        )
+
+    batch_src = spark.read.parquet(staged)
+    stream = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state_root)
+            if d.startswith("v")
+        )
+        w_rank = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+        final = (
+            spark.read.parquet(
+                os.path.join(state_root, f"v{versions[-1]}")
+            )
+            .withColumn("rank", F.row_number().over(w_rank))
+            .select("rank", "doc_id", "source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(state_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return final
+
+
+from .pipeline_round13 import ORACLES as _R13_ORACLES  # noqa: E402
+
+QUERIES["stream_weighted_sample_live"] = stream_weighted_sample_live
+# the drained reservoir must equal the batch top-K exactly
+ORACLES["stream_weighted_sample_live"] = \
+    _R13_ORACLES["weighted_sample_wor"]
+
+
 # ---------------------------------------------------------------------------
 # Stream-static enrichment join: the dimension-lookup pattern, live
 # ---------------------------------------------------------------------------
