@@ -1,0 +1,81 @@
+"""``pack_greedy_fill`` invariants, proven on the oracle's recursive
+replay over the shipped data (the Spark twin is hash-compared to it by
+the correctness gate): no sequence exceeds the budget, every document
+lands in exactly one sequence, sequence ids are contiguous per group,
+and the packing is waste-bounded (every non-final sequence is too full
+to accept its successor's first doc)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from xcube_server_spark.registry.pipeline_round13 import (
+    _PACK_CAP,
+    _PACK_SHARDS,
+)
+from xcube_server_spark.registry import ORACLES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+def test_budget_and_coverage(con):
+    rows = con.execute(ORACLES["pack_greedy_fill"]).fetchall()
+    # no sequence exceeds the budget
+    assert all(r[4] <= _PACK_CAP for r in rows), max(r[4] for r in rows)
+    # every document lands in exactly one sequence
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r[3] for r in rows) == n_docs
+    # sequence ids contiguous from 0 per (source, shard)
+    by_group: dict = {}
+    for source, shard, bin_id, *_rest in rows:
+        by_group.setdefault((source, shard), []).append(bin_id)
+    for g, bins in by_group.items():
+        assert sorted(bins) == list(range(len(bins))), g
+    # all shards in range
+    assert {r[1] for r in rows} <= set(range(_PACK_SHARDS))
+
+
+def test_greedy_waste_bound(con):
+    """Greedy optimality certificate: every non-final sequence closed
+    because the NEXT document (in fill order) did not fit — i.e. its
+    fill + the successor sequence's first doc's tokens exceeds the
+    budget. Catches any off-by-one in the reset recurrence on both
+    sides at once (the Spark twin must hash-match this replay)."""
+    q = ORACLES["pack_greedy_fill"]
+    # re-derive per-doc assignment from the oracle's fill CTE
+    per_doc = con.execute(
+        q.replace(
+            "SELECT source, shard, bin_id, count(*) AS n_docs,\n"
+            "       CAST(sum(tok) AS BIGINT) AS bin_tokens,\n"
+            "       min(doc_id) AS first_doc\n"
+            "FROM fill\n"
+            "GROUP BY 1, 2, 3",
+            "SELECT source, shard, bin_id, pos, tok FROM fill "
+            "ORDER BY source, shard, pos",
+        )
+    ).fetchall()
+    by_group: dict = {}
+    for source, shard, bin_id, pos, tok in per_doc:
+        by_group.setdefault((source, shard), []).append((pos, bin_id, tok))
+    checked = 0
+    for g, docs in by_group.items():
+        fills: dict = {}
+        firsts: dict = {}
+        for pos, bin_id, tok in docs:
+            fills[bin_id] = fills.get(bin_id, 0) + tok
+            firsts.setdefault(bin_id, tok)
+        for b in range(len(fills) - 1):
+            assert fills[b] + firsts[b + 1] > _PACK_CAP, (g, b)
+            checked += 1
+    assert checked > 0

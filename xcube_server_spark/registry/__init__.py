@@ -91,6 +91,7 @@ _PRIORITY = [
     "audio_probe_mixture_stats",
     "weighted_sample_wor",
     "stream_weighted_sample_live",
+    "pack_greedy_fill",
     "mp3_decode_stats",
     "curation_pipeline_stats",
     "curation_warc_pipeline_stats",
@@ -135,14 +136,14 @@ _PRIORITY = [
     "ts_ewma_daily",
     "unpivot_metrics",
     "window_range_frame",
-    "zarr_ingest_stats_blosc",
-    "zarr_ingest_stats_blosclz",  # <- window position 50
+    "zarr_ingest_stats_blosc",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 227
     # prior entries were driver-green in the r01-r12 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run;
-    # zarr_ingest_stats_lz4 + zarr_ingest_stats_zstd +
-    # zarr_v3_sharded_ingest_stats (r08 vintage) were displaced from
-    # the tail by the r13 additions and head the r14 rotation. ----
+    # zarr_ingest_stats_blosclz + zarr_ingest_stats_lz4 +
+    # zarr_ingest_stats_zstd + zarr_v3_sharded_ingest_stats (r08
+    # vintage) were displaced from the tail by the r13 additions and
+    # head the r14 rotation. ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -40,6 +40,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import load_table as _t
 from .pipeline_round12 import _mp3_pcm_ctes
 
 QUERIES = {}
@@ -512,6 +513,116 @@ def _wsw_keyed(docs: DataFrame) -> DataFrame:
 _WSW_CASE = " ".join(
     f"WHEN source = '{s}' THEN {w!r}" for s, w in _WSW_WEIGHTS.items()
 )
+
+# --------------------------------------------------------------------------
+# pack_greedy_fill: no-overflow sequence packing (docs never straddle)
+# --------------------------------------------------------------------------
+_PACK_CAP = 256
+_PACK_SHARDS = 4
+
+
+def pack_greedy_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-OVERFLOW sequence packing: walk each (source, shard)
+    stream of documents in deterministic md5 order and close the
+    current training sequence whenever the next document would exceed
+    the token budget — documents never straddle sequences and no
+    sequence exceeds the budget (contrast ``pack_sequences``, the
+    cumsum "chunked concatenation" whose bins are prefix-defined, and
+    ``doc_chunking``, which SPLITS long docs). Oversize docs are
+    truncated to the budget so every doc fits. Emits per-sequence
+    stats (count / fill / first doc) — a misassigned doc flips two
+    sequences' sums.
+
+    The fill recurrence (reset-on-overflow running sum) is inherently
+    sequential and famously not window-expressible, so the Spark side
+    runs it as an Arrow-batched ``applyInPandas`` per (source, shard)
+    group — the sanctioned pattern for per-partition sequential logic
+    — and the DuckDB oracle replays it as a RECURSIVE CTE over the
+    same md5 order. 100 TB shape: parallelism = sources x shards
+    (shard = 60-bit md5 mod {_PACK_SHARDS}, engine-portable), each
+    task streams its group once; the group key is the unit production
+    packers shard by, so widening parallelism is a constant change.
+    """
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(
+            F.size(F.expr("filter(split(text, ' '), t -> t <> '')")),
+            F.lit(_PACK_CAP),
+        ).cast("long").alias("tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 15
+                ), 16, 10,
+            ).cast("long") % _PACK_SHARDS
+        ).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("mkey"),
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["mkey", "doc_id"]).reset_index(drop=True)
+        bins, cur_bin, cur_fill = [], 0, 0
+        for tok in pdf["tok"]:
+            if cur_fill + tok > _PACK_CAP:
+                cur_bin += 1
+                cur_fill = int(tok)
+            else:
+                cur_fill += int(tok)
+            bins.append(cur_bin)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["source", "shard", "doc_id", "tok", "bin_id"]]
+
+    packed = docs.groupBy("source", "shard").applyInPandas(
+        fill,
+        "source string, shard long, doc_id long, tok long, bin_id long",
+    )
+    return packed.groupBy("source", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLES["pack_greedy_fill"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         least(len(list_filter(string_split(text, ' '),
+                               x -> x <> '')), {_PACK_CAP}) AS tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_PACK_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS mkey
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source, shard
+                               ORDER BY mkey, doc_id) AS pos
+  FROM t
+),
+fill AS (
+  SELECT source, shard, doc_id, tok, pos,
+         tok AS fill_after, CAST(0 AS BIGINT) AS bin_id
+  FROM r WHERE pos = 1
+  UNION ALL
+  SELECT r.source, r.shard, r.doc_id, r.tok, r.pos,
+         CASE WHEN f.fill_after + r.tok <= {_PACK_CAP}
+              THEN f.fill_after + r.tok ELSE r.tok END,
+         CASE WHEN f.fill_after + r.tok <= {_PACK_CAP}
+              THEN f.bin_id ELSE f.bin_id + 1 END
+  FROM fill f
+  JOIN r ON r.source = f.source AND r.shard = f.shard
+        AND r.pos = f.pos + 1
+)
+SELECT source, shard, bin_id, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM fill
+GROUP BY 1, 2, 3
+"""
+QUERIES["pack_greedy_fill"] = pack_greedy_fill
+
 
 ORACLES["weighted_sample_wor"] = f"""
 WITH keyed AS (
