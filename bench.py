@@ -65,7 +65,11 @@ BENCH_QUERIES = [
     "zarr_ingest_stats_http",
     "netcdf4_ingest_stats",
     "grib2_gaussian_ingest_stats",
-    "zarr_v3_sharded_ingest_stats",
+    # r13 swap: audio_curation_stats (tar ingest + real MP3 decode +
+    # curation DAG — the round's heaviest new plan) in for
+    # zarr_v3_sharded_ingest_stats (0.86s steady state; the zarr format
+    # family keeps 4 other rows)
+    "audio_curation_stats",
     # dedup family
     # (dedup_containment swapped out r8e for pagerank — the family keeps
     # 6 rows; pagerank is the heaviest new plan: basket self-join + 3

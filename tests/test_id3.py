@@ -1,0 +1,120 @@
+"""``sources/id3.py`` contracts: a HAND-PACKED v2.3 tag (literal
+bytes, not the fixture builder — the independent-serialization pin
+against same-hand encoder/decoder bugs), encoding matrix round trips,
+v2.4 syncsafe sizes past 127, extended-header skip semantics, and the
+refusal surface (v2.2, unsynchronisation, compressed/encrypted frames,
+reserved encodings, structural damage)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from xcube_server_spark.sources.id3 import build_id3v2, parse_id3v2
+
+
+def _syncsafe4(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def test_hand_packed_v23_tag():
+    """v2.3, plain big-endian frame sizes, packed byte-by-byte here:
+    a latin-1 TIT2 and a BOM'd UTF-16 TPE1."""
+    f1 = b"TIT2" + struct.pack(">I", 4) + b"\x00\x00" + b"\x00Abc"
+    p2 = b"\x01" + "Señor".encode("utf-16")  # BOM + LE payload
+    f2 = b"TPE1" + struct.pack(">I", len(p2)) + b"\x00\x00" + p2
+    body = f1 + f2 + bytes(7)  # padding
+    tag = b"ID3\x03\x00\x00" + _syncsafe4(len(body)) + body
+    assert parse_id3v2(tag) == {"TIT2": "Abc", "TPE1": "Señor"}
+
+
+def test_hand_packed_v24_syncsafe_and_be16():
+    """v2.4 frame whose payload exceeds 127 bytes (syncsafe size uses
+    two bytes) plus a UTF-16BE frame without BOM."""
+    long_text = "x" * 130
+    p1 = b"\x03" + long_text.encode("utf-8")
+    f1 = b"TIT2" + _syncsafe4(len(p1)) + b"\x00\x00" + p1
+    p2 = b"\x02" + "Ωk".encode("utf-16-be")
+    f2 = b"TPE1" + _syncsafe4(len(p2)) + b"\x00\x00" + p2
+    body = f1 + f2
+    tag = b"ID3\x04\x00\x00" + _syncsafe4(len(body)) + body
+    got = parse_id3v2(tag)
+    assert got == {"TIT2": long_text, "TPE1": "Ωk"}
+    # the syncsafe frame size really took 2 low bytes (131 = 0x01,0x03)
+    assert f1[4:8] == bytes([0, 0, 1, 3])
+
+
+def test_extended_header_skip_both_versions():
+    frame = b"TCON" + _syncsafe4(5) + b"\x00\x00" + b"\x03jazz"
+    # v2.4: ext size INCLUDES its own 4 bytes (6 = 4 + 2 payload)
+    body4 = _syncsafe4(6) + b"\x00\x00" + frame
+    tag4 = b"ID3\x04\x00\x40" + _syncsafe4(len(body4)) + body4
+    assert parse_id3v2(tag4) == {"TCON": "jazz"}
+    # v2.3: ext size EXCLUDES the size field (here 6-byte ext body)
+    frame3 = b"TCON" + struct.pack(">I", 5) + b"\x00\x00" + b"\x03rock"
+    body3 = struct.pack(">I", 6) + bytes(6) + frame3
+    tag3 = b"ID3\x03\x00\x40" + _syncsafe4(len(body3)) + body3
+    assert parse_id3v2(tag3) == {"TCON": "rock"}
+
+
+def test_builder_parser_round_trip_matrix():
+    frames = [
+        ("TIT2", "Café", 0),
+        ("TPE1", "日本", 1),
+        ("TALB", "ΩΩ", 2),
+        ("TCON", "lo-fi", 3),
+        ("TPE2", "A\x00B\x00C", 3),  # v2.4 multi-value
+        ("TXXX", "mood\x00calm", 1),
+    ]
+    got = parse_id3v2(build_id3v2(frames, version=4))
+    assert got == {
+        "TIT2": "Café", "TPE1": "日本", "TALB": "ΩΩ",
+        "TCON": "lo-fi", "TPE2": "A/B/C", "TXXX:mood": "calm",
+    }
+    got3 = parse_id3v2(
+        build_id3v2([f for f in frames if f[0] != "TPE2"], version=3)
+    )
+    assert got3["TIT2"] == "Café" and got3["TXXX:mood"] == "calm"
+
+
+def test_refusals_and_damage():
+    ok = build_id3v2([("TIT2", "t", 0)], version=4)
+    assert parse_id3v2(b"not a tag at all") == {}
+    with pytest.raises(NotImplementedError, match="v2.2"):
+        parse_id3v2(b"ID3\x02\x00\x00" + _syncsafe4(0))
+    with pytest.raises(ValueError, match="unknown major"):
+        parse_id3v2(b"ID3\x05\x00\x00" + _syncsafe4(0))
+    with pytest.raises(NotImplementedError, match="unsynchronisation"):
+        parse_id3v2(b"ID3\x04\x00\x80" + ok[6:])
+    # compressed frame flag (v2.4 bit 3)
+    bad = bytearray(ok)
+    bad[19] |= 0x08  # frame flag byte 2 of the first frame
+    with pytest.raises(NotImplementedError, match="flags"):
+        parse_id3v2(bytes(bad))
+    # reserved encoding byte
+    bad = bytearray(ok)
+    bad[20] = 9  # first payload byte = encoding
+    with pytest.raises(ValueError, match="reserved"):
+        parse_id3v2(bytes(bad))
+    # frame size overruns the tag
+    bad = bytearray(ok)
+    bad[17] = 0x7F
+    with pytest.raises(ValueError, match="remain in the tag"):
+        parse_id3v2(bytes(bad))
+    # mutation fuzz: clear errors only
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = build_id3v2(
+        [("TIT2", "fuzz", 1), ("TXXX", "a\x00b", 3)], version=4
+    )
+    for _ in range(120):
+        buf = bytearray(base)
+        i = int(rng.integers(3, len(buf)))
+        buf[i] ^= int(rng.integers(1, 256))
+        try:
+            parse_id3v2(bytes(buf))
+        except (ValueError, NotImplementedError, UnicodeDecodeError):
+            pass

@@ -92,6 +92,7 @@ _PRIORITY = [
     "weighted_sample_wor",
     "stream_weighted_sample_live",
     "pack_greedy_fill",
+    "audio_id3_stats",
     "mp3_decode_stats",
     "curation_pipeline_stats",
     "curation_warc_pipeline_stats",
@@ -135,15 +136,13 @@ _PRIORITY = [
     "ts_downsample_m4",
     "ts_ewma_daily",
     "unpivot_metrics",
-    "window_range_frame",
-    "zarr_ingest_stats_blosc",  # <- window position 50
+    "window_range_frame",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 227
     # prior entries were driver-green in the r01-r12 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run;
-    # zarr_ingest_stats_blosclz + zarr_ingest_stats_lz4 +
-    # zarr_ingest_stats_zstd + zarr_v3_sharded_ingest_stats (r08
-    # vintage) were displaced from the tail by the r13 additions and
-    # head the r14 rotation. ----
+    # the 5 zarr-family r08 rows (zarr_ingest_stats_blosc, blosclz,
+    # lz4, zstd, zarr_v3_sharded_ingest_stats) were displaced from the
+    # tail by the r13 additions and head the r14 rotation. ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

@@ -446,6 +446,118 @@ ORACLES["audio_probe_mixture_stats"] = _prb_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# audio_id3_stats: ID3v2 tag-metadata extraction (no audio decode)
+# --------------------------------------------------------------------------
+# (asset_id, id3 version, [(frame_id, text, encoding)], n_frames).
+# Encodings exercised: 0 latin-1 (é), 1 UTF-16+BOM (incl. CJK),
+# 2 UTF-16BE, 3 UTF-8; v2.4 NUL-separated multi-values; a TXXX user
+# frame; one v2.3 tag (plain big-endian frame sizes); one untagged
+# asset (the {} path).
+_ID3_ASSETS = [
+    (0, 4, [("TIT2", "Café du Monde", 0), ("TPE1", "Omega", 1),
+            ("TCON", "ambient", 3), ("TDRC", "2021", 3)], 2),
+    (1, 3, [("TIT2", "日本の歌", 1), ("TPE1", "Suzuki Trio", 3),
+            ("TCON", "rock", 0), ("TYER", "1999", 0)], 3),
+    (2, 4, [("TIT2", "Nocturne", 2), ("TPE1", "Duo\x00Trio", 3),
+            ("TCON", "jazz", 3), ("TDRC", "2005", 0),
+            ("TXXX", "mood\x00calm", 3)], 2),
+    (3, 4, [("TIT2", "Überfahrt", 0), ("TPE1", "Ensemble", 0),
+            ("TCON", "ambient", 1), ("TDRC", "2021", 3)], 4),
+    (4, 3, [("TIT2", "Waves", 3), ("TPE1", "Mar y Sol", 0),
+            ("TCON", "jazz", 2), ("TYER", "2005", 3)], 2),
+    (5, 4, [], 2),  # tagless
+]
+
+
+def _id3_fixture(spark: SparkSession) -> str:
+    from ..pipeline.multimodal import MEDIA_SCHEMA
+    from ..sources.id3 import build_id3v2
+    from ..sources.mp3meta import build_mp3
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_id3_gate_v1")
+    p = os.path.join(d, "assets.parquet")
+    if os.path.exists(os.path.join(p, "_SUCCESS")):
+        return p
+    rows = []
+    for aid, ver, frames, n_frames in _ID3_ASSETS:
+        tag = build_id3v2(frames, version=ver) if frames else b""
+        payload = tag + build_mp3(n_frames)
+        rows.append((aid, "audio/mpeg", bytearray(payload),
+                     {"width": 0, "height": 0, "n_frames": n_frames,
+                      "sample_rate": 44100}))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def audio_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-audio TAG metadata extraction: parse each MP3's leading
+    ID3v2.3/2.4 tag (``sources/id3.py`` — all four text encodings,
+    syncsafe vs plain sizes, multi-values, TXXX) plus the header-walk
+    frame count (``probe_mp3``), WITHOUT decoding a sample — the
+    group-by-able metadata a curation sweep extracts first. One Arrow
+    stage over the media table; per-asset output pins every parsed
+    field."""
+    import pandas as pd
+
+    from ..sources.id3 import parse_id3v2
+    from ..sources.mp3meta import probe_mp3
+
+    media = spark.read.parquet(_id3_fixture(spark))
+
+    def run(batches):
+        for pdf in batches:
+            aids, titles, artists, genres, years, nfr = \
+                [], [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                tags = parse_id3v2(data)
+                aids.append(int(aid))
+                titles.append(tags.get("TIT2", ""))
+                artists.append(tags.get("TPE1", ""))
+                genres.append(tags.get("TCON", ""))
+                years.append(tags.get("TDRC", tags.get("TYER", "")))
+                nfr.append(probe_mp3(data)["n_frames"])
+            yield pd.DataFrame(
+                {"asset_id": aids, "title": titles, "artist": artists,
+                 "genre": genres, "year": years, "n_frames": nfr}
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, title string, artist string, genre string,"
+        " year string, n_frames long",
+    ).orderBy("asset_id")
+
+
+def _id3_oracle_sql() -> str:
+    rows = []
+    for aid, _ver, frames, n_frames in _ID3_ASSETS:
+        tags = {}
+        for fid, text, _enc in frames:
+            if fid == "TXXX":
+                continue
+            tags[fid] = "/".join(v for v in text.split("\x00") if v)
+        year = tags.get("TDRC", tags.get("TYER", ""))
+        rows.append(
+            f"({aid}, '{tags.get('TIT2', '')}', '{tags.get('TPE1', '')}'"
+            f", '{tags.get('TCON', '')}', '{year}', {n_frames})"
+        )
+    return f"""
+SELECT * FROM (
+  VALUES {", ".join(rows)}
+) AS t(asset_id, title, artist, genre, year, n_frames)
+ORDER BY asset_id
+"""
+
+
+QUERIES["audio_id3_stats"] = audio_id3_stats
+ORACLES["audio_id3_stats"] = _id3_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # weighted_sample_wor: deterministic weighted sampling WITHOUT replacement
 # --------------------------------------------------------------------------
 _WSW_WEIGHTS = {"src0": 3.0, "src1": 2.0}  # other sources weight 1.0

@@ -1,0 +1,145 @@
+"""ID3v2.3 / v2.4 tag reader + fixture writer (informal standard at
+id3.org; the de-facto metadata container on crawled MP3 audio).
+
+Scope, honest: TEXT frames (ids ``T***`` incl. ``TXXX``) with all four
+declared encodings — ISO-8859-1, UTF-16 with BOM, UTF-16BE, UTF-8 —
+v2.4 syncsafe / v2.3 plain frame sizes, extended-header skip (v2.3
+size excludes its own field, v2.4 includes it), padding stop, v2.4
+footer tolerated. REFUSED loudly rather than guessed: v2.2 (3-byte
+frame ids), tag-level or frame-level unsynchronisation, compressed /
+encrypted frames, and v2.4 data-length-indicator frames. Non-text
+frames (APIC art, comments, …) are skipped by their declared size —
+a metadata sweep wants the text fields, and skipping is lossless.
+
+Reference analog: the multimodal store axis
+(xcube_server/context.py:217-235) — tag metadata is the first thing a
+crawl-audio curation pass groups by.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("ID3v2 syncsafe size byte has bit 7 set")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _decode_text(enc: int, payload: bytes) -> str:
+    codec = _ENCODINGS.get(enc)
+    if codec is None:
+        raise ValueError(f"ID3v2 text encoding byte {enc} is reserved")
+    text = payload.decode(codec)
+    # v2.4 multi-value lists are NUL-separated; strip terminators and
+    # join with '/' (the ID3v1-style display convention)
+    vals = [v for v in text.split("\x00") if v]
+    return "/".join(vals)
+
+
+def parse_id3v2(data: bytes) -> dict[str, str]:
+    """Parse the leading ID3v2 tag into ``{frame_id: text}`` (TXXX
+    frames key as ``TXXX:<description>``). Returns {} when no tag."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    major, _rev, flags = data[3], data[4], data[5]
+    if major == 2:
+        raise NotImplementedError(
+            "ID3v2.2 (3-byte frame ids): unimplemented — refusing "
+            "rather than misparsing"
+        )
+    if major not in (3, 4):
+        raise ValueError(f"ID3v2.{major}: unknown major version")
+    if flags & 0x80:
+        raise NotImplementedError(
+            "ID3v2 tag-level unsynchronisation: unimplemented"
+        )
+    end = 10 + _syncsafe(data[6:10])
+    pos = 10
+    if flags & 0x40:  # extended header
+        if major == 4:
+            pos += _syncsafe(data[pos:pos + 4])  # size INCLUDES itself
+        else:
+            (ext,) = struct.unpack(">I", data[pos:pos + 4])
+            pos += 4 + ext  # v2.3 size EXCLUDES the size field
+    out: dict[str, str] = {}
+    while pos + 10 <= min(end, len(data)):
+        fid = data[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(
+                f"ID3v2 frame id {fid!r} at byte {pos} is invalid"
+            )
+        if major == 4:
+            size = _syncsafe(data[pos + 4:pos + 8])
+        else:
+            (size,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        fl1, fl2 = data[pos + 8], data[pos + 9]
+        body = data[pos + 10:pos + 10 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"ID3v2 frame {fid.decode()} declares {size} bytes, "
+                f"{len(body)} remain in the tag"
+            )
+        bad = (fl2 & 0xC0) if major == 3 else (fl2 & 0x0F)
+        if bad:
+            raise NotImplementedError(
+                f"ID3v2 frame {fid.decode()} flags 0x{fl2:02X} "
+                "(compression/encryption/unsync/DLI): unimplemented"
+            )
+        if fid[:1] == b"T" and size >= 1:
+            enc = body[0]
+            if fid == b"TXXX":
+                codec = _ENCODINGS.get(enc)
+                if codec is None:
+                    raise ValueError(
+                        f"ID3v2 text encoding byte {enc} is reserved"
+                    )
+                text = body[1:].decode(codec)
+                parts = text.split("\x00", 1)
+                desc = parts[0]
+                val = parts[1].rstrip("\x00") if len(parts) > 1 else ""
+                out[f"TXXX:{desc}"] = val
+            else:
+                out[fid.decode()] = _decode_text(enc, body[1:])
+        pos += 10 + size
+    return out
+
+
+# ------------------------------------------------------------- fixtures
+def _encode_text(enc: int, values: list[str]) -> bytes:
+    codec = _ENCODINGS[enc]
+    joined = "\x00".join(values)
+    if enc == 1:  # BOM + UTF-16 (python 'utf-16' emits the LE BOM)
+        return bytes([enc]) + joined.encode("utf-16")
+    return bytes([enc]) + joined.encode(codec)
+
+
+def build_id3v2(frames: list[tuple[str, str, int]],
+                version: int = 4, padding: int = 16) -> bytes:
+    """Serialize text frames as an ID3v2.3/2.4 tag body (fixtures):
+    ``frames`` is [(frame_id, text, encoding)] — multi-values may be
+    passed NUL-joined in ``text``."""
+    body = bytearray()
+    for fid, text, enc in frames:
+        payload = _encode_text(enc, text.split("\x00"))
+        if version == 4:
+            sz = bytes([(len(payload) >> 21) & 0x7F,
+                        (len(payload) >> 14) & 0x7F,
+                        (len(payload) >> 7) & 0x7F,
+                        len(payload) & 0x7F])
+        else:
+            sz = struct.pack(">I", len(payload))
+        body += fid.encode("ascii") + sz + b"\x00\x00" + payload
+    body += bytes(padding)
+    ss = len(body)
+    return (
+        b"ID3" + bytes([version, 0, 0])
+        + bytes([(ss >> 21) & 0x7F, (ss >> 14) & 0x7F,
+                 (ss >> 7) & 0x7F, ss & 0x7F])
+        + body
+    )
