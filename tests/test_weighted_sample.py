@@ -54,6 +54,28 @@ def test_key_margin_dominates_libm_wiggle(sf_dir):
     assert gaps.min() > 1e-9, gaps.min()
 
 
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bylength_key_margin(sf_dir):
+    """Same margin proof for the per-item-weight variant
+    (``weighted_sample_bylength``: w = n_chars, so |key| ~ 1e-2 and
+    the wiggle bound is proportionally smaller)."""
+    import duckdb
+
+    from xcube_server_spark.registry.pipeline_round13 import _WSL_K
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    keys = []
+    for d, n in rows:
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        keys.append(np.log((h + 1) / 2.0 ** 60) / n)
+    keys.sort(reverse=True)
+    gaps = np.diff(keys[: _WSL_K + 2]) * -1.0
+    assert gaps.min() > 1e-11, gaps.min()
+
+
 def test_ln_key_order_equals_textbook_ares_order():
     """Ranking by ln(u)/w is the monotone-equivalent of the textbook
     A-Res key u^(1/w) — verify the two orderings select the identical

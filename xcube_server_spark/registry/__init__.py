@@ -90,6 +90,7 @@ _PRIORITY = [
     "audio_curation_stats",
     "audio_probe_mixture_stats",
     "weighted_sample_wor",
+    "weighted_sample_bylength",
     "stream_weighted_sample_live",
     "pack_greedy_fill",
     "audio_id3_stats",
@@ -135,14 +136,14 @@ _PRIORITY = [
     "ts_changepoint_cusum",
     "ts_downsample_m4",
     "ts_ewma_daily",
-    "unpivot_metrics",
-    "window_range_frame",  # <- window position 50
+    "unpivot_metrics",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 227
     # prior entries were driver-green in the r01-r12 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run;
-    # the 5 zarr-family r08 rows (zarr_ingest_stats_blosc, blosclz,
-    # lz4, zstd, zarr_v3_sharded_ingest_stats) were displaced from the
-    # tail by the r13 additions and head the r14 rotation. ----
+    # window_range_frame + the 5 zarr-family r08 rows
+    # (zarr_ingest_stats_blosc, blosclz, lz4, zstd,
+    # zarr_v3_sharded_ingest_stats) were displaced from the tail by the
+    # r13 additions and head the r14 rotation. ----
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}

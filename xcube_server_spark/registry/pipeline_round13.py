@@ -622,6 +622,60 @@ def _wsw_keyed(docs: DataFrame) -> DataFrame:
     return docs.withColumn("key", F.log(u) / weight)
 
 
+_WSL_K = 30
+
+
+def weighted_sample_bylength(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """A-Res with PER-ITEM data-dependent weights — the textbook
+    Efraimidis-Spirakis use case: sample documents with inclusion
+    probability following their own length (``n_chars``), the standard
+    "sample proportional to size/quality" recipe of training-mix
+    construction (``weighted_sample_wor`` draws with per-SOURCE
+    configuration weights; this one's weights come from the data).
+    Same deterministic u, same ln(u)/w monotone key, same integer-only
+    output and TakeOrdered plan; the key-gap margin at every shipped
+    SF is proven by ``tests/test_weighted_sample.py``."""
+    from ._util import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.pow(F.lit(2.0), F.lit(60))
+    keyed = docs.withColumn(
+        "key", F.log(u) / F.col("n_chars").cast("double")
+    )
+    sel = keyed.orderBy(F.desc("key"), F.asc("doc_id")).limit(_WSL_K)
+    w_rank = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return sel.withColumn("rank", F.row_number().over(w_rank)) \
+        .select("rank", "doc_id", "source", "n_chars")
+
+
+ORACLES["weighted_sample_bylength"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             + 1) / power(2.0, 60))
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+),
+sel AS (
+  SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT {_WSL_K}
+)
+SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+       doc_id, source, n_chars
+FROM sel
+ORDER BY rank
+"""
+QUERIES["weighted_sample_bylength"] = weighted_sample_bylength
+
+
 _WSW_CASE = " ".join(
     f"WHEN source = '{s}' THEN {w!r}" for s, w in _WSW_WEIGHTS.items()
 )
