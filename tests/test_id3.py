@@ -93,6 +93,18 @@ def test_refusals_and_damage():
     bad[19] |= 0x08  # frame flag byte 2 of the first frame
     with pytest.raises(NotImplementedError, match="flags"):
         parse_id3v2(bytes(bad))
+    # grouping-identity flag: the group-id byte precedes the encoding
+    # byte, so silently reading it as the encoding would misparse —
+    # refused (v2.4 bit 6, v2.3 bit 5)
+    bad = bytearray(ok)
+    bad[19] |= 0x40
+    with pytest.raises(NotImplementedError, match="flags"):
+        parse_id3v2(bytes(bad))
+    ok3 = build_id3v2([("TIT2", "t", 0)], version=3)
+    bad3 = bytearray(ok3)
+    bad3[19] |= 0x20
+    with pytest.raises(NotImplementedError, match="flags"):
+        parse_id3v2(bytes(bad3))
     # reserved encoding byte
     bad = bytearray(ok)
     bad[20] = 9  # first payload byte = encoding

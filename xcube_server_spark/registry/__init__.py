@@ -80,7 +80,7 @@ for _m in (
 # WindowGroupLimit partial top-K), multimodal_audio_stats (decode_audio
 # MP3 routing / fake-fallback reorganization).
 # (c) the two r07-vintage stragglers displaced by the late-r12
-# additions (window_running, zarr_v3_ingest_stats), then the 40
+# additions (window_running, zarr_v3_ingest_stats), then the 34
 # r08-vintage rows — the stalest remaining driver vintage —
 # alphabetical, landing the window at exactly 50. Everything past
 # position 50 is overflow: multiply-green in prior rounds AND re-proven

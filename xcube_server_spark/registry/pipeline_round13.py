@@ -106,8 +106,12 @@ def _aud_fixture() -> str:
                 f"{i:04d}.json",
                 f'{{"cap": "{cap}", "src": "src{i % 2}"}}'.encode(),
             ))
-        with open(path, "wb") as f:
+        # temp-write + atomic rename: an interrupted first run must not
+        # leave a truncated tar that bare-existence caching would reuse
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(build_tar(members))
+        os.replace(tmp, path)
     return d
 
 
@@ -640,7 +644,8 @@ def weighted_sample_bylength(spark: SparkSession, sf_dir: str
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
-    )
+    ).filter(F.col("n_chars") > 0)  # ln(u)/0 has engine-divergent
+    # NaN/Inf semantics; a zero-length doc has zero weight anyway
     from pyspark.sql import Window
 
     h = F.conv(
@@ -664,6 +669,7 @@ WITH keyed AS (
              + 1) / power(2.0, 60))
            / CAST(n_chars AS DOUBLE) AS key
   FROM documents
+  WHERE n_chars > 0
 ),
 sel AS (
   SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT {_WSL_K}

@@ -968,6 +968,9 @@ def stream_weighted_sample_live(spark: SparkSession, sf_dir: str
         merged.write.mode("overwrite").parquet(
             os.path.join(state_root, f"v{bid}")
         )
+        # state is O(K) logically — keep it O(K) on disk too
+        if os.path.exists(prev_path):
+            shutil.rmtree(prev_path, ignore_errors=True)
 
     batch_src = spark.read.parquet(staged)
     stream = (
@@ -990,10 +993,14 @@ def stream_weighted_sample_live(spark: SparkSession, sf_dir: str
             if d.startswith("v")
         )
         w_rank = Window.orderBy(F.desc("key"), F.asc("doc_id"))
-        final = (
-            spark.read.parquet(
+        if versions:
+            reservoir = spark.read.parquet(
                 os.path.join(state_root, f"v{versions[-1]}")
             )
+        else:  # no micro-batch ran: empty source → empty reservoir
+            reservoir = spark.createDataFrame([], cols)
+        final = (
+            reservoir
             .withColumn("rank", F.row_number().over(w_rank))
             .select("rank", "doc_id", "source")
             .localCheckpoint(eager=True)

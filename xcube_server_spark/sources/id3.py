@@ -85,11 +85,18 @@ def parse_id3v2(data: bytes) -> dict[str, str]:
                 f"ID3v2 frame {fid.decode()} declares {size} bytes, "
                 f"{len(body)} remain in the tag"
             )
-        bad = (fl2 & 0xC0) if major == 3 else (fl2 & 0x0F)
+        # v2.3 format flags: bit7 compression, bit6 encryption, bit5
+        # grouping identity. v2.4: 0x40 grouping, 0x08 compression,
+        # 0x04 encryption, 0x02 unsync, 0x01 data-length-indicator.
+        # Grouping is refused too: a group-flagged frame carries a
+        # group-id byte BEFORE the text-encoding byte, so reading it
+        # as the encoding would misparse silently.
+        bad = (fl2 & 0xE0) if major == 3 else (fl2 & 0x4F)
         if bad:
             raise NotImplementedError(
                 f"ID3v2 frame {fid.decode()} flags 0x{fl2:02X} "
-                "(compression/encryption/unsync/DLI): unimplemented"
+                "(compression/encryption/grouping/unsync/DLI): "
+                "unimplemented"
             )
         if fid[:1] == b"T" and size >= 1:
             enc = body[0]
