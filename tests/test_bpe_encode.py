@@ -1,0 +1,203 @@
+"""``pipeline_round14`` BPE-encode contracts.
+
+The load-bearing pin: the engine encodes by a CHAIN of string replaces
+(one pass per merge rule in rank order); this file proves the chain
+equals an INDEPENDENT implementation of the GPT-2 priority-queue
+encoder (repeatedly merge all occurrences of the best-ranked pair
+present) — on the shipped lexicon, on hypothesis-fuzzed random words,
+and end-to-end through Spark against the independent model. Plus the
+well-formedness preconditions the module's equivalence proof needs,
+and the checksum's sensitivity to token order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_server_spark.registry.pipeline_round14 import (
+    BPE_MERGES,
+    BPE_VOCAB,
+    _check_well_formed,
+)
+
+RANK = {p: i for i, p in enumerate(BPE_MERGES)}
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+LEXICON = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def gpt2_encode(word: str) -> list[str]:
+    """The reference algorithm, implemented independently: while any
+    ranked pair is present, merge ALL occurrences of the best-ranked
+    one left-to-right (skipping past each merge — GPT-2's ``i += 2``)."""
+    toks = list(word)
+    while len(toks) > 1:
+        pairs = {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}
+        cand = [p for p in pairs if p in RANK]
+        if not cand:
+            break
+        a, b = min(cand, key=lambda p: RANK[p])
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def replace_chain(text: str) -> list[str]:
+    """Pure-Python mirror of the engine's column expression (and of the
+    DuckDB oracle): wrap chars, one str.replace pass per rule in rank
+    order, split. Python str.replace has the same left-to-right
+    non-overlapping no-rescan semantics as Spark's and DuckDB's
+    ``replace`` (pinned engine-side by the gate hash itself)."""
+    import re
+
+    seq = re.sub(r"([a-z])", r"_\1_", re.sub(r"[^a-z ]", "", text.lower()))
+    for a, b in BPE_MERGES:
+        seq = seq.replace(f"_{a}__{b}_", f"_{a}{b}_")
+    return [t for t in re.split(r"[_ ]+", seq) if t]
+
+
+def test_well_formedness_preconditions():
+    _check_well_formed()  # import-time assert, re-run explicitly
+    outs = [a + b for a, b in BPE_MERGES]
+    assert len(set(outs)) == len(outs)
+    known = set("abcdefghijklmnopqrstuvwxyz")
+    for (a, b), out in zip(BPE_MERGES, outs):
+        assert a in known and b in known
+        assert out not in known  # new token: the proof's key premise
+        known.add(out)
+    # vocab ids: base chars 0..25, merges 26.. in rank order, no gaps
+    assert [i for _, i in BPE_VOCAB] == list(range(len(BPE_VOCAB)))
+
+
+def test_lexicon_equals_gpt2():
+    for w in LEXICON:
+        assert replace_chain(w) == gpt2_encode(w), w
+    # the spot checks that make the tokenizer interesting: whole-word
+    # merges, a 3-deep chain, and the (a,t)-beats-(t,a) priority pin
+    assert replace_chain("the") == ["the"]
+    assert replace_chain("part") == ["part"]
+    assert replace_chain("scan") == ["scan"]
+    assert replace_chain("data") == ["d", "ata"]
+    assert replace_chain("table") == ["ta", "ble"]
+
+
+def test_segmentation_is_lossless():
+    for w in LEXICON:
+        assert "".join(replace_chain(w)) == w
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.text(alphabet="abcdefghilmnoprstuvwy", min_size=1, max_size=16)
+)
+def test_fuzz_equals_gpt2(word):
+    assert replace_chain(word) == gpt2_encode(word)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abceghnoprst", min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    )
+)
+def test_multiword_text_is_per_word(words):
+    """Spaces are hard boundaries: encoding the joined text equals
+    concatenating per-word encodes (no merge crosses a space)."""
+    text = " ".join(words)
+    per_word = [t for w in words for t in gpt2_encode(w)]
+    assert replace_chain(text) == per_word
+
+
+def _expected_stats(sf_dir: str):
+    """Independent model of bpe_encode_stats: DuckDB reads the parquet,
+    the GPT-2 encoder (NOT the replace chain) produces tokens."""
+    import duckdb
+
+    ids = dict(BPE_VOCAB)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    out = {}
+    for doc_id, text in rows:
+        toks = [
+            t
+            for w in text.lower().split(" ")
+            for t in gpt2_encode("".join(c for c in w if c.isalpha()))
+        ]
+        if not toks:
+            continue
+        out[doc_id] = (
+            len(toks),
+            sum(len(t) for t in toks),
+            sum(ids[t] * (i + 1) for i, t in enumerate(toks)),
+        )
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="no testdata")
+def test_spark_gate_matches_independent_model(spark):
+    from xcube_server_spark.registry.pipeline_round14 import (
+        bpe_encode_stats,
+        bpe_token_histogram,
+    )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_alpha, r.tok_checksum)
+        for r in bpe_encode_stats(spark, SF_DIR).collect()
+    }
+    assert got == _expected_stats(SF_DIR)
+
+    # histogram cross-check from the same independent model
+    import duckdb
+    from collections import Counter
+
+    freq, docs_of = Counter(), {}
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    for doc_id, text in rows:
+        for w in text.lower().split(" "):
+            for t in gpt2_encode("".join(c for c in w if c.isalpha())):
+                freq[t] += 1
+                docs_of.setdefault(t, set()).add(doc_id)
+    hist = {
+        r.tok: (r.tok_id, r.freq, r.n_docs)
+        for r in bpe_token_histogram(spark, SF_DIR).collect()
+    }
+    ids = dict(BPE_VOCAB)
+    assert hist == {
+        t: (ids[t], n, len(docs_of[t])) for t, n in freq.items()
+    }
+
+
+def test_checksum_pins_token_order():
+    """Counts are permutation-blind; the position-weighted checksum is
+    not — swapping any two distinct adjacent token ids changes it."""
+    ids = dict(BPE_VOCAB)
+    toks = replace_chain("customer data window")
+    base = sum(ids[t] * (i + 1) for i, t in enumerate(toks))
+    for i in range(len(toks) - 1):
+        if ids[toks[i]] == ids[toks[i + 1]]:
+            continue
+        sw = toks[:i] + [toks[i + 1], toks[i]] + toks[i + 2:]
+        assert sum(ids[t] * (j + 1) for j, t in enumerate(sw)) != base

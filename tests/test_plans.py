@@ -853,3 +853,26 @@ def test_pmi_single_pass_counts(spark, sf_dir):
     df = QUERIES["pmi_collocations"](spark, sf_dir)
     assert count_exchanges(df) <= 2, count_exchanges(df)
     assert has_broadcast_join(df)
+
+
+def test_bpe_encode_plan_contracts(spark, sf_dir):
+    """The BPE encode is pure JVM string expressions: per-doc stats are
+    a map-only stage (the single exchange is the output sort, no Python
+    anywhere); the histogram ids tokens through a BROADCAST vocab join;
+    the BPE packing twin keeps the r13 gate's 2-exchange shape with the
+    one sanctioned Arrow stage (the sequential fill)."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    enc = QUERIES["bpe_encode_stats"](spark, sf_dir)
+    plan = executed_plan(enc)
+    assert count_exchanges(enc) <= 1, count_exchanges(enc)
+    assert "Python" not in plan and "Pandas" not in plan
+
+    hist = QUERIES["bpe_token_histogram"](spark, sf_dir)
+    assert has_broadcast_join(hist)
+    assert "Python" not in executed_plan(hist)
+
+    pack = QUERIES["pack_greedy_fill_bpe"](spark, sf_dir)
+    plan = executed_plan(pack)
+    assert count_exchanges(pack) <= 2, count_exchanges(pack)
+    assert plan.count("FlatMapGroupsInPandas") == 1

@@ -714,9 +714,11 @@ def pack_greedy_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard = 60-bit md5 mod {_PACK_SHARDS}, engine-portable), each
     task streams its group once; the group key is the unit production
     packers shard by, so widening parallelism is a constant change.
-    """
-    import pandas as pd
 
+    ``pack_greedy_fill_bpe`` (``pipeline_round14``) re-states this gate
+    on REAL tokenizer counts (BPE token ids, not whitespace words) via
+    the shared ``_pack_fill_stats`` / ``_pack_oracle_sql`` machinery.
+    """
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -733,6 +735,15 @@ def pack_greedy_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shard"),
         F.md5(F.col("doc_id").cast("string")).alias("mkey"),
     )
+    return _pack_fill_stats(docs)
+
+
+def _pack_fill_stats(docs: DataFrame) -> DataFrame:
+    """Shared no-overflow packing stage: ``docs`` carries (doc_id,
+    source, tok, shard, mkey); returns per-(source, shard, bin) stats
+    after the sequential reset-on-overflow fill (applyInPandas per
+    group — the one sanctioned per-partition-sequential pattern)."""
+    import pandas as pd
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["mkey", "doc_id"]).reset_index(drop=True)
@@ -758,11 +769,14 @@ def pack_greedy_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["pack_greedy_fill"] = f"""
+def _pack_oracle_sql(tok_expr: str) -> str:
+    """RECURSIVE-CTE replay of the greedy fill with the per-doc token
+    count given by ``tok_expr`` (SQL over ``documents``) — shared by
+    the whitespace-count gate and the BPE-token restatement."""
+    return f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, source,
-         least(len(list_filter(string_split(text, ' '),
-                               x -> x <> '')), {_PACK_CAP}) AS tok,
+         least({tok_expr}, {_PACK_CAP}) AS tok,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
            % {_PACK_SHARDS} AS shard,
          md5(CAST(doc_id AS VARCHAR)) AS mkey
@@ -793,6 +807,11 @@ SELECT source, shard, bin_id, count(*) AS n_docs,
 FROM fill
 GROUP BY 1, 2, 3
 """
+
+
+ORACLES["pack_greedy_fill"] = _pack_oracle_sql(
+    "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+)
 QUERIES["pack_greedy_fill"] = pack_greedy_fill
 
 

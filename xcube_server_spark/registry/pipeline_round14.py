@@ -1,0 +1,287 @@
+"""Round-14 gates: BPE ENCODING at scale — applying a trained merge
+list to the corpus, closing the gap between the pipeline's "tokens"
+(whitespace splits everywhere upstream) and a trainer's tokens.
+
+``bpe_first_merges`` (``pipeline_round8``) computes the TRAINING side's
+first pair statistics; these gates run the INFERENCE side: a ranked
+merge table (GPT-2 style ``bpe(word)``) encodes every document to token
+ids, entirely JVM-side.
+
+The engine trick: with every token wrapped as ``_tok_`` and
+concatenated (``_c__a__t_`` for "cat"), one merge rule ``(a, b) -> ab``
+is EXACTLY one string replace of ``_a__b_`` by ``_ab_`` — left-to-right,
+non-overlapping, no rescan of the inserted text — which is precisely
+one merge-all-occurrences pass of the GPT-2 encoder (its ``i += 2``
+skip = replace's continue-after-match). Applying one pass per rule in
+RANK ORDER equals the reference priority-queue loop whenever the merge
+list is well-formed, because a later rule can never create a new
+occurrence of an earlier rule's pair:
+
+  * every new adjacency after applying rule k involves rule k's output
+    token ``out_k``;
+  * rule j < k's operands are tokens that exist before step j, while
+    ``out_k`` is a brand-new string distinct from every base char and
+    every other rule's output (well-formedness, asserted at import and
+    pytest-pinned);
+  * hence ``out_k`` can equal no operand of rule j, so rule j stays
+    exhausted once its single pass ran.  For the self-pair (a, a) one
+    pass also suffices: merging cannot recreate the pair (the only new
+    token is ``aa``).
+
+``tests/test_bpe_encode.py`` pins the equivalence against an
+INDEPENDENT implementation of the GPT-2 priority-queue encoder
+(hypothesis-fuzzed over random words) and asserts the well-formedness
+preconditions the proof needs.
+
+Gates (all exact-integer outputs, DuckDB oracles REPLAY the identical
+merge chain via nested ``replace`` calls):
+
+- ``bpe_encode_stats`` — per-doc token count, alpha-char count and a
+  position-weighted token-id checksum (the layout-gate discipline: a
+  permuted or misencoded token stream flips the checksum). Zero-join
+  shape: token ids resolve scan-side through a map literal + HOFs —
+  the whole encode is one WholeStageCodegen map stage with NO shuffle
+  before the final order-by.
+- ``bpe_token_histogram`` — the corpus token frequency table, explode
+  + BROADCAST vocab join + bounded-key groupBy (key space = |vocab|,
+  partial aggregation collapses the shuffle regardless of corpus
+  size). This is the 50k-vocab production shape: when the vocabulary
+  outgrows an in-expression map literal, the id lookup becomes this
+  broadcast dim join.
+- ``pack_greedy_fill_bpe`` — the round-13 no-overflow packing gate
+  re-stated on REAL tokenizer counts (r13 verdict ask): same shared
+  ``_pack_fill_stats`` recurrence and RECURSIVE-CTE oracle, but the
+  per-doc budget input is the BPE token count, as a trainer would
+  pack.
+
+Reference analog: none in xcube-server (no tokenizer); this is the
+training-data-pipeline mandate. 100 TB shape: the encode is map-only
+over the scan (no Python, no UDF, no shuffle); the merge chain depth
+equals the merge count, so a production vocab would batch rules into
+a pandas UDF only past codegen's expression limits — at which point
+the histogram gate's broadcast-join shape already covers id lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+from .pipeline_round13 import (
+    _PACK_CAP,
+    _PACK_SHARDS,
+    _pack_fill_stats,
+    _pack_oracle_sql,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+# Ranked merge list (rank = list position, best first) over the corpus
+# alphabet. Deterministic and fixed — the "trained tokenizer" artifact a
+# production pipeline would broadcast. Chosen to exercise the encoder on
+# the shipped lexicon: 3-deep chains (t+h -> th, th+e -> the), whole-word
+# merges (part, scan, the), and a genuine PRIORITY CONFLICT — "data"
+# contains both (a,t) [rank 2] and (t,a) [rank 16], and the better rank
+# must win: d,ata not da,ta.
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "t"), ("e", "r"), ("a", "n"),
+    ("i", "n"), ("o", "w"), ("at", "a"), ("b", "at"), ("s", "t"),
+    ("er", "y"), ("c", "an"), ("s", "can"), ("o", "r"), ("t", "or"),
+    ("a", "l"), ("t", "a"), ("l", "e"), ("b", "le"), ("g", "g"),
+    ("a", "r"), ("p", "ar"), ("par", "t"),
+]
+
+_BASE_CHARS = "abcdefghijklmnopqrstuvwxyz"
+# token ids: base chars 0..25, merge outputs 26.. in rank order — the
+# deterministic vocab table both engines share
+BPE_VOCAB = [(c, i) for i, c in enumerate(_BASE_CHARS)] + [
+    (a + b, 26 + k) for k, (a, b) in enumerate(BPE_MERGES)
+]
+
+
+def _check_well_formed() -> None:
+    """The equivalence proof's preconditions (module docstring); import
+    fails loudly if an edit to BPE_MERGES breaks them."""
+    known = set(_BASE_CHARS)
+    outs = set()
+    for a, b in BPE_MERGES:
+        assert a in known and b in known, (a, b)
+        out = a + b
+        assert out not in known, out  # distinct from all earlier tokens
+        known.add(out)
+        outs.add(out)
+    assert len(outs) == len(BPE_MERGES)
+
+
+_check_well_formed()
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """Array-of-BPE-tokens column for ``text``: wrap every [a-z] char as
+    ``_c_``, run one replace pass per merge rule in rank order, split
+    back on separators. Pure built-in string expressions — the encode
+    stays inside WholeStageCodegen; word boundaries (spaces) survive
+    untouched because no merge pattern contains a space."""
+    seq = F.regexp_replace(
+        F.regexp_replace(F.lower(text), "[^a-z ]", ""),
+        "([a-z])", "_$1_",
+    )
+    for a, b in BPE_MERGES:
+        seq = F.replace(seq, F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_"))
+    return F.filter(F.split(seq, "[_ ]+"), lambda t: t != F.lit(""))
+
+
+def _bpe_toks_sql(text_expr: str = "text") -> str:
+    """The DuckDB replay of the identical merge chain (RE2 backref
+    ``\\1`` instead of Java's ``$1``; replace semantics verified equal:
+    left-to-right, non-overlapping, no rescan)."""
+    s = (
+        f"regexp_replace(regexp_replace(lower({text_expr}), "
+        f"'[^a-z ]', '', 'g'), '([a-z])', '_\\1_', 'g')"
+    )
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '_{a}__{b}_', '_{a}{b}_')"
+    return (
+        f"list_filter(regexp_split_to_array({s}, '[_ ]+'), "
+        "x -> x <> '')"
+    )
+
+
+_VOCAB_VALUES = ", ".join(f"('{t}', {i})" for t, i in BPE_VOCAB)
+
+
+# --------------------------------------------------------------------------
+# bpe_encode_stats: per-doc token counts + position-weighted checksum
+# --------------------------------------------------------------------------
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encode digest: token count, alpha-char count
+    (= sum of token lengths — the lossless-segmentation invariant is
+    part of the compare) and the position-weighted id checksum
+    ``sum(tok_id * pos1)`` that pins the EXACT token sequence (counts
+    alone are permutation-blind). Token ids resolve scan-side via a
+    map literal + indexed ``transform`` — zero joins, zero shuffles
+    until the output order-by; at 100 TB this is a map-only stage."""
+    id_map = F.create_map(
+        *[x for t, i in BPE_VOCAB for x in (F.lit(t), F.lit(i))]
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_tokens_col(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    weighted = F.transform(
+        F.col("toks"),
+        lambda t, i: F.element_at(id_map, t).cast("long")
+        * (i.cast("long") + 1),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("n_alpha"),
+        F.aggregate(
+            weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("tok_checksum"),
+    ).orderBy("doc_id")
+
+
+ORACLES["bpe_encode_stats"] = f"""
+WITH enc AS (
+  SELECT doc_id, {_bpe_toks_sql()} AS lst FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(lst) AS tok, generate_subscripts(lst, 1) AS pos
+  FROM enc WHERE len(lst) > 0
+),
+vocab(tok, tok_id) AS (VALUES {_VOCAB_VALUES})
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(t.tok)) AS BIGINT) AS n_alpha,
+       CAST(sum(v.tok_id * t.pos) AS BIGINT) AS tok_checksum
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+QUERIES["bpe_encode_stats"] = bpe_encode_stats
+
+
+# --------------------------------------------------------------------------
+# bpe_token_histogram: corpus-wide token frequencies (broadcast vocab)
+# --------------------------------------------------------------------------
+def bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram — the table a mixture designer reads
+    (token budget per source, vocab utilization). Explode tokens, id
+    them through the BROADCAST vocab dim (the production shape once
+    the vocab outgrows map literals), aggregate on a key space bounded
+    by |vocab|. The ``freq`` half collapses map-side to at most
+    |vocab| rows per task at any corpus size; the ``n_docs`` half is
+    the standard two-phase distinct plan whose shuffle carries the
+    DEDUPED (token, doc) pairs — the document-frequency computation's
+    irreducible cost (swap in approx_count_distinct to trade it away)."""
+    vocab = spark.createDataFrame(BPE_VOCAB, "tok string, tok_id int")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(bpe_tokens_col(F.col("text"))).alias("tok")
+    )
+    return (
+        docs.join(F.broadcast(vocab), "tok")
+        .groupBy("tok_id", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("freq"), "tok")
+    )
+
+
+ORACLES["bpe_token_histogram"] = f"""
+WITH enc AS (
+  SELECT doc_id, {_bpe_toks_sql()} AS lst FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(lst) AS tok FROM enc
+),
+vocab(tok, tok_id) AS (VALUES {_VOCAB_VALUES})
+SELECT v.tok_id, t.tok,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY 1, 2
+ORDER BY freq DESC, tok
+"""
+QUERIES["bpe_token_histogram"] = bpe_token_histogram
+
+
+# --------------------------------------------------------------------------
+# pack_greedy_fill_bpe: the packing gate on REAL tokenizer counts
+# --------------------------------------------------------------------------
+def pack_greedy_fill_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pack_greedy_fill`` re-stated on BPE token counts: the budget a
+    trainer actually packs against is tokenizer tokens, not whitespace
+    words (a doc's BPE count here runs ~2.5x its word count, so bins
+    close on different docs — the two gates disagree everywhere unless
+    both recurrences are right). Same shared fill recurrence and
+    RECURSIVE-CTE oracle; only the ``tok`` input changes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(
+            F.size(bpe_tokens_col(F.col("text"))), F.lit(_PACK_CAP)
+        ).cast("long").alias("tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 15
+                ), 16, 10,
+            ).cast("long") % _PACK_SHARDS
+        ).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("mkey"),
+    )
+    return _pack_fill_stats(docs)
+
+
+ORACLES["pack_greedy_fill_bpe"] = _pack_oracle_sql(
+    f"len({_bpe_toks_sql()})"
+)
+QUERIES["pack_greedy_fill_bpe"] = pack_greedy_fill_bpe
