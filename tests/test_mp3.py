@@ -91,6 +91,34 @@ def test_synth_window_near_pr_round_trip():
                           / 65536)
 
 
+def test_table_b3_underdetermined():
+    """The derive-or-prove closure (mp3tables.py docstring): a SECOND
+    prototype — order-7 smootherstep theta instead of quintic — passes
+    the COMPLETE in-sandbox validation set for the synthesis window
+    (unit-gain near-PR round trip well above the 50 dB contract, 2^-16
+    grid membership after quantization; the structure identity holds
+    for any D by construction), yet differs from the shipped window in
+    every tap. Distinct windows satisfying all testable identities ⇒
+    the identities cannot single out the printed Table B.3; bit-exact
+    values would require unvalidatable transcription."""
+    from xcube_server_spark.sources.mp3tables import _fs_prototype_alt
+
+    sign = np.where((np.arange(512) // 64) % 2 == 0, 1.0, -1.0)
+    h = _fs_prototype_alt()
+    _, gain, _ = prototype_round_trip(h)
+    h /= np.sqrt(gain)
+    d_alt = np.round(h * sign * 65536.0) / 65536.0
+    # the witness passes every criterion the shipped window must pass
+    delay, gain2, snr = prototype_round_trip(d_alt * sign)
+    assert abs(gain2 - 1.0) < 1e-3
+    assert snr > 70.0  # comfortably above the 50 dB contract
+    assert np.array_equal(d_alt, np.round(d_alt * 65536) / 65536)
+    # ... yet is a different table everywhere
+    diff_grid = np.abs(d_alt - SYNTH_WINDOW) * 65536
+    assert int((diff_grid > 0.5).sum()) == 512
+    assert diff_grid.max() > 1000
+
+
 def test_polyphase_structure_equals_effective_filter():
     """Feeding one subband impulse through the spec's V-FIFO/build-U
     structure must produce exactly D[t] * cos((16 + (t mod 64)) *

@@ -17,7 +17,11 @@ silently wrong:
 - The synthesis window is a documented near-PR stand-in for the spec's
   printed Table B.3 (round-trip SNR pinned by test); third-party MP3s
   decode with that prototype's passband shape instead of the spec
-  one's. Intensity stereo decodes for the full block matrix: long
+  one's. This is PERMANENT, not pending: the complete set of
+  identities testable in-sandbox provably cannot determine the printed
+  table — two distinct prototypes pass all of them (the
+  underdetermination proof + constructive witness live in
+  ``mp3tables.py`` and ``test_mp3.py::test_table_b3_underdetermined``). Intensity stereo decodes for the full block matrix: long
   blocks (is_pos tangent ratios, zero-part bound, is_pos 7 fallback),
   short blocks (per-window top-down bound scan, per-(sfb, window)
   is_pos) and mixed blocks (short region per-window over sfbs 3..12,

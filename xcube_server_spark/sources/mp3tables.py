@@ -19,12 +19,40 @@ nor a reference decoder to diff against):
 - ``SYNTH_WINDOW`` is NOT the spec's printed Table B.3 (that 512-value
   table is unavailable for faithful transcription): it is a documented
   deterministic near-perfect-reconstruction prototype for the same
-  32-band cosine-modulated structure — Kaiser-windowed sinc at cutoff
-  pi/64, quantized to the spec table's own 2^-16 grid — whose
-  analysis/synthesis round trip the tests pin by SNR. Decoded PCM from
-  third-party MP3s therefore differs from a conformant decoder by the
-  prototype's passband shape; every OTHER stage is spec-exact, which
-  is what the driver gate's closed-form oracle proves.
+  32-band cosine-modulated structure (frequency-sampled
+  quintic-smoothstep design, ``_fs_prototype``), quantized to the spec
+  table's own 2^-16 grid, whose analysis/synthesis round trip the
+  tests pin by SNR. Decoded PCM from third-party MP3s therefore
+  differs from a conformant decoder by the prototype's passband shape;
+  every OTHER stage is spec-exact, which is what the driver gate's
+  closed-form oracle proves.
+
+  WHY TABLE B.3 CANNOT BE DERIVED IN-SANDBOX (permanent closure of the
+  derive-or-prove item): every identity this sandbox can test against
+  the window is one of (a) the polyphase STRUCTURE identity — the
+  effective filter g_k[t] = D[t]·cos((16+(t mod 64))(2k+1)pi/64) —
+  which holds for ANY 512-vector D by construction of the V-FIFO loop
+  and so pins no table values; (b) the matched-bank near-PR round
+  trip (unit gain, high SNR) plus 2^-16 grid membership; (c) shape
+  plausibility (lowpass, ~symmetric). Condition (b) is an OPEN
+  FEASIBILITY REGION in R^512, not a point: any prototype whose
+  amplitude is power-complementary across the 1/64 band spacing
+  (A(f)^2 + A(1/64-f)^2 = 1, guaranteed by any theta schedule with
+  s(x) + s(1-x) = 1) and whose impulse tail decays fast enough to
+  truncate at 512 taps lands inside it. Constructive witness, pinned
+  by ``tests/test_mp3.py::test_table_b3_underdetermined``: the
+  shipped quintic design (78.6 dB) and the order-7 smootherstep
+  design (``_fs_prototype_alt``, 74.1 dB) BOTH satisfy every testable
+  identity at unit gain, yet differ in all 512 taps by up to
+  1776·2^-16. Since distinct windows pass the complete in-sandbox
+  validation set, that set cannot single out the committee's table —
+  which is itself a numerically optimized design satisfying no
+  published closed-form identity exactly (after its own 2^-16
+  rounding it is not even exactly power-complementary). Bit-exact
+  Table B.3 is therefore obtainable only by transcribing the printed
+  standard, which the provenance discipline forbids when no
+  validation can check the transcription. The quintic window stays:
+  it is the highest-SNR in-sandbox-validatable prototype found.
 """
 
 from __future__ import annotations
@@ -191,6 +219,24 @@ def _fs_prototype() -> np.ndarray:
     amp = np.cos(theta)
     h_full = np.fft.irfft(amp)  # zero-phase, peak at index 0
     return np.concatenate([h_full[-256:], h_full[:256]])  # center 512
+
+
+def _fs_prototype_alt() -> np.ndarray:
+    """The underdetermination WITNESS (module docstring): same
+    frequency-sampled construction as ``_fs_prototype`` but with the
+    order-7 smootherstep theta schedule 35x^4 - 84x^5 + 70x^6 - 20x^7
+    (also satisfies s(x) + s(1-x) = 1, so power complementarity holds
+    on-grid exactly). Passes the full in-sandbox validation set at
+    74.1 dB / unit gain while differing from the shipped window in all
+    512 taps — proof the validation set cannot pin Table B.3."""
+    n_grid = 8192
+    f = np.fft.rfftfreq(n_grid)
+    fc, half_bw = 1.0 / 128.0, 1.0 / 128.0
+    x = np.clip((f - (fc - half_bw)) / (2 * half_bw), 0.0, 1.0)
+    s = 35 * x**4 - 84 * x**5 + 70 * x**6 - 20 * x**7
+    amp = np.cos(s * (np.pi / 2.0))
+    h_full = np.fft.irfft(amp)
+    return np.concatenate([h_full[-256:], h_full[:256]])
 
 
 def prototype_round_trip(h: np.ndarray) -> tuple[int, float, float]:
