@@ -12,8 +12,10 @@ from xcube_server_spark.registry.pipeline_round13 import (
     _AUD_ASSETS,
     _AUD_K,
     _AUD_MIN_SAMPLES,
+    _AUD_N,
     _aud_cap_tokens,
     _aud_oracle_sql,
+    _aud_tag,
 )
 from xcube_server_spark.sources.mp3 import decode_mp3, encode_mp3
 
@@ -55,9 +57,10 @@ def test_quantization_margin():
 def test_checksum_separation_and_drop_classes():
     """Each fixture drop class is owned by exactly one DAG stage:
     4/5 fall to the duration floor, 6/7 to the caption floor, 8/9 to
-    the checksum dedup (byte-identical to 0/1); everyone else reaches
-    the schedule. Non-duplicate checksums are pairwise distinct (a
-    collision would silently merge samples in the dedup stage)."""
+    the checksum dedup (PCM-identical to 0/1), 12/13 ONLY to the ID3
+    tag stage (language allowlist / missing title); everyone else
+    reaches the schedule. Non-duplicate checksums are pairwise
+    distinct (a collision would silently merge samples in dedup)."""
     stats = _decode_stats()
     # duplicates: bit-identical PCM and checksum
     for dup, orig in ((8, 0), (9, 1)):
@@ -66,17 +69,33 @@ def test_checksum_separation_and_drop_classes():
     # non-dup checksums pairwise distinct
     cks = {a: s[2] for a, s in stats.items() if a not in (8, 9)}
     assert len(set(cks.values())) == len(cks), cks
-    # stage ownership
+    # stage ownership — 12/13 must pass EVERY pre-tag stage so the tag
+    # filter alone owns their drop
     dur_pass = {a for a, s in stats.items()
                 if s[0] >= _AUD_MIN_SAMPLES}
-    assert dur_pass == set(range(12)) - {4, 5}
-    cap_pass = {a for a in range(12) if _aud_cap_tokens(a) >= 3}
-    assert cap_pass == set(range(12)) - {6, 7}
-    survivors = dur_pass & cap_pass - {8, 9}
+    assert dur_pass == set(range(_AUD_N)) - {4, 5}
+    cap_pass = {a for a in range(_AUD_N) if _aud_cap_tokens(a) >= 3}
+    assert cap_pass == set(range(_AUD_N)) - {6, 7}
+    tag_pass = {a for a in range(_AUD_N)
+                if _aud_tag(a) == ("en", True)}
+    assert tag_pass == set(range(_AUD_N)) - {12, 13}
+    survivors = dur_pass & cap_pass & tag_pass - {8, 9}
     assert survivors == {0, 1, 2, 3, 10, 11}
     # durations genuinely vary among survivors, so the schedule's
     # duration weighting is exercised (not count-equivalent)
     assert len({stats[a][0] for a in survivors}) >= 3
+
+
+def test_tag_stage_is_load_bearing():
+    """Removing the tag predicate from the oracle changes the final
+    schedule — the ID3 stage is not vacuously green (a regression that
+    stopped parsing tags would flip the gate, not pass silently)."""
+    import duckdb
+
+    sql = _aud_oracle_sql()
+    assert "AND lang = 'en' AND has_title" in sql
+    without = sql.replace("AND lang = 'en' AND has_title", "")
+    assert duckdb.sql(sql).fetchall() != duckdb.sql(without).fetchall()
 
 
 def test_oracle_decode_stage_matches_decoder():

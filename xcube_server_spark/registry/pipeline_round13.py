@@ -7,9 +7,11 @@ decoder inside a multi-stage plan. A WebDataset-style tar shard of
 MPEG-1 Layer III clips + JSON captions flows through
 
     tar ingest (driver header-hop index, executor ranged reads)
-    → REAL MP3 decode in ONE Arrow stage (``sources/mp3.py``:
-      frame walk, side info, Huffman, requantize, IMDCT, polyphase)
-    → quality filters: duration floor + caption-token floor
+    → REAL MP3 decode + ID3v2 tag parse in ONE Arrow stage
+      (``sources/mp3.py``: frame walk, side info, Huffman, requantize,
+      IMDCT, polyphase; ``sources/id3.py`` over the same bytes)
+    → quality filters: duration floor + caption-token floor +
+      tag-metadata floors (language allowlist, title present)
     → exact dedup on the position-weighted PCM checksum (keep the
       minimum sample key — byte-identical clips collapse)
     → DURATION-weighted stride-scheduled mixture: virtual time is the
@@ -21,7 +23,9 @@ MPEG-1 Layer III clips + JSON captions flows through
 Every fixture drop class is owned by a DIFFERENT stage (the
 ``multimodal_curation_stats`` discipline): assets 4/5 are one-frame
 clips under the duration floor, 6/7 have two-token captions, 8/9 are
-byte-identical duplicates of 0/1. The DuckDB oracle decodes the same
+PCM-identical duplicates of 0/1 (their ID3 tags differ — dedup is on
+decoded samples, not bytes), 12 declares a non-allowlisted ID3
+language and 13 carries no title frame (the round-14 tag stage). The DuckDB oracle decodes the same
 clips through the closed-form Layer III chain
 (``pipeline_round12._mp3_pcm_ctes`` — the ``mp3_decode_stats``
 machinery, reused verbatim) and replays the DAG in SQL; fixture lines
@@ -49,10 +53,22 @@ ORACLES = {}
 # --------------------------------------------------------------------------
 # audio_curation_stats
 # --------------------------------------------------------------------------
-_AUD_N = 12
+_AUD_N = 14
 _AUD_WEIGHTS = {"src0": 2.0}  # src1 weight 1.0
 _AUD_K = 4
 _AUD_MIN_SAMPLES = 2000  # duration floor: one 1152-sample frame fails
+
+
+def _aud_tag(i: int) -> tuple[str, bool]:
+    """(language, has_title) carried in each clip's ID3v2 tag. Assets
+    12/13 pass every other stage and are dropped ONLY by the tag
+    filter: 12 declares a non-allowlisted language, 13 has no title
+    frame — the round-14 drop classes owned by the ID3 stage."""
+    if i == 12:
+        return ("xx", True)
+    if i == 13:
+        return ("en", False)
+    return ("en", True)
 
 
 def _aud_frames(i: int) -> list:
@@ -64,7 +80,9 @@ def _aud_frames(i: int) -> list:
     byte-identically (the dedup drop class); 4/5 are single-frame
     (duration drop class); 2/3 and 11 are longer (3 and 4 frames) so
     the duration-weighted schedule orders differently than a count
-    schedule would."""
+    schedule would; 12/13 are ordinary 2-frame clips dropped only by
+    their ID3 tags (language / missing title — the tag-stage drop
+    classes)."""
     j = i - 8 if i in (8, 9) else i
     n_frames = {2: 3, 3: 3, 4: 1, 5: 1, 11: 4}.get(j, 2)
     # per-asset salts searched so every decoded sample clears the
@@ -90,17 +108,27 @@ def _aud_cap_tokens(i: int) -> int:
 
 
 def _aud_fixture() -> str:
+    from ..sources.id3 import build_id3v2
     from ..sources.mp3 import encode_mp3
     from ..sources.tar_source import build_tar
     from .cube_queries import _gate_path
 
-    d = _gate_path("xss_audio_curation_gate_v2")
+    d = _gate_path("xss_audio_curation_gate_v3")
     path = os.path.join(d, "shard-0000.tar")
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
         members = []
         for i, frames in _AUD_ASSETS:
-            members.append((f"{i:04d}.mp3", encode_mp3(frames)))
+            # every clip carries a REAL ID3v2 tag ahead of its frames
+            # (decode_mp3 skips it; the DAG's tag stage parses it) —
+            # versions and text encodings alternate so the reader is
+            # exercised in-DAG, not just in its standalone gate
+            lang, has_title = _aud_tag(i)
+            tag_frames = [("TLAN", lang, i % 4)]
+            if has_title:
+                tag_frames.append(("TIT2", f"Clip {i}", (i + 1) % 4))
+            tag = build_id3v2(tag_frames, version=3 if i % 2 else 4)
+            members.append((f"{i:04d}.mp3", tag + encode_mp3(frames)))
             cap = " ".join(f"tok{t}" for t in range(_aud_cap_tokens(i)))
             members.append((
                 f"{i:04d}.json",
@@ -127,6 +155,7 @@ def audio_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window then runs over at most K rows per source."""
     import pandas as pd
 
+    from ..sources.id3 import parse_id3v2
     from ..sources.mp3 import decode_mp3
     from ..sources.tar_source import ingest_tar_distributed
 
@@ -139,23 +168,30 @@ def audio_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            keys, ns, cks = [], [], []
+            keys, ns, cks, langs, titled = [], [], [], [], []
             for k, field, payload in zip(pdf["sample_key"],
                                          pdf["field"], pdf["payload"]):
                 if field != "mp3":
                     continue
-                pcm, _rate = decode_mp3(bytes(payload))
+                raw = bytes(payload)
+                tags = parse_id3v2(raw)  # same bytes, same Arrow pass
+                pcm, _rate = decode_mp3(raw)
                 q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
                 pos = np.arange(len(q), dtype=np.int64) + 1
                 keys.append(k)
                 ns.append(len(q))
                 cks.append(int((q * pos).sum()))
+                langs.append(tags.get("TLAN"))
+                titled.append("TIT2" in tags)
             yield pd.DataFrame(
-                {"sample_key": keys, "n_samples": ns, "checksum": cks}
+                {"sample_key": keys, "n_samples": ns, "checksum": cks,
+                 "lang": langs, "has_title": titled}
             )
 
     audio = df.filter(F.col("field") == "mp3").mapInPandas(
-        decode, "sample_key string, n_samples long, checksum long"
+        decode,
+        "sample_key string, n_samples long, checksum long, "
+        "lang string, has_title boolean",
     )
     caps = df.filter(F.col("field") == "json").select(
         "sample_key",
@@ -169,9 +205,11 @@ def audio_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samples = audio.join(caps, "sample_key")
     # quality filters: each clause owns one fixture drop class
+    # (duration 4/5, caption 6/7, tag language 12, tag title 13)
     passed = samples.filter(
         f"n_samples >= {_AUD_MIN_SAMPLES} AND cap_tokens >= 3"
-    )
+        " AND lang = 'en' AND has_title"
+    ).drop("lang", "has_title")
     # exact PCM dedup: keep the minimum sample_key per checksum
     keeper = Window.partitionBy("checksum")
     survivors = (
@@ -214,7 +252,8 @@ _AUD_CASE = " ".join(
 
 def _aud_oracle_sql() -> str:
     metas = ", ".join(
-        f"({i}, 'src{i % 2}', {_aud_cap_tokens(i)})"
+        f"({i}, 'src{i % 2}', {_aud_cap_tokens(i)}, "
+        f"'{_aud_tag(i)[0]}', {'TRUE' if _aud_tag(i)[1] else 'FALSE'})"
         for i in range(_AUD_N)
     )
     return f"""
@@ -225,12 +264,13 @@ stats AS (
               AS BIGINT) AS checksum
   FROM pcm GROUP BY a
 ),
-meta(a, source, cap_tokens) AS (VALUES {metas}),
+meta(a, source, cap_tokens, lang, has_title) AS (VALUES {metas}),
 keyed AS (
   SELECT lpad(CAST(a AS VARCHAR), 4, '0') AS sample_key, source,
          CAST(n_samples AS BIGINT) AS n_samples, checksum
   FROM stats JOIN meta USING (a)
   WHERE n_samples >= {_AUD_MIN_SAMPLES} AND cap_tokens >= 3
+    AND lang = 'en' AND has_title
 ),
 surv AS (
   SELECT sample_key, source, n_samples, checksum FROM (
