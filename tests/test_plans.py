@@ -811,7 +811,8 @@ def test_stride_schedule_rank_is_window_group_limit(spark, sf_dir):
     # sample_temperature's computed rk <= target_n can't bound the
     # window, but target_n <= TOTAL always, so its literal rk <= TOTAL
     # pre-filter earns the same rewrite
-    for name in ("mixture_schedule", "curation_pipeline_stats",
+    for name in ("mixture_schedule", "mixture_schedule_tokens",
+                 "curation_pipeline_stats",
                  "curation_warc_pipeline_stats",
                  "multimodal_curation_stats", "sample_temperature",
                  "audio_probe_mixture_stats"):

@@ -72,8 +72,12 @@ for _m in (
 # prior window, then stalest vintage alphabetical to the cut):
 # (a) NEW this round: bpe_encode_stats + bpe_token_histogram (BPE
 # ENCODE at scale — the GPT-2 merge loop as a JVM replace chain, DuckDB
-# replaying the identical merges) and pack_greedy_fill_bpe (the packing
-# gate re-stated on real tokenizer counts — the r13 verdict's ask).
+# replaying the identical merges), pack_greedy_fill_bpe +
+# mixture_schedule_tokens (packing and the stride schedule re-stated on
+# real tokenizer counts — the r13 verdict's ask) and
+# bpe_fertility_filter (tokens-per-char quality screen, pure-integer
+# predicate) + stream_bpe_tokens_live (the histogram maintained live,
+# batch/stream parity).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -82,8 +86,8 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the 46 r09 rows — alphabetical to the
-# cut after text_fingerprint; the 10 displaced r09 tail rows
-# (text_langid .. zarr_ingest_stats_http) head the r15 rotation.
+# cut after sample_stratified; the 13 displaced r09 tail rows
+# (set_ops_customers .. zarr_ingest_stats_http) head the r15 rotation.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
@@ -91,6 +95,9 @@ _PRIORITY = [
     "bpe_encode_stats",
     "bpe_token_histogram",
     "pack_greedy_fill_bpe",
+    "mixture_schedule_tokens",
+    "bpe_fertility_filter",
+    "stream_bpe_tokens_live",
     "pack_greedy_fill",
     "weighted_sample_bylength",
     "stream_weighted_sample_live",
@@ -134,10 +141,7 @@ _PRIORITY = [
     "q1_pricing_summary",
     "quality_filter_chain",
     "sample_mixture",
-    "sample_stratified",
-    "set_ops_customers",
-    "stream_user_stats_stateful",
-    "text_fingerprint",  # <- window position 50
+    "sample_stratified",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 234
     # prior entries were driver-green in the r01-r13 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run. ----

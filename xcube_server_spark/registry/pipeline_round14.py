@@ -285,3 +285,165 @@ ORACLES["pack_greedy_fill_bpe"] = _pack_oracle_sql(
     f"len({_bpe_toks_sql()})"
 )
 QUERIES["pack_greedy_fill_bpe"] = pack_greedy_fill_bpe
+
+
+# --------------------------------------------------------------------------
+# mixture_schedule_tokens: stride schedule on a TOKEN budget
+# --------------------------------------------------------------------------
+_MST_WEIGHTS = {"src0": 3.0, "src1": 2.0}  # others weight 1.0
+_MST_K = 40
+
+
+def mixture_schedule_tokens(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """``mixture_schedule`` with the budget a trainer actually
+    meters: virtual time advances by each document's BPE TOKEN COUNT
+    over the source weight (weighted fair queueing on tokens consumed,
+    the analog of ``audio_curation_stats``'s duration-weighted
+    schedule) instead of by document count — long documents now "cost"
+    proportionally more of their source's share at every prefix.
+
+    Same lossless WindowGroupLimit shape: within a source the
+    cumulative token count is strictly increasing in pos (every doc
+    has >= 1 token), so the global top-K by (vt, source, doc_id) is a
+    pos-prefix of each source and the literal ``pos <= K`` bound drops
+    nothing. cum_tokens is an exact integer window sum; vt is ONE IEEE
+    division by the weight, identical in both engines."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(bpe_tokens_col(F.col("text"))).cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    weight = F.lit(1.0)
+    for src, wt in _MST_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)) \
+            .otherwise(weight)
+    w_cum = Window.partitionBy("source").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sched = (
+        docs.withColumn("pos", F.row_number().over(w_rank))
+        .filter(F.col("pos") <= _MST_K)  # lossless prefix bound
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+        .withColumn("vt", F.col("cum_tokens").cast("double") / weight)
+        .orderBy("vt", "source", "doc_id")
+        .limit(_MST_K)
+    )
+    w_global = Window.orderBy("vt", "source", "doc_id")
+    return sched.withColumn(
+        "sched_pos", F.row_number().over(w_global)
+    ).select("sched_pos", "source", "doc_id", "n_tokens", "cum_tokens")
+
+
+_MST_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in _MST_WEIGHTS.items()
+)
+
+ORACLES["mixture_schedule_tokens"] = f"""
+WITH enc AS (
+  SELECT doc_id, source, len({_bpe_toks_sql()}) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS pos,
+         CASE {_MST_CASE} ELSE 1.0 END AS weight
+  FROM enc WHERE n_tokens > 0
+),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pos)
+                 AS BIGINT) AS cum_tokens
+  FROM ranked WHERE pos <= {_MST_K}
+),
+sel AS (
+  SELECT *, CAST(cum_tokens AS DOUBLE) / weight AS vt
+  FROM cum
+  ORDER BY vt, source, doc_id
+  LIMIT {_MST_K}
+)
+SELECT row_number() OVER (ORDER BY vt, source, doc_id) AS sched_pos,
+       source, doc_id, n_tokens, cum_tokens
+FROM sel
+ORDER BY sched_pos
+"""
+QUERIES["mixture_schedule_tokens"] = mixture_schedule_tokens
+
+
+# --------------------------------------------------------------------------
+# bpe_fertility_filter: tokenizer-fertility quality screen
+# --------------------------------------------------------------------------
+# keep docs whose fertility (tokens per alpha char) is at most 0.72 —
+# high fertility means the tokenizer fragments the text (gibberish,
+# wrong-language, OCR noise), the standard tokenizer-side quality signal
+_FERT_MAX_BP = 7200  # basis points: 10000 * n_tokens / n_alpha
+
+
+def bpe_fertility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility screen on the REAL tokenizer: documents whose BPE
+    token count exceeds 0.72 of their alpha-char count are dropped (at the shipped corpus the cut lands mid-distribution,
+    so both classes are populated at every SF). The predicate is pure
+    integer cross-multiplication — ``10000*n_tokens <= cap*n_alpha`` —
+    so no float reaches the comparison in either engine; reported
+    fertility bounds use integer div. Per-source retention stats out;
+    map-only until the bounded groupBy(source)."""
+    toks = bpe_tokens_col(F.col("text"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("n_alpha"),
+    ).filter(F.col("n_alpha") > 0)
+    kept = (F.lit(10000) * F.col("n_tokens")
+            <= F.lit(_FERT_MAX_BP) * F.col("n_alpha"))
+    fert_bp = F.expr("(10000 * n_tokens) div n_alpha")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint").alias("kept_tokens"),
+            F.min(fert_bp).cast("bigint").alias("min_fert_bp"),
+            F.max(fert_bp).cast("bigint").alias("max_fert_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["bpe_fertility_filter"] = f"""
+WITH enc AS (
+  SELECT doc_id, source, {_bpe_toks_sql()} AS lst FROM documents
+),
+d AS (
+  SELECT doc_id, source,
+         CAST(len(lst) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(lst, x -> length(x)))
+              AS BIGINT) AS n_alpha
+  FROM enc
+  WHERE list_sum(list_transform(lst, x -> length(x))) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN 10000 * n_tokens <= {_FERT_MAX_BP} * n_alpha
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN 10000 * n_tokens <= {_FERT_MAX_BP} * n_alpha
+                     THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(min((10000 * n_tokens) // n_alpha) AS BIGINT)
+         AS min_fert_bp,
+       CAST(max((10000 * n_tokens) // n_alpha) AS BIGINT)
+         AS max_fert_bp
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+QUERIES["bpe_fertility_filter"] = bpe_fertility_filter

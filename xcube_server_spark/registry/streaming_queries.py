@@ -1020,6 +1020,94 @@ ORACLES["stream_weighted_sample_live"] = \
     _R13_ORACLES["weighted_sample_wor"]
 
 
+def _staged_docs_text(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (doc_id, text) as 4 doc_id-ranged files — the document
+    feed for the live BPE token counter."""
+    import os
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_docs_txt_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartitionByRange(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def stream_bpe_tokens_live(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """The corpus BPE token histogram maintained LIVE: each arriving
+    document micro-batch is encoded scan-side by the SAME JVM replace
+    chain as the batch gate (``pipeline_round14.bpe_tokens_col``) and
+    folded into a complete-mode streaming count per token — the
+    token-budget dashboard a streaming ingest feeds. After the backlog
+    drains the histogram equals the batch encode exactly; the vocab-id
+    join happens batch-side on the |vocab|-row result.
+
+    100 TB shape: streaming state is one counter per vocab entry
+    (bounded by |vocab|, not the stream); the encode itself is
+    stateless map work inside each micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.run import run_stream_to_batch
+    from .pipeline_round14 import BPE_VOCAB, bpe_tokens_col
+
+    staged = _staged_docs_text(spark, sf_dir)
+
+    def count_tokens(stream: DataFrame) -> DataFrame:
+        return (
+            stream.select(
+                F.explode(bpe_tokens_col(F.col("text"))).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        )
+
+    hist = run_stream_to_batch(
+        spark, staged, count_tokens, output_mode="complete"
+    )
+    vocab = spark.createDataFrame(BPE_VOCAB, "tok string, tok_id int")
+    return (
+        hist.join(F.broadcast(vocab), "tok")
+        .select("tok_id", "tok", "freq")
+        .orderBy(F.desc("freq"), "tok")
+    )
+
+
+def _bpe_hist_live_oracle() -> str:
+    from .pipeline_round14 import _VOCAB_VALUES, _bpe_toks_sql
+
+    return f"""
+WITH enc AS (
+  SELECT doc_id, {_bpe_toks_sql()} AS lst FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(lst) AS tok FROM enc
+),
+vocab(tok, tok_id) AS (VALUES {_VOCAB_VALUES})
+SELECT v.tok_id, t.tok, CAST(count(*) AS BIGINT) AS freq
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY 1, 2
+ORDER BY freq DESC, tok
+"""
+
+
+QUERIES["stream_bpe_tokens_live"] = stream_bpe_tokens_live
+# the drained live histogram must equal the batch encode exactly (the
+# batch/stream parity pin — same merge replay as bpe_token_histogram,
+# without the n_docs column: distinct aggregation is unsupported in
+# streaming, so the live twin reports frequencies only)
+ORACLES["stream_bpe_tokens_live"] = _bpe_hist_live_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Stream-static enrichment join: the dimension-lookup pattern, live
 # ---------------------------------------------------------------------------
