@@ -99,7 +99,11 @@ BENCH_QUERIES = [
     "quality_gopher_rules",
     "quality_c4_rules",
     "perplexity_buckets",
-    "unigram_logprob",
+    # (unigram_logprob swapped out r14 for the BPE encoder — the LM-stat
+    # family keeps perplexity_buckets/pmi/tfidf/ngram; the 23-rule JVM
+    # replace chain + HOF checksum is the new map-only plan shape.
+    # Same name length: the stdout line size is unchanged)
+    "bpe_encode_stats",
     "pmi_collocations",
     "tfidf_top_terms",
     "ngram_novelty",

@@ -866,8 +866,13 @@ def test_bpe_encode_plan_contracts(spark, sf_dir):
 
     enc = QUERIES["bpe_encode_stats"](spark, sf_dir)
     plan = executed_plan(enc)
-    assert count_exchanges(enc) <= 1, count_exchanges(enc)
+    assert count_exchanges(enc) == 0, count_exchanges(enc)
     assert "Python" not in plan and "Pandas" not in plan
+    # the construction discipline: the 23-replace merge chain appears
+    # exactly ONCE (rlike guard + two-level select — a pushed-down
+    # size(toks) filter or a collapsed project would duplicate it and
+    # double the codegen-compile cost)
+    assert plan.count("_t__h_") == 1, plan.count("_t__h_")
 
     hist = QUERIES["bpe_token_histogram"](spark, sf_dir)
     assert has_broadcast_join(hist)

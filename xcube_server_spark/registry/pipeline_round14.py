@@ -161,14 +161,26 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of the compare) and the position-weighted id checksum
     ``sum(tok_id * pos1)`` that pins the EXACT token sequence (counts
     alone are permutation-blind). Token ids resolve scan-side via a
-    map literal + indexed ``transform`` — zero joins, zero shuffles
-    until the output order-by; at 100 TB this is a map-only stage."""
+    map literal + indexed ``transform`` — zero joins, ZERO exchanges;
+    at 100 TB this is a map-only stage.
+
+    Plan-construction discipline (measured: halves the per-plan
+    codegen-compile cost, the dominant term at gate scale): the
+    empty-doc guard is a cheap ``rlike '[a-z]'`` on the raw text
+    (equivalent to ``size(toks) > 0`` — tokens come exactly from
+    [a-z] chars) so predicate pushdown never substitutes the merge
+    chain into a Filter, and the stats project references the
+    materialized ``toks`` alias across a two-level select that
+    CollapseProject keeps apart (non-cheap alias, multiple refs) —
+    the 23-replace chain appears exactly ONCE in the executed plan.
+    No output order-by: a global sort buys nothing at any scale and
+    its range-sampling pass would re-run the chain."""
     id_map = F.create_map(
         *[x for t, i in BPE_VOCAB for x in (F.lit(t), F.lit(i))]
     )
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", bpe_tokens_col(F.col("text")).alias("toks")
-    ).filter(F.size("toks") > 0)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.lower(F.col("text")).rlike("[a-z]")
+    ).select("doc_id", bpe_tokens_col(F.col("text")).alias("toks"))
     weighted = F.transform(
         F.col("toks"),
         lambda t, i: F.element_at(id_map, t).cast("long")
@@ -184,7 +196,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("tok_checksum"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLES["bpe_encode_stats"] = f"""
@@ -311,11 +323,16 @@ def mixture_schedule_tokens(spark: SparkSession, sf_dir: str
     division by the weight, identical in both engines."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # rlike guard instead of n_tokens > 0: equivalent (tokens come
+    # exactly from [a-z] chars) and keeps the merge chain out of a
+    # pushed-down Filter — ONE chain copy in the executed plan
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.lower(F.col("text")).rlike("[a-z]")
+    ).select(
         "doc_id", "source",
         F.size(bpe_tokens_col(F.col("text"))).cast("long")
         .alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    )
     w_rank = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -392,16 +409,22 @@ def bpe_fertility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication — ``10000*n_tokens <= cap*n_alpha`` —
     so no float reaches the comparison in either engine; reported
     fertility bounds use integer div. Per-source retention stats out;
-    map-only until the bounded groupBy(source)."""
-    toks = bpe_tokens_col(F.col("text"))
-    docs = _t(spark, sf_dir, "documents").select(
+    map-only until the bounded groupBy(source). The rlike guard and
+    the two-level select keep the merge chain to ONE copy in the plan
+    (see ``bpe_encode_stats``)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.lower(F.col("text")).rlike("[a-z]")
+    ).select(
         "doc_id", "source",
-        F.size(toks).cast("long").alias("n_tokens"),
+        bpe_tokens_col(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id", "source",
+        F.size("toks").cast("long").alias("n_tokens"),
         F.aggregate(
-            toks, F.lit(0).cast("long"),
+            "toks", F.lit(0).cast("long"),
             lambda acc, t: acc + F.length(t),
         ).alias("n_alpha"),
-    ).filter(F.col("n_alpha") > 0)
+    )
     kept = (F.lit(10000) * F.col("n_tokens")
             <= F.lit(_FERT_MAX_BP) * F.col("n_alpha"))
     fert_bp = F.expr("(10000 * n_tokens) div n_alpha")
