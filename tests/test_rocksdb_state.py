@@ -29,6 +29,7 @@ _CONF = "spark.sql.streaming.stateStore.providerClass"
         "stream_tumbling_counts_live",  # windowed aggregate state
         "stream_dedupe_events_live",  # dropDuplicatesWithinWatermark state
         "stream_sessionize_live",  # session-window state
+        "stream_pack_greedy_live",  # applyInPandasWithState custom state
     ],
 )
 def test_stateful_gates_match_under_rocksdb(spark, sf_dir, name):

@@ -77,7 +77,10 @@ for _m in (
 # real tokenizer counts — the r13 verdict's ask) and
 # bpe_fertility_filter (tokens-per-char quality screen, pure-integer
 # predicate) + stream_bpe_tokens_live (the histogram maintained live,
-# batch/stream parity).
+# batch/stream parity) + stream_pack_greedy_live (the no-overflow fill
+# as a CUSTOM STATEFUL streaming operator — applyInPandasWithState
+# carrying (bin_id, fill) per (source, shard) over the mkey-ordered
+# replay; shares the batch RECURSIVE-CTE oracle verbatim).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -86,8 +89,8 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the 46 r09 rows — alphabetical to the
-# cut after sample_stratified; the 13 displaced r09 tail rows
-# (set_ops_customers .. zarr_ingest_stats_http) head the r15 rotation.
+# cut after sample_mixture; the 14 displaced r09 tail rows
+# (sample_stratified .. zarr_ingest_stats_http) head the r15 rotation.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
@@ -98,6 +101,7 @@ _PRIORITY = [
     "mixture_schedule_tokens",
     "bpe_fertility_filter",
     "stream_bpe_tokens_live",
+    "stream_pack_greedy_live",
     "pack_greedy_fill",
     "weighted_sample_bylength",
     "stream_weighted_sample_live",
@@ -140,8 +144,7 @@ _PRIORITY = [
     "pii_scrub",
     "q1_pricing_summary",
     "quality_filter_chain",
-    "sample_mixture",
-    "sample_stratified",  # <- window position 50
+    "sample_mixture",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 234
     # prior entries were driver-green in the r01-r13 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run. ----

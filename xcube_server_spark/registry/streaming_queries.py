@@ -1108,6 +1108,136 @@ QUERIES["stream_bpe_tokens_live"] = stream_bpe_tokens_live
 ORACLES["stream_bpe_tokens_live"] = _bpe_hist_live_oracle()
 
 
+def _staged_docs_pack(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the packer's input (doc_id, source, tok, shard, mkey) as 4
+    mkey-ranged files with ascending mtimes: ``maxFilesPerTrigger=1``
+    then replays the corpus in GLOBAL md5 order — the order the fill
+    recurrence is defined over — so each (source, shard) group's rows
+    arrive ascending-mkey across micro-batches."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .pipeline_round13 import _PACK_CAP, _PACK_SHARDS
+
+    staged = os.path.join(
+        tempfile.gettempdir(), "xss_stream_docs_pack_" + _stage_key(sf_dir)
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "source",
+                F.least(
+                    F.size(F.expr("filter(split(text, ' '), t -> t <> '')")),
+                    F.lit(_PACK_CAP),
+                ).cast("long").alias("tok"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("doc_id").cast("string")), 1, 15
+                        ), 16, 10,
+                    ).cast("long") % _PACK_SHARDS
+                ).alias("shard"),
+                F.md5(F.col("doc_id").cast("string")).alias("mkey"),
+            )
+            .repartitionByRange(4, "mkey")
+            .sortWithinPartitions("mkey", "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        parts = sorted(
+            f for f in os.listdir(staged) if f.startswith("part-")
+        )
+        base_t = os.path.getmtime(os.path.join(staged, parts[0]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(staged, f), (base_t + i, base_t + i))
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def stream_pack_greedy_live(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """The greedy NO-OVERFLOW packer run LIVE: the reset-on-overflow
+    fill — inherently sequential, not window-expressible — becomes a
+    CUSTOM STATEFUL STREAMING OPERATOR (``applyInPandasWithState``
+    keyed by (source, shard), state = the open sequence's (bin_id,
+    fill)) over the mkey-ordered document replay. Each micro-batch
+    continues its group's fill exactly where the previous batch left
+    off, so the concatenation of per-batch fills IS the batch gate's
+    single-pass recurrence and the drained assignments aggregate to
+    the SAME oracle as ``pack_greedy_fill`` verbatim — the strongest
+    batch/stream parity pin (the scd2 / weighted-reservoir pattern,
+    now for a sequential recurrence).
+
+    100 TB shape: state is TWO integers per (source, shard) group
+    regardless of stream length; each doc is emitted exactly once in
+    its arrival batch (update mode); parallelism = sources x shards,
+    the same unit the batch packer shards by."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.run import run_stream_to_batch
+    from .pipeline_round13 import _PACK_CAP
+
+    staged = _staged_docs_pack(spark, sf_dir)
+
+    def fill_group(key, pdfs, state: GroupState):
+        source, shard = key
+        if state.exists:
+            cur_bin, cur_fill = state.get
+        else:
+            cur_bin, cur_fill = 0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["mkey", "doc_id"]).reset_index(drop=True)
+        bins = []
+        for tok in pdf["tok"]:
+            if cur_fill + tok > _PACK_CAP:
+                cur_bin += 1
+                cur_fill = int(tok)
+            else:
+                cur_fill += int(tok)
+            bins.append(cur_bin)
+        state.update((int(cur_bin), int(cur_fill)))
+        out = pdf[["doc_id", "tok"]].copy()
+        out["source"] = source
+        out["shard"] = shard
+        out["bin_id"] = pd.Series(bins, dtype="int64")
+        yield out[["source", "shard", "doc_id", "tok", "bin_id"]]
+
+    def assign(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("source", "shard").applyInPandasWithState(
+            fill_group,
+            outputStructType=(
+                "source string, shard long, doc_id long, tok long, "
+                "bin_id long"
+            ),
+            stateStructType="bin_id long, fill long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    assigned = run_stream_to_batch(
+        spark, staged, assign, output_mode="update"
+    )
+    return assigned.groupBy("source", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+QUERIES["stream_pack_greedy_live"] = stream_pack_greedy_live
+# the drained live assignments must aggregate to the batch packer's
+# bins exactly — shares the RECURSIVE-CTE oracle verbatim
+ORACLES["stream_pack_greedy_live"] = _R13_ORACLES["pack_greedy_fill"]
+
+
 # ---------------------------------------------------------------------------
 # Stream-static enrichment join: the dimension-lookup pattern, live
 # ---------------------------------------------------------------------------
