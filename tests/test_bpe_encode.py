@@ -201,3 +201,66 @@ def test_checksum_pins_token_order():
             continue
         sw = toks[:i] + [toks[i + 1], toks[i]] + toks[i + 2:]
         assert sum(ids[t] * (j + 1) for j, t in enumerate(sw)) != base
+
+
+def _python_train(word_counts, n):
+    """Independent pure-Python BPE trainer over (word, count) pairs."""
+    from collections import Counter
+
+    seqs = {w: list(w) for w in word_counts}
+    out = []
+    for _ in range(n):
+        pc = Counter()
+        for w, toks in seqs.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += word_counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        out.append((a, b, freq))
+        for w, toks in seqs.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if (i < len(toks) - 1 and toks[i] == a
+                        and toks[i + 1] == b):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            seqs[w] = merged
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="no testdata")
+def test_training_gate_matches_independent_trainer(spark):
+    """``bpe_train_merges`` (iterative argmax + replace over wrapped
+    sequences) equals an INDEPENDENT token-list trainer fed the same
+    word counts — and the learned freqs are non-increasing (merging
+    only removes adjacencies; new pairs are capped by the merged
+    token's count)."""
+    import duckdb
+
+    from xcube_server_spark.registry.pipeline_round14 import (
+        _TRAIN_N,
+        bpe_train_merges,
+    )
+
+    counts = dict(duckdb.sql(f"""
+        SELECT w, count(*) FROM (
+          SELECT unnest(list_filter(string_split(
+            regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+            x -> x <> '')) AS w
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        GROUP BY w
+    """).fetchall())
+    want = _python_train(counts, _TRAIN_N)
+    got = [
+        (r.l_tok, r.r_tok, r.freq)
+        for r in bpe_train_merges(spark, SF_DIR)
+        .orderBy("rank").collect()
+    ]
+    assert got == want
+    freqs = [f for _, _, f in got]
+    assert freqs == sorted(freqs, reverse=True)

@@ -442,6 +442,136 @@ def bpe_fertility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# bpe_train_merges: distributed iterative BPE TRAINING (merge learning)
+# --------------------------------------------------------------------------
+_TRAIN_N = 8
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINING loop itself — learn the first {N} merge rules from
+    the corpus (``bpe_first_merges`` computes iteration 1's candidate
+    table; this runs the full iterate-argmax-apply loop; the encode
+    gates then APPLY such a table). Standard scale recipe: train on
+    the compacted (distinct word, count) table — the corpus-size scan
+    happens once; each iteration's pair counting and merge application
+    run over the word table, which production trainers shard exactly
+    this way (millions of distinct words at 100 TB, all-distributed).
+
+    Each iteration: adjacent token pairs from the wrapped sequences
+    (same ``_tok_`` representation as the encoder, so applying a
+    learned merge is one string replace), weighted by word count,
+    partial-aggregated to at most |alphabet+merges|² keys per task;
+    the single argmax row is the one sanctioned driver scalar per
+    iteration; ``localCheckpoint`` truncates the growing lineage (the
+    iterative-algorithm pattern shared with k-means and CC dedup).
+    Ties break on (freq DESC, l_tok, r_tok) — deterministic in both
+    engines (ASCII byte order).
+
+    The DuckDB oracle replays the SAME loop as {N} unrolled CTE
+    stages (pair-count → LIMIT-1 argmax → cross-join replace), so a
+    divergence at ANY iteration cascades into the hash."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""),
+                    " ",
+                )
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seqs = words.select(
+        F.regexp_replace("w", "([a-z])", "_$1_").alias("seq"), "cnt"
+    ).localCheckpoint(eager=True)
+
+    pair_expr = (
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS l_tok,"
+        " element_at(toks, i + 1) AS r_tok))"
+    )
+    learned = []
+    for it in range(1, _TRAIN_N + 1):
+        pairs = (
+            seqs.select(
+                F.filter(
+                    F.split("seq", "_+"), lambda t: t != F.lit("")
+                ).alias("toks"),
+                "cnt",
+            )
+            # single-token words carry no pairs — and Spark's
+            # sequence(1, 0) DESCENDS rather than being empty, so the
+            # guard is load-bearing, not just a pruning step
+            .filter(F.size("toks") >= 2)
+            .select(F.explode(F.expr(pair_expr)).alias("p"), "cnt")
+            .groupBy("p.l_tok", "p.r_tok")
+            .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        )
+        best = pairs.orderBy(
+            F.desc("freq"), "l_tok", "r_tok"
+        ).limit(1).collect()[0]
+        learned.append((it, best.l_tok, best.r_tok, best.freq))
+        seqs = seqs.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f"_{best.l_tok}__{best.r_tok}_"),
+                F.lit(f"_{best.l_tok}{best.r_tok}_"),
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned, "rank int, l_tok string, r_tok string, freq bigint"
+    )
+
+
+def _train_oracle_sql() -> str:
+    stages = ["""
+w0 AS (
+  SELECT regexp_replace(w, '([a-z])', '_\\1_', 'g') AS seq, cnt FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(list_filter(string_split(
+        regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents)
+    GROUP BY w)
+)"""]
+    for k in range(1, _TRAIN_N + 1):
+        stages.append(f"""
+p{k} AS (
+  SELECT l_tok, r_tok, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_transform(range(1, len(lst)), i -> lst[i]))
+             AS l_tok,
+           unnest(list_transform(range(1, len(lst)), i -> lst[i+1]))
+             AS r_tok,
+           cnt
+    FROM (SELECT list_filter(regexp_split_to_array(seq, '_+'),
+                             x -> x <> '') AS lst, cnt
+          FROM w{k-1}))
+  GROUP BY l_tok, r_tok),
+m{k} AS (SELECT l_tok, r_tok, freq FROM p{k}
+         ORDER BY freq DESC, l_tok, r_tok LIMIT 1),
+w{k} AS (
+  SELECT replace(w.seq, '_' || m.l_tok || '__' || m.r_tok || '_',
+                 '_' || m.l_tok || m.r_tok || '_') AS seq, w.cnt
+  FROM w{k-1} w, m{k} m)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, l_tok, r_tok, freq FROM m{k}"
+        for k in range(1, _TRAIN_N + 1)
+    )
+    return (
+        "WITH " + ",".join(stages)
+        + f"\nSELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+ORACLES["bpe_train_merges"] = _train_oracle_sql()
+QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
 ORACLES["bpe_fertility_filter"] = f"""
 WITH enc AS (
   SELECT doc_id, source, {_bpe_toks_sql()} AS lst FROM documents
