@@ -882,3 +882,14 @@ def test_bpe_encode_plan_contracts(spark, sf_dir):
     plan = executed_plan(pack)
     assert count_exchanges(pack) <= 2, count_exchanges(pack)
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+    # the composed tokenizer DAG keeps the same budget: encode+screen
+    # map-only, one Arrow fill stage. The fertility filter's pushdown
+    # substitutes the chain once more (it screens on encoded counts,
+    # which no raw-text predicate can express) — 2 copies, not 3+:
+    # the single boolean `kept` column caps the substitution
+    pipe = QUERIES["token_pipeline_stats"](spark, sf_dir)
+    plan = executed_plan(pipe)
+    assert count_exchanges(pipe) <= 2, count_exchanges(pipe)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("_t__h_") <= 2, plan.count("_t__h_")

@@ -70,7 +70,9 @@ for _m in (
 # each round to maximize hard signal. Round 14 rotation, by the documented
 # policy (new-first, changed-first, then the entries displaced from the
 # prior window, then stalest vintage alphabetical to the cut):
-# (a) NEW this round: bpe_train_merges (distributed iterative BPE
+# (a) NEW this round: token_pipeline_stats (the TOKENIZER front door —
+# encode → fertility screen → no-overflow pack as ONE plan),
+# bpe_train_merges (distributed iterative BPE
 # TRAINING over the compacted word-count table; the oracle replays the
 # loop as unrolled argmax+replace CTE stages), bpe_encode_stats +
 # bpe_token_histogram (BPE ENCODE at scale — the GPT-2 merge loop as a
@@ -92,12 +94,14 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the 46 r09 rows — alphabetical to the
-# cut after quality_filter_chain; the 15 displaced r09 tail rows
-# (sample_mixture .. zarr_ingest_stats_http) head the r15 rotation.
+# cut after q1_pricing_summary; the 16 displaced r09 tail rows
+# (quality_filter_chain .. zarr_ingest_stats_http) head the r15
+# rotation.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "token_pipeline_stats",
     "bpe_train_merges",
     "bpe_encode_stats",
     "bpe_token_histogram",
@@ -146,8 +150,7 @@ _PRIORITY = [
     "netcdf4_kerchunk_multifile_http",
     "pack_sequences",
     "pii_scrub",
-    "q1_pricing_summary",
-    "quality_filter_chain",  # <- window position 50
+    "q1_pricing_summary",  # <- window position 50
     # ---- overflow (past the 50-query window): module order. All 234
     # prior entries were driver-green in the r01-r13 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run. ----

@@ -809,10 +809,11 @@ def _pack_fill_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pack_oracle_sql(tok_expr: str) -> str:
+def _pack_oracle_sql(tok_expr: str, from_rel: str = "documents") -> str:
     """RECURSIVE-CTE replay of the greedy fill with the per-doc token
-    count given by ``tok_expr`` (SQL over ``documents``) — shared by
-    the whitespace-count gate and the BPE-token restatement."""
+    count given by ``tok_expr`` over ``from_rel`` (a table name or a
+    parenthesized subquery) — shared by the whitespace-count gate, the
+    BPE-token restatement, and the composed tokenizer pipeline."""
     return f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, source,
@@ -820,7 +821,7 @@ WITH RECURSIVE t AS (
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
            % {_PACK_SHARDS} AS shard,
          md5(CAST(doc_id AS VARCHAR)) AS mkey
-  FROM documents
+  FROM {from_rel}
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY source, shard

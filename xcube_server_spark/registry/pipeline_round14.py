@@ -443,6 +443,95 @@ def bpe_fertility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# token_pipeline_stats: the TOKENIZER front door — encode → screen → pack
+# --------------------------------------------------------------------------
+def token_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-side preprocessing a trainer actually runs,
+    composed as ONE Spark plan (curation-DAG discipline — front door
+    #4, after the document/WARC/audio-visual/audio DAGs):
+
+        BPE encode (JVM replace chain, one copy in the plan)
+        → fertility screen (integer cross-multiplication, drops the
+          high-fertility ~45% of the shipped corpus — every bin
+          boundary downstream depends on the kept set)
+        → greedy NO-OVERFLOW packing of the kept docs on their REAL
+          token counts (the shared sequential fill, one Arrow stage)
+
+    Output = per-(source, shard, bin) packing stats; a doc wrongly
+    kept, dropped, or miscounted flips bin sums. The DuckDB oracle
+    composes the same three stages: merge replay → fertility predicate
+    → the RECURSIVE-CTE fill over the kept subquery. 100 TB shape:
+    encode+screen are map-only over the scan; the only exchanges are
+    the pack's group shuffle and the final stats aggregation."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.lower(F.col("text")).rlike("[a-z]")
+    ).select(
+        "doc_id", "source",
+        bpe_tokens_col(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id", "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        # a SINGLE boolean screen column whose expression references
+        # the token array exactly ONCE (one aggregate computes both
+        # the count and the alpha sum, the finish lambda compares):
+        # filter pushdown then substitutes the merge chain once, not
+        # twice — 2 chain copies total in the executed plan, pinned
+        # in test_plans
+        F.aggregate(
+            "toks",
+            F.struct(
+                F.lit(0).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("s"),
+            ),
+            lambda acc, t: F.struct(
+                (acc.c + 1).alias("c"),
+                (acc.s + F.length(t)).alias("s"),
+            ),
+            lambda acc: F.lit(10000) * acc.c
+            <= F.lit(_FERT_MAX_BP) * acc.s,
+        ).alias("kept"),
+    )
+    kept = docs.filter(F.col("kept"))
+    packed_input = kept.select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_tokens"), F.lit(_PACK_CAP)).alias("tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 15
+                ), 16, 10,
+            ).cast("long") % _PACK_SHARDS
+        ).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("mkey"),
+    )
+    return _pack_fill_stats(packed_input)
+
+
+_KEPT_REL = f"""(
+  WITH enc14 AS (
+    SELECT doc_id, source, {_bpe_toks_sql()} AS lst FROM documents
+  ),
+  d14 AS (
+    SELECT doc_id, source,
+           CAST(len(lst) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(lst, x -> length(x)))
+                AS BIGINT) AS n_alpha
+    FROM enc14
+    WHERE len(lst) > 0
+  )
+  SELECT doc_id, source, n_tokens
+  FROM d14
+  WHERE 10000 * n_tokens <= {_FERT_MAX_BP} * n_alpha
+)"""
+
+ORACLES["token_pipeline_stats"] = _pack_oracle_sql(
+    "n_tokens", from_rel=_KEPT_REL
+)
+QUERIES["token_pipeline_stats"] = token_pipeline_stats
+
+
+# --------------------------------------------------------------------------
 # bpe_train_merges: distributed iterative BPE TRAINING (merge learning)
 # --------------------------------------------------------------------------
 _TRAIN_N = 8
