@@ -31,6 +31,7 @@ from . import (
     pipeline_round12,
     pipeline_round13,
     pipeline_round14,
+    pipeline_round14b,
     relational,
     relational_ext,
     streaming_queries,
@@ -60,6 +61,7 @@ for _m in (
     pipeline_round12,
     pipeline_round13,
     pipeline_round14,
+    pipeline_round14b,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -101,6 +103,8 @@ for _m in (
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "avro_ingest_stats",
+    "avro_ingest_stats_zstd",
     "token_pipeline_stats",
     "bpe_train_merges",
     "bpe_encode_stats",

@@ -1,0 +1,170 @@
+"""Round-14b gates: Avro Object Container File ingest — the
+row-oriented interchange format of the Hadoop/Kafka world (schema
+registry dumps, Kafka Connect sinks, Sqoop/NiFi landings). Spark reads
+it only through the external ``spark-avro`` package, absent here, so
+these gates drive the engine's own pure-Python OCF source
+(``sources/avro_source.py``) end to end: executor-side block-header
+index walk (each block DECLARES count + byteSize, so the hop touches a
+few bytes per block and validates every sync marker), (shard, block)
+span redistribution, per-block ranged reads, codec decode (deflate /
+zstandard via the in-repo RFC 8878 decoder) and record decode (zigzag
+varints, IEEE-LE doubles, enums, null unions, arrays).
+
+Every record is formula-deterministic, so the DuckDB oracle regenerates
+the corpus content — including each record's (shard, block_idx, rec_no)
+coordinate, which pins the SPLITTING itself (a mis-hopped block or
+mis-counted record shifts coordinates and flips the hash), exactly the
+discipline of the jsonl/warc ingest gates.
+
+Reference analog: none (no row-format path in xcube-server); the store
+axis (``xcube_server/context.py:217-235``) is the closest surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+_N_RECS = 100
+_SPLIT = 60  # records in shard 0; shard 1 carries the rest
+_RPB = 16  # records per block
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ratio", "type": "float"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "lang", "type": {"type": "enum", "name": "Lang",
+                                  "symbols": ["en", "de", "fr"]}},
+        {"name": "clicks", "type": ["null", "long"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+
+def _avro_records(lo: int, hi: int) -> list[dict]:
+    """Formula-deterministic records; doubles/floats step in exact
+    binary fractions (0.25 / 0.5) so cross-engine equality is exact
+    ([[gate-oracle-exactness]] discipline)."""
+    out = []
+    for i in range(lo, hi):
+        out.append(
+            {
+                "id": i,
+                "name": f"user {i} " + "pad" * (i % 3),
+                "score": i * 0.25,
+                "ratio": i * 0.5,
+                "flag": i % 2 == 0,
+                "lang": ["en", "de", "fr"][i % 3],
+                "clicks": None if i % 7 == 0 else i * 3,
+                "tags": [f"t{j}" for j in range(i % 4)],
+                "blob": bytes(range(i % 5)),
+            }
+        )
+    return out
+
+
+def _avro_gate_fixture(codec: str) -> tuple[str, list[str]]:
+    """Two shards per codec, written atomically (temp + ``os.replace``
+    — the r13 fixture lesson) with a fixed sync marker."""
+    from ..sources.avro_source import build_avro
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_avro_gate_v1")
+    keys = [f"part0.{codec}.avro", f"part1.{codec}.avro"]
+    if not all(os.path.exists(os.path.join(d, k)) for k in keys):
+        os.makedirs(d, exist_ok=True)
+        parts = [_avro_records(0, _SPLIT), _avro_records(_SPLIT, _N_RECS)]
+        for k, recs in zip(keys, parts):
+            blob = build_avro(
+                recs, _AVRO_SCHEMA, codec=codec, records_per_block=_RPB,
+                sync=bytes(range(16)),
+            )
+            fd, tmp = tempfile.mkstemp(dir=d)
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(d, k))
+    return d, keys
+
+
+def _avro_ingest_stats(spark: SparkSession, codec: str) -> DataFrame:
+    from ..sources.avro_source import ingest_avro_corpus
+
+    d, keys = _avro_gate_fixture(codec)
+    df = ingest_avro_corpus(spark, "local", d, keys, parallelism=8)
+    return df.select(
+        F.col("id").alias("doc_id"),
+        F.col("key").alias("shard"),
+        "block_idx",
+        "rec_no",
+        "name",
+        "score",
+        F.col("ratio").cast("double").alias("ratio"),
+        "flag",
+        "lang",
+        "clicks",
+        F.size("tags").cast("bigint").alias("n_tags"),
+        F.concat_ws(",", "tags").alias("tags_cs"),
+        F.length("blob").cast("bigint").alias("blob_len"),
+    ).orderBy("doc_id")
+
+
+def avro_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-codec OCF shards (the Avro default): block-header index
+    walk, raw-DEFLATE block decode, full record decode incl. enum, null
+    union, string array and bytes fields."""
+    return _avro_ingest_stats(spark, "deflate")
+
+
+def avro_ingest_stats_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard-codec OCF shards (Avro 1.9+ optional codec), block
+    bodies decoded by the in-repo pure-Python RFC 8878 decoder —
+    the same decoder the jsonl/warc zstd paths trust."""
+    return _avro_ingest_stats(spark, "zstandard")
+
+
+def _avro_oracle(codec: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT i,
+         CASE WHEN i < {_SPLIT} THEN 'part0.{codec}.avro'
+              ELSE 'part1.{codec}.avro' END AS shard,
+         CAST(CASE WHEN i < {_SPLIT} THEN i // {_RPB}
+              ELSE (i - {_SPLIT}) // {_RPB} END AS INT) AS block_idx,
+         CAST(CASE WHEN i < {_SPLIT} THEN i % {_RPB}
+              ELSE (i - {_SPLIT}) % {_RPB} END AS INT) AS rec_no
+  FROM (SELECT unnest(range(0, {_N_RECS})) AS i)
+)
+SELECT CAST(i AS BIGINT) AS doc_id, shard, block_idx, rec_no,
+       'user ' || i || ' ' || repeat('pad', i % 3) AS name,
+       CAST(i * 0.25 AS DOUBLE) AS score,
+       CAST(CAST(i * 0.5 AS REAL) AS DOUBLE) AS ratio,
+       i % 2 = 0 AS flag,
+       CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+       CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(i * 3 AS BIGINT) END
+         AS clicks,
+       CAST(i % 4 AS BIGINT) AS n_tags,
+       coalesce(array_to_string(list_transform(range(0, i % 4),
+                                               j -> 't' || j), ','),
+                '') AS tags_cs,
+       CAST(i % 5 AS BIGINT) AS blob_len
+FROM d
+ORDER BY doc_id
+"""
+
+
+QUERIES["avro_ingest_stats"] = avro_ingest_stats
+ORACLES["avro_ingest_stats"] = _avro_oracle("deflate")
+QUERIES["avro_ingest_stats_zstd"] = avro_ingest_stats_zstd
+ORACLES["avro_ingest_stats_zstd"] = _avro_oracle("zstandard")

@@ -1,0 +1,509 @@
+"""Splittable Avro Object Container File source (``.avro``).
+
+Avro OCF is the row-oriented interchange format of the Hadoop/Kafka
+lakehouse world (schema registry dumps, Sqoop/NiFi landings, Kafka
+Connect sinks all ship it); Spark reads it only through the external
+``spark-avro`` package, which this environment does not carry — so the
+engine brings its own reader, built from the PUBLIC Avro 1.11 spec
+(https://avro.apache.org/docs/1.11.1/specification/):
+
+* header = magic ``Obj\\x01`` + a bytes-valued metadata map
+  (``avro.schema`` JSON, ``avro.codec``) + a 16-byte sync marker;
+* data = repeated blocks, each ``long count, long byteSize, <payload>,
+  <sync>`` — and because every block DECLARES its compressed size, a
+  shard indexes by hopping block headers (a few bytes per block, no
+  decompression, no sync-scan), the same trick the zstd frame walk uses
+  in ``sources/jsonl.py``;
+* varint zigzag longs, IEEE-LE float/double, length-prefixed
+  string/bytes, union-by-branch-index.
+
+Scale shape (100 TB): ``ingest_avro_corpus`` mirrors
+``ingest_jsonl_corpus`` — stage 1 runs one task per shard building that
+shard's block index executor-side (header bytes only cross the wire);
+stage 2 redistributes (shard, block) spans so every executor ranged-GETs
+and decodes exactly its blocks. The per-record decode is pure Python
+inside an Arrow-batched ``mapInPandas`` stage (the sanctioned codec
+pattern shared with every other format source here).
+
+Honesty tiers: codecs ``null``, ``deflate`` (raw DEFLATE per spec) and
+``zstandard`` (decoded by the in-repo RFC 8878 decoder,
+``sources/zstd_codec.py``) are supported; ``snappy`` (needs the
+undistributed C library) is refused loudly. Schema support covers flat
+records of primitives, two-branch null unions, enums and arrays of
+primitives; maps, fixed, nested records and general unions raise
+``NotImplementedError`` naming the construct — clear errors, never
+wrong answers.
+
+Reference analog: none (xcube-server has no row-format path); this
+source feeds the LLM-pipeline surface the way its store axis feeds
+cubes (``xcube_server/context.py:217-235``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+from .warc import _RangeReader
+
+MAGIC = b"Obj\x01"
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+_SPARK_TYPES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+# ----------------------------------------------------------- primitives
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(n: int) -> bytes:
+    z = zigzag_encode(n)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode one zigzag varint long at ``pos`` → (value, next_pos)."""
+    z = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("avro varint truncated")
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return zigzag_decode(z), pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("avro varint longer than 10 bytes")
+
+
+# -------------------------------------------------------------- schema
+def _field_kind(ftype) -> tuple[str, bool]:
+    """Normalize one field's type → (kind, nullable). ``kind`` is a
+    primitive name, ``enum:<sym0,sym1,...>`` or ``array:<prim>``.
+    Anything beyond the supported subset refuses loudly."""
+    nullable = False
+    if isinstance(ftype, list):
+        branches = [t for t in ftype if t != "null"]
+        if len(ftype) != 2 or len(branches) != 1:
+            raise NotImplementedError(
+                f"avro union {ftype!r}: only two-branch null unions are "
+                "supported"
+            )
+        nullable = True
+        ftype = branches[0]
+    if isinstance(ftype, dict):
+        t = ftype.get("type")
+        if t == "enum":
+            return "enum:" + ",".join(ftype["symbols"]), nullable
+        if t == "array":
+            items = ftype.get("items")
+            if not isinstance(items, str) or items not in _SPARK_TYPES:
+                raise NotImplementedError(
+                    f"avro array items {items!r}: only primitive items are "
+                    "supported"
+                )
+            return "array:" + items, nullable
+        if t in _PRIMITIVES:  # {"type": "long", "logicalType": ...}
+            return t, nullable
+        raise NotImplementedError(
+            f"avro complex type {t!r} (maps, fixed and nested records are "
+            "not supported)"
+        )
+    if ftype in _PRIMITIVES:
+        if ftype == "null":
+            raise NotImplementedError("avro bare-null field")
+        return ftype, nullable
+    raise NotImplementedError(f"avro type {ftype!r}")
+
+
+def parse_schema(schema_json: str) -> list[tuple[str, str, bool]]:
+    """``avro.schema`` JSON → [(field_name, kind, nullable)] for a flat
+    record schema; refuses non-record roots."""
+    sch = json.loads(schema_json)
+    if not isinstance(sch, dict) or sch.get("type") != "record":
+        raise NotImplementedError(
+            f"avro root schema {sch!r}: only record roots are supported"
+        )
+    return [
+        (f["name"], *_field_kind(f["type"])) for f in sch["fields"]
+    ]
+
+
+def spark_ddl(fields: list[tuple[str, str, bool]]) -> str:
+    """Spark DDL for the decoded field columns."""
+    parts = []
+    for name, kind, _null in fields:
+        if kind.startswith("enum:"):
+            t = "string"
+        elif kind.startswith("array:"):
+            t = f"array<{_SPARK_TYPES[kind[6:]]}>"
+        else:
+            t = _SPARK_TYPES[kind]
+        parts.append(f"{name} {t}")
+    return ", ".join(parts)
+
+
+# -------------------------------------------------------------- decode
+def _decode_value(buf: bytes, pos: int, kind: str):
+    if kind == "boolean":
+        if pos >= len(buf):
+            raise ValueError("avro boolean truncated")
+        b = buf[pos]
+        if b > 1:
+            raise ValueError(f"avro boolean byte 0x{b:02X}")
+        return b == 1, pos + 1
+    if kind in ("int", "long"):
+        return read_long(buf, pos)
+    if kind == "float":
+        if pos + 4 > len(buf):
+            raise ValueError("avro float truncated")
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if kind == "double":
+        if pos + 8 > len(buf):
+            raise ValueError("avro double truncated")
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if kind in ("bytes", "string"):
+        n, pos = read_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("avro bytes/string truncated")
+        raw = buf[pos:pos + n]
+        return (raw.decode("utf-8") if kind == "string" else raw), pos + n
+    if kind.startswith("enum:"):
+        symbols = kind[5:].split(",")
+        idx, pos = read_long(buf, pos)
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"avro enum index {idx} out of range")
+        return symbols[idx], pos
+    if kind.startswith("array:"):
+        items = kind[6:]
+        out = []
+        while True:
+            cnt, pos = read_long(buf, pos)
+            if cnt == 0:
+                return out, pos
+            if cnt < 0:  # block with declared byteSize (spec-optional)
+                cnt = -cnt
+                _size, pos = read_long(buf, pos)
+            for _ in range(cnt):
+                v, pos = _decode_value(buf, pos, items)
+                out.append(v)
+    raise NotImplementedError(f"avro kind {kind!r}")
+
+
+def decode_records(payload: bytes, fields, count: int) -> list[tuple]:
+    """Decode ``count`` records from one decompressed block payload."""
+    out = []
+    pos = 0
+    for _ in range(count):
+        row = []
+        for _name, kind, nullable in fields:
+            if nullable:
+                branch, pos = read_long(buf=payload, pos=pos)
+                if branch == 0:  # unions here are always [null, T]
+                    row.append(None)
+                    continue
+                if branch != 1:
+                    raise ValueError(f"avro union branch {branch}")
+            v, pos = _decode_value(payload, pos, kind)
+            row.append(v)
+        out.append(tuple(row))
+    if pos != len(payload):
+        raise ValueError(
+            f"avro block payload has {len(payload) - pos} trailing bytes"
+        )
+    return out
+
+
+def decompress_block(raw: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return raw
+    if codec == "deflate":
+        return zlib.decompress(raw, -15)
+    if codec == "zstandard":
+        from .zstd_codec import zstd_decompress
+
+        return zstd_decompress(raw)
+    raise NotImplementedError(
+        f"avro codec {codec!r} (snappy needs the undistributed C library)"
+    )
+
+
+# -------------------------------------------------------------- header
+def _parse_header(buf: bytes, key: str) -> dict:
+    """Parse one contiguous prefix of the object. Raises ``ValueError``
+    with 'truncated' when the prefix ends mid-header; ``read_header``
+    retries with a longer prefix while the object has more bytes."""
+    if buf[:4] != MAGIC:
+        raise ValueError(f"object {key!r} is not an avro OCF (bad magic)")
+    meta = {}
+    pos = 4
+    while True:
+        cnt, pos = read_long(buf, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:
+            cnt = -cnt
+            _size, pos = read_long(buf, pos)
+        for _ in range(cnt):
+            klen, pos = read_long(buf, pos)
+            if klen < 0 or pos + klen > len(buf):
+                raise ValueError("avro varint truncated")
+            k = buf[pos:pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = read_long(buf, pos)
+            if vlen < 0 or pos + vlen > len(buf):
+                raise ValueError("avro varint truncated")
+            meta[k] = buf[pos:pos + vlen]
+            pos += vlen
+    sync = buf[pos:pos + 16]
+    if len(sync) < 16:
+        raise ValueError("avro varint truncated")
+    schema_json = meta.get("avro.schema")
+    if schema_json is None:
+        raise ValueError(f"object {key!r}: avro.schema missing from header")
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    return {
+        "schema_json": schema_json.decode("utf-8"),
+        "fields": parse_schema(schema_json.decode("utf-8")),
+        "codec": codec,
+        "sync": sync,
+        "data_start": pos + 16,
+    }
+
+
+def read_header(store, key: str) -> dict:
+    """Parse the OCF header → {"schema_json", "fields", "codec", "sync",
+    "data_start"} touching only header bytes (one ranged read for any
+    sane header; doubles the span for oversized embedded schemas)."""
+    size = 1 << 16
+    while True:
+        buf = store.get_range(key, 0, size)
+        if buf is None:
+            raise ValueError(f"object {key!r} unreadable")
+        complete = len(buf) < size  # whole object fits the span
+        try:
+            return _parse_header(buf, key)
+        except ValueError as e:
+            if "truncated" in str(e) and not complete:
+                size *= 2
+                continue
+            if "truncated" in str(e):
+                raise ValueError(
+                    f"object {key!r}: avro header truncated"
+                ) from e
+            raise
+
+
+def build_avro_index(store, key: str) -> tuple[dict, list[dict]]:
+    """Block index for one OCF shard by header hops: each block declares
+    ``count`` and ``byteSize``, so the walk reads ~30 bytes per block and
+    validates every sync marker against the header's. Returns
+    (header, [{"block_idx", "offset", "length", "count"}]) where offset/
+    length span the compressed payload only."""
+    hdr = read_header(store, key)
+    rd = _RangeReader(store, key, chunk=1 << 16)
+    out = []
+    pos = hdr["data_start"]
+    while True:
+        probe = rd.read_at(pos, 20)
+        if not probe:
+            break
+        cnt, p = read_long(probe, 0)
+        size, p = read_long(probe, p)
+        if cnt < 0 or size < 0:
+            raise ValueError(f"avro block at byte {pos}: negative header")
+        data_off = pos + p
+        sync = rd.read_at(data_off + size, 16)
+        if sync != hdr["sync"]:
+            raise ValueError(
+                f"avro block at byte {pos}: sync marker mismatch "
+                "(corrupt or mis-declared block size)"
+            )
+        out.append(
+            {"block_idx": len(out), "offset": data_off, "length": size,
+             "count": cnt}
+        )
+        pos = data_off + size + 16
+    if not out:
+        raise ValueError(f"object {key!r} holds no avro data blocks")
+    return hdr, out
+
+
+# ------------------------------------------------------------ ingestion
+def ingest_avro_corpus(spark, store_kind: str, root: str, keys: list[str],
+                       parallelism: int = 32):
+    """Corpus of Avro OCF shards → DataFrame(key, block_idx, rec_no,
+    <record fields>). Stage 1: one task per shard hops its block headers
+    (metadata-only shuffle). Stage 2: (shard, block) spans redistribute;
+    each task ranged-GETs, decompresses and decodes exactly its blocks.
+
+    All shards must share one schema (the driver reads ONE header for
+    plan-time schema derivation; executors re-read their own shard's
+    header, so a mismatched shard fails loudly in stage 1)."""
+    import pandas as pd
+
+    from .tiff import _make_store
+
+    hdr0 = read_header(_make_store(store_kind, root), keys[0])
+    fields = hdr0["fields"]
+    schema_json = hdr0["schema_json"]
+    ddl = spark_ddl(fields)
+
+    files = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def index(iterator):
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            ks, bis, offs, lens, cnts, codecs = ([] for _ in range(6))
+            for k in batch["key"]:
+                hdr, rows = build_avro_index(st, k)
+                if json.loads(hdr["schema_json"]) != json.loads(schema_json):
+                    raise ValueError(
+                        f"shard {k!r} schema differs from {keys[0]!r}"
+                    )
+                for r in rows:
+                    ks.append(k)
+                    bis.append(r["block_idx"])
+                    offs.append(r["offset"])
+                    lens.append(r["length"])
+                    cnts.append(r["count"])
+                    codecs.append(hdr["codec"])
+            yield pd.DataFrame(
+                {"key": ks, "block_idx": bis, "off": offs, "cnt": lens,
+                 "nrec": cnts, "codec": codecs}
+            )
+
+    idx = files.repartition(max(len(keys), 1)).mapInPandas(
+        index,
+        "key string, block_idx int, off long, cnt long, nrec long,"
+        " codec string",
+    )
+
+    names = [f[0] for f in fields]
+
+    def fetch(iterator):
+        st = _make_store(store_kind, root)
+        for batch in iterator:
+            cols = {c: [] for c in ("key", "block_idx", "rec_no", *names)}
+            for r in batch.itertuples(index=False):
+                raw = st.get_range(r.key, int(r.off), int(r.cnt))
+                if raw is None or len(raw) < int(r.cnt):
+                    raise ValueError(
+                        f"block span {r.key}@{int(r.off)} unreadable"
+                    )
+                payload = decompress_block(raw, r.codec)
+                for j, row in enumerate(
+                    decode_records(payload, fields, int(r.nrec))
+                ):
+                    cols["key"].append(r.key)
+                    cols["block_idx"].append(int(r.block_idx))
+                    cols["rec_no"].append(j)
+                    for c, v in zip(names, row):
+                        cols[c].append(v)
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object") for c, v in cols.items()}
+            )
+
+    return idx.repartition(parallelism).mapInPandas(
+        fetch, f"key string, block_idx int, rec_no int, {ddl}"
+    )
+
+
+# ------------------------------------------------------------- fixtures
+def _encode_value(v, kind: str) -> bytes:
+    if kind == "boolean":
+        return b"\x01" if v else b"\x00"
+    if kind in ("int", "long"):
+        return write_long(v)
+    if kind == "float":
+        return struct.pack("<f", v)
+    if kind == "double":
+        return struct.pack("<d", v)
+    if kind == "string":
+        raw = v.encode("utf-8")
+        return write_long(len(raw)) + raw
+    if kind == "bytes":
+        return write_long(len(v)) + v
+    if kind.startswith("enum:"):
+        return write_long(kind[5:].split(",").index(v))
+    if kind.startswith("array:"):
+        items = kind[6:]
+        out = b"" if not v else write_long(len(v)) + b"".join(
+            _encode_value(x, items) for x in v
+        )
+        return out + write_long(0)
+    raise NotImplementedError(f"avro kind {kind!r}")
+
+
+def build_avro(records: list[dict], schema: dict, codec: str = "deflate",
+               records_per_block: int = 10,
+               sync: bytes = b"\x00" * 16) -> bytes:
+    """Deterministic OCF writer (fixtures): fixed sync marker, one block
+    per ``records_per_block`` batch, spec-exact header."""
+    schema_json = json.dumps(schema, sort_keys=True)
+    fields = parse_schema(schema_json)
+    meta = {"avro.schema": schema_json.encode(),
+            "avro.codec": codec.encode("ascii")}
+    out = io.BytesIO()
+    out.write(MAGIC)
+    out.write(write_long(len(meta)))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out.write(write_long(len(kb)) + kb + write_long(len(v)) + v)
+    out.write(write_long(0))
+    out.write(sync)
+    for i in range(0, len(records), records_per_block):
+        batch = records[i:i + records_per_block]
+        payload = bytearray()
+        for rec in batch:
+            for name, kind, nullable in fields:
+                v = rec.get(name)
+                if nullable:
+                    if v is None:
+                        payload += write_long(0)
+                        continue
+                    payload += write_long(1)
+                elif v is None:
+                    raise ValueError(f"field {name!r} is not nullable")
+                payload += _encode_value(v, kind)
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            blob = comp.compress(bytes(payload)) + comp.flush()
+        elif codec == "zstandard":
+            from .zstd_codec import zstd_compress
+
+            blob = zstd_compress(bytes(payload))
+        elif codec == "null":
+            blob = bytes(payload)
+        else:
+            raise NotImplementedError(f"avro codec {codec!r}")
+        out.write(write_long(len(batch)) + write_long(len(blob)))
+        out.write(blob)
+        out.write(sync)
+    return out.getvalue()
