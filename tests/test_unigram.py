@@ -1,0 +1,126 @@
+"""Unigram (SentencePiece-style) Viterbi tokenizer
+(``registry/pipeline_round14c.py``): the pure-Python reference DP vs
+brute-force enumeration of every segmentation, the JVM HOF expression
+vs the reference DP, the designed tie structure, and the plan contract
+(no Python stage, broadcast word join)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_server_spark.plans.explain import (
+    count_exchanges,
+    executed_plan,
+    has_broadcast_join,
+)
+from xcube_server_spark.registry.pipeline_round14c import (
+    _MAXP,
+    _P,
+    UNIGRAM_VOCAB,
+    unigram_dp,
+    unigram_dp_col,
+    unigram_encode_stats,
+)
+
+_LEXICON = [
+    "join", "hash", "row", "batch", "scan", "customer", "column",
+    "filter", "small", "slow", "merge", "order", "vector", "line",
+    "data", "table", "agg", "value", "key", "stream", "window",
+    "spark", "a", "group", "part", "big", "sort", "query", "fast",
+    "the", "dup",
+]
+
+
+def _brute(word: str) -> tuple[int, int]:
+    """Enumerate EVERY segmentation; min combined key + way count."""
+    keys: list[int] = []
+
+    def seg(i: int, cost: int, n: int) -> None:
+        if i == len(word):
+            keys.append(4096 * cost + n)
+            return
+        for L in range(1, min(_MAXP, len(word) - i) + 1):
+            piece = word[i:i + L]
+            if piece in UNIGRAM_VOCAB:
+                seg(i + L, cost + UNIGRAM_VOCAB[piece], n + 1)
+
+    seg(0, 0, 0)
+    mn = min(keys)
+    return mn, keys.count(mn) % _P
+
+
+def test_dp_equals_bruteforce_on_lexicon():
+    for w in _LEXICON:
+        assert unigram_dp(w) == _brute(w), w
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+               max_size=9))
+def test_dp_equals_bruteforce_fuzz(w):
+    assert unigram_dp(w) == _brute(w)
+
+
+def _cost_count_pairs(w: str) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+
+    def seg(i, cost, n):
+        if i == len(w):
+            out.append((cost, n))
+            return
+        for L in range(1, min(_MAXP, len(w) - i) + 1):
+            if w[i:i + L] in UNIGRAM_VOCAB:
+                seg(i + L, cost + UNIGRAM_VOCAB[w[i:i + L]], n + 1)
+
+    seg(0, 0, 0)
+    return out
+
+
+def test_designed_tie_structure():
+    # "table" = ta+ble = tab+le, both cost 125 / 2 pieces -> 2 ways
+    k, ways = unigram_dp("table")
+    assert k == 4096 * 125 + 2 and ways == 2
+    # singles-only words have exactly one optimum
+    assert unigram_dp("a") == (4096 * 30 + 1, 1)
+
+
+def test_combined_key_breaks_cost_ties_by_fewer_pieces():
+    # "window" is a LEXICON word whose min cost 150 is reached both as
+    # win+dow (2 pieces) and wi+nd+ow (3 pieces): the combined key must
+    # resolve the cost tie toward fewer pieces, and n_ways must count
+    # ONLY the winning-key segmentations (1, not 2)
+    pairs = _cost_count_pairs("window")
+    mc = min(c for c, _ in pairs)
+    assert mc == 150
+    assert {n for c, n in pairs if c == mc} == {2, 3}
+    assert unigram_dp("window") == (4096 * 150 + 2, 1)
+
+
+def test_spark_hof_matches_reference_dp(spark):
+    from pyspark.sql import functions as F
+
+    words = _LEXICON + ["tabletable", "xyzzy", "qqq", "stab",
+                        "windowpane", "z"]
+    df = spark.createDataFrame([(w,) for w in words], "w string") \
+        .select("w", unigram_dp_col(F.col("w")).alias("e"))
+    for r in df.collect():
+        assert (r.e.k, r.e.y) == unigram_dp(r.w), r.w
+
+
+def test_encode_stats_plan_contract(spark, sf_dir):
+    df = unigram_encode_stats(spark, sf_dir)
+    plan = executed_plan(df)
+    # whole DP is JVM-side: no Python/pandas stage anywhere
+    assert "EvalPython" not in plan and "FlatMapsInPandas" not in plan
+    assert "mapInPandas" not in plan.lower()
+    assert has_broadcast_join(df)
+    # explode -> distinct agg -> broadcast join -> doc agg -> sort:
+    # distinct (2-phase) + doc groupBy + final sort bound the shuffles
+    assert count_exchanges(df) <= 5
+    rows = df.collect()
+    assert len(rows) > 0
+    r0 = rows[0]
+    assert r0.n_tokens <= r0.n_words * 9  # <= word length pieces
+    assert r0.min_cost >= 30 * r0.n_tokens  # cheapest piece costs 30
+    assert all(r.n_ways >= 1 for r in rows)

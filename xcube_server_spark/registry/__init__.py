@@ -32,6 +32,7 @@ from . import (
     pipeline_round13,
     pipeline_round14,
     pipeline_round14b,
+    pipeline_round14c,
     relational,
     relational_ext,
     streaming_queries,
@@ -62,6 +63,7 @@ for _m in (
     pipeline_round13,
     pipeline_round14,
     pipeline_round14b,
+    pipeline_round14c,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -103,6 +105,7 @@ for _m in (
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "unigram_encode_stats",
     "avro_ingest_stats",
     "avro_ingest_stats_zstd",
     "token_pipeline_stats",

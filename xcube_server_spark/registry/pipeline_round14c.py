@@ -1,0 +1,247 @@
+"""Round-14c gates: UNIGRAM (SentencePiece-style) tokenization — the
+second major tokenizer family next to the round-14 BPE gates. Where BPE
+applies ranked merges, a unigram tokenizer scores every segmentation of
+a word against a piece vocabulary and keeps the best one (SentencePiece
+runs Viterbi over piece log-probs; Kudo 2018, arXiv:1804.10959).
+
+Exactness discipline ([[gate-oracle-exactness]]): piece scores are
+INTEGERS (cost per piece, lower is better) and the Viterbi objective is
+the combined key ``4096*cost + n_pieces`` — cost first, then fewest
+pieces, a total order with no float anywhere. Alongside the best key,
+the DP counts HOW MANY segmentations achieve it (ways, mod 1e9+7) — a
+permutation-style checksum over the whole DP table: a single wrong
+candidate anywhere flips ``n_ways`` even when the minimum survives.
+
+Scale shape (100 TB): the DP runs over the COMPACTED distinct-word
+table (the ``bpe_train_merges`` recipe — corpus-size scan once, then
+per-word work ∝ |lexicon|), and runs entirely JVM-SIDE: one
+``aggregate`` HOF over ``sequence(1, length(w))`` carries the DP
+history as an array-of-structs accumulator — no Python stage, no UDF.
+Doc stats come back via a broadcast join of the tiny word table onto
+the exploded instances (at a 10M-distinct-word corpus the broadcast
+flips to a shuffle-hash join on ``w``; the plan is otherwise
+unchanged). The DuckDB oracle replays the identical DP as a RECURSIVE
+CTE whose working row carries the same history list.
+
+Reference analog: none (no tokenizer in xcube-server); this closes the
+unigram half of the tokenizer mandate the round-14 BPE family opened.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table as _t
+
+QUERIES = {}
+ORACLES = {}
+
+_P = 1_000_000_007
+_MAXP = 4
+_COSTS = {1: 30, 2: 50, 3: 75, 4: 80}
+# Multi-char pieces over the corpus lexicon (substrings of the shipped
+# 31-word vocabulary — same lexicon at every SF). Singles cost 30, so a
+# 2-piece (50) beats two singles (60), a 3-piece (75) beats 1+2 (80), a
+# 4-piece (80) beats 2+2 (100): real segmentation choices, including
+# exact ties ("table" = ta+ble = tab+le at cost 125 -> n_ways 2) AND a
+# cost tie the PIECE-COUNT tie-break must resolve ("window" = win+dow
+# and wi+nd+ow both cost 150; the combined key picks the 2-piece split
+# — three save-10 two-pieces equal two save-15 three-pieces by design).
+_PIECES = [
+    "ta", "ab", "le", "ble", "tab", "val", "ue", "lu", "al", "er", "or",
+    "ord", "der", "an", "sc", "can", "ca", "ro", "ow", "in", "win",
+    "dow", "do", "str", "eam", "am", "ea", "qu", "ery", "gr", "oup",
+    "ou", "ha", "as", "sh", "fil", "ter", "il", "col", "umn", "um",
+    "cu", "sto", "mer", "st", "ve", "ct", "ec", "ig", "fa", "lo",
+    "ine", "li", "ne", "rk", "pa", "ar", "ke", "ey", "ag", "gg", "sm",
+    "ma", "all", "rt", "so", "rge", "me", "at", "da", "joi", "oin",
+    "jo", "up", "bat", "tch", "ch", "ba", "gro", "que", "ry", "sl",
+    "sp", "bi", "tor", "vec", "rea", "sma", "join", "hash", "scan",
+    "slow", "fast", "sor", "key", "wi", "nd",
+]
+UNIGRAM_VOCAB = {c: _COSTS[1] for c in string.ascii_lowercase}
+for _p in _PIECES:
+    UNIGRAM_VOCAB[_p] = _COSTS[len(_p)]
+# combined-key increment per piece: adding a piece adds (cost, 1 token)
+# and the key 4096*cost + n is LINEAR in (cost, n)
+_W = {p: 4096 * c + 1 for p, c in UNIGRAM_VOCAB.items()}
+
+
+def unigram_dp(word: str) -> tuple[int, int]:
+    """Pure-Python reference DP → (best combined key, n_ways mod P).
+    The Spark HOF and the DuckDB recursive CTE replicate exactly this;
+    ``tests/test_unigram.py`` pins all three against brute-force
+    enumeration of every segmentation."""
+    hist = [(0, 1)]
+    for q in range(1, len(word) + 1):
+        cands = [
+            (hist[q - L][0] + _W[word[q - L:q]], hist[q - L][1])
+            for L in range(1, min(_MAXP, q) + 1)
+            if word[q - L:q] in _W
+        ]
+        mn = min(k for k, _ in cands)
+        hist.append((mn, sum(y for k, y in cands if k == mn) % _P))
+    return hist[len(word)]
+
+
+def unigram_dp_col(w: Column) -> Column:
+    """The Viterbi DP as ONE JVM-side expression: ``aggregate`` over
+    ``sequence(1, length(w))`` with an array-of-structs (k, y) history
+    accumulator; the finish lambda returns the final entry. Vocabulary
+    lookups resolve through a map literal, so a piece miss is a NULL
+    key the candidate filter drops."""
+    wmap = F.create_map(
+        *[x for p, wt in sorted(_W.items()) for x in (F.lit(p), F.lit(wt))]
+    )
+
+    def entry(acc: Column, q: Column) -> Column:
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_MAXP), q)),
+                lambda L: F.struct(
+                    (
+                        F.element_at(acc, q + 1 - L)["k"]
+                        + F.element_at(
+                            wmap, F.substr(w, q - L + 1, L)
+                        ).cast("long")
+                    ).alias("k"),
+                    F.element_at(acc, q + 1 - L)["y"].alias("y"),
+                ),
+            ),
+            lambda x: x["k"].isNotNull(),
+        )
+        mn = F.array_min(F.transform(cands, lambda x: x["k"]))
+        ways = F.aggregate(
+            cands,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.when(x["k"] == mn, x["y"])
+            .otherwise(F.lit(0)),
+        ) % F.lit(_P)
+        return F.struct(mn.alias("k"), ways.alias("y"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("k"),
+                F.lit(1).cast("long").alias("y"),
+            )
+        ),
+        lambda acc, q: F.concat(acc, F.array(entry(acc, q))),
+        lambda acc: F.element_at(acc, -1),
+    )
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[^a-z ]", ""
+                    ),
+                    " ",
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+
+
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-Viterbi digest: word count, total best
+    token count, total minimal cost, and the product of per-word
+    optimal-segmentation counts (mod 1e9+7) — the DP-table checksum.
+    Shape: distinct-word DP (JVM HOF, work ∝ lexicon) broadcast-joined
+    back onto the exploded instances, then one bounded groupBy(doc)."""
+    inst = _doc_words(spark, sf_dir)
+    words = (
+        inst.select("w")
+        .distinct()
+        .select("w", unigram_dp_col(F.col("w")).alias("e"))
+        .select(
+            "w",
+            F.expr("e.k div 4096").alias("cost"),
+            (F.col("e")["k"] % 4096).alias("ntok"),
+            F.col("e")["y"].alias("ways"),
+        )
+    )
+    return (
+        inst.join(F.broadcast(words), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.sum("cost").cast("bigint").alias("min_cost"),
+            F.aggregate(
+                F.collect_list("ways"),
+                F.lit(1).cast("long"),
+                lambda a, y: (a * y) % F.lit(_P),
+            ).alias("n_ways"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _vocab_case() -> str:
+    return "CASE s WHEN " + " WHEN ".join(
+        f"'{p}' THEN {wt}" for p, wt in sorted(_W.items())
+    ) + " ELSE NULL END"
+
+
+def _unigram_oracle_sql() -> str:
+    # candidate pieces ending at position q = p + 1 (hist is 1-based:
+    # hist[i] = dp at char position i-1)
+    cands = f"""list_filter(
+      list_transform(range(1, least({_MAXP}, p + 1) + 1),
+        L -> {{'k': hist[p + 2 - L].k +
+                    list_transform([substr(w, p + 2 - L, L)],
+                                   s -> {_vocab_case()})[1],
+              'y': hist[p + 2 - L].y}}),
+      x -> x.k IS NOT NULL)"""
+    entry = f"""list_transform([{cands}], cs -> {{
+      'k': list_min(list_transform(cs, x -> x.k)),
+      'y': list_sum(list_transform(cs,
+             x -> CASE WHEN x.k = list_min(list_transform(cs,
+                                           x2 -> x2.k))
+                  THEN x.y ELSE 0 END)) % {_P}}})[1]"""
+    return f"""
+WITH RECURSIVE
+inst AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM inst),
+dp AS (
+  SELECT w, 0 AS p,
+         [{{'k': CAST(0 AS BIGINT), 'y': CAST(1 AS BIGINT)}}] AS hist
+  FROM words
+  UNION ALL
+  SELECT w, p + 1, list_append(hist, {entry})
+  FROM dp WHERE p < length(w)
+),
+fin AS (
+  SELECT w, hist[length(w) + 1].k AS k, hist[length(w) + 1].y AS y
+  FROM dp WHERE p = length(w)
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.k % 4096) AS BIGINT) AS n_tokens,
+       CAST(sum(f.k // 4096) AS BIGINT) AS min_cost,
+       CAST(list_reduce(list(f.y), (a, b) -> (a * b) % {_P})
+            AS BIGINT) AS n_ways
+FROM inst i JOIN fin f USING (w)
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+
+
+QUERIES["unigram_encode_stats"] = unigram_encode_stats
+ORACLES["unigram_encode_stats"] = _unigram_oracle_sql()
