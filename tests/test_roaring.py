@@ -1,0 +1,174 @@
+"""Roaring bitmap codec (``sources/roaring.py``): hand-packed
+spec-layout byte fixtures (both cookies), container-choice rules,
+roundtrips across all three container types, refusal contract, and the
+merge-on-read deletion-vector gate's plan shape."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_server_spark.sources.roaring import (
+    NO_OFFSET_THRESHOLD,
+    SERIAL_COOKIE,
+    SERIAL_COOKIE_NO_RUNCONTAINER,
+    deserialize,
+    serialize,
+)
+
+
+# -------------------------------------------------- hand-packed layout
+def test_handpacked_run_layout():
+    # {4..10}: run-capable cookie, 1 container (flag bit set), key 0 /
+    # card 7, <4 containers so NO offset header, one run (4, len-1=6).
+    # (A 3-value run TIES the array size and runOptimize keeps the
+    # array — strict-improvement rule, pinned below.)
+    raw = (
+        struct.pack("<HH", SERIAL_COOKIE, 0)
+        + b"\x01"
+        + struct.pack("<HH", 0, 6)
+        + struct.pack("<HHH", 1, 4, 6)
+    )
+    vals = list(range(4, 11))
+    assert deserialize(raw) == vals
+    assert serialize(vals, with_runs=True) == raw
+    # tie goes to array: {4,5,6} run (6 B) == array (6 B)
+    raw3 = serialize([4, 5, 6], with_runs=True)
+    assert raw3.endswith(struct.pack("<HHH", 4, 5, 6))
+
+
+def test_handpacked_norun_array_layout():
+    # {1,3} in chunk 0, {2} in chunk 5: legacy cookie, ALWAYS offsets
+    raw = (
+        struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, 2)
+        + struct.pack("<HH", 0, 1) + struct.pack("<HH", 5, 0)
+        + struct.pack("<II", 24, 28)
+        + struct.pack("<HH", 1, 3) + struct.pack("<H", 2)
+    )
+    vals = [1, 3, (5 << 16) | 2]
+    assert deserialize(raw) == vals
+    assert serialize(vals, with_runs=False) == raw
+
+
+def test_offset_header_threshold():
+    # >= NO_OFFSET_THRESHOLD containers -> run-capable layout carries
+    # the offset header too; decode must honor it
+    vals = [k << 16 for k in range(NO_OFFSET_THRESHOLD)]
+    raw = serialize(vals, with_runs=True)
+    n = NO_OFFSET_THRESHOLD
+    # cookie+size(4) + flags(1) + desc(4n) then offsets(4n)
+    first_off = struct.unpack_from("<I", raw, 4 + (n + 7) // 8 + 4 * n)[0]
+    assert first_off == 4 + (n + 7) // 8 + 4 * n + 4 * n
+    assert deserialize(raw) == vals
+
+
+def test_container_choice_rules():
+    dense_run = list(range(1000, 3000))
+    raw = serialize(dense_run, with_runs=True)
+    assert len(raw) < 32  # one run container
+    raw_nr = serialize(dense_run, with_runs=False)
+    assert len(raw_nr) == 8 + 4 + 4 + 2 * 2000  # array (card <= 4096)
+    big = sorted(random.Random(3).sample(range(65536), 5000))
+    raw_big = serialize(big, with_runs=True)
+    assert len(raw_big) == 4 + 1 + 4 + 8192  # bitmap container
+    assert deserialize(raw_big) == big
+
+
+def test_empty_bitmap():
+    for wr in (True, False):
+        assert deserialize(serialize([], with_runs=wr)) == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=1 << 20), min_size=0,
+             max_size=300, unique=True),
+    st.booleans(),
+)
+def test_roundtrip_fuzz(vals, with_runs):
+    vals = sorted(vals)
+    assert deserialize(serialize(vals, with_runs=with_runs)) == vals
+
+
+def test_refusals():
+    with pytest.raises(ValueError, match="ascending"):
+        serialize([3, 3])
+    with pytest.raises(ValueError, match="uint32"):
+        serialize([1 << 32])
+    with pytest.raises(ValueError, match="bad cookie"):
+        deserialize(struct.pack("<II", 9999, 1))
+    with pytest.raises(ValueError, match="truncated"):
+        deserialize(struct.pack("<H", SERIAL_COOKIE))
+    good = serialize(list(range(4, 11)), with_runs=True)
+    with pytest.raises(ValueError, match="truncated run container"):
+        deserialize(good[:-2])
+    with pytest.raises(ValueError, match="truncated array container"):
+        deserialize(serialize([4, 5, 6], with_runs=True)[:-2])
+    # overlapping runs: two runs (4,len2)(5,len0)
+    raw = (
+        struct.pack("<HH", SERIAL_COOKIE, 0) + b"\x01"
+        + struct.pack("<HH", 0, 4)
+        + struct.pack("<HHHHH", 2, 4, 2, 5, 0)
+    )
+    with pytest.raises(ValueError, match="overlapping"):
+        deserialize(raw)
+    # descending array values
+    raw = (
+        struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, 1)
+        + struct.pack("<HH", 0, 1) + struct.pack("<I", 16)
+        + struct.pack("<HH", 3, 1)
+    )
+    with pytest.raises(ValueError, match="not ascending"):
+        deserialize(raw)
+    # run cardinality disagrees with declared
+    raw = (
+        struct.pack("<HH", SERIAL_COOKIE, 0) + b"\x01"
+        + struct.pack("<HH", 0, 9)
+        + struct.pack("<HHH", 1, 4, 2)
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        deserialize(raw)
+
+
+# ----------------------------------------------- deletion-vector gate
+def test_dv_fixture_exercises_all_container_types():
+    from xcube_server_spark.registry.pipeline_round14d import (
+        deleted_positions,
+    )
+    from xcube_server_spark.sources.roaring import _split_chunks
+
+    pos = deleted_positions()
+    chunks = {k: len(v) for k, v in _split_chunks(pos)}
+    assert chunks[0] == 11 + 2000       # run container wins
+    assert chunks[1] > 4096             # bitmap container
+    assert 0 < chunks[2] <= 4096        # array container
+    blob = serialize(pos, with_runs=True)
+    assert deserialize(blob) == pos
+    # bitmap chunk serialized as 8 KiB fixed, run chunk tiny
+    assert 8192 < len(blob) < 8192 + 2 * chunks[2] + 200
+
+
+def test_deletion_vector_scan_plan(spark):
+    from xcube_server_spark.plans.explain import (
+        count_exchanges,
+        executed_plan,
+    )
+    from xcube_server_spark.registry.pipeline_round14d import (
+        _N_ROWS,
+        deleted_positions,
+        deletion_vector_scan,
+    )
+
+    df = deletion_vector_scan(spark, "unused")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # base range never shuffles before the bucket aggregation:
+    # exchanges = bucket groupBy + final sort (+ broadcast exchange is
+    # not a shuffle)
+    assert count_exchanges(df) <= 2
+    rows = df.collect()
+    assert sum(r.n_live for r in rows) == _N_ROWS - len(deleted_positions())

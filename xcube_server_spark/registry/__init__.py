@@ -33,6 +33,7 @@ from . import (
     pipeline_round14,
     pipeline_round14b,
     pipeline_round14c,
+    pipeline_round14d,
     relational,
     relational_ext,
     streaming_queries,
@@ -64,6 +65,7 @@ for _m in (
     pipeline_round14,
     pipeline_round14b,
     pipeline_round14c,
+    pipeline_round14d,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -105,6 +107,7 @@ for _m in (
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "deletion_vector_scan",
     "unigram_encode_stats",
     "avro_ingest_stats",
     "avro_ingest_stats_zstd",

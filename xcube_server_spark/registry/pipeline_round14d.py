@@ -1,0 +1,137 @@
+"""Round-14d gates: MERGE-ON-READ with deletion vectors — the
+lakehouse mechanism (Delta Lake deletion vectors, Iceberg v2/v3
+position deletes) where a write marks rows dead in a serialized
+ROARING BITMAP side file and every reader anti-joins the bitmap
+against row positions instead of rewriting data files.
+
+The gate drives ``sources/roaring.py`` end to end: the fixture writes
+a portable-format bitmap whose delete pattern forces ALL THREE
+container types in one vector (chunk 0: scattered singles + a 2000-row
+contiguous span → RUN container; chunk 1: two-of-every-13 positions →
+10 082 entries → BITMAP container; chunk 2: every-211th position →
+ARRAY container), the executor decodes it (the Delta shape: each scan
+task decodes its file's vector), and the live set is
+``base LEFT ANTI JOIN broadcast(deletes)`` — the exact plan a 100 TB
+merge-on-read scan wants: deletion vectors are per-file and small, so
+the anti-join never shuffles the fact side.
+
+The DuckDB oracle regenerates the delete predicate arithmetically and
+aggregates the complementary live set — so a single mis-decoded
+container (wrong cardinality, mis-hopped offset, wrong run length)
+shifts bucket counts and flips the hash.
+
+Reference analog: none in xcube-server (no table-maintenance surface);
+closest are the engine's ``merge_upsert_docs`` / ``snapshot_diff``
+gates, which cover copy-on-write — this adds the merge-on-READ half.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+_N_ROWS = 150_000
+_BUCKET = 8192
+
+
+def deleted_positions() -> list[int]:
+    """The formula delete set (ascending). Three regimes, one per
+    roaring container type — see module docstring."""
+    out = [p for p in range(1000) if p % 97 == 0]
+    out += list(range(1000, 3000))
+    out += [p for p in range(65536, 131072) if (p - 65536) % 13 in (0, 1)]
+    out += [p for p in range(131072, _N_ROWS) if p % 211 == 0]
+    return out
+
+
+def _dv_gate_fixture() -> tuple[str, str]:
+    from ..sources.roaring import serialize
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_dv_gate_v1")
+    key = "deletes.rb"
+    path = os.path.join(d, key)
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        blob = serialize(deleted_positions(), with_runs=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    return d, key
+
+
+def deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan: base rows are generated scan-side
+    (``spark.range`` + formula value column — no shuffle), the deletion
+    vector decodes executor-side in one Arrow stage, and live rows are
+    the broadcast ANTI join. Output: per-8192-row-bucket live count,
+    value sum and a position-weighted checksum (a single wrongly
+    live/dead row flips its bucket)."""
+    import pandas as pd
+
+    from ..sources.roaring import deserialize
+    from ..sources.tiff import _make_store
+
+    d, key = _dv_gate_fixture()
+    files = spark.createDataFrame([(key,)], "key string")
+
+    def decode(iterator):
+        st = _make_store("local", d)
+        for batch in iterator:
+            for k in batch["key"]:
+                raw = st.get_range(k, 0, 1 << 30)
+                yield pd.DataFrame({"pos": deserialize(raw)})
+
+    dv = files.mapInPandas(decode, "pos long")
+    base = (
+        spark.range(_N_ROWS)
+        .select(
+            F.col("id").alias("pos"),
+            ((F.col("id") * 7) % 1000).alias("val"),
+        )
+    )
+    live = base.join(F.broadcast(dv), "pos", "left_anti")
+    return (
+        live.groupBy(
+            F.expr(f"pos div {_BUCKET}").cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.sum(F.col("pos") * F.col("val")).cast("bigint")
+            .alias("pos_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLES["deletion_vector_scan"] = f"""
+WITH base AS (
+  SELECT i AS pos, (i * 7) % 1000 AS val
+  FROM (SELECT unnest(range(0, {_N_ROWS})) AS i)
+),
+live AS (
+  SELECT * FROM base
+  WHERE NOT (
+        (pos < 1000 AND pos % 97 = 0)
+     OR (pos >= 1000 AND pos < 3000)
+     OR (pos >= 65536 AND pos < 131072 AND (pos - 65536) % 13 IN (0, 1))
+     OR (pos >= 131072 AND pos % 211 = 0)
+  )
+)
+SELECT CAST(pos // {_BUCKET} AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(sum(pos * val) AS BIGINT) AS pos_checksum
+FROM live
+GROUP BY 1
+ORDER BY bucket
+"""
+QUERIES["deletion_vector_scan"] = deletion_vector_scan

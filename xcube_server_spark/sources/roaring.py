@@ -1,0 +1,230 @@
+"""Roaring bitmap codec (32-bit, portable serialization) — the format
+modern lakehouses persist DELETION VECTORS in (Delta Lake deletion
+vectors and Iceberg v3 position-delete blobs both serialize roaring
+bitmaps; Lucene/Pilosa/ClickHouse use the same container scheme).
+
+Built from the PUBLIC interoperable spec
+(https://github.com/RoaringBitmap/RoaringFormatSpec): values partition
+by their high 16 bits into chunks; each chunk's low 16 bits live in one
+of three container types —
+
+* **array**: sorted ``uint16`` list (cardinality <= 4096);
+* **bitmap**: 8 KiB fixed bitset (cardinality > 4096);
+* **run**: ``(start, length-1)`` pairs (chosen when it beats the
+  alternatives, the ``runOptimize`` rule).
+
+Serialization implements BOTH portable layouts: the no-run format
+(cookie 12346, always followed by the offset header) and the
+run-capable format (cookie 12347 + run-flag bitset, offset header only
+when container count >= 4 — the spec's ``NO_OFFSET_THRESHOLD``).
+
+The decoder validates cookies, sorted keys, sorted array values and
+cardinality/type agreement, refusing loudly on violations — the
+clear-error contract every codec here follows. Round-trips and
+hand-packed spec-layout byte fixtures are pinned in
+``tests/test_roaring.py``.
+
+Reference analog: none in xcube-server; consumed by the
+merge-on-read deletion-vector gates (``registry/pipeline_round14c``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+SERIAL_COOKIE = 12347
+NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+_BITMAP_BYTES = 8192
+
+
+# ------------------------------------------------------------- encode
+def _split_chunks(values: list[int]) -> list[tuple[int, list[int]]]:
+    chunks: dict[int, list[int]] = {}
+    last = -1
+    for v in values:
+        if v <= last:
+            raise ValueError("roaring serialize: values must be strictly "
+                             "ascending")
+        if not 0 <= v <= 0xFFFFFFFF:
+            raise ValueError(f"roaring serialize: value {v} out of uint32")
+        last = v
+        chunks.setdefault(v >> 16, []).append(v & 0xFFFF)
+    return sorted(chunks.items())
+
+
+def _runs_of(lows: list[int]) -> list[tuple[int, int]]:
+    runs = []
+    start = prev = lows[0]
+    for v in lows[1:]:
+        if v == prev + 1:
+            prev = v
+            continue
+        runs.append((start, prev - start))
+        start = prev = v
+    runs.append((start, prev - start))
+    return runs
+
+
+def serialize(values: list[int], with_runs: bool = True) -> bytes:
+    """Strictly-ascending uint32 values → portable roaring bytes.
+    ``with_runs=True`` writes the run-capable format applying the
+    standard ``runOptimize`` size rule per container; ``False`` writes
+    the legacy no-run layout (array/bitmap only)."""
+    chunks = _split_chunks(values)
+    n = len(chunks)
+    if n == 0:
+        # canonical empty bitmap: run-capable cookie, zero containers
+        return struct.pack("<HH", SERIAL_COOKIE, 0xFFFF) if with_runs \
+            else struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, 0)
+
+    bodies: list[bytes] = []
+    kinds: list[str] = []
+    for _key, lows in chunks:
+        card = len(lows)
+        runs = _runs_of(lows)
+        run_sz = 2 + 4 * len(runs)
+        plain_sz = 2 * card if card <= _ARRAY_MAX else _BITMAP_BYTES
+        if with_runs and run_sz < plain_sz:
+            kinds.append("run")
+            bodies.append(
+                struct.pack("<H", len(runs))
+                + b"".join(struct.pack("<HH", s, ln) for s, ln in runs)
+            )
+        elif card <= _ARRAY_MAX:
+            kinds.append("array")
+            bodies.append(struct.pack(f"<{card}H", *lows))
+        else:
+            kinds.append("bitmap")
+            bits = bytearray(_BITMAP_BYTES)
+            for v in lows:
+                bits[v >> 3] |= 1 << (v & 7)
+            bodies.append(bytes(bits))
+
+    out = bytearray()
+    if with_runs:
+        out += struct.pack("<HH", SERIAL_COOKIE, n - 1)
+        flags = bytearray((n + 7) // 8)
+        for i, k in enumerate(kinds):
+            if k == "run":
+                flags[i >> 3] |= 1 << (i & 7)
+        out += flags
+        offsets_here = n >= NO_OFFSET_THRESHOLD
+    else:
+        if "run" in kinds:
+            raise AssertionError("run container in no-run layout")
+        out += struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, n)
+        offsets_here = True
+    for (key, lows), _b in zip(chunks, bodies):
+        out += struct.pack("<HH", key, len(lows) - 1)
+    if offsets_here:
+        base = len(out) + 4 * n
+        for b in bodies:
+            out += struct.pack("<I", base)
+            base += len(b)
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decode
+def deserialize(data: bytes) -> list[int]:
+    """Portable roaring bytes → ascending uint32 value list. Validates
+    cookies, key order, array order and container-type/cardinality
+    agreement; refuses loudly otherwise."""
+    if len(data) < 4:
+        raise ValueError("roaring: truncated header")
+    (cookie16,) = struct.unpack_from("<H", data, 0)
+    run_flags = b""
+    if cookie16 == SERIAL_COOKIE:
+        (n_m1,) = struct.unpack_from("<H", data, 2)
+        n = 0 if n_m1 == 0xFFFF else n_m1 + 1
+        pos = 4
+        if n:
+            nb = (n + 7) // 8
+            run_flags = data[pos:pos + nb]
+            if len(run_flags) < nb:
+                raise ValueError("roaring: truncated run-flag bitset")
+            pos += nb
+        has_offsets = n >= NO_OFFSET_THRESHOLD
+    else:
+        (cookie32, n) = struct.unpack_from("<II", data, 0)
+        if cookie32 != SERIAL_COOKIE_NO_RUNCONTAINER:
+            raise ValueError(f"roaring: bad cookie {cookie32}")
+        pos = 8
+        has_offsets = True
+
+    keys: list[int] = []
+    cards: list[int] = []
+    for i in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("roaring: truncated descriptive header")
+        key, card_m1 = struct.unpack_from("<HH", data, pos)
+        pos += 4
+        if keys and key <= keys[-1]:
+            raise ValueError("roaring: container keys not ascending")
+        keys.append(key)
+        cards.append(card_m1 + 1)
+    offsets: list[int] | None = None
+    if has_offsets and n:
+        if pos + 4 * n > len(data):
+            raise ValueError("roaring: truncated offset header")
+        offsets = list(struct.unpack_from(f"<{n}I", data, pos))
+        pos += 4 * n
+
+    out: list[int] = []
+    for i in range(n):
+        if offsets is not None:
+            pos = offsets[i]
+        is_run = bool(run_flags) and bool(
+            run_flags[i >> 3] & (1 << (i & 7)))
+        hi = keys[i] << 16
+        if is_run:
+            if pos + 2 > len(data):
+                raise ValueError("roaring: truncated run container")
+            (n_runs,) = struct.unpack_from("<H", data, pos)
+            pos += 2
+            if pos + 4 * n_runs > len(data):
+                raise ValueError("roaring: truncated run container")
+            card = 0
+            prev_end = -1
+            for _ in range(n_runs):
+                s, ln = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                if s <= prev_end:
+                    raise ValueError("roaring: overlapping runs")
+                out.extend(range(hi | s, (hi | s) + ln + 1))
+                prev_end = s + ln
+                card += ln + 1
+            if card != cards[i]:
+                raise ValueError(
+                    f"roaring: run container {i} cardinality "
+                    f"{card} != declared {cards[i]}")
+        elif cards[i] > _ARRAY_MAX:
+            if pos + _BITMAP_BYTES > len(data):
+                raise ValueError("roaring: truncated bitmap container")
+            seen = 0
+            chunk = data[pos:pos + _BITMAP_BYTES]
+            pos += _BITMAP_BYTES
+            for byte_i, b in enumerate(chunk):
+                while b:
+                    low = b & -b
+                    out.append(hi | (byte_i << 3) | low.bit_length() - 1)
+                    b ^= low
+                    seen += 1
+            if seen != cards[i]:
+                raise ValueError(
+                    f"roaring: bitmap container {i} popcount {seen} != "
+                    f"declared {cards[i]}")
+        else:
+            end = pos + 2 * cards[i]
+            if end > len(data):
+                raise ValueError("roaring: truncated array container")
+            vals = struct.unpack_from(f"<{cards[i]}H", data, pos)
+            pos = end
+            for j in range(1, len(vals)):
+                if vals[j] <= vals[j - 1]:
+                    raise ValueError("roaring: array values not ascending")
+            out.extend(hi | v for v in vals)
+    return out
