@@ -124,3 +124,20 @@ def test_encode_stats_plan_contract(spark, sf_dir):
     assert r0.n_tokens <= r0.n_words * 9  # <= word length pieces
     assert r0.min_cost >= 30 * r0.n_tokens  # cheapest piece costs 30
     assert all(r.n_ways >= 1 for r in rows)
+
+
+def test_tokenizer_agreement_invariants(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14c import (
+        tokenizer_agreement_stats,
+    )
+
+    rows = tokenizer_agreement_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every tokenizer emits at least one piece per word; BPE and
+        # unigram both split FINER than whitespace on this corpus
+        assert r.bpe_tokens >= r.ws_tokens
+        assert r.uni_tokens >= r.ws_tokens
+        assert r.bpe_per_word_bp >= 10000
+        # fertility ratios live in a sane band (not degenerate)
+        assert r.bpe_per_word_bp < 100000 and r.uni_per_bpe_bp < 100000

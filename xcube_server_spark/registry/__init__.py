@@ -107,7 +107,9 @@ for _m in (
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "tokenizer_agreement_stats",
     "deletion_vector_scan",
+    "stream_deletion_vector_live",
     "unigram_encode_stats",
     "avro_ingest_stats",
     "avro_ingest_stats_zstd",

@@ -245,3 +245,132 @@ ORDER BY i.doc_id
 
 QUERIES["unigram_encode_stats"] = unigram_encode_stats
 ORACLES["unigram_encode_stats"] = _unigram_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# tokenizer_agreement_stats: BPE vs unigram vs whitespace, ONE plan
+# --------------------------------------------------------------------------
+def tokenizer_agreement_stats(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Both tokenizer families over the same corpus in ONE plan — the
+    table a tokenizer bake-off reads: per source, whitespace words, BPE
+    tokens (round-14 merge chain) and unigram-Viterbi tokens, plus
+    integer basis-point fertility ratios (``10000*a div b`` — no float
+    reaches the compare). A drift in EITHER encoder flips its column.
+
+    Shape: one scan computes the word explode (word count + unigram
+    join input) and a second map-only branch computes per-doc BPE
+    counts (the merge chain appears ONCE, the r14 plan discipline);
+    the branches meet on a doc_id join after both were reduced, then
+    one bounded groupBy(source)."""
+    from .pipeline_round14 import bpe_tokens_col
+
+    inst = _doc_words(spark, sf_dir)
+    words = (
+        inst.select("w").distinct()
+        .select("w", unigram_dp_col(F.col("w")).alias("e"))
+        .select("w", (F.col("e")["k"] % 4096).alias("ntok"))
+    )
+    per_doc_uni = (
+        inst.join(F.broadcast(words), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("uni_tokens"),
+        )
+    )
+    per_doc_bpe = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("text")).rlike("[a-z]"))
+        .select(
+            "doc_id", "source",
+            F.size(bpe_tokens_col(F.col("text"))).cast("long")
+            .alias("bpe_tokens"),
+        )
+    )
+    return (
+        per_doc_bpe.join(per_doc_uni, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            F.sum("uni_tokens").cast("bigint").alias("uni_tokens"),
+        )
+        .select(
+            "source", "n_docs", "ws_tokens", "bpe_tokens", "uni_tokens",
+            F.expr("(10000 * bpe_tokens) div ws_tokens")
+            .alias("bpe_per_word_bp"),
+            F.expr("(10000 * uni_tokens) div bpe_tokens")
+            .alias("uni_per_bpe_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _agreement_oracle_sql() -> str:
+    from .pipeline_round14 import _bpe_toks_sql
+
+    cands = f"""list_filter(
+      list_transform(range(1, least({_MAXP}, p + 1) + 1),
+        L -> {{'k': hist[p + 2 - L].k +
+                    list_transform([substr(w, p + 2 - L, L)],
+                                   s -> {_vocab_case()})[1],
+              'y': hist[p + 2 - L].y}}),
+      x -> x.k IS NOT NULL)"""
+    entry = f"""list_transform([{cands}], cs -> {{
+      'k': list_min(list_transform(cs, x -> x.k)),
+      'y': list_sum(list_transform(cs,
+             x -> CASE WHEN x.k = list_min(list_transform(cs,
+                                           x2 -> x2.k))
+                  THEN x.y ELSE 0 END)) % {_P}}})[1]"""
+    return f"""
+WITH RECURSIVE
+inst AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM inst),
+dp AS (
+  SELECT w, 0 AS p,
+         [{{'k': CAST(0 AS BIGINT), 'y': CAST(1 AS BIGINT)}}] AS hist
+  FROM words
+  UNION ALL
+  SELECT w, p + 1, list_append(hist, {entry})
+  FROM dp WHERE p < length(w)
+),
+fin AS (
+  SELECT w, hist[length(w) + 1].k AS k
+  FROM dp WHERE p = length(w)
+),
+uni AS (
+  SELECT i.doc_id, count(*) AS n_words, sum(f.k % 4096) AS uni_tokens
+  FROM inst i JOIN fin f USING (w)
+  GROUP BY i.doc_id
+),
+bpe AS (
+  SELECT doc_id, source, len({_bpe_toks_sql()}) AS bpe_tokens
+  FROM documents
+  WHERE regexp_matches(lower(text), '[a-z]')
+),
+per_src AS (
+  SELECT b.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(u.n_words) AS BIGINT) AS ws_tokens,
+         CAST(sum(b.bpe_tokens) AS BIGINT) AS bpe_tokens,
+         CAST(sum(u.uni_tokens) AS BIGINT) AS uni_tokens
+  FROM bpe b JOIN uni u USING (doc_id)
+  GROUP BY b.source
+)
+SELECT source, n_docs, ws_tokens, bpe_tokens, uni_tokens,
+       (10000 * bpe_tokens) // ws_tokens AS bpe_per_word_bp,
+       (10000 * uni_tokens) // bpe_tokens AS uni_per_bpe_bp
+FROM per_src
+ORDER BY source
+"""
+
+
+QUERIES["tokenizer_agreement_stats"] = tokenizer_agreement_stats
+ORACLES["tokenizer_agreement_stats"] = _agreement_oracle_sql()

@@ -67,19 +67,20 @@ def _dv_gate_fixture() -> tuple[str, str]:
     return d, key
 
 
-def deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read scan: base rows are generated scan-side
-    (``spark.range`` + formula value column — no shuffle), the deletion
-    vector decodes executor-side in one Arrow stage, and live rows are
-    the broadcast ANTI join. Output: per-8192-row-bucket live count,
-    value sum and a position-weighted checksum (a single wrongly
-    live/dead row flips its bucket)."""
+def dv_merge_on_read_scan(spark: SparkSession, d: str, key: str
+                          ) -> DataFrame:
+    """The merge-on-read plan for one deletion vector at ``d/key``:
+    base rows are generated scan-side (``spark.range`` + formula value
+    column — no shuffle), the vector decodes executor-side in one Arrow
+    stage, and live rows are the broadcast ANTI join. Output: per-8192-
+    row-bucket live count, value sum and a position-weighted checksum
+    (a single wrongly live/dead row flips its bucket). Shared by the
+    batch gate and the live streaming twin."""
     import pandas as pd
 
     from ..sources.roaring import deserialize
     from ..sources.tiff import _make_store
 
-    d, key = _dv_gate_fixture()
     files = spark.createDataFrame([(key,)], "key string")
 
     def decode(iterator):
@@ -110,6 +111,13 @@ def deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch merge-on-read over the all-container-types fixture vector
+    (see module docstring)."""
+    d, key = _dv_gate_fixture()
+    return dv_merge_on_read_scan(spark, d, key)
 
 
 ORACLES["deletion_vector_scan"] = f"""

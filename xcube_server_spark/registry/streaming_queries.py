@@ -1617,3 +1617,135 @@ QUERIES["stream_scd2_live"] = stream_scd2_live
 from .pipeline_round8f import ORACLES as _R8F_ORACLES  # noqa: E402
 
 ORACLES["stream_scd2_live"] = _R8F_ORACLES["scd2_dim_history"]
+
+
+def _staged_delete_requests(spark: SparkSession) -> str:
+    """Stage the fixture delete set as 4 position-ranged files — the
+    delete-request feed for the live deletion-vector maintenance."""
+    import os
+    import tempfile
+
+    from .pipeline_round14d import deleted_positions
+
+    staged = os.path.join(tempfile.gettempdir(), "xss_stream_dv_v1")
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        (
+            spark.createDataFrame(
+                [(p,) for p in deleted_positions()], "pos long"
+            )
+            .repartitionByRange(4, "pos")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+def stream_deletion_vector_live(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Merge-on-read maintenance run LIVE: delete requests arrive as a
+    stream, and each micro-batch folds its positions into the file's
+    ROARING BITMAP — the state IS the serialized deletion vector, the
+    Delta-maintenance shape — via an executor-side ``applyInPandas``
+    merge keyed by file (at 100 TB one group per data file, so vector
+    maintenance parallelizes across files while each vector stays a
+    single atomically-replaced blob). After the backlog drains, the
+    merge-on-read scan over the final bitmap must equal the batch
+    ``deletion_vector_scan`` exactly — SAME oracle, the batch/stream
+    parity pin; set-union order across micro-batches is immaterial by
+    construction."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .pipeline_round14d import dv_merge_on_read_scan
+
+    staged = _staged_delete_requests(spark)
+    run_id = uuid.uuid4().hex[:8]
+    state_root = os.path.join(
+        tempfile.gettempdir(), f"xss_dv_state_{run_id}"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dv_{run_id}")
+    os.makedirs(state_root)
+    # initial state: the empty bitmap (a file with no deletion vector)
+    from ..sources.roaring import serialize as _rb_ser
+
+    with open(os.path.join(state_root, "v0"), "wb") as f:
+        f.write(_rb_ser([]))
+
+    def maintain(df: DataFrame, bid: int) -> None:
+        import pandas as pd
+
+        from ..sources.roaring import deserialize, serialize
+
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state_root)
+            if d.startswith("v")
+        )
+        prev_path = os.path.join(state_root, f"v{versions[-1]}")
+        out_path = os.path.join(state_root, f"v{bid + 1}")
+
+        def merge_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            with open(prev_path, "rb") as fh:
+                prev_vals = deserialize(fh.read())
+            vals = sorted(set(prev_vals) | set(int(p) for p in pdf["pos"]))
+            blob = serialize(vals, with_runs=True)
+            fd, tmp = tempfile.mkstemp(dir=state_root)
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, out_path)
+            return pd.DataFrame({"n_deleted": [len(vals)]})
+
+        stats = (
+            df.withColumn("key", F.lit("deletes.rb"))
+            .groupBy("key")
+            .applyInPandas(merge_fn, "n_deleted long")
+        )
+        stats.collect()  # one row per file — driver-side scalar only
+        # state is one blob per file: drop superseded versions
+        if os.path.exists(out_path):
+            for v in versions[:-1]:
+                os.unlink(os.path.join(state_root, f"v{v}"))
+
+    batch_src = spark.read.parquet(staged)
+    stream = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state_root)
+            if d.startswith("v")
+        )
+        final = (
+            dv_merge_on_read_scan(spark, state_root, f"v{versions[-1]}")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(state_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return final
+
+
+QUERIES["stream_deletion_vector_live"] = stream_deletion_vector_live
+# the maintained vector's scan must equal the batch merge-on-read scan
+from .pipeline_round14d import ORACLES as _R14D_ORACLES  # noqa: E402
+
+ORACLES["stream_deletion_vector_live"] = _R14D_ORACLES[
+    "deletion_vector_scan"
+]
