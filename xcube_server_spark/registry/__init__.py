@@ -92,6 +92,15 @@ for _m in (
 # as a CUSTOM STATEFUL streaming operator — applyInPandasWithState
 # carrying (bin_id, fill) per (source, shard) over the mkey-ordered
 # replay; shares the batch RECURSIVE-CTE oracle verbatim).
+# (a2) NEW in the late-round-14 session: tokenizer_agreement_stats
+# (BPE vs unigram vs whitespace fertility in ONE plan),
+# deletion_vector_scan + stream_deletion_vector_live (lakehouse
+# MERGE-ON-READ: roaring-bitmap deletion vectors, batch scan +
+# live maintenance sharing one oracle), unigram_encode_stats
+# (SentencePiece-style Viterbi DP as a JVM aggregate HOF over the
+# distinct-word table; recursive-CTE oracle), avro_ingest_stats +
+# avro_ingest_stats_zstd (Avro OCF source: block-header index walk,
+# deflate/zstandard codecs, split coordinates pinned).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -99,10 +108,13 @@ for _m in (
 # write), audio_id3_stats (grouping-identity flag refusal).
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
-# stalest remaining vintage — the 46 r09 rows — alphabetical to the
-# cut after q1_pricing_summary; the 16 displaced r09 tail rows
-# (quality_filter_chain .. zarr_ingest_stats_http) head the r15
-# rotation.
+# stalest remaining vintage — the r09 rows — alphabetical to the cut
+# after market_basket_lift. Displaced to the r15 head: the 6 rows the
+# late-r14 gates pushed past position 50 (multimodal_bytes,
+# netcdf4_kerchunk_ingest_http, netcdf4_kerchunk_multifile_http,
+# pack_sequences, pii_scrub, q1_pricing_summary) plus the 16 r09 tail
+# rows noted at mid-round (quality_filter_chain ..
+# zarr_ingest_stats_http) — 22 rows total before r10 vintage.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
@@ -156,13 +168,13 @@ _PRIORITY = [
     "grib2_ingest_stats",
     "hypertable_rollup_daily",
     "join_salted_enrich",
-    "market_basket_lift",
+    "market_basket_lift",  # <- window position 50
     "multimodal_bytes",
     "netcdf4_kerchunk_ingest_http",
     "netcdf4_kerchunk_multifile_http",
     "pack_sequences",
     "pii_scrub",
-    "q1_pricing_summary",  # <- window position 50
+    "q1_pricing_summary",
     # ---- overflow (past the 50-query window): module order. All 234
     # prior entries were driver-green in the r01-r13 union (zero stale,
     # zero never-checked) and stay locally verified per pytest run. ----
