@@ -81,7 +81,11 @@ BENCH_QUERIES = [
     "mp3_decode_stats",
     "dedup_minhash_lsh",
     "dedup_lsh_verify",
-    "dedup_substring_windows",
+    # (dedup_substring_windows swapped out r14 for the unigram Viterbi
+    # encoder — the dedup family keeps 5 rows and the substring-window
+    # shape stays oracle-tested; the distinct-word aggregate-HOF DP +
+    # broadcast instance join is the new plan shape. 3 bytes shorter)
+    "unigram_encode_stats",
     "graph_pagerank_parts",
     "dedup_components_minhash",
     "semdedup_prune",
@@ -120,7 +124,11 @@ BENCH_QUERIES = [
     # covered by mixture_schedule; Arrow-batched PNG/JPEG pixel decode
     # in mapInPandas is the new plan shape)
     "doc_chunking",
-    "contamination_screen",
+    # (contamination_screen swapped out r14 for the merge-on-read
+    # deletion-vector scan — the broadcast semi/anti n-gram probe shape
+    # it timed is exactly the new gate's broadcast ANTI join, plus an
+    # executor-side roaring decode stage. Same name length)
+    "deletion_vector_scan",
     # (cross_source_overlap_kmv swapped out r11 for the Vorbis decode
     # gate — the KMV family stays covered by distinct_hll_sketch; the
     # pure-Python psychoacoustic-container decode in mapInPandas is the

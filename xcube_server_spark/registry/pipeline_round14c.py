@@ -135,11 +135,13 @@ def unigram_dp_col(w: Column) -> Column:
     )
 
 
-def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_words(spark: SparkSession, sf_dir: str,
+               with_source: bool = False) -> DataFrame:
+    cols = ["doc_id", "source"] if with_source else ["doc_id"]
     return (
         _t(spark, sf_dir, "documents")
         .select(
-            "doc_id",
+            *cols,
             F.explode(
                 F.split(
                     F.regexp_replace(
@@ -258,44 +260,34 @@ def tokenizer_agreement_stats(spark: SparkSession, sf_dir: str
     integer basis-point fertility ratios (``10000*a div b`` — no float
     reaches the compare). A drift in EITHER encoder flips its column.
 
-    Shape: one scan computes the word explode (word count + unigram
-    join input) and a second map-only branch computes per-doc BPE
-    counts (the merge chain appears ONCE, the r14 plan discipline);
-    the branches meet on a doc_id join after both were reduced, then
-    one bounded groupBy(source)."""
+    Shape: BOTH encoders run over the COMPACTED distinct-word table —
+    legal for BPE because no merge pattern contains a space, so a
+    document's token count is exactly the sum of its words' counts —
+    then one broadcast join back onto the exploded instances and one
+    bounded groupBy(source). The corpus is scanned once per branch of
+    the word explode (instances + distinct), the merge chain and the
+    DP each run once PER DISTINCT WORD (at 100 TB: |lexicon|, not
+    |corpus|), and no doc-level shuffle exists at all."""
     from .pipeline_round14 import bpe_tokens_col
 
-    inst = _doc_words(spark, sf_dir)
+    inst = _doc_words(spark, sf_dir, with_source=True)
     words = (
         inst.select("w").distinct()
-        .select("w", unigram_dp_col(F.col("w")).alias("e"))
-        .select("w", (F.col("e")["k"] % 4096).alias("ntok"))
-    )
-    per_doc_uni = (
-        inst.join(F.broadcast(words), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("ntok").alias("uni_tokens"),
-        )
-    )
-    per_doc_bpe = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.lower(F.col("text")).rlike("[a-z]"))
         .select(
-            "doc_id", "source",
-            F.size(bpe_tokens_col(F.col("text"))).cast("long")
-            .alias("bpe_tokens"),
+            "w",
+            (unigram_dp_col(F.col("w"))["k"] % 4096).alias("ntok"),
+            F.size(bpe_tokens_col(F.col("w"))).cast("long")
+            .alias("bpe"),
         )
     )
     return (
-        per_doc_bpe.join(per_doc_uni, "doc_id")
+        inst.join(F.broadcast(words), "w")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_words").cast("bigint").alias("ws_tokens"),
-            F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
-            F.sum("uni_tokens").cast("bigint").alias("uni_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("ntok").cast("bigint").alias("uni_tokens"),
         )
         .select(
             "source", "n_docs", "ws_tokens", "bpe_tokens", "uni_tokens",
