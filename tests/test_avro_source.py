@@ -239,3 +239,96 @@ def test_ingest_schema_mismatch_refused(spark, tmp_path):
                             ["a.avro", "b.avro"], parallelism=2)
     with pytest.raises(Exception, match="schema differs"):
         df.collect()
+
+
+# ------------------------------------------------------ schema evolution
+def test_reader_resolution_rules():
+    import json
+
+    from xcube_server_spark.sources.avro_source import (
+        apply_resolution,
+        reader_resolution,
+    )
+
+    writer = parse_schema(json.dumps({
+        "type": "record", "name": "T", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "legacy", "type": "string"},
+            {"name": "ratio", "type": "float"},
+        ]}))
+    reader = json.dumps({
+        "type": "record", "name": "T", "fields": [
+            {"name": "id", "type": "long"},                 # promotion
+            {"name": "ratio", "type": "double"},            # promotion
+            {"name": "clicks", "type": ["null", "long"],
+             "default": None},                              # default
+            {"name": "tag", "type": "string",
+             "default": "x"},                               # default
+        ]})
+    rfields, plan = reader_resolution(writer, reader)
+    assert [f[0] for f in rfields] == ["id", "ratio", "clicks", "tag"]
+    rows = apply_resolution([(7, "drop-me", 1.5)], plan)
+    assert rows == [(7, 1.5, None, "x")]
+
+
+def test_reader_resolution_refusals():
+    import json
+
+    import pytest as _pytest
+
+    from xcube_server_spark.sources.avro_source import reader_resolution
+
+    writer = parse_schema(json.dumps({
+        "type": "record", "name": "T", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "opt", "type": ["null", "long"]},
+        ]}))
+    # missing field without a default
+    with _pytest.raises(ValueError, match="no default"):
+        reader_resolution(writer, json.dumps({
+            "type": "record", "name": "T", "fields": [
+                {"name": "absent", "type": "long"}]}))
+    # narrowing is not a sanctioned promotion
+    with _pytest.raises(NotImplementedError, match="no resolution"):
+        reader_resolution(writer, json.dumps({
+            "type": "record", "name": "T", "fields": [
+                {"name": "id", "type": "int"}]}))
+    # writer nullable, reader not
+    with _pytest.raises(NotImplementedError, match="unresolvable"):
+        reader_resolution(writer, json.dumps({
+            "type": "record", "name": "T", "fields": [
+                {"name": "opt", "type": "long"}]}))
+
+
+def test_ingest_mixed_generations(spark, tmp_path):
+    v1 = {"type": "record", "name": "T", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "float"},
+        {"name": "legacy", "type": "string"}]}
+    v2 = {"type": "record", "name": "T", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},
+        {"name": "region", "type": "string"}]}
+    reader = {"type": "record", "name": "T", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},
+        {"name": "region", "type": "string", "default": "unknown"}]}
+    (tmp_path / "a.avro").write_bytes(build_avro(
+        [{"id": i, "score": i * 0.25, "legacy": "z"} for i in range(5)],
+        v1, codec="null"))
+    (tmp_path / "b.avro").write_bytes(build_avro(
+        [{"id": i, "score": i * 0.25, "region": "eu"}
+         for i in range(5, 8)], v2, codec="null"))
+    rows = ingest_avro_corpus(
+        spark, "local", str(tmp_path), ["a.avro", "b.avro"],
+        parallelism=2, reader_schema=reader,
+    ).orderBy("id").collect()
+    assert [(r.id, r.score, r.region) for r in rows] == \
+        [(i, i * 0.25, "unknown" if i < 5 else "eu") for i in range(8)]
+    # without a reader schema the generations must refuse loudly
+    import pytest as _pytest
+
+    df = ingest_avro_corpus(spark, "local", str(tmp_path),
+                            ["a.avro", "b.avro"], parallelism=2)
+    with _pytest.raises(Exception, match="schema differs"):
+        df.collect()

@@ -100,7 +100,10 @@ for _m in (
 # (SentencePiece-style Viterbi DP as a JVM aggregate HOF over the
 # distinct-word table; recursive-CTE oracle), avro_ingest_stats +
 # avro_ingest_stats_zstd (Avro OCF source: block-header index walk,
-# deflate/zstandard codecs, split coordinates pinned).
+# deflate/zstandard codecs, split coordinates pinned) and
+# avro_schema_evolution_stats (reader-schema resolution across shard
+# generations: float→double promotion, dropped writer-only field,
+# declared defaults — per-shard writer schemas resolved executor-side).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -109,16 +112,18 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the r09 rows — alphabetical to the cut
-# after market_basket_lift. Displaced to the r15 head: the 6 rows the
-# late-r14 gates pushed past position 50 (multimodal_bytes,
-# netcdf4_kerchunk_ingest_http, netcdf4_kerchunk_multifile_http,
-# pack_sequences, pii_scrub, q1_pricing_summary) plus the 16 r09 tail
+# after join_salted_enrich. Displaced to the r15 head: the 7 rows the
+# late-r14 gates pushed past position 50 (market_basket_lift,
+# multimodal_bytes, netcdf4_kerchunk_ingest_http,
+# netcdf4_kerchunk_multifile_http, pack_sequences, pii_scrub,
+# q1_pricing_summary) plus the 16 r09 tail
 # rows noted at mid-round (quality_filter_chain ..
 # zarr_ingest_stats_http) — 22 rows total before r10 vintage.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "avro_schema_evolution_stats",
     "tokenizer_agreement_stats",
     "deletion_vector_scan",
     "stream_deletion_vector_live",
@@ -167,8 +172,8 @@ _PRIORITY = [
     "grib2_ingest_http",
     "grib2_ingest_stats",
     "hypertable_rollup_daily",
-    "join_salted_enrich",
-    "market_basket_lift",  # <- window position 50
+    "join_salted_enrich",  # <- window position 50
+    "market_basket_lift",
     "multimodal_bytes",
     "netcdf4_kerchunk_ingest_http",
     "netcdf4_kerchunk_multifile_http",

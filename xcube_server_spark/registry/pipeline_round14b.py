@@ -168,3 +168,123 @@ QUERIES["avro_ingest_stats"] = avro_ingest_stats
 ORACLES["avro_ingest_stats"] = _avro_oracle("deflate")
 QUERIES["avro_ingest_stats_zstd"] = avro_ingest_stats_zstd
 ORACLES["avro_ingest_stats_zstd"] = _avro_oracle("zstandard")
+
+
+# --------------------------------------------------------------------------
+# avro_schema_evolution_stats: reader-schema resolution across shard
+# generations — the schema-registry contract
+# --------------------------------------------------------------------------
+_EVO_V1 = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "float"},
+        {"name": "legacy", "type": "string"},  # dropped by the reader
+    ],
+}
+_EVO_V2 = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "clicks", "type": ["null", "long"]},
+        {"name": "region", "type": "string"},
+    ],
+}
+_EVO_READER = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "clicks", "type": ["null", "long"], "default": None},
+        {"name": "region", "type": "string", "default": "unknown"},
+    ],
+}
+
+
+def _evo_records(lo: int, hi: int, v2: bool) -> list[dict]:
+    out = []
+    for i in range(lo, hi):
+        rec = {"id": i, "name": f"user {i}", "score": i * 0.25}
+        if v2:
+            rec["clicks"] = None if i % 7 == 0 else i * 3
+            rec["region"] = ["eu", "us", "ap"][i % 3]
+        else:
+            rec["legacy"] = f"old{i}"
+        out.append(rec)
+    return out
+
+
+def _evo_gate_fixture() -> tuple[str, list[str]]:
+    from ..sources.avro_source import build_avro
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_avro_evo_gate_v1")
+    keys = ["gen1.avro", "gen2.avro"]
+    if not all(os.path.exists(os.path.join(d, k)) for k in keys):
+        os.makedirs(d, exist_ok=True)
+        shards = [
+            ("gen1.avro", _evo_records(0, _SPLIT, v2=False), _EVO_V1),
+            ("gen2.avro", _evo_records(_SPLIT, _N_RECS, v2=True), _EVO_V2),
+        ]
+        for k, recs, schema in shards:
+            blob = build_avro(recs, schema, codec="deflate",
+                              records_per_block=_RPB,
+                              sync=bytes(range(16)))
+            fd, tmp = tempfile.mkstemp(dir=d)
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(d, k))
+    return d, keys
+
+
+def avro_schema_evolution_stats(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Two shard GENERATIONS under one reader schema — the
+    schema-registry evolution contract end to end: gen1 resolves with
+    a float→double promotion, a dropped writer-only field and BOTH
+    reader defaults (null clicks, 'unknown' region); gen2 is an exact
+    match. Promotions stay value-exact because the fixture's floats
+    are quarter-integers (exactly representable in binary32, so the
+    widened double equals the v2 double formula — the
+    [[gate-oracle-exactness]] rule applied to type widening)."""
+    from ..sources.avro_source import ingest_avro_corpus
+
+    d, keys = _evo_gate_fixture()
+    df = ingest_avro_corpus(spark, "local", d, keys, parallelism=8,
+                            reader_schema=_EVO_READER)
+    return df.select(
+        F.col("id").alias("doc_id"),
+        F.col("key").alias("shard"),
+        "block_idx",
+        "rec_no",
+        "name",
+        "score",
+        "clicks",
+        "region",
+    ).orderBy("doc_id")
+
+
+ORACLES["avro_schema_evolution_stats"] = f"""
+WITH d AS (
+  SELECT i,
+         CASE WHEN i < {_SPLIT} THEN 'gen1.avro'
+              ELSE 'gen2.avro' END AS shard,
+         CAST(CASE WHEN i < {_SPLIT} THEN i // {_RPB}
+              ELSE (i - {_SPLIT}) // {_RPB} END AS INT) AS block_idx,
+         CAST(CASE WHEN i < {_SPLIT} THEN i % {_RPB}
+              ELSE (i - {_SPLIT}) % {_RPB} END AS INT) AS rec_no
+  FROM (SELECT unnest(range(0, {_N_RECS})) AS i)
+)
+SELECT CAST(i AS BIGINT) AS doc_id, shard, block_idx, rec_no,
+       'user ' || i AS name,
+       CAST(i * 0.25 AS DOUBLE) AS score,
+       CASE WHEN i < {_SPLIT} OR i % 7 = 0 THEN NULL
+            ELSE CAST(i * 3 AS BIGINT) END AS clicks,
+       CASE WHEN i < {_SPLIT} THEN 'unknown'
+            ELSE CASE i % 3 WHEN 0 THEN 'eu' WHEN 1 THEN 'us'
+                 ELSE 'ap' END END AS region
+FROM d
+ORDER BY doc_id
+"""
+QUERIES["avro_schema_evolution_stats"] = avro_schema_evolution_stats

@@ -169,6 +169,83 @@ def spark_ddl(fields: list[tuple[str, str, bool]]) -> str:
     return ", ".join(parts)
 
 
+# ---------------------------------------------------- schema evolution
+_MISSING = object()
+# spec-sanctioned numeric widenings (Avro 1.11 "Schema Resolution")
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+}
+
+
+def _reader_fields_with_defaults(schema_json: str):
+    sch = json.loads(schema_json)
+    if not isinstance(sch, dict) or sch.get("type") != "record":
+        raise NotImplementedError("avro reader schema: record roots only")
+    out = []
+    for f in sch["fields"]:
+        name, kind, nullable = f["name"], *_field_kind(f["type"])
+        default = f.get("default", _MISSING)
+        out.append((name, kind, nullable, default))
+    return out
+
+
+def reader_resolution(writer_fields, reader_schema_json: str):
+    """Avro schema resolution (reader vs writer): match fields by name,
+    apply sanctioned numeric promotions, fill reader-only fields from
+    their declared defaults, silently skip writer-only fields — the
+    schema-registry evolution contract. Returns (reader_fields,
+    plan) where plan entries are ("copy", writer_idx, promote_to|None)
+    or ("default", value)."""
+    rfields = _reader_fields_with_defaults(reader_schema_json)
+    widx = {name: i for i, (name, _k, _n) in enumerate(writer_fields)}
+    plan = []
+    for name, rkind, rnull, default in rfields:
+        if name in widx:
+            i = widx[name]
+            _wname, wkind, wnull = writer_fields[i]
+            if wnull and not rnull:
+                raise NotImplementedError(
+                    f"avro field {name!r}: writer nullable but reader "
+                    "is not — unresolvable"
+                )
+            if wkind == rkind:
+                promote = None
+            elif (wkind, rkind) in _PROMOTIONS:
+                promote = rkind
+            else:
+                raise NotImplementedError(
+                    f"avro field {name!r}: no resolution "
+                    f"{wkind!r} -> {rkind!r}"
+                )
+            plan.append(("copy", i, promote))
+        else:
+            if default is _MISSING:
+                raise ValueError(
+                    f"avro reader field {name!r} absent from writer "
+                    "schema and carries no default"
+                )
+            # union defaults apply to the FIRST branch (null here)
+            plan.append(("default", default))
+    return [(n, k, nl) for n, k, nl, _d in rfields], plan
+
+
+def apply_resolution(rows: list[tuple], plan) -> list[tuple]:
+    out = []
+    for row in rows:
+        vals = []
+        for step in plan:
+            if step[0] == "copy":
+                v = row[step[1]]
+                if step[2] in ("float", "double") and v is not None:
+                    v = float(v)
+                vals.append(v)
+            else:
+                vals.append(step[1])
+        out.append(tuple(vals))
+    return out
+
+
 # -------------------------------------------------------------- decode
 def _decode_value(buf: bytes, pos: int, kind: str):
     if kind == "boolean":
@@ -357,22 +434,37 @@ def build_avro_index(store, key: str) -> tuple[dict, list[dict]]:
 
 # ------------------------------------------------------------ ingestion
 def ingest_avro_corpus(spark, store_kind: str, root: str, keys: list[str],
-                       parallelism: int = 32):
+                       parallelism: int = 32, reader_schema=None):
     """Corpus of Avro OCF shards → DataFrame(key, block_idx, rec_no,
     <record fields>). Stage 1: one task per shard hops its block headers
-    (metadata-only shuffle). Stage 2: (shard, block) spans redistribute;
-    each task ranged-GETs, decompresses and decodes exactly its blocks.
+    (metadata-only shuffle — each chunk row carries its shard's writer
+    schema JSON). Stage 2: (shard, block) spans redistribute; each task
+    ranged-GETs, decompresses and decodes exactly its blocks.
 
-    All shards must share one schema (the driver reads ONE header for
-    plan-time schema derivation; executors re-read their own shard's
-    header, so a mismatched shard fails loudly in stage 1)."""
+    Without ``reader_schema``, all shards must share one schema (the
+    driver reads ONE header for plan-time schema derivation; executors
+    re-read their own shard's header, so a mismatched shard fails
+    loudly in stage 1). With ``reader_schema`` (a dict), shards may
+    carry DIFFERENT writer schemas: each block resolves its own writer
+    schema against the reader (field match by name, sanctioned numeric
+    promotions, declared defaults for reader-only fields, writer-only
+    fields dropped) — the schema-registry EVOLUTION contract."""
     import pandas as pd
 
     from .tiff import _make_store
 
-    hdr0 = read_header(_make_store(store_kind, root), keys[0])
-    fields = hdr0["fields"]
-    schema_json = hdr0["schema_json"]
+    if reader_schema is not None:
+        reader_json = json.dumps(reader_schema, sort_keys=True)
+        fields, _plan0 = reader_resolution(
+            read_header(_make_store(store_kind, root), keys[0])["fields"],
+            reader_json,
+        )
+        schema_json = None
+    else:
+        reader_json = None
+        hdr0 = read_header(_make_store(store_kind, root), keys[0])
+        fields = hdr0["fields"]
+        schema_json = hdr0["schema_json"]
     ddl = spark_ddl(fields)
 
     files = spark.createDataFrame([(k,) for k in keys], "key string")
@@ -380,12 +472,16 @@ def ingest_avro_corpus(spark, store_kind: str, root: str, keys: list[str],
     def index(iterator):
         st = _make_store(store_kind, root)
         for batch in iterator:
-            ks, bis, offs, lens, cnts, codecs = ([] for _ in range(6))
+            ks, bis, offs, lens, cnts, codecs, schemas = (
+                [] for _ in range(7))
             for k in batch["key"]:
                 hdr, rows = build_avro_index(st, k)
-                if json.loads(hdr["schema_json"]) != json.loads(schema_json):
+                if schema_json is not None and \
+                        json.loads(hdr["schema_json"]) != \
+                        json.loads(schema_json):
                     raise ValueError(
-                        f"shard {k!r} schema differs from {keys[0]!r}"
+                        f"shard {k!r} schema differs from {keys[0]!r} "
+                        "(pass reader_schema to resolve evolution)"
                     )
                 for r in rows:
                     ks.append(k)
@@ -394,21 +490,34 @@ def ingest_avro_corpus(spark, store_kind: str, root: str, keys: list[str],
                     lens.append(r["length"])
                     cnts.append(r["count"])
                     codecs.append(hdr["codec"])
+                    schemas.append(hdr["schema_json"])
             yield pd.DataFrame(
                 {"key": ks, "block_idx": bis, "off": offs, "cnt": lens,
-                 "nrec": cnts, "codec": codecs}
+                 "nrec": cnts, "codec": codecs, "wschema": schemas}
             )
 
     idx = files.repartition(max(len(keys), 1)).mapInPandas(
         index,
         "key string, block_idx int, off long, cnt long, nrec long,"
-        " codec string",
+        " codec string, wschema string",
     )
 
     names = [f[0] for f in fields]
 
     def fetch(iterator):
         st = _make_store(store_kind, root)
+        resolutions: dict[str, tuple] = {}
+
+        def resolution_for(wschema: str):
+            if wschema not in resolutions:
+                wfields = parse_schema(wschema)
+                if reader_json is None:
+                    resolutions[wschema] = (wfields, None)
+                else:
+                    _rf, plan = reader_resolution(wfields, reader_json)
+                    resolutions[wschema] = (wfields, plan)
+            return resolutions[wschema]
+
         for batch in iterator:
             cols = {c: [] for c in ("key", "block_idx", "rec_no", *names)}
             for r in batch.itertuples(index=False):
@@ -418,9 +527,11 @@ def ingest_avro_corpus(spark, store_kind: str, root: str, keys: list[str],
                         f"block span {r.key}@{int(r.off)} unreadable"
                     )
                 payload = decompress_block(raw, r.codec)
-                for j, row in enumerate(
-                    decode_records(payload, fields, int(r.nrec))
-                ):
+                wfields, plan = resolution_for(r.wschema)
+                rows = decode_records(payload, wfields, int(r.nrec))
+                if plan is not None:
+                    rows = apply_resolution(rows, plan)
+                for j, row in enumerate(rows):
                     cols["key"].append(r.key)
                     cols["block_idx"].append(int(r.block_idx))
                     cols["rec_no"].append(j)
