@@ -141,3 +141,95 @@ def test_tokenizer_agreement_invariants(spark, sf_dir):
         assert r.bpe_per_word_bp >= 10000
         # fertility ratios live in a sane band (not degenerate)
         assert r.bpe_per_word_bp < 100000 and r.uni_per_bpe_bp < 100000
+
+
+def _brute_canonical(word: str) -> tuple[int, str]:
+    """Enumerate every segmentation; canonical = min by (combined key,
+    path string)."""
+    best: tuple[int, str] | None = None
+
+    def seg(i, cost, n, path):
+        nonlocal best
+        if i == len(word):
+            cand = (4096 * cost + n, "|".join(path))
+            if best is None or cand < best:
+                best = cand
+            return
+        for L in range(1, min(_MAXP, len(word) - i) + 1):
+            piece = word[i:i + L]
+            if piece in UNIGRAM_VOCAB:
+                seg(i + L, cost + UNIGRAM_VOCAB[piece], n + 1,
+                    path + [piece])
+
+    seg(0, 0, 0, [])
+    assert best is not None
+    return best
+
+
+def test_canonical_seg_equals_bruteforce_on_lexicon():
+    from xcube_server_spark.registry.pipeline_round14c import (
+        unigram_seg_py,
+    )
+
+    for w in _LEXICON:
+        got = unigram_seg_py(w)
+        assert got == _brute_canonical(w), w
+        # path invariants: pieces concatenate to the word; the piece
+        # count matches the key's count field
+        k, seg = got
+        assert "".join(seg.split("|")) == w
+        assert len(seg.split("|")) == k % 4096
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+               max_size=9))
+def test_canonical_seg_fuzz(w):
+    from xcube_server_spark.registry.pipeline_round14c import (
+        unigram_seg_py,
+    )
+
+    assert unigram_seg_py(w) == _brute_canonical(w)
+
+
+def test_canonical_seg_resolves_ambiguity_deterministically():
+    from xcube_server_spark.registry.pipeline_round14c import (
+        unigram_seg_py,
+    )
+
+    # "table" has TWO optimal segmentations (ta|ble and tab|le, ways=2)
+    # — canonical picks the byte-smaller path ('tab|le' < 'ta|ble'
+    # since 'b' < '|')
+    k, seg = unigram_seg_py("table")
+    assert seg == "tab|le" and k == 4096 * 125 + 2
+    # "window": combined key first (2 pieces beat 3 at equal cost)
+    assert unigram_seg_py("window") == (4096 * 150 + 2, "win|dow")
+
+
+def test_spark_seg_hof_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.registry.pipeline_round14c import (
+        unigram_seg_col,
+        unigram_seg_py,
+    )
+
+    words = _LEXICON + ["tabletable", "stab", "windowpane", "z"]
+    df = spark.createDataFrame([(w,) for w in words], "w string") \
+        .select("w", unigram_seg_col(F.col("w")).alias("e"))
+    for r in df.collect():
+        assert (r.e.k, r.e.seg) == unigram_seg_py(r.w), r.w
+
+
+def test_piece_histogram_invariants(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14c import (
+        UNIGRAM_VOCAB,
+        unigram_piece_histogram,
+    )
+
+    rows = unigram_piece_histogram(spark, sf_dir).collect()
+    assert rows
+    assert all(r.piece in UNIGRAM_VOCAB for r in rows)
+    assert all(r.freq >= r.n_words for r in rows)  # instance-weighted
+    # multi-char pieces must actually be used (the vocab pays off)
+    assert any(len(r.piece) > 1 for r in rows)

@@ -103,7 +103,10 @@ for _m in (
 # deflate/zstandard codecs, split coordinates pinned) and
 # avro_schema_evolution_stats (reader-schema resolution across shard
 # generations: float→double promotion, dropped writer-only field,
-# declared defaults — per-shard writer schemas resolved executor-side).
+# declared defaults — per-shard writer schemas resolved executor-side);
+# unigram_piece_histogram (vocabulary utilization over the CANONICAL
+# optimal path — the DP state carries the winning path string, so the
+# argmin segmentation is well-defined even when n_ways > 1).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -112,9 +115,9 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the r09 rows — alphabetical to the cut
-# after join_salted_enrich. Displaced to the r15 head: the 7 rows the
-# late-r14 gates pushed past position 50 (market_basket_lift,
-# multimodal_bytes, netcdf4_kerchunk_ingest_http,
+# after hypertable_rollup_daily. Displaced to the r15 head: the 8 rows
+# the late-r14 gates pushed past position 50 (join_salted_enrich,
+# market_basket_lift, multimodal_bytes, netcdf4_kerchunk_ingest_http,
 # netcdf4_kerchunk_multifile_http, pack_sequences, pii_scrub,
 # q1_pricing_summary) plus the 16 r09 tail
 # rows noted at mid-round (quality_filter_chain ..
@@ -123,6 +126,7 @@ for _m in (
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "unigram_piece_histogram",
     "avro_schema_evolution_stats",
     "tokenizer_agreement_stats",
     "deletion_vector_scan",
@@ -171,8 +175,8 @@ _PRIORITY = [
     "grib2_gaussian_ingest_stats",
     "grib2_ingest_http",
     "grib2_ingest_stats",
-    "hypertable_rollup_daily",
-    "join_salted_enrich",  # <- window position 50
+    "hypertable_rollup_daily",  # <- window position 50
+    "join_salted_enrich",
     "market_basket_lift",
     "multimodal_bytes",
     "netcdf4_kerchunk_ingest_http",

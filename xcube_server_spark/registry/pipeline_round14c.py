@@ -250,6 +250,170 @@ ORACLES["unigram_encode_stats"] = _unigram_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# unigram_piece_histogram: corpus piece frequencies over the CANONICAL path
+# --------------------------------------------------------------------------
+def unigram_seg_py(word: str) -> tuple[int, str]:
+    """Reference canonical-path DP → (best key, canonical segmentation
+    as 'piece|piece|...'). Canonical = among minimal-key segmentations,
+    the lexicographically smallest path string (byte compare; total
+    order, engine-agnostic for [a-z]+'|'). Backtracking-free: the DP
+    state simply carries the winning path."""
+    hist: list[tuple[int, str]] = [(0, "")]
+    for q in range(1, len(word) + 1):
+        best: tuple[int, str] | None = None
+        for L in range(1, min(_MAXP, q) + 1):
+            piece = word[q - L:q]
+            if piece not in _W:
+                continue
+            pk, pseg = hist[q - L]
+            cand = (pk + _W[piece],
+                    piece if not pseg else pseg + "|" + piece)
+            if best is None or cand < best:
+                best = cand
+        assert best is not None  # singles cover every char
+        hist.append(best)
+    return hist[len(word)]
+
+
+def unigram_seg_col(w: Column) -> Column:
+    """The canonical-path DP as one JVM ``aggregate`` HOF: state
+    struct (k, seg); candidates fold through a second aggregate that
+    keeps the (k, seg)-lexicographic minimum."""
+    wmap = F.create_map(
+        *[x for p, wt in sorted(_W.items()) for x in (F.lit(p), F.lit(wt))]
+    )
+    BIG = F.lit(1 << 62).cast("long")
+
+    def entry(acc: Column, q: Column) -> Column:
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_MAXP), q)),
+                lambda L: F.struct(
+                    (
+                        F.element_at(acc, q + 1 - L)["k"]
+                        + F.element_at(
+                            wmap, F.substr(w, q - L + 1, L)
+                        ).cast("long")
+                    ).alias("k"),
+                    F.concat(
+                        F.element_at(acc, q + 1 - L)["seg"],
+                        F.when(
+                            F.element_at(acc, q + 1 - L)["seg"]
+                            == F.lit(""),
+                            F.lit(""),
+                        ).otherwise(F.lit("|")),
+                        F.substr(w, q - L + 1, L),
+                    ).alias("seg"),
+                ),
+            ),
+            lambda x: x["k"].isNotNull(),
+        )
+        return F.aggregate(
+            cands,
+            F.struct(BIG.alias("k"), F.lit("").alias("seg")),
+            lambda a, x: F.when(
+                (x["k"] < a["k"])
+                | ((x["k"] == a["k"]) & (x["seg"] < a["seg"])),
+                x,
+            ).otherwise(a),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("k"), F.lit("").alias("seg")
+            )
+        ),
+        lambda acc, q: F.concat(acc, F.array(entry(acc, q))),
+        lambda acc: F.element_at(acc, -1),
+    )
+
+
+def unigram_piece_histogram(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """The vocabulary-utilization table a tokenizer trainer prunes
+    against: corpus frequency of every piece on the CANONICAL optimal
+    segmentation (instance-weighted), plus how many distinct words use
+    it. Same compacted shape as the encode gate: the path DP runs once
+    per DISTINCT word (JVM HOF), paths explode word-level, instance
+    weights arrive by broadcast join, aggregation is bounded by
+    |vocab|."""
+    inst = _doc_words(spark, sf_dir)
+    word_counts = inst.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    pieces = word_counts.select(
+        "w", "cnt",
+        F.explode(
+            F.split(unigram_seg_col(F.col("w"))["seg"], "\\|")
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("freq"),
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("freq"), "piece")
+    )
+
+
+def _histogram_oracle_sql() -> str:
+    cands = f"""list_filter(
+      list_transform(range(1, least({_MAXP}, p + 1) + 1),
+        L -> {{'k': hist[p + 2 - L].k +
+                    list_transform([substr(w, p + 2 - L, L)],
+                                   s -> {_vocab_case()})[1],
+              'seg': CASE WHEN hist[p + 2 - L].seg = '' THEN ''
+                     ELSE hist[p + 2 - L].seg || '|' END
+                     || substr(w, p + 2 - L, L)}}),
+      x -> x.k IS NOT NULL)"""
+    entry = f"""list_transform([{cands}], cs -> {{
+      'k': list_min(list_transform(cs, x -> x.k)),
+      'seg': list_min(list_transform(
+               list_filter(cs, x -> x.k = list_min(
+                 list_transform(cs, x2 -> x2.k))),
+               x -> x.seg))}})[1]"""
+    return f"""
+WITH RECURSIVE
+inst AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM inst GROUP BY w),
+dp AS (
+  SELECT w, 0 AS p,
+         [{{'k': CAST(0 AS BIGINT), 'seg': ''}}] AS hist
+  FROM wc
+  UNION ALL
+  SELECT w, p + 1, list_append(hist, {entry})
+  FROM dp WHERE p < length(w)
+),
+fin AS (
+  SELECT w, hist[length(w) + 1].seg AS seg
+  FROM dp WHERE p = length(w)
+),
+pieces AS (
+  SELECT wc.w, wc.cnt, unnest(string_split(f.seg, '|')) AS piece
+  FROM wc JOIN fin f USING (w)
+)
+SELECT piece,
+       CAST(sum(cnt) AS BIGINT) AS freq,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+FROM pieces
+GROUP BY piece
+ORDER BY freq DESC, piece
+"""
+
+
+QUERIES["unigram_piece_histogram"] = unigram_piece_histogram
+ORACLES["unigram_piece_histogram"] = _histogram_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # tokenizer_agreement_stats: BPE vs unigram vs whitespace, ONE plan
 # --------------------------------------------------------------------------
 def tokenizer_agreement_stats(spark: SparkSession, sf_dir: str
