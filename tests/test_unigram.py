@@ -233,3 +233,54 @@ def test_piece_histogram_invariants(spark, sf_dir):
     assert all(r.freq >= r.n_words for r in rows)  # instance-weighted
     # multi-char pieces must actually be used (the vocab pays off)
     assert any(len(r.piece) > 1 for r in rows)
+
+
+def _brute_excl(word: str, excl: str) -> int:
+    """Min cost over segmentations that never use ``excl``."""
+    best = None
+
+    def seg(i, cost):
+        nonlocal best
+        if i == len(word):
+            best = cost if best is None else min(best, cost)
+            return
+        for L in range(1, min(_MAXP, len(word) - i) + 1):
+            piece = word[i:i + L]
+            if piece in UNIGRAM_VOCAB and piece != excl:
+                seg(i + L, cost + UNIGRAM_VOCAB[piece])
+
+    seg(0, 0)
+    assert best is not None  # singles always remain
+    return best
+
+
+def test_prune_dp_exclusion_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from xcube_server_spark.registry.pipeline_round14c import (
+        unigram_dp_col,
+    )
+
+    cases = [("table", "ta"), ("table", "ble"), ("window", "win"),
+             ("window", "wi"), ("customer", "sto"), ("batch", "bat"),
+             ("scan", "scan"), ("scan", "can")]
+    df = spark.createDataFrame(cases, "w string, piece string") \
+        .withColumn("e", unigram_dp_col(F.col("w"),
+                                        excl=F.col("piece")))
+    for r in df.collect():
+        assert r.e.k // 4096 == _brute_excl(r.w, r.piece), (r.w, r.piece)
+
+
+def test_prune_scores_invariants(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14c import (
+        unigram_prune_scores,
+    )
+
+    rows = unigram_prune_scores(spark, sf_dir).collect()
+    assert rows
+    # removal can never DECREASE the optimal cost
+    assert all(r.delta_cost >= 0 for r in rows)
+    # load-bearing pieces exist (pruning them would cost the corpus)
+    assert any(r.delta_cost > 0 for r in rows)
+    # redundant pieces exist too (alternatives tie exactly)
+    assert any(r.delta_cost == 0 for r in rows)

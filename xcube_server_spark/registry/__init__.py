@@ -106,7 +106,10 @@ for _m in (
 # declared defaults — per-shard writer schemas resolved executor-side);
 # unigram_piece_histogram (vocabulary utilization over the CANONICAL
 # optimal path — the DP state carries the winning path string, so the
-# argmin segmentation is well-defined even when n_ways > 1).
+# argmin segmentation is well-defined even when n_ways > 1); and
+# unigram_prune_scores (the unigram TRAINING side: SentencePiece's
+# per-piece removal loss, exact-integer — the what-if DP re-runs only
+# over words CONTAINING the candidate piece).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -115,17 +118,18 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the r09 rows — alphabetical to the cut
-# after hypertable_rollup_daily. Displaced to the r15 head: the 8 rows
-# the late-r14 gates pushed past position 50 (join_salted_enrich,
-# market_basket_lift, multimodal_bytes, netcdf4_kerchunk_ingest_http,
-# netcdf4_kerchunk_multifile_http, pack_sequences, pii_scrub,
-# q1_pricing_summary) plus the 16 r09 tail
+# after grib2_ingest_stats. Displaced to the r15 head: the 9 rows
+# the late-r14 gates pushed past position 50 (hypertable_rollup_daily,
+# join_salted_enrich, market_basket_lift, multimodal_bytes,
+# netcdf4_kerchunk_ingest_http, netcdf4_kerchunk_multifile_http,
+# pack_sequences, pii_scrub, q1_pricing_summary) plus the 16 r09 tail
 # rows noted at mid-round (quality_filter_chain ..
 # zarr_ingest_stats_http) — 22 rows total before r10 vintage.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "unigram_prune_scores",
     "unigram_piece_histogram",
     "avro_schema_evolution_stats",
     "tokenizer_agreement_stats",
@@ -174,8 +178,8 @@ _PRIORITY = [
     "grib2_complex_ingest_stats",
     "grib2_gaussian_ingest_stats",
     "grib2_ingest_http",
-    "grib2_ingest_stats",
-    "hypertable_rollup_daily",  # <- window position 50
+    "grib2_ingest_stats",  # <- window position 50
+    "hypertable_rollup_daily",
     "join_salted_enrich",
     "market_basket_lift",
     "multimodal_bytes",

@@ -87,15 +87,24 @@ def unigram_dp(word: str) -> tuple[int, int]:
     return hist[len(word)]
 
 
-def unigram_dp_col(w: Column) -> Column:
+def unigram_dp_col(w: Column, excl: Column | None = None) -> Column:
     """The Viterbi DP as ONE JVM-side expression: ``aggregate`` over
     ``sequence(1, length(w))`` with an array-of-structs (k, y) history
     accumulator; the finish lambda returns the final entry. Vocabulary
     lookups resolve through a map literal, so a piece miss is a NULL
-    key the candidate filter drops."""
+    key the candidate filter drops. ``excl`` (a string Column) removes
+    one piece from the vocabulary for this evaluation — the pruning
+    what-if the trainer gate scores."""
     wmap = F.create_map(
         *[x for p, wt in sorted(_W.items()) for x in (F.lit(p), F.lit(wt))]
     )
+
+    def _wt(piece: Column) -> Column:
+        base = F.element_at(wmap, piece).cast("long")
+        if excl is None:
+            return base
+        return F.when(piece == excl, F.lit(None).cast("long")) \
+            .otherwise(base)
 
     def entry(acc: Column, q: Column) -> Column:
         cands = F.filter(
@@ -104,9 +113,7 @@ def unigram_dp_col(w: Column) -> Column:
                 lambda L: F.struct(
                     (
                         F.element_at(acc, q + 1 - L)["k"]
-                        + F.element_at(
-                            wmap, F.substr(w, q - L + 1, L)
-                        ).cast("long")
+                        + _wt(F.substr(w, q - L + 1, L))
                     ).alias("k"),
                     F.element_at(acc, q + 1 - L)["y"].alias("y"),
                 ),
@@ -247,6 +254,125 @@ ORDER BY i.doc_id
 
 QUERIES["unigram_encode_stats"] = unigram_encode_stats
 ORACLES["unigram_encode_stats"] = _unigram_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# unigram_prune_scores: the TRAINING side — per-piece removal loss
+# --------------------------------------------------------------------------
+def unigram_prune_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece's vocabulary-pruning loop scores each piece by how
+    much the corpus encoding cost would GROW without it; the trainer
+    drops the cheapest pieces each round (Kudo 2018 §3.2). Here the
+    estimate is EXACT and integer: for every multi-char piece, re-run
+    the Viterbi DP with that piece excluded over exactly the distinct
+    words CONTAINING it (a lossless sparsity filter — other words
+    cannot change) and sum the instance-weighted cost delta.
+
+    Scale shape: |pairs| = Σ_piece |words containing piece| — sparse in
+    |lexicon| × |vocab|; each pair is one independent JVM HOF DP, so
+    the whole what-if matrix is a map-only stage over a compacted
+    table; singles are never candidates (they are the segmentation
+    fallback alphabet, exactly as in SentencePiece)."""
+    inst = _doc_words(spark, sf_dir)
+    words = (
+        inst.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("e", unigram_dp_col(F.col("w")))
+        .select("w", "cnt", F.expr("e.k div 4096").alias("base"))
+    )
+    multi = sorted(p for p in UNIGRAM_VOCAB if len(p) > 1)
+    pieces = spark.createDataFrame([(p,) for p in multi], "piece string")
+    scored = (
+        words.join(
+            F.broadcast(pieces), F.instr(F.col("w"), F.col("piece")) > 0
+        )
+        .withColumn(
+            "e2", unigram_dp_col(F.col("w"), excl=F.col("piece"))
+        )
+        .select(
+            "piece", "cnt", "base",
+            F.expr("e2.k div 4096").alias("cost2"),
+        )
+    )
+    return (
+        scored.groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * (F.col("cost2") - F.col("base")))
+            .cast("bigint").alias("delta_cost"),
+        )
+        .orderBy("delta_cost", "piece")
+    )
+
+
+def _prune_oracle_sql() -> str:
+    multi = sorted(p for p in UNIGRAM_VOCAB if len(p) > 1)
+    piece_list = ", ".join(f"'{p}'" for p in multi)
+    base_cands = f"""list_filter(
+      list_transform(range(1, least({_MAXP}, p + 1) + 1),
+        L -> {{'k': hist[p + 2 - L].k +
+                    list_transform([substr(w, p + 2 - L, L)],
+                                   s -> {_vocab_case()})[1]}}),
+      x -> x.k IS NOT NULL)"""
+    base_entry = f"""{{'k': list_min(list_transform({base_cands},
+                                    x -> x.k))}}"""
+    excl_cands = f"""list_filter(
+      list_transform(range(1, least({_MAXP}, p + 1) + 1),
+        L -> {{'k': hist[p + 2 - L].k +
+                    list_transform([substr(w, p + 2 - L, L)],
+                       s -> CASE WHEN s = excl THEN NULL
+                            ELSE {_vocab_case()} END)[1]}}),
+      x -> x.k IS NOT NULL)"""
+    excl_entry = f"""{{'k': list_min(list_transform({excl_cands},
+                                    x -> x.k))}}"""
+    return f"""
+WITH RECURSIVE
+inst AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM inst GROUP BY w),
+dp AS (
+  SELECT w, 0 AS p, [{{'k': CAST(0 AS BIGINT)}}] AS hist
+  FROM wc
+  UNION ALL
+  SELECT w, p + 1, list_append(hist, {base_entry})
+  FROM dp WHERE p < length(w)
+),
+base AS (
+  SELECT w, hist[length(w) + 1].k // 4096 AS base
+  FROM dp WHERE p = length(w)
+),
+pairs AS (
+  SELECT wc.w, wc.cnt, px.excl
+  FROM wc, (SELECT unnest([{piece_list}]) AS excl) px
+  WHERE instr(wc.w, px.excl) > 0
+),
+dp2 AS (
+  SELECT w, excl, cnt, 0 AS p,
+         [{{'k': CAST(0 AS BIGINT)}}] AS hist
+  FROM pairs
+  UNION ALL
+  SELECT w, excl, cnt, p + 1, list_append(hist, {excl_entry})
+  FROM dp2 WHERE p < length(w)
+),
+fin2 AS (
+  SELECT w, excl, cnt, hist[length(w) + 1].k // 4096 AS cost2
+  FROM dp2 WHERE p = length(w)
+)
+SELECT f.excl AS piece,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.cnt * (f.cost2 - b.base)) AS BIGINT) AS delta_cost
+FROM fin2 f JOIN base b USING (w)
+GROUP BY f.excl
+ORDER BY delta_cost, piece
+"""
+
+
+QUERIES["unigram_prune_scores"] = unigram_prune_scores
+ORACLES["unigram_prune_scores"] = _prune_oracle_sql()
 
 
 # --------------------------------------------------------------------------
