@@ -332,3 +332,21 @@ def test_ingest_mixed_generations(spark, tmp_path):
                             ["a.avro", "b.avro"], parallelism=2)
     with _pytest.raises(Exception, match="schema differs"):
         df.collect()
+
+
+def test_write_roundtrip_gate(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14b import (
+        avro_write_roundtrip_stats,
+    )
+
+    rows = avro_write_roundtrip_stats(spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT CAST(doc_id % 4 AS INT), source, count(*) "
+        f"FROM '{sf_dir}/documents.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    got = [(r.shard, r.source, r.n_docs) for r in rows]
+    assert got == [(s, src, n) for s, src, n in exp]

@@ -265,6 +265,119 @@ def avro_schema_evolution_stats(spark: SparkSession, sf_dir: str
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# avro_write_roundtrip_stats: the SINK side — distributed OCF write
+# --------------------------------------------------------------------------
+_WRITE_SCHEMA = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "source", "type": "string"},
+        {"name": "lang", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "text_md5", "type": "string"},
+    ],
+}
+_WRITE_SHARDS = 4
+
+
+def avro_write_roundtrip_stats(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The Avro SINK under distribution: the documents table shards by
+    ``doc_id % 4``, each shard group serializes its (doc_id-sorted)
+    records to a deflate OCF via ``applyInPandas`` + atomic rename
+    (one writer task per shard — at 100 TB one OCF per partition, the
+    Kafka-Connect landing shape), then the two-stage READER re-ingests
+    the shards and aggregates per (shard, source). The oracle computes
+    the same stats straight off the parquet — so a writer bug
+    (mis-encoded varint, wrong block framing, dropped record) breaks
+    the reader or the hash. Round-trip identity is the strongest
+    writer pin available without a second Avro implementation
+    in-container."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from ..sources.avro_source import build_avro, ingest_avro_corpus
+    from ._util import load_table
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"xss_avro_sink_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(out_dir)
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        recs = [
+            {
+                "doc_id": int(r.doc_id),
+                "source": r.source,
+                "lang": r.lang,
+                "n_chars": int(r.n_chars),
+                "text_md5": hashlib.md5(r.text.encode()).hexdigest(),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+        blob = build_avro(recs, _WRITE_SCHEMA, codec="deflate",
+                          records_per_block=16, sync=bytes(range(16)))
+        fd, tmp = tempfile.mkstemp(dir=out_dir)
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(out_dir, f"shard{shard}.avro"))
+        return pd.DataFrame({"shard": [shard], "n": [len(recs)]})
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % _WRITE_SHARDS).cast("int")
+    )
+    try:
+        written = (
+            docs.groupBy("shard")
+            .applyInPandas(write_shard, "shard int, n long")
+            .collect()
+        )
+        keys = [f"shard{r.shard}.avro" for r in sorted(
+            written, key=lambda r: r.shard)]
+        back = ingest_avro_corpus(spark, "local", out_dir, keys,
+                                  parallelism=8)
+        result = (
+            back.groupBy(
+                (F.col("doc_id") % _WRITE_SHARDS).cast("int")
+                .alias("shard"),
+                "source",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.sum(F.col("doc_id") * F.col("n_chars"))
+                .cast("bigint").alias("checksum"),
+                F.countDistinct("text_md5").cast("bigint")
+                .alias("n_distinct_md5"),
+            )
+            .orderBy("shard", "source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+ORACLES["avro_write_roundtrip_stats"] = f"""
+SELECT CAST(doc_id % {_WRITE_SHARDS} AS INT) AS shard, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id * n_chars) AS BIGINT) AS checksum,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5
+FROM documents
+GROUP BY 1, 2
+ORDER BY shard, source
+"""
+QUERIES["avro_write_roundtrip_stats"] = avro_write_roundtrip_stats
+
+
 ORACLES["avro_schema_evolution_stats"] = f"""
 WITH d AS (
   SELECT i,
