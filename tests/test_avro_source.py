@@ -350,3 +350,18 @@ def test_write_roundtrip_gate(spark, sf_dir):
     ).fetchall()
     got = [(r.shard, r.source, r.n_docs) for r in rows]
     assert got == [(s, src, n) for s, src, n in exp]
+
+
+def test_union_default_must_be_null():
+    import json
+
+    from xcube_server_spark.sources.avro_source import reader_resolution
+
+    writer = parse_schema(json.dumps({
+        "type": "record", "name": "T", "fields": [
+            {"name": "id", "type": "long"}]}))
+    with pytest.raises(ValueError, match="first branch"):
+        reader_resolution(writer, json.dumps({
+            "type": "record", "name": "T", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "c", "type": ["null", "long"], "default": 5}]}))

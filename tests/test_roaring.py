@@ -172,3 +172,11 @@ def test_deletion_vector_scan_plan(spark):
     assert count_exchanges(df) <= 2
     rows = df.collect()
     assert sum(r.n_live for r in rows) == _N_ROWS - len(deleted_positions())
+
+
+def test_trailing_garbage_refused():
+    for wr in (True, False):
+        blob = serialize([1, 2, 3, 70000], with_runs=wr)
+        with pytest.raises(ValueError, match="trailing bytes"):
+            deserialize(blob + b"\x00")
+        assert deserialize(blob) == [1, 2, 3, 70000]

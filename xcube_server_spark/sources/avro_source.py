@@ -186,6 +186,13 @@ def _reader_fields_with_defaults(schema_json: str):
     for f in sch["fields"]:
         name, kind, nullable = f["name"], *_field_kind(f["type"])
         default = f.get("default", _MISSING)
+        # spec rule: a union default must match the FIRST branch — for
+        # the supported [null, T] unions that means exactly null
+        if nullable and default is not _MISSING and default is not None:
+            raise ValueError(
+                f"avro field {name!r}: default for a [null, ...] union "
+                "must be null (defaults apply to the first branch)"
+            )
         out.append((name, kind, nullable, default))
     return out
 

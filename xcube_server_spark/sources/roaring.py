@@ -227,4 +227,9 @@ def deserialize(data: bytes) -> list[int]:
                 if vals[j] <= vals[j - 1]:
                     raise ValueError("roaring: array values not ascending")
             out.extend(hi | v for v in vals)
+    if pos != len(data):
+        raise ValueError(
+            f"roaring: {len(data) - pos} trailing bytes after the last "
+            "container"
+        )
     return out
