@@ -180,3 +180,26 @@ def test_trailing_garbage_refused():
         with pytest.raises(ValueError, match="trailing bytes"):
             deserialize(blob + b"\x00")
         assert deserialize(blob) == [1, 2, 3, 70000]
+
+
+def test_dedup_deletion_vector_gate(spark, sf_dir):
+    import duckdb
+
+    from xcube_server_spark.registry.pipeline_round14d import (
+        dedup_deletion_vector_stats,
+    )
+
+    rows = dedup_deletion_vector_stats(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    n_unique = con.execute(
+        "SELECT count(DISTINCT md5(substr(text, 1, 80))) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    n_docs = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_live for r in rows) == n_unique
+    # the corpus ships real prefix-duplicates at EVERY SF, so the
+    # vectors are load-bearing everywhere
+    assert n_unique < n_docs

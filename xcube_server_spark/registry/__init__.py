@@ -112,7 +112,11 @@ for _m in (
 # over words CONTAINING the candidate piece); and
 # avro_write_roundtrip_stats (the Avro SINK: shard-partitioned OCF
 # write via applyInPandas + atomic rename, re-ingested through the
-# two-stage reader against a direct-parquet oracle).
+# two-stage reader against a direct-parquet oracle); and
+# dedup_deletion_vector_stats (curation decisions PERSISTED as
+# per-file roaring deletion vectors — serialize in one Arrow stage,
+# decode in the next, anti-join live stats; the no-rewrite dedup
+# shipping shape).
 # (b) CODE PATH changed this round, must re-prove: pack_greedy_fill
 # (shared-fill refactor), weighted_sample_bylength (n_chars > 0 guard
 # both sides), stream_weighted_sample_live (empty-source guard +
@@ -121,18 +125,19 @@ for _m in (
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the r09 rows — alphabetical to the cut
-# after grib2_ingest_http. Displaced to the r15 head: the 10 rows
-# the late-r14 gates pushed past position 50 (grib2_ingest_stats,
-# hypertable_rollup_daily, join_salted_enrich, market_basket_lift,
-# multimodal_bytes, netcdf4_kerchunk_ingest_http,
-# netcdf4_kerchunk_multifile_http, pack_sequences, pii_scrub,
-# q1_pricing_summary) plus the 16 r09 tail
+# after grib2_gaussian_ingest_stats. Displaced to the r15 head: the
+# 11 rows the late-r14 gates pushed past position 50
+# (grib2_ingest_http, grib2_ingest_stats, hypertable_rollup_daily,
+# join_salted_enrich, market_basket_lift, multimodal_bytes,
+# netcdf4_kerchunk_ingest_http, netcdf4_kerchunk_multifile_http,
+# pack_sequences, pii_scrub, q1_pricing_summary) plus the 16 r09 tail
 # rows noted at mid-round (quality_filter_chain ..
 # zarr_ingest_stats_http) — 22 rows total before r10 vintage.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    "dedup_deletion_vector_stats",
     "avro_write_roundtrip_stats",
     "unigram_prune_scores",
     "unigram_piece_histogram",
@@ -181,8 +186,8 @@ _PRIORITY = [
     "geotiff_jpeg_ingest_stats",
     "graph_triangle_count",
     "grib2_complex_ingest_stats",
-    "grib2_gaussian_ingest_stats",
-    "grib2_ingest_http",  # <- window position 50
+    "grib2_gaussian_ingest_stats",  # <- window position 50
+    "grib2_ingest_http",
     "grib2_ingest_stats",
     "hypertable_rollup_daily",
     "join_salted_enrich",

@@ -120,6 +120,112 @@ def deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv_merge_on_read_scan(spark, d, key)
 
 
+# --------------------------------------------------------------------------
+# dedup_deletion_vector_stats: curation decisions PERSISTED as DVs
+# --------------------------------------------------------------------------
+_DDV_FILE = 128  # docs per "data file" (row-group analog)
+
+
+def dedup_deletion_vector_stats(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """How a production pipeline ships dedup at 100 TB: the dedup
+    decision (boilerplate-prefix losers — every doc whose leading
+    80 characters were already seen at a smaller doc_id, the CCNet-style
+    leading-paragraph heuristic; the shipped corpus carries real prefix
+    duplicates at every SF) is PERSISTED as per-file roaring
+    deletion vectors instead of rewriting the corpus. Stage 1 computes
+    losers (min-doc_id-per-hash broadcast back, the exact-dedup shape);
+    stage 2 GROUPS BY FILE and serializes each file's loser positions
+    into a roaring blob in one Arrow stage; stage 3 DECODES each blob
+    back and re-derives per-file live stats from base minus vector —
+    the full write-then-read DV lifecycle, wholly distributed (no
+    driver data pass, vectors only in the shuffle).
+
+    The oracle recomputes the dedup predicate relationally, so a codec
+    bug anywhere in the serialize→deserialize roundtrip, a lost loser
+    or a mis-bucketed position flips the per-file stats."""
+    import pandas as pd
+
+    from ..sources.roaring import deserialize, serialize
+    from ._util import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.substring("text", 1, 80)).alias("h"),
+    )
+    first = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        docs.join(F.broadcast(first), "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            F.expr(f"doc_id div {_DDV_FILE}").alias("file_id"),
+            (F.col("doc_id") % _DDV_FILE).cast("int").alias("pos"),
+        )
+    )
+
+    def to_vector(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fid = int(pdf["file_id"].iloc[0])
+        vals = sorted(int(p) for p in set(pdf["pos"]))
+        return pd.DataFrame(
+            {"file_id": [fid], "dv": [serialize(vals, with_runs=True)]}
+        )
+
+    vectors = losers.groupBy("file_id").applyInPandas(
+        to_vector, "file_id long, dv binary"
+    )
+
+    def decode(iterator):
+        for batch in iterator:
+            fids, ps = [], []
+            for r in batch.itertuples(index=False):
+                for p in deserialize(bytes(r.dv)):
+                    fids.append(int(r.file_id))
+                    ps.append(p)
+            yield pd.DataFrame({"file_id": fids, "pos": ps})
+
+    deleted = vectors.mapInPandas(decode, "file_id long, pos int")
+    base = docs.select(
+        "doc_id", "source", "n_chars",
+        F.expr(f"doc_id div {_DDV_FILE}").alias("file_id"),
+        (F.col("doc_id") % _DDV_FILE).cast("int").alias("pos"),
+    )
+    live = base.join(
+        F.broadcast(deleted), ["file_id", "pos"], "left_anti"
+    )
+    return (
+        live.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("n_chars").cast("bigint").alias("live_chars"),
+            F.sum(F.col("doc_id") * F.col("n_chars")).cast("bigint")
+            .alias("checksum"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("file_id")
+    )
+
+
+ORACLES["dedup_deletion_vector_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, md5(substr(text, 1, 80)) AS h
+  FROM documents
+),
+keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+live AS (
+  SELECT d.* FROM d JOIN keep USING (h) WHERE d.doc_id = keep.keep_id
+)
+SELECT doc_id // {_DDV_FILE} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(n_chars) AS BIGINT) AS live_chars,
+       CAST(sum(doc_id * n_chars) AS BIGINT) AS checksum,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM live
+GROUP BY 1
+ORDER BY file_id
+"""
+QUERIES["dedup_deletion_vector_stats"] = dedup_deletion_vector_stats
+
+
 ORACLES["deletion_vector_scan"] = f"""
 WITH base AS (
   SELECT i AS pos, (i * 7) % 1000 AS val
