@@ -1,0 +1,128 @@
+"""Lakehouse table-format layer (registry/pipeline_round14e.py): manifest
+planning, min/max file pruning, merge-on-read DV scans, time travel and
+incremental reads. The registry gates are oracle-verified end to end by
+tests/test_correctness.py; these tests pin the PLANNING decisions the
+oracle cannot see directly (which files the planner selects) plus the
+fixture/manifest invariants."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from xcube_server_spark.registry.pipeline_round14e import (
+    _DV_FILE,
+    _HI,
+    _LO,
+    _S1_FILES,
+    _S2_FILES,
+    _rows_in_file,
+    lakehouse_fixture,
+    manifest_prune_scan,
+    read_manifest,
+    scan_files,
+    table_incremental_read,
+    table_time_travel_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def table_root() -> str:
+    return lakehouse_fixture()
+
+
+def _manifest(spark, root, sid):
+    snaps = json.load(open(os.path.join(root, "metadata.json")))["snapshots"]
+    key = next(s["manifest"] for s in snaps if s["id"] == sid)
+    return read_manifest(spark, root, key)
+
+
+def test_fixture_layout(table_root):
+    assert os.path.exists(os.path.join(table_root, "_SUCCESS"))
+    for f in range(8):
+        assert os.path.exists(
+            os.path.join(table_root, "data", f"f{f}.parquet"))
+    assert os.path.exists(os.path.join(table_root, "dv", "f3.rb"))
+    meta = json.load(open(os.path.join(table_root, "metadata.json")))
+    assert [s["id"] for s in meta["snapshots"]] == [1, 2]
+
+
+def test_manifest_stats_roundtrip(spark, table_root):
+    m1 = _manifest(spark, table_root, 1)
+    m2 = _manifest(spark, table_root, 2)
+    assert sorted(m1) == list(_S1_FILES)
+    assert sorted(m2) == list(_S2_FILES)
+    for fid, e in m2.items():
+        n = _rows_in_file(fid)
+        assert e["row_count"] == n
+        assert e["min_key"] == fid * 1000
+        assert e["max_key"] == fid * 1000 + n - 1
+    assert m2[_DV_FILE]["dv_path"] == "dv/f3.rb"
+    assert all(e["dv_path"] is None for e in m1.values())
+
+
+def test_planner_prunes_to_stats_intersection(spark, table_root):
+    """The planner must select exactly the s2 files whose [min,max]
+    intersects [2500, 5500]: f3, f4, f5 — NOT f2 (right stats, not a
+    member of s2) and NOT f6 (member, stats outside)."""
+    m2 = _manifest(spark, table_root, 2)
+    cand = sorted(
+        fid for fid, e in m2.items()
+        if e["min_key"] <= _HI and e["max_key"] >= _LO
+    )
+    assert cand == [3, 4, 5]
+    out = manifest_prune_scan(spark, "unused").collect()
+    assert [r.file_id for r in out] == [3, 4, 5]
+    # f3's whole-file aggregate reflects merge-on-read: 975 rows minus
+    # the 195 DV positions (j % 5 == 0).
+    f3 = next(r for r in out if r.file_id == 3)
+    assert f3.n_live == 975 - 195
+    f4 = next(r for r in out if r.file_id == 4)
+    assert f4.n_live == 1000
+
+
+def test_scan_files_respects_dv(spark, table_root):
+    m2 = _manifest(spark, table_root, 2)
+    live = scan_files(spark, table_root, [m2[_DV_FILE]])
+    rows = live.count()
+    assert rows == _rows_in_file(_DV_FILE) - 195
+    # no surviving row sits on a deleted position
+    assert live.filter("pos % 5 = 0").count() == 0
+
+
+def test_time_travel_totals(spark, table_root):
+    out = table_time_travel_stats(spark, "unused").collect()
+    s1 = sum(r.n_live for r in out if r.snap_id == 1)
+    s2 = sum(r.n_live for r in out if r.snap_id == 2)
+    assert s1 == sum(_rows_in_file(f) for f in _S1_FILES)
+    assert s2 == (sum(_rows_in_file(f) for f in _S2_FILES) - 195)
+
+
+def test_incremental_read_is_the_delta(spark, table_root):
+    out = table_incremental_read(spark, "unused").collect()
+    ins = sum(r.n_rows for r in out if r.change == "insert")
+    dels = sum(r.n_rows for r in out if r.change == "delete")
+    assert ins == _rows_in_file(7)
+    assert dels == 195
+
+
+def test_prune_scan_plan_shape(spark, table_root):
+    """The executed plan must scan ONLY the candidate files (3 parquet
+    paths) and keep the DV anti-join broadcast."""
+    df = manifest_prune_scan(spark, "unused")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    scans = [ln for ln in explained.splitlines()
+             if "Scan parquet" in ln]
+    # one parquet scan node; its location lists exactly the 3 candidates
+    assert scans, explained
+    loc = [ln for ln in explained.splitlines() if "Location:" in ln]
+    joined = " ".join(loc)
+    for f in (3, 4, 5):
+        assert f"f{f}.parquet" in joined or "..." in joined
+    for f in (0, 1, 2, 6, 7):
+        assert f"f{f}.parquet" not in joined

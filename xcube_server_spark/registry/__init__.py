@@ -34,6 +34,7 @@ from . import (
     pipeline_round14b,
     pipeline_round14c,
     pipeline_round14d,
+    pipeline_round14e,
     relational,
     relational_ext,
     streaming_queries,
@@ -66,6 +67,7 @@ for _m in (
     pipeline_round14b,
     pipeline_round14c,
     pipeline_round14d,
+    pipeline_round14e,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -122,21 +124,35 @@ for _m in (
 # both sides), stream_weighted_sample_live (empty-source guard +
 # per-batch state cleanup), audio_curation_stats (atomic fixture
 # write), audio_id3_stats (grouping-identity flag refusal).
+# (a3) NEW in the round-14 closing session (head of window): the
+# lakehouse TABLE FORMAT layer — manifest_prune_scan (Avro-manifest
+# planning + min/max file pruning + roaring-DV merge-on-read),
+# table_time_travel_stats (both snapshots in one plan) and
+# table_incremental_read (manifest-diff CDC: added files as inserts,
+# appeared-DV positions as deletes).
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the r09 rows — alphabetical to the cut
-# after grib2_gaussian_ingest_stats. Displaced to the r15 head: the
-# 11 rows the late-r14 gates pushed past position 50
-# (grib2_ingest_http, grib2_ingest_stats, hypertable_rollup_daily,
-# join_salted_enrich, market_basket_lift, multimodal_bytes,
-# netcdf4_kerchunk_ingest_http, netcdf4_kerchunk_multifile_http,
-# pack_sequences, pii_scrub, q1_pricing_summary) plus the 16 r09 tail
-# rows noted at mid-round (quality_filter_chain ..
-# zarr_ingest_stats_http) — 22 rows total before r10 vintage.
+# after geotiff_jpeg_ingest_stats. Displaced to the r15 head: the
+# 14 rows the r14 gates pushed past position 50
+# (graph_triangle_count, grib2_complex_ingest_stats,
+# grib2_gaussian_ingest_stats, grib2_ingest_http, grib2_ingest_stats,
+# hypertable_rollup_daily, join_salted_enrich, market_basket_lift,
+# multimodal_bytes, netcdf4_kerchunk_ingest_http,
+# netcdf4_kerchunk_multifile_http, pack_sequences, pii_scrub,
+# q1_pricing_summary) plus the 16 r09 tail rows noted at mid-round
+# (quality_filter_chain .. zarr_ingest_stats_http) — 30 rows total
+# before r10 vintage.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
+    # (a0) NEW in the round-14 closing session: the lakehouse TABLE
+    # FORMAT layer (Avro manifests + min/max file pruning + roaring-DV
+    # merge-on-read + time travel + manifest-diff incremental read).
+    "manifest_prune_scan",
+    "table_time_travel_stats",
+    "table_incremental_read",
     "dedup_deletion_vector_stats",
     "avro_write_roundtrip_stats",
     "unigram_prune_scores",
@@ -183,10 +199,10 @@ _PRIORITY = [
     "doc_length_percentiles",
     "embed_label_centroids",
     "geotiff_ingest_stats",
-    "geotiff_jpeg_ingest_stats",
+    "geotiff_jpeg_ingest_stats",  # <- window position 50
     "graph_triangle_count",
     "grib2_complex_ingest_stats",
-    "grib2_gaussian_ingest_stats",  # <- window position 50
+    "grib2_gaussian_ingest_stats",
     "grib2_ingest_http",
     "grib2_ingest_stats",
     "hypertable_rollup_daily",

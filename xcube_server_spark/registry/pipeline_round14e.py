@@ -1,0 +1,443 @@
+"""Round-14e gates: the LAKEHOUSE TABLE FORMAT layer — snapshot
+manifests, min/max file pruning, time travel and incremental reads,
+composed from parts the engine already ships: Avro OCF manifests
+(``sources/avro_source.py``), roaring-bitmap deletion vectors
+(``sources/roaring.py``) and parquet data files.
+
+This is the Iceberg/Delta table-metadata architecture re-expressed
+Spark-first:
+
+- ``metadata.json`` names the snapshots; each snapshot points at ONE
+  Avro manifest whose rows are ``(file_id, path, row_count, min_key,
+  max_key, dv_path)`` — per-file stats travel in the manifest, so scan
+  PLANNING never touches a data file.
+- Planning is a driver-side walk of the manifest (O(files) metadata,
+  the Iceberg model — at 100 TB the manifest is a few MB while the
+  data is thousands of parquet files; this is the one place a
+  driver-side collect is the *correct* scale architecture, and the
+  manifest itself is still read through the distributed Avro source).
+- File pruning: a key-range predicate keeps only files whose
+  ``[min_key, max_key]`` intersects the range. File key ranges OVERLAP
+  (like any real table without perfect clustering), so this is
+  stats-based pruning, not partition pruning.
+- Merge-on-read: a manifest entry with ``dv_path`` carries a roaring
+  deletion vector; scans decode it executor-side (one Arrow stage) and
+  anti-join on ``(file_id, pos)`` — broadcast, so the fact side never
+  shuffles.
+- Time travel: scan any snapshot by its manifest. Incremental read:
+  manifest DIFF — files present only in the newer snapshot are
+  inserts, files whose DV appeared are (partial) deletes.
+
+The fixture is formula-deterministic (file ``f`` holds rows
+``key = f*1000 + j`` for ``j < 900 + 25*f``), so the DuckDB oracle
+regenerates data, manifest stats, the candidate set AND the deletion
+pattern arithmetically — a mis-decoded manifest row, a wrong min/max,
+a scanned-but-should-be-pruned file or a lost DV position each change
+the row set or flip the hash.
+
+Reference analog: none in xcube-server (no table-maintenance surface);
+the engine's own ``deletion_vector_scan`` / ``snapshot_diff`` gates
+cover the row-level halves — this adds the metadata layer that makes
+them a TABLE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+_N_FILES = 8          # f0..f7 on disk
+_S1_FILES = (0, 1, 2, 3, 4, 5, 6)
+_S2_FILES = (0, 1, 3, 4, 5, 6, 7)   # s2 removed f2, added f7
+_DV_FILE = 3          # s2 adds a deletion vector on f3: pos % 5 == 0
+_LO, _HI = 2500, 5500  # prune-scan key-range predicate
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "ManifestEntry",
+    "fields": [
+        {"name": "file_id", "type": "long"},
+        {"name": "path", "type": "string"},
+        {"name": "row_count", "type": "long"},
+        {"name": "min_key", "type": "long"},
+        {"name": "max_key", "type": "long"},
+        {"name": "dv_path", "type": ["null", "string"]},
+    ],
+}
+
+
+def _rows_in_file(f: int) -> int:
+    return 900 + 25 * f
+
+
+def _atomic_write(d: str, rel: str, blob: bytes) -> None:
+    fd, tmp = tempfile.mkstemp(dir=d)
+    with os.fdopen(fd, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, os.path.join(d, rel))
+
+
+def lakehouse_fixture() -> str:
+    """Build the table directory once (atomic files + ``_SUCCESS``
+    sentinel last, so an interrupted first run can never be mistaken
+    for a complete table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.roaring import serialize
+    from .cube_queries import _gate_path
+
+    d = _gate_path("xss_lakehouse_v1")
+    ok = os.path.join(d, "_SUCCESS")
+    if os.path.exists(ok):
+        return d
+    for sub in ("data", "dv", "meta"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+
+    for f in range(_N_FILES):
+        n = _rows_in_file(f)
+        keys = [f * 1000 + j for j in range(n)]
+        tbl = pa.table(
+            {
+                "file_id": pa.array([f] * n, pa.int64()),
+                "pos": pa.array(list(range(n)), pa.int64()),
+                "key": pa.array(keys, pa.int64()),
+                "val": pa.array([(k * 7) % 1000 for k in keys], pa.int64()),
+                "cat": pa.array(["abc"[k % 3] for k in keys], pa.string()),
+            }
+        )
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, "data", f"f{f}.parquet"))
+
+    dv_positions = [j for j in range(_rows_in_file(_DV_FILE)) if j % 5 == 0]
+    _atomic_write(d, os.path.join("dv", f"f{_DV_FILE}.rb"),
+                  serialize(dv_positions, with_runs=True))
+
+    from ..sources.avro_source import build_avro
+
+    def entry(f: int, dv: str | None) -> dict:
+        n = _rows_in_file(f)
+        return {
+            "file_id": f,
+            "path": f"data/f{f}.parquet",
+            "row_count": n,
+            "min_key": f * 1000,
+            "max_key": f * 1000 + n - 1,
+            "dv_path": dv,
+        }
+
+    manifests = {
+        1: [entry(f, None) for f in _S1_FILES],
+        2: [entry(f, f"dv/f{_DV_FILE}.rb" if f == _DV_FILE else None)
+            for f in _S2_FILES],
+    }
+    for sid, entries in manifests.items():
+        blob = build_avro(entries, _MANIFEST_SCHEMA, codec="deflate",
+                          records_per_block=4, sync=bytes(range(16)))
+        _atomic_write(d, os.path.join("meta", f"manifest-s{sid}.avro"), blob)
+
+    meta = {
+        "format_version": 1,
+        "snapshots": [
+            {"id": 1, "manifest": "meta/manifest-s1.avro"},
+            {"id": 2, "manifest": "meta/manifest-s2.avro"},
+        ],
+    }
+    _atomic_write(d, "metadata.json",
+                  json.dumps(meta, sort_keys=True).encode())
+    _atomic_write(d, "_SUCCESS", b"")
+    return d
+
+
+def _snapshots(root: str) -> list[dict]:
+    with open(os.path.join(root, "metadata.json"), "rb") as fh:
+        return json.load(fh)["snapshots"]
+
+
+def read_manifest(spark: SparkSession, root: str, manifest_key: str
+                  ) -> dict[int, dict]:
+    """One snapshot's manifest → {file_id: entry}. The manifest is read
+    through the distributed Avro source and collected for PLANNING —
+    O(files) metadata rows, never row data."""
+    from ..sources.avro_source import ingest_avro_corpus
+
+    df = ingest_avro_corpus(spark, "local", root, [manifest_key],
+                            parallelism=2)
+    return {
+        int(r.file_id): {
+            "file_id": int(r.file_id),
+            "path": r.path,
+            "row_count": int(r.row_count),
+            "min_key": int(r.min_key),
+            "max_key": int(r.max_key),
+            "dv_path": r.dv_path,
+        }
+        for r in df.select("file_id", "path", "row_count", "min_key",
+                           "max_key", "dv_path").collect()
+    }
+
+
+def scan_files(spark: SparkSession, root: str, entries: list[dict]
+               ) -> DataFrame:
+    """Merge-on-read scan of the given manifest entries: parquet scan
+    restricted to exactly those files; any attached deletion vectors
+    decode executor-side (one Arrow stage over the tiny DV list) and
+    drop via a broadcast ``(file_id, pos)`` anti-join — the fact side
+    never shuffles."""
+    import pandas as pd
+
+    from ..sources.roaring import deserialize
+    from ..sources.tiff import _make_store
+
+    paths = [os.path.join(root, e["path"]) for e in entries]
+    base = spark.read.parquet(*paths)
+    dv_entries = [(e["file_id"], e["dv_path"]) for e in entries
+                  if e["dv_path"]]
+    if not dv_entries:
+        return base
+
+    dvdf = spark.createDataFrame(dv_entries, "file_id long, dv_key string")
+
+    def decode(iterator):
+        st = _make_store("local", root)
+        for batch in iterator:
+            for fid, k in zip(batch["file_id"], batch["dv_key"]):
+                ps = deserialize(st.get_range(k, 0, 1 << 30))
+                yield pd.DataFrame(
+                    {"file_id": [int(fid)] * len(ps), "pos": ps}
+                )
+
+    deleted = dvdf.mapInPandas(decode, "file_id long, pos long")
+    return base.join(F.broadcast(deleted), ["file_id", "pos"], "left_anti")
+
+
+# --------------------------------------------------------------------------
+# manifest_prune_scan
+# --------------------------------------------------------------------------
+def manifest_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range scan of snapshot 2 with MANIFEST min/max pruning: of
+    s2's seven files only the three whose stats range intersects
+    [2500, 5500] are scanned (f2 would qualify on stats but is not a
+    member of s2 — membership and stats both gate). Scanned files
+    aggregate WHOLE (file-granularity pruning, no row predicate), so a
+    false-negative prune adds rows and a false positive removes them —
+    pruning itself is hash-visible. Manifest stats join into the output
+    so a mis-decoded manifest row also flips the hash."""
+    root = lakehouse_fixture()
+    man_key = next(s["manifest"] for s in _snapshots(root) if s["id"] == 2)
+    entries = read_manifest(spark, root, man_key)
+    cand = [e for e in entries.values()
+            if e["min_key"] <= _HI and e["max_key"] >= _LO]
+    live = scan_files(spark, root, cand)
+    mdf = spark.createDataFrame(
+        [(e["file_id"], e["row_count"], e["min_key"], e["max_key"])
+         for e in cand],
+        "file_id long, row_count long, min_key long, max_key long",
+    )
+    return (
+        live.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.sum(F.col("key") * F.col("val")).cast("bigint")
+            .alias("checksum"),
+            F.countDistinct("cat").cast("bigint").alias("n_cats"),
+        )
+        .join(F.broadcast(mdf), "file_id")
+        .select("file_id", "row_count", "min_key", "max_key",
+                "n_live", "sum_val", "checksum", "n_cats")
+        .orderBy("file_id")
+    )
+
+
+ORACLES["manifest_prune_scan"] = f"""
+WITH s2(file_id) AS (VALUES {", ".join(f"({f})" for f in _S2_FILES)}),
+mf AS (
+  SELECT CAST(file_id AS BIGINT) AS file_id,
+         CAST(900 + 25 * file_id AS BIGINT) AS row_count,
+         CAST(file_id * 1000 AS BIGINT) AS min_key,
+         CAST(file_id * 1000 + 899 + 25 * file_id AS BIGINT) AS max_key
+  FROM s2
+),
+cand AS (
+  SELECT * FROM mf WHERE min_key <= {_HI} AND max_key >= {_LO}
+),
+rows_ AS (
+  SELECT c.file_id, c.row_count, c.min_key, c.max_key, t.j AS pos,
+         c.file_id * 1000 + t.j AS key
+  FROM cand c, range(0, 1100) t(j)
+  WHERE t.j < c.row_count
+),
+live AS (
+  SELECT * FROM rows_
+  WHERE NOT (file_id = {_DV_FILE} AND pos % 5 = 0)
+)
+SELECT file_id, row_count, min_key, max_key,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum((key * 7) % 1000) AS BIGINT) AS sum_val,
+       CAST(sum(key * ((key * 7) % 1000)) AS BIGINT) AS checksum,
+       CAST(count(DISTINCT CASE key % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                  ELSE 'c' END) AS BIGINT) AS n_cats
+FROM live
+GROUP BY 1, 2, 3, 4
+ORDER BY file_id
+"""
+QUERIES["manifest_prune_scan"] = manifest_prune_scan
+
+
+# --------------------------------------------------------------------------
+# table_time_travel_stats
+# --------------------------------------------------------------------------
+def table_time_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both snapshots scanned in ONE plan (each through its own
+    manifest, each with its own DV set) and aggregated per
+    (snapshot, category) — the audit query a table's history surface
+    answers. s1 sees f2 and the pre-delete f3; s2 sees f7 and the
+    vectored f3 — so every membership and DV difference lands in the
+    output."""
+    root = lakehouse_fixture()
+    scans = []
+    for s in _snapshots(root):
+        entries = read_manifest(spark, root, s["manifest"])
+        scans.append(
+            scan_files(spark, root, list(entries.values()))
+            .withColumn("snap_id", F.lit(int(s["id"])).cast("int"))
+        )
+    df = scans[0]
+    for other in scans[1:]:
+        df = df.unionByName(other)
+    return (
+        df.groupBy("snap_id", "cat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.sum(F.col("key") * F.col("val")).cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("snap_id", "cat")
+    )
+
+
+_SNAP_VALUES = ", ".join(
+    [f"(1, {f})" for f in _S1_FILES] + [f"(2, {f})" for f in _S2_FILES]
+)
+ORACLES["table_time_travel_stats"] = f"""
+WITH snap(snap_id, file_id) AS (VALUES {_SNAP_VALUES}),
+rows_ AS (
+  SELECT s.snap_id, s.file_id, t.j AS pos,
+         CAST(s.file_id * 1000 + t.j AS BIGINT) AS key
+  FROM snap s, range(0, 1100) t(j)
+  WHERE t.j < 900 + 25 * s.file_id
+),
+live AS (
+  SELECT * FROM rows_
+  WHERE NOT (snap_id = 2 AND file_id = {_DV_FILE} AND pos % 5 = 0)
+)
+SELECT CAST(snap_id AS INT) AS snap_id,
+       CASE key % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS cat,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum((key * 7) % 1000) AS BIGINT) AS sum_val,
+       CAST(sum(key * ((key * 7) % 1000)) AS BIGINT) AS checksum
+FROM live
+GROUP BY 1, 2
+ORDER BY snap_id, cat
+"""
+QUERIES["table_time_travel_stats"] = table_time_travel_stats
+
+
+# --------------------------------------------------------------------------
+# table_incremental_read
+# --------------------------------------------------------------------------
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC consumption shape: everything that CHANGED between
+    snapshot 1 and snapshot 2, derived purely from the manifest diff —
+    files present only in s2 stream out as inserts (f7, scanned whole),
+    files whose deletion vector APPEARED stream their dead positions as
+    deletes (f3 semi-joined against its DV). No other file is touched:
+    at 100 TB an incremental consumer reads only the delta, and the
+    plan proves it (two file scans, both tiny)."""
+    import pandas as pd
+
+    from ..sources.roaring import deserialize
+    from ..sources.tiff import _make_store
+
+    root = lakehouse_fixture()
+    snaps = _snapshots(root)
+    m1 = read_manifest(spark, root,
+                       next(s["manifest"] for s in snaps if s["id"] == 1))
+    m2 = read_manifest(spark, root,
+                       next(s["manifest"] for s in snaps if s["id"] == 2))
+    added = [e for fid, e in m2.items() if fid not in m1]
+    dv_new = [e for fid, e in m2.items()
+              if e["dv_path"] and fid in m1 and not m1[fid]["dv_path"]]
+
+    ins = spark.read.parquet(
+        *[os.path.join(root, e["path"]) for e in added]
+    ).withColumn("change", F.lit("insert"))
+
+    dvdf = spark.createDataFrame(
+        [(e["file_id"], e["dv_path"]) for e in dv_new],
+        "file_id long, dv_key string",
+    )
+
+    def decode(iterator):
+        st = _make_store("local", root)
+        for batch in iterator:
+            for fid, k in zip(batch["file_id"], batch["dv_key"]):
+                ps = deserialize(st.get_range(k, 0, 1 << 30))
+                yield pd.DataFrame(
+                    {"file_id": [int(fid)] * len(ps), "pos": ps}
+                )
+
+    deleted = dvdf.mapInPandas(decode, "file_id long, pos long")
+    dels = (
+        spark.read.parquet(
+            *[os.path.join(root, e["path"]) for e in dv_new]
+        )
+        .join(F.broadcast(deleted), ["file_id", "pos"], "left_semi")
+        .withColumn("change", F.lit("delete"))
+    )
+    return (
+        ins.unionByName(dels)
+        .groupBy("change", "cat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.sum(F.col("key") * F.col("val")).cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("change", "cat")
+    )
+
+
+ORACLES["table_incremental_read"] = f"""
+WITH ins AS (
+  SELECT 'insert' AS change, CAST(7000 + t.j AS BIGINT) AS key
+  FROM range(0, 1100) t(j) WHERE t.j < 900 + 25 * 7
+),
+del AS (
+  SELECT 'delete' AS change,
+         CAST({_DV_FILE} * 1000 + t.j AS BIGINT) AS key
+  FROM range(0, 1100) t(j)
+  WHERE t.j < 900 + 25 * {_DV_FILE} AND t.j % 5 = 0
+),
+chg AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+SELECT change,
+       CASE key % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS cat,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((key * 7) % 1000) AS BIGINT) AS sum_val,
+       CAST(sum(key * ((key * 7) % 1000)) AS BIGINT) AS checksum
+FROM chg
+GROUP BY 1, 2
+ORDER BY change, cat
+"""
+QUERIES["table_incremental_read"] = table_incremental_read
