@@ -1,0 +1,80 @@
+"""Recursive hierarchy gates (registry/pipeline_round14f.py): the
+semi-naive frontier iteration that stands in for WITH RECURSIVE.
+Oracle parity runs in tests/test_correctness.py; these pin the walk's
+structural invariants independently of the oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from xcube_server_spark.registry.pipeline_round14f import (
+    hierarchy_path_flatten,
+    recursive_bom_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def rollup(spark, sf_dir):
+    return recursive_bom_rollup(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def paths(spark, sf_dir):
+    return hierarchy_path_flatten(spark, sf_dir).collect()
+
+
+def test_rollup_roots_and_singleton(rollup):
+    roots = sorted({r.root for r in rollup})
+    assert roots == [0, 1, 2]
+    # root 0 is a singleton tree: exactly one row, depth 0, itself only
+    r0 = [r for r in rollup if r.root == 0]
+    assert len(r0) == 1
+    assert r0[0].depth == 0 and r0[0].n_nodes == 1 and r0[0].sum_mult == 1
+
+
+def test_rollup_counts_cover_every_node(rollup, spark, sf_dir):
+    from xcube_server_spark.registry._util import load_table
+
+    n_parts = load_table(spark, sf_dir, "part").count()
+    # the forest is a partition of all part keys: every node is reached
+    # exactly once (tree, bag multiplicity lives in sum_mult, not rows)
+    assert sum(r.n_nodes for r in rollup) == n_parts
+
+
+def test_rollup_level_sizes_triple(rollup):
+    # a complete 3-ary level triples until the key space runs out
+    by = {(r.root, r.depth): r.n_nodes for r in rollup}
+    assert by[(1, 1)] == 3 and by[(2, 1)] == 3
+    assert by[(1, 2)] == 9 and by[(2, 2)] == 9
+
+
+def test_rollup_mult_spot_check(rollup):
+    # root 1, depth 1: children 3,4,5 with qty 1+c%3 -> 1,2,3; sum 6
+    r = next(x for x in rollup if x.root == 1 and x.depth == 1)
+    assert r.sum_mult == 6
+
+
+def test_path_flatten_shape(paths, spark, sf_dir):
+    from xcube_server_spark.registry._util import load_table
+
+    sel = (
+        load_table(spark, sf_dir, "part")
+        .filter("p_partkey % 97 = 0")
+        .count()
+    )
+    assert len(paths) == sel
+    for r in paths:
+        segs = [int(s) for s in r.path.split("/")]
+        assert segs[-1] == r.node
+        assert segs[0] == r.root and r.root in (0, 1, 2)
+        assert len(segs) == r.depth + 1
+        # each consecutive segment obeys the parent relation
+        for a, b in zip(segs, segs[1:]):
+            assert b // 3 == a and b >= 3
+
+
+def test_path_flatten_known_row(paths):
+    # node 97: 97 -> 32 -> 10 -> 3 -> 1
+    r = next(x for x in paths if x.node == 97)
+    assert r.path == "1/3/10/32/97"
+    assert r.root == 1 and r.depth == 4

@@ -35,6 +35,7 @@ from . import (
     pipeline_round14c,
     pipeline_round14d,
     pipeline_round14e,
+    pipeline_round14f,
     relational,
     relational_ext,
     streaming_queries,
@@ -68,6 +69,7 @@ for _m in (
     pipeline_round14c,
     pipeline_round14d,
     pipeline_round14e,
+    pipeline_round14f,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -129,27 +131,35 @@ for _m in (
 # planning + min/max file pruning + roaring-DV merge-on-read),
 # table_time_travel_stats (both snapshots in one plan) and
 # table_incremental_read (manifest-diff CDC: added files as inserts,
-# appeared-DV positions as deletes).
+# appeared-DV positions as deletes); plus RECURSIVE HIERARCHY queries
+# (the WITH-RECURSIVE surface Spark lacks, as semi-naive frontier
+# iteration): recursive_bom_rollup (BOM explosion with quantity
+# multiplicities over the part 3-ary forest) and hierarchy_path_flatten
+# (materialized root-to-node path strings, upward walk).
 # (c) the six r08-vintage stragglers displaced by the r13 additions
 # (window_range_frame + the 5 zarr codec/sharding rows), then the
 # stalest remaining vintage — the r09 rows — alphabetical to the cut
-# after geotiff_jpeg_ingest_stats. Displaced to the r15 head: the
-# 14 rows the r14 gates pushed past position 50
-# (graph_triangle_count, grib2_complex_ingest_stats,
+# after embed_label_centroids. Displaced to the r15 head: the
+# 16 rows the r14 gates pushed past position 50
+# (geotiff_ingest_stats, geotiff_jpeg_ingest_stats,
+# graph_triangle_count, grib2_complex_ingest_stats,
 # grib2_gaussian_ingest_stats, grib2_ingest_http, grib2_ingest_stats,
 # hypertable_rollup_daily, join_salted_enrich, market_basket_lift,
 # multimodal_bytes, netcdf4_kerchunk_ingest_http,
 # netcdf4_kerchunk_multifile_http, pack_sequences, pii_scrub,
 # q1_pricing_summary) plus the 16 r09 tail rows noted at mid-round
-# (quality_filter_chain .. zarr_ingest_stats_http) — 30 rows total
+# (quality_filter_chain .. zarr_ingest_stats_http) — 32 rows total
 # before r10 vintage.
 # Everything past position 50 is overflow: multiply-green in prior
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
-    # (a0) NEW in the round-14 closing session: the lakehouse TABLE
-    # FORMAT layer (Avro manifests + min/max file pruning + roaring-DV
-    # merge-on-read + time travel + manifest-diff incremental read).
+    # (a3) NEW in the round-14 closing session: recursive hierarchy
+    # queries + the lakehouse table-format layer (Avro manifests +
+    # min/max file pruning + roaring-DV merge-on-read + time travel +
+    # manifest-diff incremental read).
+    "recursive_bom_rollup",
+    "hierarchy_path_flatten",
     "manifest_prune_scan",
     "table_time_travel_stats",
     "table_incremental_read",
@@ -197,9 +207,9 @@ _PRIORITY = [
     "dedup_simhash",
     "doc_chunking",
     "doc_length_percentiles",
-    "embed_label_centroids",
+    "embed_label_centroids",  # <- window position 50
     "geotiff_ingest_stats",
-    "geotiff_jpeg_ingest_stats",  # <- window position 50
+    "geotiff_jpeg_ingest_stats",
     "graph_triangle_count",
     "grib2_complex_ingest_stats",
     "grib2_gaussian_ingest_stats",

@@ -1,0 +1,221 @@
+"""Round-14f gates: RECURSIVE HIERARCHY QUERIES — the one relational
+feature Spark's SQL surface lacks outright (``WITH RECURSIVE``),
+re-expressed Spark-first as semi-naive frontier iteration: each level
+is ONE co-partitioned join, per-level ``localCheckpoint`` truncates
+lineage (otherwise the plan doubles per level), and termination is
+data-driven (empty frontier) under a hard depth cap that refuses
+loudly — the cycle guard a production BOM walk needs.
+
+The hierarchy is carried by the ``part`` table: node ``c >= 3`` hangs
+under parent ``c div 3`` with edge quantity ``1 + c % 3``; nodes 0..2
+are roots (three trees — one of them a singleton, so the empty-subtree
+edge case is in the output). Costs come from ``p_retailprice`` in
+exact cents (``floor(x*100 + 0.5)`` on both sides). Everything
+downstream of the scan is BIGINT, so the DuckDB ``WITH RECURSIVE``
+oracles agree exactly.
+
+Scale shape: the edge table is repartitioned by the join key ONCE and
+checkpointed; each level shuffles only the frontier against it
+(shuffle-hash, no sort) — at 100 TB the per-level cost is the frontier
+size, never the full closure. The multiplicity walk is the classic
+Datalog bag semantics (BOM explosion: total quantity = product of edge
+quantities along the path); the path gate materializes the
+root-to-node key path string (the org-chart / category-tree
+materialized-path op).
+
+Reference analog: none in xcube-server (no recursive surface); the
+engine's ``dedup_components_minhash`` covers iterate-to-fixpoint label
+propagation — this adds the relational recursion the reference's users
+would otherwise need a warehouse for.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+_MAX_DEPTH = 64  # loud-refusal cap; the 3-ary forest needs ~log3(N)
+
+
+def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+        .alias("cost"),
+        (1 + F.col("p_partkey") % 3).cast("bigint").alias("qty"),
+    )
+
+
+def _edges(parts: DataFrame) -> DataFrame:
+    """(parent, child, qty) for every non-root node, pre-partitioned by
+    the downward join key and checkpointed once for reuse across every
+    level of the iteration."""
+    return (
+        parts.filter("node >= 3")
+        .select(
+            F.expr("node div 3").alias("parent"),
+            F.col("node").alias("child"),
+            "qty",
+        )
+        .repartition("parent")
+        .localCheckpoint(eager=True)
+    )
+
+
+def recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion: from the three roots, walk every
+    descendant carrying the PRODUCT of edge quantities along the path
+    (bag semantics — the total number of that component needed per
+    assembled root), then roll up cost per (root, depth). Semi-naive:
+    level k+1 = level k ⋈ edges; stops on an empty frontier."""
+    parts = _parts(spark, sf_dir)
+    edges = _edges(parts)
+    frontier = parts.filter("node < 3").select(
+        F.col("node").alias("root"),
+        "node",
+        F.lit(1).cast("bigint").alias("mult"),
+        F.lit(0).cast("int").alias("depth"),
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    for _ in range(_MAX_DEPTH):
+        nxt = (
+            frontier.join(
+                edges.hint("shuffle_hash"),
+                frontier["node"] == edges["parent"],
+            )
+            .select(
+                "root",
+                F.col("child").alias("node"),
+                (F.col("mult") * F.col("qty")).alias("mult"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        levels.append(nxt)
+        frontier = nxt
+    else:
+        raise ValueError(
+            f"bom rollup: frontier still non-empty after {_MAX_DEPTH} "
+            "levels — hierarchy contains a cycle or is deeper than the "
+            "refusal cap"
+        )
+    walk = reduce(DataFrame.unionByName, levels)
+    return (
+        walk.join(parts.select("node", "cost"), "node")
+        .groupBy("root", "depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("mult").cast("bigint").alias("sum_mult"),
+            F.sum(F.col("mult") * F.col("cost")).cast("bigint")
+            .alias("total_cost_cents"),
+        )
+        .orderBy("root", "depth")
+    )
+
+
+ORACLES["recursive_bom_rollup"] = """
+WITH RECURSIVE p AS (
+  SELECT p_partkey AS node,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cost,
+         CAST(1 + p_partkey % 3 AS BIGINT) AS qty
+  FROM part
+),
+walk AS (
+  SELECT node AS root, node, CAST(1 AS BIGINT) AS mult, 0 AS depth
+  FROM p WHERE node < 3
+  UNION ALL
+  SELECT w.root, c.node, w.mult * c.qty, w.depth + 1
+  FROM walk w JOIN p c ON c.node >= 3 AND c.node // 3 = w.node
+)
+SELECT CAST(w.root AS BIGINT) AS root, CAST(w.depth AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(w.mult) AS BIGINT) AS sum_mult,
+       CAST(sum(w.mult * p.cost) AS BIGINT) AS total_cost_cents
+FROM walk w JOIN p ON p.node = w.node
+GROUP BY 1, 2
+ORDER BY root, depth
+"""
+QUERIES["recursive_bom_rollup"] = recursive_bom_rollup
+
+
+def hierarchy_path_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-path flattening: for the sampled nodes
+    (``p_partkey % 97 == 0``) walk UP the edge table to the root,
+    building the root-to-node key path string — the category-tree /
+    org-chart denormalization. Data-driven termination: a LEFT join
+    against the edge table's child key; a null parent means the node
+    is a root and its row retires from the frontier."""
+    parts = _parts(spark, sf_dir)
+    edges = (
+        parts.filter("node >= 3")
+        .select(
+            F.expr("node div 3").alias("parent"),
+            F.col("node").alias("child"),
+        )
+        .repartition("child")
+        .localCheckpoint(eager=True)
+    )
+    active = parts.filter("node % 97 = 0").select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+        F.lit(0).cast("int").alias("depth"),
+    ).localCheckpoint(eager=True)
+    finished = []
+    for _ in range(_MAX_DEPTH):
+        if not active.take(1):
+            break
+        stepped = active.join(
+            edges.hint("shuffle_hash"),
+            active["cur"] == edges["child"],
+            "left",
+        ).localCheckpoint(eager=True)
+        finished.append(
+            stepped.filter(F.col("parent").isNull()).select(
+                F.col("start").alias("node"),
+                F.col("cur").alias("root"),
+                "depth",
+                "path",
+            )
+        )
+        active = stepped.filter(F.col("parent").isNotNull()).select(
+            "start",
+            F.col("parent").alias("cur"),
+            F.concat(F.col("parent").cast("string"), F.lit("/"),
+                     F.col("path")).alias("path"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+        )
+    else:
+        raise ValueError(
+            f"path flatten: walk still active after {_MAX_DEPTH} levels "
+            "— hierarchy contains a cycle or is deeper than the refusal "
+            "cap"
+        )
+    return reduce(DataFrame.unionByName, finished).orderBy("node")
+
+
+ORACLES["hierarchy_path_flatten"] = """
+WITH RECURSIVE up AS (
+  SELECT p_partkey AS start, p_partkey AS cur,
+         CAST(p_partkey AS VARCHAR) AS path, 0 AS depth
+  FROM part WHERE p_partkey % 97 = 0
+  UNION ALL
+  SELECT start, cur // 3,
+         CAST(cur // 3 AS VARCHAR) || '/' || path, depth + 1
+  FROM up WHERE cur >= 3
+)
+SELECT CAST(start AS BIGINT) AS node, CAST(cur AS BIGINT) AS root,
+       CAST(depth AS INT) AS depth, path
+FROM up WHERE cur < 3
+ORDER BY node
+"""
+QUERIES["hierarchy_path_flatten"] = hierarchy_path_flatten
