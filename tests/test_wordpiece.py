@@ -1,0 +1,90 @@
+"""WordPiece greedy encoder (registry/pipeline_round14g.py): the
+pure-Python reference is pinned against an independent property model
+(greedy longest-match is uniquely determined: tokens reconstruct the
+word and each is the longest applicable piece at its position), and
+the Spark HOF is pinned against the reference over the corpus lexicon
+plus random words. Oracle parity runs in tests/test_correctness.py."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from xcube_server_spark.registry.pipeline_round14g import (
+    _WP_CONT_OFF,
+    _WP_MAXP,
+    WP_CONT,
+    WP_INIT,
+    wordpiece_col,
+    wordpiece_encode,
+)
+
+
+def _segments(word: str) -> list[str]:
+    """Re-derive the token strings by replaying greedy matching —
+    an independent decomposition used to check the encoder's counts."""
+    out, pos = [], 0
+    while pos < len(word):
+        vocab = WP_INIT if pos == 0 else WP_CONT
+        for L in range(min(_WP_MAXP, len(word) - pos), 0, -1):
+            if word[pos:pos + L] in vocab:
+                out.append(word[pos:pos + L])
+                pos += L
+                break
+    return out
+
+
+def test_id_spaces_are_disjoint_and_contiguous():
+    init_ids = sorted(WP_INIT.values())
+    cont_ids = sorted(WP_CONT.values())
+    assert init_ids == list(range(len(init_ids)))
+    assert cont_ids == list(range(_WP_CONT_OFF,
+                                  _WP_CONT_OFF + len(cont_ids)))
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+               max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_greedy_properties(word):
+    n, nc, chk = wordpiece_encode(word)
+    segs = _segments(word)
+    assert "".join(segs) == word
+    assert n == len(segs)
+    # every token after the first resolves in the continuation class,
+    # whose ids all sit at/above _WP_CONT_OFF — so nc is exactly n-1
+    assert nc == max(n - 1, 0)
+    expected_chk = 0
+    for i, s in enumerate(segs):
+        vocab = WP_INIT if i == 0 else WP_CONT
+        expected_chk += vocab[s] * (i + 1)
+    assert chk == expected_chk
+    # longest-match: at each position no longer applicable piece exists
+    pos = 0
+    for i, s in enumerate(segs):
+        vocab = WP_INIT if i == 0 else WP_CONT
+        for L in range(len(s) + 1, min(_WP_MAXP, len(word) - pos) + 1):
+            assert word[pos:pos + L] not in vocab
+        pos += len(s)
+
+
+def test_hof_matches_reference_on_lexicon(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14c import _doc_words
+
+    words = [r.w for r in _doc_words(spark, sf_dir).select("w")
+             .distinct().collect()]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = df.select("w", wordpiece_col(F.col("w")).alias("e")).collect()
+    for r in out:
+        n, nc, chk = wordpiece_encode(r.w)
+        assert (r.e.n, r.e.nc, r.e.chk) == (n, nc, chk), r.w
+
+
+def test_hof_matches_reference_on_adversarial_words(spark):
+    words = ["a", "zzzz", "table", "window", "fastslow", "scanscan",
+             "tabletable", "queryquery", "xqjz", "batch", "hashhash"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = df.select("w", wordpiece_col(F.col("w")).alias("e")).collect()
+    for r in out:
+        n, nc, chk = wordpiece_encode(r.w)
+        assert (r.e.n, r.e.nc, r.e.chk) == (n, nc, chk), r.w

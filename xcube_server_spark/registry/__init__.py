@@ -36,6 +36,7 @@ from . import (
     pipeline_round14d,
     pipeline_round14e,
     pipeline_round14f,
+    pipeline_round14g,
     relational,
     relational_ext,
     streaming_queries,
@@ -70,6 +71,7 @@ for _m in (
     pipeline_round14d,
     pipeline_round14e,
     pipeline_round14f,
+    pipeline_round14g,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -158,6 +160,7 @@ _PRIORITY = [
     # queries + the lakehouse table-format layer (Avro manifests +
     # min/max file pruning + roaring-DV merge-on-read + time travel +
     # manifest-diff incremental read).
+    "wordpiece_encode_stats",
     "recursive_bom_rollup",
     "hierarchy_path_flatten",
     "manifest_prune_scan",
@@ -206,8 +209,8 @@ _PRIORITY = [
     "dedup_retention_summary",
     "dedup_simhash",
     "doc_chunking",
-    "doc_length_percentiles",
-    "embed_label_centroids",  # <- window position 50
+    "doc_length_percentiles",  # <- window position 50
+    "embed_label_centroids",
     "geotiff_ingest_stats",
     "geotiff_jpeg_ingest_stats",
     "graph_triangle_count",

@@ -1,0 +1,218 @@
+"""Round-14g gate: WORDPIECE encode at scale — the third tokenizer
+family (BERT-style greedy longest-match-first), completing the trio
+next to the BPE merge-chain (``pipeline_round14.py``) and the unigram
+Viterbi DP (``pipeline_round14c.py``).
+
+WordPiece differs from both: the vocabulary is split into WORD-INITIAL
+symbols and CONTINUATION symbols (``##x``), and encoding is greedy —
+at each position take the LONGEST applicable vocab piece, no global
+optimization. All 26 single characters exist in both classes, so
+every word tokenizes without UNK and the greedy loop provably consumes
+at least one character per step.
+
+Engine shape (the unigram discipline): the per-word loop is ONE
+JVM-side ``aggregate`` HOF over ``sequence(1, length(w))`` whose
+accumulator is a flat ``(pos, n, nc, chk)`` struct — each step picks
+the longest match via a descending-length candidate list against two
+map literals; steps after the word is consumed are no-ops. Work is
+∝ the DISTINCT lexicon; doc stats come from a broadcast join back
+onto the exploded instances. The DuckDB oracle replays the greedy
+walk as a RECURSIVE CTE with the same descending-length candidate
+list — so a wrong longest-match preference, a wrong class switch, or
+a wrong id anywhere flips the position-weighted checksum.
+
+Token ids are contiguous with ALL initial symbols below ALL
+continuation symbols, so ``id >= _WP_CONT_OFF`` classifies a token as
+a continuation — pure-integer, hash-stable.
+
+Reference analog: none (no tokenizer surface in xcube-server).
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline_round14c import _doc_words
+
+QUERIES = {}
+ORACLES = {}
+
+_WP_MAXP = 4
+
+_WP_INIT_PIECES = sorted({
+    "ta", "tab", "val", "win", "str", "scan", "cu", "sto", "jo",
+    "join", "qu", "que", "gro", "ba", "bat", "fa", "sl", "sm", "sma",
+    "key", "hash", "fil", "col", "pa", "ve", "vec", "da", "up", "so",
+    "sor", "gr", "ca", "can", "ma", "li", "lo", "wi", "fast", "slow",
+})
+_WP_CONT_PIECES = sorted({
+    "le", "ble", "ue", "lu", "al", "er", "or", "der", "an", "ow",
+    "dow", "do", "eam", "am", "ea", "ery", "oup", "ou", "as", "sh",
+    "ter", "il", "umn", "um", "mer", "st", "ct", "ec", "ig", "ine",
+    "ne", "rk", "ar", "ke", "ey", "ag", "gg", "rt", "me", "at", "oin",
+    "tch", "ch", "ry", "bi", "tor", "rea", "nd", "all", "rge", "ery",
+})
+
+_INIT_SYMS = sorted(set(string.ascii_lowercase) | set(_WP_INIT_PIECES))
+_CONT_SYMS = sorted(set(string.ascii_lowercase) | set(_WP_CONT_PIECES))
+_WP_CONT_OFF = len(_INIT_SYMS)
+WP_INIT = {p: i for i, p in enumerate(_INIT_SYMS)}
+WP_CONT = {p: _WP_CONT_OFF + i for i, p in enumerate(_CONT_SYMS)}
+
+
+def wordpiece_encode(word: str) -> tuple[int, int, int]:
+    """Pure-Python reference: greedy longest-match-first →
+    (n_tokens, n_continuations, position-weighted id checksum).
+    The Spark HOF and the DuckDB recursive CTE replicate exactly this;
+    ``tests/test_wordpiece.py`` pins all three together."""
+    pos, n, nc, chk = 0, 0, 0, 0
+    while pos < len(word):
+        vocab = WP_INIT if pos == 0 else WP_CONT
+        for L in range(min(_WP_MAXP, len(word) - pos), 0, -1):
+            piece = word[pos:pos + L]
+            if piece in vocab:
+                break
+        else:  # pragma: no cover - singles guarantee a match
+            raise ValueError(f"wordpiece: no match in {word!r} at {pos}")
+        tid = vocab[piece]
+        n += 1
+        nc += 1 if tid >= _WP_CONT_OFF else 0
+        chk += tid * n
+        pos += L
+    return n, nc, chk
+
+
+def wordpiece_col(w: Column) -> Column:
+    """The greedy walk as one JVM aggregate HOF → struct(n, nc, chk)."""
+    init_map = F.create_map(
+        *[x for p, i in sorted(WP_INIT.items())
+          for x in (F.lit(p), F.lit(i))]
+    )
+    cont_map = F.create_map(
+        *[x for p, i in sorted(WP_CONT.items())
+          for x in (F.lit(p), F.lit(i))]
+    )
+
+    def entry(acc: Column, _q: Column) -> Column:
+        pos = acc["pos"]
+        rem = F.length(w) - pos
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.least(F.lit(_WP_MAXP), rem), F.lit(1),
+                           F.lit(-1)),
+                lambda L: F.struct(
+                    L.alias("L"),
+                    F.when(pos == 0,
+                           F.element_at(init_map, F.substr(w, pos + 1, L)))
+                    .otherwise(
+                        F.element_at(cont_map, F.substr(w, pos + 1, L)))
+                    .cast("long").alias("id"),
+                ),
+            ),
+            lambda x: x["id"].isNotNull(),
+        )
+        best = F.element_at(cands, 1)
+        return F.when(pos >= F.length(w), acc).otherwise(
+            F.struct(
+                (pos + best["L"]).cast("int").alias("pos"),
+                (acc["n"] + 1).cast("long").alias("n"),
+                (acc["nc"] + F.when(best["id"] >= _WP_CONT_OFF, 1)
+                 .otherwise(0)).cast("long").alias("nc"),
+                (acc["chk"] + best["id"] * (acc["n"] + 1)).cast("long")
+                .alias("chk"),
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("nc"),
+            F.lit(0).cast("long").alias("chk"),
+        ),
+        entry,
+    )
+
+
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WordPiece digest: word count, token count,
+    continuation-token count (the subword-split rate — WordPiece's
+    fertility signal) and the summed position-weighted id checksum."""
+    inst = _doc_words(spark, sf_dir)
+    words = (
+        inst.select("w")
+        .distinct()
+        .select("w", wordpiece_col(F.col("w")).alias("e"))
+        .select("w", F.col("e")["n"].alias("n"),
+                F.col("e")["nc"].alias("nc"),
+                F.col("e")["chk"].alias("chk"))
+    )
+    return (
+        inst.join(F.broadcast(words), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_cont"),
+            F.sum("chk").cast("bigint").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _case(vocab: dict[str, int], var: str) -> str:
+    return f"CASE {var} WHEN " + " WHEN ".join(
+        f"'{p}' THEN {i}" for p, i in sorted(vocab.items())
+    ) + " ELSE NULL END"
+
+
+def _wordpiece_oracle_sql() -> str:
+    best = f"""list_filter(
+      list_transform(range(least({_WP_MAXP}, length(w) - pos), 0, -1),
+        L -> {{'L': L,
+              'id': CASE WHEN pos = 0
+                    THEN {_case(WP_INIT, "substr(w, pos + 1, L)")}
+                    ELSE {_case(WP_CONT, "substr(w, pos + 1, L)")}
+                    END}}),
+      x -> x.id IS NOT NULL)[1]"""
+    return f"""
+WITH RECURSIVE
+inst AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM inst),
+dp AS (
+  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS chk
+  FROM words
+  UNION ALL
+  SELECT w, pos + b.L, n + 1,
+         nc + CASE WHEN b.id >= {_WP_CONT_OFF} THEN 1 ELSE 0 END,
+         chk + b.id * (n + 1)
+  FROM (
+    SELECT *, {best} AS b FROM dp WHERE pos < length(w)
+  ) t
+),
+fin AS (
+  SELECT w, n, nc, chk FROM dp WHERE pos = length(w)
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.n) AS BIGINT) AS n_tokens,
+       CAST(sum(f.nc) AS BIGINT) AS n_cont,
+       CAST(sum(f.chk) AS BIGINT) AS checksum
+FROM inst i JOIN fin f USING (w)
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+
+
+QUERIES["wordpiece_encode_stats"] = wordpiece_encode_stats
+ORACLES["wordpiece_encode_stats"] = _wordpiece_oracle_sql()
