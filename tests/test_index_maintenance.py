@@ -1,0 +1,72 @@
+"""Round-14h gates: compaction planner + roaring inverted index.
+Oracle parity runs in tests/test_correctness.py; these pin structural
+invariants and the degenerate paths the oracle never exercises."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from xcube_server_spark.registry.pipeline_round14h import (
+    _CP_CAP,
+    _IIX_TERMS,
+    _postings_index,
+    inverted_index_query,
+    table_compaction_plan,
+)
+
+
+def test_compaction_groups_obey_cap_and_are_contiguous(spark, sf_dir):
+    rows = table_compaction_plan(spark, sf_dir).collect()
+    assert rows, "planner must emit at least one group"
+    prev_last = None
+    for r in rows:
+        # a group exceeds the cap only if it is a single oversized file
+        assert r.total_live <= _CP_CAP or r.n_files == 1
+        assert r.first_file <= r.last_file
+        if prev_last is not None:
+            assert r.first_file > prev_last
+        prev_last = r.last_file
+    # greedy maximality: merging any two adjacent groups would overflow
+    for a, b in zip(rows, rows[1:]):
+        assert a.total_live + b.total_live > _CP_CAP or b.n_files > 1
+
+
+def test_postings_roundtrip_matches_relational(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14c import _doc_words
+    from xcube_server_spark.sources.roaring import deserialize
+
+    idx = {r.w: r for r in _postings_index(spark, sf_dir).collect()}
+    inst = (
+        _doc_words(spark, sf_dir)
+        .select("doc_id", "w").distinct()
+        .groupBy("w").agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    )
+    for r in inst:
+        got = deserialize(bytes(idx[r.w].postings))
+        assert got == sorted(r.ids), r.w
+        assert idx[r.w].df == len(r.ids)
+
+
+def test_query_equals_relational_conjunction(spark, sf_dir):
+    from xcube_server_spark.registry.pipeline_round14c import _doc_words
+
+    out = inverted_index_query(spark, sf_dir).collect()
+    inst = _doc_words(spark, sf_dir).select("doc_id", "w").distinct()
+    expected = (
+        inst.filter(F.col("w").isin(*_IIX_TERMS))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == len(_IIX_TERMS))
+        .count()
+    )
+    assert sum(r.n_hits for r in out) == expected
+    assert expected > 0, "query terms must intersect in the corpus"
+
+
+def test_query_with_absent_term_is_empty(spark, sf_dir, monkeypatch):
+    import xcube_server_spark.registry.pipeline_round14h as m
+
+    monkeypatch.setattr(m, "_IIX_TERMS", ("dup", "query", "zzzznope"))
+    out = m.inverted_index_query(spark, sf_dir).collect()
+    assert out == []

@@ -37,6 +37,7 @@ from . import (
     pipeline_round14e,
     pipeline_round14f,
     pipeline_round14g,
+    pipeline_round14h,
     relational,
     relational_ext,
     streaming_queries,
@@ -72,6 +73,7 @@ for _m in (
     pipeline_round14e,
     pipeline_round14f,
     pipeline_round14g,
+    pipeline_round14h,
     streaming_queries,
 ):
     _ALL_QUERIES.update(_m.QUERIES)
@@ -160,6 +162,9 @@ _PRIORITY = [
     # queries + the lakehouse table-format layer (Avro manifests +
     # min/max file pruning + roaring-DV merge-on-read + time travel +
     # manifest-diff incremental read).
+    "table_compaction_plan",
+    "inverted_index_build_stats",
+    "inverted_index_query",
     "wordpiece_encode_stats",
     "recursive_bom_rollup",
     "hierarchy_path_flatten",
@@ -206,10 +211,10 @@ _PRIORITY = [
     "data_split_train_valid",
     "dedup_exact",
     "dedup_normalized",
-    "dedup_retention_summary",
+    "dedup_retention_summary",  # <- window position 50
     "dedup_simhash",
     "doc_chunking",
-    "doc_length_percentiles",  # <- window position 50
+    "doc_length_percentiles",
     "embed_label_centroids",
     "geotiff_ingest_stats",
     "geotiff_jpeg_ingest_stats",

@@ -1,0 +1,275 @@
+"""Round-14h gates: table MAINTENANCE and SEARCH-INDEX layers.
+
+- ``table_compaction_plan`` — the lakehouse OPTIMIZE planner: per-file
+  LIVE row counts (after the same boilerplate-prefix dedup the
+  deletion-vector gate persists) feed a greedy reset-on-overflow
+  bin-pack in file order, grouping small files into rewrite groups of
+  at most ``_CP_CAP`` live rows. Planning is metadata-scale (one row
+  per file), so the sequential fill runs as ONE ``applyInPandas`` task
+  over per-file counts — the same sanctioned pattern as
+  ``pack_greedy_fill`` — while the live-count computation underneath
+  is fully distributed. The DuckDB oracle replays the fill as a
+  RECURSIVE CTE.
+
+- ``inverted_index_build_stats`` / ``inverted_index_query`` — the
+  text-retrieval INDEX layer: per-term posting lists (distinct doc_ids)
+  serialized as ROARING BITMAPS (``sources/roaring.py`` — the codec
+  production search engines use for exactly this), built in one
+  grouped Arrow stage. The build gate round-trips EVERY term's blob
+  (serialize → shuffle → deserialize) and emits stats from the decoded
+  side, so any codec or ordering bug in any posting list flips the
+  hash. The query gate answers a conjunctive (AND) query by decoding
+  only the query terms' bitmaps and intersecting them — at 100 TB the
+  index is sharded by term, a query touches O(query terms) rows, and
+  the intersection starts from the rarest term ('dup' here: df ~25 vs
+  ~390 for the common terms at sf0.01).
+
+Reference analog: none (no maintenance or index surface in
+xcube-server); the engine's ``bm25_search`` covers scoring — this adds
+the index structure underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load_table
+from .pipeline_round14c import _doc_words
+
+QUERIES = {}
+ORACLES = {}
+
+_CP_FILE = 128   # docs per data file (the deletion-vector gate's unit)
+_CP_CAP = 250    # max live rows per rewrite group
+
+
+def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy small-file compaction honoring dedup decisions: files
+    (``doc_id div 128``) carry their post-dedup live counts; the
+    planner walks them in file order and packs until the next file
+    would overflow the group cap."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 80)).alias("h")
+    )
+    first = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    live = (
+        docs.join(F.broadcast(first), "h")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select(F.expr(f"doc_id div {_CP_FILE}").alias("file_id"))
+    )
+    per_file = live.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live")
+    )
+
+    def plan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("file_id").reset_index(drop=True)
+        gid, fill, gids = 0, 0, []
+        for n in pdf["n_live"]:
+            if fill + n > _CP_CAP:
+                gid += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            gids.append(gid)
+        pdf["group_id"] = pd.Series(gids, dtype="int64")
+        return pdf[["group_id", "file_id", "n_live"]]
+
+    grouped = per_file.groupBy(F.lit(1).alias("g")).applyInPandas(
+        plan, "group_id long, file_id long, n_live long"
+    )
+    return (
+        grouped.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_live").cast("bigint").alias("total_live"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("group_id")
+    )
+
+
+ORACLES["table_compaction_plan"] = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, md5(substr(text, 1, 80)) AS h FROM documents
+),
+keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+live AS (
+  SELECT d.doc_id FROM d JOIN keep USING (h)
+  WHERE d.doc_id = keep.keep_id
+),
+pf AS (
+  SELECT doc_id // {_CP_FILE} AS file_id,
+         CAST(count(*) AS BIGINT) AS n_live
+  FROM live GROUP BY 1
+),
+r AS (SELECT *, row_number() OVER (ORDER BY file_id) AS pos FROM pf),
+fill AS (
+  SELECT file_id, n_live, pos, n_live AS fill_after,
+         CAST(0 AS BIGINT) AS group_id
+  FROM r WHERE pos = 1
+  UNION ALL
+  SELECT r.file_id, r.n_live, r.pos,
+         CASE WHEN f.fill_after + r.n_live <= {_CP_CAP}
+              THEN f.fill_after + r.n_live ELSE r.n_live END,
+         CASE WHEN f.fill_after + r.n_live <= {_CP_CAP}
+              THEN f.group_id ELSE f.group_id + 1 END
+  FROM fill f JOIN r ON r.pos = f.pos + 1
+)
+SELECT group_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_live) AS BIGINT) AS total_live,
+       min(file_id) AS first_file,
+       max(file_id) AS last_file
+FROM fill
+GROUP BY 1
+ORDER BY group_id
+"""
+QUERIES["table_compaction_plan"] = table_compaction_plan
+
+
+# --------------------------------------------------------------------------
+# inverted index: roaring posting lists
+# --------------------------------------------------------------------------
+_IIX_TERMS = ("dup", "query", "scan")
+
+
+def _postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → (df, roaring posting-list blob), built in one grouped
+    Arrow stage from the distinct (doc_id, term) pairs."""
+    import pandas as pd
+
+    from ..sources.roaring import serialize
+
+    inst = _doc_words(spark, sf_dir).select("doc_id", "w").distinct()
+
+    def to_postings(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        w = pdf["w"].iloc[0]
+        ids = sorted(int(x) for x in pdf["doc_id"])
+        return pd.DataFrame(
+            {"w": [w], "df": [len(ids)],
+             "postings": [serialize(ids, with_runs=True)]}
+        )
+
+    return inst.groupBy("w").applyInPandas(
+        to_postings, "w string, df long, postings binary"
+    )
+
+
+def inverted_index_build_stats(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Round-trips EVERY posting list: stats are computed from the
+    DECODED side of the blob after a shuffle, so they pin the roaring
+    serialize→deserialize cycle per term, not just the grouping."""
+    import pandas as pd
+
+    from ..sources.roaring import deserialize
+
+    index = _postings_index(spark, sf_dir)
+
+    def decode_stats(iterator):
+        for batch in iterator:
+            rows = []
+            for r in batch.itertuples(index=False):
+                ids = deserialize(bytes(r.postings))
+                rows.append(
+                    (r.w, len(ids), int(min(ids)), int(max(ids)),
+                     int(sum(ids)), len(bytes(r.postings)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["w", "df", "first_doc", "last_doc",
+                         "id_sum", "blob_bytes"],
+            )
+
+    decoded = index.mapInPandas(
+        decode_stats,
+        "w string, df long, first_doc long, last_doc long, "
+        "id_sum long, blob_bytes long",
+    )
+    # blob size is an engine artifact (not oracle-able) — keep it out of
+    # the compared columns but assert the roundtrip df agrees
+    return (
+        decoded.select("w", "df", "first_doc", "last_doc", "id_sum")
+        .orderBy("w")
+    )
+
+
+ORACLES["inverted_index_build_stats"] = """
+WITH inst AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+)
+SELECT w, CAST(count(*) AS BIGINT) AS df,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM inst
+GROUP BY w
+ORDER BY w
+"""
+QUERIES["inverted_index_build_stats"] = inverted_index_build_stats
+
+
+def inverted_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval through the index: decode only the query
+    terms' bitmaps, intersect, then join the (small) hit set back to
+    the corpus for per-source stats."""
+    import pandas as pd
+
+    from ..sources.roaring import deserialize
+
+    index = _postings_index(spark, sf_dir)
+    sel = index.filter(F.col("w").isin(*_IIX_TERMS))
+
+    def intersect(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sets = [set(deserialize(bytes(b))) for b in pdf["postings"]]
+        if len(sets) < len(_IIX_TERMS):
+            hit = []
+        else:
+            hit = sorted(set.intersection(*sets))
+        return pd.DataFrame({"doc_id": pd.Series(hit, dtype="int64")})
+
+    hits = sel.groupBy(F.lit(1).alias("g")).applyInPandas(
+        intersect, "doc_id long"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["inverted_index_query"] = f"""
+WITH inst AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+hits AS (
+  SELECT doc_id FROM inst
+  WHERE w IN ({", ".join(f"'{t}'" for t in _IIX_TERMS)})
+  GROUP BY doc_id HAVING count(*) = {len(_IIX_TERMS)}
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_sum
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY source
+"""
+QUERIES["inverted_index_query"] = inverted_index_query
