@@ -86,6 +86,23 @@ def test_connected_components_matches_duckdb_recursive(spark):
     assert got == oracle
 
 
+def test_connected_components_long_path_pointer_jump(spark):
+    """r14 optimization guard: pointer jumping (path doubling) must let a
+    48-node path graph converge inside the default max_iter=20 — plain
+    1-hop min-label propagation needs 47 rounds on this graph, so this
+    test fails if the jump step is ever dropped."""
+    n = 48
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_dedup_components_on_band_buckets(spark):
     docs = spark.createDataFrame(
         [
