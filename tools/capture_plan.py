@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for named queries into plans/<tag>/.
+
+    python tools/capture_plan.py <tag> <suffix> <query> [query ...]
+
+Writes plans/<tag>/<query>_<suffix>.txt for each query, using the bench
+scale factor directory (sf0.1 by default, override $SPARK_GRAFT_SF_DIR).
+These files are the round's evidence that a claimed plan change (e.g.
+"duplicate MapInPandas subtree removed") is real.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xcube_server_spark.registry import QUERIES  # noqa: E402
+from xcube_server_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="xss-capture-plan")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
