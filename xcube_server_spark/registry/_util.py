@@ -122,6 +122,21 @@ def capped_basket_pairs(
     at most ~500k pairs per key)."""
     cap = int(os.environ.get("SPARK_GRAFT_MAX_BASKET", str(default_cap)))
     baskets = df.groupBy(key).agg(F.collect_set(item).alias("__items"))
+    return capped_pairs_from_baskets(baskets, key, metric_name, cap)
+
+
+def capped_pairs_from_baskets(
+    baskets: DataFrame,
+    key: str,
+    metric_name: str,
+    cap: int,
+) -> DataFrame:
+    """Pair-explode a PRE-GROUPED basket table (``key``, ``__items``
+    array) under the same width cap / observe contract as
+    :func:`capped_basket_pairs`. Callers that need the grouped basket
+    table for OTHER aggregates too (item frequencies, basket counts)
+    build it once — one shuffle instead of one per consumer — and feed
+    it here for the pair leg."""
     w = F.size("__items")
     observed = baskets.observe(
         metric_name,

@@ -168,22 +168,45 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are similar), item-frequency and order-count sides are broadcast.
     lift = P(a,b) / (P(a) P(b)) computed as one double division over
     exact integer counts, rounded 1e-4; ordering ties break on the pair."""
+    import os as _os
+
     li = _t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = basket.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    # ONE basket build for all three consumers (r14): the order-count
+    # scalar, the item-frequency table and the pair explosion all used to
+    # hang off an independent `distinct()` of lineitem — three full
+    # corpus shuffles and four parquet scans with zero ReusedExchange
+    # (plans/r14/market_basket_lift_before.txt: 22 exchanges). Group to
+    # per-order item sets once (collect_set dedups, so the distinct is
+    # subsumed), checkpoint at ORDER width (~basket_width ints per order
+    # — narrower than lineitem by the basket width), and derive all
+    # three legs from that. The repartition before the checkpoint keeps
+    # the pair explosion wide (the r9 AQE-coalesce freeze trap).
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("__items"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
+        .localCheckpoint()
     )
-    item = basket.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("item_cnt")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
     )
     # width-capped per-order pair explosion (same contract as the LSH
     # bucket cap: a degenerate 10k-item cart is dropped loudly, not
     # allowed to go quadratic in one task)
-    from ._util import capped_basket_pairs
+    from ._util import capped_pairs_from_baskets
 
     pairs = (
-        capped_basket_pairs(
-            basket, "l_orderkey", "l_partkey", "basket_lift_baskets"
+        capped_pairs_from_baskets(
+            baskets,
+            "l_orderkey",
+            "basket_lift_baskets",
+            int(_os.environ.get("SPARK_GRAFT_MAX_BASKET", "1024")),
         )
         .groupBy(
             F.col("ia").alias("part_a"),
@@ -515,19 +538,22 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs. Output: top-15 parts by final rank."""
     import math
 
+    from ._util import capped_basket_pairs
+
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = basket.alias("a"), basket.alias("b")
+    # r14: the equi-key basket self-join (two shuffles of the basket +
+    # a sort-merge join) is replaced by the width-capped collect/explode
+    # pair builder the triangle gate already uses — one shuffle, pairs
+    # emitted map-side, degenerate carts dropped loudly instead of going
+    # quadratic in a task. Same distinct pair set on bounded baskets
+    # (TPC-H max ~13 items; oracle hash re-verified at every SF), ~20%
+    # faster at sf0.1 and strictly fewer corpus shuffles at 100 TB.
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        capped_basket_pairs(
+            basket, "l_orderkey", "l_partkey", "pagerank_baskets"
         )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
+        .select(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
         .distinct()
     )
     edges = und.select(

@@ -88,11 +88,24 @@ def _oriented_copurchase_edges(
         .select(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
         .distinct()
     )
+    # Cut the lineage HERE too (r14): `und` used to feed the degree
+    # aggregate twice (da/db) plus the orientation join — three logical
+    # consumers, so the whole basket collect/explode/distinct chain
+    # executed three times before the oriented checkpoint (no exchange
+    # reuse across the differently-shaped aggregates). Checkpoint the
+    # edge list (edge-width: two ints per co-purchase pair) and the
+    # degree table (node-width), and the explode chain runs once. The
+    # repartition keeps the degree join and the final orientation pass
+    # wide (the AQE-coalesce freeze trap, as below).
+    und = und.repartition(
+        spark.sparkContext.defaultParallelism, "pa"
+    ).localCheckpoint()
     deg = (
         und.select(F.col("pa").alias("n"))
         .unionByName(und.select(F.col("pb").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
     da, db = deg.alias("da"), deg.alias("db")
     lt = (F.col("da.deg") < F.col("db.deg")) | (
