@@ -847,7 +847,17 @@ def stream_neardup_minhash_live(
     staged = _staged_docs_plain(spark, sf_dir)
 
     def index_buckets(stream: DataFrame) -> DataFrame:
-        sig = stream.withColumn("cs", F.expr(char_cs_expr())).withColumn(
+        # Each micro-batch scans ONE staged file = ONE partition, so the
+        # md5-per-shingle signature projection (the dominant per-batch
+        # cost) would run on a single core while the rest of the cluster
+        # idles. Round-robin the batch across the cluster first — the
+        # same move ``spread()`` makes for the batch twin (guide §2.5
+        # input skew / §1.2 step 1). Sized from the cluster, not a
+        # constant; at production scale a trigger ingests many files and
+        # the rebalance is the same one exchange of the batch's rows.
+        sig = stream.repartition(
+            spark.sparkContext.defaultParallelism * 2
+        ).withColumn("cs", F.expr(char_cs_expr())).withColumn(
             "hashes",
             F.expr(f"transform({char_shingle_expr(5)}, s -> md5(s))"),
         ).drop("cs")
