@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Per-trigger cost breakdown for the live streaming gates.
+
+Monkeypatches ``run_stream_to_batch`` to capture each StreamingQuery's
+``recentProgress`` and prints, per micro-batch, where the trigger time went
+(``durationMs``: addBatch / getBatch / latestOffset / queryPlanning /
+walCommit / commitOffsets) plus the state-store operator metrics
+(commitTimeMs, numRowsTotal, numRowsUpdated) — the measurement the
+optimization guide (§1) asks for before touching the micro-batch family.
+
+Usage: python tools/probe_stream.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import xcube_server_spark.streaming.run as srun  # noqa: E402
+from xcube_server_spark.session import get_spark  # noqa: E402
+
+PROGRESS: list[dict] = []
+
+_orig = srun.run_stream_to_batch
+
+
+def _instrumented(spark, source_path, transform, output_mode="complete",
+                  prepare=None, state_partitions=8):
+    import tempfile
+    import uuid
+
+    batch = spark.read.parquet(source_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+    )
+    if prepare is not None:
+        stream = prepare(stream)
+    out = transform(stream)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for p in q.recentProgress:
+            PROGRESS.append(p)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+srun.run_stream_to_batch = _instrumented
+
+DEFAULT = [
+    "stream_user_stats_stateful",
+    "stream_interval_join_live",
+    "stream_dedupe_events_live",
+    "stream_sessionize_live",
+    "stream_sliding_avg_live",
+    "stream_neardup_minhash_live",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT
+    spark = get_spark(app_name="xss-probe-stream")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from xcube_server_spark.registry import QUERIES
+
+    for qn in names:
+        # cold run to stage fixtures, then a timed warm run with capture
+        QUERIES[qn](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        PROGRESS.clear()
+        t0 = time.perf_counter()
+        QUERIES[qn](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        print(f"\n=== {qn}: wall {wall:.3f}s, {len(PROGRESS)} progress events")
+        tot: dict[str, float] = {}
+        commit_tot = 0.0
+        for p in PROGRESS:
+            d = p.get("durationMs") or {}
+            bid = p.get("batchId")
+            rows = p.get("numInputRows")
+            for k, v in d.items():
+                tot[k] = tot.get(k, 0.0) + v
+            ops = []
+            for so in p.get("stateOperators") or []:
+                c = so.get("commitTimeMs", 0)
+                commit_tot += c
+                ops.append(
+                    f"{so.get('operatorName','?')}: commit {c}ms "
+                    f"rows {so.get('numRowsTotal')} upd {so.get('numRowsUpdated')}"
+                )
+            print(f"  batch {bid}: rows={rows} durationMs={json.dumps(d)}")
+            for o in ops:
+                print(f"    state {o}")
+        print(f"  TOTALS durationMs={json.dumps(tot)} stateCommit={commit_tot}ms")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

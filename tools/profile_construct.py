@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Split each bench row's time into DataFrame construction (Python build of
+the logical plan, incl. any fixture staging), analysis/physical planning
+(forcing ``queryExecution().executedPlan``), and execution (noop sink) —
+the guide-§1 "time the computation, not the plan construction" check that
+found the ``bpe_encode_stats`` codegen-compile regression.
+
+Usage: python tools/profile_construct.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xcube_server_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from bench import BENCH_QUERIES  # noqa: E402
+    from xcube_server_spark.registry import QUERIES  # noqa: E402
+
+    names = sys.argv[2:] or BENCH_QUERIES
+    spark = get_spark(app_name="xss-profile-construct")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from xcube_server_spark.registry._util import load_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    print(f"{'query':<34} {'build':>7} {'plan':>7} {'exec':>7} {'total':>7}")
+    rows = []
+    for name in names:
+        # cold pass (stages fixtures, pays codegen) — untimed
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception as exc:
+            print(f"{name:<34} COLD-FAIL {exc!r:.80}")
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        df._jdf.queryExecution().executedPlan()  # force analysis+planning
+        t2 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter()
+        rows.append((name, t1 - t0, t2 - t1, t3 - t2, t3 - t0))
+        print(f"{name:<34} {t1-t0:>7.3f} {t2-t1:>7.3f} {t3-t2:>7.3f}"
+              f" {t3-t0:>7.3f}")
+    rows.sort(key=lambda r: -(r[1] + r[2]))
+    print("\nTop construction+planning share:")
+    for name, b, p, e, tot in rows[:15]:
+        print(f"  {name:<34} build+plan {b+p:>6.3f}s of {tot:>6.3f}s"
+              f" ({100*(b+p)/max(tot,1e-9):.0f}%)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
