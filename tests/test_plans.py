@@ -893,3 +893,21 @@ def test_bpe_encode_plan_contracts(spark, sf_dir):
     assert count_exchanges(pipe) <= 2, count_exchanges(pipe)
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("_t__h_") <= 2, plan.count("_t__h_")
+
+
+def test_pagerank_deg_aggregated_once(spark, sf_dir):
+    """The r14 pagerank restructure: the degree table is checkpointed and
+    the per-iteration contribution is a NODE-width (rank⋈deg) pre-division
+    followed by ONE edge-width join. The old shape recomputed the degree
+    groupBy once per iteration and joined the edge-width intermediate with
+    deg a second time — 13 shuffle exchanges vs 8 and one extra edge-width
+    join per iteration; this budget fails on that shape."""
+    from xcube_server_spark.plans.explain import executed_plan
+
+    df = QUERIES["graph_pagerank_parts"](spark, sf_dir)
+    n_ex = count_exchanges(df)
+    assert n_ex <= 9, n_ex
+    plan = executed_plan(df)
+    n_joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
+    # 3 iterations x 1 edge join + 2 rank/deg re-attachments = 5
+    assert n_joins <= 5, n_joins

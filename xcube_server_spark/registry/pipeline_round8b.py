@@ -564,24 +564,39 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the 3 unrolled iterations each re-reference the
     # edge list — cut the recomputed self-join (and keep one lineage)
     edges = edges.localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpoint deg too (r14): it is referenced by every iteration, and
+    # without the cut the plan recomputed the degree groupBy (one shuffle +
+    # one broadcast of the result) once PER ITERATION — four copies of the
+    # same node-width aggregate in the executed plan (Exchanges 9/17/30/43
+    # in plans/r14/graph_pagerank_parts_before2.txt). Node-width state.
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
     n_nodes = deg.count()  # driver scalar, like the k-means init
     r0 = math.floor(1.0 / n_nodes * 1e6 + 0.5) / 1e6
     base = (1.0 - _PR_DAMP) / n_nodes
-    ranks = deg.select("src", F.lit(r0).alias("rank"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+    # fold rank/deg into a NODE-width table before touching edges (r14):
+    # the old shape joined the EDGE-width intermediate with deg a second
+    # time, so every iteration paid two edge-width joins; pre-dividing
+    # per node makes each iteration one node-width join (rank⋈deg) + one
+    # edge-width join. Arithmetic is unchanged — the same rank/deg value
+    # is attached to each edge and summed per dst, and iteration ranks
+    # still round on the 1e-6 grid the oracle replays.
+    w = deg.select("src", (F.lit(r0) / F.col("deg")).alias("c"))
+    for it in range(_PR_ITERS):
+        summed = edges.join(w, "src").groupBy("dst").agg(
+            F.sum("c").alias("s")
         )
-        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = summed.select(
             F.col("dst").alias("src"),
             _rnd(F.lit(base) + F.lit(_PR_DAMP) * F.col("s"), 6).alias(
                 "rank"
             ),
         )
+        if it < _PR_ITERS - 1:
+            w = ranks.join(deg, "src").select(
+                "src", (F.col("rank") / F.col("deg")).alias("c")
+            )
     return (
         ranks.select(F.col("src").alias("l_partkey"), "rank")
         .orderBy(F.desc("rank"), "l_partkey")
