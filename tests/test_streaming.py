@@ -127,6 +127,34 @@ def test_interval_join_stream_matches_batch(spark, events_path):
     assert b == s and len(b) > 0
 
 
+def test_interval_join_no_data_batch_skip_is_lossless(spark, events_path):
+    """r14 optimization contract: an append-mode INNER stream-stream join
+    emits every pair during data batches, so disabling the trailing
+    no-data finalize micro-batch (``no_data_batch=False``) must be
+    byte-identical — and the session conf must be restored afterwards."""
+    from xcube_server_spark.streaming.events import interval_join_stream
+
+    def split_and_join(stream):
+        return interval_join_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(ndb_key)
+    with_ndb = run_stream_to_batch(
+        spark, events_path, split_and_join, output_mode="append"
+    )
+    without_ndb = run_stream_to_batch(
+        spark, events_path, split_and_join, output_mode="append",
+        no_data_batch=False,
+    )
+    assert spark.conf.get(ndb_key) == before
+    w = {tuple(r) for r in with_ndb.collect()}
+    wo = {tuple(r) for r in without_ndb.collect()}
+    assert w == wo and len(w) > 0
+
+
 def test_watermark_drops_late_rows_after_eviction(spark, tmp_path):
     """Watermark guarantees, as Spark actually defines them: once a window
     has been finalized and EMITTED (watermark passed its end), a late row

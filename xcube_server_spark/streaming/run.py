@@ -24,6 +24,7 @@ def run_stream_to_batch(
     output_mode: str = "complete",
     prepare: Callable[[DataFrame], DataFrame] | None = None,
     state_partitions: int | None = 8,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """readStream(parquet) → transform → memory sink, availableNow.
 
@@ -39,6 +40,19 @@ def run_stream_to_batch(
     commit overhead per micro-batch, 4× what the data itself needed. (The
     count is baked into the checkpoint at first start; production picks it
     once per expected state size / executor count.)
+
+    ``no_data_batch=False`` disables the trailing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, restored
+    afterwards). That batch exists to advance the watermark after the last
+    data so event-time operators can FINALIZE: append-mode aggregations
+    emit closed windows there and outer joins emit their unmatched rows
+    there — queries of those shapes must keep the default. An append-mode
+    INNER stream-stream join emits every pair during the data batch that
+    completes it and the finalize batch only evicts state, so for that
+    shape the extra trigger is one full state-commit cycle (every store ×
+    every partition) that cannot change the output — measured ~2 s of the
+    interval-join gate at sf0.1 (tools/probe_stream.py: batch 4, rows=0,
+    commit 2995 ms on top of a 1881 ms trigger).
     """
     batch = spark.read.parquet(source_path)
     stream = (
@@ -54,6 +68,10 @@ def run_stream_to_batch(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(_NDB)
+    if not no_data_batch:
+        spark.conf.set(_NDB, "false")
     try:
         q = (
             out.writeStream.format("memory")
@@ -67,6 +85,8 @@ def run_stream_to_batch(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not no_data_batch:
+            spark.conf.set(_NDB, prev_ndb)
         # the memory-sink table is independent of the checkpoint once the
         # availableNow run has terminated — remove it, or every gate/bench
         # run leaks one ckpt_* directory into /tmp
