@@ -106,6 +106,17 @@ def dedup_components(docs: DataFrame, band_cols: list[str]) -> DataFrame:
     Edges: within each (band_col, value) bucket, link every doc to the
     bucket's min doc (star edges — |bucket| edges instead of |bucket|²).
     """
+    # Materialize the fingerprint table ONCE (r14): the per-band window
+    # branches below consume ``docs`` len(band_cols) times, and the
+    # symmetrization union inside connected_components doubles each
+    # branch again — without the cut, the caller's upstream (the minhash
+    # signature chain: per-shingle md5 over the corpus) executed FOUR
+    # times inside the edge-checkpoint job (measured 3.3 s of the
+    # dedup_components_minhash edge build at sf0.1). The table is
+    # fingerprint-width (id + band hashes, ~70 bytes/doc) regardless of
+    # document size, so the materialization is cheap at any scale —
+    # the same discipline as the curation-DAG fingerprint checkpoint.
+    docs = docs.localCheckpoint(eager=True)
     edges = None
     for c in band_cols:
         from pyspark.sql import Window
