@@ -492,11 +492,15 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.percentile import exact_percentiles
 
     li = _t(spark, sf_dir, "lineitem")
+    # n_rows rides the percentile pass's final aggregate (count_col) —
+    # previously a second full lineitem scan + aggregate + join for a
+    # number the ranking window already has (r14; one corpus pass saved
+    # at any scale, 4 -> 2 scan nodes in the executed plan)
     pct = exact_percentiles(
-        li, "l_extendedprice", [0.5, 0.9], keys=["l_returnflag"]
+        li, "l_extendedprice", [0.5, 0.9], keys=["l_returnflag"],
+        count_col="n_rows",
     )
-    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
-    return pct.join(counts, "l_returnflag").select(
+    return pct.select(
         "l_returnflag",
         rnd("p50", 4).alias("median_price"),
         rnd("p90", 4).alias("p90_price"),
