@@ -260,7 +260,15 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokf = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    freq = tokf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the vocabulary-sized LM once (r14): ``tot`` is an
+    # aggregate OVER freq, so without the cut its broadcast subtree
+    # contained a second full explode+count of the corpus — three corpus
+    # passes where the docstring promises two (3 -> 2 scan nodes in the
+    # executed plan). localCheckpoint over cache(): no session-lifetime
+    # storage entry, nothing persists across runs.
+    freq = tokf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()
     tot = freq.agg(F.sum("c").alias("total"))
     return (
         tokf.join(broadcast(freq), "term")

@@ -67,7 +67,15 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    freq = tokf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the vocabulary-sized LM once (r14): ``tot`` aggregates
+    # OVER freq, so without the cut its broadcast subtree re-ran the whole
+    # corpus explode+count — three corpus passes inside the scored
+    # checkpoint's materialization instead of two (same fix as
+    # unigram_logprob; flat at sf0.1 where scans are page-cached, one full
+    # corpus read saved at scale)
+    freq = tokf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()
     tot = freq.agg(F.sum("c").alias("total"))
     # Scores live on an INTEGER grid (1e-4 quanta, kept as bigint — no
     # division back to double): the percentile cut then lies strictly

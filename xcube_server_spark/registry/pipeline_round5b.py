@@ -679,7 +679,12 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("lang") == "en", 1).otherwise(0)
         ).alias("ct"),
-    )
+    # ≤256 rows — materialize once (r14): ``totals`` and ``lr`` both
+    # consume counts, so without the cut the bigram explode chain ran
+    # TWICE inside the broadcast build (three corpus passes total where
+    # the docstring promises one pass + tiny aggregates; 3 -> 2 scan
+    # nodes in the executed plan, one corpus pass saved at scale)
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("cr").cast("double").alias("tr"),
         F.sum("ct").cast("double").alias("tt"),
