@@ -711,8 +711,20 @@ def test_dsir_scan_side_scoring(spark, sf_dir):
     ex_sections = [s for s in plan.split("\n\n") if s.startswith("(")
                    and "Exchange" in s.split("\n")[0]]
     hash_ex = [s for s in ex_sections if "hashpartitioning" in s]
-    assert hash_ex and all("text" not in s and "doc_id" not in s
-                           for s in hash_ex), hash_ex[:1]
+    # r14: the bucket-count aggregate is checkpointed (it fed both the
+    # totals scalar and the log-ratio map — two executions of the bigram
+    # explode without the cut), so the scoring plan's only exchanges are
+    # the spread() round-robin and broadcasts: NO hash exchange at all.
+    # Any hash exchange that ever reappears must still be bucket-width,
+    # never corpus-width.
+    assert all("text" not in s and "doc_id" not in s
+               for s in hash_ex), hash_ex[:1]
+    # the scoring pass is the only corpus scan left in the executed plan
+    # (node sections, not raw string count — formatted explain repeats
+    # each operator in tree + detail form)
+    scan_sections = [s for s in plan.split("\n\n") if s.startswith("(")
+                     and "Scan parquet" in s.split("\n")[0]]
+    assert len(scan_sections) <= 1, len(scan_sections)
 
 
 def test_threshold_area_single_exchange(spark, sf_dir):
