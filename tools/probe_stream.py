@@ -29,7 +29,7 @@ _orig = srun.run_stream_to_batch
 
 
 def _instrumented(spark, source_path, transform, output_mode="complete",
-                  prepare=None, state_partitions=8):
+                  prepare=None, state_partitions=8, no_data_batch=True):
     import tempfile
     import uuid
 
@@ -47,6 +47,10 @@ def _instrumented(spark, source_path, transform, output_mode="complete",
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(_NDB)
+    if not no_data_batch:
+        spark.conf.set(_NDB, "false")
     try:
         q = (
             out.writeStream.format("memory")
@@ -62,6 +66,8 @@ def _instrumented(spark, source_path, transform, output_mode="complete",
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not no_data_batch:
+            spark.conf.set(_NDB, prev_ndb)
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -144,7 +144,8 @@ def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _staged_events(spark, sf_dir)
     return run_stream_to_batch(
-        spark, staged, tumbling_counts_stream, output_mode="complete"
+        spark, staged, tumbling_counts_stream, output_mode="complete",
+        no_data_batch=False, state_partitions=2,
     )
 
 
@@ -179,8 +180,12 @@ def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_stats_stream
 
     staged = _staged_events(spark, sf_dir)
+    # no_data_batch=False: NoTimeout stateful op — a no-data batch invokes
+    # no group (no input rows, no timeouts), so it cannot append to the
+    # update-mode sink; it only costs one full state-commit cycle.
     streamed = run_stream_to_batch(
-        spark, staged, running_user_stats_stream, output_mode="update"
+        spark, staged, running_user_stats_stream, output_mode="update",
+        no_data_batch=False,
     )
     w = Window.partitionBy("user_id").orderBy(F.col("count").desc())
     return (
@@ -321,8 +326,17 @@ def stream_sliding_avg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.run import run_stream_to_batch
 
     staged = _staged_events(spark, sf_dir)
+    # no_data_batch=False: complete mode re-emits the FULL state table
+    # every trigger, so the trailing no-data batch rewrites an identical
+    # sink table — pure commit-cycle cost (one cycle = every state store
+    # x every partition). Append-mode gates must keep the default.
+    # state_partitions=2 (r15): window state is ~1.8k rows at sf0.1 and
+    # JVM-only; per-trigger cost is the per-partition commit cycle, not
+    # data work (A/B 8/4/2: 2.52/2.15/1.92 s p50). Production sizes this
+    # to state volume (the run_stream_to_batch contract).
     out = run_stream_to_batch(
-        spark, staged, sliding_avg_stream, output_mode="complete"
+        spark, staged, sliding_avg_stream, output_mode="complete",
+        no_data_batch=False, state_partitions=2,
     )
     # complete-mode sink may carry duplicate rows across triggers only via
     # table replacement (memory sink stores the last trigger's table), so
@@ -355,7 +369,8 @@ def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _staged_events(spark, sf_dir)
     sessions = run_stream_to_batch(
-        spark, staged, sessionize_stream, output_mode="complete"
+        spark, staged, sessionize_stream, output_mode="complete",
+        no_data_batch=False,
     )
     dur = (
         F.unix_timestamp("session_end")
@@ -398,10 +413,10 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # a stream-stream join commits FOUR state stores per partition per
     # trigger (left/right x keyToNumValues/keyWithIndex) — 4x the commit
-    # overhead of a stateful aggregate — so halve the state partitions
-    # relative to the aggregate default (measured ~1.7x faster end-to-end
-    # at gate scale with identical output; production sizes this knob to
-    # join-state volume, which at gate scale is tiny).
+    # overhead of a stateful aggregate — so shrink the state partitions
+    # well below the aggregate default (r14: 8 -> 4 measured ~1.7x; r15:
+    # 4 -> 2 measured 3.98 -> 3.42 s p50, tight spreads; production
+    # sizes this knob to join-state volume, which at gate scale is tiny).
     # no_data_batch=False (r14): an INNER interval join emits every pair
     # during the data batch that completes it; the trailing no-data
     # finalize batch only evicts state (outer joins would emit there —
@@ -410,7 +425,7 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical output (oracle re-verified at all three SFs).
     pairs = run_stream_to_batch(
         spark, staged, split_and_join, output_mode="append",
-        state_partitions=4, no_data_batch=False,
+        state_partitions=2, no_data_batch=False,
     )
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed"),
@@ -553,7 +568,7 @@ def stream_dedupe_events_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the redelivery-SLA state volume, same as the knob's contract above.
     return run_stream_to_batch(
         spark, staged, dedupe_and_count, output_mode="complete",
-        state_partitions=2,
+        state_partitions=2, no_data_batch=False,
     )
 
 
@@ -705,7 +720,8 @@ def stream_topk_windowed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _staged_events(spark, sf_dir)
     counts = run_stream_to_batch(
-        spark, staged, tumbling_counts_stream, output_mode="complete"
+        spark, staged, tumbling_counts_stream, output_mode="complete",
+        no_data_batch=False,
     )
     return rank_topk(counts, k=3)
 
@@ -894,8 +910,14 @@ def stream_neardup_minhash_live(
         return bands.groupBy("band_id", "band").agg(
             F.collect_list("doc_id").alias("ids")
         )
+    # state_partitions=2 (r15): bucket-list state is JVM-only and small
+    # at gate scale; the WIDE stage (md5 signature projection) keeps its
+    # explicit defaultParallelism*2 repartition above, so only the state
+    # commit narrows (A/B 8/4/2: 3.10/2.61/2.40 s p50). Production sizes
+    # this to bucket-state volume.
     out = run_stream_to_batch(
-        spark, staged, index_buckets, output_mode="complete"
+        spark, staged, index_buckets, output_mode="complete",
+        no_data_batch=False, state_partitions=2,
     )
     buckets = (
         out.select("band_id", "band", F.sort_array("ids").alias("ids"))
@@ -1096,8 +1118,10 @@ def stream_bpe_tokens_live(spark: SparkSession, sf_dir: str
             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         )
 
+    # state_partitions=2: aggregate state is the token vocabulary (41)
     hist = run_stream_to_batch(
-        spark, staged, count_tokens, output_mode="complete"
+        spark, staged, count_tokens, output_mode="complete",
+        no_data_batch=False, state_partitions=2,
     )
     vocab = spark.createDataFrame(BPE_VOCAB, "tok string, tok_id int")
     return (
@@ -1247,8 +1271,11 @@ def stream_pack_greedy_live(spark: SparkSession, sf_dir: str
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    # no_data_batch=False: NoTimeout custom stateful op (see the
+    # user-stats gate) — the trailing batch cannot emit rows.
     assigned = run_stream_to_batch(
-        spark, staged, assign, output_mode="update"
+        spark, staged, assign, output_mode="update",
+        no_data_batch=False,
     )
     return assigned.groupBy("source", "shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1304,8 +1331,10 @@ def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # state_partitions=2: aggregate state is segment x type cells (~25)
     out = run_stream_to_batch(
-        spark, staged, enrich_and_count, output_mode="complete"
+        spark, staged, enrich_and_count, output_mode="complete",
+        no_data_batch=False, state_partitions=2,
     )
     # float summation folds across micro-batch partials: round at read
     return out.select(

@@ -53,6 +53,15 @@ def run_stream_to_batch(
     every partition) that cannot change the output — measured ~2 s of the
     interval-join gate at sf0.1 (tools/probe_stream.py: batch 4, rows=0,
     commit 2995 ms on top of a 1881 ms trigger).
+
+    Two more shapes where the skip is provably lossless (r15): COMPLETE
+    mode re-emits the full state table every trigger, so a no-data batch
+    rewrites an identical sink table; and an UPDATE-mode custom stateful
+    operator with ``GroupStateTimeout.NoTimeout`` invokes no group in a
+    no-data batch (no input rows, no timeouts), so nothing is appended.
+    Watermark-FINALIZED shapes — append-mode window aggregations and
+    outer joins — emit rows IN the finalize batch and must keep the
+    default.
     """
     batch = spark.read.parquet(source_path)
     stream = (
