@@ -164,42 +164,59 @@ def audio_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _aud_fixture()
     df = ingest_tar_distributed(spark, "local", d, "shard-0000.tar")
 
-    def decode(batches):
+    # ONE narrow extraction pass over ALL tar members (r15, guide §8):
+    # the audio and caption legs used to be two independent consumers of
+    # the ingest, so the tar fetch stage (and its driver index plan) ran
+    # TWICE per query. One Arrow stage now decodes mp3 members and
+    # json-parses caption members into a unified fingerprint-width row
+    # (~60 bytes/member at any payload size), checkpointed once; both
+    # legs filter the checkpoint. At 100 TB this halves the corpus reads
+    # and keeps the checkpoint narrow (never payload-width).
+    def extract(batches):
+        import json as _json
+
         import numpy as np
 
         for pdf in batches:
-            keys, ns, cks, langs, titled = [], [], [], [], []
+            cols = {k: [] for k in ("sample_key", "field", "n_samples",
+                                    "checksum", "lang", "has_title",
+                                    "cap", "source")}
             for k, field, payload in zip(pdf["sample_key"],
                                          pdf["field"], pdf["payload"]):
-                if field != "mp3":
-                    continue
                 raw = bytes(payload)
-                tags = parse_id3v2(raw)  # same bytes, same Arrow pass
-                pcm, _rate = decode_mp3(raw)
-                q = np.floor(pcm[:, 0] * 1048576.0 + 0.5).astype(np.int64)
-                pos = np.arange(len(q), dtype=np.int64) + 1
-                keys.append(k)
-                ns.append(len(q))
-                cks.append(int((q * pos).sum()))
-                langs.append(tags.get("TLAN"))
-                titled.append("TIT2" in tags)
+                n = cks = lang = titled = cap = src = None
+                if field == "mp3":
+                    tags = parse_id3v2(raw)  # same bytes, same pass
+                    pcm, _rate = decode_mp3(raw)
+                    q = np.floor(
+                        pcm[:, 0] * 1048576.0 + 0.5
+                    ).astype(np.int64)
+                    pos = np.arange(len(q), dtype=np.int64) + 1
+                    n, cks = len(q), int((q * pos).sum())
+                    lang, titled = tags.get("TLAN"), "TIT2" in tags
+                elif field == "json":
+                    meta = _json.loads(raw.decode("utf-8"))
+                    cap, src = meta.get("cap"), meta.get("src")
+                else:
+                    continue
+                for key, v in zip(cols, (k, field, n, cks, lang,
+                                         titled, cap, src)):
+                    cols[key].append(v)
             yield pd.DataFrame(
-                {"sample_key": keys, "n_samples": ns, "checksum": cks,
-                 "lang": langs, "has_title": titled}
+                {k: pd.Series(v, dtype="object")
+                 for k, v in cols.items()}
             )
 
-    audio = df.filter(F.col("field") == "mp3").mapInPandas(
-        decode,
-        "sample_key string, n_samples long, checksum long, "
-        "lang string, has_title boolean",
+    narrow = df.mapInPandas(
+        extract,
+        "sample_key string, field string, n_samples long, "
+        "checksum long, lang string, has_title boolean, "
+        "cap string, source string",
+    ).localCheckpoint()
+    audio = narrow.filter(F.col("field") == "mp3").select(
+        "sample_key", "n_samples", "checksum", "lang", "has_title"
     )
-    caps = df.filter(F.col("field") == "json").select(
-        "sample_key",
-        F.get_json_object(F.decode("payload", "utf-8"), "$.cap")
-        .alias("cap"),
-        F.get_json_object(F.decode("payload", "utf-8"), "$.src")
-        .alias("source"),
-    ).select(
+    caps = narrow.filter(F.col("field") == "json").select(
         "sample_key", "source",
         F.size(F.split("cap", " ")).cast("bigint").alias("cap_tokens"),
     )
