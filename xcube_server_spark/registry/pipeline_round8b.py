@@ -541,7 +541,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import capped_basket_pairs
 
     li = _t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # no .distinct() before the pair builder (r15): collect_set inside
+    # capped_basket_pairs dedups items per order, so a pre-distinct is a
+    # redundant full (orderkey, partkey) shuffle — one exchange removed.
+    basket = li.select("l_orderkey", "l_partkey")
     # r14: the equi-key basket self-join (two shuffles of the basket +
     # a sort-merge join) is replaced by the width-capped collect/explode
     # pair builder the triangle gate already uses — one shuffle, pairs

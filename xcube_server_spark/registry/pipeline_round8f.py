@@ -77,7 +77,10 @@ def _oriented_copurchase_edges(
     from ._util import capped_basket_pairs
 
     li = _t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # no .distinct() before the pair builder (r15): collect_set inside
+    # capped_basket_pairs dedups items per order, so a pre-distinct is a
+    # redundant full (orderkey, partkey) shuffle — one exchange removed.
+    basket = li.select("l_orderkey", "l_partkey")
     # width-capped pair generation (collect per order, drop degenerate
     # baskets with observe bookkeeping, explode map-side) — one 10k-item
     # order would otherwise emit 50M wedge-seed rows from a single key
