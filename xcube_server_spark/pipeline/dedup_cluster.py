@@ -81,17 +81,22 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # checkpoint BEFORE the convergence probe: the probe then reads a
-        # materialized slim table instead of re-executing new_labels (it
-        # also truncates the exponentially-growing iterative lineage)
-        new_labels = new_labels.localCheckpoint(eager=True)
         # convergence via the monotone label sum: labels only ever
-        # DECREASE, so an unchanged sum means a fixpoint — one tiny
-        # aggregate instead of a join+filter probe. DECIMAL(38,0) so the
-        # sum cannot overflow at any node-id scale.
-        s = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        # DECREASE, so an unchanged sum means a fixpoint. The sum rides
+        # the CHECKPOINT job as an observe() metric (r15) — one driver
+        # barrier per round instead of two (checkpoint + separate
+        # aggregate job). DECIMAL(38,0) so the sum cannot overflow at
+        # any node-id scale.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        )
+        # checkpoint truncates the exponentially-growing iterative
+        # lineage; its materialization job also evaluates the metric
+        new_labels = new_labels.localCheckpoint(eager=True)
+        s = obs.get["s"]
         converged = prev_sum is not None and s == prev_sum
         prev_sum = s
         labels = new_labels
