@@ -158,10 +158,64 @@ for _m in (
 # rounds AND re-proven by the local DuckDB-oracle replica
 # (tests/test_correctness.py) on every pytest run.
 _PRIORITY = [
-    # (a3) NEW in the round-14 closing session: recursive hierarchy
-    # queries + the lakehouse table-format layer (Avro manifests +
-    # min/max file pruning + roaring-DV merge-on-read + time travel +
-    # manifest-diff incremental read).
+    # Round-15 (optimization) window: the 15 queries whose CODE
+    # changed this round head the list so the driver re-verifies
+    # exactly what was touched (Bloom wedge prefilter, one-pass
+    # audio extraction, graph-edge pre-distinct removal, CC observe
+    # fusion, streaming state-partition/no-data-batch sizing), then
+    # the oldest-vintage displaced rows (r09 tail + r14 displaced
+    # head) fill the remaining 35 slots; the rows the driver checked
+    # fresh in CORRECTNESS_r14 rotate behind them.
+    "graph_triangle_count",
+    "graph_pagerank_parts",
+    "audio_curation_stats",
+    "dedup_components_minhash",
+    "stream_sliding_avg_live",
+    "stream_tumbling_counts_live",
+    "stream_static_enrich_live",
+    "stream_bpe_tokens_live",
+    "stream_neardup_minhash_live",
+    "stream_interval_join_live",
+    "stream_dedupe_events_live",
+    "stream_sessionize_live",
+    "stream_user_stats_stateful",
+    "stream_topk_windowed_live",
+    "stream_pack_greedy_live",
+    "dedup_simhash",
+    "doc_chunking",
+    "doc_length_percentiles",
+    "embed_label_centroids",
+    "geotiff_ingest_stats",
+    "geotiff_jpeg_ingest_stats",
+    "grib2_complex_ingest_stats",
+    "grib2_gaussian_ingest_stats",
+    "grib2_ingest_http",
+    "grib2_ingest_stats",
+    "hypertable_rollup_daily",
+    "join_salted_enrich",
+    "market_basket_lift",
+    "multimodal_bytes",
+    "netcdf4_kerchunk_ingest_http",
+    "netcdf4_kerchunk_multifile_http",
+    "pack_sequences",
+    "pii_scrub",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "agg_distinct",
+    "agg_rollup",
+    "window_rank",
+    "window_running",
+    "topk_global",
+    "q6_forecast_revenue",
+    "agg_cube_grouping",
+    "agg_percentiles",
+    "pivot_status_by_year",
+    "q2_min_cost_supplier",
+    "q18_large_orders",  # <- window position 50
     "table_compaction_plan",
     "inverted_index_build_stats",
     "inverted_index_query",
@@ -189,12 +243,9 @@ _PRIORITY = [
     "pack_greedy_fill_bpe",
     "mixture_schedule_tokens",
     "bpe_fertility_filter",
-    "stream_bpe_tokens_live",
-    "stream_pack_greedy_live",
     "pack_greedy_fill",
     "weighted_sample_bylength",
     "stream_weighted_sample_live",
-    "audio_curation_stats",
     "audio_id3_stats",
     "window_range_frame",
     "zarr_ingest_stats_blosc",
@@ -211,30 +262,173 @@ _PRIORITY = [
     "data_split_train_valid",
     "dedup_exact",
     "dedup_normalized",
-    "dedup_retention_summary",  # <- window position 50
-    "dedup_simhash",
-    "doc_chunking",
-    "doc_length_percentiles",
-    "embed_label_centroids",
-    "geotiff_ingest_stats",
-    "geotiff_jpeg_ingest_stats",
-    "graph_triangle_count",
-    "grib2_complex_ingest_stats",
-    "grib2_gaussian_ingest_stats",
-    "grib2_ingest_http",
-    "grib2_ingest_stats",
-    "hypertable_rollup_daily",
-    "join_salted_enrich",
-    "market_basket_lift",
-    "multimodal_bytes",
-    "netcdf4_kerchunk_ingest_http",
-    "netcdf4_kerchunk_multifile_http",
-    "pack_sequences",
-    "pii_scrub",
-    "q1_pricing_summary",
-    # ---- overflow (past the 50-query window): module order. All 234
-    # prior entries were driver-green in the r01-r13 union (zero stale,
-    # zero never-checked) and stay locally verified per pytest run. ----
+    "dedup_retention_summary",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_or_predicates",
+    "q21_sole_supplier",
+    "q22_idle_customers",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "stats_correlation",
+    "histogram_prices",
+    "unpivot_metrics",
+    "join_range_lookup",
+    "ts_range_agg",
+    "ts_weekly_resample",
+    "cube_decimate",
+    "cube_decimate_stride",
+    "bbox_prune",
+    "antimeridian",
+    "minmax_range",
+    "iso_time_format",
+    "clip_normalize",
+    "union_groups",
+    "fanout_ranges",
+    "interval_bounds",
+    "nearest_dim_select",
+    "nearest_point_select",
+    "json_props_stats",
+    "tile_grid_subdivision",
+    "cube_climatology_anomaly",
+    "cube_exceedance_streak",
+    "cube_pixel_trend",
+    "cube_area_weighted_mean",
+    "cube_tile_render",
+    "cube_append_lod",
+    "cube_focal_mean",
+    "cube_time_interp",
+    "cube_cell_anomaly",
+    "cube_hovmoller",
+    "cube_var_correlation",
+    "cube_regrid_nearest",
+    "cube_regrid_mean",
+    "cube_regrid_bilinear",
+    "cube_threshold_area",
+    "zarr_ingest_stats",
+    "netcdf_ingest_stats",
+    "zarr_ingest_stats_forder",
+    "netcdf4_ingest_stats",
+    "netcdf4_packed_ingest_stats",
+    "grib2_png_ingest_stats",
+    "grib2_j2k_ingest_stats",
+    "grib2_j2k97_ingest_stats",
+    "zarr_ingest_stats_http",
+    "zarr_v3_ingest_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embed_cosine_topk",
+    "embed_ann_lsh",
+    "embed_neardup_cosine",
+    "text_quality",
+    "text_langid",
+    "text_tokens",
+    "text_fingerprint",
+    "embed_ann_ivf",
+    "merge_upsert_docs",
+    "text_repetition",
+    "contamination_screen",
+    "vocab_top_tokens",
+    "event_funnel",
+    "user_retention",
+    "ts_gap_fill",
+    "set_ops_customers",
+    "sample_mixture",
+    "cross_source_overlap",
+    "cross_source_overlap_kmv",
+    "quality_filter_chain",
+    "dedup_paragraphs",
+    "kmv_distinct_sketch",
+    "tfidf_top_terms",
+    "unigram_logprob",
+    "sample_stratified",
+    "time_weighted_avg",
+    "bm25_search",
+    "event_attribution",
+    "rfm_segments",
+    "session_paths_topk",
+    "pmi_collocations",
+    "dedup_lsh_verify",
+    "morton_zorder_cells",
+    "embed_quantize_int8",
+    "vocab_coverage",
+    "snapshot_diff",
+    "sample_temperature",
+    "rolling_median_daily",
+    "perplexity_buckets",
+    "winsorized_mean",
+    "ngram_novelty",
+    "embed_ivfpq_ann",
+    "mixture_schedule",
+    "text_entropy",
+    "embed_pq_ann",
+    "decayed_engagement",
+    "semdedup_prune",
+    "dedup_substring_windows",
+    "embed_outlier_centroid",
+    "quality_gopher_rules",
+    "dedup_containment",
+    "dsir_importance",
+    "quality_c4_rules",
+    "corpus_shuffle",
+    "text_nfc_normalize",
+    "dedup_levenshtein",
+    "embed_kmeans_lloyd",
+    "bpe_first_merges",
+    "ts_downsample_m4",
+    "trend_theil_sen",
+    "skew_key_census",
+    "distinct_hll_sketch",
+    "embed_random_projection",
+    "trend_mann_kendall",
+    "sketch_cms_heavy_hitters",
+    "bloom_join_prefilter",
+    "ts_autocorr_daily",
+    "ts_changepoint_cusum",
+    "ts_ewma_daily",
+    "feature_quantile_bins",
+    "join_scd2_asof",
+    "scd2_dim_history",
+    "ols_normal_equations",
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
+    "html_text_extract",
+    "media_meta_probe",
+    "warc_ingest_stats",
+    "webdataset_ingest_stats",
+    "jsonl_zst_ingest_stats",
+    "jsonl_gz_ingest_stats",
+    "warc_zst_ingest_stats",
+    "video_frames_stats",
+    "vorbis_decode_stats",
+    "avi_frames_ingest_http",
+    "webdataset_multimodal_stats",
+    "jsonl_bgzf_ingest_stats",
+    "mp3_decode_stats",
+    "curation_pipeline_stats",
+    "curation_warc_pipeline_stats",
+    "multimodal_curation_stats",
+    "audio_probe_mixture_stats",
+    "weighted_sample_wor",
+    "stream_tumbling_counts",
+    "stream_sessionize",
+    "stream_sliding_avg",
+    "stream_interval_join",
+    "stream_dedupe_events",
+    "merge_upsert_docs_live",
+    "stream_topk_windowed",
+    "stream_hypertable_rollup_live",
+    "stream_late_data_eviction_live",
+    "stream_scd2_live",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}
