@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import load_table as _t
@@ -564,42 +564,55 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    # localCheckpoint: the 3 unrolled iterations each re-reference the
-    # edge list — cut the recomputed self-join (and keep one lineage)
-    edges = edges.localCheckpoint()
-    # checkpoint deg too (r14): it is referenced by every iteration, and
-    # without the cut the plan recomputed the degree groupBy (one shuffle +
-    # one broadcast of the result) once PER ITERATION — four copies of the
-    # same node-width aggregate in the executed plan (Exchanges 9/17/30/43
-    # in plans/r14/graph_pagerank_parts_before2.txt). Node-width state.
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint()
-    n_nodes = deg.count()  # driver scalar, like the k-means init
+    # r15: carry the out-degree ON each edge row (a count window over
+    # src, clustered by the same key the iterations join on) and
+    # checkpoint ONCE. The r14 shape kept a separate checkpointed deg
+    # table and rebuilt a node-width rank/deg table per iteration —
+    # every iteration queued TWO broadcast builds (deg + the rebuilt w)
+    # on the driver, and AQE materializes broadcast stages concurrently,
+    # so a 3-iteration run could hold ~6 in-flight hash relations. In a
+    # memory-tight plain session (the external 1 GiB driver-style
+    # sweep) that burst, stacked on a prior query's resident checkpoint
+    # blocks, failed the broadcast build outright
+    # ("Not enough memory to build and broadcast", reproduced at
+    # sf0.1 with graph_triangle_count run immediately before). With deg
+    # on the edge row, iteration 1 joins NOTHING (sum(r0/deg) by dst)
+    # and iterations 2..k broadcast only the node-width ranks — 2
+    # broadcast builds per run instead of ~6, one checkpoint job
+    # instead of two, and the same per-edge addends (rank[src]/deg[src]
+    # as one IEEE division) summed per dst on the unchanged 1e-6 grid.
+    from pyspark import StorageLevel
+
+    w_deg = Window.partitionBy("src")
+    # DISK_ONLY: the edge checkpoint is the query's only large resident
+    # block; at MEMORY_AND_DISK it sits inside the unified pool's
+    # PROTECTED storage fraction, where execution cannot evict it — in a
+    # 1 GiB plain-session sweep that starved this query's broadcast
+    # builds when another graph query's blocks were already resident.
+    # Local disk is page-cached, and the block is read only ~4x per run.
+    edges = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(w_deg)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    n_nodes = edges.select(F.countDistinct("src")).first()[0]
     r0 = math.floor(1.0 / n_nodes * 1e6 + 0.5) / 1e6
     base = (1.0 - _PR_DAMP) / n_nodes
-    # fold rank/deg into a NODE-width table before touching edges (r14):
-    # the old shape joined the EDGE-width intermediate with deg a second
-    # time, so every iteration paid two edge-width joins; pre-dividing
-    # per node makes each iteration one node-width join (rank⋈deg) + one
-    # edge-width join. Arithmetic is unchanged — the same rank/deg value
-    # is attached to each edge and summed per dst, and iteration ranks
-    # still round on the 1e-6 grid the oracle replays.
-    w = deg.select("src", (F.lit(r0) / F.col("deg")).alias("c"))
+    ranks = None
     for it in range(_PR_ITERS):
-        summed = edges.join(w, "src").groupBy("dst").agg(
-            F.sum("c").alias("s")
-        )
+        if ranks is None:
+            contrib = edges.select(
+                "dst", (F.lit(r0) / F.col("deg")).alias("c")
+            )
+        else:
+            contrib = edges.join(ranks, "src").select(
+                "dst", (F.col("rank") / F.col("deg")).alias("c")
+            )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = summed.select(
             F.col("dst").alias("src"),
             _rnd(F.lit(base) + F.lit(_PR_DAMP) * F.col("s"), 6).alias(
                 "rank"
             ),
         )
-        if it < _PR_ITERS - 1:
-            w = ranks.join(deg, "src").select(
-                "src", (F.col("rank") / F.col("deg")).alias("c")
-            )
     return (
         ranks.select(F.col("src").alias("l_partkey"), "rank")
         .orderBy(F.desc("rank"), "l_partkey")

@@ -100,9 +100,15 @@ def _oriented_copurchase_edges(
     # degree table (node-width), and the explode chain runs once. The
     # repartition keeps the degree join and the final orientation pass
     # wide (the AQE-coalesce freeze trap, as below).
+    from pyspark import StorageLevel
+
+    # DISK_ONLY for the two edge-width checkpoints (see the pagerank
+    # note): keeps ~110 MB of graph blocks out of the protected storage
+    # fraction so a memory-tight driver-style session can still build
+    # its broadcasts; local disk is page-cached.
     und = und.repartition(
         spark.sparkContext.defaultParallelism, "pa"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     deg = (
         und.select(F.col("pa").alias("n"))
         .unionByName(und.select(F.col("pb").alias("n")))
@@ -138,7 +144,9 @@ def _oriented_copurchase_edges(
         oriented = oriented.repartition(
             spark.sparkContext.defaultParallelism, "src"
         )
-    return oriented.localCheckpoint()
+    return oriented.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
 
 _BLOOM_K = 4  # hash functions; with >= 12 bits/key, fpp ~0.6%
