@@ -552,18 +552,28 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic in a task. Same distinct pair set on bounded baskets
     # (TPC-H max ~13 items; oracle hash re-verified at every SF), ~20%
     # faster at sf0.1 and strictly fewer corpus shuffles at 100 TB.
-    und = (
-        capped_basket_pairs(
-            basket, "l_orderkey", "l_partkey", "pagerank_baskets"
-        )
-        .select(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
-        .distinct()
-    )
-    edges = und.select(
+    pairs = capped_basket_pairs(
+        basket, "l_orderkey", "l_partkey", "pagerank_baskets"
+    ).select(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
+    # Symmetrize FIRST, then let ONE src-keyed exchange carry dedup AND
+    # the degree window (r15): hash-partitioning on src satisfies both
+    # the (src, dst) clustering dropDuplicates needs (equal edges share
+    # src) and the src clustering of the count window, so the pre-union
+    # `.distinct()` exchange disappears outright — 3 edge-width
+    # exchanges -> 2, and strictly fewer shuffled bytes (the removed
+    # exchange carried the full pair set). Same edge set: dedup by
+    # (src, dst) after symmetrization is 1:1 with dedup by (pa, pb)
+    # before it. Measured (warm, alternated, 4 rounds): edge build
+    # 1.95-2.36 s -> 1.74-1.96 s at sf0.1; identical (count +
+    # order-independent xxhash checksum over src, dst, deg).
+    edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(
-        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).dropDuplicates(["src", "dst"])
     # r15: carry the out-degree ON each edge row (a count window over
     # src, clustered by the same key the iterations join on) and
     # checkpoint ONCE. The r14 shape kept a separate checkpointed deg

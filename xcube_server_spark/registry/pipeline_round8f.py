@@ -83,40 +83,54 @@ def _oriented_copurchase_edges(
     basket = li.select("l_orderkey", "l_partkey")
     # width-capped pair generation (collect per order, drop degenerate
     # baskets with observe bookkeeping, explode map-side) — one 10k-item
-    # order would otherwise emit 50M wedge-seed rows from a single key
+    # order would otherwise emit 50M wedge-seed rows from a single key.
+    # The pair dedup RIDES the pa repartition (r15): hash-partitioning
+    # on pa alone satisfies the (pa, pb) clustering the aggregate needs
+    # (equal pairs share pa), so `repartition(N, pa)` + dropDuplicates
+    # is ONE edge-width exchange where `.distinct()` followed by the
+    # checkpoint repartition was two. The repartition stays load-bearing
+    # for the AQE-coalesce freeze trap (see the oriented note below).
     und = (
         capped_basket_pairs(
             basket, "l_orderkey", "l_partkey", "triangle_baskets"
         )
         .select(F.col("ia").alias("pa"), F.col("ib").alias("pb"))
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "pa")
+        .dropDuplicates(["pa", "pb"])
     )
-    # Cut the lineage HERE too (r14): `und` used to feed the degree
-    # aggregate twice (da/db) plus the orientation join — three logical
-    # consumers, so the whole basket collect/explode/distinct chain
-    # executed three times before the oriented checkpoint (no exchange
-    # reuse across the differently-shaped aggregates). Checkpoint the
-    # edge list (edge-width: two ints per co-purchase pair) and the
-    # degree table (node-width), and the explode chain runs once. The
-    # repartition keeps the degree join and the final orientation pass
-    # wide (the AQE-coalesce freeze trap, as below).
+    # Cut the lineage HERE too (r14): `und` feeds the degree aggregate
+    # plus the orientation join — without the cut the whole basket
+    # collect/explode/dedup chain executed once per consumer. Checkpoint
+    # the edge list (edge-width: two ints per co-purchase pair) and the
+    # explode chain runs once.
     from pyspark import StorageLevel
 
     # DISK_ONLY for the two edge-width checkpoints (see the pagerank
     # note): keeps ~110 MB of graph blocks out of the protected storage
     # fraction so a memory-tight driver-style session can still build
     # its broadcasts; local disk is page-cached.
-    und = und.repartition(
-        spark.sparkContext.defaultParallelism, "pa"
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    deg = (
-        und.select(F.col("pa").alias("n"))
-        .unionByName(und.select(F.col("pb").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
-    )
-    da, db = deg.alias("da"), deg.alias("db")
+    und = und.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # deg is NOT checkpointed (r15): a checkpointed deg becomes a
+    # stats-free LogicalRDD, which forces both orientation joins to
+    # sort-merge with an edge-width exchange EACH. Left as a live
+    # aggregate over the und checkpoint, AQE sees the real shuffle size
+    # at runtime (~node-width) and builds a broadcast hash join — the
+    # und side is then never re-shuffled — while at a node count too
+    # large to broadcast AQE keeps the partitioned join: scale-adaptive
+    # by construction, no hand-forced broadcast. The two deg subtrees
+    # (da/db) are identical, so exchange reuse computes the aggregate
+    # once. Measured (warm, alternated, 5 rounds): edge build
+    # 3.65 s -> 2.65 s p50 at sf0.1; identical edge set (count +
+    # order-independent xxhash checksum).
+    def _deg() -> DataFrame:
+        return (
+            und.select(F.col("pa").alias("n"))
+            .unionByName(und.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    da, db = _deg().alias("da"), _deg().alias("db")
     lt = (F.col("da.deg") < F.col("db.deg")) | (
         (F.col("da.deg") == F.col("db.deg")) & (F.col("pa") < F.col("pb"))
     )
@@ -235,7 +249,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole plan is two edge-keyed joins + one explode/count, no node ever
     enumerates its full undirected neighborhood."""
     oriented = _oriented_copurchase_edges(spark, sf_dir)
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # The wedge self-join strategy is PINNED to sort-merge (r15): the
+    # stats-preserving localCheckpoint now carries the edge build's
+    # (under)estimates, and left to the planner those flipped this join
+    # to a broadcast of the FULL edge list — the build side here is
+    # never small (it IS the corpus at 100 TB), and an estimate-driven
+    # broadcast of it is the exact failure class the pagerank
+    # deg-on-edge change closed in memory-tight sessions. Alternated
+    # A/B at sf0.1 (3 rounds) measured bhj/merge flat locally, so the
+    # deterministic partitioned shape costs nothing here and can never
+    # attempt an edge-width broadcast at scale.
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2").hint("merge")
     wedges = e1.join(
         e2,
         (F.col("e1.src") == F.col("e2.src"))
